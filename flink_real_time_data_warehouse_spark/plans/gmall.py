@@ -1,0 +1,491 @@
+"""Reference-derived query plans over the driver test tables.
+
+Each query re-expresses one reference pipeline/operator (SURVEY.md §2) on the
+TPC-H-ish fixtures: `orders`/`lineitem` stand in for the order/order-detail
+fact streams, `events` for the behavior log, `customer/nation/region/part`
+for the Phoenix dim tables, and the outputs mirror the ClickHouse DWS
+tables (stt/edt window-bound strings etc.).
+
+Determinism contract (driver hashes values): money flows as exact integer
+cents (functions/money.py) so sums are order-independent and bit-identical
+across engines; doubles are otherwise only passed through or touched by a
+single per-row arithmetic op; quantity sums are integer-valued doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import cents, money, money_sum, sql_money, sql_money_sum
+from ..operators.joins import dim_enrich, interval_join
+from ..operators.stateful_batch import (
+    BOUNCE_TIMEOUT_S,
+    SESSION_GAP_S,
+    bounce_events,
+    daily_first_visit,
+    first_seen_flag,
+)
+from ..operators.windows import tumble_bounds
+from ..queries import register
+from ..tables import table
+
+# Reference money expressions on the fixtures (OrderWide split_total_amount ~
+# extendedprice net of discount; PaymentWide amount additionally with tax).
+NET = "l_extendedprice * (1 - l_discount)"
+GROSS = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+
+
+def _net(c=F.col):
+    return c("l_extendedprice") * (1 - c("l_discount"))
+
+
+def _gross(c=F.col):
+    return c("l_extendedprice") * (1 - c("l_discount")) * (1 + c("l_tax"))
+
+
+# ---------------------------------------------------------------------------
+# province_stats — SURVEY §2.5 A4 (ProvinceStatsSQLApp.java:112-132):
+# tumble window × province dims, count(distinct order_id), sum(amount).
+# Here: lineitem detail rows ⋈ orders ⋈ customer→nation→region (J3 dim
+# enrichment), 1-day tumble on o_orderdate.
+# ---------------------------------------------------------------------------
+@register(
+    "province_stats",
+    oracle=f"""
+    SELECT strftime(date_trunc('day', o.o_orderdate), '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(date_trunc('day', o.o_orderdate) + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS edt,
+           n.n_name AS nation_name,
+           r.r_name AS region_name,
+           count(DISTINCT l.l_orderkey) AS order_ct,
+           {sql_money_sum(NET.replace('l_', 'l.l_'))} AS order_amount
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc="A4+J3: ProvinceStatsSQLApp.java:112-132 tumble+count distinct+sum; dims via broadcast join",
+)
+def province_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+
+    detail = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    enriched = dim_enrich(
+        detail,
+        [
+            (cust, F.col("o_custkey") == F.col("c_custkey"), [F.col("c_custkey"), F.col("c_nationkey")]),
+            (nation, F.col("c_nationkey") == F.col("n_nationkey"), [F.col("n_nationkey"), F.col("n_name"), F.col("n_regionkey")]),
+            (region, F.col("n_regionkey") == F.col("r_regionkey"), [F.col("r_regionkey"), F.col("r_name")]),
+        ],
+    )
+    stt, edt = tumble_bounds(F.col("o_orderdate"), "day")
+    return (
+        enriched.select(
+            stt.alias("stt"), edt.alias("edt"),
+            F.col("n_name").alias("nation_name"), F.col("r_name").alias("region_name"),
+            F.col("l_orderkey"), _net().alias("net"),
+        )
+        .groupBy("stt", "edt", "nation_name", "region_name")
+        .agg(
+            F.countDistinct("l_orderkey").alias("order_ct"),
+            money_sum(F.col("net")).alias("order_amount"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# visitor_stats — SURVEY §2.2 P8 + §2.5 A2 (VisitorStatsApp.java:65-198):
+# one-hot normalization of behavior events, keyed tumble agg with distinct
+# visitors and dwell-time sum. 1-hour tumble on events.ts.
+# ---------------------------------------------------------------------------
+@register(
+    "visitor_stats",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS edt,
+           count(*) FILTER (event_type = 'view') AS pv_ct,
+           count(*) FILTER (event_type = 'click') AS click_ct,
+           count(*) FILTER (event_type = 'error') AS err_ct,
+           count(*) FILTER (event_type = 'purchase') AS purchase_ct,
+           count(*) FILTER (event_type = 'signup') AS signup_ct,
+           count(DISTINCT user_id) AS uv_ct,
+           {sql_money_sum('value')} AS dur_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="P8+A2: VisitorStatsApp.java:65-198 one-hot normalize + tumble agg (when/otherwise + groupBy window)",
+)
+def visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    stt, edt = tumble_bounds(F.col("ts"), "hour")
+
+    def ct(t: str, alias: str):
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(alias)
+
+    return (
+        ev.select(stt.alias("stt"), edt.alias("edt"), "event_type", "user_id", "value")
+        .groupBy("stt", "edt")
+        .agg(
+            ct("view", "pv_ct"), ct("click", "click_ct"), ct("error", "err_ct"),
+            ct("purchase", "purchase_ct"), ct("signup", "signup_ct"),
+            F.countDistinct("user_id").alias("uv_ct"),
+            money_sum(F.col("value")).alias("dur_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# product_stats — SURVEY §2.2 P7 + §2.5 A1/A3 + §2.4 J3 + §2.8 F10
+# (ProductStatsApp.java:81-366): union of per-source normalized streams,
+# keyed weekly tumble with distinct-order-set counters, then dim join.
+# Branches derived from lineitem: all rows = "order", linestatus F = "paid",
+# returnflag R = "refund" (the F10-style classifier).
+# ---------------------------------------------------------------------------
+@register(
+    "product_stats",
+    oracle=f"""
+    WITH agg AS (
+      SELECT strftime(date_trunc('week', l_shipdate), '%Y-%m-%d %H:%M:%S') AS stt,
+             strftime(date_trunc('week', l_shipdate) + INTERVAL 7 DAY, '%Y-%m-%d %H:%M:%S') AS edt,
+             l_partkey AS sku_id,
+             sum(l_quantity) AS order_sku_num,
+             {sql_money_sum(NET)} AS order_amount,
+             coalesce(sum({'CAST(floor((' + GROSS + ') * 100 + 0.5) AS BIGINT)'}) FILTER (l_linestatus = 'F'), 0) / 100.0 AS payment_amount,
+             coalesce(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) FILTER (l_returnflag = 'R'), 0) / 100.0 AS refund_amount,
+             count(DISTINCT l_orderkey) AS order_ct,
+             count(DISTINCT l_orderkey) FILTER (l_linestatus = 'F') AS paid_order_ct,
+             count(DISTINCT l_orderkey) FILTER (l_returnflag = 'R') AS refund_order_ct
+      FROM lineitem
+      GROUP BY 1, 2, 3
+    )
+    SELECT agg.*, p.p_name AS sku_name, p.p_brand AS tm_name
+    FROM agg JOIN part p ON agg.sku_id = p.p_partkey
+    """,
+    doc="P7+A1+A3+F10+J3: ProductStatsApp.java:81-366 union-normalize + tumble + distinct-order sets + dim join",
+)
+def product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    stt, edt = tumble_bounds(F.col("l_shipdate"), "week")
+
+    base = li.select(
+        stt.alias("stt"), edt.alias("edt"), F.col("l_partkey").alias("sku_id"),
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_linestatus", "l_returnflag",
+    )
+    # Union of per-source one-hot rows, mirroring the reference's 7-way union
+    # (ProductStatsApp.java:231-238). Each branch carries only its metric,
+    # normalized to exact integer cents so the post-union sum is exact.
+    common = ["stt", "edt", "sku_id", "l_orderkey"]
+    order_b = base.select(
+        *common, F.lit("order").alias("src"),
+        F.col("l_quantity").alias("sku_num"), cents(_net()).alias("amount_cents"),
+    )
+    paid_b = base.where(F.col("l_linestatus") == "F").select(
+        *common, F.lit("paid").alias("src"),
+        F.lit(0.0).alias("sku_num"), cents(_gross()).alias("amount_cents"),
+    )
+    refund_b = base.where(F.col("l_returnflag") == "R").select(
+        *common, F.lit("refund").alias("src"),
+        F.lit(0.0).alias("sku_num"), cents(F.col("l_extendedprice")).alias("amount_cents"),
+    )
+    unioned = order_b.unionByName(paid_b).unionByName(refund_b)
+
+    def branch_money_sum(src: str):
+        return F.coalesce(
+            F.sum(F.when(F.col("src") == src, F.col("amount_cents"))), F.lit(0)
+        ) / F.lit(100.0)
+
+    agg = (
+        unioned.groupBy("stt", "edt", "sku_id")
+        .agg(
+            F.sum(F.when(F.col("src") == "order", F.col("sku_num"))).alias("order_sku_num"),
+            branch_money_sum("order").alias("order_amount"),
+            branch_money_sum("paid").alias("payment_amount"),
+            branch_money_sum("refund").alias("refund_amount"),
+            F.countDistinct(F.when(F.col("src") == "order", F.col("l_orderkey"))).alias("order_ct"),
+            F.countDistinct(F.when(F.col("src") == "paid", F.col("l_orderkey"))).alias("paid_order_ct"),
+            F.countDistinct(F.when(F.col("src") == "refund", F.col("l_orderkey"))).alias("refund_order_ct"),
+        )
+    )
+    return dim_enrich(
+        agg,
+        [(part, F.col("sku_id") == F.col("p_partkey"),
+          [F.col("p_partkey"), F.col("p_name").alias("sku_name"), F.col("p_brand").alias("tm_name")])],
+    ).drop("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# keyword_stats — SURVEY §2.8 F9 + §2.5 A5 (KeywordStatsApp.java:71-124 +
+# SplitFunction.java): tokenize (UDTF ≡ explode of split), count per word.
+# ---------------------------------------------------------------------------
+@register(
+    "keyword_stats",
+    oracle="""
+    SELECT word, count(*) AS keyword_ct, count(DISTINCT doc_id) AS doc_ct
+    FROM (
+      SELECT doc_id, unnest(string_split_regex(lower(text), ' +')) AS word
+      FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    doc="F9+A5: KeywordStatsApp.java:71-124 LATERAL TABLE(split_words) → explode(split()); count per keyword",
+)
+def keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " +")).alias("word")
+    ).where(F.col("word") != "")
+    return words.groupBy("word").agg(
+        F.count("*").alias("keyword_ct"), F.countDistinct("doc_id").alias("doc_ct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# uv_daily — SURVEY §2.6 T2 (UniqueVisitApp.java:53-102): keyed 24h-TTL state
+# keeps each visitor's first visit per day. Batch formulation: min per
+# (user, day).
+# ---------------------------------------------------------------------------
+@register(
+    "uv_daily",
+    oracle="""
+    SELECT user_id, date_trunc('day', ts) AS visit_day,
+           min(ts) AS first_ts, count(*) AS visit_ct
+    FROM events GROUP BY 1, 2
+    """,
+    doc="T2: UniqueVisitApp.java:53-102 daily-first-visit dedup (streaming impl: streaming/state.py)",
+)
+def uv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_first_visit(table(spark, sf_dir, "events")).select(
+        "user_id", "visit_day", "first_ts", "visit_ct"
+    )
+
+
+# ---------------------------------------------------------------------------
+# new_user_fix — SURVEY §2.6 T1 (BaseLogApp.java:69-102): rewrite is_new
+# using keyed first-seen state. Batch formulation: row_number == 1.
+# ---------------------------------------------------------------------------
+@register(
+    "new_user_fix",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    """,
+    doc="T1: BaseLogApp.java:69-102 new-vs-returning correction via keyed first-seen state",
+)
+def new_user_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return first_seen_flag(table(spark, sf_dir, "events")).select("event_id", "user_id", "is_new")
+
+
+# ---------------------------------------------------------------------------
+# bounce_events — SURVEY §2.6 T3 (UserJumpDetailApp.java:81-120): CEP bounce
+# detection. Batch semantics: session-start (gap > 6h) with no follow-up
+# within the timeout. Streaming impl: streaming/state.py (transformWithState).
+# ---------------------------------------------------------------------------
+@register(
+    "bounce_events",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT event_id, user_id, ts,
+             lag(ts)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      FROM events
+    )
+    SELECT event_id, user_id, ts
+    FROM ordered
+    WHERE (prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > {SESSION_GAP_S})
+      AND (next_ts IS NULL OR epoch(next_ts) - epoch(ts) > {BOUNCE_TIMEOUT_S})
+    """,
+    doc="T3: UserJumpDetailApp.java:81-120 bounce CEP; batch lag/lead formulation",
+)
+def bounce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bounce_events(table(spark, sf_dir, "events")).select("event_id", "user_id", "ts")
+
+
+# ---------------------------------------------------------------------------
+# order_wide — SURVEY §2.4 J1 + J3, §2.2 P5/P6 (OrderWideApp.java): interval
+# join order↔detail (detail ships within [0, 90d] of order) + 3-dim
+# enrichment + derived date columns. Row-level wide output.
+# ---------------------------------------------------------------------------
+@register(
+    "order_wide",
+    oracle=f"""
+    SELECT o.o_orderkey AS order_id, l.l_linenumber AS detail_id,
+           l.l_partkey AS sku_id, l.l_quantity AS sku_num,
+           {sql_money(NET.replace('l_', 'l.l_'))} AS split_total_amount,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS create_date,
+           date_diff('day', o.o_orderdate, l.l_shipdate) AS ship_delay_days,
+           c.c_name AS user_name, n.n_name AS nation_name, r.r_name AS region_name
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate >= o.o_orderdate
+      AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    doc="J1+J3+P5+P6: OrderWideApp.java:94-105 interval join bounds; :123-233 dim enrichment; :51-64 derived cols",
+)
+def order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+
+    joined = interval_join(
+        orders, li,
+        keys=li.l_orderkey == orders.o_orderkey,
+        left_ts=orders.o_orderdate, right_ts=li.l_shipdate,
+        lower="INTERVAL 0 DAY", upper="INTERVAL 90 DAY",
+    )
+    wide = dim_enrich(
+        joined,
+        [
+            (cust, F.col("o_custkey") == F.col("c_custkey"), [F.col("c_custkey"), F.col("c_name"), F.col("c_nationkey")]),
+            (nation, F.col("c_nationkey") == F.col("n_nationkey"), [F.col("n_nationkey"), F.col("n_name"), F.col("n_regionkey")]),
+            (region, F.col("n_regionkey") == F.col("r_regionkey"), [F.col("r_regionkey"), F.col("r_name")]),
+        ],
+    )
+    return wide.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("detail_id"),
+        F.col("l_partkey").alias("sku_id"),
+        F.col("l_quantity").alias("sku_num"),
+        money(_net()).alias("split_total_amount"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("create_date"),
+        F.datediff("l_shipdate", "o_orderdate").alias("ship_delay_days"),
+        F.col("c_name").alias("user_name"),
+        F.col("n_name").alias("nation_name"),
+        F.col("r_name").alias("region_name"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# payment_wide — SURVEY §2.4 J2 (PaymentWideApp.java:85-94): asymmetric
+# interval join (payment within [-15d, +5d] of order here), aggregated to
+# a monthly payment summary.
+# ---------------------------------------------------------------------------
+@register(
+    "payment_wide",
+    oracle=f"""
+    SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m-%d') AS order_month,
+           count(*) AS pay_ct,
+           count(DISTINCT o.o_orderkey) AS pay_order_ct,
+           {sql_money_sum(GROSS.replace('l_', 'l.l_'))} AS payment_amount
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate >= o.o_orderdate - INTERVAL 15 DAY
+      AND l.l_shipdate <= o.o_orderdate + INTERVAL 5 DAY
+    GROUP BY 1
+    """,
+    doc="J2: PaymentWideApp.java:85-94 asymmetric interval join (-15d/+5d analog of -15min/+5min)",
+)
+def payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    joined = interval_join(
+        orders, li,
+        keys=li.l_orderkey == orders.o_orderkey,
+        left_ts=orders.o_orderdate, right_ts=li.l_shipdate,
+        lower="INTERVAL -15 DAY", upper="INTERVAL 5 DAY",
+    )
+    return (
+        joined.select(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("order_month"),
+            "o_orderkey", _gross().alias("gross"),
+        )
+        .groupBy("order_month")
+        .agg(
+            F.count("*").alias("pay_ct"),
+            F.countDistinct("o_orderkey").alias("pay_order_ct"),
+            money_sum(F.col("gross")).alias("payment_amount"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cdc_route — SURVEY §2.1 S3 + §2.2 P3/P4 + §2.3 R2 (CustomerDeserialization,
+# BaseDBApp.java:49-58, TableProcessFunction.java:130-189): normalize a CDC
+# envelope, drop deletes, and project to the config-driven sink-column list.
+# The streaming router with dynamic sink tables lives in streaming/router.py.
+# ---------------------------------------------------------------------------
+@register(
+    "cdc_route",
+    oracle=f"""
+    SELECT 'orders' AS source_table, 'dwd_order_info' AS sink_table,
+           CASE o_orderkey % 10 WHEN 0 THEN 'delete' WHEN 1 THEN 'update' ELSE 'insert' END AS op,
+           o_orderkey AS id, o_custkey AS user_id,
+           {sql_money('o_totalprice')} AS total_amount
+    FROM orders
+    WHERE CASE o_orderkey % 10 WHEN 0 THEN 'delete' WHEN 1 THEN 'update' ELSE 'insert' END <> 'delete'
+    """,
+    doc="S3+P3+P4+R2: CDC envelope normalize (create→insert), delete filter (BaseDBApp.java:50-58), sinkColumns pruning (TableProcessFunction.java:171-189)",
+)
+def cdc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    op = (
+        F.when(F.col("o_orderkey") % 10 == 0, "delete")
+        .when(F.col("o_orderkey") % 10 == 1, "update")
+        .otherwise("insert")
+    )
+    envelope = orders.select(
+        F.lit("orders").alias("source_table"),
+        F.lit("dwd_order_info").alias("sink_table"),
+        op.alias("op"),
+        F.col("o_orderkey").alias("id"),
+        F.col("o_custkey").alias("user_id"),
+        money(F.col("o_totalprice")).alias("total_amount"),
+    )
+    return envelope.where(F.col("op") != "delete")
+
+
+# ---------------------------------------------------------------------------
+# json_props — SURVEY §2.2 P1/P9 + §2.8 F5 (BaseLogApp.java:49-67 dirty
+# split; KeywordStatsApp.java:71-79 map access + predicate): parse the JSON
+# props column, keep rows whose k survives the predicate.
+# ---------------------------------------------------------------------------
+@register(
+    "json_props",
+    oracle="""
+    SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
+    FROM events
+    WHERE CAST(props->>'$.k' AS INTEGER) > 25
+    """,
+    doc="P1+P9+F5: JSON parse + map-subscript access + predicate pushdown below the parse",
+)
+def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.select("event_id", k.alias("k")).where(F.col("k") > 25)
+
+
+# ---------------------------------------------------------------------------
+# serving_gmv — SURVEY §2.5 A6 + §2.9 K6 (SugarController/ProductStatsMapper):
+# serving-layer aggregate: GMV per day from purchase events.
+# ---------------------------------------------------------------------------
+@register(
+    "serving_gmv",
+    oracle=f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt,
+           {sql_money_sum('value')} AS gmv
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+    """,
+    doc="A6+K6: ProductStatsMapper.java:12-13 sum(order_amount) by day; serving query",
+)
+def serving_gmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("dt"))
+        .agg(money_sum(F.col("value")).alias("gmv"))
+    )
