@@ -1,0 +1,177 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (its only dedup is the UV keyed-state filter,
+UniqueVisitApp.java:53-102) — these are the document-level dedup family a
+100 TB text pipeline needs. All are pure DataFrame ops (no Python UDFs in
+the hot path): tokenize/shingle via Spark SQL collection functions, hashes
+via md5 (JVM intrinsic), so the whole pipeline stays in whole-stage codegen.
+
+Scale notes:
+- exact_dedup: one hash-shuffle on the digest. At 100 TB, digest is 16
+  bytes/row — the shuffle is tiny relative to the text scan.
+- minhash signatures: one shuffle keyed by doc_id (the explode is map-side);
+  LSH banding turns O(n²) pair search into per-bucket joins keyed by
+  (band_id, band_hash) — the classic MinHashLSH layout.
+- Cross-engine determinism: min() over md5 *hex strings* is lexicographic —
+  portable to any SQL engine (no engine-specific 64-bit hash needed).
+  A production variant would swap md5 for xxhash64 (also built-in) at ~3×
+  throughput; md5 is kept because the DuckDB oracle has it too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NUM_HASHES = 16
+LSH_BANDS = 8  # rows per band = NUM_HASHES / LSH_BANDS = 2
+SHINGLE_K = 3
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens, empties removed."""
+    return F.filter(F.split(F.lower(text), " +"), lambda x: x != "")
+
+
+def shingles(text: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-token shingles (space-joined). Empty array if < k tokens."""
+    t = tokens(text)
+    n = F.size(t)
+    make = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(k)]),
+    )
+    return F.when(n >= k, F.array_distinct(make)).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by content digest: per digest group, keeper = min id.
+
+    Returns (text_hash, dup_ct, keep_id) — one row per distinct content.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("_id"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("dup_ct"), F.min("_id").alias("keep_id"))
+    )
+
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int = SHINGLE_K) -> DataFrame:
+    """(id, shingle) exploded rows, distinct shingles per doc."""
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), k)).alias("sh")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """MinHash signature per doc: sig_i = min(md5('<i>:' || shingle)).
+
+    One map-side explode + one hash aggregation; num_hashes min-aggs run in
+    a single pass (no per-seed shuffle).
+    """
+    ex = shingle_rows(df, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int = LSH_BANDS, num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    Band hash = md5 of the band's signature slice; join keyed by
+    (band_id, band_hash) so each bucket join is local to its shuffle
+    partition — no all-pairs comparison anywhere.
+    """
+    rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
+        band_cols.append(F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *parts)).alias("band_hash")))
+    banded = sig.select("doc", F.explode(F.array(*band_cols)).alias("b")).select(
+        "doc", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float, k: int = SHINGLE_K
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (doc_a, doc_b, jaccard >= threshold).
+
+    Shares the shingle index with MinHash; the pair join is on shingle
+    equality, so cost is sum over shingles of (docs-per-shingle choose 2) —
+    fine when no shingle is hyper-frequent. For 100 TB, run
+    lsh_candidate_pairs first and use this as the verify step on candidates
+    only (that composition is `dedup_minhash_lsh` + a semi join).
+
+    jaccard = shared / (|A| + |B| - shared): one integer division per pair,
+    bit-identical across engines.
+    """
+    ex = shingle_rows(df, id_col, text_col, k)
+    sizes = ex.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a, b = ex.alias("a"), ex.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc"))
+        .select(
+            "doc_a", "doc_b",
+            (F.col("shared") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("shared"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per doc as two exact int32-range longs (sig_hi, sig_lo).
+
+    Per-token md5 → 64 bit positions via hex-digit arithmetic (portable to
+    any engine: instr on a hex alphabet, integer div/mod — no bit intrinsics
+    needed). Bit b of the signature = majority vote over tokens.
+    """
+    tok = df.select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("w"))
+    h = F.md5(F.col("w"))
+    # one row per (doc, token, bit)
+    bits = tok.select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+        h.alias("h"),
+    ).select(
+        "doc",
+        "b",
+        (
+            F.floor(
+                (F.instr(F.lit("0123456789abcdef"),
+                         F.substring(F.col("h"), (F.floor(F.col("b") / 4) + 1).cast("int"), F.lit(1))) - 1)
+                / F.pow(F.lit(2.0), 3 - (F.col("b") % 4))
+            ).cast("long") % 2
+        ).alias("bit"),
+    )
+    votes = bits.groupBy("doc", "b").agg(F.sum(F.col("bit") * 2 - 1).alias("v"))
+    set_bit = (F.col("v") > 0).cast("long")
+    hi = F.sum(F.when(F.col("b") < 32, set_bit * F.pow(F.lit(2.0), 31 - F.col("b")).cast("long")).otherwise(0))
+    lo = F.sum(F.when(F.col("b") >= 32, set_bit * F.pow(F.lit(2.0), 63 - F.col("b")).cast("long")).otherwise(0))
+    return votes.groupBy("doc").agg(hi.alias("sig_hi"), lo.alias("sig_lo"))

@@ -1,0 +1,100 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+All built from JVM-side SQL functions (no Python in the hot path); each has
+an exactly mirrored ANSI formulation so the DuckDB oracle hash-matches.
+Cross-engine arithmetic stays in integers plus single double divisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+
+# Tiny English stopword set for the n-gram/stopword language heuristic.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str, threshold: float = 0.05) -> DataFrame:
+    """Heuristic language ID: stopword ratio over whitespace tokens.
+
+    ratio >= threshold -> 'en', else 'unknown'. (A production system would
+    chain more stopword tables / charset ranges; the operator shape — pure
+    column arithmetic, no UDF — is the point.)
+    """
+    t = tokens(F.col(text_col))
+    stop_ct = F.size(F.filter(t, lambda x: x.isin(*EN_STOPWORDS)))
+    ratio = stop_ct / F.size(t)
+    return df.select(
+        F.col(id_col),
+        F.when(F.size(t) == 0, F.lit("unknown"))
+        .when(ratio >= threshold, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+        .alias("lang_pred"),
+        stop_ct.alias("stopword_ct"),
+        F.size(t).alias("token_ct"),
+    )
+
+
+def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Quality features + a simple rule score.
+
+    n_chars, n_tokens, avg_token_len (one double division), space_ratio,
+    and quality_score in [0,3]: +1 length in band, +1 avg token len in
+    band, +1 stopwords present.
+    """
+    t = tokens(F.col(text_col))
+    n_tokens = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    tok_chars = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    avg_tok = tok_chars / n_tokens
+    stop_ct = F.size(F.filter(t, lambda x: x.isin(*EN_STOPWORDS)))
+    score = (
+        ((n_tokens >= 10) & (n_tokens <= 100000)).cast("int")
+        + ((avg_tok >= 2.0) & (avg_tok <= 12.0)).cast("int")
+        + (stop_ct > 0).cast("int")
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        avg_tok.alias("avg_token_len"),
+        score.alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counts: whitespace tokens and BPE-ish word pieces.
+
+    ws_token_ct: whitespace split. piece_ct: alnum runs of length <= 4
+    count 1, longer runs count ceil(len/4) — a deterministic proxy for BPE
+    piece counts (real BPE would be a pandas UDF over a vocab; the proxy
+    keeps the hot path JVM-side and the oracle exact).
+    """
+    t = tokens(F.col(text_col))
+    runs = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != "")
+    piece_ct = F.aggregate(
+        runs, F.lit(0), lambda acc, x: acc + F.ceil(F.length(x) / 4).cast("int")
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(t).alias("ws_token_ct"),
+        F.size(runs).alias("alnum_run_ct"),
+        piece_ct.alias("piece_ct"),
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str, prefix_tokens: int = 8) -> DataFrame:
+    """Content fingerprints: full-text digest of normalized text + digest of
+    the first `prefix_tokens` tokens (a cheap rolling-hash stand-in that
+    catches same-prefix near-dups)."""
+    t = tokens(F.col(text_col))
+    norm_text = F.concat_ws(" ", t)
+    prefix = F.concat_ws(" ", F.slice(t, 1, prefix_tokens))
+    return df.select(
+        F.col(id_col),
+        F.md5(norm_text).alias("content_fp"),
+        F.md5(prefix).alias("prefix_fp"),
+    )

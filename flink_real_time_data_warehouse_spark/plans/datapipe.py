@@ -1,5 +1,303 @@
-"""Training-data pipeline query plans (dedup / similarity / text analysis).
+"""Training-data pipeline query plans (dedup / similarity / text analysis /
+multimodal), over `documents` and `embeddings`.
 
-Implementations in ``..datapipe``; registered here. Placeholder — filled in
-as the datapipe operators land.
+Oracle discipline: every hash/bit/ratio computation is expressed with
+operations that are bit-identical across engines (md5 hex strings,
+lexicographic min, integer div/mod, single double divisions). Counts are
+cast to BIGINT on both sides so pandas dtypes agree (DuckDB promotes
+integer sums to HUGEINT→float otherwise).
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..datapipe.dedup import (
+    LSH_BANDS,
+    NUM_HASHES,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from ..datapipe.multimodal import assets_from_documents, decode_assets
+from ..datapipe.quality import EN_STOPWORDS, fingerprints, lang_id, text_quality, token_counts
+from ..datapipe.similarity import cosine, cosine_topk
+from ..queries import register
+from ..tables import table
+
+JACCARD_THRESHOLD = 0.15  # planted near-dups sit at j>=0.2; background <=0.1
+
+# Shared DuckDB CTEs: tokens and distinct 3-gram shingles per document.
+TOKS_CTE = (
+    "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), "
+    "x -> x <> '') AS l FROM documents)"
+)
+SH_CTE = (
+    "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(l) >= 3 THEN "
+    "list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) "
+    "ELSE CAST([] AS VARCHAR[]) END)) AS s FROM toks)"
+)
+STOPWORD_LIST = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, count(*) AS dup_ct, min(doc_id) AS keep_id
+    FROM documents GROUP BY 1
+    """,
+    doc="exact dedup: hash-groupBy on content digest, keeper = min id",
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+def _minhash_oracle() -> str:
+    sig_cols = ", ".join(
+        f"min(md5('{i}:' || s)) AS sig_{i}" for i in range(NUM_HASHES)
+    )
+    rows = NUM_HASHES // LSH_BANDS
+    band_selects = []
+    for b in range(LSH_BANDS):
+        parts = " || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({parts}) AS band_hash FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH {TOKS_CTE}, {SH_CTE},
+    sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    bands AS ({bands_sql})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    doc=f"MinHash({NUM_HASHES})+LSH({LSH_BANDS} bands) candidate near-dup pairs; shingle->minhash->band->bucket-join",
+)
+def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(table(spark, sf_dir, "documents"), "doc_id", "text")
+    return lsh_candidate_pairs(sig).select(
+        F.col("doc_a").cast("long"), F.col("doc_b").cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {TOKS_CTE}, {SH_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           shared / (sa.n_sh + sb.n_sh - shared) AS jaccard
+    FROM shared
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE shared / (sa.n_sh + sb.n_sh - shared) >= {JACCARD_THRESHOLD}
+    """,
+    doc="exact n-gram (3-shingle) Jaccard pairs above threshold; the verify stage of MinHash candidates",
+)
+def dedup_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", JACCARD_THRESHOLD
+    )
+
+
+# ---------------------------------------------------------------------------
+def _simhash_oracle() -> str:
+    return f"""
+    WITH {TOKS_CTE},
+    w AS (SELECT doc_id, unnest(l) AS w FROM toks),
+    bits AS (
+      SELECT doc_id, rb.b,
+             CAST(floor((instr('0123456789abcdef',
+                               substr(md5(w), CAST(floor(rb.b / 4) AS INTEGER) + 1, 1)) - 1)
+                        / power(2, 3 - (rb.b % 4))) AS BIGINT) % 2 AS bit
+      FROM w CROSS JOIN (SELECT range AS b FROM range(0, 64)) rb
+    ),
+    votes AS (SELECT doc_id, b, sum(bit * 2 - 1) AS v FROM bits GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN b < 32 AND v > 0 THEN CAST(power(2, 31 - b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig_hi,
+           CAST(sum(CASE WHEN b >= 32 AND v > 0 THEN CAST(power(2, 63 - b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig_lo
+    FROM votes GROUP BY doc_id
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_oracle(),
+    doc="64-bit SimHash signatures (majority vote over per-token md5 bits), split hi/lo for exact int compare",
+)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = simhash_signatures(table(spark, sf_dir, "documents"), "doc_id", "text")
+    return sig.select(F.col("doc").alias("doc_id"), "sig_hi", "sig_lo")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "ann_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+    s AS (
+      SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, e.embedding) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    )
+    SELECT query_id, neighbor_id, rk FROM (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rk
+      FROM s
+    ) WHERE rk <= 5
+    """,
+    doc="brute-force exact cosine top-5 per query vector (rank compare — float-rounding-proof oracle)",
+)
+def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    res = cosine_topk(emb.where(F.col("vec_id") < 20), emb, k=5)
+    return res.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rk"))
+
+
+@register(
+    "embedding_cosine_pairs",
+    oracle=None,  # float-threshold boundary is not portable across engines; rows-only
+    doc="embedding near-dup pairs: brute-force cosine >= 0.45 (scale path: LSH buckets, datapipe/similarity.py)",
+)
+def embedding_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select("ia", "ib", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .where(F.col("sim") >= 0.45)
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "lang_id",
+    oracle=f"""
+    WITH {TOKS_CTE},
+    c AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS token_ct,
+                 CAST(len(list_filter(l, x -> x IN ({STOPWORD_LIST}))) AS BIGINT) AS stopword_ct
+          FROM toks)
+    SELECT doc_id,
+           CASE WHEN token_ct = 0 THEN 'unknown'
+                WHEN stopword_ct / token_ct >= 0.05 THEN 'en'
+                ELSE 'unknown' END AS lang_pred,
+           stopword_ct, token_ct
+    FROM c
+    """,
+    doc="heuristic language ID via stopword ratio (pure column arithmetic, no UDF)",
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = lang_id(table(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "doc_id", "lang_pred",
+        F.col("stopword_ct").cast("long"), F.col("token_ct").cast("long"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH {TOKS_CTE}
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(l) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(l, x -> length(x))) AS BIGINT) / CAST(len(l) AS BIGINT) AS avg_token_len,
+           CAST((CASE WHEN len(l) BETWEEN 10 AND 100000 THEN 1 ELSE 0 END)
+              + (CASE WHEN CAST(list_sum(list_transform(l, x -> length(x))) AS BIGINT) / CAST(len(l) AS BIGINT) BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END)
+              + (CASE WHEN len(list_filter(l, x -> x IN ({STOPWORD_LIST}))) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS quality_score
+    FROM toks JOIN documents USING (doc_id)
+    """,
+    doc="quality features + rule score: length band, avg token length band, stopword presence",
+)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text_quality(table(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long"), F.col("n_tokens").cast("long"),
+        "avg_token_len", F.col("quality_score").cast("long"),
+    )
+
+
+@register(
+    "token_count",
+    oracle=f"""
+    WITH {TOKS_CTE},
+    runs AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS r
+             FROM documents)
+    SELECT doc_id,
+           CAST(len(l) AS BIGINT) AS ws_token_ct,
+           CAST(len(r) AS BIGINT) AS alnum_run_ct,
+           CAST(list_sum(list_transform(r, x -> CAST(ceil(length(x) / 4) AS INTEGER))) AS BIGINT) AS piece_ct
+    FROM toks JOIN runs USING (doc_id)
+    """,
+    doc="token counting: whitespace tokens + regex alnum runs + BPE-ish ceil(len/4) piece proxy",
+)
+def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = token_counts(table(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("ws_token_ct").cast("long"), F.col("alnum_run_ct").cast("long"),
+        F.col("piece_ct").cast("long"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH {TOKS_CTE}
+    SELECT doc_id,
+           md5(array_to_string(l, ' ')) AS content_fp,
+           md5(array_to_string(l[1:8], ' ')) AS prefix_fp
+    FROM toks
+    """,
+    doc="document fingerprinting: normalized-content digest + 8-token prefix digest",
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+def _hex4(expr: str) -> str:
+    """DuckDB: parse 4 hex chars of md5 output into an integer."""
+    terms = [
+        f"(instr('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "multimodal_decode",
+    oracle=f"""
+    SELECT doc_id AS asset_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           CAST(64 + {_hex4('md5(text)')} % 1024 AS INTEGER) AS width,
+           CAST(64 + {_hex4('substr(md5(text), 5, 4)')} % 1024 AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + {_hex4('substr(md5(text), 9, 4)')} % 32 ELSE 1 END AS INTEGER) AS n_frames,
+           md5(text) AS feat_hash
+    FROM documents
+    """,
+    doc="multimodal plumbing: binary payload + metadata through Arrow-batched mapInPandas (deterministic fake decoder; real codecs stubbed — see datapipe/multimodal.py)",
+)
+def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = assets_from_documents(table(spark, sf_dir, "documents"))
+    return decode_assets(assets)
