@@ -1,0 +1,89 @@
+"""Source abstraction: every pipeline takes a DataFrame, batch or streaming.
+
+The reference reads everything from Kafka (utils/MyKafkaUtil.java:46-57);
+here sources are pluggable and tests/bench run file-based — the same
+transform code serves both, which is the core idiom the per-JVM Flink
+topology lacks.
+
+- stream_table: the fixture parquet as a Structured Streaming source
+  (schema from the batch footer, same nanos->micros normalization as
+  tables.table, so batch and stream rows are byte-identical).
+- replay_splits: test utility — split a fixture into N files so
+  maxFilesPerTrigger drives true multi-micro-batch incremental execution.
+- kafka_stream/kafka_sink-shaped wrappers live in sources/kafka.py (format
+  strings only; the Kafka connector jar is not in this container).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune_session
+from ..tables import TABLE_NAMES, _nanos_ts_columns
+
+
+def stream_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Read one fixture table as a file-based streaming source."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}")
+    tune_session(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = spark.read.parquet(path).schema  # footer-only; nanos cols are long here
+    reader = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.load(sf_dir)
+    for c in _nanos_ts_columns(path):
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def stream_dir(
+    spark: SparkSession,
+    directory: str,
+    schema,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream an arbitrary directory of parquet files (e.g. replay splits)."""
+    tune_session(spark)
+    reader = spark.readStream.format("parquet").schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(directory)
+
+
+def replay_splits(
+    spark: SparkSession, sf_dir: str, name: str, n_splits: int, out_dir: str
+) -> str:
+    """Materialize a fixture table as n_splits parquet files ordered by time,
+    so streaming replays approximate arrival order. Returns the directory."""
+    import time
+
+    from ..tables import table
+
+    df = table(spark, sf_dir, name)
+    ts_col = "ts" if "ts" in df.columns else df.columns[0]
+    df.repartitionByRange(n_splits, F.col(ts_col)).write.mode("overwrite").parquet(out_dir)
+    # FileStreamSource picks files oldest-mtime-first; the writer stamps all
+    # parts with the same mtime, so replay order would be arbitrary. Stamp
+    # strictly increasing mtimes in part order so arrival order == event
+    # time order (what a real time-ordered stream delivers).
+    parts = sorted(
+        f for f in os.listdir(out_dir) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base = time.time() - len(parts) * 10
+    for i, fname in enumerate(parts):
+        os.utime(os.path.join(out_dir, fname), (base + i * 10, base + i * 10))
+    return out_dir
