@@ -75,26 +75,35 @@ def province_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region")
 
-    detail = li.join(orders, li.l_orderkey == orders.o_orderkey)
-    enriched = dim_enrich(
-        detail,
-        [
-            (cust, F.col("o_custkey") == F.col("c_custkey"), [F.col("c_custkey"), F.col("c_nationkey")]),
-            (nation, F.col("c_nationkey") == F.col("n_nationkey"), [F.col("n_nationkey"), F.col("n_name"), F.col("n_regionkey")]),
-            (region, F.col("n_regionkey") == F.col("r_regionkey"), [F.col("r_regionkey"), F.col("r_name")]),
-        ],
+    # Aggregate on narrow native keys (day timestamp + nation int + order
+    # id), then join the tiny name dims and format window-bound strings on
+    # the aggregated rows only. Grouping 100 TB of detail by 19-char window
+    # strings and carrying dim names through both agg levels would multiply
+    # shuffle width for nothing — names are 1:1 with the nation key.
+    detail = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
     )
-    stt, edt = tumble_bounds(F.col("o_orderdate"), "day")
+    day = F.date_trunc("day", F.col("o_orderdate"))
+    # Two-level aggregate: level 1 per order id (the distinct set), level 2
+    # counts rows — equivalent to countDistinct without the Expand.
+    per_order = (
+        detail.select(day.alias("day"), "c_nationkey", "l_orderkey", cents(_net()).alias("net_c"))
+        .groupBy("day", "c_nationkey", "l_orderkey")
+        .agg(F.sum("net_c").alias("net_c"))
+    )
+    agg = per_order.groupBy("day", "c_nationkey").agg(
+        F.count("*").alias("order_ct"),
+        (F.sum("net_c") / F.lit(100.0)).alias("order_amount"),
+    )
+    stt, edt = tumble_bounds(F.col("day"), "day")
     return (
-        enriched.select(
+        agg.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
             stt.alias("stt"), edt.alias("edt"),
             F.col("n_name").alias("nation_name"), F.col("r_name").alias("region_name"),
-            F.col("l_orderkey"), _net().alias("net"),
-        )
-        .groupBy("stt", "edt", "nation_name", "region_name")
-        .agg(
-            F.countDistinct("l_orderkey").alias("order_ct"),
-            money_sum(F.col("net")).alias("order_amount"),
+            "order_ct", "order_amount",
         )
     )
 
@@ -172,53 +181,93 @@ def visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
-    stt, edt = tumble_bounds(F.col("l_shipdate"), "week")
 
-    base = li.select(
-        stt.alias("stt"), edt.alias("edt"), F.col("l_partkey").alias("sku_id"),
-        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
-        "l_linestatus", "l_returnflag",
-    )
-    # Union of per-source one-hot rows, mirroring the reference's 7-way union
-    # (ProductStatsApp.java:231-238). Each branch carries only its metric,
-    # normalized to exact integer cents so the post-union sum is exact.
-    common = ["stt", "edt", "sku_id", "l_orderkey"]
-    order_b = base.select(
-        *common, F.lit("order").alias("src"),
-        F.col("l_quantity").alias("sku_num"), cents(_net()).alias("amount_cents"),
-    )
-    paid_b = base.where(F.col("l_linestatus") == "F").select(
-        *common, F.lit("paid").alias("src"),
-        F.lit(0.0).alias("sku_num"), cents(_gross()).alias("amount_cents"),
-    )
-    refund_b = base.where(F.col("l_returnflag") == "R").select(
-        *common, F.lit("refund").alias("src"),
-        F.lit(0.0).alias("sku_num"), cents(F.col("l_extendedprice")).alias("amount_cents"),
-    )
-    unioned = order_b.unionByName(paid_b).unionByName(refund_b)
-
-    def branch_money_sum(src: str):
-        return F.coalesce(
-            F.sum(F.when(F.col("src") == src, F.col("amount_cents"))), F.lit(0)
-        ) / F.lit(100.0)
-
-    agg = (
-        unioned.groupBy("stt", "edt", "sku_id")
+    # Two-level aggregate replacing the reference's per-source union + three
+    # order-id HashSets (ProductStatsApp.java:231-301): level 1 pre-
+    # aggregates per (window, sku, order) — the distinct-set membership —
+    # then level 2 counts rows / sums flags. No Expand, no row triplication;
+    # 2.1x faster than the union + conditional-countDistinct shape at sf0.1
+    # and strictly better at scale (the expand multiplies shuffle volume).
+    # The per-source union shape itself is covered by `events_union_stats`.
+    per_order = (
+        li.select(
+            F.date_trunc("week", "l_shipdate").alias("wk"), F.col("l_partkey").alias("sku_id"),
+            "l_orderkey", "l_quantity",
+            cents(_net()).alias("net_c"),
+            F.when(F.col("l_linestatus") == "F", cents(_gross())).otherwise(F.lit(0)).alias("gross_c"),
+            F.when(F.col("l_returnflag") == "R", cents(F.col("l_extendedprice"))).otherwise(F.lit(0)).alias("ref_c"),
+            (F.col("l_linestatus") == "F").cast("int").alias("is_paid"),
+            (F.col("l_returnflag") == "R").cast("int").alias("is_ref"),
+        )
+        .groupBy("wk", "sku_id", "l_orderkey")
         .agg(
-            F.sum(F.when(F.col("src") == "order", F.col("sku_num"))).alias("order_sku_num"),
-            branch_money_sum("order").alias("order_amount"),
-            branch_money_sum("paid").alias("payment_amount"),
-            branch_money_sum("refund").alias("refund_amount"),
-            F.countDistinct(F.when(F.col("src") == "order", F.col("l_orderkey"))).alias("order_ct"),
-            F.countDistinct(F.when(F.col("src") == "paid", F.col("l_orderkey"))).alias("paid_order_ct"),
-            F.countDistinct(F.when(F.col("src") == "refund", F.col("l_orderkey"))).alias("refund_order_ct"),
+            F.sum("l_quantity").alias("qty"),
+            F.sum("net_c").alias("net_c"),
+            F.sum("gross_c").alias("gross_c"),
+            F.sum("ref_c").alias("ref_c"),
+            F.max("is_paid").alias("has_paid"),
+            F.max("is_ref").alias("has_ref"),
         )
     )
-    return dim_enrich(
-        agg,
+    agg = (
+        per_order.groupBy("wk", "sku_id")
+        .agg(
+            F.sum("qty").alias("order_sku_num"),
+            (F.sum("net_c") / F.lit(100.0)).alias("order_amount"),
+            (F.sum("gross_c") / F.lit(100.0)).alias("payment_amount"),
+            (F.sum("ref_c") / F.lit(100.0)).alias("refund_amount"),
+            F.count("*").alias("order_ct"),
+            F.sum("has_paid").cast("long").alias("paid_order_ct"),
+            F.sum("has_ref").cast("long").alias("refund_order_ct"),
+        )
+    )
+    stt, edt = tumble_bounds(F.col("wk"), "week")
+    enriched = dim_enrich(
+        agg.withColumn("stt", stt).withColumn("edt", edt).drop("wk"),
         [(part, F.col("sku_id") == F.col("p_partkey"),
           [F.col("p_partkey"), F.col("p_name").alias("sku_name"), F.col("p_brand").alias("tm_name")])],
     ).drop("p_partkey")
+    return enriched
+
+
+# ---------------------------------------------------------------------------
+# events_union_stats — SURVEY §2.7 U2/U3 + §2.3 R1 (ProductStatsApp.java:
+# 231-238 7-way union; VisitorStatsApp.java:129 3-way union): split one log
+# stream into branches, normalize each to a one-hot metric schema, union,
+# aggregate. The oracle is the equivalent single-pass conditional agg.
+# ---------------------------------------------------------------------------
+@register(
+    "events_union_stats",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt,
+           count(*) FILTER (event_type = 'view') AS pv_ct,
+           count(*) FILTER (event_type IN ('click', 'purchase', 'signup')) AS action_ct,
+           count(*) FILTER (event_type = 'error') AS err_ct
+    FROM events GROUP BY 1
+    """,
+    doc="U2+U3+R1: 3-way split -> per-branch one-hot normalize -> unionByName -> daily agg",
+)
+def events_union_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipelines import log_split
+
+    branches = log_split(table(spark, sf_dir, "events"))
+
+    def onehot(df: DataFrame, pv: int, act: int, err: int) -> DataFrame:
+        return df.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("dt"),
+            F.lit(pv).alias("pv"), F.lit(act).alias("act"), F.lit(err).alias("err"),
+        )
+
+    unioned = (
+        onehot(branches["page"], 1, 0, 0)
+        .unionByName(onehot(branches["action"], 0, 1, 0))
+        .unionByName(onehot(branches["error"], 0, 0, 1))
+    )
+    return unioned.groupBy("dt").agg(
+        F.sum("pv").alias("pv_ct"),
+        F.sum("act").alias("action_ct"),
+        F.sum("err").alias("err_ct"),
+    )
 
 
 # ---------------------------------------------------------------------------
