@@ -1,0 +1,93 @@
+"""Unit tests for operator modules: dim store MERGE semantics, dirty-JSON
+split, skew-salted join, serving API, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from flink_real_time_data_warehouse_spark.datapipe.multimodal import (
+    assets_from_documents,
+    decode_assets,
+)
+from flink_real_time_data_warehouse_spark.operators.skew import salted_join
+from flink_real_time_data_warehouse_spark.operators.split import parse_json_logs
+from flink_real_time_data_warehouse_spark.serving import ServingAPI
+from flink_real_time_data_warehouse_spark.sources.dim_store import DimStore
+from flink_real_time_data_warehouse_spark.tables import table
+
+from .conftest import TEST_SF_DIR
+
+
+def test_dim_store_merge_upsert(spark, tmp_path):
+    store = DimStore(spark, str(tmp_path))
+    v0 = store.upsert("user_info", spark.createDataFrame(
+        [Row(id=1, name="a"), Row(id=2, name="b")]))
+    assert v0 == 0 and store.exists("user_info")
+    # update id=2, insert id=3 (K3 upsert + dynamic creation already done)
+    v1 = store.upsert("user_info", spark.createDataFrame(
+        [Row(id=2, name="b2"), Row(id=3, name="c")]))
+    assert v1 == 1
+    snap = {r["id"]: r["name"] for r in store.snapshot("user_info").collect()}
+    assert snap == {1: "a", 2: "b2", 3: "c"}
+    # J5 "cache invalidation": next snapshot read simply sees the new value
+    store.delete("user_info", spark.createDataFrame([Row(id=1)]))
+    assert {r["id"] for r in store.snapshot("user_info").collect()} == {2, 3}
+
+
+def test_dim_store_enrich_join(spark, tmp_path):
+    store = DimStore(spark, str(tmp_path))
+    store.upsert("sku", spark.createDataFrame([Row(id=1, sku_name="x"), Row(id=2, sku_name="y")]))
+    fact = spark.createDataFrame([Row(sku_id=1, qty=5), Row(sku_id=9, qty=7)])
+    out = store.enrich(fact, "sku", F.col("sku_id"), ["sku_name"])
+    rows = {r["sku_id"]: r["sku_name"] for r in out.collect()}
+    assert rows == {1: "x", 9: None}  # left join: missing dim -> null, row kept
+
+
+def test_dirty_json_split(spark):
+    schema = StructType([StructField("k", IntegerType()), StructField("s", StringType())])
+    raw = spark.createDataFrame(
+        [Row(line='{"k": 1, "s": "ok"}'), Row(line="not json at all"),
+         Row(line='{"k": 2}'), Row(line="{broken")],
+    )
+    clean, dirty = parse_json_logs(raw, "line", schema)
+    assert clean.count() == 2
+    assert sorted(r["line"] for r in dirty.collect()) == ["not json at all", "{broken"]
+    assert clean.select("parsed.k").rdd.map(lambda r: r[0]).collect() == [1, 2]
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = table(spark, TEST_SF_DIR, "lineitem").select("l_orderkey", "l_partkey", "l_linenumber")
+    part = table(spark, TEST_SF_DIR, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_name"
+    )
+    plain = li.join(part, "l_partkey")
+    salted = salted_join(li, part, key="l_partkey", salt_from="l_linenumber", salt_n=4)
+    assert plain.count() == salted.count()
+    key = ["l_orderkey", "l_linenumber", "l_partkey"]
+    assert sorted(map(tuple, plain.select(*key).collect())) == sorted(
+        map(tuple, salted.select(*key).collect())
+    )
+
+
+def test_serving_api_gmv(spark):
+    api = ServingAPI(spark, TEST_SF_DIR)
+    resp = api.gmv("2024-01-05")
+    assert resp["status"] == 0 and resp["data"] > 0
+    assert api.gmv("1999-01-01")["data"] == 0.0  # no data day -> 0, like reference default path
+    top = api.product_stats_topn(3)
+    assert len(top) == 3 and top[0]["amount"] >= top[-1]["amount"]
+
+
+def test_multimodal_batch_shape(spark):
+    docs = table(spark, TEST_SF_DIR, "documents")
+    assets = assets_from_documents(docs)
+    decoded = decode_assets(assets)
+    assert decoded.count() == docs.count()
+    row = decoded.where(F.col("media_type") != "video").limit(1).collect()[0]
+    assert row["n_frames"] == 1 and 64 <= row["width"] < 64 + 1024
+    with pytest.raises(NotImplementedError):
+        from flink_real_time_data_warehouse_spark.datapipe.multimodal import decode_image
+        decode_image(b"\xff\xd8")
