@@ -519,6 +519,41 @@ def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# datetime_funcs — SURVEY §2.8 F1/F2/F3/F7/F8 (DateTimeUtil, OrderWideApp
+# derived columns, SQL TO_TIMESTAMP/FROM_UNIXTIME/DATE_FORMAT): exercise
+# the scalar datetime function surface with an oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "datetime_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS create_time_str,
+           strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS parsed_ts,
+           epoch_ms(CAST(epoch(o_orderdate) AS BIGINT) * 1000) AS from_millis_ts,
+           strftime(o_orderdate, '%Y-%m-%d') AS create_date,
+           CAST(hour(o_orderdate) AS INTEGER) AS create_hour,
+           CAST(floor(date_diff('day', o_orderdate, TIMESTAMP '2005-01-01 00:00:00') / 365.25) AS BIGINT) AS age_years
+    FROM orders
+    """,
+    doc="F1+F2+F3+F7+F8: to_ts/from_epoch_millis/fmt/split_date_hour/age_years (functions/datetime.py; DateTimeUtil.java:11-24, OrderWideApp.java:56-58,137-147)",
+)
+def datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.datetime import age_years, fmt, from_epoch_millis, split_date_hour, to_ts
+
+    orders = table(spark, sf_dir, "orders")
+    d, h = split_date_hour(F.col("o_orderdate"))
+    return orders.select(
+        "o_orderkey",
+        fmt(F.col("o_orderdate")).alias("create_time_str"),
+        to_ts(fmt(F.col("o_orderdate"))).alias("parsed_ts"),
+        from_epoch_millis(F.unix_timestamp("o_orderdate").cast("long") * 1000).alias("from_millis_ts"),
+        d.alias("create_date"),
+        h.alias("create_hour"),
+        age_years(F.col("o_orderdate"), F.lit("2005-01-01 00:00:00").cast("timestamp")).alias("age_years"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # serving_gmv — SURVEY §2.5 A6 + §2.9 K6 (SugarController/ProductStatsMapper):
 # serving-layer aggregate: GMV per day from purchase events.
 # ---------------------------------------------------------------------------

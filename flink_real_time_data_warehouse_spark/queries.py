@@ -45,7 +45,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 def registry() -> dict[str, Query]:
     """All registered queries (imports the plan modules on first use)."""
-    from .plans import datapipe, gmall, tpch  # noqa: F401  (registration side effect)
+    from .plans import datapipe, gmall, sql_api, tpch  # noqa: F401  (registration side effect)
     from .streaming import stream_queries  # noqa: F401
 
     return dict(_REGISTRY)

@@ -9,6 +9,7 @@ raised (or left to AQE initialPartitionNum); nothing else changes.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -59,6 +60,8 @@ def get_spark(app_name: str = "frtdw", shuffle_partitions: int | None = None) ->
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # managed-table location for bucketed tables (static conf)
+        .config("spark.sql.warehouse.dir", os.path.join(tempfile.gettempdir(), "frtdw-warehouse"))
     )
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)

@@ -1,0 +1,76 @@
+"""Property-based tests (hypothesis) for the cross-engine determinism
+invariants the oracle methodology rests on."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from flink_real_time_data_warehouse_spark.datapipe.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles_from_tokens,
+    tokens,
+)
+from flink_real_time_data_warehouse_spark.functions.money import cents, sql_cents
+
+money_floats = st.floats(min_value=0.0, max_value=1e9, allow_nan=False, allow_infinity=False)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(money_floats, min_size=1, max_size=64))
+def test_cents_matches_duckdb_bitwise(spark_global, values):
+    """floor(x*100+0.5) as BIGINT must agree between Spark and DuckDB for
+    any non-negative double — the foundation of every money oracle."""
+    spark = spark_global
+    sp = (
+        spark.createDataFrame([Row(x=float(v)) for v in values])
+        .select(cents(F.col("x")).alias("c"))
+        .toPandas()["c"]
+        .tolist()
+    )
+    con = duckdb.connect()
+    du = [
+        con.sql(f"SELECT {sql_cents('CAST(? AS DOUBLE)')}", params=[float(v)]).fetchone()[0]
+        for v in values
+    ]
+    assert sp == du
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.text(alphabet="abc ", min_size=0, max_size=40), min_size=1, max_size=16))
+def test_shingle_count_invariant(spark_global, texts):
+    """|shingles(t)| == 0 if tokens < 3 else <= tokens-2 (distinct)."""
+    spark = spark_global
+    df = spark.createDataFrame([Row(t=s) for s in texts])
+    rows = df.select(
+        F.size(tokens(F.col("t"))).alias("n"),
+        F.size(shingles_from_tokens(tokens(F.col("t")))).alias("s"),
+    ).collect()
+    for r in rows:
+        if r["n"] < 3:
+            assert r["s"] == 0
+        else:
+            assert 1 <= r["s"] <= r["n"] - 2
+
+
+def test_minhash_identical_docs_always_collide(spark_global):
+    """Jaccard-1 pairs must survive LSH banding (P[collide] = 1)."""
+    spark = spark_global
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=text), Row(doc_id=2, text=text),
+         Row(doc_id=3, text="completely different words in this one here that never overlap at all")]
+    )
+    pairs = lsh_candidate_pairs(minhash_signatures(docs, "doc_id", "text")).collect()
+    assert (1, 2) in {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert all({r["doc_a"], r["doc_b"]} != {1, 3} for r in pairs)
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    return spark
