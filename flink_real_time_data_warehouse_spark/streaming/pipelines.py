@@ -102,6 +102,12 @@ def interval_join_stream(
     return l.join(r, keys & band, "inner")
 
 
+def to_console(df: DataFrame, mode: str = "append"):
+    """K5 debug sink — the labeled `.print()` the reference sprinkles
+    everywhere (BaseLogApp.java:150-152) is `console` format here."""
+    return df.writeStream.format("console").outputMode(mode).option("truncate", "false")
+
+
 def run_to_memory(df: DataFrame, spark: SparkSession, output_mode: str = "append") -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into a
     memory sink; return the materialized result as a batch DataFrame."""
