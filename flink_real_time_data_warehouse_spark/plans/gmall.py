@@ -519,6 +519,37 @@ def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# asof_click_attribution — custom temporal operator beyond the reference
+# surface (SURVEY §7.3 north-star): for each purchase, the same user's most
+# recent click at or before it. Spark lacks ASOF JOIN; operators/asof.py is
+# the scalable union-merge formulation; DuckDB's native ASOF JOIN is the
+# oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "asof_click_attribution",
+    oracle="""
+    SELECT p.event_id, p.user_id, c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    doc="as-of join (operators/asof.py): union-merge last-value formulation; one shuffle+sort, no per-key blowup",
+)
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("click_id")
+    )
+    return asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="c_ts",
+        right_cols=["click_id"],
+    ).select("event_id", "user_id", "click_id")
+
+
+# ---------------------------------------------------------------------------
 # datetime_funcs — SURVEY §2.8 F1/F2/F3/F7/F8 (DateTimeUtil, OrderWideApp
 # derived columns, SQL TO_TIMESTAMP/FROM_UNIXTIME/DATE_FORMAT): exercise
 # the scalar datetime function surface with an oracle.

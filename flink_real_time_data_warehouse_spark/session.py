@@ -32,6 +32,10 @@ _RUNTIME_CONF = {
     # rejects by default; read them as long and convert in tables.table()
     # (DuckDB truncates ns->us; `x div 1000` matches that exactly).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Size shuffles to the machine instead of the 200-partition default —
+    # AQE coalesces down but won't split up; runtime-settable, applied even
+    # to caller-owned sessions. On a cluster, spark-submit overrides this.
+    "spark.sql.shuffle.partitions": str(os.cpu_count() or 8),
 }
 
 
