@@ -42,3 +42,15 @@ def write_bucketed(
 
 def bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Hive-style partitioned layout (dt=.../ dirs). At 100 TB, time/tenant
+    partitioning is what turns full scans into partition-pruned scans —
+    a filter on the partition column shows up as PartitionFilters in the
+    scan and skips whole directories, before any row is read."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

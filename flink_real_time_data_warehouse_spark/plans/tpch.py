@@ -60,6 +60,42 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rollup_sales",
+    oracle=f"""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           count(*) AS order_ct,
+           {sql_money_sum('o.o_totalprice')} AS total_amount
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    doc="hierarchical ROLLUP aggregation (region -> nation -> grand total) — OLAP surface beyond the reference",
+)
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    joined = (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+                    F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.select(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"),
+                      "o_totalprice")
+        .rollup("region_name", "nation_name")
+        .agg(F.count("*").alias("order_ct"),
+             money_sum(F.col("o_totalprice")).alias("total_amount"))
+    )
+
+
+@register(
     "top_customers",
     oracle=f"""
     SELECT c.c_custkey AS custkey, c.c_name AS name,

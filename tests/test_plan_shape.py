@@ -80,3 +80,38 @@ def test_bucketed_join_has_no_exchange(spark):
         assert j.count() == li.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_partition_pruning(spark, tmp_path):
+    """A filter on the partition column must become a PartitionFilter
+    (directory skip), not a row filter."""
+    from flink_real_time_data_warehouse_spark.operators.bucketing import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    ev = table(spark, TEST_SF_DIR, "events").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(ev, path, ["dt"])
+    df = read_partitioned(spark, path).where(F.col("dt") == "2024-01-05")
+    plan = plan_of(df)
+    assert "PartitionFilters: [isnotnull(dt" in plan or "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: ")[1].split("]")[0]
+    assert "dt" in pf and "2024-01-05" in pf
+    assert df.count() == ev.where(F.col("dt") == "2024-01-05").count()
+
+
+def test_kafka_plan_construction(spark):
+    """S1/K1/K2 wrappers build valid plans/writers (connector jar absent, so
+    no start); K2's per-row topic column is present for dynamic routing."""
+    from flink_real_time_data_warehouse_spark.sources.kafka import kafka_sink
+    from flink_real_time_data_warehouse_spark.sources.streams import stream_table
+
+    df = stream_table(spark, TEST_SF_DIR, "events")
+    writer = kafka_sink(
+        df.withColumn("topic", F.concat(F.lit("dwd_"), F.col("event_type"))),
+        brokers="localhost:9092", topic=None, checkpoint="/tmp/nope",
+    )
+    assert writer is not None  # plan constructed; start() needs the jar
