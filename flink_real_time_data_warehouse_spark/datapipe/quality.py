@@ -49,11 +49,15 @@ def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_tokens = F.size(t)
     n_chars = F.length(F.col(text_col))
     tok_chars = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
-    avg_tok = tok_chars / n_tokens
+    # NULL (not a divide-by-zero error under ANSI mode) for token-less docs
+    avg_tok = F.when(n_tokens > 0, tok_chars / n_tokens)
     stop_ct = F.size(F.filter(t, lambda x: x.isin(*EN_STOPWORDS)))
+    # avg_tok is NULL for zero-token docs; coalesce the band term so the
+    # score is 0 (matching the oracle's CASE WHEN, where NULL BETWEEN is
+    # false) instead of NULL-propagating through the sum.
     score = (
         ((n_tokens >= 10) & (n_tokens <= 100000)).cast("int")
-        + ((avg_tok >= 2.0) & (avg_tok <= 12.0)).cast("int")
+        + F.coalesce(((avg_tok >= 2.0) & (avg_tok <= 12.0)).cast("int"), F.lit(0))
         + (stop_ct > 0).cast("int")
     )
     return df.select(

@@ -73,7 +73,19 @@ def bounce_events(
     gap_s: int = SESSION_GAP_S,
     timeout_s: int = BOUNCE_TIMEOUT_S,
 ) -> DataFrame:
-    """Session-start events with no follow-up within timeout_s (T3 bounce)."""
+    """Session-start events with no follow-up within timeout_s (T3 bounce).
+
+    Requires timeout_s <= gap_s: only then is a follow-up inside the bounce
+    timeout by construction not itself a session start, which is what lets
+    the reference's CEP pattern (UserJumpDetailApp.java:81-120) reduce to
+    this lag/lead form. A larger timeout would silently drop jumps whose
+    follow-up is a new session start — enforced, not assumed.
+    """
+    if timeout_s > gap_s:
+        raise ValueError(
+            f"bounce timeout_s ({timeout_s}) must be <= session gap_s ({gap_s}); "
+            "the batch reduction of the CEP semantics is invalid otherwise"
+        )
     w = _user_order(user_col, ts_col, id_col)
     out = sessionize(df, user_col, ts_col, id_col, gap_s).withColumn(
         "_next_ts", F.lead(ts_col).over(w)

@@ -126,7 +126,14 @@ def bounce_stream(
     timeout path (event-time timer fires) both emit — the reference unions
     these two CEP outputs (UserJumpDetailApp.java:103-120).
 
-    Requires a watermark on `ts` (for the event-time timer)."""
+    Requires a watermark on `ts` (for the event-time timer), and
+    timeout_s <= gap_s (same reduction-validity constraint as
+    operators/stateful_batch.bounce_events — a follow-up inside the timeout
+    must not itself be a session start)."""
+    if timeout_s > gap_s:
+        raise ValueError(
+            f"bounce timeout_s ({timeout_s}) must be <= session gap_s ({gap_s})"
+        )
 
     def detect(key, pdfs, state, _gap=gap_s, _timeout=timeout_s):
         import pandas as pd

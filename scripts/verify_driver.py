@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Driver-sim verification (the /verify recipe): vanilla SparkSession,
+__spark_entry__ contract, every query vs its DuckDB oracle at sf0.01.
+
+Usage: python scripts/verify_driver.py [name ...]   (no names => all)
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from datetime import datetime
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(v):
+    import numpy as np
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+        return ("null",)
+    if isinstance(v, Decimal):
+        return ("dec", str(v.normalize()))
+    if isinstance(v, (np.floating, float)):
+        return ("f", "nan") if math.isnan(float(v)) else ("f", float(v))
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return ("i", int(v))
+    if isinstance(v, np.datetime64):
+        return ("ts", pd.Timestamp(v).isoformat())
+    if isinstance(v, datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if hasattr(v, "isoformat"):
+        return ("ts", v.isoformat())
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return ("arr",) + tuple(canon(x) for x in v)
+    if isinstance(v, bool):
+        return ("b", v)
+    return ("s", str(v))
+
+
+def rows_canon(pdf):
+    cols = sorted(pdf.columns)
+    rows = [tuple(canon(x) for x in r) for r in pdf[cols].itertuples(index=False)]
+    return sorted(rows), cols
+
+
+def main() -> int:
+    import __spark_entry__ as e
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    res = e.entry(spark)
+    n = res.count()
+    print(f"entry(): {n} rows", flush=True)
+    assert n >= 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE OR REPLACE VIEW {t} AS FROM '{SF_DIR}/{t}.parquet'")
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    only = set(sys.argv[1:])
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            print(f"{name}: SPARK ERROR {type(ex).__name__}: {ex}", flush=True)
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"{name}: rows-only ({len(sdf)} rows)", flush=True)
+            continue
+        odf = con.sql(oracles[name]).df()
+        srows, scols = rows_canon(sdf)
+        orows, ocols = rows_canon(odf)
+        ok_schema = scols == ocols
+        ok_rows = len(srows) == len(orows)
+        ok_hash = srows == orows
+        status = "OK" if (ok_schema and ok_rows and ok_hash) else "FAIL"
+        print(
+            f"{name}: {status} rows={len(srows)}/{len(orows)} schema={ok_schema} hash={ok_hash}",
+            flush=True,
+        )
+        if status == "FAIL":
+            failed.append(name)
+            if not ok_schema:
+                print(f"  spark cols: {scols}\n  oracle cols: {ocols}")
+            elif srows and orows:
+                diff = [(a, b) for a, b in zip(srows, orows) if a != b][:2]
+                for a, b in diff:
+                    print(f"  spark:  {a}\n  oracle: {b}")
+    print(("FAILED: " + ", ".join(failed)) if failed else "ALL OK", flush=True)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -81,6 +81,35 @@ def test_serving_api_gmv(spark):
     assert len(top) == 3 and top[0]["amount"] >= top[-1]["amount"]
 
 
+def test_text_quality_zero_token_doc(spark):
+    """Empty/whitespace-only docs must score 0, not NULL (oracle parity:
+    DuckDB's CASE WHEN NULL-band evaluates false -> 0)."""
+    from flink_real_time_data_warehouse_spark.datapipe.quality import text_quality
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=""), Row(doc_id=2, text="   "), Row(doc_id=3, text="real text here")]
+    )
+    rows = {r["doc_id"]: r for r in text_quality(docs, "doc_id", "text").collect()}
+    assert rows[1]["quality_score"] == 0 and rows[2]["quality_score"] == 0
+    assert rows[1]["avg_token_len"] is None
+    assert rows[3]["quality_score"] is not None
+
+
+def test_bounce_timeout_gap_guard(spark):
+    """The batch/stream CEP reduction is only valid for timeout <= gap;
+    both constructors must refuse the invalid configuration."""
+    from flink_real_time_data_warehouse_spark.operators.stateful_batch import bounce_events
+    from flink_real_time_data_warehouse_spark.streaming.state import bounce_stream
+
+    from datetime import datetime
+
+    ev = spark.createDataFrame([Row(event_id=1, user_id=1, ts=datetime(2024, 1, 1))])
+    with pytest.raises(ValueError, match="must be <="):
+        bounce_events(ev, gap_s=10, timeout_s=11)
+    with pytest.raises(ValueError, match="must be <="):
+        bounce_stream(ev, gap_s=10, timeout_s=11)
+
+
 def test_multimodal_batch_shape(spark):
     docs = table(spark, TEST_SF_DIR, "documents")
     assets = assets_from_documents(docs)
