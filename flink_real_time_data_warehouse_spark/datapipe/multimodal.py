@@ -16,6 +16,7 @@ keeps it out of the scan entirely).
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -82,16 +83,37 @@ def fake_decode(payload: bytes) -> tuple[int, int, int, str]:
     return width, height, n_frames, h
 
 
-def decode_assets(assets: DataFrame, byte_budget_mb: int = 64) -> DataFrame:
+def _input_file_bytes(df: DataFrame) -> int:
+    """Total on-disk bytes of the DataFrame's input files — plan metadata
+    only (file listing), never a Spark job over the data."""
+    from urllib.parse import urlparse
+
+    total = 0
+    for uri in df.inputFiles():
+        try:
+            total += os.path.getsize(urlparse(uri).path)
+        except OSError:
+            pass
+    return total
+
+
+def decode_assets(
+    assets: DataFrame, byte_budget_mb: int = 64, n_partitions: int | None = None
+) -> DataFrame:
     """Decode/feature-extract assets via Arrow-batched mapInPandas.
 
     Partitions are re-sized by payload bytes before the Python transfer so
-    an Arrow batch never blows executor memory on large media. Uses the
-    fake decoder; swap `fake_decode` for a real codec in production.
+    an Arrow batch never blows executor memory on large media. The byte
+    estimate comes from file-level statistics (input file sizes × a 4×
+    decompression allowance), NOT from an aggregate over the data — sizing
+    must never cost an extra full pass over a 100 TB table. Callers that
+    know better (e.g. post-filter selectivity) pass `n_partitions`. Uses
+    the fake decoder; swap `fake_decode` for a real codec in production.
     """
-    total_bytes = assets.agg(F.coalesce(F.sum("byte_len"), F.lit(0))).collect()[0][0] or 0
-    n_parts = max(1, int(total_bytes / (byte_budget_mb * 1024 * 1024)) + 1)
-    sized = assets.repartition(n_parts, "asset_id")
+    if n_partitions is None:
+        est_bytes = _input_file_bytes(assets) * 4
+        n_partitions = max(1, est_bytes // (byte_budget_mb * 1024 * 1024) + 1)
+    sized = assets.repartition(n_partitions, "asset_id")
 
     out_cols = [f.name for f in DECODED_SCHEMA.fields]
 

@@ -15,9 +15,13 @@ Implementation notes:
 - Every pandas function is fully self-contained (imports inside, no module
   globals) — Spark pickles them to Python workers that don't have this
   package importable.
-- State is scoped per key and dropped via timeouts, so state size is
-  O(active keys) regardless of stream length — the same bound the
-  reference gets from StateTtlConfig (UniqueVisitApp.java:66-73).
+- State bounds: T2 keeps two longs per key and evicts idle keys by
+  event-time timer (the reference's StateTtlConfig bound,
+  UniqueVisitApp.java:66-73); T3 bounds pending state by its timer. T1's
+  first-seen-ever flag is semantically permanent — the reference keeps it
+  forever too (BaseLogApp has no TTL); at 100 TB scale that state is one
+  int per user, and a production deployment would back it with a compacted
+  store or periodic snapshot rather than dropping it.
 - Rows inside a micro-batch are processed in (ts, id) order inside the
   processor, making results independent of shuffle order; across batches
   ordering is guaranteed by the event-time watermark.
@@ -86,35 +90,64 @@ def new_user_fix_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def uv_dedup_stream(events: DataFrame) -> DataFrame:
-    """T2: first visit per (user, day); state = last seen epoch-day (the
-    24h-TTL ValueState of the reference, here expired by watermark progress)."""
+def uv_dedup_stream(events: DataFrame, evict_after_days: int = 2) -> DataFrame:
+    """T2: first visit per (user, day).
 
-    def dedup(key, pdfs, state):
+    Per-key state is exactly two longs — the newest seen epoch-day plus a
+    63-day seen-bitmask ending at that day — so state size is O(keys) with
+    a constant row width no matter how long the stream runs. This is the
+    bound the reference gets from its 24 h StateTtlConfig ValueState
+    (UniqueVisitApp.java:66-73), but exact for out-of-orderness up to
+    62 days (the TTL state wrongly re-emits a day when late data
+    interleaves days; the bitmask doesn't). Days older than the mask
+    horizon are treated as seen — the same drop-late tradeoff as TTL.
+
+    Keys idle `evict_after_days` past the watermark are removed by an
+    event-time timer (requires a watermark on ts): once the watermark is a
+    day beyond a key's newest day, any admissible future event necessarily
+    opens a new day, so the state carries no information worth keeping.
+    """
+
+    def dedup(key, pdfs, state, _evict=evict_after_days):
         import pandas as pd
 
-        seen_days = set(state.get[0]) if state.exists and state.get[0] is not None else set()
+        if state.hasTimedOut:
+            # watermark passed the eviction horizon: drop the key entirely
+            state.remove()
+            yield pd.DataFrame(columns=["user_id", "visit_day", "first_ts"])
+            return
+
+        max_day, mask = state.get if state.exists else (None, 0)
         rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         days = rows["ts"].dt.floor("D")
         out = []
         for day, grp in rows.groupby(days):
             epoch_day = int(day.timestamp()) // 86400
-            if epoch_day in seen_days:
-                continue
-            seen_days.add(epoch_day)
+            if max_day is None or epoch_day > max_day:
+                shift = 63 if max_day is None else min(63, epoch_day - max_day)
+                mask = ((mask << shift) & ((1 << 63) - 1)) | 1  # bit 0 = newest day
+                max_day = epoch_day
+            else:
+                delta = max_day - epoch_day
+                if delta >= 63 or (mask >> delta) & 1:
+                    continue  # seen (or beyond the horizon: treated as seen)
+                mask |= 1 << delta
             first = grp.iloc[0]
             out.append((key[0], day, first["ts"]))
-        state.update((list(seen_days),))
+        state.update((max_day, mask))
+        if state.getCurrentWatermarkMs() >= 0:
+            evict_ms = (max_day + 1 + _evict) * 86_400_000
+            state.setTimeoutTimestamp(max(evict_ms, state.getCurrentWatermarkMs() + 1))
         yield pd.DataFrame(out, columns=["user_id", "visit_day", "first_ts"])
-
-    from pyspark.sql.types import ArrayType
 
     return events.select("event_id", "user_id", "ts").groupBy("user_id").applyInPandasWithState(
         dedup,
         outputStructType=UV_OUT_SCHEMA,
-        stateStructType=StructType([StructField("days", ArrayType(LongType()))]),
+        stateStructType=StructType(
+            [StructField("max_day", LongType()), StructField("mask", LongType())]
+        ),
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 

@@ -59,7 +59,7 @@ def visitor_stats_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="T2 via applyInPandasWithState: keyed daily-first-visit dedup, streaming replay equals batch min-per-day",
 )
 def uv_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = stream_table(spark, sf_dir, "events")
+    ev = stream_table(spark, sf_dir, "events").withWatermark("ts", f"{WM_S} second")
     return run_to_memory(uv_dedup_stream(ev), spark)
 
 

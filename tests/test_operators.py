@@ -110,6 +110,22 @@ def test_bounce_timeout_gap_guard(spark):
         bounce_stream(ev, gap_s=10, timeout_s=11)
 
 
+def test_multimodal_partition_sizing_is_metadata_only(spark):
+    """Partition sizing must come from file statistics, not a Spark job
+    (the 100 TB table must not be scanned twice)."""
+    from flink_real_time_data_warehouse_spark.datapipe.multimodal import _input_file_bytes
+
+    docs = table(spark, TEST_SF_DIR, "documents")
+    assets = assets_from_documents(docs)
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    assert _input_file_bytes(assets) > 0
+    plan = decode_assets(assets)  # plan construction: no jobs either
+    assert tracker.getJobIdsForGroup(None) == before
+    # explicit override is honored
+    assert decode_assets(assets, n_partitions=3).rdd.getNumPartitions() == 3
+
+
 def test_multimodal_batch_shape(spark):
     docs = table(spark, TEST_SF_DIR, "documents")
     assets = assets_from_documents(docs)

@@ -45,12 +45,75 @@ def _rows(df, cols):
 
 def test_uv_dedup_multibatch(spark, event_splits):
     schema = spark.read.parquet(event_splits).schema
-    stream = stream_dir(spark, event_splits, schema, max_files_per_trigger=1)
+    stream = stream_dir(spark, event_splits, schema, max_files_per_trigger=1).withWatermark(
+        "ts", "1 second"
+    )
     got = run_to_memory(uv_dedup_stream(stream), spark)
     want = daily_first_visit(table(spark, TEST_SF_DIR, "events")).select(
         "user_id", "visit_day", "first_ts"
     )
     assert _rows(got, got.columns) == _rows(want, got.columns)
+
+
+def test_uv_state_bounded_and_evicted(spark, tmp_path):
+    """T2/T8: per-key UV state is two longs and idle keys are evicted by
+    the event-time timer — a multi-day replay ends with O(active keys)
+    state rows, not one entry per (user, day) ever seen. Also covers
+    cross-batch day disorder inside the mask horizon (a late day-1 event
+    after day 2 was processed must still dedup, not re-emit)."""
+    import os
+    import time
+    from datetime import datetime
+
+    import pandas as pd
+
+    d = tmp_path / "uv_days"
+    d.mkdir()
+
+    batches = [
+        # batch 1: both users visit day 0; user 1 twice
+        [(1, 1, datetime(2024, 1, 1, 1)), (2, 1, datetime(2024, 1, 1, 2)),
+         (3, 2, datetime(2024, 1, 1, 3))],
+        # batch 2: user 1 day 1, plus a LATE day-0 event (admitted by the
+        # 10-day watermark; must be deduped via the mask, not re-emitted)
+        [(4, 1, datetime(2024, 1, 2, 1)), (5, 1, datetime(2024, 1, 1, 5))],
+        # batch 3: user 1 jumps far ahead -> watermark passes user 2's
+        # eviction horizon; user 2's state row must be removed
+        [(6, 1, datetime(2024, 10, 1, 1))],
+    ]
+    base = time.time() - 100
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        f = str(d / f"b{i}.parquet")
+        pdf.to_parquet(f)
+        os.utime(f, (base + i * 10, base + i * 10))
+
+    schema = "event_id LONG, user_id LONG, ts TIMESTAMP"
+    stream = (
+        spark.readStream.format("parquet").schema(schema).option("maxFilesPerTrigger", "1")
+        .load(str(d)).withWatermark("ts", "10 days")
+    )
+    out = uv_dedup_stream(stream)
+    name = "uv_state_bound"
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["user_id"], r["visit_day"].isoformat(), r["first_ts"].isoformat())
+        for r in spark.table(name).collect()
+    )
+    assert got == [
+        (1, "2024-01-01T00:00:00", "2024-01-01T01:00:00"),
+        (1, "2024-01-02T00:00:00", "2024-01-02T01:00:00"),
+        (1, "2024-10-01T00:00:00", "2024-10-01T01:00:00"),
+        (2, "2024-01-01T00:00:00", "2024-01-01T03:00:00"),
+    ]
+    state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    assert state_rows == 1  # user 2 evicted; only user 1 (active) remains
 
 
 def test_bounce_multibatch(spark, event_splits):
