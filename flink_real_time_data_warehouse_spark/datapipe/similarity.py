@@ -89,6 +89,90 @@ def bucket_id(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+SIGN_BITS = 6  # bucket bits per band -> 2^6 buckets per band
+SIGN_BANDS = 4  # OR over 4 disjoint coordinate slices
+
+
+def sign_lsh_bands(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = SIGN_BITS,
+    n_bands: int = SIGN_BANDS,
+) -> DataFrame:
+    """(vid, band_id, bucket) rows: band b's bucket is the integer formed by
+    the sign bits of coordinates [b*n_bits, (b+1)*n_bits).
+
+    Coordinate-sign bucketing IS random-hyperplane LSH with axis-aligned
+    planes — for cosine similarity, P(sign agrees) = 1 - angle/pi per
+    coordinate, so same-bucket probability rises steeply with similarity.
+    Two deliberate properties for the engine:
+    - the bucket involves NO floating arithmetic (raw stored-float sign
+      compare), so any engine computes bit-identical buckets — an oracle
+      can grade it, where a hyperplane dot-product's sign could flip on
+      ~1e-16 rounding differences;
+    - the explode is map-side (n_bands small rows per vector) and the
+      candidate join keys on (band_id, bucket) — per-bucket work only,
+      never an all-pairs comparison.
+    Recall/cost dial: more bits per band = smaller buckets = cheaper and
+    lower recall; more bands = higher recall, linearly more candidates.
+    """
+    bands = []
+    for b in range(n_bands):
+        bits = [
+            F.when(F.element_at(F.col(vec_col), b * n_bits + k + 1) >= 0, F.lit(1 << k))
+            .otherwise(F.lit(0))
+            for k in range(n_bits)
+        ]
+        bucket = bits[0]
+        for x in bits[1:]:
+            bucket = bucket + x
+        bands.append(F.struct(F.lit(b).alias("band_id"), bucket.alias("bucket")))
+    return df.select(F.col(id_col).alias("vid"), F.explode(F.array(*bands)).alias("b")).select(
+        "vid", F.col("b.band_id").alias("band_id"), F.col("b.bucket").alias("bucket")
+    )
+
+
+def sign_lsh_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = SIGN_BITS,
+    n_bands: int = SIGN_BANDS,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: LSH candidates, exact verify.
+
+    candidates = pairs sharing any band bucket (shuffle keyed by
+    (band_id, bucket)); verify = exact double cosine on candidates only.
+    Cost is sum over buckets of |bucket|² instead of n² — the classic
+    LSH-then-verify layout (same shape as dedup.lsh_candidate_pairs for
+    MinHash). Returns (ia, ib, sim_q) with sim quantized to 1e-4 so the
+    value is hash-comparable across engines.
+    """
+    bands = sign_lsh_bands(emb, id_col, vec_col, n_bits, n_bands)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("ia"), F.col("b.vid").alias("ib"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "ia")
+        .join(vb, "ib")
+        .select("ia", "ib", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .where(F.col("sim") >= threshold)
+        .select("ia", "ib", F.floor(F.col("sim") * 10000).cast("long").alias("sim_q"))
+    )
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -24,7 +24,7 @@ from ..datapipe.dedup import (
 )
 from ..datapipe.multimodal import assets_from_documents, decode_assets
 from ..datapipe.quality import EN_STOPWORDS, fingerprints, lang_id, text_quality, token_counts
-from ..datapipe.similarity import cosine, cosine_topk
+from ..datapipe.similarity import cosine_topk, sign_lsh_near_dup_pairs
 from ..queries import register
 from ..tables import table
 
@@ -172,20 +172,50 @@ def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rk"))
 
 
+COSINE_THRESHOLD = 0.45  # nearest data sims sit >=1e-4 away; double noise ~1e-13
+
+
+def _sign_lsh_oracle() -> str:
+    from ..datapipe.similarity import SIGN_BANDS, SIGN_BITS
+
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[bd.band_id*{SIGN_BITS} + {k + 1}] >= 0 THEN {1 << k} ELSE 0 END)"
+        for k in range(SIGN_BITS)
+    )
+    band_ids = ",".join(str(b) for b in range(SIGN_BANDS))
+    sim = (
+        "list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), "
+        "CAST(eb.embedding AS DOUBLE[]))"
+    )
+    return f"""
+    WITH bands AS (
+      SELECT vec_id AS vid, bd.band_id, {bucket} AS bucket
+      FROM embeddings CROSS JOIN (SELECT unnest([{band_ids}]) AS band_id) bd
+    ),
+    cand AS (
+      SELECT DISTINCT a.vid AS ia, b.vid AS ib
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.vid < b.vid
+    )
+    SELECT ia, ib, CAST(floor({sim} * 10000) AS BIGINT) AS sim_q
+    FROM cand JOIN embeddings ea ON ia = ea.vec_id JOIN embeddings eb ON ib = eb.vec_id
+    WHERE {sim} >= {COSINE_THRESHOLD}
+    """
+
+
 @register(
     "embedding_cosine_pairs",
-    oracle=None,  # float-threshold boundary is not portable across engines; rows-only
-    doc="embedding near-dup pairs: brute-force cosine >= 0.45 (scale path: LSH buckets, datapipe/similarity.py)",
+    oracle=_sign_lsh_oracle(),
+    doc=(
+        "embedding near-dup pairs via sign-bit band LSH (bucket join on "
+        "(band_id, bucket), never all-pairs) + exact double-cosine verify on "
+        "candidates; sim quantized 1e-4 for cross-engine hashing. "
+        "Brute-force variant: datapipe/similarity.cosine_topk (graded as ann_topk)."
+    ),
 )
 def embedding_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
-    return (
-        a.join(b, F.col("ia") < F.col("ib"))
-        .select("ia", "ib", cosine(F.col("va"), F.col("vb")).alias("sim"))
-        .where(F.col("sim") >= 0.45)
-    )
+    return sign_lsh_near_dup_pairs(emb, COSINE_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------

@@ -103,6 +103,16 @@ def test_partition_pruning(spark, tmp_path):
     assert df.count() == ev.where(F.col("dt") == "2024-01-05").count()
 
 
+def test_embedding_pairs_no_cartesian(spark):
+    """The LSH-bucketed near-dup query must never degrade to an all-pairs
+    plan: candidates join hash-partitioned on (band_id, bucket), vectors
+    fetched by equi-join — no nested-loop anywhere."""
+    df = registry()["embedding_cosine_pairs"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, f"all-pairs plan reappeared:\n{plan}"
+    assert "BroadcastNestedLoopJoin" not in plan, f"nested-loop reappeared:\n{plan}"
+
+
 def test_kafka_plan_construction(spark):
     """S1/K1/K2 wrappers build valid plans/writers (connector jar absent, so
     no start); K2's per-row topic column is present for dynamic routing."""
