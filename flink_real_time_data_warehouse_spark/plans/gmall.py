@@ -298,6 +298,77 @@ def keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# keyword_stats_cjk — SURVEY §2.8 F9 with real CJK segmentation. The
+# reference's KeywordUtil.java:14-34 runs IK Analyzer over Chinese search
+# text; whitespace splitting produces nothing on CJK. functions/tokenize
+# provides latin-word + CJK-bigram segmentation (jieba where installed).
+# The fixture documents are latin-only, so zh-tagged docs get a
+# deterministic CJK phrase appended in-query (doc_id-keyed, mirrored in the
+# oracle) — the tokenizer, not the fixture, is what's being graded.
+# ---------------------------------------------------------------------------
+CJK_PHRASES = ("实时数据仓库", "流处理引擎", "数据管道质量检测", "大规模机器学习")
+
+
+def _cjk_oracle() -> str:
+    phrases = ",".join(f"'{p}'" for p in CJK_PHRASES)
+    return f"""
+    WITH docs AS (
+      SELECT doc_id,
+             text || CASE WHEN lang = 'zh'
+                          THEN ([{phrases}])[CAST(doc_id % {len(CJK_PHRASES)} AS INTEGER) + 1]
+                          ELSE '' END AS text
+      FROM documents
+    ),
+    lat AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word FROM docs
+    ),
+    runs AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[一-鿿]+')) AS run FROM docs
+    ),
+    cjk AS (
+      SELECT doc_id,
+             unnest(CASE WHEN length(run) = 1 THEN [run]
+                         ELSE list_transform(range(1, length(run)),
+                                             i -> substr(run, CAST(i AS INTEGER), 2))
+                    END) AS word
+      FROM runs
+    )
+    SELECT word, count(*) AS keyword_ct, count(DISTINCT doc_id) AS doc_ct
+    FROM (SELECT * FROM lat UNION ALL SELECT * FROM cjk)
+    GROUP BY word
+    """
+
+
+@register(
+    "keyword_stats_cjk",
+    oracle=_cjk_oracle(),
+    doc=(
+        "F9 with CJK-capable segmentation (KeywordUtil.java:14-34 IK Analyzer -> "
+        "functions/tokenize.mixed_tokens: latin words + CJK bigrams; jieba path "
+        "where installed); counts per keyword over mixed latin/CJK text"
+    ),
+)
+def keyword_stats_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.tokenize import mixed_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    phrase = F.element_at(
+        F.array(*[F.lit(p) for p in CJK_PHRASES]),
+        (F.col("doc_id") % len(CJK_PHRASES)).cast("int") + 1,
+    )
+    mixed = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.when(F.col("lang") == "zh", phrase).otherwise(F.lit(""))).alias(
+            "text"
+        ),
+    )
+    words = mixed.select("doc_id", F.explode(mixed_tokens(F.col("text"))).alias("word"))
+    return words.groupBy("word").agg(
+        F.count("*").alias("keyword_ct"), F.countDistinct("doc_id").alias("doc_ct")
+    )
+
+
+# ---------------------------------------------------------------------------
 # uv_daily — SURVEY §2.6 T2 (UniqueVisitApp.java:53-102): keyed 24h-TTL state
 # keeps each visitor's first visit per day. Batch formulation: min per
 # (user, day).

@@ -110,6 +110,34 @@ def test_bounce_timeout_gap_guard(spark):
         bounce_stream(ev, gap_s=10, timeout_s=11)
 
 
+def test_mixed_tokens_segments_cjk(spark):
+    """F9: whitespace splitting yields nothing on CJK; mixed_tokens must
+    produce latin words + overlapping CJK bigrams (single-char runs kept)."""
+    from flink_real_time_data_warehouse_spark.functions.tokenize import (
+        jieba_available,
+        mixed_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(i=1, t="Spark 引擎 very 快"),
+            Row(i=2, t="今天天气好"),
+            Row(i=3, t="no cjk at all"),
+            Row(i=4, t=""),
+        ]
+    )
+    out = {r["i"]: r["toks"] for r in df.select("i", mixed_tokens(F.col("t")).alias("toks")).collect()}
+    assert out[1] == ["spark", "very", "引擎", "快"]
+    assert out[2] == ["今天", "天天", "天气", "气好"]
+    assert out[3] == ["no", "cjk", "at", "all"]
+    assert out[4] == []
+    if jieba_available():  # container has no jieba; path exercised where present
+        from flink_real_time_data_warehouse_spark.functions.tokenize import jieba_tokens
+
+        seg = jieba_tokens()
+        assert df.select(seg(F.col("t"))).count() == 4
+
+
 def test_multimodal_partition_sizing_is_metadata_only(spark):
     """Partition sizing must come from file statistics, not a Spark job
     (the 100 TB table must not be scanned twice)."""
