@@ -436,9 +436,7 @@ def bounce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # join order↔detail (detail ships within [0, 90d] of order) + 3-dim
 # enrichment + derived date columns. Row-level wide output.
 # ---------------------------------------------------------------------------
-@register(
-    "order_wide",
-    oracle=f"""
+ORDER_WIDE_ORACLE = f"""
     SELECT o.o_orderkey AS order_id, l.l_linenumber AS detail_id,
            l.l_partkey AS sku_id, l.l_quantity AS sku_num,
            {sql_money(NET.replace('l_', 'l.l_'))} AS split_total_amount,
@@ -452,22 +450,13 @@ def bounce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
-    """,
-    doc="J1+J3+P5+P6: OrderWideApp.java:94-105 interval join bounds; :123-233 dim enrichment; :51-64 derived cols",
-)
-def order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
-    cust = table(spark, sf_dir, "customer")
-    nation = table(spark, sf_dir, "nation")
-    region = table(spark, sf_dir, "region")
+    """
 
-    joined = interval_join(
-        orders, li,
-        keys=li.l_orderkey == orders.o_orderkey,
-        left_ts=orders.o_orderdate, right_ts=li.l_shipdate,
-        lower="INTERVAL 0 DAY", upper="INTERVAL 90 DAY",
-    )
+
+def order_wide_select(joined: DataFrame, cust: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
+    """Dim enrichment + wide projection shared by the batch and streaming
+    order_wide plans (the dims are broadcast either way — stream-static
+    broadcast join in streaming, the J3 async-lookup replacement)."""
     wide = dim_enrich(
         joined,
         [
@@ -490,14 +479,33 @@ def order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "order_wide",
+    oracle=ORDER_WIDE_ORACLE,
+    doc="J1+J3+P5+P6: OrderWideApp.java:94-105 interval join bounds; :123-233 dim enrichment; :51-64 derived cols",
+)
+def order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+
+    joined = interval_join(
+        orders, li,
+        keys=li.l_orderkey == orders.o_orderkey,
+        left_ts=orders.o_orderdate, right_ts=li.l_shipdate,
+        lower="INTERVAL 0 DAY", upper="INTERVAL 90 DAY",
+    )
+    return order_wide_select(joined, cust, nation, region)
+
+
 # ---------------------------------------------------------------------------
 # payment_wide — SURVEY §2.4 J2 (PaymentWideApp.java:85-94): asymmetric
 # interval join (payment within [-15d, +5d] of order here), aggregated to
 # a monthly payment summary.
 # ---------------------------------------------------------------------------
-@register(
-    "payment_wide",
-    oracle=f"""
+PAYMENT_WIDE_ORACLE = f"""
     SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m-%d') AS order_month,
            count(*) AS pay_ct,
            count(DISTINCT o.o_orderkey) AS pay_order_ct,
@@ -507,7 +515,38 @@ def order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l.l_shipdate >= o.o_orderdate - INTERVAL 15 DAY
       AND l.l_shipdate <= o.o_orderdate + INTERVAL 5 DAY
     GROUP BY 1
-    """,
+    """
+
+
+def payment_wide_agg(joined: DataFrame, streaming: bool = False) -> DataFrame:
+    """Monthly payment summary over the joined order↔detail stream/batch.
+
+    Streaming aggregations can't use countDistinct — the exact-set trick
+    (collect_set size) mirrors the reference's HashSet union
+    (ProductStatsApp.java:268-274); approx_count_distinct is the 100 TB
+    swap (SURVEY §7.3)."""
+    distinct_ct = (
+        F.size(F.collect_set("o_orderkey")).cast("long")
+        if streaming
+        else F.countDistinct("o_orderkey")
+    )
+    return (
+        joined.select(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("order_month"),
+            "o_orderkey", _gross().alias("gross"),
+        )
+        .groupBy("order_month")
+        .agg(
+            F.count("*").alias("pay_ct"),
+            distinct_ct.alias("pay_order_ct"),
+            money_sum(F.col("gross")).alias("payment_amount"),
+        )
+    )
+
+
+@register(
+    "payment_wide",
+    oracle=PAYMENT_WIDE_ORACLE,
     doc="J2: PaymentWideApp.java:85-94 asymmetric interval join (-15d/+5d analog of -15min/+5min)",
 )
 def payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -519,18 +558,7 @@ def payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts=orders.o_orderdate, right_ts=li.l_shipdate,
         lower="INTERVAL -15 DAY", upper="INTERVAL 5 DAY",
     )
-    return (
-        joined.select(
-            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("order_month"),
-            "o_orderkey", _gross().alias("gross"),
-        )
-        .groupBy("order_month")
-        .agg(
-            F.count("*").alias("pay_ct"),
-            F.countDistinct("o_orderkey").alias("pay_order_ct"),
-            money_sum(F.col("gross")).alias("payment_amount"),
-        )
-    )
+    return payment_wide_agg(joined)
 
 
 # ---------------------------------------------------------------------------

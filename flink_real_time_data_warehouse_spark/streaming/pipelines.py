@@ -108,6 +108,21 @@ def to_console(df: DataFrame, mode: str = "append"):
     return df.writeStream.format("console").outputMode(mode).option("truncate", "false")
 
 
+def run_to_parquet(df: DataFrame, path: str) -> None:
+    """Execute a streaming DataFrame to completion (availableNow) into a
+    parquet directory — the DWD-layer handoff between chained streaming
+    apps (the reference passes dwd_* Kafka topics between apps;
+    OrderWideApp -> dwm_payment_wide consumers)."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_pq_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(df: DataFrame, spark: SparkSession, output_mode: str = "append") -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into a
     memory sink; return the materialized result as a batch DataFrame."""

@@ -14,12 +14,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from ..functions.money import sql_money_sum
 from ..operators.stateful_batch import BOUNCE_TIMEOUT_S, SESSION_GAP_S
+from ..plans.gmall import (
+    ORDER_WIDE_ORACLE,
+    PAYMENT_WIDE_ORACLE,
+    order_wide_select,
+    payment_wide_agg,
+)
 from ..queries import register
 from ..sources.streams import stream_table
-from ..streaming.pipelines import run_to_memory, visitor_stats_stream
+from ..streaming.pipelines import interval_join_stream, run_to_memory, visitor_stats_stream
 from ..streaming.state import bounce_stream, new_user_fix_stream, uv_dedup_stream
+from ..tables import table
 
 WM_S = 1  # watermark delay used by the streaming queries (SQL apps use 1s, T6)
 
@@ -101,3 +110,66 @@ def new_user_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bounce_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_table(spark, sf_dir, "events").withWatermark("ts", f"{WM_S} second")
     return run_to_memory(bounce_stream(ev, SESSION_GAP_S, BOUNCE_TIMEOUT_S), spark)
+
+
+def _order_detail_stream_join(spark: SparkSession, sf_dir: str, lower: str, upper: str) -> DataFrame:
+    """J1/J2 stream-stream interval join of the orders and lineitem streams.
+
+    The fixture's event times are dates, so each side watermarks a
+    timestamp cast; the band condition on those event-time columns is what
+    lets Spark expire join state (OrderWideApp.java:94-105's
+    between(-4h, +4h) bounds, at day granularity here)."""
+    orders = stream_table(spark, sf_dir, "orders").withColumn(
+        "o_event_ts", F.col("o_orderdate").cast("timestamp")
+    )
+    li = stream_table(spark, sf_dir, "lineitem").withColumn(
+        "l_event_ts", F.col("l_shipdate").cast("timestamp")
+    )
+    return interval_join_stream(
+        orders, li,
+        keys=F.col("l_orderkey") == F.col("o_orderkey"),
+        left_ts="o_event_ts", right_ts="l_event_ts",
+        lower=lower, upper=upper,
+    )
+
+
+@register(
+    "order_wide_stream",
+    oracle=ORDER_WIDE_ORACLE,
+    doc="J1+J3 via Structured Streaming: stream-stream interval join + stream-static broadcast dim enrichment; oracle = the batch order_wide SQL (inner join emits every match once both sides arrive)",
+)
+def order_wide_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    joined = _order_detail_stream_join(spark, sf_dir, "INTERVAL 0 DAY", "INTERVAL 90 DAY")
+    wide = order_wide_select(
+        joined,
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "nation"),
+        table(spark, sf_dir, "region"),
+    )
+    return run_to_memory(wide, spark)
+
+
+@register(
+    "payment_wide_stream",
+    oracle=PAYMENT_WIDE_ORACLE,
+    doc=(
+        "J2 via Structured Streaming, two chained apps like the reference's "
+        "topic-linked topology: stream-stream interval join lands in a DWD "
+        "parquet layer (the dwm_payment_wide Kafka topic analog), a second "
+        "streaming query aggregates it in complete mode (toRetractStream, C2); "
+        "exact distinct via collect_set like the reference's HashSet union"
+    ),
+)
+def payment_wide_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .pipelines import run_to_parquet
+
+    joined = _order_detail_stream_join(spark, sf_dir, "INTERVAL -15 DAY", "INTERVAL 5 DAY")
+    dwd_dir = tempfile.mkdtemp(prefix="dwd_payment_wide_")
+    run_to_parquet(joined.select("o_orderdate", "o_orderkey", *[
+        c for c in joined.columns if c.startswith("l_") and c != "l_event_ts"
+    ]), dwd_dir)
+    schema = spark.read.parquet(dwd_dir).schema
+    dwd = spark.readStream.format("parquet").schema(schema).load(dwd_dir)
+    return run_to_memory(payment_wide_agg(dwd, streaming=True), spark, output_mode="complete")
