@@ -18,9 +18,14 @@ with the op normalization `create`->`insert` (:74-79) and read→filtered.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import MapType, StringType, StructField, StructType
+
+from .dim_store import DimStore
 
 
 def cdc_schema() -> StructType:
@@ -42,6 +47,78 @@ def parse_cdc(raw: DataFrame, raw_col: str = "value") -> DataFrame:
     parsed = raw.select(F.from_json(F.col(raw_col), cdc_schema()).alias("e")).select("e.*")
     op = F.when(F.col("type") == "create", "insert").otherwise(F.col("type"))
     return parsed.withColumn("type", op).where(F.col("type") != "read")
+
+
+def apply_cdc_changes(
+    store: DimStore,
+    table_name: str,
+    changes: DataFrame,
+    key: str = "id",
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> None:
+    """Apply one batch of flattened CDC changes to the keyed store.
+
+    Reduces to the last op per key first (ordered by seq_col — Debezium's
+    ts_ms/binlog position), then MERGEs: insert/update upsert, delete
+    removes. Re-applying a batch whose effects are already in the store is
+    a no-op — the idempotence the snapshot→tail handoff relies on.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+    last = changes.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    ups = last.where(F.col(op_col) != "delete").drop(op_col)
+    dels = last.where(F.col(op_col) == "delete").select(key)
+    store.upsert(table_name, ups, key=key)
+    store.delete(table_name, dels, key=key)
+
+
+def cdc_initial_load(
+    spark: SparkSession,
+    cdc_dir: str,
+    project: Callable[[DataFrame], DataFrame],
+    store: DimStore,
+    table_name: str,
+    key: str = "id",
+    seq_col: str = "seq",
+    checkpoint: str | None = None,
+    on_snapshot_applied: Callable[[], None] | None = None,
+) -> int:
+    """S2 `StartupOptions.initial` (app/ods/FlinkCDC.java:30-42): atomic
+    snapshot-backfill then binlog-tail, exactly-once in effect.
+
+    1. Snapshot phase: batch-read every envelope file currently in
+       `cdc_dir`, apply via keyed MERGE.
+    2. Tail phase: a file-source stream over the same directory re-applies
+       from the beginning. The offset boundary needs no coordination:
+       envelopes the snapshot already applied re-apply as no-ops
+       (last-write-wins MERGE of identical values), and envelopes that
+       landed *during* the backfill are simply part of the tail — so no
+       change is lost and none double-applies. The stream's checkpoint
+       then owns exactly-once for the rest of the tail (T9).
+
+    `project` flattens the parsed envelope into (key, ..., seq, op)
+    columns — the per-table schema mapping TableProcessFunction keeps in
+    config. `on_snapshot_applied` is the hand-off hook (tests inject
+    concurrent writes there). Returns the store version at the boundary.
+    """
+    snapshot_raw = spark.read.text(cdc_dir)
+    apply_cdc_changes(store, table_name, project(parse_cdc(snapshot_raw)), key, seq_col=seq_col)
+    boundary = store.current_version(table_name)
+    if on_snapshot_applied is not None:
+        on_snapshot_applied()
+
+    def on_batch(b: DataFrame, _epoch: int) -> None:
+        apply_cdc_changes(store, table_name, project(parse_cdc(b)), key, seq_col=seq_col)
+
+    q = (
+        spark.readStream.text(cdc_dir)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint or tempfile.mkdtemp(prefix="ckpt_cdc_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return boundary
 
 
 def simulate_cdc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -5,7 +5,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from flink_real_time_data_warehouse_spark.sources.cdc import parse_cdc, simulate_cdc_batch
+from flink_real_time_data_warehouse_spark.sources.cdc import (
+    cdc_initial_load,
+    parse_cdc,
+    simulate_cdc_batch,
+)
 from flink_real_time_data_warehouse_spark.sources.dim_store import DimStore
 from flink_real_time_data_warehouse_spark.streaming.router import RouteConfig, route_micro_batch
 from flink_real_time_data_warehouse_spark.tables import table
@@ -34,16 +38,17 @@ def test_cdc_route_to_facts_and_dims(spark, tmp_path):
         F.col("after")["total_amount"].cast("double").alias("total_amount"),
         F.col("after")["order_status"].alias("order_status"),
     )
+    # dim entry declares its sink type + MERGE key in config — the router
+    # drives the DimSinkFunction path itself (TableProcess.sinkType/sinkPk)
     configs = [
         RouteConfig("order_info", "insert", "dwd_order_info", ("id", "user_id", "total_amount")),
-        RouteConfig("order_info", "update", "dim_order_info", ("id", "order_status")),
+        RouteConfig(
+            "order_info", "update", "dim_order_info", ("id", "order_status"),
+            sink_type="dim", sink_pk="id",
+        ),
     ]
-    route_micro_batch(flat, configs, str(tmp_path / "sinks"))
-
-    # dim side continues into the MERGE store (DimSinkFunction analog)
     store = DimStore(spark, str(tmp_path / "dims"))
-    dim_updates = spark.read.parquet(str(tmp_path / "sinks" / "dim_order_info"))
-    store.upsert("order_info", dim_updates)
+    route_micro_batch(flat, configs, str(tmp_path / "sinks"), epoch_id=0, dim_store=store)
 
     orders = table(spark, TEST_SF_DIR, "orders")
     n_total = orders.count()
@@ -51,7 +56,74 @@ def test_cdc_route_to_facts_and_dims(spark, tmp_path):
     n_upd = orders.where(F.col("o_orderkey") % 10 == 1).count()
     facts = spark.read.parquet(str(tmp_path / "sinks" / "dwd_order_info"))
     assert facts.count() == n_total - n_del - n_upd
-    assert store.snapshot("order_info").count() == n_upd
-    # second upsert of the same keys must not duplicate (MERGE, not append)
-    store.upsert("order_info", dim_updates)
-    assert store.snapshot("order_info").count() == n_upd
+    assert store.snapshot("dim_order_info").count() == n_upd
+
+    # replaying the same epoch (failed-batch retry) must not duplicate:
+    # table sink skips via the commit marker, dim MERGE converges
+    route_micro_batch(flat, configs, str(tmp_path / "sinks"), epoch_id=0, dim_store=store)
+    assert spark.read.parquet(str(tmp_path / "sinks" / "dwd_order_info")).count() == facts.count()
+    assert store.snapshot("dim_order_info").count() == n_upd
+
+    # a NEW epoch of the same rows does append (at-least-once without
+    # dedup is the caller's contract violation, not the router's)
+    route_micro_batch(flat, configs[:1], str(tmp_path / "sinks"), epoch_id=1)
+    assert (
+        spark.read.parquet(str(tmp_path / "sinks" / "dwd_order_info")).count()
+        == 2 * facts.count()
+    )
+
+
+def _envelope(op: str, _id: int, val: str, seq: int) -> str:
+    import json
+
+    payload = {"id": str(_id), "val": val, "seq": str(seq)}
+    return json.dumps(
+        {
+            "database": "gmall",
+            "tableName": "order_info",
+            "before": payload if op == "delete" else {},
+            "after": {} if op == "delete" else payload,
+            "type": op,
+        }
+    )
+
+
+def test_cdc_initial_snapshot_then_tail(spark, tmp_path):
+    """S2 StartupOptions.initial: backfill the existing binlog, then tail —
+    changes landing DURING the backfill are neither lost nor applied twice."""
+    binlog = tmp_path / "binlog"
+    binlog.mkdir()
+    (binlog / "f1.jsonl").write_text(
+        "\n".join(_envelope("create", i, f"v{i}", 10 + i) for i in range(1, 6))
+    )
+    (binlog / "f2.jsonl").write_text(
+        "\n".join([_envelope("update", 2, "v2b", 20), _envelope("delete", 3, "v3", 21)])
+    )
+
+    def project(parsed):
+        side = F.when(F.col("type") == "delete", F.col("before")).otherwise(F.col("after"))
+        return parsed.select(
+            side["id"].cast("long").alias("id"),
+            side["val"].alias("val"),
+            side["seq"].cast("long").alias("seq"),
+            F.col("type").alias("op"),
+        )
+
+    def during_backfill():
+        # concurrent writer: lands between snapshot apply and tail start
+        (binlog / "f3.jsonl").write_text(
+            "\n".join([_envelope("create", 6, "v6", 30), _envelope("update", 1, "v1b", 31)])
+        )
+
+    store = DimStore(spark, str(tmp_path / "dims"))
+    boundary = cdc_initial_load(
+        spark, str(binlog), project, store, "order_info",
+        checkpoint=str(tmp_path / "ckpt"),
+        on_snapshot_applied=during_backfill,
+    )
+    assert boundary is not None
+
+    snap = {r["id"]: r["val"] for r in store.snapshot("order_info").collect()}
+    # exactly-once in effect: 3 deleted, 1+2 updated, 6 inserted mid-backfill
+    assert snap == {1: "v1b", 2: "v2b", 4: "v4", 5: "v5", 6: "v6"}
+    assert store.snapshot("order_info").count() == 5  # no duplicate rows
