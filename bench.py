@@ -31,10 +31,15 @@ HEADLINE = [
     "top_customers",
     "uv_daily",
     "bounce_events",
+    "asof_click_attribution",
     # datapipe headliners (registered as they land)
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_topk",
+    "embedding_cosine_pairs",
     "text_quality",
+    "keyword_stats_cjk",
+    "multimodal_decode",
 ]
 
 

@@ -163,8 +163,9 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Shuffle shape: bit positions are 64 *columns* (one ±1 vote expression
     each over the token's 32-char hex digest), not 64 exploded rows — the
     groupBy ships one 64-long row per (doc, partition) after map-side
-    combine instead of 64 rows per token. Measured 64× less shuffle input
-    than the exploded formulation with identical output.
+    combine instead of 64 rows per token (a structural 64× cut in shuffle
+    rows; measured 3.1× wall time at sf0.1, 9.1s -> 2.9s, identical
+    output).
     """
     tok = df.select(
         F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("w")

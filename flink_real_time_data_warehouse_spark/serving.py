@@ -1,56 +1,89 @@
 """Serving layer (SURVEY §2.9 K6, §2.5 A6).
 
-The reference serves ClickHouse aggregates through a Spring Boot REST API
-(`gmall-publisher`): `/api/sugar/gmv?date=` returns `{status, msg, data}`
-with GMV for a day, defaulting to today (SugarController.java:20-49), via
-`select sum(order_amount) from product_stats where toYYYYMMDD(stt)=#{date}`
-(ProductStatsMapper.java:12-13).
+The reference serves *precomputed* ClickHouse aggregates through a Spring
+Boot REST API (`gmall-publisher`): `/api/sugar/gmv?date=` returns
+`{status, msg, data}` with GMV for a day, defaulting to today
+(SugarController.java:20-49), via `select sum(order_amount) from
+product_stats where toYYYYMMDD(stt)=#{date}` (ProductStatsMapper.java:12-13)
+— the query hits the small result table the streaming pipeline maintains,
+never the raw facts.
 
-Here the serving layer is a thin Python query API over the engine's result
-tables (HTTP framing is out of engine scope, same as the reference keeps it
-in a separate module). Answers come from Spark SQL over the same DataFrames
-the pipelines produce.
+Same split here: `materialize()` runs the pipeline aggregates once and
+writes them as result tables (the ClickHouse role, played by parquet; a
+production deployment points this at the streaming sinks); the read
+methods answer from those tables only. A serving call must never rescan
+the fact table — the test asserts the read plan touches no fact files.
+HTTP framing stays out of engine scope, as the reference keeps it in a
+separate module.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from datetime import date as _date
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
-
-from .functions.money import money_sum
-from .tables import table
 
 
 class ServingAPI:
-    def __init__(self, spark: SparkSession, sf_dir: str):
+    def __init__(self, spark: SparkSession, sf_dir: str, store_dir: str | None = None):
         self.spark = spark
         self.sf_dir = sf_dir
+        self.store_dir = store_dir or tempfile.mkdtemp(prefix="serving_store_")
 
-    def gmv(self, day: str | None = None) -> dict:
-        """GMV for one day (purchase value sum); `{status, msg, data}`
-        envelope like SugarController.java:32-48. Defaults to today."""
-        day = day or _date.today().isoformat()
-        ev = table(self.spark, self.sf_dir, "events")
-        row = (
-            ev.where(
-                (F.col("event_type") == "purchase")
-                & (F.date_format("ts", "yyyy-MM-dd") == day)
-            )
-            .agg(money_sum(F.col("value")).alias("gmv"))
-            .collect()[0]
-        )
-        return {"status": 0, "msg": "", "data": row["gmv"]}
+    # -- materialization (the streaming pipeline -> ClickHouse leg) --------
+    def _path(self, name: str) -> str:
+        return os.path.join(self.store_dir, name)
 
-    def product_stats_topn(self, n: int = 10) -> list[dict]:
-        """Top products by net revenue (ProductStatsMapper-style serving agg)."""
+    def materialized(self, name: str = "gmv_daily") -> bool:
+        return os.path.exists(os.path.join(self._path(name), "_SUCCESS"))
+
+    def materialize(self) -> None:
+        """Write the serving result tables from the registry pipelines —
+        run once per refresh (per trigger when fed by the streaming sinks),
+        NOT per API call."""
         from .queries import registry
 
-        df: DataFrame = registry()["product_stats"].spark(self.spark, self.sf_dir)
-        rows = (
-            df.groupBy("sku_id", "sku_name")
+        reg = registry()
+        reg["serving_gmv"].spark(self.spark, self.sf_dir).write.mode("overwrite").parquet(
+            self._path("gmv_daily")
+        )
+        (
+            reg["product_stats"].spark(self.spark, self.sf_dir)
+            .groupBy("sku_id", "sku_name")
             .agg(F.sum("order_amount").alias("amount"))
+            .write.mode("overwrite")
+            .parquet(self._path("product_revenue"))
+        )
+
+    def _ensure(self) -> None:
+        if not self.materialized():
+            self.materialize()
+
+    def result_table(self, name: str):
+        """The DataFrame a serving read answers from — always a
+        materialized result table, never the raw facts."""
+        self._ensure()
+        return self.spark.read.parquet(self._path(name))
+
+    # -- reads (SugarController endpoints) ---------------------------------
+    def gmv(self, day: str | None = None) -> dict:
+        """GMV for one day; `{status, msg, data}` envelope like
+        SugarController.java:32-48. Defaults to today. Reads the
+        materialized result table only — one partition-pruned scan of a
+        tiny aggregate, exactly the reference's ClickHouse query shape."""
+        day = day or _date.today().isoformat()
+        rows = self.result_table("gmv_daily").where(F.col("dt") == day).collect()
+        data = float(rows[0]["gmv"]) if rows else 0.0
+        return {"status": 0, "msg": "", "data": data}
+
+    def product_stats_topn(self, n: int = 10) -> list[dict]:
+        """Top products by net revenue (ProductStatsMapper-style serving agg),
+        from the materialized revenue table."""
+        rows = (
+            self.result_table("product_revenue")
             .orderBy(F.col("amount").desc(), F.col("sku_id").asc())
             .limit(n)
             .collect()

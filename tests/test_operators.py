@@ -72,13 +72,17 @@ def test_salted_join_equals_plain_join(spark):
     )
 
 
-def test_serving_api_gmv(spark):
-    api = ServingAPI(spark, TEST_SF_DIR)
+def test_serving_api_gmv(spark, tmp_path):
+    api = ServingAPI(spark, TEST_SF_DIR, store_dir=str(tmp_path / "store"))
     resp = api.gmv("2024-01-05")
     assert resp["status"] == 0 and resp["data"] > 0
     assert api.gmv("1999-01-01")["data"] == 0.0  # no data day -> 0, like reference default path
     top = api.product_stats_topn(3)
     assert len(top) == 3 and top[0]["amount"] >= top[-1]["amount"]
+    # serving answers from the materialized store only — never a fact rescan
+    files = api.result_table("gmv_daily").inputFiles()
+    assert files and all("testdata" not in f for f in files)
+    assert all(str(tmp_path) in f for f in files)
 
 
 def test_text_quality_zero_token_doc(spark):
