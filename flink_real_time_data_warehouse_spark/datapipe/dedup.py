@@ -152,6 +152,101 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_distance: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance <= max_distance over the
+    64-bit signatures.
+
+    Plan: pigeonhole banding — split the 64 bits into max_distance+1
+    chunks; any pair within the distance budget must agree EXACTLY on at
+    least one chunk, so candidates come from an equi-join keyed by
+    (chunk_id, chunk_value) and the banding loses nothing (result ==
+    brute-force all-pairs filter, at bucket-join cost). This is the
+    classic web-scale simhash dedup layout (Manku et al., WWW'07 —
+    public algorithm). Verify = exact popcount of the signature XOR.
+
+    max_distance=3 -> 4 chunks of 16 bits; requires max_distance+1
+    dividing 64 evenly (asserted).
+    """
+    n_chunks = max_distance + 1
+    if 64 % n_chunks:
+        raise ValueError(f"max_distance+1 ({n_chunks}) must divide 64")
+    width = 64 // n_chunks
+    chunk_mask = (1 << width) - 1
+    sig = simhash_signatures(df, id_col, text_col)
+    # sig_hi holds bits 63..32 (of the conceptual sig), sig_lo bits 31..0;
+    # chunk c = width bits starting at 64-(c+1)*width from the top
+    def chunk(c: int):
+        top_offset = 64 - (c + 1) * width  # bit position of chunk LSB
+        if top_offset >= 32:
+            src, shift = F.col("sig_hi"), top_offset - 32
+        else:
+            src, shift = F.col("sig_lo"), top_offset
+        return F.shiftright(src, shift).bitwiseAND(F.lit(chunk_mask))
+
+    banded = sig.select(
+        "doc", "sig_hi", "sig_lo",
+        F.posexplode(F.array(*[chunk(c) for c in range(n_chunks)])).alias("chunk_id", "chunk_val"),
+    )
+    a = banded.select(
+        F.col("doc").alias("doc_a"), F.col("sig_hi").alias("hi_a"), F.col("sig_lo").alias("lo_a"),
+        "chunk_id", "chunk_val",
+    )
+    b = banded.select(
+        F.col("doc").alias("doc_b"), F.col("sig_hi").alias("hi_b"), F.col("sig_lo").alias("lo_b"),
+        "chunk_id", "chunk_val",
+    )
+    cand = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("long")
+    return (
+        cand.select("doc_a", "doc_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_distance)
+    )
+
+
+def verified_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """The 100 TB near-dup composition: MinHash+LSH candidates, exact
+    Jaccard verify on candidates only.
+
+    `ngram_jaccard_pairs` standalone joins on shingle equality — quadratic
+    in docs-per-shingle. Here the quadratic step runs only inside LSH
+    buckets (few, similarity-biased), and the verify is a per-candidate
+    array intersection: fetch each side's distinct shingle set by doc key,
+    `array_intersect` sizes the overlap. Cost = |candidates| x shingle-set
+    size, linear in candidates.
+
+    Returns (doc_a, doc_b, jaccard) for candidates with jaccard >= threshold.
+    """
+    sig = minhash_signatures(df, id_col, text_col)
+    cand = lsh_candidate_pairs(sig)
+    sets = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_t")
+    ).select("doc", shingles_from_tokens(F.col("_t")).alias("shs"))
+    sa = sets.select(F.col("doc").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sb = sets.select(F.col("doc").alias("doc_b"), F.col("shs").alias("shs_b"))
+    shared = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b")))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (shared / (F.size(F.col("shs_a")) + F.size(F.col("shs_b")) - shared)).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per doc as two exact int32-range longs (sig_hi, sig_lo).
 

@@ -57,7 +57,9 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-def _minhash_oracle() -> str:
+def _minhash_cand_ctes() -> str:
+    """Shared DuckDB CTE chain: shingles -> MinHash sigs -> LSH bands ->
+    candidate pairs (mirrors datapipe/dedup.py exactly)."""
     sig_cols = ", ".join(
         f"min(md5('{i}:' || s)) AS sig_{i}" for i in range(NUM_HASHES)
     )
@@ -69,13 +71,20 @@ def _minhash_oracle() -> str:
             f"SELECT doc_id, {b} AS band_id, md5({parts}) AS band_hash FROM sig"
         )
     bands_sql = " UNION ALL ".join(band_selects)
-    return f"""
-    WITH {TOKS_CTE}, {SH_CTE},
+    return f"""{TOKS_CTE}, {SH_CTE},
     sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
-    bands AS ({bands_sql})
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    bands AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_cand_ctes()}
+    SELECT doc_a, doc_b FROM cand
     """
 
 
@@ -118,6 +127,34 @@ def dedup_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+@register(
+    "dedup_minhash_verified",
+    oracle=f"""
+    WITH {_minhash_cand_ctes()},
+    sets AS (SELECT doc_id, list(s) AS shs FROM sh GROUP BY doc_id)
+    SELECT doc_a, doc_b,
+           len(list_intersect(sa.shs, sb.shs))
+             / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) AS jaccard
+    FROM cand JOIN sets sa ON doc_a = sa.doc_id JOIN sets sb ON doc_b = sb.doc_id
+    WHERE len(list_intersect(sa.shs, sb.shs))
+            / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))
+          >= {JACCARD_THRESHOLD}
+    """,
+    doc=(
+        "the 100 TB near-dup composition: MinHash+LSH candidate pairs, exact "
+        "Jaccard verified per candidate via shingle-set intersection (never a "
+        "global shingle-equality join)"
+    ),
+)
+def dedup_minhash_verified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.dedup import verified_near_dup_pairs
+
+    return verified_near_dup_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", JACCARD_THRESHOLD
+    )
+
+
+# ---------------------------------------------------------------------------
 def _simhash_oracle() -> str:
     return f"""
     WITH {TOKS_CTE},
@@ -135,6 +172,29 @@ def _simhash_oracle() -> str:
            CAST(sum(CASE WHEN b >= 32 AND v > 0 THEN CAST(power(2, 63 - b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig_lo
     FROM votes GROUP BY doc_id
     """
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH shsig AS ({_simhash_oracle()})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig_hi, b.sig_hi))
+                + bit_count(xor(a.sig_lo, b.sig_lo)) AS BIGINT) AS hamming
+    FROM shsig a JOIN shsig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig_hi, b.sig_hi)) + bit_count(xor(a.sig_lo, b.sig_lo)) <= 3
+    """,
+    doc=(
+        "SimHash near-dup pairs at Hamming <= 3 via pigeonhole banding "
+        "(4x16-bit chunk equi-join; lossless — banding provably returns every "
+        "pair in the radius), exact popcount verify. Oracle states the pure "
+        "semantics (all-pairs filter); the Spark plan is the banded one."
+    ),
+)
+def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(table(spark, sf_dir, "documents"), "doc_id", "text", 3)
 
 
 @register(
