@@ -31,3 +31,28 @@ def with_tumble(df: DataFrame, ts_col: str, unit: str) -> DataFrame:
     """Attach stt/edt window-bound columns (batch analog of a tumble window)."""
     stt, edt = tumble_bounds(F.col(ts_col), unit)
     return df.withColumn("stt", stt).withColumn("edt", edt)
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: list,
+    aggs: list,
+) -> DataFrame:
+    """Keyed session-window aggregate (Flink's EventTimeSessionWindows —
+    the gap notion behind the reference's UserJumpDetail sessions, exposed
+    as a first-class window op). Works on batch or streaming input;
+    streaming needs a watermark on ts_col upstream.
+
+    Session semantics (Spark's session_window): events merge while
+    consecutive gaps are STRICTLY smaller than `gap`; the emitted window is
+    [first_ts, last_ts + gap). An oracle must sessionize with
+    `diff >= gap` starting a new session to match the boundary exactly.
+    """
+    grouped = df.groupBy(F.session_window(F.col(ts_col), gap).alias("win"), *keys).agg(*aggs)
+    return grouped.select(
+        F.date_format("win.start", TS_FMT).alias("stt"),
+        F.date_format("win.end", TS_FMT).alias("edt"),
+        *[c for c in grouped.columns if c != "win"],
+    )

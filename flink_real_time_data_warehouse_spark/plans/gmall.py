@@ -369,6 +369,51 @@ def keyword_stats_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# session_stats — session windows as a first-class aggregate. The reference
+# reaches for sessions via CEP gap patterns (UserJumpDetailApp.java:81-120);
+# Flink also exposes EventTimeSessionWindows — this is that operator on
+# Spark's session_window, batch and streaming (stream_queries).
+# Boundary contract: Spark merges events whose gap is STRICTLY < gap, so
+# the oracle starts a new session at diff >= gap.
+# ---------------------------------------------------------------------------
+SESSION_STATS_ORACLE_BODY = f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       >= {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    )
+    SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(max(ts) + INTERVAL {SESSION_GAP_S} SECOND, '%Y-%m-%d %H:%M:%S') AS edt,
+           user_id, count(*) AS event_ct, {sql_money_sum('value')} AS dur_sum
+    FROM sess GROUP BY user_id, sid
+    """
+
+
+@register(
+    "session_stats",
+    oracle=SESSION_STATS_ORACLE_BODY,
+    doc="session-window aggregate (EventTimeSessionWindows analog via F.session_window); oracle sessionizes with lag + cumulative flags",
+)
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import session_agg
+
+    ev = table(spark, sf_dir, "events")
+    return session_agg(
+        ev, "ts", f"{SESSION_GAP_S} seconds", [F.col("user_id")],
+        [F.count("*").alias("event_ct"), money_sum(F.col("value")).alias("dur_sum")],
+    )
+
+
+# ---------------------------------------------------------------------------
 # uv_daily — SURVEY §2.6 T2 (UniqueVisitApp.java:53-102): keyed 24h-TTL state
 # keeps each visitor's first visit per day. Batch formulation: min per
 # (user, day).

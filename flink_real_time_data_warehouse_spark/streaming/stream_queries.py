@@ -21,6 +21,7 @@ from ..operators.stateful_batch import BOUNCE_TIMEOUT_S, SESSION_GAP_S
 from ..plans.gmall import (
     ORDER_WIDE_ORACLE,
     PAYMENT_WIDE_ORACLE,
+    SESSION_STATS_ORACLE_BODY,
     order_wide_select,
     payment_wide_agg,
 )
@@ -110,6 +111,29 @@ def new_user_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bounce_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_table(spark, sf_dir, "events").withWatermark("ts", f"{WM_S} second")
     return run_to_memory(bounce_stream(ev, SESSION_GAP_S, BOUNCE_TIMEOUT_S), spark)
+
+
+@register(
+    "session_stats_stream",
+    oracle=f"""
+    SELECT * FROM ({SESSION_STATS_ORACLE_BODY})
+    WHERE edt <= strftime((SELECT max(ts) - INTERVAL {WM_S} SECOND FROM events),
+                          '%Y-%m-%d %H:%M:%S')
+    """,
+    doc="session windows via Structured Streaming: watermark + session_window in append mode; oracle = batch sessionization over watermark-closed sessions",
+)
+def session_stats_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stateful_batch import SESSION_GAP_S
+    from ..operators.windows import session_agg
+
+    ev = stream_table(spark, sf_dir, "events").withWatermark("ts", f"{WM_S} second")
+    from ..functions.money import money_sum
+
+    out = session_agg(
+        ev, "ts", f"{SESSION_GAP_S} seconds", [F.col("user_id")],
+        [F.count("*").alias("event_ct"), money_sum(F.col("value")).alias("dur_sum")],
+    )
+    return run_to_memory(out, spark)
 
 
 def _order_detail_stream_join(spark: SparkSession, sf_dir: str, lower: str, upper: str) -> DataFrame:
