@@ -68,6 +68,65 @@ def cosine_topk(
     )
 
 
+IVF_K = 8  # coarse-quantizer lists
+IVF_NPROBE = 2  # lists probed per query
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_centroids: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into inverted
+    lists, probe the nprobe nearest lists per query, exact-rank inside.
+
+    Centroids are the first n_centroids corpus vectors — the k-means init
+    step without iterations, chosen because it is deterministic and
+    oracle-expressible; a production index trains centroids offline and
+    the plan below is unchanged (centroids are a broadcast literal either
+    way). 100 TB shape: assignment = broadcast cross join with K tiny
+    centroids + one per-vector window (no shuffle beyond the id
+    partition); per-query search cost drops from |C| to nprobe·|C|/K, and
+    the candidate join is an equi-join on the list id — the same
+    bucket-join discipline as the LSH paths.
+    """
+    cents = corpus.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+
+    def assign(df: DataFrame, n: int, out_id: str) -> DataFrame:
+        s = df.crossJoin(F.broadcast(cents)).select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias("_v"),
+            "cid",
+            cosine(F.col(vec_col), F.col("cv")).alias("_sim"),
+        )
+        w = Window.partitionBy(out_id).orderBy(F.col("_sim").desc(), F.col("cid").asc())
+        return (
+            s.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= n)
+            .select(out_id, "cid", "_v")
+        )
+
+    inv = assign(corpus, 1, "neighbor_id").withColumnRenamed("_v", "nv")
+    probes = assign(queries, nprobe, "query_id").withColumnRenamed("_v", "qv")
+    scored = (
+        probes.join(inv, "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def hyperplane(seed: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane (no numpy RNG state; pure
     arithmetic so it is reproducible everywhere)."""

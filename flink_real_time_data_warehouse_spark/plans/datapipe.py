@@ -232,6 +232,53 @@ def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rk"))
 
 
+def _ivf_oracle() -> str:
+    from ..datapipe.similarity import IVF_K, IVF_NPROBE
+
+    assign_core = f"""
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
+        FROM e CROSS JOIN cents c
+    """
+    return f"""
+    WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE vec_id < {IVF_K}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    inv AS (SELECT vec_id AS neighbor_id, cid FROM ({assign_core}) WHERE rn = 1),
+    probes AS (SELECT vec_id AS qid, cid FROM ({assign_core}) WHERE rn <= {IVF_NPROBE} AND vec_id < 20),
+    s AS (
+      SELECT p.qid AS query_id, i.neighbor_id,
+             list_cosine_similarity(eq.v, en.v) AS sim
+      FROM probes p JOIN inv i ON p.cid = i.cid
+      JOIN e eq ON p.qid = eq.vec_id JOIN e en ON i.neighbor_id = en.vec_id
+      WHERE i.neighbor_id <> p.qid
+    )
+    SELECT query_id, neighbor_id, rk FROM (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rk
+      FROM s
+    ) WHERE rk <= 5
+    """
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=_ivf_oracle(),
+    doc=(
+        "IVF ANN: corpus coarse-quantized into inverted lists (deterministic "
+        "k-means-init centroids), nprobe nearest lists probed per query, exact "
+        "cosine rank within probed lists (rank-compare oracle like ann_topk)"
+    ),
+)
+def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.similarity import ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    res = ivf_topk(emb.where(F.col("vec_id") < 20), emb, k=5)
+    return res.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rk"))
+
+
 COSINE_THRESHOLD = 0.45  # nearest data sims sit >=1e-4 away; double noise ~1e-13
 
 
