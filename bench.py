@@ -32,10 +32,14 @@ HEADLINE = [
     "uv_daily",
     "bounce_events",
     "asof_click_attribution",
+    "session_stats",
     # datapipe headliners (registered as they land)
     "dedup_minhash_lsh",
+    "dedup_minhash_verified",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "ann_topk",
+    "ann_ivf_topk",
     "embedding_cosine_pairs",
     "text_quality",
     "keyword_stats_cjk",

@@ -74,3 +74,61 @@ def test_minhash_identical_docs_always_collide(spark_global):
 @pytest.fixture(scope="session")
 def spark_global(spark):
     return spark
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(alphabet="ab 一二三四", min_size=0, max_size=20), min_size=1, max_size=8))
+def test_mixed_tokens_matches_duckdb(spark_global, texts):
+    """F9 tokenizer: latin-word + CJK-bigram segmentation must agree with
+    the DuckDB formulation for arbitrary mixed text (the invariant
+    keyword_stats_cjk's oracle rests on)."""
+    from flink_real_time_data_warehouse_spark.functions.tokenize import mixed_tokens
+
+    spark = spark_global
+    df = spark.createDataFrame([Row(i=i, t=s) for i, s in enumerate(texts)])
+    sp = {r["i"]: r["w"] for r in df.select("i", mixed_tokens(F.col("t")).alias("w")).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        got = con.execute(
+            """
+            SELECT list_concat(
+              regexp_extract_all(lower(?), '[a-z0-9]+'),
+              flatten(list_transform(regexp_extract_all(?, '[一-鿿]+'),
+                r -> CASE WHEN length(r) = 1 THEN [r]
+                          ELSE list_transform(range(1, length(r)),
+                                              i -> substr(r, CAST(i AS INTEGER), 2))
+                     END)))
+            """,
+            [t, t],
+        ).fetchone()[0]
+        assert sp[i] == got
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(st.text(alphabet="abcd ", min_size=1, max_size=30), min_size=2, max_size=10))
+def test_simhash_banding_lossless(spark_global, texts):
+    """Pigeonhole banding must return EXACTLY the Hamming<=3 pairs — the
+    chunk equi-join is an optimization, never a filter."""
+    from flink_real_time_data_warehouse_spark.datapipe.dedup import (
+        simhash_near_dup_pairs,
+        simhash_signatures,
+    )
+
+    spark = spark_global
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_dup_pairs(df, "doc_id", "text", 3).collect()
+    }
+    sig = {
+        r["doc"]: (r["sig_hi"], r["sig_lo"])
+        for r in simhash_signatures(df, "doc_id", "text").collect()
+    }
+    brute = set()
+    for a in sig:
+        for b in sig:
+            if a < b:
+                d = bin(sig[a][0] ^ sig[b][0]).count("1") + bin(sig[a][1] ^ sig[b][1]).count("1")
+                if d <= 3:
+                    brute.add((a, b, d))
+    assert got == brute
