@@ -1,0 +1,223 @@
+"""Corpus curation operators for training-data pipelines: deterministic
+splits, benchmark decontamination, repetition filters, corpus profiling.
+
+Beyond the reference's surface (like datapipe/dedup.py) — these are the
+curation steps an LLM training pipeline runs after dedup: carve
+train/val/test, drop documents that leak evaluation benchmarks, drop
+degenerate/repetitious text, and report corpus composition. All hot paths
+are JVM-side column expressions (no Python UDFs); every computation has an
+exactly mirrored ANSI form so the DuckDB oracle hash-matches.
+
+Scale notes (100 TB):
+- hash_bucket is a pure per-row expression — splits need zero shuffle and
+  are stable under re-partitioning, re-runs, and engine changes (md5 of a
+  salted id, not rand()).
+- decontaminate joins the corpus's shingle index against the *benchmark*
+  shingle index. Benchmarks are tiny (MMLU+GSM8K+… ≪ 1 GB) so the join is
+  a broadcast hash join on the shingle string: one corpus-side scan, no
+  corpus shuffle for the probe, then one groupBy(doc) on matches only
+  (matches ≪ corpus).
+- repetition_stats ships (doc, gram) rows once: unigrams and bigrams are
+  tagged and exploded together, so one explode + one two-level groupBy
+  covers both top-gram statistics (no second pass, no Expand — the two
+  max's are conditional aggs over the same rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import SHINGLE_K, shingle_rows, tokens
+from .quality import EN_STOPWORDS
+
+SPLIT_BUCKETS = 100
+TRAIN_PCT = 80  # buckets [0,80) train, [80,90) val, [90,100) test
+VAL_PCT = 10
+
+
+def hash_bucket(id_col: Column, n_buckets: int = SPLIT_BUCKETS, salt: str = "split") -> Column:
+    """Deterministic bucket in [0, n_buckets): integer value of the first
+    8 hex chars of md5('<salt>:' || id), mod n_buckets.
+
+    Engine-portable (md5 + hex parse — no engine-specific 64-bit hash),
+    stable across runs/partitionings (function of the id only), and
+    independent across salts (different salt = fresh uniform assignment).
+    """
+    first8 = F.substring(F.md5(F.concat(F.lit(salt + ":"), id_col.cast("string"))), 1, 8)
+    return F.conv(first8, 16, 10).cast("long") % n_buckets
+
+
+def train_split(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = TRAIN_PCT,
+    val_pct: int = VAL_PCT,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row a reproducible train/val/test split.
+
+    Returns (id, bucket, split). The split is a pure function of the id —
+    adding new documents never reshuffles old assignments (the property
+    rand()-based splits lack), and downstream engines recompute the same
+    assignment from the same ids.
+    """
+    b = hash_bucket(F.col(id_col), salt=salt)
+    return df.select(
+        F.col(id_col),
+        b.alias("bucket"),
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Flag corpus documents that share any k-token shingle with a
+    benchmark document (evaluation-set leakage check).
+
+    Returns one row per corpus document: (doc_id, bench_hits, contaminated)
+    where bench_hits = number of distinct benchmark documents sharing at
+    least one shingle. Clean documents appear with bench_hits = 0.
+
+    Plan: benchmark shingles are broadcast (benchmarks are ≪ 1 GB even when
+    the corpus is 100 TB), so the probe is a map-side hash join against the
+    corpus shingle scan; only matching (doc, bench_doc) rows reach the
+    aggregation, and the final left join back to corpus ids is on the id
+    key. The single distinct agg plans as a two-level aggregate (no Expand).
+    """
+    corp_sh = shingle_rows(corpus, id_col, text_col, k)
+    bench_sh = shingle_rows(benchmark, id_col, text_col, k).select(
+        F.col("doc").alias("bench_doc"), "sh"
+    )
+    hits = (
+        corp_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc")
+        .agg(F.countDistinct("bench_doc").alias("bench_hits"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc"))
+        .join(hits, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce(F.col("bench_hits"), F.lit(0)).cast("long").alias("bench_hits"),
+            (F.coalesce(F.col("bench_hits"), F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Repetition filters (the Gopher/MassiveText rule family, public:
+    Rae et al. 2021 §A1.1): per-document duplicate-token fraction and
+    most-frequent-unigram/bigram coverage.
+
+    Returns (doc_id, n_tokens, distinct_frac, top_token_ct, top_bigram_ct,
+    top_token_frac, top_bigram_frac). Degenerate documents (lorem spam,
+    boilerplate, template farms) show low distinct_frac / high top-gram
+    coverage; a pipeline thresholds these columns.
+
+    Shuffle shape: ONE explode of tagged (doc, gram_kind, gram) rows and a
+    two-level aggregation — count per (doc, kind, gram), then conditional
+    max per doc. distinct_frac never leaves the array domain (array_distinct
+    on the token array — zero extra shuffle).
+    """
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    # bigrams: zip of the two shifted slices (same one-pass layout as
+    # dedup.shingles_from_tokens, but WITHOUT array_distinct — counts matter)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        t.alias("_t"),
+        bigrams.alias("_bg"),
+    )
+    sizes = base.select(
+        "doc",
+        F.size("_t").alias("n_tokens"),
+        F.when(F.size("_t") > 0, F.size(F.array_distinct("_t")) / F.size("_t")).alias(
+            "distinct_frac"
+        ),
+    )
+    tagged = base.select(
+        "doc",
+        F.explode(
+            F.concat(
+                F.transform(F.col("_t"), lambda x: F.struct(F.lit(1).alias("kind"), x.alias("g"))),
+                F.transform(F.col("_bg"), lambda x: F.struct(F.lit(2).alias("kind"), x.alias("g"))),
+            )
+        ).alias("gr"),
+    ).select("doc", F.col("gr.kind").alias("kind"), F.col("gr.g").alias("g"))
+    gram_ct = tagged.groupBy("doc", "kind", "g").agg(F.count("*").alias("ct"))
+    tops = gram_ct.groupBy("doc").agg(
+        F.max(F.when(F.col("kind") == 1, F.col("ct"))).alias("top_token_ct"),
+        F.max(F.when(F.col("kind") == 2, F.col("ct"))).alias("top_bigram_ct"),
+    )
+    return (
+        sizes.join(tops, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "distinct_frac",
+            F.coalesce(F.col("top_token_ct"), F.lit(0)).cast("long").alias("top_token_ct"),
+            F.coalesce(F.col("top_bigram_ct"), F.lit(0)).cast("long").alias("top_bigram_ct"),
+            F.when(F.col("n_tokens") > 0, F.col("top_token_ct") / F.col("n_tokens")).alias(
+                "top_token_frac"
+            ),
+            F.when(
+                F.col("n_tokens") > 1, F.col("top_bigram_ct") / (F.col("n_tokens") - 1)
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def corpus_profile(df: DataFrame, id_col: str, text_col: str, group_col: str) -> DataFrame:
+    """Corpus composition report: per (group, predicted language) document
+    count, token total, and mean quality score — the rollup a pipeline
+    publishes after each curation stage.
+
+    One scan: language, token count, and the quality score are computed in
+    the same projection (the same expressions lang_id/text_quality grade
+    individually), then a single hash aggregation on the tiny
+    (group, lang) key space.
+    """
+    t = tokens(F.col(text_col))
+    n_tokens = F.size(t)
+    stop_ct = F.size(F.filter(t, lambda x: x.isin(*EN_STOPWORDS)))
+    lang = (
+        F.when(n_tokens == 0, F.lit("unknown"))
+        .when(stop_ct / n_tokens >= 0.05, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+    )
+    tok_chars = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    avg_tok = F.when(n_tokens > 0, tok_chars / n_tokens)
+    score = (
+        ((n_tokens >= 10) & (n_tokens <= 100000)).cast("int")
+        + F.coalesce(((avg_tok >= 2.0) & (avg_tok <= 12.0)).cast("int"), F.lit(0))
+        + (stop_ct > 0).cast("int")
+    )
+    rows = df.select(
+        F.col(group_col).alias("grp"),
+        lang.alias("lang_pred"),
+        n_tokens.alias("_n"),
+        score.alias("_q"),
+    )
+    return rows.groupBy("grp", "lang_pred").agg(
+        F.count("*").cast("long").alias("doc_ct"),
+        F.sum("_n").cast("long").alias("token_total"),
+        (F.sum("_q") / F.count("*")).alias("avg_quality"),
+    )

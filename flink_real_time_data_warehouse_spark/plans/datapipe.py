@@ -22,6 +22,14 @@ from ..datapipe.dedup import (
     ngram_jaccard_pairs,
     simhash_signatures,
 )
+from ..datapipe.curation import (
+    TRAIN_PCT,
+    VAL_PCT,
+    corpus_profile,
+    decontaminate,
+    repetition_stats,
+    train_split,
+)
 from ..datapipe.multimodal import assets_from_documents, decode_assets
 from ..datapipe.quality import EN_STOPWORDS, fingerprints, lang_id, text_quality, token_counts
 from ..datapipe.similarity import cosine_topk, sign_lsh_near_dup_pairs
@@ -413,13 +421,135 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-def _hex4(expr: str) -> str:
-    """DuckDB: parse 4 hex chars of md5 output into an integer."""
+def _hex_n(expr: str, n: int, start: int = 1) -> str:
+    """DuckDB: parse `n` hex chars of md5 output (from `start`, 1-based)
+    into an integer — the portable stand-in for a hex-to-int cast."""
     terms = [
-        f"(instr('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
-        for i in range(4)
+        f"(instr('0123456789abcdef', substr({expr}, {start + i}, 1)) - 1) * {16 ** (n - 1 - i)}"
+        for i in range(n)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def _hex4(expr: str) -> str:
+    return _hex_n(expr, 4)
+
+
+# ---------------------------------------------------------------------------
+BENCH_MOD = 50  # doc_id % BENCH_MOD == 0 plays the held-out benchmark set
+
+_BUCKET = _hex_n("md5('split:' || CAST(doc_id AS VARCHAR))", 8) + " % 100"
+
+
+@register(
+    "train_split",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_BUCKET} AS BIGINT) AS bucket,
+           CASE WHEN {_BUCKET} < {TRAIN_PCT} THEN 'train'
+                WHEN {_BUCKET} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc=(
+        "deterministic train/val/test split: bucket = int(md5('split:'||id)[:8]) "
+        "mod 100 — pure per-row expression (zero shuffle), stable under "
+        "re-partitioning and engine changes, unlike rand()-based splits"
+    ),
+)
+def train_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return train_split(table(spark, sf_dir, "documents"), "doc_id")
+
+
+@register(
+    "decontaminate",
+    oracle=f"""
+    WITH {TOKS_CTE}, {SH_CTE},
+    bench AS (SELECT doc_id AS bench_doc, s FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+    corp AS (SELECT doc_id, s FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
+    hits AS (
+      SELECT c.doc_id, count(DISTINCT b.bench_doc) AS bench_hits
+      FROM corp c JOIN bench b ON c.s = b.s GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.bench_hits, 0) AS BIGINT) AS bench_hits,
+           CASE WHEN h.bench_hits > 0 THEN 1 ELSE 0 END AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % {BENCH_MOD} <> 0
+    """,
+    doc=(
+        "benchmark decontamination: corpus docs sharing any 3-token shingle "
+        "with a held-out benchmark doc (broadcast the tiny benchmark shingle "
+        "index; probe is map-side against the corpus scan)"
+    ),
+)
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % BENCH_MOD != 0)
+    benchmark = docs.where(F.col("doc_id") % BENCH_MOD == 0)
+    return decontaminate(corpus, benchmark, "doc_id", "text")
+
+
+@register(
+    "repetition_stats",
+    oracle=f"""
+    WITH {TOKS_CTE},
+    bg AS (SELECT doc_id, CASE WHEN len(l) >= 2 THEN
+             list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])
+             ELSE CAST([] AS VARCHAR[]) END AS bgl FROM toks),
+    uni AS (SELECT doc_id, w, count(*) AS ct
+            FROM (SELECT doc_id, unnest(l) AS w FROM toks) GROUP BY 1, 2),
+    bi AS (SELECT doc_id, g, count(*) AS ct
+           FROM (SELECT doc_id, unnest(bgl) AS g FROM bg) GROUP BY 1, 2),
+    umax AS (SELECT doc_id, max(ct) AS top_token_ct FROM uni GROUP BY 1),
+    bmax AS (SELECT doc_id, max(ct) AS top_bigram_ct FROM bi GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(len(l) AS BIGINT) AS n_tokens,
+           CASE WHEN len(l) > 0 THEN len(list_distinct(l)) / len(l) END AS distinct_frac,
+           CAST(coalesce(u.top_token_ct, 0) AS BIGINT) AS top_token_ct,
+           CAST(coalesce(b.top_bigram_ct, 0) AS BIGINT) AS top_bigram_ct,
+           CASE WHEN len(l) > 0 THEN u.top_token_ct / len(l) END AS top_token_frac,
+           CASE WHEN len(l) > 1 THEN b.top_bigram_ct / (len(l) - 1) END AS top_bigram_frac
+    FROM toks t LEFT JOIN umax u USING (doc_id) LEFT JOIN bmax b USING (doc_id)
+    """,
+    doc=(
+        "repetition filters (Gopher/MassiveText rule family): duplicate-token "
+        "fraction + top-unigram/bigram coverage per doc; one tagged explode, "
+        "two-level agg, no Expand"
+    ),
+)
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "corpus_profile",
+    oracle=f"""
+    WITH {TOKS_CTE},
+    c AS (
+      SELECT d.source AS grp,
+             CASE WHEN len(l) = 0 THEN 'unknown'
+                  WHEN len(list_filter(l, x -> x IN ({STOPWORD_LIST}))) / len(l) >= 0.05 THEN 'en'
+                  ELSE 'unknown' END AS lang_pred,
+             len(l) AS n,
+             (CASE WHEN len(l) BETWEEN 10 AND 100000 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(list_sum(list_transform(l, x -> length(x))) AS BIGINT) / CAST(len(l) AS BIGINT) BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END)
+           + (CASE WHEN len(list_filter(l, x -> x IN ({STOPWORD_LIST}))) > 0 THEN 1 ELSE 0 END) AS q
+      FROM toks JOIN documents d USING (doc_id)
+    )
+    SELECT grp, lang_pred,
+           CAST(count(*) AS BIGINT) AS doc_ct,
+           CAST(sum(n) AS BIGINT) AS token_total,
+           CAST(sum(q) AS BIGINT) / count(*) AS avg_quality
+    FROM c GROUP BY 1, 2
+    """,
+    doc=(
+        "corpus composition report: per (source, language) doc count, token "
+        "total, mean quality — one scan, one tiny-key hash agg"
+    ),
+)
+def corpus_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_profile(table(spark, sf_dir, "documents"), "doc_id", "text", "source")
 
 
 @register(

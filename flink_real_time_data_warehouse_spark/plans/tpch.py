@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.money import cents, money_sum, sql_cents, sql_money_sum
+from ..operators.skew import salted_join
 from ..queries import register
 from ..tables import table
 
@@ -121,4 +122,40 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("total_spent").desc(), F.col("custkey").asc())
         .limit(10)
+    )
+
+
+@register(
+    "skew_salted_sales",
+    oracle=f"""
+    SELECT c.c_nationkey AS nationkey,
+           count(*) AS order_ct,
+           {sql_money_sum('o.o_totalprice')} AS total_amount
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    doc=(
+        "skew-safe join: the hot-key salting rewrite (operators/skew.salted_join "
+        "— left salt = hash of a row-unique id, right side replicated salt_n "
+        "ways, join on (key, salt)) graded against the plain-join oracle, "
+        "proving the decomposition is result-identical. At 100 TB this is how "
+        "a viral-sku/bot-user key spreads over salt_n tasks instead of pinning "
+        "one; composes under any join strategy the planner picks."
+    ),
+)
+def skew_salted_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    cust = table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
+    joined = salted_join(
+        orders.select("custkey", "o_orderkey", "o_totalprice"),
+        cust.select("custkey", "c_nationkey"),
+        key="custkey",
+        salt_from="o_orderkey",
+    )
+    return (
+        joined.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("order_ct"),
+            money_sum(F.col("o_totalprice")).alias("total_amount"),
+        )
     )

@@ -1,0 +1,115 @@
+"""Curation operators: deterministic splits, decontamination, repetition
+filters. Oracle equivalence is covered by test_oracle (registry sweep);
+these tests pin the behavioral properties the oracle can't express —
+stability under reordering, planted-leak detection, hand-computed
+repetition metrics, and the plan shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_real_time_data_warehouse_spark.datapipe.curation import (
+    decontaminate,
+    repetition_stats,
+    train_split,
+)
+from flink_real_time_data_warehouse_spark.queries import registry
+from flink_real_time_data_warehouse_spark.tables import table
+
+from .conftest import TEST_SF_DIR
+from .test_plan_shape import plan_of
+
+
+def test_train_split_deterministic_and_order_independent(spark):
+    docs = table(spark, TEST_SF_DIR, "documents")
+    a = {r["doc_id"]: (r["bucket"], r["split"]) for r in train_split(docs, "doc_id").collect()}
+    # same assignment from a reshuffled, reordered frame: split is a pure
+    # function of the id, not of partitioning or arrival order
+    shuffled = docs.repartition(7).sortWithinPartitions(F.col("doc_id").desc())
+    b = {r["doc_id"]: (r["bucket"], r["split"]) for r in train_split(shuffled, "doc_id").collect()}
+    assert a == b
+    assert all(0 <= bucket < 100 for bucket, _ in a.values())
+    # labels agree with buckets
+    for bucket, split in a.values():
+        assert split == ("train" if bucket < 80 else "val" if bucket < 90 else "test")
+
+
+def test_train_split_proportions(spark):
+    docs = table(spark, TEST_SF_DIR, "documents")
+    n = docs.count()
+    counts = {r["split"]: r["ct"] for r in
+              train_split(docs, "doc_id").groupBy("split").agg(F.count("*").alias("ct")).collect()}
+    # md5 is uniform; at n>=50 the 80/10/10 split holds within wide bounds
+    assert counts.get("train", 0) / n > 0.6
+    assert 0 < counts.get("val", 0) / n < 0.25
+    assert 0 < counts.get("test", 0) / n < 0.25
+
+
+def test_train_split_subset_stable(spark):
+    """Adding/removing documents must not reshuffle surviving assignments —
+    the property rand()-based splits lack."""
+    docs = table(spark, TEST_SF_DIR, "documents")
+    full = {r["doc_id"]: r["split"] for r in train_split(docs, "doc_id").collect()}
+    half = {r["doc_id"]: r["split"]
+            for r in train_split(docs.where(F.col("doc_id") % 2 == 0), "doc_id").collect()}
+    assert all(full[k] == v for k, v in half.items())
+
+
+def test_decontaminate_planted_leak(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words about spark plans"),
+            (3, "another clean document with fresh content here"),
+        ],
+        ["doc_id", "text"],
+    )
+    benchmark = spark.createDataFrame(
+        [(100, "quick brown fox running wild"), (101, "spark plans and other topics")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: (r["bench_hits"], r["contaminated"])
+           for r in decontaminate(corpus, benchmark, "doc_id", "text").collect()}
+    assert out[1] == (1, 1)  # shares "quick brown fox" with bench 100
+    assert out[3] == (0, 0)  # clean doc still present, flagged clean
+    assert out[2][1] in (0, 1) and len(out) == 3  # every corpus doc reported
+
+
+def test_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "w x y z"), (3, "solo")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_stats(df, "doc_id", "text").collect()}
+    r1 = out[1]  # tokens [a,a,a,b]; bigrams [a a, a a, a b]
+    assert r1["n_tokens"] == 4
+    assert r1["distinct_frac"] == 2 / 4
+    assert r1["top_token_ct"] == 3
+    assert r1["top_bigram_ct"] == 2
+    assert r1["top_token_frac"] == 3 / 4
+    assert r1["top_bigram_frac"] == 2 / 3
+    r2 = out[2]  # all distinct
+    assert r2["distinct_frac"] == 1.0 and r2["top_token_ct"] == 1
+    r3 = out[3]  # single token: no bigrams, frac undefined
+    assert r3["top_bigram_ct"] == 0 and r3["top_bigram_frac"] is None
+
+
+def test_train_split_plan_has_no_shuffle(spark):
+    """The split is a pure per-row expression — any Exchange in its plan is
+    a regression (at 100 TB a needless shuffle of the corpus)."""
+    plan = plan_of(registry()["train_split"].spark(spark, TEST_SF_DIR))
+    assert "Exchange" not in plan, f"split plan shuffles:\n{plan}"
+
+
+def test_decontaminate_probe_is_broadcast(spark):
+    """The benchmark shingle index must broadcast; the corpus probe side
+    must not shuffle into a SortMergeJoin."""
+    plan = plan_of(registry()["decontaminate"].spark(spark, TEST_SF_DIR))
+    assert "BroadcastHashJoin" in plan, f"benchmark probe lost its broadcast:\n{plan}"
+
+
+def test_repetition_stats_no_expand(spark):
+    """Both top-gram maxes ride one tagged explode + two-level agg; an
+    Expand (grouping-sets style multi-distinct) would double the shuffle."""
+    plan = plan_of(registry()["repetition_stats"].spark(spark, TEST_SF_DIR))
+    assert "Expand" not in plan, f"Expand reappeared:\n{plan}"
