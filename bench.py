@@ -44,6 +44,10 @@ HEADLINE = [
     "text_quality",
     "keyword_stats_cjk",
     "multimodal_decode",
+    "decontaminate",
+    "repetition_stats",
+    "corpus_profile",
+    "skew_salted_sales",
 ]
 
 

@@ -262,15 +262,23 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     rows; measured 3.1× wall time at sf0.1, 9.1s -> 2.9s, identical
     output).
     """
+    # Parse each of the 16 hex digits once into an array (4 signature bits
+    # share a digit); the 64 vote expressions are pure integer shifts over
+    # the parsed digits. Steady-state runtime matches the inline-substring
+    # form (codegen CSE already shared the parses) but the generated code is
+    # 4× smaller — first-run JIT compile measured ~1s faster at sf0.1.
     tok = df.select(
         F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("w")
-    ).select("doc", F.md5(F.col("w")).alias("h"))
+    ).select("doc", F.md5(F.col("w")).alias("h")).select(
+        "doc",
+        F.array(*[
+            F.instr(F.lit("0123456789abcdef"), F.substring(F.col("h"), d + 1, 1)) - 1
+            for d in range(16)
+        ]).alias("dg"),
+    )
 
     def vote(b: int) -> Column:
-        # hex digit holding bit b, as an int 0..15 (positions are constants,
-        # so each expression is a flat substring+instr over the digest)
-        digit = F.instr(F.lit("0123456789abcdef"), F.substring(F.col("h"), b // 4 + 1, 1)) - 1
-        bit = F.shiftright(digit, 3 - b % 4) % 2
+        bit = F.shiftright(F.element_at(F.col("dg"), b // 4 + 1), 3 - b % 4) % 2
         return bit * 2 - 1  # ±1 majority-vote contribution
 
     votes = tok.groupBy("doc").agg(

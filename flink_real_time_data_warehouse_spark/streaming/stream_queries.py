@@ -136,6 +136,108 @@ def session_stats_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(out, spark)
 
 
+@register(
+    "keyword_stats_stream",
+    oracle="""
+    SELECT word, count(*) AS keyword_ct, count(DISTINCT doc_id) AS doc_ct
+    FROM (
+      SELECT doc_id, unnest(string_split_regex(lower(text), ' +')) AS word
+      FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    doc=(
+        "A5+F9 via Structured Streaming in complete mode — the retracting "
+        "global keyword count the reference's KeywordStatsApp emits "
+        "(toRetractStream, C2); exact distinct docs via collect_set "
+        "(the HashSet-union trick); oracle = the batch keyword count"
+    ),
+)
+def keyword_stats_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipelines import run_to_memory as _rtm
+
+    docs = stream_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " +")).alias("word")
+    ).where(F.col("word") != "")
+    agg = words.groupBy("word").agg(
+        F.count("*").alias("keyword_ct"),
+        F.size(F.collect_set("doc_id")).cast("long").alias("doc_ct"),
+    )
+    return _rtm(agg, spark, output_mode="complete")
+
+
+@register(
+    "province_stats_stream",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT strftime(date_trunc('day', o.o_orderdate), '%Y-%m-%d %H:%M:%S') AS stt,
+             strftime(date_trunc('day', o.o_orderdate) + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS edt,
+             n.n_name AS nation_name,
+             r.r_name AS region_name,
+             count(DISTINCT l.l_orderkey) AS order_ct,
+             {sql_money_sum("l.l_extendedprice * (1 - l.l_discount)")} AS order_amount
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2, 3, 4
+    )
+    WHERE edt <= strftime((SELECT max(o_orderdate) - INTERVAL {WM_S} SECOND FROM orders),
+                          '%Y-%m-%d %H:%M:%S')
+    """,
+    doc=(
+        "A4+J3 via Structured Streaming: the orders stream joins the static "
+        "detail + broadcast dims (stream-static lookup), 1-day tumble on the "
+        "stream's event time in append mode; exact distinct orders via "
+        "collect_set per window; oracle = batch province_stats over "
+        "watermark-closed windows"
+    ),
+)
+def province_stats_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.money import cents
+    from ..operators.windows import TS_FMT
+    from ..streaming.pipelines import run_to_memory as _rtm
+
+    orders = (
+        stream_table(spark, sf_dir, "orders")
+        # parquet NTZ -> watermark-capable TIMESTAMP (session tz is UTC)
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+        .withWatermark("o_orderdate", f"{WM_S} second")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_c"),
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    joined = orders.join(li, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    agg = joined.groupBy(
+        F.window(F.col("o_orderdate"), "1 day").alias("win"), F.col("c_nationkey")
+    ).agg(
+        F.size(F.collect_set("l_orderkey")).cast("long").alias("order_ct"),
+        (F.sum("net_c") / F.lit(100.0)).alias("order_amount"),
+    )
+    out = (
+        agg.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.date_format("win.start", TS_FMT).alias("stt"),
+            F.date_format("win.end", TS_FMT).alias("edt"),
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+            "order_ct",
+            "order_amount",
+        )
+    )
+    return _rtm(out, spark)
+
+
 def _order_detail_stream_join(spark: SparkSession, sf_dir: str, lower: str, upper: str) -> DataFrame:
     """J1/J2 stream-stream interval join of the orders and lineitem streams.
 
