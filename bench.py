@@ -29,6 +29,8 @@ HEADLINE = [
     "visitor_stats",
     "keyword_stats",
     "top_customers",
+    "order_value_quantiles",
+    "running_gmv",
     "uv_daily",
     "bounce_events",
     "asof_click_attribution",

@@ -126,6 +126,160 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "top_parts_per_nation",
+    oracle=f"""
+    WITH sales AS (
+      SELECT c.c_nationkey AS nationkey, l.l_partkey AS partkey,
+             {sql_money_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT nationkey, partkey, revenue, rk FROM (
+      SELECT nationkey, partkey, revenue,
+             CAST(row_number() OVER (PARTITION BY nationkey
+                                     ORDER BY revenue DESC, partkey ASC) AS BIGINT) AS rk
+      FROM sales
+    ) WHERE rk <= 3
+    """,
+    doc=(
+        "per-group Top-N (the classic Flink 'hot items' shape, done with a "
+        "rank window instead of a keyed ProcessFunction + heap): aggregate "
+        "first, then rank within the group partition — the window runs over "
+        "(nation, part) aggregates, not detail rows, and Spark pushes the "
+        "rk<=3 limit into the window sort (WindowGroupLimit)"
+    ),
+)
+def top_parts_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    sales = (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nationkey"), F.col("l_partkey").alias("partkey"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    w = Window.partitionBy("nationkey").orderBy(F.col("revenue").desc(), F.col("partkey").asc())
+    return (
+        sales.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("nationkey", "partkey", "revenue", "rk")
+    )
+
+
+DORMANT_CUTOFF = "2001-01-01 00:00:00"
+
+
+@register(
+    "dormant_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '{DORMANT_CUTOFF}'
+    )
+    """,
+    doc=(
+        "anti join (NOT EXISTS): customers with no order since the cutoff — "
+        "the set-difference operator family. The date predicate is pushed to "
+        "the orders scan BEFORE the anti join (PushedFilters), and the join "
+        "plans hash-based (LeftAnti), never a correlated re-execution"
+    ),
+)
+def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    recent = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit(DORMANT_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    return cust.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "order_value_quantiles",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS order_ct,
+           CAST(quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS BIGINT) / 100.0 AS p50,
+           CAST(quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.9) AS BIGINT) / 100.0 AS p90,
+           CAST(quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.99) AS BIGINT) / 100.0 AS p99
+    FROM orders GROUP BY 1
+    """,
+    doc=(
+        "exact discrete quantiles (p50/p90/p99 order value per status) over "
+        "integer cents — percentile_disc picks an actual element, so the "
+        "result is engine-portable where interpolated percentile_cont floats "
+        "are not. Scale path: approx_percentile (t-digest) — same plan shape, "
+        "one pass, mergeable sketches instead of a per-group sort."
+    ),
+)
+def order_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderstatus", cents(F.col("o_totalprice")).alias("price_c")
+    )
+    return orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("order_ct"),
+        *[
+            (
+                F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY price_c)") / F.lit(100.0)
+            ).alias(name)
+            for q, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+        ],
+    )
+
+
+@register(
+    "running_gmv",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS gmv_c
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS dt,
+           gmv_c / 100.0 AS gmv,
+           CAST(sum(gmv_c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) / 100.0 AS cum_gmv
+    FROM daily
+    """,
+    doc=(
+        "cumulative daily GMV: exact-cents daily agg, then a running-total "
+        "window. The unbounded window runs over the AGGREGATED rows only "
+        "(365 rows/year — driver-scale), never over detail; cents stay "
+        "integer until the final display division"
+    ),
+)
+def running_gmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+            cents(F.col("o_totalprice")).alias("price_c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("price_c").alias("gmv_c"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("dt"),
+        (F.col("gmv_c") / F.lit(100.0)).alias("gmv"),
+        (F.sum("gmv_c").over(w).cast("long") / F.lit(100.0)).alias("cum_gmv"),
+    )
+
+
+@register(
     "skew_salted_sales",
     oracle=f"""
     SELECT c.c_nationkey AS nationkey,

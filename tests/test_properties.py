@@ -132,3 +132,52 @@ def test_simhash_banding_lossless(spark_global, texts):
                 if d <= 3:
                     brute.add((a, b, d))
     assert got == brute
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.text(alphabet="abc ", min_size=0, max_size=30), min_size=1, max_size=10))
+def test_repetition_stats_invariants(spark_global, texts):
+    """Structural invariants of the repetition metrics for arbitrary text:
+    counts bounded by token counts, fractions in (0, 1], undefined exactly
+    when the denominator is empty (incl. zero-token documents)."""
+    from flink_real_time_data_warehouse_spark.datapipe.curation import repetition_stats
+
+    spark = spark_global
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    for r in repetition_stats(df, "doc_id", "text").collect():
+        n = r["n_tokens"]
+        assert 0 <= r["top_token_ct"] <= n
+        assert 0 <= r["top_bigram_ct"] <= max(0, n - 1)
+        if n == 0:
+            assert r["distinct_frac"] is None and r["top_token_frac"] is None
+        else:
+            assert 0 < r["distinct_frac"] <= 1
+            assert 0 < r["top_token_frac"] <= 1
+        if n <= 1:
+            assert r["top_bigram_frac"] is None
+        else:
+            assert 0 < r["top_bigram_frac"] <= 1
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=50, unique=True))
+def test_train_split_matches_duckdb_buckets(spark_global, ids):
+    """The md5 hash-bucket must agree between Spark and the DuckDB hex-parse
+    formulation for arbitrary ids — the invariant train_split's oracle
+    rests on."""
+    from flink_real_time_data_warehouse_spark.datapipe.curation import hash_bucket
+
+    spark = spark_global
+    df = spark.createDataFrame([Row(doc_id=i) for i in ids])
+    sp = {r["doc_id"]: r["b"] for r in df.select("doc_id", hash_bucket(F.col("doc_id")).alias("b")).collect()}
+    con = duckdb.connect()
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    for i in ids:
+        got = con.execute(
+            f"SELECT ({terms}) % 100 FROM (SELECT md5('split:' || CAST(? AS VARCHAR)) AS h)",
+            [i],
+        ).fetchone()[0]
+        assert sp[i] == got
