@@ -125,3 +125,31 @@ def test_kafka_plan_construction(spark):
         brokers="localhost:9092", topic=None, checkpoint="/tmp/nope",
     )
     assert writer is not None  # plan constructed; start() needs the jar
+
+
+def test_top_per_group_has_window_group_limit(spark):
+    """Per-group Top-N must keep the WindowGroupLimit pushdown (map-side
+    top-k pruning before the group exchange) — losing it means sorting
+    every group's full contents at 100 TB."""
+    plan = plan_of(registry()["top_parts_per_nation"].spark(spark, TEST_SF_DIR))
+    assert "WindowGroupLimit" in plan, f"top-k pruning lost:\n{plan}"
+    assert "Partial" in plan.split("WindowGroupLimit")[1] or plan.count("WindowGroupLimit") >= 2
+
+
+def test_anti_join_is_hash_with_pushdown(spark):
+    """NOT EXISTS must plan as a hash LeftAnti (never a nested loop) with
+    the date predicate pushed into the probe-side scan."""
+    plan = plan_of(registry()["dormant_customers"].spark(spark, TEST_SF_DIR))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan, f"anti join degraded:\n{plan}"
+    # the orders scan (the build side under the BroadcastExchange) must carry
+    # the date predicate in its scan-level filters, before any join runs
+    orders_scan = plan[plan.index("BroadcastExchange"):]
+    assert "o_orderdate" in orders_scan.split("ReadSchema")[0], f"date filter not pushed:\n{plan}"
+
+
+def test_quantiles_aggregate_is_partial(spark):
+    """percentile_disc must run as a partial+final (mergeable) aggregate —
+    a single-node sort-based percentile would not scale."""
+    plan = plan_of(registry()["order_value_quantiles"].spark(spark, TEST_SF_DIR))
+    assert "partial_percentile_disc" in plan, f"percentile not map-side partial:\n{plan}"
