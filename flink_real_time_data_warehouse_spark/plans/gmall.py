@@ -414,6 +414,59 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# visitor_stats_sliding — HOP (sliding) windows, the Flink windowing surface
+# the reference's apps don't use but every Flink deployment has
+# (SlidingEventTimeWindows / SQL HOP). 1-hour window sliding every 30 min:
+# each event belongs to exactly size/slide = 2 windows. Spark expresses it
+# natively: F.window(ts, size, slide) — the window assignment explodes
+# map-side and the agg shuffles on the (window, key) hash, same as tumble.
+# Oracle: each event contributes to time_bucket(30min, ts) and the bucket
+# 30 min earlier (both always cover ts when size = 2 x slide).
+# ---------------------------------------------------------------------------
+SLIDE_ORACLE_BODY = f"""
+    WITH w AS (
+      SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws,
+             user_id, value
+      FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(ws + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS edt,
+           count(*) AS event_ct,
+           count(DISTINCT user_id) AS uv_ct,
+           {sql_money_sum('value')} AS dur_sum
+    FROM w GROUP BY 1, 2
+    """
+
+
+@register(
+    "visitor_stats_sliding",
+    oracle=SLIDE_ORACLE_BODY,
+    doc=(
+        "HOP/sliding windows (SlidingEventTimeWindows, SQL HOP — Flink core "
+        "windowing beyond the reference's TUMBLE-only apps): 1 h window, "
+        "30 min slide via F.window(ts, size, slide); assignment explodes "
+        "map-side (size/slide = 2 rows per event), agg shuffles on the "
+        "(window, key) hash like tumble"
+    ),
+)
+def visitor_stats_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import TS_FMT
+
+    ev = table(spark, sf_dir, "events")
+    g = ev.groupBy(F.window(F.col("ts"), "1 hour", "30 minutes").alias("win")).agg(
+        F.count("*").alias("event_ct"),
+        F.countDistinct("user_id").alias("uv_ct"),
+        money_sum(F.col("value")).alias("dur_sum"),
+    )
+    return g.select(
+        F.date_format("win.start", TS_FMT).alias("stt"),
+        F.date_format("win.end", TS_FMT).alias("edt"),
+        "event_ct", "uv_ct", "dur_sum",
+    )
+
+
+# ---------------------------------------------------------------------------
 # uv_daily — SURVEY §2.6 T2 (UniqueVisitApp.java:53-102): keyed 24h-TTL state
 # keeps each visitor's first visit per day. Batch formulation: min per
 # (user, day).

@@ -22,6 +22,7 @@ from ..plans.gmall import (
     ORDER_WIDE_ORACLE,
     PAYMENT_WIDE_ORACLE,
     SESSION_STATS_ORACLE_BODY,
+    SLIDE_ORACLE_BODY,
     order_wide_select,
     payment_wide_agg,
 )
@@ -134,6 +135,39 @@ def session_stats_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.count("*").alias("event_ct"), money_sum(F.col("value")).alias("dur_sum")],
     )
     return run_to_memory(out, spark)
+
+
+@register(
+    "visitor_stats_sliding_stream",
+    oracle=f"""
+    SELECT * FROM ({SLIDE_ORACLE_BODY})
+    WHERE edt <= strftime((SELECT max(ts) - INTERVAL {WM_S} SECOND FROM events),
+                          '%Y-%m-%d %H:%M:%S')
+    """,
+    doc=(
+        "HOP windows via Structured Streaming: watermark + F.window(size, "
+        "slide) in append mode — overlapping windows finalize independently "
+        "as the watermark passes each end; exact distinct via collect_set; "
+        "oracle = batch sliding agg over watermark-closed windows"
+    ),
+)
+def visitor_stats_sliding_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.money import money_sum
+    from ..operators.windows import TS_FMT
+    from ..streaming.pipelines import run_to_memory as _rtm
+
+    ev = stream_table(spark, sf_dir, "events").withWatermark("ts", f"{WM_S} second")
+    g = ev.groupBy(F.window(F.col("ts"), "1 hour", "30 minutes").alias("win")).agg(
+        F.count("*").alias("event_ct"),
+        F.size(F.collect_set("user_id")).cast("long").alias("uv_ct"),
+        money_sum(F.col("value")).alias("dur_sum"),
+    )
+    out = g.select(
+        F.date_format("win.start", TS_FMT).alias("stt"),
+        F.date_format("win.end", TS_FMT).alias("edt"),
+        "event_ct", "uv_ct", "dur_sum",
+    )
+    return _rtm(out, spark)
 
 
 @register(
