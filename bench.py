@@ -47,6 +47,8 @@ HEADLINE = [
     "keyword_stats_cjk",
     "multimodal_decode",
     "decontaminate",
+    "dedup_clusters",
+    "pack_sequences",
     "repetition_stats",
     "corpus_profile",
     "skew_salted_sales",

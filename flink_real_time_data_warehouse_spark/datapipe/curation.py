@@ -221,3 +221,51 @@ def corpus_profile(df: DataFrame, id_col: str, text_col: str, group_col: str) ->
         F.sum("_n").cast("long").alias("token_total"),
         (F.sum("_q") / F.count("*")).alias("avg_quality"),
     )
+
+
+PACK_BUDGET = 2000  # tokens per training shard
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    budget: int = PACK_BUDGET,
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed token-budget training
+    shards — contiguous binning by running token count within each group.
+
+    chunk = (cumulative tokens before this doc) div budget, over a
+    deterministic (group, id) order. Pure integer arithmetic, so any engine
+    derives the identical packing from the same ids — re-runs and backfills
+    produce the same shards.
+
+    Scale shape: the running sum is a window PARTITIONED BY the group
+    column (source/split/shard key) — each group's window sorts only its
+    own rows, no global single-partition sort. At 100 TB you pack within
+    (split, source-shard) partitions exactly like this; a global packing
+    order would serialize the corpus through one task and is deliberately
+    not offered.
+    """
+    from pyspark.sql import Window
+
+    t = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("grp"),
+        F.size(t).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        F.col(id_col),
+        "grp",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        cum.cast("long").alias("cum_tokens"),
+        ((cum - F.col("n_tokens")) / budget).cast("long").alias("chunk_id"),
+    )

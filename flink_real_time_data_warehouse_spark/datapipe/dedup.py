@@ -294,3 +294,76 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     hi = sum(hi_terms[1:], hi_terms[0]).cast("long")
     lo = sum(lo_terms[1:], lo_terms[0]).cast("long")
     return votes.select("doc", hi.alias("sig_hi"), lo.alias("sig_lo"))
+
+
+def connected_components(
+    vertices: DataFrame, pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over near-dup
+    pairs by iterative min-label propagation.
+
+    Pair-level dedup is not enough at scale — near-dup relations chain
+    (A~B, B~C but A!~C), and a pipeline must keep ONE document per
+    transitive cluster. This is the classic MapReduce/Pregel min-label
+    algorithm: every vertex starts labeled with its own id; each round a
+    vertex takes the min of its label and its neighbors' labels; fixpoint
+    = components labeled by their min vertex id.
+
+    vertices: one column `v` (ids); pairs: columns (doc_a, doc_b).
+    Returns (v, cluster_id) for every vertex (singletons label themselves).
+
+    Scale shape: per round one equi-join on vertex id + one groupBy(min) —
+    both shuffle on the id key. Rounds needed = component diameter; dup
+    clusters are near-cliques (diameter 1-2), so 2-3 rounds in practice.
+    The convergence check is one count() per round (a driver action, but
+    over a 2-column frame); lineage is cut with localCheckpoint so plans
+    don't grow with iterations. A general-graph production job would run
+    the same semantics on GraphFrames'/Pregel machinery.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = vertices.select(F.col("v"), F.col("v").alias("lbl")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # candidate label for dst = min label among its neighbors
+        from_nbr = (
+            edges.join(labels, edges.src == labels.v)
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(from_nbr, "v", "left")
+            .select("v", F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("v", F.col("lbl").alias("cluster_id"))
+
+
+def dedup_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The full dedup endgame: MinHash+LSH candidate pairs -> transitive
+    duplicate clusters -> keeper = min doc id per cluster.
+
+    Returns (doc_id, cluster_id, is_keeper) for every document; documents
+    with no near-dup form singleton clusters of themselves.
+    """
+    sig = minhash_signatures(df, id_col, text_col)
+    pairs = lsh_candidate_pairs(sig)
+    verts = df.select(F.col(id_col).alias("v"))
+    comp = connected_components(verts, pairs)
+    return comp.select(
+        F.col("v").alias(id_col),
+        F.col("cluster_id"),
+        (F.col("v") == F.col("cluster_id")).cast("int").alias("is_keeper"),
+    )

@@ -23,10 +23,12 @@ from ..datapipe.dedup import (
     simhash_signatures,
 )
 from ..datapipe.curation import (
+    PACK_BUDGET,
     TRAIN_PCT,
     VAL_PCT,
     corpus_profile,
     decontaminate,
+    pack_sequences,
     repetition_stats,
     train_split,
 )
@@ -203,6 +205,41 @@ def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..datapipe.dedup import simhash_near_dup_pairs
 
     return simhash_near_dup_pairs(table(spark, sf_dir, "documents"), "doc_id", "text", 3)
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_cand_ctes()},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION SELECT doc_b, doc_a FROM cand
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id
+    )
+    SELECT id AS doc_id, min(lbl) AS cluster_id,
+           CASE WHEN id = min(lbl) THEN 1 ELSE 0 END AS is_keeper
+    FROM reach GROUP BY id
+    """,
+    doc=(
+        "the dedup endgame: transitive duplicate CLUSTERS over MinHash+LSH "
+        "pairs (near-dup relations chain: A~B~C must collapse together), via "
+        "iterative min-label propagation — per round one id-keyed join + one "
+        "min-agg, rounds = component diameter (near-cliques: 2-3); keeper = "
+        "min doc per cluster. Oracle: recursive-CTE transitive closure"
+    ),
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.dedup import dedup_clusters
+
+    out = dedup_clusters(table(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        F.col("doc_id").cast("long"), F.col("cluster_id").cast("long"),
+        F.col("is_keeper").cast("int"),
+    )
 
 
 @register(
@@ -520,6 +557,30 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH {TOKS_CTE},
+    c AS (SELECT doc_id, d.source AS grp, len(l) AS n
+          FROM toks JOIN documents d USING (doc_id))
+    SELECT doc_id, grp,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(sum(n) OVER w AS BIGINT) AS cum_tokens,
+           CAST((sum(n) OVER w - n) // {PACK_BUDGET} AS BIGINT) AS chunk_id
+    FROM c
+    WINDOW w AS (PARTITION BY grp ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+    """,
+    doc=(
+        "sequence packing: documents binned into fixed token-budget training "
+        "shards by running token count within each source group — windows "
+        "partition by the group key (never a global single-partition sort); "
+        "pure integer arithmetic so packing is reproducible on any engine"
+    ),
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(table(spark, sf_dir, "documents"), "doc_id", "text", "source")
 
 
 @register(

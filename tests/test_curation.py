@@ -113,3 +113,42 @@ def test_repetition_stats_no_expand(spark):
     Expand (grouping-sets style multi-distinct) would double the shuffle."""
     plan = plan_of(registry()["repetition_stats"].spark(spark, TEST_SF_DIR))
     assert "Expand" not in plan, f"Expand reappeared:\n{plan}"
+
+
+def test_connected_components_chain_collapses(spark):
+    """A~B and B~C must land in ONE cluster even though A!~C directly —
+    the transitive closure pair-level dedup misses."""
+    from flink_real_time_data_warehouse_spark.datapipe.dedup import connected_components
+
+    verts = spark.createDataFrame([(i,) for i in range(1, 7)], ["v"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], ["doc_a", "doc_b"]
+    )  # chain {1,2,3}, pair {4,5}, singleton {6}
+    out = {r["v"]: r["cluster_id"] for r in connected_components(verts, pairs).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[4] == out[5] == 4
+    assert out[6] == 6
+
+
+def test_pack_sequences_budget_and_contiguity(spark):
+    from flink_real_time_data_warehouse_spark.datapipe.curation import (
+        PACK_BUDGET,
+        pack_sequences,
+    )
+
+    docs = table(spark, TEST_SF_DIR, "documents")
+    rows = pack_sequences(docs, "doc_id", "text", "source").collect()
+    by_grp: dict = {}
+    for r in rows:
+        by_grp.setdefault(r["grp"], []).append(r)
+    for grp, rs in by_grp.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        chunks = [r["chunk_id"] for r in rs]
+        # chunk ids start at 0 and never decrease along the packing order
+        assert chunks[0] == 0
+        assert all(b - a in (0, 1) or b == a for a, b in zip(chunks, chunks[1:]))
+        # a new chunk starts exactly when the running total crosses the budget:
+        # every doc's pre-sum fits the declared chunk
+        for r in rs:
+            pre = r["cum_tokens"] - r["n_tokens"]
+            assert r["chunk_id"] == pre // PACK_BUDGET
