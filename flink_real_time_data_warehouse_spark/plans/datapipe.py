@@ -69,9 +69,12 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def _minhash_cand_ctes() -> str:
     """Shared DuckDB CTE chain: shingles -> MinHash sigs -> LSH bands ->
-    candidate pairs (mirrors datapipe/dedup.py exactly)."""
+    candidate pairs (mirrors datapipe/dedup.py exactly, including the
+    sliced-md5 hash family)."""
+    from ..datapipe.dedup import sql_minhash_hash
+
     sig_cols = ", ".join(
-        f"min(md5('{i}:' || s)) AS sig_{i}" for i in range(NUM_HASHES)
+        f"min({sql_minhash_hash(i, 's')}) AS sig_{i}" for i in range(NUM_HASHES)
     )
     rows = NUM_HASHES // LSH_BANDS
     band_selects = []
