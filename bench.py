@@ -52,6 +52,8 @@ HEADLINE = [
     "repetition_stats",
     "corpus_profile",
     "skew_salted_sales",
+    "mixture_sample",
+    "source_quota_sample",
 ]
 
 

@@ -34,6 +34,7 @@ from .quality import EN_STOPWORDS
 SPLIT_BUCKETS = 100
 TRAIN_PCT = 80  # buckets [0,80) train, [80,90) val, [90,100) test
 VAL_PCT = 10
+PPM = 1_000_000  # sampling-coin resolution: parts-per-million
 
 
 def hash_bucket(id_col: Column, n_buckets: int = SPLIT_BUCKETS, salt: str = "split") -> Column:
@@ -71,6 +72,70 @@ def train_split(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def sample_coin_ppm(id_col: Column, salt: str = "sample") -> Column:
+    """Deterministic uniform draw in [0, PPM) per id — the per-row coin every
+    sampling operator shares. A pure function of (salt, id): re-runs,
+    re-partitionings, and other engines reproduce the same draw, which
+    rand()/TABLESAMPLE cannot promise. Different salts give independent
+    coins, so stacked sampling stages don't correlate.
+    """
+    return hash_bucket(id_col, PPM, salt)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    rates_ppm: dict[str, int],
+    default_ppm: int = PPM,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-group Bernoulli downsampling with deterministic coins — the
+    mixture-weighting step of a training-data pipeline (keep p_g of each
+    source/language g to hit a target corpus composition).
+
+    Rates are integer parts-per-million so the threshold compare is exact
+    integer arithmetic on every engine (no float rate drift). Returns
+    (id, group, u_ppm) for kept rows.
+
+    Scale shape: a pure per-row filter — zero shuffle, fully pushed into
+    the scan's projection, trivially parallel at 100 TB. Sampling BEFORE
+    heavy downstream stages (dedup, tokenize) is the main cost lever a
+    pipeline has; this operator keeps that lever shuffle-free.
+    """
+    u = sample_coin_ppm(F.col(id_col), salt)
+    thr: Column | None = None
+    for g, ppm in rates_ppm.items():
+        cond = F.col(group_col) == g
+        thr = F.when(cond, ppm) if thr is None else thr.when(cond, ppm)
+    thr_col = F.lit(default_ppm) if thr is None else thr.otherwise(default_ppm)
+    return df.select(
+        F.col(id_col), F.col(group_col), u.cast("long").alias("u_ppm")
+    ).where(F.col("u_ppm") < thr_col)
+
+
+def group_quota_sample(
+    df: DataFrame, id_col: str, group_col: str, cap: int, salt: str = "quota"
+) -> DataFrame:
+    """Cap documents per group at `cap`, keeping a uniform deterministic
+    subset (order by hash coin, tie-break by id) — the per-source quota /
+    oversampled-domain cap of a corpus mixer.
+
+    Returns (id, group, u_ppm, rk) for the kept rows, rk in [1, cap].
+
+    Scale shape: rank-within-group with a rank<=k predicate plans as
+    WindowGroupLimit in Spark 3.5+ — each map task keeps only its local
+    top-cap per group before the shuffle, so the exchange carries
+    O(groups x cap) rows, not the whole table. No global sort anywhere.
+    """
+    from pyspark.sql import Window
+
+    u = sample_coin_ppm(F.col(id_col), salt)
+    base = df.select(F.col(id_col), F.col(group_col), u.cast("long").alias("u_ppm"))
+    w = Window.partitionBy(group_col).orderBy("u_ppm", id_col)
+    return base.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= cap)
 
 
 def decontaminate(

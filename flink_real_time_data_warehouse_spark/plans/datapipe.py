@@ -24,12 +24,15 @@ from ..datapipe.dedup import (
 )
 from ..datapipe.curation import (
     PACK_BUDGET,
+    PPM,
     TRAIN_PCT,
     VAL_PCT,
     corpus_profile,
     decontaminate,
+    group_quota_sample,
     pack_sequences,
     repetition_stats,
+    stratified_sample,
     train_split,
 )
 from ..datapipe.multimodal import assets_from_documents, decode_assets
@@ -499,6 +502,65 @@ _BUCKET = _hex_n("md5('split:' || CAST(doc_id AS VARCHAR))", 8) + " % 100"
 )
 def train_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_split(table(spark, sf_dir, "documents"), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Mixture sampling: downweight the dominant language, keep the rest whole.
+MIX_RATES_PPM = {"en": 250_000, "de": 500_000, "es": 500_000, "fr": 500_000, "zh": PPM}
+QUOTA_CAP = 15  # per-source document cap for the quota query
+
+
+def _coin(salt: str) -> str:
+    """DuckDB mirror of curation.sample_coin_ppm: first 8 md5 hex chars of
+    '<salt>:<id>' parsed to an integer, mod 1e6."""
+    return _hex_n(f"md5('{salt}:' || CAST(doc_id AS VARCHAR))", 8) + f" % {PPM}"
+
+
+@register(
+    "mixture_sample",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, lang, CAST({_coin("sample")} AS BIGINT) AS u_ppm
+               FROM documents)
+    SELECT doc_id, lang, u_ppm FROM u
+    WHERE u_ppm < CASE lang WHEN 'en' THEN {MIX_RATES_PPM["en"]}
+                            WHEN 'de' THEN {MIX_RATES_PPM["de"]}
+                            WHEN 'es' THEN {MIX_RATES_PPM["es"]}
+                            WHEN 'fr' THEN {MIX_RATES_PPM["fr"]}
+                            WHEN 'zh' THEN {MIX_RATES_PPM["zh"]}
+                            ELSE {PPM} END
+    """,
+    doc=(
+        "training-mixture sampling: per-language Bernoulli keep rates as "
+        "integer ppm thresholds on a deterministic md5 coin — pure per-row "
+        "filter, zero shuffle, reproducible across engines (unlike rand())"
+    ),
+)
+def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_sample(
+        table(spark, sf_dir, "documents"), "doc_id", "lang", MIX_RATES_PPM
+    )
+
+
+@register(
+    "source_quota_sample",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, source, CAST({_coin("quota")} AS BIGINT) AS u_ppm
+               FROM documents),
+    r AS (SELECT doc_id, source, u_ppm,
+                 row_number() OVER (PARTITION BY source ORDER BY u_ppm, doc_id) AS rk
+          FROM u)
+    SELECT doc_id, source, u_ppm, CAST(rk AS INT) AS rk FROM r WHERE rk <= {QUOTA_CAP}
+    """,
+    doc=(
+        "per-source quota: cap each source at N docs, chosen by hash-coin "
+        "order — rank<=k plans as WindowGroupLimit (map-side partial top-k), "
+        "shuffle carries O(sources x cap) rows"
+    ),
+)
+def source_quota_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return group_quota_sample(
+        table(spark, sf_dir, "documents"), "doc_id", "source", QUOTA_CAP
+    )
 
 
 @register(

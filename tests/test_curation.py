@@ -10,7 +10,9 @@ from pyspark.sql import functions as F
 
 from flink_real_time_data_warehouse_spark.datapipe.curation import (
     decontaminate,
+    group_quota_sample,
     repetition_stats,
+    stratified_sample,
     train_split,
 )
 from flink_real_time_data_warehouse_spark.queries import registry
@@ -113,6 +115,59 @@ def test_repetition_stats_no_expand(spark):
     Expand (grouping-sets style multi-distinct) would double the shuffle."""
     plan = plan_of(registry()["repetition_stats"].spark(spark, TEST_SF_DIR))
     assert "Expand" not in plan, f"Expand reappeared:\n{plan}"
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    docs = table(spark, TEST_SF_DIR, "documents")
+    rates = {"en": 250_000, "zh": 1_000_000}
+    kept = stratified_sample(docs, "doc_id", "lang", rates, default_ppm=0)
+    rows = kept.collect()
+    # only the two rated languages can survive (default rate 0)
+    assert {r["lang"] for r in rows} <= {"en", "zh"}
+    by_lang = {r["lang"]: r["ct"] for r in
+               kept.groupBy("lang").agg(F.count("*").alias("ct")).collect()}
+    totals = {r["lang"]: r["ct"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("ct")).collect()}
+    # zh rate is 1.0: every zh doc kept; en rate 0.25: binomial bounds
+    assert by_lang.get("zh", 0) == totals["zh"]
+    en_frac = by_lang.get("en", 0) / totals["en"]
+    assert 0.05 < en_frac < 0.5
+    # deterministic: the same ids survive a re-run on reshuffled input
+    again = stratified_sample(
+        docs.repartition(5), "doc_id", "lang", rates, default_ppm=0
+    ).collect()
+    assert {r["doc_id"] for r in rows} == {r["doc_id"] for r in again}
+
+
+def test_stratified_sample_plan_has_no_shuffle(spark):
+    """Mixture sampling is a pure per-row filter — any Exchange is a
+    regression (it runs over the FULL corpus before every other stage)."""
+    plan = plan_of(registry()["mixture_sample"].spark(spark, TEST_SF_DIR))
+    assert "Exchange" not in plan, f"sampling plan shuffles:\n{plan}"
+
+
+def test_group_quota_cap_and_uniformity(spark):
+    docs = table(spark, TEST_SF_DIR, "documents")
+    capped = group_quota_sample(docs, "doc_id", "source", cap=5)
+    per_src = {r["source"]: r["ct"] for r in
+               capped.groupBy("source").agg(F.count("*").alias("ct")).collect()}
+    totals = {r["source"]: r["ct"] for r in
+              docs.groupBy("source").agg(F.count("*").alias("ct")).collect()}
+    for src, total in totals.items():
+        assert per_src.get(src, 0) == min(5, total)
+    # independent coin from the split salt: the kept set is not just the
+    # lowest doc_ids (hash order, not id order)
+    kept_ids = sorted(r["doc_id"] for r in capped.where(F.col("source") == "src0").collect())
+    lowest = sorted(r["doc_id"] for r in
+                    docs.where(F.col("source") == "src0").orderBy("doc_id").limit(5).collect())
+    assert kept_ids != lowest
+
+
+def test_group_quota_plan_is_window_group_limit(spark):
+    """rank<=cap must plan as WindowGroupLimit so the shuffle carries only
+    O(groups x cap) rows at scale, not the whole table."""
+    plan = plan_of(registry()["source_quota_sample"].spark(spark, TEST_SF_DIR))
+    assert "WindowGroupLimit" in plan, f"quota lost its group-limit pushdown:\n{plan}"
 
 
 def test_connected_components_chain_collapses(spark):
