@@ -54,6 +54,7 @@ HEADLINE = [
     "skew_salted_sales",
     "mixture_sample",
     "source_quota_sample",
+    "pii_scrub",
 ]
 
 

@@ -90,6 +90,43 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# PII scrub patterns — restricted to the regex subset Java (Spark) and RE2
+# (DuckDB) evaluate identically: character classes, +, bounded repetition.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL = r"https?://[^\s]+"
+PII_LONGNUM = r"[0-9]{7,}"
+
+
+def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact emails, URLs, and long digit runs (phone/account numbers)
+    from a text column; report per-document redaction counts.
+
+    Order matters and is fixed: URLs first (an email- or number-shaped
+    substring inside a URL belongs to the URL), then emails, then digit
+    runs — each pattern is counted against the text state it is replaced
+    in, so counts always equal the number of substitutions made.
+
+    Scale shape: pure per-row regexp expressions (JVM-side, whole-stage
+    codegen) — zero shuffle, runs in the scan projection. This is the
+    compliance pass a pipeline applies to the FULL corpus before anything
+    else, so it must not cost more than the scan itself.
+    """
+    raw = F.col(text_col)
+    url_ct = F.regexp_count(raw, F.lit(PII_URL))
+    t1 = F.regexp_replace(raw, PII_URL, "<URL>")
+    email_ct = F.regexp_count(t1, F.lit(PII_EMAIL))
+    t2 = F.regexp_replace(t1, PII_EMAIL, "<EMAIL>")
+    num_ct = F.regexp_count(t2, F.lit(PII_LONGNUM))
+    t3 = F.regexp_replace(t2, PII_LONGNUM, "<NUM>")
+    return df.select(
+        F.col(id_col),
+        url_ct.cast("long").alias("url_ct"),
+        email_ct.cast("long").alias("email_ct"),
+        num_ct.cast("long").alias("num_ct"),
+        t3.alias("scrubbed"),
+    )
+
+
 def fingerprints(df: DataFrame, id_col: str, text_col: str, prefix_tokens: int = 8) -> DataFrame:
     """Content fingerprints: full-text digest of normalized text + digest of
     the first `prefix_tokens` tokens (a cheap rolling-hash stand-in that

@@ -401,6 +401,68 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# PII scrub. The fixture corpus contains no PII-shaped strings, so the graded
+# query plants them deterministically from doc_id (every 3rd doc gains an
+# email, a URL, and a 10-digit number) with the SAME expression on both
+# engines — the scrub then has real work to do and nonzero counts to match.
+_PII_AUG_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com via https://ex.org/d/' || CAST(doc_id AS VARCHAR)"
+    " || '?s=1 ref ' || CAST(doc_id + 1000000000 AS VARCHAR) ELSE text END"
+)
+
+
+def _pii_aug_col() -> F.Column:
+    did = F.col("doc_id")
+    return F.when(
+        did % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            did.cast("string"),
+            F.lit("@example.com via https://ex.org/d/"),
+            did.cast("string"),
+            F.lit("?s=1 ref "),
+            (did + 1_000_000_000).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS url_ct,
+           CAST(len(regexp_extract_all(
+                 regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS email_ct,
+           CAST(len(regexp_extract_all(
+                 regexp_replace(regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+                                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                 '[0-9]{{7,}}')) AS BIGINT) AS num_ct,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             '[0-9]{{7,}}', '<NUM>', 'g') AS scrubbed
+    FROM aug
+    """,
+    doc=(
+        "PII redaction pass: emails/URLs/long digit runs replaced with typed "
+        "placeholders + per-doc counts; pure per-row regexp in the scan "
+        "projection (zero shuffle). Patterns restricted to the Java/RE2 "
+        "common regex subset so both engines substitute identically"
+    ),
+)
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.quality import scrub_pii
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", _pii_aug_col().alias("text"))
+    return scrub_pii(docs, "doc_id", "text")
+
+
 @register(
     "text_quality",
     oracle=f"""

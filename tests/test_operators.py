@@ -99,6 +99,41 @@ def test_text_quality_zero_token_doc(spark):
     assert rows[3]["quality_score"] is not None
 
 
+def test_scrub_pii_hand_computed(spark):
+    """Redaction order pins ownership: an email or digit run inside a URL
+    is the URL's, never double-counted; counts equal substitutions made."""
+    from flink_real_time_data_warehouse_spark.datapipe.quality import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="mail a@b.co or https://x.io/a@b.co?id=12345678 ref 99887766"),
+            Row(doc_id=2, text="plain text, short num 123"),
+            Row(doc_id=3, text="two mails a@b.co c@d.org"),
+        ]
+    )
+    rows = {r["doc_id"]: r for r in scrub_pii(docs, "doc_id", "text").collect()}
+    r1 = rows[1]
+    # the URL swallows its embedded email and digit run
+    assert (r1["url_ct"], r1["email_ct"], r1["num_ct"]) == (1, 1, 1)
+    assert r1["scrubbed"] == "mail <EMAIL> or <URL> ref <NUM>"
+    assert (rows[2]["url_ct"], rows[2]["email_ct"], rows[2]["num_ct"]) == (0, 0, 0)
+    assert rows[2]["scrubbed"] == "plain text, short num 123"
+    assert rows[3]["email_ct"] == 2
+    assert rows[3]["scrubbed"] == "two mails <EMAIL> <EMAIL>"
+
+
+def test_pii_scrub_plan_has_no_shuffle(spark):
+    """The scrub runs over the FULL corpus before any other stage — it must
+    stay a per-row projection on the scan (any Exchange is a regression)."""
+    from flink_real_time_data_warehouse_spark.queries import registry
+
+    from .conftest import TEST_SF_DIR
+    from .test_plan_shape import plan_of
+
+    plan = plan_of(registry()["pii_scrub"].spark(spark, TEST_SF_DIR))
+    assert "Exchange" not in plan, f"scrub plan shuffles:\n{plan}"
+
+
 def test_bounce_timeout_gap_guard(spark):
     """The batch/stream CEP reduction is only valid for timeout <= gap;
     both constructors must refuse the invalid configuration."""
