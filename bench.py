@@ -55,6 +55,8 @@ HEADLINE = [
     "mixture_sample",
     "source_quota_sample",
     "pii_scrub",
+    "frame_sample",
+    "audio_chunks",
 ]
 
 

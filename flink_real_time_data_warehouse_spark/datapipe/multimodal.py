@@ -83,6 +83,124 @@ def fake_decode(payload: bytes) -> tuple[int, int, int, str]:
     return width, height, n_frames, h
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("ts_ms", LongType(), False),
+        StructField("frame_hash", StringType(), False),
+    ]
+)
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("chunk_idx", IntegerType(), False),
+        StructField("start_ms", LongType(), False),
+        StructField("end_ms", LongType(), False),
+        StructField("chunk_hash", StringType(), False),
+    ]
+)
+
+FAKE_FPS = 10  # fake decoder: every video frame covers 100 ms
+FAKE_MS_PER_BYTE = 2  # fake decoder: audio duration = byte_len * 2 ms
+
+
+def sample_frames(assets: DataFrame, every_k: int = 4, n_partitions: int | None = None) -> DataFrame:
+    """Video frame sampling: one output row per k-th frame of each video
+    asset — the expansion step before per-frame feature extraction.
+
+    A real deployment decodes frames from the payload inside the batch
+    loop; here the frame count and per-frame digest come from the
+    deterministic fake decoder (n_frames = fake_decode(payload), frame_hash
+    = md5(digest ':' idx)) so the expansion plumbing — row blowup inside
+    Arrow batches, typed output schema, byte-budget partitioning — is fully
+    real and the result is engine-checkable.
+
+    Scale shape: filter to media_type='video' BEFORE the Python transfer
+    (column pruning drops the payload for non-video rows at the scan), and
+    the blowup happens inside the Python worker — the shuffle moves one row
+    per asset, not per frame.
+    """
+    sized = _sized_by_bytes(assets.where(F.col("media_type") == "video"), n_partitions)
+    out_cols = [f.name for f in FRAME_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                h = hashlib.md5(bytes(payload) if payload is not None else b"").hexdigest()
+                n_frames = 1 + int(h[8:12], 16) % 32
+                for idx in range(0, n_frames, every_k):
+                    out.append(
+                        {
+                            "asset_id": aid,
+                            "frame_idx": idx,
+                            "ts_ms": idx * (1000 // FAKE_FPS),
+                            "frame_hash": hashlib.md5(f"{h}:{idx}".encode()).hexdigest(),
+                        }
+                    )
+            yield _pd.DataFrame(out, columns=out_cols)
+
+    return sized.mapInPandas(run, FRAME_SCHEMA)
+
+
+def chunk_audio(assets: DataFrame, chunk_ms: int = 1000, n_partitions: int | None = None) -> DataFrame:
+    """Audio chunking: split each audio asset into fixed-duration windows —
+    the segmentation step before transcription/feature extraction.
+
+    Duration comes from the fake decoder (byte_len × 2 ms); a real codec
+    replaces that one line. The last chunk is clipped to the asset's end.
+    Same scale shape as sample_frames: pre-filter to audio, expand inside
+    the Python worker.
+    """
+    sized = _sized_by_bytes(assets.where(F.col("media_type") == "audio"), n_partitions)
+    out_cols = [f.name for f in CHUNK_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                h = hashlib.md5(raw).hexdigest()
+                duration_ms = len(raw) * FAKE_MS_PER_BYTE
+                n_chunks = (duration_ms + chunk_ms - 1) // chunk_ms
+                for idx in range(n_chunks):
+                    start = idx * chunk_ms
+                    out.append(
+                        {
+                            "asset_id": aid,
+                            "chunk_idx": idx,
+                            "start_ms": start,
+                            "end_ms": min(start + chunk_ms, duration_ms),
+                            "chunk_hash": hashlib.md5(f"{h}:{idx}".encode()).hexdigest(),
+                        }
+                    )
+            yield _pd.DataFrame(out, columns=out_cols)
+
+    return sized.mapInPandas(run, CHUNK_SCHEMA)
+
+
+def _sized_by_bytes(
+    assets: DataFrame, n_partitions: int | None, byte_budget_mb: int = 64
+) -> DataFrame:
+    """Shared byte-budget repartition before an Arrow transfer (see
+    decode_assets for the rationale: file-level statistics, never a data
+    pass)."""
+    if n_partitions is None:
+        est_bytes = _input_file_bytes(assets) * 4
+        n_partitions = max(1, est_bytes // (byte_budget_mb * 1024 * 1024) + 1)
+    return assets.repartition(n_partitions, "asset_id")
+
+
 def _input_file_bytes(df: DataFrame) -> int:
     """Total on-disk bytes of the DataFrame's input files — plan metadata
     only (file listing), never a Spark job over the data."""
@@ -110,10 +228,7 @@ def decode_assets(
     know better (e.g. post-filter selectivity) pass `n_partitions`. Uses
     the fake decoder; swap `fake_decode` for a real codec in production.
     """
-    if n_partitions is None:
-        est_bytes = _input_file_bytes(assets) * 4
-        n_partitions = max(1, est_bytes // (byte_budget_mb * 1024 * 1024) + 1)
-    sized = assets.repartition(n_partitions, "asset_id")
+    sized = _sized_by_bytes(assets, n_partitions, byte_budget_mb)
 
     out_cols = [f.name for f in DECODED_SCHEMA.fields]
 

@@ -756,3 +756,59 @@ def corpus_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = assets_from_documents(table(spark, sf_dir, "documents"))
     return decode_assets(assets)
+
+
+@register(
+    "frame_sample",
+    oracle=f"""
+    WITH v AS (SELECT doc_id AS asset_id, md5(text) AS h,
+                      1 + {_hex4('substr(md5(text), 9, 4)')} % 32 AS n_frames
+               FROM documents WHERE doc_id % 3 = 2),
+    fr AS (SELECT asset_id, h, unnest(range(0, n_frames, 4)) AS frame_idx FROM v)
+    SELECT asset_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(frame_idx * 100 AS BIGINT) AS ts_ms,
+           md5(h || ':' || CAST(frame_idx AS VARCHAR)) AS frame_hash
+    FROM fr
+    """,
+    doc=(
+        "video frame sampling: every 4th frame of each video asset expands "
+        "to a row inside the Arrow batch (shuffle moves one row per asset, "
+        "not per frame); frame count/digest from the deterministic fake "
+        "decoder — swap one line for a real codec"
+    ),
+)
+def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.multimodal import sample_frames
+
+    assets = assets_from_documents(table(spark, sf_dir, "documents"))
+    return sample_frames(assets, every_k=4)
+
+
+@register(
+    "audio_chunks",
+    oracle=f"""
+    WITH a AS (SELECT doc_id AS asset_id, md5(text) AS h,
+                      octet_length(encode(text)) * 2 AS dur_ms
+               FROM documents WHERE doc_id % 3 = 1),
+    ch AS (SELECT asset_id, h, dur_ms,
+                  unnest(range(0, ((dur_ms + 999) // 1000) * 1000, 1000)) AS start_ms
+           FROM a)
+    SELECT asset_id,
+           CAST(start_ms // 1000 AS INTEGER) AS chunk_idx,
+           CAST(start_ms AS BIGINT) AS start_ms,
+           CAST(least(start_ms + 1000, dur_ms) AS BIGINT) AS end_ms,
+           md5(h || ':' || CAST(start_ms // 1000 AS VARCHAR)) AS chunk_hash
+    FROM ch
+    """,
+    doc=(
+        "audio segmentation: fixed 1 s windows per audio asset, last chunk "
+        "clipped to the asset end; duration from the fake decoder "
+        "(byte_len x 2 ms), expansion inside the Python worker"
+    ),
+)
+def audio_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.multimodal import chunk_audio
+
+    assets = assets_from_documents(table(spark, sf_dir, "documents"))
+    return chunk_audio(assets, chunk_ms=1000)

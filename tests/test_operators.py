@@ -177,6 +177,41 @@ def test_mixed_tokens_segments_cjk(spark):
         assert df.select(seg(F.col("t"))).count() == 4
 
 
+def test_frame_sample_and_audio_chunks(spark):
+    """Row expansion matches the fake decoder exactly: videos emit
+    ceil(n_frames/4) frames, audio emits ceil(2*bytes/1000) chunks with
+    the last chunk clipped; other media types emit nothing."""
+    import hashlib
+
+    from flink_real_time_data_warehouse_spark.datapipe.multimodal import (
+        chunk_audio,
+        sample_frames,
+    )
+
+    docs = table(spark, TEST_SF_DIR, "documents")
+    assets = assets_from_documents(docs)
+
+    frames = sample_frames(assets, every_k=4).collect()
+    assert frames and all(r["frame_idx"] % 4 == 0 for r in frames)
+    per_asset: dict[int, int] = {}
+    for r in frames:
+        per_asset[r["asset_id"]] = per_asset.get(r["asset_id"], 0) + 1
+    texts = {r["doc_id"]: r["text"] for r in docs.where(F.col("doc_id") % 3 == 2).collect()}
+    assert set(per_asset) == set(texts)
+    for aid, ct in per_asset.items():
+        h = hashlib.md5(texts[aid].encode()).hexdigest()
+        n_frames = 1 + int(h[8:12], 16) % 32
+        assert ct == -(-n_frames // 4), f"asset {aid}"
+
+    chunks = chunk_audio(assets, chunk_ms=1000).collect()
+    assert chunks and all(r["asset_id"] % 3 == 1 for r in chunks)
+    last = max((r for r in chunks if r["asset_id"] == chunks[0]["asset_id"]),
+               key=lambda r: r["chunk_idx"])
+    assert last["end_ms"] <= last["start_ms"] + 1000
+    assert all(r["end_ms"] - r["start_ms"] == 1000 for r in chunks
+               if r["chunk_idx"] < last["chunk_idx"] and r["asset_id"] == last["asset_id"])
+
+
 def test_multimodal_partition_sizing_is_metadata_only(spark):
     """Partition sizing must come from file statistics, not a Spark job
     (the 100 TB table must not be scanned twice)."""
