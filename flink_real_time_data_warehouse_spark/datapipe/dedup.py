@@ -335,9 +335,10 @@ def connected_components(
     Scale shape: per round one equi-join on vertex id + one groupBy(min) —
     both shuffle on the id key. Rounds needed = component diameter; dup
     clusters are near-cliques (diameter 1-2), so 2-3 rounds in practice.
-    The convergence check is one count() per round (a driver action, but
-    over a 2-column frame); lineage is cut with localCheckpoint so plans
-    don't grow with iterations. A general-graph production job would run
+    The convergence check is one count() over the round's own checkpoint
+    (the changed flag rides along in the materialized frame — no extra
+    join of new labels against old); lineage is cut with localCheckpoint
+    so plans don't grow with iterations. A general-graph production job would run
     the same semantics on GraphFrames'/Pregel machinery.
     """
     edges = (
@@ -354,19 +355,20 @@ def connected_components(
             .groupBy(F.col("dst").alias("v"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        new_labels = (
+        # carry the changed flag inside the checkpointed frame: the
+        # convergence check is then a scan of the checkpoint, not an extra
+        # shuffle join of new labels against old (halves per-round joins)
+        merged = (
             labels.join(from_nbr, "v", "left")
-            .select("v", F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"))
+            .select(
+                "v",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("new_lbl"),
+                (F.coalesce("nbr_lbl", F.col("lbl")) < F.col("lbl")).cast("int").alias("chg"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = merged.select("v", F.col("new_lbl").alias("lbl"))
+        if merged.where(F.col("chg") == 1).count() == 0:
             break
     return labels.select("v", F.col("lbl").alias("cluster_id"))
 
