@@ -98,13 +98,38 @@ def ivf_topk(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
     )
 
-    def assign(df: DataFrame, n: int, out_id: str) -> DataFrame:
-        s = df.crossJoin(F.broadcast(cents)).select(
+    def scored_against_cents(df: DataFrame, out_id: str) -> DataFrame:
+        return df.crossJoin(F.broadcast(cents)).select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias("_v"),
             "cid",
             cosine(F.col(vec_col), F.col("cv")).alias("_sim"),
         )
+
+    def assign_top1(df: DataFrame, out_id: str) -> DataFrame:
+        # corpus-side assignment: argmax as a map-side-combinable max(struct)
+        # — the exchange carries ~|corpus| combined rows, NOT |corpus|·K rows
+        # each dragging a duplicated vector through the shuffle (what a
+        # row_number window would ship). Tie-break (-cid) == the window's
+        # (_sim desc, cid asc); the vector rides in a field the struct
+        # comparison never reaches (cid is unique per centroid).
+        s = scored_against_cents(df, out_id)
+        best = s.groupBy(out_id).agg(
+            F.max(
+                F.struct(
+                    F.col("_sim").alias("s"),
+                    (-F.col("cid")).alias("neg_cid"),
+                    F.col("cid").alias("cid"),
+                    F.col("_v").alias("v"),
+                )
+            ).alias("b")
+        )
+        return best.select(out_id, F.col("b.cid").alias("cid"), F.col("b.v").alias("_v"))
+
+    def assign_topn(df: DataFrame, n: int, out_id: str) -> DataFrame:
+        # query-side probe list: rank<=n plans as WindowGroupLimit; the query
+        # set is the small side, so the window shuffle is cheap
+        s = scored_against_cents(df, out_id)
         w = Window.partitionBy(out_id).orderBy(F.col("_sim").desc(), F.col("cid").asc())
         return (
             s.withColumn("_rn", F.row_number().over(w))
@@ -112,8 +137,8 @@ def ivf_topk(
             .select(out_id, "cid", "_v")
         )
 
-    inv = assign(corpus, 1, "neighbor_id").withColumnRenamed("_v", "nv")
-    probes = assign(queries, nprobe, "query_id").withColumnRenamed("_v", "qv")
+    inv = assign_top1(corpus, "neighbor_id").withColumnRenamed("_v", "nv")
+    probes = assign_topn(queries, nprobe, "query_id").withColumnRenamed("_v", "qv")
     scored = (
         probes.join(inv, "cid")
         .where(F.col("query_id") != F.col("neighbor_id"))
