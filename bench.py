@@ -57,6 +57,7 @@ HEADLINE = [
     "pii_scrub",
     "frame_sample",
     "audio_chunks",
+    "kmeans_centroids",
 ]
 
 

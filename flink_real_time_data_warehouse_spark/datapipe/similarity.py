@@ -86,9 +86,9 @@ def ivf_topk(
 
     Centroids are the first n_centroids corpus vectors — the k-means init
     step without iterations, chosen because it is deterministic and
-    oracle-expressible; a production index trains centroids offline and
-    the plan below is unchanged (centroids are a broadcast literal either
-    way). 100 TB shape: assignment = broadcast cross join with K tiny
+    oracle-expressible; `kmeans_centroids` below is the offline trainer
+    (swap its output in here), and the plan below is unchanged either way
+    (centroids are a broadcast literal). 100 TB shape: assignment = broadcast cross join with K tiny
     centroids + one per-vector window (no shuffle beyond the id
     partition); per-query search cost drops from |C| to nprobe·|C|/K, and
     the candidate join is an equi-join on the list id — the same
@@ -149,6 +149,100 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
+    )
+
+
+QUANT = 1_000_000  # fixed-point resolution for cross-engine-exact geometry
+
+
+def quantized(vec: Column) -> Column:
+    """float32 components -> exact fixed-point longs (floor(x * 1e6)).
+
+    Every downstream dot product is then exact integer arithmetic (partials
+    stay far below 2^53), so cosine values — one double division over exact
+    shared inputs — are bit-identical across engines. floor, not round:
+    round's half-way rule differs between engines; floor does not.
+    """
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * QUANT).cast("long"))
+
+
+def qdot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def qcosine(a: Column, b: Column) -> Column:
+    return qdot(a, b) / F.sqrt(qdot(a, a).cast("double") * qdot(b, b).cast("double"))
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means over the embedding corpus — the offline centroid
+    trainer for the IVF index (ivf_topk's docstring promises one; this is
+    it). Deterministic init (first k vectors), fixed iteration count.
+
+    Returns (cid, n_members, centroid: array<double>) for the final
+    assignment; a cluster that loses all members drops out (standard
+    empty-cluster behavior, deterministic here).
+
+    Cross-engine exactness: all geometry runs on fixed-point longs
+    (quantized components, exact integer dots, centroid components
+    floor(sum/count)), so an unrolled SQL formulation reproduces every
+    assignment and centroid bit-for-bit — no float-accumulation drift.
+
+    Scale shape per iteration: one broadcast of k tiny centroids against
+    the corpus scan, argmax as the map-side-combinable max(struct) (the
+    ivf_topk assignment shape — no row_number window over the corpus),
+    then ONE hash aggregation computing all `dim` component sums together.
+    Nothing shuffles the corpus more than once per iteration, and the
+    shuffle rows are combined map-side. Iteration count is a constant
+    (2-10), so the lineage stays shallow; a production trainer runs this
+    on a sample anyway.
+    """
+    emb = corpus.select(F.col(id_col).alias("vid"), quantized(F.col(vec_col)).alias("q"))
+    cents = emb.where(F.col("vid") < k).select(F.col("vid").alias("cid"), F.col("q").alias("cq"))
+    sums = None
+    for _ in range(iters):
+        scored = emb.crossJoin(F.broadcast(cents)).select(
+            "vid", "q", "cid", qcosine(F.col("q"), F.col("cq")).alias("sim")
+        )
+        best = (
+            scored.groupBy("vid")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("sim").alias("s"),
+                        (-F.col("cid")).alias("neg_cid"),
+                        F.col("cid").alias("cid"),
+                        F.col("q").alias("q"),
+                    )
+                ).alias("b")
+            )
+            .select(F.col("b.cid").alias("cid"), F.col("b.q").alias("q"))
+        )
+        sums = best.groupBy("cid").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.element_at("q", i + 1)).alias(f"s{i}") for i in range(dim)],
+        )
+        cents = sums.select(
+            "cid",
+            F.array(
+                *[F.floor(F.col(f"s{i}") / F.col("n")).cast("long") for i in range(dim)]
+            ).alias("cq"),
+        )
+    return sums.select(
+        "cid",
+        F.col("n").cast("long").alias("n_members"),
+        F.array(
+            *[(F.floor(F.col(f"s{i}") / F.col("n")) / F.lit(float(QUANT))) for i in range(dim)]
+        ).alias("centroid"),
     )
 
 

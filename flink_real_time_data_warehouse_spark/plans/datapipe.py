@@ -567,6 +567,69 @@ def train_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+KM_K = 8
+KM_ITERS = 2
+EMB_DIM = 64
+
+
+def _km_oracle(k: int, iters: int) -> str:
+    """Unrolled Lloyd iterations as a DuckDB CTE chain, mirroring
+    datapipe/similarity.kmeans_centroids bit-for-bit: fixed-point
+    quantization, exact integer dots, floor'd centroid means."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a},{b}) / "
+            f"sqrt(list_dot_product({a},{a}) * list_dot_product({b},{b}))"
+        )
+
+    parts = [
+        "emb AS (SELECT vec_id AS vid, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS q FROM embeddings)",
+        f"c0 AS (SELECT vid AS cid, q AS cq FROM emb WHERE vid < {k})",
+    ]
+    for i in range(1, iters + 1):
+        parts += [
+            f"a{i} AS (SELECT vid, q, cid FROM ("
+            f"  SELECT e.vid, e.q, c.cid, row_number() OVER ("
+            f"    PARTITION BY e.vid ORDER BY {cos('e.q', 'c.cq')} DESC, c.cid) AS rn"
+            f"  FROM emb e CROSS JOIN c{i - 1} c) WHERE rn = 1)",
+            f"u{i} AS (SELECT cid, unnest(q) AS val, unnest(range(1, len(q)+1)) AS idx FROM a{i})",
+            f"m{i} AS (SELECT cid, idx, CAST(sum(val) AS BIGINT) AS s FROM u{i} GROUP BY 1, 2)",
+            f"n{i} AS (SELECT cid, count(*) AS n FROM a{i} GROUP BY 1)",
+            f"c{i} AS (SELECT m.cid, list(CAST(floor(CAST(s AS DOUBLE)/n) AS BIGINT) ORDER BY idx) AS cq"
+            f"  FROM m{i} m JOIN n{i} USING (cid) GROUP BY m.cid)",
+        ]
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+    SELECT n.cid, CAST(n.n AS BIGINT) AS n_members,
+           list(floor(CAST(s AS DOUBLE)/n.n)/1000000.0 ORDER BY idx) AS centroid
+    FROM m{iters} m JOIN n{iters} n USING (cid)
+    GROUP BY n.cid, n.n
+    """
+    )
+
+
+@register(
+    "kmeans_centroids",
+    oracle=_km_oracle(KM_K, KM_ITERS),
+    doc=(
+        "IVF centroid trainer: Lloyd k-means on fixed-point longs — exact "
+        "integer dots make every assignment and centroid bit-identical "
+        "across engines; per iteration one broadcast of k centroids + one "
+        "map-side-combinable argmax + one hash agg of all 64 component sums "
+        "(the corpus shuffles once per iteration)"
+    ),
+)
+def kmeans_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.similarity import kmeans_centroids
+
+    return kmeans_centroids(
+        table(spark, sf_dir, "embeddings"), k=KM_K, iters=KM_ITERS, dim=EMB_DIM
+    )
+
+
+# ---------------------------------------------------------------------------
 # Mixture sampling: downweight the dominant language, keep the rest whole.
 MIX_RATES_PPM = {"en": 250_000, "de": 500_000, "es": 500_000, "fr": 500_000, "zh": PPM}
 QUOTA_CAP = 15  # per-source document cap for the quota query

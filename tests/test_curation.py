@@ -170,6 +170,36 @@ def test_group_quota_plan_is_window_group_limit(spark):
     assert "WindowGroupLimit" in plan, f"quota lost its group-limit pushdown:\n{plan}"
 
 
+def test_kmeans_centroids_partition_and_progress(spark):
+    """The final assignment partitions the corpus (member counts sum to
+    |corpus|), every centroid moved off its init vector, and the whole
+    computation is deterministic under re-partitioning."""
+    from flink_real_time_data_warehouse_spark.datapipe.similarity import (
+        kmeans_centroids,
+        quantized,
+    )
+
+    emb = table(spark, TEST_SF_DIR, "embeddings")
+    out = kmeans_centroids(emb, k=4, iters=2, dim=64).collect()
+    assert sum(r["n_members"] for r in out) == emb.count()
+    assert all(len(r["centroid"]) == 64 for r in out)
+    init = {
+        r["vec_id"]: r["q"]
+        for r in emb.where(F.col("vec_id") < 4)
+        .select("vec_id", quantized(F.col("embedding")).alias("q"))
+        .collect()
+    }
+    moved = [
+        r for r in out
+        if [int(c * 1_000_000) for c in r["centroid"]] != list(init[r["cid"]])
+    ]
+    assert moved, "no centroid moved after two Lloyd iterations"
+    again = kmeans_centroids(emb.repartition(7), k=4, iters=2, dim=64).collect()
+    assert sorted(map(tuple, ((r["cid"], r["n_members"]) for r in out))) == sorted(
+        map(tuple, ((r["cid"], r["n_members"]) for r in again))
+    )
+
+
 def test_connected_components_chain_collapses(spark):
     """A~B and B~C must land in ONE cluster even though A!~C directly —
     the transitive closure pair-level dedup misses."""
