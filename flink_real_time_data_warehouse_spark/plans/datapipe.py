@@ -602,10 +602,10 @@ def _km_oracle(k: int, iters: int) -> str:
         ]
     return (
         "WITH " + ",\n".join(parts) + f"""
-    SELECT n.cid, CAST(n.n AS BIGINT) AS n_members,
-           list(floor(CAST(s AS DOUBLE)/n.n)/1000000.0 ORDER BY idx) AS centroid
+    SELECT m.cid, CAST(n.n AS BIGINT) AS n_members,
+           CAST(idx AS BIGINT) AS idx,
+           floor(CAST(s AS DOUBLE)/n.n)/1000000.0 AS comp
     FROM m{iters} m JOIN n{iters} n USING (cid)
-    GROUP BY n.cid, n.n
     """
     )
 
@@ -618,15 +618,21 @@ def _km_oracle(k: int, iters: int) -> str:
         "integer dots make every assignment and centroid bit-identical "
         "across engines; per iteration one broadcast of k centroids + one "
         "map-side-combinable argmax + one hash agg of all 64 component sums "
-        "(the corpus shuffles once per iteration)"
+        "(the corpus shuffles once per iteration). Graded shape is the "
+        "exploded (cid, n_members, idx, comp) rows — scalar columns only, so "
+        "any engine's row hashing applies; the array-valued API is "
+        "datapipe/similarity.kmeans_centroids"
     ),
 )
 def kmeans_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..datapipe.similarity import kmeans_centroids
 
-    return kmeans_centroids(
+    cents = kmeans_centroids(
         table(spark, sf_dir, "embeddings"), k=KM_K, iters=KM_ITERS, dim=EMB_DIM
     )
+    return cents.select(
+        "cid", "n_members", F.posexplode("centroid").alias("pos", "comp")
+    ).select("cid", "n_members", (F.col("pos") + 1).cast("long").alias("idx"), "comp")
 
 
 # ---------------------------------------------------------------------------

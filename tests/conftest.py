@@ -47,8 +47,14 @@ def duck():
 
 def _canon(v):
     """Canonicalize a cell for cross-engine comparison."""
+    import numpy as np
+
     if v is None:
         return None
+    if isinstance(v, np.ndarray):
+        return tuple(_canon(x) for x in v.tolist())
+    if isinstance(v, np.generic):
+        return _canon(v.item())
     if isinstance(v, Decimal):
         return ("dec", str(v.normalize()))
     if isinstance(v, float):
