@@ -38,6 +38,7 @@ HEADLINE = [
     # datapipe headliners (registered as they land)
     "dedup_minhash_lsh",
     "dedup_minhash_verified",
+    "dup_spans",
     "dedup_simhash",
     "dedup_simhash_pairs",
     "ann_topk",

@@ -172,6 +172,95 @@ def ngram_jaccard_pairs(
     )
 
 
+SPAN_K = 8  # span seed width: runs are grown from shared 8-token shingles
+SPAN_MIN_TOKENS = 12  # report maximal runs of at least this many tokens
+SPAN_FREQ_CAP = 64  # drop shingles occurring more often (boilerplate guard)
+
+
+def positional_shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int = SHINGLE_K
+) -> DataFrame:
+    """(doc, pos, sh) rows: every k-token shingle with its 1-based start
+    position — NOT distinct (position matters), unlike shingle_rows."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    zipped = F.arrays_zip(*[F.slice(t, j + 1, n - (k - 1)) for j in range(k)])
+    make = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)]))
+    sh_arr = F.when(n >= k, make).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("doc"), sh_arr.alias("_sh"))
+        .select("doc", F.posexplode("_sh").alias("pos0", "sh"))
+        .select("doc", (F.col("pos0") + 1).cast("long").alias("pos"), "sh")
+    )
+
+
+def dup_span_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = SPAN_K,
+    min_tokens: int = SPAN_MIN_TOKENS,
+    freq_cap: int = SPAN_FREQ_CAP,
+) -> DataFrame:
+    """Exact duplicated-SPAN detection: maximal runs of >= min_tokens
+    consecutive tokens shared verbatim between two documents.
+
+    Document-level near-dup (MinHash/SimHash) misses partial duplication —
+    a quote, a license header, a syndicated paragraph inside otherwise
+    distinct documents. Substring-level dedup is the published fix
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", which uses a suffix array). The distributed re-expression:
+
+    1. seed: positional k-token shingles; two docs sharing a shingle align
+       at one diagonal (pos_a - pos_b);
+    2. stop-gram guard: shingles with > freq_cap occurrences are dropped
+       (hyper-frequent boilerplate would blow the match join quadratically
+       — same reason suffix-array pipelines cap frequent grams);
+    3. match join on the shingle string — cost = sum over shingles of
+       (occurrences choose 2), bounded by freq_cap² per shingle;
+    4. runs: consecutive matched positions on one (doc_a, doc_b, diagonal)
+       collapse via gaps-and-islands (pos - row_number is constant within
+       a run); a run of c seeds covers c + k - 1 tokens. The window
+       partitions by (pair, diagonal) — matched rows only, never the
+       corpus.
+
+    Returns one row per maximal run: (doc_a, doc_b, start_a, start_b,
+    run_tokens). Pure integer arithmetic after the string join — any
+    engine reproduces it exactly.
+    """
+    from pyspark.sql import Window
+
+    ex = positional_shingle_rows(df, id_col, text_col, k)
+    rare = (
+        ex.groupBy("sh").agg(F.count("*").alias("_ct"))
+        .where(F.col("_ct") <= freq_cap)
+        .select("sh")
+    )
+    seeds = ex.join(rare, "sh")
+    a = seeds.select(F.col("doc").alias("da"), F.col("pos").alias("pa"), "sh")
+    b = seeds.select(F.col("doc").alias("db"), F.col("pos").alias("pb"), "sh")
+    m = (
+        a.join(b, "sh")
+        .where(F.col("da") < F.col("db"))
+        .select("da", "db", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    isl = m.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    return (
+        isl.groupBy("da", "db", "diag", "grp")
+        .agg(
+            (F.count("*") + (k - 1)).cast("long").alias("run_tokens"),
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+        )
+        .where(F.col("run_tokens") >= min_tokens)
+        .select(
+            F.col("da").alias("doc_a"), F.col("db").alias("doc_b"),
+            "start_a", "start_b", "run_tokens",
+        )
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame, id_col: str, text_col: str, max_distance: int = 3
 ) -> DataFrame:

@@ -171,6 +171,55 @@ def dedup_minhash_verified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+def _dup_spans_oracle() -> str:
+    from ..datapipe.dedup import SPAN_FREQ_CAP, SPAN_K, SPAN_MIN_TOKENS
+
+    sh_expr = " || ' ' || ".join(f"l[i+{j}]" for j in range(SPAN_K))
+    return f"""
+    WITH {TOKS_CTE},
+    psh AS (
+      SELECT doc_id, unnest(range(1, len(l) - {SPAN_K - 2})) AS pos,
+             unnest(list_transform(range(1, len(l) - {SPAN_K - 2}), i -> {sh_expr})) AS sh
+      FROM toks WHERE len(l) >= {SPAN_K}
+    ),
+    rare AS (SELECT sh FROM psh GROUP BY sh HAVING count(*) <= {SPAN_FREQ_CAP}),
+    m AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
+             a.pos - b.pos AS diag
+      FROM psh a JOIN psh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      WHERE a.sh IN (SELECT sh FROM rare)
+    ),
+    isl AS (
+      SELECT da, db, diag, pa, pb,
+             pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa) AS grp
+      FROM m
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(min(pa) AS BIGINT) AS start_a, CAST(min(pb) AS BIGINT) AS start_b,
+           CAST(count(*) + {SPAN_K - 1} AS BIGINT) AS run_tokens
+    FROM isl GROUP BY da, db, diag, grp
+    HAVING count(*) + {SPAN_K - 1} >= {SPAN_MIN_TOKENS}
+    """
+
+
+@register(
+    "dup_spans",
+    oracle=_dup_spans_oracle(),
+    doc=(
+        "substring-level dedup (Lee et al. 2021 family): maximal verbatim "
+        "token runs >= 12 tokens shared between doc pairs, grown from "
+        "positional 8-token shingle seeds via gaps-and-islands on the match "
+        "diagonal; hyper-frequent shingles capped (boilerplate guard) so the "
+        "match join stays bounded per shingle"
+    ),
+)
+def dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.dedup import dup_span_pairs
+
+    return dup_span_pairs(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
 def _simhash_oracle() -> str:
     return f"""
     WITH {TOKS_CTE},

@@ -237,3 +237,37 @@ def test_pack_sequences_budget_and_contiguity(spark):
         for r in rs:
             pre = r["cum_tokens"] - r["n_tokens"]
             assert r["chunk_id"] == pre // PACK_BUDGET
+
+
+def test_dup_spans_hand_computed(spark):
+    """Two docs sharing a verbatim 12-token run -> one maximal span with the
+    exact start positions and length; an 11-token overlap stays silent."""
+    from flink_real_time_data_warehouse_spark.datapipe.dedup import dup_span_pairs
+
+    shared12 = "the quick brown fox jumps over the lazy dog near riverbank today"
+    shared11 = " ".join(shared12.split()[:11])
+    rows = [
+        (1, "intro one two " + shared12 + " tail a"),  # run at tokens 4..15
+        (2, shared12 + " different ending here"),  # run at tokens 1..12
+        (3, "prefix " + shared11 + " unrelated suffix tokens"),  # 11 < min
+        (4, "completely unrelated document with no overlap at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dup_span_pairs(df, "doc_id", "text").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.run_tokens == 12
+    assert (r.start_a, r.start_b) == (4, 1)
+
+
+def test_dup_spans_freq_cap_drops_boilerplate(spark):
+    """A shingle occurring in more docs than freq_cap seeds no spans."""
+    from flink_real_time_data_warehouse_spark.datapipe.dedup import dup_span_pairs
+
+    boiler = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [(i, f"doc{i} says " + boiler) for i in range(10)], ["doc_id", "text"]
+    )
+    assert dup_span_pairs(df, "doc_id", "text", freq_cap=4).count() == 0
+    assert dup_span_pairs(df, "doc_id", "text", freq_cap=100).count() > 0
