@@ -59,6 +59,7 @@ HEADLINE = [
     "frame_sample",
     "audio_chunks",
     "kmeans_centroids",
+    "curation_pipeline",
 ]
 
 

@@ -858,6 +858,155 @@ def corpus_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_profile(table(spark, sf_dir, "documents"), "doc_id", "text", "source")
 
 
+# ---------------------------------------------------------------------------
+# The composed curation funnel: every stage above chained into one verdict
+# per document, in pipeline priority order. This is the query a training-data
+# team actually runs — individual operators are its unit tests.
+CONTAM_K = 8  # decontamination shingle width (8-grams, not 3: real pipelines
+# use long grams so incidental phrase overlap doesn't nuke the corpus)
+REP_DFRAC_MIN = 0.3  # repetitive if distinct-token fraction below this
+REP_TFRAC_MAX = 0.2  # ... or top unigram covers more than this
+QUALITY_MIN = 2  # keep docs passing >= 2 of the 3 quality bands
+
+
+def _curation_pipeline_oracle() -> str:
+    from ..datapipe.dedup import sql_minhash_hash
+
+    sig_cols = ", ".join(
+        f"min({sql_minhash_hash(i, 's')}) AS sig_{i}" for i in range(NUM_HASHES)
+    )
+    rows = NUM_HASHES // LSH_BANDS
+    band_selects = []
+    for b in range(LSH_BANDS):
+        parts = " || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({parts}) AS band_hash FROM csig"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    sh8 = " || ' ' || ".join(f"l[i+{j}]" for j in range(CONTAM_K))
+    rate = (
+        "CASE lang WHEN 'en' THEN "
+        + str(MIX_RATES_PPM["en"])
+        + " WHEN 'de' THEN "
+        + str(MIX_RATES_PPM["de"])
+        + " WHEN 'es' THEN "
+        + str(MIX_RATES_PPM["es"])
+        + " WHEN 'fr' THEN "
+        + str(MIX_RATES_PPM["fr"])
+        + f" ELSE {PPM} END"
+    )
+    qual = f"""(CASE WHEN len(l) BETWEEN 10 AND 100000 THEN 1 ELSE 0 END)
+       + (CASE WHEN coalesce(CAST(list_sum(list_transform(l, x -> length(x))) AS BIGINT)
+                    / CAST(len(l) AS BIGINT), 0) BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END)
+       + (CASE WHEN len(list_filter(l, x -> x IN ({STOPWORD_LIST}))) > 0 THEN 1 ELSE 0 END)"""
+    return f"""
+    WITH RECURSIVE
+    cdocs AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % {BENCH_MOD} <> 0),
+    ctoks AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), ' +'),
+                     x -> x <> '') AS l FROM cdocs),
+    csh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(l) >= 3 THEN
+              list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+              ELSE CAST([] AS VARCHAR[]) END)) AS s FROM ctoks),
+    csig AS (SELECT doc_id, {sig_cols} FROM csh GROUP BY doc_id),
+    cbands AS ({bands_sql}),
+    ccand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM cbands a JOIN cbands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM ccand
+              UNION SELECT doc_b, doc_a FROM ccand),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM cdocs
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id
+    ),
+    clus AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    csh8 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(l) >= {CONTAM_K} THEN
+               list_transform(range(1, len(l) - {CONTAM_K - 2}), i -> {sh8})
+               ELSE CAST([] AS VARCHAR[]) END)) AS s FROM ctoks),
+    btoks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS l
+              FROM documents WHERE doc_id % {BENCH_MOD} = 0),
+    bsh8 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(l) >= {CONTAM_K} THEN
+               list_transform(range(1, len(l) - {CONTAM_K - 2}), i -> {sh8})
+               ELSE CAST([] AS VARCHAR[]) END)) AS s FROM btoks),
+    cont AS (SELECT DISTINCT c.doc_id FROM csh8 c JOIN bsh8 b ON c.s = b.s),
+    uni AS (SELECT doc_id, w, count(*) AS ct
+            FROM (SELECT doc_id, unnest(l) AS w FROM ctoks) GROUP BY 1, 2),
+    um AS (SELECT doc_id, max(ct) AS top FROM uni GROUP BY 1)
+    SELECT t.doc_id, t.lang, CAST(len(l) AS BIGINT) AS n_tokens,
+      CASE WHEN cl.cluster_id <> t.doc_id THEN 'near_dup'
+           WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+           WHEN ({qual}) < {QUALITY_MIN} THEN 'low_quality'
+           WHEN len(list_distinct(l)) / len(l) < {REP_DFRAC_MIN}
+                OR um.top / len(l) > {REP_TFRAC_MAX} THEN 'repetitive'
+           WHEN {_coin("sample")} >= {rate} THEN 'sampled_out'
+           ELSE 'kept' END AS verdict
+    FROM ctoks t
+    JOIN clus cl USING (doc_id)
+    LEFT JOIN cont USING (doc_id)
+    LEFT JOIN um USING (doc_id)
+    """
+
+
+@register(
+    "curation_pipeline",
+    oracle=_curation_pipeline_oracle(),
+    doc=(
+        "the composed curation funnel — one verdict per corpus document in "
+        "pipeline priority order: near-dup cluster non-keeper (MinHash+LSH + "
+        "min-label clustering) -> benchmark contamination (shared 8-gram) -> "
+        "quality gate -> repetition gate -> per-language mixture sampling -> "
+        "kept. Each stage is an individually graded operator; this query "
+        "proves they compose. Oracle = one recursive-CTE chain"
+    ),
+)
+def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.curation import sample_coin_ppm
+    from ..datapipe.dedup import dedup_clusters
+    from ..datapipe.quality import text_quality as _tq
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % BENCH_MOD != 0)
+    bench = docs.where(F.col("doc_id") % BENCH_MOD == 0)
+
+    cl = dedup_clusters(corpus, "doc_id", "text").select("doc_id", "is_keeper")
+    cont = decontaminate(corpus, bench, "doc_id", "text", k=CONTAM_K).select(
+        "doc_id", "contaminated"
+    )
+    qual = _tq(corpus, "doc_id", "text").select("doc_id", "quality_score")
+    rep = repetition_stats(corpus, "doc_id", "text").select(
+        "doc_id", "n_tokens", "distinct_frac", "top_token_frac"
+    )
+    rate = (
+        F.when(F.col("lang") == "en", MIX_RATES_PPM["en"])
+        .when(F.col("lang") == "de", MIX_RATES_PPM["de"])
+        .when(F.col("lang") == "es", MIX_RATES_PPM["es"])
+        .when(F.col("lang") == "fr", MIX_RATES_PPM["fr"])
+        .otherwise(PPM)
+    )
+    base = corpus.select(
+        "doc_id", "lang", sample_coin_ppm(F.col("doc_id"), "sample").cast("long").alias("_u")
+    )
+    out = base.join(cl, "doc_id").join(cont, "doc_id").join(qual, "doc_id").join(rep, "doc_id")
+    verdict = (
+        F.when(F.col("is_keeper") == 0, "near_dup")
+        .when(F.col("contaminated") == 1, "contaminated")
+        .when(F.col("quality_score") < QUALITY_MIN, "low_quality")
+        .when(
+            (F.col("distinct_frac") < REP_DFRAC_MIN)
+            | (F.col("top_token_frac") > REP_TFRAC_MAX),
+            "repetitive",
+        )
+        .when(F.col("_u") >= rate, "sampled_out")
+        .otherwise("kept")
+    )
+    return out.select(
+        "doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens"),
+        verdict.alias("verdict"),
+    )
+
+
 @register(
     "multimodal_decode",
     oracle=f"""
