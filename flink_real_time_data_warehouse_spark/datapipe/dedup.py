@@ -214,35 +214,50 @@ def dup_span_pairs(
     1. seed: positional k-token shingles; two docs sharing a shingle align
        at one diagonal (pos_a - pos_b);
     2. stop-gram guard: shingles with > freq_cap occurrences are dropped
-       (hyper-frequent boilerplate would blow the match join quadratically
-       — same reason suffix-array pipelines cap frequent grams);
-    3. match join on the shingle string — cost = sum over shingles of
-       (occurrences choose 2), bounded by freq_cap² per shingle;
+       (hyper-frequent boilerplate would blow the match quadratically —
+       same reason suffix-array pipelines cap frequent grams);
+    3. match generation in ONE shuffle: group occurrences by shingle, cap
+       on the grouped size, and emit (doc_a < doc_b) occurrence pairs
+       map-side from the collected array with higher-order functions —
+       cost sum over shingles of (occurrences choose 2), bounded by
+       freq_cap² per shingle, and the shingle strings cross the wire once
+       (a join formulation ships the positional set three more times);
     4. runs: consecutive matched positions on one (doc_a, doc_b, diagonal)
        collapse via gaps-and-islands (pos - row_number is constant within
-       a run); a run of c seeds covers c + k - 1 tokens. The window
-       partitions by (pair, diagonal) — matched rows only, never the
-       corpus.
+       a run); a run of c seeds covers c + k - 1 tokens. The window and
+       the run aggregation share the (pair, diagonal) partitioning —
+       matched rows only, never the corpus.
 
     Returns one row per maximal run: (doc_a, doc_b, start_a, start_b,
-    run_tokens). Pure integer arithmetic after the string join — any
+    run_tokens). Pure integer arithmetic after the shingle match — any
     engine reproduces it exactly.
     """
     from pyspark.sql import Window
 
     ex = positional_shingle_rows(df, id_col, text_col, k)
-    rare = (
-        ex.groupBy("sh").agg(F.count("*").alias("_ct"))
-        .where(F.col("_ct") <= freq_cap)
-        .select("sh")
+    grouped = (
+        ex.groupBy("sh")
+        .agg(F.collect_list(F.struct("doc", "pos")).alias("occ"))
+        .where((F.size("occ") >= 2) & (F.size("occ") <= freq_cap))
     )
-    seeds = ex.join(rare, "sh")
-    a = seeds.select(F.col("doc").alias("da"), F.col("pos").alias("pa"), "sh")
-    b = seeds.select(F.col("doc").alias("db"), F.col("pos").alias("pb"), "sh")
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("occ"),
+            lambda a: F.transform(
+                F.filter(F.col("occ"), lambda b: a["doc"] < b["doc"]),
+                lambda b: F.struct(
+                    a["doc"].alias("da"),
+                    b["doc"].alias("db"),
+                    a["pos"].alias("pa"),
+                    b["pos"].alias("pb"),
+                ),
+            ),
+        )
+    )
     m = (
-        a.join(b, "sh")
-        .where(F.col("da") < F.col("db"))
-        .select("da", "db", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+        grouped.select(F.explode(pair_expr).alias("p"))
+        .select("p.da", "p.db", "p.pa", "p.pb")
+        .withColumn("diag", F.col("pa") - F.col("pb"))
     )
     w = Window.partitionBy("da", "db", "diag").orderBy("pa")
     isl = m.withColumn("grp", F.col("pa") - F.row_number().over(w))
