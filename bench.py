@@ -44,6 +44,7 @@ HEADLINE = [
     "ann_topk",
     "ann_ivf_topk",
     "embedding_cosine_pairs",
+    "embedding_clusters",
     "text_quality",
     "keyword_stats_cjk",
     "multimodal_decode",

@@ -382,7 +382,9 @@ def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 COSINE_THRESHOLD = 0.45  # nearest data sims sit >=1e-4 away; double noise ~1e-13
 
 
-def _sign_lsh_oracle() -> str:
+def _sign_lsh_pair_ctes() -> str:
+    """Shared DuckDB CTE chain: sign-bit bands -> candidate pairs ->
+    cosine-verified pairs (mirrors datapipe/similarity.sign_lsh_near_dup_pairs)."""
     from ..datapipe.similarity import SIGN_BANDS, SIGN_BITS
 
     bucket = " + ".join(
@@ -394,8 +396,7 @@ def _sign_lsh_oracle() -> str:
         "list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), "
         "CAST(eb.embedding AS DOUBLE[]))"
     )
-    return f"""
-    WITH bands AS (
+    return f"""bands AS (
       SELECT vec_id AS vid, bd.band_id, {bucket} AS bucket
       FROM embeddings CROSS JOIN (SELECT unnest([{band_ids}]) AS band_id) bd
     ),
@@ -403,10 +404,18 @@ def _sign_lsh_oracle() -> str:
       SELECT DISTINCT a.vid AS ia, b.vid AS ib
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.vid < b.vid
-    )
-    SELECT ia, ib, CAST(floor({sim} * 10000) AS BIGINT) AS sim_q
-    FROM cand JOIN embeddings ea ON ia = ea.vec_id JOIN embeddings eb ON ib = eb.vec_id
-    WHERE {sim} >= {COSINE_THRESHOLD}
+    ),
+    ver AS (
+      SELECT ia, ib, CAST(floor({sim} * 10000) AS BIGINT) AS sim_q
+      FROM cand JOIN embeddings ea ON ia = ea.vec_id JOIN embeddings eb ON ib = eb.vec_id
+      WHERE {sim} >= {COSINE_THRESHOLD}
+    )"""
+
+
+def _sign_lsh_oracle() -> str:
+    return f"""
+    WITH {_sign_lsh_pair_ctes()}
+    SELECT ia, ib, sim_q FROM ver
     """
 
 
@@ -423,6 +432,42 @@ def _sign_lsh_oracle() -> str:
 def embedding_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return sign_lsh_near_dup_pairs(emb, COSINE_THRESHOLD)
+
+
+@register(
+    "embedding_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_sign_lsh_pair_ctes()},
+    edges AS (SELECT ia AS a, ib AS b FROM ver UNION SELECT ib, ia FROM ver),
+    reach(id, lbl) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id
+    )
+    SELECT id AS vec_id, min(lbl) AS cluster_id,
+           CASE WHEN id = min(lbl) THEN 1 ELSE 0 END AS is_keeper
+    FROM reach GROUP BY id
+    """,
+    doc=(
+        "the embedding-dedup endgame: transitive near-dup CLUSTERS over the "
+        "sign-LSH verified pairs (semantic duplicates chain exactly like "
+        "textual ones), same min-label propagation as dedup_clusters; "
+        "keeper = min vec per cluster. Oracle: recursive-CTE closure"
+    ),
+)
+def embedding_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.dedup import connected_components
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = sign_lsh_near_dup_pairs(emb, COSINE_THRESHOLD).select(
+        F.col("ia").alias("doc_a"), F.col("ib").alias("doc_b")
+    )
+    comp = connected_components(emb.select(F.col("vec_id").alias("v")), pairs)
+    return comp.select(
+        F.col("v").alias("vec_id"),
+        F.col("cluster_id").cast("long"),
+        (F.col("v") == F.col("cluster_id")).cast("int").alias("is_keeper"),
+    )
 
 
 # ---------------------------------------------------------------------------
