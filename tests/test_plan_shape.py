@@ -153,3 +153,23 @@ def test_quantiles_aggregate_is_partial(spark):
     a single-node sort-based percentile would not scale."""
     plan = plan_of(registry()["order_value_quantiles"].spark(spark, TEST_SF_DIR))
     assert "partial_percentile_disc" in plan, f"percentile not map-side partial:\n{plan}"
+
+
+def test_dup_spans_single_shuffle_to_pairs(spark):
+    """Span matching must generate pairs map-side from one shingle groupBy —
+    no self-join of the positional set, no nested loop."""
+    df = registry()["dup_spans"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan, f"positional self-join reappeared:\n{plan}"
+    assert "ShuffledHashJoin" not in plan, f"positional self-join reappeared:\n{plan}"
+
+
+def test_curation_pipeline_no_nested_loop(spark):
+    """The composed funnel joins stages on the doc id and broadcasts only
+    the benchmark shingle probe — never a nested loop over the corpus."""
+    df = registry()["curation_pipeline"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
