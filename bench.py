@@ -57,6 +57,7 @@ HEADLINE = [
     "mixture_sample",
     "source_quota_sample",
     "pii_scrub",
+    "vocab_topk",
     "frame_sample",
     "audio_chunks",
     "kmeans_centroids",

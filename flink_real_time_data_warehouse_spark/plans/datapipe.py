@@ -604,6 +604,55 @@ def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_TOP_N = 1000
+
+
+@register(
+    "vocab_topk",
+    oracle=f"""
+    WITH {TOKS_CTE},
+    w AS (SELECT doc_id, unnest(l) AS w FROM toks),
+    g AS (SELECT doc_id, w, count(*) AS ct FROM w GROUP BY 1, 2),
+    v AS (SELECT w AS token, CAST(sum(ct) AS BIGINT) AS token_ct,
+                 CAST(count(*) AS BIGINT) AS doc_ct
+          FROM g GROUP BY 1),
+    t AS (SELECT token, token_ct, doc_ct FROM v
+          ORDER BY token_ct DESC, token LIMIT {VOCAB_TOP_N})
+    SELECT token, token_ct, doc_ct,
+           CAST(row_number() OVER (ORDER BY token_ct DESC, token) AS BIGINT) AS rk
+    FROM t
+    """,
+    doc=(
+        "vocabulary induction: global top-N tokens by corpus frequency with "
+        "document frequency — the tokenizer-training precursor. Two-level "
+        "(doc, token) -> token aggregation (map-side combine both levels), "
+        "then TakeOrderedAndProject for the global top-N (per-partition "
+        "top-N merged on the driver-side heap, never a global sort); the "
+        "rank window runs over the N surviving rows only"
+    ),
+)
+def vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.dedup import tokens as _tokens
+
+    docs = table(spark, sf_dir, "documents")
+    g = (
+        docs.select(F.col("doc_id").alias("doc"), F.explode(_tokens(F.col("text"))).alias("w"))
+        .groupBy("doc", "w")
+        .agg(F.count("*").alias("ct"))
+    )
+    v = g.groupBy("w").agg(
+        F.sum("ct").cast("long").alias("token_ct"),
+        F.count("*").cast("long").alias("doc_ct"),
+    )
+    top = v.orderBy(F.col("token_ct").desc(), F.col("w").asc()).limit(VOCAB_TOP_N)
+    rk = F.row_number().over(
+        Window.orderBy(F.col("token_ct").desc(), F.col("w").asc())
+    )
+    return top.select(
+        F.col("w").alias("token"), "token_ct", "doc_ct", rk.cast("long").alias("rk")
+    )
+
+
 @register(
     "doc_fingerprint",
     oracle=f"""
