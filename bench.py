@@ -58,6 +58,7 @@ HEADLINE = [
     "source_quota_sample",
     "pii_scrub",
     "vocab_topk",
+    "tfidf_search",
     "frame_sample",
     "audio_chunks",
     "kmeans_centroids",

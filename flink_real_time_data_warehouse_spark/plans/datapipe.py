@@ -653,6 +653,56 @@ def vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TERMS = ("join", "stream", "window", "hash", "scan")
+TFIDF_SCALE = 1_000_000  # idf quantum: idf_q(t) = SCALE div df(t), exact integer
+TFIDF_TOP = 20
+
+
+@register(
+    "tfidf_search",
+    oracle=f"""
+    WITH {TOKS_CTE},
+    w AS (SELECT doc_id, unnest(l) AS w FROM toks),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM w
+           WHERE w IN ({", ".join(repr(t) for t in TFIDF_TERMS)}) GROUP BY 1, 2),
+    dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+    sc AS (SELECT doc_id, CAST(sum(tf * ({TFIDF_SCALE} // df)) AS BIGINT) AS score
+           FROM tf JOIN dfq USING (w) GROUP BY 1),
+    t AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT {TFIDF_TOP})
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+    FROM t
+    """,
+    doc=(
+        "TF-IDF retrieval: top-20 documents for a fixed term set, score = "
+        "sum of tf x quantized idf (SCALE div df) — all-integer scoring, so "
+        "ranking is bit-identical on any engine (a log-idf's last-ulp could "
+        "flip near-ties). Terms filter map-side at the scan; df covers the "
+        "query terms only; top-k = TakeOrderedAndProject, no global sort"
+    ),
+)
+def tfidf_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.dedup import tokens as _tokens
+
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.col("doc_id").alias("doc"), F.explode(_tokens(F.col("text"))).alias("w"))
+        .where(F.col("w").isin(*TFIDF_TERMS))
+        .groupBy("doc", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    idf_q = F.floor(F.lit(TFIDF_SCALE) / F.col("df")).cast("long")
+    sc = (
+        tf.join(F.broadcast(dfq), "w")
+        .groupBy("doc")
+        .agg(F.sum(F.col("tf") * idf_q).cast("long").alias("score"))
+    )
+    top = sc.orderBy(F.col("score").desc(), F.col("doc").asc()).limit(TFIDF_TOP)
+    rk = F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc").asc()))
+    return top.select(F.col("doc").alias("doc_id"), "score", rk.cast("long").alias("rk"))
+
+
 @register(
     "doc_fingerprint",
     oracle=f"""
