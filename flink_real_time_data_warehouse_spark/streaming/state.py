@@ -30,10 +30,12 @@ Implementation notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.types import (
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -148,6 +150,50 @@ def uv_dedup_stream(events: DataFrame, evict_after_days: int = 2) -> DataFrame:
         ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+KEEPER_OUT_SCHEMA = StructType(
+    [
+        StructField("text_hash", StringType()),
+        StructField("keep_id", LongType()),
+    ]
+)
+
+
+def exact_dedup_stream(docs: DataFrame, hash_col: str = "text_hash", id_col: str = "doc_id") -> DataFrame:
+    """Dedup-on-ingest: first content arrival wins, later copies are dropped
+    — the streaming form of datapipe/dedup.exact_dedup (a training pipeline
+    runs this as documents arrive, not as a nightly batch).
+
+    Keyed state = one int per content hash (seen flag); within a micro-batch
+    the keeper is min(id) so replay order never changes the answer. State is
+    O(distinct contents) with 16-byte keys — the same footprint the batch
+    hash-groupBy shuffles, held across triggers instead.
+
+    Emits (text_hash, keep_id) once per distinct content, append mode.
+    """
+
+    def keep(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            yield pd.DataFrame(columns=["text_hash", "keep_id"])
+            return
+        rows = pd.concat(list(pdfs))
+        state.update((1,))
+        yield pd.DataFrame({"text_hash": [key[0]], "keep_id": [int(rows["id"].min())]})
+
+    return (
+        docs.select(F.col(hash_col).alias("h"), F.col(id_col).alias("id"))
+        .groupBy("h")
+        .applyInPandasWithState(
+            keep,
+            outputStructType=KEEPER_OUT_SCHEMA,
+            stateStructType=StructType([StructField("seen", IntegerType())]),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 

@@ -203,6 +203,28 @@ def keyword_stats_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_exact_stream",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id
+    FROM documents GROUP BY 1
+    """,
+    doc=(
+        "dedup-on-ingest via applyInPandasWithState: first content arrival "
+        "wins, later copies dropped by keyed seen-flag state — the streaming "
+        "form of dedup_exact a pipeline runs as documents arrive; oracle = "
+        "the batch keeper choice (min doc per digest)"
+    ),
+)
+def dedup_exact_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.state import exact_dedup_stream
+
+    docs = stream_table(spark, sf_dir, "documents").select(
+        F.md5(F.col("text")).alias("text_hash"), "doc_id"
+    )
+    return run_to_memory(exact_dedup_stream(docs), spark)
+
+
+@register(
     "province_stats_stream",
     oracle=f"""
     SELECT * FROM (

@@ -204,3 +204,34 @@ def test_router_dynamic_sinks(spark, tmp_path):
     n = orders.count()
     assert updates.count() == orders.where(F.col("o_orderkey") % 3 == 0).count()
     assert inserts.count() + updates.count() == n
+
+
+def test_exact_dedup_stream_drops_cross_batch_copies(spark, tmp_path):
+    """Dedup-on-ingest: a content hash seen in batch 1 must NOT re-emit when
+    a copy arrives in a later micro-batch; keeper = min id of the first
+    arrival batch."""
+    from flink_real_time_data_warehouse_spark.streaming.state import exact_dedup_stream
+
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(10, "alpha"), (11, "beta")], ["doc_id", "text"]
+    ).coalesce(1).write.parquet(d)
+    spark.createDataFrame(
+        [(5, "alpha"), (12, "gamma")], ["doc_id", "text"]  # alpha is a late copy
+    ).coalesce(1).write.mode("append").parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        stream_dir(spark, d, schema, max_files_per_trigger=1)
+        .select(F.md5("text").alias("text_hash"), "doc_id")
+    )
+    got = {r.text_hash: r.keep_id for r in run_to_memory(exact_dedup_stream(stream), spark).collect()}
+    import hashlib
+
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert set(got) == {h("alpha"), h("beta"), h("gamma")}
+    # alpha kept its FIRST-batch keeper (10 or 5 depending on file order —
+    # both files are legal first arrivals; assert it emitted exactly once
+    # and the keeper comes from the batch that introduced it)
+    assert got[h("beta")] == 11
+    assert got[h("gamma")] == 12
+    assert got[h("alpha")] in (5, 10)
