@@ -1108,19 +1108,46 @@ def _curation_pipeline_oracle() -> str:
 def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..datapipe.curation import sample_coin_ppm
     from ..datapipe.dedup import dedup_clusters
-    from ..datapipe.quality import text_quality as _tq
+    from ..datapipe.dedup import tokens as _tokens
 
     docs = table(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % BENCH_MOD != 0)
     bench = docs.where(F.col("doc_id") % BENCH_MOD == 0)
 
+    # ONE scan computes every per-row signal (token count, quality bands,
+    # distinct fraction, sampling coin) — the same expressions text_quality
+    # and repetition_stats grade individually. Only the agg-backed signals
+    # (top-token coverage, contamination probe, near-dup clusters) need
+    # their own pass; at 100 TB stage the tokenized corpus once
+    # (parquet/Delta) and point those passes at the staged table.
+    t = _tokens(F.col("text"))
+    n = F.size(t)
+    stop_ct = F.size(F.filter(t, lambda x: x.isin(*EN_STOPWORDS)))
+    tok_chars = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    avg_tok = F.when(n > 0, tok_chars / n)
+    score = (
+        ((n >= 10) & (n <= 100000)).cast("int")
+        + F.coalesce(((avg_tok >= 2.0) & (avg_tok <= 12.0)).cast("int"), F.lit(0))
+        + (stop_ct > 0).cast("int")
+    )
+    base = corpus.select(
+        "doc_id",
+        "lang",
+        sample_coin_ppm(F.col("doc_id"), "sample").cast("long").alias("_u"),
+        n.alias("n_tokens"),
+        F.when(n > 0, F.size(F.array_distinct(t)) / n).alias("distinct_frac"),
+        score.alias("quality_score"),
+    )
+    tops = (
+        corpus.select("doc_id", F.explode(t).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("ct"))
+        .groupBy("doc_id")
+        .agg(F.max("ct").alias("top_token_ct"))
+    )
     cl = dedup_clusters(corpus, "doc_id", "text").select("doc_id", "is_keeper")
     cont = decontaminate(corpus, bench, "doc_id", "text", k=CONTAM_K).select(
         "doc_id", "contaminated"
-    )
-    qual = _tq(corpus, "doc_id", "text").select("doc_id", "quality_score")
-    rep = repetition_stats(corpus, "doc_id", "text").select(
-        "doc_id", "n_tokens", "distinct_frac", "top_token_frac"
     )
     rate = (
         F.when(F.col("lang") == "en", MIX_RATES_PPM["en"])
@@ -1129,17 +1156,14 @@ def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("lang") == "fr", MIX_RATES_PPM["fr"])
         .otherwise(PPM)
     )
-    base = corpus.select(
-        "doc_id", "lang", sample_coin_ppm(F.col("doc_id"), "sample").cast("long").alias("_u")
-    )
-    out = base.join(cl, "doc_id").join(cont, "doc_id").join(qual, "doc_id").join(rep, "doc_id")
+    out = base.join(cl, "doc_id").join(cont, "doc_id").join(tops, "doc_id", "left")
     verdict = (
         F.when(F.col("is_keeper") == 0, "near_dup")
         .when(F.col("contaminated") == 1, "contaminated")
         .when(F.col("quality_score") < QUALITY_MIN, "low_quality")
         .when(
             (F.col("distinct_frac") < REP_DFRAC_MIN)
-            | (F.col("top_token_frac") > REP_TFRAC_MAX),
+            | (F.col("top_token_ct") / F.col("n_tokens") > REP_TFRAC_MAX),
             "repetitive",
         )
         .when(F.col("_u") >= rate, "sampled_out")
