@@ -56,6 +56,7 @@ HEADLINE = [
     "skew_salted_sales",
     "mixture_sample",
     "source_quota_sample",
+    "token_budget_sample",
     "pii_scrub",
     "vocab_topk",
     "tfidf_search",

@@ -887,6 +887,58 @@ def source_quota_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOKEN_BUDGET = 5_000  # per-language token quota
+
+
+@register(
+    "token_budget_sample",
+    oracle=f"""
+    WITH {TOKS_CTE},
+    c AS (SELECT doc_id, d.lang, len(l) AS n,
+                 CAST({_coin("budget")} AS BIGINT) AS u_ppm
+          FROM toks JOIN documents d USING (doc_id)),
+    r AS (SELECT doc_id, lang, n, u_ppm,
+                 sum(n) OVER (PARTITION BY lang ORDER BY u_ppm, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM c)
+    SELECT doc_id, lang, CAST(n AS BIGINT) AS n_tokens,
+           CAST(cum AS BIGINT) AS cum_tokens
+    FROM r WHERE cum - n < {TOKEN_BUDGET}
+    """,
+    doc=(
+        "token-budget quota: real training mixtures are specified in TOKENS "
+        "per language, not documents — admit docs per language in "
+        "deterministic hash-coin order until the budget fills (the last doc "
+        "may straddle the boundary, standard quota semantics). Window "
+        "partitions by language — no global sort, same scale shape as "
+        "pack_sequences"
+    ),
+)
+def token_budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.curation import sample_coin_ppm
+    from ..datapipe.dedup import tokens as _tokens
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang",
+        F.size(_tokens(F.col("text"))).alias("n"),
+        sample_coin_ppm(F.col("doc_id"), "budget").cast("long").alias("u_ppm"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("u_ppm", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n").over(w)
+    return (
+        base.withColumn("cum_tokens", cum.cast("long"))
+        .where(F.col("cum_tokens") - F.col("n") < TOKEN_BUDGET)
+        .select(
+            "doc_id", "lang", F.col("n").cast("long").alias("n_tokens"), "cum_tokens"
+        )
+    )
+
+
 @register(
     "decontaminate",
     oracle=f"""
