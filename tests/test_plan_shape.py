@@ -173,3 +173,22 @@ def test_curation_pipeline_no_nested_loop(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topk_queries_use_take_ordered(spark):
+    """Global top-N (vocab, tfidf) must plan as TakeOrderedAndProject —
+    per-partition heaps merged — never a global range sort."""
+    for name in ["vocab_topk", "tfidf_search"]:
+        df = registry()[name].spark(spark, TEST_SF_DIR)
+        plan = plan_of(df)
+        assert "TakeOrderedAndProject" in plan, f"{name}: lost the top-k plan:\n{plan}"
+        assert "Exchange rangepartitioning" not in plan, f"{name}: global sort:\n{plan}"
+
+
+def test_token_budget_window_partitioned_by_lang(spark):
+    """The running token sum must partition by language — a global-order
+    window would serialize the corpus through one task."""
+    df = registry()["token_budget_sample"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    assert "hashpartitioning(lang" in plan, f"window lost its lang partitioning:\n{plan}"
+    assert "SinglePartition" not in plan, f"global single-partition window:\n{plan}"
