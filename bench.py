@@ -51,6 +51,7 @@ HEADLINE = [
     "decontaminate",
     "dedup_clusters",
     "pack_sequences",
+    "chunk_documents",
     "repetition_stats",
     "corpus_profile",
     "skew_salted_sales",

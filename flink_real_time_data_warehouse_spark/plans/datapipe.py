@@ -887,6 +887,54 @@ def source_quota_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_W = 32  # tokens per retrieval chunk
+CHUNK_S = 24  # stride (8-token overlap)
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+    WITH {TOKS_CTE},
+    c AS (SELECT doc_id, l, unnest(range(0, greatest(len(l) - {CHUNK_W - CHUNK_S}, 1), {CHUNK_S})) AS start0
+          FROM toks WHERE len(l) > 0)
+    SELECT doc_id,
+           CAST(start0 // {CHUNK_S} AS BIGINT) AS chunk_idx,
+           CAST(start0 + 1 AS BIGINT) AS start_tok,
+           CAST(least({CHUNK_W}, len(l) - start0) AS BIGINT) AS n_tokens,
+           md5(array_to_string(l[start0 + 1 : start0 + {CHUNK_W}], ' ')) AS chunk_hash
+    FROM c
+    """,
+    doc=(
+        "retrieval chunking: overlapping fixed-width token windows per doc "
+        "(width 32, stride 24) with a content digest per chunk — the "
+        "RAG-indexing precursor. Pure map-side explode in the scan "
+        "projection, zero shuffle; the last window is clipped to the doc "
+        "end and every doc yields at least one chunk"
+    ),
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.dedup import tokens as _tokens
+
+    docs = table(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    n = F.size(t)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - (CHUNK_W - CHUNK_S), F.lit(1)) - 1, F.lit(CHUNK_S)
+    )
+    base = docs.where(n > 0).select(
+        "doc_id", t.alias("_t"), F.explode(starts).alias("start0")
+    )
+    return base.select(
+        "doc_id",
+        (F.col("start0") / CHUNK_S).cast("long").alias("chunk_idx"),
+        (F.col("start0") + 1).cast("long").alias("start_tok"),
+        F.least(F.lit(CHUNK_W), F.size("_t") - F.col("start0")).cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("_t"), F.col("start0") + 1, F.lit(CHUNK_W)))
+        ).alias("chunk_hash"),
+    )
+
+
 TOKEN_BUDGET = 5_000  # per-language token quota
 
 
