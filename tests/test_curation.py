@@ -271,3 +271,47 @@ def test_dup_spans_freq_cap_drops_boilerplate(spark):
     )
     assert dup_span_pairs(df, "doc_id", "text", freq_cap=4).count() == 0
     assert dup_span_pairs(df, "doc_id", "text", freq_cap=100).count() > 0
+
+
+def test_token_budget_bound_per_language(spark):
+    """Kept tokens per language exceed the budget by at most the last
+    admitted doc (standard straddle semantics), and admission is by coin
+    order — re-running yields the identical kept set."""
+    from flink_real_time_data_warehouse_spark.plans.datapipe import TOKEN_BUDGET
+
+    q = registry()["token_budget_sample"].spark
+    a = q(spark, TEST_SF_DIR).collect()
+    b = q(spark, TEST_SF_DIR).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_lang = {}
+    for r in a:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        total = sum(r.n_tokens for r in rows)
+        largest = max(r.n_tokens for r in rows)
+        assert total - largest < TOKEN_BUDGET, f"{lang}: over budget beyond straddle"
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Every token position of every doc falls inside at least one chunk,
+    and consecutive chunks overlap by width - stride."""
+    from flink_real_time_data_warehouse_spark.datapipe.dedup import tokens
+    from flink_real_time_data_warehouse_spark.plans.datapipe import CHUNK_S, CHUNK_W
+
+    docs = table(spark, TEST_SF_DIR, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n")
+    ).collect()
+    chunks = registry()["chunk_documents"].spark(spark, TEST_SF_DIR).collect()
+    cov = {}
+    for c in chunks:
+        cov.setdefault(c.doc_id, []).append((c.start_tok, c.start_tok + c.n_tokens - 1))
+    for d in docs:
+        if d.n == 0:
+            assert d.doc_id not in cov
+            continue
+        spans = sorted(cov[d.doc_id])
+        assert spans[0][0] == 1
+        assert max(e for _, e in spans) == d.n, f"doc {d.doc_id}: tail uncovered"
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert s2 <= e1 + 1, f"doc {d.doc_id}: gap between chunks"
+            assert s2 - s1 == CHUNK_S
