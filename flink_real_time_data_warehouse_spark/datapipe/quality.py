@@ -17,6 +17,48 @@ from .dedup import tokens
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
 
+def lm_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Unigram-LM surprisal scoring — the corpus-statistics quality signal
+    (the CCNet/KenLM "perplexity filter" shape): score each document by how
+    improbable its tokens are under a unigram model trained on the corpus
+    itself. High bits-per-token = rare-token-heavy (gibberish, boilerplate
+    IDs); low = stopword soup. Complements the per-doc heuristics in
+    `text_quality`, which see no corpus statistics at all.
+
+    Cross-engine determinism: per-token surprisal is quantized to whole
+    bits with integer-exact arithmetic — floor(log2(n)) computed as
+    length(bin(n)) - 1, so score_bits(token) = len(bin(total_tokens)) -
+    len(bin(token_count)). A float log's last ulp differs between engines;
+    string-length-of-binary does not. bits_per_token is the one double
+    (exact-int / exact-int, correctly rounded identically everywhere).
+
+    Scale: the token->count join keys on zipf-skewed tokens; left to AQE,
+    which splits skewed partitions and converts to broadcast at runtime
+    when the vocabulary fits (it is corpus-derived, so a pinned broadcast
+    would be wrong at 100 TB — vocabularies can reach 10^8 entries). The
+    corpus total rides a 1-row broadcast cross join.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    counts = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").alias("total"))
+    bits = F.length(F.bin(F.col("total"))) - F.length(F.bin(F.col("cnt")))
+    return (
+        toks.join(counts, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum(bits).cast("long").alias("surprisal_bits"),
+            F.count("*").cast("long").alias("token_ct"),
+        )
+        .withColumn(
+            "bits_per_token",
+            F.col("surprisal_bits").cast("double") / F.col("token_ct"),
+        )
+    )
+
+
 def lang_id(df: DataFrame, id_col: str, text_col: str, threshold: float = 0.05) -> DataFrame:
     """Heuristic language ID: stopword ratio over whitespace tokens.
 

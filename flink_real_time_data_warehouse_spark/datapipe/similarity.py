@@ -246,6 +246,37 @@ def kmeans_centroids(
     )
 
 
+def cluster_assignments(
+    corpus: DataFrame, k: int = IVF_K, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Nearest-centroid assignment of every vector (deterministic first-k
+    init — the c0 step of `kmeans_centroids`; swap trained centroids in
+    without changing the plan). Returns (id, cid).
+
+    Exact fixed-point geometry (quantized/qcosine) so assignments are
+    bit-identical across engines. Scale shape: broadcast of k tiny
+    centroids against one corpus scan, argmax as the map-side-combinable
+    max(struct) — the corpus shuffles once, carrying combined rows only.
+    """
+    emb = corpus.select(F.col(id_col), quantized(F.col(vec_col)).alias("q"))
+    cents = emb.where(F.col(id_col) < k).select(
+        F.col(id_col).alias("cid"), F.col("q").alias("cq")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        id_col, "cid", qcosine(F.col("q"), F.col("cq")).alias("sim")
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("sim").alias("s"),
+                (-F.col("cid")).alias("neg_cid"),
+                F.col("cid").alias("cid"),
+            )
+        ).alias("b")
+    )
+    return best.select(id_col, F.col("b.cid").alias("cid"))
+
+
 def hyperplane(seed: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane (no numpy RNG state; pure
     arithmetic so it is reproducible everywhere)."""

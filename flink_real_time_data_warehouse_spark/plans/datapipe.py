@@ -582,6 +582,34 @@ def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lm_surprisal",
+    oracle=f"""
+    WITH {TOKS_CTE},
+    w AS (SELECT doc_id, unnest(l) AS w FROM toks),
+    c AS (SELECT w, count(*) AS cnt FROM w GROUP BY 1),
+    tot AS (SELECT count(*) AS total FROM w)
+    SELECT doc_id,
+           CAST(sum(length(bin(tot.total)) - length(bin(c.cnt))) AS BIGINT) AS surprisal_bits,
+           CAST(count(*) AS BIGINT) AS token_ct,
+           CAST(sum(length(bin(tot.total)) - length(bin(c.cnt))) AS DOUBLE) / count(*) AS bits_per_token
+    FROM w JOIN c USING (w) CROSS JOIN tot
+    GROUP BY 1
+    """,
+    doc=(
+        "unigram-LM surprisal (the CCNet/KenLM perplexity-filter shape): "
+        "per-doc average bit-surprisal of its tokens under corpus unigram "
+        "counts — bit-quantized via length(bin(n)) so both engines score "
+        "with exact integers; the vocab join is left to AQE (skew split + "
+        "runtime broadcast), never a pinned broadcast of corpus-sized state"
+    ),
+)
+def lm_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.quality import lm_surprisal
+
+    return lm_surprisal(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
     "token_count",
     oracle=f"""
     WITH {TOKS_CTE},
@@ -885,6 +913,46 @@ def source_quota_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_quota_sample(
         table(spark, sf_dir, "documents"), "doc_id", "source", QUOTA_CAP
     )
+
+
+CLUSTER_CAP = 20  # per-cluster quota for the diversity sample
+
+
+@register(
+    "cluster_balanced_sample",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id AS vid, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS q
+                 FROM embeddings),
+    c0 AS (SELECT vid AS cid, q AS cq FROM emb WHERE vid < {KM_K}),
+    a AS (SELECT vid, cid FROM (
+            SELECT e.vid, c.cid, row_number() OVER (PARTITION BY e.vid
+              ORDER BY list_dot_product(e.q, c.cq) /
+                       sqrt(list_dot_product(e.q, e.q) * list_dot_product(c.cq, c.cq)) DESC,
+                     c.cid) AS rn
+            FROM emb e CROSS JOIN c0 c) WHERE rn = 1),
+    u AS (SELECT vid, cid,
+                 CAST({_hex_n("md5('quota:' || CAST(vid AS VARCHAR))", 8)} % {PPM} AS BIGINT) AS u_ppm
+          FROM a),
+    r AS (SELECT vid, cid, u_ppm,
+                 row_number() OVER (PARTITION BY cid ORDER BY u_ppm, vid) AS rk
+          FROM u)
+    SELECT vid AS vec_id, cid, u_ppm, CAST(rk AS INT) AS rk FROM r WHERE rk <= {CLUSTER_CAP}
+    """,
+    doc=(
+        "cluster-balanced diversity sampling: assign every embedding to its "
+        "nearest centroid (exact fixed-point geometry, broadcast-k argmax), "
+        "then keep a deterministic hash-coin quota per cluster — the "
+        "semantic-diversity mixer a training pipeline runs so one dense "
+        "region can't dominate the corpus. rank<=cap plans as "
+        "WindowGroupLimit; the exchange carries O(clusters x cap) rows"
+    ),
+)
+def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.similarity import cluster_assignments
+
+    a = cluster_assignments(table(spark, sf_dir, "embeddings"), k=KM_K)
+    return group_quota_sample(a, "vec_id", "cid", CLUSTER_CAP)
 
 
 CHUNK_W = 32  # tokens per retrieval chunk

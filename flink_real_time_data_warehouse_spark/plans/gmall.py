@@ -156,9 +156,7 @@ def visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Branches derived from lineitem: all rows = "order", linestatus F = "paid",
 # returnflag R = "refund" (the F10-style classifier).
 # ---------------------------------------------------------------------------
-@register(
-    "product_stats",
-    oracle=f"""
+PRODUCT_STATS_ORACLE_BODY = f"""
     WITH agg AS (
       SELECT strftime(date_trunc('week', l_shipdate), '%Y-%m-%d %H:%M:%S') AS stt,
              strftime(date_trunc('week', l_shipdate) + INTERVAL 7 DAY, '%Y-%m-%d %H:%M:%S') AS edt,
@@ -175,7 +173,12 @@ def visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT agg.*, p.p_name AS sku_name, p.p_brand AS tm_name
     FROM agg JOIN part p ON agg.sku_id = p.p_partkey
-    """,
+"""
+
+
+@register(
+    "product_stats",
+    oracle=PRODUCT_STATS_ORACLE_BODY,
     doc="P7+A1+A3+F10+J3: ProductStatsApp.java:81-366 union-normalize + tumble + distinct-order sets + dim join",
 )
 def product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -21,6 +21,7 @@ from ..operators.stateful_batch import BOUNCE_TIMEOUT_S, SESSION_GAP_S
 from ..plans.gmall import (
     ORDER_WIDE_ORACLE,
     PAYMENT_WIDE_ORACLE,
+    PRODUCT_STATS_ORACLE_BODY,
     SESSION_STATS_ORACLE_BODY,
     SLIDE_ORACLE_BODY,
     order_wide_select,
@@ -292,6 +293,74 @@ def province_stats_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _rtm(out, spark)
+
+
+@register(
+    "product_stats_stream",
+    oracle=f"""
+    SELECT * FROM ({PRODUCT_STATS_ORACLE_BODY})
+    WHERE edt <= strftime((SELECT max(l_shipdate) - INTERVAL {WM_S} SECOND FROM lineitem),
+                          '%Y-%m-%d %H:%M:%S')
+    """,
+    doc=(
+        "A1+A3+F10+J3 via Structured Streaming — the reference's flagship "
+        "ProductStatsApp as one incremental query: weekly tumble on the "
+        "lineitem stream (window startTime offset aligns to Monday like "
+        "date_trunc('week')), the three distinct-order HashSet unions "
+        "(ProductStatsApp.java:268-274) as collect_set aggregates, then "
+        "stream-static broadcast dim join AFTER the agg; oracle = the batch "
+        "product_stats SQL over watermark-closed windows"
+    ),
+)
+def product_stats_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.money import cents
+    from ..operators.windows import TS_FMT
+    from ..plans.gmall import _gross, _net
+
+    li = (
+        stream_table(spark, sf_dir, "lineitem")
+        .withColumn("ship_ts", F.col("l_shipdate").cast("timestamp"))
+        .withWatermark("ship_ts", f"{WM_S} second")
+    )
+    src = li.select(
+        "ship_ts",
+        F.col("l_partkey").alias("sku_id"),
+        "l_orderkey", "l_quantity",
+        cents(_net()).alias("net_c"),
+        F.when(F.col("l_linestatus") == "F", cents(_gross())).otherwise(F.lit(0)).alias("gross_c"),
+        F.when(F.col("l_returnflag") == "R", cents(F.col("l_extendedprice"))).otherwise(F.lit(0)).alias("ref_c"),
+        # null for non-matching rows: collect_set drops nulls, so these are
+        # the filtered distinct sets (paid / refund orders) in one agg pass
+        F.when(F.col("l_linestatus") == "F", F.col("l_orderkey")).alias("paid_ok"),
+        F.when(F.col("l_returnflag") == "R", F.col("l_orderkey")).alias("ref_ok"),
+    )
+    # 1970-01-01 is a Thursday; startTime "4 days" shifts the 7-day tumble
+    # grid to Mondays, matching date_trunc('week') in the batch oracle.
+    agg = src.groupBy(
+        F.window(F.col("ship_ts"), "7 days", "7 days", "4 days").alias("win"), "sku_id"
+    ).agg(
+        F.sum("l_quantity").alias("order_sku_num"),
+        (F.sum("net_c") / F.lit(100.0)).alias("order_amount"),
+        (F.sum("gross_c") / F.lit(100.0)).alias("payment_amount"),
+        (F.sum("ref_c") / F.lit(100.0)).alias("refund_amount"),
+        F.size(F.collect_set("l_orderkey")).cast("long").alias("order_ct"),
+        F.size(F.collect_set("paid_ok")).cast("long").alias("paid_order_ct"),
+        F.size(F.collect_set("ref_ok")).cast("long").alias("refund_order_ct"),
+    )
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_name").alias("sku_name"), F.col("p_brand").alias("tm_name")
+    )
+    out = (
+        agg.join(F.broadcast(part), F.col("sku_id") == F.col("p_partkey"))
+        .select(
+            F.date_format("win.start", TS_FMT).alias("stt"),
+            F.date_format("win.end", TS_FMT).alias("edt"),
+            "sku_id", "order_sku_num", "order_amount", "payment_amount",
+            "refund_amount", "order_ct", "paid_order_ct", "refund_order_ct",
+            "sku_name", "tm_name",
+        )
+    )
+    return run_to_memory(out, spark)
 
 
 def _order_detail_stream_join(spark: SparkSession, sf_dir: str, lower: str, upper: str) -> DataFrame:
