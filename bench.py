@@ -59,6 +59,8 @@ HEADLINE = [
     "source_quota_sample",
     "token_budget_sample",
     "pii_scrub",
+    "lm_surprisal",
+    "cluster_balanced_sample",
     "vocab_topk",
     "tfidf_search",
     "frame_sample",
