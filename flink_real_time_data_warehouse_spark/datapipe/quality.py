@@ -32,17 +32,18 @@ def lm_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     string-length-of-binary does not. bits_per_token is the one double
     (exact-int / exact-int, correctly rounded identically everywhere).
 
-    Scale: the token->count join keys on zipf-skewed tokens; left to AQE,
-    which splits skewed partitions and converts to broadcast at runtime
-    when the vocabulary fits (it is corpus-derived, so a pinned broadcast
-    would be wrong at 100 TB — vocabularies can reach 10^8 entries). The
-    corpus total rides a 1-row broadcast cross join.
+    Scale: the token->count join keys on zipf-skewed tokens. No pinned
+    broadcast (the vocabulary is corpus-derived — 10^8 entries at 100 TB);
+    Catalyst picks broadcast from its size estimate when counts are small,
+    and AQE's runtime size check + skew split govern the large case. The
+    corpus total is aggregated from the counts table (vocab-sized input,
+    not the token stream) and rides a 1-row broadcast cross join.
     """
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
     )
     counts = toks.groupBy("w").agg(F.count("*").alias("cnt"))
-    total = toks.agg(F.count("*").alias("total"))
+    total = counts.agg(F.sum("cnt").cast("long").alias("total"))
     bits = F.length(F.bin(F.col("total"))) - F.length(F.bin(F.col("cnt")))
     return (
         toks.join(counts, "w")

@@ -587,7 +587,7 @@ def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {TOKS_CTE},
     w AS (SELECT doc_id, unnest(l) AS w FROM toks),
     c AS (SELECT w, count(*) AS cnt FROM w GROUP BY 1),
-    tot AS (SELECT count(*) AS total FROM w)
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
     SELECT doc_id,
            CAST(sum(length(bin(tot.total)) - length(bin(c.cnt))) AS BIGINT) AS surprisal_bits,
            CAST(count(*) AS BIGINT) AS token_ct,

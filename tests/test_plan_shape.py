@@ -192,3 +192,28 @@ def test_token_budget_window_partitioned_by_lang(spark):
     plan = plan_of(df)
     assert "hashpartitioning(lang" in plan, f"window lost its lang partitioning:\n{plan}"
     assert "SinglePartition" not in plan, f"global single-partition window:\n{plan}"
+
+
+def test_cluster_sample_quota_is_group_limited(spark):
+    """Per-cluster quota must plan as WindowGroupLimit (map-side partial
+    top-cap), and the only nested-loop join allowed is the broadcast of
+    the k tiny centroids — an all-pairs vector join here would be the
+    O(n^2) scale-killer."""
+    df = registry()["cluster_balanced_sample"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    assert "WindowGroupLimit" in plan, f"quota lost its group limit:\n{plan}"
+    assert "CartesianProduct" not in plan, f"non-broadcast all-pairs join:\n{plan}"
+    assert "SinglePartition" not in plan, f"global single-partition window:\n{plan}"
+
+
+def test_lm_surprisal_no_expand_no_hint_pin(spark):
+    """No Expand in the surprisal agg, and the vocab join must carry no
+    broadcast HINT in the optimized plan — Catalyst may still pick
+    broadcast from its size ESTIMATE (scale-adaptive, correct), but a
+    hard hint would pin corpus-derived state as broadcast at 100 TB."""
+    df = registry()["lm_surprisal"].spark(spark, TEST_SF_DIR)
+    assert "Expand" not in plan_of(df)
+    opt = optimized_of(df)
+    # exactly one hinted broadcast: the 1-row corpus total; the token
+    # counts side must be hint-free
+    assert opt.count("JoinHint leftHint=none, rightHint=(strategy=broadcast)") <= 1, opt
