@@ -65,7 +65,12 @@ def stream_dir(
 
 
 def replay_splits(
-    spark: SparkSession, sf_dir: str, name: str, n_splits: int, out_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    n_splits: int,
+    out_dir: str,
+    ts_col: str | None = None,
 ) -> str:
     """Materialize a fixture table as n_splits parquet files ordered by time,
     so streaming replays approximate arrival order. Returns the directory."""
@@ -74,7 +79,7 @@ def replay_splits(
     from ..tables import table
 
     df = table(spark, sf_dir, name)
-    ts_col = "ts" if "ts" in df.columns else df.columns[0]
+    ts_col = ts_col or ("ts" if "ts" in df.columns else df.columns[0])
     df.repartitionByRange(n_splits, F.col(ts_col)).write.mode("overwrite").parquet(out_dir)
     # FileStreamSource picks files oldest-mtime-first; the writer stamps all
     # parts with the same mtime, so replay order would be arbitrary. Stamp

@@ -295,33 +295,13 @@ def province_stats_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rtm(out, spark)
 
 
-@register(
-    "product_stats_stream",
-    oracle=f"""
-    SELECT * FROM ({PRODUCT_STATS_ORACLE_BODY})
-    WHERE edt <= strftime((SELECT max(l_shipdate) - INTERVAL {WM_S} SECOND FROM lineitem),
-                          '%Y-%m-%d %H:%M:%S')
-    """,
-    doc=(
-        "A1+A3+F10+J3 via Structured Streaming — the reference's flagship "
-        "ProductStatsApp as one incremental query: weekly tumble on the "
-        "lineitem stream (window startTime offset aligns to Monday like "
-        "date_trunc('week')), the three distinct-order HashSet unions "
-        "(ProductStatsApp.java:268-274) as collect_set aggregates, then "
-        "stream-static broadcast dim join AFTER the agg; oracle = the batch "
-        "product_stats SQL over watermark-closed windows"
-    ),
-)
-def product_stats_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def product_stats_streaming(li: DataFrame, part: DataFrame) -> DataFrame:
+    """The streaming ProductStats plan over a watermarked lineitem stream
+    (must carry a `ship_ts` event-time column) and a static part dim."""
     from ..functions.money import cents
     from ..operators.windows import TS_FMT
     from ..plans.gmall import _gross, _net
 
-    li = (
-        stream_table(spark, sf_dir, "lineitem")
-        .withColumn("ship_ts", F.col("l_shipdate").cast("timestamp"))
-        .withWatermark("ship_ts", f"{WM_S} second")
-    )
     src = li.select(
         "ship_ts",
         F.col("l_partkey").alias("sku_id"),
@@ -347,11 +327,11 @@ def product_stats_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.collect_set("paid_ok")).cast("long").alias("paid_order_ct"),
         F.size(F.collect_set("ref_ok")).cast("long").alias("refund_order_ct"),
     )
-    part = table(spark, sf_dir, "part").select(
+    dim = part.select(
         "p_partkey", F.col("p_name").alias("sku_name"), F.col("p_brand").alias("tm_name")
     )
-    out = (
-        agg.join(F.broadcast(part), F.col("sku_id") == F.col("p_partkey"))
+    return (
+        agg.join(F.broadcast(dim), F.col("sku_id") == F.col("p_partkey"))
         .select(
             F.date_format("win.start", TS_FMT).alias("stt"),
             F.date_format("win.end", TS_FMT).alias("edt"),
@@ -360,7 +340,34 @@ def product_stats_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sku_name", "tm_name",
         )
     )
-    return run_to_memory(out, spark)
+
+
+@register(
+    "product_stats_stream",
+    oracle=f"""
+    SELECT * FROM ({PRODUCT_STATS_ORACLE_BODY})
+    WHERE edt <= strftime((SELECT max(l_shipdate) - INTERVAL {WM_S} SECOND FROM lineitem),
+                          '%Y-%m-%d %H:%M:%S')
+    """,
+    doc=(
+        "A1+A3+F10+J3 via Structured Streaming — the reference's flagship "
+        "ProductStatsApp as one incremental query: weekly tumble on the "
+        "lineitem stream (window startTime offset aligns to Monday like "
+        "date_trunc('week')), the three distinct-order HashSet unions "
+        "(ProductStatsApp.java:268-274) as collect_set aggregates, then "
+        "stream-static broadcast dim join AFTER the agg; oracle = the batch "
+        "product_stats SQL over watermark-closed windows"
+    ),
+)
+def product_stats_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        stream_table(spark, sf_dir, "lineitem")
+        .withColumn("ship_ts", F.col("l_shipdate").cast("timestamp"))
+        .withWatermark("ship_ts", f"{WM_S} second")
+    )
+    return run_to_memory(
+        product_stats_streaming(li, table(spark, sf_dir, "part")), spark
+    )
 
 
 def _order_detail_stream_join(spark: SparkSession, sf_dir: str, lower: str, upper: str) -> DataFrame:

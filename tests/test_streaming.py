@@ -171,6 +171,42 @@ def test_stream_stream_interval_join(spark, event_splits):
     assert _rows(got, ["p_id", "c_id"]) == _rows(want, ["p_id", "c_id"])
 
 
+def test_product_stats_multibatch(spark):
+    """The flagship DWS aggregation under true multi-micro-batch replay:
+    windowed collect_set state must accumulate across batches and finalize
+    only when the watermark passes the week end — equal to the batch
+    product_stats restricted to watermark-closed windows."""
+    from flink_real_time_data_warehouse_spark.queries import registry
+    from flink_real_time_data_warehouse_spark.streaming.stream_queries import (
+        product_stats_streaming,
+    )
+
+    with tempfile.TemporaryDirectory(prefix="li_splits_") as d:
+        splits = replay_splits(spark, TEST_SF_DIR, "lineitem", 5, d, ts_col="l_shipdate")
+        schema = spark.read.parquet(splits).schema
+        li = (
+            stream_dir(spark, splits, schema, max_files_per_trigger=1)
+            .withColumn("ship_ts", F.col("l_shipdate").cast("timestamp"))
+            .withWatermark("ship_ts", "1 second")
+        )
+        got = run_to_memory(
+            product_stats_streaming(li, table(spark, TEST_SF_DIR, "part")), spark
+        )
+
+    li_b = table(spark, TEST_SF_DIR, "lineitem")
+    cutoff = (
+        li_b.agg(
+            F.date_format(
+                F.max(F.col("l_shipdate").cast("timestamp")) - F.expr("INTERVAL 1 SECOND"),
+                "yyyy-MM-dd HH:mm:ss",
+            )
+        ).collect()[0][0]
+    )
+    want = registry()["product_stats"].spark(spark, TEST_SF_DIR).where(F.col("edt") <= cutoff)
+    cols = ["stt", "sku_id", "order_ct", "paid_order_ct", "order_sku_num"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
 def test_log_split_partitions(spark):
     ev = table(spark, TEST_SF_DIR, "events")
     parts = log_split(ev)
