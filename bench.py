@@ -29,8 +29,11 @@ HEADLINE = [
     "visitor_stats",
     "keyword_stats",
     "top_customers",
+    "local_supplier_volume",
+    "cube_sales",
     "order_value_quantiles",
     "running_gmv",
+    "moving_avg_gmv",
     "uv_daily",
     "bounce_events",
     "asof_click_attribution",

@@ -280,6 +280,66 @@ def running_gmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name AS nation_name,
+           {sql_money_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           count(*) AS lineitem_ct
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE c.c_nationkey = s.s_nationkey
+      AND r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation_name
+    """,
+    doc=(
+        "TPC-H Q5 shape (local supplier volume): the one fact-fact shuffle "
+        "is lineitem x date-filtered orders on the order key; customer/"
+        "supplier/nation/region are all broadcast, the region predicate "
+        "prunes through the broadcast chain, and the local-supplier "
+        "condition (customer and supplier share a nation) applies as a "
+        "post-broadcast filter — no second fact shuffle anywhere"
+    ),
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            money_sum(net).alias("revenue"),
+            F.count("*").alias("lineitem_ct"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("nation_name"))
+    )
+
+
+@register(
     "cube_sales",
     oracle=f"""
     SELECT o_orderstatus AS status, o_orderpriority AS priority,

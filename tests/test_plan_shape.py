@@ -194,6 +194,18 @@ def test_token_budget_window_partitioned_by_lang(spark):
     assert "SinglePartition" not in plan, f"global single-partition window:\n{plan}"
 
 
+def test_q5_single_fact_shuffle(spark):
+    """local_supplier_volume: the only non-broadcast join is the
+    lineitem x orders equi-join — every dim must ride a broadcast, and
+    the date filter must reach the orders scan."""
+    df = registry()["local_supplier_volume"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1, plan
+    assert plan.count("BroadcastHashJoin") >= 4, f"dim broadcast lost:\n{plan}"
+    scan_part = plan[plan.index("Scan parquet"):]
+    assert "o_orderdate" in plan.split("PushedFilters")[1][:200] or "o_orderdate" in scan_part
+
+
 def test_cluster_sample_quota_is_group_limited(spark):
     """Per-cluster quota must plan as WindowGroupLimit (map-side partial
     top-cap), and the only nested-loop join allowed is the broadcast of
