@@ -295,6 +295,57 @@ def province_stats_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rtm(out, spark)
 
 
+@register(
+    "events_union_stats_stream",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt,
+             count(*) FILTER (event_type = 'view') AS pv_ct,
+             count(*) FILTER (event_type IN ('click', 'purchase', 'signup')) AS action_ct,
+             count(*) FILTER (event_type = 'error') AS err_ct
+      FROM events GROUP BY 1
+    )
+    WHERE CAST(dt AS TIMESTAMP) + INTERVAL 1 DAY <=
+          (SELECT max(ts) - INTERVAL {WM_S} SECOND FROM events)
+    """,
+    doc=(
+        "U2+U3+R1 via Structured Streaming: the 3-way split runs as three "
+        "filters on ONE watermarked stream, one-hot normalized and "
+        "unionByName'd back (the 7-way ProductStats / 3-way VisitorStats "
+        "union topology), then a daily tumble finalizes in append mode — "
+        "union propagates the shared watermark; oracle = the batch union "
+        "stats over watermark-closed days"
+    ),
+)
+def events_union_stats_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipelines import log_split
+
+    ev = stream_table(spark, sf_dir, "events").withWatermark("ts", f"{WM_S} second")
+    branches = log_split(ev)
+
+    def onehot(df: DataFrame, pv: int, act: int, err: int) -> DataFrame:
+        return df.select(
+            "ts",
+            F.lit(pv).alias("pv"), F.lit(act).alias("act"), F.lit(err).alias("err"),
+        )
+
+    unioned = (
+        onehot(branches["page"], 1, 0, 0)
+        .unionByName(onehot(branches["action"], 0, 1, 0))
+        .unionByName(onehot(branches["error"], 0, 0, 1))
+    )
+    agg = unioned.groupBy(F.window(F.col("ts"), "1 day").alias("win")).agg(
+        F.sum("pv").alias("pv_ct"),
+        F.sum("act").alias("action_ct"),
+        F.sum("err").alias("err_ct"),
+    )
+    out = agg.select(
+        F.date_format("win.start", "yyyy-MM-dd").alias("dt"),
+        "pv_ct", "action_ct", "err_ct",
+    )
+    return run_to_memory(out, spark)
+
+
 def product_stats_streaming(li: DataFrame, part: DataFrame) -> DataFrame:
     """The streaming ProductStats plan over a watermarked lineitem stream
     (must carry a `ship_ts` event-time column) and a static part dim."""

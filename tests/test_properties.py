@@ -181,3 +181,73 @@ def test_train_split_matches_duckdb_buckets(spark_global, ids):
             [i],
         ).fetchone()[0]
         assert sp[i] == got
+
+
+word = st.text(alphabet="abcdefg", min_size=1, max_size=5)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.lists(word, min_size=1, max_size=12), min_size=1, max_size=10))
+def test_lm_surprisal_matches_exact_model(spark_global, docs):
+    """bits_per_token must equal the pure-Python unigram bit-surprisal
+    model (floor-log2 via bit_length) for arbitrary corpora; identical
+    docs score identically."""
+    from flink_real_time_data_warehouse_spark.datapipe.quality import lm_surprisal
+
+    spark = spark_global
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(ws)) for i, ws in enumerate(docs)]
+    )
+    got = {
+        r["doc_id"]: (r["surprisal_bits"], r["token_ct"])
+        for r in lm_surprisal(df, "doc_id", "text").collect()
+    }
+
+    from collections import Counter
+
+    toks = [w for ws in docs for w in ws]
+    cnt = Counter(toks)
+    total = len(toks)
+    for i, ws in enumerate(docs):
+        bits = sum(total.bit_length() - cnt[w].bit_length() for w in ws)
+        assert got[i] == (bits, len(ws)), (i, got[i], bits)
+
+
+def test_cube_sales_marginals_consistent(spark_global):
+    """CUBE output must be internally consistent: the grand total equals
+    the sum of the per-status margin rows, which equals the sum of the
+    detail rows."""
+    from flink_real_time_data_warehouse_spark.queries import registry
+
+    from .conftest import TEST_SF_DIR
+
+    rows = registry()["cube_sales"].spark(spark_global, TEST_SF_DIR).collect()
+    detail = [r for r in rows if r["gid"] == 0]
+    status_margin = [r for r in rows if r["gid"] == 1]  # priority rolled up
+    grand = [r for r in rows if r["gid"] == 3]
+    assert len(grand) == 1
+    assert grand[0]["order_ct"] == sum(r["order_ct"] for r in detail)
+    assert grand[0]["order_ct"] == sum(r["order_ct"] for r in status_margin)
+    assert abs(grand[0]["total_amount"] - sum(r["total_amount"] for r in detail)) < 1e-6
+
+
+def test_moving_avg_window_semantics(spark_global):
+    """The RANGE frame must cover at most 7 calendar days and exactly the
+    days present in [d-6, d]; ma7 equals the mean of those days' gmv."""
+    from flink_real_time_data_warehouse_spark.queries import registry
+
+    from .conftest import TEST_SF_DIR
+
+    rows = registry()["moving_avg_gmv"].spark(spark_global, TEST_SF_DIR).collect()
+    from datetime import date
+
+    by_day = {date.fromisoformat(r["dt"]): r for r in rows}
+    for d, r in by_day.items():
+        window = [
+            by_day[x]["gmv"]
+            for x in by_day
+            if 0 <= (d - x).days <= 6
+        ]
+        assert r["days_in_window"] == len(window)
+        assert 1 <= r["days_in_window"] <= 7
+        assert abs(r["ma7"] - sum(window) / len(window)) < 1e-6
