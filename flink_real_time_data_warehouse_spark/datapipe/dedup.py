@@ -106,6 +106,38 @@ def minhash_signatures(
     return ex.groupBy("doc").agg(*aggs)
 
 
+def minhash_signature_cols(text: Column, num_hashes: int = NUM_HASHES) -> list[Column]:
+    """MinHash signature as a pure per-row projection: sig_i =
+    array_min(hash_i over the doc's shingle array). Same hash family and
+    values as `minhash_signatures` (array_min on fixed-width hex ==
+    the groupBy min), but ZERO shuffle — the form a streaming stage needs
+    (no aggregation before keyed state; chained stateful operators are
+    restricted) and the cheapest batch form when only the per-doc
+    signature is wanted. Cost control: 4 md5 transforms per row (one per
+    digest), then cheap substring slices for all 16 hash functions.
+
+    Docs with no shingles (< 3 tokens) yield NULL signatures — callers
+    must filter those out, as the explode-based form drops them naturally.
+    """
+    # NOTE: F.transform treats a 2-arg lambda as (element, index) — loop
+    # variables must close over factories, not `i=i` defaults.
+    def _digest_fn(j: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+
+    def _slice_fn(i: int):
+        return lambda d: F.substring(d, (i % SLICES_PER_DIGEST) * 8 + 1, 8)
+
+    sh = shingles_from_tokens(tokens(text))
+    digests = [
+        F.transform(sh, _digest_fn(j))
+        for j in range(num_hashes // SLICES_PER_DIGEST)
+    ]
+    return [
+        F.array_min(F.transform(digests[i // SLICES_PER_DIGEST], _slice_fn(i))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, bands: int = LSH_BANDS, num_hashes: int = NUM_HASHES
 ) -> DataFrame:

@@ -225,6 +225,54 @@ def dedup_exact_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(exact_dedup_stream(docs), spark)
 
 
+def _minhash_sig_hash_sql() -> str:
+    """DuckDB mirror of the streaming signature key: per-doc MinHash sigs
+    (shingle group-by form — value-identical to the projection form) joined
+    '|'-wise and digested."""
+    from ..datapipe.dedup import NUM_HASHES, sql_minhash_hash
+    from ..plans.datapipe import SH_CTE, TOKS_CTE
+
+    sig_cols = ", ".join(
+        f"min({sql_minhash_hash(i, 's')}) AS sig_{i}" for i in range(NUM_HASHES)
+    )
+    joined = " || '|' || ".join(f"sig_{i}" for i in range(NUM_HASHES))
+    return f"""
+    WITH {TOKS_CTE}, {SH_CTE},
+    sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id)
+    SELECT md5({joined}) AS sig_hash, min(doc_id) AS keep_id
+    FROM sig GROUP BY 1
+    """
+
+
+@register(
+    "dedup_minhash_stream",
+    oracle=_minhash_sig_hash_sql(),
+    doc=(
+        "near-dup dedup-on-ingest: the MinHash signature computed as a "
+        "pure per-row projection (zero shuffle — no aggregation may "
+        "precede the keyed state op), docs with identical full signatures "
+        "collapse to the first arrival via the same seen-flag state as "
+        "dedup_exact_stream; the banded LSH variant relaxes 'identical "
+        "signature' to 'any shared band' offline. Oracle = batch keeper "
+        "per signature digest"
+    ),
+)
+def dedup_minhash_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.dedup import NUM_HASHES, minhash_signature_cols
+    from ..streaming.state import exact_dedup_stream
+
+    docs = stream_table(spark, sf_dir, "documents")
+    sigs = docs.select("doc_id", *minhash_signature_cols(F.col("text")))
+    keyed = sigs.where(F.col("sig_0").isNotNull()).select(
+        F.md5(
+            F.concat_ws("|", *[F.col(f"sig_{i}") for i in range(NUM_HASHES)])
+        ).alias("sig_hash"),
+        "doc_id",
+    )
+    out = run_to_memory(exact_dedup_stream(keyed, hash_col="sig_hash"), spark)
+    return out.select(F.col("text_hash").alias("sig_hash"), "keep_id")
+
+
 @register(
     "province_stats_stream",
     oracle=f"""
