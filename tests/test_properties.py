@@ -256,23 +256,24 @@ def test_moving_avg_window_semantics(spark_global):
 @settings(max_examples=6, deadline=None)
 @given(st.lists(st.text(alphabet="abc d", min_size=6, max_size=40), min_size=1, max_size=8))
 def test_minhash_projection_equals_agg_form(spark_global, texts):
-    """The zero-shuffle projection signature (minhash_signature_cols) must
-    equal the explode+groupBy signature for every doc with shingles —
-    the invariant dedup_minhash_stream's oracle rests on. (Regression:
-    F.transform binds 2-arg lambdas as (element, index), which silently
-    corrupted loop-variable defaults.)"""
+    """The zero-shuffle staged-projection signature
+    (minhash_signature_frame, the streaming form) must equal the
+    explode+groupBy form (minhash_signatures, the batch form) for every
+    doc with shingles — the invariant dedup_minhash_stream's oracle rests
+    on. (Regression guard: F.transform binds 2-arg lambdas as
+    (element, index), which silently corrupts loop-variable-default
+    closures.)"""
     from flink_real_time_data_warehouse_spark.datapipe.dedup import (
         NUM_HASHES,
-        minhash_signature_cols,
+        minhash_signature_frame,
         minhash_signatures,
     )
 
     spark = spark_global
     df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
     proj = {
-        r["doc_id"]: tuple(r[f"sig_{i}"] for i in range(NUM_HASHES))
-        for r in df.select("doc_id", *minhash_signature_cols(F.col("text"))).collect()
-        if r["sig_0"] is not None
+        r["doc"]: tuple(r[f"sig_{i}"] for i in range(NUM_HASHES))
+        for r in minhash_signature_frame(df, "doc_id", "text").collect()
     }
     agg = {
         r["doc"]: tuple(r[f"sig_{i}"] for i in range(NUM_HASHES))
