@@ -699,6 +699,48 @@ def cdc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# scd2_user_status — the type-2 view of the dim layer (the reference's
+# Phoenix upsert is type-1 overwrite, DimSinkFunction.java:17-89; this is
+# the history-preserving variant a warehouse needs for as-of joins).
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_user_status",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type AS status, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_status,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    kept AS (
+      SELECT user_id, status, ts, event_id FROM ordered
+      WHERE rn = 1 OR prev_status IS DISTINCT FROM status
+    )
+    SELECT user_id, status, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS INTEGER) AS is_current
+    FROM kept
+    """,
+    doc=(
+        "type-2 SCD history from a change stream: consecutive-duplicate "
+        "suppression (null-safe lag compare), validity intervals via lead, "
+        "open-interval current flag — all windows share one key "
+        "partitioning, so the whole history build is a single shuffle "
+        "(plan-shape-tested); the as-of-join consumer is "
+        "operators/asof.py"
+    ),
+)
+def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import scd2_history
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.col("event_type").alias("status"), "ts", "event_id"
+    )
+    return scd2_history(ev, ["user_id"], "ts", ["status"], "event_id")
+
+
+# ---------------------------------------------------------------------------
 # json_props — SURVEY §2.2 P1/P9 + §2.8 F5 (BaseLogApp.java:49-67 dirty
 # split; KeywordStatsApp.java:71-79 map access + predicate): parse the JSON
 # props column, keep rows whose k survives the predicate.

@@ -194,6 +194,17 @@ def test_token_budget_window_partitioned_by_lang(spark):
     assert "SinglePartition" not in plan, f"global single-partition window:\n{plan}"
 
 
+def test_scd2_single_shuffle(spark):
+    """All SCD2 window passes (change-detection lag, validity lead,
+    current flag) must share one key partitioning: exactly one Exchange,
+    and it hashes on the dimension key."""
+    df = registry()["scd2_user_status"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("Exchange") == 1, f"history build shuffles more than once:\n{plan}"
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan
+
+
 def test_q5_single_fact_shuffle(spark):
     """local_supplier_volume: the only non-broadcast join is the
     lineitem x orders equi-join — every dim must ride a broadcast, and
