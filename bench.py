@@ -37,6 +37,7 @@ HEADLINE = [
     "uv_daily",
     "bounce_events",
     "asof_click_attribution",
+    "scd2_user_status",
     "session_stats",
     # datapipe headliners (registered as they land)
     "dedup_minhash_lsh",

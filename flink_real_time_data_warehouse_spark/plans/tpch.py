@@ -375,6 +375,70 @@ def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_spend_quartiles",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o_custkey AS custkey, {sql_money_sum('o_totalprice')} AS total_spent,
+             count(*) AS order_ct
+      FROM orders GROUP BY 1
+    )
+    SELECT custkey, total_spent, order_ct,
+           CAST(ntile(4) OVER (ORDER BY total_spent DESC, custkey) AS BIGINT) AS quartile
+    FROM spend
+    """,
+    doc=(
+        "customer-value quartiles: ntile over per-customer spend — the "
+        "segmentation window every CRM report needs. The global-order "
+        "window runs over PRE-AGGREGATED customer rows (|customers|, not "
+        "|orders|); ties broken by key so the tile assignment is "
+        "deterministic on any engine"
+    ),
+)
+def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        money_sum(F.col("o_totalprice")).alias("total_spent"),
+        F.count("*").alias("order_ct"),
+    )
+    w = Window.orderBy(F.col("total_spent").desc(), F.col("custkey"))
+    return spend.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+
+
+@register(
+    "urgent_part_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_suppkey = s.s_suppkey AND o.o_orderpriority = '1-URGENT'
+    )
+    ORDER BY s_suppkey
+    """,
+    doc=(
+        "EXISTS via left-semi join (completes the join-type matrix next to "
+        "the anti-join `dormant_customers`): the probe side reduces to its "
+        "join key before the semi join, the priority filter pushes to the "
+        "orders scan, and the semi join emits each supplier at most once "
+        "with no row multiplication"
+    ),
+)
+def urgent_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    urgent_supps = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select("l_suppkey")
+    return supp.join(
+        urgent_supps, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).orderBy("s_suppkey")
+
+
+@register(
     "moving_avg_gmv",
     oracle=f"""
     WITH daily AS (
