@@ -271,3 +271,40 @@ def test_exact_dedup_stream_drops_cross_batch_copies(spark, tmp_path):
     assert got[h("beta")] == 11
     assert got[h("gamma")] == 12
     assert got[h("alpha")] in (5, 10)
+
+
+def test_minhash_dedup_stream_cross_batch_collapse(spark, tmp_path):
+    """Near-dup dedup-on-ingest: a document whose MinHash signature matches
+    one seen in an earlier micro-batch must not re-emit — identical TEXT is
+    the strongest case (signature is a pure function of text), and a
+    genuinely different text must keep its own signature row."""
+    from flink_real_time_data_warehouse_spark.datapipe.dedup import (
+        NUM_HASHES,
+        minhash_signature_frame,
+    )
+    from flink_real_time_data_warehouse_spark.streaming.state import exact_dedup_stream
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "an entirely different document about distributed query engines"
+    d = str(tmp_path / "docs")
+    spark.createDataFrame([(1, text_a), (2, text_b)], ["doc_id", "text"]).coalesce(
+        1
+    ).write.parquet(d)
+    spark.createDataFrame([(3, text_a)], ["doc_id", "text"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    schema = spark.read.parquet(d).schema
+    stream = stream_dir(spark, d, schema, max_files_per_trigger=1)
+    sigs = minhash_signature_frame(stream, "doc_id", "text")
+    keyed = sigs.select(
+        F.md5(F.concat_ws("|", *[F.col(f"sig_{i}") for i in range(NUM_HASHES)])).alias(
+            "sig_hash"
+        ),
+        F.col("doc").alias("doc_id"),
+    )
+    rows = run_to_memory(exact_dedup_stream(keyed, hash_col="sig_hash"), spark).collect()
+    # two distinct signatures survive; the doc-3 copy of text_a collapsed
+    assert len(rows) == 2
+    keepers = sorted(r.keep_id for r in rows)
+    assert keepers in ([1, 2], [2, 3])  # whichever file replayed first owns text_a
