@@ -38,6 +38,7 @@ HEADLINE = [
     "bounce_events",
     "asof_click_attribution",
     "scd2_user_status",
+    "purchase_status_asof",
     "session_stats",
     # datapipe headliners (registered as they land)
     "dedup_minhash_lsh",

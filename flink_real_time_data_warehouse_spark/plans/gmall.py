@@ -741,6 +741,71 @@ def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# purchase_status_asof — the canonical SCD2 consumer: facts join the
+# dimension AS OF their event time (what the reference's dim cache can
+# never answer — it only has the current row).
+# ---------------------------------------------------------------------------
+@register(
+    "purchase_status_asof",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, event_type AS status, ts, event_id
+      FROM events WHERE event_type IN ('signup', 'error')
+    ),
+    ordered AS (
+      SELECT user_id, status, ts, event_id,
+             lag(status) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_status,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM ch
+    ),
+    kept AS (
+      SELECT user_id, status, ts, event_id FROM ordered
+      WHERE rn = 1 OR prev_status IS DISTINCT FROM status
+    ),
+    hist AS (
+      SELECT user_id, status, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM kept
+    ),
+    live AS (SELECT * FROM hist WHERE valid_to IS NULL OR valid_to > valid_from),
+    p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts, live.status, live.valid_from
+    FROM p ASOF LEFT JOIN live
+      ON p.user_id = live.user_id AND p.ts >= live.valid_from
+    """,
+    doc=(
+        "point-in-time dimension lookup: purchases as-of join the SCD2 "
+        "status history (signup/error change stream) — each fact reads the "
+        "interval containing its event time, not the current row. Runs "
+        "through the union-merge as-of formulation (operators/asof.py): "
+        "one |facts|+|changes| shuffle, no per-key blowup; zero-length "
+        "intervals (two changes at one timestamp) are dropped so the "
+        "match is unique. Oracle = DuckDB's native ASOF LEFT JOIN"
+    ),
+)
+def purchase_status_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+    from ..operators.scd import scd2_history
+
+    ev = table(spark, sf_dir, "events")
+    changes = ev.where(F.col("event_type").isin("signup", "error")).select(
+        "user_id", F.col("event_type").alias("status"), "ts", "event_id"
+    )
+    hist = scd2_history(changes, ["user_id"], "ts", ["status"], "event_id")
+    live = hist.where(
+        F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from"))
+    ).select("user_id", "status", "valid_from")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        purchases, live,
+        key="user_id", left_ts="ts", right_ts="valid_from",
+        right_cols=["status", "valid_from"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # json_props — SURVEY §2.2 P1/P9 + §2.8 F5 (BaseLogApp.java:49-67 dirty
 # split; KeywordStatsApp.java:71-79 map access + predicate): parse the JSON
 # props column, keep rows whose k survives the predicate.
