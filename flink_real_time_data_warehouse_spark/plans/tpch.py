@@ -374,6 +374,59 @@ def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ORDER_STATUSES = ("F", "O", "P")
+
+
+@register(
+    "status_pivot",
+    oracle=f"""
+    SELECT o_orderpriority AS priority,
+           {", ".join(
+               f"count(*) FILTER (o_orderstatus = '{s}') AS ct_{s}, "
+               f"coalesce(sum({sql_cents('o_totalprice')}) FILTER (o_orderstatus = '{s}'), 0) / 100.0 AS amt_{s}"
+               for s in ORDER_STATUSES
+           )}
+    FROM orders
+    GROUP BY 1
+    """,
+    doc=(
+        "PIVOT: order counts and exact-cents amounts per priority row x "
+        "status column. Spark's pivot with an EXPLICIT value list — "
+        "without one, pivot runs a driver-side distinct scan to discover "
+        "columns (an extra job, and nondeterministic column order); with "
+        "it, the plan is a single conditional-aggregation pass, exactly "
+        "what the oracle spells out with FILTER clauses"
+    ),
+)
+def status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    p = (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            "o_orderstatus",
+            cents(F.col("o_totalprice")).alias("price_c"),
+        )
+        .groupBy("priority")
+        .pivot("o_orderstatus", list(ORDER_STATUSES))
+        .agg(
+            F.count(F.lit(1)).alias("ct"),
+            (F.sum("price_c") / F.lit(100.0)).alias("amt"),
+        )
+    )
+    # pivot names columns "<value>_<agg>"; align with the oracle's ct_S/amt_S
+    return p.select(
+        "priority",
+        *[
+            c
+            for s in ORDER_STATUSES
+            for c in (
+                F.coalesce(F.col(f"{s}_ct"), F.lit(0)).alias(f"ct_{s}"),
+                F.coalesce(F.col(f"{s}_amt"), F.lit(0.0)).alias(f"amt_{s}"),
+            )
+        ],
+    )
+
+
 @register(
     "customer_spend_quartiles",
     oracle=f"""

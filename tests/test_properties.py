@@ -280,3 +280,52 @@ def test_minhash_projection_equals_agg_form(spark_global, texts):
         for r in minhash_signatures(df, "doc_id", "text").collect()
     }
     assert proj == agg
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),   # user
+            st.integers(min_value=0, max_value=50),  # ts seconds
+            st.sampled_from(["a", "b", "c"]),        # status
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_scd2_intervals_partition_timeline(spark_global, changes):
+    """SCD2 invariants for arbitrary change streams: per key, intervals
+    are non-overlapping, chain exactly (each valid_to = next valid_from),
+    exactly one open interval per key, and consecutive intervals always
+    differ in status."""
+    from datetime import datetime, timedelta
+
+    from flink_real_time_data_warehouse_spark.operators.scd import scd2_history
+
+    spark = spark_global
+    base = datetime(2024, 1, 1)
+    rows = [
+        Row(user_id=u, status=s, ts=base + timedelta(seconds=t), event_id=i)
+        for i, (u, t, s) in enumerate(changes)
+    ]
+    out = scd2_history(
+        spark.createDataFrame(rows), ["user_id"], "ts", ["status"], "event_id"
+    ).collect()
+
+    far_future = datetime(9999, 1, 1)
+    by_user: dict = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    for u, ivs in by_user.items():
+        # zero-length intervals (same-ts changes) sort before the row that
+        # supersedes them at the same valid_from
+        ivs.sort(key=lambda r: (r.valid_from, r.valid_to or far_future))
+        opens = [r for r in ivs if r.valid_to is None]
+        assert len(opens) == 1 and ivs[-1].valid_to is None
+        assert all(bool(r.is_current) == (r.valid_to is None) for r in ivs)
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from  # chained: no gap, no overlap
+            if a.valid_from != a.valid_to:
+                # non-degenerate neighbors must differ (duplicate-suppressed)
+                assert a.status != b.status
