@@ -31,6 +31,9 @@ HEADLINE = [
     "top_customers",
     "local_supplier_volume",
     "cube_sales",
+    "status_pivot",
+    "customer_spend_quartiles",
+    "urgent_part_suppliers",
     "order_value_quantiles",
     "running_gmv",
     "moving_avg_gmv",
