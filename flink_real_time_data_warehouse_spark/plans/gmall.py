@@ -741,6 +741,55 @@ def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dirty_split — SURVEY §2.2 P1 graded on BOTH sides (BaseLogApp.java:49-67
+# side output): json_props grades the clean path; this grades the
+# dead-letter routing itself under deterministic corruption.
+# ---------------------------------------------------------------------------
+@register(
+    "dirty_split",
+    oracle="""
+    SELECT event_id,
+           CAST(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_dirty,
+           CASE WHEN event_id % 7 = 0 THEN -1
+                ELSE CAST(props->>'$.k' AS INTEGER) END AS k
+    FROM events
+    """,
+    doc=(
+        "P1 dirty side output graded end-to-end: every 7th row's props is "
+        "mangled with trailing garbage, the PERMISSIVE corrupt-record "
+        "parse routes it to the dead-letter side (raw line preserved), "
+        "clean rows carry the parsed field — both outputs from ONE scan "
+        "and one from_json pass, unioned back for grading"
+    ),
+)
+def dirty_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from ..operators.split import parse_json_logs
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        # corruption = truncation (unterminated object) — Spark's Jackson
+        # tolerates trailing garbage, so appending would not trip the parser
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.substring(F.col("props"), 1, F.length("props") - F.lit(1)),
+        ).otherwise(F.col("props")).alias("raw"),
+    )
+    schema = StructType([StructField("k", IntegerType())])
+    clean, dirty = parse_json_logs(ev, "raw", schema)
+    return clean.select(
+        "event_id", F.lit(0).alias("is_dirty"), F.col("parsed.k").alias("k")
+    ).unionByName(
+        dirty.select(
+            # -1 sentinel, not NULL: a nullable int column round-trips as
+            # float64 through pandas and breaks cross-engine value hashing
+            "event_id", F.lit(1).alias("is_dirty"), F.lit(-1).cast("int").alias("k")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # purchase_status_asof — the canonical SCD2 consumer: facts join the
 # dimension AS OF their event time (what the reference's dim cache can
 # never answer — it only has the current row).
