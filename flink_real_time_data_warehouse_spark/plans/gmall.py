@@ -80,8 +80,10 @@ def province_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the aggregated rows only. Grouping 100 TB of detail by 19-char window
     # strings and carrying dim names through both agg levels would multiply
     # shuffle width for nothing — names are 1:1 with the nation key.
+    # customer is O(users) (billions at 100 TB) — no pinned broadcast here;
+    # AQE broadcasts it while small and falls back to a shuffle join at scale.
     detail = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
-        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        cust.select("c_custkey", "c_nationkey"),
         F.col("o_custkey") == F.col("c_custkey"),
     )
     day = F.date_trunc("day", F.col("o_orderdate"))

@@ -80,7 +80,9 @@ def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region")
     joined = (
-        orders.join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        # customer is O(users) — no pinned broadcast; AQE picks the strategy
+        # (broadcast at small SF, shuffle join at 100 TB scale).
+        orders.join(cust.select("c_custkey", "c_nationkey"),
                     F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
               F.col("c_nationkey") == F.col("n_nationkey"))
@@ -113,7 +115,7 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(cust.select("c_custkey", "c_name")),
+        orders.join(cust.select("c_custkey", "c_name"),
                     F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
         .agg(
@@ -160,7 +162,7 @@ def top_parts_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sales = (
         li.join(orders.select("o_orderkey", "o_custkey"),
                 F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        .join(cust.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("c_nationkey").alias("nationkey"), F.col("l_partkey").alias("partkey"))
         .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
@@ -300,8 +302,10 @@ def running_gmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "TPC-H Q5 shape (local supplier volume): the one fact-fact shuffle "
-        "is lineitem x date-filtered orders on the order key; customer/"
-        "supplier/nation/region are all broadcast, the region predicate "
+        "is lineitem x date-filtered orders on the order key; supplier/"
+        "nation/region are pinned broadcasts (O(100)-ish at any scale), "
+        "customer is left unhinted so AQE broadcasts it only while it fits, "
+        "the region predicate "
         "prunes through the broadcast chain, and the local-supplier "
         "condition (customer and supplier share a nation) applies as a "
         "post-broadcast filter — no second fact shuffle anywhere"
@@ -320,7 +324,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(supp),
             (F.col("l_suppkey") == F.col("s_suppkey"))

@@ -319,8 +319,10 @@ def province_stats_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region")
+    # customer unhinted: O(users) at scale — stream-static joins still allow
+    # Spark to broadcast the static side when it fits, without pinning.
     joined = orders.join(li, F.col("l_orderkey") == F.col("o_orderkey")).join(
-        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        cust, F.col("o_custkey") == F.col("c_custkey")
     )
     agg = joined.groupBy(
         F.window(F.col("o_orderdate"), "1 day").alias("win"), F.col("c_nationkey")

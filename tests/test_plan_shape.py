@@ -31,6 +31,33 @@ def test_dim_joins_are_broadcast(spark, name):
     assert "SortMergeJoin" not in plan, f"{name}: unexpected shuffle join\n{plan}"
 
 
+@pytest.mark.parametrize(
+    ("name", "pinned_hints"),
+    [
+        ("province_stats", 2),  # nation + region pinned; customer unhinted
+        ("rollup_sales", 2),  # nation + region
+        ("top_customers", 0),  # customer is the only dim — no pin at all
+        ("top_parts_per_nation", 0),
+        ("local_supplier_volume", 3),  # supplier + nation + region
+    ],
+)
+def test_customer_join_not_pinned(spark, name, pinned_hints):
+    """fact x customer must NOT carry a broadcast hint: customer is O(users)
+    (~15 M rows at TPC-H sf100, billions at 100 TB) and a pinned hint
+    overrides Spark's size check — OOM at scale where an unhinted join lets
+    AQE fall back to shuffle. Tiny dims (nation/region/supplier) keep their
+    pins; we assert the optimized plan has EXACTLY the tiny-dim hint count.
+    Catalyst may still broadcast customer from its size ESTIMATE at test SF
+    (fine, adaptive); the customer join itself is asserted present via the
+    query's correctness row, not its strategy."""
+    df = registry()[name].spark(spark, TEST_SF_DIR)
+    opt = optimized_of(df)
+    assert opt.count("strategy=broadcast") == pinned_hints, (
+        f"{name}: expected {pinned_hints} pinned broadcast hints "
+        f"(tiny dims only, customer unhinted)\n{opt}"
+    )
+
+
 @pytest.mark.parametrize("name", ["province_stats", "product_stats", "visitor_stats"])
 def test_no_expand_for_distinct(spark, name):
     """Two-level distinct shapes must not regress to Expand-based plans
