@@ -192,21 +192,47 @@ def lsh_candidate_pairs(
     )
 
 
+NGRAM_DF_CAP = 64  # drop shingles present in more docs (stop-shingle guard)
+
+
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float, k: int = SHINGLE_K
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    k: int = SHINGLE_K,
+    doc_freq_cap: int | None = NGRAM_DF_CAP,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (doc_a, doc_b, jaccard >= threshold).
 
     Shares the shingle index with MinHash; the pair join is on shingle
-    equality, so cost is sum over shingles of (docs-per-shingle choose 2) —
-    fine when no shingle is hyper-frequent. For 100 TB, run
-    lsh_candidate_pairs first and use this as the verify step on candidates
-    only (that composition is `dedup_minhash_lsh` + a semi join).
+    equality, so cost is sum over shingles of (docs-per-shingle choose 2).
+    That sum is unbounded if one boilerplate shingle lands in 10^5 docs
+    (5x10^9 pairs from a single key), so hyper-frequent shingles are
+    removed FIRST: any shingle appearing in more than ``doc_freq_cap``
+    documents is treated as a stop-shingle and excluded from both the
+    shared counts and the per-doc set sizes — i.e. jaccard is computed
+    over the stop-filtered shingle sets, the same move dup_span_pairs
+    makes with SPAN_FREQ_CAP. Cost is then bounded by cap²/2 pairs per
+    shingle. Pass ``doc_freq_cap=None`` for the exact uncapped semantics
+    (only safe on pre-bucketed candidates — the `dedup_minhash_verified`
+    composition is the 100 TB path).
 
     jaccard = shared / (|A| + |B| - shared): one integer division per pair,
     bit-identical across engines.
     """
     ex = shingle_rows(df, id_col, text_col, k)
+    if doc_freq_cap is not None:
+        # shingle_rows is distinct per doc, so count(*) == doc frequency.
+        hot = (
+            ex.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > doc_freq_cap)
+            .select("sh")
+        )
+        # No broadcast pin: the hot set is bounded by rows/cap, which still
+        # grows with the corpus — let AQE pick broadcast only while it fits.
+        ex = ex.join(hot, "sh", "left_anti")
     sizes = ex.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a, b = ex.alias("a"), ex.alias("b")
     shared = (

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..datapipe.dedup import (
     LSH_BANDS,
+    NGRAM_DF_CAP,
     NUM_HASHES,
     exact_dedup,
     lsh_candidate_pairs,
@@ -121,10 +122,12 @@ def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {TOKS_CTE}, {SH_CTE},
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > {NGRAM_DF_CAP}),
+    shf AS (SELECT sh.* FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY 1),
     shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -134,7 +137,12 @@ def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON doc_b = sb.doc_id
     WHERE shared / (sa.n_sh + sb.n_sh - shared) >= {JACCARD_THRESHOLD}
     """,
-    doc="exact n-gram (3-shingle) Jaccard pairs above threshold; the verify stage of MinHash candidates",
+    doc=(
+        "exact n-gram (3-shingle) Jaccard pairs above threshold over the "
+        f"stop-filtered shingle sets (doc-frequency cap {NGRAM_DF_CAP} bounds "
+        "the per-shingle pair blowup to cap^2/2; mirrored in the oracle); "
+        "uncapped exact verify lives in dedup_minhash_verified"
+    ),
 )
 def dedup_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(

@@ -71,6 +71,35 @@ def test_minhash_identical_docs_always_collide(spark_global):
     assert all({r["doc_a"], r["doc_b"]} != {1, 3} for r in pairs)
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark_global):
+    """The doc-frequency cap must drop boilerplate-only pairs (shingles
+    shared by > cap docs are stop-shingles) while genuine near-dups keep
+    their pairs; cap=None recovers the exact uncapped semantics."""
+    from flink_real_time_data_warehouse_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    spark = spark_global
+    rows = [
+        # 8 docs that only share a boilerplate prefix (3 shared shingles,
+        # jaccard 3/5 = 0.6 pairwise when uncapped)
+        *[Row(doc_id=i, text=f"common boiler plate words here uniq{i}") for i in range(1, 9)],
+        # one genuine identical pair, shingle df = 2
+        Row(doc_id=101, text="alpha beta gamma delta epsilon"),
+        Row(doc_id=102, text="alpha beta gamma delta epsilon"),
+    ]
+    docs = spark.createDataFrame(rows)
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 0.5, doc_freq_cap=4).collect()
+    }
+    assert capped == {(101, 102)}, capped
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 0.5, doc_freq_cap=None).collect()
+    }
+    assert (101, 102) in uncapped
+    assert len(uncapped) == 1 + 28  # the pair + C(8,2) boilerplate pairs
+
+
 @pytest.fixture(scope="session")
 def spark_global(spark):
     return spark
