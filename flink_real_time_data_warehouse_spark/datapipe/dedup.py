@@ -533,6 +533,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     labels = vertices.select(F.col("v"), F.col("v").alias("lbl")).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         # candidate label for dst = min label among its neighbors
         from_nbr = (
@@ -554,7 +555,17 @@ def connected_components(
         )
         labels = merged.select("v", F.col("new_lbl").alias("lbl"))
         if merged.where(F.col("chg") == 1).count() == 0:
+            converged = True
             break
+    if not converged:
+        # Silently returning mid-propagation labels would assign WRONG
+        # cluster ids to any component with diameter > max_iter (long
+        # boilerplate chains) with no signal — fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "a component's diameter exceeds max_iter — raise max_iter "
+            "(rounds needed = component diameter)"
+        )
     return labels.select("v", F.col("lbl").alias("cluster_id"))
 
 

@@ -197,20 +197,43 @@ def _sized_by_bytes(
     pass)."""
     if n_partitions is None:
         est_bytes = _input_file_bytes(assets) * 4
+        if est_bytes == 0 and "byte_len" in assets.columns:
+            # File-level sizing failed (e.g. a source the filesystem layer
+            # couldn't stat, or a non-file plan). Silently treating that as
+            # 0 would collapse arbitrarily large inputs into ONE partition —
+            # the exact OOM this sizing exists to prevent — so pay for one
+            # aggregate over the metadata column instead.
+            row = assets.agg(F.coalesce(F.sum("byte_len"), F.lit(0)).alias("b")).collect()[0]
+            est_bytes = int(row["b"]) * 4
         n_partitions = max(1, est_bytes // (byte_budget_mb * 1024 * 1024) + 1)
     return assets.repartition(n_partitions, "asset_id")
 
 
 def _input_file_bytes(df: DataFrame) -> int:
     """Total on-disk bytes of the DataFrame's input files — plan metadata
-    only (file listing), never a Spark job over the data."""
+    only (file listing / filesystem stat), never a Spark job over the data.
+
+    Local paths stat via the OS; any other scheme (s3://, hdfs://, ...)
+    goes through the Hadoop FileSystem API, so remote inputs are sized
+    correctly rather than silently counted as 0.
+    """
     from urllib.parse import urlparse
 
     total = 0
     for uri in df.inputFiles():
+        parsed = urlparse(uri)
+        if parsed.scheme in ("", "file"):
+            try:
+                total += os.path.getsize(parsed.path)
+            except OSError:
+                pass
+            continue
         try:
-            total += os.path.getsize(urlparse(uri).path)
-        except OSError:
+            spark = df.sparkSession
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(uri)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            total += fs.getFileStatus(jpath).getLen()
+        except Exception:  # noqa: BLE001 — unreachable FS: let the caller's fallback size it
             pass
     return total
 

@@ -58,14 +58,18 @@ class ServingAPI:
             .parquet(self._path("product_revenue"))
         )
 
-    def _ensure(self) -> None:
-        if not self.materialized():
+    def _ensure(self, name: str) -> None:
+        # Check the _SUCCESS marker of the SPECIFIC table being read: if a
+        # previous materialize() crashed between writing gmv_daily and
+        # product_revenue, a gmv_daily-only check would leave the second
+        # table missing (throw) or stale forever.
+        if not self.materialized(name):
             self.materialize()
 
     def result_table(self, name: str):
         """The DataFrame a serving read answers from — always a
         materialized result table, never the raw facts."""
-        self._ensure()
+        self._ensure(name)
         return self.spark.read.parquet(self._path(name))
 
     # -- reads (SugarController endpoints) ---------------------------------

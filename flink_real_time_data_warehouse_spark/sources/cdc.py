@@ -63,9 +63,26 @@ def apply_cdc_changes(
     ts_ms/binlog position), then MERGEs: insert/update upsert, delete
     removes. Re-applying a batch whose effects are already in the store is
     a no-op — the idempotence the snapshot→tail handoff relies on.
+
+    Seq guard (the `WHEN MATCHED AND src.seq >= tgt.seq` of a SQL MERGE):
+    when the stored rows carry seq_col, a change older than the stored
+    row's seq is dropped instead of applied — so replaying old log
+    segments out of order can never regress a key to a stale value, no
+    matter how micro-batches split the log. Without the guard, last-write
+    -wins holds only WITHIN a batch and correctness would depend on
+    cross-batch arrival order.
     """
     w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
     last = changes.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    if store.exists(table_name):
+        cur = store.snapshot(table_name)
+        if seq_col in cur.columns:
+            tgt = cur.select(F.col(key), F.col(seq_col).alias("_tgt_seq"))
+            last = (
+                last.join(tgt, on=key, how="left")
+                .where(F.col("_tgt_seq").isNull() | (F.col(seq_col) >= F.col("_tgt_seq")))
+                .drop("_tgt_seq")
+            )
     ups = last.where(F.col(op_col) != "delete").drop(op_col)
     dels = last.where(F.col(op_col) == "delete").select(key)
     store.upsert(table_name, ups, key=key)
@@ -89,12 +106,17 @@ def cdc_initial_load(
     1. Snapshot phase: batch-read every envelope file currently in
        `cdc_dir`, apply via keyed MERGE.
     2. Tail phase: a file-source stream over the same directory re-applies
-       from the beginning. The offset boundary needs no coordination:
-       envelopes the snapshot already applied re-apply as no-ops
-       (last-write-wins MERGE of identical values), and envelopes that
-       landed *during* the backfill are simply part of the tail — so no
-       change is lost and none double-applies. The stream's checkpoint
-       then owns exactly-once for the rest of the tail (T9).
+       from the beginning, filtered to seq > the snapshot's max applied
+       seq (binlog positions are monotonic per source, so the global floor
+       is exact). Already-applied envelopes are skipped outright — no
+       transient regression to older values visible to concurrent dim
+       readers, and a key deleted by the snapshot cannot be resurrected by
+       a replayed earlier insert. Envelopes that landed *during* the
+       backfill have seq above the floor and are simply part of the tail —
+       so no change is lost and none double-applies. The per-key seq guard
+       in apply_cdc_changes backs this up for any out-of-order split, and
+       the stream's checkpoint then owns exactly-once for the rest of the
+       tail (T9).
 
     `project` flattens the parsed envelope into (key, ..., seq, op)
     columns — the per-table schema mapping TableProcessFunction keeps in
@@ -102,13 +124,19 @@ def cdc_initial_load(
     concurrent writes there). Returns the store version at the boundary.
     """
     snapshot_raw = spark.read.text(cdc_dir)
-    apply_cdc_changes(store, table_name, project(parse_cdc(snapshot_raw)), key, seq_col=seq_col)
+    snapshot_changes = project(parse_cdc(snapshot_raw))
+    apply_cdc_changes(store, table_name, snapshot_changes, key, seq_col=seq_col)
     boundary = store.current_version(table_name)
+    floor_row = snapshot_changes.agg(F.max(seq_col).alias("m")).collect()[0]
+    seq_floor = floor_row["m"]  # None when the snapshot was empty
     if on_snapshot_applied is not None:
         on_snapshot_applied()
 
     def on_batch(b: DataFrame, _epoch: int) -> None:
-        apply_cdc_changes(store, table_name, project(parse_cdc(b)), key, seq_col=seq_col)
+        changes = project(parse_cdc(b))
+        if seq_floor is not None:
+            changes = changes.where(F.col(seq_col) > F.lit(seq_floor))
+        apply_cdc_changes(store, table_name, changes, key, seq_col=seq_col)
 
     q = (
         spark.readStream.text(cdc_dir)

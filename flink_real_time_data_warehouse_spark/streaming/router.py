@@ -61,25 +61,52 @@ class RouteConfig:
 
 def _idempotent_append(df: DataFrame, path: str, epoch_id: int | None) -> None:
     """Append `df` under `path` such that replaying the same epoch cannot
-    duplicate rows (deterministic file names + commit marker)."""
+    duplicate rows (deterministic file names + commit marker).
+
+    Crash-retry safety: an uncommitted epoch (no marker) is rolled back
+    FIRST — every existing ``epoch{id}-*.parquet`` is removed before the
+    retry promotes its own parts. Without that sweep, a retry that plans
+    fewer staging parts than the crashed attempt promoted would overwrite
+    only the lower-indexed names and leave the orphaned higher-indexed
+    parts behind as silent duplicates. The marker itself commits via
+    tempfile + os.replace so a torn marker write can never mark a partial
+    epoch as done.
+
+    Scope (single-writer): this protocol assumes one router (one driver)
+    per sink directory on a filesystem shared with the driver — the
+    hand-rolled analog of a transactional table format's commit. Two
+    CONCURRENT writers to the same sink can interleave rollback/promote
+    and corrupt each other; at 100 TB use Delta/Iceberg, where this whole
+    function becomes `df.write.option("txnAppId", ...).option(
+    "txnVersion", epoch)`. Sequential replays (crash -> restart, any
+    number of times, any parallelism) converge to exactly-once.
+    """
     if epoch_id is None:  # non-streaming callers: plain append
         df.write.mode("append").parquet(path)
         return
     marker = os.path.join(path, f"_epoch_{epoch_id}_done")
     if os.path.exists(marker):
         return
+    prefix = f"epoch{epoch_id:08d}-"
     staging = f"{path}_staging_epoch_{epoch_id}"
     df.write.mode("overwrite").parquet(staging)
     os.makedirs(path, exist_ok=True)
+    # Roll back any partially-promoted files from a crashed earlier attempt
+    # of this same (uncommitted) epoch before promoting the retry's parts.
+    for stale in os.listdir(path):
+        if stale.startswith(prefix) and stale.endswith(".parquet"):
+            os.remove(os.path.join(path, stale))
     parts = sorted(f for f in os.listdir(staging) if f.endswith(".parquet"))
     for i, p in enumerate(parts):
         os.replace(
             os.path.join(staging, p),
-            os.path.join(path, f"epoch{epoch_id:08d}-{i:05d}.parquet"),
+            os.path.join(path, f"{prefix}{i:05d}.parquet"),
         )
     shutil.rmtree(staging, ignore_errors=True)
-    with open(marker, "w"):
+    tmp_marker = f"{marker}.tmp.{os.getpid()}"
+    with open(tmp_marker, "w"):
         pass
+    os.replace(tmp_marker, marker)
 
 
 def route_micro_batch(

@@ -73,6 +73,61 @@ def test_cdc_route_to_facts_and_dims(spark, tmp_path):
     )
 
 
+def test_apply_cdc_changes_seq_guard_blocks_stale_writes(spark, tmp_path):
+    """Replaying an OLDER log segment after a newer one must be a no-op:
+    the per-key seq guard (WHEN MATCHED AND src.seq >= tgt.seq) drops
+    stale upserts and stale deletes instead of regressing the key."""
+    from flink_real_time_data_warehouse_spark.sources.cdc import apply_cdc_changes
+
+    store = DimStore(spark, str(tmp_path / "dims"))
+    fresh = spark.createDataFrame([(1, "v1-new", 20, "insert"), (2, "v2", 21, "insert")],
+                                  "id long, val string, seq long, op string")
+    apply_cdc_changes(store, "t", fresh)
+    # stale update of key 1, stale delete of key 2 (both seq < stored seq)
+    stale = spark.createDataFrame([(1, "v1-old", 10, "update"), (2, "v2", 11, "delete")],
+                                  "id long, val string, seq long, op string")
+    apply_cdc_changes(store, "t", stale)
+    state = {r["id"]: (r["val"], r["seq"]) for r in store.snapshot("t").collect()}
+    assert state == {1: ("v1-new", 20), 2: ("v2", 21)}
+    # a genuinely newer change still applies
+    newer = spark.createDataFrame([(1, "v1-newer", 30, "update"), (2, "v2", 31, "delete")],
+                                  "id long, val string, seq long, op string")
+    apply_cdc_changes(store, "t", newer)
+    state = {r["id"]: r["val"] for r in store.snapshot("t").collect()}
+    assert state == {1: "v1-newer"}
+
+
+def test_idempotent_append_crash_retry_with_fewer_parts(spark, tmp_path):
+    """Crash-retry must converge even when the retry plans FEWER parts than
+    the crashed attempt promoted: the rollback sweep removes the orphaned
+    higher-indexed epoch files before re-promoting (a retry that merely
+    overwrote lower-indexed names would leave silent duplicates)."""
+    import os
+
+    from flink_real_time_data_warehouse_spark.streaming.router import _idempotent_append
+
+    sink = str(tmp_path / "sink")
+    df = spark.range(100).withColumnRenamed("id", "v")
+
+    # Attempt 1 at parallelism 8: promote all parts, then crash BEFORE the
+    # marker lands (simulated by deleting it).
+    _idempotent_append(df.repartition(8), sink, epoch_id=7)
+    os.remove(os.path.join(sink, "_epoch_7_done"))
+    promoted = [f for f in os.listdir(sink) if f.startswith("epoch00000007-")]
+    assert len(promoted) == 8
+
+    # Retry at parallelism 2 (fewer staging parts than attempt 1 promoted).
+    _idempotent_append(df.repartition(2), sink, epoch_id=7)
+    files = sorted(f for f in os.listdir(sink) if f.startswith("epoch00000007-"))
+    assert len(files) == 2, f"orphaned parts from the crashed attempt: {files}"
+    assert spark.read.parquet(sink).count() == 100
+    assert os.path.exists(os.path.join(sink, "_epoch_7_done"))
+
+    # A third replay after commit is a no-op (marker short-circuit).
+    _idempotent_append(df.repartition(5), sink, epoch_id=7)
+    assert spark.read.parquet(sink).count() == 100
+
+
 def _envelope(op: str, _id: int, val: str, seq: int) -> str:
     import json
 

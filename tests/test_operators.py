@@ -228,6 +228,41 @@ def test_multimodal_partition_sizing_is_metadata_only(spark):
     assert decode_assets(assets, n_partitions=3).rdd.getNumPartitions() == 3
 
 
+def test_multimodal_sizing_falls_back_to_byte_len(spark):
+    """When file-level sizing yields 0 (unstattable/remote source), the
+    byte-budget repartition must fall back to the byte_len aggregate —
+    never collapse a large input to one partition."""
+    from flink_real_time_data_warehouse_spark.datapipe.multimodal import _sized_by_bytes
+
+    # in-memory frame: inputFiles() is empty, so file stats give 0 bytes
+    big = 8 * 1024 * 1024
+    assets = spark.range(200).select(
+        F.col("id").alias("asset_id"),
+        F.lit("audio").alias("media_type"),
+        F.lit(b"x").alias("payload"),
+        F.lit(big).cast("long").alias("byte_len"),
+    )
+    sized = _sized_by_bytes(assets, n_partitions=None, byte_budget_mb=64)
+    # 200 * 8 MiB * 4x allowance / 64 MiB budget -> ~100 partitions, not 1
+    assert sized.rdd.getNumPartitions() > 10
+
+
+def test_connected_components_raises_past_max_iter(spark):
+    """A chain component with diameter > max_iter must raise, not return
+    silently-wrong mid-propagation labels."""
+    from flink_real_time_data_warehouse_spark.datapipe.dedup import connected_components
+
+    n = 8
+    verts = spark.range(n).select(F.col("id").alias("v"))
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(verts, chain, max_iter=2)
+    done = connected_components(verts, chain, max_iter=n)
+    assert {r["cluster_id"] for r in done.collect()} == {0}
+
+
 def test_multimodal_batch_shape(spark):
     docs = table(spark, TEST_SF_DIR, "documents")
     assets = assets_from_documents(docs)
