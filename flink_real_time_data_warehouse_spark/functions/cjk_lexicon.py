@@ -1,0 +1,62 @@
+"""Vendored mini-lexicon for dictionary CJK segmentation (SURVEY §2.8 F9).
+
+The reference segments Chinese keywords with the dictionary-based IK
+Analyzer (utils/KeywordUtil.java:14-34). jieba (the Python equivalent)
+isn't installable in this environment, so this module vendors a small
+general-vocabulary lexicon — enough to run a REAL dictionary
+longest-match segmentation as the middle path between the dictionary-free
+CJK-bigram fallback and a full jieba deployment. In production, replace
+WORDS with a real dictionary file (jieba's dict.txt, IK's main2012.dic);
+the segmentation algorithm (`functions.tokenize.dict_tokens`) and its
+oracle don't change, only this word list.
+
+All entries are ordinary public-domain Mandarin vocabulary (the kind any
+dictionary's first pages carry), skewed toward the data/analytics domain
+of the test fixtures.
+"""
+
+from __future__ import annotations
+
+# fmt: off
+WORDS: frozenset[str] = frozenset({
+    # data / analytics domain
+    "实时", "数据", "仓库", "数据仓库", "数据库", "流处理", "处理", "引擎",
+    "管道", "质量", "检测", "大规模", "机器", "学习", "机器学习", "模型",
+    "训练", "分析", "计算", "存储", "查询", "索引", "集群", "分区",
+    "系统", "平台", "服务", "应用", "程序", "算法", "网络", "架构",
+    # general vocabulary
+    "今天", "天气", "时间", "时候", "我们", "他们", "你们", "这个",
+    "那个", "什么", "可以", "没有", "知道", "工作", "生活", "世界",
+    "中国", "北京", "上海", "朋友", "学生", "老师", "公司", "问题",
+})
+# fmt: on
+
+MAX_WORD_LEN = max(len(w) for w in WORDS)
+MIN_WORD_LEN = min(len(w) for w in WORDS)
+
+
+def words_of_len(n: int) -> list[str]:
+    """Lexicon entries of exactly n characters, sorted (deterministic for
+    SQL-literal generation)."""
+    return sorted(w for w in WORDS if len(w) == n)
+
+
+def fmm_segment(run: str) -> list[str]:
+    """Forward maximum matching over one contiguous CJK run: at each
+    position take the LONGEST lexicon word starting there, else emit the
+    single character. Deterministic, dictionary-driven — the classic
+    greedy algorithm IK Analyzer's smart mode refines."""
+    out = []
+    pos = 0
+    n = len(run)
+    while pos < n:
+        for length in range(min(MAX_WORD_LEN, n - pos), MIN_WORD_LEN - 1, -1):
+            cand = run[pos : pos + length]
+            if cand in WORDS:
+                out.append(cand)
+                pos += length
+                break
+        else:
+            out.append(run[pos])
+            pos += 1
+    return out

@@ -374,6 +374,87 @@ def keyword_stats_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# keyword_stats_dict — F9 with DICTIONARY segmentation (the reference's
+# actual IK-Analyzer semantics, KeywordUtil.java:14-34): forward maximum
+# matching over the vendored lexicon, so real multi-char words come out
+# whole instead of as bigrams. The oracle replays the identical greedy
+# matching with a DuckDB recursive CTE over the same inlined lexicon.
+# ---------------------------------------------------------------------------
+def _dict_oracle() -> str:
+    from ..functions.cjk_lexicon import MAX_WORD_LEN, MIN_WORD_LEN, words_of_len
+
+    phrases = ",".join(f"'{p}'" for p in CJK_PHRASES)
+    arms_pos, arms_word = [], []
+    # longest-first CASE arms == fmm_segment's longest-first probe order
+    for length in range(MAX_WORD_LEN, MIN_WORD_LEN - 1, -1):
+        ws = words_of_len(length)
+        if not ws:
+            continue
+        inlist = ",".join(f"'{w}'" for w in ws)
+        cond = f"substr(run, pos, {length}) IN ({inlist})"
+        arms_pos.append(f"WHEN {cond} THEN {length}")
+        arms_word.append(f"WHEN {cond} THEN substr(run, pos, {length})")
+    return f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id,
+             text || CASE WHEN lang = 'zh'
+                          THEN ([{phrases}])[CAST(doc_id % {len(CJK_PHRASES)} AS INTEGER) + 1]
+                          ELSE '' END AS text
+      FROM documents
+    ),
+    lat AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word FROM docs
+    ),
+    runs AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[一-鿿]+')) AS run FROM docs
+    ),
+    seg AS (
+      SELECT doc_id, run, 1 AS pos, CAST(NULL AS VARCHAR) AS word FROM runs
+      UNION ALL
+      SELECT doc_id, run,
+             pos + CASE {' '.join(arms_pos)} ELSE 1 END AS pos,
+             CASE {' '.join(arms_word)} ELSE substr(run, pos, 1) END AS word
+      FROM seg WHERE pos <= length(run)
+    ),
+    cjk AS (SELECT doc_id, word FROM seg WHERE word IS NOT NULL)
+    SELECT word, count(*) AS keyword_ct, count(DISTINCT doc_id) AS doc_ct
+    FROM (SELECT * FROM lat UNION ALL SELECT * FROM cjk)
+    GROUP BY word
+    """
+
+
+@register(
+    "keyword_stats_dict",
+    oracle=_dict_oracle(),
+    doc=(
+        "F9 with dictionary segmentation (KeywordUtil.java:14-34 IK Analyzer -> "
+        "functions/tokenize.dict_tokens: forward maximum matching over the "
+        "vendored lexicon, Arrow-batched pandas UDF); oracle = recursive-CTE "
+        "replay of the same greedy matching"
+    ),
+)
+def keyword_stats_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.tokenize import dict_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    phrase = F.element_at(
+        F.array(*[F.lit(p) for p in CJK_PHRASES]),
+        (F.col("doc_id") % len(CJK_PHRASES)).cast("int") + 1,
+    )
+    mixed = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.when(F.col("lang") == "zh", phrase).otherwise(F.lit(""))).alias(
+            "text"
+        ),
+    )
+    seg = dict_tokens()
+    words = mixed.select("doc_id", F.explode(seg(F.col("text"))).alias("word"))
+    return words.groupBy("word").agg(
+        F.count("*").alias("keyword_ct"), F.countDistinct("doc_id").alias("doc_ct")
+    )
+
+
+# ---------------------------------------------------------------------------
 # session_stats — session windows as a first-class aggregate. The reference
 # reaches for sessions via CEP gap patterns (UserJumpDetailApp.java:81-120);
 # Flink also exposes EventTimeSessionWindows — this is that operator on
