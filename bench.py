@@ -55,6 +55,8 @@ HEADLINE = [
     "embedding_clusters",
     "text_quality",
     "keyword_stats_cjk",
+    "keyword_stats_dict",
+    "dedup_ngram_jaccard",
     "multimodal_decode",
     "decontaminate",
     "dedup_clusters",

@@ -20,6 +20,14 @@ Scale: the merge reads the current snapshot once, anti-joins on the key,
 and writes a new version — O(dim size) per merge batch, which is the same
 cost profile as a Delta MERGE without deletion vectors. Dim tables are the
 small side of star joins by definition, so this is never the bottleneck.
+
+Single-writer contract: the version-pointer flip is atomic for READERS
+(they always see a complete committed version), but nothing arbitrates
+two concurrent WRITERS of the same table — both would read the same base
+version and the second pointer flip silently drops the first's merge.
+Sequential replays (crash -> restart) are safe and idempotent. Multiple
+writers need a transactional table format (Delta/Iceberg MERGE), which
+this class is the minimal stand-in for.
 """
 
 from __future__ import annotations

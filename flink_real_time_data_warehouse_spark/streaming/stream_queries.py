@@ -471,6 +471,83 @@ def product_stats_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "product_stats_stream_approx",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT strftime(date_trunc('week', l_shipdate), '%Y-%m-%d %H:%M:%S') AS stt,
+             strftime(date_trunc('week', l_shipdate) + INTERVAL 7 DAY, '%Y-%m-%d %H:%M:%S') AS edt,
+             l_partkey AS sku_id,
+             {sql_money_sum('l_extendedprice * (1 - l_discount)')} AS order_amount,
+             TRUE AS order_ct_ok
+      FROM lineitem GROUP BY 1, 2, 3
+    )
+    WHERE edt <= strftime((SELECT max(l_shipdate) - INTERVAL {WM_S} SECOND FROM lineitem),
+                          '%Y-%m-%d %H:%M:%S')
+    """,
+    doc=(
+        "A3's 100 TB scale path via Structured Streaming: the distinct-order "
+        "count runs as approx_count_distinct (HLL++ sketch, ~KB state per "
+        "window+sku) instead of collect_set (O(distinct orders) state). "
+        "Approx values differ per HLL implementation, so the graded contract "
+        "is: exact columns hash-match the batch oracle AND the approx count "
+        "lands within max(2, 5%) of the exact count computed batch-side from "
+        "the same fixture (order_ct_ok TRUE per row, literal TRUE in the "
+        "oracle) — the streaming run, watermark closure, and sketch accuracy "
+        "are all graded end to end"
+    ),
+)
+def product_stats_stream_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.money import cents
+    from ..operators.windows import TS_FMT
+    from ..plans.gmall import _net
+
+    li = (
+        stream_table(spark, sf_dir, "lineitem")
+        .withColumn("ship_ts", F.col("l_shipdate").cast("timestamp"))
+        .withWatermark("ship_ts", f"{WM_S} second")
+    )
+    src = li.select(
+        "ship_ts",
+        F.col("l_partkey").alias("sku_id"),
+        "l_orderkey",
+        cents(_net()).alias("net_c"),
+    )
+    agg = src.groupBy(
+        F.window(F.col("ship_ts"), "7 days", "7 days", "4 days").alias("win"), "sku_id"
+    ).agg(
+        (F.sum("net_c") / F.lit(100.0)).alias("order_amount"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("order_ct_approx"),
+    )
+    streamed = run_to_memory(
+        agg.select(
+            F.date_format("win.start", TS_FMT).alias("stt"),
+            F.date_format("win.end", TS_FMT).alias("edt"),
+            "sku_id", "order_amount", "order_ct_approx",
+        ),
+        spark,
+    )
+    # batch-side exact counts from the same fixture: the tolerance judge
+    exact = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.date_format(F.date_trunc("week", "l_shipdate"), TS_FMT).alias("stt"),
+            F.col("l_partkey").alias("sku_id"),
+        )
+        .agg(F.countDistinct("l_orderkey").alias("order_ct_exact"))
+    )
+    tol = F.greatest(F.lit(2.0), F.col("order_ct_exact") * 0.05)
+    return (
+        streamed.join(exact, ["stt", "sku_id"])
+        .select(
+            "stt", "edt", "sku_id", "order_amount",
+            (F.abs(F.col("order_ct_approx") - F.col("order_ct_exact")) <= tol).alias(
+                "order_ct_ok"
+            ),
+        )
+    )
+
+
 def _order_detail_stream_join(spark: SparkSession, sf_dir: str, lower: str, upper: str) -> DataFrame:
     """J1/J2 stream-stream interval join of the orders and lineitem streams.
 
