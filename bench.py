@@ -57,6 +57,8 @@ HEADLINE = [
     "keyword_stats_cjk",
     "keyword_stats_dict",
     "dedup_ngram_jaccard",
+    "dedup_incremental",
+    "embedding_quantize",
     "multimodal_decode",
     "decontaminate",
     "dedup_clusters",

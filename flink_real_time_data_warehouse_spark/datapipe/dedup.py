@@ -161,23 +161,30 @@ def minhash_signature_frame(
     return sig_df.where(F.col("sig_0").isNotNull())
 
 
-def lsh_candidate_pairs(
+def band_rows(
     sig: DataFrame, bands: int = LSH_BANDS, num_hashes: int = NUM_HASHES
 ) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band bucket.
-
-    Band hash = md5 of the band's signature slice; join keyed by
-    (band_id, band_hash) so each bucket join is local to its shuffle
-    partition — no all-pairs comparison anywhere.
-    """
+    """(doc, band_id, band_hash) rows from a signature frame — the LSH
+    bucket keys. Band hash = md5 of the band's signature slice."""
     rows = num_hashes // bands
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
         band_cols.append(F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *parts)).alias("band_hash")))
-    banded = sig.select("doc", F.explode(F.array(*band_cols)).alias("b")).select(
+    return sig.select("doc", F.explode(F.array(*band_cols)).alias("b")).select(
         "doc", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
     )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int = LSH_BANDS, num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    Join keyed by (band_id, band_hash) so each bucket join is local to its
+    shuffle partition — no all-pairs comparison anywhere.
+    """
+    banded = band_rows(sig, bands, num_hashes)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -189,6 +196,59 @@ def lsh_candidate_pairs(
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
+    )
+
+
+def incremental_dedup(
+    index: DataFrame, new: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Dedup an INCOMING batch against an existing corpus index — the
+    every-ingest operation of a continuously-growing 100 TB corpus, where
+    re-clustering the whole corpus per batch (dedup_clusters) would rescan
+    everything ever ingested.
+
+    Verdict per new document, precedence exact > near > keep:
+    - 'exact': content digest already present in the index (semi join on
+      the 16-byte md5 — the only full-index column shipped);
+    - 'near' : any MinHash LSH band bucket collides with an index document
+      (semi join on (band_id, band_hash) — the stored form of a production
+      signature index; never a pairwise comparison);
+    - 'keep' : novel.
+
+    Scale shape: both probes are hash semi-joins keyed by digest/bucket;
+    cost is O(batch + index digests) with no all-pairs path. In production
+    the index side's digests/bands are precomputed once and appended per
+    accepted batch; here they derive in-query from the index frame.
+    """
+    new_ids = new.select(F.col(id_col).alias("doc"))
+    idx_hash = index.select(F.md5(F.col(text_col)).alias("h")).distinct()
+    exact_ids = (
+        new.select(F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("h"))
+        .join(idx_hash, "h", "left_semi")
+        .select("doc", F.lit(1).alias("is_exact"))
+    )
+    idx_bands = (
+        band_rows(minhash_signatures(index, id_col, text_col))
+        .select("band_id", "band_hash")
+        .distinct()
+    )
+    near_ids = (
+        band_rows(minhash_signatures(new, id_col, text_col))
+        .join(idx_bands, ["band_id", "band_hash"], "left_semi")
+        .select("doc")
+        .distinct()
+        .withColumn("is_near", F.lit(1))
+    )
+    return (
+        new_ids.join(exact_ids, "doc", "left")
+        .join(near_ids, "doc", "left")
+        .select(
+            "doc",
+            F.when(F.col("is_exact") == 1, "exact")
+            .when(F.col("is_near") == 1, "near")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
     )
 
 

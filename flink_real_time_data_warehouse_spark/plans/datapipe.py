@@ -479,6 +479,88 @@ def embedding_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental (new-vs-index) dedup: the per-ingest operation of a growing
+# corpus. The fixture plays both roles deterministically: doc_id % 4 == 0
+# is the incoming batch, the rest is the standing index.
+INC_NEW_MOD = 4
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH {_minhash_cand_ctes()},
+    exact AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % {INC_NEW_MOD} = 0
+        AND md5(text) IN (SELECT md5(text) FROM documents WHERE doc_id % {INC_NEW_MOD} <> 0)
+    ),
+    near AS (
+      SELECT DISTINCT nb.doc_id
+      FROM bands nb JOIN bands ib
+        ON nb.band_id = ib.band_id AND nb.band_hash = ib.band_hash
+      WHERE nb.doc_id % {INC_NEW_MOD} = 0 AND ib.doc_id % {INC_NEW_MOD} <> 0
+    )
+    SELECT d.doc_id AS doc,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+                WHEN nr.doc_id IS NOT NULL THEN 'near'
+                ELSE 'keep' END AS verdict
+    FROM documents d
+    LEFT JOIN exact e ON d.doc_id = e.doc_id
+    LEFT JOIN near nr ON d.doc_id = nr.doc_id
+    WHERE d.doc_id % {INC_NEW_MOD} = 0
+    """,
+    doc=(
+        "incremental dedup of an incoming batch against the standing corpus "
+        "index: exact = content-digest semi join, near = MinHash LSH bucket "
+        "semi join against the index's band table (the stored signature-index "
+        "form) — never re-clusters the corpus, never a pairwise path"
+    ),
+)
+def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.dedup import incremental_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % INC_NEW_MOD == 0)
+    index = docs.where(F.col("doc_id") % INC_NEW_MOD != 0)
+    return incremental_dedup(index, new, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_quantize",
+    oracle="""
+    WITH staged AS (
+      SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd,
+             greatest(list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                                     'max'), 1e-30) AS maxabs
+      FROM embeddings
+    ),
+    codes AS (
+      SELECT vec_id, n_dims,
+             list_transform(xd, x -> CAST(floor(x * (127.0 / maxabs)) AS BIGINT)) AS q
+      FROM staged
+    )
+    SELECT vec_id, n_dims,
+           CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+           CAST(list_aggregate(list_transform(q, x -> abs(x)), 'sum') AS BIGINT) AS q_abs_sum,
+           CAST(len(list_filter(q, x -> x <> 0)) AS BIGINT) AS q_nonzero
+    FROM codes
+    """,
+    doc=(
+        "symmetric int8 embedding quantization (scale = 127/max|x|, floor "
+        "codes — 4x storage/bandwidth cut for a 100 TB ANN index), graded "
+        "via per-vector integer checksums of the code vector; zero-shuffle "
+        "column arithmetic"
+    ),
+)
+def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.similarity import int8_quant_stats
+
+    return int8_quant_stats(table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
 @register(
     "lang_id",
     oracle=f"""

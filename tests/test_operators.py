@@ -177,6 +177,46 @@ def test_mixed_tokens_segments_cjk(spark):
         assert df.select(seg(F.col("t"))).count() == 4
 
 
+def test_int8_quant_stats_hand_computed(spark):
+    """Quantization checksums on hand-computable vectors, incl. the
+    zero-vector guard (all-zero codes, never a div-by-zero)."""
+    from flink_real_time_data_warehouse_spark.datapipe.similarity import int8_quant_stats
+
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, -0.5, 0.0]),  # scale 127: [127, -64, 0]
+            Row(vec_id=2, embedding=[0.0, 0.0]),  # zero vector
+        ]
+    )
+    out = {r["vec_id"]: r for r in int8_quant_stats(df).collect()}
+    # floor(-0.5*127) = floor(-63.5) = -64
+    assert (out[1]["q_sum"], out[1]["q_abs_sum"], out[1]["q_nonzero"]) == (63, 191, 2)
+    assert (out[2]["q_sum"], out[2]["q_abs_sum"], out[2]["q_nonzero"]) == (0, 0, 0)
+    assert out[2]["n_dims"] == 2
+
+
+def test_incremental_dedup_verdicts(spark):
+    """exact beats near beats keep; near requires an LSH band collision
+    with the INDEX side only (new-vs-new dups are not the index's job)."""
+    from flink_real_time_data_warehouse_spark.datapipe.dedup import incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today ok"
+    index = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text="totally different words that never overlap anything at all here")]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=base),  # exact copy of index doc 1
+            Row(doc_id=11, text=base + " extra"),  # near-dup of index doc 1
+            Row(doc_id=12, text="completely novel content with its own unique vocabulary entirely"),
+        ]
+    )
+    out = {r["doc"]: r["verdict"] for r in incremental_dedup(index, new, "doc_id", "text").collect()}
+    assert out[10] == "exact"
+    assert out[11] == "near"
+    assert out[12] == "keep"
+
+
 def test_dict_tokens_segments_real_words(spark):
     """F9 dictionary path: forward maximum matching must emit real
     multi-char words whole — DIFFERENT output from the bigram fallback on

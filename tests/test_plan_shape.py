@@ -193,6 +193,24 @@ def test_dup_spans_single_shuffle_to_pairs(spark):
     assert "ShuffledHashJoin" not in plan, f"positional self-join reappeared:\n{plan}"
 
 
+def test_incremental_dedup_semi_joins_only(spark):
+    """New-vs-index dedup must probe via hash semi joins (digest + band
+    bucket) — no nested loop and no pairwise join anywhere."""
+    df = registry()["dedup_incremental"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan, f"semi-join probe lost:\n{plan}"
+
+
+def test_embedding_quantize_no_shuffle(spark):
+    """int8 quantization is per-row column arithmetic — the plan must have
+    no Exchange at all."""
+    df = registry()["embedding_quantize"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, f"quantization picked up a shuffle:\n{plan}"
+
+
 def test_curation_pipeline_no_nested_loop(spark):
     """The composed funnel joins stages on the doc id and broadcasts only
     the benchmark shingle probe — never a nested loop over the corpus."""
