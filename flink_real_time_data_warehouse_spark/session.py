@@ -32,6 +32,12 @@ _RUNTIME_CONF = {
     # rejects by default; read them as long and convert in tables.table()
     # (DuckDB truncates ns->us; `x div 1000` matches that exactly).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Read NTZ-annotated parquet timestamps as TIMESTAMP (LTZ): the session
+    # is pinned UTC so wall-clock values are identical, and LTZ is required
+    # by withWatermark (NTZ event-time columns are rejected). Some Spark
+    # builds default this inference on, which silently flips fixture
+    # timestamp columns to NTZ.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Size shuffles to the machine instead of the 200-partition default —
     # AQE coalesces down but won't split up; runtime-settable, applied even
     # to caller-owned sessions. On a cluster, spark-submit overrides this.

@@ -64,7 +64,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for c in _nanos_ts_columns(path):
-        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+        # Explicit LTZ cast: timestamp_micros() returns NTZ on some Spark
+        # builds, and NTZ columns are rejected by withWatermark. With the
+        # session pinned to UTC the wall-clock values (and oracle parity)
+        # are identical either way.
+        df = df.withColumn(
+            c, F.expr(f"timestamp_micros(`{c}` div 1000)").cast("timestamp_ltz")
+        )
     return df
 
 
