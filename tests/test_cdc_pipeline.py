@@ -128,6 +128,24 @@ def test_idempotent_append_crash_retry_with_fewer_parts(spark, tmp_path):
     assert spark.read.parquet(sink).count() == 100
 
 
+def test_idempotent_append_interleaved_epoch_replays(spark, tmp_path):
+    """Replays interleaved across epochs (checkpoint rollback: epoch 1
+    replayed AFTER epoch 2 committed, then epoch 2 again) must leave
+    exactly one copy of every epoch's rows."""
+    from flink_real_time_data_warehouse_spark.streaming.router import _idempotent_append
+
+    sink = str(tmp_path / "sink")
+    e1 = spark.range(0, 50).withColumnRenamed("id", "v")
+    e2 = spark.range(50, 80).withColumnRenamed("id", "v")
+    _idempotent_append(e1, sink, epoch_id=1)
+    _idempotent_append(e2, sink, epoch_id=2)
+    # restart from an older checkpoint: epoch 1 then 2 replay in order
+    _idempotent_append(e1, sink, epoch_id=1)
+    _idempotent_append(e2, sink, epoch_id=2)
+    got = sorted(r["v"] for r in spark.read.parquet(sink).collect())
+    assert got == list(range(80))
+
+
 def _envelope(op: str, _id: int, val: str, seq: int) -> str:
     import json
 
