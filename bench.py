@@ -27,6 +27,7 @@ HEADLINE = [
     "order_wide",
     "payment_wide",
     "visitor_stats",
+    "visitor_stats_cumulate",
     "keyword_stats",
     "top_customers",
     "local_supplier_volume",

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.money import cents, money, money_sum, sql_money, sql_money_sum
+from ..functions.money import cents, money, money_sum, sql_cents, sql_money, sql_money_sum
 from ..operators.joins import dim_enrich, interval_join
 from ..operators.stateful_batch import (
     BOUNCE_TIMEOUT_S,
@@ -370,6 +370,61 @@ def keyword_stats_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = mixed.select("doc_id", F.explode(mixed_tokens(F.col("text"))).alias("word"))
     return words.groupBy("word").agg(
         F.count("*").alias("keyword_ct"), F.countDistinct("doc_id").alias("doc_ct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# visitor_stats_cumulate — CUMULATE windows (Flink 1.13 window TVF family,
+# alongside the A7 session and A8 hop bonuses): expanding same-day windows
+# [day, day+1h), [day, day+2h), ... — "metrics so far today, updated
+# hourly", the canonical real-time dashboard shape. Scale-right Spark
+# formulation: tumbling hourly pre-aggregate (one detail shuffle), then a
+# running sum windowed per day over the TINY hourly rows — never an
+# explode of detail rows into every later step. Additive metrics only
+# (counts, money): a running DISTINCT is not cumulate's contract.
+# ---------------------------------------------------------------------------
+@register(
+    "visitor_stats_cumulate",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hr,
+             count(*) AS event_ct_h,
+             coalesce(sum({sql_cents('value')}), 0) AS dur_c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(day, '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(hr + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS edt,
+           CAST(sum(event_ct_h) OVER w AS BIGINT) AS event_ct,
+           sum(dur_c) OVER w / 100.0 AS dur_sum
+    FROM hourly
+    WINDOW w AS (PARTITION BY day ORDER BY hr ROWS UNBOUNDED PRECEDING)
+    """,
+    doc=(
+        "CUMULATE window TVF (Flink 1.13 windowing beyond the reference's "
+        "TUMBLE apps): per-day expanding hourly steps via tumble pre-agg + "
+        "running sum over the hourly rows (the window runs over O(24) rows "
+        "per day, never the detail)"
+    ),
+)
+def visitor_stats_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.windows import TS_FMT
+
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+    ).agg(
+        F.count("*").alias("event_ct_h"),
+        F.coalesce(F.sum(cents(F.col("value"))), F.lit(0)).alias("dur_c"),
+    )
+    w = Window.partitionBy("day").orderBy("hr").rowsBetween(Window.unboundedPreceding, 0)
+    return hourly.select(
+        F.date_format("day", TS_FMT).alias("stt"),
+        F.date_format(F.col("hr") + F.expr("INTERVAL 1 HOUR"), TS_FMT).alias("edt"),
+        F.sum("event_ct_h").over(w).cast("long").alias("event_ct"),
+        (F.sum("dur_c").over(w) / F.lit(100.0)).alias("dur_sum"),
     )
 
 

@@ -193,6 +193,19 @@ def test_dup_spans_single_shuffle_to_pairs(spark):
     assert "ShuffledHashJoin" not in plan, f"positional self-join reappeared:\n{plan}"
 
 
+def test_cumulate_window_runs_on_preagg(spark):
+    """CUMULATE = hourly tumble pre-agg + per-day running sum: the window
+    must partition by day (never SinglePartition) and run AFTER the hash
+    aggregate — i.e. over O(24) hourly rows per day, not the detail."""
+    df = registry()["visitor_stats_cumulate"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    assert "SinglePartition" not in plan, f"global window:\n{plan}"
+    assert "hashpartitioning(day" in plan, f"window lost its day partitioning:\n{plan}"
+    assert plan.index("Window") < plan.index("HashAggregate"), (
+        f"window not above the pre-aggregate:\n{plan}"
+    )
+
+
 def test_incremental_dedup_semi_joins_only(spark):
     """New-vs-index dedup must probe via hash semi joins (digest + band
     bucket) — no nested loop and no pairwise join anywhere."""
