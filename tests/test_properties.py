@@ -133,6 +133,29 @@ def test_mixed_tokens_matches_duckdb(spark_global, texts):
         assert sp[i] == got
 
 
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(alphabet="ab 实时数据仓库流处理引擎学习机器今天鑫", min_size=0, max_size=16), min_size=1, max_size=6))
+def test_dict_tokens_matches_python_fmm(spark_global, texts):
+    """F9 dictionary tokenizer: the Arrow-batched UDF must agree with the
+    pure-python forward-maximum-matching reference on arbitrary mixed text
+    (the invariant keyword_stats_dict's recursive-CTE oracle replays —
+    alphabet includes in-lexicon words, their prefixes, and an OOV char)."""
+    import re
+
+    from flink_real_time_data_warehouse_spark.functions.cjk_lexicon import fmm_segment
+    from flink_real_time_data_warehouse_spark.functions.tokenize import dict_tokens
+
+    spark = spark_global
+    df = spark.createDataFrame([Row(i=i, t=s) for i, s in enumerate(texts)])
+    seg = dict_tokens()
+    got = {r["i"]: r["w"] for r in df.select("i", seg(F.col("t")).alias("w")).collect()}
+    for i, t in enumerate(texts):
+        want = re.findall(r"[a-z0-9]+", t.lower())
+        for run in re.findall("[一-鿿]+", t):
+            want.extend(fmm_segment(run))
+        assert got[i] == want, (t, got[i], want)
+
+
 @settings(max_examples=4, deadline=None)
 @given(st.lists(st.text(alphabet="abcd ", min_size=1, max_size=30), min_size=2, max_size=10))
 def test_simhash_banding_lossless(spark_global, texts):
