@@ -60,6 +60,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_incremental",
     "embedding_quantize",
+    "ingest_pipeline",
     "multimodal_decode",
     "decontaminate",
     "dedup_clusters",

@@ -56,6 +56,16 @@ SH_CTE = (
 )
 STOPWORD_LIST = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 
+# Rule-based quality score over the token CTE `toks` (shared by
+# text_quality and ingest_pipeline so the two stay bit-identical).
+QSCORE_SQL = (
+    "CAST((CASE WHEN len(l) BETWEEN 10 AND 100000 THEN 1 ELSE 0 END)"
+    " + (CASE WHEN CAST(list_sum(list_transform(l, x -> length(x))) AS BIGINT)"
+    " / CAST(len(l) AS BIGINT) BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END)"
+    f" + (CASE WHEN len(list_filter(l, x -> x IN ({STOPWORD_LIST}))) > 0 THEN 1 ELSE 0 END)"
+    " AS BIGINT)"
+)
+
 
 # ---------------------------------------------------------------------------
 @register(
@@ -527,6 +537,69 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 @register(
+    "ingest_pipeline",
+    oracle=f"""
+    WITH {_minhash_cand_ctes()},
+    exact AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % {INC_NEW_MOD} = 0
+        AND md5(text) IN (SELECT md5(text) FROM documents WHERE doc_id % {INC_NEW_MOD} <> 0)
+    ),
+    near AS (
+      SELECT DISTINCT nb.doc_id
+      FROM bands nb JOIN bands ib
+        ON nb.band_id = ib.band_id AND nb.band_hash = ib.band_hash
+      WHERE nb.doc_id % {INC_NEW_MOD} = 0 AND ib.doc_id % {INC_NEW_MOD} <> 0
+    ),
+    v AS (
+      SELECT d.doc_id AS doc,
+             CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+                  WHEN nr.doc_id IS NOT NULL THEN 'near'
+                  ELSE 'keep' END AS verdict
+      FROM documents d
+      LEFT JOIN exact e ON d.doc_id = e.doc_id
+      LEFT JOIN near nr ON d.doc_id = nr.doc_id
+      WHERE d.doc_id % {INC_NEW_MOD} = 0
+    ),
+    q AS (
+      SELECT doc_id, {QSCORE_SQL} AS quality_score
+      FROM toks WHERE doc_id % {INC_NEW_MOD} = 0
+    )
+    SELECT v.doc, v.verdict, q.quality_score,
+           CAST(CASE WHEN v.verdict = 'keep' AND q.quality_score >= 2
+                THEN 1 ELSE 0 END AS INTEGER) AS accepted
+    FROM v JOIN q ON v.doc = q.doc_id
+    """,
+    doc=(
+        "the per-batch INGEST funnel: incremental new-vs-index dedup verdict "
+        "composed with the rule-based quality gate, one accept/reject row per "
+        "incoming document — proves the incremental-path operators compose "
+        "the way curation_pipeline proves the batch path; every probe is a "
+        "hash semi-join, the quality score is column arithmetic on the same "
+        "corpus scan"
+    ),
+)
+def ingest_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.dedup import incremental_dedup
+    from ..datapipe.quality import text_quality
+
+    docs = table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % INC_NEW_MOD == 0)
+    index = docs.where(F.col("doc_id") % INC_NEW_MOD != 0)
+    verdicts = incremental_dedup(index, new, "doc_id", "text")
+    q = text_quality(new, "doc_id", "text").select(
+        F.col("doc_id").alias("doc"), F.col("quality_score").cast("long")
+    )
+    return verdicts.join(q, "doc").select(
+        "doc", "verdict", "quality_score",
+        ((F.col("verdict") == "keep") & (F.col("quality_score") >= 2))
+        .cast("int")
+        .alias("accepted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
     "embedding_quantize",
     oracle="""
     WITH staged AS (
@@ -655,11 +728,9 @@ def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(text) AS BIGINT) AS n_chars,
            CAST(len(l) AS BIGINT) AS n_tokens,
            CAST(list_sum(list_transform(l, x -> length(x))) AS BIGINT) / CAST(len(l) AS BIGINT) AS avg_token_len,
-           CAST((CASE WHEN len(l) BETWEEN 10 AND 100000 THEN 1 ELSE 0 END)
-              + (CASE WHEN CAST(list_sum(list_transform(l, x -> length(x))) AS BIGINT) / CAST(len(l) AS BIGINT) BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END)
-              + (CASE WHEN len(list_filter(l, x -> x IN ({STOPWORD_LIST}))) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS quality_score
+           {{qscore}} AS quality_score
     FROM toks JOIN documents USING (doc_id)
-    """,
+    """.format(qscore=QSCORE_SQL),
     doc="quality features + rule score: length band, avg token length band, stopword presence",
 )
 def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -62,6 +62,7 @@ _GRADE_FIRST: list[str] = [
     # New this round:
     "keyword_stats_dict", "product_stats_stream_approx",
     "dedup_incremental", "embedding_quantize", "visitor_stats_cumulate",
+    "ingest_pipeline",
     # Graded in round 1 only (13):
     "json_props", "asof_click_attribution", "datetime_funcs", "serving_gmv",
     "sql_chained_stats", "sql_province_stats", "q1_pricing_summary",

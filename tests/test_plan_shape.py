@@ -233,6 +233,15 @@ def test_curation_pipeline_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ingest_pipeline_no_nested_loop(spark):
+    """The incremental ingest funnel (dedup verdict + quality gate) must
+    stay hash-join only end to end."""
+    df = registry()["ingest_pipeline"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_topk_queries_use_take_ordered(spark):
     """Global top-N (vocab, tfidf) must plan as TakeOrderedAndProject —
     per-partition heaps merged — never a global range sort."""
