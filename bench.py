@@ -6,6 +6,20 @@ JSON line with per-query wall seconds.
 Queries are fully materialized via the `noop` sink (no driver collect, no
 sink I/O in the measurement). One warmup query runs first so JVM/codegen
 startup isn't billed to the first headliner.
+
+Contention-proofing (round 4): a shared machine can inflate any single
+timing by an arbitrary factor (round 3's driver run recorded 9x on
+unchanged plans). Two mitigations:
+
+- min-of-n: every headliner runs $SPARK_GRAFT_BENCH_REPS times (default 2)
+  and the reported figure is the per-query MINIMUM — the best observed run
+  is the closest estimator of the uncontended cost, and a transient spike
+  must hit every repetition to survive into the report.
+- load sentinel: a fixed trivial aggregation is timed before the first and
+  after the last headliner. If the two disagree by more than 1.5x the
+  machine was contended during the run and the output carries
+  "contended": true — a flag that the numbers should not be compared
+  round-over-round.
 """
 
 from __future__ import annotations
@@ -81,11 +95,19 @@ HEADLINE = [
     "audio_chunks",
     "kmeans_centroids",
     "curation_pipeline",
+    # streaming twins: full micro-batch replay wall time (state store +
+    # shuffle-per-trigger regressions become visible round-over-round)
+    "product_stats_stream",
+    "province_stats_stream",
+    "uv_stream",
 ]
+
+SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("frtdw-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -96,13 +118,24 @@ def main() -> None:
         qs[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
+    def sentinel() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 4_000_000, 1, 32).selectExpr(
+            "sum(id * 2) as s", "count(*) as c"
+        ).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
     run("q1_pricing_summary")  # warmup (JVM + codegen + parquet footer caches)
+    sent_start = sentinel()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
-        times[name] = run(name)
+        times[name] = min(run(name) for _ in range(reps))
+
+    sent_end = sentinel()
+    hi, lo = max(sent_start, sent_end), max(min(sent_start, sent_end), 1e-9)
 
     print(json.dumps({
         "metric": "headline query wall time at sf" + sf,
@@ -110,6 +143,12 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf),
+        "reps": reps,
+        "sentinel": {
+            "start": sent_start,
+            "end": sent_end,
+            "contended": hi / lo > SENTINEL_RATIO,
+        },
     }))
 
 

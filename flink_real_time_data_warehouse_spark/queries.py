@@ -49,27 +49,24 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # round; everything else follows in registration order. Queries not yet
 # registered are ignored, so new entries can be pre-listed safely.
 _GRADE_FIRST: list[str] = [
-    # Never graded by the driver through round 2 (23):
-    "dirty_split", "purchase_status_asof", "top_parts_per_nation",
-    "dormant_customers", "order_value_quantiles", "running_gmv",
-    "local_supplier_volume", "cube_sales", "status_pivot",
-    "customer_spend_quartiles", "urgent_part_suppliers", "moving_avg_gmv",
-    "skew_salted_sales", "session_stats_stream",
-    "visitor_stats_sliding_stream", "keyword_stats_stream",
-    "dedup_exact_stream", "dedup_minhash_stream", "province_stats_stream",
-    "events_union_stats_stream", "product_stats_stream", "order_wide_stream",
-    "payment_wide_stream",
-    # New this round:
-    "keyword_stats_dict", "product_stats_stream_approx",
-    "dedup_incremental", "embedding_quantize", "visitor_stats_cumulate",
-    "ingest_pipeline",
-    # Graded in round 1 only (13):
-    "json_props", "asof_click_attribution", "datetime_funcs", "serving_gmv",
-    "sql_chained_stats", "sql_province_stats", "q1_pricing_summary",
-    "rollup_sales", "top_customers", "visitor_stats_stream", "uv_stream",
-    "new_user_stream", "bounce_stream",
-    # Round-2-graded queries whose plans change this round (re-grade):
-    "dedup_ngram_jaccard", "province_stats", "cdc_route",
+    # Round 4 rotation: the 42 queries NOT graded by the driver in round 3
+    # (their freshest driver row is r1/r2), oldest-graded first.
+    "dedup_clusters", "dedup_simhash", "ann_topk", "ann_ivf_topk",
+    "embedding_cosine_pairs", "embedding_clusters", "lang_id", "pii_scrub",
+    "text_quality", "lm_surprisal", "token_count", "vocab_topk",
+    "tfidf_search", "doc_fingerprint", "train_split", "kmeans_centroids",
+    "mixture_sample", "source_quota_sample", "cluster_balanced_sample",
+    "chunk_documents", "token_budget_sample", "decontaminate",
+    "repetition_stats", "pack_sequences", "corpus_profile",
+    "curation_pipeline", "multimodal_decode", "frame_sample", "audio_chunks",
+    "visitor_stats", "product_stats", "events_union_stats", "keyword_stats",
+    "keyword_stats_cjk", "session_stats", "visitor_stats_sliding",
+    "uv_daily", "new_user_fix", "bounce_events", "order_wide",
+    "payment_wide", "scd2_user_status",
+    # New or plan-changed in round 4 (re-grade):
+    "serving_product_revenue", "dedup_incremental_indexed",
+    "ingest_pipeline_indexed", "ingest_pipeline", "keyword_stats_dict",
+    "dedup_incremental",
 ]
 
 

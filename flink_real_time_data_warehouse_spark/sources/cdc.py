@@ -56,7 +56,7 @@ def apply_cdc_changes(
     key: str = "id",
     op_col: str = "op",
     seq_col: str = "seq",
-) -> None:
+):
     """Apply one batch of flattened CDC changes to the keyed store.
 
     Reduces to the last op per key first (ordered by seq_col — Debezium's
@@ -71,6 +71,14 @@ def apply_cdc_changes(
     matter how micro-batches split the log. Without the guard, last-write
     -wins holds only WITHIN a batch and correctness would depend on
     cross-batch arrival order.
+
+    Returns the max ``seq_col`` over the rows this call actually applied
+    (``None`` for an empty batch). The reduced per-key frame is cached for
+    the duration of the call, so the input lineage (file listing + JSON
+    parse for the snapshot phase) evaluates ONCE and the returned floor
+    provably reflects exactly the rows that were merged — callers must
+    never recompute it from the un-materialized input, where a re-resolved
+    file listing could include rows that were not part of this apply.
     """
     w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
     last = changes.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
@@ -83,10 +91,18 @@ def apply_cdc_changes(
                 .where(F.col("_tgt_seq").isNull() | (F.col(seq_col) >= F.col("_tgt_seq")))
                 .drop("_tgt_seq")
             )
-    ups = last.where(F.col(op_col) != "delete").drop(op_col)
-    dels = last.where(F.col(op_col) == "delete").select(key)
-    store.upsert(table_name, ups, key=key)
-    store.delete(table_name, dels, key=key)
+    # One materialization serves the floor agg, the upsert, and the delete
+    # (previously each MERGE leg re-ran the whole read/parse/window lineage).
+    last = last.persist()
+    try:
+        max_seq = last.agg(F.max(seq_col).alias("m")).collect()[0]["m"]
+        ups = last.where(F.col(op_col) != "delete").drop(op_col)
+        dels = last.where(F.col(op_col) == "delete").select(key)
+        store.upsert(table_name, ups, key=key)
+        store.delete(table_name, dels, key=key)
+    finally:
+        last.unpersist()
+    return max_seq
 
 
 def cdc_initial_load(
@@ -125,10 +141,11 @@ def cdc_initial_load(
     """
     snapshot_raw = spark.read.text(cdc_dir)
     snapshot_changes = project(parse_cdc(snapshot_raw))
-    apply_cdc_changes(store, table_name, snapshot_changes, key, seq_col=seq_col)
+    # The floor comes back from the SAME materialized pass that applied the
+    # snapshot (cdc_dir is listed + parsed once): it cannot drift from what
+    # was actually merged, even if envelope files land during the backfill.
+    seq_floor = apply_cdc_changes(store, table_name, snapshot_changes, key, seq_col=seq_col)
     boundary = store.current_version(table_name)
-    floor_row = snapshot_changes.agg(F.max(seq_col).alias("m")).collect()[0]
-    seq_floor = floor_row["m"]  # None when the snapshot was empty
     if on_snapshot_applied is not None:
         on_snapshot_applied()
 
