@@ -126,6 +126,7 @@ def main() -> None:
         return round(time.perf_counter() - t0, 3)
 
     run("q1_pricing_summary")  # warmup (JVM + codegen + parquet footer caches)
+    sentinel()  # warm the sentinel's own codegen so start/end are comparable
     sent_start = sentinel()
 
     times: dict[str, float] = {}

@@ -34,14 +34,110 @@ when N is large).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import tempfile
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..sources.dim_store import DimStore
+
+
+class SinkLockError(RuntimeError):
+    """Raised when a second concurrent router targets an owned sink dir,
+    or when a fenced-out router attempts to keep writing."""
+
+
+class RouterLock:
+    """Single-writer enforcement for a router sink tree.
+
+    The `_idempotent_append` commit protocol is only exactly-once under ONE
+    live writer per sink directory (two concurrent writers can interleave
+    rollback/promote). This lock turns that documented contract into an
+    enforced one: an owner file (`_router_lock`, JSON `{pid, token}`)
+    is created with O_EXCL before the first epoch; a second router finds it,
+    sees a live owner pid, and REFUSES fast instead of silently
+    interleaving. A lock whose owner pid is dead (crashed router) is stale
+    and is stolen atomically (tempfile + os.replace), so crash -> restart
+    needs no manual cleanup.
+
+    Fencing: `check()` re-reads the file and raises unless it still holds
+    this instance's token — called by the router before every epoch, so a
+    router wrongly presumed dead (e.g. paused, its lock stolen) fails its
+    next write instead of corrupting the new owner's epochs. Same
+    pid-liveness + fence-token design as HDFS lease recovery / Delta's
+    commit owners, scoped to the single-host filesystems this hand-rolled
+    sink supports (the pid check is per-host; a distributed deployment
+    uses a real transactional table format instead — PARITY §2.3 R2).
+    """
+
+    FILENAME = "_router_lock"
+
+    def __init__(self, base_dir: str):
+        self.base_dir = base_dir
+        self.path = os.path.join(base_dir, self.FILENAME)
+        self.token = f"{os.getpid()}-{uuid.uuid4().hex}"
+
+    @staticmethod
+    def _pid_alive(pid: int) -> bool:
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True  # exists, owned by someone else
+        return True
+
+    def _read_owner(self) -> dict | None:
+        try:
+            with open(self.path) as f:
+                return json.loads(f.read())
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None  # gone, or torn write from a crashed owner => stale
+
+    def acquire(self) -> "RouterLock":
+        os.makedirs(self.base_dir, exist_ok=True)
+        payload = json.dumps({"pid": os.getpid(), "token": self.token})
+        try:
+            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+            return self
+        except FileExistsError:
+            pass
+        owner = self._read_owner()
+        if owner is not None and self._pid_alive(int(owner.get("pid", -1))):
+            raise SinkLockError(
+                f"sink {self.base_dir!r} is owned by a live router "
+                f"(pid {owner['pid']}); refusing a second concurrent writer"
+            )
+        # stale (owner crashed): steal atomically
+        fd, tmp = tempfile.mkstemp(dir=self.base_dir, prefix="_lock_")
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+        os.replace(tmp, self.path)
+        return self
+
+    def check(self) -> None:
+        """Fence: raise unless this instance still owns the sink."""
+        owner = self._read_owner()
+        if owner is None or owner.get("token") != self.token:
+            raise SinkLockError(
+                f"router lost ownership of sink {self.base_dir!r} "
+                "(lock stolen after presumed death); refusing to write"
+            )
+
+    def release(self) -> None:
+        owner = self._read_owner()
+        if owner is not None and owner.get("token") == self.token:
+            try:
+                os.remove(self.path)
+            except FileNotFoundError:
+                pass
 
 
 @dataclass(frozen=True)
@@ -92,9 +188,15 @@ def _idempotent_append(df: DataFrame, path: str, epoch_id: int | None) -> None:
     df.write.mode("overwrite").parquet(staging)
     os.makedirs(path, exist_ok=True)
     # Roll back any partially-promoted files from a crashed earlier attempt
-    # of this same (uncommitted) epoch before promoting the retry's parts.
+    # of this same (uncommitted) epoch before promoting the retry's parts —
+    # including orphaned `<marker>.tmp.<pid>` files from a crash between
+    # writing the tmp marker and its os.replace (harmless to readers, which
+    # skip underscore files, but they'd otherwise accumulate forever).
+    marker_tmp_prefix = f"{os.path.basename(marker)}.tmp."
     for stale in os.listdir(path):
-        if stale.startswith(prefix) and stale.endswith(".parquet"):
+        if (stale.startswith(prefix) and stale.endswith(".parquet")) or stale.startswith(
+            marker_tmp_prefix
+        ):
             os.remove(os.path.join(path, stale))
     parts = sorted(f for f in os.listdir(staging) if f.endswith(".parquet"))
     for i, p in enumerate(parts):
@@ -158,16 +260,56 @@ def start_router(
     the reference's broadcast-state updates (R3): config changes take
     effect on the next trigger without restarting the query. The epoch id
     Spark hands foreachBatch keys the idempotent commit of table sinks.
+
+    Single-writer enforcement: acquires the sink tree's :class:`RouterLock`
+    before starting (a second concurrent router raises
+    :class:`SinkLockError` immediately) and fences every epoch with
+    ``lock.check()``. Returns a :class:`RouterHandle` proxying the
+    StreamingQuery; `awaitTermination`/`stop` release the lock. A crashed
+    router's lock is stale (dead pid) and the restart steals it.
     """
+    lock = RouterLock(base_dir).acquire()
 
     def on_batch(batch: DataFrame, epoch: int) -> None:
+        lock.check()  # fence: refuse to write epochs after losing ownership
         route_micro_batch(
             batch, list(config_provider()), base_dir, epoch_id=epoch, dim_store=dim_store
         )
 
-    return (
-        stream.writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    try:
+        query = (
+            stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+    except Exception:
+        lock.release()
+        raise
+    return RouterHandle(query, lock)
+
+
+class RouterHandle:
+    """StreamingQuery proxy that releases the sink's RouterLock when the
+    query finishes (awaitTermination) or is stopped."""
+
+    def __init__(self, query, lock: RouterLock):
+        self.query = query
+        self.lock = lock
+
+    def awaitTermination(self, timeout: float | None = None):  # noqa: N802 (Spark API casing)
+        try:
+            return self.query.awaitTermination(timeout) if timeout is not None \
+                else self.query.awaitTermination()
+        finally:
+            if not self.query.isActive:
+                self.lock.release()
+
+    def stop(self) -> None:
+        try:
+            self.query.stop()
+        finally:
+            self.lock.release()
+
+    def __getattr__(self, name):
+        return getattr(self.query, name)

@@ -146,6 +146,110 @@ def test_idempotent_append_interleaved_epoch_replays(spark, tmp_path):
     assert got == list(range(80))
 
 
+def test_idempotent_append_sweeps_stale_tmp_markers(spark, tmp_path):
+    """A crash between writing `<marker>.tmp.<pid>` and its os.replace
+    leaves the tmp file behind; the retry's rollback pass must sweep it
+    (otherwise they accumulate forever across crash cycles)."""
+    import os
+
+    from flink_real_time_data_warehouse_spark.streaming.router import _idempotent_append
+
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink)
+    with open(os.path.join(sink, "_epoch_7_done.tmp.99999"), "w"):
+        pass
+    _idempotent_append(spark.range(10).withColumnRenamed("id", "v"), sink, epoch_id=7)
+    leftovers = [f for f in os.listdir(sink) if ".tmp." in f]
+    assert leftovers == []
+    assert os.path.exists(os.path.join(sink, "_epoch_7_done"))
+    assert spark.read.parquet(sink).count() == 10
+
+
+def test_router_lock_refuses_second_live_writer(tmp_path):
+    import pytest
+
+    from flink_real_time_data_warehouse_spark.streaming.router import RouterLock, SinkLockError
+
+    sink = str(tmp_path / "sinks")
+    a = RouterLock(sink).acquire()
+    with pytest.raises(SinkLockError, match="live router"):
+        RouterLock(sink).acquire()
+    a.check()  # still the owner
+    a.release()
+    b = RouterLock(sink).acquire()  # free after release
+    b.release()
+
+
+def test_router_lock_steals_stale_and_fences(tmp_path):
+    """A lock owned by a dead pid is stale: the next router steals it. The
+    fenced-out original then fails check() instead of writing on."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pytest
+
+    from flink_real_time_data_warehouse_spark.streaming.router import RouterLock, SinkLockError
+
+    sink = str(tmp_path / "sinks")
+    os.makedirs(sink)
+    proc = subprocess.Popen([sys.executable, "-c", "pass"])
+    proc.wait()  # reaped: the pid is dead (and not recycled within the test)
+    stale = RouterLock(sink)
+    stale.token = "stale-token"
+    with open(stale.path, "w") as f:
+        f.write(json.dumps({"pid": proc.pid, "token": stale.token}))
+
+    b = RouterLock(sink).acquire()  # steals: owner pid is dead
+    b.check()
+    with pytest.raises(SinkLockError, match="lost ownership"):
+        stale.check()  # the presumed-dead router is fenced out
+    b.release()
+
+
+def test_start_router_lock_lifecycle(spark, tmp_path):
+    """start_router refuses a concurrently-owned sink fast, and releases
+    the lock when the query terminates so a sequential restart works."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from flink_real_time_data_warehouse_spark.streaming.router import (
+        RouterLock,
+        SinkLockError,
+        start_router,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame(
+        {"source_table": ["order_info"] * 4, "op": ["insert"] * 4,
+         "id": [1, 2, 3, 4], "total_amount": [10.0, 20.0, 30.0, 40.0]}
+    ).to_parquet(str(src / "b0.parquet"))
+    schema = "source_table STRING, op STRING, id LONG, total_amount DOUBLE"
+    configs = [RouteConfig("order_info", "insert", "dwd_order_info", ("id", "total_amount"))]
+    sinks = str(tmp_path / "sinks")
+
+    def make_stream():
+        return spark.readStream.format("parquet").schema(schema).load(str(src))
+
+    held = RouterLock(sinks).acquire()  # another live router owns the sink
+    with pytest.raises(SinkLockError, match="live router"):
+        start_router(make_stream(), lambda: configs, sinks, str(tmp_path / "ckpt0"))
+    held.release()
+
+    h = start_router(make_stream(), lambda: configs, sinks, str(tmp_path / "ckpt1"))
+    h.awaitTermination()
+    assert not os.path.exists(os.path.join(sinks, RouterLock.FILENAME))  # released
+    assert spark.read.parquet(os.path.join(sinks, "dwd_order_info")).count() == 4
+    # sequential restart (new checkpoint -> epoch replays) re-acquires fine
+    h2 = start_router(make_stream(), lambda: configs, sinks, str(tmp_path / "ckpt2"))
+    h2.awaitTermination()
+    assert not os.path.exists(os.path.join(sinks, RouterLock.FILENAME))
+
+
 def _envelope(op: str, _id: int, val: str, seq: int) -> str:
     import json
 
