@@ -199,8 +199,89 @@ def lsh_candidate_pairs(
     )
 
 
+def _incremental_verdicts(
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    idx_digests: DataFrame,
+    idx_bands: DataFrame,
+    within_batch: bool,
+) -> DataFrame:
+    """Shared probe core for incremental dedup: verdict per incoming doc
+    given the index side as (h) digests and (band_id, band_hash) bands —
+    whether those were derived in-query (`incremental_dedup`) or read from
+    a persisted :class:`~..datapipe.signature_index.SignatureIndex`
+    (`incremental_dedup_indexed`).
+
+    With ``within_batch=True`` the probes also run AGAINST THE BATCH
+    ITSELF, ordered by id: a doc whose digest (or LSH bucket) collides
+    with a smaller-id doc of the same batch is 'exact'/'near' even when
+    novel vs the index — the min-id copy is the one kept, the same keeper
+    rule as exact_dedup/dedup_clusters. Both self-probes are semi joins on
+    the digest/bucket key with an id inequality, never an all-pairs path.
+    """
+    new_h = new.select(F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("h"))
+    new_bands = band_rows(minhash_signatures(new, id_col, text_col))
+
+    exact_probe = idx_digests.select("h")
+    near_probe = idx_bands.select("band_id", "band_hash").distinct()
+    exact_ids = (
+        new_h.join(exact_probe, "h", "left_semi")
+        .select("doc")
+    )
+    near_ids = (
+        new_bands.join(near_probe, ["band_id", "band_hash"], "left_semi")
+        .select("doc")
+    )
+    if within_batch:
+        smaller_h = new_h.select(F.col("doc").alias("doc2"), "h")
+        batch_exact = (
+            new_h.alias("a")
+            .join(
+                smaller_h.alias("b"),
+                (F.col("a.h") == F.col("b.h")) & (F.col("b.doc2") < F.col("a.doc")),
+                "left_semi",
+            )
+            .select("doc")
+        )
+        smaller_b = new_bands.select(
+            F.col("doc").alias("doc2"), "band_id", "band_hash"
+        )
+        batch_near = (
+            new_bands.alias("a")
+            .join(
+                smaller_b.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("b.doc2") < F.col("a.doc")),
+                "left_semi",
+            )
+            .select("doc")
+        )
+        exact_ids = exact_ids.union(batch_exact)
+        near_ids = near_ids.union(batch_near)
+    exact_ids = exact_ids.distinct().withColumn("is_exact", F.lit(1))
+    near_ids = near_ids.distinct().withColumn("is_near", F.lit(1))
+    return (
+        new.select(F.col(id_col).alias("doc"))
+        .join(exact_ids, "doc", "left")
+        .join(near_ids, "doc", "left")
+        .select(
+            "doc",
+            F.when(F.col("is_exact") == 1, "exact")
+            .when(F.col("is_near") == 1, "near")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+    )
+
+
 def incremental_dedup(
-    index: DataFrame, new: DataFrame, id_col: str, text_col: str
+    index: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    within_batch: bool = False,
 ) -> DataFrame:
     """Dedup an INCOMING batch against an existing corpus index — the
     every-ingest operation of a continuously-growing 100 TB corpus, where
@@ -215,40 +296,40 @@ def incremental_dedup(
       signature index; never a pairwise comparison);
     - 'keep' : novel.
 
-    Scale shape: both probes are hash semi-joins keyed by digest/bucket;
+    Within-batch contract: by default the batch is only probed against the
+    INDEX — two copies that are both novel vs the index each get 'keep'
+    (callers pre-dedupe the batch, or pass ``within_batch=True`` to add
+    the min-id-keeper self-probe; `ingest_pipeline` does the latter).
+
+    Scale shape: every probe is a hash semi-join keyed by digest/bucket;
     cost is O(batch + index digests) with no all-pairs path. In production
     the index side's digests/bands are precomputed once and appended per
-    accepted batch; here they derive in-query from the index frame.
+    accepted batch (see :class:`~.signature_index.SignatureIndex` /
+    `incremental_dedup_indexed`); here they derive in-query from the
+    index frame.
     """
-    new_ids = new.select(F.col(id_col).alias("doc"))
-    idx_hash = index.select(F.md5(F.col(text_col)).alias("h")).distinct()
-    exact_ids = (
-        new.select(F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("h"))
-        .join(idx_hash, "h", "left_semi")
-        .select("doc", F.lit(1).alias("is_exact"))
+    idx_digests = index.select(F.md5(F.col(text_col)).alias("h")).distinct()
+    idx_bands = band_rows(minhash_signatures(index, id_col, text_col))
+    return _incremental_verdicts(
+        new, id_col, text_col, idx_digests, idx_bands, within_batch
     )
-    idx_bands = (
-        band_rows(minhash_signatures(index, id_col, text_col))
-        .select("band_id", "band_hash")
-        .distinct()
-    )
-    near_ids = (
-        band_rows(minhash_signatures(new, id_col, text_col))
-        .join(idx_bands, ["band_id", "band_hash"], "left_semi")
-        .select("doc")
-        .distinct()
-        .withColumn("is_near", F.lit(1))
-    )
-    return (
-        new_ids.join(exact_ids, "doc", "left")
-        .join(near_ids, "doc", "left")
-        .select(
-            "doc",
-            F.when(F.col("is_exact") == 1, "exact")
-            .when(F.col("is_near") == 1, "near")
-            .otherwise("keep")
-            .alias("verdict"),
-        )
+
+
+def incremental_dedup_indexed(
+    sig_index,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    within_batch: bool = False,
+) -> DataFrame:
+    """`incremental_dedup` with the index side read from a persisted
+    :class:`~.signature_index.SignatureIndex` instead of derived in-query:
+    the O(index text) signature recompute disappears from every ingest —
+    the batch only probes the stored digest and band tables, which is the
+    100 TB contract (the corpus is never rescanned after acceptance).
+    """
+    return _incremental_verdicts(
+        new, id_col, text_col, sig_index.digests(), sig_index.bands(), within_batch
     )
 
 

@@ -1,0 +1,107 @@
+"""Persisted signature index for incremental dedup (the stored side of
+`incremental_dedup_indexed`).
+
+A continuously-growing corpus must not recompute its own digests and
+MinHash bands on every ingest — at 100 TB that is a full-corpus text scan
+per batch. This index persists exactly the two probe tables the
+incremental path needs:
+
+- ``digests``: (doc, h)           — md5 content digest per accepted doc
+- ``bands``  : (doc, band_id, band_hash) — MinHash LSH bucket keys
+
+Layout: append-only batch directories (``digests/batch=N/``,
+``bands/batch=N/``) committed by ONE atomic marker ``_batch_N_done`` at
+the index root covering BOTH tables — a crash between the two table
+writes leaves no marker, so readers never see a digest batch without its
+bands (or vice versa). Retrying an append reuses the batch number and
+overwrites the orphaned uncommitted directories, converging exactly-once
+(the same tempfile+os.replace marker protocol as the router's epoch
+commits, streaming/router.py).
+
+Scale shape: append cost is O(batch) — one signature pass over the new
+docs, never a rewrite of history (unlike a DimStore MERGE, which rewrites
+the snapshot). Reads list the committed batch dirs and hand Spark the
+path list, so partition pruning still applies per batch dir. Probe tables
+carry ~40 bytes/doc — the index for a 10^10-doc corpus is ~hundreds of
+GB, scanned only by digest/bucket semi-joins that reduce map-side.
+
+Single-writer: batch numbering assumes one appender (the ingest driver);
+concurrent appenders need a transactional table format, same scope note
+as DimStore/router (PARITY §2.3 R2).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import band_rows, minhash_signatures
+
+_MARKER_RE = re.compile(r"^_batch_(\d+)_done$")
+
+
+class SignatureIndex:
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+
+    # -- commit bookkeeping -------------------------------------------------
+    def committed_batches(self) -> list[int]:
+        out = []
+        for f in os.listdir(self.base_dir):
+            m = _MARKER_RE.match(f)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def is_empty(self) -> bool:
+        return not self.committed_batches()
+
+    def _table_paths(self, table: str) -> list[str]:
+        return [
+            os.path.join(self.base_dir, table, f"batch={n}")
+            for n in self.committed_batches()
+        ]
+
+    # -- append (one signature pass over the NEW docs only) -----------------
+    def append(self, docs: DataFrame, id_col: str, text_col: str) -> int:
+        """Add a batch of accepted documents to the index; returns the
+        committed batch number. Crash-retry safe: an uncommitted batch has
+        no marker, and the retry overwrites its directories."""
+        committed = self.committed_batches()
+        n = (committed[-1] + 1) if committed else 0
+        dig = docs.select(
+            F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("h")
+        )
+        bands = band_rows(minhash_signatures(docs, id_col, text_col))
+        dig.write.mode("overwrite").parquet(
+            os.path.join(self.base_dir, "digests", f"batch={n}")
+        )
+        bands.write.mode("overwrite").parquet(
+            os.path.join(self.base_dir, "bands", f"batch={n}")
+        )
+        marker = os.path.join(self.base_dir, f"_batch_{n}_done")
+        fd, tmp = tempfile.mkstemp(dir=self.base_dir, prefix="_marker_")
+        os.close(fd)
+        os.replace(tmp, marker)
+        return n
+
+    # -- probe tables (the only thing an ingest ever reads) -----------------
+    def _read(self, table: str, schema: str) -> DataFrame:
+        paths = self._table_paths(table)
+        if not paths:
+            # empty index: typed empty frame (schema only matters here —
+            # committed batches carry their own parquet schema)
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*paths)
+
+    def digests(self) -> DataFrame:
+        return self._read("digests", "doc long, h string")
+
+    def bands(self) -> DataFrame:
+        return self._read("bands", "doc long, band_id int, band_hash string")
