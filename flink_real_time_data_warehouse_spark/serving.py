@@ -50,10 +50,14 @@ class ServingAPI:
         reg["serving_gmv"].spark(self.spark, self.sf_dir).write.mode("overwrite").parquet(
             self._path("gmv_daily")
         )
+        # product_revenue carries integer CENTS (amount_c): order_amount is
+        # net_cents/100.0, so round(x*100) recovers the exact cents and the
+        # serving aggregations stay order-independent across engines
+        # (functions/money.py discipline) instead of summing doubles.
         (
             reg["product_stats"].spark(self.spark, self.sf_dir)
-            .groupBy("sku_id", "sku_name")
-            .agg(F.sum("order_amount").alias("amount"))
+            .groupBy("sku_id", "sku_name", "tm_name")
+            .agg(F.sum(F.round(F.col("order_amount") * 100).cast("long")).alias("amount_c"))
             .write.mode("overwrite")
             .parquet(self._path("product_revenue"))
         )
@@ -88,7 +92,26 @@ class ServingAPI:
         from the materialized revenue table."""
         rows = (
             self.result_table("product_revenue")
+            .select(
+                "sku_id", "sku_name", (F.col("amount_c") / F.lit(100.0)).alias("amount")
+            )
             .orderBy(F.col("amount").desc(), F.col("sku_id").asc())
+            .limit(n)
+            .collect()
+        )
+        return [r.asDict() for r in rows]
+
+    def trademark_revenue(self, n: int = 5) -> list[dict]:
+        """Per-trademark GMV — the publisher's second ProductStats endpoint
+        family (gmall-publisher ProductStatsMapper `getGmvByTm`: select
+        tm_name, sum(order_amount) order_amount from product_stats group by
+        tm_name order by order_amount desc limit #{limit}). Answers from
+        the materialized revenue table only."""
+        rows = (
+            self.result_table("product_revenue")
+            .groupBy("tm_name")
+            .agg((F.sum("amount_c") / F.lit(100.0)).alias("amount"))
+            .orderBy(F.col("amount").desc(), F.col("tm_name").asc())
             .limit(n)
             .collect()
         )

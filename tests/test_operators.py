@@ -79,6 +79,12 @@ def test_serving_api_gmv(spark, tmp_path):
     assert api.gmv("1999-01-01")["data"] == 0.0  # no data day -> 0, like reference default path
     top = api.product_stats_topn(3)
     assert len(top) == 3 and top[0]["amount"] >= top[-1]["amount"]
+    tm = api.trademark_revenue(3)
+    assert len(tm) == 3 and tm[0]["amount"] >= tm[-1]["amount"]
+    # cross-endpoint consistency: both answer from the same cents table
+    all_tm = api.trademark_revenue(10**6)
+    all_sku = api.product_stats_topn(10**6)
+    assert abs(sum(r["amount"] for r in all_tm) - sum(r["amount"] for r in all_sku)) < 1e-6
     # serving answers from the materialized store only — never a fact rescan
     files = api.result_table("gmv_daily").inputFiles()
     assert files and all("testdata" not in f for f in files)
