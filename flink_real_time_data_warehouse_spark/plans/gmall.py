@@ -311,7 +311,16 @@ def keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic CJK phrase appended in-query (doc_id-keyed, mirrored in the
 # oracle) — the tokenizer, not the fixture, is what's being graded.
 # ---------------------------------------------------------------------------
-CJK_PHRASES = ("实时数据仓库", "流处理引擎", "数据管道质量检测", "大规模机器学习")
+# The last four phrases are ambiguity-hard: overlapping lexicon entries at
+# word junctions, where greedy FMM and CJK bigrams differ materially
+# (研究生命起源 -> FMM 研究生|命|起源, the classic over-eat; 发展中国家 ->
+# 发展|中国|家; 中国人工智能 -> 中国人|工|智能; 结合成分子 -> 结合|成分|子).
+# tests/test_properties.py pins each against backward-MM to document the
+# shipped greedy choice.
+CJK_PHRASES = (
+    "实时数据仓库", "流处理引擎", "数据管道质量检测", "大规模机器学习",
+    "研究生命起源", "发展中国家", "中国人工智能", "结合成分子",
+)
 
 
 def _cjk_oracle() -> str:

@@ -156,6 +156,48 @@ def test_dict_tokens_matches_python_fmm(spark_global, texts):
         assert got[i] == want, (t, got[i], want)
 
 
+def test_fmm_vs_bmm_divergence_pinned():
+    """Overlap ambiguity is FMM's documented failure mode: these fixtures
+    (now in the graded CJK_PHRASES) make greedy forward matching and
+    backward matching genuinely disagree. The engine ships FMM (mirrored
+    by the recursive-CTE oracle); this test pins BOTH outputs so the
+    greedy choice is a recorded decision, not an accident. IK smart mode
+    (reference KeywordUtil.java:14-34) arbitrates exactly these."""
+    from flink_real_time_data_warehouse_spark.functions.cjk_lexicon import (
+        bmm_segment,
+        fmm_segment,
+    )
+
+    cases = {
+        # run: (FMM — shipped, BMM — the foil)
+        "研究生命起源": (["研究生", "命", "起源"], ["研究", "生命", "起源"]),
+        "发展中国家": (["发展", "中国", "家"], ["发展", "中", "国家"]),
+        "中国人工智能": (["中国人", "工", "智能"], ["中国", "人工", "智能"]),
+        "结合成分子": (["结合", "成分", "子"], ["结", "合成", "分子"]),
+    }
+    for run, (fwd, bwd) in cases.items():
+        assert fmm_segment(run) == fwd, run
+        assert bmm_segment(run) == bwd, run
+        assert fwd != bwd  # each case is a real divergence
+        # a multi-char word the pre-ambiguity lexicon missed comes out whole
+    assert "研究生" in fmm_segment("研究生命起源")
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.text(alphabet="研究生命起源发展中国家人工智能结合成分子实时数据仓库鑫", min_size=0, max_size=24))
+def test_fmm_bmm_segmentations_reconstruct(run):
+    """Both matchers must produce a lossless cover of the input (order-
+    preserving concatenation identity) for arbitrary ambiguous text —
+    divergence is allowed, dropping or duplicating characters is not."""
+    from flink_real_time_data_warehouse_spark.functions.cjk_lexicon import (
+        bmm_segment,
+        fmm_segment,
+    )
+
+    assert "".join(fmm_segment(run)) == run
+    assert "".join(bmm_segment(run)) == run
+
+
 @settings(max_examples=4, deadline=None)
 @given(st.lists(st.text(alphabet="abcd ", min_size=1, max_size=30), min_size=2, max_size=10))
 def test_simhash_banding_lossless(spark_global, texts):
