@@ -73,8 +73,11 @@ HEADLINE = [
     "keyword_stats_dict",
     "dedup_ngram_jaccard",
     "dedup_incremental",
+    "dedup_incremental_indexed",
     "embedding_quantize",
     "ingest_pipeline",
+    "ingest_pipeline_indexed",
+    "serving_product_revenue",
     "multimodal_decode",
     "decontaminate",
     "dedup_clusters",

@@ -41,7 +41,13 @@ from pyspark.sql import functions as F
 
 from .dedup import band_rows, minhash_signatures
 
-_MARKER_RE = re.compile(r"^_batch_(\d+)_done$")
+_MARKER_RE = re.compile(r"^_batch_([A-Za-z0-9]+)_done$")
+
+
+def _label_key(label: str):
+    # auto-numbered labels sort numerically first, named labels (e.g. the
+    # streaming path's "e<epoch>") after, lexicographically
+    return (0, int(label), "") if label.isdigit() else (1, 0, label)
 
 
 class SignatureIndex:
@@ -51,13 +57,16 @@ class SignatureIndex:
         os.makedirs(base_dir, exist_ok=True)
 
     # -- commit bookkeeping -------------------------------------------------
-    def committed_batches(self) -> list[int]:
+    def committed_batches(self) -> list[str]:
+        """Committed batch labels: auto-numbered appends get "0", "1", ...;
+        callers may pass their own labels (the streaming ingest uses
+        "e<epoch>" so epoch commits can never collide with seed batches)."""
         out = []
         for f in os.listdir(self.base_dir):
             m = _MARKER_RE.match(f)
             if m:
-                out.append(int(m.group(1)))
-        return sorted(out)
+                out.append(m.group(1))
+        return sorted(out, key=_label_key)
 
     def is_empty(self) -> bool:
         return not self.committed_batches()
@@ -69,12 +78,30 @@ class SignatureIndex:
         ]
 
     # -- append (one signature pass over the NEW docs only) -----------------
-    def append(self, docs: DataFrame, id_col: str, text_col: str) -> int:
+    def append(
+        self, docs: DataFrame, id_col: str, text_col: str, batch_no: int | str | None = None
+    ) -> str:
         """Add a batch of accepted documents to the index; returns the
-        committed batch number. Crash-retry safe: an uncommitted batch has
-        no marker, and the retry overwrites its directories."""
+        committed batch label. Crash-retry safe: an uncommitted batch has
+        no marker, and the retry overwrites its directories.
+
+        Pass ``batch_no`` (e.g. ``f"e{epoch}"`` from foreachBatch) to make
+        replays idempotent: a batch whose marker is already committed is
+        skipped outright, so a streaming ingest that retries an epoch
+        cannot grow the index twice. The label must be stable across query
+        restarts — derive it from the epoch id only. (Duplicate index rows
+        would be HARMLESS to correctness — every probe is a semi join —
+        but they'd inflate the stored tables forever.)"""
         committed = self.committed_batches()
-        n = (committed[-1] + 1) if committed else 0
+        if batch_no is None:
+            ints = [int(b) for b in committed if b.isdigit()]
+            n = str(max(ints) + 1) if ints else "0"
+        else:
+            n = str(batch_no)
+            if not n.isalnum():
+                raise ValueError(f"batch label must be alphanumeric, got {n!r}")
+            if n in committed:
+                return n  # epoch replay: already committed, exactly-once
         dig = docs.select(
             F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("h")
         )

@@ -609,3 +609,53 @@ def payment_wide_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(dwd_dir).schema
     dwd = spark.readStream.format("parquet").schema(schema).load(dwd_dir)
     return run_to_memory(payment_wide_agg(dwd, streaming=True), spark, output_mode="complete")
+
+
+@register(
+    "ingest_pipeline_stream",
+    oracle=None,  # sequential index growth is inherently stateful — rows-only
+    doc=(
+        "the ingest funnel as a CONTINUOUS stream: three ascending-id "
+        "micro-batches replay through streaming/ingest.start_ingest — each "
+        "epoch probes the persisted SignatureIndex (storage, never corpus "
+        "text), gates quality, lands accepted docs via the idempotent epoch "
+        "commit, and appends them to the index so the NEXT epoch's dedup "
+        "sees them. Sequential index growth is not batch-SQL-expressible "
+        "(a quality-rejected duplicate is absent from the index, unlike the "
+        "single-pass within-batch probe), so this is a rows-only check; "
+        "the equivalence that does hold is pytest-asserted in "
+        "tests/test_ingest_stream.py"
+    ),
+)
+def ingest_pipeline_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import time
+
+    from ..datapipe.signature_index import SignatureIndex
+    from ..plans.datapipe import INC_NEW_MOD
+    from ..sources.streams import stream_dir
+    from .ingest import start_ingest
+
+    docs = table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % INC_NEW_MOD == 0).select("doc_id", "text")
+    index_docs = docs.where(F.col("doc_id") % INC_NEW_MOD != 0)
+
+    work = tempfile.mkdtemp(prefix="ingest_stream_")
+    idx = SignatureIndex(spark, os.path.join(work, "index"))
+    idx.append(index_docs, "doc_id", "text")
+
+    splits = os.path.join(work, "splits")
+    new.repartitionByRange(3, F.col("doc_id")).write.mode("overwrite").parquet(splits)
+    parts = sorted(
+        f for f in os.listdir(splits) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base = time.time() - len(parts) * 10
+    for i, fname in enumerate(parts):  # arrival order == ascending doc_id
+        os.utime(os.path.join(splits, fname), (base + i * 10, base + i * 10))
+
+    stream = stream_dir(spark, splits, "doc_id long, text string", max_files_per_trigger=1)
+    accepted_dir = os.path.join(work, "accepted")
+    q = start_ingest(stream, idx, accepted_dir, os.path.join(work, "ckpt"))
+    q.awaitTermination()
+    return spark.read.parquet(accepted_dir).select("doc_id")

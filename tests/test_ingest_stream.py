@@ -1,0 +1,178 @@
+"""Streaming ingest funnel e2e (streaming/ingest.start_ingest).
+
+Hand-built corpus so every path is pinned: cross-epoch dedup through the
+growing SignatureIndex, the quality gate, within-epoch min-id keeping,
+and the quality-rejected-duplicate case where sequential semantics
+legitimately diverge from the single-pass batch query.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from flink_real_time_data_warehouse_spark.datapipe.signature_index import SignatureIndex
+from flink_real_time_data_warehouse_spark.streaming.ingest import start_ingest
+
+# Four quality-passing documents with DISJOINT shingle sets (near-dup
+# probes must not fire across distinct docs — a shared sentence template
+# would legitimately LSH-collide).
+GOOD = {
+    "seed": (
+        "the ancient lighthouse keeper is watching over a stormy harbor "
+        "as waves crash against granite cliffs below the northern point"
+    ),
+    "alpha": (
+        "a curious squirrel is gathering acorns near the old oak tree "
+        "while children play in the warm afternoon sun by the fence"
+    ),
+    "beta": (
+        "the midnight train is rolling through empty valleys and sleeping "
+        "towns carrying a heavy cargo of coal and seasoned timber"
+    ),
+    "gamma": (
+        "a gentle rain is falling on the terracotta rooftops while tired "
+        "merchants close their market stalls in the fading evening light"
+    ),
+}
+LOW_Q = "tiny{}"  # < 10 tokens: fails the length band, score < 2
+
+
+def _write_epochs(spark, d, epochs):
+    os.makedirs(d)
+    base = time.time() - 100
+    for i, rows in enumerate(epochs):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, f"b{i}"))
+        for f in os.listdir(os.path.join(d, f"b{i}")):
+            os.utime(os.path.join(d, f"b{i}", f), (base + i * 10, base + i * 10))
+
+
+def _stream(spark, d):
+    return (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "2")  # one committed part + _SUCCESS sibling dir
+        .load(d + "/b*")
+    )
+
+
+def test_streaming_ingest_funnel(spark, tmp_path):
+    epochs = [
+        # epoch 0: dup-of-index rejected; good novel accepted; low quality
+        # rejected; within-epoch copy of the good doc rejected (min-id keeps)
+        [
+            (10, GOOD["seed"]),  # exact copy of the seeded index doc
+            (11, GOOD["alpha"]),
+            (12, LOW_Q.format(1)),
+            (13, GOOD["alpha"]),
+        ],
+        # epoch 1: copy of an epoch-0 ACCEPTED doc must now be rejected via
+        # the grown index; a fresh doc accepts; a copy of the quality-
+        # rejected doc 12 is novel to the index (12 was never appended) and
+        # passes dedup — but still fails quality
+        [
+            (20, GOOD["alpha"]),
+            (21, GOOD["beta"]),
+            (22, LOW_Q.format(1)),
+        ],
+        # epoch 2: copy of epoch-1's accepted doc rejected; fresh accepted
+        [
+            (30, GOOD["beta"]),
+            (31, GOOD["gamma"]),
+        ],
+    ]
+    src = str(tmp_path / "src")
+    _write_epochs(spark, src, epochs)
+
+    idx = SignatureIndex(spark, str(tmp_path / "sig"))
+    idx.append(
+        spark.createDataFrame([(1, GOOD["seed"])], "doc_id long, text string"),
+        "doc_id",
+        "text",
+    )
+    accepted_dir = str(tmp_path / "accepted")
+    q = start_ingest(_stream(spark, src), idx, accepted_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(accepted_dir).collect())
+    assert got == [11, 21, 31]
+
+    # the index grew by exactly the accepted docs: seed batch + one labeled
+    # epoch batch per trigger, and its digests are seed + accepted
+    labels = idx.committed_batches()
+    assert labels[0] == "0" and all(lb.startswith("e") for lb in labels[1:])
+    assert idx.digests().count() == 1 + 3
+
+    # epoch replay (crash-retry): re-running an already-committed epoch's
+    # work must change nothing — both commits marker-skip
+    from flink_real_time_data_warehouse_spark.streaming.router import _idempotent_append
+
+    replay = spark.createDataFrame([(11, GOOD["alpha"])], "doc_id long, text string")
+    _idempotent_append(replay, accepted_dir, epoch_id=0)
+    idx.append(replay, "doc_id", "text", batch_no="e0")
+    assert sorted(r["doc_id"] for r in spark.read.parquet(accepted_dir).collect()) == got
+    assert idx.digests().count() == 1 + 3
+
+
+def test_streaming_ingest_matches_batch_loop(spark, tmp_path):
+    """The streaming funnel must equal a pure-batch sequential reference
+    applying the same per-epoch logic (dedup-indexed + gate + append) —
+    the invariant the rows-only registry entry rests on."""
+    from flink_real_time_data_warehouse_spark.datapipe.dedup import (
+        incremental_dedup_indexed,
+    )
+    from flink_real_time_data_warehouse_spark.datapipe.quality import text_quality
+    from flink_real_time_data_warehouse_spark.tables import table
+
+    from .conftest import TEST_SF_DIR
+
+    docs = table(spark, TEST_SF_DIR, "documents")
+    new = docs.where(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    index_docs = docs.where(F.col("doc_id") % 4 != 0)
+    bounds = new.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    cut = [bounds[0] + (bounds[1] - bounds[0]) * k // 3 for k in (1, 2)]
+    batches = [
+        new.where(F.col("doc_id") <= cut[0]),
+        new.where((F.col("doc_id") > cut[0]) & (F.col("doc_id") <= cut[1])),
+        new.where(F.col("doc_id") > cut[1]),
+    ]
+
+    # batch-loop reference over its own index copy
+    ref_idx = SignatureIndex(spark, str(tmp_path / "ref_sig"))
+    ref_idx.append(index_docs, "doc_id", "text")
+    ref_accepted = []
+    for b in batches:
+        v = incremental_dedup_indexed(ref_idx, b, "doc_id", "text", within_batch=True)
+        qy = text_quality(b, "doc_id", "text").select(
+            F.col("doc_id").alias("doc"), "quality_score"
+        )
+        ok = (
+            v.join(qy, "doc")
+            .where((F.col("verdict") == "keep") & (F.col("quality_score") >= 2))
+            .select(F.col("doc").alias("doc_id"))
+        )
+        acc = b.join(ok, "doc_id", "left_semi")
+        ref_accepted.extend(r["doc_id"] for r in acc.select("doc_id").collect())
+        ref_idx.append(acc, "doc_id", "text")
+
+    # streaming run over the same epoch split
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = time.time() - 100
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
+        for f in os.listdir(os.path.join(src, f"b{i}")):
+            os.utime(os.path.join(src, f"b{i}", f), (base + i * 10, base + i * 10))
+    st_idx = SignatureIndex(spark, str(tmp_path / "st_sig"))
+    st_idx.append(index_docs, "doc_id", "text")
+    accepted_dir = str(tmp_path / "accepted")
+    q = start_ingest(_stream(spark, src), st_idx, accepted_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(accepted_dir).collect())
+    assert got == sorted(ref_accepted)
+    assert len(got) > 0
