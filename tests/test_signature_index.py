@@ -78,6 +78,34 @@ def test_append_is_atomic_per_batch(spark, tmp_path):
     assert idx.digests().count() == 1
 
 
+def test_indexed_probe_never_scans_corpus_text(spark, tmp_path):
+    """The 100 TB contract in plan form: incremental_dedup_indexed must
+    read the stored digest/band tables, NEVER the index documents' source
+    file (the derive-in-query form rescans it; the indexed form may not)."""
+    corpus_path = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(
+        [(1, "an indexed corpus document with a healthy number of tokens")],
+        "doc_id long, text string",
+    ).write.parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+
+    idx = SignatureIndex(spark, str(tmp_path / "sig"))
+    idx.append(corpus, "doc_id", "text")
+    new = spark.createDataFrame(
+        [(2, "a new incoming document that shares nothing with the corpus")],
+        "doc_id long, text string",
+    )
+    plan_files = incremental_dedup_indexed(
+        idx, new, "doc_id", "text", within_batch=True
+    ).inputFiles()
+    assert plan_files, "expected file-backed inputs"
+    assert not any("corpus.parquet" in f for f in plan_files)
+    assert any("/sig/" in f or "sig" + os.sep in f for f in plan_files)
+    # the derived form, by contrast, does rescan the corpus source
+    drv_files = incremental_dedup(corpus, new, "doc_id", "text").inputFiles()
+    assert any("corpus.parquet" in f for f in drv_files)
+
+
 def test_sequential_ingest_matches_derived(spark, tmp_path):
     """Two sequential ingest batches through the STORED index must
     accept/reject identically to the derive-in-query form probing the
