@@ -122,11 +122,18 @@ def main() -> None:
         return round(time.perf_counter() - t0, 3)
 
     def sentinel() -> float:
-        t0 = time.perf_counter()
-        spark.range(0, 4_000_000, 1, 32).selectExpr(
-            "sum(id * 2) as s", "count(*) as c"
-        ).write.format("noop").mode("overwrite").save()
-        return round(time.perf_counter() - t0, 3)
+        # CPU-bound for ~1 s so per-job scheduler overhead (which grows a
+        # few hundred ms as the session ages) can't dominate the ratio —
+        # the flag should fire on machine contention, not JVM aging.
+        # min-of-2 for the same reason as the headliners.
+        def once() -> float:
+            t0 = time.perf_counter()
+            spark.range(0, 256_000_000, 1, 32).selectExpr(
+                "sum(id * 2) as s", "count(*) as c"
+            ).write.format("noop").mode("overwrite").save()
+            return round(time.perf_counter() - t0, 3)
+
+        return min(once(), once())
 
     run("q1_pricing_summary")  # warmup (JVM + codegen + parquet footer caches)
     sentinel()  # warm the sentinel's own codegen so start/end are comparable
