@@ -66,6 +66,7 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "ann_topk",
     "ann_ivf_topk",
+    "ann_ivf_indexed_topk",
     "embedding_cosine_pairs",
     "embedding_clusters",
     "text_quality",

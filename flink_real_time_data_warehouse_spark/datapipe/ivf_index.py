@@ -1,0 +1,152 @@
+"""Persisted IVF index for embedding similarity search (the stored side
+of `similarity.ivf_topk`).
+
+A 100 TB ANN deployment builds its coarse quantizer ONCE, then appends
+vectors to the inverted lists forever and serves queries from storage —
+it never re-derives centroids or re-assigns the corpus per query. This
+class persists exactly those two tables:
+
+- ``centroids``: (cid, cv)               — frozen at build time
+- ``lists``    : (neighbor_id, cid, nv)  — the inverted lists, appended
+                                           per accepted vector batch
+
+Layout and commit protocol mirror `signature_index.SignatureIndex`:
+append-only ``lists/batch=<label>/`` directories committed by atomic
+``_batch_<label>_done`` markers (epoch-stable labels make streaming
+appends replay-idempotent); centroids commit once under ``_built``.
+Append cost is O(batch): one broadcast of K tiny centroids against the
+new vectors and a map-side-combinable argmax — history is never
+rewritten, the corpus is never rescanned.
+
+Query cost: nprobe·|C|/K candidate rows per query, joined on the list id
+(equi-join — the bucket-join discipline of every approximate path here).
+At real scale the list rows would store int8 codes (`int8_quant_stats`)
+instead of float32 vectors — a 4× byte cut the probe join inherits.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .similarity import IVF_K, IVF_NPROBE, assign_top1, assign_topn, ivf_probe_topk
+
+_MARKER_RE = re.compile(r"^_batch_([A-Za-z0-9]+)_done$")
+
+
+class IvfIndex:
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+
+    # -- commit bookkeeping -------------------------------------------------
+    def _commit_marker(self, name: str) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.base_dir, prefix="_marker_")
+        os.close(fd)
+        os.replace(tmp, os.path.join(self.base_dir, name))
+
+    def is_built(self) -> bool:
+        return os.path.exists(os.path.join(self.base_dir, "_built"))
+
+    def committed_batches(self) -> list[str]:
+        out = []
+        for f in os.listdir(self.base_dir):
+            m = _MARKER_RE.match(f)
+            if m:
+                out.append(m.group(1))
+        return sorted(out, key=lambda lb: (0, int(lb), "") if lb.isdigit() else (1, 0, lb))
+
+    # -- build / append -----------------------------------------------------
+    def build(
+        self,
+        corpus: DataFrame,
+        n_centroids: int = IVF_K,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        centroids: DataFrame | None = None,
+    ) -> None:
+        """Freeze the coarse quantizer and assign the build corpus.
+
+        Default centroids are the deterministic first-k init (matching
+        `ivf_topk`, so results are oracle-comparable); pass a
+        `kmeans_centroids`-trained frame as ``centroids`` for the
+        production quantizer — every downstream plan is unchanged.
+        """
+        if self.is_built():
+            raise RuntimeError(f"IVF index at {self.base_dir!r} is already built")
+        cents = centroids
+        if cents is None:
+            cents = corpus.where(F.col(id_col) < n_centroids).select(
+                F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+            )
+        cents.write.mode("overwrite").parquet(os.path.join(self.base_dir, "centroids"))
+        self._commit_marker("_built")
+        self.append(corpus, id_col, vec_col)
+
+    def append(
+        self,
+        vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        batch_no: int | str | None = None,
+    ) -> str:
+        """Assign a batch of NEW vectors to the frozen centroids and append
+        the inverted-list rows — O(batch), history untouched. Labeled
+        appends (``batch_no``) marker-skip replays, like SignatureIndex."""
+        if not self.is_built():
+            raise RuntimeError("build() the index before appending")
+        committed = self.committed_batches()
+        if batch_no is None:
+            ints = [int(b) for b in committed if b.isdigit()]
+            n = str(max(ints) + 1) if ints else "0"
+        else:
+            n = str(batch_no)
+            if not n.isalnum():
+                raise ValueError(f"batch label must be alphanumeric, got {n!r}")
+            if n in committed:
+                return n  # epoch replay: already committed
+        inv = assign_top1(
+            vectors, self.centroids(), id_col, vec_col, "neighbor_id"
+        ).withColumnRenamed("_v", "nv")
+        inv.write.mode("overwrite").parquet(
+            os.path.join(self.base_dir, "lists", f"batch={n}")
+        )
+        self._commit_marker(f"_batch_{n}_done")
+        return n
+
+    # -- stored tables ------------------------------------------------------
+    def centroids(self) -> DataFrame:
+        if not self.is_built():
+            raise RuntimeError("IVF index not built")
+        return self.spark.read.parquet(os.path.join(self.base_dir, "centroids"))
+
+    def lists(self) -> DataFrame:
+        paths = [
+            os.path.join(self.base_dir, "lists", f"batch={n}")
+            for n in self.committed_batches()
+        ]
+        if not paths:
+            raise RuntimeError("IVF index has no committed list batches")
+        return self.spark.read.parquet(*paths)
+
+    # -- search -------------------------------------------------------------
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int,
+        nprobe: int = IVF_NPROBE,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Approximate top-k from STORAGE: queries rank against the stored
+        centroids (broadcast) and probe the stored inverted lists — the
+        corpus source is never scanned (plan-tested)."""
+        probes = assign_topn(
+            queries, self.centroids(), nprobe, id_col, vec_col, "query_id"
+        ).withColumnRenamed("_v", "qv")
+        return ivf_probe_topk(probes, self.lists(), k)

@@ -72,6 +72,72 @@ IVF_K = 8  # coarse-quantizer lists
 IVF_NPROBE = 2  # lists probed per query
 
 
+def _scored_against_cents(
+    df: DataFrame, cents: DataFrame, id_col: str, vec_col: str, out_id: str
+) -> DataFrame:
+    return df.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).alias("_v"),
+        "cid",
+        cosine(F.col(vec_col), F.col("cv")).alias("_sim"),
+    )
+
+
+def assign_top1(
+    df: DataFrame, cents: DataFrame, id_col: str, vec_col: str, out_id: str
+) -> DataFrame:
+    """Nearest-centroid assignment: argmax as a map-side-combinable
+    max(struct) — the exchange carries ~|corpus| combined rows, NOT
+    |corpus|·K rows each dragging a duplicated vector through the shuffle
+    (what a row_number window would ship). Tie-break (-cid) == the
+    window's (_sim desc, cid asc); the vector rides in a field the struct
+    comparison never reaches (cid is unique per centroid)."""
+    s = _scored_against_cents(df, cents, id_col, vec_col, out_id)
+    best = s.groupBy(out_id).agg(
+        F.max(
+            F.struct(
+                F.col("_sim").alias("s"),
+                (-F.col("cid")).alias("neg_cid"),
+                F.col("cid").alias("cid"),
+                F.col("_v").alias("v"),
+            )
+        ).alias("b")
+    )
+    return best.select(out_id, F.col("b.cid").alias("cid"), F.col("b.v").alias("_v"))
+
+
+def assign_topn(
+    df: DataFrame, cents: DataFrame, n: int, id_col: str, vec_col: str, out_id: str
+) -> DataFrame:
+    """Query-side probe list: rank<=n plans as WindowGroupLimit; the query
+    set is the small side, so the window shuffle is cheap."""
+    s = _scored_against_cents(df, cents, id_col, vec_col, out_id)
+    w = Window.partitionBy(out_id).orderBy(F.col("_sim").desc(), F.col("cid").asc())
+    return (
+        s.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .select(out_id, "cid", "_v")
+    )
+
+
+def ivf_probe_topk(probes: DataFrame, inv: DataFrame, k: int) -> DataFrame:
+    """Rank the probed inverted-list candidates: exact cosine within the
+    lists each query probes. probes: (query_id, cid, qv); inv:
+    (neighbor_id, cid, nv). The candidate join is an equi-join on the
+    list id — the same bucket-join discipline as the LSH paths."""
+    scored = (
+        probes.join(inv, "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -88,68 +154,23 @@ def ivf_topk(
     step without iterations, chosen because it is deterministic and
     oracle-expressible; `kmeans_centroids` below is the offline trainer
     (swap its output in here), and the plan below is unchanged either way
-    (centroids are a broadcast literal). 100 TB shape: assignment = broadcast cross join with K tiny
-    centroids + one per-vector window (no shuffle beyond the id
-    partition); per-query search cost drops from |C| to nprobe·|C|/K, and
-    the candidate join is an equi-join on the list id — the same
-    bucket-join discipline as the LSH paths.
+    (centroids are a broadcast literal). 100 TB shape: assignment =
+    broadcast cross join with K tiny centroids + one map-side-combinable
+    argmax (no shuffle beyond the id partition); per-query search cost
+    drops from |C| to nprobe·|C|/K. The persisted form of this index —
+    build once, append forever, probe storage — is
+    `datapipe/ivf_index.IvfIndex`.
     """
     cents = corpus.where(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
     )
-
-    def scored_against_cents(df: DataFrame, out_id: str) -> DataFrame:
-        return df.crossJoin(F.broadcast(cents)).select(
-            F.col(id_col).alias(out_id),
-            F.col(vec_col).alias("_v"),
-            "cid",
-            cosine(F.col(vec_col), F.col("cv")).alias("_sim"),
-        )
-
-    def assign_top1(df: DataFrame, out_id: str) -> DataFrame:
-        # corpus-side assignment: argmax as a map-side-combinable max(struct)
-        # — the exchange carries ~|corpus| combined rows, NOT |corpus|·K rows
-        # each dragging a duplicated vector through the shuffle (what a
-        # row_number window would ship). Tie-break (-cid) == the window's
-        # (_sim desc, cid asc); the vector rides in a field the struct
-        # comparison never reaches (cid is unique per centroid).
-        s = scored_against_cents(df, out_id)
-        best = s.groupBy(out_id).agg(
-            F.max(
-                F.struct(
-                    F.col("_sim").alias("s"),
-                    (-F.col("cid")).alias("neg_cid"),
-                    F.col("cid").alias("cid"),
-                    F.col("_v").alias("v"),
-                )
-            ).alias("b")
-        )
-        return best.select(out_id, F.col("b.cid").alias("cid"), F.col("b.v").alias("_v"))
-
-    def assign_topn(df: DataFrame, n: int, out_id: str) -> DataFrame:
-        # query-side probe list: rank<=n plans as WindowGroupLimit; the query
-        # set is the small side, so the window shuffle is cheap
-        s = scored_against_cents(df, out_id)
-        w = Window.partitionBy(out_id).orderBy(F.col("_sim").desc(), F.col("cid").asc())
-        return (
-            s.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= n)
-            .select(out_id, "cid", "_v")
-        )
-
-    inv = assign_top1(corpus, "neighbor_id").withColumnRenamed("_v", "nv")
-    probes = assign_topn(queries, nprobe, "query_id").withColumnRenamed("_v", "qv")
-    scored = (
-        probes.join(inv, "cid")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("sim"))
+    inv = assign_top1(corpus, cents, id_col, vec_col, "neighbor_id").withColumnRenamed(
+        "_v", "nv"
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
+    probes = assign_topn(queries, cents, nprobe, id_col, vec_col, "query_id").withColumnRenamed(
+        "_v", "qv"
     )
+    return ivf_probe_topk(probes, inv, k)
 
 
 QUANT = 1_000_000  # fixed-point resolution for cross-engine-exact geometry

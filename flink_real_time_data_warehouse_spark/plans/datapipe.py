@@ -397,6 +397,45 @@ def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rk"))
 
 
+_IVF_INDEX_CACHE: dict = {}
+
+
+def _stored_ivf(spark: SparkSession, sf_dir: str):
+    """Build-once-per-process persisted IvfIndex over the embeddings
+    fixture (the ANN sibling of _stored_index)."""
+    import tempfile
+
+    from ..datapipe.ivf_index import IvfIndex
+
+    key = (id(spark), sf_dir)
+    idx = _IVF_INDEX_CACHE.get(key)
+    if idx is None or not idx.is_built():
+        idx = IvfIndex(spark, tempfile.mkdtemp(prefix="ivf_index_"))
+        idx.build(table(spark, sf_dir, "embeddings"))
+        _IVF_INDEX_CACHE[key] = idx
+    return idx
+
+
+@register(
+    "ann_ivf_indexed_topk",
+    oracle=_ivf_oracle(),
+    doc=(
+        "ann_ivf_topk served from a PERSISTED IvfIndex (frozen centroids + "
+        "append-only inverted lists, atomic batch markers — "
+        "datapipe/ivf_index.py): the probe plan reads the stored centroid "
+        "and list tables, never re-deriving assignments from the corpus — "
+        "the build-once/append-forever 100 TB ANN contract. Same oracle as "
+        "ann_ivf_topk (identical centroids and assignment rule); appends "
+        "and plan shape are pytest-asserted in tests/test_ivf_index.py"
+    ),
+)
+def ann_ivf_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    idx = _stored_ivf(spark, sf_dir)
+    res = idx.topk(emb.where(F.col("vec_id") < 20), k=5)
+    return res.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rk"))
+
+
 COSINE_THRESHOLD = 0.45  # nearest data sims sit >=1e-4 away; double noise ~1e-13
 
 

@@ -65,8 +65,9 @@ _GRADE_FIRST: list[str] = [
     "payment_wide", "scd2_user_status",
     # New or plan-changed in round 4 (re-grade):
     "serving_product_revenue", "dedup_incremental_indexed",
-    "ingest_pipeline_indexed", "ingest_pipeline_stream", "ingest_pipeline",
-    "keyword_stats_dict", "dedup_incremental",
+    "ingest_pipeline_indexed", "ingest_pipeline_stream",
+    "ann_ivf_indexed_topk", "ingest_pipeline", "keyword_stats_dict",
+    "dedup_incremental",
 ]
 
 
