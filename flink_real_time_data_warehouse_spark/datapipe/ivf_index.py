@@ -119,6 +119,33 @@ class IvfIndex:
         self._commit_marker(f"_batch_{n}_done")
         return n
 
+    # -- compaction ---------------------------------------------------------
+    def compact(self) -> str | None:
+        """Merge every committed list batch into one (small-file fix for
+        long-running appends) — same crash-safe protocol as
+        SignatureIndex.compact: merged dir first, its marker, then
+        decommit the old batches (doubly-visible rows during a crash
+        window are harmless: `ivf_probe_topk` folds duplicate candidate
+        rows before ranking, and the next compact removes them).
+        Single-writer scope."""
+        import shutil
+
+        committed = self.committed_batches()
+        if len(committed) <= 1:
+            return committed[0] if committed else None
+        ints = [int(b) for b in committed if b.isdigit()]
+        n = str(max(ints) + 1) if ints else "0"
+        self.lists().write.mode("overwrite").parquet(
+            os.path.join(self.base_dir, "lists", f"batch={n}")
+        )
+        self._commit_marker(f"_batch_{n}_done")
+        for old in committed:
+            os.remove(os.path.join(self.base_dir, f"_batch_{old}_done"))
+            shutil.rmtree(
+                os.path.join(self.base_dir, "lists", f"batch={old}"), ignore_errors=True
+            )
+        return n
+
     # -- stored tables ------------------------------------------------------
     def centroids(self) -> DataFrame:
         if not self.is_built():

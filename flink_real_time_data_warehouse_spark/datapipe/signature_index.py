@@ -118,6 +118,45 @@ class SignatureIndex:
         os.replace(tmp, marker)
         return n
 
+    # -- compaction ---------------------------------------------------------
+    def compact(self) -> str | None:
+        """Merge every committed batch into one — the small-file fix a
+        long-running ingest needs (per-epoch appends leave one directory
+        per trigger; readers pay per-file open cost forever otherwise).
+
+        Protocol: write the merged tables under the next auto label,
+        commit its marker, then remove the old markers. Every step is
+        crash-safe: an orphaned merged dir (no marker) is overwritten by
+        the retry; a crash mid-removal leaves some batches doubly visible,
+        which is HARMLESS to the semi-join probes (duplicate rows cannot
+        change a semi join) and is cleaned by the next compact. Same
+        single-writer scope as append.
+        """
+        committed = self.committed_batches()
+        if len(committed) <= 1:
+            return committed[0] if committed else None
+        ints = [int(b) for b in committed if b.isdigit()]
+        n = str(max(ints) + 1) if ints else "0"
+        self.digests().write.mode("overwrite").parquet(
+            os.path.join(self.base_dir, "digests", f"batch={n}")
+        )
+        self.bands().write.mode("overwrite").parquet(
+            os.path.join(self.base_dir, "bands", f"batch={n}")
+        )
+        marker = os.path.join(self.base_dir, f"_batch_{n}_done")
+        fd, tmp = tempfile.mkstemp(dir=self.base_dir, prefix="_marker_")
+        os.close(fd)
+        os.replace(tmp, marker)
+        import shutil
+
+        for old in committed:
+            os.remove(os.path.join(self.base_dir, f"_batch_{old}_done"))
+            for t in ("digests", "bands"):  # decommitted data dirs: best-effort sweep
+                shutil.rmtree(
+                    os.path.join(self.base_dir, t, f"batch={old}"), ignore_errors=True
+                )
+        return n
+
     # -- probe tables (the only thing an ingest ever reads) -----------------
     def _read(self, table: str, schema: str) -> DataFrame:
         paths = self._table_paths(table)

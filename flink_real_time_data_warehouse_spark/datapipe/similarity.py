@@ -124,11 +124,20 @@ def ivf_probe_topk(probes: DataFrame, inv: DataFrame, k: int) -> DataFrame:
     """Rank the probed inverted-list candidates: exact cosine within the
     lists each query probes. probes: (query_id, cid, qv); inv:
     (neighbor_id, cid, nv). The candidate join is an equi-join on the
-    list id — the same bucket-join discipline as the LSH paths."""
+    list id — the same bucket-join discipline as the LSH paths.
+
+    The pre-window aggregate folds duplicate (query, neighbor) candidate
+    rows (a vector stored in two index batches, or a compaction crash
+    window's doubly-visible batch) — a row_number top-k would otherwise
+    emit the same neighbor at two ranks. Map-side combine keeps the extra
+    exchange cheap; sims for duplicates are identical, max() is just the
+    fold."""
     scored = (
         probes.join(inv, "cid")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("sim"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("sim").alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (

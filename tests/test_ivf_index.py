@@ -71,6 +71,26 @@ def test_probe_never_scans_corpus_source(spark, tmp_path):
     assert any("ivf" in f for f in files)
 
 
+def test_compaction_preserves_topk(spark, tmp_path):
+    emb = table(spark, TEST_SF_DIR, "embeddings")
+    cut = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).collect()[0][0]
+    queries = emb.where(F.col("vec_id") < 20)
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    idx.build(emb.where(F.col("vec_id") <= cut))
+    idx.append(emb.where(F.col("vec_id") > cut))
+    before = _rows(idx.topk(queries, k=5))
+    n = idx.lists().count()
+
+    lbl = idx.compact()
+    assert idx.committed_batches() == [lbl]
+    assert idx.lists().count() == n
+    assert _rows(idx.topk(queries, k=5)) == before
+    # a doubly-visible batch (compaction crash window) must not corrupt
+    # the top-k: the probe folds duplicate candidates before ranking
+    idx.append(emb.where(F.col("vec_id") > cut), batch_no="dup")
+    assert _rows(idx.topk(queries, k=5)) == before
+
+
 def test_build_and_append_guards(spark, tmp_path):
     emb = table(spark, TEST_SF_DIR, "embeddings").limit(20)
     idx = IvfIndex(spark, str(tmp_path / "ivf"))

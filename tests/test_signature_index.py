@@ -78,6 +78,25 @@ def test_append_is_atomic_per_batch(spark, tmp_path):
     assert idx.digests().count() == 1
 
 
+def test_compaction_preserves_probes(spark, tmp_path):
+    """compact() must merge all batches into one with identical probe
+    results — the small-file fix for per-epoch appends."""
+    docs = table(spark, TEST_SF_DIR, "documents")
+    idx = SignatureIndex(spark, str(tmp_path / "sig"))
+    for m in range(1, 4):  # three appends -> three committed batches
+        idx.append(docs.where(F.col("doc_id") % 4 == m), "doc_id", "text")
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    before = _verdicts(incremental_dedup_indexed(idx, new, "doc_id", "text"))
+    n_dig, n_band = idx.digests().count(), idx.bands().count()
+
+    lbl = idx.compact()
+    assert idx.committed_batches() == [lbl]
+    assert (idx.digests().count(), idx.bands().count()) == (n_dig, n_band)
+    assert _verdicts(incremental_dedup_indexed(idx, new, "doc_id", "text")) == before
+    # idempotent on a single batch
+    assert idx.compact() == lbl
+
+
 def test_indexed_probe_never_scans_corpus_text(spark, tmp_path):
     """The 100 TB contract in plan form: incremental_dedup_indexed must
     read the stored digest/band tables, NEVER the index documents' source
