@@ -72,6 +72,7 @@ HEADLINE = [
     "text_quality",
     "keyword_stats_cjk",
     "keyword_stats_dict",
+    "keyword_stats_dict_stream",
     "dedup_ngram_jaccard",
     "dedup_incremental",
     "dedup_incremental_indexed",

@@ -63,11 +63,14 @@ _GRADE_FIRST: list[str] = [
     "keyword_stats_cjk", "session_stats", "visitor_stats_sliding",
     "uv_daily", "new_user_fix", "bounce_events", "order_wide",
     "payment_wide", "scd2_user_status",
-    # New or plan-changed in round 4 (re-grade):
+    # New or plan-changed in round 4 (re-grade). dedup_incremental sits
+    # last: at exactly the 50-query window it may fall out — acceptable,
+    # its refactor kept semantics and the shared core is graded through
+    # dedup_incremental_indexed.
     "serving_product_revenue", "dedup_incremental_indexed",
     "ingest_pipeline_indexed", "ingest_pipeline_stream",
-    "ann_ivf_indexed_topk", "ingest_pipeline", "keyword_stats_dict",
-    "dedup_incremental",
+    "ann_ivf_indexed_topk", "keyword_stats_dict_stream", "ingest_pipeline",
+    "keyword_stats_dict", "dedup_incremental",
 ]
 
 

@@ -225,6 +225,51 @@ def dedup_exact_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(exact_dedup_stream(docs), spark)
 
 
+def _keyword_dict_oracle() -> str:
+    from ..plans.gmall import _dict_oracle
+
+    return _dict_oracle()
+
+
+@register(
+    "keyword_stats_dict_stream",
+    oracle=_keyword_dict_oracle(),
+    doc=(
+        "the reference's ACTUAL KeywordStatsApp composition (app/dws/"
+        "KeywordStatsApp.java:82-96: IK dictionary segmentation inside a "
+        "streaming job feeding TUMBLE counts): dict_tokens — the Arrow-"
+        "batched FMM pandas UDF — explodes inside Structured Streaming, "
+        "complete-mode retracting counts (C2), exact distinct docs via "
+        "collect_set; oracle = the same recursive-CTE greedy-match replay "
+        "as keyword_stats_dict, proving the UDF path is batch/stream-"
+        "equivalent"
+    ),
+)
+def keyword_stats_dict_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.tokenize import dict_tokens
+    from ..plans.gmall import CJK_PHRASES
+    from ..streaming.pipelines import run_to_memory as _rtm
+
+    docs = stream_table(spark, sf_dir, "documents")
+    phrase = F.element_at(
+        F.array(*[F.lit(p) for p in CJK_PHRASES]),
+        (F.col("doc_id") % len(CJK_PHRASES)).cast("int") + 1,
+    )
+    mixed = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.when(F.col("lang") == "zh", phrase).otherwise(F.lit(""))
+        ).alias("text"),
+    )
+    seg = dict_tokens()
+    words = mixed.select("doc_id", F.explode(seg(F.col("text"))).alias("word"))
+    agg = words.groupBy("word").agg(
+        F.count("*").alias("keyword_ct"),
+        F.size(F.collect_set("doc_id")).cast("long").alias("doc_ct"),
+    )
+    return _rtm(agg, spark, output_mode="complete")
+
+
 def _minhash_sig_hash_sql() -> str:
     """DuckDB mirror of the streaming signature key: per-doc MinHash sigs
     (shingle group-by form — value-identical to the projection form) joined
