@@ -47,11 +47,19 @@ def start_ingest(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_quality: int = MIN_QUALITY,
+    compact_every: int | None = None,
 ):
     """Attach the ingest funnel to a streaming DataFrame of documents.
 
     Accepted rows land under `accepted_dir` (epoch-committed parquet) and
     are appended to `sig_index` under the stable label ``e<epoch>``.
+
+    ``compact_every=N`` compacts the index after every Nth epoch (the
+    small-file guard for a long-running stream). Semantics note: compaction
+    removes the per-epoch markers, so an epoch replayed from an OLD
+    checkpoint after a compaction re-appends its rows — duplicate digest/
+    band rows, which the semi-join probes are insensitive to, and which
+    the next compaction folds away. Verdicts are never affected.
     """
 
     def on_batch(batch: DataFrame, epoch: int) -> None:
@@ -74,6 +82,8 @@ def start_ingest(
             accepted = batch.join(ok, id_col, "left_semi")
             _idempotent_append(accepted, accepted_dir, epoch)
             sig_index.append(accepted, id_col, text_col, batch_no=f"e{epoch}")
+            if compact_every and epoch % compact_every == compact_every - 1:
+                sig_index.compact()
         finally:
             batch.unpersist()
 

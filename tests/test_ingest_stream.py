@@ -118,6 +118,33 @@ def test_streaming_ingest_funnel(spark, tmp_path):
     assert idx.digests().count() == 1 + 3
 
 
+def test_streaming_ingest_with_auto_compaction(spark, tmp_path):
+    """compact_every must not change any accept/reject outcome, and the
+    index ends compacted (bounded batch count) with the same digests."""
+    epochs = [
+        [(10, GOOD["seed"]), (11, GOOD["alpha"])],
+        [(20, GOOD["alpha"]), (21, GOOD["beta"])],
+        [(30, GOOD["beta"]), (31, GOOD["gamma"])],
+    ]
+    src = str(tmp_path / "src")
+    _write_epochs(spark, src, epochs)
+    idx = SignatureIndex(spark, str(tmp_path / "sig"))
+    idx.append(
+        spark.createDataFrame([(1, GOOD["seed"])], "doc_id long, text string"),
+        "doc_id",
+        "text",
+    )
+    accepted_dir = str(tmp_path / "accepted")
+    q = start_ingest(
+        _stream(spark, src), idx, accepted_dir, str(tmp_path / "ckpt"), compact_every=2
+    )
+    q.awaitTermination()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(accepted_dir).collect())
+    assert got == [11, 21, 31]
+    assert len(idx.committed_batches()) <= 2  # compacted mid-stream
+    assert idx.digests().select("doc").distinct().count() == 1 + 3
+
+
 def test_streaming_ingest_matches_batch_loop(spark, tmp_path):
     """The streaming funnel must equal a pure-batch sequential reference
     applying the same per-epoch logic (dedup-indexed + gate + append) —
