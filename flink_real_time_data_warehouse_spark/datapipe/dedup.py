@@ -223,8 +223,12 @@ def _incremental_verdicts(
     new_h = new.select(F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("h"))
     new_bands = band_rows(minhash_signatures(new, id_col, text_col))
 
+    # No distinct() on the index side: a LEFT SEMI join is insensitive to
+    # duplicate build-side rows, and distinct would cost a full O(index)
+    # aggregation shuffle on EVERY ingest — at 100 TB that's the whole
+    # stored band table re-aggregated per batch for nothing.
     exact_probe = idx_digests.select("h")
-    near_probe = idx_bands.select("band_id", "band_hash").distinct()
+    near_probe = idx_bands.select("band_id", "band_hash")
     exact_ids = (
         new_h.join(exact_probe, "h", "left_semi")
         .select("doc")
@@ -308,7 +312,7 @@ def incremental_dedup(
     `incremental_dedup_indexed`); here they derive in-query from the
     index frame.
     """
-    idx_digests = index.select(F.md5(F.col(text_col)).alias("h")).distinct()
+    idx_digests = index.select(F.md5(F.col(text_col)).alias("h"))
     idx_bands = band_rows(minhash_signatures(index, id_col, text_col))
     return _incremental_verdicts(
         new, id_col, text_col, idx_digests, idx_bands, within_batch
