@@ -456,6 +456,57 @@ def sign_lsh_near_dup_pairs(
     )
 
 
+def sign_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = SIGN_BITS,
+    n_bands: int = SIGN_BANDS,
+) -> DataFrame:
+    """Approximate top-k via sign-bit band LSH: candidates = corpus
+    vectors sharing ANY band bucket with the query (OR over n_bands
+    probes — banding IS the multi-probe), exact cosine rank within the
+    candidate set.
+
+    The third point on the ANN cost/recall dial: brute force (cosine_topk,
+    exact), IVF (ivf_topk, nprobe lists), sign-LSH (this — recall rises
+    with n_bands, cost per query ≈ n_bands·|C|/2^n_bits). Buckets are raw
+    float sign compares (sign_lsh_bands), so an oracle reproduces them
+    bit-identically — the reason this variant is gradeable where
+    hyperplane-dot bucketing is not. The candidate join keys on
+    (band_id, bucket); the distinct() IS required here (a pair sharing
+    two bands would otherwise rank twice), bounded by candidates, never
+    the corpus.
+    """
+    qb = sign_lsh_bands(queries, id_col, vec_col, n_bits, n_bands).select(
+        F.col("vid").alias("query_id"), "band_id", "bucket"
+    )
+    cb = sign_lsh_bands(corpus, id_col, vec_col, n_bits, n_bands).select(
+        F.col("vid").alias("neighbor_id"), "band_id", "bucket"
+    )
+    cand = (
+        qb.join(cb, ["band_id", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,

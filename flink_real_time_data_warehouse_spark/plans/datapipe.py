@@ -436,6 +436,59 @@ def ann_ivf_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rk"))
 
 
+def _sign_lsh_topk_oracle() -> str:
+    from ..datapipe.similarity import SIGN_BANDS, SIGN_BITS
+
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[bd.band_id*{SIGN_BITS} + {k + 1}] >= 0 THEN {1 << k} ELSE 0 END)"
+        for k in range(SIGN_BITS)
+    )
+    band_ids = ",".join(str(b) for b in range(SIGN_BANDS))
+    return f"""
+    WITH bands AS (
+      SELECT vec_id AS vid, bd.band_id, {bucket} AS bucket
+      FROM embeddings CROSS JOIN (SELECT unnest([{band_ids}]) AS band_id) bd
+    ),
+    cand AS (
+      SELECT DISTINCT q.vid AS query_id, c.vid AS neighbor_id
+      FROM bands q JOIN bands c ON q.band_id = c.band_id AND q.bucket = c.bucket
+      WHERE q.vid < 20 AND c.vid <> q.vid
+    ),
+    s AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                                    CAST(en.embedding AS DOUBLE[])) AS sim
+      FROM cand JOIN embeddings eq ON cand.query_id = eq.vec_id
+                JOIN embeddings en ON cand.neighbor_id = en.vec_id
+    )
+    SELECT query_id, neighbor_id, rk FROM (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rk
+      FROM s
+    ) WHERE rk <= 5
+    """
+
+
+@register(
+    "ann_sign_lsh_topk",
+    oracle=_sign_lsh_topk_oracle(),
+    doc=(
+        "sign-LSH ANN top-5: candidates share ANY sign-bit band bucket with "
+        "the query (OR over bands = multi-probe), exact cosine rank within "
+        "candidates — the third ANN variant after brute force and IVF. "
+        "Buckets are raw sign compares, so the oracle replays them exactly; "
+        "rank-compare like the other ANN oracles"
+    ),
+)
+def ann_sign_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.similarity import sign_lsh_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    res = sign_lsh_topk(emb.where(F.col("vec_id") < 20), emb, k=5)
+    return res.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rk"))
+
+
 COSINE_THRESHOLD = 0.45  # nearest data sims sit >=1e-4 away; double noise ~1e-13
 
 

@@ -70,7 +70,9 @@ _GRADE_FIRST: list[str] = [
     "serving_product_revenue", "dedup_incremental_indexed",
     "ingest_pipeline_indexed", "ingest_pipeline_stream",
     "ann_ivf_indexed_topk", "keyword_stats_dict_stream", "ingest_pipeline",
-    "keyword_stats_dict", "dedup_incremental",
+    "keyword_stats_dict",
+    # Past the 50-query window this round (graded locally + next rotation):
+    "ann_sign_lsh_topk", "dedup_incremental",
 ]
 
 
