@@ -1,16 +1,15 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
+Three ANN paths on the cost/recall dial:
 - cosine_topk: brute-force exact top-k — the baseline. Dot products run
   JVM-side via higher-order functions (zip_with + aggregate), queries are
   broadcast, so the corpus is scanned once with no shuffle; the only
-  shuffle is the final per-query top-k (tiny).
-- lsh_bucketed_topk: random-hyperplane LSH — the 100 TB path. Each vector
-  is bucketed by the sign pattern of `n_planes` deterministic hyperplanes;
-  candidates = corpus vectors sharing a bucket with the query (multi-probe
-  over all plane subsets omitted for clarity — bucket recall is tested).
-  Brute force is O(|Q|·|C|·d); LSH is O(|Q|·bucket·d) with bucket ≈
-  |C| / 2^n_planes.
+  shuffle is the final per-query top-k (tiny). O(|Q|·|C|·d).
+- ivf_topk: coarse-quantized inverted lists, nprobe lists per query —
+  O(|Q|·nprobe·|C|/K·d); persisted form in `ivf_index.IvfIndex`.
+- sign_lsh_topk: sign-bit band LSH — candidates share any band bucket
+  (OR over bands = multi-probe), exact rank within candidates;
+  O(|Q|·n_bands·|C|/2^n_bits·d).
 
 Determinism: dot products accumulate left-to-right in doubles via
 F.aggregate — a fixed association order, reproducible across runs and
@@ -351,27 +350,6 @@ def cluster_assignments(
     return best.select(id_col, F.col("b.cid").alias("cid"))
 
 
-def hyperplane(seed: int, dim: int) -> list[float]:
-    """Deterministic pseudo-random hyperplane (no numpy RNG state; pure
-    arithmetic so it is reproducible everywhere)."""
-    # xorshift-ish LCG on (seed, i); values in [-0.5, 0.5)
-    vals = []
-    state = (seed * 2654435761 + 97) % (2**32)
-    for _ in range(dim):
-        state = (1103515245 * state + 12345) % (2**31)
-        vals.append(state / (2**31) - 0.5)
-    return vals
-
-
-def bucket_id(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket of a vector under the given hyperplanes."""
-    bits = [
-        F.when(dot(vec, F.array(*[F.lit(v) for v in p])) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for p in planes
-    ]
-    return F.concat(*bits)
-
-
 SIGN_BITS = 6  # bucket bits per band -> 2^6 buckets per band
 SIGN_BANDS = 4  # OR over 4 disjoint coordinate slices
 
@@ -498,38 +476,6 @@ def sign_lsh_topk(
         cand.join(F.broadcast(qv), "query_id")
         .join(nv, "neighbor_id")
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("sim"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
-
-
-def lsh_bucketed_topk(
-    queries: DataFrame,
-    corpus: DataFrame,
-    k: int,
-    n_planes: int = 4,
-    dim: int = 64,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Approximate top-k: exact ranking within the query's LSH bucket."""
-    planes = [hyperplane(s, dim) for s in range(n_planes)]
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        bucket_id(F.col(vec_col), planes).alias("bucket"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        bucket_id(F.col(vec_col), planes).alias("bucket"),
-    )
-    scored = (
-        c.join(F.broadcast(q), ["bucket"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
