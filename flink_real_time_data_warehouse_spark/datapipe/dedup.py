@@ -223,26 +223,42 @@ def _incremental_verdicts(
     new_h = new.select(F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("h"))
     new_bands = band_rows(minhash_signatures(new, id_col, text_col))
 
-    # No distinct() on the index side: a LEFT SEMI join is insensitive to
-    # duplicate build-side rows, and distinct would cost a full O(index)
-    # aggregation shuffle on EVERY ingest — at 100 TB that's the whole
-    # stored band table re-aggregated per batch for nothing.
-    exact_probe = idx_digests.select("h")
-    near_probe = idx_bands.select("band_id", "band_hash")
-    exact_ids = (
-        new_h.join(exact_probe, "h", "left_semi")
-        .select("doc")
+    # Probe DIRECTION is the 100 TB decision here. The naive shape —
+    # `batch LEFT SEMI index` — cannot broadcast (the build side is the
+    # corpus-sized index), so it degrades to a sort-merge/shuffled-hash
+    # join that shuffles the ENTIRE stored digest/band table on every
+    # ingest. Flip it: (1) scan the index map-side against a BROADCAST of
+    # the batch's keys, emitting only keys the batch actually contains
+    # (output bounded by the batch, however big the index is); (2) resolve
+    # the batch's verdicts against that tiny matched set with a second
+    # broadcast join. The index is read once, filtered in place by the
+    # broadcast hash table, and never shuffled. The distinct() calls
+    # aggregate batch-bounded sets only (map-side partial agg collapses
+    # hot buckets before the exchange) — never the index.
+    probe_h = new_h.select("h").distinct()
+    matched_h = (
+        idx_digests.select("h").join(F.broadcast(probe_h), "h", "left_semi").distinct()
     )
-    near_ids = (
-        new_bands.join(near_probe, ["band_id", "band_hash"], "left_semi")
-        .select("doc")
+    exact_ids = new_h.join(F.broadcast(matched_h), "h", "left_semi").select("doc")
+    band_key = ["band_id", "band_hash"]
+    probe_b = new_bands.select(*band_key).distinct()
+    matched_b = (
+        idx_bands.select(*band_key)
+        .join(F.broadcast(probe_b), band_key, "left_semi")
+        .distinct()
+    )
+    near_ids = new_bands.join(F.broadcast(matched_b), band_key, "left_semi").select(
+        "doc"
     )
     if within_batch:
+        # Self-probes are batch-vs-batch: both sides are ingest-batch
+        # sized, so the build side broadcasts too (the id inequality rides
+        # along as a join-condition filter on the hash match).
         smaller_h = new_h.select(F.col("doc").alias("doc2"), "h")
         batch_exact = (
             new_h.alias("a")
             .join(
-                smaller_h.alias("b"),
+                F.broadcast(smaller_h.alias("b")),
                 (F.col("a.h") == F.col("b.h")) & (F.col("b.doc2") < F.col("a.doc")),
                 "left_semi",
             )
@@ -254,7 +270,7 @@ def _incremental_verdicts(
         batch_near = (
             new_bands.alias("a")
             .join(
-                smaller_b.alias("b"),
+                F.broadcast(smaller_b.alias("b")),
                 (F.col("a.band_id") == F.col("b.band_id"))
                 & (F.col("a.band_hash") == F.col("b.band_hash"))
                 & (F.col("b.doc2") < F.col("a.doc")),
@@ -268,8 +284,8 @@ def _incremental_verdicts(
     near_ids = near_ids.distinct().withColumn("is_near", F.lit(1))
     return (
         new.select(F.col(id_col).alias("doc"))
-        .join(exact_ids, "doc", "left")
-        .join(near_ids, "doc", "left")
+        .join(F.broadcast(exact_ids), "doc", "left")
+        .join(F.broadcast(near_ids), "doc", "left")
         .select(
             "doc",
             F.when(F.col("is_exact") == 1, "exact")
@@ -306,7 +322,10 @@ def incremental_dedup(
     the min-id-keeper self-probe; `ingest_pipeline` does the latter).
 
     Scale shape: every probe is a hash semi-join keyed by digest/bucket;
-    cost is O(batch + index digests) with no all-pairs path. In production
+    cost is O(batch + index digests) with no all-pairs path, and the index
+    side is NEVER shuffled — probes broadcast the batch's keys into a
+    map-side filter over the index scan (see `_incremental_verdicts`). In
+    production
     the index side's digests/bands are precomputed once and appended per
     accepted batch (see :class:`~.signature_index.SignatureIndex` /
     `incremental_dedup_indexed`); here they derive in-query from the

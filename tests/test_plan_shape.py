@@ -208,12 +208,18 @@ def test_cumulate_window_runs_on_preagg(spark):
 
 def test_incremental_dedup_semi_joins_only(spark):
     """New-vs-index dedup must probe via hash semi joins (digest + band
-    bucket) — no nested loop and no pairwise join anywhere."""
+    bucket) — no nested loop and no pairwise join anywhere. Stronger: the
+    probe direction is flipped so every join in the verdict plan is a
+    BROADCAST join of batch-bounded keys — a sort-merge or shuffled-hash
+    join here would mean the corpus-sized index is being shuffled per
+    ingest."""
     df = registry()["dedup_incremental"].spark(spark, TEST_SF_DIR)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan, f"semi-join probe lost:\n{plan}"
+    assert "SortMergeJoin" not in plan, f"index side shuffled:\n{plan}"
+    assert "ShuffledHashJoin" not in plan, f"index side shuffled:\n{plan}"
 
 
 def test_embedding_quantize_no_shuffle(spark):
