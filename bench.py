@@ -68,6 +68,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_ivf_indexed_topk",
     "ann_sign_lsh_topk",
+    "ann_quantized_topk",
     "embedding_cosine_pairs",
     "embedding_clusters",
     "text_quality",

@@ -249,6 +249,105 @@ def int8_quant_stats(
     )
 
 
+INT8_CAND = 20  # candidates kept per query by the int8 scan (>> k)
+
+
+def _with_int8(
+    df: DataFrame, out_id: str, id_col: str, vec_col: str, keep_vec: str | None
+) -> DataFrame:
+    """Project (id, [vec,] int8 code vector, int8 L2 norm) — the same
+    floor/scale convention as `int8_quant_stats`, so a stored code column
+    and this on-the-fly form agree bit-for-bit. The norm is computed once
+    per row here, NOT per pair in the scoring join."""
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    staged = df.select(
+        F.col(id_col).alias(out_id),
+        *([F.col(vec_col).alias(keep_vec)] if keep_vec else []),
+        xd.alias("_xd"),
+        F.greatest(
+            F.array_max(F.transform(xd, lambda x: F.abs(x))), F.lit(1e-30)
+        ).alias("_m"),
+    )
+    codes = F.transform(
+        F.col("_xd"), lambda x: F.floor(x * (F.lit(127.0) / F.col("_m"))).cast("long")
+    )
+    staged = staged.select(
+        out_id, *([keep_vec] if keep_vec else []), codes.alias(f"{out_id}_c8")
+    )
+    zero = F.lit(0).cast("long")
+    n8 = F.sqrt(
+        F.aggregate(
+            F.zip_with(f"{out_id}_c8", f"{out_id}_c8", lambda x, y: x * y),
+            zero,
+            lambda a, x: a + x,
+        ).cast("double")
+    )
+    return staged.withColumn(f"{out_id}_n8", n8)
+
+
+def quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    cand: int = INT8_CAND,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN: int8 candidate scan + exact re-rank — the production
+    recipe `int8_quant_stats` exists for. Stage 1 scores the WHOLE corpus
+    per query on int8 codes (4x fewer bytes than float32 — at 100 TB the
+    scan is storage-bandwidth-bound, so the code column IS the speedup)
+    and keeps the top ``cand`` per query; stage 2 re-ranks only those
+    candidates with the exact float cosine.
+
+    Candidate scoring is exact integer arithmetic (code dot products stay
+    below 2^53) with one double division — bit-identical across engines,
+    so the candidate SET itself is deterministic and the oracle can
+    replicate it. Only code vectors cross the stage-1 shuffle; float
+    embeddings are joined back for the ``|Q|·cand`` survivors only.
+
+    Returns (query_id, neighbor_id, rank) like `cosine_topk`.
+    """
+    q = _with_int8(queries, "query_id", id_col, vec_col, keep_vec=None)
+    c = _with_int8(corpus, "neighbor_id", id_col, vec_col, keep_vec=None)
+    zero = F.lit(0).cast("long")
+    dot8 = F.aggregate(
+        F.zip_with("query_id_c8", "neighbor_id_c8", lambda x, y: x * y),
+        zero,
+        lambda a, x: a + x,
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        (dot8.cast("double") / (F.col("query_id_n8") * F.col("neighbor_id_n8"))).alias(
+            "approx"
+        ),
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id").asc()
+    )
+    cands = (
+        scored.withColumn("crank", F.row_number().over(wc))
+        .where(F.col("crank") <= cand)
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    rer = (
+        cv.join(F.broadcast(cands), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     k: int = 8,

@@ -489,6 +489,70 @@ def ann_sign_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rk"))
 
 
+def _quantized_topk_oracle() -> str:
+    from ..datapipe.similarity import INT8_CAND
+
+    code = (
+        "list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * (127.0 / "
+        "greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]), "
+        "y -> abs(y))), 1e-30))))"
+    )
+    return f"""
+    WITH e8 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {code} AS c8 FROM embeddings
+    ),
+    n8 AS (SELECT vec_id, v, c8, sqrt(list_dot_product(c8, c8)) AS n FROM e8),
+    s AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.c8, c.c8) / (q.n * c.n) AS approx
+      FROM n8 c CROSS JOIN n8 q
+      WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx DESC, neighbor_id ASC) AS crank
+        FROM s
+      ) WHERE crank <= {INT8_CAND}
+    ),
+    r AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_dot_product(eq.v, en.v)
+               / (sqrt(list_dot_product(eq.v, eq.v))
+                  * sqrt(list_dot_product(en.v, en.v))) AS sim
+      FROM cand JOIN n8 eq ON cand.query_id = eq.vec_id
+                JOIN n8 en ON cand.neighbor_id = en.vec_id
+    )
+    SELECT query_id, neighbor_id, rk FROM (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rk
+      FROM r
+    ) WHERE rk <= 5
+    """
+
+
+@register(
+    "ann_quantized_topk",
+    oracle=_quantized_topk_oracle(),
+    doc=(
+        "two-stage ANN: int8 candidate scan (the 4x-smaller code column "
+        "from embedding_quantize is the whole corpus read at 100 TB) + "
+        "exact float re-rank of the top-20 survivors per query. Candidate "
+        "scoring is exact integer arithmetic with one double division, so "
+        "the candidate set is engine-reproducible and the oracle replays "
+        "both stages; rank-compare like the other ANN oracles"
+    ),
+)
+def ann_quantized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.similarity import quantized_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    res = quantized_topk(emb.where(F.col("vec_id") < 20), emb, k=5)
+    return res.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rk"))
+
+
 COSINE_THRESHOLD = 0.45  # nearest data sims sit >=1e-4 away; double noise ~1e-13
 
 

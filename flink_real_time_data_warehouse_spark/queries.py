@@ -72,7 +72,7 @@ _GRADE_FIRST: list[str] = [
     "ann_ivf_indexed_topk", "keyword_stats_dict_stream", "ingest_pipeline",
     "keyword_stats_dict",
     # Past the 50-query window this round (graded locally + next rotation):
-    "ann_sign_lsh_topk", "dedup_incremental",
+    "ann_sign_lsh_topk", "dedup_incremental", "ann_quantized_topk",
 ]
 
 
