@@ -656,19 +656,79 @@ def payment_wide_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(payment_wide_agg(dwd, streaming=True), spark, output_mode="complete")
 
 
+INGEST_STREAM_EPOCHS = 3
+
+
+def _ingest_stream_oracle(n_epochs: int = INGEST_STREAM_EPOCHS) -> str:
+    """Unrolled sequential oracle for `ingest_pipeline_stream`.
+
+    The replay is exactly ``n_epochs`` deterministic ascending-id
+    micro-batches (ntile over doc_id), so the stateful index growth CAN be
+    batch-SQL-expressed by chaining one CTE pair per epoch — the same
+    recursive-unroll trick as the FMM dictionary oracle
+    (plans/gmall._dict_oracle): acc_e = epoch-e docs that pass quality and
+    collide with neither the index-so-far (idx_{e-1}) nor a smaller-id doc
+    of their own batch (digest OR LSH band bucket); idx_e = idx_{e-1} ∪
+    acc_e. The key sequential semantic this pins (and the single-pass
+    batch funnel lacks): a quality-REJECTED duplicate never enters the
+    index, so a later identical doc reads novel.
+    """
+    from ..plans.datapipe import INC_NEW_MOD, QSCORE_SQL, _minhash_cand_ctes
+
+    m = INC_NEW_MOD
+    ctes = [
+        f"""nd AS (
+      SELECT doc_id, ntile({n_epochs}) OVER (ORDER BY doc_id) AS epoch
+      FROM documents WHERE doc_id % {m} = 0
+    )""",
+        f"q AS (SELECT doc_id, {QSCORE_SQL} AS qs FROM toks WHERE doc_id % {m} = 0)",
+        "dig AS (SELECT doc_id, md5(text) AS h FROM documents)",
+        f"idx0 AS (SELECT doc_id FROM documents WHERE doc_id % {m} <> 0)",
+    ]
+    for e in range(1, n_epochs + 1):
+        p = e - 1
+        ctes.append(f"""acc{e} AS (
+      SELECT n.doc_id FROM nd n
+      JOIN q ON q.doc_id = n.doc_id
+      JOIN dig dn ON dn.doc_id = n.doc_id
+      WHERE n.epoch = {e} AND q.qs >= 2
+        AND NOT EXISTS (SELECT 1 FROM dig d JOIN idx{p} i ON d.doc_id = i.doc_id
+                        WHERE d.h = dn.h)
+        AND NOT EXISTS (SELECT 1 FROM dig d2 JOIN nd n2 ON d2.doc_id = n2.doc_id
+                        WHERE n2.epoch = {e} AND n2.doc_id < n.doc_id AND d2.h = dn.h)
+        AND NOT EXISTS (SELECT 1 FROM bands nb JOIN bands ib
+                          ON nb.band_id = ib.band_id AND nb.band_hash = ib.band_hash
+                        JOIN idx{p} i ON ib.doc_id = i.doc_id
+                        WHERE nb.doc_id = n.doc_id)
+        AND NOT EXISTS (SELECT 1 FROM bands nb JOIN bands ib
+                          ON nb.band_id = ib.band_id AND nb.band_hash = ib.band_hash
+                        JOIN nd n2 ON ib.doc_id = n2.doc_id
+                        WHERE nb.doc_id = n.doc_id
+                          AND n2.epoch = {e} AND n2.doc_id < n.doc_id)
+    )""")
+        ctes.append(
+            f"idx{e} AS (SELECT doc_id FROM idx{p}"
+            f" UNION ALL SELECT doc_id FROM acc{e})"
+        )
+    final = " UNION ALL ".join(
+        f"SELECT doc_id FROM acc{e}" for e in range(1, n_epochs + 1)
+    )
+    return f"WITH {_minhash_cand_ctes()},\n" + ",\n".join(ctes) + "\n" + final
+
+
 @register(
     "ingest_pipeline_stream",
-    oracle=None,  # sequential index growth is inherently stateful — rows-only
+    oracle=_ingest_stream_oracle(),
     doc=(
         "the ingest funnel as a CONTINUOUS stream: three ascending-id "
         "micro-batches replay through streaming/ingest.start_ingest — each "
         "epoch probes the persisted SignatureIndex (storage, never corpus "
         "text), gates quality, lands accepted docs via the idempotent epoch "
         "commit, and appends them to the index so the NEXT epoch's dedup "
-        "sees them. Sequential index growth is not batch-SQL-expressible "
-        "(a quality-rejected duplicate is absent from the index, unlike the "
-        "single-pass within-batch probe), so this is a rows-only check; "
-        "the equivalence that does hold is pytest-asserted in "
+        "sees them. The sequential index growth is oracle-checked by "
+        "unrolling the three epochs as chained CTEs (see "
+        "_ingest_stream_oracle); epoch-replay idempotence and streaming≡"
+        "batch-loop equivalence are pytest-asserted in "
         "tests/test_ingest_stream.py"
     ),
 )
@@ -676,6 +736,8 @@ def ingest_pipeline_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
     import time
+
+    from pyspark.sql import Window
 
     from ..datapipe.signature_index import SignatureIndex
     from ..plans.datapipe import INC_NEW_MOD
@@ -690,14 +752,28 @@ def ingest_pipeline_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = SignatureIndex(spark, os.path.join(work, "index"))
     idx.append(index_docs, "doc_id", "text")
 
+    # Deterministic arrival order: epoch e = e-th ntile of ascending doc_id
+    # (matches the oracle's nd CTE exactly; the global window is fixture
+    # scaffolding, not part of the graded streaming plan). One file per
+    # epoch, mtimes ascending, so maxFilesPerTrigger=1 replays them in order.
     splits = os.path.join(work, "splits")
-    new.repartitionByRange(3, F.col("doc_id")).write.mode("overwrite").parquet(splits)
-    parts = sorted(
-        f for f in os.listdir(splits) if f.startswith("part-") and f.endswith(".parquet")
+    os.makedirs(splits)
+    epochs = new.withColumn(
+        "epoch", F.ntile(INGEST_STREAM_EPOCHS).over(Window.orderBy("doc_id"))
     )
-    base = time.time() - len(parts) * 10
-    for i, fname in enumerate(parts):  # arrival order == ascending doc_id
-        os.utime(os.path.join(splits, fname), (base + i * 10, base + i * 10))
+    base = time.time() - INGEST_STREAM_EPOCHS * 10
+    for e in range(1, INGEST_STREAM_EPOCHS + 1):
+        tmp = os.path.join(work, f"tmp{e}")
+        epochs.where(F.col("epoch") == e).drop("epoch").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = os.path.join(splits, f"epoch{e}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (base + e * 10, base + e * 10))
 
     stream = stream_dir(spark, splits, "doc_id long, text string", max_files_per_trigger=1)
     accepted_dir = os.path.join(work, "accepted")
