@@ -6,9 +6,12 @@ vectors to the inverted lists forever and serves queries from storage —
 it never re-derives centroids or re-assigns the corpus per query. This
 class persists exactly those two tables:
 
-- ``centroids``: (cid, cv)               — frozen at build time
-- ``lists``    : (neighbor_id, cid, nv)  — the inverted lists, appended
-                                           per accepted vector batch
+- ``centroids``: (cid, cv) — frozen at build time
+- ``lists``    : (neighbor_id, cid, nv, nv_c8: array<tinyint>, nv_n8) —
+  the inverted lists, appended per accepted vector batch. Each row
+  carries BOTH the float vector (exact re-rank store) and its int8 code
+  + code norm (`similarity.with_int8_code` convention, persisted as
+  genuine array<tinyint> — 1/4 the bytes of float32).
 
 Layout and commit protocol mirror `signature_index.SignatureIndex`:
 append-only ``lists/batch=<label>/`` directories committed by atomic
@@ -20,8 +23,11 @@ rewritten, the corpus is never rescanned.
 
 Query cost: nprobe·|C|/K candidate rows per query, joined on the list id
 (equi-join — the bucket-join discipline of every approximate path here).
-At real scale the list rows would store int8 codes (`int8_quant_stats`)
-instead of float32 vectors — a 4× byte cut the probe join inherits.
+`topk` ranks on the stored floats (IVF-Flat); `topk_quantized` is the
+two-stage production path: the candidate scan reads ONLY the code and
+norm columns (Parquet column pruning — the 4× byte cut is what a 100 TB
+scan is bound by), then the exact float column is point-joined for the
+|Q|·cand survivors (plan-tested: the stage-1 scan never reads ``nv``).
 """
 
 from __future__ import annotations
@@ -30,10 +36,20 @@ import os
 import re
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .similarity import IVF_K, IVF_NPROBE, assign_top1, assign_topn, ivf_probe_topk
+from .similarity import (
+    INT8_CAND,
+    IVF_K,
+    IVF_NPROBE,
+    assign_top1,
+    assign_topn,
+    cosine,
+    dot8,
+    ivf_probe_topk,
+    with_int8_code,
+)
 
 _MARKER_RE = re.compile(r"^_batch_([A-Za-z0-9]+)_done$")
 
@@ -97,7 +113,11 @@ class IvfIndex:
     ) -> str:
         """Assign a batch of NEW vectors to the frozen centroids and append
         the inverted-list rows — O(batch), history untouched. Labeled
-        appends (``batch_no``) marker-skip replays, like SignatureIndex."""
+        appends (``batch_no``) marker-skip replays, like SignatureIndex.
+
+        Rows persist the float vector AND its int8 code (+ code norm),
+        codes as real array<tinyint>; quantization is pure column
+        arithmetic riding the same single pass as the assignment."""
         if not self.is_built():
             raise RuntimeError("build() the index before appending")
         committed = self.committed_batches()
@@ -113,6 +133,9 @@ class IvfIndex:
         inv = assign_top1(
             vectors, self.centroids(), id_col, vec_col, "neighbor_id"
         ).withColumnRenamed("_v", "nv")
+        inv = with_int8_code(inv, "nv", "nv").withColumn(
+            "nv_c8", F.transform("nv_c8", lambda x: x.cast("tinyint"))
+        )
         inv.write.mode("overwrite").parquet(
             os.path.join(self.base_dir, "lists", f"batch={n}")
         )
@@ -177,3 +200,83 @@ class IvfIndex:
             queries, self.centroids(), nprobe, id_col, vec_col, "query_id"
         ).withColumnRenamed("_v", "qv")
         return ivf_probe_topk(probes, self.lists(), k)
+
+    def topk_quantized(
+        self,
+        queries: DataFrame,
+        k: int,
+        cand: int = INT8_CAND,
+        nprobe: int = IVF_NPROBE,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Two-stage ANN from STORAGE (the `quantized_topk` shape over the
+        persisted lists): stage 1 scores the probed lists on the STORED
+        int8 codes — the scan reads only (neighbor_id, cid, nv_c8, nv_n8),
+        Parquet-pruning the float column, so the bytes moved are ~1/4 of
+        an IVF-Flat probe — and keeps the top ``cand`` per query; stage 2
+        re-ranks only those survivors with the exact float cosine,
+        point-joining the stored ``nv`` column. Query codes quantize on
+        the fly with the identical convention, so stored and derived codes
+        agree bit-for-bit and the candidate set is oracle-reproducible.
+
+        Both stages fold duplicate (query, neighbor) rows before ranking
+        (a vector visible in two batches during a compaction crash window
+        scores identically; max() is just the fold), like `ivf_probe_topk`.
+        """
+        probes = with_int8_code(
+            assign_topn(queries, self.centroids(), nprobe, id_col, vec_col, "query_id"),
+            "_v",
+            "q",
+        ).select("query_id", "cid", "q_c8", "q_n8")
+        codes = self.lists().select(
+            "neighbor_id",
+            "cid",
+            F.transform("nv_c8", lambda x: x.cast("long")).alias("n_c8"),
+            "nv_n8",
+        )
+        scored = (
+            codes.join(F.broadcast(probes), "cid")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                (
+                    dot8("q_c8", "n_c8").cast("double")
+                    / (F.col("q_n8") * F.col("nv_n8"))
+                ).alias("approx"),
+            )
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.max("approx").alias("approx"))
+        )
+        wc = F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("approx").desc(), F.col("neighbor_id").asc()
+            )
+        )
+        cands = (
+            scored.withColumn("crank", wc)
+            .where(F.col("crank") <= cand)
+            .select("query_id", "neighbor_id")
+        )
+        qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        nv = self.lists().select("neighbor_id", "nv")
+        rer = (
+            nv.join(F.broadcast(cands), "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .select(
+                "query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("sim")
+            )
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.max("sim").alias("sim"))
+        )
+        wk = F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("sim").desc(), F.col("neighbor_id").asc()
+            )
+        )
+        return (
+            rer.withColumn("rank", wk)
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank")
+        )

@@ -252,37 +252,55 @@ def int8_quant_stats(
 INT8_CAND = 20  # candidates kept per query by the int8 scan (>> k)
 
 
-def _with_int8(
-    df: DataFrame, out_id: str, id_col: str, vec_col: str, keep_vec: str | None
-) -> DataFrame:
-    """Project (id, [vec,] int8 code vector, int8 L2 norm) — the same
-    floor/scale convention as `int8_quant_stats`, so a stored code column
-    and this on-the-fly form agree bit-for-bit. The norm is computed once
-    per row here, NOT per pair in the scoring join."""
+def with_int8_code(df: DataFrame, vec_col: str, prefix: str) -> DataFrame:
+    """Append ``<prefix>_c8`` (int8 code vector) and ``<prefix>_n8`` (its
+    L2 norm) to ``df``, keeping every existing column — the same
+    floor/scale convention as `int8_quant_stats`, so a STORED code column
+    (`ivf_index.IvfIndex.append` persists exactly this) and the on-the-fly
+    form agree bit-for-bit. The norm is computed once per row here, NOT
+    per pair in the scoring join."""
     xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    staged = df.select(
-        F.col(id_col).alias(out_id),
-        *([F.col(vec_col).alias(keep_vec)] if keep_vec else []),
-        xd.alias("_xd"),
-        F.greatest(
-            F.array_max(F.transform(xd, lambda x: F.abs(x))), F.lit(1e-30)
-        ).alias("_m"),
+    staged = df.withColumns(
+        {
+            "_xd": xd,
+            "_m": F.greatest(
+                F.array_max(F.transform(xd, lambda x: F.abs(x))), F.lit(1e-30)
+            ),
+        }
     )
     codes = F.transform(
         F.col("_xd"), lambda x: F.floor(x * (F.lit(127.0) / F.col("_m"))).cast("long")
     )
-    staged = staged.select(
-        out_id, *([keep_vec] if keep_vec else []), codes.alias(f"{out_id}_c8")
-    )
+    staged = staged.withColumn(f"{prefix}_c8", codes).drop("_xd", "_m")
     zero = F.lit(0).cast("long")
     n8 = F.sqrt(
         F.aggregate(
-            F.zip_with(f"{out_id}_c8", f"{out_id}_c8", lambda x, y: x * y),
+            F.zip_with(f"{prefix}_c8", f"{prefix}_c8", lambda x, y: x * y),
             zero,
             lambda a, x: a + x,
         ).cast("double")
     )
-    return staged.withColumn(f"{out_id}_n8", n8)
+    return staged.withColumn(f"{prefix}_n8", n8)
+
+
+def dot8(a_col: str, b_col: str) -> Column:
+    """Exact integer dot product of two long code vectors (partials stay
+    far below 2^53 for int8 codes at any realistic dimensionality)."""
+    return F.aggregate(
+        F.zip_with(a_col, b_col, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _with_int8(df: DataFrame, out_id: str, id_col: str, vec_col: str) -> DataFrame:
+    """Project (id, int8 code vector, int8 L2 norm) for one side of the
+    quantized candidate scan."""
+    return with_int8_code(
+        df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("_vec")),
+        "_vec",
+        out_id,
+    ).drop("_vec")
 
 
 def quantized_topk(
@@ -308,20 +326,15 @@ def quantized_topk(
 
     Returns (query_id, neighbor_id, rank) like `cosine_topk`.
     """
-    q = _with_int8(queries, "query_id", id_col, vec_col, keep_vec=None)
-    c = _with_int8(corpus, "neighbor_id", id_col, vec_col, keep_vec=None)
-    zero = F.lit(0).cast("long")
-    dot8 = F.aggregate(
-        F.zip_with("query_id_c8", "neighbor_id_c8", lambda x, y: x * y),
-        zero,
-        lambda a, x: a + x,
-    )
+    q = _with_int8(queries, "query_id", id_col, vec_col)
+    c = _with_int8(corpus, "neighbor_id", id_col, vec_col)
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        (dot8.cast("double") / (F.col("query_id_n8") * F.col("neighbor_id_n8"))).alias(
-            "approx"
-        ),
+        (
+            dot8("query_id_c8", "neighbor_id_c8").cast("double")
+            / (F.col("query_id_n8") * F.col("neighbor_id_n8"))
+        ).alias("approx"),
     )
     wc = Window.partitionBy("query_id").orderBy(
         F.col("approx").desc(), F.col("neighbor_id").asc()

@@ -44,6 +44,12 @@ from ..tables import table
 
 JACCARD_THRESHOLD = 0.15  # planted near-dups sit at j>=0.2; background <=0.1
 
+# Shared by every ANN query AND its oracle (interpolated into both sides so
+# the pair can't silently diverge): the query set is vec_id < ANN_QUERY_MAX,
+# results are top-ANN_K per query.
+ANN_QUERY_MAX = 20
+ANN_K = 5
+
 # Shared DuckDB CTEs: tokens and distinct 3-gram shingles per document.
 TOKS_CTE = (
     "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), "
@@ -328,8 +334,9 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "ann_topk",
-    oracle="""
-    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id < {ANN_QUERY_MAX}),
     s AS (
       SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
              list_cosine_similarity(q.qv, e.embedding) AS sim
@@ -340,13 +347,13 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT query_id, neighbor_id,
              CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rk
       FROM s
-    ) WHERE rk <= 5
+    ) WHERE rk <= {ANN_K}
     """,
     doc="brute-force exact cosine top-5 per query vector (rank compare — float-rounding-proof oracle)",
 )
 def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    res = cosine_topk(emb.where(F.col("vec_id") < 20), emb, k=5)
+    res = cosine_topk(emb.where(F.col("vec_id") < ANN_QUERY_MAX), emb, k=ANN_K)
     return res.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rk"))
 
 
@@ -364,7 +371,8 @@ def _ivf_oracle() -> str:
                    FROM embeddings WHERE vec_id < {IVF_K}),
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     inv AS (SELECT vec_id AS neighbor_id, cid FROM ({assign_core}) WHERE rn = 1),
-    probes AS (SELECT vec_id AS qid, cid FROM ({assign_core}) WHERE rn <= {IVF_NPROBE} AND vec_id < 20),
+    probes AS (SELECT vec_id AS qid, cid FROM ({assign_core})
+               WHERE rn <= {IVF_NPROBE} AND vec_id < {ANN_QUERY_MAX}),
     s AS (
       SELECT p.qid AS query_id, i.neighbor_id,
              list_cosine_similarity(eq.v, en.v) AS sim
@@ -376,7 +384,7 @@ def _ivf_oracle() -> str:
       SELECT query_id, neighbor_id,
              CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rk
       FROM s
-    ) WHERE rk <= 5
+    ) WHERE rk <= {ANN_K}
     """
 
 
@@ -393,7 +401,7 @@ def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..datapipe.similarity import ivf_topk
 
     emb = table(spark, sf_dir, "embeddings")
-    res = ivf_topk(emb.where(F.col("vec_id") < 20), emb, k=5)
+    res = ivf_topk(emb.where(F.col("vec_id") < ANN_QUERY_MAX), emb, k=ANN_K)
     return res.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rk"))
 
 
@@ -432,81 +440,44 @@ def _stored_ivf(spark: SparkSession, sf_dir: str):
 def ann_ivf_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     idx = _stored_ivf(spark, sf_dir)
-    res = idx.topk(emb.where(F.col("vec_id") < 20), k=5)
+    res = idx.topk(emb.where(F.col("vec_id") < ANN_QUERY_MAX), k=ANN_K)
     return res.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rk"))
 
 
-def _sign_lsh_topk_oracle() -> str:
-    from ..datapipe.similarity import SIGN_BANDS, SIGN_BITS
-
-    bucket = " + ".join(
-        f"(CASE WHEN embedding[bd.band_id*{SIGN_BITS} + {k + 1}] >= 0 THEN {1 << k} ELSE 0 END)"
-        for k in range(SIGN_BITS)
-    )
-    band_ids = ",".join(str(b) for b in range(SIGN_BANDS))
-    return f"""
-    WITH bands AS (
-      SELECT vec_id AS vid, bd.band_id, {bucket} AS bucket
-      FROM embeddings CROSS JOIN (SELECT unnest([{band_ids}]) AS band_id) bd
-    ),
-    cand AS (
-      SELECT DISTINCT q.vid AS query_id, c.vid AS neighbor_id
-      FROM bands q JOIN bands c ON q.band_id = c.band_id AND q.bucket = c.bucket
-      WHERE q.vid < 20 AND c.vid <> q.vid
-    ),
-    s AS (
-      SELECT cand.query_id, cand.neighbor_id,
-             list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
-                                    CAST(en.embedding AS DOUBLE[])) AS sim
-      FROM cand JOIN embeddings eq ON cand.query_id = eq.vec_id
-                JOIN embeddings en ON cand.neighbor_id = en.vec_id
-    )
-    SELECT query_id, neighbor_id, rk FROM (
-      SELECT query_id, neighbor_id,
-             CAST(row_number() OVER (PARTITION BY query_id
-                                     ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rk
-      FROM s
-    ) WHERE rk <= 5
-    """
-
-
-@register(
-    "ann_sign_lsh_topk",
-    oracle=_sign_lsh_topk_oracle(),
-    doc=(
-        "sign-LSH ANN top-5: candidates share ANY sign-bit band bucket with "
-        "the query (OR over bands = multi-probe), exact cosine rank within "
-        "candidates — the third ANN variant after brute force and IVF. "
-        "Buckets are raw sign compares, so the oracle replays them exactly; "
-        "rank-compare like the other ANN oracles"
-    ),
-)
-def ann_sign_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..datapipe.similarity import sign_lsh_topk
-
-    emb = table(spark, sf_dir, "embeddings")
-    res = sign_lsh_topk(emb.where(F.col("vec_id") < 20), emb, k=5)
-    return res.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rk"))
-
-
-def _quantized_topk_oracle() -> str:
-    from ..datapipe.similarity import INT8_CAND
+def _ivf_quantized_oracle() -> str:
+    """IVF probe ∘ int8 two-stage: the `_ivf_oracle` assignment/probe CTEs
+    restrict the `_quantized_topk_oracle` candidate scan to the probed
+    lists; exact float re-rank of the INT8_CAND survivors."""
+    from ..datapipe.similarity import INT8_CAND, IVF_K, IVF_NPROBE
 
     code = (
         "list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * (127.0 / "
         "greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]), "
         "y -> abs(y))), 1e-30))))"
     )
+    assign_core = """
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
+        FROM e CROSS JOIN cents c
+    """
     return f"""
-    WITH e8 AS (
+    WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE vec_id < {IVF_K}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e8 AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {code} AS c8 FROM embeddings
     ),
     n8 AS (SELECT vec_id, v, c8, sqrt(list_dot_product(c8, c8)) AS n FROM e8),
+    inv AS (SELECT vec_id AS neighbor_id, cid FROM ({assign_core}) WHERE rn = 1),
+    probes AS (SELECT vec_id AS qid, cid FROM ({assign_core})
+               WHERE rn <= {IVF_NPROBE} AND vec_id < {ANN_QUERY_MAX}),
     s AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             list_dot_product(q.c8, c.c8) / (q.n * c.n) AS approx
-      FROM n8 c CROSS JOIN n8 q
-      WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+      SELECT p.qid AS query_id, i.neighbor_id,
+             list_dot_product(q8.c8, nn.c8) / (q8.n * nn.n) AS approx
+      FROM probes p JOIN inv i ON p.cid = i.cid
+      JOIN n8 q8 ON p.qid = q8.vec_id JOIN n8 nn ON i.neighbor_id = nn.vec_id
+      WHERE i.neighbor_id <> p.qid
     ),
     cand AS (
       SELECT query_id, neighbor_id FROM (
@@ -529,7 +500,124 @@ def _quantized_topk_oracle() -> str:
              CAST(row_number() OVER (PARTITION BY query_id
                                      ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rk
       FROM r
-    ) WHERE rk <= 5
+    ) WHERE rk <= {ANN_K}
+    """
+
+
+@register(
+    "ann_ivf_quantized_topk",
+    oracle=_ivf_quantized_oracle(),
+    doc=(
+        "the production ANN serve path: persisted IvfIndex probe on STORED "
+        "int8 codes (the stage-1 scan reads only the code + norm columns — "
+        "Parquet column pruning makes the probed bytes ~1/4 of IVF-Flat; "
+        "plan-tested to never read the float column) + exact float re-rank "
+        "of the top-20 survivors from the stored vectors. Composition of "
+        "ann_ivf_indexed_topk's storage probe with ann_quantized_topk's "
+        "two-stage shape; rank-compare oracle like the other ANN queries"
+    ),
+)
+def ann_ivf_quantized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    idx = _stored_ivf(spark, sf_dir)
+    res = idx.topk_quantized(emb.where(F.col("vec_id") < ANN_QUERY_MAX), k=ANN_K)
+    return res.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rk"))
+
+
+def _sign_lsh_topk_oracle() -> str:
+    from ..datapipe.similarity import SIGN_BANDS, SIGN_BITS
+
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[bd.band_id*{SIGN_BITS} + {k + 1}] >= 0 THEN {1 << k} ELSE 0 END)"
+        for k in range(SIGN_BITS)
+    )
+    band_ids = ",".join(str(b) for b in range(SIGN_BANDS))
+    return f"""
+    WITH bands AS (
+      SELECT vec_id AS vid, bd.band_id, {bucket} AS bucket
+      FROM embeddings CROSS JOIN (SELECT unnest([{band_ids}]) AS band_id) bd
+    ),
+    cand AS (
+      SELECT DISTINCT q.vid AS query_id, c.vid AS neighbor_id
+      FROM bands q JOIN bands c ON q.band_id = c.band_id AND q.bucket = c.bucket
+      WHERE q.vid < {ANN_QUERY_MAX} AND c.vid <> q.vid
+    ),
+    s AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                                    CAST(en.embedding AS DOUBLE[])) AS sim
+      FROM cand JOIN embeddings eq ON cand.query_id = eq.vec_id
+                JOIN embeddings en ON cand.neighbor_id = en.vec_id
+    )
+    SELECT query_id, neighbor_id, rk FROM (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rk
+      FROM s
+    ) WHERE rk <= {ANN_K}
+    """
+
+
+@register(
+    "ann_sign_lsh_topk",
+    oracle=_sign_lsh_topk_oracle(),
+    doc=(
+        "sign-LSH ANN top-5: candidates share ANY sign-bit band bucket with "
+        "the query (OR over bands = multi-probe), exact cosine rank within "
+        "candidates — the third ANN variant after brute force and IVF. "
+        "Buckets are raw sign compares, so the oracle replays them exactly; "
+        "rank-compare like the other ANN oracles"
+    ),
+)
+def ann_sign_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.similarity import sign_lsh_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    res = sign_lsh_topk(emb.where(F.col("vec_id") < ANN_QUERY_MAX), emb, k=ANN_K)
+    return res.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rk"))
+
+
+def _quantized_topk_oracle() -> str:
+    from ..datapipe.similarity import INT8_CAND
+
+    code = (
+        "list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * (127.0 / "
+        "greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]), "
+        "y -> abs(y))), 1e-30))))"
+    )
+    return f"""
+    WITH e8 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {code} AS c8 FROM embeddings
+    ),
+    n8 AS (SELECT vec_id, v, c8, sqrt(list_dot_product(c8, c8)) AS n FROM e8),
+    s AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.c8, c.c8) / (q.n * c.n) AS approx
+      FROM n8 c CROSS JOIN n8 q
+      WHERE q.vec_id < {ANN_QUERY_MAX} AND c.vec_id <> q.vec_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx DESC, neighbor_id ASC) AS crank
+        FROM s
+      ) WHERE crank <= {INT8_CAND}
+    ),
+    r AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_dot_product(eq.v, en.v)
+               / (sqrt(list_dot_product(eq.v, eq.v))
+                  * sqrt(list_dot_product(en.v, en.v))) AS sim
+      FROM cand JOIN n8 eq ON cand.query_id = eq.vec_id
+                JOIN n8 en ON cand.neighbor_id = en.vec_id
+    )
+    SELECT query_id, neighbor_id, rk FROM (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rk
+      FROM r
+    ) WHERE rk <= {ANN_K}
     """
 
 
@@ -549,7 +637,7 @@ def ann_quantized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..datapipe.similarity import quantized_topk
 
     emb = table(spark, sf_dir, "embeddings")
-    res = quantized_topk(emb.where(F.col("vec_id") < 20), emb, k=5)
+    res = quantized_topk(emb.where(F.col("vec_id") < ANN_QUERY_MAX), emb, k=ANN_K)
     return res.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rk"))
 
 

@@ -91,6 +91,72 @@ def test_compaction_preserves_topk(spark, tmp_path):
     assert _rows(idx.topk(queries, k=5)) == before
 
 
+def test_lists_store_tinyint_codes_matching_derived(spark, tmp_path):
+    """append() persists genuine array<tinyint> codes that agree bit-for-bit
+    with the on-the-fly with_int8_code convention (so a stored index and a
+    derive-in-query plan produce the same candidate sets)."""
+    from flink_real_time_data_warehouse_spark.datapipe.similarity import with_int8_code
+
+    emb = table(spark, TEST_SF_DIR, "embeddings").limit(50)
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    idx.build(emb)
+    lists = idx.lists()
+    assert dict(lists.dtypes)["nv_c8"] == "array<tinyint>"
+    stored = {
+        r["neighbor_id"]: (list(r["nv_c8"]), r["nv_n8"])
+        for r in lists.select("neighbor_id", "nv_c8", "nv_n8").collect()
+    }
+    derived = {
+        r["vec_id"]: (list(r["v_c8"]), r["v_n8"])
+        for r in with_int8_code(
+            emb.withColumnRenamed("embedding", "v"), "v", "v"
+        ).collect()
+    }
+    assert stored == derived
+
+
+def test_quantized_probe_reads_codes_not_floats(spark, tmp_path):
+    """The stage-1 candidate scan of topk_quantized must read only the code
+    and norm columns from the stored lists — Parquet column pruning is what
+    makes the probe ~1/4 the bytes of IVF-Flat; the float column may only
+    appear in the survivors' re-rank scan."""
+    import re
+
+    emb = table(spark, TEST_SF_DIR, "embeddings").limit(50)
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    idx.build(emb)
+    queries = emb.where(F.col("vec_id") < 3)
+    plan = idx.topk_quantized(queries, k=5)._sc._jvm.PythonSQLUtils.explainString(
+        idx.topk_quantized(queries, k=5)._jdf.queryExecution(), "formatted"
+    )
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    code_scans = [s for s in schemas if "nv_c8" in s]
+    assert code_scans, plan
+    assert all("nv:array" not in s for s in code_scans), code_scans
+
+
+def test_quantized_probe_with_full_cand_equals_flat_probe(spark, tmp_path):
+    """With the candidate cut wider than any list, stage 1 passes every
+    probed neighbor through and the exact re-rank must reproduce the
+    IVF-Flat probe exactly; with the default cut it still returns full
+    k-deep rankings per query."""
+    emb = table(spark, TEST_SF_DIR, "embeddings")
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    idx.build(emb)
+    queries = emb.where(F.col("vec_id") < 20)
+    assert _rows(idx.topk_quantized(queries, k=5, cand=10**9)) == _rows(
+        idx.topk(queries, k=5)
+    )
+    per_q = (
+        idx.topk_quantized(queries, k=5)
+        .groupBy("query_id")
+        .count()
+        .agg(F.min("count"), F.max("count"))
+        .collect()[0]
+    )
+    assert per_q[0] == per_q[1] == 5
+
+
 def test_build_and_append_guards(spark, tmp_path):
     emb = table(spark, TEST_SF_DIR, "embeddings").limit(20)
     idx = IvfIndex(spark, str(tmp_path / "ivf"))
