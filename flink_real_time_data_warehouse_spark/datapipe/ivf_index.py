@@ -39,6 +39,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .signature_index import index_write_lock
 from .similarity import (
     INT8_CAND,
     IVF_K,
@@ -100,8 +101,11 @@ class IvfIndex:
             cents = corpus.where(F.col(id_col) < n_centroids).select(
                 F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
             )
-        cents.write.mode("overwrite").parquet(os.path.join(self.base_dir, "centroids"))
-        self._commit_marker("_built")
+        with index_write_lock(self.base_dir):
+            cents.write.mode("overwrite").parquet(
+                os.path.join(self.base_dir, "centroids")
+            )
+            self._commit_marker("_built")
         self.append(corpus, id_col, vec_col)
 
     def append(
@@ -120,27 +124,28 @@ class IvfIndex:
         arithmetic riding the same single pass as the assignment."""
         if not self.is_built():
             raise RuntimeError("build() the index before appending")
-        committed = self.committed_batches()
-        if batch_no is None:
-            ints = [int(b) for b in committed if b.isdigit()]
-            n = str(max(ints) + 1) if ints else "0"
-        else:
-            n = str(batch_no)
-            if not n.isalnum():
-                raise ValueError(f"batch label must be alphanumeric, got {n!r}")
-            if n in committed:
-                return n  # epoch replay: already committed
-        inv = assign_top1(
-            vectors, self.centroids(), id_col, vec_col, "neighbor_id"
-        ).withColumnRenamed("_v", "nv")
-        inv = with_int8_code(inv, "nv", "nv").withColumn(
-            "nv_c8", F.transform("nv_c8", lambda x: x.cast("tinyint"))
-        )
-        inv.write.mode("overwrite").parquet(
-            os.path.join(self.base_dir, "lists", f"batch={n}")
-        )
-        self._commit_marker(f"_batch_{n}_done")
-        return n
+        with index_write_lock(self.base_dir):
+            committed = self.committed_batches()
+            if batch_no is None:
+                ints = [int(b) for b in committed if b.isdigit()]
+                n = str(max(ints) + 1) if ints else "0"
+            else:
+                n = str(batch_no)
+                if not n.isalnum():
+                    raise ValueError(f"batch label must be alphanumeric, got {n!r}")
+                if n in committed:
+                    return n  # epoch replay: already committed
+            inv = assign_top1(
+                vectors, self.centroids(), id_col, vec_col, "neighbor_id"
+            ).withColumnRenamed("_v", "nv")
+            inv = with_int8_code(inv, "nv", "nv").withColumn(
+                "nv_c8", F.transform("nv_c8", lambda x: x.cast("tinyint"))
+            )
+            inv.write.mode("overwrite").parquet(
+                os.path.join(self.base_dir, "lists", f"batch={n}")
+            )
+            self._commit_marker(f"_batch_{n}_done")
+            return n
 
     # -- compaction ---------------------------------------------------------
     def compact(self) -> str | None:
@@ -150,24 +155,26 @@ class IvfIndex:
         decommit the old batches (doubly-visible rows during a crash
         window are harmless: `ivf_probe_topk` folds duplicate candidate
         rows before ranking, and the next compact removes them).
-        Single-writer scope."""
+        Single-writer scope, enforced by the same lock as append."""
         import shutil
 
-        committed = self.committed_batches()
-        if len(committed) <= 1:
-            return committed[0] if committed else None
-        ints = [int(b) for b in committed if b.isdigit()]
-        n = str(max(ints) + 1) if ints else "0"
-        self.lists().write.mode("overwrite").parquet(
-            os.path.join(self.base_dir, "lists", f"batch={n}")
-        )
-        self._commit_marker(f"_batch_{n}_done")
-        for old in committed:
-            os.remove(os.path.join(self.base_dir, f"_batch_{old}_done"))
-            shutil.rmtree(
-                os.path.join(self.base_dir, "lists", f"batch={old}"), ignore_errors=True
+        with index_write_lock(self.base_dir):
+            committed = self.committed_batches()
+            if len(committed) <= 1:
+                return committed[0] if committed else None
+            ints = [int(b) for b in committed if b.isdigit()]
+            n = str(max(ints) + 1) if ints else "0"
+            self.lists().write.mode("overwrite").parquet(
+                os.path.join(self.base_dir, "lists", f"batch={n}")
             )
-        return n
+            self._commit_marker(f"_batch_{n}_done")
+            for old in committed:
+                os.remove(os.path.join(self.base_dir, f"_batch_{old}_done"))
+                shutil.rmtree(
+                    os.path.join(self.base_dir, "lists", f"batch={old}"),
+                    ignore_errors=True,
+                )
+            return n
 
     # -- stored tables ------------------------------------------------------
     def centroids(self) -> DataFrame:

@@ -25,9 +25,15 @@ path list, so partition pruning still applies per batch dir. Probe tables
 carry ~40 bytes/doc — the index for a 10^10-doc corpus is ~hundreds of
 GB, scanned only by digest/bucket semi-joins that reduce map-side.
 
-Single-writer: batch numbering assumes one appender (the ingest driver);
-concurrent appenders need a transactional table format, same scope note
-as DimStore/router (PARITY §2.3 R2).
+Single-writer: batch numbering assumes one appender (the ingest driver).
+That contract is ENFORCED, not just documented: every mutation
+(append/compact) runs under the router's pid-liveness + fence-token lock
+(`streaming/router.RouterLock`) held for the operation's duration — a
+second live concurrent writer raises SinkLockError instead of
+interleaving batch writes; a crashed writer's stale lock is stolen on
+the next mutation. Distributed multi-writer arbitration still needs a
+transactional table format, same scope note as DimStore/router
+(PARITY §2.3 R2).
 """
 
 from __future__ import annotations
@@ -35,6 +41,7 @@ from __future__ import annotations
 import os
 import re
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,6 +49,20 @@ from pyspark.sql import functions as F
 from .dedup import band_rows, minhash_signatures
 
 _MARKER_RE = re.compile(r"^_batch_([A-Za-z0-9]+)_done$")
+
+
+@contextmanager
+def index_write_lock(base_dir: str):
+    """Single-writer fence for one index mutation: acquire the router's
+    lock (pid-liveness check, atomic stale-steal) for the duration of an
+    append/compact. Shared by SignatureIndex and IvfIndex."""
+    from ..streaming.router import RouterLock
+
+    lock = RouterLock(base_dir).acquire()
+    try:
+        yield lock
+    finally:
+        lock.release()
 
 
 def _label_key(label: str):
@@ -92,31 +113,32 @@ class SignatureIndex:
         restarts — derive it from the epoch id only. (Duplicate index rows
         would be HARMLESS to correctness — every probe is a semi join —
         but they'd inflate the stored tables forever.)"""
-        committed = self.committed_batches()
-        if batch_no is None:
-            ints = [int(b) for b in committed if b.isdigit()]
-            n = str(max(ints) + 1) if ints else "0"
-        else:
-            n = str(batch_no)
-            if not n.isalnum():
-                raise ValueError(f"batch label must be alphanumeric, got {n!r}")
-            if n in committed:
-                return n  # epoch replay: already committed, exactly-once
-        dig = docs.select(
-            F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("h")
-        )
-        bands = band_rows(minhash_signatures(docs, id_col, text_col))
-        dig.write.mode("overwrite").parquet(
-            os.path.join(self.base_dir, "digests", f"batch={n}")
-        )
-        bands.write.mode("overwrite").parquet(
-            os.path.join(self.base_dir, "bands", f"batch={n}")
-        )
-        marker = os.path.join(self.base_dir, f"_batch_{n}_done")
-        fd, tmp = tempfile.mkstemp(dir=self.base_dir, prefix="_marker_")
-        os.close(fd)
-        os.replace(tmp, marker)
-        return n
+        with index_write_lock(self.base_dir):
+            committed = self.committed_batches()
+            if batch_no is None:
+                ints = [int(b) for b in committed if b.isdigit()]
+                n = str(max(ints) + 1) if ints else "0"
+            else:
+                n = str(batch_no)
+                if not n.isalnum():
+                    raise ValueError(f"batch label must be alphanumeric, got {n!r}")
+                if n in committed:
+                    return n  # epoch replay: already committed, exactly-once
+            dig = docs.select(
+                F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("h")
+            )
+            bands = band_rows(minhash_signatures(docs, id_col, text_col))
+            dig.write.mode("overwrite").parquet(
+                os.path.join(self.base_dir, "digests", f"batch={n}")
+            )
+            bands.write.mode("overwrite").parquet(
+                os.path.join(self.base_dir, "bands", f"batch={n}")
+            )
+            marker = os.path.join(self.base_dir, f"_batch_{n}_done")
+            fd, tmp = tempfile.mkstemp(dir=self.base_dir, prefix="_marker_")
+            os.close(fd)
+            os.replace(tmp, marker)
+            return n
 
     # -- compaction ---------------------------------------------------------
     def compact(self) -> str | None:
@@ -130,32 +152,33 @@ class SignatureIndex:
         the retry; a crash mid-removal leaves some batches doubly visible,
         which is HARMLESS to the semi-join probes (duplicate rows cannot
         change a semi join) and is cleaned by the next compact. Same
-        single-writer scope as append.
+        single-writer scope as append, enforced by the same lock.
         """
-        committed = self.committed_batches()
-        if len(committed) <= 1:
-            return committed[0] if committed else None
-        ints = [int(b) for b in committed if b.isdigit()]
-        n = str(max(ints) + 1) if ints else "0"
-        self.digests().write.mode("overwrite").parquet(
-            os.path.join(self.base_dir, "digests", f"batch={n}")
-        )
-        self.bands().write.mode("overwrite").parquet(
-            os.path.join(self.base_dir, "bands", f"batch={n}")
-        )
-        marker = os.path.join(self.base_dir, f"_batch_{n}_done")
-        fd, tmp = tempfile.mkstemp(dir=self.base_dir, prefix="_marker_")
-        os.close(fd)
-        os.replace(tmp, marker)
-        import shutil
+        with index_write_lock(self.base_dir):
+            committed = self.committed_batches()
+            if len(committed) <= 1:
+                return committed[0] if committed else None
+            ints = [int(b) for b in committed if b.isdigit()]
+            n = str(max(ints) + 1) if ints else "0"
+            self.digests().write.mode("overwrite").parquet(
+                os.path.join(self.base_dir, "digests", f"batch={n}")
+            )
+            self.bands().write.mode("overwrite").parquet(
+                os.path.join(self.base_dir, "bands", f"batch={n}")
+            )
+            marker = os.path.join(self.base_dir, f"_batch_{n}_done")
+            fd, tmp = tempfile.mkstemp(dir=self.base_dir, prefix="_marker_")
+            os.close(fd)
+            os.replace(tmp, marker)
+            import shutil
 
-        for old in committed:
-            os.remove(os.path.join(self.base_dir, f"_batch_{old}_done"))
-            for t in ("digests", "bands"):  # decommitted data dirs: best-effort sweep
-                shutil.rmtree(
-                    os.path.join(self.base_dir, t, f"batch={old}"), ignore_errors=True
-                )
-        return n
+            for old in committed:
+                os.remove(os.path.join(self.base_dir, f"_batch_{old}_done"))
+                for t in ("digests", "bands"):  # decommitted data dirs: best-effort sweep
+                    shutil.rmtree(
+                        os.path.join(self.base_dir, t, f"batch={old}"), ignore_errors=True
+                    )
+            return n
 
     # -- probe tables (the only thing an ingest ever reads) -----------------
     def _read(self, table: str, schema: str) -> DataFrame:

@@ -171,3 +171,31 @@ def test_build_and_append_guards(spark, tmp_path):
     assert lb not in idx.committed_batches()
     assert idx.append(emb.limit(5), batch_no="e7") == "e7"
     assert idx.committed_batches().count("e7") == 1
+
+
+def test_ivf_mutations_refuse_second_live_writer(spark, tmp_path):
+    """build()/append()/compact() run under the router's single-writer
+    lock (same enforcement as SignatureIndex): a live concurrent owner
+    makes mutations raise SinkLockError; release frees them."""
+    from flink_real_time_data_warehouse_spark.streaming.router import (
+        RouterLock,
+        SinkLockError,
+    )
+
+    emb = table(spark, TEST_SF_DIR, "embeddings").limit(20)
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    held = RouterLock(idx.base_dir).acquire()
+    with pytest.raises(SinkLockError, match="live router"):
+        idx.build(emb)
+    assert not idx.is_built()
+    held.release()
+    idx.build(emb)
+    held = RouterLock(idx.base_dir).acquire()
+    with pytest.raises(SinkLockError, match="live router"):
+        idx.append(emb.limit(5), batch_no="e9")
+    with pytest.raises(SinkLockError, match="live router"):
+        idx.compact()
+    assert "e9" not in idx.committed_batches()
+    held.release()
+    assert idx.append(emb.limit(5), batch_no="e9") == "e9"
+    assert not os.path.exists(os.path.join(idx.base_dir, RouterLock.FILENAME))

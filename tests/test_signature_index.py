@@ -159,3 +159,33 @@ def test_sequential_ingest_matches_derived(spark, tmp_path):
     # the fixture must actually exercise a duplicate verdict, not just keeps
     assert "keep" in got.values()
     assert {"exact", "near"} & set(got.values())
+
+
+def test_append_refuses_second_live_writer(spark, tmp_path):
+    """append()/compact() run under the router's single-writer lock: while
+    another LIVE writer owns the index dir, a mutation raises SinkLockError
+    instead of interleaving batch writes; after release (or owner death)
+    the same mutation succeeds. Mirrors
+    test_router_lock_refuses_second_live_writer."""
+    import pytest
+
+    from flink_real_time_data_warehouse_spark.streaming.router import (
+        RouterLock,
+        SinkLockError,
+    )
+
+    docs = table(spark, TEST_SF_DIR, "documents").limit(20)
+    idx = SignatureIndex(spark, str(tmp_path / "sig"))
+    held = RouterLock(idx.base_dir).acquire()  # a live concurrent writer
+    with pytest.raises(SinkLockError, match="live router"):
+        idx.append(docs, "doc_id", "text")
+    assert idx.is_empty()  # the refused append wrote nothing
+    with pytest.raises(SinkLockError, match="live router"):
+        idx.compact()
+    held.release()
+    idx.append(docs, "doc_id", "text")
+    assert not idx.is_empty()
+    # the lock is released after each mutation, not held by the instance
+    import os
+
+    assert not os.path.exists(os.path.join(idx.base_dir, RouterLock.FILENAME))
