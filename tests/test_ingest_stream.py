@@ -203,3 +203,64 @@ def test_streaming_ingest_matches_batch_loop(spark, tmp_path):
     got = sorted(r["doc_id"] for r in spark.read.parquet(accepted_dir).collect())
     assert got == sorted(ref_accepted)
     assert len(got) > 0
+
+
+def test_replay_after_compaction_duplicates_rows_but_not_verdicts(spark, tmp_path):
+    """Pins the documented compaction/replay interaction
+    (streaming/ingest.py docstring): compact() removes per-epoch markers,
+    so an epoch replayed from an OLD checkpoint re-appends its rows —
+    duplicate digest/band rows appear (bounded: one extra copy per
+    replayed epoch), the semi-join verdicts are UNCHANGED, and the next
+    compact() folds the duplicates away."""
+    from flink_real_time_data_warehouse_spark.datapipe.dedup import (
+        incremental_dedup_indexed,
+    )
+
+    epochs = [
+        [(10, GOOD["seed"]), (11, GOOD["alpha"])],
+        [(20, GOOD["alpha"]), (21, GOOD["beta"])],
+    ]
+    src = str(tmp_path / "src")
+    _write_epochs(spark, src, epochs)
+    idx = SignatureIndex(spark, str(tmp_path / "sig"))
+    idx.append(
+        spark.createDataFrame([(1, GOOD["seed"])], "doc_id long, text string"),
+        "doc_id",
+        "text",
+    )
+    accepted_dir = str(tmp_path / "accepted")
+    q = start_ingest(_stream(spark, src), idx, accepted_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(accepted_dir).collect()
+    ) == [11, 21]
+
+    lbl = idx.compact()  # folds seed + e0 + e1; removes their markers
+    assert idx.committed_batches() == [lbl]
+    n_rows = idx.digests().count()
+
+    probe = spark.createDataFrame(
+        [(40, GOOD["alpha"]), (41, GOOD["gamma"])], "doc_id long, text string"
+    )
+    verdicts_before = {
+        r["doc"]: r["verdict"]
+        for r in incremental_dedup_indexed(idx, probe, "doc_id", "text").collect()
+    }
+    assert verdicts_before == {40: "exact", 41: "keep"}
+
+    # replay epoch 0 from an old checkpoint: its marker is gone, so the
+    # append is NOT skipped — rows duplicate...
+    replay = spark.createDataFrame([(11, GOOD["alpha"])], "doc_id long, text string")
+    assert idx.append(replay, "doc_id", "text", batch_no="e0") == "e0"
+    assert idx.digests().count() == n_rows + 1
+    assert idx.digests().where(F.col("doc") == 11).count() == 2
+    # ...but verdicts cannot change (semi joins are duplicate-insensitive)
+    verdicts_after = {
+        r["doc"]: r["verdict"]
+        for r in incremental_dedup_indexed(idx, probe, "doc_id", "text").collect()
+    }
+    assert verdicts_after == verdicts_before
+    # and the next compact folds the duplicate away
+    idx.compact()
+    assert idx.digests().count() == n_rows + 1  # compact keeps rows verbatim
+    assert idx.digests().select("doc", "h").distinct().count() == n_rows
