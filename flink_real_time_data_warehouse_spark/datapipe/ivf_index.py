@@ -208,6 +208,59 @@ class IvfIndex:
         ).withColumnRenamed("_v", "qv")
         return ivf_probe_topk(probes, self.lists(), k)
 
+    def near_verdicts(
+        self,
+        batch: DataFrame,
+        threshold: float,
+        nprobe: int = IVF_NPROBE,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        within_batch: bool = True,
+    ) -> DataFrame:
+        """Near-duplicate verdict per incoming vector — the embedding twin
+        of `dedup._incremental_verdicts`: 'near' if any stored vector in
+        the batch vector's nprobe probed lists has cosine >= threshold
+        (or, with ``within_batch``, a SMALLER-id vector of the same batch
+        whose top-1 list is probed — the min-id keeper rule), else 'keep'.
+
+        Probe direction mirrors the text index: the stored lists are
+        scanned once and joined against a BROADCAST of the batch's probes
+        — output bounded by candidates, the index never shuffled. Returns
+        (vec, verdict)."""
+        probes = assign_topn(
+            batch, self.centroids(), nprobe, id_col, vec_col, "vid"
+        )
+        lists = self.lists().select("neighbor_id", "cid", "nv")
+        near = (
+            lists.join(F.broadcast(probes), "cid")
+            .where(cosine(F.col("_v"), F.col("nv")) >= threshold)
+            .select("vid")
+        )
+        if within_batch:
+            b1 = assign_top1(batch, self.centroids(), id_col, vec_col, "vid2")
+            batch_near = (
+                probes.join(
+                    F.broadcast(b1.withColumnRenamed("_v", "bv")), "cid"
+                )
+                .where(
+                    (F.col("vid2") < F.col("vid"))
+                    & (cosine(F.col("_v"), F.col("bv")) >= threshold)
+                )
+                .select("vid")
+            )
+            near = near.union(batch_near)
+        near = near.distinct().withColumn("is_near", F.lit(1))
+        return (
+            batch.select(F.col(id_col).alias("vec"))
+            .join(F.broadcast(near.withColumnRenamed("vid", "vec")), "vec", "left")
+            .select(
+                "vec",
+                F.when(F.col("is_near") == 1, "near")
+                .otherwise("keep")
+                .alias("verdict"),
+            )
+        )
+
     def topk_quantized(
         self,
         queries: DataFrame,

@@ -93,3 +93,50 @@ def start_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_vector_ingest(
+    stream: DataFrame,
+    ivf_index,
+    accepted_dir: str,
+    checkpoint: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_every: int | None = None,
+):
+    """The vector twin of `start_ingest` — proves the dual-idempotent-
+    commit pattern generalizes beyond text: every micro-batch of incoming
+    embeddings probes the persisted IvfIndex for near-duplicates (cosine
+    >= threshold within the probed lists, plus the within-batch min-id
+    keeper — `IvfIndex.near_verdicts`), lands the accepted vectors via the
+    idempotent epoch commit, and appends them to the index under the
+    stable ``e<epoch>`` label so the NEXT epoch's dedup sees them.
+
+    Exactly-once: sink append and index append are two independent
+    idempotent commits keyed by the same epoch id, identical to the text
+    funnel's contract. Scale shape per trigger: one broadcast of the
+    batch's probes against the stored lists (the index is never shuffled),
+    one O(batch) assignment for the append."""
+
+    def on_batch(batch: DataFrame, epoch: int) -> None:
+        batch = batch.persist()
+        try:
+            v = ivf_index.near_verdicts(
+                batch, threshold, id_col=id_col, vec_col=vec_col, within_batch=True
+            )
+            ok = v.where(F.col("verdict") == "keep").select(F.col("vec").alias(id_col))
+            accepted = batch.join(ok, id_col, "left_semi")
+            _idempotent_append(accepted, accepted_dir, epoch)
+            ivf_index.append(accepted, id_col, vec_col, batch_no=f"e{epoch}")
+            if compact_every and epoch % compact_every == compact_every - 1:
+                ivf_index.compact()
+        finally:
+            batch.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -780,3 +780,133 @@ def ingest_pipeline_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = start_ingest(stream, idx, accepted_dir, os.path.join(work, "ckpt"))
     q.awaitTermination()
     return spark.read.parquet(accepted_dir).select("doc_id")
+
+
+VEC_NEW_MOD = 4  # embeddings fixture split: vec_id % 4 == 0 streams in
+
+
+def _ann_ingest_oracle(n_epochs: int = INGEST_STREAM_EPOCHS) -> str:
+    """Unrolled sequential oracle for `ann_ingest_stream` — the vector
+    sibling of `_ingest_stream_oracle`: acc_e = epoch-e vectors with NO
+    stored vector of cosine >= threshold in their nprobe probed lists
+    (index-so-far = idx_{e-1}) and no smaller-id same-epoch vector whose
+    top-1 list is probed; idx_e = idx_{e-1} ∪ acc_e. Assignments replay
+    the frozen-centroid rule of `_ivf_oracle` (centroids = first IVF_K of
+    the BUILD corpus, i.e. vec_id % m <> 0 AND vec_id < IVF_K)."""
+    from ..datapipe.similarity import IVF_K, IVF_NPROBE
+    from ..plans.datapipe import COSINE_THRESHOLD
+
+    m = VEC_NEW_MOD
+    ctes = [
+        f"""cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id % {m} <> 0 AND vec_id < {IVF_K}
+    )""",
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        """assign AS (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                         c.cid ASC) AS rn
+      FROM e CROSS JOIN cents c
+    )""",
+        "top1 AS (SELECT vec_id, cid FROM assign WHERE rn = 1)",
+        f"probes AS (SELECT vec_id, cid FROM assign WHERE rn <= {IVF_NPROBE})",
+        f"""nd AS (
+      SELECT vec_id, ntile({n_epochs}) OVER (ORDER BY vec_id) AS epoch
+      FROM embeddings WHERE vec_id % {m} = 0
+    )""",
+        f"idx0 AS (SELECT vec_id FROM embeddings WHERE vec_id % {m} <> 0)",
+    ]
+    for ep in range(1, n_epochs + 1):
+        p = ep - 1
+        ctes.append(f"""acc{ep} AS (
+      SELECT n.vec_id FROM nd n JOIN e ev ON ev.vec_id = n.vec_id
+      WHERE n.epoch = {ep}
+        AND NOT EXISTS (
+          SELECT 1 FROM probes pr JOIN top1 t ON pr.cid = t.cid
+          JOIN idx{p} i ON t.vec_id = i.vec_id
+          JOIN e en ON en.vec_id = t.vec_id
+          WHERE pr.vec_id = n.vec_id
+            AND list_cosine_similarity(ev.v, en.v) >= {COSINE_THRESHOLD})
+        AND NOT EXISTS (
+          SELECT 1 FROM probes pr JOIN top1 t ON pr.cid = t.cid
+          JOIN nd n2 ON t.vec_id = n2.vec_id
+          JOIN e en ON en.vec_id = t.vec_id
+          WHERE pr.vec_id = n.vec_id
+            AND n2.epoch = {ep} AND n2.vec_id < n.vec_id
+            AND list_cosine_similarity(ev.v, en.v) >= {COSINE_THRESHOLD})
+    )""")
+        ctes.append(
+            f"idx{ep} AS (SELECT vec_id FROM idx{p}"
+            f" UNION ALL SELECT vec_id FROM acc{ep})"
+        )
+    final = " UNION ALL ".join(
+        f"SELECT vec_id FROM acc{ep}" for ep in range(1, n_epochs + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+@register(
+    "ann_ingest_stream",
+    oracle=_ann_ingest_oracle(),
+    doc=(
+        "continuous VECTOR ingest — the embedding twin of "
+        "ingest_pipeline_stream, proving the dual-idempotent-commit "
+        "pattern generalizes: three ascending-id micro-batches replay "
+        "through streaming/ingest.start_vector_ingest; each epoch probes "
+        "the persisted IvfIndex for near-duplicates (cosine >= threshold "
+        "within the nprobe probed lists + within-batch min-id keeper), "
+        "epoch-commits accepted vectors to the sink, and appends them to "
+        "the index so the NEXT epoch's dedup sees them. Oracle: the same "
+        "unrolled chained-CTE replay as the text funnel"
+    ),
+)
+def ann_ingest_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import time
+
+    from pyspark.sql import Window
+
+    from ..datapipe.ivf_index import IvfIndex
+    from ..plans.datapipe import COSINE_THRESHOLD
+    from ..sources.streams import stream_dir
+    from .ingest import start_vector_ingest
+
+    emb = table(spark, sf_dir, "embeddings")
+    new = emb.where(F.col("vec_id") % VEC_NEW_MOD == 0).select("vec_id", "embedding")
+    corpus = emb.where(F.col("vec_id") % VEC_NEW_MOD != 0)
+
+    work = tempfile.mkdtemp(prefix="ann_ingest_stream_")
+    idx = IvfIndex(spark, os.path.join(work, "ivf"))
+    idx.build(corpus)
+
+    splits = os.path.join(work, "splits")
+    os.makedirs(splits)
+    epochs = new.withColumn(
+        "epoch", F.ntile(INGEST_STREAM_EPOCHS).over(Window.orderBy("vec_id"))
+    )
+    base = time.time() - INGEST_STREAM_EPOCHS * 10
+    for e in range(1, INGEST_STREAM_EPOCHS + 1):
+        tmp = os.path.join(work, f"tmp{e}")
+        epochs.where(F.col("epoch") == e).drop("epoch").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = os.path.join(splits, f"epoch{e}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (base + e * 10, base + e * 10))
+
+    stream = stream_dir(
+        spark, splits, "vec_id long, embedding array<float>", max_files_per_trigger=1
+    )
+    accepted_dir = os.path.join(work, "accepted")
+    q = start_vector_ingest(
+        stream, idx, accepted_dir, os.path.join(work, "ckpt"), COSINE_THRESHOLD
+    )
+    q.awaitTermination()
+    return spark.read.parquet(accepted_dir).select("vec_id")

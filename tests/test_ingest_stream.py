@@ -264,3 +264,68 @@ def test_replay_after_compaction_duplicates_rows_but_not_verdicts(spark, tmp_pat
     idx.compact()
     assert idx.digests().count() == n_rows + 1  # compact keeps rows verbatim
     assert idx.digests().select("doc", "h").distinct().count() == n_rows
+
+
+def test_vector_ingest_replay_idempotent(spark, tmp_path):
+    """The vector funnel (start_vector_ingest) carries the same dual-
+    idempotent-commit contract as the text funnel: replaying a committed
+    epoch's work changes neither the accepted sink nor the IvfIndex, and
+    the index grew by exactly the accepted vectors."""
+    from flink_real_time_data_warehouse_spark.datapipe.ivf_index import IvfIndex
+    from flink_real_time_data_warehouse_spark.streaming.ingest import (
+        start_vector_ingest,
+    )
+    from flink_real_time_data_warehouse_spark.streaming.router import (
+        _idempotent_append,
+    )
+    from flink_real_time_data_warehouse_spark.tables import table
+
+    from .conftest import TEST_SF_DIR
+
+    emb = table(spark, TEST_SF_DIR, "embeddings")
+    new = emb.where(F.col("vec_id") % 4 == 0).select("vec_id", "embedding")
+    corpus = emb.where(F.col("vec_id") % 4 != 0)
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    idx.build(corpus)
+
+    bounds = new.agg(F.min("vec_id"), F.max("vec_id")).collect()[0]
+    cut = bounds[0] + (bounds[1] - bounds[0]) // 2
+    batches = [new.where(F.col("vec_id") <= cut), new.where(F.col("vec_id") > cut)]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = time.time() - 100
+    for i, b in enumerate(batches):
+        tmp = str(tmp_path / f"tmp{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"epoch{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (base + i * 10, base + i * 10))
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    accepted_dir = str(tmp_path / "accepted")
+    q = start_vector_ingest(stream, idx, accepted_dir, str(tmp_path / "ckpt"), 0.45)
+    q.awaitTermination()
+
+    got = sorted(r["vec_id"] for r in spark.read.parquet(accepted_dir).collect())
+    assert 0 < len(got) < new.count()  # some rejections, some accepts
+    # index grew by exactly the accepted vectors, under epoch labels
+    labels = idx.committed_batches()
+    assert labels[0] == "0" and sorted(labels[1:]) == ["e0", "e1"]
+    assert idx.lists().count() == corpus.count() + len(got)
+
+    # epoch replay: both commits marker-skip
+    replay = new.limit(3)
+    _idempotent_append(replay, accepted_dir, epoch_id=0)
+    idx.append(replay, batch_no="e0")
+    assert sorted(
+        r["vec_id"] for r in spark.read.parquet(accepted_dir).collect()
+    ) == got
+    assert idx.lists().count() == corpus.count() + len(got)
