@@ -231,6 +231,9 @@ def lsh_candidate_pairs(
     )
 
 
+SELF_PROBE_BROADCAST_MAX_ROWS = 5_000_000  # ingest batches above this: shuffle self-join
+
+
 def _incremental_verdicts(
     new: DataFrame,
     id_col: str,
@@ -238,6 +241,7 @@ def _incremental_verdicts(
     idx_digests: DataFrame,
     idx_bands: DataFrame,
     within_batch: bool,
+    self_probe_broadcast: bool = True,
 ) -> DataFrame:
     """Shared probe core for incremental dedup: verdict per incoming doc
     given the index side as (h) digests and (band_id, band_hash) bands —
@@ -285,12 +289,19 @@ def _incremental_verdicts(
     if within_batch:
         # Self-probes are batch-vs-batch: both sides are ingest-batch
         # sized, so the build side broadcasts too (the id inequality rides
-        # along as a join-condition filter on the hash match).
+        # along as a join-condition filter on the hash match) — but only
+        # while the batch is broadcast-sized. A forced hint on a
+        # pathologically large batch would fail at the broadcast size
+        # limit instead of degrading; callers gate via
+        # ``self_probe_broadcast`` (start_ingest counts the persisted
+        # batch against SELF_PROBE_BROADCAST_MAX_ROWS), falling back to a
+        # shuffled self-join keyed on the same hash columns.
+        hint = F.broadcast if self_probe_broadcast else (lambda df: df)
         smaller_h = new_h.select(F.col("doc").alias("doc2"), "h")
         batch_exact = (
             new_h.alias("a")
             .join(
-                F.broadcast(smaller_h.alias("b")),
+                hint(smaller_h.alias("b")),
                 (F.col("a.h") == F.col("b.h")) & (F.col("b.doc2") < F.col("a.doc")),
                 "left_semi",
             )
@@ -302,7 +313,7 @@ def _incremental_verdicts(
         batch_near = (
             new_bands.alias("a")
             .join(
-                F.broadcast(smaller_b.alias("b")),
+                hint(smaller_b.alias("b")),
                 (F.col("a.band_id") == F.col("b.band_id"))
                 & (F.col("a.band_hash") == F.col("b.band_hash"))
                 & (F.col("b.doc2") < F.col("a.doc")),
@@ -334,6 +345,7 @@ def incremental_dedup(
     id_col: str,
     text_col: str,
     within_batch: bool = False,
+    self_probe_broadcast: bool = True,
 ) -> DataFrame:
     """Dedup an INCOMING batch against an existing corpus index — the
     every-ingest operation of a continuously-growing 100 TB corpus, where
@@ -366,7 +378,8 @@ def incremental_dedup(
     idx_digests = index.select(F.md5(F.col(text_col)).alias("h"))
     idx_bands = band_rows(minhash_signatures(index, id_col, text_col))
     return _incremental_verdicts(
-        new, id_col, text_col, idx_digests, idx_bands, within_batch
+        new, id_col, text_col, idx_digests, idx_bands, within_batch,
+        self_probe_broadcast,
     )
 
 
@@ -376,15 +389,19 @@ def incremental_dedup_indexed(
     id_col: str,
     text_col: str,
     within_batch: bool = False,
+    self_probe_broadcast: bool = True,
 ) -> DataFrame:
     """`incremental_dedup` with the index side read from a persisted
     :class:`~.signature_index.SignatureIndex` instead of derived in-query:
     the O(index text) signature recompute disappears from every ingest —
     the batch only probes the stored digest and band tables, which is the
     100 TB contract (the corpus is never rescanned after acceptance).
-    """
+    ``self_probe_broadcast=False`` drops the within-batch broadcast hint
+    for batches past SELF_PROBE_BROADCAST_MAX_ROWS (see
+    `_incremental_verdicts`)."""
     return _incremental_verdicts(
-        new, id_col, text_col, sig_index.digests(), sig_index.bands(), within_batch
+        new, id_col, text_col, sig_index.digests(), sig_index.bands(), within_batch,
+        self_probe_broadcast,
     )
 
 

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..datapipe.dedup import incremental_dedup_indexed
+from ..datapipe.dedup import SELF_PROBE_BROADCAST_MAX_ROWS, incremental_dedup_indexed
 from ..datapipe.quality import text_quality
 from .router import _idempotent_append
 
@@ -65,8 +65,13 @@ def start_ingest(
     def on_batch(batch: DataFrame, epoch: int) -> None:
         batch = batch.persist()
         try:
+            # Count the (persisted) batch once to gate the within-batch
+            # self-probe broadcast: an oversized trigger degrades to a
+            # shuffled self-join instead of failing at the broadcast limit.
+            small = batch.count() <= SELF_PROBE_BROADCAST_MAX_ROWS
             verdicts = incremental_dedup_indexed(
-                sig_index, batch, id_col, text_col, within_batch=True
+                sig_index, batch, id_col, text_col,
+                within_batch=True, self_probe_broadcast=small,
             )
             q = text_quality(batch, id_col, text_col).select(
                 F.col(id_col).alias("doc"), F.col("quality_score")

@@ -189,3 +189,22 @@ def test_append_refuses_second_live_writer(spark, tmp_path):
     import os
 
     assert not os.path.exists(os.path.join(idx.base_dir, RouterLock.FILENAME))
+
+
+def test_self_probe_broadcast_gate_keeps_verdicts(spark, tmp_path):
+    """self_probe_broadcast=False (the oversized-batch fallback) must
+    produce identical verdicts via the shuffled self-join path, and the
+    optimized plan must carry no within-batch broadcast hint."""
+    docs = table(spark, TEST_SF_DIR, "documents")
+    new = docs.where(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    idx = SignatureIndex(spark, str(tmp_path / "sig"))
+    idx.append(docs.where(F.col("doc_id") % 4 != 0), "doc_id", "text")
+
+    hinted = incremental_dedup_indexed(idx, new, "doc_id", "text", within_batch=True)
+    shuffled = incremental_dedup_indexed(
+        idx, new, "doc_id", "text", within_batch=True, self_probe_broadcast=False
+    )
+    assert _verdicts(hinted) == _verdicts(shuffled)
+    opt_h = hinted._jdf.queryExecution().optimizedPlan().toString()
+    opt_s = shuffled._jdf.queryExecution().optimizedPlan().toString()
+    assert opt_s.count("strategy=broadcast") < opt_h.count("strategy=broadcast")
