@@ -67,10 +67,13 @@ HEADLINE = [
     "ann_topk",
     "ann_ivf_topk",
     "ann_ivf_indexed_topk",
+    "ann_ivf_quantized_topk",
     "ann_sign_lsh_topk",
     "ann_quantized_topk",
     "embedding_cosine_pairs",
+    "embedding_cosine_pairs_capped",
     "embedding_clusters",
+    "dedup_minhash_capped",
     "text_quality",
     "keyword_stats_cjk",
     "keyword_stats_dict",
@@ -107,9 +110,12 @@ HEADLINE = [
     "product_stats_stream",
     "province_stats_stream",
     "uv_stream",
+    "ann_ingest_stream",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention
+DRIFT_RATIO = 1.5  # per-query slowdown vs BENCH_REFERENCE.json that gets flagged
+REFERENCE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_REFERENCE.json")
 
 
 def main() -> None:
@@ -152,6 +158,23 @@ def main() -> None:
     sent_end = sentinel()
     hi, lo = max(sent_start, sent_end), max(min(sent_start, sent_end), 1e-9)
 
+    # Drift vs the in-repo quiet-machine reference table: a stable baseline
+    # to diff against round-over-round, independent of any one round's
+    # driver artifact. Only queries slower than DRIFT_RATIO x reference are
+    # listed (ratio rounded to 2dp); queries new since the reference table
+    # have no entry and are skipped.
+    drift: dict[str, float] = {}
+    try:
+        with open(REFERENCE_FILE) as f:
+            ref = json.load(f)["queries"]
+        drift = {
+            n: round(t / ref[n], 2)
+            for n, t in times.items()
+            if n in ref and ref[n] > 0 and t / ref[n] > DRIFT_RATIO
+        }
+    except (FileNotFoundError, KeyError, json.JSONDecodeError):
+        pass
+
     print(json.dumps({
         "metric": "headline query wall time at sf" + sf,
         "value": round(sum(times.values()), 3),
@@ -164,6 +187,7 @@ def main() -> None:
             "end": sent_end,
             "contended": hi / lo > SENTINEL_RATIO,
         },
+        "drift_vs_reference": drift,
     }))
 
 
