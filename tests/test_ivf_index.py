@@ -199,3 +199,37 @@ def test_ivf_mutations_refuse_second_live_writer(spark, tmp_path):
     held.release()
     assert idx.append(emb.limit(5), batch_no="e9") == "e9"
     assert not os.path.exists(os.path.join(idx.base_dir, RouterLock.FILENAME))
+
+
+def test_build_with_trained_kmeans_centroids(spark, tmp_path):
+    """The docstring promise that a `kmeans_centroids`-trained frame drops
+    into build() as the production quantizer with every downstream plan
+    unchanged, executed: index built on trained centroids must reproduce
+    the derive-in-query composition (assign_top1/assign_topn/probe) over
+    the same centroids, and still never scan the corpus at probe time."""
+    from flink_real_time_data_warehouse_spark.datapipe.similarity import (
+        IVF_NPROBE,
+        assign_top1,
+        assign_topn,
+        ivf_probe_topk,
+        kmeans_centroids,
+    )
+
+    emb = table(spark, TEST_SF_DIR, "embeddings")
+    trained = kmeans_centroids(emb, k=8, iters=2).select(
+        "cid", F.col("centroid").alias("cv")
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    idx.build(emb, centroids=trained)
+    got = _rows(idx.topk(queries, k=5))
+
+    inv = assign_top1(emb, trained, "vec_id", "embedding", "neighbor_id").withColumnRenamed(
+        "_v", "nv"
+    )
+    probes = assign_topn(
+        queries, trained, IVF_NPROBE, "vec_id", "embedding", "query_id"
+    ).withColumnRenamed("_v", "qv")
+    want = _rows(ivf_probe_topk(probes, inv, 5))
+    assert got == want and len(got) == 10 * 5
