@@ -241,7 +241,7 @@ def _incremental_verdicts(
     idx_digests: DataFrame,
     idx_bands: DataFrame,
     within_batch: bool,
-    self_probe_broadcast: bool = True,
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """Shared probe core for incremental dedup: verdict per incoming doc
     given the index side as (h) digests and (band_id, band_hash) bands —
@@ -255,7 +255,17 @@ def _incremental_verdicts(
     novel vs the index — the min-id copy is the one kept, the same keeper
     rule as exact_dedup/dedup_clusters. Both self-probes are semi joins on
     the digest/bucket key with an id inequality, never an all-pairs path.
+
+    ``hint_broadcast`` gates EVERY batch-derived broadcast hint here (the
+    index-probe key sets AND the within-batch self-probes — all of them
+    scale with the batch, the band sets by a factor of LSH_BANDS): a
+    forced hint on a pathologically large trigger fails at Spark's
+    broadcast size limit instead of degrading. Callers gate on batch size
+    (start_ingest counts band rows against SELF_PROBE_BROADCAST_MAX_ROWS);
+    with the hint off, Spark plans the joins from its own estimates —
+    sort-merge of index vs batch at worst, still keyed, never all-pairs.
     """
+    hint = F.broadcast if hint_broadcast else (lambda df: df)
     new_h = new.select(F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("h"))
     new_bands = band_rows(minhash_signatures(new, id_col, text_col))
 
@@ -273,30 +283,24 @@ def _incremental_verdicts(
     # hot buckets before the exchange) — never the index.
     probe_h = new_h.select("h").distinct()
     matched_h = (
-        idx_digests.select("h").join(F.broadcast(probe_h), "h", "left_semi").distinct()
+        idx_digests.select("h").join(hint(probe_h), "h", "left_semi").distinct()
     )
-    exact_ids = new_h.join(F.broadcast(matched_h), "h", "left_semi").select("doc")
+    exact_ids = new_h.join(hint(matched_h), "h", "left_semi").select("doc")
     band_key = ["band_id", "band_hash"]
     probe_b = new_bands.select(*band_key).distinct()
     matched_b = (
         idx_bands.select(*band_key)
-        .join(F.broadcast(probe_b), band_key, "left_semi")
+        .join(hint(probe_b), band_key, "left_semi")
         .distinct()
     )
-    near_ids = new_bands.join(F.broadcast(matched_b), band_key, "left_semi").select(
+    near_ids = new_bands.join(hint(matched_b), band_key, "left_semi").select(
         "doc"
     )
     if within_batch:
         # Self-probes are batch-vs-batch: both sides are ingest-batch
         # sized, so the build side broadcasts too (the id inequality rides
-        # along as a join-condition filter on the hash match) — but only
-        # while the batch is broadcast-sized. A forced hint on a
-        # pathologically large batch would fail at the broadcast size
-        # limit instead of degrading; callers gate via
-        # ``self_probe_broadcast`` (start_ingest counts the persisted
-        # batch against SELF_PROBE_BROADCAST_MAX_ROWS), falling back to a
-        # shuffled self-join keyed on the same hash columns.
-        hint = F.broadcast if self_probe_broadcast else (lambda df: df)
+        # along as a join-condition filter on the hash match), under the
+        # same hint gate as the index probes above.
         smaller_h = new_h.select(F.col("doc").alias("doc2"), "h")
         batch_exact = (
             new_h.alias("a")
@@ -327,8 +331,8 @@ def _incremental_verdicts(
     near_ids = near_ids.distinct().withColumn("is_near", F.lit(1))
     return (
         new.select(F.col(id_col).alias("doc"))
-        .join(F.broadcast(exact_ids), "doc", "left")
-        .join(F.broadcast(near_ids), "doc", "left")
+        .join(hint(exact_ids), "doc", "left")
+        .join(hint(near_ids), "doc", "left")
         .select(
             "doc",
             F.when(F.col("is_exact") == 1, "exact")
@@ -345,7 +349,7 @@ def incremental_dedup(
     id_col: str,
     text_col: str,
     within_batch: bool = False,
-    self_probe_broadcast: bool = True,
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """Dedup an INCOMING batch against an existing corpus index — the
     every-ingest operation of a continuously-growing 100 TB corpus, where
@@ -379,7 +383,7 @@ def incremental_dedup(
     idx_bands = band_rows(minhash_signatures(index, id_col, text_col))
     return _incremental_verdicts(
         new, id_col, text_col, idx_digests, idx_bands, within_batch,
-        self_probe_broadcast,
+        hint_broadcast,
     )
 
 
@@ -389,19 +393,19 @@ def incremental_dedup_indexed(
     id_col: str,
     text_col: str,
     within_batch: bool = False,
-    self_probe_broadcast: bool = True,
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """`incremental_dedup` with the index side read from a persisted
     :class:`~.signature_index.SignatureIndex` instead of derived in-query:
     the O(index text) signature recompute disappears from every ingest —
     the batch only probes the stored digest and band tables, which is the
     100 TB contract (the corpus is never rescanned after acceptance).
-    ``self_probe_broadcast=False`` drops the within-batch broadcast hint
+    ``hint_broadcast=False`` drops the within-batch broadcast hint
     for batches past SELF_PROBE_BROADCAST_MAX_ROWS (see
     `_incremental_verdicts`)."""
     return _incremental_verdicts(
         new, id_col, text_col, sig_index.digests(), sig_index.bands(), within_batch,
-        self_probe_broadcast,
+        hint_broadcast,
     )
 
 

@@ -7,11 +7,16 @@ it never re-derives centroids or re-assigns the corpus per query. This
 class persists exactly those two tables:
 
 - ``centroids``: (cid, cv) — frozen at build time
-- ``lists``    : (neighbor_id, cid, nv, nv_c8: array<tinyint>, nv_n8) —
-  the inverted lists, appended per accepted vector batch. Each row
-  carries BOTH the float vector (exact re-rank store) and its int8 code
-  + code norm (`similarity.with_int8_code` convention, persisted as
-  genuine array<tinyint> — 1/4 the bytes of float32).
+- ``lists``    : (neighbor_id, nv, nv_c8: array<tinyint>, nv_n8),
+  PARTITIONED BY cid (``lists/batch=N/cid=K/``) — the inverted lists,
+  appended per accepted vector batch. Each row carries BOTH the float
+  vector (exact re-rank store) and its int8 code + code norm
+  (`similarity.with_int8_code` convention, persisted as genuine
+  array<tinyint> — 1/4 the bytes of float32). cid-as-partition-column
+  is the physical meaning of "inverted list": a probe joining on cid
+  against a broadcast probe set dynamically PRUNES the unprobed lists'
+  files — the scan touches nprobe/K of the corpus, instead of reading
+  everything and discarding rows in the join.
 
 Layout and commit protocol mirror `signature_index.SignatureIndex`:
 append-only ``lists/batch=<label>/`` directories committed by atomic
@@ -44,6 +49,7 @@ from .similarity import (
     INT8_CAND,
     IVF_K,
     IVF_NPROBE,
+    _with_int8,
     assign_top1,
     assign_topn,
     cosine,
@@ -51,6 +57,13 @@ from .similarity import (
     ivf_probe_topk,
     with_int8_code,
 )
+
+# Broadcast gate for streaming vector probes: |batch|·nprobe probe rows
+# each carrying a full d-dim float vector cross the wire when the hint is
+# on — at d=768 and nprobe=2 this cap is ~2.4 GB of vectors. Size to the
+# deployment's broadcast budget; past it, start_vector_ingest drops the
+# hint and lets Spark plan the joins.
+PROBE_BROADCAST_MAX_ROWS = 500_000
 
 _MARKER_RE = re.compile(r"^_batch_([A-Za-z0-9]+)_done$")
 
@@ -94,19 +107,25 @@ class IvfIndex:
         `kmeans_centroids`-trained frame as ``centroids`` for the
         production quantizer — every downstream plan is unchanged.
         """
-        if self.is_built():
-            raise RuntimeError(f"IVF index at {self.base_dir!r} is already built")
         cents = centroids
         if cents is None:
             cents = corpus.where(F.col(id_col) < n_centroids).select(
                 F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
             )
+        # ONE lock scope around guard + centroid commit + corpus append:
+        # checking is_built outside the lock (or releasing between the two
+        # writes) would let two concurrent build() calls both pass the
+        # guard and double-store the corpus.
         with index_write_lock(self.base_dir):
+            if self.is_built():
+                raise RuntimeError(
+                    f"IVF index at {self.base_dir!r} is already built"
+                )
             cents.write.mode("overwrite").parquet(
                 os.path.join(self.base_dir, "centroids")
             )
             self._commit_marker("_built")
-        self.append(corpus, id_col, vec_col)
+            self._append_locked(corpus, id_col, vec_col, batch_no=None)
 
     def append(
         self,
@@ -125,27 +144,38 @@ class IvfIndex:
         if not self.is_built():
             raise RuntimeError("build() the index before appending")
         with index_write_lock(self.base_dir):
-            committed = self.committed_batches()
-            if batch_no is None:
-                ints = [int(b) for b in committed if b.isdigit()]
-                n = str(max(ints) + 1) if ints else "0"
-            else:
-                n = str(batch_no)
-                if not n.isalnum():
-                    raise ValueError(f"batch label must be alphanumeric, got {n!r}")
-                if n in committed:
-                    return n  # epoch replay: already committed
-            inv = assign_top1(
-                vectors, self.centroids(), id_col, vec_col, "neighbor_id"
-            ).withColumnRenamed("_v", "nv")
-            inv = with_int8_code(inv, "nv", "nv").withColumn(
-                "nv_c8", F.transform("nv_c8", lambda x: x.cast("tinyint"))
-            )
-            inv.write.mode("overwrite").parquet(
-                os.path.join(self.base_dir, "lists", f"batch={n}")
-            )
-            self._commit_marker(f"_batch_{n}_done")
-            return n
+            return self._append_locked(vectors, id_col, vec_col, batch_no)
+
+    def _append_locked(
+        self,
+        vectors: DataFrame,
+        id_col: str,
+        vec_col: str,
+        batch_no: int | str | None,
+    ) -> str:
+        """append() body; caller holds the write lock (build() reuses this
+        inside its own single lock scope — the lock is not reentrant)."""
+        committed = self.committed_batches()
+        if batch_no is None:
+            ints = [int(b) for b in committed if b.isdigit()]
+            n = str(max(ints) + 1) if ints else "0"
+        else:
+            n = str(batch_no)
+            if not n.isalnum():
+                raise ValueError(f"batch label must be alphanumeric, got {n!r}")
+            if n in committed:
+                return n  # epoch replay: already committed
+        inv = assign_top1(
+            vectors, self.centroids(), id_col, vec_col, "neighbor_id"
+        ).withColumnRenamed("_v", "nv")
+        inv = with_int8_code(inv, "nv", "nv").withColumn(
+            "nv_c8", F.transform("nv_c8", lambda x: x.cast("tinyint"))
+        )
+        inv.write.mode("overwrite").partitionBy("cid").parquet(
+            os.path.join(self.base_dir, "lists", f"batch={n}")
+        )
+        self._commit_marker(f"_batch_{n}_done")
+        return n
 
     # -- compaction ---------------------------------------------------------
     def compact(self) -> str | None:
@@ -164,7 +194,7 @@ class IvfIndex:
                 return committed[0] if committed else None
             ints = [int(b) for b in committed if b.isdigit()]
             n = str(max(ints) + 1) if ints else "0"
-            self.lists().write.mode("overwrite").parquet(
+            self.lists().write.mode("overwrite").partitionBy("cid").parquet(
                 os.path.join(self.base_dir, "lists", f"batch={n}")
             )
             self._commit_marker(f"_batch_{n}_done")
@@ -183,13 +213,23 @@ class IvfIndex:
         return self.spark.read.parquet(os.path.join(self.base_dir, "centroids"))
 
     def lists(self) -> DataFrame:
+        """Union of the committed list batches. Each batch dir is read
+        under its own basePath so the cid= partition dirs resolve per
+        batch (a single multi-path read trips Spark's conflicting-
+        directory check). Post-compaction this is ONE partitioned scan —
+        the case where a probe's broadcast cid join dynamically prunes
+        unprobed lists; pre-compaction unions prune per-scan at best,
+        one more reason compact() exists."""
+        from functools import reduce
+
         paths = [
             os.path.join(self.base_dir, "lists", f"batch={n}")
             for n in self.committed_batches()
         ]
         if not paths:
             raise RuntimeError("IVF index has no committed list batches")
-        return self.spark.read.parquet(*paths)
+        dfs = [self.spark.read.option("basePath", p).parquet(p) for p in paths]
+        return reduce(lambda a, b: a.unionByName(b), dfs)
 
     # -- search -------------------------------------------------------------
     def topk(
@@ -216,6 +256,7 @@ class IvfIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         within_batch: bool = True,
+        broadcast_probes: bool = True,
     ) -> DataFrame:
         """Near-duplicate verdict per incoming vector — the embedding twin
         of `dedup._incremental_verdicts`: 'near' if any stored vector in
@@ -225,14 +266,21 @@ class IvfIndex:
 
         Probe direction mirrors the text index: the stored lists are
         scanned once and joined against a BROADCAST of the batch's probes
-        — output bounded by candidates, the index never shuffled. Returns
-        (vec, verdict)."""
+        — output bounded by candidates, the index never shuffled, and the
+        broadcast cid join enables dynamic partition pruning of the
+        cid-partitioned lists. The probe rows carry full float vectors
+        (|batch|·nprobe of them), so callers gate the hint on batch size
+        (``broadcast_probes=False`` — start_vector_ingest counts each
+        trigger against PROBE_BROADCAST_MAX_ROWS) and oversized batches
+        degrade to Spark-planned joins instead of dying at the broadcast
+        limit. Returns (vec, verdict)."""
+        hint = F.broadcast if broadcast_probes else (lambda df: df)
         probes = assign_topn(
             batch, self.centroids(), nprobe, id_col, vec_col, "vid"
         )
         lists = self.lists().select("neighbor_id", "cid", "nv")
         near = (
-            lists.join(F.broadcast(probes), "cid")
+            lists.join(hint(probes), "cid")
             .where(cosine(F.col("_v"), F.col("nv")) >= threshold)
             .select("vid")
         )
@@ -240,7 +288,7 @@ class IvfIndex:
             b1 = assign_top1(batch, self.centroids(), id_col, vec_col, "vid2")
             batch_near = (
                 probes.join(
-                    F.broadcast(b1.withColumnRenamed("_v", "bv")), "cid"
+                    hint(b1.withColumnRenamed("_v", "bv")), "cid"
                 )
                 .where(
                     (F.col("vid2") < F.col("vid"))
@@ -252,7 +300,7 @@ class IvfIndex:
         near = near.distinct().withColumn("is_near", F.lit(1))
         return (
             batch.select(F.col(id_col).alias("vec"))
-            .join(F.broadcast(near.withColumnRenamed("vid", "vec")), "vec", "left")
+            .join(hint(near.withColumnRenamed("vid", "vec")), "vec", "left")
             .select(
                 "vec",
                 F.when(F.col("is_near") == 1, "near")
@@ -284,11 +332,15 @@ class IvfIndex:
         (a vector visible in two batches during a compaction crash window
         scores identically; max() is just the fold), like `ivf_probe_topk`.
         """
-        probes = with_int8_code(
-            assign_topn(queries, self.centroids(), nprobe, id_col, vec_col, "query_id"),
-            "_v",
-            "q",
-        ).select("query_id", "cid", "q_c8", "q_n8")
+        # Query codes are computed ONCE per query and joined onto the
+        # nprobe probe rows (computing them after assign_topn would run
+        # the floor/scale transform nprobe times per query).
+        q8 = _with_int8(queries, "query_id", id_col, vec_col)
+        probes = (
+            assign_topn(queries, self.centroids(), nprobe, id_col, vec_col, "query_id")
+            .select("query_id", "cid")
+            .join(q8, "query_id")
+        )
         codes = self.lists().select(
             "neighbor_id",
             "cid",
@@ -301,13 +353,14 @@ class IvfIndex:
             .select(
                 "query_id",
                 "neighbor_id",
+                "cid",
                 (
-                    dot8("q_c8", "n_c8").cast("double")
-                    / (F.col("q_n8") * F.col("nv_n8"))
+                    dot8("query_id_c8", "n_c8").cast("double")
+                    / (F.col("query_id_n8") * F.col("nv_n8"))
                 ).alias("approx"),
             )
             .groupBy("query_id", "neighbor_id")
-            .agg(F.max("approx").alias("approx"))
+            .agg(F.max("approx").alias("approx"), F.max("cid").alias("cid"))
         )
         wc = F.row_number().over(
             Window.partitionBy("query_id").orderBy(
@@ -317,12 +370,16 @@ class IvfIndex:
         cands = (
             scored.withColumn("crank", wc)
             .where(F.col("crank") <= cand)
-            .select("query_id", "neighbor_id")
+            .select("query_id", "neighbor_id", "cid")
         )
         qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-        nv = self.lists().select("neighbor_id", "nv")
+        # The re-rank joins on (cid, neighbor_id): cid is the lists'
+        # PARTITION column, so the broadcast join dynamically prunes the
+        # float-column scan to the probed lists — the survivors' point
+        # read the docstring promises, not a second full-corpus pass.
+        nv = self.lists().select("neighbor_id", "cid", "nv")
         rer = (
-            nv.join(F.broadcast(cands), "neighbor_id")
+            nv.join(F.broadcast(cands), ["cid", "neighbor_id"])
             .join(F.broadcast(qv), "query_id")
             .select(
                 "query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("sim")

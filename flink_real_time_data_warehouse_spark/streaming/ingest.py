@@ -32,7 +32,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..datapipe.dedup import SELF_PROBE_BROADCAST_MAX_ROWS, incremental_dedup_indexed
+from ..datapipe.dedup import (
+    LSH_BANDS,
+    SELF_PROBE_BROADCAST_MAX_ROWS,
+    incremental_dedup_indexed,
+)
 from ..datapipe.quality import text_quality
 from .router import _idempotent_append
 
@@ -65,13 +69,16 @@ def start_ingest(
     def on_batch(batch: DataFrame, epoch: int) -> None:
         batch = batch.persist()
         try:
-            # Count the (persisted) batch once to gate the within-batch
-            # self-probe broadcast: an oversized trigger degrades to a
-            # shuffled self-join instead of failing at the broadcast limit.
-            small = batch.count() <= SELF_PROBE_BROADCAST_MAX_ROWS
+            # Count the (persisted) batch once to gate every batch-derived
+            # broadcast hint: the largest broadcast side is the batch's
+            # BAND rows (|batch| x LSH_BANDS), so that's what counts
+            # against the cap. An oversized trigger degrades to
+            # Spark-planned joins instead of failing at the broadcast
+            # limit.
+            small = batch.count() * LSH_BANDS <= SELF_PROBE_BROADCAST_MAX_ROWS
             verdicts = incremental_dedup_indexed(
                 sig_index, batch, id_col, text_col,
-                within_batch=True, self_probe_broadcast=small,
+                within_batch=True, hint_broadcast=small,
             )
             q = text_quality(batch, id_col, text_col).select(
                 F.col(id_col).alias("doc"), F.col("quality_score")
@@ -108,6 +115,7 @@ def start_vector_ingest(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int | None = None,
     compact_every: int | None = None,
 ):
     """The vector twin of `start_ingest` — proves the dual-idempotent-
@@ -124,11 +132,24 @@ def start_vector_ingest(
     batch's probes against the stored lists (the index is never shuffled),
     one O(batch) assignment for the append."""
 
+    from ..datapipe.similarity import IVF_NPROBE
+
+    n_probe = IVF_NPROBE if nprobe is None else nprobe
+
     def on_batch(batch: DataFrame, epoch: int) -> None:
+        from ..datapipe.ivf_index import PROBE_BROADCAST_MAX_ROWS
+
         batch = batch.persist()
         try:
+            # Gate the probe broadcast on the trigger size (one count over
+            # the persisted batch): the probe rows carry full float
+            # vectors, so an oversized trigger degrades to Spark-planned
+            # joins instead of dying at the broadcast limit — the vector
+            # twin of the text funnel's self-probe gate.
+            small = batch.count() * n_probe <= PROBE_BROADCAST_MAX_ROWS
             v = ivf_index.near_verdicts(
-                batch, threshold, id_col=id_col, vec_col=vec_col, within_batch=True
+                batch, threshold, nprobe=n_probe, id_col=id_col, vec_col=vec_col,
+                within_batch=True, broadcast_probes=small,
             )
             ok = v.where(F.col("verdict") == "keep").select(F.col("vec").alias(id_col))
             accepted = batch.join(ok, id_col, "left_semi")

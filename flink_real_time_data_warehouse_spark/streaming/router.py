@@ -100,27 +100,39 @@ class RouterLock:
             return None  # gone, or torn write from a crashed owner => stale
 
     def acquire(self) -> "RouterLock":
+        """Take ownership, or raise SinkLockError if a LIVE owner holds it.
+
+        The whole read-owner/decide/steal sequence runs under an OS-level
+        flock on a sidecar guard file: without it, two processes that both
+        observe a dead owner both "win" the steal (each os.replace
+        succeeds) and run concurrently — the exact corruption the lock
+        exists to prevent. flock serializes acquirers on one host (the
+        documented scope of this hand-rolled sink) and auto-releases if an
+        acquirer dies mid-decision."""
+        import fcntl
+
         os.makedirs(self.base_dir, exist_ok=True)
         payload = json.dumps({"pid": os.getpid(), "token": self.token})
+        guard = os.open(self.path + ".guard", os.O_CREAT | os.O_RDWR)
         try:
-            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            fcntl.flock(guard, fcntl.LOCK_EX)
+            owner = self._read_owner()
+            if owner is not None and self._pid_alive(int(owner.get("pid", -1))):
+                if owner.get("token") == self.token:
+                    return self  # re-acquire by the current owner: no-op
+                raise SinkLockError(
+                    f"sink {self.base_dir!r} is owned by a live router "
+                    f"(pid {owner['pid']}); refusing a second concurrent writer"
+                )
+            # free, or stale (owner crashed): take it atomically
+            fd, tmp = tempfile.mkstemp(dir=self.base_dir, prefix="_lock_")
             with os.fdopen(fd, "w") as f:
                 f.write(payload)
+            os.replace(tmp, self.path)
             return self
-        except FileExistsError:
-            pass
-        owner = self._read_owner()
-        if owner is not None and self._pid_alive(int(owner.get("pid", -1))):
-            raise SinkLockError(
-                f"sink {self.base_dir!r} is owned by a live router "
-                f"(pid {owner['pid']}); refusing a second concurrent writer"
-            )
-        # stale (owner crashed): steal atomically
-        fd, tmp = tempfile.mkstemp(dir=self.base_dir, prefix="_lock_")
-        with os.fdopen(fd, "w") as f:
-            f.write(payload)
-        os.replace(tmp, self.path)
-        return self
+        finally:
+            fcntl.flock(guard, fcntl.LOCK_UN)
+            os.close(guard)
 
     def check(self) -> None:
         """Fence: raise unless this instance still owns the sink."""

@@ -735,13 +735,10 @@ def _ingest_stream_oracle(n_epochs: int = INGEST_STREAM_EPOCHS) -> str:
 def ingest_pipeline_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
-    import time
-
-    from pyspark.sql import Window
 
     from ..datapipe.signature_index import SignatureIndex
     from ..plans.datapipe import INC_NEW_MOD
-    from ..sources.streams import stream_dir
+    from ..sources.streams import stream_dir, write_epoch_files
     from .ingest import start_ingest
 
     docs = table(spark, sf_dir, "documents")
@@ -753,28 +750,11 @@ def ingest_pipeline_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx.append(index_docs, "doc_id", "text")
 
     # Deterministic arrival order: epoch e = e-th ntile of ascending doc_id
-    # (matches the oracle's nd CTE exactly; the global window is fixture
-    # scaffolding, not part of the graded streaming plan). One file per
-    # epoch, mtimes ascending, so maxFilesPerTrigger=1 replays them in order.
-    splits = os.path.join(work, "splits")
-    os.makedirs(splits)
-    epochs = new.withColumn(
-        "epoch", F.ntile(INGEST_STREAM_EPOCHS).over(Window.orderBy("doc_id"))
+    # (matches the oracle's nd CTE exactly); one file per epoch, mtimes
+    # ascending, so maxFilesPerTrigger=1 replays them in order.
+    splits = write_epoch_files(
+        new, "doc_id", INGEST_STREAM_EPOCHS, os.path.join(work, "splits"), work
     )
-    base = time.time() - INGEST_STREAM_EPOCHS * 10
-    for e in range(1, INGEST_STREAM_EPOCHS + 1):
-        tmp = os.path.join(work, f"tmp{e}")
-        epochs.where(F.col("epoch") == e).drop("epoch").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        part = next(
-            f for f in os.listdir(tmp)
-            if f.startswith("part-") and f.endswith(".parquet")
-        )
-        dst = os.path.join(splits, f"epoch{e}.parquet")
-        os.rename(os.path.join(tmp, part), dst)
-        os.utime(dst, (base + e * 10, base + e * 10))
-
     stream = stream_dir(spark, splits, "doc_id long, text string", max_files_per_trigger=1)
     accepted_dir = os.path.join(work, "accepted")
     q = start_ingest(stream, idx, accepted_dir, os.path.join(work, "ckpt"))
@@ -782,7 +762,7 @@ def ingest_pipeline_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(accepted_dir).select("doc_id")
 
 
-VEC_NEW_MOD = 4  # embeddings fixture split: vec_id % 4 == 0 streams in
+from ..plans.datapipe import INC_NEW_MOD as VEC_NEW_MOD  # same new-vs-index split rule, applied to the embeddings fixture
 
 
 def _ann_ingest_oracle(n_epochs: int = INGEST_STREAM_EPOCHS) -> str:
@@ -865,13 +845,10 @@ def _ann_ingest_oracle(n_epochs: int = INGEST_STREAM_EPOCHS) -> str:
 def ann_ingest_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
-    import time
-
-    from pyspark.sql import Window
 
     from ..datapipe.ivf_index import IvfIndex
     from ..plans.datapipe import COSINE_THRESHOLD
-    from ..sources.streams import stream_dir
+    from ..sources.streams import stream_dir, write_epoch_files
     from .ingest import start_vector_ingest
 
     emb = table(spark, sf_dir, "embeddings")
@@ -882,25 +859,9 @@ def ann_ingest_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = IvfIndex(spark, os.path.join(work, "ivf"))
     idx.build(corpus)
 
-    splits = os.path.join(work, "splits")
-    os.makedirs(splits)
-    epochs = new.withColumn(
-        "epoch", F.ntile(INGEST_STREAM_EPOCHS).over(Window.orderBy("vec_id"))
+    splits = write_epoch_files(
+        new, "vec_id", INGEST_STREAM_EPOCHS, os.path.join(work, "splits"), work
     )
-    base = time.time() - INGEST_STREAM_EPOCHS * 10
-    for e in range(1, INGEST_STREAM_EPOCHS + 1):
-        tmp = os.path.join(work, f"tmp{e}")
-        epochs.where(F.col("epoch") == e).drop("epoch").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        part = next(
-            f for f in os.listdir(tmp)
-            if f.startswith("part-") and f.endswith(".parquet")
-        )
-        dst = os.path.join(splits, f"epoch{e}.parquet")
-        os.rename(os.path.join(tmp, part), dst)
-        os.utime(dst, (base + e * 10, base + e * 10))
-
     stream = stream_dir(
         spark, splits, "vec_id long, embedding array<float>", max_files_per_trigger=1
     )

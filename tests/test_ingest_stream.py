@@ -288,22 +288,9 @@ def test_vector_ingest_replay_idempotent(spark, tmp_path):
     idx = IvfIndex(spark, str(tmp_path / "ivf"))
     idx.build(corpus)
 
-    bounds = new.agg(F.min("vec_id"), F.max("vec_id")).collect()[0]
-    cut = bounds[0] + (bounds[1] - bounds[0]) // 2
-    batches = [new.where(F.col("vec_id") <= cut), new.where(F.col("vec_id") > cut)]
-    src = str(tmp_path / "src")
-    os.makedirs(src)
-    base = time.time() - 100
-    for i, b in enumerate(batches):
-        tmp = str(tmp_path / f"tmp{i}")
-        b.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(
-            f for f in os.listdir(tmp)
-            if f.startswith("part-") and f.endswith(".parquet")
-        )
-        dst = os.path.join(src, f"epoch{i}.parquet")
-        os.rename(os.path.join(tmp, part), dst)
-        os.utime(dst, (base + i * 10, base + i * 10))
+    from flink_real_time_data_warehouse_spark.sources.streams import write_epoch_files
+
+    src = write_epoch_files(new, "vec_id", 2, str(tmp_path / "src"), str(tmp_path))
     stream = (
         spark.readStream.format("parquet")
         .schema("vec_id long, embedding array<float>")

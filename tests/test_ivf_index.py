@@ -233,3 +233,29 @@ def test_build_with_trained_kmeans_centroids(spark, tmp_path):
     ).withColumnRenamed("_v", "qv")
     want = _rows(ivf_probe_topk(probes, inv, 5))
     assert got == want and len(got) == 10 * 5
+
+
+def test_probe_scans_dynamically_prune_unprobed_lists(spark, tmp_path):
+    """cid is the lists' PARTITION column, so a (compacted) probe plan
+    must carry a dynamic-partition-pruning filter on every lists scan —
+    the physical meaning of 'inverted list': unprobed lists' files are
+    skipped, not read-and-discarded. Checked on both the flat probe and
+    both stages of the quantized probe."""
+    emb = table(spark, TEST_SF_DIR, "embeddings").limit(100)
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    idx.build(emb)
+    queries = emb.where(F.col("vec_id") < 3)
+
+    for df in (idx.topk(queries, k=5), idx.topk_quantized(queries, k=5)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # lists scans are the FileScans projecting neighbor_id (the
+        # centroid and query scans project cid/cv and vec_id/embedding);
+        # matching on the path would break under truncated plan strings.
+        list_scans = [
+            line for line in plan.splitlines()
+            if "FileScan" in line and "neighbor_id" in line
+        ]
+        assert list_scans, plan
+        assert all("dynamicpruningexpression(" in line for line in list_scans), (
+            "a lists scan lost dynamic partition pruning:\n" + "\n".join(list_scans)
+        )

@@ -191,8 +191,8 @@ def test_append_refuses_second_live_writer(spark, tmp_path):
     assert not os.path.exists(os.path.join(idx.base_dir, RouterLock.FILENAME))
 
 
-def test_self_probe_broadcast_gate_keeps_verdicts(spark, tmp_path):
-    """self_probe_broadcast=False (the oversized-batch fallback) must
+def test_hint_broadcast_gate_keeps_verdicts(spark, tmp_path):
+    """hint_broadcast=False (the oversized-batch fallback) must
     produce identical verdicts via the shuffled self-join path, and the
     optimized plan must carry no within-batch broadcast hint."""
     docs = table(spark, TEST_SF_DIR, "documents")
@@ -202,7 +202,7 @@ def test_self_probe_broadcast_gate_keeps_verdicts(spark, tmp_path):
 
     hinted = incremental_dedup_indexed(idx, new, "doc_id", "text", within_batch=True)
     shuffled = incremental_dedup_indexed(
-        idx, new, "doc_id", "text", within_batch=True, self_probe_broadcast=False
+        idx, new, "doc_id", "text", within_batch=True, hint_broadcast=False
     )
     assert _verdicts(hinted) == _verdicts(shuffled)
     opt_h = hinted._jdf.queryExecution().optimizedPlan().toString()
