@@ -104,6 +104,7 @@ HEADLINE = [
     "frame_sample",
     "audio_chunks",
     "kmeans_centroids",
+    "semantic_dedup",
     "curation_pipeline",
     # streaming twins: full micro-batch replay wall time (state store +
     # shuffle-per-trigger regressions become visible round-over-round)

@@ -140,6 +140,20 @@ def test_embedding_pairs_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan, f"nested-loop reappeared:\n{plan}"
 
 
+def test_semantic_dedup_pairs_join_on_cluster(spark):
+    """SemDeDup's pair comparison must stay cluster-scoped: the self-join
+    keys on cid (hash/sort-merge), never a corpus-level cartesian. The only
+    nested-loop allowed is the broadcast of the k tiny centroids for the
+    assignment scan."""
+    df = registry()["semantic_dedup"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, f"all-pairs plan:\n{plan}"
+    # exactly the two centroid-assignment scans may broadcast-nested-loop
+    # (k rows); the pair join itself must be keyed
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
 def test_kafka_plan_construction(spark):
     """S1/K1/K2 wrappers build valid plans/writers (connector jar absent, so
     no start); K2's per-row topic column is present for dynamic routing."""

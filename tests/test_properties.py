@@ -150,6 +150,39 @@ def test_sign_lsh_hot_bucket_cap_bounds_candidates(spark_global):
     assert len(uncapped) == 1 + 40 * 39 // 2
 
 
+def test_semantic_dedup_keeps_edge_examples(spark_global):
+    """SemDeDup keep rule: of each within-cluster similar pair, the member
+    NEARER its centroid is dropped (edge examples preserve diversity) and
+    pairs are only ever compared inside their own cluster."""
+    from flink_real_time_data_warehouse_spark.datapipe.similarity import semantic_dedup
+
+    spark = spark_global
+    c0 = [1.0] * 32 + [0.0] * 32
+    c1 = [0.0] * 32 + [1.0] * 32
+    rows = [
+        Row(vec_id=0, embedding=c0),  # centroid 0, cs=1.0
+        Row(vec_id=1, embedding=c1),  # centroid 1, cs=1.0
+        Row(vec_id=10, embedding=[1.0] * 32 + [0.1] * 32),  # cluster 0, central
+        Row(vec_id=11, embedding=[1.0] * 32 + [0.2] * 32),  # cluster 0, edge
+        Row(vec_id=20, embedding=[0.1] * 32 + [1.0] * 32),  # cluster 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: (r["cid"], r["verdict"])
+        for r in semantic_dedup(emb, 0.99, k=2).collect()
+    }
+    # sims: (0,10)=.9951 (10,11)=.9954 (1,20)=.9951 all >= .99; (0,11)=.981 < .99.
+    # Each pair drops its more-central member: 0 (cs 1.0 > 10's), 10
+    # (cs .9951 > 11's .981), 1 (cs 1.0 > 20's). Edge members 11 and 20 survive.
+    assert out == {
+        0: (0, "drop"),
+        10: (0, "drop"),
+        11: (0, "keep"),
+        1: (1, "drop"),
+        20: (1, "keep"),
+    }, out
+
+
 @pytest.fixture(scope="session")
 def spark_global(spark):
     return spark
