@@ -77,3 +77,44 @@ def sql_province_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
         """
     )
+
+
+# One SQL text valid in both engines (engine-neutral subset): the TPC-H Q17
+# shape — a CORRELATED scalar subquery per lineitem row. The graded surface
+# here is Catalyst's decorrelation: the analyzer rewrites the per-row
+# subquery into a per-partkey aggregate joined back on the correlation key
+# (one shuffle agg + one join, never a per-row re-scan). The 0.2*avg bound
+# is computed as sum/count over integral-valued quantity doubles, so both
+# engines evaluate the identical IEEE expression and the boundary cannot
+# flip between them; money flows as integer cents (sum/700.0 = the Q17
+# avg_yearly convention over 7 years).
+_SMALL_QTY_SQL = """
+    SELECT p.p_brand,
+           count(*) AS small_lines,
+           coalesce(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)), 0)
+             / CAST(700.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand IN ('Brand#21', 'Brand#22', 'Brand#23')
+      AND l.l_quantity < (SELECT 0.2 * sum(l2.l_quantity) / count(*)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY p.p_brand
+"""
+
+
+@register(
+    "small_qty_revenue",
+    oracle=_SMALL_QTY_SQL,
+    doc=(
+        "TPC-H Q17 shape: correlated scalar subquery (per-part 20%-of-avg "
+        "quantity bound) — exercises Catalyst decorrelation into a "
+        "per-partkey aggregate + join on the correlation key. Scale note: "
+        "the decorrelated agg runs over the full lineitem before the brand "
+        "filter prunes partkeys (the Catalyst rewrite is key-complete); a "
+        "hand-shaped plan would semi-join lineitem to the filtered parts "
+        "first — the trade between declared and hand-optimized is the "
+        "point of grading the SQL surface"
+    ),
+)
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_SMALL_QTY_SQL)

@@ -59,7 +59,7 @@ _GRADE_FIRST: list[str] = [
     # queries whose vendored lexicon grew this round.
     "ann_ivf_quantized_topk", "ann_ingest_stream",
     "dedup_minhash_capped", "embedding_cosine_pairs_capped",
-    "semantic_dedup",
+    "semantic_dedup", "small_qty_revenue",
     "ingest_pipeline_stream", "keyword_stats_dict",
     "keyword_stats_dict_stream",
     # Freshest driver row is r3 — regrade, least-stable families first

@@ -154,6 +154,17 @@ def test_semantic_dedup_pairs_join_on_cluster(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
 
 
+def test_correlated_subquery_decorrelated(spark):
+    """The Q17-shape correlated scalar subquery must be rewritten by
+    Catalyst into a per-partkey aggregate + equi-join — no per-row subquery
+    execution nodes, no cartesian."""
+    df = registry()["small_qty_revenue"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    assert "Subquery" not in plan, f"undecorrelated subquery survived:\n{plan}"
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan and "Join" in plan
+
+
 def test_kafka_plan_construction(spark):
     """S1/K1/K2 wrappers build valid plans/writers (connector jar absent, so
     no start); K2's per-row topic column is present for dynamic routing."""
