@@ -462,10 +462,14 @@ def cluster_assignments(
     return best.select(id_col, F.col("b.cid").alias("cid"))
 
 
+SEMDEDUP_MIN_K = 8  # floor for the adaptive cluster count
+SEMDEDUP_RATIO = 250  # adaptive k = max(MIN_K, n // RATIO) -> cost O(RATIO * n)
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float,
-    k: int = IVF_K,
+    k: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -490,15 +494,29 @@ def semantic_dedup(
     argmax), then ONE shuffle by cid for the within-cluster self-join —
     O(sum |cluster|^2) comparisons, which is n^2/k for balanced clusters;
     the paper's guard is k itself (scale k with the corpus — 50k clusters
-    for LAION — and the per-cluster work stays bounded). A skewed hot
-    cluster is AQE skew-join territory, same as any keyed self-join.
+    for LAION — and the per-cluster work stays bounded). With k=None
+    (default) that guidance is built in: k = max(8, n // SEMDEDUP_RATIO)
+    computed IN-PLAN (a 1-row count broadcast, no driver action), making
+    the pair cost O(SEMDEDUP_RATIO * n) — linear — at any corpus size. A
+    skewed hot cluster is AQE skew-join territory, same as any keyed
+    self-join.
 
     Returns (id, cid, verdict) with verdict in {'keep', 'drop'}.
     """
     emb = corpus.select(F.col(id_col), quantized(F.col(vec_col)).alias("q"))
-    cents = emb.where(F.col(id_col) < k).select(
-        F.col(id_col).alias("cid"), F.col("q").alias("cq")
-    )
+    if k is None:
+        k_col = F.greatest(
+            F.lit(SEMDEDUP_MIN_K), F.floor(F.col("_n") / SEMDEDUP_RATIO)
+        )
+        cents = (
+            emb.crossJoin(F.broadcast(emb.agg(F.count("*").alias("_n"))))
+            .where(F.col(id_col) < k_col)
+            .select(F.col(id_col).alias("cid"), F.col("q").alias("cq"))
+        )
+    else:
+        cents = emb.where(F.col(id_col) < k).select(
+            F.col(id_col).alias("cid"), F.col("q").alias("cq")
+        )
     scored = emb.crossJoin(F.broadcast(cents)).select(
         id_col, "cid", qcosine(F.col("q"), F.col("cq")).alias("cs"), "q"
     )
@@ -514,20 +532,29 @@ def semantic_dedup(
             )
         ).alias("b")
     )
+    # Per-member self-norm precomputed ONCE (|members| dot products), so
+    # the pair condition below runs a single qdot per candidate pair
+    # instead of three — identical arithmetic to qcosine (exact long dots,
+    # double casts before the product).
     m = best.select(
         id_col,
         F.col("b.cid").alias("cid"),
         F.col("b.s").alias("cs"),
         F.col("b.q").alias("q"),
-    )
+    ).withColumn("nq", qdot(F.col("q"), F.col("q")).cast("double"))
     x = m.select(
         F.col(id_col).alias("ia"),
         F.col("cid").alias("cida"),
         F.col("cs").alias("csa"),
         F.col("q").alias("qa"),
+        F.col("nq").alias("na"),
     )
     y = m.select(
-        F.col(id_col).alias("ib"), "cid", F.col("cs").alias("csb"), F.col("q").alias("qb")
+        F.col(id_col).alias("ib"),
+        "cid",
+        F.col("cs").alias("csb"),
+        F.col("q").alias("qb"),
+        F.col("nq").alias("nb"),
     )
     # One right-outer cluster self-join carries the whole keep rule, so the
     # assignment subtree is evaluated exactly twice (the two join sides) —
@@ -539,7 +566,7 @@ def semantic_dedup(
     beats = (
         (F.col("cida") == F.col("cid"))
         & (F.col("ia") != F.col("ib"))
-        & (qcosine(F.col("qa"), F.col("qb")) >= threshold)
+        & (qdot(F.col("qa"), F.col("qb")) / F.sqrt(F.col("na") * F.col("nb")) >= threshold)
         & (
             (F.col("csa") < F.col("csb"))
             | ((F.col("csa") == F.col("csb")) & (F.col("ia") < F.col("ib")))

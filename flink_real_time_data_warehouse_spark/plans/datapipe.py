@@ -40,6 +40,8 @@ from ..datapipe.curation import (
 from ..datapipe.multimodal import assets_from_documents, decode_assets
 from ..datapipe.quality import EN_STOPWORDS, fingerprints, lang_id, text_quality, token_counts
 from ..datapipe.similarity import (
+    SEMDEDUP_MIN_K,
+    SEMDEDUP_RATIO,
     SIGN_BUCKET_CAP,
     cosine_topk,
     sign_lsh_near_dup_pairs,
@@ -804,16 +806,16 @@ def embedding_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SEMDEDUP_K = 8  # clusters for the graded SemDeDup run (paper: k scales with n)
-
-
 @register(
     "semantic_dedup",
     oracle=f"""
     WITH emb AS (SELECT vec_id AS vid, list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS q
                  FROM embeddings),
-    c0 AS (SELECT vid AS cid, q AS cq FROM emb WHERE vid < {SEMDEDUP_K}),
+    c0 AS (SELECT vid AS cid, q AS cq FROM emb
+           WHERE vid < (SELECT greatest({SEMDEDUP_MIN_K},
+                          CAST(floor(count(*) / {SEMDEDUP_RATIO}.0) AS BIGINT))
+                        FROM emb)),
     s AS (SELECT e.vid, c.cid,
             list_dot_product(e.q, c.cq)
               / sqrt(list_dot_product(e.q, e.q) * list_dot_product(c.cq, c.cq)) AS cs
@@ -840,15 +842,15 @@ SEMDEDUP_K = 8  # clusters for the graded SemDeDup run (paper: k scales with n)
         "diversity). Exact fixed-point geometry makes cluster assignment, "
         "pair sims, and the centroid-sim keep rule engine-reproducible. "
         "Complements embedding_clusters (sign-LSH buckets) with the "
-        "published cluster-partitioned shape whose cost is n^2/k"
+        "published cluster-partitioned shape. k follows the paper's "
+        "scale-k-with-n guidance, computed in-plan on both sides "
+        "(max(8, n//250)), so the pair cost stays LINEAR in the corpus"
     ),
 )
 def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..datapipe.similarity import semantic_dedup
 
-    return semantic_dedup(
-        table(spark, sf_dir, "embeddings"), COSINE_THRESHOLD, k=SEMDEDUP_K
-    )
+    return semantic_dedup(table(spark, sf_dir, "embeddings"), COSINE_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------

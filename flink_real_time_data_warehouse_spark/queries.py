@@ -65,9 +65,9 @@ _GRADE_FIRST: list[str] = [
     # Freshest driver row is r3 — regrade, least-stable families first
     # (streaming twins, gmall apps, datapipe) so that what falls past the
     # 50-query window is the most stable TPC-H block (regraded first in
-    # r6). With the seven round-5 entries above registered, the window
-    # covers through running_gmv; the 7 r3-rowed TPC-H queries from
-    # local_supplier_volume on sit at exactly 2 rounds stale and lead r6.
+    # r6). With the nine round-5 entries above registered, the window
+    # covers through dormant_customers; the 9 r3-rowed TPC-H queries from
+    # order_value_quantiles on sit at exactly 2 rounds stale and lead r6.
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_minhash_verified", "dup_spans", "dedup_simhash_pairs",
     "embedding_quantize", "province_stats", "visitor_stats_cumulate",

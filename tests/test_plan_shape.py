@@ -148,9 +148,10 @@ def test_semantic_dedup_pairs_join_on_cluster(spark):
     df = registry()["semantic_dedup"].spark(spark, TEST_SF_DIR)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan, f"all-pairs plan:\n{plan}"
-    # exactly the two centroid-assignment scans may broadcast-nested-loop
-    # (k rows); the pair join itself must be keyed
-    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    # each self-join side carries exactly two tiny broadcasts — the 1-row
+    # corpus count (adaptive k) and the k centroids; the pair join itself
+    # must be keyed
+    assert plan.count("BroadcastNestedLoopJoin") <= 4, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
 
 
