@@ -105,6 +105,7 @@ HEADLINE = [
     "audio_chunks",
     "kmeans_centroids",
     "semantic_dedup",
+    "txlog_snapshot_read",
     "curation_pipeline",
     # streaming twins: full micro-batch replay wall time (state store +
     # shuffle-per-trigger regressions become visible round-over-round)

@@ -577,3 +577,48 @@ def skew_salted_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("o_totalprice")).alias("total_amount"),
         )
     )
+
+
+@register(
+    "txlog_snapshot_read",
+    oracle=f"""
+    SELECT o_orderstatus, count(*) AS order_ct,
+           {sql_money_sum('o_totalprice')} AS revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc=(
+        "multi-writer transaction log round-trip (storage/txlog.py — the "
+        "Delta-paper OCC commit protocol on a POSIX dir): three slices of "
+        "orders land as separate transactional appends through the full "
+        "claim-version protocol, one epoch is REPLAYED and must be "
+        "idempotently skipped, the log is checkpointed and truncated, and "
+        "the snapshot read must reproduce the source table exactly — the "
+        "oracle aggregates the original orders, so any lost/duplicated/"
+        "partial commit changes the hash"
+    ),
+)
+def txlog_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..storage import TxLog
+
+    orders = table(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix="txlog_orders_")
+    log = TxLog(os.path.join(work, "orders_tx"))
+    for i in range(3):
+        log.append(
+            orders.where(F.col("o_orderkey") % 3 == i), app_id="load", app_version=i
+        )
+    # crash-retry replay of epoch 1: must be skipped, not re-appended
+    log.append(orders.where(F.col("o_orderkey") % 3 == 1), app_id="load", app_version=1)
+    log.checkpoint()
+    log.truncate_log()
+    return (
+        log.snapshot(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("order_ct"),
+            money_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )

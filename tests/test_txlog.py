@@ -1,0 +1,152 @@
+"""Multi-writer transaction log (storage/txlog.py): commit arbitration,
+snapshot isolation, idempotent epoch commits, checkpoint truncation,
+vacuum. The commit layer is pure filesystem logic, so the race tests run
+many concurrent writers through the REAL protocol (staged pyarrow files +
+atomic link claims); Spark is used where DataFrames enter or leave."""
+
+from __future__ import annotations
+
+import json
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from flink_real_time_data_warehouse_spark.storage import TxConflictError, TxLog
+
+
+def _stage_rows(log: TxLog, ids: list[int]) -> list[str]:
+    """Stage one parquet file holding `ids` (bypassing Spark for speed)."""
+    name = f"t-{ids[0]}-{os.urandom(4).hex}.parquet"
+    pq.write_table(pa.table({"id": pa.array(ids, pa.int64())}), os.path.join(log.data_path, name))
+    return [name]
+
+
+_SCHEMA_JSON = '{"fields":[{"metadata":{},"name":"id","nullable":true,"type":"long"}],"type":"struct"}'
+
+
+def test_concurrent_appends_all_commit_exactly_once(tmp_path):
+    """W writers x C commits racing on one table: every commit wins a
+    distinct version, the final state contains every row exactly once."""
+    log = TxLog(str(tmp_path / "t"))
+    W, C = 8, 5
+
+    def writer(w: int) -> list[int]:
+        versions = []
+        for c in range(C):
+            ids = [w * 1000 + c]
+            versions.append(
+                log.commit_files(_stage_rows(log, ids), schema_json=_SCHEMA_JSON)
+            )
+        return versions
+
+    with ThreadPoolExecutor(max_workers=W) as ex:
+        all_versions = [v for vs in ex.map(writer, range(W)) for v in vs]
+
+    assert sorted(all_versions) == list(range(W * C)), "each commit wins a distinct version"
+    st = log.state()
+    assert st.version == W * C - 1
+    assert len(st.files) == W * C
+    # every staged row is in exactly one committed file
+    ids = []
+    for n in st.files:
+        ids.extend(pq.read_table(os.path.join(log.data_path, n)).column("id").to_pylist())
+    assert sorted(ids) == sorted(w * 1000 + c for w in range(W) for c in range(C))
+
+
+def test_replace_conflicts_with_concurrent_commit(tmp_path):
+    """Serializable REPLACE: deriving from v0, a concurrent append moves
+    the table to v1, so the replace must fail AND clean its staged file."""
+    log = TxLog(str(tmp_path / "t"))
+    log.commit_files(_stage_rows(log, [1]), schema_json=_SCHEMA_JSON)  # v0
+    base = log.state().version
+    staged = _stage_rows(log, [99])
+    log.commit_files(_stage_rows(log, [2]), schema_json=_SCHEMA_JSON)  # concurrent v1
+    with pytest.raises(TxConflictError):
+        log.commit_files(
+            staged, op="replace", schema_json=_SCHEMA_JSON, expected_version=base
+        )
+    assert not os.path.exists(os.path.join(log.data_path, staged[0])), "staged file cleaned"
+    # retry from the new state succeeds and drops the old files
+    staged2 = _stage_rows(log, [99])
+    v = log.commit_files(
+        staged2, op="replace", schema_json=_SCHEMA_JSON, expected_version=log.state().version
+    )
+    st = log.state()
+    assert st.version == v and list(st.files) == staged2
+
+
+def test_epoch_commit_idempotent_under_replay(tmp_path):
+    """(app_id, app_version) replay: the second commit of the same epoch is
+    skipped, its staged file is deleted, and rows are not duplicated —
+    the foreachBatch txnAppId/txnVersion contract."""
+    log = TxLog(str(tmp_path / "t"))
+    v1 = log.commit_files(
+        _stage_rows(log, [1]), schema_json=_SCHEMA_JSON, app_id="ing", app_version=0
+    )
+    replay = _stage_rows(log, [1])
+    v2 = log.commit_files(replay, schema_json=_SCHEMA_JSON, app_id="ing", app_version=0)
+    assert v2 == v1, "replayed epoch returns current version, commits nothing"
+    assert len(log.state().files) == 1
+    assert not os.path.exists(os.path.join(log.data_path, replay[0]))
+    # a LATER epoch still commits
+    v3 = log.commit_files(
+        _stage_rows(log, [2]), schema_json=_SCHEMA_JSON, app_id="ing", app_version=1
+    )
+    assert v3 == v1 + 1 and log.state().apps["ing"] == 1
+
+
+def test_crash_artifacts_invisible(tmp_path):
+    """A crash mid-stage (data file, no manifest) or mid-claim (tmp
+    manifest, never linked) must be invisible to state/snapshot."""
+    log = TxLog(str(tmp_path / "t"))
+    log.commit_files(_stage_rows(log, [1]), schema_json=_SCHEMA_JSON)
+    _stage_rows(log, [666])  # staged, never committed
+    with open(os.path.join(log.log_path, ".tmp-crashed"), "w") as f:
+        f.write(json.dumps({"op": "append", "adds": ["ghost.parquet"]}))
+    st = log.state()
+    assert st.version == 0 and len(st.files) == 1
+    # vacuum(0) collects the orphan, leaves the committed file
+    assert log.vacuum(grace_seconds=0.0) == 1
+    assert len(os.listdir(log.data_path)) == 1
+
+
+def test_checkpoint_truncation_and_snapshot(tmp_path, spark):
+    """After checkpoint() + truncate_log(), old manifests are GONE yet
+    state and snapshot reads are unchanged; commits after the checkpoint
+    replay on top of it."""
+    log = TxLog(str(tmp_path / "t"))
+    df = spark.range(0, 10).selectExpr("id")
+    log.append(df)
+    log.append(spark.range(10, 20).selectExpr("id"))
+    cp_v = log.checkpoint()
+    assert log.truncate_log() == cp_v + 1  # manifests 0..cp_v removed
+    log.append(spark.range(20, 25).selectExpr("id"))
+    st = log.state()
+    assert st.version == cp_v + 1
+    got = sorted(r["id"] for r in log.snapshot(spark).collect())
+    assert got == list(range(25))
+
+
+def test_snapshot_isolation(tmp_path, spark):
+    """A snapshot taken at version v keeps reading v's files even after
+    later commits (files are immutable; the listing is fixed once)."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(spark.range(0, 5).selectExpr("id"))
+    snap = log.snapshot(spark)
+    log.append(spark.range(5, 9).selectExpr("id"))
+    assert sorted(r["id"] for r in snap.collect()) == list(range(5))
+    assert sorted(r["id"] for r in log.snapshot(spark).collect()) == list(range(9))
+
+
+def test_append_idempotent_via_dataframe_api(tmp_path, spark):
+    """DataFrame-level epoch append: replaying (app, epoch) is a no-op and
+    the snapshot holds one copy."""
+    log = TxLog(str(tmp_path / "t"))
+    df = spark.range(0, 7).selectExpr("id")
+    v1 = log.append(df, app_id="sink", app_version=3)
+    v2 = log.append(df, app_id="sink", app_version=3)
+    assert v1 == v2 == 0
+    assert sorted(r["id"] for r in log.snapshot(spark).collect()) == list(range(7))
