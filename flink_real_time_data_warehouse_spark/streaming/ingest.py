@@ -166,3 +166,25 @@ def start_vector_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_txlog_sink(stream: DataFrame, log, checkpoint: str, app_id: str = "txsink"):
+    """Exactly-once streaming sink through the MULTI-writer transaction log
+    (`storage/txlog.TxLog`): each micro-batch commits as (app_id, epoch),
+    so crash-retry replays are idempotently skipped by the log itself — and
+    unlike the single-writer epoch-marker sink (`_idempotent_append` under
+    `RouterLock`, which REFUSES a second concurrent writer), any number of
+    concurrent sinks with distinct app_ids can land in ONE table, their
+    commits serialized by the version-claim protocol. Reference analog: the
+    transactional Kafka producer (MyKafkaUtil.java:29-43), upgraded from
+    one-owner markers to OCC commits."""
+
+    def on_batch(batch: DataFrame, epoch: int) -> None:
+        log.append(batch, app_id=app_id, app_version=epoch)
+
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -871,3 +871,49 @@ def ann_ingest_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(accepted_dir).select("vec_id")
+
+
+@register(
+    "txlog_stream_sink",
+    oracle="SELECT doc_id, n_chars FROM documents",
+    doc=(
+        "streaming sink through the multi-writer transaction log "
+        "(storage/txlog.TxLog): documents replay as three ascending-id "
+        "micro-batches, each committing as (app_id, epoch) through the OCC "
+        "version-claim protocol; then the ENTIRE stream replays again from "
+        "a fresh checkpoint (the crash-retry worst case — every epoch "
+        "re-delivered) and every replayed commit must be idempotently "
+        "skipped. The snapshot read must reproduce the source table "
+        "exactly: any lost, duplicated, or partial epoch changes the hash"
+    ),
+)
+def txlog_stream_sink_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.streams import stream_dir, write_epoch_files
+    from ..storage import TxLog
+    from .ingest import start_txlog_sink
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    work = tempfile.mkdtemp(prefix="txlog_stream_")
+    splits = write_epoch_files(
+        docs, "doc_id", INGEST_STREAM_EPOCHS, os.path.join(work, "splits"), work
+    )
+    schema = "doc_id long, n_chars long"
+    log = TxLog(os.path.join(work, "table"))
+    q = start_txlog_sink(
+        stream_dir(spark, splits, schema, max_files_per_trigger=1),
+        log,
+        os.path.join(work, "ckpt1"),
+    )
+    q.awaitTermination()
+    # full-stream crash-retry replay: fresh checkpoint, same epochs — the
+    # log's (app_id, app_version) idempotence must skip every commit
+    q2 = start_txlog_sink(
+        stream_dir(spark, splits, schema, max_files_per_trigger=1),
+        log,
+        os.path.join(work, "ckpt2"),
+    )
+    q2.awaitTermination()
+    return log.snapshot(spark)
