@@ -277,6 +277,36 @@ class TxLog:
         paths = [os.path.join(self.data_path, n) for n in st.files]
         return spark.read.parquet(*paths)
 
+    def merge(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key: str,
+        max_retries: int = 10,
+    ) -> int:
+        """Type-1 upsert (MERGE) as lock-free OCC read-modify-write: read
+        the snapshot at version v, fold `updates` in (update rows win on
+        key equality; caller supplies one row per key), and REPLACE with
+        ``expected_version=v``. A concurrent commit fails the replace and
+        the merge RE-DERIVES from the fresh state and retries — so
+        concurrent mergers serialize without any lock, the multi-writer
+        counterpart of DimStore's single-writer MERGE
+        (sources/dim_store.py; reference DimSinkFunction.java:17-89)."""
+        for _ in range(max_retries):
+            st = self.state()
+            if not st.files:
+                merged = updates
+            else:
+                base = self.snapshot(spark, version=st.version)
+                merged = base.join(
+                    updates.select(key).distinct(), key, "left_anti"
+                ).unionByName(updates)
+            try:
+                return self.overwrite(merged, expected_version=st.version)
+            except TxConflictError:
+                continue
+        raise TxConflictError(f"merge lost {max_retries} consecutive OCC races")
+
     # -- maintenance ---------------------------------------------------
 
     def checkpoint(self) -> int:

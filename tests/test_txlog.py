@@ -186,3 +186,31 @@ def test_two_concurrent_streaming_sinks_one_table(tmp_path, spark):
     assert st.version == 5, "six interleaved commits, each a distinct version"
     got = sorted(r["id"] for r in log.snapshot(spark).collect())
     assert got == list(range(60))
+
+
+def test_merge_upsert_semantics(tmp_path, spark):
+    """Type-1 MERGE through the log: updates win on key equality, new keys
+    insert, untouched keys survive; each merge is one REPLACE version."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    v = log.merge(spark, spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"), "k")
+    got = {r["k"]: r["v"] for r in log.snapshot(spark).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"} and v == 1
+
+
+def test_concurrent_merges_serialize_without_lock(tmp_path, spark):
+    """Lock-free OCC: four mergers race on one table (disjoint keys). The
+    REPLACE conflicts force losers to re-derive and retry; every update
+    must land exactly once."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(spark.createDataFrame([(0, -1)], "k long, v long"))
+
+    def do_merge(w: int) -> int:
+        df = spark.createDataFrame([(100 + w, w)], "k long, v long")
+        return log.merge(spark, df, "k", max_retries=30)
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        versions = list(ex.map(do_merge, range(4)))
+    assert sorted(versions) == [1, 2, 3, 4], "each merge serialized to its own version"
+    got = {r["k"]: r["v"] for r in log.snapshot(spark).collect()}
+    assert got == {0: -1, 100: 0, 101: 1, 102: 2, 103: 3}
