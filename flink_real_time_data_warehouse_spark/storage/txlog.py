@@ -171,6 +171,7 @@ class TxLog:
         app_id: str | None = None,
         app_version: int | None = None,
         expected_version: int | None = None,
+        removes: list[str] | None = None,
         max_retries: int = 100,
     ) -> int:
         """Commit already-staged data files. Returns the committed (or, for
@@ -198,10 +199,22 @@ class TxLog:
                 raise TxConflictError(
                     f"replace derived from v{expected_version} but table is at v{st.version}"
                 )
+            if removes is not None:
+                # Disjoint-file conflict rule (Delta's OPTIMIZE semantics):
+                # this commit only conflicts if some file it wants to
+                # remove is no longer live (a concurrent commit removed or
+                # replaced it); concurrent APPENDS land disjoint files and
+                # never conflict, so compaction runs alongside ingestion.
+                missing = set(removes) - set(st.files)
+                if missing:
+                    self._delete_staged(adds)
+                    raise TxConflictError(
+                        f"files to remove are no longer live: {sorted(missing)[:3]}..."
+                    )
             manifest = {
                 "op": op,
                 "adds": adds,
-                "removes": [],
+                "removes": list(removes or []),
                 "schema_json": schema_json,
                 "app_id": app_id,
                 "app_version": app_version,
@@ -308,6 +321,32 @@ class TxLog:
         raise TxConflictError(f"merge lost {max_retries} consecutive OCC races")
 
     # -- maintenance ---------------------------------------------------
+
+    def optimize(self, spark: SparkSession, max_files: int = 8, max_retries: int = 10) -> int:
+        """Bin-pack the table's committed files into at most `max_files`
+        (the small-files fix for per-epoch streaming appends). Runs under
+        the DISJOINT-FILE conflict rule: concurrent appends land new files
+        and never conflict with this commit; only a concurrent removal of
+        the same files (another optimize/replace) does, in which case the
+        compaction re-derives from fresh state and retries. Returns the
+        committed version (or current version if nothing to do)."""
+        for _ in range(max_retries):
+            st = self.state()
+            if len(st.files) <= max_files:
+                return st.version
+            victims = list(st.files)
+            packed = (
+                self.snapshot(spark, version=st.version)
+                .coalesce(max_files)
+            )
+            names, schema_json = self._stage(packed)
+            try:
+                return self.commit_files(
+                    names, op="optimize", schema_json=schema_json, removes=victims
+                )
+            except TxConflictError:
+                continue  # another remover won; re-derive and retry
+        raise TxConflictError(f"optimize lost {max_retries} consecutive OCC races")
 
     def checkpoint(self) -> int:
         """Fold the log into `<v>.checkpoint.json`. Manifests <= v can then

@@ -214,3 +214,39 @@ def test_concurrent_merges_serialize_without_lock(tmp_path, spark):
     assert sorted(versions) == [1, 2, 3, 4], "each merge serialized to its own version"
     got = {r["k"]: r["v"] for r in log.snapshot(spark).collect()}
     assert got == {0: -1, 100: 0, 101: 1, 102: 2, 103: 3}
+
+
+def test_optimize_disjoint_file_conflict_rule(tmp_path):
+    """Delta's OPTIMIZE conflict semantics at the commit layer: removing
+    live files succeeds even after an interleaved append (disjoint files
+    never conflict); removing a file that is no longer live conflicts."""
+    log = TxLog(str(tmp_path / "t"))
+    f1 = _stage_rows(log, [1]); log.commit_files(f1, schema_json=_SCHEMA_JSON)
+    f2 = _stage_rows(log, [2]); log.commit_files(f2, schema_json=_SCHEMA_JSON)
+    f3 = _stage_rows(log, [3]); log.commit_files(f3, schema_json=_SCHEMA_JSON)  # interleaved append
+    packed = _stage_rows(log, [1, 2])
+    v = log.commit_files(packed, op="optimize", schema_json=_SCHEMA_JSON, removes=f1 + f2)
+    st = log.state()
+    assert v == 3 and sorted(st.files) == sorted(packed + f3)
+    # f1 is gone now: a second remover of it must conflict and clean up
+    ghost = _stage_rows(log, [9])
+    with pytest.raises(TxConflictError):
+        log.commit_files(ghost, op="optimize", schema_json=_SCHEMA_JSON, removes=f1)
+    assert not os.path.exists(os.path.join(log.data_path, ghost[0]))
+
+
+def test_optimize_packs_files_rows_unchanged(tmp_path, spark):
+    """End-to-end OPTIMIZE: six single-file appends bin-pack to <=2 files,
+    rows unchanged; vacuum collects the replaced files; a later append
+    still works."""
+    log = TxLog(str(tmp_path / "t"))
+    for i in range(6):
+        log.append(spark.createDataFrame([(i,)], "id long").coalesce(1))
+    assert len(log.state().files) == 6
+    v = log.optimize(spark, max_files=2)
+    st = log.state()
+    assert v == 6 and len(st.files) <= 2
+    assert sorted(r["id"] for r in log.snapshot(spark).collect()) == list(range(6))
+    assert log.vacuum(grace_seconds=0.0) == 6, "six replaced small files collected"
+    log.append(spark.createDataFrame([(6,)], "id long"))
+    assert sorted(r["id"] for r in log.snapshot(spark).collect()) == list(range(7))
