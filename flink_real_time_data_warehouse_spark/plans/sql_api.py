@@ -118,3 +118,38 @@ _SMALL_QTY_SQL = """
 def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_SMALL_QTY_SQL)
+
+
+# TPC-H Q11 shape: a GLOBAL scalar subquery gating group results in
+# HAVING. Catalyst plans the subquery as an independent aggregate joined
+# into the per-group filter (one extra scan, no per-group re-execution).
+# The share bound multiplies the EXACT global cents sum by a double
+# fraction — one IEEE multiply, identical in both engines, compared to an
+# exact integer group sum, so the boundary cannot flip.
+_NATION_SHARE_SQL = """
+    SELECT n.n_name AS nation_name,
+           coalesce(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)), 0)
+             / CAST(100.0 AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    HAVING sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+         > 0.045 * (SELECT sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    FROM orders)
+"""
+
+
+@register(
+    "nation_revenue_share",
+    oracle=_NATION_SHARE_SQL,
+    doc=(
+        "TPC-H Q11 shape: global scalar subquery in HAVING — nations whose "
+        "revenue exceeds 4.5% of worldwide revenue. Catalyst executes the "
+        "subquery once as its own aggregate and broadcasts the scalar into "
+        "the group filter; money as exact integer cents on both sides"
+    ),
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_NATION_SHARE_SQL)

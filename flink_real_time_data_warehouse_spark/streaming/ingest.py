@@ -52,6 +52,7 @@ def start_ingest(
     text_col: str = "text",
     min_quality: int = MIN_QUALITY,
     compact_every: int | None = None,
+    sink_log=None,
 ):
     """Attach the ingest funnel to a streaming DataFrame of documents.
 
@@ -64,6 +65,12 @@ def start_ingest(
     checkpoint after a compaction re-appends its rows — duplicate digest/
     band rows, which the semi-join probes are insensitive to, and which
     the next compaction folds away. Verdicts are never affected.
+
+    ``sink_log``: pass a `storage.TxLog` to land accepted rows through the
+    multi-writer transaction log instead of the single-writer marker sink
+    — same (epoch-keyed) exactly-once contract, but other writers may
+    share the table and `accepted_dir` is ignored in favor of the log's
+    own directory.
     """
 
     def on_batch(batch: DataFrame, epoch: int) -> None:
@@ -92,7 +99,10 @@ def start_ingest(
                 .select(F.col("doc").alias(id_col))
             )
             accepted = batch.join(ok, id_col, "left_semi")
-            _idempotent_append(accepted, accepted_dir, epoch)
+            if sink_log is not None:
+                sink_log.append(accepted, app_id="ingest", app_version=epoch)
+            else:
+                _idempotent_append(accepted, accepted_dir, epoch)
             sig_index.append(accepted, id_col, text_col, batch_no=f"e{epoch}")
             if compact_every and epoch % compact_every == compact_every - 1:
                 sig_index.compact()

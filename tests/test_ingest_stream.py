@@ -316,3 +316,49 @@ def test_vector_ingest_replay_idempotent(spark, tmp_path):
         r["vec_id"] for r in spark.read.parquet(accepted_dir).collect()
     ) == got
     assert idx.lists().count() == corpus.count() + len(got)
+
+
+def test_ingest_funnel_with_txlog_sink_matches_marker_sink(spark, tmp_path):
+    """The funnel's accepted set is backend-independent: running the same
+    epochs through the multi-writer TxLog sink (sink_log=...) yields
+    exactly the marker sink's accepted rows, and the log records one
+    epoch-keyed commit per micro-batch."""
+    from flink_real_time_data_warehouse_spark.storage import TxLog
+
+    epochs = [
+        [(10, GOOD["seed"]), (11, GOOD["alpha"]), (12, LOW_Q.format(1))],
+        [(20, GOOD["alpha"]), (21, GOOD["beta"])],
+    ]
+    src = str(tmp_path / "src")
+    _write_epochs(spark, src, epochs)
+
+    def seed(idx):
+        idx.append(
+            spark.createDataFrame([(1, GOOD["seed"])], "doc_id long, text string"),
+            "doc_id",
+            "text",
+        )
+        return idx
+
+    # marker backend
+    m_idx = seed(SignatureIndex(spark, str(tmp_path / "m_sig")))
+    m_dir = str(tmp_path / "m_acc")
+    start_ingest(_stream(spark, src), m_idx, m_dir, str(tmp_path / "m_ckpt")).awaitTermination()
+    marker = sorted(r["doc_id"] for r in spark.read.parquet(m_dir).collect())
+
+    # txlog backend — one file per trigger so each epoch is its own commit
+    t_idx = seed(SignatureIndex(spark, str(tmp_path / "t_sig")))
+    log = TxLog(str(tmp_path / "table"))
+    one_per = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .load(src + "/b*")
+    )
+    start_ingest(
+        one_per, t_idx, "ignored", str(tmp_path / "t_ckpt"), sink_log=log
+    ).awaitTermination()
+    txlog = sorted(r["doc_id"] for r in log.snapshot(spark).collect())
+
+    assert txlog == marker == [11, 21]
+    assert log.state().apps == {"ingest": 1}, "one epoch-keyed commit per micro-batch"
