@@ -71,12 +71,39 @@ class TxConflictError(RuntimeError):
 _V_DIGITS = 10
 
 
+def _footer_minmax(path: str, cols: list[str]) -> dict:
+    """[min, max] per requested column from parquet row-group footers —
+    metadata only, no data read. Columns without usable stats are omitted
+    (readers keep such files, which is always safe)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out = {}
+    for col in cols:
+        if col not in idx:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[col]).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if ok and lo is not None and not isinstance(lo, bytes):
+            out[col] = [lo, hi]
+    return out
+
+
 @dataclass(frozen=True)
 class _State:
     version: int  # -1 => empty table, no commits yet
     files: tuple[str, ...]  # data file names (relative to data/), committed
     apps: dict  # app_id -> highest committed app_version
     schema_json: str | None  # schema of the latest commit
+    stats: dict  # file name -> {col: [min, max]} (only files committed with stats)
 
 
 class TxLog:
@@ -116,6 +143,7 @@ class TxLog:
             checkpoints = [v for v in checkpoints if v <= at_version]
         files: list[str] = []
         apps: dict = {}
+        stats: dict = {}
         schema_json: str | None = None
         version = -1
         start = 0
@@ -125,6 +153,7 @@ class TxLog:
                 cp = json.load(f)
             files = list(cp["files"])
             apps = dict(cp["apps"])
+            stats = dict(cp.get("stats", {}))
             schema_json = cp.get("schema_json")
             version = cp_v
             start = cp_v + 1
@@ -135,15 +164,19 @@ class TxLog:
                 m = json.load(f)
             if m["op"] == "replace":
                 files = []
+                stats = {}
             removed = set(m.get("removes", []))
             files = [n for n in files if n not in removed]
+            for r in removed:
+                stats.pop(r, None)
             files.extend(m["adds"])
+            stats.update(m.get("stats") or {})
             if m.get("app_id") is not None:
                 apps[m["app_id"]] = max(apps.get(m["app_id"], -1), m["app_version"])
             if m.get("schema_json"):
                 schema_json = m["schema_json"]
             version = v
-        return _State(version, tuple(files), apps, schema_json)
+        return _State(version, tuple(files), apps, schema_json, stats)
 
     # -- commit --------------------------------------------------------
 
@@ -172,6 +205,7 @@ class TxLog:
         app_version: int | None = None,
         expected_version: int | None = None,
         removes: list[str] | None = None,
+        stats: dict | None = None,
         max_retries: int = 100,
     ) -> int:
         """Commit already-staged data files. Returns the committed (or, for
@@ -215,6 +249,7 @@ class TxLog:
                 "op": op,
                 "adds": adds,
                 "removes": list(removes or []),
+                "stats": stats or {},
                 "schema_json": schema_json,
                 "app_id": app_id,
                 "app_version": app_version,
@@ -236,58 +271,99 @@ class TxLog:
 
     # -- DataFrame API -------------------------------------------------
 
-    def _stage(self, df: DataFrame) -> tuple[list[str], str]:
+    def _stage(
+        self, df: DataFrame, stats_cols: list[str] | None = None
+    ) -> tuple[list[str], str, dict]:
         """Write df's parts as uniquely-named files under data/ (invisible
-        until a manifest names them). Returns (names, schema_json)."""
+        until a manifest names them). With `stats_cols`, per-file [min,max]
+        of those columns is read from the parquet FOOTERS just written (no
+        data re-scan) and recorded in the manifest — the table-format
+        data-skipping statistics. Returns (names, schema_json, stats)."""
         prefix = uuid.uuid4().hex
         tmp = os.path.join(self.path, f"_staging-{prefix}")
         df.write.mode("overwrite").parquet(tmp)
-        names = []
+        names, stats = [], {}
         for name in sorted(os.listdir(tmp)):
             if name.endswith(".parquet"):
                 staged = f"{prefix}-{name}"
-                os.replace(os.path.join(tmp, name), os.path.join(self.data_path, staged))
+                dest = os.path.join(self.data_path, staged)
+                os.replace(os.path.join(tmp, name), dest)
                 names.append(staged)
+                if stats_cols:
+                    fs = _footer_minmax(dest, stats_cols)
+                    if fs:
+                        stats[staged] = fs
         shutil.rmtree(tmp, ignore_errors=True)
-        return names, df.schema.json()
+        return names, df.schema.json(), stats
 
     def append(
         self,
         df: DataFrame,
         app_id: str | None = None,
         app_version: int | None = None,
+        stats_cols: list[str] | None = None,
     ) -> int:
         """Transactional append; with (app_id, app_version) it is an
-        idempotent streaming-epoch commit (replays skip)."""
+        idempotent streaming-epoch commit (replays skip). `stats_cols`
+        records per-file [min,max] footer stats for data skipping."""
         # Idempotence fast path: skip the stage write entirely on replay.
         if app_id is not None and app_version is not None:
             if self.state().apps.get(app_id, -1) >= app_version:
                 return self.state().version
-        names, schema_json = self._stage(df)
+        names, schema_json, stats = self._stage(df, stats_cols)
         return self.commit_files(
-            names, "append", schema_json, app_id=app_id, app_version=app_version
+            names, "append", schema_json, app_id=app_id, app_version=app_version,
+            stats=stats,
         )
 
-    def overwrite(self, df: DataFrame, expected_version: int | None = None) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        expected_version: int | None = None,
+        stats_cols: list[str] | None = None,
+    ) -> int:
         """Replace the table contents, serializably: if `expected_version`
         is given (the version the caller derived `df` from), any concurrent
         commit in between fails this replace with TxConflictError."""
         if expected_version is None:
             expected_version = self.state().version
-        names, schema_json = self._stage(df)
+        names, schema_json, stats = self._stage(df, stats_cols)
         return self.commit_files(
-            names, "replace", schema_json, expected_version=expected_version
+            names, "replace", schema_json, expected_version=expected_version,
+            stats=stats,
         )
 
-    def snapshot(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def snapshot(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        prune: tuple | None = None,
+    ) -> DataFrame:
         """The table as of `version` (default: now). One log listing fixes
-        the file list; later commits are invisible to the returned frame."""
+        the file list; later commits are invisible to the returned frame.
+
+        `prune=(col, lo, hi)` applies MANIFEST-LEVEL data skipping: files
+        whose recorded [min,max] for `col` cannot intersect [lo, hi] are
+        dropped from the listing before Spark ever sees them — at 100 TB
+        this (not the parquet footer check, which still requires opening
+        every file) is what bounds a selective query's task count. Files
+        committed without stats are conservatively kept; the caller still
+        applies the row-level filter."""
         st = self.state(version)
-        if not st.files:
+        files = list(st.files)
+        if prune is not None and files:
+            col, lo, hi = prune
+            kept = []
+            for n in files:
+                mm = st.stats.get(n, {}).get(col)
+                if mm is None or (mm[0] <= hi and mm[1] >= lo):
+                    kept.append(n)
+            files = kept
+        if not files:
             if st.schema_json is None:
                 raise ValueError(f"txlog table {self.path!r} has no commits")
             return spark.createDataFrame([], StructType.fromJson(json.loads(st.schema_json)))
-        paths = [os.path.join(self.data_path, n) for n in st.files]
+        paths = [os.path.join(self.data_path, n) for n in files]
         return spark.read.parquet(*paths)
 
     def merge(
@@ -322,7 +398,13 @@ class TxLog:
 
     # -- maintenance ---------------------------------------------------
 
-    def optimize(self, spark: SparkSession, max_files: int = 8, max_retries: int = 10) -> int:
+    def optimize(
+        self,
+        spark: SparkSession,
+        max_files: int = 8,
+        max_retries: int = 10,
+        stats_cols: list[str] | None = None,
+    ) -> int:
         """Bin-pack the table's committed files into at most `max_files`
         (the small-files fix for per-epoch streaming appends). Runs under
         the DISJOINT-FILE conflict rule: concurrent appends land new files
@@ -339,10 +421,11 @@ class TxLog:
                 self.snapshot(spark, version=st.version)
                 .coalesce(max_files)
             )
-            names, schema_json = self._stage(packed)
+            names, schema_json, stats = self._stage(packed, stats_cols)
             try:
                 return self.commit_files(
-                    names, op="optimize", schema_json=schema_json, removes=victims
+                    names, op="optimize", schema_json=schema_json, removes=victims,
+                    stats=stats,
                 )
             except TxConflictError:
                 continue  # another remover won; re-derive and retry
@@ -359,6 +442,7 @@ class TxLog:
         cp = {
             "files": list(st.files),
             "apps": st.apps,
+            "stats": st.stats,
             "schema_json": st.schema_json,
         }
         tmp = os.path.join(self.log_path, f".tmp-{uuid.uuid4().hex}")

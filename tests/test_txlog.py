@@ -250,3 +250,28 @@ def test_optimize_packs_files_rows_unchanged(tmp_path, spark):
     assert log.vacuum(grace_seconds=0.0) == 6, "six replaced small files collected"
     log.append(spark.createDataFrame([(6,)], "id long"))
     assert sorted(r["id"] for r in log.snapshot(spark).collect()) == list(range(7))
+
+
+def test_stats_based_file_skipping(tmp_path, spark):
+    """Manifest-level data skipping: appends committed with stats_cols
+    record [min,max] per file from the parquet footers; a pruned snapshot
+    lists ONLY intersecting files (checked via inputFiles), survives
+    checkpoint/truncate, and files without stats are conservatively kept."""
+    log = TxLog(str(tmp_path / "t"))
+    for lo in (0, 100, 200):
+        log.append(
+            spark.range(lo, lo + 50).selectExpr("id").coalesce(1), stats_cols=["id"]
+        )
+    log.append(spark.createDataFrame([(999,)], "id long").coalesce(1))  # NO stats: always kept
+    full = log.snapshot(spark)
+    assert len(full.inputFiles()) == 4
+    pruned = log.snapshot(spark, prune=("id", 110, 120))
+    assert len(pruned.inputFiles()) == 2, "one matching stats file + the stats-less file"
+    got = sorted(r["id"] for r in pruned.where("id BETWEEN 110 AND 120").collect())
+    assert got == list(range(110, 121))
+    # stats survive checkpoint + log truncation
+    log.checkpoint()
+    log.truncate_log()
+    assert len(log.snapshot(spark, prune=("id", 0, 10)).inputFiles()) == 2
+    # disjoint range: only the stats-less file remains
+    assert len(log.snapshot(spark, prune=("id", 500, 600)).inputFiles()) == 1
