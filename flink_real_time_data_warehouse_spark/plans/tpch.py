@@ -622,3 +622,50 @@ def txlog_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("o_totalprice")).alias("revenue"),
         )
     )
+
+
+@register(
+    "txlog_pruned_read",
+    oracle=f"""
+    SELECT o_orderstatus, count(*) AS order_ct,
+           {sql_money_sum('o_totalprice')} AS revenue
+    FROM orders WHERE o_orderkey BETWEEN 2000 AND 5000
+    GROUP BY o_orderstatus
+    """,
+    doc=(
+        "manifest-level data skipping end-to-end: orders land in the "
+        "transaction log as three key-range appends committed with "
+        "per-file [min,max] footer stats; the read path takes a PRUNED "
+        "snapshot for o_orderkey in [2000, 5000] — non-intersecting files "
+        "never reach Spark's listing — then applies the row filter and "
+        "aggregates. The oracle filters the source table directly, so a "
+        "wrongly-skipped (or wrongly-kept-and-unfiltered) file changes "
+        "the hash"
+    ),
+)
+def txlog_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..storage import TxLog
+
+    orders = table(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix="txlog_pruned_")
+    log = TxLog(os.path.join(work, "orders_tx"))
+    # three contiguous key ranges => disjoint per-file stats
+    bounds = [0, 2500, 4500, 1 << 60]
+    for lo, hi in zip(bounds, bounds[1:]):
+        log.append(
+            orders.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+            .coalesce(1),
+            stats_cols=["o_orderkey"],
+        )
+    snap = log.snapshot(spark, prune=("o_orderkey", 2000, 5000))
+    return (
+        snap.where(F.col("o_orderkey").between(2000, 5000))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("order_ct"),
+            money_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )

@@ -60,15 +60,15 @@ _GRADE_FIRST: list[str] = [
     "ann_ivf_quantized_topk", "ann_ingest_stream",
     "dedup_minhash_capped", "embedding_cosine_pairs_capped",
     "semantic_dedup", "small_qty_revenue", "nation_revenue_share",
-    "txlog_snapshot_read", "txlog_stream_sink",
+    "txlog_snapshot_read", "txlog_stream_sink", "txlog_pruned_read",
     "ingest_pipeline_stream", "keyword_stats_dict",
     "keyword_stats_dict_stream",
     # Freshest driver row is r3 — regrade, least-stable families first
     # (streaming twins, gmall apps, datapipe) so that what falls past the
     # 50-query window is the most stable TPC-H block (regraded first in
-    # r6). With the twelve round-5 entries above registered, the window
-    # covers through rollup_sales; the 12 r3-rowed TPC-H queries from
-    # top_customers on sit at exactly 2 rounds stale and lead r6.
+    # r6). With the thirteen round-5 entries above registered, the window
+    # covers through q1_pricing_summary; the 13 r3-rowed TPC-H queries
+    # from rollup_sales on sit at exactly 2 rounds stale and lead r6.
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_minhash_verified", "dup_spans", "dedup_simhash_pairs",
     "embedding_quantize", "province_stats", "visitor_stats_cumulate",
