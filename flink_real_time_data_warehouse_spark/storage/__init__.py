@@ -1,5 +1,20 @@
-"""Storage-layer primitives: the multi-writer transaction log."""
+"""Storage-layer primitives: the multi-writer transaction log and its
+pluggable manifest-store profiles."""
 
-from .txlog import TxConflictError, TxLog
+from .txlog import (
+    LogStore,
+    MemoryLogStore,
+    PosixLogStore,
+    TxConflictError,
+    TxLog,
+    TxVersionTruncatedError,
+)
 
-__all__ = ["TxConflictError", "TxLog"]
+__all__ = [
+    "LogStore",
+    "MemoryLogStore",
+    "PosixLogStore",
+    "TxConflictError",
+    "TxLog",
+    "TxVersionTruncatedError",
+]

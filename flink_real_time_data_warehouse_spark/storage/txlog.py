@@ -1,31 +1,31 @@
 """Optimistic-concurrency transaction log for parquet tables — MULTI-writer
-arbitration, the layer the hand-rolled single-writer sinks (RouterLock +
-epoch markers, `streaming/router.py`) explicitly scope out.
+arbitration, the one transactional write path every sink in this repo
+commits through (streaming/router.py, streaming/ingest.py).
 
 This is the Delta Lake commit protocol (Armbrust et al., "Delta Lake:
 High-Performance ACID Table Storage over Cloud Object Stores", VLDB 2020 —
-public paper) re-implemented on a POSIX directory, replacing the
-reference's transactional stores (Phoenix upserts / ClickHouse
-ReplacingMergeTree dedup) with a table format every engine can read:
+public paper) re-implemented over a small :class:`LogStore` primitive,
+replacing the reference's transactional stores (Phoenix upserts /
+ClickHouse ReplacingMergeTree dedup) with a table format every engine can
+read:
 
 - A table = immutable data files + an ordered log of JSON manifests
   ``_txlog/<10-digit version>.json``. Readers never see a data file that
   is not named by a committed manifest.
 - Writers STAGE uniquely-named parquet files under ``data/`` first —
   invisible until committed, so a crash mid-stage leaves only orphans
-  (collected by :meth:`vacuum`).
-- Commit = atomically CLAIMING the next log version. The manifest content
-  is written to a temp file and published with ``os.link(tmp, final)`` —
-  link(2) both fails with EEXIST if the version is taken (exactly one
-  winner per version) AND makes the fully-written content appear
-  atomically, so a torn/partial manifest is impossible by construction
-  (the O_EXCL-create-then-write alternative can crash between create and
-  write, leaving a poisoned empty manifest).
+  (collected by :meth:`vacuum`, which also sweeps abandoned
+  ``_staging-*`` directories).
+- Commit = atomically CLAIMING the next log version via
+  :meth:`LogStore.put_if_absent` — exactly one winner per version, and
+  the claim only succeeds with fully-written content, so a torn/partial
+  manifest is impossible by construction.
 - A loser re-reads the log and RETRIES at the next version. Blind appends
-  conflict with nothing, so append retries always succeed; REPLACE
-  (overwrite) validates that the table version it read is still current
-  and raises :class:`TxConflictError` otherwise — serializable semantics,
-  the caller re-derives its output from the new state and tries again.
+  conflict with nothing, so append retries always succeed; commits that
+  carry ``expected_version`` (REPLACE, MERGE) validate that the table
+  version they read is still current and raise :class:`TxConflictError`
+  otherwise — serializable semantics, the caller re-derives its output
+  from the new state and tries again.
 - Readers take a SNAPSHOT: one log listing resolves to a fixed file list;
   commits that land afterwards are invisible (snapshot isolation), and
   since data files are immutable a held snapshot stays readable until
@@ -39,15 +39,30 @@ ReplacingMergeTree dedup) with a table format every engine can read:
   manifests at or below it can be deleted (log truncation) without
   affecting any state derived at or after it.
 
-Arbitration primitive scope: atomic link/EEXIST is correct on local POSIX
-and HDFS-like filesystems — the environments this repo's sinks target. On
-S3 the same protocol swaps the claim step for a conditional PUT or a
-commit coordinator (Delta's LogStore abstraction does exactly this); the
-manifest/snapshot/idempotence logic above is unchanged.
+Data skipping, two levels (both manifest-only, no file opens):
+
+- per-file ``[min, max]`` column stats harvested from the parquet footers
+  at stage time (``stats_cols=...``) and pruned with
+  ``snapshot(prune=(col, lo, hi))``;
+- per-file PARTITION values recorded at commit (``partition_by=...`` —
+  Hive-style directory partitioning folded into the manifest) and pruned
+  with ``snapshot(partitions={col: [values]})`` — the Delta/Iceberg
+  partition-pruning counterpart of the reference's per-table routing
+  (TableProcessFunction.java:130-165).
+
+Arbitration primitive scope: the claim step is everything that is
+storage-specific, so it lives behind :class:`LogStore`.
+:class:`PosixLogStore` claims with ``link(2)`` (correct on local POSIX and
+HDFS-like filesystems); :class:`MemoryLogStore` implements the S3-profile
+conditional PUT (``If-None-Match: *``) over an in-process dict — the same
+protocol logic runs unchanged over both (the race tests parameterize over
+them). A real object-store impl swaps HTTP calls into that class only.
 
 Scale shape: commits move METADATA only (a few KB of JSON per commit, one
 listing per snapshot) — data-file bytes never rewrite on append; state
-reconstruction cost is bounded by checkpoint interval, not table age.
+reconstruction cost is bounded by checkpoint interval, not table age;
+MERGE rewrites only the data files whose recorded key range intersects
+the update keys (O(touched bytes), not O(table)).
 """
 
 from __future__ import annotations
@@ -55,26 +70,174 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 from dataclasses import dataclass
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
 class TxConflictError(RuntimeError):
-    """A REPLACE lost to a concurrent commit (or retries were exhausted):
-    the state the writer derived its output from is no longer current."""
+    """A conflicting commit lost to a concurrent one (or retries were
+    exhausted): the state the writer derived its output from is no longer
+    current."""
+
+
+class TxVersionTruncatedError(ValueError):
+    """A requested historical version predates the oldest reconstructable
+    state (its manifests were deleted by log truncation)."""
 
 
 _V_DIGITS = 10
 
 
+# ---------------------------------------------------------------------------
+# LogStore: the storage-specific arbitration + durability primitive
+# ---------------------------------------------------------------------------
+
+
+class LogStore:
+    """What the commit protocol needs from manifest storage — Delta's
+    LogStore abstraction: atomic all-or-nothing publish of fully-written
+    content, conditional on the name not existing (the version claim),
+    plus list/read/delete for replay and truncation. Everything above this
+    class is storage-agnostic protocol logic."""
+
+    def list(self) -> list[str]:  # manifest/checkpoint names, no tmp files
+        raise NotImplementedError
+
+    def read(self, name: str) -> dict:  # raises FileNotFoundError if absent
+        raise NotImplementedError
+
+    def put_if_absent(self, name: str, payload: dict) -> bool:
+        """Publish `payload` at `name` iff `name` does not exist, atomically
+        and with fully-written content. True iff this caller won."""
+        raise NotImplementedError
+
+    def put(self, name: str, payload: dict) -> None:
+        """Idempotent overwrite-ok publish (checkpoints: deterministic
+        content per version, so a concurrent duplicate is harmless)."""
+        raise NotImplementedError
+
+    def delete(self, name: str) -> bool:  # True if it existed
+        raise NotImplementedError
+
+
+class PosixLogStore(LogStore):
+    """POSIX/HDFS profile: the claim is ``link(2)`` — it both fails with
+    EEXIST if the name is taken (exactly one winner) AND makes the
+    fully-written tmp content appear atomically (the
+    O_EXCL-create-then-write alternative can crash between create and
+    write, leaving a poisoned empty manifest). The tmp file is removed in
+    ``finally`` even when serialization fails, so a bad payload cannot
+    leak ``.tmp-*`` litter (ADVICE r5)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def list(self) -> list[str]:
+        return [n for n in os.listdir(self.root) if not n.startswith(".")]
+
+    def read(self, name: str) -> dict:
+        with open(os.path.join(self.root, name)) as f:
+            return json.load(f)
+
+    def _write_tmp(self, payload: dict) -> str:
+        tmp = os.path.join(self.root, f".tmp-{uuid.uuid4().hex}")
+        try:
+            with open(tmp, "w") as f:
+                json.dump(payload, f)
+                f.flush()
+                os.fsync(f.fileno())
+        except BaseException:
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
+            raise
+        return tmp
+
+    def put_if_absent(self, name: str, payload: dict) -> bool:
+        tmp = self._write_tmp(payload)
+        try:
+            os.link(tmp, os.path.join(self.root, name))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+
+    def put(self, name: str, payload: dict) -> None:
+        tmp = self._write_tmp(payload)
+        os.replace(tmp, os.path.join(self.root, name))
+
+    def delete(self, name: str) -> bool:
+        try:
+            os.remove(os.path.join(self.root, name))
+            return True
+        except FileNotFoundError:
+            return False
+
+
+class MemoryLogStore(LogStore):
+    """Object-store (S3) profile mock: a conditional PUT
+    (``If-None-Match: *``) against an in-process dict. The dict+lock pair
+    stands in for the object store's own atomicity guarantee — the
+    protocol code above never assumes anything beyond the LogStore
+    contract, which is exactly what this class proves (the txlog race
+    tests run the full multi-writer protocol over it). A real S3 impl
+    replaces the dict operations with HTTP calls; payloads are stored as
+    serialized bytes so a non-serializable payload fails BEFORE the
+    conditional PUT, same as the POSIX profile."""
+
+    def __init__(self):
+        self._objects: dict[str, str] = {}
+        self._lock = threading.Lock()
+
+    def list(self) -> list[str]:
+        with self._lock:
+            return list(self._objects)
+
+    def read(self, name: str) -> dict:
+        with self._lock:
+            if name not in self._objects:
+                raise FileNotFoundError(name)
+            return json.loads(self._objects[name])
+
+    def put_if_absent(self, name: str, payload: dict) -> bool:
+        data = json.dumps(payload)  # serialize outside the critical section
+        with self._lock:
+            if name in self._objects:
+                return False
+            self._objects[name] = data
+            return True
+
+    def put(self, name: str, payload: dict) -> None:
+        data = json.dumps(payload)
+        with self._lock:
+            self._objects[name] = data
+
+    def delete(self, name: str) -> bool:
+        with self._lock:
+            return self._objects.pop(name, None) is not None
+
+
+# ---------------------------------------------------------------------------
+# footer stats
+# ---------------------------------------------------------------------------
+
+
 def _footer_minmax(path: str, cols: list[str]) -> dict:
     """[min, max] per requested column from parquet row-group footers —
-    metadata only, no data read. Columns without usable stats are omitted
-    (readers keep such files, which is always safe)."""
+    metadata only, no data read. Only JSON-safe stat types (int/float/str)
+    are recorded; columns whose stats are bytes/datetime/Decimal are
+    omitted (readers keep such files, which is always safe) so a stats
+    commit can never fail manifest serialization (ADVICE r5)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -92,7 +255,12 @@ def _footer_minmax(path: str, cols: list[str]) -> dict:
                 break
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
-        if ok and lo is not None and not isinstance(lo, bytes):
+        if (
+            ok
+            and lo is not None
+            and isinstance(lo, (int, float, str))
+            and isinstance(hi, (int, float, str))
+        ):
             out[col] = [lo, hi]
     return out
 
@@ -104,97 +272,116 @@ class _State:
     apps: dict  # app_id -> highest committed app_version
     schema_json: str | None  # schema of the latest commit
     stats: dict  # file name -> {col: [min, max]} (only files committed with stats)
+    parts: dict  # file name -> {col: str(value)} (only partition_by commits)
 
 
 class TxLog:
-    """One transactional parquet table rooted at ``path``."""
+    """One transactional parquet table rooted at ``path``.
+
+    `store` overrides the manifest-log storage profile (default:
+    :class:`PosixLogStore` under ``<path>/_txlog``); data files always
+    live under ``<path>/data`` in this repo's deployments.
+    """
 
     LOG_DIR = "_txlog"
     DATA_DIR = "data"
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, store: LogStore | None = None):
         self.path = path
         self.log_path = os.path.join(path, self.LOG_DIR)
         self.data_path = os.path.join(path, self.DATA_DIR)
-        os.makedirs(self.log_path, exist_ok=True)
         os.makedirs(self.data_path, exist_ok=True)
+        self.store = store if store is not None else PosixLogStore(self.log_path)
 
     # -- log reading ---------------------------------------------------
 
-    def _manifest_file(self, version: int) -> str:
-        return os.path.join(self.log_path, f"{version:0{_V_DIGITS}d}.json")
+    def _manifest_name(self, version: int) -> str:
+        return f"{version:0{_V_DIGITS}d}.json"
 
     def _list_log(self) -> tuple[list[int], list[int]]:
         """(sorted manifest versions, sorted checkpoint versions)."""
         manifests, checkpoints = [], []
-        for name in os.listdir(self.log_path):
+        for name in self.store.list():
             if name.endswith(".checkpoint.json"):
                 checkpoints.append(int(name.split(".")[0]))
-            elif name.endswith(".json") and not name.startswith("."):
+            elif name.endswith(".json"):
                 manifests.append(int(name.split(".")[0]))
         return sorted(manifests), sorted(checkpoints)
 
     def state(self, at_version: int | None = None) -> _State:
         """Reconstruct table state from the newest checkpoint <= target,
-        then replay later manifests. One directory listing; no data I/O."""
-        manifests, checkpoints = self._list_log()
+        then replay later manifests. One log listing; no data I/O.
+
+        Concurrent ``truncate_log()`` can delete a listed manifest before
+        this reader opens it — that read raises FileNotFoundError and the
+        reconstruction retries against a fresh listing (the checkpoint
+        that justified the truncation is in the new listing, so the retry
+        succeeds). A requested `at_version` whose manifests are already
+        truncated raises :class:`TxVersionTruncatedError` instead of
+        silently reconstructing an empty table (ADVICE r5)."""
+        last_err: FileNotFoundError | None = None
+        for _ in range(5):
+            try:
+                return self._state_once(at_version)
+            except FileNotFoundError as e:  # racing truncation: re-list
+                last_err = e
+        raise last_err  # persistent listing/content mismatch: surface it
+
+    def _state_once(self, at_version: int | None) -> _State:
+        all_manifests, all_checkpoints = self._list_log()
+        manifests, checkpoints = all_manifests, all_checkpoints
         if at_version is not None:
             manifests = [v for v in manifests if v <= at_version]
             checkpoints = [v for v in checkpoints if v <= at_version]
         files: list[str] = []
         apps: dict = {}
         stats: dict = {}
+        parts: dict = {}
         schema_json: str | None = None
         version = -1
         start = 0
         if checkpoints:
             cp_v = checkpoints[-1]
-            with open(os.path.join(self.log_path, f"{cp_v:0{_V_DIGITS}d}.checkpoint.json")) as f:
-                cp = json.load(f)
+            cp = self.store.read(f"{cp_v:0{_V_DIGITS}d}.checkpoint.json")
             files = list(cp["files"])
             apps = dict(cp["apps"])
             stats = dict(cp.get("stats", {}))
+            parts = dict(cp.get("parts", {}))
             schema_json = cp.get("schema_json")
             version = cp_v
             start = cp_v + 1
+        elif at_version is not None and (all_manifests or all_checkpoints):
+            # No checkpoint at or below the target: the replay must start
+            # from version 0 or the target's history is gone (truncated).
+            if not manifests or manifests[0] != 0:
+                raise TxVersionTruncatedError(
+                    f"version {at_version} of {self.path!r} predates the oldest "
+                    "reconstructable state (manifests truncated past a checkpoint)"
+                )
         for v in manifests:
             if v < start:
                 continue
-            with open(self._manifest_file(v)) as f:
-                m = json.load(f)
+            m = self.store.read(self._manifest_name(v))
             if m["op"] == "replace":
                 files = []
                 stats = {}
+                parts = {}
             removed = set(m.get("removes", []))
             files = [n for n in files if n not in removed]
             for r in removed:
                 stats.pop(r, None)
+                parts.pop(r, None)
             files.extend(m["adds"])
             stats.update(m.get("stats") or {})
+            parts.update(m.get("parts") or {})
             if m.get("app_id") is not None:
                 apps[m["app_id"]] = max(apps.get(m["app_id"], -1), m["app_version"])
             if m.get("schema_json"):
                 schema_json = m["schema_json"]
             version = v
-        return _State(version, tuple(files), apps, schema_json, stats)
+        return _State(version, tuple(files), apps, schema_json, stats, parts)
 
     # -- commit --------------------------------------------------------
-
-    def _publish(self, version: int, manifest: dict) -> bool:
-        """Atomically claim `version` with fully-written content. True if
-        this writer won the version, False if someone else did."""
-        tmp = os.path.join(self.log_path, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, self._manifest_file(version))
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.remove(tmp)
 
     def commit_files(
         self,
@@ -206,59 +393,68 @@ class TxLog:
         expected_version: int | None = None,
         removes: list[str] | None = None,
         stats: dict | None = None,
+        parts: dict | None = None,
         max_retries: int = 100,
     ) -> int:
         """Commit already-staged data files. Returns the committed (or, for
         an idempotent skip, the current) table version.
 
         `op="append"` conflicts with nothing and retries until it wins a
-        version. `op="replace"` additionally requires the table version to
-        still be `expected_version` at the moment it wins; a concurrent
-        commit in between raises :class:`TxConflictError` (staged files
-        are cleaned up).
+        version. `expected_version` (REPLACE/MERGE) additionally requires
+        the table version to still be that at the moment the commit wins;
+        a concurrent commit in between raises :class:`TxConflictError`
+        (staged files are cleaned up). `removes` without
+        `expected_version` follows the disjoint-file rule (OPTIMIZE).
         """
-        for _ in range(max_retries):
-            st = self.state()
-            if (
-                app_id is not None
-                and app_version is not None
-                and st.apps.get(app_id, -1) >= app_version
-            ):
-                # Replayed epoch (crash-retry): already committed once;
-                # drop this attempt's staged files and report current state.
-                self._delete_staged(adds)
-                return st.version
-            if op == "replace" and expected_version is not None and st.version != expected_version:
-                self._delete_staged(adds)
-                raise TxConflictError(
-                    f"replace derived from v{expected_version} but table is at v{st.version}"
-                )
-            if removes is not None:
-                # Disjoint-file conflict rule (Delta's OPTIMIZE semantics):
-                # this commit only conflicts if some file it wants to
-                # remove is no longer live (a concurrent commit removed or
-                # replaced it); concurrent APPENDS land disjoint files and
-                # never conflict, so compaction runs alongside ingestion.
-                missing = set(removes) - set(st.files)
-                if missing:
+        try:
+            for _ in range(max_retries):
+                st = self.state()
+                if (
+                    app_id is not None
+                    and app_version is not None
+                    and st.apps.get(app_id, -1) >= app_version
+                ):
+                    # Replayed epoch (crash-retry): already committed once;
+                    # drop this attempt's staged files and report current state.
+                    self._delete_staged(adds)
+                    return st.version
+                if expected_version is not None and st.version != expected_version:
                     self._delete_staged(adds)
                     raise TxConflictError(
-                        f"files to remove are no longer live: {sorted(missing)[:3]}..."
+                        f"{op} derived from v{expected_version} but table is at v{st.version}"
                     )
-            manifest = {
-                "op": op,
-                "adds": adds,
-                "removes": list(removes or []),
-                "stats": stats or {},
-                "schema_json": schema_json,
-                "app_id": app_id,
-                "app_version": app_version,
-                "ts": time.time(),
-            }
-            if self._publish(st.version + 1, manifest):
-                return st.version + 1
-            # lost the race: someone committed st.version+1 first — re-read
-            # state (idempotence/conflict re-checked against it) and retry
+                if removes is not None:
+                    # Disjoint-file conflict rule (Delta's OPTIMIZE semantics):
+                    # this commit only conflicts if some file it wants to
+                    # remove is no longer live (a concurrent commit removed or
+                    # replaced it); concurrent APPENDS land disjoint files and
+                    # never conflict, so compaction runs alongside ingestion.
+                    missing = set(removes) - set(st.files)
+                    if missing:
+                        self._delete_staged(adds)
+                        raise TxConflictError(
+                            f"files to remove are no longer live: {sorted(missing)[:3]}..."
+                        )
+                manifest = {
+                    "op": op,
+                    "adds": adds,
+                    "removes": list(removes or []),
+                    "stats": stats or {},
+                    "parts": parts or {},
+                    "schema_json": schema_json,
+                    "app_id": app_id,
+                    "app_version": app_version,
+                    "ts": time.time(),
+                }
+                if self.store.put_if_absent(self._manifest_name(st.version + 1), manifest):
+                    return st.version + 1
+                # lost the race: someone committed st.version+1 first — re-read
+                # state (idempotence/conflict re-checked against it) and retry
+        except TxConflictError:
+            raise  # staged files already cleaned at the raise site
+        except BaseException:
+            self._delete_staged(adds)  # e.g. manifest serialization failure
+            raise
         self._delete_staged(adds)
         raise TxConflictError(f"commit lost {max_retries} consecutive version races")
 
@@ -272,29 +468,58 @@ class TxLog:
     # -- DataFrame API -------------------------------------------------
 
     def _stage(
-        self, df: DataFrame, stats_cols: list[str] | None = None
-    ) -> tuple[list[str], str, dict]:
+        self,
+        df: DataFrame,
+        stats_cols: list[str] | None = None,
+        partition_by: str | None = None,
+    ) -> tuple[list[str], str, dict, dict]:
         """Write df's parts as uniquely-named files under data/ (invisible
         until a manifest names them). With `stats_cols`, per-file [min,max]
         of those columns is read from the parquet FOOTERS just written (no
-        data re-scan) and recorded in the manifest — the table-format
-        data-skipping statistics. Returns (names, schema_json, stats)."""
+        data re-scan). With `partition_by`, the write runs through Spark's
+        engine-side dynamic partitioning (one job regardless of value
+        count) and each file's partition value is lifted from the
+        directory name into the manifest — directory layout becomes
+        metadata, which is what lets `snapshot()` prune by partition
+        without listing anything. Returns (names, schema_json, stats,
+        parts)."""
         prefix = uuid.uuid4().hex
         tmp = os.path.join(self.path, f"_staging-{prefix}")
-        df.write.mode("overwrite").parquet(tmp)
-        names, stats = [], {}
-        for name in sorted(os.listdir(tmp)):
-            if name.endswith(".parquet"):
-                staged = f"{prefix}-{name}"
+        names: list[str] = []
+        stats: dict = {}
+        parts: dict = {}
+
+        def take(src_dir: str, tag: str, part_val: str | None) -> None:
+            for name in sorted(os.listdir(src_dir)):
+                if not name.endswith(".parquet"):
+                    continue
+                staged = f"{prefix}-{tag}{name}"
                 dest = os.path.join(self.data_path, staged)
-                os.replace(os.path.join(tmp, name), dest)
+                os.replace(os.path.join(src_dir, name), dest)
                 names.append(staged)
+                if part_val is not None:
+                    parts[staged] = {partition_by: part_val}
                 if stats_cols:
                     fs = _footer_minmax(dest, stats_cols)
                     if fs:
                         stats[staged] = fs
+
+        if partition_by is None:
+            df.write.mode("overwrite").parquet(tmp)
+            take(tmp, "", None)
+        else:
+            df.write.mode("overwrite").partitionBy(partition_by).parquet(tmp)
+            pi = 0
+            for entry in sorted(os.listdir(tmp)):
+                if not entry.startswith(f"{partition_by}="):
+                    continue
+                # Hive-style dir names URL-escape special chars; store the
+                # decoded value string in the manifest.
+                val = unquote(entry.split("=", 1)[1])
+                take(os.path.join(tmp, entry), f"p{pi:04d}-", val)
+                pi += 1
         shutil.rmtree(tmp, ignore_errors=True)
-        return names, df.schema.json(), stats
+        return names, df.schema.json(), stats, parts
 
     def append(
         self,
@@ -302,18 +527,20 @@ class TxLog:
         app_id: str | None = None,
         app_version: int | None = None,
         stats_cols: list[str] | None = None,
+        partition_by: str | None = None,
     ) -> int:
         """Transactional append; with (app_id, app_version) it is an
         idempotent streaming-epoch commit (replays skip). `stats_cols`
-        records per-file [min,max] footer stats for data skipping."""
+        records per-file [min,max] footer stats and `partition_by` records
+        per-file partition values — both manifest-level data skipping."""
         # Idempotence fast path: skip the stage write entirely on replay.
         if app_id is not None and app_version is not None:
             if self.state().apps.get(app_id, -1) >= app_version:
                 return self.state().version
-        names, schema_json, stats = self._stage(df, stats_cols)
+        names, schema_json, stats, parts = self._stage(df, stats_cols, partition_by)
         return self.commit_files(
             names, "append", schema_json, app_id=app_id, app_version=app_version,
-            stats=stats,
+            stats=stats, parts=parts,
         )
 
     def overwrite(
@@ -321,50 +548,89 @@ class TxLog:
         df: DataFrame,
         expected_version: int | None = None,
         stats_cols: list[str] | None = None,
+        partition_by: str | None = None,
     ) -> int:
         """Replace the table contents, serializably: if `expected_version`
         is given (the version the caller derived `df` from), any concurrent
         commit in between fails this replace with TxConflictError."""
         if expected_version is None:
             expected_version = self.state().version
-        names, schema_json, stats = self._stage(df, stats_cols)
+        names, schema_json, stats, parts = self._stage(df, stats_cols, partition_by)
         return self.commit_files(
             names, "replace", schema_json, expected_version=expected_version,
-            stats=stats,
+            stats=stats, parts=parts,
         )
+
+    def _read_files(self, spark: SparkSession, files: list[str], st: _State) -> DataFrame:
+        """One DataFrame over a committed-file subset. Files committed with
+        partition values re-attach the partition column (dropped from the
+        data files by Hive-style layout) as a typed literal per group, then
+        union by name with the flat files — no extra shuffle, N parquet
+        scans unioned in one plan."""
+        if not files:
+            if st.schema_json is None:
+                raise ValueError(f"txlog table {self.path!r} has no commits")
+            return spark.createDataFrame([], StructType.fromJson(json.loads(st.schema_json)))
+        flat = [n for n in files if n not in st.parts]
+        groups: dict[tuple[str, str], list[str]] = {}
+        for n in files:
+            pv = st.parts.get(n)
+            if pv is not None:
+                (col, val), = pv.items()
+                groups.setdefault((col, val), []).append(n)
+        dfs = []
+        if flat:
+            dfs.append(spark.read.parquet(*[os.path.join(self.data_path, n) for n in flat]))
+        if groups:
+            schema = StructType.fromJson(json.loads(st.schema_json))
+            for (col, val), names in sorted(groups.items()):
+                dtype = schema[col].dataType
+                g = spark.read.parquet(*[os.path.join(self.data_path, n) for n in names])
+                dfs.append(g.withColumn(col, F.lit(val).cast(dtype)))
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
     def snapshot(
         self,
         spark: SparkSession,
         version: int | None = None,
         prune: tuple | None = None,
+        partitions: dict | None = None,
     ) -> DataFrame:
         """The table as of `version` (default: now). One log listing fixes
         the file list; later commits are invisible to the returned frame.
 
-        `prune=(col, lo, hi)` applies MANIFEST-LEVEL data skipping: files
-        whose recorded [min,max] for `col` cannot intersect [lo, hi] are
-        dropped from the listing before Spark ever sees them — at 100 TB
-        this (not the parquet footer check, which still requires opening
-        every file) is what bounds a selective query's task count. Files
-        committed without stats are conservatively kept; the caller still
-        applies the row-level filter."""
+        Manifest-level data skipping — files are dropped from the listing
+        before Spark ever sees them (at 100 TB this, not the parquet
+        footer check, is what bounds a selective query's task count):
+
+        - `prune=(col, lo, hi)`: drop files whose recorded [min,max] for
+          `col` cannot intersect [lo, hi];
+        - `partitions={col: [v1, v2]}`: drop files whose recorded
+          partition value for `col` is not in the list (values compared as
+          their string form, the manifest encoding).
+
+        Files committed without the relevant metadata are conservatively
+        kept; the caller still applies the row-level filter."""
         st = self.state(version)
         files = list(st.files)
         if prune is not None and files:
             col, lo, hi = prune
-            kept = []
-            for n in files:
-                mm = st.stats.get(n, {}).get(col)
-                if mm is None or (mm[0] <= hi and mm[1] >= lo):
-                    kept.append(n)
-            files = kept
-        if not files:
-            if st.schema_json is None:
-                raise ValueError(f"txlog table {self.path!r} has no commits")
-            return spark.createDataFrame([], StructType.fromJson(json.loads(st.schema_json)))
-        paths = [os.path.join(self.data_path, n) for n in files]
-        return spark.read.parquet(*paths)
+            files = [
+                n for n in files
+                if (mm := st.stats.get(n, {}).get(col)) is None
+                or (mm[0] <= hi and mm[1] >= lo)
+            ]
+        if partitions and files:
+            for col, vals in partitions.items():
+                allowed = {str(v) for v in vals}
+                files = [
+                    n for n in files
+                    if (pv := st.parts.get(n, {}).get(col)) is None or pv in allowed
+                ]
+        return self._read_files(spark, files, st)
 
     def merge(
         self,
@@ -372,26 +638,61 @@ class TxLog:
         updates: DataFrame,
         key: str,
         max_retries: int = 10,
+        stats_cols: list[str] | None = None,
     ) -> int:
-        """Type-1 upsert (MERGE) as lock-free OCC read-modify-write: read
-        the snapshot at version v, fold `updates` in (update rows win on
-        key equality; caller supplies one row per key), and REPLACE with
-        ``expected_version=v``. A concurrent commit fails the replace and
-        the merge RE-DERIVES from the fresh state and retries — so
-        concurrent mergers serialize without any lock, the multi-writer
-        counterpart of DimStore's single-writer MERGE
-        (sources/dim_store.py; reference DimSinkFunction.java:17-89)."""
+        """Type-1 upsert (MERGE) as lock-free OCC read-modify-write with
+        FILE-LEVEL rewrite: only data files whose recorded [min, max] for
+        `key` intersects the update-key range are read, anti-joined against
+        the update keys, and rewritten; non-intersecting files survive the
+        commit untouched (same names in the manifest) — O(touched bytes)
+        per merge, not O(table), which is what lets a narrow-key upsert
+        land on a fact-scale table. Files committed without `key` stats are
+        conservatively rewritten. Update rows win on key equality (caller
+        supplies one row per key).
+
+        Serializable: the commit carries ``expected_version``, so ANY
+        concurrent commit (including appends, which could land rows for
+        the merged keys) fails it and the merge re-derives from fresh
+        state and retries — concurrent mergers serialize without a lock,
+        the multi-writer counterpart of DimStore's single-writer MERGE
+        (sources/dim_store.py; reference DimSinkFunction.java:17-89).
+
+        Pass `stats_cols=[key]` on every append AND merge to keep the
+        file-level pruning effective across the table's life."""
+        stats_cols = stats_cols if stats_cols is not None else [key]
         for _ in range(max_retries):
             st = self.state()
             if not st.files:
-                merged = updates
-            else:
-                base = self.snapshot(spark, version=st.version)
+                try:
+                    return self.overwrite(
+                        updates, expected_version=st.version, stats_cols=stats_cols
+                    )
+                except TxConflictError:
+                    continue
+            lo, hi = updates.agg(F.min(key), F.max(key)).first()
+            if lo is None:  # empty update set: nothing to merge
+                return st.version
+            touched = [
+                n for n in st.files
+                if (mm := st.stats.get(n, {}).get(key)) is None
+                or (mm[0] <= hi and mm[1] >= lo)
+            ]
+            if touched:
+                base = self._read_files(spark, touched, st)
                 merged = base.join(
                     updates.select(key).distinct(), key, "left_anti"
                 ).unionByName(updates)
+            else:
+                merged = updates
+            # Rewrite volume ~= touched volume: keep file granularity stable
+            # (no per-merge small-file explosion from shuffle partitioning).
+            merged = merged.coalesce(max(1, len(touched)))
+            names, schema_json, stats, parts = self._stage(merged, stats_cols)
             try:
-                return self.overwrite(merged, expected_version=st.version)
+                return self.commit_files(
+                    names, op="merge", schema_json=schema_json, removes=touched,
+                    expected_version=st.version, stats=stats, parts=parts,
+                )
             except TxConflictError:
                 continue
         raise TxConflictError(f"merge lost {max_retries} consecutive OCC races")
@@ -418,14 +719,14 @@ class TxLog:
                 return st.version
             victims = list(st.files)
             packed = (
-                self.snapshot(spark, version=st.version)
+                self._read_files(spark, victims, st)
                 .coalesce(max_files)
             )
-            names, schema_json, stats = self._stage(packed, stats_cols)
+            names, schema_json, stats, parts = self._stage(packed, stats_cols)
             try:
                 return self.commit_files(
                     names, op="optimize", schema_json=schema_json, removes=victims,
-                    stats=stats,
+                    stats=stats, parts=parts,
                 )
             except TxConflictError:
                 continue  # another remover won; re-derive and retry
@@ -434,8 +735,8 @@ class TxLog:
     def checkpoint(self) -> int:
         """Fold the log into `<v>.checkpoint.json`. Manifests <= v can then
         be deleted (truncate_log). Deterministic content per version, so a
-        concurrent duplicate checkpoint is harmless (os.replace, same
-        bytes)."""
+        concurrent duplicate checkpoint is harmless (overwrite-ok put,
+        same bytes)."""
         st = self.state()
         if st.version < 0:
             return st.version
@@ -443,16 +744,10 @@ class TxLog:
             "files": list(st.files),
             "apps": st.apps,
             "stats": st.stats,
+            "parts": st.parts,
             "schema_json": st.schema_json,
         }
-        tmp = os.path.join(self.log_path, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(cp, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(
-            tmp, os.path.join(self.log_path, f"{st.version:0{_V_DIGITS}d}.checkpoint.json")
-        )
+        self.store.put(f"{st.version:0{_V_DIGITS}d}.checkpoint.json", cp)
         return st.version
 
     def truncate_log(self) -> int:
@@ -464,19 +759,17 @@ class TxLog:
         cp_v = checkpoints[-1]
         n = 0
         for v in manifests:
-            if v <= cp_v:
-                try:
-                    os.remove(self._manifest_file(v))
-                    n += 1
-                except FileNotFoundError:
-                    pass
+            if v <= cp_v and self.store.delete(self._manifest_name(v)):
+                n += 1
         return n
 
     def vacuum(self, grace_seconds: float = 24 * 3600.0) -> int:
         """Delete data files no committed manifest references (crash
-        orphans, replaced files) older than `grace_seconds` — the grace
-        window protects in-flight stages and held snapshots, exactly
-        Delta's VACUUM contract. Returns the number removed."""
+        orphans, replaced files) and abandoned ``_staging-*`` directories
+        (a crash mid-stage, before any file moved to data/), both older
+        than `grace_seconds` — the grace window protects in-flight stages
+        and held snapshots, exactly Delta's VACUUM contract. Returns the
+        number of files/directories removed."""
         live = set(self.state().files)
         now = time.time()
         n = 0
@@ -487,6 +780,16 @@ class TxLog:
             try:
                 if now - os.path.getmtime(p) >= grace_seconds:
                     os.remove(p)
+                    n += 1
+            except FileNotFoundError:
+                pass
+        for name in os.listdir(self.path):
+            if not name.startswith("_staging-"):
+                continue
+            p = os.path.join(self.path, name)
+            try:
+                if now - os.path.getmtime(p) >= grace_seconds:
+                    shutil.rmtree(p, ignore_errors=True)
                     n += 1
             except FileNotFoundError:
                 pass

@@ -14,23 +14,37 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from flink_real_time_data_warehouse_spark.storage import TxConflictError, TxLog
+from flink_real_time_data_warehouse_spark.storage import (
+    MemoryLogStore,
+    TxConflictError,
+    TxLog,
+    TxVersionTruncatedError,
+)
 
 
 def _stage_rows(log: TxLog, ids: list[int]) -> list[str]:
     """Stage one parquet file holding `ids` (bypassing Spark for speed)."""
-    name = f"t-{ids[0]}-{os.urandom(4).hex}.parquet"
+    name = f"t-{ids[0]}-{os.urandom(8).hex()}.parquet"
     pq.write_table(pa.table({"id": pa.array(ids, pa.int64())}), os.path.join(log.data_path, name))
     return [name]
+
+
+def _make_log(tmp_path, store_kind: str) -> TxLog:
+    """The LogStore seam: the same protocol logic over the POSIX link(2)
+    claim or the S3-profile conditional-PUT mock."""
+    store = MemoryLogStore() if store_kind == "memory" else None
+    return TxLog(str(tmp_path / "t"), store=store)
 
 
 _SCHEMA_JSON = '{"fields":[{"metadata":{},"name":"id","nullable":true,"type":"long"}],"type":"struct"}'
 
 
-def test_concurrent_appends_all_commit_exactly_once(tmp_path):
+@pytest.mark.parametrize("store_kind", ["posix", "memory"])
+def test_concurrent_appends_all_commit_exactly_once(tmp_path, store_kind):
     """W writers x C commits racing on one table: every commit wins a
-    distinct version, the final state contains every row exactly once."""
-    log = TxLog(str(tmp_path / "t"))
+    distinct version, the final state contains every row exactly once —
+    over BOTH LogStore profiles (POSIX link claim / conditional PUT)."""
+    log = _make_log(tmp_path, store_kind)
     W, C = 8, 5
 
     def writer(w: int) -> list[int]:
@@ -56,10 +70,11 @@ def test_concurrent_appends_all_commit_exactly_once(tmp_path):
     assert sorted(ids) == sorted(w * 1000 + c for w in range(W) for c in range(C))
 
 
-def test_replace_conflicts_with_concurrent_commit(tmp_path):
+@pytest.mark.parametrize("store_kind", ["posix", "memory"])
+def test_replace_conflicts_with_concurrent_commit(tmp_path, store_kind):
     """Serializable REPLACE: deriving from v0, a concurrent append moves
     the table to v1, so the replace must fail AND clean its staged file."""
-    log = TxLog(str(tmp_path / "t"))
+    log = _make_log(tmp_path, store_kind)
     log.commit_files(_stage_rows(log, [1]), schema_json=_SCHEMA_JSON)  # v0
     base = log.state().version
     staged = _stage_rows(log, [99])
@@ -78,11 +93,12 @@ def test_replace_conflicts_with_concurrent_commit(tmp_path):
     assert st.version == v and list(st.files) == staged2
 
 
-def test_epoch_commit_idempotent_under_replay(tmp_path):
+@pytest.mark.parametrize("store_kind", ["posix", "memory"])
+def test_epoch_commit_idempotent_under_replay(tmp_path, store_kind):
     """(app_id, app_version) replay: the second commit of the same epoch is
     skipped, its staged file is deleted, and rows are not duplicated —
     the foreachBatch txnAppId/txnVersion contract."""
-    log = TxLog(str(tmp_path / "t"))
+    log = _make_log(tmp_path, store_kind)
     v1 = log.commit_files(
         _stage_rows(log, [1]), schema_json=_SCHEMA_JSON, app_id="ing", app_version=0
     )
@@ -275,3 +291,158 @@ def test_stats_based_file_skipping(tmp_path, spark):
     assert len(log.snapshot(spark, prune=("id", 0, 10)).inputFiles()) == 2
     # disjoint range: only the stats-less file remains
     assert len(log.snapshot(spark, prune=("id", 500, 600)).inputFiles()) == 1
+
+
+def test_file_level_merge_leaves_disjoint_files_untouched(tmp_path, spark):
+    """Narrow-key MERGE rewrites ONLY files whose [min,max] for the key
+    intersects the update keys: non-intersecting data files keep their
+    exact names in the manifest (byte-identical, never read), touched
+    files are replaced, and the merged state is the type-1 upsert."""
+    log = TxLog(str(tmp_path / "t"))
+    for lo in (0, 100, 200):
+        log.append(
+            spark.range(lo, lo + 50).selectExpr("id AS k", "id * 10 AS v").coalesce(1),
+            stats_cols=["k"],
+        )
+    before = log.state()
+    assert len(before.files) == 3
+    # updates touch only the middle file's key range [100, 149]
+    ups = spark.createDataFrame([(110, -1), (120, -2), (150 + 1000, -3)], "k long, v long")
+    ups = ups.where("k < 1000")  # keys 110, 120
+    v = log.merge(spark, ups, "k")
+    after = log.state()
+    untouched = [n for n in before.files if "100" not in n]  # names are opaque; compare sets
+    kept = set(before.files) & set(after.files)
+    # exactly the two non-intersecting files survive with the same names
+    assert len(kept) == 2, (before.files, after.files)
+    assert v == 3 and len(after.files) == 3
+    got = {r["k"]: r["v"] for r in log.snapshot(spark).collect()}
+    assert got[110] == -1 and got[120] == -2 and got[119] == 1190
+    assert len(got) == 150 and got[0] == 0 and got[249] == 2490
+    del untouched
+
+
+def test_merge_stats_survive_for_next_merge(tmp_path, spark):
+    """merge() records fresh key stats on the files it writes, so a LATER
+    narrow merge still prunes: after merging key 10, merging key 210
+    touches only the third range's rewrite."""
+    log = TxLog(str(tmp_path / "t"))
+    for lo in (0, 100, 200):
+        log.append(
+            spark.range(lo, lo + 50).selectExpr("id AS k", "id AS v").coalesce(1),
+            stats_cols=["k"],
+        )
+    log.merge(spark, spark.createDataFrame([(10, -1)], "k long, v long"), "k")
+    before = set(log.state().files)
+    log.merge(spark, spark.createDataFrame([(210, -2)], "k long, v long"), "k")
+    after = set(log.state().files)
+    assert len(before & after) >= 2, "files outside key 210's range survived the second merge"
+    got = {r["k"]: r["v"] for r in log.snapshot(spark).collect()}
+    assert got[10] == -1 and got[210] == -2 and len(got) == 150
+
+
+def test_partition_pruned_snapshot(tmp_path, spark):
+    """partition_by commits record per-file partition values in the
+    manifest; snapshot(partitions=...) drops non-matching files from the
+    listing (checked via inputFiles), re-attaches the partition column
+    with its declared type, and conservatively keeps files committed
+    without partition metadata."""
+    log = TxLog(str(tmp_path / "t"))
+    df = spark.range(0, 90).selectExpr("id", "CAST(id % 3 AS LONG) AS bucket")
+    log.append(df, partition_by="bucket")
+    log.append(spark.createDataFrame([(999, 7)], "id long, bucket long").coalesce(1))  # no parts
+    full = log.snapshot(spark)
+    assert full.count() == 91
+    assert set(full.columns) == {"id", "bucket"}
+    pruned = log.snapshot(spark, partitions={"bucket": [1]})
+    # one partition's file(s) + the metadata-less file
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    got = pruned.where("bucket = 1")
+    assert got.count() == 30
+    assert dict(got.dtypes)["bucket"] == "bigint", "partition column type restored"
+    # partition metadata survives checkpoint + truncation
+    log.checkpoint()
+    log.truncate_log()
+    again = log.snapshot(spark, partitions={"bucket": [2]})
+    assert again.where("bucket = 2").count() == 30
+    assert len(again.inputFiles()) < len(full.inputFiles())
+
+
+def test_stats_on_timestamp_column_commit_succeeds(tmp_path, spark):
+    """A stats_cols column whose parquet stats are not JSON-safe
+    (timestamp) must not poison the commit: the column's stats are
+    omitted, the commit lands, no .tmp-* or staged litter remains
+    (ADVICE r5)."""
+    log = TxLog(str(tmp_path / "t"))
+    df = spark.sql(
+        "SELECT id, timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts "
+        "FROM range(5)"
+    )
+    v = log.append(df.coalesce(1), stats_cols=["ts", "id"])
+    assert v == 0
+    st = log.state()
+    stats = st.stats[st.files[0]]
+    assert "id" in stats and "ts" not in stats
+    assert [n for n in os.listdir(log.log_path) if n.startswith(".tmp")] == []
+    assert log.snapshot(spark).count() == 5
+
+
+def test_vacuum_sweeps_abandoned_staging_dirs(tmp_path, spark):
+    """A crash mid-stage (before any file moved to data/) leaves a
+    _staging-* directory under the table root; vacuum collects it after
+    the grace window."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(spark.range(3).selectExpr("id"))
+    ghost = os.path.join(log.path, "_staging-deadbeef")
+    os.makedirs(ghost)
+    with open(os.path.join(ghost, "part-0.parquet"), "wb") as f:
+        f.write(b"torn")
+    assert log.vacuum(grace_seconds=1e9) == 0, "grace window protects fresh stages"
+    assert log.vacuum(grace_seconds=0.0) == 1
+    assert not os.path.exists(ghost)
+    assert log.snapshot(spark).count() == 3
+
+
+def test_state_raises_on_truncated_version(tmp_path):
+    """state(at_version) below the newest checkpoint after truncation must
+    raise TxVersionTruncatedError, not silently reconstruct an empty
+    table (ADVICE r5)."""
+    log = TxLog(str(tmp_path / "t"))
+    for i in range(4):
+        log.commit_files(_stage_rows(log, [i]), schema_json=_SCHEMA_JSON)
+    log.checkpoint()  # checkpoint at v3
+    assert log.truncate_log() == 4
+    assert log.state(at_version=3).version == 3  # from the checkpoint
+    with pytest.raises(TxVersionTruncatedError):
+        log.state(at_version=1)
+    # un-truncated prefix still replays fine on a fresh table
+    log2 = TxLog(str(tmp_path / "t2"))
+    log2.commit_files(_stage_rows(log2, [0]), schema_json=_SCHEMA_JSON)
+    log2.commit_files(_stage_rows(log2, [1]), schema_json=_SCHEMA_JSON)
+    assert log2.state(at_version=0).version == 0
+
+
+def test_state_retries_through_concurrent_truncation(tmp_path):
+    """A reader that listed manifests just before truncate_log() deleted
+    them must retry against the fresh listing instead of crashing with
+    FileNotFoundError (ADVICE r5). Simulated by deleting a listed
+    manifest between the listing and the read via a hooked store."""
+    log = TxLog(str(tmp_path / "t"))
+    for i in range(3):
+        log.commit_files(_stage_rows(log, [i]), schema_json=_SCHEMA_JSON)
+    log.checkpoint()
+
+    real_list = log.store.list
+    fired = {"n": 0}
+
+    def racing_list():
+        names = real_list()
+        if fired["n"] == 0:
+            fired["n"] += 1
+            log.truncate_log()  # deletes manifests the listing just returned
+        return names
+
+    log.store.list = racing_list
+    st = log.state()
+    assert st.version == 2 and len(st.files) == 3
+    assert fired["n"] == 1
