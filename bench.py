@@ -117,7 +117,29 @@ HEADLINE = [
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention
 DRIFT_RATIO = 1.5  # per-query slowdown vs BENCH_REFERENCE.json that gets flagged
-REFERENCE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_REFERENCE.json")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+REFERENCE_FILE = os.path.join(_HERE, "BENCH_REFERENCE.json")
+SELF_FILE = os.path.join(_HERE, "BENCH_SELF.json")
+
+
+def _short_keys(names: list[str]) -> dict[str, str]:
+    """Deterministic short key per query name (first two chars of each
+    underscore part; numeric suffix on collision). The driver's output
+    capture keeps only the last ~2000 chars of stdout, so the printed
+    JSON line must stay small — full names live in BENCH_SELF.json's
+    key_map."""
+    out: dict[str, str] = {}
+    used: set[str] = set()
+    for name in names:
+        k = "".join(p[:2] for p in name.split("_"))[:10]
+        if k in used:
+            i = 2
+            while f"{k}{i}" in used:
+                i += 1
+            k = f"{k}{i}"
+        used.add(k)
+        out[name] = k
+    return out
 
 
 def main() -> None:
@@ -177,7 +199,8 @@ def main() -> None:
     except (FileNotFoundError, KeyError, json.JSONDecodeError):
         pass
 
-    print(json.dumps({
+    keymap = _short_keys(list(times))
+    full = {
         "metric": "headline query wall time at sf" + sf,
         "value": round(sum(times.values()), 3),
         "unit": "sec",
@@ -190,7 +213,27 @@ def main() -> None:
             "contended": hi / lo > SENTINEL_RATIO,
         },
         "drift_vs_reference": drift,
-    }))
+        "key_map": keymap,
+    }
+    # Full record (long names, 3dp) goes to the in-repo artifact; stdout
+    # carries ONE compact line (short keys, 2dp) that fits the driver's
+    # ~2000-char tail capture so BENCH_r{N}.json parses again (r5 verdict
+    # task 3 — BENCH_r04/r05 were parsed:null truncated tails).
+    with open(SELF_FILE, "w") as f:
+        json.dump(full, f, indent=1)
+    compact = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        "queries": {keymap[n]: round(t, 2) for n, t in times.items()},
+        "sf": full["sf"],
+        "reps": reps,
+        "sentinel": full["sentinel"],
+        "drift_vs_reference": {keymap.get(n, n): r for n, r in drift.items()},
+        "n_queries": len(times),
+        "key_map_in": "BENCH_SELF.json",
+    }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":
