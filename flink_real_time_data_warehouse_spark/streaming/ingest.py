@@ -10,7 +10,7 @@ those pieces per foreachBatch epoch:
 
     verdicts = incremental_dedup_indexed(index, batch, within_batch=True)
     accepted = batch where verdict = 'keep' and quality_score >= min
-    idempotent epoch append  -> accepted sink (router commit protocol)
+    idempotent epoch append  -> accepted TxLog table (app_id, epoch)
     index.append(accepted, batch_no=f"e{epoch}")  -> signature index
 
 Exactly-once: the sink append and the index append are two INDEPENDENT
@@ -38,7 +38,7 @@ from ..datapipe.dedup import (
     incremental_dedup_indexed,
 )
 from ..datapipe.quality import text_quality
-from .router import _idempotent_append
+from ..storage import TxLog
 
 MIN_QUALITY = 2  # same acceptance bar as the graded ingest_pipeline
 
@@ -66,12 +66,13 @@ def start_ingest(
     band rows, which the semi-join probes are insensitive to, and which
     the next compaction folds away. Verdicts are never affected.
 
-    ``sink_log``: pass a `storage.TxLog` to land accepted rows through the
-    multi-writer transaction log instead of the single-writer marker sink
-    — same (epoch-keyed) exactly-once contract, but other writers may
-    share the table and `accepted_dir` is ignored in favor of the log's
-    own directory.
+    The accepted sink is a `storage.TxLog` table rooted at `accepted_dir`
+    (read it back with ``TxLog(accepted_dir).snapshot(spark)``); pass
+    ``sink_log`` to land accepted rows in a SHARED TxLog table instead
+    (other writers with distinct app_ids may commit to it concurrently),
+    in which case `accepted_dir` is ignored.
     """
+    log = sink_log if sink_log is not None else TxLog(accepted_dir)
 
     def on_batch(batch: DataFrame, epoch: int) -> None:
         batch = batch.persist()
@@ -99,10 +100,7 @@ def start_ingest(
                 .select(F.col("doc").alias(id_col))
             )
             accepted = batch.join(ok, id_col, "left_semi")
-            if sink_log is not None:
-                sink_log.append(accepted, app_id="ingest", app_version=epoch)
-            else:
-                _idempotent_append(accepted, accepted_dir, epoch)
+            log.append(accepted, app_id="ingest", app_version=epoch)
             sig_index.append(accepted, id_col, text_col, batch_no=f"e{epoch}")
             if compact_every and epoch % compact_every == compact_every - 1:
                 sig_index.compact()
@@ -145,6 +143,7 @@ def start_vector_ingest(
     from ..datapipe.similarity import IVF_NPROBE
 
     n_probe = IVF_NPROBE if nprobe is None else nprobe
+    log = TxLog(accepted_dir)
 
     def on_batch(batch: DataFrame, epoch: int) -> None:
         from ..datapipe.ivf_index import PROBE_BROADCAST_MAX_ROWS
@@ -163,7 +162,7 @@ def start_vector_ingest(
             )
             ok = v.where(F.col("verdict") == "keep").select(F.col("vec").alias(id_col))
             accepted = batch.join(ok, id_col, "left_semi")
-            _idempotent_append(accepted, accepted_dir, epoch)
+            log.append(accepted, app_id="vec-ingest", app_version=epoch)
             ivf_index.append(accepted, id_col, vec_col, batch_no=f"e{epoch}")
             if compact_every and epoch % compact_every == compact_every - 1:
                 ivf_index.compact()
@@ -182,10 +181,9 @@ def start_txlog_sink(stream: DataFrame, log, checkpoint: str, app_id: str = "txs
     """Exactly-once streaming sink through the MULTI-writer transaction log
     (`storage/txlog.TxLog`): each micro-batch commits as (app_id, epoch),
     so crash-retry replays are idempotently skipped by the log itself — and
-    unlike the single-writer epoch-marker sink (`_idempotent_append` under
-    `RouterLock`, which REFUSES a second concurrent writer), any number of
-    concurrent sinks with distinct app_ids can land in ONE table, their
-    commits serialized by the version-claim protocol. Reference analog: the
+    any number of concurrent sinks with distinct app_ids can land in ONE
+    table, their commits serialized by the version-claim protocol (the
+    same commit layer every sink in this repo uses). Reference analog: the
     transactional Kafka producer (MyKafkaUtil.java:29-43), upgraded from
     one-owner markers to OCC commits."""
 

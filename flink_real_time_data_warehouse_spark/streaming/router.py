@@ -9,22 +9,34 @@ TableProcessFunction.java:42-165). Spark-first replacement:
   broadcast-state maintenance of R3 becomes "fresh snapshot per trigger");
 - a foreachBatch harness partitions the micro-batch by (source_table, op),
   prunes to each entry's sink_columns, and writes to the entry's sink:
-  `table` sinks append parquet (Kafka topics / Delta tables in
-  production), `dim` sinks MERGE into a keyed DimStore on the config's
-  sink_pk — the DimSinkFunction.java:17-89 upsert path, driven by the
-  router itself rather than wired by the caller. Sink tables are created
-  on first write (the dynamic CREATE TABLE of
-  TableProcessFunction.checkTable:70-127 is implicit).
+  `table` sinks APPEND into a `storage.TxLog` table, `dim` sinks MERGE
+  into a TxLog table keyed on the config's sink_pk — the
+  DimSinkFunction.java:17-89 upsert path, driven by the router itself
+  rather than wired by the caller. Sink tables are created on first write
+  (the dynamic CREATE TABLE of TableProcessFunction.checkTable:70-127 is
+  implicit in TxLog's first commit).
 
-Exactly-once: a retried micro-batch must not re-append. Table sinks write
-through a staging dir and move files to deterministic epoch-prefixed
-names, committing with an `_epoch_<id>_done` marker — a replay of the same
-epoch either skips (marker present) or overwrites the same file names, so
-the sink converges to exactly-once. (This is a minimal hand-rolled version
-of what a transactional table format provides; at 100 TB use Delta/Iceberg
-and this becomes `df.write.option("txnAppId", ...).option("txnVersion",
-epoch)`.) Dim sinks are idempotent by construction: replaying a MERGE of
-the same updates yields the same keyed state.
+ONE transactional write path: every sink commit goes through the
+multi-writer OCC transaction log (storage/txlog.py — the same layer
+`streaming/ingest.py` commits through), matching the reference's single
+transactional producer path (MyKafkaUtil.java:29-43 +
+DimSinkFunction.java:17-89):
+
+- Exactly-once under crash-retry: each (config entry, epoch) commits as
+  an idempotent `(app_id, app_version)` epoch — a replayed micro-batch is
+  skipped by the log itself.
+- Multi-writer: TWO routers with distinct `app_id`s can land in the SAME
+  sink table concurrently, their commits serialized by the version-claim
+  protocol; dim MERGEs serialize lock-free via OCC retry. (The r5
+  hand-rolled epoch-marker sink refused a second writer by construction;
+  that whole protocol is deleted in favor of the log.)
+
+:class:`RouterLock` remains as an OPTIONAL advisory guard
+(`start_router(advisory_lock=True)`): correctness never needs it, but a
+deployment that wants a duplicate accidental router to fail FAST — rather
+than double-append rows under a second app_id — can keep the
+single-owner fence. It is also the mutation fence for the non-TxLog
+SignatureIndex (datapipe/signature_index.py).
 
 The routing loop is per *config entry*, not per record — each iteration is
 one declarative filter+project+write that Catalyst optimizes; with N
@@ -36,15 +48,14 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import tempfile
 import uuid
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.dim_store import DimStore
+from ..storage import TxLog
 
 
 class SinkLockError(RuntimeError):
@@ -53,27 +64,26 @@ class SinkLockError(RuntimeError):
 
 
 class RouterLock:
-    """Single-writer enforcement for a router sink tree.
+    """Optional single-writer advisory guard for a router sink tree.
 
-    The `_idempotent_append` commit protocol is only exactly-once under ONE
-    live writer per sink directory (two concurrent writers can interleave
-    rollback/promote). This lock turns that documented contract into an
-    enforced one: an owner file (`_router_lock`, JSON `{pid, token}`)
-    is created with O_EXCL before the first epoch; a second router finds it,
-    sees a live owner pid, and REFUSES fast instead of silently
-    interleaving. A lock whose owner pid is dead (crashed router) is stale
-    and is stolen atomically (tempfile + os.replace), so crash -> restart
-    needs no manual cleanup.
+    With TxLog as the commit layer this is no longer required for
+    correctness (concurrent writers serialize through the log); it exists
+    for deployments that want an ACCIDENTAL second router to fail fast
+    instead of doubling every append under its own app_id, and as the
+    mutation fence of the marker-based SignatureIndex.
+
+    An owner file (`_router_lock`, JSON `{pid, token}`) is created before
+    the first epoch; a second acquirer finds it, sees a live owner pid,
+    and REFUSES fast. A lock whose owner pid is dead (crashed router) is
+    stale and is stolen atomically, so crash -> restart needs no manual
+    cleanup.
 
     Fencing: `check()` re-reads the file and raises unless it still holds
-    this instance's token — called by the router before every epoch, so a
-    router wrongly presumed dead (e.g. paused, its lock stolen) fails its
-    next write instead of corrupting the new owner's epochs. Same
-    pid-liveness + fence-token design as HDFS lease recovery / Delta's
-    commit owners, scoped to the single-host filesystems this hand-rolled
-    sink supports (the pid check is per-host; a distributed deployment
-    uses a real transactional table format instead — PARITY §2.3 R2).
-    """
+    this instance's token — called before every epoch, so a router wrongly
+    presumed dead (e.g. paused, its lock stolen) fails its next write
+    instead of interleaving with the new owner. Same pid-liveness +
+    fence-token design as HDFS lease recovery, scoped to single-host
+    filesystems (the pid check is per-host)."""
 
     FILENAME = "_router_lock"
 
@@ -105,10 +115,8 @@ class RouterLock:
         The whole read-owner/decide/steal sequence runs under an OS-level
         flock on a sidecar guard file: without it, two processes that both
         observe a dead owner both "win" the steal (each os.replace
-        succeeds) and run concurrently — the exact corruption the lock
-        exists to prevent. flock serializes acquirers on one host (the
-        documented scope of this hand-rolled sink) and auto-releases if an
-        acquirer dies mid-decision."""
+        succeeds) and run concurrently. flock serializes acquirers on one
+        host and auto-releases if an acquirer dies mid-decision."""
         import fcntl
 
         os.makedirs(self.base_dir, exist_ok=True)
@@ -162,65 +170,23 @@ class RouteConfig:
     operate_type: str  # insert | update | delete
     sink_table: str
     sink_columns: tuple[str, ...]  # the csv list of TableProcessFunction.filterColumn
-    sink_type: str = "table"  # table (parquet/Delta) | dim (keyed MERGE) | kafka
+    sink_type: str = "table"  # table (TxLog append) | dim (TxLog MERGE) | kafka
     sink_pk: str = "id"  # dim MERGE key (TableProcessFunction.checkTable pk)
     sink_extend: str = ""  # passthrough DDL extras (SALT_BUCKETS etc. in Phoenix)
 
 
-def _idempotent_append(df: DataFrame, path: str, epoch_id: int | None) -> None:
-    """Append `df` under `path` such that replaying the same epoch cannot
-    duplicate rows (deterministic file names + commit marker).
+def sink_table_path(base_dir: str, sink_table: str, sink_type: str = "table") -> str:
+    """Where a config entry's TxLog table lives (dims under _dims/)."""
+    if sink_type == "dim":
+        return os.path.join(base_dir, "_dims", sink_table)
+    return os.path.join(base_dir, sink_table)
 
-    Crash-retry safety: an uncommitted epoch (no marker) is rolled back
-    FIRST — every existing ``epoch{id}-*.parquet`` is removed before the
-    retry promotes its own parts. Without that sweep, a retry that plans
-    fewer staging parts than the crashed attempt promoted would overwrite
-    only the lower-indexed names and leave the orphaned higher-indexed
-    parts behind as silent duplicates. The marker itself commits via
-    tempfile + os.replace so a torn marker write can never mark a partial
-    epoch as done.
 
-    Scope (single-writer): this protocol assumes one router (one driver)
-    per sink directory on a filesystem shared with the driver — the
-    hand-rolled analog of a transactional table format's commit. Two
-    CONCURRENT writers to the same sink can interleave rollback/promote
-    and corrupt each other; at 100 TB use Delta/Iceberg, where this whole
-    function becomes `df.write.option("txnAppId", ...).option(
-    "txnVersion", epoch)`. Sequential replays (crash -> restart, any
-    number of times, any parallelism) converge to exactly-once.
-    """
-    if epoch_id is None:  # non-streaming callers: plain append
-        df.write.mode("append").parquet(path)
-        return
-    marker = os.path.join(path, f"_epoch_{epoch_id}_done")
-    if os.path.exists(marker):
-        return
-    prefix = f"epoch{epoch_id:08d}-"
-    staging = f"{path}_staging_epoch_{epoch_id}"
-    df.write.mode("overwrite").parquet(staging)
-    os.makedirs(path, exist_ok=True)
-    # Roll back any partially-promoted files from a crashed earlier attempt
-    # of this same (uncommitted) epoch before promoting the retry's parts —
-    # including orphaned `<marker>.tmp.<pid>` files from a crash between
-    # writing the tmp marker and its os.replace (harmless to readers, which
-    # skip underscore files, but they'd otherwise accumulate forever).
-    marker_tmp_prefix = f"{os.path.basename(marker)}.tmp."
-    for stale in os.listdir(path):
-        if (stale.startswith(prefix) and stale.endswith(".parquet")) or stale.startswith(
-            marker_tmp_prefix
-        ):
-            os.remove(os.path.join(path, stale))
-    parts = sorted(f for f in os.listdir(staging) if f.endswith(".parquet"))
-    for i, p in enumerate(parts):
-        os.replace(
-            os.path.join(staging, p),
-            os.path.join(path, f"{prefix}{i:05d}.parquet"),
-        )
-    shutil.rmtree(staging, ignore_errors=True)
-    tmp_marker = f"{marker}.tmp.{os.getpid()}"
-    with open(tmp_marker, "w"):
-        pass
-    os.replace(tmp_marker, marker)
+def read_sink(
+    spark: SparkSession, base_dir: str, sink_table: str, sink_type: str = "table"
+) -> DataFrame:
+    """Committed snapshot of a routed sink table."""
+    return TxLog(sink_table_path(base_dir, sink_table, sink_type)).snapshot(spark)
 
 
 def route_micro_batch(
@@ -230,15 +196,18 @@ def route_micro_batch(
     table_col: str = "source_table",
     op_col: str = "op",
     epoch_id: int | None = None,
-    dim_store: DimStore | None = None,
+    app_id: str = "router",
 ) -> list[str]:
     """Route one micro-batch per the config list; returns sink tables written.
 
     Mirrors TableProcessFunction.processElement:130-165: records whose
     (source_table, op) has no config entry are dropped (logged there,
-    dropped here). `dim`-typed entries MERGE into `dim_store` keyed by the
-    entry's sink_pk (created on demand under base_dir/_dims).
-    """
+    dropped here). Every write is a TxLog commit: `table` entries append
+    idempotently under ``(app_id:source:op, epoch_id)`` (a replayed epoch
+    is skipped by the log), `dim` entries MERGE keyed by the entry's
+    sink_pk (idempotent by construction: replaying the same updates yields
+    the same keyed state). Two configs may share a sink_table — their
+    distinct per-entry app_ids commit independently."""
     if len(configs) > 2:
         batch = batch.persist()
     written = []
@@ -247,11 +216,17 @@ def route_micro_batch(
             sub = batch.where(
                 (F.col(table_col) == cfg.source_table) & (F.col(op_col) == cfg.operate_type)
             ).select(*cfg.sink_columns)
+            log = TxLog(sink_table_path(base_dir, cfg.sink_table, cfg.sink_type))
             if cfg.sink_type == "dim":
-                store = dim_store or DimStore(batch.sparkSession, os.path.join(base_dir, "_dims"))
-                store.upsert(cfg.sink_table, sub, key=cfg.sink_pk)
+                log.merge(batch.sparkSession, sub, key=cfg.sink_pk)
+            elif epoch_id is not None:
+                log.append(
+                    sub,
+                    app_id=f"{app_id}:{cfg.source_table}:{cfg.operate_type}",
+                    app_version=epoch_id,
+                )
             else:
-                _idempotent_append(sub, os.path.join(base_dir, cfg.sink_table), epoch_id)
+                log.append(sub)
             written.append(cfg.sink_table)
     finally:
         if len(configs) > 2:
@@ -264,28 +239,29 @@ def start_router(
     config_provider,
     base_dir: str,
     checkpoint: str,
-    dim_store: DimStore | None = None,
+    app_id: str = "router",
+    advisory_lock: bool = False,
 ):
     """Attach the router to a streaming DataFrame.
 
     `config_provider()` is called every micro-batch — the Spark analog of
     the reference's broadcast-state updates (R3): config changes take
     effect on the next trigger without restarting the query. The epoch id
-    Spark hands foreachBatch keys the idempotent commit of table sinks.
+    Spark hands foreachBatch keys each sink's idempotent TxLog commit.
 
-    Single-writer enforcement: acquires the sink tree's :class:`RouterLock`
-    before starting (a second concurrent router raises
-    :class:`SinkLockError` immediately) and fences every epoch with
-    ``lock.check()``. Returns a :class:`RouterHandle` proxying the
-    StreamingQuery; `awaitTermination`/`stop` release the lock. A crashed
-    router's lock is stale (dead pid) and the restart steals it.
-    """
-    lock = RouterLock(base_dir).acquire()
+    Multi-writer: routers with DISTINCT `app_id`s may share sink tables;
+    the log serializes their commits. `advisory_lock=True` restores the
+    fail-fast single-owner guard (a second concurrent router raises
+    :class:`SinkLockError` immediately) for deployments where a duplicate
+    router is always a mistake. Returns a :class:`RouterHandle` proxying
+    the StreamingQuery; `awaitTermination`/`stop` release the lock."""
+    lock = RouterLock(base_dir).acquire() if advisory_lock else None
 
     def on_batch(batch: DataFrame, epoch: int) -> None:
-        lock.check()  # fence: refuse to write epochs after losing ownership
+        if lock is not None:
+            lock.check()  # fence: refuse to write epochs after losing ownership
         route_micro_batch(
-            batch, list(config_provider()), base_dir, epoch_id=epoch, dim_store=dim_store
+            batch, list(config_provider()), base_dir, epoch_id=epoch, app_id=app_id
         )
 
     try:
@@ -296,16 +272,17 @@ def start_router(
             .start()
         )
     except Exception:
-        lock.release()
+        if lock is not None:
+            lock.release()
         raise
     return RouterHandle(query, lock)
 
 
 class RouterHandle:
-    """StreamingQuery proxy that releases the sink's RouterLock when the
-    query finishes (awaitTermination) or is stopped."""
+    """StreamingQuery proxy that releases the sink's RouterLock (if any)
+    when the query finishes (awaitTermination) or is stopped."""
 
-    def __init__(self, query, lock: RouterLock):
+    def __init__(self, query, lock: RouterLock | None):
         self.query = query
         self.lock = lock
 
@@ -314,14 +291,15 @@ class RouterHandle:
             return self.query.awaitTermination(timeout) if timeout is not None \
                 else self.query.awaitTermination()
         finally:
-            if not self.query.isActive:
+            if self.lock is not None and not self.query.isActive:
                 self.lock.release()
 
     def stop(self) -> None:
         try:
             self.query.stop()
         finally:
-            self.lock.release()
+            if self.lock is not None:
+                self.lock.release()
 
     def __getattr__(self, name):
         return getattr(self.query, name)

@@ -759,7 +759,9 @@ def ingest_pipeline_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     accepted_dir = os.path.join(work, "accepted")
     q = start_ingest(stream, idx, accepted_dir, os.path.join(work, "ckpt"))
     q.awaitTermination()
-    return spark.read.parquet(accepted_dir).select("doc_id")
+    from ..storage import TxLog
+
+    return TxLog(accepted_dir).snapshot(spark).select("doc_id")
 
 
 from ..plans.datapipe import INC_NEW_MOD as VEC_NEW_MOD  # same new-vs-index split rule, applied to the embeddings fixture
@@ -870,7 +872,9 @@ def ann_ingest_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, idx, accepted_dir, os.path.join(work, "ckpt"), COSINE_THRESHOLD
     )
     q.awaitTermination()
-    return spark.read.parquet(accepted_dir).select("vec_id")
+    from ..storage import TxLog
+
+    return TxLog(accepted_dir).snapshot(spark).select("vec_id")
 
 
 @register(

@@ -11,7 +11,11 @@ from flink_real_time_data_warehouse_spark.sources.cdc import (
     simulate_cdc_batch,
 )
 from flink_real_time_data_warehouse_spark.sources.dim_store import DimStore
-from flink_real_time_data_warehouse_spark.streaming.router import RouteConfig, route_micro_batch
+from flink_real_time_data_warehouse_spark.streaming.router import (
+    RouteConfig,
+    read_sink,
+    route_micro_batch,
+)
 from flink_real_time_data_warehouse_spark.tables import table
 
 from .conftest import TEST_SF_DIR
@@ -39,7 +43,8 @@ def test_cdc_route_to_facts_and_dims(spark, tmp_path):
         F.col("after")["order_status"].alias("order_status"),
     )
     # dim entry declares its sink type + MERGE key in config — the router
-    # drives the DimSinkFunction path itself (TableProcess.sinkType/sinkPk)
+    # drives the DimSinkFunction path itself (TableProcess.sinkType/sinkPk),
+    # and every write commits through the TxLog (one commit layer).
     configs = [
         RouteConfig("order_info", "insert", "dwd_order_info", ("id", "user_id", "total_amount")),
         RouteConfig(
@@ -47,30 +52,28 @@ def test_cdc_route_to_facts_and_dims(spark, tmp_path):
             sink_type="dim", sink_pk="id",
         ),
     ]
-    store = DimStore(spark, str(tmp_path / "dims"))
-    route_micro_batch(flat, configs, str(tmp_path / "sinks"), epoch_id=0, dim_store=store)
+    sinks = str(tmp_path / "sinks")
+    route_micro_batch(flat, configs, sinks, epoch_id=0)
 
     orders = table(spark, TEST_SF_DIR, "orders")
     n_total = orders.count()
     n_del = orders.where(F.col("o_orderkey") % 10 == 0).count()
     n_upd = orders.where(F.col("o_orderkey") % 10 == 1).count()
-    facts = spark.read.parquet(str(tmp_path / "sinks" / "dwd_order_info"))
+    facts = read_sink(spark, sinks, "dwd_order_info")
     assert facts.count() == n_total - n_del - n_upd
-    assert store.snapshot("dim_order_info").count() == n_upd
+    assert read_sink(spark, sinks, "dim_order_info", "dim").count() == n_upd
 
     # replaying the same epoch (failed-batch retry) must not duplicate:
-    # table sink skips via the commit marker, dim MERGE converges
-    route_micro_batch(flat, configs, str(tmp_path / "sinks"), epoch_id=0, dim_store=store)
-    assert spark.read.parquet(str(tmp_path / "sinks" / "dwd_order_info")).count() == facts.count()
-    assert store.snapshot("dim_order_info").count() == n_upd
+    # the table sink's (app_id, epoch) commit is skipped by the log, the
+    # dim MERGE converges to the same keyed state
+    route_micro_batch(flat, configs, sinks, epoch_id=0)
+    assert read_sink(spark, sinks, "dwd_order_info").count() == facts.count()
+    assert read_sink(spark, sinks, "dim_order_info", "dim").count() == n_upd
 
     # a NEW epoch of the same rows does append (at-least-once without
     # dedup is the caller's contract violation, not the router's)
-    route_micro_batch(flat, configs[:1], str(tmp_path / "sinks"), epoch_id=1)
-    assert (
-        spark.read.parquet(str(tmp_path / "sinks" / "dwd_order_info")).count()
-        == 2 * facts.count()
-    )
+    route_micro_batch(flat, configs[:1], sinks, epoch_id=1)
+    assert read_sink(spark, sinks, "dwd_order_info").count() == 2 * facts.count()
 
 
 def test_apply_cdc_changes_seq_guard_blocks_stale_writes(spark, tmp_path):
@@ -97,72 +100,53 @@ def test_apply_cdc_changes_seq_guard_blocks_stale_writes(spark, tmp_path):
     assert state == {1: "v1-newer"}
 
 
-def test_idempotent_append_crash_retry_with_fewer_parts(spark, tmp_path):
-    """Crash-retry must converge even when the retry plans FEWER parts than
-    the crashed attempt promoted: the rollback sweep removes the orphaned
-    higher-indexed epoch files before re-promoting (a retry that merely
-    overwrote lower-indexed names would leave silent duplicates)."""
-    import os
-
-    from flink_real_time_data_warehouse_spark.streaming.router import _idempotent_append
-
-    sink = str(tmp_path / "sink")
-    df = spark.range(100).withColumnRenamed("id", "v")
-
-    # Attempt 1 at parallelism 8: promote all parts, then crash BEFORE the
-    # marker lands (simulated by deleting it).
-    _idempotent_append(df.repartition(8), sink, epoch_id=7)
-    os.remove(os.path.join(sink, "_epoch_7_done"))
-    promoted = [f for f in os.listdir(sink) if f.startswith("epoch00000007-")]
-    assert len(promoted) == 8
-
-    # Retry at parallelism 2 (fewer staging parts than attempt 1 promoted).
-    _idempotent_append(df.repartition(2), sink, epoch_id=7)
-    files = sorted(f for f in os.listdir(sink) if f.startswith("epoch00000007-"))
-    assert len(files) == 2, f"orphaned parts from the crashed attempt: {files}"
-    assert spark.read.parquet(sink).count() == 100
-    assert os.path.exists(os.path.join(sink, "_epoch_7_done"))
-
-    # A third replay after commit is a no-op (marker short-circuit).
-    _idempotent_append(df.repartition(5), sink, epoch_id=7)
-    assert spark.read.parquet(sink).count() == 100
-
-
-def test_idempotent_append_interleaved_epoch_replays(spark, tmp_path):
+def test_route_interleaved_epoch_replays_exactly_once(spark, tmp_path):
     """Replays interleaved across epochs (checkpoint rollback: epoch 1
     replayed AFTER epoch 2 committed, then epoch 2 again) must leave
-    exactly one copy of every epoch's rows."""
-    from flink_real_time_data_warehouse_spark.streaming.router import _idempotent_append
+    exactly one copy of every epoch's rows — the TxLog's app_version
+    high-water mark skips BOTH stale and same-epoch replays."""
+    cfg = [RouteConfig("t", "insert", "sink_t", ("id",))]
+    sinks = str(tmp_path / "sinks")
 
-    sink = str(tmp_path / "sink")
-    e1 = spark.range(0, 50).withColumnRenamed("id", "v")
-    e2 = spark.range(50, 80).withColumnRenamed("id", "v")
-    _idempotent_append(e1, sink, epoch_id=1)
-    _idempotent_append(e2, sink, epoch_id=2)
+    def batch(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "'t' AS source_table", "'insert' AS op", "id"
+        )
+
+    route_micro_batch(batch(0, 50), cfg, sinks, epoch_id=1)
+    route_micro_batch(batch(50, 80), cfg, sinks, epoch_id=2)
     # restart from an older checkpoint: epoch 1 then 2 replay in order
-    _idempotent_append(e1, sink, epoch_id=1)
-    _idempotent_append(e2, sink, epoch_id=2)
-    got = sorted(r["v"] for r in spark.read.parquet(sink).collect())
+    route_micro_batch(batch(0, 50), cfg, sinks, epoch_id=1)
+    route_micro_batch(batch(50, 80), cfg, sinks, epoch_id=2)
+    got = sorted(r["id"] for r in read_sink(spark, sinks, "sink_t").collect())
     assert got == list(range(80))
 
 
-def test_idempotent_append_sweeps_stale_tmp_markers(spark, tmp_path):
-    """A crash between writing `<marker>.tmp.<pid>` and its os.replace
-    leaves the tmp file behind; the retry's rollback pass must sweep it
-    (otherwise they accumulate forever across crash cycles)."""
-    import os
+def test_two_routers_distinct_app_ids_share_one_sink_table(spark, tmp_path):
+    """THE unification payoff (r5 verdict task 1): two routers with
+    distinct app_ids land epochs in the SAME sink table — the situation
+    the old marker sink refused by construction — and every row lands
+    exactly once, including when each router replays its own epoch."""
+    cfg = [RouteConfig("t", "insert", "sink_t", ("id",))]
+    sinks = str(tmp_path / "sinks")
 
-    from flink_real_time_data_warehouse_spark.streaming.router import _idempotent_append
+    def batch(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "'t' AS source_table", "'insert' AS op", "id"
+        )
 
-    sink = str(tmp_path / "sink")
-    os.makedirs(sink)
-    with open(os.path.join(sink, "_epoch_7_done.tmp.99999"), "w"):
-        pass
-    _idempotent_append(spark.range(10).withColumnRenamed("id", "v"), sink, epoch_id=7)
-    leftovers = [f for f in os.listdir(sink) if ".tmp." in f]
-    assert leftovers == []
-    assert os.path.exists(os.path.join(sink, "_epoch_7_done"))
-    assert spark.read.parquet(sink).count() == 10
+    route_micro_batch(batch(0, 40), cfg, sinks, epoch_id=0, app_id="router-a")
+    route_micro_batch(batch(40, 90), cfg, sinks, epoch_id=0, app_id="router-b")
+    # each router crash-replays its epoch 0: both skipped independently
+    route_micro_batch(batch(0, 40), cfg, sinks, epoch_id=0, app_id="router-a")
+    route_micro_batch(batch(40, 90), cfg, sinks, epoch_id=0, app_id="router-b")
+    got = sorted(r["id"] for r in read_sink(spark, sinks, "sink_t").collect())
+    assert got == list(range(90))
+
+    from flink_real_time_data_warehouse_spark.storage import TxLog
+
+    st = TxLog(str(tmp_path / "sinks" / "sink_t")).state()
+    assert st.apps == {"router-a:t:insert": 0, "router-b:t:insert": 0}
 
 
 def test_router_lock_refuses_second_live_writer(tmp_path):
@@ -209,7 +193,8 @@ def test_router_lock_steals_stale_and_fences(tmp_path):
 
 
 def test_start_router_lock_lifecycle(spark, tmp_path):
-    """start_router refuses a concurrently-owned sink fast, and releases
+    """With advisory_lock=True, start_router refuses a concurrently-owned
+    sink fast (the fail-fast guard; TxLog makes it optional), and releases
     the lock when the query terminates so a sequential restart works."""
     import os
 
@@ -237,15 +222,24 @@ def test_start_router_lock_lifecycle(spark, tmp_path):
 
     held = RouterLock(sinks).acquire()  # another live router owns the sink
     with pytest.raises(SinkLockError, match="live router"):
-        start_router(make_stream(), lambda: configs, sinks, str(tmp_path / "ckpt0"))
+        start_router(
+            make_stream(), lambda: configs, sinks, str(tmp_path / "ckpt0"),
+            advisory_lock=True,
+        )
     held.release()
 
-    h = start_router(make_stream(), lambda: configs, sinks, str(tmp_path / "ckpt1"))
+    h = start_router(
+        make_stream(), lambda: configs, sinks, str(tmp_path / "ckpt1"),
+        advisory_lock=True,
+    )
     h.awaitTermination()
     assert not os.path.exists(os.path.join(sinks, RouterLock.FILENAME))  # released
-    assert spark.read.parquet(os.path.join(sinks, "dwd_order_info")).count() == 4
+    assert read_sink(spark, sinks, "dwd_order_info").count() == 4
     # sequential restart (new checkpoint -> epoch replays) re-acquires fine
-    h2 = start_router(make_stream(), lambda: configs, sinks, str(tmp_path / "ckpt2"))
+    h2 = start_router(
+        make_stream(), lambda: configs, sinks, str(tmp_path / "ckpt2"),
+        advisory_lock=True,
+    )
     h2.awaitTermination()
     assert not os.path.exists(os.path.join(sinks, RouterLock.FILENAME))
 

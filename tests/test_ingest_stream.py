@@ -14,7 +14,13 @@ import time
 from pyspark.sql import functions as F
 
 from flink_real_time_data_warehouse_spark.datapipe.signature_index import SignatureIndex
+from flink_real_time_data_warehouse_spark.storage import TxLog
 from flink_real_time_data_warehouse_spark.streaming.ingest import start_ingest
+
+
+def _accepted(spark, accepted_dir):
+    """Committed snapshot of the TxLog-backed accepted sink."""
+    return TxLog(accepted_dir).snapshot(spark)
 
 # Four quality-passing documents with DISJOINT shingle sets (near-dup
 # probes must not fire across distinct docs — a shared sentence template
@@ -98,7 +104,7 @@ def test_streaming_ingest_funnel(spark, tmp_path):
     q = start_ingest(_stream(spark, src), idx, accepted_dir, str(tmp_path / "ckpt"))
     q.awaitTermination()
 
-    got = sorted(r["doc_id"] for r in spark.read.parquet(accepted_dir).collect())
+    got = sorted(r["doc_id"] for r in _accepted(spark, accepted_dir).collect())
     assert got == [11, 21, 31]
 
     # the index grew by exactly the accepted docs: seed batch + one labeled
@@ -108,13 +114,12 @@ def test_streaming_ingest_funnel(spark, tmp_path):
     assert idx.digests().count() == 1 + 3
 
     # epoch replay (crash-retry): re-running an already-committed epoch's
-    # work must change nothing — both commits marker-skip
-    from flink_real_time_data_warehouse_spark.streaming.router import _idempotent_append
-
+    # work must change nothing — the TxLog skips the (app_id, epoch)
+    # commit, the index append marker-skips
     replay = spark.createDataFrame([(11, GOOD["alpha"])], "doc_id long, text string")
-    _idempotent_append(replay, accepted_dir, epoch_id=0)
+    TxLog(accepted_dir).append(replay, app_id="ingest", app_version=0)
     idx.append(replay, "doc_id", "text", batch_no="e0")
-    assert sorted(r["doc_id"] for r in spark.read.parquet(accepted_dir).collect()) == got
+    assert sorted(r["doc_id"] for r in _accepted(spark, accepted_dir).collect()) == got
     assert idx.digests().count() == 1 + 3
 
 
@@ -139,7 +144,7 @@ def test_streaming_ingest_with_auto_compaction(spark, tmp_path):
         _stream(spark, src), idx, accepted_dir, str(tmp_path / "ckpt"), compact_every=2
     )
     q.awaitTermination()
-    got = sorted(r["doc_id"] for r in spark.read.parquet(accepted_dir).collect())
+    got = sorted(r["doc_id"] for r in _accepted(spark, accepted_dir).collect())
     assert got == [11, 21, 31]
     assert len(idx.committed_batches()) <= 2  # compacted mid-stream
     assert idx.digests().select("doc").distinct().count() == 1 + 3
@@ -200,7 +205,7 @@ def test_streaming_ingest_matches_batch_loop(spark, tmp_path):
     q = start_ingest(_stream(spark, src), st_idx, accepted_dir, str(tmp_path / "ckpt"))
     q.awaitTermination()
 
-    got = sorted(r["doc_id"] for r in spark.read.parquet(accepted_dir).collect())
+    got = sorted(r["doc_id"] for r in _accepted(spark, accepted_dir).collect())
     assert got == sorted(ref_accepted)
     assert len(got) > 0
 
@@ -232,7 +237,7 @@ def test_replay_after_compaction_duplicates_rows_but_not_verdicts(spark, tmp_pat
     q = start_ingest(_stream(spark, src), idx, accepted_dir, str(tmp_path / "ckpt"))
     q.awaitTermination()
     assert sorted(
-        r["doc_id"] for r in spark.read.parquet(accepted_dir).collect()
+        r["doc_id"] for r in _accepted(spark, accepted_dir).collect()
     ) == [11, 21]
 
     lbl = idx.compact()  # folds seed + e0 + e1; removes their markers
@@ -275,9 +280,6 @@ def test_vector_ingest_replay_idempotent(spark, tmp_path):
     from flink_real_time_data_warehouse_spark.streaming.ingest import (
         start_vector_ingest,
     )
-    from flink_real_time_data_warehouse_spark.streaming.router import (
-        _idempotent_append,
-    )
     from flink_real_time_data_warehouse_spark.tables import table
 
     from .conftest import TEST_SF_DIR
@@ -301,30 +303,28 @@ def test_vector_ingest_replay_idempotent(spark, tmp_path):
     q = start_vector_ingest(stream, idx, accepted_dir, str(tmp_path / "ckpt"), 0.45)
     q.awaitTermination()
 
-    got = sorted(r["vec_id"] for r in spark.read.parquet(accepted_dir).collect())
+    got = sorted(r["vec_id"] for r in _accepted(spark, accepted_dir).collect())
     assert 0 < len(got) < new.count()  # some rejections, some accepts
     # index grew by exactly the accepted vectors, under epoch labels
     labels = idx.committed_batches()
     assert labels[0] == "0" and sorted(labels[1:]) == ["e0", "e1"]
     assert idx.lists().count() == corpus.count() + len(got)
 
-    # epoch replay: both commits marker-skip
+    # epoch replay: the TxLog skips (app_id, epoch), the index marker-skips
     replay = new.limit(3)
-    _idempotent_append(replay, accepted_dir, epoch_id=0)
+    TxLog(accepted_dir).append(replay, app_id="vec-ingest", app_version=0)
     idx.append(replay, batch_no="e0")
     assert sorted(
-        r["vec_id"] for r in spark.read.parquet(accepted_dir).collect()
+        r["vec_id"] for r in _accepted(spark, accepted_dir).collect()
     ) == got
     assert idx.lists().count() == corpus.count() + len(got)
 
 
-def test_ingest_funnel_with_txlog_sink_matches_marker_sink(spark, tmp_path):
-    """The funnel's accepted set is backend-independent: running the same
-    epochs through the multi-writer TxLog sink (sink_log=...) yields
-    exactly the marker sink's accepted rows, and the log records one
-    epoch-keyed commit per micro-batch."""
-    from flink_real_time_data_warehouse_spark.storage import TxLog
-
+def test_ingest_funnel_default_and_shared_txlog_sinks_agree(spark, tmp_path):
+    """The funnel's accepted set is sink-independent: the default
+    per-funnel TxLog table (rooted at accepted_dir) and an explicitly
+    shared sink_log table receive exactly the same accepted rows, and
+    each log records one epoch-keyed commit per micro-batch."""
     epochs = [
         [(10, GOOD["seed"]), (11, GOOD["alpha"]), (12, LOW_Q.format(1))],
         [(20, GOOD["alpha"]), (21, GOOD["beta"])],
@@ -340,13 +340,13 @@ def test_ingest_funnel_with_txlog_sink_matches_marker_sink(spark, tmp_path):
         )
         return idx
 
-    # marker backend
+    # default backend: TxLog table rooted at accepted_dir
     m_idx = seed(SignatureIndex(spark, str(tmp_path / "m_sig")))
     m_dir = str(tmp_path / "m_acc")
     start_ingest(_stream(spark, src), m_idx, m_dir, str(tmp_path / "m_ckpt")).awaitTermination()
-    marker = sorted(r["doc_id"] for r in spark.read.parquet(m_dir).collect())
+    default = sorted(r["doc_id"] for r in _accepted(spark, m_dir).collect())
 
-    # txlog backend — one file per trigger so each epoch is its own commit
+    # shared-table backend — one file per trigger so each epoch is its own commit
     t_idx = seed(SignatureIndex(spark, str(tmp_path / "t_sig")))
     log = TxLog(str(tmp_path / "table"))
     one_per = (
@@ -360,5 +360,5 @@ def test_ingest_funnel_with_txlog_sink_matches_marker_sink(spark, tmp_path):
     ).awaitTermination()
     txlog = sorted(r["doc_id"] for r in log.snapshot(spark).collect())
 
-    assert txlog == marker == [11, 21]
+    assert txlog == default == [11, 21]
     assert log.state().apps == {"ingest": 1}, "one epoch-keyed commit per micro-batch"

@@ -233,8 +233,10 @@ def test_router_dynamic_sinks(spark, tmp_path):
     written = route_micro_batch(envelope, configs, str(tmp_path))
     assert set(written) == {"dwd_order_info", "dim_order_info"}
 
-    inserts = spark.read.parquet(str(tmp_path / "dwd_order_info"))
-    updates = spark.read.parquet(str(tmp_path / "dim_order_info"))
+    from flink_real_time_data_warehouse_spark.streaming.router import read_sink
+
+    inserts = read_sink(spark, str(tmp_path), "dwd_order_info")
+    updates = read_sink(spark, str(tmp_path), "dim_order_info")
     assert inserts.columns == ["id", "user_id", "total_amount"]
     assert updates.columns == ["id", "total_amount"]
     n = orders.count()
