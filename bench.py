@@ -105,7 +105,12 @@ HEADLINE = [
     "audio_chunks",
     "kmeans_centroids",
     "semantic_dedup",
+    "semantic_dedup_trained",
+    "small_qty_revenue",
+    "small_qty_revenue_shaped",  # declared-vs-shaped Q17 gap, measured
     "txlog_snapshot_read",
+    "txlog_merge_read",
+    "txlog_partitioned_read",
     "curation_pipeline",
     # streaming twins: full micro-batch replay wall time (state store +
     # shuffle-per-trigger regressions become visible round-over-round)

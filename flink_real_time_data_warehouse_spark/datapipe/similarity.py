@@ -428,6 +428,12 @@ def kmeans_centroids(
         F.array(
             *[(F.floor(F.col(f"s{i}") / F.col("n")) / F.lit(float(QUANT))) for i in range(dim)]
         ).alias("centroid"),
+        # the same centroids in fixed-point (the internal geometry), so
+        # consumers that compare against quantized corpora (semantic_dedup
+        # trained mode) stay bit-exact without a lossy double round-trip
+        F.array(
+            *[F.floor(F.col(f"s{i}") / F.col("n")).cast("long") for i in range(dim)]
+        ).alias("cq"),
     )
 
 
@@ -472,6 +478,7 @@ def semantic_dedup(
     k: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup.
 
@@ -501,10 +508,18 @@ def semantic_dedup(
     skewed hot cluster is AQE skew-join territory, same as any keyed
     self-join.
 
+    `centroids` (cid, cq: array<long> fixed-point) swaps TRAINED cluster
+    centers in for the first-k init without touching the plan — cluster
+    quality is what determines SemDeDup's recall, so production runs pass
+    `kmeans_centroids(...)` output here (its `cq` column is this exact
+    encoding). `k` is ignored when centroids are given.
+
     Returns (id, cid, verdict) with verdict in {'keep', 'drop'}.
     """
     emb = corpus.select(F.col(id_col), quantized(F.col(vec_col)).alias("q"))
-    if k is None:
+    if centroids is not None:
+        cents = centroids.select("cid", "cq")
+    elif k is None:
         k_col = F.greatest(
             F.lit(SEMDEDUP_MIN_K), F.floor(F.col("_n") / SEMDEDUP_RATIO)
         )

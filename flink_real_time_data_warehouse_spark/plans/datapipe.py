@@ -1409,17 +1409,18 @@ KM_ITERS = 2
 EMB_DIM = 64
 
 
-def _km_oracle(k: int, iters: int) -> str:
-    """Unrolled Lloyd iterations as a DuckDB CTE chain, mirroring
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a},{b}) / "
+        f"sqrt(list_dot_product({a},{a}) * list_dot_product({b},{b}))"
+    )
+
+
+def _km_parts(k: int, iters: int) -> list[str]:
+    """Unrolled Lloyd iterations as DuckDB CTE parts, mirroring
     datapipe/similarity.kmeans_centroids bit-for-bit: fixed-point
-    quantization, exact integer dots, floor'd centroid means."""
-
-    def cos(a: str, b: str) -> str:
-        return (
-            f"list_dot_product({a},{b}) / "
-            f"sqrt(list_dot_product({a},{a}) * list_dot_product({b},{b}))"
-        )
-
+    quantization, exact integer dots, floor'd centroid means. The final
+    centroid CTE is ``c<iters>`` (cid, cq)."""
     parts = [
         "emb AS (SELECT vec_id AS vid, list_transform(embedding, "
         "x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS q FROM embeddings)",
@@ -1429,7 +1430,7 @@ def _km_oracle(k: int, iters: int) -> str:
         parts += [
             f"a{i} AS (SELECT vid, q, cid FROM ("
             f"  SELECT e.vid, e.q, c.cid, row_number() OVER ("
-            f"    PARTITION BY e.vid ORDER BY {cos('e.q', 'c.cq')} DESC, c.cid) AS rn"
+            f"    PARTITION BY e.vid ORDER BY {_sql_cos('e.q', 'c.cq')} DESC, c.cid) AS rn"
             f"  FROM emb e CROSS JOIN c{i - 1} c) WHERE rn = 1)",
             f"u{i} AS (SELECT cid, unnest(q) AS val, unnest(range(1, len(q)+1)) AS idx FROM a{i})",
             f"m{i} AS (SELECT cid, idx, CAST(sum(val) AS BIGINT) AS s FROM u{i} GROUP BY 1, 2)",
@@ -1437,8 +1438,12 @@ def _km_oracle(k: int, iters: int) -> str:
             f"c{i} AS (SELECT m.cid, list(CAST(floor(CAST(s AS DOUBLE)/n) AS BIGINT) ORDER BY idx) AS cq"
             f"  FROM m{i} m JOIN n{i} USING (cid) GROUP BY m.cid)",
         ]
+    return parts
+
+
+def _km_oracle(k: int, iters: int) -> str:
     return (
-        "WITH " + ",\n".join(parts) + f"""
+        "WITH " + ",\n".join(_km_parts(k, iters)) + f"""
     SELECT m.cid, CAST(n.n AS BIGINT) AS n_members,
            CAST(idx AS BIGINT) AS idx,
            floor(CAST(s AS DOUBLE)/n.n)/1000000.0 AS comp
@@ -1470,6 +1475,57 @@ def kmeans_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cents.select(
         "cid", "n_members", F.posexplode("centroid").alias("pos", "comp")
     ).select("cid", "n_members", (F.col("pos") + 1).cast("long").alias("idx"), "comp")
+
+
+def _semdedup_trained_oracle(k: int, iters: int, threshold: float) -> str:
+    """SemDeDup verdicts with TRAINED centroids: the Lloyd CTE chain
+    (`_km_parts`) feeds the same assignment/pair/keep-rule SQL as the
+    `semantic_dedup` oracle — one oracle replays trainer AND dedup in
+    fixed-point, so every assignment and verdict is bit-identical to the
+    Spark plan."""
+    parts = _km_parts(k, iters)
+    parts += [
+        f"s AS (SELECT e.vid, c.cid, {_sql_cos('e.q', 'c.cq')} AS cs "
+        f"FROM emb e CROSS JOIN c{iters} c)",
+        "a AS (SELECT vid, cid, cs FROM ("
+        "  SELECT vid, cid, cs, row_number() OVER ("
+        "    PARTITION BY vid ORDER BY cs DESC, cid) AS rn"
+        "  FROM s) WHERE rn = 1)",
+        "m AS (SELECT a.vid, a.cid, a.cs, e.q FROM a JOIN emb e ON a.vid = e.vid)",
+        "losers AS (SELECT DISTINCT CASE WHEN x.cs > y.cs THEN x.vid ELSE y.vid END AS vid"
+        " FROM m x JOIN m y ON x.cid = y.cid AND x.vid < y.vid"
+        f" WHERE {_sql_cos('x.q', 'y.q')} >= {threshold})",
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + """
+    SELECT a.vid AS vec_id, a.cid,
+           CASE WHEN l.vid IS NULL THEN 'keep' ELSE 'drop' END AS verdict
+    FROM a LEFT JOIN losers l ON a.vid = l.vid
+    """
+    )
+
+
+@register(
+    "semantic_dedup_trained",
+    oracle=_semdedup_trained_oracle(KM_K, KM_ITERS, COSINE_THRESHOLD),
+    doc=(
+        "SemDeDup with TRAINED cluster centers (r5 verdict task 6): the "
+        "fixed-point Lloyd trainer's centroids (kmeans_centroids `cq` "
+        "output — integer encoding, no lossy double round-trip) drop into "
+        "semantic_dedup's assignment without changing the plan shape. "
+        "Cluster quality drives SemDeDup recall, so the production path "
+        "is exactly this composition; the oracle unrolls trainer + dedup "
+        "in one CTE chain, keeping every verdict engine-reproducible. "
+        "Scale shape unchanged: broadcast-k assignment scan + ONE cid "
+        "shuffle for cluster-scoped pairs"
+    ),
+)
+def semantic_dedup_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.similarity import kmeans_centroids, semantic_dedup
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=KM_K, iters=KM_ITERS, dim=EMB_DIM).select("cid", "cq")
+    return semantic_dedup(emb, COSINE_THRESHOLD, centroids=cents)
 
 
 # ---------------------------------------------------------------------------

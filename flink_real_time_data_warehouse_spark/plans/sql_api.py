@@ -153,3 +153,64 @@ _NATION_SHARE_SQL = """
 def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_NATION_SHARE_SQL)
+
+
+@register(
+    "small_qty_revenue_shaped",
+    oracle=_SMALL_QTY_SQL,
+    doc=(
+        "Hand-shaped companion to small_qty_revenue (r5 verdict task 7), "
+        "graded against the SAME oracle: Catalyst's decorrelation of the "
+        "Q17 subquery aggregates ALL of lineitem before the brand filter "
+        "prunes partkeys (the rewrite is key-complete by construction); "
+        "this plan SEMI-JOINS lineitem to the brand-filtered partkeys "
+        "FIRST, so the per-partkey 0.2*avg bound aggregates only the "
+        "brands' rows — at 100 TB that's the difference between "
+        "aggregating ~0.1% of lineitem and all of it. Correct because the "
+        "bound for partkey p depends only on p's own rows, and the brand "
+        "filter keeps/drops WHOLE partkeys. The quantified declared-vs-"
+        "shaped gap is the point of carrying both (bench: "
+        "small_qty_revenue vs small_qty_revenue_shaped); plan-shape test "
+        "asserts the semi-join sits BELOW the bound aggregate"
+    ),
+)
+def small_qty_revenue_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.money import cents
+    from ..tables import table
+
+    brands = ("Brand#21", "Brand#22", "Brand#23")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_brand").isin(*brands))
+        .select("p_partkey", "p_brand")
+    )
+    # Brand-filtered partkeys are a small set even at 100 TB (3 brands of
+    # ~O(part)/brand-cardinality): broadcast the semi-join probe so the
+    # lineitem scan prunes map-side with zero shuffle.
+    keys = F.broadcast(part.select(F.col("p_partkey").alias("l_partkey")))
+    li_b = li.join(keys, "l_partkey", "left_semi")
+    # Per-partkey bound over the PRUNED rows only — identical values to the
+    # declared plan's full-table aggregate for every surviving partkey,
+    # same IEEE expression as the oracle (0.2 * sum / count over
+    # integral-valued doubles: exact).
+    bounds = li_b.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.sum("l_quantity") / F.count("*")).alias("qty_bound")
+    )
+    return (
+        li_b.join(bounds, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_bound"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("small_lines"),
+            (
+                F.coalesce(F.sum(cents(F.col("l_extendedprice"))), F.lit(0))
+                / F.lit(700.0)
+            ).alias("avg_yearly"),
+        )
+    )

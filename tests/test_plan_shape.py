@@ -339,3 +339,29 @@ def test_lm_surprisal_no_expand_no_hint_pin(spark):
     # exactly one hinted broadcast: the 1-row corpus total; the token
     # counts side must be hint-free
     assert opt.count("JoinHint leftHint=none, rightHint=(strategy=broadcast)") <= 1, opt
+
+
+def test_shaped_q17_prunes_bound_aggregate_input(spark):
+    """small_qty_revenue_shaped must aggregate the per-partkey bound over
+    brand-pruned lineitem (semi-join BELOW the bound aggregate), while the
+    declared small_qty_revenue documents Catalyst's key-complete
+    decorrelation (no semi-join anywhere — the bound agg runs over the
+    bare scan). Losing the semi-join turns the shaped plan back into a
+    full-lineitem aggregate — the exact 100 TB regression this guards."""
+    qs = registry()
+    declared = plan_of(qs["small_qty_revenue"].spark(spark, TEST_SF_DIR))
+    shaped = plan_of(qs["small_qty_revenue_shaped"].spark(spark, TEST_SF_DIR))
+    assert "LeftSemi" not in declared, "declared plan unexpectedly shaped"
+    assert "LeftSemi" in shaped, "shaped plan lost its pruning semi-join"
+    assert "SortMergeJoin" not in shaped, "semi-join probe lost its broadcast"
+    lines = shaped.splitlines()
+    agg_i = next(
+        i for i, l in enumerate(lines) if "HashAggregate" in l and "l_partkey" in l
+    )
+    semi_is = [i for i, l in enumerate(lines) if "LeftSemi" in l]
+    # Both consumers of the pruned lineitem (the bound aggregate's subtree
+    # and the final join's probe side) carry the semi-join; the aggregate's
+    # copy prints inside its subtree, i.e. after the aggregate line.
+    assert any(i > agg_i for i in semi_is), (
+        "bound aggregate is not above a semi-join (agg input not pruned)\n" + shaped
+    )
