@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import re
 
+from . import cjk_lexicon_data
 from .cjk_lexicon_data import VENDORED_WORDS_TEXT
 
 # fmt: off
@@ -55,8 +56,18 @@ AMBIGUITY_EXCLUDED: frozenset[str] = frozenset({
 
 _CJK_WORD_RE = re.compile(r"^[一-鿿]{2,4}$")
 
-VENDORED_WORDS: frozenset[str] = frozenset(
+# The round-5 tranche alone — kept addressable so tests can pin where the
+# round-6 growth slices CHANGE segmentation (the bigger-dict fixtures).
+VENDORED_WORDS_CORE: frozenset[str] = frozenset(
     w for w in VENDORED_WORDS_TEXT.split() if _CJK_WORD_RE.match(w)
+)
+
+VENDORED_WORDS: frozenset[str] = VENDORED_WORDS_CORE | frozenset(
+    w
+    for name in dir(cjk_lexicon_data)
+    if name.startswith("VENDORED_WORDS_TEXT_EXT")
+    for w in getattr(cjk_lexicon_data, name).split()
+    if _CJK_WORD_RE.match(w)
 )
 
 WORDS: frozenset[str] = (SEED_WORDS | VENDORED_WORDS) - AMBIGUITY_EXCLUDED

@@ -267,20 +267,24 @@ def test_fmm_vs_bmm_divergence_pinned():
 
 
 def test_vendored_lexicon_changes_segmentation():
-    """The few-thousand-entry vendored list (cjk_lexicon_data) must
-    materially change segmentation vs the curated seed core — the graded
-    fixture phrases where a bigger dictionary produces different (better)
-    words, proving the lexicon swap is load-bearing, not cosmetic. Also
-    pins that AMBIGUITY_EXCLUDED keeps the excluded compounds out."""
+    """Each lexicon growth tier must materially change segmentation — the
+    graded fixture phrases where a bigger dictionary produces different
+    (better) words, proving each tranche is load-bearing, not cosmetic:
+    seed core -> r5 vendored list -> r6 growth slices. Also pins that
+    AMBIGUITY_EXCLUDED keeps the excluded compounds out."""
     from flink_real_time_data_warehouse_spark.functions.cjk_lexicon import (
         AMBIGUITY_EXCLUDED,
         SEED_WORDS,
         VENDORED_WORDS,
+        VENDORED_WORDS_CORE,
         WORDS,
         fmm_segment,
     )
 
-    assert len(VENDORED_WORDS) >= 1000
+    assert len(VENDORED_WORDS_CORE) >= 1000
+    assert len(VENDORED_WORDS) >= 5 * len(VENDORED_WORDS_CORE), (
+        "round-6 growth slice missing: the full lexicon should dwarf the r5 core"
+    )
     assert not (WORDS & AMBIGUITY_EXCLUDED)
 
     def fmm_with(lexicon, run):
@@ -297,12 +301,17 @@ def test_vendored_lexicon_changes_segmentation():
                 pos += 1
         return out
 
-    # graded fixture 1: every word comes from the vendored list only
-    assert fmm_segment("自然语言理解技术") == ["自然", "语言", "理解", "技术"]
-    assert not {"自然", "语言", "理解", "技术"} & SEED_WORDS
+    core = (SEED_WORDS | VENDORED_WORDS_CORE) - AMBIGUITY_EXCLUDED
+
+    # fixture 1 (r6): the grown dict's 自然语言 out-lengthens the r5
+    # core's 自然|语言 — three dictionary tiers, three segmentations.
+    assert fmm_segment("自然语言理解技术") == ["自然语言", "理解", "技术"]
+    assert fmm_with(core, "自然语言理解技术") == ["自然", "语言", "理解", "技术"]
     assert fmm_with(SEED_WORDS, "自然语言理解技术") == list("自然语言理解技术")
-    # graded fixture 2: the vendored 计算机 out-lengthens seed's 计算
-    assert fmm_segment("计算机网络安全技术") == ["计算机", "网络", "安全", "技术"]
+    # fixture 2 (r6): 网络安全 out-lengthens the r5 core's 网络|安全,
+    # which itself out-lengthened seed's 计算|机 single chars.
+    assert fmm_segment("计算机网络安全技术") == ["计算机", "网络安全", "技术"]
+    assert fmm_with(core, "计算机网络安全技术") == ["计算机", "网络", "安全", "技术"]
     assert fmm_with(SEED_WORDS, "计算机网络安全技术") == [
         "计算", "机", "网络", "安", "全", "技", "术",
     ]
