@@ -49,43 +49,34 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # round; everything else follows in registration order. Queries not yet
 # registered are ignored, so new entries can be pre-listed safely.
 _GRADE_FIRST: list[str] = [
-    # Round 5 rotation. First: the three queries with no (or a stale-r3)
-    # driver row — the r4 verdict's standing top item.
-    "ann_sign_lsh_topk", "ann_quantized_topk", "dedup_incremental",
-    # New or plan-changed in round 5 (pre-listed; unregistered names are
-    # ignored until implemented): quantized IVF probe, streaming vector
-    # ingest, hot-bucket-capped LSH variants, the upgraded
-    # ingest_pipeline_stream oracle, and the two dictionary-segmentation
-    # queries whose vendored lexicon grew this round.
-    "ann_ivf_quantized_topk", "ann_ingest_stream",
-    "dedup_minhash_capped", "embedding_cosine_pairs_capped",
-    "semantic_dedup", "small_qty_revenue", "nation_revenue_share",
-    "txlog_snapshot_read", "txlog_stream_sink", "txlog_pruned_read",
-    "ingest_pipeline_stream", "keyword_stats_dict",
-    "keyword_stats_dict_stream",
-    # Freshest driver row is r3 — regrade, least-stable families first
-    # (streaming twins, gmall apps, datapipe) so that what falls past the
-    # 50-query window is the most stable TPC-H block (regraded first in
-    # r6). With the thirteen round-5 entries above registered, the window
-    # covers through q1_pricing_summary; the 13 r3-rowed TPC-H queries
-    # from rollup_sales on sit at exactly 2 rounds stale and lead r6.
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_minhash_verified", "dup_spans", "dedup_simhash_pairs",
-    "embedding_quantize", "province_stats", "visitor_stats_cumulate",
-    "cdc_route", "dirty_split", "purchase_status_asof", "json_props",
-    "asof_click_attribution", "datetime_funcs", "serving_gmv",
-    "sql_chained_stats", "sql_province_stats",
-    "visitor_stats_stream", "uv_stream", "new_user_stream", "bounce_stream",
-    "session_stats_stream", "visitor_stats_sliding_stream",
-    "keyword_stats_stream", "dedup_exact_stream", "dedup_minhash_stream",
-    "province_stats_stream", "events_union_stats_stream",
-    "product_stats_stream", "product_stats_stream_approx",
-    "order_wide_stream", "payment_wide_stream",
-    "q1_pricing_summary", "rollup_sales", "top_customers",
-    "top_parts_per_nation", "dormant_customers", "order_value_quantiles",
-    "running_gmv", "local_supplier_volume", "cube_sales", "status_pivot",
+    # Round 6 rotation. First: the 13 TPC-H queries whose freshest driver
+    # row is r3 (2 rounds stale — the r5 verdict's standing item), so
+    # CORRECTNESS_r06 records them green.
+    "rollup_sales", "top_customers", "top_parts_per_nation",
+    "dormant_customers", "order_value_quantiles", "running_gmv",
+    "local_supplier_volume", "cube_sales", "status_pivot",
     "customer_spend_quartiles", "urgent_part_suppliers", "moving_avg_gmv",
     "skew_salted_sales",
+    # New in round 6 (no driver row yet): TxLog file-level MERGE and
+    # partition pruning, trained-centroid SemDeDup, hand-shaped Q17.
+    "txlog_merge_read", "txlog_partitioned_read",
+    "semantic_dedup_trained", "small_qty_revenue_shaped",
+    # Freshest row is r4 — the 33 most-relevant regrade first: queries
+    # whose code paths were touched this round (kmeans cq column, grown
+    # lexicon, TxLog-backed ingest funnel), then index/ANN, multimodal,
+    # gmall DWS apps, curation composites. The 14 stable zero-shuffle
+    # column-arithmetic queries (lang_id .. token_budget_sample) fall
+    # past the 50-window at exactly 2 rounds stale and lead r7.
+    "kmeans_centroids", "keyword_stats_cjk", "curation_pipeline",
+    "ingest_pipeline", "ingest_pipeline_indexed",
+    "dedup_incremental_indexed", "ann_ivf_indexed_topk", "ann_topk",
+    "ann_ivf_topk", "embedding_cosine_pairs", "embedding_clusters",
+    "dedup_clusters", "dedup_simhash", "multimodal_decode", "frame_sample",
+    "audio_chunks", "visitor_stats", "product_stats", "events_union_stats",
+    "keyword_stats", "session_stats", "visitor_stats_sliding", "uv_daily",
+    "new_user_fix", "bounce_events", "order_wide", "payment_wide",
+    "scd2_user_status", "serving_product_revenue", "decontaminate",
+    "repetition_stats", "pack_sequences", "corpus_profile",
 ]
 
 
