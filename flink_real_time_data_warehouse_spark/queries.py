@@ -59,7 +59,7 @@ _GRADE_FIRST: list[str] = [
     "skew_salted_sales",
     # New in round 6 (no driver row yet): TxLog file-level MERGE and
     # partition pruning, trained-centroid SemDeDup, hand-shaped Q17.
-    "txlog_merge_read", "txlog_partitioned_read",
+    "txlog_merge_read", "txlog_partitioned_read", "txlog_time_travel",
     "semantic_dedup_trained", "small_qty_revenue_shaped",
     # Freshest row is r4 — the 33 most-relevant regrade first: queries
     # whose code paths were touched this round (kmeans cq column, grown
@@ -76,7 +76,7 @@ _GRADE_FIRST: list[str] = [
     "keyword_stats", "session_stats", "visitor_stats_sliding", "uv_daily",
     "new_user_fix", "bounce_events", "order_wide", "payment_wide",
     "scd2_user_status", "serving_product_revenue", "decontaminate",
-    "repetition_stats", "pack_sequences", "corpus_profile",
+    "repetition_stats", "pack_sequences",
 ]
 
 

@@ -606,8 +606,9 @@ class TxLog:
         before Spark ever sees them (at 100 TB this, not the parquet
         footer check, is what bounds a selective query's task count):
 
-        - `prune=(col, lo, hi)`: drop files whose recorded [min,max] for
-          `col` cannot intersect [lo, hi];
+        - `prune=(col, lo, hi)` — or a LIST of such triples, ANDed —
+          drops files whose recorded [min,max] for `col` cannot
+          intersect [lo, hi];
         - `partitions={col: [v1, v2]}`: drop files whose recorded
           partition value for `col` is not in the list (values compared as
           their string form, the manifest encoding).
@@ -617,12 +618,13 @@ class TxLog:
         st = self.state(version)
         files = list(st.files)
         if prune is not None and files:
-            col, lo, hi = prune
-            files = [
-                n for n in files
-                if (mm := st.stats.get(n, {}).get(col)) is None
-                or (mm[0] <= hi and mm[1] >= lo)
-            ]
+            preds = [prune] if isinstance(prune, tuple) else list(prune)
+            for col, lo, hi in preds:
+                files = [
+                    n for n in files
+                    if (mm := st.stats.get(n, {}).get(col)) is None
+                    or (mm[0] <= hi and mm[1] >= lo)
+                ]
         if partitions and files:
             for col, vals in partitions.items():
                 allowed = {str(v) for v in vals}

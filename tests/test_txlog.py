@@ -446,3 +446,21 @@ def test_state_retries_through_concurrent_truncation(tmp_path):
     st = log.state()
     assert st.version == 2 and len(st.files) == 3
     assert fired["n"] == 1
+
+
+def test_snapshot_multi_predicate_prune(tmp_path, spark):
+    """snapshot(prune=[...]) ANDs several [min,max] predicates: files must
+    survive every predicate to stay in the listing."""
+    log = TxLog(str(tmp_path / "t"))
+    for lo in (0, 100, 200):
+        log.append(
+            spark.range(lo, lo + 50)
+            .selectExpr("id AS a", "CAST(1000 - id AS LONG) AS b")
+            .coalesce(1),
+            stats_cols=["a", "b"],
+        )
+    # a in [0, 120] keeps files 1+2; b in [0, 910] keeps files 2+3 -> AND = file 2
+    pruned = log.snapshot(spark, prune=[("a", 0, 120), ("b", 0, 910)])
+    assert len(pruned.inputFiles()) == 1
+    got = pruned.where("a BETWEEN 100 AND 120 AND b <= 910")
+    assert got.count() == 21
