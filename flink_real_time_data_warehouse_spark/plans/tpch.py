@@ -627,17 +627,22 @@ def txlog_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "txlog_pruned_read",
     oracle=f"""
+    WITH p AS (SELECT max(o_orderkey) // 3 AS b1,
+                      (2 * max(o_orderkey)) // 3 AS b2 FROM orders),
+         w AS (SELECT b1 + (b2 - b1) // 4 AS lo,
+                      b2 - 1 - (b2 - b1) // 4 AS hi FROM p)
     SELECT o_orderstatus, count(*) AS order_ct,
            {sql_money_sum('o_totalprice')} AS revenue
-    FROM orders WHERE o_orderkey BETWEEN 2600 AND 4400
+    FROM orders, w WHERE o_orderkey BETWEEN w.lo AND w.hi
     GROUP BY o_orderstatus
     """,
     doc=(
         "manifest-level data skipping end-to-end: orders land in the "
-        "transaction log as three key-range appends ([0,2500), "
-        "[2500,4500), [4500,inf)) committed with per-file [min,max] "
-        "footer stats; the read path takes a PRUNED snapshot for "
-        "o_orderkey in [2600, 4400] — strictly inside the middle file's "
+        "transaction log as three key-range appends (thirds of the key "
+        "domain, derived from max(o_orderkey) with integer arithmetic "
+        "both engines reproduce — SF-independent) committed with "
+        "per-file [min,max] footer stats; the read path takes a PRUNED "
+        "snapshot for a window strictly inside the middle file's "
         "range, so the other two files CANNOT intersect and must never "
         "reach Spark's listing (asserted via inputFiles inside the plan: "
         "a prune that keeps all three files fails the query, not just a "
@@ -656,22 +661,25 @@ def txlog_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     work = tempfile.mkdtemp(prefix="txlog_pruned_")
     log = TxLog(os.path.join(work, "orders_tx"))
-    # three contiguous key ranges => disjoint per-file stats
-    bounds = [0, 2500, 4500, 1 << 60]
-    for lo, hi in zip(bounds, bounds[1:]):
+    # three contiguous key ranges => disjoint per-file stats; bounds are
+    # thirds of the key domain (integer arithmetic mirrored in the oracle)
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    b1, b2 = mx // 3, (2 * mx) // 3
+    for lo, hi in zip([0, b1, b2], [b1, b2, mx + 1]):
         log.append(
             orders.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
             .coalesce(1),
             stats_cols=["o_orderkey"],
         )
-    # [2600, 4400] sits strictly inside [2500, 4500): exactly ONE of the
-    # three files can intersect, and the skip must actually happen.
-    snap = log.snapshot(spark, prune=("o_orderkey", 2600, 4400))
+    # the window sits strictly inside [b1, b2): exactly ONE of the three
+    # files can intersect, and the skip must actually happen.
+    lo_w, hi_w = b1 + (b2 - b1) // 4, b2 - 1 - (b2 - b1) // 4
+    snap = log.snapshot(spark, prune=("o_orderkey", lo_w, hi_w))
     n_in = len(snap.inputFiles())
     if n_in != 1:
         raise AssertionError(f"manifest pruning kept {n_in} files, expected 1")
     return (
-        snap.where(F.col("o_orderkey").between(2600, 4400))
+        snap.where(F.col("o_orderkey").between(lo_w, hi_w))
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("order_ct"),
@@ -683,17 +691,22 @@ def txlog_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "txlog_merge_read",
     oracle=f"""
+    WITH p AS (SELECT max(o_orderkey) // 3 AS b1,
+                      (2 * max(o_orderkey)) // 3 AS b2 FROM orders),
+         w AS (SELECT b1 + (b2 - b1) // 4 AS lo,
+                      b2 - 1 - (b2 - b1) // 4 AS hi FROM p)
     SELECT o_orderstatus, count(*) AS order_ct,
-           {sql_money_sum("CASE WHEN o_orderkey BETWEEN 3000 AND 4000 "
+           {sql_money_sum("CASE WHEN o_orderkey BETWEEN w.lo AND w.hi "
                           "THEN o_totalprice * 2 ELSE o_totalprice END")} AS revenue
-    FROM orders GROUP BY o_orderstatus
+    FROM orders, w GROUP BY o_orderstatus
     """,
     doc=(
         "FILE-LEVEL MERGE end-to-end (storage/txlog.py merge — the r5 "
         "verdict's O(table)->O(touched) fix): orders land as three "
-        "key-range appends with per-file [min,max] stats, then a type-1 "
-        "upsert doubles o_totalprice for o_orderkey in [3000, 4000] — a "
-        "range strictly inside the middle file — and the commit must "
+        "key-range appends with per-file [min,max] stats (bounds = thirds "
+        "of the key domain, SF-independent), then a type-1 upsert doubles "
+        "o_totalprice for a key window strictly inside the middle file "
+        "— and the commit must "
         "leave the two non-intersecting files byte-identical (same names "
         "in the manifest; asserted inside the plan, so a whole-table "
         "rewrite fails the query). The oracle applies the upsert as a "
@@ -710,15 +723,17 @@ def txlog_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     work = tempfile.mkdtemp(prefix="txlog_merge_")
     log = TxLog(os.path.join(work, "orders_tx"))
-    bounds = [0, 2500, 4500, 1 << 60]
-    for lo, hi in zip(bounds, bounds[1:]):
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    b1, b2 = mx // 3, (2 * mx) // 3
+    for lo, hi in zip([0, b1, b2], [b1, b2, mx + 1]):
         log.append(
             orders.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
             .coalesce(1),
             stats_cols=["o_orderkey"],
         )
     before = set(log.state().files)
-    updates = orders.where(F.col("o_orderkey").between(3000, 4000)).withColumn(
+    lo_u, hi_u = b1 + (b2 - b1) // 4, b2 - 1 - (b2 - b1) // 4
+    updates = orders.where(F.col("o_orderkey").between(lo_u, hi_u)).withColumn(
         "o_totalprice", F.col("o_totalprice") * 2
     )
     log.merge(spark, updates, "o_orderkey")
@@ -726,7 +741,7 @@ def txlog_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     if len(before & after) != 2:
         raise AssertionError(
             f"file-level merge rewrote {3 - len(before & after)} of 3 files; "
-            "expected only the [2500,4500) file touched"
+            "expected only the middle key-range file touched"
         )
     return (
         log.snapshot(spark)
