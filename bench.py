@@ -110,6 +110,7 @@ HEADLINE = [
     "small_qty_revenue_shaped",  # declared-vs-shaped Q17 gap, measured
     "txlog_snapshot_read",
     "txlog_time_travel",
+    "txlog_clustered_read",
     "txlog_merge_read",
     "txlog_partitioned_read",
     "curation_pipeline",

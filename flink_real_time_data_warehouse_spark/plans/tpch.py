@@ -841,3 +841,62 @@ def txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("o_totalprice")).alias("revenue"),
         )
     )
+
+
+@register(
+    "txlog_clustered_read",
+    oracle=f"""
+    WITH p AS (SELECT max(o_orderkey) // 3 AS b1,
+                      (2 * max(o_orderkey)) // 3 AS b2 FROM orders),
+         w AS (SELECT b1 + (b2 - b1) // 4 AS lo,
+                      b2 - 1 - (b2 - b1) // 4 AS hi FROM p)
+    SELECT o_orderstatus, count(*) AS order_ct,
+           {sql_money_sum('o_totalprice')} AS revenue
+    FROM orders, w WHERE o_orderkey BETWEEN w.lo AND w.hi
+    GROUP BY o_orderstatus
+    """,
+    doc=(
+        "CLUSTERED compaction end-to-end (storage/txlog.py optimize "
+        "cluster_by — the 1-column OPTIMIZE ZORDER): orders land as three "
+        "INTERLEAVED appends (o_orderkey % 3), so every file spans the "
+        "whole key domain and a pruned snapshot can skip NOTHING (asserted "
+        "in-plan); optimize(cluster_by) range-partitions the rewrite into "
+        "disjoint per-file key ranges with fresh footer stats, after which "
+        "the same prune predicate drops files again (asserted in-plan). "
+        "At 100 TB this is what keeps data skipping alive on a table fed "
+        "by hash-distributed streaming appends. The oracle filters the "
+        "source table directly — compaction must be row-preserving and "
+        "the pruned read exact, or the hash changes"
+    ),
+)
+def txlog_clustered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..storage import TxLog
+
+    orders = table(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix="txlog_cluster_")
+    log = TxLog(os.path.join(work, "orders_tx"))
+    for r in range(3):
+        log.append(orders.where(F.col("o_orderkey") % 3 == r).coalesce(1),
+                   stats_cols=["o_orderkey"])
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    b1, b2 = mx // 3, (2 * mx) // 3
+    lo_w, hi_w = b1 + (b2 - b1) // 4, b2 - 1 - (b2 - b1) // 4
+    prune = ("o_orderkey", lo_w, hi_w)
+    if len(log.snapshot(spark, prune=prune).inputFiles()) != 3:
+        raise AssertionError("interleaved appends should be unprunable pre-cluster")
+    log.optimize(spark, max_files=3, cluster_by="o_orderkey")
+    snap = log.snapshot(spark, prune=prune)
+    kept = len(snap.inputFiles())
+    if not kept < 3:
+        raise AssertionError(f"clustered compaction left pruning ineffective ({kept}/3)")
+    return (
+        snap.where(F.col("o_orderkey").between(lo_w, hi_w))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("order_ct"),
+            money_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )

@@ -707,6 +707,7 @@ class TxLog:
         max_files: int = 8,
         max_retries: int = 10,
         stats_cols: list[str] | None = None,
+        cluster_by: str | None = None,
     ) -> int:
         """Bin-pack the table's committed files into at most `max_files`
         (the small-files fix for per-epoch streaming appends). Runs under
@@ -714,17 +715,34 @@ class TxLog:
         and never conflict with this commit; only a concurrent removal of
         the same files (another optimize/replace) does, in which case the
         compaction re-derives from fresh state and retries. Returns the
-        committed version (or current version if nothing to do)."""
+        committed version (or current version if nothing to do).
+
+        `stats_cols` defaults to the columns already carrying stats in the
+        manifest, so compaction PRESERVES data-skipping metadata instead
+        of silently erasing it. `cluster_by` range-partitions the rewrite
+        on that column (Delta's OPTIMIZE ZORDER for the 1-column case):
+        each output file covers a DISJOINT value range, so the recorded
+        [min,max] stay tight and a selective `snapshot(prune=...)` keeps
+        skipping files after compaction — without clustering, bin-packing
+        mixes ranges and every file intersects every predicate."""
         for _ in range(max_retries):
             st = self.state()
-            if len(st.files) <= max_files:
+            if len(st.files) <= max_files and cluster_by is None:
                 return st.version
             victims = list(st.files)
-            packed = (
-                self._read_files(spark, victims, st)
-                .coalesce(max_files)
-            )
-            names, schema_json, stats, parts = self._stage(packed, stats_cols)
+            sc = stats_cols
+            if sc is None:
+                seen = {c for fs in st.stats.values() for c in fs}
+                if cluster_by is not None:
+                    seen.add(cluster_by)
+                sc = sorted(seen) or None
+            base = self._read_files(spark, victims, st)
+            if cluster_by is not None:
+                packed = base.repartitionByRange(max_files, F.col(cluster_by))
+                packed = packed.sortWithinPartitions(cluster_by)
+            else:
+                packed = base.coalesce(max_files)
+            names, schema_json, stats, parts = self._stage(packed, sc)
             try:
                 return self.commit_files(
                     names, op="optimize", schema_json=schema_json, removes=victims,

@@ -464,3 +464,44 @@ def test_snapshot_multi_predicate_prune(tmp_path, spark):
     assert len(pruned.inputFiles()) == 1
     got = pruned.where("a BETWEEN 100 AND 120 AND b <= 910")
     assert got.count() == 21
+
+
+def test_optimize_preserves_stats_by_default(tmp_path, spark):
+    """Compaction must not silently erase data-skipping metadata: with no
+    stats_cols argument, optimize re-harvests stats for every column the
+    manifest already tracked."""
+    log = TxLog(str(tmp_path / "t"))
+    for lo in range(0, 120, 20):
+        log.append(
+            spark.range(lo, lo + 20).selectExpr("id").coalesce(1), stats_cols=["id"]
+        )
+    log.optimize(spark, max_files=2)
+    st = log.state()
+    assert len(st.files) <= 2
+    assert all("id" in st.stats.get(n, {}) for n in st.files), st.stats
+
+
+def test_optimize_cluster_by_keeps_pruning_effective(tmp_path, spark):
+    """Clustered compaction (range-partitioned rewrite): after shuffled
+    appends whose per-file ranges all overlap, a plain bin-pack leaves
+    every file intersecting every predicate, while cluster_by yields
+    disjoint per-file ranges — a narrow prune keeps ONE file again."""
+    log = TxLog(str(tmp_path / "t"))
+    # interleaved appends: each file spans nearly the full key domain
+    for r in range(3):
+        log.append(
+            spark.range(0, 300).where(f"id % 3 = {r}").coalesce(1),
+            stats_cols=["id"],
+        )
+    assert len(log.snapshot(spark, prune=("id", 10, 20)).inputFiles()) == 3, (
+        "interleaved appends: nothing prunable before clustering"
+    )
+    log.optimize(spark, max_files=3, cluster_by="id")
+    st = log.state()
+    assert len(st.files) == 3
+    pruned = log.snapshot(spark, prune=("id", 10, 20))
+    assert len(pruned.inputFiles()) == 1, st.stats
+    got = sorted(r["id"] for r in pruned.where("id BETWEEN 10 AND 20").collect())
+    assert got == list(range(10, 21))
+    # rows survived the rewrite intact
+    assert log.snapshot(spark).count() == 300
