@@ -111,6 +111,7 @@ HEADLINE = [
     "txlog_snapshot_read",
     "txlog_time_travel",
     "txlog_clustered_read",
+    "txlog_schema_evolution",
     "txlog_merge_read",
     "txlog_partitioned_read",
     "curation_pipeline",

@@ -900,3 +900,54 @@ def txlog_clustered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("o_totalprice")).alias("revenue"),
         )
     )
+
+
+@register(
+    "txlog_schema_evolution",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS order_ct,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 5
+                         ELSE -1 END) AS BIGINT) AS flag_sum
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc=(
+        "ADDITIVE schema evolution through the transaction log: half of "
+        "orders commits with the original schema, the other half commits "
+        "later WITH an extra derived column (priority_flag = o_orderkey % "
+        "5) — no rewrite of the first commit's files — and the graded "
+        "read is snapshot(merge_schema=True): the union schema resolves "
+        "with nulls for pre-evolution rows, folded to -1 in the "
+        "aggregate. The oracle derives the same values from the source "
+        "table's halves, so a dropped column, a misaligned union, or a "
+        "null leaking where data existed changes the hash (Delta "
+        "mergeSchema; storage/txlog.py snapshot merge_schema)"
+    ),
+)
+def txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..storage import TxLog
+
+    orders = table(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix="txlog_evo_")
+    log = TxLog(os.path.join(work, "orders_tx"))
+    base = orders.select("o_orderkey", "o_orderstatus")
+    log.append(base.where(F.col("o_orderkey") % 2 == 0))
+    log.append(
+        base.where(F.col("o_orderkey") % 2 == 1).withColumn(
+            "priority_flag", (F.col("o_orderkey") % 5).cast("long")
+        )
+    )
+    evolved = log.snapshot(spark, merge_schema=True)
+    if "priority_flag" not in evolved.columns:
+        raise AssertionError("merge_schema read lost the evolved column")
+    return (
+        evolved.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("order_ct"),
+            F.sum(F.coalesce(F.col("priority_flag"), F.lit(-1)))
+            .cast("long")
+            .alias("flag_sum"),
+        )
+    )

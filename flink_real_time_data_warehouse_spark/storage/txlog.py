@@ -561,16 +561,25 @@ class TxLog:
             stats=stats, parts=parts,
         )
 
-    def _read_files(self, spark: SparkSession, files: list[str], st: _State) -> DataFrame:
+    def _read_files(
+        self,
+        spark: SparkSession,
+        files: list[str],
+        st: _State,
+        merge_schema: bool = False,
+    ) -> DataFrame:
         """One DataFrame over a committed-file subset. Files committed with
         partition values re-attach the partition column (dropped from the
         data files by Hive-style layout) as a typed literal per group, then
         union by name with the flat files — no extra shuffle, N parquet
-        scans unioned in one plan."""
+        scans unioned in one plan. `merge_schema` resolves the union of
+        all files' schemas (columns absent from older files read as null —
+        Delta's additive schema evolution on read)."""
         if not files:
             if st.schema_json is None:
                 raise ValueError(f"txlog table {self.path!r} has no commits")
             return spark.createDataFrame([], StructType.fromJson(json.loads(st.schema_json)))
+        reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
         flat = [n for n in files if n not in st.parts]
         groups: dict[tuple[str, str], list[str]] = {}
         for n in files:
@@ -580,16 +589,16 @@ class TxLog:
                 groups.setdefault((col, val), []).append(n)
         dfs = []
         if flat:
-            dfs.append(spark.read.parquet(*[os.path.join(self.data_path, n) for n in flat]))
+            dfs.append(reader.parquet(*[os.path.join(self.data_path, n) for n in flat]))
         if groups:
             schema = StructType.fromJson(json.loads(st.schema_json))
             for (col, val), names in sorted(groups.items()):
                 dtype = schema[col].dataType
-                g = spark.read.parquet(*[os.path.join(self.data_path, n) for n in names])
+                g = reader.parquet(*[os.path.join(self.data_path, n) for n in names])
                 dfs.append(g.withColumn(col, F.lit(val).cast(dtype)))
         out = dfs[0]
         for d in dfs[1:]:
-            out = out.unionByName(d)
+            out = out.unionByName(d, allowMissingColumns=merge_schema)
         return out
 
     def snapshot(
@@ -598,6 +607,7 @@ class TxLog:
         version: int | None = None,
         prune: tuple | None = None,
         partitions: dict | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame:
         """The table as of `version` (default: now). One log listing fixes
         the file list; later commits are invisible to the returned frame.
@@ -614,7 +624,12 @@ class TxLog:
           their string form, the manifest encoding).
 
         Files committed without the relevant metadata are conservatively
-        kept; the caller still applies the row-level filter."""
+        kept; the caller still applies the row-level filter.
+
+        `merge_schema=True` enables ADDITIVE schema evolution on read:
+        the scan resolves the union of all committed files' schemas, and
+        columns a file predates read as null — appends may add columns
+        without rewriting history (Delta's mergeSchema)."""
         st = self.state(version)
         files = list(st.files)
         if prune is not None and files:
@@ -632,7 +647,7 @@ class TxLog:
                     n for n in files
                     if (pv := st.parts.get(n, {}).get(col)) is None or pv in allowed
                 ]
-        return self._read_files(spark, files, st)
+        return self._read_files(spark, files, st, merge_schema=merge_schema)
 
     def merge(
         self,
@@ -698,6 +713,38 @@ class TxLog:
             except TxConflictError:
                 continue
         raise TxConflictError(f"merge lost {max_retries} consecutive OCC races")
+
+    def history(self) -> list[dict]:
+        """Commit audit trail (Delta's DESCRIBE HISTORY), newest first:
+        one row per still-present manifest with version, op, file add/
+        remove counts, app identity, and timestamp. Versions folded into
+        a checkpoint by `truncate_log` appear as one `checkpoint` row —
+        history is bounded by log retention, matching Delta."""
+        manifests, checkpoints = self._list_log()
+        out = []
+        for v in sorted(manifests, reverse=True):
+            try:
+                m = self.store.read(self._manifest_name(v))
+            except FileNotFoundError:
+                continue  # concurrent truncation
+            out.append({
+                "version": v,
+                "op": m["op"],
+                "n_added": len(m["adds"]),
+                "n_removed": len(m.get("removes", [])),
+                "app_id": m.get("app_id"),
+                "app_version": m.get("app_version"),
+                "ts": m.get("ts"),
+            })
+        covered = {m["version"] for m in out}
+        for v in sorted(checkpoints, reverse=True):
+            if v not in covered:
+                out.append({
+                    "version": v, "op": "checkpoint", "n_added": None,
+                    "n_removed": None, "app_id": None, "app_version": None,
+                    "ts": None,
+                })
+        return sorted(out, key=lambda r: -r["version"])
 
     # -- maintenance ---------------------------------------------------
 

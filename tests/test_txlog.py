@@ -505,3 +505,36 @@ def test_optimize_cluster_by_keeps_pruning_effective(tmp_path, spark):
     assert got == list(range(10, 21))
     # rows survived the rewrite intact
     assert log.snapshot(spark).count() == 300
+
+
+def test_schema_evolution_merge_schema_read(tmp_path, spark):
+    """Additive schema evolution: a later append carries an extra column;
+    snapshot(merge_schema=True) resolves the union schema with nulls for
+    the rows that predate the column, without rewriting history."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    log.append(spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double"))
+    evolved = log.snapshot(spark, merge_schema=True)
+    assert set(evolved.columns) == {"k", "v", "score"}
+    got = {r["k"]: r["score"] for r in evolved.collect()}
+    assert got == {1: None, 2: 9.5}
+    # without merge_schema the scan resolves one file's schema (legacy)
+    assert log.snapshot(spark).count() == 2
+
+
+def test_history_audit_trail(tmp_path, spark):
+    """history() = DESCRIBE HISTORY: newest-first rows with op and file
+    counts; truncated versions collapse into one checkpoint row."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(spark.createDataFrame([(1,)], "k long"), app_id="ing", app_version=0)
+    log.append(spark.createDataFrame([(2,)], "k long").coalesce(1))
+    log.overwrite(spark.createDataFrame([(3,)], "k long").coalesce(1))
+    h = log.history()
+    assert [r["version"] for r in h] == [2, 1, 0]
+    assert h[0]["op"] == "replace" and h[0]["n_removed"] == 0
+    assert h[2]["app_id"] == "ing" and h[2]["app_version"] == 0
+    log.checkpoint()
+    log.truncate_log()
+    log.append(spark.createDataFrame([(4,)], "k long").coalesce(1))
+    h2 = log.history()
+    assert [(r["version"], r["op"]) for r in h2] == [(3, "append"), (2, "checkpoint")]
