@@ -106,6 +106,7 @@ HEADLINE = [
     "kmeans_centroids",
     "semantic_dedup",
     "semantic_dedup_trained",
+    "knn_label_noise",
     "small_qty_revenue",
     "small_qty_revenue_shaped",  # declared-vs-shaped Q17 gap, measured
     "txlog_snapshot_read",

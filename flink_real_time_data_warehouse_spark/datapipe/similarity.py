@@ -599,6 +599,90 @@ def semantic_dedup(
     )
 
 
+KNN_NOISE_K = 10  # neighbors voting on each vector's label
+
+
+def knn_label_noise(
+    corpus: DataFrame,
+    k_clusters: int = 8,
+    k_neighbors: int = KNN_NOISE_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Cluster-scoped kNN label-noise detection — mislabeled-sample mining
+    for a labeled training corpus (the confident-learning family of
+    curation checks): each vector's `k_neighbors` nearest same-cluster
+    neighbors vote on its label; a majority disagreeing with the stored
+    label flags the sample as probable noise.
+
+    Scale shape is SemDeDup's: one broadcast-k assignment scan, ONE
+    shuffle by cid for the within-cluster neighbor join (O(n^2/k) pairs,
+    never all-pairs), then one window rank per vector. Exact fixed-point
+    geometry (`quantized`/`qdot`) keeps every similarity, rank, and vote
+    bit-identical across engines, so the DuckDB oracle reproduces every
+    verdict. Tie-breaks are total orders: neighbor rank (sim DESC, id
+    ASC), vote winner (count DESC, label ASC).
+
+    Returns (id, label, voted_label, is_noise: int).
+    """
+    from pyspark.sql import Window
+
+    emb = corpus.select(
+        F.col(id_col), F.col(label_col), quantized(F.col(vec_col)).alias("q")
+    )
+    cents = emb.where(F.col(id_col) < k_clusters).select(
+        F.col(id_col).alias("cid"), F.col("q").alias("cq")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        id_col, label_col, "q", "cid", qcosine(F.col("q"), F.col("cq")).alias("cs")
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("cs").alias("s"),
+                (-F.col("cid")).alias("neg_cid"),
+                F.col("cid").alias("cid"),
+                F.col("q").alias("q"),
+                F.col(label_col).alias("lbl"),
+            )
+        ).alias("b")
+    )
+    m = best.select(
+        id_col,
+        F.col("b.cid").alias("cid"),
+        F.col("b.q").alias("q"),
+        F.col("b.lbl").alias("lbl"),
+    ).withColumn("nq", qdot(F.col("q"), F.col("q")).cast("double"))
+    x = m.select(
+        F.col(id_col).alias("ia"), F.col("cid").alias("cida"),
+        F.col("q").alias("qa"), F.col("nq").alias("na"), F.col("lbl").alias("la"),
+    )
+    y = m.select(
+        F.col(id_col).alias("ib"), "cid",
+        F.col("q").alias("qb"), F.col("nq").alias("nb"), F.col("lbl").alias("lb"),
+    )
+    pairs = x.join(
+        y, (F.col("cida") == F.col("cid")) & (F.col("ia") != F.col("ib"))
+    ).select(
+        "ia", "la", "ib", "lb",
+        (qdot(F.col("qa"), F.col("qb")) / F.sqrt(F.col("na") * F.col("nb"))).alias("sim"),
+    )
+    w_rank = Window.partitionBy("ia").orderBy(F.col("sim").desc(), F.col("ib").asc())
+    nearest = pairs.withColumn("rk", F.row_number().over(w_rank)).where(
+        F.col("rk") <= k_neighbors
+    )
+    votes = nearest.groupBy("ia", "la", "lb").agg(F.count("*").alias("n_votes"))
+    w_win = Window.partitionBy("ia").orderBy(F.col("n_votes").desc(), F.col("lb").asc())
+    winner = votes.withColumn("vr", F.row_number().over(w_win)).where(F.col("vr") == 1)
+    return winner.select(
+        F.col("ia").alias(id_col),
+        F.col("la").alias(label_col),
+        F.col("lb").alias("voted_label"),
+        (F.col("lb") != F.col("la")).cast("int").alias("is_noise"),
+    )
+
+
 SIGN_BITS = 6  # bucket bits per band -> 2^6 buckets per band
 SIGN_BANDS = 4  # OR over 4 disjoint coordinate slices
 

@@ -853,6 +853,61 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(table(spark, sf_dir, "embeddings"), COSINE_THRESHOLD)
 
 
+KNN_NOISE_CLUSTERS = 8
+
+
+@register(
+    "knn_label_noise",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id AS vid, label, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS q
+                 FROM embeddings),
+    c0 AS (SELECT vid AS cid, q AS cq FROM emb WHERE vid < {KNN_NOISE_CLUSTERS}),
+    s AS (SELECT e.vid, e.label, e.q, c.cid,
+            list_dot_product(e.q, c.cq)
+              / sqrt(list_dot_product(e.q, e.q) * list_dot_product(c.cq, c.cq)) AS cs
+          FROM emb e CROSS JOIN c0 c),
+    a AS (SELECT vid, label, q, cid FROM (
+            SELECT vid, label, q, cid,
+                   row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) AS rn
+            FROM s) WHERE rn = 1),
+    pairs AS (SELECT x.vid AS ia, x.label AS la, y.vid AS ib, y.label AS lb,
+                     list_dot_product(x.q, y.q)
+                       / sqrt(list_dot_product(x.q, x.q) * list_dot_product(y.q, y.q)) AS sim
+              FROM a x JOIN a y ON x.cid = y.cid AND x.vid <> y.vid),
+    ranked AS (SELECT ia, la, lb FROM (
+                 SELECT ia, la, lb,
+                        row_number() OVER (PARTITION BY ia ORDER BY sim DESC, ib) AS rk
+                 FROM pairs) WHERE rk <= 10),
+    votes AS (SELECT ia, la, lb, count(*) AS n_votes FROM ranked GROUP BY 1, 2, 3),
+    winner AS (SELECT ia, la, lb FROM (
+                 SELECT ia, la, lb,
+                        row_number() OVER (PARTITION BY ia ORDER BY n_votes DESC, lb) AS vr
+                 FROM votes) WHERE vr = 1)
+    SELECT ia AS vec_id, la AS label, lb AS voted_label,
+           CAST(lb <> la AS INTEGER) AS is_noise
+    FROM winner
+    """,
+    doc=(
+        "kNN label-noise detection (confident-learning-family curation "
+        "check for labeled training data): each vector's 10 nearest "
+        "same-cluster neighbors vote on its label; a dissenting majority "
+        "flags probable mislabeling. Cluster-scoped like SemDeDup — "
+        "broadcast-k assignment, ONE cid shuffle, O(n^2/k) pairs, never "
+        "all-pairs — and exact fixed-point geometry so every similarity, "
+        "rank, and vote is engine-reproducible (the oracle replays the "
+        "full assignment/rank/vote chain). Tie-breaks are total orders "
+        "(sim DESC + id, votes DESC + label)"
+    ),
+)
+def knn_label_noise_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.similarity import knn_label_noise
+
+    return knn_label_noise(
+        table(spark, sf_dir, "embeddings"), k_clusters=KNN_NOISE_CLUSTERS
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental (new-vs-index) dedup: the per-ingest operation of a growing
 # corpus. The fixture plays both roles deterministically: doc_id % 4 == 0

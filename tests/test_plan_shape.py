@@ -365,3 +365,15 @@ def test_shaped_q17_prunes_bound_aggregate_input(spark):
     assert any(i > agg_i for i in semi_is), (
         "bound aggregate is not above a semi-join (agg input not pruned)\n" + shaped
     )
+
+
+def test_knn_label_noise_pairs_join_on_cluster(spark):
+    """Label-noise kNN must stay cluster-scoped: the neighbor join keys on
+    cid (hash/sort-merge), never a corpus-level cartesian; the only
+    nested-loop allowed is the broadcast of the k tiny centroids per
+    self-join side."""
+    df = registry()["knn_label_noise"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, f"all-pairs plan:\n{plan}"
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
