@@ -74,6 +74,7 @@ HEADLINE = [
     "embedding_cosine_pairs_capped",
     "embedding_clusters",
     "dedup_minhash_capped",
+    "source_overlap_matrix",
     "text_quality",
     "keyword_stats_cjk",
     "keyword_stats_dict",

@@ -174,6 +174,50 @@ def dedup_minhash_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH {_minhash_cand_ctes()},
+    lab AS (SELECT c.doc_a, c.doc_b, da.source AS sa, db.source AS sb
+            FROM cand c
+            JOIN documents da ON c.doc_a = da.doc_id
+            JOIN documents db ON c.doc_b = db.doc_id)
+    SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+           count(*) AS pair_ct
+    FROM lab GROUP BY 1, 2
+    """,
+    doc=(
+        "cross-source duplication matrix — the corpus-curation report "
+        "behind source-mixing decisions (which feeds/crawls copy from "
+        "each other, and how much of a source is internal boilerplate): "
+        "MinHash+LSH candidate pairs labeled with both documents' "
+        "sources, aggregated per unordered source pair "
+        "(least/greatest canonicalization). Reuses the banded bucket "
+        "equi-join — never all-pairs — plus two hash joins against the "
+        "doc->source projection and one small aggregate; at 100 TB the "
+        "matrix is |sources|^2 tiny rows regardless of corpus size"
+    ),
+)
+def source_overlap_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sig)
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        ).join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+    )
+    return j.groupBy(
+        F.least("sa", "sb").alias("source_a"),
+        F.greatest("sa", "sb").alias("source_b"),
+    ).agg(F.count("*").alias("pair_ct"))
+
+
 # ---------------------------------------------------------------------------
 @register(
     "dedup_ngram_jaccard",
