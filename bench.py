@@ -108,6 +108,7 @@ HEADLINE = [
     "semantic_dedup",
     "semantic_dedup_trained",
     "knn_label_noise",
+    "embedding_outliers",
     "small_qty_revenue",
     "small_qty_revenue_shaped",  # declared-vs-shaped Q17 gap, measured
     "txlog_snapshot_read",

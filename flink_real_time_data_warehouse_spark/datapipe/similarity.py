@@ -683,6 +683,67 @@ def knn_label_noise(
     )
 
 
+OUTLIER_TAIL_PCT = 5  # bottom percent of centroid similarity flagged per cluster
+
+
+def embedding_outliers(
+    corpus: DataFrame,
+    k_clusters: int = 8,
+    tail_pct: int = OUTLIER_TAIL_PCT,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-tail outlier mining: vectors in the bottom `tail_pct`% of
+    centroid similarity WITHIN their cluster are flagged as probable
+    out-of-distribution samples (mislabeled modality, garbage encodes,
+    adversarial inserts) — the embedding-space cousin of text quality
+    scoring, used to quarantine the weird tail before training.
+
+    Rank-based by design: the verdict depends only on each vector's RANK
+    of (exact fixed-point) centroid similarity inside its cluster, never
+    on float aggregates like mean/std whose accumulation order differs
+    between engines — so the oracle reproduces every flag bit-for-bit.
+    Tail size = ceil(tail_pct% of cluster size), ties broken by id.
+
+    Scale shape: one broadcast-k assignment scan (map-side-combinable
+    argmax), one cid-partitioned window over n rows. No pairwise work at
+    all — this is the cheapest of the embedding curation passes.
+
+    Returns (id, cid, sim_rank, cluster_n, is_outlier: int).
+    """
+    from pyspark.sql import Window
+
+    emb = corpus.select(F.col(id_col), quantized(F.col(vec_col)).alias("q"))
+    cents = emb.where(F.col(id_col) < k_clusters).select(
+        F.col(id_col).alias("cid"), F.col("q").alias("cq")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        id_col, "cid", qcosine(F.col("q"), F.col("cq")).alias("cs")
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("cs").alias("s"),
+                (-F.col("cid")).alias("neg_cid"),
+                F.col("cid").alias("cid"),
+            )
+        ).alias("b")
+    )
+    m = best.select(id_col, F.col("b.cid").alias("cid"), F.col("b.s").alias("cs"))
+    w_rank = Window.partitionBy("cid").orderBy(F.col("cs").asc(), F.col(id_col).asc())
+    w_all = Window.partitionBy("cid")
+    return (
+        m.withColumn("sim_rank", F.row_number().over(w_rank).cast("long"))
+        .withColumn("cluster_n", F.count("*").over(w_all).cast("long"))
+        .select(
+            id_col, "cid", "sim_rank", "cluster_n",
+            (
+                F.col("sim_rank") <= F.ceil(F.col("cluster_n") * tail_pct / 100.0)
+            ).cast("int").alias("is_outlier"),
+        )
+    )
+
+
 SIGN_BITS = 6  # bucket bits per band -> 2^6 buckets per band
 SIGN_BANDS = 4  # OR over 4 disjoint coordinate slices
 

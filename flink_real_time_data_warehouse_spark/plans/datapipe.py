@@ -952,6 +952,49 @@ def knn_label_noise_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_outliers",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id AS vid, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS q
+                 FROM embeddings),
+    c0 AS (SELECT vid AS cid, q AS cq FROM emb WHERE vid < {KNN_NOISE_CLUSTERS}),
+    s AS (SELECT e.vid, c.cid,
+            list_dot_product(e.q, c.cq)
+              / sqrt(list_dot_product(e.q, e.q) * list_dot_product(c.cq, c.cq)) AS cs
+          FROM emb e CROSS JOIN c0 c),
+    a AS (SELECT vid, cid, cs FROM (
+            SELECT vid, cid, cs,
+                   row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) AS rn
+            FROM s) WHERE rn = 1),
+    r AS (SELECT vid, cid,
+                 CAST(row_number() OVER (PARTITION BY cid ORDER BY cs ASC, vid ASC)
+                      AS BIGINT) AS sim_rank,
+                 CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS cluster_n
+          FROM a)
+    SELECT vid AS vec_id, cid, sim_rank, cluster_n,
+           CAST(sim_rank <= ceil(cluster_n * 5 / 100.0) AS INTEGER) AS is_outlier
+    FROM r
+    """,
+    doc=(
+        "cluster-tail outlier mining: bottom 5% of (exact fixed-point) "
+        "centroid similarity per cluster flagged as probable OOD samples "
+        "— the embedding-space cousin of text quality gating. Rank-based "
+        "by design (no mean/std float aggregates whose accumulation order "
+        "differs between engines), so the oracle replays every flag "
+        "bit-for-bit; ties broken by id. Cheapest embedding pass: one "
+        "broadcast-k assignment scan + one cid-partitioned window, no "
+        "pairwise work at all"
+    ),
+)
+def embedding_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.similarity import embedding_outliers
+
+    return embedding_outliers(
+        table(spark, sf_dir, "embeddings"), k_clusters=KNN_NOISE_CLUSTERS
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental (new-vs-index) dedup: the per-ingest operation of a growing
 # corpus. The fixture plays both roles deterministically: doc_id % 4 == 0

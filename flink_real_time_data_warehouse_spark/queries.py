@@ -62,7 +62,7 @@ _GRADE_FIRST: list[str] = [
     "txlog_merge_read", "txlog_partitioned_read", "txlog_time_travel",
     "txlog_clustered_read", "txlog_schema_evolution",
     "semantic_dedup_trained", "small_qty_revenue_shaped", "knn_label_noise",
-    "source_overlap_matrix",
+    "source_overlap_matrix", "embedding_outliers",
     # Freshest row is r4 — the 33 most-relevant regrade first: queries
     # whose code paths were touched this round (kmeans cq column, grown
     # lexicon, TxLog-backed ingest funnel), then index/ANN, multimodal,
@@ -77,7 +77,6 @@ _GRADE_FIRST: list[str] = [
     "audio_chunks", "visitor_stats", "product_stats", "events_union_stats",
     "keyword_stats", "session_stats", "visitor_stats_sliding", "uv_daily",
     "new_user_fix", "bounce_events", "order_wide", "payment_wide",
-    "scd2_user_status",
 ]
 
 
