@@ -63,12 +63,14 @@ _GRADE_FIRST: list[str] = [
     "txlog_clustered_read", "txlog_schema_evolution",
     "semantic_dedup_trained", "small_qty_revenue_shaped", "knn_label_noise",
     "source_overlap_matrix", "embedding_outliers",
-    # Freshest row is r4 — the 33 most-relevant regrade first: queries
-    # whose code paths were touched this round (kmeans cq column, grown
-    # lexicon, TxLog-backed ingest funnel), then index/ANN, multimodal,
-    # gmall DWS apps, curation composites. The 14 stable zero-shuffle
-    # column-arithmetic queries (lang_id .. token_budget_sample) fall
-    # past the 50-window at exactly 2 rounds stale and lead r7.
+    # Freshest row is r4 — the most-relevant regrades fill the rest of
+    # the 50-window: queries whose code paths were touched this round
+    # (kmeans cq column, grown lexicon, TxLog-backed ingest funnel),
+    # then index/ANN, multimodal, gmall DWS apps. The 19 stable r4
+    # queries that fall past the window (lang_id .. token_budget_sample,
+    # decontaminate/repetition_stats/pack_sequences/corpus_profile,
+    # scd2_user_status, serving_product_revenue) sit at exactly 2 rounds
+    # stale and MUST lead r7's window, ahead of the 50 r5-rowed queries.
     "kmeans_centroids", "keyword_stats_cjk", "curation_pipeline",
     "ingest_pipeline", "ingest_pipeline_indexed",
     "dedup_incremental_indexed", "ann_ivf_indexed_topk", "ann_topk",
