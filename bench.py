@@ -76,6 +76,7 @@ HEADLINE = [
     "dedup_minhash_capped",
     "source_overlap_matrix",
     "text_quality",
+    "source_quality_profile",
     "keyword_stats_cjk",
     "keyword_stats_dict",
     "keyword_stats_dict_stream",

@@ -995,6 +995,63 @@ def embedding_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "source_quality_profile",
+    oracle="""
+    WITH q AS (
+      SELECT d.source,
+             length(d.text) AS n_chars,
+             len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS n_tokens,
+             CASE WHEN len(regexp_extract_all(lower(d.text), '[a-z0-9]+'))
+                       BETWEEN 10 AND 100000 THEN 1 ELSE 0 END
+             + CASE WHEN (SELECT coalesce(sum(length(t)), 0)
+                          FROM unnest(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS u(t))
+                         BETWEEN 2.0 * len(regexp_extract_all(lower(d.text), '[a-z0-9]+'))
+                             AND 12.0 * len(regexp_extract_all(lower(d.text), '[a-z0-9]+'))
+                        AND len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) > 0
+                    THEN 1 ELSE 0 END
+             + CASE WHEN len(list_intersect(
+                     regexp_extract_all(lower(d.text), '[a-z0-9]+'),
+                     ['the','a','an','and','or','of','to','in','is','it']))
+                        > 0 THEN 1 ELSE 0 END AS quality_score
+      FROM documents d
+    )
+    SELECT source, count(*) AS doc_ct,
+           quantile_cont(n_tokens, 0.5) AS median_tokens,
+           quantile_cont(n_chars, 0.9) AS p90_chars,
+           CAST(sum(quality_score) AS BIGINT) AS score_sum,
+           CAST(sum(CASE WHEN quality_score >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS good_ct
+    FROM q GROUP BY source
+    """,
+    doc=(
+        "per-source quality profile — the curation dashboard row behind "
+        "keep/drop/reweight decisions on a multi-source corpus: doc "
+        "count, median token count and p90 char length (exact "
+        "interpolated percentiles: Spark `percentile` and DuckDB "
+        "`quantile_cont` share the (n-1)p rank definition, identical "
+        "IEEE interpolation over integer inputs), summed rule score and "
+        "good-doc count as exact integers. One scan + one hash agg per "
+        "source; percentile state is per-group sorted integers, bounded "
+        "by group size — at 100 TB swap approx_percentile in for the "
+        "same plan shape"
+    ),
+)
+def source_quality_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.quality import text_quality
+
+    docs = table(spark, sf_dir, "documents")
+    q = text_quality(docs, "doc_id", "text").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return q.groupBy("source").agg(
+        F.count("*").alias("doc_ct"),
+        F.expr("percentile(n_tokens, 0.5)").alias("median_tokens"),
+        F.expr("percentile(n_chars, 0.9)").alias("p90_chars"),
+        F.sum("quality_score").cast("long").alias("score_sum"),
+        F.sum((F.col("quality_score") >= 2).cast("int")).cast("long").alias("good_ct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental (new-vs-index) dedup: the per-ingest operation of a growing
 # corpus. The fixture plays both roles deterministically: doc_id % 4 == 0

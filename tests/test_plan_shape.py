@@ -377,3 +377,14 @@ def test_knn_label_noise_pairs_join_on_cluster(spark):
     assert "CartesianProduct" not in plan, f"all-pairs plan:\n{plan}"
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_embedding_outliers_no_pairwise_work(spark):
+    """The outlier pass is assignment + one window — it must never grow a
+    pair join: no cartesian, no shuffle join, only the centroid broadcast."""
+    df = registry()["embedding_outliers"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "Window" in plan
