@@ -471,53 +471,64 @@ class TxLog:
         self,
         df: DataFrame,
         stats_cols: list[str] | None = None,
-        partition_by: str | None = None,
+        partition_by: str | list[str] | None = None,
     ) -> tuple[list[str], str, dict, dict]:
         """Write df's parts as uniquely-named files under data/ (invisible
         until a manifest names them). With `stats_cols`, per-file [min,max]
         of those columns is read from the parquet FOOTERS just written (no
-        data re-scan). With `partition_by`, the write runs through Spark's
-        engine-side dynamic partitioning (one job regardless of value
-        count) and each file's partition value is lifted from the
-        directory name into the manifest — directory layout becomes
-        metadata, which is what lets `snapshot()` prune by partition
-        without listing anything. Returns (names, schema_json, stats,
-        parts)."""
+        data re-scan). With `partition_by` (one column or a list), the
+        write runs through Spark's engine-side dynamic partitioning (one
+        job regardless of value count) and each file's partition values
+        are lifted from the nested Hive-style directory names into the
+        manifest — directory layout becomes metadata, which is what lets
+        `snapshot()` prune by partition without listing anything. Returns
+        (names, schema_json, stats, parts)."""
         prefix = uuid.uuid4().hex
         tmp = os.path.join(self.path, f"_staging-{prefix}")
         names: list[str] = []
         stats: dict = {}
         parts: dict = {}
+        pcols = (
+            [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
+        )
+        counter = [0]
 
-        def take(src_dir: str, tag: str, part_val: str | None) -> None:
+        def take(src_dir: str, part_vals: dict | None) -> None:
             for name in sorted(os.listdir(src_dir)):
                 if not name.endswith(".parquet"):
                     continue
+                tag = f"p{counter[0]:04d}-" if part_vals else ""
+                counter[0] += 1
                 staged = f"{prefix}-{tag}{name}"
                 dest = os.path.join(self.data_path, staged)
                 os.replace(os.path.join(src_dir, name), dest)
                 names.append(staged)
-                if part_val is not None:
-                    parts[staged] = {partition_by: part_val}
+                if part_vals:
+                    parts[staged] = dict(part_vals)
                 if stats_cols:
                     fs = _footer_minmax(dest, stats_cols)
                     if fs:
                         stats[staged] = fs
 
-        if partition_by is None:
-            df.write.mode("overwrite").parquet(tmp)
-            take(tmp, "", None)
-        else:
-            df.write.mode("overwrite").partitionBy(partition_by).parquet(tmp)
-            pi = 0
-            for entry in sorted(os.listdir(tmp)):
-                if not entry.startswith(f"{partition_by}="):
+        def walk(src_dir: str, remaining: list[str], acc: dict) -> None:
+            if not remaining:
+                take(src_dir, acc or None)
+                return
+            col = remaining[0]
+            for entry in sorted(os.listdir(src_dir)):
+                if not entry.startswith(f"{col}="):
                     continue
                 # Hive-style dir names URL-escape special chars; store the
                 # decoded value string in the manifest.
                 val = unquote(entry.split("=", 1)[1])
-                take(os.path.join(tmp, entry), f"p{pi:04d}-", val)
-                pi += 1
+                walk(os.path.join(src_dir, entry), remaining[1:], {**acc, col: val})
+
+        if not pcols:
+            df.write.mode("overwrite").parquet(tmp)
+            take(tmp, None)
+        else:
+            df.write.mode("overwrite").partitionBy(*pcols).parquet(tmp)
+            walk(tmp, pcols, {})
         shutil.rmtree(tmp, ignore_errors=True)
         return names, df.schema.json(), stats, parts
 
@@ -527,7 +538,7 @@ class TxLog:
         app_id: str | None = None,
         app_version: int | None = None,
         stats_cols: list[str] | None = None,
-        partition_by: str | None = None,
+        partition_by: str | list[str] | None = None,
     ) -> int:
         """Transactional append; with (app_id, app_version) it is an
         idempotent streaming-epoch commit (replays skip). `stats_cols`
@@ -548,7 +559,7 @@ class TxLog:
         df: DataFrame,
         expected_version: int | None = None,
         stats_cols: list[str] | None = None,
-        partition_by: str | None = None,
+        partition_by: str | list[str] | None = None,
     ) -> int:
         """Replace the table contents, serializably: if `expected_version`
         is given (the version the caller derived `df` from), any concurrent
@@ -581,21 +592,21 @@ class TxLog:
             return spark.createDataFrame([], StructType.fromJson(json.loads(st.schema_json)))
         reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
         flat = [n for n in files if n not in st.parts]
-        groups: dict[tuple[str, str], list[str]] = {}
+        groups: dict[tuple, list[str]] = {}
         for n in files:
             pv = st.parts.get(n)
             if pv is not None:
-                (col, val), = pv.items()
-                groups.setdefault((col, val), []).append(n)
+                groups.setdefault(tuple(sorted(pv.items())), []).append(n)
         dfs = []
         if flat:
             dfs.append(reader.parquet(*[os.path.join(self.data_path, n) for n in flat]))
         if groups:
             schema = StructType.fromJson(json.loads(st.schema_json))
-            for (col, val), names in sorted(groups.items()):
-                dtype = schema[col].dataType
+            for key, names in sorted(groups.items()):
                 g = reader.parquet(*[os.path.join(self.data_path, n) for n in names])
-                dfs.append(g.withColumn(col, F.lit(val).cast(dtype)))
+                for col, val in key:
+                    g = g.withColumn(col, F.lit(val).cast(schema[col].dataType))
+                dfs.append(g)
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=merge_schema)

@@ -60,11 +60,10 @@ def start_ingest(
     are appended to `sig_index` under the stable label ``e<epoch>``.
 
     ``compact_every=N`` compacts the index after every Nth epoch (the
-    small-file guard for a long-running stream). Semantics note: compaction
-    removes the per-epoch markers, so an epoch replayed from an OLD
-    checkpoint after a compaction re-appends its rows — duplicate digest/
-    band rows, which the semi-join probes are insensitive to, and which
-    the next compaction folds away. Verdicts are never affected.
+    small-file guard for a long-running stream). The index's per-label
+    commit marks survive compaction (TxLog app high-water marks), so an
+    epoch replayed from an OLD checkpoint afterwards is skipped outright
+    — exactly-once index growth under any crash/replay interleaving.
 
     The accepted sink is a `storage.TxLog` table rooted at `accepted_dir`
     (read it back with ``TxLog(accepted_dir).snapshot(spark)``); pass

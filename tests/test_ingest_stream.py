@@ -210,13 +210,12 @@ def test_streaming_ingest_matches_batch_loop(spark, tmp_path):
     assert len(got) > 0
 
 
-def test_replay_after_compaction_duplicates_rows_but_not_verdicts(spark, tmp_path):
-    """Pins the documented compaction/replay interaction
-    (streaming/ingest.py docstring): compact() removes per-epoch markers,
-    so an epoch replayed from an OLD checkpoint re-appends its rows —
-    duplicate digest/band rows appear (bounded: one extra copy per
-    replayed epoch), the semi-join verdicts are UNCHANGED, and the next
-    compact() folds the duplicates away."""
+def test_replay_after_compaction_is_skipped(spark, tmp_path):
+    """Pins the round-6 compaction/replay upgrade: the TxLog's per-label
+    app high-water marks SURVIVE compaction, so an epoch replayed from an
+    OLD checkpoint after compact() is skipped outright — no duplicate
+    digest/band rows (the marker protocol re-appended here; its wart is
+    gone), and verdicts are unchanged."""
     from flink_real_time_data_warehouse_spark.datapipe.dedup import (
         incremental_dedup_indexed,
     )
@@ -240,7 +239,7 @@ def test_replay_after_compaction_duplicates_rows_but_not_verdicts(spark, tmp_pat
         r["doc_id"] for r in _accepted(spark, accepted_dir).collect()
     ) == [11, 21]
 
-    lbl = idx.compact()  # folds seed + e0 + e1; removes their markers
+    lbl = idx.compact()  # folds seed + e0 + e1 into one batch
     assert idx.committed_batches() == [lbl]
     n_rows = idx.digests().count()
 
@@ -253,22 +252,18 @@ def test_replay_after_compaction_duplicates_rows_but_not_verdicts(spark, tmp_pat
     }
     assert verdicts_before == {40: "exact", 41: "keep"}
 
-    # replay epoch 0 from an old checkpoint: its marker is gone, so the
-    # append is NOT skipped — rows duplicate...
+    # replay epoch 0 from an old checkpoint: the label's high-water mark
+    # survived the compaction, so the append is SKIPPED — zero new rows
     replay = spark.createDataFrame([(11, GOOD["alpha"])], "doc_id long, text string")
     assert idx.append(replay, "doc_id", "text", batch_no="e0") == "e0"
-    assert idx.digests().count() == n_rows + 1
-    assert idx.digests().where(F.col("doc") == 11).count() == 2
-    # ...but verdicts cannot change (semi joins are duplicate-insensitive)
+    assert idx.digests().count() == n_rows
+    assert idx.digests().where(F.col("doc") == 11).count() == 1
     verdicts_after = {
         r["doc"]: r["verdict"]
         for r in incremental_dedup_indexed(idx, probe, "doc_id", "text").collect()
     }
     assert verdicts_after == verdicts_before
-    # and the next compact folds the duplicate away
-    idx.compact()
-    assert idx.digests().count() == n_rows + 1  # compact keeps rows verbatim
-    assert idx.digests().select("doc", "h").distinct().count() == n_rows
+    assert idx.committed_batches() == [lbl], "replay committed no new batch"
 
 
 def test_vector_ingest_replay_idempotent(spark, tmp_path):

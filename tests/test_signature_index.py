@@ -60,20 +60,31 @@ def test_empty_index_probe(spark, tmp_path):
 
 
 def test_append_is_atomic_per_batch(spark, tmp_path):
+    """Both probe tables land in ONE TxLog commit per batch: a crash can
+    never expose digests without bands. Staged-but-uncommitted data files
+    are invisible to every probe; replaying the committed label is a
+    no-op (the log's app high-water mark)."""
     idx = SignatureIndex(spark, str(tmp_path / "sig"))
     docs = spark.createDataFrame(
         [(1, "first indexed document with plenty of tokens to work with")],
         "doc_id long, text string",
     )
+    v_before = idx.log.state().version
     n = idx.append(docs, "doc_id", "text")
+    st = idx.log.state()
+    assert st.version == v_before + 1, "digests+bands committed as ONE version"
+    tbls = {pv["tbl"] for pv in st.parts.values()}
+    assert tbls == {"digests", "bands"}
     assert idx.committed_batches() == [n]
-    # simulate a crash between the table writes and the marker: the batch
-    # must be invisible to every probe
-    os.remove(os.path.join(str(tmp_path / "sig"), f"_batch_{n}_done"))
-    assert idx.is_empty()
-    assert idx.digests().count() == 0 and idx.bands().count() == 0
-    # retry reuses the batch number and converges to exactly one copy
-    n2 = idx.append(docs, "doc_id", "text")
+    # crash mid-append = staged files, no manifest: invisible to probes
+    idx.log._stage(
+        idx._unified(docs.selectExpr("doc_id + 1 AS doc_id", "text"), "doc_id", "text", "9"),
+        None, ["tbl", "batch"],
+    )
+    assert idx.committed_batches() == [n]
+    assert idx.digests().count() == 1
+    # replaying the committed label converges to exactly one copy
+    n2 = idx.append(docs, "doc_id", "text", batch_no=n)
     assert n2 == n
     assert idx.digests().count() == 1
 

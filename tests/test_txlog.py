@@ -538,3 +538,24 @@ def test_history_audit_trail(tmp_path, spark):
     log.append(spark.createDataFrame([(4,)], "k long").coalesce(1))
     h2 = log.history()
     assert [(r["version"], r["op"]) for r in h2] == [(3, "append"), (2, "checkpoint")]
+
+
+def test_multi_column_partition_pruning(tmp_path, spark):
+    """partition_by accepts a column list: nested Hive dirs lift into
+    per-file {col: val} metadata; snapshot(partitions=...) prunes on any
+    subset of the columns and re-attaches each with its declared type."""
+    log = TxLog(str(tmp_path / "t"))
+    df = spark.range(0, 120).selectExpr(
+        "id", "CAST(id % 2 AS LONG) AS a", "CASE WHEN id % 3 = 0 THEN 'x' ELSE 'y' END AS b"
+    )
+    log.append(df, partition_by=["a", "b"])
+    full = log.snapshot(spark)
+    assert full.count() == 120 and set(full.columns) == {"id", "a", "b"}
+    one = log.snapshot(spark, partitions={"a": [1], "b": ["x"]})
+    assert len(one.inputFiles()) < len(full.inputFiles())
+    got = one.where("a = 1 AND b = 'x'")
+    assert got.count() == df.where("a = 1 AND b = 'x'").count()
+    assert dict(got.dtypes)["a"] == "bigint"
+    # pruning on ONE of the two columns also works
+    half = log.snapshot(spark, partitions={"b": ["y"]})
+    assert half.where("b = 'y'").count() == df.where("b = 'y'").count()
