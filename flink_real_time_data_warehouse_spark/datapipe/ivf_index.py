@@ -66,6 +66,7 @@ from .similarity import (
 PROBE_BROADCAST_MAX_ROWS = 500_000
 
 _MARKER_RE = re.compile(r"^_batch_([A-Za-z0-9]+)_done$")
+_FOLDED_RE = re.compile(r"^_batch_([A-Za-z0-9]+)_folded$")
 
 
 class IvfIndex:
@@ -90,6 +91,19 @@ class IvfIndex:
             if m:
                 out.append(m.group(1))
         return sorted(out, key=lambda lb: (0, int(lb), "") if lb.isdigit() else (1, 0, lb))
+
+    def _folded_labels(self) -> set[str]:
+        """Labels folded away by compact(): their `_done` marker became a
+        `_folded` tombstone, so a replayed epoch with that label is still
+        SKIPPED (the marker-protocol fix mirroring SignatureIndex's TxLog
+        app high-water marks — without tombstones, a replay from an old
+        checkpoint after compaction re-appended its rows)."""
+        out = set()
+        for f in os.listdir(self.base_dir):
+            m = _FOLDED_RE.match(f)
+            if m:
+                out.add(m.group(1))
+        return out
 
     # -- build / append -----------------------------------------------------
     def build(
@@ -156,15 +170,18 @@ class IvfIndex:
         """append() body; caller holds the write lock (build() reuses this
         inside its own single lock scope — the lock is not reentrant)."""
         committed = self.committed_batches()
+        folded = self._folded_labels()
         if batch_no is None:
-            ints = [int(b) for b in committed if b.isdigit()]
+            # never reuse a folded label: its tombstone would swallow the
+            # new append as a "replay"
+            ints = [int(b) for b in set(committed) | folded if b.isdigit()]
             n = str(max(ints) + 1) if ints else "0"
         else:
             n = str(batch_no)
             if not n.isalnum():
                 raise ValueError(f"batch label must be alphanumeric, got {n!r}")
-            if n in committed:
-                return n  # epoch replay: already committed
+            if n in committed or n in folded:
+                return n  # epoch replay (possibly of a folded batch): committed once
         inv = assign_top1(
             vectors, self.centroids(), id_col, vec_col, "neighbor_id"
         ).withColumnRenamed("_v", "nv")
@@ -184,22 +201,31 @@ class IvfIndex:
         SignatureIndex.compact: merged dir first, its marker, then
         decommit the old batches (doubly-visible rows during a crash
         window are harmless: `ivf_probe_topk` folds duplicate candidate
-        rows before ranking, and the next compact removes them).
-        Single-writer scope, enforced by the same lock as append."""
+        rows before ranking, and the next compact removes them). Each
+        folded label leaves a `_folded` TOMBSTONE (atomic rename of its
+        done marker), so an epoch replayed from an old checkpoint after
+        the compaction is still skipped — exactly-once index growth, the
+        same guarantee SignatureIndex now gets from TxLog high-water
+        marks. Single-writer scope, enforced by the same lock as append."""
         import shutil
 
         with index_write_lock(self.base_dir):
             committed = self.committed_batches()
             if len(committed) <= 1:
                 return committed[0] if committed else None
-            ints = [int(b) for b in committed if b.isdigit()]
+            ints = [
+                int(b) for b in set(committed) | self._folded_labels() if b.isdigit()
+            ]
             n = str(max(ints) + 1) if ints else "0"
             self.lists().write.mode("overwrite").partitionBy("cid").parquet(
                 os.path.join(self.base_dir, "lists", f"batch={n}")
             )
             self._commit_marker(f"_batch_{n}_done")
             for old in committed:
-                os.remove(os.path.join(self.base_dir, f"_batch_{old}_done"))
+                os.replace(
+                    os.path.join(self.base_dir, f"_batch_{old}_done"),
+                    os.path.join(self.base_dir, f"_batch_{old}_folded"),
+                )
                 shutil.rmtree(
                     os.path.join(self.base_dir, "lists", f"batch={old}"),
                     ignore_errors=True,

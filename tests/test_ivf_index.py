@@ -259,3 +259,31 @@ def test_probe_scans_dynamically_prune_unprobed_lists(spark, tmp_path):
         assert all("dynamicpruningexpression(" in line for line in list_scans), (
             "a lists scan lost dynamic partition pruning:\n" + "\n".join(list_scans)
         )
+
+
+def test_replay_after_compaction_skipped_via_tombstone(spark, tmp_path):
+    """An epoch label folded by compact() leaves a tombstone: replaying it
+    from an old checkpoint appends NOTHING (the marker protocol used to
+    re-append here), and auto-numbering never reuses a folded label."""
+    from flink_real_time_data_warehouse_spark.datapipe.ivf_index import IvfIndex
+    from flink_real_time_data_warehouse_spark.tables import table
+
+    from .conftest import TEST_SF_DIR
+
+    emb = table(spark, TEST_SF_DIR, "embeddings")
+    corpus = emb.where("vec_id % 4 != 0")
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    idx.build(corpus)
+    b1 = emb.where("vec_id % 8 == 0")
+    idx.append(b1, batch_no="e0")
+    n_before = idx.lists().count()
+    lbl = idx.compact()
+    assert idx.committed_batches() == [lbl]
+    assert idx.lists().count() == n_before
+    # replay the folded epoch: skipped outright
+    assert idx.append(b1.limit(3), batch_no="e0") == "e0"
+    assert idx.lists().count() == n_before
+    # auto-numbered append picks a fresh label past the folded ones
+    fresh = idx.append(emb.where("vec_id % 8 == 4"))
+    assert fresh not in ("e0", lbl) and int(fresh) > int(lbl)
+    assert idx.lists().count() > n_before
