@@ -118,6 +118,7 @@ HEADLINE = [
     "txlog_schema_evolution",
     "txlog_merge_read",
     "txlog_partitioned_read",
+    "txlog_multi_partition_read",
     "curation_pipeline",
     # streaming twins: full micro-batch replay wall time (state store +
     # shuffle-per-trigger regressions become visible round-over-round)

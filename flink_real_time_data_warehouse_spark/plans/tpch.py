@@ -951,3 +951,60 @@ def txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("flag_sum"),
         )
     )
+
+
+@register(
+    "txlog_multi_partition_read",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS order_ct,
+           {sql_money_sum('o_totalprice')} AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "MULTI-column partition pruning end-to-end (storage/txlog.py "
+        "partition_by=[status, priority] — nested Hive dirs lifted into "
+        "per-file metadata, values URL-unescaped so '4-NOT SPECIFIED' "
+        "round-trips): one engine-side dynamic-partitioned write, then a "
+        "snapshot pruned on BOTH columns — only the (O, urgent/high) "
+        "files reach Spark's listing (asserted in-plan via inputFiles) "
+        "and both partition columns re-attach as typed literals. The "
+        "oracle filters the source table, so a wrongly-pruned file or a "
+        "garbled unescaped value changes the hash"
+    ),
+)
+def txlog_multi_partition_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..storage import TxLog
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="txlog_mpart_")
+    log = TxLog(os.path.join(work, "orders_tx"))
+    log.append(orders, partition_by=["o_orderstatus", "o_orderpriority"])
+    full = len(log.snapshot(spark).inputFiles())
+    snap = log.snapshot(
+        spark,
+        partitions={
+            "o_orderstatus": ["O"],
+            "o_orderpriority": ["1-URGENT", "2-HIGH"],
+        },
+    )
+    kept = len(snap.inputFiles())
+    if not kept < full:
+        raise AssertionError(f"multi-column pruning dropped no files ({kept}/{full})")
+    return (
+        snap.where(
+            (F.col("o_orderstatus") == "O")
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("order_ct"),
+            money_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
