@@ -33,9 +33,10 @@ the snapshot). Probe tables carry ~40 bytes/doc — the index for a
 10^10-doc corpus is ~hundreds of GB, scanned only by digest/bucket
 semi-joins that reduce map-side.
 
-Writers: explicit-label appends (the streaming funnels' ``e<epoch>``) are
-multi-writer-safe through the log's OCC commits alone. AUTO-numbered
-labels need the next free number, so append/compact additionally hold the
+Writers: explicit-label appends (the streaming funnels' ``e<epoch>``)
+commit LOCK-FREE — the log's OCC version claim serializes them, and two
+racers on one label resolve to exactly one commit. AUTO-numbered labels
+need the next free number, so auto appends and compact() hold the
 advisory single-writer fence (`streaming/router.RouterLock` via
 :func:`index_write_lock` — pid-liveness, atomic stale-steal) for the
 mutation's duration; two live concurrent auto-writers fail fast instead
@@ -139,25 +140,34 @@ class SignatureIndex:
         outright — including replays from an old checkpoint AFTER a
         compaction — so a streaming ingest that retries an epoch cannot
         grow the index twice. The label must be stable across query
-        restarts — derive it from the epoch id only."""
-        with index_write_lock(self.base_dir):
-            if batch_no is None:
+        restarts — derive it from the epoch id only.
+
+        Locking: EXPLICIT labels commit lock-free — the log's OCC version
+        claim serializes concurrent writers, and two racers on the SAME
+        label resolve to exactly one commit (the loser's retry sees the
+        winner's app mark and skips). Only AUTO-numbered appends take the
+        advisory fence, to serialize the label counter."""
+        if batch_no is None:
+            with index_write_lock(self.base_dir):
                 seen = self._all_labels()
                 ints = [int(b) for b in seen if b.isdigit()]
                 n = str(max(ints) + 1) if ints else "0"
-            else:
-                n = str(batch_no)
-                if not n.isalnum():
-                    raise ValueError(f"batch label must be alphanumeric, got {n!r}")
-                if n in self._all_labels():
-                    return n  # epoch replay: already committed, exactly-once
-            self.log.append(
-                self._unified(docs, id_col, text_col, n),
-                app_id=f"batch:{n}",
-                app_version=0,
-                partition_by=["tbl", "batch"],
-            )
-            return n
+                return self._commit_batch(docs, id_col, text_col, n)
+        n = str(batch_no)
+        if not n.isalnum():
+            raise ValueError(f"batch label must be alphanumeric, got {n!r}")
+        if n in self._all_labels():
+            return n  # epoch replay: already committed, exactly-once
+        return self._commit_batch(docs, id_col, text_col, n)
+
+    def _commit_batch(self, docs: DataFrame, id_col: str, text_col: str, n: str) -> str:
+        self.log.append(
+            self._unified(docs, id_col, text_col, n),
+            app_id=f"batch:{n}",
+            app_version=0,
+            partition_by=["tbl", "batch"],
+        )
+        return n
 
     # -- compaction ---------------------------------------------------------
     def compact(self) -> str | None:

@@ -219,3 +219,35 @@ def test_hint_broadcast_gate_keeps_verdicts(spark, tmp_path):
     opt_h = hinted._jdf.queryExecution().optimizedPlan().toString()
     opt_s = shuffled._jdf.queryExecution().optimizedPlan().toString()
     assert opt_s.count("strategy=broadcast") < opt_h.count("strategy=broadcast")
+
+
+def test_explicit_label_appends_race_lock_free(spark, tmp_path):
+    """Explicit-label appends are multi-writer-safe WITHOUT the advisory
+    lock: concurrent distinct labels both commit; concurrent racers on
+    the SAME label resolve to exactly one copy (the log's OCC claim +
+    app high-water mark)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    idx = SignatureIndex(spark, str(tmp_path / "sig"))
+    d1 = spark.createDataFrame(
+        [(1, "first raced document body with plenty of distinct tokens")],
+        "doc_id long, text string",
+    )
+    d2 = spark.createDataFrame(
+        [(2, "second raced document body sharing no shingles with the first")],
+        "doc_id long, text string",
+    )
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f1 = ex.submit(idx.append, d1, "doc_id", "text", "ea")
+        f2 = ex.submit(idx.append, d2, "doc_id", "text", "eb")
+        assert {f1.result(), f2.result()} == {"ea", "eb"}
+    assert sorted(idx.committed_batches()) == ["ea", "eb"]
+    assert idx.digests().count() == 2
+
+    # same-label race: exactly one copy survives
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [ex.submit(idx.append, d1, "doc_id", "text", "ec") for _ in range(2)]
+        assert [f.result() for f in futs] == ["ec", "ec"]
+    assert idx.digests().count() == 3
+    assert idx.digests().where(F.col("doc") == 1).count() == 2  # ea + ec, once each
