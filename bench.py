@@ -119,6 +119,8 @@ HEADLINE = [
     "txlog_merge_read",
     "txlog_partitioned_read",
     "txlog_multi_partition_read",
+    "txlog_change_feed",
+    "waiting_supplier",
     "curation_pipeline",
     # streaming twins: full micro-batch replay wall time (state store +
     # shuffle-per-trigger regressions become visible round-over-round)

@@ -214,3 +214,46 @@ def small_qty_revenue_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_yearly"),
         )
     )
+
+
+# TPC-H Q21 shape, adapted to the fixture's columns (no l_receiptdate;
+# "late" = shipped more than 90 days after the order date). One
+# engine-portable SQL text: a plain EXISTS (another supplier on the same
+# order) plus a CORRELATED NOT EXISTS whose predicate references the
+# OUTER query's order date — the semi-join + anti-join self-join pair
+# Catalyst must decorrelate without re-scanning lineitem per row.
+_WAITING_SUPPLIER_SQL = """
+    SELECT s.s_suppkey AS suppkey, s.s_name AS supp_name,
+           count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "waiting_supplier",
+    oracle=_WAITING_SUPPLIER_SQL,
+    doc=(
+        "TPC-H Q21 shape (suppliers who were the SOLE late shipper on "
+        "multi-supplier finished orders): a semi-join EXISTS plus an "
+        "anti-join NOT EXISTS whose predicate is CORRELATED on the outer "
+        "order's date — the hardest decorrelation family in the TPC-H "
+        "set, planned as two keyed self-joins of lineitem (never a "
+        "per-row re-scan, no cartesian; plan-shape-tested). All "
+        "predicates are date/key comparisons, so both engines evaluate "
+        "identical logic and the counts are exact"
+    ),
+)
+def waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_WAITING_SUPPLIER_SQL)

@@ -1008,3 +1008,47 @@ def txlog_multi_partition_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("o_totalprice")).alias("revenue"),
         )
     )
+
+
+@register(
+    "txlog_change_feed",
+    oracle=f"""
+    SELECT CAST(o_orderkey % 3 AS BIGINT) AS commit_version,
+           o_orderstatus, count(*) AS order_ct,
+           {sql_money_sum('o_totalprice')} AS revenue
+    FROM orders WHERE o_orderkey % 3 IN (1, 2)
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "CHANGE FEED through the transaction log (Delta CDF's insert "
+        "case — storage/txlog.py changes()): orders land as three "
+        "transactional appends (slice k at version k), and an "
+        "incremental consumer that synced through version 0 reads "
+        "changes(from_version=0) — exactly slices 1 and 2, each row "
+        "tagged with its _commit_version, read from ONLY the named "
+        "files (O(changed bytes), never a snapshot diff). The oracle "
+        "derives commit_version from the slice rule, so a leaked v0 "
+        "row, a missed commit, or a mis-tagged version changes the hash"
+    ),
+)
+def txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..storage import TxLog
+
+    orders = table(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix="txlog_cdf_")
+    log = TxLog(os.path.join(work, "orders_tx"))
+    for i in range(3):
+        log.append(orders.where(F.col("o_orderkey") % 3 == i), app_id="load", app_version=i)
+    feed = log.changes(spark, from_version=0)
+    return (
+        feed.groupBy(
+            F.col("_commit_version").alias("commit_version"), F.col("o_orderstatus")
+        )
+        .agg(
+            F.count("*").alias("order_ct"),
+            money_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )

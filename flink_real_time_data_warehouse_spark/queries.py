@@ -61,7 +61,7 @@ _GRADE_FIRST: list[str] = [
     # partition pruning, trained-centroid SemDeDup, hand-shaped Q17.
     "txlog_merge_read", "txlog_partitioned_read", "txlog_time_travel",
     "txlog_clustered_read", "txlog_schema_evolution",
-    "txlog_multi_partition_read",
+    "txlog_multi_partition_read", "txlog_change_feed", "waiting_supplier",
     "semantic_dedup_trained", "small_qty_revenue_shaped", "knn_label_noise",
     "source_overlap_matrix", "embedding_outliers", "source_quality_profile",
     # Freshest row is r4 — the most-relevant regrades fill the rest of
@@ -79,7 +79,6 @@ _GRADE_FIRST: list[str] = [
     "dedup_clusters", "dedup_simhash", "multimodal_decode", "frame_sample",
     "audio_chunks", "visitor_stats", "product_stats", "events_union_stats",
     "keyword_stats", "session_stats", "visitor_stats_sliding", "uv_daily",
-    "new_user_fix", "bounce_events",
 ]
 
 

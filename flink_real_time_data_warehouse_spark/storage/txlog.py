@@ -725,6 +725,64 @@ class TxLog:
                 continue
         raise TxConflictError(f"merge lost {max_retries} consecutive OCC races")
 
+    def changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Append-only CHANGE FEED (Delta CDF's insert case): the rows
+        ADDED by commits in ``(from_version, to_version]``, each tagged
+        with its ``_commit_version`` — what an incremental consumer reads
+        per sync instead of diffing snapshots. O(changed bytes): only the
+        named files are read, never the table.
+
+        Non-append commits (replace/merge/optimize) REWRITE files — their
+        adds are physical movements, not logical inserts — so a feed
+        crossing one raises :class:`TxConflictError`: the consumer must
+        re-sync from a snapshot, which keeps the feed exact instead of
+        silently wrong. A range whose manifests were truncated raises
+        :class:`TxVersionTruncatedError`."""
+        st = self.state()  # schema fallback + existence check
+        hi = st.version if to_version is None else to_version
+        manifests, _ = self._list_log()
+        have = set(manifests)
+        frames = []
+        for v in range(from_version + 1, hi + 1):
+            if v not in have:
+                raise TxVersionTruncatedError(
+                    f"change feed needs manifest v{v} of {self.path!r}, "
+                    "but it was truncated — re-sync from a snapshot"
+                )
+            m = self.store.read(self._manifest_name(v))
+            if m["op"] != "append":
+                raise TxConflictError(
+                    f"v{v} is a {m['op']} commit (file rewrite, not inserts); "
+                    "change feed is append-only — re-sync from a snapshot"
+                )
+            if not m["adds"]:
+                continue
+            vst = _State(
+                v, tuple(m["adds"]), {}, m.get("schema_json") or st.schema_json,
+                m.get("stats") or {}, m.get("parts") or {},
+            )
+            frames.append(
+                self._read_files(spark, list(m["adds"]), vst).withColumn(
+                    "_commit_version", F.lit(v).cast("long")
+                )
+            )
+        if not frames:
+            if st.schema_json is None:
+                raise ValueError(f"txlog table {self.path!r} has no commits")
+            empty = spark.createDataFrame(
+                [], StructType.fromJson(json.loads(st.schema_json))
+            )
+            return empty.withColumn("_commit_version", F.lit(None).cast("long"))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
     def history(self) -> list[dict]:
         """Commit audit trail (Delta's DESCRIBE HISTORY), newest first:
         one row per still-present manifest with version, op, file add/

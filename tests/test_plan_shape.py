@@ -388,3 +388,14 @@ def test_embedding_outliers_no_pairwise_work(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     assert "Window" in plan
+
+
+def test_waiting_supplier_decorrelated_self_joins(spark):
+    """The Q21-shape EXISTS/NOT EXISTS pair must decorrelate into keyed
+    semi/anti self-joins of lineitem — no surviving Subquery nodes, no
+    cartesian, no per-row re-scan."""
+    df = registry()["waiting_supplier"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    assert "Subquery" not in plan, f"undecorrelated subquery survived:\n{plan}"
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan

@@ -559,3 +559,26 @@ def test_multi_column_partition_pruning(tmp_path, spark):
     # pruning on ONE of the two columns also works
     half = log.snapshot(spark, partitions={"b": ["y"]})
     assert half.where("b = 'y'").count() == df.where("b = 'y'").count()
+
+
+def test_change_feed_incremental_reads(tmp_path, spark):
+    """changes(from, to] returns exactly the appended rows per commit with
+    their _commit_version; a non-append commit in the range raises (feed
+    consumers must re-sync); truncated ranges raise."""
+    log = TxLog(str(tmp_path / "t"))
+    for lo in (0, 10, 20):
+        log.append(spark.range(lo, lo + 10).selectExpr("id"))
+    feed = log.changes(spark, from_version=0)
+    got = {(r["id"], r["_commit_version"]) for r in feed.collect()}
+    assert got == {(i, 1) for i in range(10, 20)} | {(i, 2) for i in range(20, 30)}
+    assert log.changes(spark, 2).count() == 0  # caught up
+    # replace at v3 poisons feeds crossing it, not feeds before it
+    log.overwrite(spark.range(5).selectExpr("id"))
+    with pytest.raises(TxConflictError, match="replace"):
+        log.changes(spark, 0).collect()
+    assert log.changes(spark, 0, to_version=2).count() == 20
+    # truncation below the requested range raises
+    log.checkpoint()
+    log.truncate_log()
+    with pytest.raises(TxVersionTruncatedError):
+        log.changes(spark, 0, to_version=2)
