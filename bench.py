@@ -120,6 +120,7 @@ HEADLINE = [
     "txlog_partitioned_read",
     "txlog_multi_partition_read",
     "txlog_change_feed",
+    "txlog_incremental_sync",
     "waiting_supplier",
     "curation_pipeline",
     # streaming twins: full micro-batch replay wall time (state store +

@@ -1052,3 +1052,56 @@ def txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("o_totalprice")).alias("revenue"),
         )
     )
+
+
+@register(
+    "txlog_incremental_sync",
+    oracle=f"""
+    SELECT o_orderstatus, count(*) AS order_ct,
+           {sql_money_sum('o_totalprice')} AS revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc=(
+        "INCREMENTAL MATERIALIZATION over the change feed: a downstream "
+        "TxLog table follows an upstream one by polling "
+        "changes(last_synced) after each upstream commit and applying "
+        "the delta as an idempotent (app, version) append — the "
+        "Delta-CDF consumer loop. One sync cycle is deliberately "
+        "REPLAYED (crash-retry of the consumer): the downstream commit "
+        "must be skipped by its own high-water mark, not re-applied. "
+        "The oracle aggregates the source table, so a lost delta, a "
+        "double-applied replay, or a leaked uncommitted row changes the "
+        "hash. O(changed bytes) per cycle — the downstream never "
+        "re-reads the upstream snapshot"
+    ),
+)
+def txlog_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..storage import TxLog
+
+    orders = table(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix="txlog_sync_")
+    up = TxLog(os.path.join(work, "upstream"))
+    down = TxLog(os.path.join(work, "downstream"))
+    synced = -1  # upstream version the downstream has applied through
+    for i in range(3):
+        up.append(orders.where(F.col("o_orderkey") % 3 == i), app_id="load", app_version=i)
+        head = up.state().version
+        delta = up.changes(spark, from_version=synced, to_version=head)
+        down.append(
+            delta.drop("_commit_version"), app_id="sync", app_version=head
+        )
+        if i == 1:  # consumer crash-retry: replay the whole sync cycle
+            replay = up.changes(spark, from_version=synced, to_version=head)
+            down.append(replay.drop("_commit_version"), app_id="sync", app_version=head)
+        synced = head
+    return (
+        down.snapshot(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("order_ct"),
+            money_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
