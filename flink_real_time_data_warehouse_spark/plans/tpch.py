@@ -1105,3 +1105,74 @@ def txlog_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("o_totalprice")).alias("revenue"),
         )
     )
+
+
+@register(
+    "txlog_delete_read",
+    oracle=f"""
+    WITH p AS (SELECT max(o_orderkey) // 3 AS b1,
+                      (2 * max(o_orderkey)) // 3 AS b2 FROM orders),
+         w AS (SELECT b1, b1 + (b2 - b1) // 4 AS lo,
+                      b2 - 1 - (b2 - b1) // 4 AS hi FROM p)
+    SELECT o_orderstatus, count(*) AS order_ct,
+           {sql_money_sum('o_totalprice')} AS revenue
+    FROM orders, w
+    WHERE o_orderkey >= w.b1 AND o_orderkey NOT BETWEEN w.lo AND w.hi
+    GROUP BY o_orderstatus
+    """,
+    doc=(
+        "FILE-LEVEL DELETE end-to-end (storage/txlog.py delete — the "
+        "retention/GDPR-purge verb): orders land as three key-range "
+        "appends with per-file [min,max] stats (bounds = thirds of the "
+        "key domain, SF-independent). Delete #1 purges the entire first "
+        "third — its range fully covers file 1, so the commit must be "
+        "METADATA-ONLY (zero adds, asserted in-plan from history(): the "
+        "file is dropped without ever being read). Delete #2 removes a "
+        "window strictly inside the middle file — the third file must "
+        "survive with its exact manifest name (asserted in-plan, so a "
+        "whole-table rewrite fails the query). The oracle applies both "
+        "deletes as a WHERE over the source table, so an over- or "
+        "under-deleted row changes the hash. At fact scale a range-"
+        "clustered retention purge therefore moves zero data bytes"
+    ),
+)
+def txlog_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..storage import TxLog
+
+    orders = table(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix="txlog_delete_")
+    log = TxLog(os.path.join(work, "orders_tx"))
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    b1, b2 = mx // 3, (2 * mx) // 3
+    for lo, hi in zip([0, b1, b2], [b1, b2, mx + 1]):
+        log.append(
+            orders.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+            .coalesce(1),
+            stats_cols=["o_orderkey"],
+        )
+    before = set(log.state().files)
+    # retention purge of the whole first third: fully covers file 1
+    log.delete(spark, "o_orderkey", 0, b1 - 1)
+    h = log.history()[0]
+    if h["op"] != "delete" or h["n_added"] != 0 or h["n_removed"] != 1:
+        raise AssertionError(f"full-cover delete was not metadata-only: {h}")
+    # windowed purge strictly inside the middle file: third file untouched
+    lo_w, hi_w = b1 + (b2 - b1) // 4, b2 - 1 - (b2 - b1) // 4
+    log.delete(spark, "o_orderkey", lo_w, hi_w)
+    survivors = before & set(log.state().files)
+    if len(survivors) != 1:
+        raise AssertionError(
+            f"windowed delete should leave exactly the last file untouched, "
+            f"kept {len(survivors)} of {len(before)}"
+        )
+    return (
+        log.snapshot(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("order_ct"),
+            money_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )

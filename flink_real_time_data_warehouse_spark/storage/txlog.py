@@ -62,7 +62,10 @@ Scale shape: commits move METADATA only (a few KB of JSON per commit, one
 listing per snapshot) — data-file bytes never rewrite on append; state
 reconstruction cost is bounded by checkpoint interval, not table age;
 MERGE rewrites only the data files whose recorded key range intersects
-the update keys (O(touched bytes), not O(table)).
+the update keys (O(touched bytes), not O(table)); DELETE of a key range
+drops fully-covered files as pure metadata and rewrites only partially-
+covered ones — a retention purge on a fact table moves no data at all
+when files are range-clustered.
 """
 
 from __future__ import annotations
@@ -724,6 +727,81 @@ class TxLog:
             except TxConflictError:
                 continue
         raise TxConflictError(f"merge lost {max_retries} consecutive OCC races")
+
+    def delete(
+        self,
+        spark: SparkSession,
+        key: str,
+        lo,
+        hi,
+        condition=None,
+        max_retries: int = 10,
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """DELETE rows whose `key` lies in [lo, hi] (AND `condition`, if
+        given — a Column or SQL string), with FILE-LEVEL granularity
+        (Delta's DELETE): per the manifest's recorded [min, max] for `key`,
+
+        - files DISJOINT from [lo, hi] survive untouched (same names);
+        - files fully INSIDE [lo, hi] are dropped as pure metadata when
+          the delete is the bare range (no `condition`) — no read, no
+          rewrite, O(0) data bytes: the retention/purge fast path;
+        - everything else (partial overlap, missing stats, or a
+          `condition` that needs row inspection) is rewritten minus the
+          matching rows.
+
+        Rows where the predicate is NULL (e.g. NULL key) are KEPT — SQL
+        DELETE removes only rows where the predicate is TRUE. Rewritten
+        files re-record stats for `stats_cols` (default [key]); partition
+        values, like in :meth:`merge`, are not re-recorded on rewrite
+        (partition pruning keeps such files conservatively).
+
+        Conflict rule: disjoint-file (WriteSerializable, Delta's default
+        isolation) — concurrent APPENDS never conflict and their rows are
+        NOT deleted (they serialize after this delete); a concurrent
+        commit that removed a file this delete targets loses it the race,
+        and the delete re-derives from fresh state and retries. A
+        range-free full-predicate delete is `overwrite(snapshot.where(~p),
+        expected_version=...)` — deliberately not this method, which
+        exists for the stats-prunable case that survives fact scale."""
+        for _ in range(max_retries):
+            st = self.state()
+            if not st.files:
+                return st.version
+            drop: list[str] = []
+            rewrite: list[str] = []
+            for n in st.files:
+                mm = st.stats.get(n, {}).get(key)
+                if mm is not None and (mm[1] < lo or mm[0] > hi):
+                    continue  # cannot contain matches: untouched
+                if mm is not None and condition is None and lo <= mm[0] and mm[1] <= hi:
+                    drop.append(n)  # every row matches: metadata-only drop
+                else:
+                    rewrite.append(n)
+            if not drop and not rewrite:
+                return st.version
+            pred = F.col(key).between(F.lit(lo), F.lit(hi))
+            if condition is not None:
+                cond = F.expr(condition) if isinstance(condition, str) else condition
+                pred = pred & cond
+            adds: list[str] = []
+            schema_json, stats, parts = st.schema_json, {}, {}
+            if rewrite:
+                kept = self._read_files(spark, rewrite, st).where(
+                    ~pred.eqNullSafe(F.lit(True))
+                )
+                # Rewrite volume ~= touched volume (same rule as merge).
+                kept = kept.coalesce(max(1, len(rewrite)))
+                sc = stats_cols if stats_cols is not None else [key]
+                adds, schema_json, stats, parts = self._stage(kept, sc)
+            try:
+                return self.commit_files(
+                    adds, op="delete", schema_json=schema_json,
+                    removes=drop + rewrite, stats=stats, parts=parts,
+                )
+            except TxConflictError:
+                continue
+        raise TxConflictError(f"delete lost {max_retries} consecutive OCC races")
 
     def changes(
         self,

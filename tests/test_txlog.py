@@ -582,3 +582,67 @@ def test_change_feed_incremental_reads(tmp_path, spark):
     log.truncate_log()
     with pytest.raises(TxVersionTruncatedError):
         log.changes(spark, 0, to_version=2)
+
+
+def test_delete_file_level_classification(tmp_path, spark):
+    """Range DELETE is file-granular: a window strictly inside one file's
+    key range rewrites ONLY that file (the two disjoint files keep their
+    exact manifest names), and a range fully covering a file drops it as
+    pure metadata — zero adds in the commit, the file is never read."""
+    log = TxLog(str(tmp_path / "t"))
+    for lo in (0, 100, 200):
+        log.append(
+            spark.range(lo, lo + 50).selectExpr("id AS k", "id * 10 AS v").coalesce(1),
+            stats_cols=["k"],
+        )
+    before = set(log.state().files)
+    # partial overlap: [110, 120] sits strictly inside the middle file
+    log.delete(spark, "k", 110, 120)
+    after = set(log.state().files)
+    assert len(before & after) == 2, "disjoint files must survive untouched"
+    got = sorted(r["k"] for r in log.snapshot(spark).collect())
+    live = set(range(0, 50)) | set(range(100, 150)) | set(range(200, 250))
+    assert got == sorted(live - set(range(110, 121)))
+    assert 109 in got and 121 in got
+    # full cover: [0, 99] swallows the first file whole -> metadata-only drop
+    mid = set(log.state().files)
+    log.delete(spark, "k", 0, 99)
+    h = log.history()[0]
+    assert h["op"] == "delete" and h["n_added"] == 0 and h["n_removed"] == 1
+    assert set(log.state().files) < mid
+    assert log.snapshot(spark).where("k < 100").count() == 0
+    assert log.snapshot(spark).count() == (50 - 11) + 50
+
+
+def test_delete_with_condition_and_null_keys(tmp_path, spark):
+    """A `condition` forces row inspection (no whole-file metadata drop
+    even when the range covers the file), and NULL-key rows are KEPT —
+    DELETE removes only rows where the predicate is TRUE."""
+    log = TxLog(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (None, "a")], "k long, tag string"
+    ).coalesce(1)
+    log.append(df, stats_cols=["k"])
+    # range [1,3] covers the file's [min,max], but condition gates the drop
+    log.delete(spark, "k", 1, 3, condition="tag = 'a'")
+    h = log.history()[0]
+    assert h["op"] == "delete" and h["n_added"] >= 1, "condition => rewrite, not drop"
+    got = {(r["k"], r["tag"]) for r in log.snapshot(spark).collect()}
+    assert got == {(2, "b"), (None, "a")}, "k=2 fails cond; NULL k never matches"
+
+
+def test_delete_noop_and_stats_survive(tmp_path, spark):
+    """A delete range disjoint from every file commits nothing (version
+    unchanged); rewritten files re-record key stats so a LATER pruned
+    snapshot still skips."""
+    log = TxLog(str(tmp_path / "t"))
+    for lo in (0, 100):
+        log.append(
+            spark.range(lo, lo + 50).selectExpr("id AS k").coalesce(1),
+            stats_cols=["k"],
+        )
+    v = log.state().version
+    assert log.delete(spark, "k", 500, 600) == v, "disjoint range is a no-op"
+    log.delete(spark, "k", 120, 130)  # rewrites the second file
+    pruned = log.snapshot(spark, prune=("k", 0, 10))
+    assert len(pruned.inputFiles()) == 1, "rewritten file must carry fresh stats"
