@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.money import cents, money_sum, sql_cents, sql_money_sum
+from ..functions.money import cents, money_sum, sql_cents, sql_money, sql_money_sum
 from ..operators.skew import salted_join
 from ..queries import register
 from ..tables import table
@@ -1176,3 +1176,153 @@ def txlog_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("o_totalprice")).alias("revenue"),
         )
     )
+
+
+@register(
+    "order_count_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey) per_cust
+    GROUP BY c_count
+    """,
+    doc=(
+        "TPC-H Q13 shape (customer order-count distribution): a LEFT "
+        "OUTER join whose filter lives in the ON clause — moved to WHERE "
+        "it would silently drop zero-order customers, the classic outer-"
+        "join bug; here the predicate references only the orders side, so "
+        "Catalyst pushes it to the orders SCAN below the join (filtered "
+        "rows become NULL matches, preserving every customer). Scale "
+        "shape: the join shuffles both sides on custkey, and the first "
+        "aggregate groups on the SAME key, so its partitioning is already "
+        "satisfied — count(per-custkey) adds no exchange (one shuffle, "
+        "not two); the second aggregate reduces to at most "
+        "max-orders-per-customer rows. count(o_orderkey) counts non-NULL "
+        "only, which is what makes c_count=0 groups appear"
+    ),
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    joined = cust.join(
+        orders,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "1-URGENT"),
+        "left_outer",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")  # non-NULL only: zeros survive
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "untapped_customers",
+    oracle=f"""
+    WITH eligible AS (
+        SELECT c_custkey, c_nationkey, {sql_cents('c_acctbal')} AS bal_c
+        FROM customer WHERE c_nationkey IN (2, 3, 7, 11, 15, 19, 22)
+    ),
+    pos AS (
+        SELECT sum(bal_c) AS s, count(*) AS n FROM eligible WHERE bal_c > 0
+    )
+    SELECT c_nationkey, count(*) AS numcust, sum(bal_c) / 100.0 AS totacctbal
+    FROM eligible, pos
+    WHERE bal_c * pos.n > pos.s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = eligible.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+    doc=(
+        "TPC-H Q22 shape (wealthy customers with no urgent orders), "
+        "adapted to the fixture's columns (nationkey stands in for the "
+        "phone country code; 'no URGENT order' for 'no order', which the "
+        "dense fixture makes empty): a GLOBAL scalar subquery gates rows "
+        "(balance above the average positive balance of the eligible "
+        "set), then an ANTI join removes customers holding an urgent "
+        "order. The average comparison is done in INTEGER space — "
+        "bal*count > sum(cents) — so no engine-specific float division "
+        "can flip a boundary row. Scale shape: the scalar aggregate is "
+        "one row, broadcast into the filter; the anti join shuffles on "
+        "custkey with the priority filter pushed to the orders scan "
+        "(only urgent rows shuffle — ~20% of orders); the final "
+        "aggregate is per-nation, a handful of groups"
+    ),
+)
+def untapped_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nations = (2, 3, 7, 11, 15, 19, 22)
+    eligible = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey").isin(*nations))
+        .select("c_custkey", "c_nationkey", cents(F.col("c_acctbal")).alias("bal_c"))
+    )
+    pos = eligible.where(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("s"), F.count("*").alias("n")
+    )
+    gated = eligible.join(F.broadcast(pos)).where(F.col("bal_c") * F.col("n") > F.col("s"))
+    urgent = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        gated.join(urgent, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum("bal_c") / F.lit(100.0)).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "large_volume_orders",
+    oracle=f"""
+    SELECT c.c_name, o.o_orderkey, {sql_money('o.o_totalprice')} AS total_price,
+           q.total_qty
+    FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 250) q
+    JOIN orders o ON o.o_orderkey = q.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    doc=(
+        "TPC-H Q18 shape (large-volume orders): the textbook plan "
+        "re-joins lineitem against the HAVING-filtered orderkey list and "
+        "aggregates it a SECOND time; this plan reuses the first "
+        "aggregate's own sum as the output quantity — lineitem is "
+        "shuffled exactly once (the unavoidable per-orderkey aggregate), "
+        "and the HAVING survivors (~0.1% of orders at any SF) are "
+        "BROADCAST into orders, whose tiny join result is in turn "
+        "broadcast into customer: one wide shuffle + two map-side joins "
+        "instead of three shuffle joins. total_price flows as exact "
+        "cents/100 on both sides"
+    ),
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.money import money
+
+    bigq = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    hits = orders.join(
+        F.broadcast(bigq), F.col("o_orderkey") == F.col("l_orderkey")
+    ).select(
+        "o_custkey", "o_orderkey", money(F.col("o_totalprice")).alias("total_price"),
+        "total_qty",
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return cust.join(
+        F.broadcast(hits), F.col("c_custkey") == F.col("o_custkey")
+    ).select("c_name", "o_orderkey", "total_price", "total_qty")

@@ -399,3 +399,39 @@ def test_waiting_supplier_decorrelated_self_joins(spark):
     assert "Subquery" not in plan, f"undecorrelated subquery survived:\n{plan}"
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+
+
+def test_q13_agg_reuses_join_partitioning(spark):
+    """order_count_distribution: the per-custkey count groups on the SAME
+    key the outer join shuffled on, so it must add NO exchange — the plan
+    carries exactly 3 (two join inputs + the tiny c_count re-agg) — and
+    the ON-clause priority filter must reach the orders side below the
+    join (an outer join must never push it as a post-join filter)."""
+    from flink_real_time_data_warehouse_spark.plans.tpch import order_count_distribution
+
+    p = plan_of(order_count_distribution(spark, TEST_SF_DIR))
+    assert p.count("Exchange") == 3, p
+    join_pos = p.find("LeftOuter")
+    assert join_pos != -1 and "1-URGENT" in p[join_pos:], "filter below the join"
+
+
+def test_q18_single_shuffle_two_broadcasts(spark):
+    """large_volume_orders: lineitem shuffles once (the HAVING aggregate);
+    the survivors broadcast into orders and the tiny join result
+    broadcasts into customer — no second wide shuffle anywhere."""
+    from flink_real_time_data_warehouse_spark.plans.tpch import large_volume_orders
+
+    p = plan_of(large_volume_orders(spark, TEST_SF_DIR))
+    assert p.count("BroadcastHashJoin") == 2, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_q22_anti_join_filter_pushed(spark):
+    """untapped_customers: the anti join's priority filter sits on the
+    orders SCAN side (only urgent rows shuffle), and the scalar gate is a
+    broadcast, not a shuffle."""
+    from flink_real_time_data_warehouse_spark.plans.tpch import untapped_customers
+
+    p = plan_of(untapped_customers(spark, TEST_SF_DIR))
+    anti = p.find("LeftAnti")
+    assert anti != -1 and "1-URGENT" in p[anti:], "urgent filter below the anti join"
