@@ -90,16 +90,21 @@ def interval_join_stream(
     upper: str,
     left_watermark: str = "0 seconds",
     right_watermark: str = "0 seconds",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join (J1/J2, OrderWideApp.java:94-105):
     watermarks on both sides + a time-band condition lets Spark expire
-    join state; identical join predicate to operators/joins.interval_join."""
+    join state; identical join predicate to operators/joins.interval_join.
+    `how="left_outer"` additionally emits each unmatched left row (NULL-
+    padded) once the watermark passes its band's upper bound — the state
+    expiry doubles as the emission trigger, so no separate timer state is
+    needed for absence detection."""
     l = left.withWatermark(left_ts, left_watermark)
     r = right.withWatermark(right_ts, right_watermark)
     band = (F.col(right_ts) >= F.col(left_ts) + F.expr(lower)) & (
         F.col(right_ts) <= F.col(left_ts) + F.expr(upper)
     )
-    return l.join(r, keys & band, "inner")
+    return l.join(r, keys & band, how)
 
 
 def to_console(df: DataFrame, mode: str = "append"):

@@ -921,3 +921,59 @@ def txlog_stream_sink_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q2.awaitTermination()
     return log.snapshot(spark)
+
+
+@register(
+    "abandoned_orders_stream",
+    oracle=f"""
+    WITH wm AS (
+      SELECT least((SELECT max(o_orderdate) FROM orders),
+                   (SELECT max(l_shipdate) FROM lineitem))
+             - INTERVAL {WM_S} SECOND AS w
+    )
+    SELECT o.o_orderkey, o.o_orderstatus, o.o_orderpriority
+    FROM orders o, wm
+    WHERE o.o_orderdate + INTERVAL 120 DAY < wm.w
+      AND NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate >= o.o_orderdate
+                        AND l.l_shipdate <= o.o_orderdate + INTERVAL 120 DAY)
+    """,
+    doc=(
+        "Stream-stream LEFT OUTER interval join — ABSENCE detection "
+        "(orders with no shipment within 120 days), the streaming "
+        "anti-join the reference would need a timer + keyed state pair "
+        "for (the OrderWideApp intervalJoin is inner-only; CEP timeout "
+        "branches like UserJumpDetailApp.java:breakBegin handle absence "
+        "by timer): Spark's outer interval join emits the NULL-padded "
+        "left row exactly when the watermark passes its band's upper "
+        "bound, so join-state EXPIRY is the timeout timer — no custom "
+        "state. The oracle is the equivalent batch anti-join gated on "
+        "window closure (global watermark = min of both sides' maxima "
+        "minus the delay): an early emission (window not yet closed), a "
+        "missed expiry, or a false match all change the hash. Scale "
+        "shape: state is bounded by the band width on both sides — left "
+        "rows expire at +120d, right rows at watermark — exactly the "
+        "bounded-state contract of the inner J1/J2 joins"
+    ),
+)
+def abandoned_orders_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = stream_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        F.col("o_orderdate").alias("o_event_ts"),
+    )
+    li = stream_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").alias("l_event_ts")
+    )
+    joined = interval_join_stream(
+        orders, li,
+        keys=F.col("l_orderkey") == F.col("o_orderkey"),
+        left_ts="o_event_ts", right_ts="l_event_ts",
+        lower="INTERVAL 0 DAY", upper="INTERVAL 120 DAY",
+        left_watermark=f"{WM_S} second", right_watermark=f"{WM_S} second",
+        how="left_outer",
+    )
+    out = joined.where(F.col("l_orderkey").isNull()).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    return run_to_memory(out, spark)
