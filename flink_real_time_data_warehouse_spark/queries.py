@@ -66,7 +66,7 @@ _GRADE_FIRST: list[str] = [
     "semantic_dedup_trained", "small_qty_revenue_shaped", "knn_label_noise",
     "source_overlap_matrix", "embedding_outliers", "source_quality_profile",
     "order_count_distribution", "untapped_customers", "large_volume_orders",
-    "abandoned_orders_stream",
+    "abandoned_orders_stream", "fulfillment_stats_stream",
     # Freshest row is r4 — the most-relevant regrades fill the rest of
     # the 50-window: queries whose code paths were touched this round
     # (kmeans cq column, grown lexicon, TxLog-backed ingest funnel),

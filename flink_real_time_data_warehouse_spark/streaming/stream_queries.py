@@ -977,3 +977,77 @@ def abandoned_orders_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "o_orderpriority"
     )
     return run_to_memory(out, spark)
+
+
+@register(
+    "fulfillment_stats_stream",
+    oracle=f"""
+    WITH wm AS (
+      SELECT least((SELECT max(o_orderdate) FROM orders),
+                   (SELECT max(l_shipdate) FROM lineitem))
+             - INTERVAL {WM_S} SECOND - INTERVAL 120 DAY AS w
+    ),
+    j AS (
+      SELECT date_trunc('week', o.o_orderdate) AS wk,
+             {sql_money_sum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+             count(*) AS line_ct
+      FROM orders o JOIN lineitem l
+        ON l.l_orderkey = o.o_orderkey
+       AND l.l_shipdate >= o.o_orderdate
+       AND l.l_shipdate <= o.o_orderdate + INTERVAL 120 DAY
+      GROUP BY 1
+    )
+    SELECT strftime(wk, '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(wk + INTERVAL 7 DAY, '%Y-%m-%d %H:%M:%S') AS edt,
+           line_ct, revenue
+    FROM j, wm WHERE wk + INTERVAL 7 DAY <= wm.w
+    """,
+    doc=(
+        "CHAINED STATEFUL OPERATORS: stream-stream interval join feeding "
+        "a tumbling-window aggregate in ONE streaming query (Spark 3.4+ "
+        "multi-stateful-operator support) — the reference chains these "
+        "across apps via Kafka topics (OrderWideApp -> dwm topic -> "
+        "ProductStatsApp); here watermark PROPAGATION replaces the topic "
+        "hop: the join's output watermark is the global watermark minus "
+        "the band's upper bound (120d — a match can surface an order "
+        "that old), so the window operator closes exactly the weeks "
+        "provably complete. The oracle gates on that propagated bound "
+        "(min of both maxima - delay - 120d), verified to match Spark's "
+        "emission set exactly: a window emitted early (before its joined "
+        "input could be complete) or held back changes the hash. Money "
+        "as exact cents both sides"
+    ),
+)
+def fulfillment_stats_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.money import cents
+    from ..operators.windows import TS_FMT
+
+    orders = stream_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").alias("o_event_ts")
+    )
+    li = stream_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").alias("l_event_ts"),
+        cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_c"),
+    )
+    joined = interval_join_stream(
+        orders, li,
+        keys=F.col("l_orderkey") == F.col("o_orderkey"),
+        left_ts="o_event_ts", right_ts="l_event_ts",
+        lower="INTERVAL 0 DAY", upper="INTERVAL 120 DAY",
+        left_watermark=f"{WM_S} second", right_watermark=f"{WM_S} second",
+        how="inner",
+    )
+    agg = joined.groupBy(
+        F.window("o_event_ts", "7 days", "7 days", "4 days").alias("win")
+    ).agg(
+        F.count("*").alias("line_ct"),
+        (F.sum("net_c") / F.lit(100.0)).alias("revenue"),
+    )
+    return run_to_memory(
+        agg.select(
+            F.date_format("win.start", TS_FMT).alias("stt"),
+            F.date_format("win.end", TS_FMT).alias("edt"),
+            "line_ct", "revenue",
+        ),
+        spark,
+    )
