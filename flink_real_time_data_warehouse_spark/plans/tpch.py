@@ -1326,3 +1326,71 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(
         F.broadcast(hits), F.col("c_custkey") == F.col("o_custkey")
     ).select("c_name", "o_orderkey", "total_price", "total_qty")
+
+
+@register(
+    "txlog_zorder_read",
+    oracle=f"""
+    WITH p AS (SELECT max(o_orderkey) AS mx, max(o_custkey) AS mc FROM orders),
+         w AS (SELECT mx // 4 AS klo, mx // 4 + mx // 8 AS khi,
+                      mc // 2 AS clo, mc // 2 + mc // 8 AS chi FROM p)
+    SELECT o_orderstatus, count(*) AS order_ct,
+           {sql_money_sum('o_totalprice')} AS revenue
+    FROM orders, w
+    WHERE o_orderkey BETWEEN w.klo AND w.khi
+      AND o_custkey BETWEEN w.clo AND w.chi
+    GROUP BY o_orderstatus
+    """,
+    doc=(
+        "Z-ORDER clustering end-to-end (storage/txlog.py optimize "
+        "cluster_by=[k1,k2] — Delta's OPTIMIZE ZORDER BY): orders is "
+        "compacted into 16 files range-partitioned on the INTERLEAVED "
+        "bits of (o_orderkey, o_custkey) ranks, so a selective prune on "
+        "EITHER independent column skips files — asserted in-plan: each "
+        "single-column prune must keep at most 12 of 16 files (1-column "
+        "range clustering would keep all 16 for the non-leading column), "
+        "and the two-predicate prune runs the final read. The oracle "
+        "filters the source table directly, so a wrongly-skipped file "
+        "changes the hash. Window bounds derive from max-key integer "
+        "arithmetic, SF-independent. At 100 TB this is the difference "
+        "between a two-dimensional dashboard filter touching "
+        "~files^(1/2) and touching everything"
+    ),
+)
+def txlog_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..storage import TxLog
+
+    orders = table(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix="txlog_z_")
+    log = TxLog(os.path.join(work, "orders_tx"))
+    log.append(orders.repartition(4), stats_cols=["o_orderkey", "o_custkey"])
+    log.optimize(spark, max_files=16, cluster_by=["o_orderkey", "o_custkey"])
+    n_total = len(log.state().files)
+    mx, mc = orders.agg(F.max("o_orderkey"), F.max("o_custkey")).first()
+    klo, khi = mx // 4, mx // 4 + mx // 8
+    clo, chi = mc // 2, mc // 2 + mc // 8
+    kept_k = len(log.snapshot(spark, prune=("o_orderkey", klo, khi)).inputFiles())
+    kept_c = len(log.snapshot(spark, prune=("o_custkey", clo, chi)).inputFiles())
+    if not (kept_k <= 12 and kept_c <= 12 and n_total >= 14):
+        raise AssertionError(
+            f"z-order pruning ineffective: {kept_k}/{n_total} on orderkey, "
+            f"{kept_c}/{n_total} on custkey"
+        )
+    snap = log.snapshot(
+        spark,
+        prune=[("o_orderkey", klo, khi), ("o_custkey", clo, chi)],
+    )
+    return (
+        snap.where(
+            F.col("o_orderkey").between(klo, khi)
+            & F.col("o_custkey").between(clo, chi)
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("order_ct"),
+            money_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )

@@ -646,3 +646,31 @@ def test_delete_noop_and_stats_survive(tmp_path, spark):
     log.delete(spark, "k", 120, 130)  # rewrites the second file
     pruned = log.snapshot(spark, prune=("k", 0, 10))
     assert len(pruned.inputFiles()) == 1, "rewritten file must carry fresh stats"
+
+
+def test_zorder_multi_column_clustering_prunes_both_dims(tmp_path, spark):
+    """optimize(cluster_by=[x, y]) Z-orders the rewrite: a narrow prune on
+    EITHER column must skip most files (multidimensional locality), where
+    1-column clustering only ever helps its own column — and the
+    clustered table is byte-equal to the original rows."""
+    df = spark.range(0, 4096).selectExpr("id % 64 AS x", "id DIV 64 AS y", "id AS v")
+    log = TxLog(str(tmp_path / "z"))
+    log.append(df.repartition(4), stats_cols=["x", "y"])
+    log.optimize(spark, max_files=16, cluster_by=["x", "y"])
+    assert len(log.state().files) <= 16
+    kept_x = len(log.snapshot(spark, prune=("x", 0, 7)).inputFiles())
+    kept_y = len(log.snapshot(spark, prune=("y", 0, 7)).inputFiles())
+    assert kept_x <= 8 and kept_y <= 8, (kept_x, kept_y)
+    # correctness: pruned scan + row filter == direct filter
+    got = sorted(
+        r["v"]
+        for r in log.snapshot(spark, prune=("x", 0, 7)).where("x <= 7").collect()
+    )
+    assert got == sorted(r["v"] for r in df.where("x <= 7").collect())
+    # contrast: 1-column clustering cannot prune the other dimension
+    lin = TxLog(str(tmp_path / "lin"))
+    lin.append(df.repartition(4), stats_cols=["x", "y"])
+    lin.optimize(spark, max_files=16, cluster_by="x")
+    assert len(lin.snapshot(spark, prune=("y", 0, 7)).inputFiles()) == len(
+        lin.state().files
+    ), "every x-clustered file spans the full y range"
