@@ -1394,3 +1394,60 @@ def txlog_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("o_totalprice")).alias("revenue"),
         )
     )
+
+
+@register(
+    "txlog_bloom_point_read",
+    oracle=f"""
+    WITH p AS (SELECT max(o_orderkey) AS mx FROM orders),
+         w AS (SELECT 3 * (mx // 6) + 1 AS k1, 3 * (mx // 12) + 1 AS k2,
+                      3 * (mx // 4) + 1 AS k3 FROM p)
+    SELECT o_orderkey, o_orderstatus, {sql_money('o_totalprice')} AS total_price
+    FROM orders, w WHERE o_orderkey IN (w.k1, w.k2, w.k3)
+    """,
+    doc=(
+        "BLOOM-FILTER data skipping end-to-end (storage/txlog.py "
+        "bloom_cols — Delta's bloom filter index, manifest-level): orders "
+        "lands as three files split by o_orderkey HASH (mod 3), so every "
+        "file's [min,max] spans the whole key domain and range stats "
+        "cannot prune anything (asserted in-plan: the range prune keeps "
+        "all 3). A three-key point lookup — keys all ≡ 1 mod 3, derived "
+        "from max-key arithmetic, SF-independent — must prune via the "
+        "per-file Bloom filters to at most 2 files (asserted in-plan; "
+        "expected 1 + ~fpp). The oracle selects the same keys from the "
+        "source table, so a wrongly-dropped candidate file loses rows "
+        "and changes the hash. At 100 TB this is the O(1)-file primary-"
+        "key GET on an unclustered fact table — the lookup pattern the "
+        "reference serves from Phoenix/HBase (DimUtil.java:17-54)"
+    ),
+)
+def txlog_bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..storage import TxLog
+
+    orders = table(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix="txlog_bloom_")
+    log = TxLog(os.path.join(work, "orders_tx"))
+    for r in range(3):
+        log.append(
+            orders.where(F.col("o_orderkey") % 3 == r).coalesce(1),
+            stats_cols=["o_orderkey"], bloom_cols=["o_orderkey"],
+        )
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    keys = [3 * (mx // 6) + 1, 3 * (mx // 12) + 1, 3 * (mx // 4) + 1]
+    # range stats are provably useless on the hash split
+    n_range = len(
+        log.snapshot(spark, prune=("o_orderkey", min(keys), max(keys))).inputFiles()
+    )
+    if n_range != 3:
+        raise AssertionError(f"hash split should defeat range stats, kept {n_range}")
+    snap = log.snapshot(spark, bloom=("o_orderkey", keys))
+    n_bloom = len(snap.inputFiles())
+    if n_bloom > 2:
+        raise AssertionError(f"bloom prune kept {n_bloom} of 3 files, expected <= 2")
+    return snap.where(F.col("o_orderkey").isin(*keys)).select(
+        "o_orderkey", "o_orderstatus",
+        (cents(F.col("o_totalprice")) / F.lit(100.0)).alias("total_price"),
+    )

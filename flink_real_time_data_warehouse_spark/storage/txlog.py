@@ -39,7 +39,7 @@ read:
   manifests at or below it can be deleted (log truncation) without
   affecting any state derived at or after it.
 
-Data skipping, two levels (both manifest-only, no file opens):
+Data skipping, three levels (all manifest-only, no file opens):
 
 - per-file ``[min, max]`` column stats harvested from the parquet footers
   at stage time (``stats_cols=...``) and pruned with
@@ -48,7 +48,11 @@ Data skipping, two levels (both manifest-only, no file opens):
   Hive-style directory partitioning folded into the manifest) and pruned
   with ``snapshot(partitions={col: [values]})`` — the Delta/Iceberg
   partition-pruning counterpart of the reference's per-table routing
-  (TableProcessFunction.java:130-165).
+  (TableProcessFunction.java:130-165);
+- per-file BLOOM membership filters (``bloom_cols=...`` — Delta's bloom
+  filter index, public docs) pruned with ``snapshot(bloom=(col,
+  [values]))`` — the point-lookup prune for hash-distributed columns
+  where every file's [min,max] spans the whole domain.
 
 Arbitration primitive scope: the claim step is everything that is
 storage-specific, so it lives behind :class:`LogStore`.
@@ -268,13 +272,69 @@ def _footer_minmax(path: str, cols: list[str]) -> dict:
     return out
 
 
+_BLOOM_FPP = 0.01
+_BLOOM_MAX_KEYS = 100_000  # beyond this a file gets no bloom (kept conservatively)
+
+
+def _bloom_key(v) -> bytes:
+    """Canonical hash input for a bloom value — int/str round-trip exactly
+    between commit-side (pyarrow python values) and query-side (caller
+    literals); floats are not supported as bloom keys (str rounding)."""
+    return str(v).encode("utf-8")
+
+
+def _bloom_build(values, fpp: float = _BLOOM_FPP) -> dict | None:
+    """Standard Bloom filter over the distinct non-null values: m sized
+    for `fpp`, k = m/n·ln2 double-hashed positions from one md5 per key
+    (h1 + i·h2 mod m — Kirsch-Mitzenmacher). JSON-safe (base64 bits)."""
+    import base64
+    import hashlib
+    import math
+
+    vals = {v for v in values if v is not None}
+    if not vals or len(vals) > _BLOOM_MAX_KEYS:
+        return None
+    n = len(vals)
+    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = (m + 7) // 8 * 8
+    k = max(1, round(m / n * math.log(2)))
+    bits = bytearray(m // 8)
+    for v in vals:
+        h = hashlib.md5(_bloom_key(v)).digest()
+        h1 = int.from_bytes(h[:8], "big")
+        h2 = int.from_bytes(h[8:], "big") | 1
+        for i in range(k):
+            pos = (h1 + i * h2) % m
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return {"m": m, "k": k, "b64": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_might_contain(bloom: dict, v) -> bool:
+    import base64
+    import hashlib
+
+    m, k = bloom["m"], bloom["k"]
+    bits = base64.b64decode(bloom["b64"])
+    h = hashlib.md5(_bloom_key(v)).digest()
+    h1 = int.from_bytes(h[:8], "big")
+    h2 = int.from_bytes(h[8:], "big") | 1
+    for i in range(k):
+        pos = (h1 + i * h2) % m
+        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
 @dataclass(frozen=True)
 class _State:
     version: int  # -1 => empty table, no commits yet
     files: tuple[str, ...]  # data file names (relative to data/), committed
     apps: dict  # app_id -> highest committed app_version
     schema_json: str | None  # schema of the latest commit
-    stats: dict  # file name -> {col: [min, max]} (only files committed with stats)
+    # Per-file SKIPPING METADATA: {col: [min, max]} footer stats, plus
+    # {"bloom:<col>": {m, k, b64}} membership filters for files committed
+    # with bloom_cols — both replay/checkpoint/remove together.
+    stats: dict
     parts: dict  # file name -> {col: str(value)} (only partition_by commits)
 
 
@@ -475,6 +535,7 @@ class TxLog:
         df: DataFrame,
         stats_cols: list[str] | None = None,
         partition_by: str | list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> tuple[list[str], str, dict, dict]:
         """Write df's parts as uniquely-named files under data/ (invisible
         until a manifest names them). With `stats_cols`, per-file [min,max]
@@ -512,6 +573,16 @@ class TxLog:
                     fs = _footer_minmax(dest, stats_cols)
                     if fs:
                         stats[staged] = fs
+                if bloom_cols:
+                    import pyarrow.parquet as pq
+
+                    tbl = pq.read_table(dest, columns=[
+                        c for c in bloom_cols if c in df.columns
+                    ])
+                    for c in tbl.column_names:
+                        bl = _bloom_build(tbl.column(c).to_pylist())
+                        if bl is not None:
+                            stats.setdefault(staged, {})[f"bloom:{c}"] = bl
 
         def walk(src_dir: str, remaining: list[str], acc: dict) -> None:
             if not remaining:
@@ -542,16 +613,24 @@ class TxLog:
         app_version: int | None = None,
         stats_cols: list[str] | None = None,
         partition_by: str | list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> int:
         """Transactional append; with (app_id, app_version) it is an
         idempotent streaming-epoch commit (replays skip). `stats_cols`
-        records per-file [min,max] footer stats and `partition_by` records
-        per-file partition values — both manifest-level data skipping."""
+        records per-file [min,max] footer stats, `partition_by` records
+        per-file partition values, and `bloom_cols` records a per-file
+        Bloom membership filter (Delta's bloom filter index) — all three
+        are manifest-level data skipping. Blooms are what prune POINT
+        lookups on columns whose values are hash-distributed across
+        files, where every file's [min,max] spans the whole domain and
+        range stats can never drop anything."""
         # Idempotence fast path: skip the stage write entirely on replay.
         if app_id is not None and app_version is not None:
             if self.state().apps.get(app_id, -1) >= app_version:
                 return self.state().version
-        names, schema_json, stats, parts = self._stage(df, stats_cols, partition_by)
+        names, schema_json, stats, parts = self._stage(
+            df, stats_cols, partition_by, bloom_cols
+        )
         return self.commit_files(
             names, "append", schema_json, app_id=app_id, app_version=app_version,
             stats=stats, parts=parts,
@@ -621,6 +700,7 @@ class TxLog:
         version: int | None = None,
         prune: tuple | None = None,
         partitions: dict | None = None,
+        bloom: tuple | None = None,
         merge_schema: bool = False,
     ) -> DataFrame:
         """The table as of `version` (default: now). One log listing fixes
@@ -635,7 +715,13 @@ class TxLog:
           intersect [lo, hi];
         - `partitions={col: [v1, v2]}`: drop files whose recorded
           partition value for `col` is not in the list (values compared as
-          their string form, the manifest encoding).
+          their string form, the manifest encoding);
+        - `bloom=(col, [v1, v2])` — a POINT-lookup prune: drop files
+          whose recorded Bloom filter for `col` (committed with
+          ``bloom_cols``) proves NONE of the values can be present.
+          This is what skips files when the column is hash-distributed
+          (every file's [min,max] spans the domain); a false positive
+          keeps a file needlessly (fpp ~1%), never drops a true hit.
 
         Files committed without the relevant metadata are conservatively
         kept; the caller still applies the row-level filter.
@@ -661,6 +747,13 @@ class TxLog:
                     n for n in files
                     if (pv := st.parts.get(n, {}).get(col)) is None or pv in allowed
                 ]
+        if bloom is not None and files:
+            col, vals = bloom
+            files = [
+                n for n in files
+                if (bl := st.stats.get(n, {}).get(f"bloom:{col}")) is None
+                or any(_bloom_might_contain(bl, v) for v in vals)
+            ]
         return self._read_files(spark, files, st, merge_schema=merge_schema)
 
     def merge(

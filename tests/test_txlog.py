@@ -674,3 +674,49 @@ def test_zorder_multi_column_clustering_prunes_both_dims(tmp_path, spark):
     assert len(lin.snapshot(spark, prune=("y", 0, 7)).inputFiles()) == len(
         lin.state().files
     ), "every x-clustered file spans the full y range"
+
+
+def test_bloom_point_lookup_skips_hash_distributed_files(tmp_path, spark):
+    """Files split by key HASH span the full key range each — [min,max]
+    stats can never prune them — but per-file Bloom filters must: a
+    point lookup keeps only files that may hold the key, never drops a
+    true hit, and blooms survive checkpoint/truncation and removal."""
+    log = TxLog(str(tmp_path / "t"))
+    for r in range(3):
+        log.append(
+            spark.range(0, 3000).selectExpr("id AS k", "id * 2 AS v")
+            .where(f"k % 3 = {r}").coalesce(1),
+            stats_cols=["k"], bloom_cols=["k"],
+        )
+    st = log.state()
+    # range stats are useless here: every file intersects [100, 110]
+    kept_range = len(log.snapshot(spark, prune=("k", 100, 110)).inputFiles())
+    assert kept_range == 3
+    # bloom prune: key 601 (= 1 mod 3) lives in exactly one file
+    snap = log.snapshot(spark, bloom=("k", [601]))
+    assert len(snap.inputFiles()) <= 2, "bloom must drop non-candidate files"
+    assert [r["v"] for r in snap.where("k = 601").collect()] == [1202]
+    # multi-value: residues 0 and 1 -> at least the two holding files kept
+    snap2 = log.snapshot(spark, bloom=("k", [600, 601]))
+    got = sorted(r["k"] for r in snap2.where("k IN (600, 601)").collect())
+    assert got == [600, 601]
+    # blooms survive checkpoint + truncation
+    log.checkpoint()
+    log.truncate_log()
+    assert len(log.snapshot(spark, bloom=("k", [601])).inputFiles()) <= 2
+    # absent key: may keep fpp files but the row filter yields nothing
+    assert log.snapshot(spark, bloom=("k", [99999])).where("k = 99999").count() == 0
+    del st
+
+
+def test_bloom_absent_metadata_is_conservative(tmp_path, spark):
+    """Files committed without bloom_cols are always kept by a bloom
+    prune (never wrongly skipped)."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(spark.range(0, 10).selectExpr("id AS k").coalesce(1))  # no bloom
+    log.append(
+        spark.range(10, 20).selectExpr("id AS k").coalesce(1), bloom_cols=["k"]
+    )
+    snap = log.snapshot(spark, bloom=("k", [5]))
+    assert len(snap.inputFiles()) >= 1
+    assert snap.where("k = 5").count() == 1
