@@ -257,3 +257,42 @@ _WAITING_SUPPLIER_SQL = """
 def waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_WAITING_SUPPLIER_SQL)
+
+
+# Mixed GROUPING SETS — the general form ROLLUP/CUBE are sugar for
+# (rollup_sales / cube_sales carry those): region-only, status-only, the
+# pair, and the grand total, with GROUPING() markers disambiguating "NULL
+# because subtotal" from a NULL group value. One portable SQL text — Spark
+# plans it as a single Expand + hash aggregate (each input row fans out to
+# its 4 grouping-set rows map-side; one shuffle, same as a plain agg).
+_GROUPING_SETS_SQL = """
+    SELECT r.r_name AS region_name, o.o_orderstatus AS status,
+           CAST(grouping(r.r_name) AS INT) AS g_region,
+           CAST(grouping(o.o_orderstatus) AS INT) AS g_status,
+           count(*) AS order_ct,
+           coalesce(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)), 0)
+             / CAST(100.0 AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY GROUPING SETS ((r.r_name), (o.o_orderstatus),
+                            (r.r_name, o.o_orderstatus), ())
+"""
+
+
+@register(
+    "grouping_sets_sales",
+    oracle=_GROUPING_SETS_SQL,
+    doc=(
+        "arbitrary GROUPING SETS (the general OLAP form; rollup_sales / "
+        "cube_sales are its two sugar cases) with GROUPING() markers — "
+        "one portable SQL text runs on both engines. Scale shape: "
+        "Spark's Expand fans each row to its 4 set-rows BEFORE the "
+        "shuffle, so partial aggregation still combines map-side and the "
+        "exchange carries pre-aggregated set-rows, not 4x the input"
+    ),
+)
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)

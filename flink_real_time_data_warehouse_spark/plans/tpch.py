@@ -1451,3 +1451,54 @@ def txlog_bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus",
         (cents(F.col("o_totalprice")) / F.lit(100.0)).alias("total_price"),
     )
+
+
+@register(
+    "order_value_quantiles_approx",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS order_ct,
+           CAST(quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS BIGINT) / 100.0 AS p50,
+           CAST(quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.9) AS BIGINT) / 100.0 AS p90,
+           CAST(quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.99) AS BIGINT) / 100.0 AS p99,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM orders GROUP BY 1
+    """,
+    doc=(
+        "SKETCH twin of order_value_quantiles (the tolerance-judge "
+        "pattern of product_stats_stream_approx): approx_percentile — "
+        "Spark's Greenwald-Khanna summary, a single-pass MERGEABLE "
+        "partial aggregate — against the exact percentile_disc in the "
+        "same plan, emitting per-quantile ok booleans the oracle pins "
+        "to literal TRUE. The GK rank-error bound (n/accuracy) holds "
+        "for ANY partition merge order, so a 2%-relative value "
+        "tolerance grades deterministically. At 100 TB the exact "
+        "per-group sort is the cost ceiling and the sketch is the "
+        "plan: same shuffle shape, constant memory per group"
+    ),
+)
+def order_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderstatus", cents(F.col("o_totalprice")).alias("price_c")
+    )
+    qs = [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("order_ct"),
+        *[
+            F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY price_c)").alias(f"ex_{n}")
+            for q, n in qs
+        ],
+        *[
+            F.percentile_approx("price_c", q, 10000).alias(f"ap_{n}")
+            for q, n in qs
+        ],
+    )
+    tol = lambda n: F.greatest(F.lit(200.0), F.col(f"ex_{n}") * 0.02)  # noqa: E731
+    return agg.select(
+        "o_orderstatus", "order_ct",
+        *[(F.col(f"ex_{n}") / F.lit(100.0)).alias(n) for _, n in qs],
+        *[
+            (F.abs(F.col(f"ap_{n}") - F.col(f"ex_{n}")) <= tol(n)).alias(f"{n}_ok")
+            for _, n in qs
+        ],
+    )
