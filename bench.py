@@ -123,12 +123,24 @@ HEADLINE = [
     "txlog_incremental_sync",
     "waiting_supplier",
     "curation_pipeline",
+    # round-6 late additions
+    "txlog_delete_read",
+    "txlog_zorder_read",
+    "txlog_bloom_point_read",
+    "txlog_cdc_apply",
+    "order_count_distribution",
+    "untapped_customers",
+    "large_volume_orders",
+    "grouping_sets_sales",
+    "order_value_quantiles_approx",
     # streaming twins: full micro-batch replay wall time (state store +
     # shuffle-per-trigger regressions become visible round-over-round)
     "product_stats_stream",
     "province_stats_stream",
     "uv_stream",
     "ann_ingest_stream",
+    "abandoned_orders_stream",
+    "fulfillment_stats_stream",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

@@ -1502,3 +1502,93 @@ def order_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             for _, n in qs
         ],
     )
+
+
+@register(
+    "txlog_cdc_apply",
+    oracle=f"""
+    WITH p AS (SELECT max(o_orderkey) AS mx FROM orders),
+         w AS (SELECT mx // 3 AS b1, (2 * mx) // 3 AS b2,
+                      mx // 8 AS ulo, mx // 8 + mx // 16 AS uhi,
+                      b2 + (mx - b2) // 4 AS dlo,
+                      b2 + (mx - b2) // 4 + mx // 16 AS dhi, mx
+               FROM (SELECT mx, mx // 3 AS b1, (2 * mx) // 3 AS b2 FROM p))
+    SELECT o_orderstatus, count(*) AS order_ct,
+           {sql_money_sum("CASE WHEN o_orderkey BETWEEN w.ulo AND w.uhi "
+                          "THEN o_totalprice * 2 ELSE o_totalprice END")} AS revenue
+    FROM (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders, w
+      WHERE o_orderkey NOT BETWEEN w.dlo AND w.dhi
+      UNION ALL
+      SELECT w.mx + s.i AS o_orderkey, 'X' AS o_orderstatus,
+             10.0 AS o_totalprice
+      FROM w, (SELECT unnest(generate_series(1, 5)) AS i) s
+    ) t, w GROUP BY o_orderstatus
+    """,
+    doc=(
+        "TRANSACTIONAL CDC APPLY end-to-end (storage/txlog.py apply_cdc "
+        "— the Maxwell/Debezium envelope of sources/cdc.py landed "
+        "atomically at fact scale; reference DimSinkFunction.java:17-89 "
+        "does this row-at-a-time to Phoenix): orders lands as three "
+        "key-range files, then ONE CDC batch carries price-doubling "
+        "updates in the FIRST third, deletes in the LAST third, and five "
+        "inserted keys beyond the max — all in a single manifest, so no "
+        "reader can see the deletes without the updates. The middle file "
+        "holds no change key and sits between the batch's min and max "
+        "keys: the exact key-set classification must leave it untouched "
+        "(asserted in-plan — an envelope-range rewrite fails the query). "
+        "The oracle replays the same envelope as CASE/WHERE/UNION over "
+        "the source, so a lost update, resurrected delete, or dropped "
+        "insert changes the hash"
+    ),
+)
+def txlog_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..storage import TxLog
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="txlog_cdc_")
+    log = TxLog(os.path.join(work, "orders_tx"))
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    b1, b2 = mx // 3, (2 * mx) // 3
+    for lo, hi in zip([0, b1, b2], [b1, b2, mx + 1]):
+        log.append(
+            orders.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+            .coalesce(1),
+            stats_cols=["o_orderkey"],
+        )
+    before = set(log.state().files)
+    ulo, uhi = mx // 8, mx // 8 + mx // 16           # updates: first third
+    dlo = b2 + (mx - b2) // 4                        # deletes: last third
+    dhi = dlo + mx // 16
+    updates = orders.where(F.col("o_orderkey").between(ulo, uhi)).select(
+        "o_orderkey", "o_orderstatus",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"), F.lit("u").alias("op"),
+    )
+    deletes = orders.where(F.col("o_orderkey").between(dlo, dhi)).select(
+        "o_orderkey", F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"), F.lit("d").alias("op"),
+    )
+    inserts = spark.range(1, 6).select(
+        (F.lit(mx) + F.col("id")).alias("o_orderkey"),
+        F.lit("X").alias("o_orderstatus"),
+        F.lit(10.0).alias("o_totalprice"), F.lit("i").alias("op"),
+    )
+    log.apply_cdc(spark, updates.unionByName(deletes).unionByName(inserts), "o_orderkey")
+    kept = before & set(log.state().files)
+    if len(kept) != 1:
+        raise AssertionError(
+            f"exact key-set classification should keep the middle file, kept {len(kept)}"
+        )
+    return (
+        log.snapshot(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("order_ct"),
+            money_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )

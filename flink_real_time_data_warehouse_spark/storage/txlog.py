@@ -896,6 +896,77 @@ class TxLog:
                 continue
         raise TxConflictError(f"delete lost {max_retries} consecutive OCC races")
 
+    _CDC_KEYS_MAX = 1_000_000  # above this, fall back to coarse range pruning
+
+    def apply_cdc(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        key: str,
+        op_col: str = "op",
+        delete_ops: tuple = ("d",),
+        max_retries: int = 10,
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """Apply one CDC batch — upserts AND deletes — in ONE atomic
+        commit (the MySQL-CDC envelope of sources/cdc.py landed at fact
+        scale; reference analog: DimSinkFunction.java:17-89 applying the
+        Maxwell envelope row-at-a-time to Phoenix). Rows whose `op_col`
+        is in `delete_ops` delete their key; every other row upserts
+        (type-1, op column dropped). A reader can never observe the
+        deletes without the upserts or vice versa — both land in the
+        same manifest.
+
+        File-level like merge/delete, but classified against the EXACT
+        change-key set, not its [min,max] envelope (a CDC batch touching
+        low and high keys would otherwise rewrite every file between):
+        change keys up to `_CDC_KEYS_MAX` are collected sorted and each
+        file's recorded [min,max] is probed by binary search — a CDC
+        batch is bounded by ingest rate, so the collect is small by
+        construction; beyond the cap it degrades to the coarse range.
+        Files no change key lands in survive untouched (same names).
+        Serializable via expected_version, retried on conflict."""
+        from bisect import bisect_left
+
+        op_is_delete = F.col(op_col).isin(*delete_ops)
+        upserts = changes.where(~op_is_delete).drop(op_col)
+        key_rows = changes.where(F.col(key).isNotNull()).select(key).distinct()
+        keys = [r[0] for r in key_rows.limit(self._CDC_KEYS_MAX + 1).collect()]
+        exact = len(keys) <= self._CDC_KEYS_MAX
+        keys.sort()
+        if not keys:
+            return self.state().version
+        klo, khi = keys[0], keys[-1]
+
+        def hits(mn, mx) -> bool:
+            if not exact:
+                return mn <= khi and mx >= klo
+            i = bisect_left(keys, mn)
+            return i < len(keys) and keys[i] <= mx
+
+        stats_cols = stats_cols if stats_cols is not None else [key]
+        for _ in range(max_retries):
+            st = self.state()
+            touched = [
+                n for n in st.files
+                if (mm := st.stats.get(n, {}).get(key)) is None or hits(mm[0], mm[1])
+            ]
+            if touched:
+                base = self._read_files(spark, touched, st)
+                merged = base.join(key_rows, key, "left_anti").unionByName(upserts)
+                merged = merged.coalesce(max(1, len(touched)))
+            else:
+                merged = upserts
+            names, schema_json, stats, parts = self._stage(merged, stats_cols)
+            try:
+                return self.commit_files(
+                    names, op="cdc", schema_json=schema_json, removes=touched,
+                    expected_version=st.version, stats=stats, parts=parts,
+                )
+            except TxConflictError:
+                continue
+        raise TxConflictError(f"apply_cdc lost {max_retries} consecutive OCC races")
+
     def changes(
         self,
         spark: SparkSession,

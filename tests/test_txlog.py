@@ -720,3 +720,49 @@ def test_bloom_absent_metadata_is_conservative(tmp_path, spark):
     snap = log.snapshot(spark, bloom=("k", [5]))
     assert len(snap.inputFiles()) >= 1
     assert snap.where("k = 5").count() == 1
+
+
+def test_apply_cdc_atomic_upserts_and_deletes(tmp_path, spark):
+    """One CDC batch with updates, deletes, and inserts lands in ONE
+    manifest; files no change key touches survive by name (exact key-set
+    classification — a batch spanning low AND high keys must not rewrite
+    the disjoint middle file the [min,max] envelope would)."""
+    log = TxLog(str(tmp_path / "t"))
+    for lo in (0, 100, 200):
+        log.append(
+            spark.range(lo, lo + 50).selectExpr("id AS k", "id * 10 AS v").coalesce(1),
+            stats_cols=["k"],
+        )
+    before = set(log.state().files)
+    # updates at the LOW end, deletes at the HIGH end, one brand-new key:
+    # the middle file [100,149] is inside the batch's [min,max] envelope
+    # but holds no change key — exact classification must skip it.
+    changes = spark.createDataFrame(
+        [(5, -5, "u"), (7, -7, "u"), (230, None, "d"), (240, None, "d"),
+         (999, 42, "i")],
+        "k long, v long, op string",
+    )
+    v = log.apply_cdc(spark, changes, "k")
+    h = log.history()[0]
+    assert h["op"] == "cdc" and h["version"] == v
+    kept = before & set(log.state().files)
+    assert len(kept) == 1, "middle file must survive untouched"
+    got = {r["k"]: r["v"] for r in log.snapshot(spark).collect()}
+    assert got[5] == -5 and got[7] == -7 and got[999] == 42
+    assert 230 not in got and 240 not in got
+    assert got[125] == 1250 and len(got) == 150 - 2 + 1
+
+
+def test_apply_cdc_insert_only_batch_touches_nothing(tmp_path, spark):
+    """A pure-insert CDC batch (keys beyond every file's range) rewrites
+    no existing file."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(
+        spark.range(0, 50).selectExpr("id AS k", "id AS v").coalesce(1),
+        stats_cols=["k"],
+    )
+    before = set(log.state().files)
+    ins = spark.createDataFrame([(100, 1, "i"), (101, 2, "i")], "k long, v long, op string")
+    log.apply_cdc(spark, ins, "k")
+    assert before <= set(log.state().files)
+    assert log.snapshot(spark).count() == 52
