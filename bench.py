@@ -141,6 +141,7 @@ HEADLINE = [
     "ann_ingest_stream",
     "abandoned_orders_stream",
     "fulfillment_stats_stream",
+    "txlog_cdc_stream",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

@@ -907,6 +907,8 @@ class TxLog:
         delete_ops: tuple = ("d",),
         max_retries: int = 10,
         stats_cols: list[str] | None = None,
+        app_id: str | None = None,
+        app_version: int | None = None,
     ) -> int:
         """Apply one CDC batch — upserts AND deletes — in ONE atomic
         commit (the MySQL-CDC envelope of sources/cdc.py landed at fact
@@ -925,9 +927,16 @@ class TxLog:
         batch is bounded by ingest rate, so the collect is small by
         construction; beyond the cap it degrades to the coarse range.
         Files no change key lands in survive untouched (same names).
-        Serializable via expected_version, retried on conflict."""
+        Serializable via expected_version, retried on conflict. With
+        (app_id, app_version) the apply is an idempotent streaming-epoch
+        commit: a crash-retry replay of the same epoch is SKIPPED — the
+        exactly-once contract a foreachBatch CDC sink needs."""
         from bisect import bisect_left
 
+        if app_id is not None and app_version is not None:
+            st0 = self.state()
+            if st0.apps.get(app_id, -1) >= app_version:
+                return st0.version
         op_is_delete = F.col(op_col).isin(*delete_ops)
         upserts = changes.where(~op_is_delete).drop(op_col)
         key_rows = changes.where(F.col(key).isNotNull()).select(key).distinct()
@@ -947,6 +956,9 @@ class TxLog:
         stats_cols = stats_cols if stats_cols is not None else [key]
         for _ in range(max_retries):
             st = self.state()
+            if app_id is not None and app_version is not None:
+                if st.apps.get(app_id, -1) >= app_version:
+                    return st.version
             touched = [
                 n for n in st.files
                 if (mm := st.stats.get(n, {}).get(key)) is None or hits(mm[0], mm[1])
@@ -962,6 +974,7 @@ class TxLog:
                 return self.commit_files(
                     names, op="cdc", schema_json=schema_json, removes=touched,
                     expected_version=st.version, stats=stats, parts=parts,
+                    app_id=app_id, app_version=app_version,
                 )
             except TxConflictError:
                 continue

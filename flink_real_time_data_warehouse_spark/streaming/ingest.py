@@ -195,3 +195,34 @@ def start_txlog_sink(stream: DataFrame, log, checkpoint: str, app_id: str = "txs
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_cdc_sink(
+    stream: DataFrame,
+    log,
+    checkpoint: str,
+    key: str,
+    op_col: str = "op",
+    app_id: str = "cdcsink",
+):
+    """Exactly-once streaming CDC APPLY sink: each micro-batch of envelope
+    rows (upserts + deletes + inserts, reference Maxwell format per
+    sources/cdc.py) lands through `TxLog.apply_cdc` as ONE atomic commit
+    keyed (app_id, epoch) — crash-retry replays are skipped by the log's
+    high-water mark, and deletes can never be observed without their
+    batch's upserts. The streaming end of the reference's
+    DimSinkFunction.java:17-89 row-at-a-time Phoenix apply, with
+    file-level rewrite instead of per-row RPC."""
+
+    def on_batch(batch: DataFrame, epoch: int) -> None:
+        log.apply_cdc(
+            batch.sparkSession, batch, key, op_col=op_col,
+            app_id=app_id, app_version=epoch,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
