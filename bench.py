@@ -133,6 +133,8 @@ HEADLINE = [
     "large_volume_orders",
     "grouping_sets_sales",
     "order_value_quantiles_approx",
+    "volume_shipping",
+    "top_revenue_supplier",
     # streaming twins: full micro-batch replay wall time (state store +
     # shuffle-per-trigger regressions become visible round-over-round)
     "product_stats_stream",

@@ -1592,3 +1592,114 @@ def txlog_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("o_totalprice")).alias("revenue"),
         )
     )
+
+
+@register(
+    "volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_money_sum('net')} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS INT) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS net
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc=(
+        "TPC-H Q7 shape (volume shipping between two nations): the "
+        "DISJUNCTIVE pair predicate — (A,B) OR (B,A) — cannot be pushed "
+        "to either nation scan alone, but its single-side implications "
+        "CAN: Catalyst derives n1.n_name IN (A,B) and n2.n_name IN (A,B) "
+        "and pushes each below the joins, so both broadcast dims shrink "
+        "to 2 rows before the fact tables are touched and the OR is "
+        "re-checked only on surviving pairs. Two fact-fact shuffles "
+        "(lineitem-orders, orders-customer), dims broadcast — the Q5 "
+        "scale shape plus the disjunction"
+    ),
+)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    joined = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(money_sum(F.col("net")).alias("revenue"))
+    )
+
+
+@register(
+    "top_revenue_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             sum({sql_cents('l_extendedprice * (1 - l_discount)')}) AS total_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, rev.total_c / 100.0 AS total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.supplier_no
+    WHERE rev.total_c = (SELECT max(total_c) FROM rev)
+    """,
+    doc=(
+        "TPC-H Q15 shape (top supplier by quarterly revenue): the view-"
+        "plus-max pattern — a scalar subquery over the SAME aggregate the "
+        "outer query reads. Catalyst evaluates the revenue aggregate, "
+        "derives max() as a 1-row broadcast into the equality filter, and "
+        "the shipdate quarter pushes to the lineitem scan "
+        "(PushedFilters). The max comparison is on the EXACT integer "
+        "cents sum — float revenue would make 'equals the maximum' "
+        "engine-dependent, the classic Q15 portability trap. Ties emit "
+        "every maximal supplier, same as the spec"
+    ),
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "total_c"
+        )
+    )
+    mx = rev.agg(F.max("total_c").alias("mx"))
+    top = rev.join(F.broadcast(mx)).where(F.col("total_c") == F.col("mx"))
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return supp.join(
+        F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no")
+    ).select("s_suppkey", "s_name", (F.col("total_c") / F.lit(100.0)).alias("total_revenue"))

@@ -69,6 +69,7 @@ _GRADE_FIRST: list[str] = [
     "order_count_distribution", "untapped_customers", "large_volume_orders",
     "abandoned_orders_stream", "fulfillment_stats_stream",
     "grouping_sets_sales", "order_value_quantiles_approx",
+    "volume_shipping", "top_revenue_supplier",
     # Freshest row is r4 — the most-relevant regrades fill the rest of
     # the 50-window: queries whose code paths were touched this round
     # (kmeans cq column, grown lexicon, TxLog-backed ingest funnel),
