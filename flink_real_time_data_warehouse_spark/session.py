@@ -38,6 +38,14 @@ _RUNTIME_CONF = {
     # builds default this inference on, which silently flips fixture
     # timestamp columns to NTZ.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Runtime row-level filtering: a selective filtered dim side of a
+    # shuffle join injects a bloom filter onto the fact side's scan at
+    # runtime (default-on in Spark 4; pinned here against builds where it
+    # isn't). At 100 TB this is the shuffle-reduction complement of the
+    # manifest-level skipping in storage/txlog.py — rows that cannot join
+    # are dropped before the exchange. Pinned by
+    # tests/test_plan_shape.py::test_runtime_bloom_filter_injected.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Size shuffles to the machine instead of the 200-partition default —
     # AQE coalesces down but won't split up; runtime-settable, applied even
     # to caller-owned sessions. On a cluster, spark-submit overrides this.

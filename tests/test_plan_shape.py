@@ -435,3 +435,32 @@ def test_q22_anti_join_filter_pushed(spark):
     p = plan_of(untapped_customers(spark, TEST_SF_DIR))
     anti = p.find("LeftAnti")
     assert anti != -1 and "1-URGENT" in p[anti:], "urgent filter below the anti join"
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """A selective filtered dim side of a SHUFFLE join injects a runtime
+    bloom filter onto the fact scan (fact rows that cannot join are
+    dropped BEFORE the exchange — the 100 TB shuffle-reduction path).
+    Thresholds are lowered session-locally because the test fixture is
+    tiny; the conf itself is pinned in session._RUNTIME_CONF."""
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        big = table(spark, TEST_SF_DIR, "lineitem")
+        dim = table(spark, TEST_SF_DIR, "part").where(F.col("p_brand") == "Brand#21")
+        j = big.join(dim, big.l_partkey == dim.p_partkey)
+        p = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloom" in p or "might_contain" in p, "runtime filter not injected"
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
