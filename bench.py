@@ -135,6 +135,8 @@ HEADLINE = [
     "order_value_quantiles_approx",
     "volume_shipping",
     "top_revenue_supplier",
+    "min_cost_supplier",
+    "trailing_30d_spend",
     # streaming twins: full micro-batch replay wall time (state store +
     # shuffle-per-trigger regressions become visible round-over-round)
     "product_stats_stream",

@@ -1703,3 +1703,109 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supp.join(
         F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no")
     ).select("s_suppkey", "s_name", (F.col("total_c") / F.lit(100.0)).alias("total_revenue"))
+
+
+@register(
+    "min_cost_supplier",
+    oracle=f"""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             sum({sql_cents('l_extendedprice * (1 - l_discount)')}) AS c
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT co.l_partkey AS partkey, co.l_suppkey AS suppkey, s.s_name,
+           co.c / 100.0 AS min_cost
+    FROM cost co
+    JOIN part p ON p.p_partkey = co.l_partkey
+    JOIN supplier s ON s.s_suppkey = co.l_suppkey
+    WHERE p.p_brand = 'Brand#21'
+      AND co.c = (SELECT min(c2.c) FROM cost c2
+                  WHERE c2.l_partkey = co.l_partkey)
+    """,
+    doc=(
+        "TPC-H Q2 shape (min-cost supplier per part; lineitem shipping "
+        "cost stands in for partsupp.ps_supplycost, absent from the "
+        "fixture): a CORRELATED MIN subquery gating rows of the same "
+        "aggregate it ranges over. The oracle states it correlated; the "
+        "Spark plan expresses the decorrelation DIRECTLY as a min-over-"
+        "partition window gate — and applies the Q17 lesson first: the "
+        "brand filter keeps or drops WHOLE partkeys, so lineitem is "
+        "semi-joined to the broadcast brand partkeys BEFORE the cost "
+        "aggregate, which therefore aggregates ~1/brand-count of "
+        "lineitem instead of all of it. Ties (two suppliers at the "
+        "exact min cents) emit both rows in both engines — integer "
+        "cents make 'equals the minimum' portable. One pruned shuffle "
+        "+ one window over (partkey) partitions, no self-join"
+    ),
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_c"),
+    )
+    keys = F.broadcast(
+        table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#21")
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    cost = (
+        li.join(keys, "l_partkey", "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("net_c").alias("c"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("min_c", F.min("c").over(w)).where(
+        F.col("c") == F.col("min_c")
+    )
+    supp = F.broadcast(table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return best.join(supp, F.col("l_suppkey") == F.col("s_suppkey")).select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"),
+        "s_name", (F.col("c") / F.lit(100.0)).alias("min_cost"),
+    )
+
+
+@register(
+    "trailing_30d_spend",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date,
+           sum({sql_cents('o_totalprice')}) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ) / 100.0 AS trailing_spend
+    FROM orders
+    """,
+    doc=(
+        "RANGE-frame window over event TIME (not row count): each "
+        "order's trailing-30-day customer spend — the frame holds every "
+        "order whose date falls in [t-30d, t], however many rows that "
+        "is, where the moving_avg_gmv ROWS frame always holds k rows. "
+        "Spark expresses the interval frame as rangeBetween over the "
+        "epoch-seconds cast (inclusive bounds identical to the oracle's "
+        "RANGE INTERVAL form), and RANGE semantics make same-day peer "
+        "rows share one frame — so the result is deterministic under "
+        "any within-day row order, which is what lets exact cents hash-"
+        "match. One shuffle on custkey; the frame scan is a single "
+        "ordered pass per partition (no per-row re-aggregation)"
+    ),
+)
+def trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.windows import TS_FMT
+
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        F.date_format("o_orderdate", TS_FMT).alias("order_date"),
+        (F.sum(cents(F.col("o_totalprice"))).over(w) / F.lit(100.0)).alias(
+            "trailing_spend"
+        ),
+    )

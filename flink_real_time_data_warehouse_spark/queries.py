@@ -70,6 +70,7 @@ _GRADE_FIRST: list[str] = [
     "abandoned_orders_stream", "fulfillment_stats_stream",
     "grouping_sets_sales", "order_value_quantiles_approx",
     "volume_shipping", "top_revenue_supplier",
+    "min_cost_supplier", "trailing_30d_spend",
     # Freshest row is r4 — the most-relevant regrades fill the rest of
     # the 50-window: queries whose code paths were touched this round
     # (kmeans cq column, grown lexicon, TxLog-backed ingest funnel),
