@@ -766,3 +766,51 @@ def test_apply_cdc_insert_only_batch_touches_nothing(tmp_path, spark):
     log.apply_cdc(spark, ins, "k")
     assert before <= set(log.state().files)
     assert log.snapshot(spark).count() == 52
+
+
+def test_concurrent_cdc_appliers_serialize_without_lock(tmp_path, spark):
+    """Two CDC appliers race on one table (disjoint key windows): OCC
+    must serialize them — both batches land, neither clobbers the other,
+    and the loser re-derives from the winner's state."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(
+        spark.range(0, 100).selectExpr("id AS k", "id AS v").coalesce(1),
+        stats_cols=["k"],
+    )
+    a = spark.createDataFrame([(5, -5, "u"), (6, None, "d")], "k long, v long, op string")
+    b = spark.createDataFrame([(90, -90, "u"), (91, None, "d")], "k long, v long, op string")
+
+    def apply(ch):
+        return log.apply_cdc(spark, ch, "k")
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        va, vb = ex.map(apply, [a, b])
+    assert {va, vb} == {1, 2}, "each apply wins its own version"
+    got = {r["k"]: r["v"] for r in log.snapshot(spark).collect()}
+    assert got[5] == -5 and got[90] == -90
+    assert 6 not in got and 91 not in got
+    assert got[50] == 50 and len(got) == 98
+
+
+def test_delete_conflicts_with_concurrent_optimize(tmp_path, spark):
+    """DELETE runs under the disjoint-file rule: an optimize that rewrote
+    the files mid-delete forces the delete to re-derive and retry — final
+    state = compacted MINUS deleted, regardless of interleaving."""
+    log = TxLog(str(tmp_path / "t"))
+    for lo in (0, 30, 60):
+        log.append(
+            spark.range(lo, lo + 30).selectExpr("id AS k").coalesce(1),
+            stats_cols=["k"],
+        )
+
+    def compact():
+        return log.optimize(spark, max_files=1, cluster_by="k")
+
+    def purge():
+        return log.delete(spark, "k", 10, 19)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fc, fp = ex.submit(compact), ex.submit(purge)
+        fc.result(), fp.result()
+    got = sorted(r["k"] for r in log.snapshot(spark).collect())
+    assert got == [k for k in range(90) if not 10 <= k <= 19]
