@@ -557,3 +557,57 @@ def test_scd2_intervals_partition_timeline(spark_global, changes):
             if a.valid_from != a.valid_to:
                 # non-degenerate neighbors must differ (duplicate-suppressed)
                 assert a.status != b.status
+
+
+def test_lexicon_tranches_14_15_change_segmentation():
+    """The continuation-session growth slices are load-bearing, not
+    cosmetic: tranche 14's 天气预报 out-lengthens the pre-14 dict's
+    天气|预|报, and tranche 15's 小提琴曲 out-lengthens 小提|琴|曲 —
+    three dictionary tiers, three different segmentations (the same
+    proof shape the earlier tranches carry)."""
+    import re
+
+    from flink_real_time_data_warehouse_spark.functions import cjk_lexicon_data as data
+    from flink_real_time_data_warehouse_spark.functions.cjk_lexicon import (
+        AMBIGUITY_EXCLUDED,
+        SEED_WORDS,
+        VENDORED_WORDS_CORE,
+        fmm_segment,
+    )
+
+    word_re = re.compile(r"^[一-鿿]{2,4}$")
+
+    def tranche(*names):
+        return {
+            w
+            for n in names
+            for w in getattr(data, n).split()
+            if word_re.match(w)
+        }
+
+    pre14 = (
+        SEED_WORDS
+        | VENDORED_WORDS_CORE
+        | tranche(*[f"VENDORED_WORDS_TEXT_EXT{i}" for i in range(2, 14)])
+    ) - AMBIGUITY_EXCLUDED
+    pre15 = pre14 | tranche("VENDORED_WORDS_TEXT_EXT14")
+
+    def fmm_with(lex, run):
+        out, pos, n = [], 0, len(run)
+        mx = max(map(len, lex))
+        while pos < n:
+            for length in range(min(mx, n - pos), 1, -1):
+                if run[pos : pos + length] in lex:
+                    out.append(run[pos : pos + length])
+                    pos += length
+                    break
+            else:
+                out.append(run[pos])
+                pos += 1
+        return out
+
+    assert fmm_with(pre14, "天气预报准确") == ["天气", "预", "报", "准确"]
+    assert fmm_with(pre15, "天气预报准确") == ["天气预报", "准确"]
+    assert fmm_segment("天气预报准确") == ["天气预报", "准确"]
+    assert fmm_with(pre15, "演奏小提琴曲") == ["演奏", "小提", "琴", "曲"]
+    assert fmm_segment("演奏小提琴曲") == ["演奏", "小提琴曲"]
