@@ -325,6 +325,8 @@ CJK_PHRASES = (
     "实时数据仓库", "流处理引擎", "数据管道质量检测", "大规模机器学习",
     "研究生命起源", "发展中国家", "中国人工智能", "结合成分子",
     "自然语言理解技术", "计算机网络安全技术",
+    # continuation-session tranches (14/15) exercised end-to-end:
+    "天气预报准确", "演奏小提琴曲",
 )
 
 
