@@ -71,14 +71,13 @@ _GRADE_FIRST: list[str] = [
     "grouping_sets_sales", "order_value_quantiles_approx",
     "volume_shipping", "top_revenue_supplier",
     "min_cost_supplier", "trailing_30d_spend",
-    # Freshest row is r4 — the most-relevant regrades fill the rest of
-    # the 50-window: queries whose code paths were touched this round
-    # (kmeans cq column, grown lexicon, TxLog-backed ingest funnel),
-    # then index/ANN, multimodal, gmall DWS apps. The 19 stable r4
-    # queries that fall past the window (lang_id .. token_budget_sample,
-    # decontaminate/repetition_stats/pack_sequences/corpus_profile,
-    # scd2_user_status, serving_product_revenue) sit at exactly 2 rounds
-    # stale and MUST lead r7's window, ahead of the 50 r5-rowed queries.
+    # The 13 r3-stale TPC-H queries above plus the 31 round-6 additions
+    # fill 44 of the 50-slot window; the 6 r4 names below take the rest.
+    # r7 rotation note: lead with the r4-stale set (lang_id ..
+    # token_budget_sample, decontaminate/repetition_stats/pack_sequences/
+    # corpus_profile, scd2_user_status, serving_product_revenue, plus the
+    # r4 names below that miss this window), then the r5-rowed 50 —
+    # keeping every query's freshest row at most 2 rounds old.
     "kmeans_centroids", "keyword_stats_cjk", "curation_pipeline",
     "ingest_pipeline", "ingest_pipeline_indexed",
     "dedup_incremental_indexed", "ann_ivf_indexed_topk", "ann_topk",

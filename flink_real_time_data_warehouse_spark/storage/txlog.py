@@ -628,6 +628,7 @@ class TxLog:
         if app_id is not None and app_version is not None:
             if self.state().apps.get(app_id, -1) >= app_version:
                 return self.state().version
+        self._validate(df)
         names, schema_json, stats, parts = self._stage(
             df, stats_cols, partition_by, bloom_cols
         )
@@ -648,6 +649,7 @@ class TxLog:
         commit in between fails this replace with TxConflictError."""
         if expected_version is None:
             expected_version = self.state().version
+        self._validate(df)
         names, schema_json, stats, parts = self._stage(df, stats_cols, partition_by)
         return self.commit_files(
             names, "replace", schema_json, expected_version=expected_version,
@@ -784,6 +786,7 @@ class TxLog:
         Pass `stats_cols=[key]` on every append AND merge to keep the
         file-level pruning effective across the table's life."""
         stats_cols = stats_cols if stats_cols is not None else [key]
+        self._validate(updates)
         for _ in range(max_retries):
             st = self.state()
             if not st.files:
@@ -896,6 +899,51 @@ class TxLog:
                 continue
         raise TxConflictError(f"delete lost {max_retries} consecutive OCC races")
 
+    # -- constraints ---------------------------------------------------
+
+    _CONSTRAINTS_KEY = "_constraints"
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """Register a CHECK constraint (Delta's ALTER TABLE ADD CONSTRAINT,
+        public docs): a SQL boolean expression every row of every LATER
+        write must satisfy. Stored in the app high-water map under a
+        reserved key (so it replays/checkpoints/truncates with the log for
+        free); existing data is NOT retro-validated (Delta's rule: the
+        ADD itself validates in a real deployment — here the caller opts
+        in by adding before loading). Enforced by :meth:`_validate` in
+        the DataFrame write paths; a violating batch raises BEFORE
+        staging, so nothing is committed and nothing leaks. Constraints
+        are immutable per (name, expr) — re-adding the same pair is an
+        idempotent no-op; redefining a name is not supported."""
+        return self.commit_files(
+            [], op="constraint",
+            app_id=f"{self._CONSTRAINTS_KEY}:{name}:{json.dumps(expr)}",
+            app_version=0,
+        )
+
+    def constraints(self) -> dict[str, str]:
+        """Active CHECK constraints, name -> SQL expression."""
+        pref = f"{self._CONSTRAINTS_KEY}:"
+        out = {}
+        for app in self.state().apps:
+            if app.startswith(pref):
+                name, expr_json = app[len(pref):].split(":", 1)
+                out[name] = json.loads(expr_json)
+        return out
+
+    def _validate(self, df: DataFrame) -> DataFrame:
+        """Raise if any row violates an active constraint. One pass over
+        the batch (a LIMIT-1 scan per constraint on the unwritten plan);
+        NULL predicate results count as violations, same as Delta."""
+        for name, expr in self.constraints().items():
+            bad = df.where(~F.expr(expr).eqNullSafe(F.lit(True))).limit(1)
+            row = bad.collect()
+            if row:
+                raise ValueError(
+                    f"CHECK constraint {name!r} ({expr}) violated, e.g.: {row[0]}"
+                )
+        return df
+
     _CDC_KEYS_MAX = 1_000_000  # above this, fall back to coarse range pruning
 
     def apply_cdc(
@@ -939,6 +987,7 @@ class TxLog:
                 return st0.version
         op_is_delete = F.col(op_col).isin(*delete_ops)
         upserts = changes.where(~op_is_delete).drop(op_col)
+        self._validate(upserts)
         key_rows = changes.where(F.col(key).isNotNull()).select(key).distinct()
         keys = [r[0] for r in key_rows.limit(self._CDC_KEYS_MAX + 1).collect()]
         exact = len(keys) <= self._CDC_KEYS_MAX

@@ -814,3 +814,49 @@ def test_delete_conflicts_with_concurrent_optimize(tmp_path, spark):
         fc.result(), fp.result()
     got = sorted(r["k"] for r in log.snapshot(spark).collect())
     assert got == [k for k in range(90) if not 10 <= k <= 19]
+
+
+def test_check_constraints_enforced_on_every_write_path(tmp_path, spark):
+    """ADD CONSTRAINT survives the log (replay + checkpoint) and gates
+    append, overwrite, merge, and apply_cdc upserts — a violating batch
+    raises BEFORE anything commits, a clean batch passes, and NULL
+    predicate results count as violations."""
+    log = TxLog(str(tmp_path / "t"))
+    log.add_constraint("v_nonneg", "v >= 0")
+    assert log.constraints() == {"v_nonneg": "v >= 0"}
+    ok = spark.createDataFrame([(1, 10), (2, 0)], "k long, v long")
+    log.append(ok, stats_cols=["k"])
+    v_before = log.state().version
+    bad = spark.createDataFrame([(3, -1)], "k long, v long")
+    with pytest.raises(ValueError, match="v_nonneg"):
+        log.append(bad)
+    with pytest.raises(ValueError, match="v_nonneg"):
+        log.overwrite(bad)
+    with pytest.raises(ValueError, match="v_nonneg"):
+        log.merge(spark, bad, "k")
+    with pytest.raises(ValueError, match="v_nonneg"):
+        log.apply_cdc(
+            spark,
+            spark.createDataFrame([(3, -1, "u")], "k long, v long, op string"),
+            "k",
+        )
+    # NULL counts as a violation (same as Delta)
+    with pytest.raises(ValueError, match="v_nonneg"):
+        log.append(spark.createDataFrame([(4, None)], "k long, v long"))
+    assert log.state().version == v_before, "no violating write committed"
+    # deletes in a CDC batch are exempt (their payload is null by design)
+    log.apply_cdc(
+        spark,
+        spark.createDataFrame([(1, None, "d")], "k long, v long, op string"),
+        "k",
+    )
+    assert sorted(r["k"] for r in log.snapshot(spark).collect()) == [2]
+    # constraints survive checkpoint + truncation
+    log.checkpoint()
+    log.truncate_log()
+    assert log.constraints() == {"v_nonneg": "v >= 0"}
+    with pytest.raises(ValueError, match="v_nonneg"):
+        log.append(bad)
+    # idempotent re-add commits nothing new
+    v = log.state().version
+    assert log.add_constraint("v_nonneg", "v >= 0") == v
