@@ -1280,6 +1280,9 @@ def untapped_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIG_ORDER_BROADCAST_MAX_ROWS = 1_000_000  # ~16 B/row => inside the 64 MB cap
+
+
 @register(
     "large_volume_orders",
     oracle=f"""
@@ -1296,11 +1299,14 @@ def untapped_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "re-joins lineitem against the HAVING-filtered orderkey list and "
         "aggregates it a SECOND time; this plan reuses the first "
         "aggregate's own sum as the output quantity — lineitem is "
-        "shuffled exactly once (the unavoidable per-orderkey aggregate), "
-        "and the HAVING survivors (~0.1% of orders at any SF) are "
-        "BROADCAST into orders, whose tiny join result is in turn "
-        "broadcast into customer: one wide shuffle + two map-side joins "
-        "instead of three shuffle joins. total_price flows as exact "
+        "shuffled exactly once for the per-orderkey aggregate, and that "
+        "aggregate is never recomputed. The HAVING-survivor side is "
+        "DATA-DEPENDENT (~1.4% of orders — billions of rows at 100 TB), "
+        "so its broadcast is SIZE-GATED like every batch-derived hint in "
+        "this repo (persist + one count): under the cap the survivors "
+        "broadcast into orders and the tiny result into customer (one "
+        "wide shuffle total); over it the hint is withheld and the joins "
+        "shuffle — degraded, never OOM. total_price flows as exact "
         "cents/100 on both sides"
     ),
 )
@@ -1312,20 +1318,22 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("total_qty"))
         .where(F.col("total_qty") > 250)
+        .persist()  # counted once for the gate, then reused by the join
     )
+    small = bigq.count() <= BIG_ORDER_BROADCAST_MAX_ROWS
+    b = F.broadcast(bigq) if small else bigq
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    hits = orders.join(
-        F.broadcast(bigq), F.col("o_orderkey") == F.col("l_orderkey")
-    ).select(
+    hits = orders.join(b, F.col("o_orderkey") == F.col("l_orderkey")).select(
         "o_custkey", "o_orderkey", money(F.col("o_totalprice")).alias("total_price"),
         "total_qty",
     )
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    return cust.join(
-        F.broadcast(hits), F.col("c_custkey") == F.col("o_custkey")
-    ).select("c_name", "o_orderkey", "total_price", "total_qty")
+    h = F.broadcast(hits) if small else hits  # |hits| == |bigq|: same gate
+    return cust.join(h, F.col("c_custkey") == F.col("o_custkey")).select(
+        "c_name", "o_orderkey", "total_price", "total_qty"
+    )
 
 
 @register(
