@@ -1168,10 +1168,16 @@ class TxLog:
                 return st.version
             victims = list(st.files)
             sc = stats_cols
+            # bloom metadata rides the stats dict under "bloom:<col>" keys:
+            # compaction RE-COMPUTES those filters for the packed files so
+            # point-lookup skipping survives optimize (dropping them would
+            # be safe but lossy — every packed file would be kept forever).
+            seen = {c for fs in st.stats.values() for c in fs}
+            bloom_cols = sorted(c[len("bloom:"):] for c in seen if c.startswith("bloom:"))
             if sc is None:
-                seen = {c for fs in st.stats.values() for c in fs}
-                seen.update(cluster_cols)
-                sc = sorted(seen) or None
+                plain = {c for c in seen if not c.startswith("bloom:")}
+                plain.update(cluster_cols)
+                sc = sorted(plain) or None
             base = self._read_files(spark, victims, st)
             if len(cluster_cols) == 1:
                 packed = base.repartitionByRange(max_files, F.col(cluster_cols[0]))
@@ -1186,7 +1192,9 @@ class TxLog:
                 )
             else:
                 packed = base.coalesce(max_files)
-            names, schema_json, stats, parts = self._stage(packed, sc)
+            names, schema_json, stats, parts = self._stage(
+                packed, sc, bloom_cols=bloom_cols or None
+            )
             try:
                 return self.commit_files(
                     names, op="optimize", schema_json=schema_json, removes=victims,

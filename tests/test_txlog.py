@@ -860,3 +860,22 @@ def test_check_constraints_enforced_on_every_write_path(tmp_path, spark):
     # idempotent re-add commits nothing new
     v = log.state().version
     assert log.add_constraint("v_nonneg", "v >= 0") == v
+
+
+def test_bloom_filters_survive_optimize(tmp_path, spark):
+    """Compaction re-computes bloom filters for the packed files, so a
+    point-lookup prune keeps skipping after optimize — and the [min,max]
+    stats path is untouched by the bloom bookkeeping."""
+    log = TxLog(str(tmp_path / "t"))
+    for r in range(4):
+        log.append(
+            spark.range(0, 4000).selectExpr("id AS k")
+            .where(f"k % 4 = {r}").coalesce(1),
+            bloom_cols=["k"],
+        )
+    log.optimize(spark, max_files=2)
+    st = log.state()
+    assert len(st.files) <= 2
+    assert all("bloom:k" in st.stats.get(n, {}) for n in st.files), st.stats.keys()
+    snap = log.snapshot(spark, bloom=("k", [17]))
+    assert snap.where("k = 17").count() == 1
