@@ -611,3 +611,69 @@ def test_lexicon_tranches_14_15_change_segmentation():
     assert fmm_segment("天气预报准确") == ["天气预报", "准确"]
     assert fmm_with(pre15, "演奏小提琴曲") == ["演奏", "小提", "琴", "曲"]
     assert fmm_segment("演奏小提琴曲") == ["演奏", "小提琴曲"]
+
+
+# ---------------------------------------------------------------------------
+# TxLog model-based test: random verb sequences vs a dict model
+# ---------------------------------------------------------------------------
+
+_txlog_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 7)),
+        st.tuples(st.just("merge"), st.integers(0, 39)),
+        st.tuples(st.just("delete"), st.integers(0, 39)),
+        st.tuples(st.just("cdc"), st.integers(0, 39)),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(ops=_txlog_ops)
+def test_txlog_verbs_match_dict_model(spark_global, tmp_path_factory, ops):
+    """MODEL-BASED check of the whole verb set: any sequence of
+    append / merge (type-1 upsert) / range delete / apply_cdc must leave
+    the table equal to the same sequence applied to a plain dict — the
+    executable spec of the commit protocol's read-modify-write semantics
+    (file-level pruning, OCC, stats bookkeeping are all invisible to it,
+    which is exactly the point)."""
+    from flink_real_time_data_warehouse_spark.storage import TxLog
+
+    spark = spark_global
+    log = TxLog(str(tmp_path_factory.mktemp("txmodel") / "t"))
+    model: dict[int, int] = {}
+    next_base = 0
+    for i, (op, arg) in enumerate(ops):
+        if op == "append":
+            lo = next_base
+            next_base += 10
+            rows = [(k, k * 100 + i) for k in range(lo, lo + 5 + arg % 3)]
+            log.append(
+                spark.createDataFrame(rows, "k long, v long").coalesce(1),
+                stats_cols=["k"],
+            )
+            model.update({k: v for k, v in rows})
+        elif op == "merge":
+            rows = [(arg + d, -(i * 100 + d)) for d in range(3)]
+            log.merge(spark, spark.createDataFrame(rows, "k long, v long"), "k")
+            model.update({k: v for k, v in rows})
+        elif op == "delete":
+            log.delete(spark, "k", arg, arg + 4)
+            model = {k: v for k, v in model.items() if not arg <= k <= arg + 4}
+        else:  # cdc: one upsert, one delete, one insert
+            ch = [
+                (arg, -1, "u"),
+                (arg + 1, None, "d"),
+                (1000 + i, i, "i"),
+            ]
+            log.apply_cdc(
+                spark,
+                spark.createDataFrame(ch, "k long, v long, op string"),
+                "k",
+            )
+            model[arg] = -1
+            model.pop(arg + 1, None)
+            model[1000 + i] = i
+    got = {r["k"]: r["v"] for r in log.snapshot(spark).collect()}
+    assert got == model
