@@ -137,6 +137,7 @@ HEADLINE = [
     "top_revenue_supplier",
     "min_cost_supplier",
     "trailing_30d_spend",
+    "doc_novelty",
     # streaming twins: full micro-batch replay wall time (state store +
     # shuffle-per-trigger regressions become visible round-over-round)
     "product_stats_stream",

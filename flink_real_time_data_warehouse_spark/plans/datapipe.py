@@ -2286,3 +2286,51 @@ def audio_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = assets_from_documents(table(spark, sf_dir, "documents"))
     return chunk_audio(assets, chunk_ms=1000)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "doc_novelty",
+    oracle=f"""
+    WITH {TOKS_CTE}, {SH_CTE},
+    freq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+    per_doc AS (
+      SELECT sh.doc_id, count(*) AS n_shingles,
+             count(*) FILTER (freq.df > 1) AS n_shared
+      FROM sh JOIN freq ON sh.s = freq.s
+      GROUP BY sh.doc_id
+    )
+    SELECT doc_id, n_shingles, n_shared,
+           1.0 - n_shared / n_shingles AS novelty
+    FROM per_doc
+    """,
+    doc=(
+        "per-document NOVELTY score — the fraction of a doc's distinct "
+        "3-shingles appearing in NO other document (Lee et al. 2021's "
+        "dup-fraction diagnostic, the per-doc aggregate of what dup_spans "
+        "reports span-by-span): the curation signal for 'mostly copied' "
+        "docs that pairwise dedup misses when the copying is many-to-one. "
+        "Scale shape: ONE shuffle on the shingle hash builds corpus "
+        "frequencies, the doc-side re-aggregation reuses the same "
+        "partitioning; integer counts + one IEEE division hash-match the "
+        "oracle exactly. No pairs are ever formed — cost is linear in "
+        "total shingles, so no frequency cap is needed"
+    ),
+)
+def doc_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.dedup import shingle_rows
+
+    sh = shingle_rows(table(spark, sf_dir, "documents"), "doc_id", "text")
+    freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    per_doc = (
+        sh.join(freq, "sh")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count_if(F.col("df") > 1).alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_shingles", "n_shared",
+        (F.lit(1.0) - F.col("n_shared") / F.col("n_shingles")).alias("novelty"),
+    )

@@ -70,7 +70,7 @@ _GRADE_FIRST: list[str] = [
     "abandoned_orders_stream", "fulfillment_stats_stream",
     "grouping_sets_sales", "order_value_quantiles_approx",
     "volume_shipping", "top_revenue_supplier",
-    "min_cost_supplier", "trailing_30d_spend",
+    "min_cost_supplier", "trailing_30d_spend", "doc_novelty",
     # The 13 r3-stale TPC-H queries above plus the 31 round-6 additions
     # fill 44 of the 50-slot window; the 6 r4 names below take the rest.
     # r7 rotation note: lead with the r4-stale set (lang_id ..
