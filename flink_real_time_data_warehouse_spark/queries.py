@@ -71,8 +71,9 @@ _GRADE_FIRST: list[str] = [
     "grouping_sets_sales", "order_value_quantiles_approx",
     "volume_shipping", "top_revenue_supplier",
     "min_cost_supplier", "trailing_30d_spend", "doc_novelty",
-    # The 13 r3-stale TPC-H queries above plus the 31 round-6 additions
-    # fill 44 of the 50-slot window; the 6 r4 names below take the rest.
+    # The 13 r3-stale TPC-H queries above plus the 32 round-6 additions
+    # fill 45 of the 50-slot window; the first 5 r4 names below take the
+    # rest.
     # r7 rotation note: lead with the r4-stale set (lang_id ..
     # token_budget_sample, decontaminate/repetition_stats/pack_sequences/
     # corpus_profile, scd2_user_status, serving_product_revenue, plus the
