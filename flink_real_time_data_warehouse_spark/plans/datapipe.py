@@ -2310,11 +2310,12 @@ def audio_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup-fraction diagnostic, the per-doc aggregate of what dup_spans "
         "reports span-by-span): the curation signal for 'mostly copied' "
         "docs that pairwise dedup misses when the copying is many-to-one. "
-        "Scale shape: ONE shuffle on the shingle hash builds corpus "
-        "frequencies, the doc-side re-aggregation reuses the same "
-        "partitioning; integer counts + one IEEE division hash-match the "
-        "oracle exactly. No pairs are ever formed — cost is linear in "
-        "total shingles, so no frequency cap is needed"
+        "Scale shape: the frequency join keys on the shingle hash (the "
+        "frequency side reuses its own aggregation partitioning), then "
+        "one per-doc aggregation shuffle; integer counts + one IEEE "
+        "division hash-match the oracle exactly. No pairs are ever "
+        "formed — cost is linear in total shingles, so no frequency cap "
+        "is needed"
     ),
 )
 def doc_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
