@@ -128,6 +128,7 @@ HEADLINE = [
     "txlog_zorder_read",
     "txlog_bloom_point_read",
     "txlog_cdc_apply",
+    "txlog_scd2_read",
     "order_count_distribution",
     "untapped_customers",
     "large_volume_orders",

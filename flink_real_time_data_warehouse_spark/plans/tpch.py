@@ -1817,3 +1817,78 @@ def trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trailing_spend"
         ),
     )
+
+
+@register(
+    "txlog_scd2_read",
+    oracle="""
+    WITH p AS (SELECT max(c_custkey) AS mc FROM customer),
+         w AS (SELECT mc // 8 AS l1, mc // 8 + mc // 8 AS h1,
+                      mc // 8 + mc // 16 AS l2,
+                      mc // 8 + mc // 8 + mc // 16 AS h2 FROM p),
+         c AS (SELECT c_custkey, c_mktsegment,
+                      c_custkey BETWEEN w.l1 AND w.h1 AS in1,
+                      c_custkey BETWEEN w.l2 AND w.h2 AS in2
+               FROM customer, w)
+    SELECT c_custkey, c_mktsegment AS segment,
+           CAST(0 AS BIGINT) AS valid_from,
+           CAST(CASE WHEN in1 THEN 1 WHEN in2 THEN 2 END AS BIGINT) AS valid_to,
+           NOT (in1 OR in2) AS is_current
+    FROM c
+    UNION ALL
+    SELECT c_custkey, 'SEG_A', 1, CAST(CASE WHEN in2 THEN 2 END AS BIGINT),
+           NOT in2
+    FROM c WHERE in1
+    UNION ALL
+    SELECT c_custkey, 'SEG_B', 2, CAST(NULL AS BIGINT), TRUE
+    FROM c WHERE in2
+    """,
+    doc=(
+        "SCD TYPE 2 maintenance end-to-end (storage/txlog.py apply_scd2 "
+        "— the history-keeping companion of the reference's type-1 dim "
+        "sink, DimSinkFunction.java:17-89; batch SCD2 derivation graded "
+        "separately by scd2_user_status): the customer dim loads as the "
+        "initial current generation, then TWO update batches land — "
+        "SEG_A at stamp 1 for one key window, SEG_B at stamp 2 for an "
+        "OVERLAPPING window — each in one atomic commit that closes the "
+        "key's current row and inserts the new one. Keys in both "
+        "windows must show the full three-row history (old closed at 1, "
+        "SEG_A closed at 2, SEG_B current); a lost close, duplicated "
+        "current row, or half-applied batch changes the hash. The "
+        "oracle constructs the expected history as window-membership "
+        "CASE/UNION over the source. Window bounds from max-key "
+        "arithmetic, SF-independent"
+    ),
+)
+def txlog_scd2_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..storage import TxLog
+
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    work = tempfile.mkdtemp(prefix="txlog_scd2_")
+    log = TxLog(os.path.join(work, "dim"))
+    init = cust.select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    mc = cust.agg(F.max("c_custkey")).first()[0]
+    log.append(init.coalesce(2), stats_cols=["c_custkey"])
+    l1, h1 = mc // 8, mc // 8 + mc // 8
+    l2, h2 = mc // 8 + mc // 16, mc // 8 + mc // 8 + mc // 16
+    u1 = cust.where(F.col("c_custkey").between(l1, h1)).select(
+        "c_custkey", F.lit("SEG_A").alias("segment"),
+        F.lit(1).cast("long").alias("valid_from"),
+    )
+    log.apply_scd2(spark, u1, "c_custkey")
+    u2 = cust.where(F.col("c_custkey").between(l2, h2)).select(
+        "c_custkey", F.lit("SEG_B").alias("segment"),
+        F.lit(2).cast("long").alias("valid_from"),
+    )
+    log.apply_scd2(spark, u2, "c_custkey")
+    return log.snapshot(spark).select(
+        "c_custkey", "segment", "valid_from", "valid_to", "is_current"
+    )

@@ -64,6 +64,7 @@ _GRADE_FIRST: list[str] = [
     "txlog_multi_partition_read", "txlog_change_feed", "waiting_supplier",
     "txlog_incremental_sync", "txlog_delete_read", "txlog_zorder_read",
     "txlog_bloom_point_read", "txlog_cdc_apply", "txlog_cdc_stream",
+    "txlog_scd2_read",
     "semantic_dedup_trained", "small_qty_revenue_shaped", "knn_label_noise",
     "source_overlap_matrix", "embedding_outliers", "source_quality_profile",
     "order_count_distribution", "untapped_customers", "large_volume_orders",
@@ -71,8 +72,8 @@ _GRADE_FIRST: list[str] = [
     "grouping_sets_sales", "order_value_quantiles_approx",
     "volume_shipping", "top_revenue_supplier",
     "min_cost_supplier", "trailing_30d_spend", "doc_novelty",
-    # The 13 r3-stale TPC-H queries above plus the 32 round-6 additions
-    # fill 45 of the 50-slot window; the first 5 r4 names below take the
+    # The 13 r3-stale TPC-H queries above plus the 33 round-6 additions
+    # fill 46 of the 50-slot window; the first 4 r4 names below take the
     # rest.
     # r7 rotation note: lead with the r4-stale set (lang_id ..
     # token_budget_sample, decontaminate/repetition_stats/pack_sequences/

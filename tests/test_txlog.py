@@ -879,3 +879,48 @@ def test_bloom_filters_survive_optimize(tmp_path, spark):
     assert all("bloom:k" in st.stats.get(n, {}) for n in st.files), st.stats.keys()
     snap = log.snapshot(spark, bloom=("k", [17]))
     assert snap.where("k = 17").count() == 1
+
+
+def test_apply_scd2_history_and_file_classification(tmp_path, spark):
+    """SCD2 apply: current rows close (valid_to = new stamp), updates
+    become the new current rows, history rides along, unseen keys
+    insert, and files holding no updated key survive by name."""
+    log = TxLog(str(tmp_path / "t"))
+    init = spark.createDataFrame(
+        [(k, "old", 0, None, True) for k in range(0, 100)],
+        "k long, seg string, valid_from long, valid_to long, is_current boolean",
+    )
+    for lo in (0, 50):
+        log.append(
+            init.where(f"k >= {lo} AND k < {lo + 50}").coalesce(1), stats_cols=["k"]
+        )
+    before = set(log.state().files)
+    # batch 1: keys 10..19 -> A at t=1 (touches only the first file)
+    u1 = spark.createDataFrame(
+        [(k, "A", 1) for k in range(10, 20)] + [(200, "NEW", 1)],
+        "k long, seg string, valid_from long",
+    )
+    log.apply_scd2(spark, u1, "k")
+    kept = before & set(log.state().files)
+    assert len(kept) == 1, "second file holds no updated key: must survive"
+    # batch 2: keys 15..24 -> B at t=2 (overlaps batch 1's window)
+    u2 = spark.createDataFrame(
+        [(k, "B", 2) for k in range(15, 25)], "k long, seg string, valid_from long"
+    )
+    log.apply_scd2(spark, u2, "k")
+    rows = {
+        (r["k"], r["seg"], r["valid_from"]): (r["valid_to"], r["is_current"])
+        for r in log.snapshot(spark).collect()
+    }
+    assert rows[(5, "old", 0)] == (None, True)         # untouched key
+    assert rows[(12, "old", 0)] == (1, False)          # closed by batch 1
+    assert rows[(12, "A", 1)] == (None, True)          # still current
+    assert rows[(17, "old", 0)] == (1, False)          # closed by batch 1
+    assert rows[(17, "A", 1)] == (2, False)            # closed by batch 2
+    assert rows[(17, "B", 2)] == (None, True)
+    assert rows[(22, "old", 0)] == (2, False)          # closed by batch 2 only
+    assert rows[(22, "B", 2)] == (None, True)
+    assert rows[(200, "NEW", 1)] == (None, True)       # insert
+    # exactly one current row per live key
+    cur = log.snapshot(spark).where("is_current").groupBy("k").count()
+    assert cur.where("count > 1").count() == 0
