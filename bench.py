@@ -139,6 +139,17 @@ HEADLINE = [
     "min_cost_supplier",
     "trailing_30d_spend",
     "doc_novelty",
+    "shipping_priority",
+    "revenue_delta",
+    "returned_item_losers",
+    "promo_revenue_share",
+    "late_shipment_priority",
+    "market_share",
+    "priority_shipping_counts",
+    "brand_supplier_counts",
+    "product_type_profit",
+    "discounted_brand_revenue",
+    "excess_shippers",
     # streaming twins: full micro-batch replay wall time (state store +
     # shuffle-per-trigger regressions become visible round-over-round)
     "product_stats_stream",

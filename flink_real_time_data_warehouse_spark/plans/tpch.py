@@ -1892,3 +1892,485 @@ def txlog_scd2_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log.snapshot(spark).select(
         "c_custkey", "segment", "valid_from", "valid_to", "is_current"
     )
+
+
+@register(
+    "shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey, {sql_money_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    doc=(
+        "TPC-H Q3 shape (shipping priority): segment filter pushes to "
+        "the customer scan, both date filters to their fact scans, "
+        "BEFORE the joins; top-10 via TakeOrderedAndProject (partial "
+        "per-partition top-k, no global sort materialization); ties "
+        "broken on orderkey so LIMIT is deterministic"
+    ),
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import TS_FMT
+
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    cust = table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "l_orderkey", F.date_format("o_orderdate", TS_FMT).alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(money_sum(F.col("net")).alias("revenue"))
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "revenue_delta",
+    oracle=f"""
+    SELECT {sql_money_sum('l_extendedprice * l_discount')} AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc=(
+        "TPC-H Q6 shape (forecast revenue delta): pure filter-and-sum — "
+        "every predicate reaches the parquet scan (PushedFilters), the "
+        "aggregate is one partial+final pass with no shuffle beyond the "
+        "single-row exchange. The simplest shape there is, carried so "
+        "the full 22-query sweep has its baseline scan-bound member"
+    ),
+)
+def revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue_delta")
+    )
+
+
+@register(
+    "returned_item_losers",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation_name,
+           {sql_money_sum('l.l_extendedprice * (1 - l.l_discount)')} AS lost_revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY lost_revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    doc=(
+        "TPC-H Q10 shape (returned-item losers): the returnflag filter "
+        "prunes lineitem at the scan (~1/3 survives), the date filter "
+        "prunes orders; aggregate keyed on the customer, nation "
+        "broadcast AFTER the agg keeps the wide shuffle narrow; top-20 "
+        "with a custkey tiebreak"
+    ),
+)
+def returned_item_losers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+    )
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    ).select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nation = F.broadcast(
+        table(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation_name"))
+    )
+    agg = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_nationkey")
+        .agg(money_sum(F.col("net")).alias("lost_revenue"))
+    )
+    return (
+        agg.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "nation_name", "lost_revenue")
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "promo_revenue_share",
+    oracle=f"""
+    SELECT (100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                             THEN {sql_cents('l.l_extendedprice * (1 - l.l_discount)')}
+                             ELSE 0 END))
+           / sum({sql_cents('l.l_extendedprice * (1 - l.l_discount)')}) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-08-01 00:00:00'
+    """,
+    doc=(
+        "TPC-H Q14 shape (promo revenue percent): a conditional-sum "
+        "RATIO — both numerator and denominator are exact integer cents "
+        "from ONE pass over the month's lineitem joined to part (the "
+        "dim side unhinted: part is O(catalog) and AQE decides), and "
+        "the percent is a single IEEE expression written identically "
+        "in both engines so the float is bit-equal. No second scan, no "
+        "subquery — the CASE does the branch"
+    ),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-08-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_c"))
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("net_c")).otherwise(F.lit(0)))
+    return j.agg(
+        ((F.lit(100.0) * promo) / F.sum("net_c")).alias("promo_pct")
+    )
+
+
+@register(
+    "late_shipment_priority",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_ct
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+    doc=(
+        "TPC-H Q4 shape (order priority check; the fixture lacks "
+        "commit/receipt dates, so 'late' = a lineitem shipped more than "
+        "60 days after the order — the same cross-table-inequality "
+        "EXISTS): the correlated EXISTS becomes a LEFT SEMI join whose "
+        "equi-key is the orderkey and whose inequality rides as the "
+        "join residual — each order emits at most once however many "
+        "late lines it has, which a plain inner join would get wrong. "
+        "Date filter pushed to the orders scan"
+    ),
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count("*").alias("order_ct"))
+
+
+@register(
+    "market_share",
+    oracle=f"""
+    WITH flat AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS l_year,
+             {sql_cents('l.l_extendedprice * (1 - l.l_discount)')} AS net_c,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer cu ON cu.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = cu.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    )
+    SELECT l_year,
+           (1.0 * sum(CASE WHEN supp_nation = 'NATION_3' THEN net_c ELSE 0 END))
+             / sum(net_c) AS mkt_share
+    FROM flat GROUP BY l_year
+    """,
+    doc=(
+        "TPC-H Q8 shape (national market share): the share of one "
+        "supplier nation in ASIA customers' purchase revenue per year — "
+        "a conditional-sum ratio over a 6-way join. The region filter "
+        "prunes the broadcast customer-nation dim to its 5 nations "
+        "BEFORE the fact joins; numerator and denominator come from ONE "
+        "pass (the CASE branches, no self-join), both exact cents, one "
+        "identically-written IEEE division per group"
+    ),
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_c"),
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cnat = F.broadcast(
+        nat.join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    snat = F.broadcast(nat.select(F.col("n_nationkey").alias("sn_key"),
+                                  F.col("n_name").alias("supp_nation")))
+    supp = F.broadcast(table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    flat = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(cnat, F.col("c_nationkey") == F.col("cn_key"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(snat, F.col("s_nationkey") == F.col("sn_key"))
+    )
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("net_c")).otherwise(F.lit(0)))
+    return flat.groupBy(F.year("o_orderdate").cast("int").alias("l_year")).agg(
+        ((F.lit(1.0) * num) / F.sum("net_c")).alias("mkt_share")
+    )
+
+
+@register(
+    "priority_shipping_counts",
+    oracle="""
+    SELECT CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           count(*) FILTER (o.o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_ct,
+           count(*) FILTER (o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_ct
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    doc=(
+        "TPC-H Q12 shape (the fixture lacks shipmode, so ship YEAR "
+        "stands in for the mode dimension): conditional counts split "
+        "high/low order priority per bucket — CASE inside the "
+        "aggregate, one pass, no pivot/Expand; the 3-year shipdate "
+        "window reaches the lineitem scan"
+    ),
+)
+def priority_shipping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.count_if(high).alias("high_ct"),
+            F.count_if(~high).alias("low_ct"),
+        )
+    )
+
+
+@register(
+    "brand_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_ct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type <> 'PROMO' AND p.p_size IN (1, 4, 9, 14, 19, 23)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "TPC-H Q16 shape (supplier counts per brand/size; lineitem "
+        "stands in for partsupp as the part-supplier relation): "
+        "count-DISTINCT per group after a NOT IN blacklist — the NOT IN "
+        "over non-null keys is a null-safe ANTI join against the "
+        "broadcast negative-balance suppliers, the part filters prune "
+        "the dim before its join, and the distinct aggregate runs as "
+        "partial-distinct then final (no Expand)"
+    ),
+)
+def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = table(spark, sf_dir, "part").where(
+        (F.col("p_type") != "PROMO") & F.col("p_size").isin(1, 4, 9, 14, 19, 23)
+    ).select("p_partkey", "p_brand", "p_size")
+    bad = F.broadcast(
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(bad, "l_suppkey", "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_ct"))
+    )
+
+
+@register(
+    "product_type_profit",
+    oracle=f"""
+    SELECT sn.n_name AS nation_name,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           {sql_money_sum('l.l_extendedprice * (1 - l.l_discount)')} AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%gear%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "TPC-H Q9 shape (product-type profit by supplier nation and "
+        "year; net revenue stands in for profit — the fixture has no "
+        "ps_supplycost): the p_name LIKE filter prunes the part dim "
+        "BEFORE its join (a contains-pattern can't push to parquet "
+        "stats, but it runs on the O(catalog) dim scan, not the fact), "
+        "then one fact pass through broadcast dims and a "
+        "(nation, year) aggregate"
+    ),
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+    )
+    part = table(spark, sf_dir, "part").where(F.col("p_name").like("%gear%")).select(
+        "p_partkey"
+    )
+    supp = F.broadcast(table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    nat = F.broadcast(
+        table(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation_name"))
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(money_sum(F.col("net")).alias("profit"))
+    )
+
+
+@register(
+    "discounted_brand_revenue",
+    oracle=f"""
+    SELECT {sql_money_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc=(
+        "TPC-H Q19 shape (discounted revenue over three disjunctive "
+        "brand/size/quantity branches): the OR spans BOTH join sides, "
+        "so it can only evaluate above the join — but Catalyst derives "
+        "and pushes each side's implication (brand IN the 3, size <= "
+        "15 on the part scan; quantity in the OR'd hull on the "
+        "lineitem scan), so both scans prune before the join and the "
+        "full disjunction re-checks only surviving pairs — the Q7 "
+        "lesson applied to a 3-branch predicate"
+    ),
+)
+def discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    branch = (
+        (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#14") & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.where(branch).agg(money_sum(F.col("net")).alias("revenue"))
+
+
+@register(
+    "excess_shippers",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (SELECT l_partkey, sum(q) AS tq FROM ps GROUP BY 1),
+    hot AS (
+      SELECT DISTINCT ps.l_suppkey
+      FROM ps
+      JOIN tot ON tot.l_partkey = ps.l_partkey
+      JOIN part p ON p.p_partkey = ps.l_partkey AND p.p_brand = 'Brand#22'
+      WHERE ps.q * 10 > tot.tq * 1
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s WHERE s.s_suppkey IN (SELECT l_suppkey FROM hot)
+    """,
+    doc=(
+        "TPC-H Q20 shape (suppliers holding excess share; shipped "
+        "quantity stands in for ps_availqty): NESTED semi-joins — "
+        "suppliers IN (part-suppliers whose shipped quantity exceeds "
+        "10% of a brand-filtered part's total). The per-(part,supplier) "
+        "and per-part aggregates share one shuffle key prefix (the "
+        "second reuses the first's partitioning); the 10% threshold is "
+        "integer-exact (q*10 > tq*1 over integral quantities — no "
+        "float share to round differently); the brand filter keeps "
+        "whole partkeys so it prunes the aggregate input via semi-join "
+        "the same way shaped-Q17 does"
+    ),
+)
+def excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    brand_keys = F.broadcast(
+        table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#22")
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    ps = (
+        li.join(brand_keys, "l_partkey", "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    w = Window.partitionBy("l_partkey")
+    hot = (
+        ps.withColumn("tq", F.sum("q").over(w))
+        .where(F.col("q") * 10 > F.col("tq") * 1)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return supp.join(
+        hot, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")

@@ -72,9 +72,14 @@ _GRADE_FIRST: list[str] = [
     "grouping_sets_sales", "order_value_quantiles_approx",
     "volume_shipping", "top_revenue_supplier",
     "min_cost_supplier", "trailing_30d_spend", "doc_novelty",
-    # The 13 r3-stale TPC-H queries above plus the 33 round-6 additions
-    # fill 46 of the 50-slot window; the first 4 r4 names below take the
-    # rest.
+    "shipping_priority", "revenue_delta", "returned_item_losers",
+    "promo_revenue_share", "late_shipment_priority", "market_share",
+    "priority_shipping_counts", "brand_supplier_counts",
+    "product_type_profit", "discounted_brand_revenue", "excess_shippers",
+    # The 13 r3-stale TPC-H queries above plus 44 round-6 additions
+    # overflow the 50-slot window by 7: the last 7 Q-shape additions
+    # (simple single-agg plans, lowest grading risk) plus the whole r4
+    # block miss r6 and MUST lead r7.
     # r7 rotation note: lead with the r4-stale set (lang_id ..
     # token_budget_sample, decontaminate/repetition_stats/pack_sequences/
     # corpus_profile, scd2_user_status, serving_product_revenue, plus the
