@@ -2340,9 +2340,9 @@ def discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "TPC-H Q20 shape (suppliers holding excess share; shipped "
         "quantity stands in for ps_availqty): NESTED semi-joins — "
         "suppliers IN (part-suppliers whose shipped quantity exceeds "
-        "10% of a brand-filtered part's total). The per-(part,supplier) "
-        "and per-part aggregates share one shuffle key prefix (the "
-        "second reuses the first's partitioning); the 10% threshold is "
+        "10% of a brand-filtered part's total). The plan pre-partitions "
+        "on l_partkey so the (part,supplier) aggregate AND the per-part "
+        "total window share ONE shuffle (plan-tested); the 10% threshold is "
         "integer-exact (q*10 > tq*1 over integral quantities — no "
         "float share to round differently); the brand filter keeps "
         "whole partkeys so it prunes the aggregate input via semi-join "
@@ -2358,8 +2358,13 @@ def excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p_partkey").alias("l_partkey"))
     )
     li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    # ONE shuffle for both stateful steps: hash on l_partkey alone —
+    # ClusteredDistribution(l_partkey, l_suppkey) is satisfied by it, so
+    # the (part, supplier) aggregate adds no exchange, and the per-part
+    # window runs on the same partitioning.
     ps = (
         li.join(brand_keys, "l_partkey", "left_semi")
+        .repartition(F.col("l_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("q"))
     )

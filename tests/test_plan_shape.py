@@ -469,3 +469,47 @@ def test_runtime_bloom_filter_injected(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_q19_or_implications_pushed_to_both_scans(spark):
+    """discounted_brand_revenue: the 3-branch OR spans both join sides,
+    but its single-side implications must reach each scan — the part
+    scan's pushed/filter section mentions p_brand, the lineitem side
+    filters l_quantity BELOW the join."""
+    from flink_real_time_data_warehouse_spark.plans.tpch import discounted_brand_revenue
+
+    p = plan_of(discounted_brand_revenue(spark, TEST_SF_DIR))
+    join_pos = max(p.find("BroadcastHashJoin"), p.find("SortMergeJoin"))
+    assert join_pos != -1
+    below = p[join_pos:]
+    assert "p_brand" in below and "l_quantity" in below, "implications not pushed"
+
+
+def test_q4_exists_is_semi_join_with_residual(spark):
+    """late_shipment_priority: the cross-table-inequality EXISTS must be
+    a LEFT SEMI join (each order at most once), with the inequality as
+    the join residual — never an inner join + distinct."""
+    from flink_real_time_data_warehouse_spark.plans.tpch import late_shipment_priority
+
+    p = plan_of(late_shipment_priority(spark, TEST_SF_DIR))
+    assert "LeftSemi" in p, p
+    assert "Distinct" not in p and "deduplicate" not in p.lower(), p
+
+
+def test_q20_window_reuses_aggregate_partitioning(spark):
+    """excess_shippers: the per-part total is a window over the
+    (part, supplier) aggregate — partitioned on the aggregate's own key
+    prefix, so the window adds no exchange."""
+    from flink_real_time_data_warehouse_spark.plans.tpch import excess_shippers
+
+    p = plan_of(excess_shippers(spark, TEST_SF_DIR))
+    win_pos = p.find("Window")
+    part_exch = p.find("Exchange hashpartitioning(l_partkey")
+    assert win_pos != -1 and part_exch != -1
+    assert part_exch > win_pos, "the partkey exchange must sit BELOW the window"
+    assert "Exchange hashpartitioning" not in p[win_pos:part_exch], (
+        "an extra shuffle crept between the window and the shared partkey exchange"
+    )
+    assert p.count("Exchange hashpartitioning(l_partkey") == 1, (
+        "agg and window must share ONE partkey exchange"
+    )

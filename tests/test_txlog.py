@@ -924,3 +924,33 @@ def test_apply_scd2_history_and_file_classification(tmp_path, spark):
     # exactly one current row per live key
     cur = log.snapshot(spark).where("is_current").groupBy("k").count()
     assert cur.where("count > 1").count() == 0
+
+
+def test_concurrent_scd2_appliers_serialize_without_lock(tmp_path, spark):
+    """Two SCD2 appliers race on one dim (disjoint key windows): OCC must
+    serialize them — both histories land, exactly one current row per
+    key, and neither batch clobbers the other's closes."""
+    log = TxLog(str(tmp_path / "t"))
+    init = spark.createDataFrame(
+        [(k, "old", 0, None, True) for k in range(0, 40)],
+        "k long, seg string, valid_from long, valid_to long, is_current boolean",
+    )
+    log.append(init.coalesce(1), stats_cols=["k"])
+    a = spark.createDataFrame([(k, "A", 1) for k in range(0, 5)],
+                              "k long, seg string, valid_from long")
+    b = spark.createDataFrame([(k, "B", 1) for k in range(30, 35)],
+                              "k long, seg string, valid_from long")
+
+    def apply(u):
+        return log.apply_scd2(spark, u, "k")
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        va, vb = ex.map(apply, [a, b])
+    assert {va, vb} == {1, 2}
+    snap = log.snapshot(spark)
+    cur = snap.where("is_current").groupBy("k").count()
+    assert cur.where("count > 1").count() == 0
+    rows = {(r["k"], r["seg"]): (r["valid_to"], r["is_current"]) for r in snap.collect()}
+    assert rows[(2, "A")] == (None, True) and rows[(2, "old")] == (1, False)
+    assert rows[(32, "B")] == (None, True) and rows[(32, "old")] == (1, False)
+    assert rows[(20, "old")] == (None, True)
