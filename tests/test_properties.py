@@ -643,7 +643,10 @@ def test_txlog_verbs_match_dict_model(spark_global, tmp_path_factory, ops):
     spark = spark_global
     log = TxLog(str(tmp_path_factory.mktemp("txmodel") / "t"))
     model: dict[int, int] = {}
-    next_base = 0
+    # append is a MULTISET add, not an upsert: its keys live in their own
+    # space (2000+) so the dict model stays valid — merge/delete/cdc share
+    # the low key space and exercise the read-modify-write interplay.
+    next_base = 2000
     for i, (op, arg) in enumerate(ops):
         if op == "append":
             lo = next_base

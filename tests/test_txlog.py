@@ -954,3 +954,34 @@ def test_concurrent_scd2_appliers_serialize_without_lock(tmp_path, spark):
     assert rows[(2, "A")] == (None, True) and rows[(2, "old")] == (1, False)
     assert rows[(32, "B")] == (None, True) and rows[(32, "old")] == (1, False)
     assert rows[(20, "old")] == (None, True)
+
+
+def test_zorder_three_columns(tmp_path, spark):
+    """Z-order generalizes past two dimensions: with three independent
+    columns, a narrow prune on EACH skips files (bits_per_col drops to
+    60//3 but the interleave math must stay correct and lossless)."""
+    df = spark.range(0, 4096).selectExpr(
+        "id % 16 AS x", "(id DIV 16) % 16 AS y", "id DIV 256 AS z2", "id AS v"
+    )
+    log = TxLog(str(tmp_path / "z3"))
+    log.append(df.repartition(4), stats_cols=["x", "y", "z2"])
+    log.optimize(spark, max_files=8, cluster_by=["x", "y", "z2"])
+    n = len(log.state().files)
+    for col in ("x", "y", "z2"):
+        kept = len(log.snapshot(spark, prune=(col, 0, 1)).inputFiles())
+        assert kept < n, f"{col}: no files skipped ({kept}/{n})"
+    got = sorted(r["v"] for r in log.snapshot(spark).collect())
+    assert got == list(range(4096)), "clustering must be lossless"
+
+
+def test_delete_on_bloom_only_files_is_conservative(tmp_path, spark):
+    """A file committed with bloom_cols but NO [min,max] stats has no
+    range metadata: a range delete must conservatively rewrite it (never
+    skip it as disjoint, never drop it whole)."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(
+        spark.range(0, 50).selectExpr("id AS k").coalesce(1), bloom_cols=["k"]
+    )
+    log.delete(spark, "k", 10, 19)
+    got = sorted(r["k"] for r in log.snapshot(spark).collect())
+    assert got == [k for k in range(50) if not 10 <= k <= 19]
