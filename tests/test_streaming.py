@@ -310,3 +310,53 @@ def test_minhash_dedup_stream_cross_batch_collapse(spark, tmp_path):
     assert len(rows) == 2
     keepers = sorted(r.keep_id for r in rows)
     assert keepers in ([1, 2], [2, 3])  # whichever file replayed first owns text_a
+
+
+def test_network_streaming_source_end_to_end(spark):
+    """A REAL network streaming source (Spark's socket source over a
+    localhost TCP server): records leave a socket, cross the network
+    stack, and land in a streaming sink — the closest this sandbox can
+    get to the Kafka consumer path (S1), whose wrapper builds plans but
+    has no broker to move records through. Exercises source discovery,
+    micro-batch scheduling, and stop semantics on a non-file source."""
+    import socket
+    import threading
+    import time
+
+    lines = [f"evt-{i}" for i in range(20)]
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            time.sleep(8)  # keep the connection up while batches drain
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    stream = (
+        spark.readStream.format("socket")
+        .option("host", "127.0.0.1")
+        .option("port", str(port))
+        .load()
+    )
+    name = "socket_sink_test"
+    q = (
+        stream.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.table(name).count() >= len(lines):
+                break
+            time.sleep(0.5)
+        got = sorted(r["value"] for r in spark.table(name).collect())
+        assert got == sorted(lines), "every record must cross the socket exactly once"
+    finally:
+        q.stop()
+        srv.close()
