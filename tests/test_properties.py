@@ -678,5 +678,10 @@ def test_txlog_verbs_match_dict_model(spark_global, tmp_path_factory, ops):
             model[arg] = -1
             model.pop(arg + 1, None)
             model[1000 + i] = i
+    if log.state().version < 0:
+        # every op was a no-op on a never-committed table (e.g. a lone
+        # disjoint delete): no schema exists and snapshot() rightly raises
+        assert model == {}
+        return
     got = {r["k"]: r["v"] for r in log.snapshot(spark).collect()}
     assert got == model
