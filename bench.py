@@ -129,6 +129,7 @@ HEADLINE = [
     "txlog_bloom_point_read",
     "txlog_cdc_apply",
     "txlog_scd2_read",
+    "txlog_cdf_feed",
     "order_count_distribution",
     "untapped_customers",
     "large_volume_orders",

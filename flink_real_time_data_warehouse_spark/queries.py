@@ -64,7 +64,7 @@ _GRADE_FIRST: list[str] = [
     "txlog_multi_partition_read", "txlog_change_feed", "waiting_supplier",
     "txlog_incremental_sync", "txlog_delete_read", "txlog_zorder_read",
     "txlog_bloom_point_read", "txlog_cdc_apply", "txlog_cdc_stream",
-    "txlog_scd2_read",
+    "txlog_scd2_read", "txlog_cdf_feed",
     "semantic_dedup_trained", "small_qty_revenue_shaped", "knn_label_noise",
     "source_overlap_matrix", "embedding_outliers", "source_quality_profile",
     "order_count_distribution", "untapped_customers", "large_volume_orders",

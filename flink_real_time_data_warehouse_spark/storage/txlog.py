@@ -457,6 +457,7 @@ class TxLog:
         removes: list[str] | None = None,
         stats: dict | None = None,
         parts: dict | None = None,
+        cdf: list[str] | None = None,
         max_retries: int = 100,
     ) -> int:
         """Commit already-staged data files. Returns the committed (or, for
@@ -468,7 +469,12 @@ class TxLog:
         a concurrent commit in between raises :class:`TxConflictError`
         (staged files are cleaned up). `removes` without
         `expected_version` follows the disjoint-file rule (OPTIMIZE).
+        `cdf` names CHANGE-DATA-FEED sidecar files staged alongside the
+        commit (Delta's cdc files): not part of table state, but named by
+        the manifest so `changes()` can replay the commit's logical
+        changes and `vacuum` spares them while their manifest lives.
         """
+        staged_all = list(adds) + list(cdf or [])
         try:
             for _ in range(max_retries):
                 st = self.state()
@@ -479,10 +485,10 @@ class TxLog:
                 ):
                     # Replayed epoch (crash-retry): already committed once;
                     # drop this attempt's staged files and report current state.
-                    self._delete_staged(adds)
+                    self._delete_staged(staged_all)
                     return st.version
                 if expected_version is not None and st.version != expected_version:
-                    self._delete_staged(adds)
+                    self._delete_staged(staged_all)
                     raise TxConflictError(
                         f"{op} derived from v{expected_version} but table is at v{st.version}"
                     )
@@ -494,7 +500,7 @@ class TxLog:
                     # never conflict, so compaction runs alongside ingestion.
                     missing = set(removes) - set(st.files)
                     if missing:
-                        self._delete_staged(adds)
+                        self._delete_staged(staged_all)
                         raise TxConflictError(
                             f"files to remove are no longer live: {sorted(missing)[:3]}..."
                         )
@@ -504,6 +510,7 @@ class TxLog:
                     "removes": list(removes or []),
                     "stats": stats or {},
                     "parts": parts or {},
+                    "cdf": list(cdf or []),
                     "schema_json": schema_json,
                     "app_id": app_id,
                     "app_version": app_version,
@@ -516,9 +523,9 @@ class TxLog:
         except TxConflictError:
             raise  # staged files already cleaned at the raise site
         except BaseException:
-            self._delete_staged(adds)  # e.g. manifest serialization failure
+            self._delete_staged(staged_all)  # e.g. manifest serialization failure
             raise
-        self._delete_staged(adds)
+        self._delete_staged(staged_all)
         raise TxConflictError(f"commit lost {max_retries} consecutive version races")
 
     def _delete_staged(self, names: list[str]) -> None:
@@ -1019,11 +1026,20 @@ class TxLog:
             else:
                 merged = upserts
             names, schema_json, stats, parts = self._stage(merged, stats_cols)
+            # CHANGE-DATA-FEED sidecar (Delta's cdc files): the commit's
+            # logical changes — upserts with payload, deletes as key +
+            # null payload — typed and staged alongside, so downstream
+            # consumers read the delta instead of re-syncing a snapshot.
+            cdf_rows = changes.withColumn(
+                "_change_type",
+                F.when(op_is_delete, F.lit("delete")).otherwise(F.lit("upsert")),
+            ).drop(op_col)
+            cdf_names, _, _, _ = self._stage(cdf_rows)
             try:
                 return self.commit_files(
                     names, op="cdc", schema_json=schema_json, removes=touched,
                     expected_version=st.version, stats=stats, parts=parts,
-                    app_id=app_id, app_version=app_version,
+                    cdf=cdf_names, app_id=app_id, app_version=app_version,
                 )
             except TxConflictError:
                 continue
@@ -1123,18 +1139,26 @@ class TxLog:
         spark: SparkSession,
         from_version: int,
         to_version: int | None = None,
+        cdf: bool = False,
     ) -> DataFrame:
-        """Append-only CHANGE FEED (Delta CDF's insert case): the rows
-        ADDED by commits in ``(from_version, to_version]``, each tagged
-        with its ``_commit_version`` — what an incremental consumer reads
-        per sync instead of diffing snapshots. O(changed bytes): only the
-        named files are read, never the table.
+        """CHANGE FEED over ``(from_version, to_version]``, each row
+        tagged with its ``_commit_version`` — what an incremental
+        consumer reads per sync instead of diffing snapshots. O(changed
+        bytes): only the named files are read, never the table.
 
-        Non-append commits (replace/merge/optimize) REWRITE files — their
-        adds are physical movements, not logical inserts — so a feed
-        crossing one raises :class:`TxConflictError`: the consumer must
-        re-sync from a snapshot, which keeps the feed exact instead of
-        silently wrong. A range whose manifests were truncated raises
+        Default mode is Delta CDF's insert case: append commits only —
+        a feed crossing any other commit raises :class:`TxConflictError`
+        (the consumer re-syncs from a snapshot), which keeps the feed
+        exact instead of silently wrong.
+
+        ``cdf=True`` additionally adds a ``_change_type`` column and
+        serves ``apply_cdc`` commits from their CHANGE-DATA-FEED sidecar
+        files (Delta's cdc files, staged at commit time): append rows
+        come back as ``insert``, CDC upserts as ``upsert`` with full
+        payload, CDC deletes as ``delete`` with the key and NULL
+        payload. Physical rewrites (replace/merge/optimize/delete/scd2)
+        still raise — they carry no logical-change record. A range whose
+        manifests were truncated raises
         :class:`TxVersionTruncatedError`."""
         st = self.state()  # schema fallback + existence check
         hi = st.version if to_version is None else to_version
@@ -1148,10 +1172,19 @@ class TxLog:
                     "but it was truncated — re-sync from a snapshot"
                 )
             m = self.store.read(self._manifest_name(v))
+            if cdf and m["op"] == "cdc" and m.get("cdf"):
+                cdf_df = spark.read.parquet(
+                    *[os.path.join(self.data_path, n) for n in m["cdf"]]
+                )
+                frames.append(
+                    cdf_df.withColumn("_commit_version", F.lit(v).cast("long"))
+                )
+                continue
             if m["op"] != "append":
                 raise TxConflictError(
                     f"v{v} is a {m['op']} commit (file rewrite, not inserts); "
-                    "change feed is append-only — re-sync from a snapshot"
+                    "the change feed cannot reconstruct it — re-sync from a "
+                    "snapshot"
                 )
             if not m["adds"]:
                 continue
@@ -1159,21 +1192,24 @@ class TxLog:
                 v, tuple(m["adds"]), {}, m.get("schema_json") or st.schema_json,
                 m.get("stats") or {}, m.get("parts") or {},
             )
-            frames.append(
-                self._read_files(spark, list(m["adds"]), vst).withColumn(
-                    "_commit_version", F.lit(v).cast("long")
-                )
+            frame = self._read_files(spark, list(m["adds"]), vst).withColumn(
+                "_commit_version", F.lit(v).cast("long")
             )
+            if cdf:
+                frame = frame.withColumn("_change_type", F.lit("insert"))
+            frames.append(frame)
         if not frames:
             if st.schema_json is None:
                 raise ValueError(f"txlog table {self.path!r} has no commits")
             empty = spark.createDataFrame(
                 [], StructType.fromJson(json.loads(st.schema_json))
-            )
-            return empty.withColumn("_commit_version", F.lit(None).cast("long"))
+            ).withColumn("_commit_version", F.lit(None).cast("long"))
+            if cdf:
+                empty = empty.withColumn("_change_type", F.lit(None).cast("string"))
+            return empty
         out = frames[0]
         for f in frames[1:]:
-            out = out.unionByName(f)
+            out = out.unionByName(f, allowMissingColumns=True)
         return out
 
     def history(self) -> list[dict]:
@@ -1375,6 +1411,16 @@ class TxLog:
         and held snapshots, exactly Delta's VACUUM contract. Returns the
         number of files/directories removed."""
         live = set(self.state().files)
+        # CDF sidecars are referenced by manifests, not table state: keep
+        # them while their manifest lives (after truncation the manifest
+        # is gone, changes() raises TxVersionTruncatedError for the range,
+        # and the sidecar becomes a collectible orphan).
+        manifests, _ = self._list_log()
+        for v in manifests:
+            try:
+                live.update(self.store.read(self._manifest_name(v)).get("cdf") or [])
+            except FileNotFoundError:
+                pass
         now = time.time()
         n = 0
         for name in os.listdir(self.data_path):

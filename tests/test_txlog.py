@@ -985,3 +985,50 @@ def test_delete_on_bloom_only_files_is_conservative(tmp_path, spark):
     log.delete(spark, "k", 10, 19)
     got = sorted(r["k"] for r in log.snapshot(spark).collect())
     assert got == [k for k in range(50) if not 10 <= k <= 19]
+
+
+def test_cdf_feed_serves_cdc_commits(tmp_path, spark):
+    """changes(cdf=True) replays a CDC commit from its sidecar files:
+    inserts typed 'insert', upserts with payload, deletes as key+NULL —
+    while the default feed still refuses the cdc commit (exactness
+    contract unchanged). Sidecars survive a replayed epoch without
+    duplication and vacuum spares them while their manifest lives."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(
+        spark.createDataFrame([(k, k * 10) for k in range(5)], "k long, v long")
+        .coalesce(1),
+        stats_cols=["k"],
+    )
+    ch = spark.createDataFrame(
+        [(1, -1, "u"), (3, None, "d"), (100, 5, "i")], "k long, v long, op string"
+    )
+    log.apply_cdc(spark, ch, "k", app_id="cdc", app_version=0)
+    log.apply_cdc(spark, ch, "k", app_id="cdc", app_version=0)  # replay: skipped
+    feed = log.changes(spark, from_version=-1, cdf=True)
+    got = {
+        (r["k"], r["_change_type"], r["_commit_version"]): r["v"]
+        for r in feed.collect()
+    }
+    assert got[(1, "upsert", 1)] == -1 and got[(100, "upsert", 1)] == 5
+    assert got[(3, "delete", 1)] is None
+    assert got[(0, "insert", 0)] == 0 and len(got) == 5 + 3
+    with pytest.raises(TxConflictError, match="cdc"):
+        log.changes(spark, from_version=-1)  # default feed: exactness holds
+    # a grace-window vacuum collects nothing: full feed still readable
+    assert log.vacuum() == 0
+    assert log.changes(spark, -1, cdf=True).count() == 8
+    # zero-grace vacuum collects the cdc-REPLACED data file — v0's insert
+    # rows are gone with it (vacuum bounds feed retention, same as Delta)
+    # but the SIDECAR survives: the cdc commit's slice still replays
+    assert log.vacuum(grace_seconds=0.0) == 1
+    assert log.changes(spark, from_version=0, cdf=True).count() == 3
+    # after checkpoint+truncation the manifest is gone: the range raises
+    # and the orphaned sidecar becomes collectible
+    log.checkpoint()
+    log.truncate_log()
+    with pytest.raises(TxVersionTruncatedError):
+        log.changes(spark, -1, cdf=True)
+    assert log.vacuum(grace_seconds=0.0) >= 1
+    # table state itself is untouched throughout
+    got2 = {r["k"]: r["v"] for r in log.snapshot(spark).collect()}
+    assert got2 == {0: 0, 1: -1, 2: 20, 4: 40, 100: 5}
