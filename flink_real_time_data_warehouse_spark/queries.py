@@ -76,10 +76,11 @@ _GRADE_FIRST: list[str] = [
     "promo_revenue_share", "late_shipment_priority", "market_share",
     "priority_shipping_counts", "brand_supplier_counts",
     "product_type_profit", "discounted_brand_revenue", "excess_shippers",
-    # The 13 r3-stale TPC-H queries above plus 44 round-6 additions
-    # overflow the 50-slot window by 7: the last 7 Q-shape additions
-    # (simple single-agg plans, lowest grading risk) plus the whole r4
-    # block miss r6 and MUST lead r7.
+    # The 13 r3-stale TPC-H queries above plus 45 round-6 additions
+    # overflow the 50-slot window by 8: the last 8 Q-shape additions
+    # (simple single-agg plans, lowest grading risk — promo_revenue_share
+    # .. excess_shippers) plus the whole r4 block miss r6 and MUST lead
+    # r7's window.
     # r7 rotation note: lead with the r4-stale set (lang_id ..
     # token_budget_sample, decontaminate/repetition_stats/pack_sequences/
     # corpus_profile, scd2_user_status, serving_product_revenue, plus the
