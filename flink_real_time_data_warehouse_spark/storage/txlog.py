@@ -336,6 +336,11 @@ class _State:
     # with bloom_cols — both replay/checkpoint/remove together.
     stats: dict
     parts: dict  # file name -> {col: str(value)} (only partition_by commits)
+    # DELETION VECTORS: data file name -> sidecar file name holding that
+    # file's CUMULATIVE deleted row positions (a newer DV for a file
+    # replaces the older one wholesale — Delta's DV semantics). Sidecars
+    # are small parquet files (file string, pos long) under data/.
+    dvs: dict
 
 
 class TxLog:
@@ -400,6 +405,7 @@ class TxLog:
         apps: dict = {}
         stats: dict = {}
         parts: dict = {}
+        dvs: dict = {}
         schema_json: str | None = None
         version = -1
         start = 0
@@ -410,6 +416,7 @@ class TxLog:
             apps = dict(cp["apps"])
             stats = dict(cp.get("stats", {}))
             parts = dict(cp.get("parts", {}))
+            dvs = dict(cp.get("dvs", {}))
             schema_json = cp.get("schema_json")
             version = cp_v
             start = cp_v + 1
@@ -425,24 +432,27 @@ class TxLog:
             if v < start:
                 continue
             m = self.store.read(self._manifest_name(v))
-            if m["op"] == "replace":
+            if m["op"] in ("replace", "restore"):
                 files = []
                 stats = {}
                 parts = {}
+                dvs = {}
             removed = set(m.get("removes", []))
             files = [n for n in files if n not in removed]
             for r in removed:
                 stats.pop(r, None)
                 parts.pop(r, None)
+                dvs.pop(r, None)  # a rewritten file's rows are DV-applied
             files.extend(m["adds"])
             stats.update(m.get("stats") or {})
             parts.update(m.get("parts") or {})
+            dvs.update(m.get("dvs") or {})
             if m.get("app_id") is not None:
                 apps[m["app_id"]] = max(apps.get(m["app_id"], -1), m["app_version"])
             if m.get("schema_json"):
                 schema_json = m["schema_json"]
             version = v
-        return _State(version, tuple(files), apps, schema_json, stats, parts)
+        return _State(version, tuple(files), apps, schema_json, stats, parts, dvs)
 
     # -- commit --------------------------------------------------------
 
@@ -458,6 +468,8 @@ class TxLog:
         stats: dict | None = None,
         parts: dict | None = None,
         cdf: list[str] | None = None,
+        dvs: dict | None = None,
+        staged_cleanup: bool = True,
         max_retries: int = 100,
     ) -> int:
         """Commit already-staged data files. Returns the committed (or, for
@@ -473,8 +485,17 @@ class TxLog:
         commit (Delta's cdc files): not part of table state, but named by
         the manifest so `changes()` can replay the commit's logical
         changes and `vacuum` spares them while their manifest lives.
+        `dvs` maps data-file names to DELETION-VECTOR sidecar names
+        (staged alongside): the file's cumulative deleted row positions;
+        replay makes the newest mapping per file win. `staged_cleanup=
+        False` marks the named files as ALREADY-LIVE (RESTORE re-commits
+        an old version's files): a failed commit must not delete them.
         """
-        staged_all = list(adds) + list(cdf or [])
+        staged_all = (
+            list(adds) + list(cdf or []) + sorted(set((dvs or {}).values()))
+            if staged_cleanup
+            else []
+        )
         try:
             for _ in range(max_retries):
                 st = self.state()
@@ -511,6 +532,7 @@ class TxLog:
                     "stats": stats or {},
                     "parts": parts or {},
                     "cdf": list(cdf or []),
+                    "dvs": dvs or {},
                     "schema_json": schema_json,
                     "app_id": app_id,
                     "app_version": app_version,
@@ -1190,7 +1212,7 @@ class TxLog:
                 continue
             vst = _State(
                 v, tuple(m["adds"]), {}, m.get("schema_json") or st.schema_json,
-                m.get("stats") or {}, m.get("parts") or {},
+                m.get("stats") or {}, m.get("parts") or {}, {},
             )
             frame = self._read_files(spark, list(m["adds"]), vst).withColumn(
                 "_commit_version", F.lit(v).cast("long")
