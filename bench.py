@@ -263,24 +263,33 @@ def main() -> None:
         "key_map": keymap,
     }
     # Full record (long names, 3dp) goes to the in-repo artifact; stdout
-    # carries ONE compact line (short keys, 2dp) that fits the driver's
-    # ~2000-char tail capture so BENCH_r{N}.json parses again (r5 verdict
-    # task 3 — BENCH_r04/r05 were parsed:null truncated tails).
+    # carries ONE short line (<600 chars). r6 verdict task 2: BENCH_r04-r06
+    # were all parsed:null because a 121-query map overflows the driver's
+    # ~2000-char capture window no matter how the keys are shortened — any
+    # truncation (front OR tail) breaks json.loads. The only output that
+    # parses under every capture scheme (whole-capture loads, first-line,
+    # last-line) is a single line comfortably inside the window, so the
+    # per-query map lives ONLY in the committed BENCH_SELF.json and stdout
+    # keeps the headline total, sentinel, drift flags, and the 8 slowest
+    # queries (full names) as a representative "queries" dict.
     with open(SELF_FILE, "w") as f:
         json.dump(full, f, indent=1)
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:8])
     compact = {
         "metric": full["metric"],
         "value": full["value"],
         "unit": "sec",
-        "queries": {keymap[n]: round(t, 2) for n, t in times.items()},
+        "queries": {n: round(t, 2) for n, t in slowest.items()},
         "sf": full["sf"],
         "reps": reps,
-        "sentinel": full["sentinel"],
-        "drift_vs_reference": {keymap.get(n, n): r for n, r in drift.items()},
         "n_queries": len(times),
-        "key_map_in": "BENCH_SELF.json",
+        "sentinel": full["sentinel"],
+        "drift_flags": len(drift),
+        "all_queries_in": "BENCH_SELF.json",
     }
-    print(json.dumps(compact, separators=(",", ":")))
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1200, f"bench stdout line too long ({len(line)})"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -49,50 +49,45 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # round; everything else follows in registration order. Queries not yet
 # registered are ignored, so new entries can be pre-listed safely.
 _GRADE_FIRST: list[str] = [
-    # Round 6 rotation. First: the 13 TPC-H queries whose freshest driver
-    # row is r3 (2 rounds stale — the r5 verdict's standing item), so
-    # CORRECTNESS_r06 records them green.
-    "rollup_sales", "top_customers", "top_parts_per_nation",
-    "dormant_customers", "order_value_quantiles", "running_gmv",
-    "local_supplier_volume", "cube_sales", "status_pivot",
-    "customer_spend_quartiles", "urgent_part_suppliers", "moving_avg_gmv",
-    "skew_salted_sales",
-    # New in round 6 (no driver row yet): TxLog file-level MERGE and
-    # partition pruning, trained-centroid SemDeDup, hand-shaped Q17.
-    "txlog_merge_read", "txlog_partitioned_read", "txlog_time_travel",
-    "txlog_clustered_read", "txlog_schema_evolution",
-    "txlog_multi_partition_read", "txlog_change_feed", "waiting_supplier",
-    "txlog_incremental_sync", "txlog_delete_read", "txlog_zorder_read",
-    "txlog_bloom_point_read", "txlog_cdc_apply", "txlog_cdc_stream",
-    "txlog_scd2_read", "txlog_cdf_feed",
-    "semantic_dedup_trained", "small_qty_revenue_shaped", "knn_label_noise",
-    "source_overlap_matrix", "embedding_outliers", "source_quality_profile",
-    "order_count_distribution", "untapped_customers", "large_volume_orders",
-    "abandoned_orders_stream", "fulfillment_stats_stream",
-    "grouping_sets_sales", "order_value_quantiles_approx",
-    "volume_shipping", "top_revenue_supplier",
-    "min_cost_supplier", "trailing_30d_spend", "doc_novelty",
-    "shipping_priority", "revenue_delta", "returned_item_losers",
+    # Round 7 rotation (r6 verdict task 1). Slots 1-8: the 8 registered
+    # queries that have NEVER received a driver correctness row (they
+    # overflowed r6's window; judge-verified green in the r6 session —
+    # these get their FIRST driver rows here).
     "promo_revenue_share", "late_shipment_priority", "market_share",
     "priority_shipping_counts", "brand_supplier_counts",
     "product_type_profit", "discounted_brand_revenue", "excess_shippers",
-    # The 13 r3-stale TPC-H queries above plus 45 round-6 additions
-    # overflow the 50-slot window by 8: the last 8 Q-shape additions
-    # (simple single-agg plans, lowest grading risk — promo_revenue_share
-    # .. excess_shippers) plus the whole r4 block miss r6 and MUST lead
-    # r7's window.
-    # r7 rotation note: lead with the r4-stale set (lang_id ..
-    # token_budget_sample, decontaminate/repetition_stats/pack_sequences/
-    # corpus_profile, scd2_user_status, serving_product_revenue, plus the
-    # r4 names below that miss this window), then the r5-rowed 50 —
-    # keeping every query's freshest row at most 2 rounds old.
+    # Slots 9-50: 42 of the 47 queries whose freshest driver row is r4
+    # (3 rounds stale after this one). The 5 deferred r4 names —
+    # visitor_stats, product_stats, events_union_stats, keyword_stats,
+    # session_stats — are the gmall batch plans whose streaming twins
+    # (visitor_stats_stream r5, product_stats_stream r6,
+    # events_union_stats_stream r5, keyword_stats_stream r5,
+    # session_stats via visitor pipeline tests) exercise the same plan
+    # bodies and carry fresher rows; they lead r8's window below.
+    "lang_id", "text_quality", "lm_surprisal", "pii_scrub", "token_count",
+    "vocab_topk", "tfidf_search", "doc_fingerprint",
+    "train_split", "mixture_sample", "source_quota_sample",
+    "token_budget_sample", "decontaminate", "repetition_stats",
+    "pack_sequences", "chunk_documents", "corpus_profile",
+    "cluster_balanced_sample",
+    "scd2_user_status", "serving_product_revenue",
+    "new_user_fix", "uv_daily", "bounce_events", "order_wide",
+    "payment_wide", "visitor_stats_sliding",
     "kmeans_centroids", "keyword_stats_cjk", "curation_pipeline",
     "ingest_pipeline", "ingest_pipeline_indexed",
     "dedup_incremental_indexed", "ann_ivf_indexed_topk", "ann_topk",
     "ann_ivf_topk", "embedding_cosine_pairs", "embedding_clusters",
     "dedup_clusters", "dedup_simhash", "multimodal_decode", "frame_sample",
-    "audio_chunks", "visitor_stats", "product_stats", "events_union_stats",
-    "keyword_stats", "session_stats", "visitor_stats_sliding",
+    "audio_chunks",
+    # --- 50-slot window ends here. ---
+    # r8 rotation note: lead with the 5 deferred r4 gmall batch plans,
+    # then the round-7 additions (no driver row yet), then the r5-rowed
+    # block — keeping every query's freshest row at most ~2 rounds old.
+    "visitor_stats", "product_stats", "events_union_stats",
+    "keyword_stats", "session_stats",
+    # New in round 7 (registered below as they land; ignored until then).
+    "txlog_source_stream", "cdc_route_materialized",
+    "semantic_dedup_capped", "keyword_stats_smart",
 ]
 
 
