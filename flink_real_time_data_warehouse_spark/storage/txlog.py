@@ -452,6 +452,14 @@ class TxLog:
             if m.get("schema_json"):
                 schema_json = m["schema_json"]
             version = v
+        if at_version is not None and version != at_version:
+            # A future (or otherwise nonexistent) version must raise, not
+            # silently resolve to the latest — Delta raises for time travel
+            # to a version that does not exist (ADVICE r6).
+            raise ValueError(
+                f"version {at_version} of {self.path!r} does not exist "
+                f"(latest committed version: {version})"
+            )
         return _State(version, tuple(files), apps, schema_json, stats, parts, dvs)
 
     # -- commit --------------------------------------------------------
@@ -471,6 +479,7 @@ class TxLog:
         dvs: dict | None = None,
         staged_cleanup: bool = True,
         max_retries: int = 100,
+        conflict_ok=None,
     ) -> int:
         """Commit already-staged data files. Returns the committed (or, for
         an idempotent skip, the current) table version.
@@ -490,6 +499,18 @@ class TxLog:
         replay makes the newest mapping per file win. `staged_cleanup=
         False` marks the named files as ALREADY-LIVE (RESTORE re-commits
         an old version's files): a failed commit must not delete them.
+
+        `conflict_ok` (with `expected_version`) is the Delta-paper
+        LOGICAL conflict re-validation: when the table moved past
+        `expected_version`, each intervening manifest is passed to the
+        callback; if EVERY one returns True (the winner's file changes
+        provably cannot affect this commit's read set — e.g. an append
+        whose key range is disjoint from a merge's keys), the commit
+        re-targets the new head and proceeds WITHOUT re-deriving —
+        disjoint writers stop serializing behind each other. Any False
+        (or unreadable manifest) falls back to TxConflictError and the
+        caller's re-derive loop. (Delta VLDB-2020 §3.2, the
+        WriteSerializable conflict check.)
         """
         staged_all = (
             list(adds) + list(cdf or []) + sorted(set((dvs or {}).values()))
@@ -509,10 +530,24 @@ class TxLog:
                     self._delete_staged(staged_all)
                     return st.version
                 if expected_version is not None and st.version != expected_version:
-                    self._delete_staged(staged_all)
-                    raise TxConflictError(
-                        f"{op} derived from v{expected_version} but table is at v{st.version}"
-                    )
+                    benign = conflict_ok is not None
+                    if benign:
+                        for v in range(expected_version + 1, st.version + 1):
+                            try:
+                                m = self.store.read(self._manifest_name(v))
+                            except FileNotFoundError:
+                                benign = False
+                                break
+                            if not conflict_ok(m):
+                                benign = False
+                                break
+                    if benign:
+                        expected_version = st.version  # re-target, don't re-derive
+                    else:
+                        self._delete_staged(staged_all)
+                        raise TxConflictError(
+                            f"{op} derived from v{expected_version} but table is at v{st.version}"
+                        )
                 if removes is not None:
                     # Disjoint-file conflict rule (Delta's OPTIMIZE semantics):
                     # this commit only conflicts if some file it wants to
@@ -605,8 +640,12 @@ class TxLog:
                 if bloom_cols:
                     import pyarrow.parquet as pq
 
+                    # Hive-style layout drops partition columns from the
+                    # data files, so a bloom there would crash the read —
+                    # and is redundant anyway: `parts` metadata gives EXACT
+                    # per-file pruning on partition columns (ADVICE r6).
                     tbl = pq.read_table(dest, columns=[
-                        c for c in bloom_cols if c in df.columns
+                        c for c in bloom_cols if c in df.columns and c not in pcols
                     ])
                     for c in tbl.column_names:
                         bl = _bloom_build(tbl.column(c).to_pylist())
@@ -698,12 +737,47 @@ class TxLog:
         union by name with the flat files — no extra shuffle, N parquet
         scans unioned in one plan. `merge_schema` resolves the union of
         all files' schemas (columns absent from older files read as null —
-        Delta's additive schema evolution on read)."""
+        Delta's additive schema evolution on read).
+
+        Files carrying a DELETION VECTOR (``st.dvs``) scan with the
+        parquet ``_metadata`` row index and broadcast-anti-join their
+        sidecar's (file, pos) set, so deleted positions never surface —
+        Delta's DV read path. Sidecars are tiny (positions only), so the
+        anti-join is a broadcast, never a shuffle of the data side."""
         if not files:
             if st.schema_json is None:
                 raise ValueError(f"txlog table {self.path!r} has no commits")
             return spark.createDataFrame([], StructType.fromJson(json.loads(st.schema_json)))
         reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
+
+        def scan(names: list[str]) -> list[DataFrame]:
+            """Scans over `names`, DV-applied where a vector is recorded."""
+            out: list[DataFrame] = []
+            plain = [n for n in names if n not in st.dvs]
+            dvd = [n for n in names if n in st.dvs]
+            if plain:
+                out.append(reader.parquet(*[os.path.join(self.data_path, n) for n in plain]))
+            if dvd:
+                g = reader.parquet(*[os.path.join(self.data_path, n) for n in dvd])
+                cols = g.columns  # _metadata is hidden: capture the data columns
+                g = g.select(
+                    *cols,
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).alias("_dv_file"),
+                    F.col("_metadata.row_index").alias("_dv_pos"),
+                )
+                side = spark.read.parquet(
+                    *sorted({os.path.join(self.data_path, st.dvs[n]) for n in dvd})
+                ).select(
+                    F.col("file").alias("_dv_file"), F.col("pos").alias("_dv_pos")
+                )
+                out.append(
+                    g.join(F.broadcast(side), ["_dv_file", "_dv_pos"], "left_anti")
+                    .drop("_dv_file", "_dv_pos")
+                )
+            return out
+
         flat = [n for n in files if n not in st.parts]
         groups: dict[tuple, list[str]] = {}
         for n in files:
@@ -712,14 +786,14 @@ class TxLog:
                 groups.setdefault(tuple(sorted(pv.items())), []).append(n)
         dfs = []
         if flat:
-            dfs.append(reader.parquet(*[os.path.join(self.data_path, n) for n in flat]))
+            dfs.extend(scan(flat))
         if groups:
             schema = StructType.fromJson(json.loads(st.schema_json))
             for key, names in sorted(groups.items()):
-                g = reader.parquet(*[os.path.join(self.data_path, n) for n in names])
-                for col, val in key:
-                    g = g.withColumn(col, F.lit(val).cast(schema[col].dataType))
-                dfs.append(g)
+                for g in scan(names):
+                    for col, val in key:
+                        g = g.withColumn(col, F.lit(val).cast(schema[col].dataType))
+                    dfs.append(g)
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=merge_schema)
@@ -805,12 +879,19 @@ class TxLog:
         conservatively rewritten. Update rows win on key equality (caller
         supplies one row per key).
 
-        Serializable: the commit carries ``expected_version``, so ANY
-        concurrent commit (including appends, which could land rows for
-        the merged keys) fails it and the merge re-derives from fresh
-        state and retries — concurrent mergers serialize without a lock,
-        the multi-writer counterpart of DimStore's single-writer MERGE
-        (sources/dim_store.py; reference DimSinkFunction.java:17-89).
+        Serializable with LOGICAL conflict re-validation (Delta VLDB-2020
+        §3.2): the commit carries ``expected_version`` plus a benign-
+        manifest predicate, so a concurrent commit whose file changes
+        provably cannot contain the merge's keys (an append to a disjoint
+        key range / partition, a constraint registration) does NOT force
+        a re-derive — the merge re-targets the new head and commits in
+        the same attempt. Only a winner that touched the merge's read
+        set (removed/DV'd a touched file, added a file whose key range
+        intersects, or rewrote the table) raises, and the merge then
+        re-derives from fresh state and retries — concurrent mergers
+        serialize without a lock, the multi-writer counterpart of
+        DimStore's single-writer MERGE (sources/dim_store.py; reference
+        DimSinkFunction.java:17-89).
 
         Pass `stats_cols=[key]` on every append AND merge to keep the
         file-level pruning effective across the table's life."""
@@ -848,10 +929,41 @@ class TxLog:
                 return self.commit_files(
                     names, op="merge", schema_json=schema_json, removes=touched,
                     expected_version=st.version, stats=stats, parts=parts,
+                    conflict_ok=self._disjoint_range_ok(set(touched), key, lo, hi),
                 )
             except TxConflictError:
                 continue
         raise TxConflictError(f"merge lost {max_retries} consecutive OCC races")
+
+    @staticmethod
+    def _disjoint_range_ok(touched: set, key: str, lo, hi, hits=None):
+        """Benign-manifest predicate for the read-modify-write family: an
+        intervening commit cannot affect a merge/cdc/scd2 derived over
+        `touched` iff it (a) is not a table rewrite, (b) neither removed
+        nor attached a deletion vector to any touched file, and (c) every
+        file it added carries `key` stats proving it holds none of the
+        write's keys — via the exact-key probe `hits` when given, else
+        the [lo, hi] range. Anything unprovable is NOT benign (falls back
+        to re-derive), so correctness never leans on the stats being
+        present."""
+        overlaps = hits if hits is not None else (
+            lambda mn, mx: mn <= hi and mx >= lo
+        )
+
+        def ok(m: dict) -> bool:
+            if m["op"] in ("replace", "restore"):
+                return False
+            if touched & set(m.get("removes") or []):
+                return False
+            if touched & set((m.get("dvs") or {}).keys()):
+                return False
+            for n in m.get("adds") or []:
+                mm = (m.get("stats") or {}).get(n, {}).get(key)
+                if mm is None or overlaps(mm[0], mm[1]):
+                    return False
+            return True
+
+        return ok
 
     def delete(
         self,
@@ -1014,6 +1126,16 @@ class TxLog:
             st0 = self.state()
             if st0.apps.get(app_id, -1) >= app_version:
                 return st0.version
+        # A NULL op is a malformed envelope, not a delete and not an upsert:
+        # ~isin(NULL) is NULL so the row would silently vanish from the
+        # upsert set while its key still anti-joins the base — a silent
+        # delete (ADVICE r6). Reject the batch before anything stages.
+        bad_op = changes.where(F.col(op_col).isNull()).limit(1).collect()
+        if bad_op:
+            raise ValueError(
+                f"apply_cdc: NULL {op_col!r} in change batch (malformed CDC "
+                f"envelope), e.g.: {bad_op[0]}"
+            )
         op_is_delete = F.col(op_col).isin(*delete_ops)
         upserts = changes.where(~op_is_delete).drop(op_col)
         self._validate(upserts)
@@ -1062,6 +1184,9 @@ class TxLog:
                     names, op="cdc", schema_json=schema_json, removes=touched,
                     expected_version=st.version, stats=stats, parts=parts,
                     cdf=cdf_names, app_id=app_id, app_version=app_version,
+                    conflict_ok=self._disjoint_range_ok(
+                        set(touched), key, klo, khi, hits=hits
+                    ),
                 )
             except TxConflictError:
                 continue
@@ -1150,6 +1275,9 @@ class TxLog:
                 return self.commit_files(
                     names, op="scd2", schema_json=schema_json, removes=touched,
                     expected_version=st.version, stats=stats, parts=parts,
+                    conflict_ok=self._disjoint_range_ok(
+                        set(touched), key, klo, khi, hits=hits
+                    ),
                 )
             except TxConflictError:
                 continue
@@ -1203,6 +1331,12 @@ class TxLog:
                 )
                 continue
             if m["op"] != "append":
+                if not m["adds"] and not m.get("removes"):
+                    # Metadata-only commit (e.g. op='constraint'): zero file
+                    # changes means zero logical row changes — skipping it
+                    # keeps incremental consumers alive across an
+                    # add_constraint landing mid-range (ADVICE r6).
+                    continue
                 raise TxConflictError(
                     f"v{v} is a {m['op']} commit (file rewrite, not inserts); "
                     "the change feed cannot reconstruct it — re-sync from a "
@@ -1407,6 +1541,7 @@ class TxLog:
             "apps": st.apps,
             "stats": st.stats,
             "parts": st.parts,
+            "dvs": st.dvs,
             "schema_json": st.schema_json,
         }
         self.store.put(f"{st.version:0{_V_DIGITS}d}.checkpoint.json", cp)
@@ -1432,7 +1567,11 @@ class TxLog:
         than `grace_seconds` — the grace window protects in-flight stages
         and held snapshots, exactly Delta's VACUUM contract. Returns the
         number of files/directories removed."""
-        live = set(self.state().files)
+        st = self.state()
+        live = set(st.files)
+        # A live file's deletion-vector sidecar is as live as the file:
+        # the read path needs it for every snapshot that can see the file.
+        live.update(st.dvs.values())
         # CDF sidecars are referenced by manifests, not table state: keep
         # them while their manifest lives (after truncation the manifest
         # is gone, changes() raises TxVersionTruncatedError for the range,

@@ -1032,3 +1032,231 @@ def test_cdf_feed_serves_cdc_commits(tmp_path, spark):
     # table state itself is untouched throughout
     got2 = {r["k"]: r["v"] for r in log.snapshot(spark).collect()}
     assert got2 == {0: 0, 1: -1, 2: 20, 4: 40, 100: 5}
+
+
+def test_deletion_vectors_read_checkpoint_vacuum(tmp_path, spark):
+    """DELETION VECTORS end-to-end (ADVICE r6 — the read path): a commit
+    carrying dvs={file: sidecar} hides the sidecar's (file, pos) rows from
+    every snapshot; the mapping survives checkpoint+truncate_log; vacuum
+    treats a live file's sidecar as live; a newer DV replaces the older
+    wholesale; removing the file drops its DV and orphans the sidecar."""
+    log = TxLog(str(tmp_path / "t"))
+    name = _stage_rows(log, list(range(10)))[0]
+
+    def stage_dv(positions: list[int]) -> str:
+        dv = f"dv-{os.urandom(6).hex()}.parquet"
+        pq.write_table(
+            pa.table({"file": [name] * len(positions),
+                      "pos": pa.array(positions, pa.int64())}),
+            os.path.join(log.data_path, dv),
+        )
+        return dv
+
+    dv1 = stage_dv([1, 3])
+    log.commit_files([name], schema_json=_SCHEMA_JSON, dvs={name: dv1})
+    assert sorted(r["id"] for r in log.snapshot(spark).collect()) == [
+        0, 2, 4, 5, 6, 7, 8, 9
+    ]
+    # survives checkpoint + truncation (dvs is part of the checkpoint)
+    log.checkpoint()
+    log.truncate_log()
+    assert sorted(r["id"] for r in log.snapshot(spark).collect()) == [
+        0, 2, 4, 5, 6, 7, 8, 9
+    ]
+    # a live file's sidecar is live: zero-grace vacuum collects nothing
+    assert log.vacuum(grace_seconds=0.0) == 0
+    assert log.snapshot(spark).count() == 8
+    # newer DV replaces the older WHOLESALE (cumulative positions)
+    dv2 = stage_dv([1, 3, 5, 7])
+    log.commit_files([], schema_json=_SCHEMA_JSON, dvs={name: dv2})
+    assert sorted(r["id"] for r in log.snapshot(spark).collect()) == [0, 2, 4, 6, 8, 9]
+    # dv1 is now unreferenced: exactly the old sidecar is collected
+    assert log.vacuum(grace_seconds=0.0) == 1
+    assert not os.path.exists(os.path.join(log.data_path, dv1))
+    # rewriting the file away drops its DV mapping with it
+    repl = _stage_rows(log, [100])
+    log.commit_files(repl, schema_json=_SCHEMA_JSON, removes=[name])
+    assert sorted(r["id"] for r in log.snapshot(spark).collect()) == [100]
+    assert log.state().dvs == {}
+    assert log.vacuum(grace_seconds=0.0) == 2  # old data file + dv2
+
+
+def test_apply_cdc_rejects_null_op(tmp_path, spark):
+    """A NULL op_col row is a malformed envelope: apply_cdc raises before
+    staging anything instead of silently deleting the row's key
+    (ADVICE r6)."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long").coalesce(1),
+        stats_cols=["k"],
+    )
+    bad = spark.createDataFrame(
+        [(1, 11, "u"), (2, 22, None)], "k long, v long, op string"
+    )
+    with pytest.raises(ValueError, match="NULL 'op'"):
+        log.apply_cdc(spark, bad, "k")
+    assert log.state().version == 0  # nothing committed
+    got = {r["k"]: r["v"] for r in log.snapshot(spark).collect()}
+    assert got == {1: 10, 2: 20}  # key 2 NOT silently deleted
+
+
+def test_change_feed_skips_metadata_only_commits(tmp_path, spark):
+    """An add_constraint landing mid-range (zero adds, zero removes) no
+    longer forces incremental consumers into a full re-sync: changes()
+    skips it (ADVICE r6); real rewrite commits still raise."""
+    log = TxLog(str(tmp_path / "t"))
+    log.commit_files(_stage_rows(log, [1, 2]), schema_json=_SCHEMA_JSON)
+    log.add_constraint("pos", "id > 0")  # v1: metadata-only
+    log.commit_files(_stage_rows(log, [3]), schema_json=_SCHEMA_JSON)  # v2
+    feed = log.changes(spark, from_version=-1)
+    assert sorted(r["id"] for r in feed.collect()) == [1, 2, 3]
+    assert sorted(set(r["_commit_version"] for r in feed.collect())) == [0, 2]
+
+
+def test_state_raises_on_nonexistent_future_version(tmp_path, spark):
+    """Time travel to a version that does not exist raises instead of
+    silently serving the latest state (ADVICE r6, Delta's contract)."""
+    log = TxLog(str(tmp_path / "t"))
+    log.commit_files(_stage_rows(log, [1]), schema_json=_SCHEMA_JSON)  # v0
+    assert log.state(at_version=0).version == 0
+    with pytest.raises(ValueError, match="does not exist"):
+        log.state(at_version=5)
+    with pytest.raises(ValueError, match="does not exist"):
+        log.snapshot(spark, version=5)
+
+
+def test_bloom_col_overlapping_partition_col(tmp_path, spark):
+    """bloom_cols ∩ partition_by no longer crashes the stage (ADVICE r6):
+    the partition column is excluded from the bloom pass (parts metadata
+    already prunes it exactly); blooms on the remaining columns and
+    partition pruning both stay effective."""
+    log = TxLog(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(p, k) for p in ("a", "b") for k in range(50)], "p string, k long"
+    ).repartition(2, "p")
+    log.append(df, partition_by="p", bloom_cols=["p", "k"], stats_cols=["k"])
+    st = log.state()
+    assert all("bloom:p" not in s for s in st.stats.values())
+    assert any("bloom:k" in s for s in st.stats.values())
+    snap = log.snapshot(spark, partitions={"p": ["a"]})
+    assert snap.count() == 50 and set(r["p"] for r in snap.collect()) == {"a"}
+
+
+def _stage_keyed(log: TxLog, ids: list[int]) -> tuple[list[str], dict]:
+    """Stage one file + its [min,max] 'id' stats (as append would record)."""
+    names = _stage_rows(log, ids)
+    return names, {names[0]: {"id": [min(ids), max(ids)]}}
+
+
+def test_conflict_revalidation_disjoint_append_commits_first_try(tmp_path):
+    """Delta-paper logical conflict check (r6 verdict task 3): a commit
+    derived at v1 that races a DISJOINT append (keys provably outside the
+    merge's range) re-targets the new head and commits WITHOUT raising —
+    one attempt each; an OVERLAPPING (or stats-less) append still raises."""
+    log = TxLog(str(tmp_path / "t"))
+    a, sa = _stage_keyed(log, list(range(10)))       # v0: keys 0-9
+    log.commit_files(a, schema_json=_SCHEMA_JSON, stats=sa)
+    b, sb = _stage_keyed(log, list(range(100, 110)))  # v1: keys 100-109
+    log.commit_files(b, schema_json=_SCHEMA_JSON, stats=sb)
+
+    # merge-shaped commit derived at v1, touching file a (keys 0-9) ...
+    m1, sm1 = _stage_keyed(log, [0, 1, 2])
+    # ... races a disjoint append that lands v2 first
+    c, sc = _stage_keyed(log, list(range(500, 510)))
+    log.commit_files(c, schema_json=_SCHEMA_JSON, stats=sc)
+    ok = TxLog._disjoint_range_ok(set(a), "id", 0, 9)
+    v = log.commit_files(
+        m1, op="merge", schema_json=_SCHEMA_JSON, removes=a,
+        expected_version=1, stats=sm1, conflict_ok=ok,
+    )
+    assert v == 3  # re-targeted past the benign append, no TxConflictError
+    st = log.state()
+    assert set(st.files) == set(b) | set(c) | set(m1)
+
+    # an OVERLAPPING append is NOT benign: same shape raises
+    m2, sm2 = _stage_keyed(log, [100, 101])
+    d, sd = _stage_keyed(log, [105, 106])  # overlaps merge range 100-109
+    log.commit_files(d, schema_json=_SCHEMA_JSON, stats=sd)
+    with pytest.raises(TxConflictError):
+        log.commit_files(
+            m2, op="merge", schema_json=_SCHEMA_JSON, removes=b,
+            expected_version=3, stats=sm2,
+            conflict_ok=TxLog._disjoint_range_ok(set(b), "id", 100, 109),
+        )
+    # a STATS-LESS append is unprovable, hence not benign either
+    # (m3 derived at v4 — the failed m2 attempt committed nothing)
+    m3, sm3 = _stage_keyed(log, [0])
+    e = _stage_rows(log, [900])
+    log.commit_files(e, schema_json=_SCHEMA_JSON)  # v5, no stats recorded
+    with pytest.raises(TxConflictError):
+        log.commit_files(
+            m3, op="merge", schema_json=_SCHEMA_JSON, removes=m1,
+            expected_version=4, stats=sm3,
+            conflict_ok=TxLog._disjoint_range_ok(set(m1), "id", 0, 2),
+        )
+
+
+def test_merge_races_disjoint_append_one_attempt_each(tmp_path, spark):
+    """End-to-end: merge() racing a disjoint-key append derives its output
+    exactly ONCE (no retry re-derive) and both commits land — the
+    disjoint-writer throughput shape that matters at fact scale."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(
+        spark.createDataFrame([(k, 0) for k in range(10)], "k long, v long")
+        .coalesce(1),
+        stats_cols=["k"],
+    )
+    derives = []
+    orig_stage = log._stage
+
+    def stage_spy(df, *a, **kw):
+        out = orig_stage(df, *a, **kw)
+        if not derives:  # after merge derives+stages, land a disjoint append
+            derives.append(1)
+            log.append(
+                spark.createDataFrame([(k, 9) for k in range(1000, 1010)],
+                                      "k long, v long").coalesce(1),
+                stats_cols=["k"],
+            )
+        return out
+
+    log._stage = stage_spy
+    upd = spark.createDataFrame([(3, 33), (7, 77)], "k long, v long")
+    log.merge(spark, upd, "k")
+    log._stage = orig_stage
+    assert len(derives) == 1  # one derive: conflict re-validated as benign
+    got = {r["k"]: r["v"] for r in log.snapshot(spark).collect()}
+    assert got[3] == 33 and got[7] == 77 and got[1000] == 9 and len(got) == 20
+
+
+def test_cdc_races_overlapping_append_rederives(tmp_path, spark):
+    """The guard rail: a concurrent append whose keys DO intersect the CDC
+    batch forces a re-derive, and the re-derived output includes the
+    appended rows in its base — no lost update, no resurrection."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(
+        spark.createDataFrame([(k, 0) for k in range(10)], "k long, v long")
+        .coalesce(1),
+        stats_cols=["k"],
+    )
+    fired = []
+    orig_stage = log._stage
+
+    def stage_spy(df, *a, **kw):
+        out = orig_stage(df, *a, **kw)
+        if not fired:  # overlapping key 3 lands after the cdc derives
+            fired.append(1)
+            log.append(
+                spark.createDataFrame([(3, -3)], "k long, v long").coalesce(1),
+                stats_cols=["k"],
+            )
+        return out
+
+    log._stage = stage_spy
+    ch = spark.createDataFrame([(3, 333, "u"), (5, None, "d")],
+                               "k long, v long, op string")
+    log.apply_cdc(spark, ch, "k")
+    log._stage = orig_stage
+    got = {r["k"]: r["v"] for r in log.snapshot(spark).collect()}
+    assert got[3] == 333  # upsert won over BOTH the original and the racer
+    assert 5 not in got and len(got) == 9
