@@ -9,6 +9,7 @@ from .txlog import (
     TxLog,
     TxVersionTruncatedError,
 )
+from .txlog_source import TxLogDataSource, register_txlog_source
 
 __all__ = [
     "LogStore",
@@ -16,5 +17,7 @@ __all__ = [
     "PosixLogStore",
     "TxConflictError",
     "TxLog",
+    "TxLogDataSource",
     "TxVersionTruncatedError",
+    "register_txlog_source",
 ]

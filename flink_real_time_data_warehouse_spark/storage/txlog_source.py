@@ -1,0 +1,247 @@
+"""TxLog as a STREAMING SOURCE — ``spark.readStream.format("txlog")``.
+
+Delta tables are not just sinks: downstream apps ``readStream`` them and
+receive each committed version as a micro-batch (Delta's streaming source,
+public docs). This is that follow-the-log source for :class:`TxLog`
+tables, built on PySpark 4's Python Data Source API
+(``pyspark.sql.datasource`` — the public plugin point for pure-Python
+sources), replacing the reference's topic-linked app chaining where one
+Flink job's Kafka sink topic is the next job's source
+(ProductStatsApp.java:61-77 reading the dwd topics): here the TABLE is
+the topic and the manifest log is the offset ledger.
+
+Semantics mirror :meth:`TxLog.changes` exactly:
+
+- OFFSET = table version. ``initialOffset`` is the ``from_version``
+  option (default -1: serve the table's full history first); each
+  trigger serves the commits in ``(start, end]``.
+- APPEND commits stream their added files, tagged ``_commit_version``
+  (and ``_change_type='insert'`` in cdf mode).
+- CDC commits (``apply_cdc``) stream their typed CHANGE-DATA-FEED
+  sidecar files in ``cdf=true`` mode — upserts with payload, deletes as
+  key + NULL payload; without cdf they raise, as does any physical
+  rewrite commit (replace/merge/optimize/delete/scd2): the log records
+  no logical row changes for those, and silently skipping them would
+  make the stream wrong, not late.
+- Metadata-only commits (constraint registration) are skipped.
+
+Exactly-once: offsets are checkpointed by Structured Streaming, and
+``partitions(start, end)`` is a pure function of the immutable manifest
+range, so a crash-replayed batch re-reads byte-identical input — the
+source side of the idempotent-epoch contract the TxLog SINKS already
+keep. ``latestOffset`` advances at most ``max_versions_per_batch``
+versions per trigger (Delta's maxFilesPerTrigger analog) so a deep
+backlog replays as bounded micro-batches instead of one giant one.
+
+Scale shape: planning reads ONLY manifests (KB of JSON per commit — no
+file listing, no data I/O on the driver); each data/sidecar file becomes
+one input partition read by pyarrow in the Python workers, so a batch's
+parallelism equals its file count and a 1000-executor cluster fans out
+naturally. Plain tuples never materialize — workers yield Arrow record
+batches straight from the parquet reader.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+from pyspark.sql.types import LongType, StringType, StructType
+
+FORMAT_NAME = "txlog"
+
+
+@dataclass
+class _FilesPartition(InputPartition):
+    """One data/sidecar file of one commit (value=file index for repr)."""
+
+    paths: list[str] = field(default_factory=list)
+    commit_version: int = 0
+    change_type: str | None = None  # None => file already carries the column
+    part_values: dict = field(default_factory=dict)  # Hive partition literals
+    schema_json: str = ""  # target Spark schema (source output order/types)
+
+
+def _arrow_target_schema(spark_schema: StructType) -> pa.Schema:
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(spark_schema)
+
+
+class _TxLogStreamReader(DataSourceStreamReader):
+    """Driver-side planner: versions -> file partitions. Runs no data I/O."""
+
+    def __init__(self, schema: StructType, options: dict):
+        from .txlog import TxLog
+
+        self._path = options["path"]
+        self._cdf = str(options.get("cdf", "false")).lower() == "true"
+        self._from = int(options.get("from_version", -1))
+        self._step = int(options.get("max_versions_per_batch", 0)) or None
+        self._pacing_id = str(options.get("pacing_id", "default"))
+        self._schema = schema
+        self._log = TxLog(self._path)
+        # Admission-control floor: the newest version this reader has
+        # offered or planned. The Python source API calls latestOffset()
+        # BEFORE initialOffset() and never passes the checkpointed start
+        # in, so a paced offset computed from a too-low floor would
+        # REGRESS below a committed batch after a restart — and the
+        # engine treats any offset != committed as new data, re-serving
+        # committed versions (duplicates). The floor therefore persists
+        # across restarts: commit(end) records it in a small JSON under
+        # <table>/_source/, and latestOffset never offers below it. A
+        # shared/stale floor can only weaken pacing (bigger batch), never
+        # skip or re-serve data — partitions() always serves exactly the
+        # (start, end] the engine asks for.
+        self._last: int | None = self._read_floor()
+
+    @property
+    def _floor_path(self) -> str:
+        return os.path.join(self._path, "_source", f"{self._pacing_id}.json")
+
+    def _read_floor(self) -> int | None:
+        try:
+            with open(self._floor_path) as f:
+                return int(json.load(f)["version"])
+        except (FileNotFoundError, ValueError, KeyError):
+            return None
+
+    def initialOffset(self) -> dict:
+        if self._last is None:
+            self._last = self._from
+        return {"version": self._from}
+
+    def latestOffset(self) -> dict:
+        v = self._log.state().version
+        if self._step is not None:
+            floor = self._last if self._last is not None else self._from
+            v = min(v, floor + self._step)
+        self._last = max(v, self._last if self._last is not None else v)
+        return {"version": v}
+
+    def reportLatestOffset(self) -> dict:
+        return self.latestOffset()
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        from .txlog import TxConflictError, TxVersionTruncatedError
+
+        lo, hi = int(start["version"]), int(end["version"])
+        self._last = max(hi, self._last if self._last is not None else hi)
+        if self._step is not None:
+            # By the time the engine plans partitions, `end` is durable in
+            # the checkpoint's offset WAL — the exact floor a restarted
+            # reader must not pace below. Persisted HERE (not in commit():
+            # the engine commits sources on the NEXT trigger, which a
+            # single-batch availableNow run never has).
+            self._write_floor(hi)
+        manifests, _ = self._log._list_log()
+        have = set(manifests)
+        out: list[InputPartition] = []
+        data = self._log.data_path
+        sj = self._schema.json()
+        for v in range(lo + 1, hi + 1):
+            if v not in have:
+                raise TxVersionTruncatedError(
+                    f"txlog stream needs manifest v{v} of {self._path!r}, but "
+                    "it was truncated — restart the stream from a snapshot"
+                )
+            m = self._log.store.read(self._log._manifest_name(v))
+            if self._cdf and m["op"] == "cdc" and m.get("cdf"):
+                out.extend(
+                    _FilesPartition([os.path.join(data, n)], v, None, {}, sj)
+                    for n in m["cdf"]
+                )
+                continue
+            if m["op"] != "append":
+                if not m["adds"] and not m.get("removes"):
+                    continue  # metadata-only commit: no logical row changes
+                raise TxConflictError(
+                    f"v{v} is a {m['op']} commit (file rewrite, not inserts); "
+                    "a txlog stream cannot reconstruct it — restart from a "
+                    "snapshot"
+                )
+            parts = m.get("parts") or {}
+            out.extend(
+                _FilesPartition(
+                    [os.path.join(data, n)], v,
+                    "insert" if self._cdf else None, parts.get(n) or {}, sj,
+                )
+                for n in m["adds"]
+            )
+        return out
+
+    def read(self, partition: _FilesPartition):
+        """Executor-side: parquet -> Arrow batches aligned to the source
+        schema (missing columns null-filled, literals attached, types
+        cast) — no row-at-a-time Python, no pandas round trip."""
+        target = _arrow_target_schema(
+            StructType.fromJson(json.loads(partition.schema_json))
+        )
+        for path in partition.paths:
+            tbl = pq.read_table(path)
+            n = tbl.num_rows
+            cols = []
+            for f in target:
+                if f.name == "_commit_version":
+                    col = pa.array([partition.commit_version] * n, pa.int64())
+                elif f.name == "_change_type" and "_change_type" not in tbl.column_names:
+                    col = pa.array([partition.change_type] * n, pa.string())
+                elif f.name in tbl.column_names:
+                    col = tbl.column(f.name).cast(f.type)
+                elif f.name in partition.part_values:
+                    col = pa.array([partition.part_values[f.name]] * n).cast(f.type)
+                else:
+                    col = pa.nulls(n, f.type)  # schema evolution: older file
+                cols.append(col)
+            out = pa.table(cols, schema=target)
+            yield from out.to_batches(max_chunksize=1 << 16)
+
+    def _write_floor(self, v: int) -> None:
+        prev = self._read_floor()
+        if prev is None or v > prev:
+            os.makedirs(os.path.dirname(self._floor_path), exist_ok=True)
+            tmp = f"{self._floor_path}.tmp-{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump({"version": v}, f)
+            os.replace(tmp, self._floor_path)
+
+    def commit(self, end: dict) -> None:  # offsets live in the checkpoint
+        pass
+
+
+class TxLogDataSource(DataSource):
+    """``format("txlog")`` — register once per session with
+    :func:`register_txlog_source`. Options: ``path`` (table root,
+    required), ``cdf`` (serve apply_cdc commits from their typed sidecar,
+    default false), ``from_version`` (exclusive start, default -1),
+    ``max_versions_per_batch`` (backlog pacing, default unbounded)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        from .txlog import TxLog
+
+        st = TxLog(self.options["path"]).state()
+        if st.schema_json is None:
+            raise ValueError(
+                f"txlog table {self.options['path']!r} has no commits yet"
+            )
+        schema = StructType.fromJson(json.loads(st.schema_json))
+        schema = schema.add("_commit_version", LongType())
+        if str(self.options.get("cdf", "false")).lower() == "true":
+            schema = schema.add("_change_type", StringType())
+        return schema
+
+    def streamReader(self, schema: StructType) -> _TxLogStreamReader:
+        return _TxLogStreamReader(schema, dict(self.options))
+
+
+def register_txlog_source(spark) -> None:
+    """Idempotently register ``format("txlog")`` on the session."""
+    spark.dataSource.register(TxLogDataSource)

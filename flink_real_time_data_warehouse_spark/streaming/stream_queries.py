@@ -1148,3 +1148,103 @@ def txlog_cdc_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("o_totalprice")).alias("revenue"),
         )
     )
+
+
+@register(
+    "txlog_source_stream",
+    oracle=f"""
+    WITH p AS (SELECT max(o_orderkey) AS mx FROM orders),
+         w AS (SELECT mx, mx // 2 AS b1,
+                      mx // 8 AS ulo, mx // 8 + mx // 16 AS uhi,
+                      mx // 2 + mx // 8 AS dlo,
+                      mx // 2 + mx // 8 + mx // 16 AS dhi
+               FROM p)
+    SELECT o_orderstatus, _change_type, count(*) AS change_ct,
+           {sql_money_sum("o_totalprice")} AS revenue
+    FROM (
+      SELECT o_orderstatus, 'insert' AS _change_type, o_totalprice
+      FROM orders
+      UNION ALL
+      SELECT o_orderstatus, 'upsert', o_totalprice * 2
+      FROM orders, w WHERE o_orderkey BETWEEN w.ulo AND w.uhi
+      UNION ALL
+      SELECT NULL, 'delete', NULL
+      FROM orders, w WHERE o_orderkey BETWEEN w.dlo AND w.dhi
+      UNION ALL
+      SELECT 'X', 'upsert', 10.0
+      FROM w, (SELECT unnest(generate_series(1, 5)) AS i) s
+    ) t GROUP BY o_orderstatus, _change_type
+    """,
+    doc=(
+        "TXLOG AS A STREAMING SOURCE (storage/txlog_source.py, r6 verdict "
+        "task 4): the storage counterpart of the reference's topic-linked "
+        "apps (ProductStatsApp.java:61-77 reading a dwd topic another job "
+        "produced) — here the TABLE is the topic. The fixture builds a "
+        "TxLog table from two append slices plus one transactional "
+        "apply_cdc envelope (doubled prices, a delete window, five "
+        "inserts), then `readStream.format('txlog')` with cdf=true "
+        "replays the WHOLE log — appends typed 'insert', the CDC commit "
+        "served from its typed sidecar — into a grouped aggregate. The "
+        "stream runs TWICE from independent checkpoints and both replays "
+        "must agree row-for-row (offsets are versions and partitions() "
+        "is a pure function of the immutable manifest range, so a "
+        "crash-replayed batch is byte-identical); the oracle rebuilds "
+        "the same change rows in SQL."
+    ),
+)
+def txlog_source_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..functions.money import money_sum
+    from ..storage import TxLog, register_txlog_source
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="txlog_source_stream_")
+    log = TxLog(os.path.join(work, "table"))
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    b1 = mx // 2
+    for lo, hi in ((0, b1), (b1, mx + 1)):
+        log.append(
+            orders.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+            .coalesce(1),
+            stats_cols=["o_orderkey"],
+        )
+    ulo, uhi = mx // 8, mx // 8 + mx // 16
+    dlo, dhi = b1 + mx // 8, b1 + mx // 8 + mx // 16
+    updates = orders.where(F.col("o_orderkey").between(ulo, uhi)).select(
+        "o_orderkey", "o_orderstatus",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"), F.lit("u").alias("op"),
+    )
+    deletes = orders.where(F.col("o_orderkey").between(dlo, dhi)).select(
+        "o_orderkey", F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"), F.lit("d").alias("op"),
+    )
+    inserts = spark.range(1, 6).select(
+        (F.lit(mx) + F.col("id")).alias("o_orderkey"),
+        F.lit("X").alias("o_orderstatus"),
+        F.lit(10.0).alias("o_totalprice"), F.lit("i").alias("op"),
+    )
+    log.apply_cdc(
+        spark, updates.unionByName(deletes).unionByName(inserts), "o_orderkey"
+    )
+    register_txlog_source(spark)
+    replays = []
+    for _ in range(2):  # independent full replays must agree row-for-row
+        src = (
+            spark.readStream.format("txlog")
+            .option("path", log.path)
+            .option("cdf", "true")
+            .load()
+        )
+        agg = src.groupBy("o_orderstatus", "_change_type").agg(
+            F.count("*").alias("change_ct"),
+            money_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+        replays.append(run_to_memory(agg, spark, output_mode="complete"))
+    a = sorted(map(tuple, replays[0].collect()), key=repr)  # repr: None-safe
+    b = sorted(map(tuple, replays[1].collect()), key=repr)
+    assert a == b, "txlog source replay diverged between independent runs"
+    return replays[1]

@@ -1,0 +1,304 @@
+"""TxLog as a streaming SOURCE (storage/txlog_source.py): follow-the-log
+micro-batches over the manifest range, typed CDF replay, backlog pacing,
+checkpoint-resumed incrementality, and the exactness guard rails
+(rewrites and truncated ranges fail the stream, never silently skip)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_real_time_data_warehouse_spark.storage import TxLog
+from flink_real_time_data_warehouse_spark.storage.txlog_source import (
+    register_txlog_source,
+)
+
+
+def _run_available_now(src_df, work: str, name: str, ckpt: str):
+    q = (
+        src_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def _kv_table(spark, tmp_path, rows_per_commit=((0, 5), (5, 8))) -> TxLog:
+    log = TxLog(str(tmp_path / "t"))
+    for lo, hi in rows_per_commit:
+        log.append(
+            spark.createDataFrame(
+                [(k, k * 10) for k in range(lo, hi)], "k long, v long"
+            ).coalesce(1),
+            stats_cols=["k"],
+        )
+    return log
+
+
+def test_source_serves_history_then_resumes_incrementally(tmp_path, spark):
+    """Full history on first start; a checkpoint-resumed restart serves
+    ONLY commits that landed since (the follow-the-log contract). The
+    sink is foreachBatch — the memory sink can't recover a checkpoint."""
+    log = _kv_table(spark, tmp_path)
+    register_txlog_source(spark)
+    ck = str(tmp_path / "w" / "ck")
+
+    def run_once() -> list:
+        seen: list = []
+        src = spark.readStream.format("txlog").option("path", log.path).load()
+        q = (
+            src.writeStream.foreachBatch(
+                lambda df, _e: seen.extend(
+                    (r["k"], r["_commit_version"]) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(seen)
+
+    assert run_once() == [(k, k // 5) for k in range(8)]
+    # two more commits land; the SAME checkpoint resumes past them only
+    log.append(
+        spark.createDataFrame([(100, 1)], "k long, v long").coalesce(1),
+        stats_cols=["k"],
+    )
+    log.append(
+        spark.createDataFrame([(200, 2)], "k long, v long").coalesce(1),
+        stats_cols=["k"],
+    )
+    assert run_once() == [(100, 2), (200, 3)]
+
+
+def test_source_cdf_mode_types_changes(tmp_path, spark):
+    """cdf=true serves appends as 'insert' and apply_cdc commits from
+    their typed sidecar — upsert payload, delete as key + NULL."""
+    log = _kv_table(spark, tmp_path)
+    ch = spark.createDataFrame(
+        [(1, -1, "u"), (3, None, "d")], "k long, v long, op string"
+    )
+    log.apply_cdc(spark, ch, "k")
+    register_txlog_source(spark)
+    src = (
+        spark.readStream.format("txlog")
+        .option("path", log.path)
+        .option("cdf", "true")
+        .load()
+    )
+    _run_available_now(src, str(tmp_path / "w"), "cdf_out", "ck")
+    rows = {
+        (r["k"], r["_change_type"]): (r["v"], r["_commit_version"])
+        for r in spark.sql("select * from cdf_out").collect()
+    }
+    assert rows[(1, "upsert")] == (-1, 2)
+    assert rows[(3, "delete")] == (None, 2)
+    assert rows[(0, "insert")] == (0, 0) and len(rows) == 8 + 2
+    # non-cdf mode refuses the cdc commit instead of serving it wrong
+    src_plain = spark.readStream.format("txlog").option("path", log.path).load()
+    q = (
+        src_plain.writeStream.format("memory")
+        .queryName("plain_out")
+        .option("checkpointLocation", str(tmp_path / "w" / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="cdc"):
+        q.awaitTermination()
+
+
+def test_source_paces_backlog_into_bounded_batches(tmp_path, spark):
+    """max_versions_per_batch bounds each trigger (maxFilesPerTrigger
+    analog): a 4-commit backlog replays as ceil(4/2)=2 non-empty batches.
+    (Spark runs Python sources' availableNow as a single batch, so the
+    pacing path needs a running trigger to observe.)"""
+    log = _kv_table(spark, tmp_path, rows_per_commit=((0, 2), (2, 4), (4, 6), (6, 8)))
+    register_txlog_source(spark)
+    src = (
+        spark.readStream.format("txlog")
+        .option("path", log.path)
+        .option("max_versions_per_batch", "2")
+        .load()
+    )
+    q = (
+        src.writeStream.format("memory")
+        .queryName("paced")
+        .option("checkpointLocation", str(tmp_path / "w" / "ck"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 40
+        batches: list = []
+        while time.time() < deadline:
+            batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+            if sum(p["numInputRows"] for p in batches) >= 8:
+                break
+            time.sleep(0.3)
+        assert sorted(
+            r["k"] for r in spark.sql("select k from paced").collect()
+        ) == list(range(8))
+        assert len(batches) == 2
+        assert all(p["numInputRows"] == 4 for p in batches)  # 2 commits x 2 rows
+    finally:
+        q.stop()
+
+
+def test_source_follows_live_appends(tmp_path, spark):
+    """A continuously-running stream picks up commits that land AFTER it
+    started — the table-as-topic behavior (ProductStatsApp.java:61-77's
+    topic chaining, storage edition)."""
+    log = _kv_table(spark, tmp_path, rows_per_commit=((0, 1),))
+    register_txlog_source(spark)
+    src = spark.readStream.format("txlog").option("path", log.path).load()
+    q = (
+        src.writeStream.format("memory")
+        .queryName("live")
+        .option("checkpointLocation", str(tmp_path / "w" / "ck"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        log.append(
+            spark.createDataFrame([(50, 5)], "k long, v long").coalesce(1),
+            stats_cols=["k"],
+        )
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            got = sorted(r["k"] for r in spark.sql("select k from live").collect())
+            if got == [0, 50]:
+                break
+            time.sleep(0.3)
+        assert got == [0, 50]
+    finally:
+        q.stop()
+
+
+def test_source_raises_on_rewrite_and_truncation(tmp_path, spark):
+    """Exactness guards: a physical rewrite commit (merge) in range fails
+    the stream; so does a range whose manifests were truncated."""
+    log = _kv_table(spark, tmp_path)
+    log.merge(spark, spark.createDataFrame([(1, -1)], "k long, v long"), "k")
+    register_txlog_source(spark)
+    src = spark.readStream.format("txlog").option("path", log.path).load()
+    q = (
+        src.writeStream.format("memory")
+        .queryName("rw_out")
+        .option("checkpointLocation", str(tmp_path / "w" / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="merge"):
+        q.awaitTermination()
+    # truncation: fold + truncate, then ask for history from -1
+    log2 = _kv_table(spark, tmp_path / "t2")
+    log2.checkpoint()
+    log2.truncate_log()
+    src2 = spark.readStream.format("txlog").option("path", log2.path).load()
+    q2 = (
+        src2.writeStream.format("memory")
+        .queryName("tr_out")
+        .option("checkpointLocation", str(tmp_path / "w" / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="truncated"):
+        q2.awaitTermination()
+
+
+def test_source_skips_metadata_only_and_reattaches_partitions(tmp_path, spark):
+    """Constraint commits stream zero rows; Hive-partitioned appends
+    re-attach the partition column from the manifest, typed."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(
+        spark.createDataFrame(
+            [("a", 1), ("b", 2)], "p string, k long"
+        ).repartition(2, "p"),
+        partition_by="p",
+        stats_cols=["k"],
+    )
+    log.add_constraint("pos", "k > 0")  # metadata-only commit mid-stream
+    log.append(
+        spark.createDataFrame([("c", 3)], "p string, k long").coalesce(1),
+        partition_by="p",
+        stats_cols=["k"],
+    )
+    register_txlog_source(spark)
+    src = spark.readStream.format("txlog").option("path", log.path).load()
+    _run_available_now(src, str(tmp_path / "w"), "parts_out", "ck")
+    got = {
+        r["p"]: (r["k"], r["_commit_version"])
+        for r in spark.sql("select * from parts_out").collect()
+    }
+    assert got == {"a": (1, 0), "b": (2, 0), "c": (3, 2)}
+
+
+def test_source_replay_is_deterministic(tmp_path, spark):
+    """Two independent full replays produce identical rows — the property
+    that makes a checkpoint-recovered batch byte-identical."""
+    log = _kv_table(spark, tmp_path)
+    log.apply_cdc(
+        spark,
+        spark.createDataFrame([(1, -1, "u")], "k long, v long, op string"),
+        "k",
+    )
+    register_txlog_source(spark)
+    outs = []
+    for ck in ("ck1", "ck2"):
+        src = (
+            spark.readStream.format("txlog")
+            .option("path", log.path)
+            .option("cdf", "true")
+            .load()
+        )
+        _run_available_now(src, str(tmp_path / "w"), f"det_{ck}", ck)
+        outs.append(
+            sorted(
+                map(tuple, spark.sql(f"select * from det_{ck}").collect())
+            )
+        )
+    assert outs[0] == outs[1] and len(outs[0]) == 9
+
+
+def test_source_pacing_floor_survives_restart(tmp_path, spark):
+    """Paced restarts never regress or stall: availableNow runs as a
+    single paced batch, so a 4-commit backlog with step 2 drains over two
+    checkpoint-resumed runs — the second run resumes ABOVE the first
+    run's committed offset (the persisted pacing floor; without it the
+    post-restart latestOffset would re-derive a lower offset and the
+    engine would stall or re-serve committed versions)."""
+    log = _kv_table(spark, tmp_path, rows_per_commit=((0, 2), (2, 4), (4, 6), (6, 8)))
+    register_txlog_source(spark)
+    ck = str(tmp_path / "w" / "ck")
+    seen: list = []
+
+    def run_once():
+        src = (
+            spark.readStream.format("txlog")
+            .option("path", log.path)
+            .option("max_versions_per_batch", "2")
+            .load()
+        )
+        q = (
+            src.writeStream.foreachBatch(
+                lambda df, _e: seen.append(sorted(r["k"] for r in df.collect()))
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert seen == [[0, 1, 2, 3]]  # paced: first 2 of 4 commits
+    assert os.path.exists(os.path.join(log.path, "_source", "default.json"))
+    run_once()
+    assert seen == [[0, 1, 2, 3], [4, 5, 6, 7]]  # resumed above the floor
