@@ -1561,12 +1561,34 @@ class TxLog:
         return n
 
     def vacuum(self, grace_seconds: float = 24 * 3600.0) -> int:
-        """Delete data files no committed manifest references (crash
-        orphans, replaced files) and abandoned ``_staging-*`` directories
-        (a crash mid-stage, before any file moved to data/), both older
-        than `grace_seconds` — the grace window protects in-flight stages
-        and held snapshots, exactly Delta's VACUUM contract. Returns the
-        number of files/directories removed."""
+        """Delete data files the LATEST state does not reference (crash
+        orphans, replaced/rewritten files) and abandoned ``_staging-*``
+        directories (a crash mid-stage, before any file moved to data/),
+        both older than `grace_seconds` — the grace window protects
+        in-flight stages and held snapshots, exactly Delta's VACUUM
+        contract (`deletedFileRetentionDuration`). Returns the number of
+        files/directories removed.
+
+        RETENTION CONTRACT vs time travel and the change feed (the
+        four-way interplay, pinned by
+        tests/test_txlog.py::test_vacuum_retention_vs_time_travel_and_cdf):
+
+        - Within the grace window nothing a manifest can reach is
+          touched: every still-listed version time-travels and every
+          still-listed range replays through ``changes()``.
+        - Past the grace window, a version whose files were REWRITTEN
+          away (merge/delete/optimize/replace) still RECONSTRUCTS
+          (``state(at_version)`` is metadata-only and manifests are not
+          vacuum's concern) but READING it fails loudly at scan time
+          with the missing path — never a silently-smaller result. Same
+          for a ``changes()`` range that needs a collected file. This is
+          Delta's documented behavior: vacuum bounds time-travel/CDF
+          retention; ``truncate_log`` is what bounds reconstruction.
+        - CDF sidecars and deletion-vector sidecars are live while their
+          manifest (respectively their data file) is live, regardless of
+          age; only ``truncate_log`` orphans cdc sidecars, after which
+          the range raises :class:`TxVersionTruncatedError` and the next
+          vacuum collects them."""
         st = self.state()
         live = set(st.files)
         # A live file's deletion-vector sidecar is as live as the file:

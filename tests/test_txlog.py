@@ -1260,3 +1260,62 @@ def test_cdc_races_overlapping_append_rederives(tmp_path, spark):
     got = {r["k"]: r["v"] for r in log.snapshot(spark).collect()}
     assert got[3] == 333  # upsert won over BOTH the original and the racer
     assert 5 not in got and len(got) == 9
+
+
+def test_vacuum_retention_vs_time_travel_and_cdf(tmp_path, spark):
+    """The four-way retention interplay (r6 verdict task 9), matching
+    Delta's deletedFileRetentionDuration semantics: inside the grace
+    window vacuum touches nothing reachable (time travel + CDF fully
+    readable); past it, a version whose files were rewritten away still
+    RECONSTRUCTS but fails loudly at SCAN time; a CDF range needing a
+    collected file fails the same way; truncate_log (not vacuum) is what
+    kills reconstruction, and only then do cdc sidecars become garbage."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(
+        spark.createDataFrame([(k, k * 10) for k in range(6)], "k long, v long")
+        .coalesce(1),
+        stats_cols=["k"],
+    )  # v0
+    log.append(
+        spark.createDataFrame([(10, 100)], "k long, v long").coalesce(1),
+        stats_cols=["k"],
+    )  # v1
+    log.apply_cdc(
+        spark,
+        spark.createDataFrame([(1, -1, "u"), (3, None, "d")],
+                              "k long, v long, op string"),
+        "k",
+    )  # v2: rewrites v0's file, stages a cdf sidecar
+
+    # (a) within the grace window: nothing reachable is collected
+    assert log.vacuum() == 0
+    assert sorted(r["k"] for r in log.snapshot(spark, version=0).collect()) == list(range(6))
+    assert log.changes(spark, -1, cdf=True).count() == 7 + 2
+
+    # (b) past the window: v0's rewritten-away file is collected
+    assert log.vacuum(grace_seconds=0.0) == 1
+    # reconstruction is metadata-only and still works ...
+    assert log.state(at_version=0).version == 0
+    # ... but SCANNING v0 (or a CDF range needing the file) fails loudly
+    with pytest.raises(Exception, match="(?i)path|exist|found"):
+        log.snapshot(spark, version=0).collect()
+    with pytest.raises(Exception, match="(?i)path|exist|found"):
+        log.changes(spark, -1, cdf=True).collect()
+    # narrower ranges that skip the collected file still replay exactly
+    assert log.changes(spark, 0, cdf=True).count() == 1 + 2
+    # latest snapshot is of course untouched
+    assert log.snapshot(spark).count() == 6
+
+    # (c) truncate_log, not vacuum, bounds reconstruction; it orphans the
+    # cdc sidecar, which the NEXT vacuum collects
+    log.checkpoint()
+    log.truncate_log()
+    with pytest.raises(TxVersionTruncatedError):
+        log.state(at_version=0)
+    with pytest.raises(TxVersionTruncatedError):
+        log.changes(spark, -1, cdf=True)
+    # collects exactly the now-orphaned cdc sidecar parts: afterwards the
+    # data dir holds nothing but the live files
+    assert log.vacuum(grace_seconds=0.0) >= 1
+    assert sorted(os.listdir(log.data_path)) == sorted(log.state().files)
+    assert log.snapshot(spark).count() == 6  # table state never at risk
