@@ -1248,3 +1248,112 @@ def txlog_source_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = sorted(map(tuple, replays[1].collect()), key=repr)
     assert a == b, "txlog source replay diverged between independent runs"
     return replays[1]
+
+
+@register(
+    "cdc_route_materialized",
+    oracle="""
+    SELECT 'dwd_order_info' AS sink_table, o_orderkey AS id,
+           o_custkey AS user_id,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) / 100.0 AS total_amount,
+           CAST(NULL AS VARCHAR) AS name, CAST(NULL AS DOUBLE) AS acct
+    FROM orders WHERE o_orderkey % 10 NOT IN (0, 1)
+    UNION ALL
+    SELECT 'dim_user_info', c_custkey, NULL, NULL, c_name,
+           CASE WHEN c_custkey % 7 = 0
+                THEN CAST(floor((c_acctbal + 1) * 100 + 0.5) AS BIGINT) / 100.0
+                ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) / 100.0 END
+    FROM customer
+    """,
+    doc=(
+        "R2/R3 GRADED END-TO-END (r6 verdict task 7 — streaming/router.py "
+        "route_micro_batch; reference TableProcessFunction.java:130-189 + "
+        "DimSinkFunction.java:17-89): a mixed CDC envelope (order_info "
+        "rows with insert/update/delete ops, user_info rows where a "
+        "second 'update' wave revises 1-in-7 accounts) replays as 3 "
+        "micro-batch epochs through the dynamic router. The config list "
+        "routes order_info inserts to a TABLE sink (idempotent epoch "
+        "appends), both user_info ops to a DIM sink (TxLog MERGE on id), "
+        "and drops the unconfigured order ops (P4 pruning — keys "
+        "%10 in (0,1) must be absent). The WHOLE stream then replays "
+        "from a fresh checkpoint (total consumer crash): table epochs "
+        "must be skipped by the app high-water mark and dim merges must "
+        "be idempotent — any duplication or re-applied wave changes the "
+        "hash. Result = the union of both sink snapshots; oracle = the "
+        "equivalent DuckDB upsert/append."
+    ),
+)
+def cdc_route_materialized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..functions.money import money
+    from ..sources.streams import stream_dir, write_epoch_files
+    from ..streaming.router import RouteConfig, read_sink, start_router
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nul_s, nul_d = F.lit(None).cast("string"), F.lit(None).cast("double")
+    op = (
+        F.when(F.col("o_orderkey") % 10 == 0, "delete")
+        .when(F.col("o_orderkey") % 10 == 1, "update")
+        .otherwise("insert")
+    )
+    order_env = orders.select(
+        F.lit("order_info").alias("source_table"), op.alias("op"),
+        F.col("o_orderkey").alias("id"), F.col("o_custkey").alias("user_id"),
+        money(F.col("o_totalprice")).alias("total_amount"),
+        nul_s.alias("name"), nul_d.alias("acct"),
+    )
+    user_wave1 = cust.select(
+        F.lit("user_info").alias("source_table"), F.lit("insert").alias("op"),
+        F.col("c_custkey").alias("id"), F.lit(None).cast("long").alias("user_id"),
+        nul_d.alias("total_amount"), F.col("c_name").alias("name"),
+        money(F.col("c_acctbal")).alias("acct"),
+    )
+    user_wave2 = cust.where(F.col("c_custkey") % 7 == 0).select(
+        F.lit("user_info").alias("source_table"), F.lit("update").alias("op"),
+        F.col("c_custkey").alias("id"), F.lit(None).cast("long").alias("user_id"),
+        nul_d.alias("total_amount"), F.col("c_name").alias("name"),
+        money(F.col("c_acctbal") + 1).alias("acct"),
+    )
+    envelope = order_env.unionByName(user_wave1).unionByName(user_wave2)
+    # Epoch sort key: a key's insert orders strictly before its update, so
+    # an ntile boundary between them can only put the insert in an EARLIER
+    # epoch — the dim MERGE then applies waves in envelope order.
+    envelope = envelope.withColumn(
+        "sort_key", F.col("id") * 2 + (F.col("op") == "update").cast("long")
+    )
+    configs = [
+        RouteConfig("order_info", "insert", "dwd_order_info",
+                    ("id", "user_id", "total_amount"), "table"),
+        RouteConfig("user_info", "insert", "dim_user_info",
+                    ("id", "name", "acct"), "dim", "id"),
+        RouteConfig("user_info", "update", "dim_user_info",
+                    ("id", "name", "acct"), "dim", "id"),
+    ]
+    work = tempfile.mkdtemp(prefix="cdc_route_mat_")
+    splits = write_epoch_files(
+        envelope, "sort_key", 3, os.path.join(work, "splits"), work
+    )
+    schema = (
+        "source_table string, op string, id long, user_id long, "
+        "total_amount double, name string, acct double"
+    )
+    sinks = os.path.join(work, "sinks")
+    for ckpt in ("ckpt1", "ckpt2"):  # second pass = total crash-replay
+        h = start_router(
+            stream_dir(spark, splits, schema, max_files_per_trigger=1),
+            lambda: configs, sinks, os.path.join(work, ckpt),
+        )
+        h.awaitTermination()
+    dwd = read_sink(spark, sinks, "dwd_order_info").select(
+        F.lit("dwd_order_info").alias("sink_table"), "id", "user_id",
+        "total_amount", nul_s.alias("name"), nul_d.alias("acct"),
+    )
+    dim = read_sink(spark, sinks, "dim_user_info", "dim").select(
+        F.lit("dim_user_info").alias("sink_table"), "id",
+        F.lit(None).cast("long").alias("user_id"),
+        nul_d.alias("total_amount"), "name", "acct",
+    )
+    return dwd.unionByName(dim)
