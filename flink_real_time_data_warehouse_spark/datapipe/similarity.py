@@ -472,6 +472,28 @@ SEMDEDUP_MIN_K = 8  # floor for the adaptive cluster count
 SEMDEDUP_RATIO = 250  # adaptive k = max(MIN_K, n // RATIO) -> cost O(RATIO * n)
 
 
+def band_clusters(
+    m: DataFrame, cap: int, cluster_col: str = "cid", order_col: str = "vec_id"
+) -> DataFrame:
+    """HOT-CLUSTER GUARD for the cluster-scoped pair family — the k-means
+    counterpart of `dedup.drop_hot_buckets` (r6 verdict task 6): adds a
+    ``sub`` band column splitting every cluster into contiguous
+    id-ordered bands of AT MOST `cap` members (row_number banding — an
+    exact bound, unlike a hash mod, which can collide arbitrarily). Pair
+    formation then keys on (cluster, sub), so one pathological cluster
+    costs O(|cluster| * cap) instead of O(|cluster|^2) — the explicit
+    ceiling AQE's skew handling only approximates. Deterministic (the
+    order column is a unique id) and window-expressible, so oracles
+    replay the exact same banding. The documented trade: pairs that
+    straddle a band are not compared — same recall contract as the LSH
+    paths' bucket cap."""
+    w = Window.partitionBy(cluster_col).orderBy(order_col)
+    return m.withColumn(
+        "sub",
+        F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(cap)).cast("long"),
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float,
@@ -479,6 +501,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    cluster_cap: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup.
 
@@ -504,9 +527,13 @@ def semantic_dedup(
     for LAION — and the per-cluster work stays bounded). With k=None
     (default) that guidance is built in: k = max(8, n // SEMDEDUP_RATIO)
     computed IN-PLAN (a 1-row count broadcast, no driver action), making
-    the pair cost O(SEMDEDUP_RATIO * n) — linear — at any corpus size. A
-    skewed hot cluster is AQE skew-join territory, same as any keyed
-    self-join.
+    the pair cost O(SEMDEDUP_RATIO * n) — linear — at any corpus size.
+    `cluster_cap` adds the EXPLICIT guard for a pathological hot cluster
+    (otherwise AQE skew-join territory): members band into id-ordered
+    groups of at most `cluster_cap` via :func:`band_clusters` and pairs
+    form within a band only, bounding any one cluster's cost at
+    O(|cluster| * cap) — with the documented recall trade that
+    band-straddling pairs go uncompared.
 
     `centroids` (cid, cq: array<long> fixed-point) swaps TRAINED cluster
     centers in for the first-k init without touching the plan — cluster
@@ -557,12 +584,15 @@ def semantic_dedup(
         F.col("b.s").alias("cs"),
         F.col("b.q").alias("q"),
     ).withColumn("nq", qdot(F.col("q"), F.col("q")).cast("double"))
+    if cluster_cap is not None:
+        m = band_clusters(m, cluster_cap, "cid", id_col)
     x = m.select(
         F.col(id_col).alias("ia"),
         F.col("cid").alias("cida"),
         F.col("cs").alias("csa"),
         F.col("q").alias("qa"),
         F.col("nq").alias("na"),
+        *([F.col("sub").alias("suba")] if cluster_cap is not None else []),
     )
     y = m.select(
         F.col(id_col).alias("ib"),
@@ -570,6 +600,7 @@ def semantic_dedup(
         F.col("cs").alias("csb"),
         F.col("q").alias("qb"),
         F.col("nq").alias("nb"),
+        *(["sub"] if cluster_cap is not None else []),
     )
     # One right-outer cluster self-join carries the whole keep rule, so the
     # assignment subtree is evaluated exactly twice (the two join sides) —
@@ -587,6 +618,8 @@ def semantic_dedup(
             | ((F.col("csa") == F.col("csb")) & (F.col("ia") < F.col("ib")))
         )
     )
+    if cluster_cap is not None:
+        beats = (F.col("suba") == F.col("sub")) & beats
     return (
         x.join(y, beats, "right_outer")
         .groupBy("ib", "cid")
@@ -609,6 +642,7 @@ def knn_label_noise(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    cluster_cap: int | None = None,
 ) -> DataFrame:
     """Cluster-scoped kNN label-noise detection — mislabeled-sample mining
     for a labeled training corpus (the confident-learning family of
@@ -618,7 +652,10 @@ def knn_label_noise(
 
     Scale shape is SemDeDup's: one broadcast-k assignment scan, ONE
     shuffle by cid for the within-cluster neighbor join (O(n^2/k) pairs,
-    never all-pairs), then one window rank per vector. Exact fixed-point
+    never all-pairs), then one window rank per vector; `cluster_cap`
+    bounds a pathological hot cluster via :func:`band_clusters` (votes
+    then come from the vector's own id-band — the same recall trade as
+    semantic_dedup's cap). Exact fixed-point
     geometry (`quantized`/`qdot`) keeps every similarity, rank, and vote
     bit-identical across engines, so the DuckDB oracle reproduces every
     verdict. Tie-breaks are total orders: neighbor rank (sim DESC, id
@@ -654,17 +691,22 @@ def knn_label_noise(
         F.col("b.q").alias("q"),
         F.col("b.lbl").alias("lbl"),
     ).withColumn("nq", qdot(F.col("q"), F.col("q")).cast("double"))
+    if cluster_cap is not None:
+        m = band_clusters(m, cluster_cap, "cid", id_col)
     x = m.select(
         F.col(id_col).alias("ia"), F.col("cid").alias("cida"),
         F.col("q").alias("qa"), F.col("nq").alias("na"), F.col("lbl").alias("la"),
+        *([F.col("sub").alias("suba")] if cluster_cap is not None else []),
     )
     y = m.select(
         F.col(id_col).alias("ib"), "cid",
         F.col("q").alias("qb"), F.col("nq").alias("nb"), F.col("lbl").alias("lb"),
+        *(["sub"] if cluster_cap is not None else []),
     )
-    pairs = x.join(
-        y, (F.col("cida") == F.col("cid")) & (F.col("ia") != F.col("ib"))
-    ).select(
+    cond = (F.col("cida") == F.col("cid")) & (F.col("ia") != F.col("ib"))
+    if cluster_cap is not None:
+        cond = (F.col("suba") == F.col("sub")) & cond
+    pairs = x.join(y, cond).select(
         "ia", "la", "ib", "lb",
         (qdot(F.col("qa"), F.col("qb")) / F.sqrt(F.col("na") * F.col("nb"))).alias("sim"),
     )

@@ -897,6 +897,64 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(table(spark, sf_dir, "embeddings"), COSINE_THRESHOLD)
 
 
+SEMDEDUP_CAP = 25  # hot-cluster band size for the capped graded twin
+
+
+@register(
+    "semantic_dedup_capped",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id AS vid, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS q
+                 FROM embeddings),
+    c0 AS (SELECT vid AS cid, q AS cq FROM emb
+           WHERE vid < (SELECT greatest({SEMDEDUP_MIN_K},
+                          CAST(floor(count(*) / {SEMDEDUP_RATIO}.0) AS BIGINT))
+                        FROM emb)),
+    s AS (SELECT e.vid, c.cid,
+            list_dot_product(e.q, c.cq)
+              / sqrt(list_dot_product(e.q, e.q) * list_dot_product(c.cq, c.cq)) AS cs
+          FROM emb e CROSS JOIN c0 c),
+    a AS (SELECT vid, cid, cs FROM (
+            SELECT vid, cid, cs,
+                   row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) AS rn
+            FROM s) WHERE rn = 1),
+    m AS (SELECT a.vid, a.cid, a.cs, e.q,
+                 CAST(floor((row_number() OVER (PARTITION BY a.cid ORDER BY a.vid)
+                             - 1) / {SEMDEDUP_CAP}.0) AS BIGINT) AS sub
+          FROM a JOIN emb e ON a.vid = e.vid),
+    losers AS (SELECT DISTINCT CASE WHEN x.cs > y.cs THEN x.vid ELSE y.vid END AS vid
+               FROM m x JOIN m y ON x.cid = y.cid AND x.sub = y.sub AND x.vid < y.vid
+               WHERE list_dot_product(x.q, y.q)
+                       / sqrt(list_dot_product(x.q, x.q) * list_dot_product(y.q, y.q))
+                     >= {COSINE_THRESHOLD})
+    SELECT a.vid AS vec_id, a.cid,
+           CASE WHEN l.vid IS NULL THEN 'keep' ELSE 'drop' END AS verdict
+    FROM a LEFT JOIN losers l ON a.vid = l.vid
+    """,
+    doc=(
+        "SemDeDup under the EXPLICIT hot-cluster cap (r6 verdict task 6 — "
+        "similarity.band_clusters): every cluster splits into id-ordered "
+        "bands of at most 25 members and pairs form within a band only, "
+        "so one pathological cluster costs O(|cluster| * cap) instead of "
+        "O(|cluster|^2) — the k-means counterpart of the LSH paths' "
+        "drop_hot_buckets guard, as an explicit ceiling rather than "
+        "delegation to AQE skew handling. The banding is row_number over "
+        "(cid ORDER BY id) — an exact bound a hash mod cannot give — and "
+        "window-expressible, so the oracle replays the identical bands; "
+        "the uncapped twin (semantic_dedup) pins the recall contract: "
+        "capped keeps ⊇ uncapped keeps (band-straddling pairs are the "
+        "only ones uncompared), asserted in tests/test_ivf_index.py"
+    ),
+)
+def semantic_dedup_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.similarity import semantic_dedup
+
+    return semantic_dedup(
+        table(spark, sf_dir, "embeddings"), COSINE_THRESHOLD,
+        cluster_cap=SEMDEDUP_CAP,
+    )
+
+
 KNN_NOISE_CLUSTERS = 8
 
 

@@ -513,3 +513,16 @@ def test_q20_window_reuses_aggregate_partitioning(spark):
     assert p.count("Exchange hashpartitioning(l_partkey") == 1, (
         "agg and window must share ONE partkey exchange"
     )
+
+
+def test_semantic_dedup_capped_joins_on_cluster_band(spark):
+    """The capped twin's self-join must key on (cid, sub) — a hash/sort
+    join whose group size is bounded by the cap in plan, never a
+    cartesian; broadcasts stay limited to the count + centroid scans."""
+    df = registry()["semantic_dedup_capped"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, f"all-pairs plan:\n{plan}"
+    assert plan.count("BroadcastNestedLoopJoin") <= 4, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    # the band column must be a join key (both sides), not a filter
+    assert "sub" in plan and "suba" in plan, plan
