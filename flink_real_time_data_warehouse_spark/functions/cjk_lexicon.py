@@ -103,6 +103,41 @@ def fmm_segment(run: str) -> list[str]:
     return out
 
 
+def smart_segment(run: str) -> list[str]:
+    """SMART-MODE disambiguation (r6 verdict task 5) — the overlap-
+    ambiguity arbitration IK Analyzer's smart mode performs
+    (KeywordUtil.java:14-34 runs IK with useSmart=true), as the classic
+    published FMM/BMM comparison heuristic (Sun et al.'s MM studies; the
+    rule ICTCLAS-era segmenters shipped):
+
+    1. run BOTH maximum matchers; identical output needs no arbitration;
+    2. prefer the segmentation with FEWER WORDS (longer average word —
+       maximum-matching's own objective, applied globally);
+    3. on a tie, prefer FEWER SINGLE-CHARACTER fragments (a lone 命 or 工
+       is the signature of an over-eaten compound);
+    4. still tied: prefer BMM — Chinese compounds are predominantly
+       right-headed, which is why BMM wins the classic corpora studies.
+
+    This resolves every pinned FMM-vs-BMM divergence by RULE instead of
+    by pin: 研究生命起源 -> 研究|生命|起源 and 中国人工智能 ->
+    中国|人工|智能 via rule 3 (FMM's 研究生|命 / 中国人|工 each carry a
+    stray single), 发展中国家 and 结合成分子 via rule 4. Deterministic
+    and replayable: the graded oracle re-runs both matchers as recursive
+    CTEs and applies the same three comparisons
+    (plans/gmall.py keyword_stats_smart)."""
+    fwd = fmm_segment(run)
+    bwd = bmm_segment(run)
+    if fwd == bwd:
+        return fwd
+    if len(fwd) != len(bwd):
+        return fwd if len(fwd) < len(bwd) else bwd
+    singles_f = sum(1 for w in fwd if len(w) == 1)
+    singles_b = sum(1 for w in bwd if len(w) == 1)
+    if singles_f < singles_b:
+        return fwd
+    return bwd
+
+
 def bmm_segment(run: str) -> list[str]:
     """Backward maximum matching — the standard disambiguation foil for
     FMM: scan right-to-left, longest suffix word first. On overlap

@@ -93,6 +93,36 @@ def dict_tokens():
     return seg
 
 
+def smart_tokens():
+    """pandas UDF `array<string>`: latin words + SMART-MODE dictionary CJK
+    segmentation — FMM and BMM arbitrated by the published comparison
+    heuristic (`cjk_lexicon.smart_segment`), the IK-smart-mode tier
+    between plain FMM (`dict_tokens`) and a full jieba deployment. Same
+    latin handling and Arrow batching as dict_tokens; the extra cost is
+    one backward scan per CJK run, still O(run length * MAX_WORD_LEN)."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    from .cjk_lexicon import smart_segment
+
+    latin_re = re.compile(r"[a-z0-9]+")
+    cjk_re = re.compile(f"[{CJK_RANGE}]+")
+
+    @pandas_udf("array<string>")
+    def seg(texts: pd.Series) -> pd.Series:
+        def one(t: str | None) -> list[str]:
+            t = t or ""
+            toks = latin_re.findall(t.lower())
+            for run in cjk_re.findall(t):
+                toks.extend(smart_segment(run))
+            return toks
+
+        return texts.map(one)
+
+    return seg
+
+
 def jieba_available() -> bool:
     try:
         import jieba  # noqa: F401

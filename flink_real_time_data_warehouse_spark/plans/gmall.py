@@ -526,6 +526,124 @@ def keyword_stats_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# keyword_stats_smart — F9 SMART MODE (r6 verdict task 5): the IK-Analyzer
+# useSmart=true tier (KeywordUtil.java:14-34) — FMM and BMM arbitrated by
+# the published comparison heuristic (fewer words, then fewer single-char
+# fragments, then BMM), resolving the pinned overlap-ambiguity divergences
+# by RULE. The oracle replays BOTH matchers as recursive CTEs over the
+# inlined lexicon and applies the identical arbitration per CJK run.
+# ---------------------------------------------------------------------------
+def _smart_oracle() -> str:
+    from ..functions.cjk_lexicon import MAX_WORD_LEN, MIN_WORD_LEN, words_of_len
+
+    phrases = ",".join(f"'{p}'" for p in CJK_PHRASES)
+    arms_fp, arms_fw, arms_bp, arms_bw = [], [], [], []
+    # longest-first CASE arms == the matchers' longest-first probe order
+    for length in range(MAX_WORD_LEN, MIN_WORD_LEN - 1, -1):
+        ws = words_of_len(length)
+        if not ws:
+            continue
+        inlist = ",".join(f"'{w}'" for w in ws)
+        fcond = f"substr(run, pos, {length}) IN ({inlist})"
+        arms_fp.append(f"WHEN {fcond} THEN {length}")
+        arms_fw.append(f"WHEN {fcond} THEN substr(run, pos, {length})")
+        bcond = f"pos >= {length} AND substr(run, pos - {length - 1}, {length}) IN ({inlist})"
+        arms_bp.append(f"WHEN {bcond} THEN {length}")
+        arms_bw.append(f"WHEN {bcond} THEN substr(run, pos - {length - 1}, {length})")
+    return f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id,
+             text || CASE WHEN lang = 'zh'
+                          THEN ([{phrases}])[CAST(doc_id % {len(CJK_PHRASES)} AS INTEGER) + 1]
+                          ELSE '' END AS text
+      FROM documents
+    ),
+    lat AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word FROM docs
+    ),
+    runsx AS (
+      SELECT doc_id, i AS run_ord, arr[i] AS run
+      FROM (SELECT doc_id, regexp_extract_all(text, '[一-鿿]+') AS arr FROM docs) t,
+           unnest(generate_series(1, len(arr))) AS u(i)
+    ),
+    segf AS (
+      SELECT doc_id, run_ord, run, 1 AS pos, CAST(NULL AS VARCHAR) AS word FROM runsx
+      UNION ALL
+      SELECT doc_id, run_ord, run,
+             pos + CASE {' '.join(arms_fp)} ELSE 1 END AS pos,
+             CASE {' '.join(arms_fw)} ELSE substr(run, pos, 1) END AS word
+      FROM segf WHERE pos <= length(run)
+    ),
+    segb AS (
+      SELECT doc_id, run_ord, run, length(run) AS pos, CAST(NULL AS VARCHAR) AS word FROM runsx
+      UNION ALL
+      SELECT doc_id, run_ord, run,
+             pos - CASE {' '.join(arms_bp)} ELSE 1 END AS pos,
+             CASE {' '.join(arms_bw)} ELSE substr(run, pos, 1) END AS word
+      FROM segb WHERE pos >= 1
+    ),
+    fw AS (SELECT doc_id, run_ord, word FROM segf WHERE word IS NOT NULL),
+    bw AS (SELECT doc_id, run_ord, word FROM segb WHERE word IS NOT NULL),
+    fstat AS (SELECT doc_id, run_ord, count(*) AS n,
+                     sum(CASE WHEN length(word) = 1 THEN 1 ELSE 0 END) AS s
+              FROM fw GROUP BY 1, 2),
+    bstat AS (SELECT doc_id, run_ord, count(*) AS n,
+                     sum(CASE WHEN length(word) = 1 THEN 1 ELSE 0 END) AS s
+              FROM bw GROUP BY 1, 2),
+    choice AS (
+      SELECT f.doc_id, f.run_ord,
+             CASE WHEN f.n < b.n THEN 'f' WHEN b.n < f.n THEN 'b'
+                  WHEN f.s < b.s THEN 'f' ELSE 'b' END AS side
+      FROM fstat f JOIN bstat b USING (doc_id, run_ord)
+    ),
+    cjk AS (
+      SELECT w.doc_id, w.word FROM fw w
+      JOIN choice c USING (doc_id, run_ord) WHERE c.side = 'f'
+      UNION ALL
+      SELECT w.doc_id, w.word FROM bw w
+      JOIN choice c USING (doc_id, run_ord) WHERE c.side = 'b'
+    )
+    SELECT word, count(*) AS keyword_ct, count(DISTINCT doc_id) AS doc_ct
+    FROM (SELECT * FROM lat UNION ALL SELECT * FROM cjk)
+    GROUP BY word
+    """
+
+
+@register(
+    "keyword_stats_smart",
+    oracle=_smart_oracle(),
+    doc=(
+        "F9 SMART MODE (KeywordUtil.java:14-34 IK useSmart=true -> "
+        "functions/tokenize.smart_tokens): FMM/BMM arbitrated by the "
+        "published comparison heuristic — fewer words, then fewer "
+        "single-char fragments, then BMM — resolving the four pinned "
+        "overlap-ambiguity divergences by rule (研究生命起源 -> "
+        "研究|生命|起源 etc.); oracle = dual recursive-CTE replay of both "
+        "matchers plus the identical per-run arbitration"
+    ),
+)
+def keyword_stats_smart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.tokenize import smart_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    phrase = F.element_at(
+        F.array(*[F.lit(p) for p in CJK_PHRASES]),
+        (F.col("doc_id") % len(CJK_PHRASES)).cast("int") + 1,
+    )
+    mixed = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.when(F.col("lang") == "zh", phrase).otherwise(F.lit(""))).alias(
+            "text"
+        ),
+    )
+    seg = smart_tokens()
+    words = mixed.select("doc_id", F.explode(seg(F.col("text"))).alias("word"))
+    return words.groupBy("word").agg(
+        F.count("*").alias("keyword_ct"), F.countDistinct("doc_id").alias("doc_ct")
+    )
+
+
+# ---------------------------------------------------------------------------
 # session_stats — session windows as a first-class aggregate. The reference
 # reaches for sessions via CEP gap patterns (UserJumpDetailApp.java:81-120);
 # Flink also exposes EventTimeSessionWindows — this is that operator on

@@ -740,3 +740,38 @@ def test_semantic_dedup_cap_only_widens_keeps(spark_global):
     keeps_cap = {v for v, verdict in capped.items() if verdict == "keep"}
     assert keeps_un <= keeps_cap  # cap can only widen the keep set
     assert len(keeps_cap) > len(keeps_un)  # and here it provably does
+
+
+def test_smart_mode_resolves_divergences_by_rule():
+    """IK-smart-mode arbitration (cjk_lexicon.smart_segment, r6 verdict
+    task 5): every pinned FMM-vs-BMM divergence is resolved by the
+    comparison heuristic — not by a per-case pin — and the rule that
+    fires is itself asserted (fewer single-char fragments for the two
+    over-eaten compounds, the BMM default for the true ties). Agreement
+    cases pass through untouched."""
+    from flink_real_time_data_warehouse_spark.functions.cjk_lexicon import (
+        bmm_segment,
+        fmm_segment,
+        smart_segment,
+    )
+
+    # rule 3 (fewer singles) picks BMM — the linguistically-right splits
+    for run, want in {
+        "研究生命起源": ["研究", "生命", "起源"],
+        "中国人工智能": ["中国", "人工", "智能"],
+    }.items():
+        f, b = fmm_segment(run), bmm_segment(run)
+        assert len(f) == len(b)  # word counts tie ...
+        assert sum(len(w) == 1 for w in b) < sum(len(w) == 1 for w in f)
+        assert smart_segment(run) == b == want  # ... singles decide
+    # rule 4 (tie -> BMM) for the genuinely balanced cases
+    for run in ("发展中国家", "结合成分子"):
+        f, b = fmm_segment(run), bmm_segment(run)
+        assert len(f) == len(b)
+        assert sum(len(w) == 1 for w in f) == sum(len(w) == 1 for w in b)
+        assert smart_segment(run) == b
+    # rule 2 (fewer words wins) both directions
+    assert smart_segment("实时数据仓库") == ["实时", "数据仓库"]  # f == b
+    # agreement needs no arbitration and singles never degrade coverage
+    for run in ("今天天气", "数据管道质量检测", "鑫"):
+        assert "".join(smart_segment(run)) == run
