@@ -327,6 +327,8 @@ CJK_PHRASES = (
     "自然语言理解技术", "计算机网络安全技术",
     # continuation-session tranches (14/15) exercised end-to-end:
     "天气预报准确", "演奏小提琴曲",
+    # round-7 tranches (EXT18-23) exercised end-to-end:
+    "公司领头羊", "医院心电图检查",
 )
 
 

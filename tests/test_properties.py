@@ -775,3 +775,66 @@ def test_smart_mode_resolves_divergences_by_rule():
     # agreement needs no arbitration and singles never degrade coverage
     for run in ("今天天气", "数据管道质量检测", "鑫"):
         assert "".join(smart_segment(run)) == run
+
+
+def test_r7_lexicon_tranches_change_segmentation():
+    """Round-7 tranches (EXT18-EXT23, ≥2,000 net-new entries: medicine,
+    law, idioms, literary verbs/adjectives, cuisine, culture, 3-char
+    compounds) are load-bearing: on the fixture phrases — two of them now
+    in the graded CJK_PHRASES — the pre-r7 lexicon fragments into single
+    characters where the grown dictionary produces the real compound."""
+    import re
+
+    from flink_real_time_data_warehouse_spark.functions import cjk_lexicon_data as d
+    from flink_real_time_data_warehouse_spark.functions.cjk_lexicon import (
+        AMBIGUITY_EXCLUDED,
+        SEED_WORDS,
+        VENDORED_WORDS_CORE,
+        fmm_segment,
+        smart_segment,
+    )
+
+    word_re = re.compile(r"^[一-鿿]{2,4}$")
+    r7 = tuple(f"VENDORED_WORDS_TEXT_EXT{i}" for i in range(18, 24))
+    new = {
+        w for n in r7 for w in getattr(d, n).split() if word_re.match(w)
+    }
+    pre = (
+        SEED_WORDS
+        | VENDORED_WORDS_CORE
+        | {
+            w
+            for n in dir(d)
+            if n.startswith("VENDORED_WORDS_TEXT_EXT") and n not in r7
+            for w in getattr(d, n).split()
+            if word_re.match(w)
+        }
+    ) - AMBIGUITY_EXCLUDED
+    assert len(new - pre) >= 2000  # the r6 verdict's tranche floor
+
+    def fmm_with(lexicon, run):
+        out, pos, n = [], 0, len(run)
+        mx = max(map(len, lexicon))
+        while pos < n:
+            for length in range(min(mx, n - pos), 1, -1):
+                if run[pos : pos + length] in lexicon:
+                    out.append(run[pos : pos + length])
+                    pos += length
+                    break
+            else:
+                out.append(run[pos])
+                pos += 1
+        return out
+
+    # fixture 1 (graded via CJK_PHRASES): 领头羊 assembles from singles
+    assert fmm_with(pre, "公司领头羊") == ["公司", "领", "头", "羊"]
+    assert fmm_segment("公司领头羊") == ["公司", "领头羊"]
+    # fixture 2 (graded via CJK_PHRASES): 心电图 assembles from singles
+    assert fmm_with(pre, "医院心电图检查") == ["医院", "心", "电", "图", "检查"]
+    assert fmm_segment("医院心电图检查") == ["医院", "心电图", "检查"]
+    # idiom tranche: a 4-char chengyu comes out whole
+    assert fmm_with(pre, "龙马精神") == ["龙", "马", "精神"]
+    assert fmm_segment("龙马精神") == ["龙马精神"]
+    # smart mode agrees on the new compounds (no spurious arbitration)
+    assert smart_segment("公司领头羊") == ["公司", "领头羊"]
+    assert smart_segment("医院心电图检查") == ["医院", "心电图", "检查"]
