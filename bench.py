@@ -160,6 +160,12 @@ HEADLINE = [
     "abandoned_orders_stream",
     "fulfillment_stats_stream",
     "txlog_cdc_stream",
+    # round-7 additions
+    "txlog_source_stream",
+    "cdc_route_materialized",
+    "semantic_dedup_capped",
+    "keyword_stats_smart",
+    "txlog_dv_delete_read",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

@@ -1108,6 +1108,83 @@ def txlog_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txlog_dv_delete_read",
+    oracle="""
+    WITH p AS (SELECT max(o_orderkey) // 3 AS b1,
+                      (2 * max(o_orderkey)) // 3 AS b2 FROM orders),
+         w AS (SELECT b1, b1 + (b2 - b1) // 4 AS lo,
+                      b2 - 1 - (b2 - b1) // 4 AS hi FROM p)
+    SELECT o_orderstatus, count(*) AS order_ct,
+           coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)), 0) / 100.0 AS revenue
+    FROM orders, w
+    WHERE o_orderkey >= w.b1
+      AND NOT (o_orderkey BETWEEN w.lo AND w.hi AND o_orderstatus = 'F')
+    GROUP BY o_orderstatus
+    """,
+    doc=(
+        "DELETION-VECTOR DELETE end-to-end (storage/txlog.py delete_to_dv "
+        "— Delta's DV write path, the zero-rewrite erasure verb): orders "
+        "land as three key-range appends; a CONDITIONED delete "
+        "(status='F' inside a window of the middle file) must attach a "
+        "position sidecar and rewrite NOTHING — every pre-delete data "
+        "file must still be live under its exact manifest name and the "
+        "commit must carry zero adds and zero removes (both asserted "
+        "in-plan from state()/history(), so a rewrite-based fallback "
+        "fails the query); a second, bare-range delete fully covering "
+        "the first file must still take the METADATA drop path (no "
+        "sidecar for a file with no survivors). The snapshot read "
+        "applies the vector via the broadcast anti-join on "
+        "(_metadata.file_path, row_index); the oracle applies both "
+        "deletes as a WHERE over the source table, so an over- or "
+        "under-deleted position changes the hash"
+    ),
+)
+def txlog_dv_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..functions.money import money_sum
+    from ..storage import TxLog
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="txlog_dv_delete_")
+    log = TxLog(os.path.join(work, "orders_tx"))
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    b1, b2 = mx // 3, (2 * mx) // 3
+    for lo, hi in zip([0, b1, b2], [b1, b2, mx + 1]):
+        log.append(
+            orders.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+            .coalesce(1),
+            stats_cols=["o_orderkey"],
+        )
+    before = set(log.state().files)
+    # conditioned window delete inside the middle file: DV, no rewrite
+    lo_w, hi_w = b1 + (b2 - b1) // 4, b2 - 1 - (b2 - b1) // 4
+    log.delete_to_dv(spark, "o_orderkey", lo_w, hi_w, condition="o_orderstatus = 'F'")
+    st = log.state()
+    h = log.history()[0]
+    if set(st.files) != before or not st.dvs:
+        raise AssertionError("dv delete rewrote or dropped a data file")
+    if h["op"] != "delete" or h["n_added"] != 0 or h["n_removed"] != 0:
+        raise AssertionError(f"dv delete commit not zero-add/zero-remove: {h}")
+    # bare-range purge fully covering file 1: still the metadata drop path
+    log.delete_to_dv(spark, "o_orderkey", 0, b1 - 1)
+    h2 = log.history()[0]
+    if h2["n_added"] != 0 or h2["n_removed"] != 1:
+        raise AssertionError(f"full-cover dv delete was not metadata-only: {h2}")
+    return (
+        log.snapshot(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("order_ct"),
+            money_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@register(
     "txlog_delete_read",
     oracle=f"""
     WITH p AS (SELECT max(o_orderkey) // 3 AS b1,

@@ -1040,6 +1040,106 @@ class TxLog:
                 continue
         raise TxConflictError(f"delete lost {max_retries} consecutive OCC races")
 
+    def delete_to_dv(
+        self,
+        spark: SparkSession,
+        key: str,
+        lo,
+        hi,
+        condition=None,
+        max_retries: int = 10,
+    ) -> int:
+        """DELETE via DELETION VECTORS (Delta's DV write path, public
+        docs): rows whose `key` lies in [lo, hi] (AND `condition`, if
+        given) are marked deleted by POSITION in a tiny sidecar — the
+        data files themselves are never rewritten. The rewrite-based
+        :meth:`delete` moves O(touched bytes); this moves O(matched
+        rows * ~12 bytes), which is what makes a narrow predicate delete
+        (GDPR erasure, bad-batch retraction) on a fact-scale table an
+        eventless commit. The read path (:meth:`_read_files`) anti-joins
+        the sidecar broadcast-side, so snapshots pay one hash probe per
+        DV'd file, and :meth:`optimize`/:meth:`merge` naturally fold DVs
+        away when they eventually rewrite the file.
+
+        File classification mirrors :meth:`delete`: key-range-disjoint
+        files untouched; fully-covered files (bare range, no condition)
+        drop as pure metadata — cheaper than a DV of every row; the rest
+        get a sidecar holding their matched positions, CUMULATIVE with
+        any prior DV (a newer vector replaces the older wholesale, so
+        the old positions are carried forward). Positions come from the
+        same parquet ``_metadata.row_index`` the read path keys on.
+        Predicate semantics match delete(): NULL predicate keeps the row.
+
+        Serializable with logical re-validation: the commit carries
+        ``expected_version`` plus the disjoint-range predicate, so a
+        racing append outside [lo, hi] commits both writers first-try;
+        anything touching the classified files re-derives."""
+        for _ in range(max_retries):
+            st = self.state()
+            if not st.files:
+                return st.version
+            drop: list[str] = []
+            dv_targets: list[str] = []
+            for n in st.files:
+                mm = st.stats.get(n, {}).get(key)
+                if mm is not None and (mm[1] < lo or mm[0] > hi):
+                    continue  # cannot contain matches: untouched
+                if mm is not None and condition is None and lo <= mm[0] and mm[1] <= hi:
+                    # Every live row matches: metadata drop (a prior DV
+                    # rides out with the removed file — same outcome,
+                    # cheaper than a DV of every remaining position).
+                    drop.append(n)
+                else:
+                    dv_targets.append(n)
+            if not drop and not dv_targets:
+                return st.version
+            pred = F.col(key).between(F.lit(lo), F.lit(hi))
+            if condition is not None:
+                cond = F.expr(condition) if isinstance(condition, str) else condition
+                pred = pred & cond
+            dvs: dict = {}
+            sidecars: list[str] = []
+            if dv_targets:
+                scan = spark.read.parquet(
+                    *[os.path.join(self.data_path, n) for n in dv_targets]
+                )
+                hits = scan.where(pred.eqNullSafe(F.lit(True))).select(
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).alias("file"),
+                    F.col("_metadata.row_index").alias("pos"),
+                )
+                prior = sorted({
+                    st.dvs[n] for n in dv_targets if n in st.dvs
+                })
+                if prior:
+                    carried = spark.read.parquet(
+                        *[os.path.join(self.data_path, s) for s in prior]
+                    ).where(F.col("file").isin(dv_targets))
+                    hits = hits.unionByName(carried).distinct()
+                # one shared sidecar per commit: the read path keys the
+                # anti-join on (file, pos), so sharing is free
+                hit_files = {r[0] for r in hits.select("file").distinct().collect()}
+                if hit_files:
+                    sidecars, _, _, _ = self._stage(hits.coalesce(1))
+                    dvs = {n: sidecars[0] for n in sorted(hit_files)}
+            if not drop and not dvs:
+                return st.version  # predicate matched nothing
+            try:
+                return self.commit_files(
+                    [], op="delete", schema_json=st.schema_json,
+                    removes=drop, dvs=dvs,
+                    expected_version=st.version,
+                    conflict_ok=self._disjoint_range_ok(
+                        set(drop) | set(dv_targets), key, lo, hi
+                    ),
+                )
+            except TxConflictError:
+                continue
+        raise TxConflictError(
+            f"delete_to_dv lost {max_retries} consecutive OCC races"
+        )
+
     # -- constraints ---------------------------------------------------
 
     _CONSTRAINTS_KEY = "_constraints"
@@ -1331,11 +1431,14 @@ class TxLog:
                 )
                 continue
             if m["op"] != "append":
-                if not m["adds"] and not m.get("removes"):
+                if not m["adds"] and not m.get("removes") and not m.get("dvs"):
                     # Metadata-only commit (e.g. op='constraint'): zero file
                     # changes means zero logical row changes — skipping it
                     # keeps incremental consumers alive across an
-                    # add_constraint landing mid-range (ADVICE r6).
+                    # add_constraint landing mid-range (ADVICE r6). A
+                    # deletion-vector attach is NOT metadata-only: it
+                    # changes logical rows, so it must raise like any
+                    # other rewrite.
                     continue
                 raise TxConflictError(
                     f"v{v} is a {m['op']} commit (file rewrite, not inserts); "

@@ -157,7 +157,7 @@ class _TxLogStreamReader(DataSourceStreamReader):
                 )
                 continue
             if m["op"] != "append":
-                if not m["adds"] and not m.get("removes"):
+                if not m["adds"] and not m.get("removes") and not m.get("dvs"):
                     continue  # metadata-only commit: no logical row changes
                 raise TxConflictError(
                     f"v{v} is a {m['op']} commit (file rewrite, not inserts); "

@@ -1319,3 +1319,84 @@ def test_vacuum_retention_vs_time_travel_and_cdf(tmp_path, spark):
     assert log.vacuum(grace_seconds=0.0) >= 1
     assert sorted(os.listdir(log.data_path)) == sorted(log.state().files)
     assert log.snapshot(spark).count() == 6  # table state never at risk
+
+
+def test_delete_to_dv_rewrites_nothing(tmp_path, spark):
+    """DV-based DELETE (Delta's deletion-vector write path): matched rows
+    vanish from every later snapshot while the data files stay
+    byte-identical; disjoint files untouched, fully-covered files still
+    drop as metadata; a second DV delete on the same file carries the
+    prior positions forward (cumulative wholesale replace); the change
+    feed refuses the commit (logical rows changed, no insert record)."""
+    log = TxLog(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(k, k % 3) for k in range(20)], "k long, grp long"
+    ).coalesce(1)
+    log.append(df, stats_cols=["k"])  # file A: k 0-19
+    log.append(
+        spark.createDataFrame([(k, 0) for k in range(100, 110)],
+                              "k long, grp long").coalesce(1),
+        stats_cols=["k"],
+    )  # file B: k 100-109 (disjoint)
+    log.append(
+        spark.createDataFrame([(k, 0) for k in range(200, 205)],
+                              "k long, grp long").coalesce(1),
+        stats_cols=["k"],
+    )  # file C: k 200-204 (fully covered by the second delete)
+    files_before = set(log.state().files)
+
+    # conditioned delete inside file A: must DV, not rewrite
+    log.delete_to_dv(spark, "k", 5, 12, condition="grp = 0")
+    st = log.state()
+    assert set(st.files) == files_before  # NOTHING rewritten or dropped
+    assert len(st.dvs) == 1
+    got = sorted(r["k"] for r in log.snapshot(spark).collect())
+    gone = [k for k in range(5, 13) if k % 3 == 0]
+    assert got == sorted(set(range(20)) - set(gone)) + list(range(100, 110)) + list(range(200, 205))
+
+    # bare-range delete: file C drops as metadata, file A gets a
+    # CUMULATIVE second vector (prior positions carried forward)
+    log.delete_to_dv(spark, "k", 0, 2)
+    log.delete_to_dv(spark, "k", 200, 204)
+    st2 = log.state()
+    got2 = sorted(r["k"] for r in log.snapshot(spark).collect())
+    assert got2 == sorted(set(range(3, 20)) - set(gone)) + list(range(100, 110))
+    # file A still never rewritten; C gone; B untouched
+    assert len(st2.files) == 2
+    # checkpoint + truncate: the cumulative DV still applies
+    log.checkpoint()
+    log.truncate_log()
+    assert sorted(r["k"] for r in log.snapshot(spark).collect()) == got2
+    # change feed refuses the dv commit instead of serving it wrong
+    with pytest.raises((TxConflictError, TxVersionTruncatedError)):
+        log.changes(spark, -1)
+
+
+def test_delete_to_dv_races_disjoint_append(tmp_path, spark):
+    """A DV delete racing a disjoint-key append commits without
+    re-deriving (logical conflict re-validation), and neither writer's
+    rows leak into the other's outcome."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(
+        spark.createDataFrame([(k, 0) for k in range(10)], "k long, v long")
+        .coalesce(1),
+        stats_cols=["k"],
+    )
+    orig_commit = log.commit_files
+    fired = []
+
+    def commit_spy(*a, **kw):
+        if not fired and kw.get("dvs"):
+            fired.append(1)
+            log.append(
+                spark.createDataFrame([(1000, 9)], "k long, v long").coalesce(1),
+                stats_cols=["k"],
+            )
+        return orig_commit(*a, **kw)
+
+    log.commit_files = commit_spy
+    log.delete_to_dv(spark, "k", 3, 5)
+    log.commit_files = orig_commit
+    got = sorted(r["k"] for r in log.snapshot(spark).collect())
+    assert got == [0, 1, 2, 6, 7, 8, 9, 1000]
+    assert log.state().version == 2  # append v1, dv delete v2 — no retries
