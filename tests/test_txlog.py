@@ -1400,3 +1400,27 @@ def test_delete_to_dv_races_disjoint_append(tmp_path, spark):
     got = sorted(r["k"] for r in log.snapshot(spark).collect())
     assert got == [0, 1, 2, 6, 7, 8, 9, 1000]
     assert log.state().version == 2  # append v1, dv delete v2 — no retries
+
+
+def test_optimize_folds_deletion_vectors(tmp_path, spark):
+    """Compaction reads through DVs (via _read_files), so deleted
+    positions never resurrect: after OPTIMIZE the vectors are gone from
+    state, the rows stay deleted, and the orphaned sidecar is
+    vacuumable."""
+    log = TxLog(str(tmp_path / "t"))
+    for lo in (0, 10):
+        log.append(
+            spark.createDataFrame([(k, k) for k in range(lo, lo + 10)],
+                                  "k long, v long").coalesce(1),
+            stats_cols=["k"],
+        )
+    log.delete_to_dv(spark, "k", 3, 5)
+    log.delete_to_dv(spark, "k", 12, 12)
+    assert len(log.state().dvs) == 2
+    log.optimize(spark, max_files=1)
+    st = log.state()
+    assert st.dvs == {} and len(st.files) == 1
+    got = sorted(r["k"] for r in log.snapshot(spark).collect())
+    assert got == [0, 1, 2, 6, 7, 8, 9, 10, 11] + list(range(13, 20))
+    # both sidecars + both originals are now orphans
+    assert log.vacuum(grace_seconds=0.0) == 4
