@@ -166,6 +166,7 @@ HEADLINE = [
     "semantic_dedup_capped",
     "keyword_stats_smart",
     "txlog_dv_delete_read",
+    "dwd_chain_stream",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

@@ -1357,3 +1357,124 @@ def cdc_route_materialized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul_d.alias("total_amount"), "name", "acct",
     )
     return dwd.unionByName(dim)
+
+
+@register(
+    "dwd_chain_stream",
+    oracle="""
+    SELECT 'dwd_order_info' AS sink_table, o_orderkey AS id,
+           o_custkey AS user_id,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) / 100.0 AS total_amount,
+           CAST(NULL AS VARCHAR) AS name, CAST(NULL AS DOUBLE) AS acct
+    FROM orders WHERE o_orderkey % 7 NOT IN (0, 1)
+    UNION ALL
+    SELECT 'dim_user_info', c_custkey, NULL, NULL, c_name,
+           CASE WHEN c_custkey % 5 = 0
+                THEN CAST(floor((c_acctbal + 2) * 100 + 0.5) AS BIGINT) / 100.0
+                ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) / 100.0 END
+    FROM customer
+    """,
+    doc=(
+        "THE REFERENCE'S FULL DWD TOPOLOGY, storage edition (BaseDBApp."
+        "java:49-58 consuming the ods_base_db topic that the CDC job "
+        "produced, routing through TableProcessFunction into dwd topics "
+        "and Phoenix dims): here the ODS layer is a TxLog table fed by "
+        "three epoch appends of the raw CDC envelope, BaseDBApp is "
+        "`readStream.format('txlog')` chained into the dynamic router, "
+        "and the dwd/dim layers are TxLog sinks — table-as-topic "
+        "chaining end-to-end across BOTH round-7 pieces. Three runs "
+        "grade the contract cdc_route_materialized cannot: run 1 routes "
+        "the first two ODS commits; a THIRD commit lands and the SAME "
+        "checkpoint resumes, so run 2 must route ONLY the new commit "
+        "(follow-the-log incrementality); run 3 replays everything from "
+        "a fresh checkpoint and every already-applied epoch must be "
+        "skipped by the sink log's app high-water mark — double-applied "
+        "appends or re-ordered dim waves change the hash. Oracle = the "
+        "equivalent DuckDB append/upsert over the source tables."
+    ),
+)
+def dwd_chain_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..functions.money import money
+    from ..storage import TxLog, register_txlog_source
+    from ..streaming.router import RouteConfig, read_sink, start_router
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nul_s, nul_d = F.lit(None).cast("string"), F.lit(None).cast("double")
+    op = (
+        F.when(F.col("o_orderkey") % 7 == 0, "delete")
+        .when(F.col("o_orderkey") % 7 == 1, "update")
+        .otherwise("insert")
+    )
+    order_env = orders.select(
+        F.lit("order_info").alias("source_table"), op.alias("op"),
+        F.col("o_orderkey").alias("id"), F.col("o_custkey").alias("user_id"),
+        money(F.col("o_totalprice")).alias("total_amount"),
+        nul_s.alias("name"), nul_d.alias("acct"),
+    )
+    user_wave1 = cust.select(
+        F.lit("user_info").alias("source_table"), F.lit("insert").alias("op"),
+        F.col("c_custkey").alias("id"), F.lit(None).cast("long").alias("user_id"),
+        nul_d.alias("total_amount"), F.col("c_name").alias("name"),
+        money(F.col("c_acctbal")).alias("acct"),
+    )
+    user_wave2 = cust.where(F.col("c_custkey") % 5 == 0).select(
+        F.lit("user_info").alias("source_table"), F.lit("update").alias("op"),
+        F.col("c_custkey").alias("id"), F.lit(None).cast("long").alias("user_id"),
+        nul_d.alias("total_amount"), F.col("c_name").alias("name"),
+        money(F.col("c_acctbal") + 2).alias("acct"),
+    )
+    envelope = order_env.unionByName(user_wave1).unionByName(user_wave2)
+    # Same wave-ordering contract as cdc_route_materialized: a key's
+    # insert sorts strictly before its update, so an epoch boundary can
+    # only put the insert in an EARLIER ODS commit.
+    envelope = envelope.withColumn(
+        "_epoch",
+        F.ntile(3).over(
+            Window.orderBy(F.col("id") * 2 + (F.col("op") == "update").cast("long"))
+        ),
+    )
+    work = tempfile.mkdtemp(prefix="dwd_chain_")
+    ods = TxLog(os.path.join(work, "ods_base_db"))
+    for e in (1, 2):  # the first two ODS commits exist before the stream
+        ods.append(envelope.where(F.col("_epoch") == e).drop("_epoch").coalesce(1))
+    register_txlog_source(spark)
+    configs = [
+        RouteConfig("order_info", "insert", "dwd_order_info",
+                    ("id", "user_id", "total_amount"), "table"),
+        RouteConfig("user_info", "insert", "dim_user_info",
+                    ("id", "name", "acct"), "dim", "id"),
+        RouteConfig("user_info", "update", "dim_user_info",
+                    ("id", "name", "acct"), "dim", "id"),
+    ]
+    sinks = os.path.join(work, "sinks")
+
+    def run(ckpt: str) -> None:
+        src = (
+            spark.readStream.format("txlog")
+            .option("path", ods.path)
+            .load()
+            .drop("_commit_version")
+        )
+        h = start_router(src, lambda: configs, sinks, os.path.join(work, ckpt))
+        h.awaitTermination()
+
+    run("ck_main")  # routes ODS commits 0-1
+    ods.append(envelope.where(F.col("_epoch") == 3).drop("_epoch").coalesce(1))
+    run("ck_main")  # SAME checkpoint: routes ONLY the new commit
+    run("ck_replay")  # fresh checkpoint: full replay, all epochs skipped
+    dwd = read_sink(spark, sinks, "dwd_order_info").select(
+        F.lit("dwd_order_info").alias("sink_table"), "id", "user_id",
+        "total_amount", nul_s.alias("name"), nul_d.alias("acct"),
+    )
+    dim = read_sink(spark, sinks, "dim_user_info", "dim").select(
+        F.lit("dim_user_info").alias("sink_table"), "id",
+        F.lit(None).cast("long").alias("user_id"),
+        nul_d.alias("total_amount"), "name", "acct",
+    )
+    return dwd.unionByName(dim)
