@@ -407,6 +407,69 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_cand_ctes()},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION SELECT doc_b, doc_a FROM cand
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id
+    ),
+    cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    q AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                 {{qscore}} AS quality_score
+          FROM toks JOIN documents USING (doc_id)),
+    j AS (SELECT cl.doc_id, cl.cluster_id, q.quality_score, q.n_chars
+          FROM cl JOIN q USING (doc_id))
+    SELECT doc_id, cluster_id, quality_score,
+           CASE WHEN row_number() OVER (
+                  PARTITION BY cluster_id
+                  ORDER BY quality_score DESC, n_chars DESC, doc_id
+                ) = 1 THEN 1 ELSE 0 END AS is_canonical
+    FROM j
+    """.format(qscore=QSCORE_SQL),
+    doc=(
+        "CANONICAL SELECTION — the curation step after clustering: of each "
+        "transitive duplicate cluster keep the BEST member, not the "
+        "min-id one (dedup_clusters' keeper) — ranked by the rule quality "
+        "score, then length, then id (a total order, so the choice is "
+        "deterministic and engine-reproducible). Composes the MinHash+LSH "
+        "cluster build with text_quality: one id-keyed join plus one "
+        "window over cluster_id — a single extra shuffle on top of the "
+        "cluster labels, no pairwise work. The standard pipeline shape "
+        "(near-dup groups collapse to their highest-quality exemplar "
+        "before training); oracle = the same transitive closure + the "
+        "same rule score + the same rank"
+    ),
+)
+def dedup_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..datapipe.dedup import dedup_clusters
+    from ..datapipe.quality import text_quality
+
+    docs = table(spark, sf_dir, "documents")
+    cl = dedup_clusters(docs, "doc_id", "text").select("doc_id", "cluster_id")
+    q = text_quality(docs, "doc_id", "text").select(
+        "doc_id", "n_chars", "quality_score"
+    )
+    j = cl.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return j.select(
+        F.col("doc_id").cast("long"),
+        F.col("cluster_id").cast("long"),
+        F.col("quality_score").cast("long"),
+        (F.row_number().over(w) == 1).cast("int").alias("is_canonical"),
+    )
+
+
+@register(
     "dedup_simhash",
     oracle=_simhash_oracle(),
     doc="64-bit SimHash signatures (majority vote over per-token md5 bits), split hi/lo for exact int compare",
