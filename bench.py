@@ -167,6 +167,7 @@ HEADLINE = [
     "keyword_stats_smart",
     "txlog_dv_delete_read",
     "dwd_chain_stream",
+    "dedup_canonical",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention
