@@ -302,3 +302,26 @@ def test_source_pacing_floor_survives_restart(tmp_path, spark):
     assert os.path.exists(os.path.join(log.path, "_source", "default.json"))
     run_once()
     assert seen == [[0, 1, 2, 3], [4, 5, 6, 7]]  # resumed above the floor
+
+
+def test_source_null_fills_pre_evolution_files(tmp_path, spark):
+    """Additive schema evolution: commits written BEFORE a column existed
+    stream back with that column null-filled (the source schema is the
+    table's LATEST committed schema), newer commits carry the value."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(
+        spark.createDataFrame([(1,)], "k long").coalesce(1), stats_cols=["k"]
+    )
+    log.append(
+        spark.createDataFrame([(2, "x")], "k long, extra string").coalesce(1),
+        stats_cols=["k"],
+    )
+    register_txlog_source(spark)
+    src = spark.readStream.format("txlog").option("path", log.path).load()
+    assert "extra" in src.columns
+    _run_available_now(src, str(tmp_path / "w"), "evo_out", "ck")
+    got = {
+        r["k"]: (r["extra"], r["_commit_version"])
+        for r in spark.sql("select * from evo_out").collect()
+    }
+    assert got == {1: (None, 0), 2: ("x", 1)}
