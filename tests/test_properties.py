@@ -622,6 +622,7 @@ _txlog_ops = st.lists(
         st.tuples(st.just("append"), st.integers(0, 7)),
         st.tuples(st.just("merge"), st.integers(0, 39)),
         st.tuples(st.just("delete"), st.integers(0, 39)),
+        st.tuples(st.just("dvdel"), st.integers(0, 39)),
         st.tuples(st.just("cdc"), st.integers(0, 39)),
     ),
     min_size=1,
@@ -633,11 +634,11 @@ _txlog_ops = st.lists(
 @given(ops=_txlog_ops)
 def test_txlog_verbs_match_dict_model(spark_global, tmp_path_factory, ops):
     """MODEL-BASED check of the whole verb set: any sequence of
-    append / merge (type-1 upsert) / range delete / apply_cdc must leave
-    the table equal to the same sequence applied to a plain dict — the
-    executable spec of the commit protocol's read-modify-write semantics
-    (file-level pruning, OCC, stats bookkeeping are all invisible to it,
-    which is exactly the point)."""
+    append / merge (type-1 upsert) / range delete / DV delete / apply_cdc
+    must leave the table equal to the same sequence applied to a plain
+    dict — the executable spec of the commit protocol's read-modify-write
+    semantics (file-level pruning, deletion vectors, OCC, stats
+    bookkeeping are all invisible to it, which is exactly the point)."""
     from flink_real_time_data_warehouse_spark.storage import TxLog
 
     spark = spark_global
@@ -663,6 +664,11 @@ def test_txlog_verbs_match_dict_model(spark_global, tmp_path_factory, ops):
             model.update({k: v for k, v in rows})
         elif op == "delete":
             log.delete(spark, "k", arg, arg + 4)
+            model = {k: v for k, v in model.items() if not arg <= k <= arg + 4}
+        elif op == "dvdel":
+            # deletion-vector delete: same logical spec as delete, zero
+            # rewrites physically — the model can't tell, which is the point
+            log.delete_to_dv(spark, "k", arg, arg + 4)
             model = {k: v for k, v in model.items() if not arg <= k <= arg + 4}
         else:  # cdc: one upsert, one delete, one insert
             ch = [
