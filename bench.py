@@ -168,6 +168,7 @@ HEADLINE = [
     "txlog_dv_delete_read",
     "dwd_chain_stream",
     "dedup_canonical",
+    "unimax_sample",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

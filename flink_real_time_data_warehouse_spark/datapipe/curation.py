@@ -334,3 +334,72 @@ def pack_sequences(
         cum.cast("long").alias("cum_tokens"),
         ((cum - F.col("n_tokens")) / budget).cast("long").alias("chunk_id"),
     )
+
+
+UNIMAX_EPOCH_CAP = 2  # no language repeats more than this many epochs
+
+
+def unimax_budgets(
+    lang_tokens: DataFrame,
+    total_budget: Column,
+    epoch_cap: int = UNIMAX_EPOCH_CAP,
+    lang_col: str = "lang",
+    n_col: str = "n_lang",
+) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining" — public paper): distribute a total token
+    budget over languages so that no language repeats more than
+    `epoch_cap` epochs and the remainder spreads UNIFORMLY over the
+    others — the published fix for temperature sampling's
+    low-resource-language over-repetition.
+
+    The paper's greedy (ascending corpus size, each language takes
+    min(cap * n_l, fair share of what's left)) has a closed form: a
+    prefix of the ascending order is CAPPED at cap*n_l, everyone after
+    gets the identical uniform share. Computed here entirely with
+    windows over the per-language frame (|languages| rows — tiny
+    metadata, no data shuffle): the capped flag is a running AND of
+    `cap*n_l*(L-rank+1) <= B - cap*cum_prev`, then one full-frame window
+    folds the prefix into the uniform share. Integer token arithmetic
+    throughout, so the DuckDB oracle replays the allocation exactly.
+
+    Returns (lang, n_lang, capped: int, budget_tokens: long)."""
+    from pyspark.sql import Window
+
+    w_rank = Window.orderBy(n_col, lang_col)
+    w_prev = w_rank.rowsBetween(Window.unboundedPreceding, -1)
+    w_run = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy(n_col, lang_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n = F.col(n_col)
+    base = (
+        lang_tokens.withColumn("_b", total_budget)
+        .withColumn("_l", F.count("*").over(w_all))
+        .withColumn("_rk", F.row_number().over(w_rank))
+        .withColumn("_cum_prev", F.coalesce(F.sum(n).over(w_prev), F.lit(0)))
+    )
+    flag = (
+        F.lit(epoch_cap) * n * (F.col("_l") - F.col("_rk") + 1)
+        <= F.col("_b") - F.lit(epoch_cap) * F.col("_cum_prev")
+    ).cast("int")
+    base = base.withColumn("_capped", F.min(flag).over(w_run))
+    base = base.withColumn(
+        "_k", F.sum("_capped").over(w_all)
+    ).withColumn(
+        "_capped_tok", F.sum(n * F.col("_capped")).over(w_all)
+    )
+    share = F.floor(
+        (F.col("_b") - F.lit(epoch_cap) * F.col("_capped_tok"))
+        / F.greatest(F.col("_l") - F.col("_k"), F.lit(1))
+    )
+    return base.select(
+        F.col(lang_col),
+        n.cast("long").alias(n_col),
+        F.col("_capped").cast("int").alias("capped"),
+        F.when(F.col("_capped") == 1, F.lit(epoch_cap) * n)
+        .otherwise(share)
+        .cast("long")
+        .alias("budget_tokens"),
+    )

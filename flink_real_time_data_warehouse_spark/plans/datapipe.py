@@ -1999,6 +1999,82 @@ TOKEN_BUDGET = 5_000  # per-language token quota
 
 
 @register(
+    "unimax_sample",
+    oracle=f"""
+    WITH {TOKS_CTE},
+    c AS (SELECT doc_id, d.lang, len(l) AS n,
+                 CAST({_coin("unimax")} AS BIGINT) AS u_ppm
+          FROM toks JOIN documents d USING (doc_id)),
+    lt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM c GROUP BY lang),
+    tot AS (SELECT CAST(sum(n_lang) AS BIGINT) // 2 AS b,
+                   count(*) AS nl FROM lt),
+    rk AS (SELECT lang, n_lang, b, nl,
+                  row_number() OVER (ORDER BY n_lang, lang) AS rk,
+                  coalesce(sum(n_lang) OVER (ORDER BY n_lang, lang
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+           FROM lt, tot),
+    fl AS (SELECT *, CASE WHEN 2 * n_lang * (nl - rk + 1) <= b - 2 * cum_prev
+                          THEN 1 ELSE 0 END AS flag FROM rk),
+    cp AS (SELECT *, min(flag) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS capped
+           FROM fl),
+    al AS (SELECT *, sum(capped) OVER () AS k,
+                     sum(n_lang * capped) OVER () AS ct FROM cp),
+    bud AS (SELECT lang, capped,
+                   CASE WHEN capped = 1 THEN 2 * n_lang
+                        ELSE (b - 2 * ct) // greatest(nl - k, 1) END AS budget_tokens
+            FROM al),
+    r AS (SELECT c.doc_id, c.lang, c.n, bud.budget_tokens,
+                 sum(c.n) OVER (PARTITION BY c.lang ORDER BY u_ppm, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM c JOIN bud USING (lang))
+    SELECT doc_id, lang, CAST(n AS BIGINT) AS n_tokens,
+           CAST(budget_tokens AS BIGINT) AS budget_tokens
+    FROM r WHERE cum - n < budget_tokens
+    """,
+    doc=(
+        "UniMax language sampling (Chung et al. 2023, public paper): the "
+        "total token budget (half the corpus here) is allocated over "
+        "languages by the paper's closed form — ascending corpus size, a "
+        "prefix CAPPED at epoch_cap * n_lang (no language repeats more "
+        "than 2 epochs), the rest sharing the remainder uniformly — then "
+        "each language admits documents in deterministic hash-coin order "
+        "until its allocation fills. The allocation itself is windows "
+        "over the |languages|-row frame (tiny metadata, no data "
+        "shuffle); the admission is one lang-partitioned window — the "
+        "scale shape of token_budget_sample with a principled, published "
+        "budget rule instead of a constant. Integer arithmetic end to "
+        "end, so the oracle replays the exact allocation"
+    ),
+)
+def unimax_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.curation import sample_coin_ppm, unimax_budgets
+    from ..datapipe.dedup import tokens as _tokens
+
+    docs = table(spark, sf_dir, "documents")
+    c = docs.select(
+        "doc_id", "lang",
+        F.size(_tokens(F.col("text"))).alias("n"),
+        sample_coin_ppm(F.col("doc_id"), "unimax").cast("long").alias("u_ppm"),
+    )
+    lt = c.groupBy("lang").agg(F.sum("n").cast("long").alias("n_lang"))
+    ltb = lt.crossJoin(
+        F.broadcast(lt.agg(F.floor(F.sum("n_lang") / 2).cast("long").alias("_tb")))
+    )
+    alloc = unimax_budgets(ltb, F.col("_tb"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("u_ppm", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = c.join(F.broadcast(alloc.select("lang", "budget_tokens")), "lang")
+    r = r.withColumn("cum", F.sum("n").over(w))
+    return r.where(F.col("cum") - F.col("n") < F.col("budget_tokens")).select(
+        "doc_id", "lang", F.col("n").cast("long").alias("n_tokens"),
+        F.col("budget_tokens").cast("long"),
+    )
+
+
+@register(
     "token_budget_sample",
     oracle=f"""
     WITH {TOKS_CTE},

@@ -88,7 +88,7 @@ _GRADE_FIRST: list[str] = [
     # New in round 7 (registered below as they land; ignored until then).
     "txlog_source_stream", "cdc_route_materialized",
     "semantic_dedup_capped", "keyword_stats_smart", "txlog_dv_delete_read",
-    "dwd_chain_stream", "dedup_canonical",
+    "dwd_chain_stream", "dedup_canonical", "unimax_sample",
 ]
 
 
