@@ -169,6 +169,7 @@ HEADLINE = [
     "dwd_chain_stream",
     "dedup_canonical",
     "unimax_sample",
+    "decontaminate_semantic",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

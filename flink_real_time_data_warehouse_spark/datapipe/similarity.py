@@ -931,3 +931,38 @@ def sign_lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EMBEDDING-SPACE benchmark decontamination — the semantic companion
+    of `curation.decontaminate` (n-gram overlap): a corpus item whose
+    embedding sits within `threshold` cosine of ANY held-out benchmark
+    item is flagged as probable eval leakage even when the wording
+    differs (paraphrased benchmark questions are the documented failure
+    mode of string-overlap decontamination — see the GPT-3/PaLM
+    contamination appendices).
+
+    Scale shape: benchmarks are tiny (≪1 GB) — the benchmark side
+    broadcasts, the corpus scans ONCE, and the per-item max similarity is
+    a map-side-combinable max(struct) — no corpus shuffle at all beyond
+    the final combine. Exact fixed-point geometry (`quantized`/`qcosine`)
+    keeps every similarity bit-identical across engines.
+
+    Returns (id, max_bench_sim, contaminated: int)."""
+    c = corpus.select(F.col(id_col), quantized(F.col(vec_col)).alias("q"))
+    b = benchmark.select(quantized(F.col(vec_col)).alias("bq"))
+    scored = c.crossJoin(F.broadcast(b)).select(
+        id_col, qcosine(F.col("q"), F.col("bq")).alias("sim")
+    )
+    return scored.groupBy(id_col).agg(
+        F.max("sim").alias("max_bench_sim")
+    ).select(
+        id_col, "max_bench_sim",
+        (F.col("max_bench_sim") >= threshold).cast("int").alias("contaminated"),
+    )

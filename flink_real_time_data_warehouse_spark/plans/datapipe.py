@@ -469,6 +469,46 @@ def dedup_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEM_BENCH_MOD = 25  # vec_id % SEM_BENCH_MOD == 0 plays the benchmark set
+SEM_DECON_THRESHOLD = 0.45  # same operating point as COSINE_THRESHOLD below
+
+
+@register(
+    "decontaminate_semantic",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id AS vid, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS q
+                 FROM embeddings),
+    bench AS (SELECT q FROM emb WHERE vid % {SEM_BENCH_MOD} = 0),
+    corp AS (SELECT vid, q FROM emb WHERE vid % {SEM_BENCH_MOD} <> 0),
+    s AS (SELECT c.vid,
+                 max(list_dot_product(c.q, b.q)
+                     / sqrt(list_dot_product(c.q, c.q) * list_dot_product(b.q, b.q))) AS m
+          FROM corp c CROSS JOIN bench b GROUP BY c.vid)
+    SELECT vid AS vec_id, m AS max_bench_sim,
+           CASE WHEN m >= {SEM_DECON_THRESHOLD} THEN 1 ELSE 0 END AS contaminated
+    FROM s
+    """,
+    doc=(
+        "embedding-space decontamination (similarity.semantic_decontaminate "
+        "— the paraphrase-robust companion of the n-gram `decontaminate`): "
+        "flag corpus vectors within threshold cosine of ANY benchmark "
+        "vector; benchmark broadcasts, corpus scans once, per-item max is "
+        "map-side combinable — zero corpus shuffle; exact fixed-point "
+        "cosines keep the flags engine-reproducible"
+    ),
+)
+def decontaminate_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.similarity import semantic_decontaminate
+
+    emb = table(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(
+        emb.where(F.col("vec_id") % SEM_BENCH_MOD != 0),
+        emb.where(F.col("vec_id") % SEM_BENCH_MOD == 0),
+        SEM_DECON_THRESHOLD,
+    )
+
+
 @register(
     "dedup_simhash",
     oracle=_simhash_oracle(),
