@@ -170,6 +170,7 @@ HEADLINE = [
     "dedup_canonical",
     "unimax_sample",
     "decontaminate_semantic",
+    "txlog_restore_read",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

@@ -1108,6 +1108,71 @@ def txlog_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txlog_restore_read",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS order_ct,
+           coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)), 0) / 100.0 AS revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc=(
+        "RESTORE TABLE TO VERSION end-to-end (storage/txlog.py restore — "
+        "Delta's RESTORE, the operational undo verb): orders land as two "
+        "appends, then a MERGE doubles a key window's prices and a "
+        "file-level DELETE purges another window — and RESTORE to the "
+        "pre-modification version must make the snapshot byte-equal to "
+        "the original table again while the log stays APPEND-ONLY (the "
+        "restore is a new version re-referencing the old files, asserted "
+        "in-plan from history(): op='restore' with zero staged bytes — "
+        "every added file name predates the restore). The oracle is the "
+        "plain source aggregate: any leaked merge/delete effect, or a "
+        "rollback that lost rows, changes the hash"
+    ),
+)
+def txlog_restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..functions.money import money_sum
+    from ..storage import TxLog
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="txlog_restore_")
+    log = TxLog(os.path.join(work, "orders_tx"))
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    b1 = mx // 2
+    for lo, hi in ((0, b1), (b1, mx + 1)):
+        log.append(
+            orders.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+            .coalesce(1),
+            stats_cols=["o_orderkey"],
+        )
+    files_before = set(log.state().files)
+    # corrupt the table: double a window's prices, purge another window
+    upd = orders.where(F.col("o_orderkey").between(mx // 8, mx // 4)).select(
+        "o_orderkey", "o_orderstatus",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    log.merge(spark, upd, "o_orderkey")
+    log.delete(spark, "o_orderkey", b1 + mx // 8, b1 + mx // 4)
+    log.restore(1)
+    h = log.history()[0]
+    if h["op"] != "restore":
+        raise AssertionError(f"restore commit missing: {h}")
+    if set(log.state().files) != files_before:
+        raise AssertionError("restore did not re-reference the original files")
+    return (
+        log.snapshot(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("order_ct"),
+            money_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@register(
     "txlog_dv_delete_read",
     oracle="""
     WITH p AS (SELECT max(o_orderkey) // 3 AS b1,

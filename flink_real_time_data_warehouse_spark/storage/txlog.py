@@ -1140,6 +1140,34 @@ class TxLog:
             f"delete_to_dv lost {max_retries} consecutive OCC races"
         )
 
+    def restore(self, version: int, expected_version: int | None = None) -> int:
+        """RESTORE TABLE TO VERSION (Delta's RESTORE, public docs): commit
+        the target version's exact file list — stats, partition values,
+        deletion vectors, and schema included — as a NEW version. History
+        is preserved (the interim versions still time-travel; this is an
+        append to the log, not a rollback), data files are RE-REFERENCED,
+        never copied, and app high-water marks are untouched (an
+        exactly-once sink's epoch ledger must survive a restore, same as
+        Delta's txn actions). Raises :class:`TxVersionTruncatedError` /
+        ``ValueError`` when the target predates the oldest
+        reconstructable state or never existed; a restore whose files
+        vacuum already collected fails loudly at first SCAN (the
+        retention contract, see :meth:`vacuum`). Serializable: any
+        commit landing after `expected_version` (default: now) fails it
+        with :class:`TxConflictError`."""
+        old = self.state(at_version=version)
+        if expected_version is None:
+            expected_version = self.state().version
+        # op='restore' resets files/stats/parts/dvs in replay before the
+        # adds apply, so no removes list is needed; staged_cleanup=False
+        # because the named files are ALREADY LIVE data of an old version
+        # — a failed commit must not delete them.
+        return self.commit_files(
+            list(old.files), op="restore", schema_json=old.schema_json,
+            stats=old.stats, parts=old.parts, dvs=old.dvs,
+            expected_version=expected_version, staged_cleanup=False,
+        )
+
     # -- constraints ---------------------------------------------------
 
     _CONSTRAINTS_KEY = "_constraints"

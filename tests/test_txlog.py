@@ -1424,3 +1424,44 @@ def test_optimize_folds_deletion_vectors(tmp_path, spark):
     assert got == [0, 1, 2, 6, 7, 8, 9, 10, 11] + list(range(13, 20))
     # both sidecars + both originals are now orphans
     assert log.vacuum(grace_seconds=0.0) == 4
+
+
+def test_restore_reverts_content_preserves_history_and_apps(tmp_path, spark):
+    """RESTORE TO VERSION: content reverts exactly (deletion vectors and
+    stats included), history is append-only (interim versions still
+    time-travel), app high-water marks survive (an exactly-once sink's
+    ledger must not roll back), and a post-restore vacuum collects the
+    now-unreferenced interim files while sparing the restored ones."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(
+        spark.createDataFrame([(k, k) for k in range(10)], "k long, v long")
+        .coalesce(1),
+        stats_cols=["k"], app_id="sink", app_version=7,
+    )  # v0
+    log.delete_to_dv(spark, "k", 2, 3)  # v1: DV attach
+    v1 = sorted(r["k"] for r in log.snapshot(spark).collect())
+    log.merge(spark, spark.createDataFrame([(5, -5)], "k long, v long"), "k")  # v2
+    log.append(
+        spark.createDataFrame([(100, 1)], "k long, v long").coalesce(1),
+        stats_cols=["k"],
+    )  # v3
+    v = log.restore(1)  # back to the DV'd state
+    assert v == 4
+    assert sorted(r["k"] for r in log.snapshot(spark).collect()) == v1
+    assert log.state().dvs != {}  # the vector came back with the files
+    # history preserved: interim v3 still time-travels
+    # (10 rows - 2 DV-deleted + 1 appended = 9)
+    assert log.snapshot(spark, version=3).count() == 9
+    assert log.history()[0]["op"] == "restore"
+    # exactly-once ledger untouched by the restore
+    assert log.state().apps["sink"] == 7
+    # stats restored: a disjoint-range merge still prunes (nothing touched)
+    st = log.state()
+    assert any("k" in s for s in st.stats.values())
+    # vacuum: interim files (merge rewrite + the appended file) are now
+    # unreferenced; everything the restored state needs survives
+    n = log.vacuum(grace_seconds=0.0)
+    assert n >= 2
+    assert sorted(r["k"] for r in log.snapshot(spark).collect()) == v1
+    with pytest.raises(ValueError, match="does not exist"):
+        log.restore(99)
