@@ -80,7 +80,24 @@ class _TxLogStreamReader(DataSourceStreamReader):
 
         self._path = options["path"]
         self._cdf = str(options.get("cdf", "false")).lower() == "true"
+        self._skip_changes = (
+            str(options.get("skip_change_commits", "false")).lower() == "true"
+        )
         self._from = int(options.get("from_version", -1))
+        ts = options.get("starting_timestamp")
+        if ts is not None:
+            # Delta's startingTimestamp: serve commits whose manifest ts
+            # is >= the given epoch seconds — resolved ONCE at reader
+            # construction to a version floor (the log is ordered by ts).
+            log = TxLog(self._path)
+            manifests, _ = log._list_log()
+            floor_v = manifests[-1] if manifests else -1
+            for v in manifests:
+                m = log.store.read(log._manifest_name(v))
+                if m.get("ts", 0) >= float(ts):
+                    floor_v = v - 1
+                    break
+            self._from = max(self._from, floor_v)
         self._step = int(options.get("max_versions_per_batch", 0)) or None
         self._pacing_id = str(options.get("pacing_id", "default"))
         self._schema = schema
@@ -159,10 +176,16 @@ class _TxLogStreamReader(DataSourceStreamReader):
             if m["op"] != "append":
                 if not m["adds"] and not m.get("removes") and not m.get("dvs"):
                     continue  # metadata-only commit: no logical row changes
+                if self._skip_changes:
+                    # Delta's skipChangeCommits: serve INSERTS only and
+                    # silently pass over rewrite commits (merge/delete/
+                    # optimize/...) — the documented opt-in that trades
+                    # update visibility for stream liveness.
+                    continue
                 raise TxConflictError(
                     f"v{v} is a {m['op']} commit (file rewrite, not inserts); "
                     "a txlog stream cannot reconstruct it — restart from a "
-                    "snapshot"
+                    "snapshot (or opt in with skip_change_commits=true)"
                 )
             parts = m.get("parts") or {}
             out.extend(
@@ -218,7 +241,12 @@ class TxLogDataSource(DataSource):
     :func:`register_txlog_source`. Options: ``path`` (table root,
     required), ``cdf`` (serve apply_cdc commits from their typed sidecar,
     default false), ``from_version`` (exclusive start, default -1),
-    ``max_versions_per_batch`` (backlog pacing, default unbounded)."""
+    ``starting_timestamp`` (epoch seconds; serve commits with manifest
+    ts >= it — Delta's startingTimestamp, resolved against the
+    still-listed manifests), ``skip_change_commits`` (silently pass over
+    rewrite commits instead of failing the stream — Delta's
+    skipChangeCommits opt-in), ``max_versions_per_batch`` (backlog
+    pacing, default unbounded)."""
 
     @classmethod
     def name(cls) -> str:

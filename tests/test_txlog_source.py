@@ -325,3 +325,53 @@ def test_source_null_fills_pre_evolution_files(tmp_path, spark):
         for r in spark.sql("select * from evo_out").collect()
     }
     assert got == {1: (None, 0), 2: ("x", 1)}
+
+
+def test_source_skip_change_commits_and_starting_timestamp(tmp_path, spark):
+    """Delta-parity options: skip_change_commits serves inserts only and
+    silently passes over a merge commit (instead of failing the stream);
+    starting_timestamp resolves to a version floor against manifest ts."""
+    log = _kv_table(spark, tmp_path)  # v0: k 0-4, v1: k 5-7
+    log.merge(spark, spark.createDataFrame([(1, -1)], "k long, v long"), "k")  # v2
+    log.append(
+        spark.createDataFrame([(50, 5)], "k long, v long").coalesce(1),
+        stats_cols=["k"],
+    )  # v3
+    register_txlog_source(spark)
+    src = (
+        spark.readStream.format("txlog")
+        .option("path", log.path)
+        .option("skip_change_commits", "true")
+        .load()
+    )
+    _run_available_now(src, str(tmp_path / "w"), "skip_out", "ck")
+    got = sorted(r["k"] for r in spark.sql("select k from skip_out").collect())
+    # v2's rewrite is skipped: only the append commits' rows stream
+    assert got == list(range(8)) + [50]
+    # starting_timestamp after v3's manifest ts: nothing historical served
+    import json as _json
+    import os as _os
+
+    last_ts = max(
+        _json.load(open(_os.path.join(log.log_path, f)))["ts"]
+        for f in _os.listdir(log.log_path)
+        if f.endswith(".json") and not f.endswith("checkpoint.json")
+    )
+    src2 = (
+        spark.readStream.format("txlog")
+        .option("path", log.path)
+        .option("starting_timestamp", str(last_ts + 1))
+        .load()
+    )
+    _run_available_now(src2, str(tmp_path / "w"), "ts_out", "ck2")
+    assert spark.sql("select count(*) c from ts_out").first()["c"] == 0
+    # ... and a timestamp before v3's ts serves exactly v3
+    src3 = (
+        spark.readStream.format("txlog")
+        .option("path", log.path)
+        .option("starting_timestamp", str(last_ts))
+        .option("skip_change_commits", "true")
+        .load()
+    )
+    _run_available_now(src3, str(tmp_path / "w"), "ts3_out", "ck3")
+    assert sorted(r["k"] for r in spark.sql("select k from ts3_out").collect()) == [50]
