@@ -171,6 +171,7 @@ HEADLINE = [
     "unimax_sample",
     "decontaminate_semantic",
     "txlog_restore_read",
+    "dedup_containment",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

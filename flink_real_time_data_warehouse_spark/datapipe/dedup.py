@@ -802,3 +802,56 @@ def dedup_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col("cluster_id"),
         (F.col("v") == F.col("cluster_id")).cast("int").alias("is_keeper"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    k: int = SHINGLE_K,
+    doc_freq_cap: int | None = NGRAM_DF_CAP,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by n-gram CONTAINMENT — the Broder
+    containment coefficient c(A→B) = |S(A) ∩ S(B)| / |S(A)| (the measure
+    behind "Finding Near-Duplicate Web Pages" / suffix-style inclusion
+    checks): a short document quoted wholesale inside a long one scores
+    near 1.0 on containment while its symmetric Jaccard stays tiny
+    (|A∪B| is dominated by the long doc), so a Jaccard threshold misses
+    exactly the quote/subset duplications a training corpus is full of
+    (reposted snippets, quoted articles, boilerplate-wrapped bodies).
+
+    Emits one row per unordered candidate pair with BOTH directions —
+    (doc_a, doc_b, cont_a = shared/|A|, cont_b = shared/|B|) — kept when
+    either direction clears `threshold`; the caller decides which member
+    is the quote. Same shingle index, same stop-shingle doc-frequency
+    cap, and the same per-shingle cap²/2 cost bound as
+    `ngram_jaccard_pairs`; one integer division per direction, so every
+    coefficient is bit-identical across engines."""
+    ex = shingle_rows(df, id_col, text_col, k)
+    if doc_freq_cap is not None:
+        hot = (
+            ex.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > doc_freq_cap)
+            .select("sh")
+        )
+        ex = ex.join(hot, "sh", "left_anti")
+    sizes = ex.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a, b = ex.alias("a"), ex.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    out = (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc"))
+        .select(
+            "doc_a", "doc_b",
+            (F.col("shared") / F.col("sa.n_sh")).alias("cont_a"),
+            (F.col("shared") / F.col("sb.n_sh")).alias("cont_b"),
+        )
+    )
+    return out.where((F.col("cont_a") >= threshold) | (F.col("cont_b") >= threshold))

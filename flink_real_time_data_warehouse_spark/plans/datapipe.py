@@ -251,6 +251,49 @@ def dedup_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.5  # a planted quote covers >=half the short doc
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {TOKS_CTE}, {SH_CTE},
+    hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > {NGRAM_DF_CAP}),
+    shf AS (SELECT sh.* FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           shared / sa.n_sh AS cont_a,
+           shared / sb.n_sh AS cont_b
+    FROM shared
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE shared / sa.n_sh >= {CONTAINMENT_THRESHOLD}
+       OR shared / sb.n_sh >= {CONTAINMENT_THRESHOLD}
+    """,
+    doc=(
+        "asymmetric n-gram CONTAINMENT pairs (Broder's coefficient "
+        "c(A→B)=|A∩B|/|A| — dedup.containment_pairs): catches "
+        "quote/subset duplication a symmetric Jaccard threshold misses "
+        "(a snippet reposted inside a long page scores ~1.0 containment "
+        "but tiny Jaccard); same stop-filtered shingle index and "
+        "per-shingle cap²/2 cost bound as dedup_ngram_jaccard, one "
+        "integer division per direction"
+    ),
+)
+def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.dedup import containment_pairs
+
+    return containment_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        CONTAINMENT_THRESHOLD,
+    )
+
+
 # ---------------------------------------------------------------------------
 @register(
     "dedup_minhash_verified",

@@ -89,7 +89,7 @@ _GRADE_FIRST: list[str] = [
     "txlog_source_stream", "cdc_route_materialized",
     "semantic_dedup_capped", "keyword_stats_smart", "txlog_dv_delete_read",
     "dwd_chain_stream", "dedup_canonical", "unimax_sample",
-    "decontaminate_semantic", "txlog_restore_read",
+    "decontaminate_semantic", "txlog_restore_read", "dedup_containment",
 ]
 
 

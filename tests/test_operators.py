@@ -356,3 +356,27 @@ def test_multimodal_batch_shape(spark):
     with pytest.raises(NotImplementedError):
         from flink_real_time_data_warehouse_spark.datapipe.multimodal import decode_image
         decode_image(b"\xff\xd8")
+
+
+def test_containment_catches_quotes_jaccard_misses(spark):
+    """A short doc quoted inside a much longer one: containment ~1.0 for
+    the quote while symmetric Jaccard stays far below any useful
+    threshold — the asymmetric case containment_pairs exists for."""
+    from flink_real_time_data_warehouse_spark.datapipe.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog near the riverbank"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler.upper().lower())],
+        "doc_id long, text string",
+    )
+    cont = containment_pairs(docs, "doc_id", "text", 0.9, doc_freq_cap=None).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert r["doc_a"] == 1 and r["cont_a"] >= 0.9  # the quote is contained
+    assert r["cont_b"] < 0.2  # ...but covers little of the long doc
+    jac = ngram_jaccard_pairs(docs, "doc_id", "text", 0.3, doc_freq_cap=None).collect()
+    assert jac == []  # symmetric Jaccard misses the quote entirely
