@@ -375,3 +375,63 @@ def test_source_skip_change_commits_and_starting_timestamp(tmp_path, spark):
     )
     _run_available_now(src3, str(tmp_path / "w"), "ts3_out", "ck3")
     assert sorted(r["k"] for r in spark.sql("select k from ts3_out").collect()) == [50]
+
+
+def test_source_event_time_watermark_window_agg(tmp_path, spark):
+    """Event-time semantics compose through the Python source: a TIMESTAMP
+    column survives the Arrow hand-off, a watermarked tumbling window agg in
+    append mode runs over it, and the watermark persists in the checkpoint
+    across a restart (the Python micro-batch API falls back to single-batch
+    execution under availableNow, so finalization happens on the NEXT run's
+    batch, whose starting watermark is the previous run's final one)."""
+    from datetime import datetime
+
+    rows1 = [(k, datetime(2024, 1, 1, 0, 0, k)) for k in range(0, 50, 10)]
+    rows2 = [(k, datetime(2024, 1, 1, 0, 2, k % 60)) for k in range(100, 160, 10)]
+    rows3 = [(k, datetime(2024, 1, 1, 0, 4, 0)) for k in (200,)]
+    log = TxLog(str(tmp_path / "t"))
+    for rows in (rows1, rows2):
+        log.append(
+            spark.createDataFrame(rows, "k long, ts timestamp").coalesce(1),
+            stats_cols=["k"],
+        )
+    register_txlog_source(spark)
+    ck = str(tmp_path / "w" / "ck")
+    seen: list = []
+
+    def run_once(name: str):
+        src = spark.readStream.format("txlog").option("path", log.path).load()
+        assert dict(src.dtypes)["ts"] == "timestamp"
+        agg = (
+            src.withWatermark("ts", "10 seconds")
+            .groupBy(F.window("ts", "1 minute").alias("win"))
+            .agg(F.count("*").alias("ct"))
+            .select(F.col("win.start").cast("string").alias("stt"), "ct")
+        )
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, _e: seen.extend(
+                    (r["stt"], r["ct"]) for r in df.collect()
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once("wm1")
+    # a new commit lands; the restarted stream opens with the persisted
+    # watermark 00:02:50 - 10s = 00:02:40 and finalizes minute 0 (window
+    # end 00:01:00 <= wm); minute 2's end 00:03:00 is still open
+    log.append(
+        spark.createDataFrame(rows3, "k long, ts timestamp").coalesce(1),
+        stats_cols=["k"],
+    )
+    run_once("wm2")
+    assert ("2024-01-01 00:00:00", 5) in seen
+    starts = [s for s, _ in seen]
+    assert starts.count("2024-01-01 00:00:00") == 1  # finalized exactly once
+    assert "2024-01-01 00:02:00" not in starts  # still open
+    assert "2024-01-01 00:04:00" not in starts
