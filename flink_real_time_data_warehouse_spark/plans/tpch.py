@@ -1321,6 +1321,86 @@ def txlog_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txlog_update_read",
+    oracle=f"""
+    WITH p AS (SELECT max(o_orderkey) // 3 AS b1,
+                      (2 * max(o_orderkey)) // 3 AS b2 FROM orders),
+         w AS (SELECT b1 + (b2 - b1) // 4 AS lo,
+                      b2 - 1 - (b2 - b1) // 4 AS hi FROM p)
+    SELECT o_orderstatus, count(*) AS order_ct,
+           {sql_money_sum(
+               "CASE WHEN o_orderkey BETWEEN w.lo AND w.hi "
+               "AND o_orderstatus = 'F' "
+               "THEN o_totalprice * 2 ELSE o_totalprice END"
+           )} AS revenue
+    FROM orders, w
+    GROUP BY o_orderstatus
+    """,
+    doc=(
+        "FILE-LEVEL UPDATE end-to-end (storage/txlog.py update — Delta's "
+        "UPDATE, the in-place correction verb): orders land as three "
+        "key-range appends with per-file [min,max] stats; an UPDATE "
+        "doubling 'F'-status prices inside a window strictly inside the "
+        "middle file must rewrite ONLY that file — the two disjoint "
+        "files keep their exact manifest names (asserted in-plan, so a "
+        "whole-table rewrite fails the query) and the commit op is "
+        "'update'; a second update over a range disjoint from every "
+        "file must be a version-unchanged NO-OP (stats pruning, "
+        "asserted). Set expressions read the PRE-update row and "
+        "non-matching rows in the rewritten file are byte-carried. The "
+        "oracle applies the same CASE over the source table, so an "
+        "over- or under-updated row changes the hash. At fact scale a "
+        "key-clustered correction therefore rewrites O(window), not "
+        "O(table). Reference analog: dim upserts "
+        "(DimSinkFunction.java:17-89) as a multi-writer table verb"
+    ),
+)
+def txlog_update_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..storage import TxLog
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="txlog_update_")
+    log = TxLog(os.path.join(work, "orders_tx"))
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    b1, b2 = mx // 3, (2 * mx) // 3
+    for lo, hi in zip([0, b1, b2], [b1, b2, mx + 1]):
+        log.append(
+            orders.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+            .coalesce(1),
+            stats_cols=["o_orderkey"],
+        )
+    before = set(log.state().files)
+    lo_w, hi_w = b1 + (b2 - b1) // 4, b2 - 1 - (b2 - b1) // 4
+    log.update(
+        spark, "o_orderkey", lo_w, hi_w,
+        {"o_totalprice": "o_totalprice * 2"},
+        condition="o_orderstatus = 'F'",
+    )
+    survivors = before & set(log.state().files)
+    if len(survivors) != 2 or log.history()[0]["op"] != "update":
+        raise AssertionError(
+            f"windowed update must rewrite only the middle file "
+            f"(kept {len(survivors)} of {len(before)}): {log.history()[0]}"
+        )
+    v = log.state().version
+    if log.update(spark, "o_orderkey", mx + 10, mx + 20, {"o_totalprice": "0"}) != v:
+        raise AssertionError("disjoint-range update must be a stats-pruned no-op")
+    return (
+        log.snapshot(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("order_ct"),
+            money_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@register(
     "order_count_distribution",
     oracle="""
     SELECT c_count, count(*) AS custdist

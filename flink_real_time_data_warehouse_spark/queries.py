@@ -90,6 +90,7 @@ _GRADE_FIRST: list[str] = [
     "semantic_dedup_capped", "keyword_stats_smart", "txlog_dv_delete_read",
     "dwd_chain_stream", "dedup_canonical", "unimax_sample",
     "decontaminate_semantic", "txlog_restore_read", "dedup_containment",
+    "txlog_update_read", "txlog_clone_read", "txlog_rename_read",
 ]
 
 

@@ -1140,6 +1140,89 @@ class TxLog:
             f"delete_to_dv lost {max_retries} consecutive OCC races"
         )
 
+    def update(
+        self,
+        spark: SparkSession,
+        key: str,
+        lo,
+        hi,
+        set_exprs: dict,
+        condition=None,
+        max_retries: int = 10,
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """UPDATE rows whose `key` lies in [lo, hi] (AND `condition`, if
+        given), assigning each column in `set_exprs` its expression (a
+        Column or SQL string, evaluated against the PRE-update row — so
+        ``{"price": "price * 2"}`` doubles, and multiple assignments all
+        see the old values, SQL UPDATE semantics). File-level granularity
+        (Delta's UPDATE, public docs): files whose recorded [min, max]
+        for `key` cannot intersect [lo, hi] survive the commit untouched
+        (same manifest names — zero bytes moved); intersecting files (or
+        files with no `key` stats) are rewritten with matching rows
+        transformed and non-matching rows byte-carried. Rows where the
+        predicate is NULL are NOT updated (SQL: only predicate-TRUE rows
+        change). Assigning a column not in the schema raises; CHECK
+        constraints validate the rewritten portion, so an update cannot
+        smuggle in a violating value.
+
+        Conflict rule: disjoint-file (WriteSerializable) — concurrent
+        appends never conflict and their rows are NOT updated (they
+        serialize after); a concurrent commit that removed a targeted
+        file wins it, and the update re-derives and retries. At fact
+        scale a key-clustered update therefore rewrites only the files
+        that actually hold the window — O(touched bytes), not O(table).
+        Reference analog: dim upserts (DimSinkFunction.java:17-89) are
+        key-targeted UPDATEs; this is the multi-writer table-format form."""
+        for _ in range(max_retries):
+            st = self.state()
+            if not st.files:
+                return st.version
+            schema_cols = [
+                f.name
+                for f in StructType.fromJson(json.loads(st.schema_json)).fields
+            ]
+            unknown = set(set_exprs) - set(schema_cols)
+            if unknown:
+                raise ValueError(f"UPDATE assigns unknown columns: {sorted(unknown)}")
+            rewrite = [
+                n for n in st.files
+                if (mm := st.stats.get(n, {}).get(key)) is None
+                or (mm[0] <= hi and mm[1] >= lo)
+            ]
+            if not rewrite:
+                return st.version
+            pred = F.col(key).between(F.lit(lo), F.lit(hi))
+            if condition is not None:
+                cond = F.expr(condition) if isinstance(condition, str) else condition
+                pred = pred & cond
+            base = self._read_files(spark, rewrite, st)
+            matched = pred.eqNullSafe(F.lit(True))
+            assigned = {
+                c: (F.expr(e) if isinstance(e, str) else e) for c, e in set_exprs.items()
+            }
+            updated = base.select(
+                *[
+                    F.when(matched, assigned[c]).otherwise(F.col(c)).alias(c)
+                    if c in assigned
+                    else F.col(c)
+                    for c in base.columns
+                ]
+            )
+            self._validate(updated)
+            # Rewrite volume ~= touched volume (same rule as merge/delete).
+            updated = updated.coalesce(max(1, len(rewrite)))
+            sc = stats_cols if stats_cols is not None else [key]
+            adds, schema_json, stats, parts = self._stage(updated, sc)
+            try:
+                return self.commit_files(
+                    adds, op="update", schema_json=schema_json,
+                    removes=rewrite, stats=stats, parts=parts,
+                )
+            except TxConflictError:
+                continue
+        raise TxConflictError(f"update lost {max_retries} consecutive OCC races")
+
     def restore(self, version: int, expected_version: int | None = None) -> int:
         """RESTORE TABLE TO VERSION (Delta's RESTORE, public docs): commit
         the target version's exact file list — stats, partition values,

@@ -1465,3 +1465,80 @@ def test_restore_reverts_content_preserves_history_and_apps(tmp_path, spark):
     assert sorted(r["k"] for r in log.snapshot(spark).collect()) == v1
     with pytest.raises(ValueError, match="does not exist"):
         log.restore(99)
+
+
+def test_update_file_level_classification(tmp_path, spark):
+    """UPDATE is file-granular (Delta's UPDATE): a key window strictly
+    inside one file's range rewrites ONLY that file — the two disjoint
+    files keep their exact manifest names (zero bytes moved for them) —
+    and the set expression is evaluated against the PRE-update row."""
+    log = TxLog(str(tmp_path / "t"))
+    for lo in (0, 100, 200):
+        log.append(
+            spark.range(lo, lo + 50).selectExpr("id AS k", "id * 10 AS v").coalesce(1),
+            stats_cols=["k"],
+        )
+    before = set(log.state().files)
+    log.update(spark, "k", 110, 120, {"v": "v + 1"})
+    after = set(log.state().files)
+    assert len(before & after) == 2, "disjoint files must survive untouched"
+    assert log.history()[0]["op"] == "update"
+    got = {r["k"]: r["v"] for r in log.snapshot(spark).collect()}
+    assert len(got) == 150, "UPDATE must not add or drop rows"
+    for k in range(100, 150):
+        assert got[k] == k * 10 + (1 if 110 <= k <= 120 else 0)
+    assert got[0] == 0 and got[249] == 2490
+
+
+def test_update_sees_pre_update_values_and_condition(tmp_path, spark):
+    """Multiple assignments all read the OLD row (SQL UPDATE): swapping
+    a=b, b=a actually swaps. A `condition` gates matching, and NULL-key
+    rows are never updated (predicate NULL is not TRUE)."""
+    log = TxLog(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, 10, 100), (2, 20, 200), (3, 30, 300), (None, 40, 400)],
+        "k long, a long, b long",
+    ).coalesce(1)
+    log.append(df, stats_cols=["k"])
+    log.update(spark, "k", 1, 3, {"a": "b", "b": "a"}, condition="a <> 20")
+    got = {r["k"]: (r["a"], r["b"]) for r in log.snapshot(spark).collect()}
+    assert got[1] == (100, 10) and got[3] == (300, 30), "swap reads old values"
+    assert got[2] == (20, 200), "condition-failing row untouched"
+    assert got[None] == (40, 400), "NULL key never matches"
+
+
+def test_update_rejects_unknown_column_and_constraint_violation(tmp_path, spark):
+    """Assigning a column not in the schema raises before any write, and
+    an update whose result violates a CHECK constraint fails the commit
+    (the table is unchanged either way)."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(
+        spark.createDataFrame([(1, 5)], "k long, v long").coalesce(1),
+        stats_cols=["k"],
+    )
+    log.add_constraint("v_pos", "v >= 0")
+    v = log.state().version
+    with pytest.raises(ValueError, match="unknown columns"):
+        log.update(spark, "k", 1, 1, {"nope": "1"})
+    with pytest.raises(Exception, match="v_pos|constraint"):
+        log.update(spark, "k", 1, 1, {"v": "-1"})
+    assert log.state().version == v
+    assert log.snapshot(spark).first()["v"] == 5
+
+
+def test_update_folds_deletion_vector_and_noop_disjoint(tmp_path, spark):
+    """Updating a DV'd file folds the vector (deleted rows stay deleted,
+    never resurrected, and the rewritten file carries no DV); an update
+    range disjoint from every file is a version-unchanged no-op."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(
+        spark.range(0, 10).selectExpr("id AS k", "id AS v").coalesce(1),
+        stats_cols=["k"],
+    )
+    log.delete_to_dv(spark, "k", 2, 3)
+    v = log.state().version
+    assert log.update(spark, "k", 500, 600, {"v": "0"}) == v, "disjoint no-op"
+    log.update(spark, "k", 0, 9, {"v": "v * 2"})
+    assert log.state().dvs == {}, "rewrite folds the vector away"
+    got = sorted((r["k"], r["v"]) for r in log.snapshot(spark).collect())
+    assert got == [(k, k * 2) for k in range(10) if k not in (2, 3)]
