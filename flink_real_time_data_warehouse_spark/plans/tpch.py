@@ -1401,6 +1401,85 @@ def txlog_update_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txlog_clone_read",
+    oracle=f"""
+    WITH p AS (SELECT max(o_orderkey) // 3 AS b1 FROM orders)
+    SELECT o_orderstatus, count(*) AS order_ct,
+           {sql_money_sum('o_totalprice')} AS revenue
+    FROM orders, p
+    WHERE o_orderkey >= p.b1
+    GROUP BY o_orderstatus
+    """,
+    doc=(
+        "SHALLOW CLONE end-to-end (storage/txlog.py clone — Delta's "
+        "CLONE, the zero-copy branching verb): orders land in a source "
+        "table as three key-range appends; a shallow clone must copy "
+        "ZERO parquet bytes (asserted in-plan: no data files under the "
+        "clone's directory — every reference is absolute into the "
+        "source) while carrying stats and schema. Isolation is then "
+        "proven both ways: the SOURCE is corrupted after the clone "
+        "(prices doubled by a MERGE plus an extra append) with no "
+        "effect on the clone, and the CLONE takes a file-level delete "
+        "of the first key third — which must be METADATA-ONLY (zero "
+        "adds, proving carried stats still classify files) — with no "
+        "effect on the source (asserted in-plan). The returned "
+        "aggregate reads the clone, so the oracle is the PRE-corruption "
+        "source minus the deleted third: any leakage between the "
+        "tables, or a clone that copied/lost rows, changes the hash. "
+        "At 100 TB this is dev-against-prod branching for O(files) "
+        "metadata, not O(table) bytes"
+    ),
+)
+def txlog_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..storage import TxLog
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="txlog_clone_")
+    src = TxLog(os.path.join(work, "src"))
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    b1, b2 = mx // 3, (2 * mx) // 3
+    for lo, hi in zip([0, b1, b2], [b1, b2, mx + 1]):
+        src.append(
+            orders.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+            .coalesce(1),
+            stats_cols=["o_orderkey"],
+        )
+    src_rows = src.snapshot(spark).count()
+    cl = src.clone(os.path.join(work, "cl"))
+    if [f for f in os.listdir(cl.data_path) if f.endswith(".parquet")]:
+        raise AssertionError("shallow clone copied data files")
+    # corrupt the SOURCE after the clone: invisible to the clone
+    upd = orders.where(F.col("o_orderkey").between(b1, b1 + (b2 - b1) // 4)).select(
+        "o_orderkey", "o_orderstatus",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    src.merge(spark, upd, "o_orderkey")
+    src.append(
+        orders.where(F.col("o_orderkey") < b1 // 2).coalesce(1),
+        stats_cols=["o_orderkey"],
+    )
+    # clone-side purge of the first third: carried stats => metadata-only
+    cl.delete(spark, "o_orderkey", 0, b1 - 1)
+    if cl.history()[0]["n_added"] != 0:
+        raise AssertionError("carried stats should make the purge metadata-only")
+    if src.snapshot(spark).count() <= src_rows:
+        raise AssertionError("clone delete leaked into the source")
+    return (
+        cl.snapshot(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("order_ct"),
+            money_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@register(
     "order_count_distribution",
     oracle="""
     SELECT c_count, count(*) AS custdist

@@ -1255,6 +1255,82 @@ class TxLog:
 
     _CONSTRAINTS_KEY = "_constraints"
 
+    def clone(
+        self,
+        target_path: str,
+        shallow: bool = True,
+        version: int | None = None,
+    ) -> "TxLog":
+        """CLONE TABLE (Delta's CLONE, public docs): create a NEW table at
+        `target_path` whose first commit captures this table's state as of
+        `version` (default: now).
+
+        `shallow=True` (default) references the source's live data files
+        by ABSOLUTE path — zero data bytes move, the clone is a metadata
+        commit, O(files) regardless of table size. Stats, partition
+        values, deletion vectors, CHECK-constraint registrations, and the
+        schema are all carried, so pruning and DV reads work on the clone
+        exactly as on the source. The clone's own writes (append / merge /
+        update / delete / optimize) land under the CLONE's directory and
+        never touch the source; a rewrite that retires a referenced file
+        simply stops referencing it. Divergence is bidirectional-free:
+        source commits after the clone are invisible to it, and vice
+        versa. Delta's documented shallow-clone caveat applies verbatim:
+        VACUUM on the SOURCE can collect files a shallow clone still
+        references (the source doesn't know its clones) — the clone then
+        fails loudly at scan time, never returns a silently-smaller
+        result. Clone commits are served by neither ``changes()`` nor the
+        streaming source (like Delta, CDF starts after the clone commit).
+
+        `shallow=False` (deep clone) copies every live data file (plus DV
+        sidecars) into the clone's data directory under the same names —
+        independent of source retention, O(table bytes).
+
+        The target must have no commits (raises ValueError otherwise);
+        a concurrent first-commit race on the target loses to OCC.
+        The app ledger (exactly-once epochs) is deliberately NOT carried:
+        a clone is a new table and sinks restart their epoch history
+        (Delta clones likewise reset txn app state). Returns the clone's
+        :class:`TxLog`. At 100 TB a shallow clone is what makes
+        dev/test-against-prod and table-level branching free."""
+        st = self.state(version)
+        if st.version < 0:
+            raise ValueError(f"cannot clone {self.path!r}: no commits")
+        target = TxLog(target_path)
+        if target.state().version >= 0:
+            raise ValueError(f"clone target {target_path!r} already has commits")
+
+        def src_abs(name: str) -> str:
+            return os.path.abspath(os.path.join(self.data_path, name))
+
+        if shallow:
+            ident = src_abs
+        else:
+            def ident(name: str) -> str:  # deep: copy bytes, keep the name
+                base = os.path.basename(name)
+                shutil.copy2(src_abs(name), os.path.join(target.data_path, base))
+                return base
+
+        adds = [ident(n) for n in st.files]
+        name_map = dict(zip(st.files, adds))
+        dv_map = {s: ident(s) for s in sorted(set(st.dvs.values()))}
+        target.commit_files(
+            adds,
+            op="clone",
+            schema_json=st.schema_json,
+            expected_version=-1,
+            stats={name_map[n]: s for n, s in st.stats.items() if n in name_map},
+            parts={name_map[n]: p for n, p in st.parts.items() if n in name_map},
+            dvs={name_map[n]: dv_map[s] for n, s in st.dvs.items() if n in name_map},
+            staged_cleanup=False,  # a lost race must never delete source files
+        )
+        pref = f"{self._CONSTRAINTS_KEY}:"
+        for app in sorted(st.apps):  # constraints AS OF the cloned version
+            if app.startswith(pref):
+                cname, expr_json = app[len(pref):].split(":", 1)
+                target.add_constraint(cname, json.loads(expr_json))
+        return target
+
     def add_constraint(self, name: str, expr: str) -> int:
         """Register a CHECK constraint (Delta's ALTER TABLE ADD CONSTRAINT,
         public docs): a SQL boolean expression every row of every LATER

@@ -1542,3 +1542,74 @@ def test_update_folds_deletion_vector_and_noop_disjoint(tmp_path, spark):
     assert log.state().dvs == {}, "rewrite folds the vector away"
     got = sorted((r["k"], r["v"]) for r in log.snapshot(spark).collect())
     assert got == [(k, k * 2) for k in range(10) if k not in (2, 3)]
+
+
+def test_shallow_clone_zero_copy_and_isolation(tmp_path, spark):
+    """SHALLOW CLONE references the source's files by absolute path —
+    zero parquet bytes land under the clone — carrying stats (pruning
+    works), constraints, and schema; and the two tables diverge freely:
+    source mutations after the clone are invisible to it and clone
+    mutations never touch the source."""
+    src = TxLog(str(tmp_path / "src"))
+    for lo in (0, 100):
+        src.append(
+            spark.range(lo, lo + 50).selectExpr("id AS k", "id * 10 AS v").coalesce(1),
+            stats_cols=["k"],
+        )
+    src.add_constraint("v_pos", "v >= 0")
+    cl = src.clone(str(tmp_path / "cl"))
+    assert cl.history()[-1]["op"] == "clone"
+    assert not [
+        f for f in os.listdir(cl.data_path) if f.endswith(".parquet")
+    ], "shallow clone must copy zero data files"
+    assert sorted(r["k"] for r in cl.snapshot(spark).collect()) == list(range(0, 50)) + list(range(100, 150))
+    # stats carried: pruned read touches one (source) file
+    assert len(cl.snapshot(spark, prune=("k", 0, 10)).inputFiles()) == 1
+    # constraints carried
+    assert cl.constraints() == {"v_pos": "v >= 0"}
+    with pytest.raises(ValueError, match="v_pos"):
+        cl.append(spark.createDataFrame([(999, -1)], "k long, v long"))
+    # divergence: source mutations invisible to the clone...
+    src.delete(spark, "k", 0, 99)
+    src.append(spark.range(200, 210).selectExpr("id AS k", "id AS v").coalesce(1))
+    assert cl.snapshot(spark).count() == 100
+    # ...and clone mutations (file-level delete: stats carried make it
+    # metadata-only) invisible to the source
+    cl.delete(spark, "k", 0, 99)
+    assert cl.history()[0]["n_added"] == 0, "carried stats => metadata drop"
+    assert cl.snapshot(spark).count() == 50
+    assert src.snapshot(spark).count() == 50 + 10
+    # vacuum on the clone never collects source-referenced files
+    assert cl.vacuum(grace_seconds=0.0) == 0
+    assert src.snapshot(spark).count() == 60
+
+
+def test_clone_carries_dvs_versioned_and_deep(tmp_path, spark):
+    """A clone of `version=N` captures that state exactly (DV included);
+    deep clone copies the bytes so it survives source vacuum; cloning
+    onto a non-empty target raises."""
+    src = TxLog(str(tmp_path / "src"))
+    src.append(
+        spark.range(0, 10).selectExpr("id AS k", "id AS v").coalesce(1),
+        stats_cols=["k"],
+    )  # v0
+    src.delete_to_dv(spark, "k", 2, 3)  # v1
+    src.append(spark.range(50, 60).selectExpr("id AS k", "id AS v").coalesce(1))  # v2
+    cl1 = src.clone(str(tmp_path / "cl1"), version=1)
+    assert sorted(r["k"] for r in cl1.snapshot(spark).collect()) == [
+        k for k in range(10) if k not in (2, 3)
+    ], "versioned clone applies the DV, excludes the later append"
+    deep = src.clone(str(tmp_path / "deep"), shallow=False)
+    # deep clone owns its bytes: source vacuum after a source rewrite
+    # cannot break it
+    src.overwrite(spark.createDataFrame([(1, 1)], "k long, v long"))
+    src.vacuum(grace_seconds=0.0)
+    assert sorted(r["k"] for r in deep.snapshot(spark).collect()) == [
+        k for k in range(10) if k not in (2, 3)
+    ] + list(range(50, 60))
+    with pytest.raises(ValueError, match="already has commits"):
+        src.clone(str(tmp_path / "deep"))
+    # the shallow clone now fails LOUDLY (source files vacuumed), never
+    # returns a silently-smaller result
+    with pytest.raises(Exception):
+        cl1.snapshot(spark).count()
