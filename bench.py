@@ -172,6 +172,9 @@ HEADLINE = [
     "decontaminate_semantic",
     "txlog_restore_read",
     "dedup_containment",
+    "txlog_update_read",
+    "txlog_clone_read",
+    "txlog_rename_read",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

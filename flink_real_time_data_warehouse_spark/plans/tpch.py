@@ -1480,6 +1480,88 @@ def txlog_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txlog_rename_read",
+    oracle=f"""
+    WITH p AS (SELECT max(o_orderkey) // 3 AS b1 FROM orders)
+    SELECT o_orderstatus AS status, count(*) AS order_ct,
+           {sql_money_sum('o_totalprice')} AS revenue
+    FROM orders, p
+    WHERE o_orderkey >= p.b1 OR o_orderkey < p.b1 // 2
+    GROUP BY o_orderstatus
+    """,
+    doc=(
+        "RENAME COLUMN end-to-end (storage/txlog.py rename_column — "
+        "Delta's column-mapping name mode, public docs): orders land as "
+        "three key-range appends with [min,max] stats on o_orderkey; "
+        "renaming o_orderkey->order_id and o_orderstatus->status must "
+        "be METADATA-ONLY commits (zero adds/removes and every data "
+        "file still live under its exact name, asserted in-plan — data "
+        "files keep the stable PHYSICAL column names; reads translate). "
+        "Then the mapping is proven LIVE: a file-level DELETE keyed on "
+        "the NEW name purges the first third metadata-only (zero adds, "
+        "proving pre-rename stats prune under the renamed key), and an "
+        "APPEND under the new logical names lands a mixed-era scan — "
+        "old-physical and new-physical files served uniformly under "
+        "the logical schema. The oracle replays the delete+append as a "
+        "WHERE over the source with the renamed output aliases, so a "
+        "mistranslated column, a lost file, or stale pruning metadata "
+        "changes the hash. At 100 TB a rename is O(1) metadata, never "
+        "a table rewrite"
+    ),
+)
+def txlog_rename_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..storage import TxLog
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="txlog_rename_")
+    log = TxLog(os.path.join(work, "orders_tx"))
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    b1, b2 = mx // 3, (2 * mx) // 3
+    for lo, hi in zip([0, b1, b2], [b1, b2, mx + 1]):
+        log.append(
+            orders.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+            .coalesce(1),
+            stats_cols=["o_orderkey"],
+        )
+    before = set(log.state().files)
+    log.rename_column("o_orderkey", "order_id")
+    log.rename_column("o_orderstatus", "status")
+    h = log.history()[0]
+    if h["op"] != "rename" or h["n_added"] or h["n_removed"]:
+        raise AssertionError(f"rename must be metadata-only: {h}")
+    if set(log.state().files) != before:
+        raise AssertionError("rename touched data files")
+    # file-level delete keyed on the NEW name: carried stats => metadata drop
+    log.delete(spark, "order_id", 0, b1 - 1)
+    if log.history()[0]["n_added"] != 0:
+        raise AssertionError("pre-rename stats must prune under the new name")
+    # append under the new LOGICAL names: mixed-era scan
+    log.append(
+        orders.where(F.col("o_orderkey") < b1 // 2)
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_orderstatus").alias("status"),
+            "o_totalprice",
+        )
+        .coalesce(1),
+        stats_cols=["order_id"],
+    )
+    return (
+        log.snapshot(spark)
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("order_ct"),
+            money_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@register(
     "order_count_distribution",
     oracle="""
     SELECT c_count, count(*) AS custdist

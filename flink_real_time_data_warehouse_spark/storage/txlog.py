@@ -80,12 +80,12 @@ import shutil
 import threading
 import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 
 class TxConflictError(RuntimeError):
@@ -341,6 +341,12 @@ class _State:
     # replaces the older one wholesale — Delta's DV semantics). Sidecars
     # are small parquet files (file string, pos long) under data/.
     dvs: dict
+    # COLUMN MAPPING (Delta's column-mapping name mode): logical column
+    # name -> the stable PHYSICAL name data files carry. Identity for
+    # unmapped columns; populated only by rename_column. Writes translate
+    # logical->physical before staging, reads translate back — which is
+    # what makes RENAME/DROP COLUMN metadata-only commits.
+    cmap: dict = field(default_factory=dict)
 
 
 class TxLog:
@@ -406,6 +412,7 @@ class TxLog:
         stats: dict = {}
         parts: dict = {}
         dvs: dict = {}
+        cmap: dict = {}
         schema_json: str | None = None
         version = -1
         start = 0
@@ -417,6 +424,7 @@ class TxLog:
             stats = dict(cp.get("stats", {}))
             parts = dict(cp.get("parts", {}))
             dvs = dict(cp.get("dvs", {}))
+            cmap = dict(cp.get("cmap", {}))
             schema_json = cp.get("schema_json")
             version = cp_v
             start = cp_v + 1
@@ -451,6 +459,8 @@ class TxLog:
                 apps[m["app_id"]] = max(apps.get(m["app_id"], -1), m["app_version"])
             if m.get("schema_json"):
                 schema_json = m["schema_json"]
+            if m.get("column_mapping") is not None:
+                cmap = dict(m["column_mapping"])  # full map, latest wins
             version = v
         if at_version is not None and version != at_version:
             # A future (or otherwise nonexistent) version must raise, not
@@ -460,7 +470,9 @@ class TxLog:
                 f"version {at_version} of {self.path!r} does not exist "
                 f"(latest committed version: {version})"
             )
-        return _State(version, tuple(files), apps, schema_json, stats, parts, dvs)
+        return _State(
+            version, tuple(files), apps, schema_json, stats, parts, dvs, cmap
+        )
 
     # -- commit --------------------------------------------------------
 
@@ -477,6 +489,7 @@ class TxLog:
         parts: dict | None = None,
         cdf: list[str] | None = None,
         dvs: dict | None = None,
+        column_mapping: dict | None = None,
         staged_cleanup: bool = True,
         max_retries: int = 100,
         conflict_ok=None,
@@ -573,6 +586,8 @@ class TxLog:
                     "app_version": app_version,
                     "ts": time.time(),
                 }
+                if column_mapping is not None:
+                    manifest["column_mapping"] = column_mapping
                 if self.store.put_if_absent(self._manifest_name(st.version + 1), manifest):
                     return st.version + 1
                 # lost the race: someone committed st.version+1 first — re-read
@@ -600,6 +615,7 @@ class TxLog:
         stats_cols: list[str] | None = None,
         partition_by: str | list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        cmap: dict | None = None,
     ) -> tuple[list[str], str, dict, dict]:
         """Write df's parts as uniquely-named files under data/ (invisible
         until a manifest names them). With `stats_cols`, per-file [min,max]
@@ -610,7 +626,28 @@ class TxLog:
         are lifted from the nested Hive-style directory names into the
         manifest — directory layout becomes metadata, which is what lets
         `snapshot()` prune by partition without listing anything. Returns
-        (names, schema_json, stats, parts)."""
+        (names, schema_json, stats, parts).
+
+        With `cmap` (the table's logical->physical column mapping), the
+        frame is written under PHYSICAL names — stats/bloom/partition
+        columns translated too, per-file stats recorded under physical
+        keys — while the returned schema_json stays LOGICAL (the read
+        path translates back). Sidecar stagings (DV/CDF) pass no cmap."""
+        logical_schema_json = df.schema.json()
+        if cmap:
+            for lg, ph in cmap.items():
+                if ph != lg and lg in df.columns:
+                    df = df.withColumnRenamed(lg, ph)
+
+            def tr(cols):
+                return [cmap.get(c, c) for c in cols] if cols else cols
+
+            stats_cols = tr(stats_cols)
+            bloom_cols = tr(bloom_cols)
+            if isinstance(partition_by, str):
+                partition_by = cmap.get(partition_by, partition_by)
+            elif partition_by:
+                partition_by = tr(list(partition_by))
         prefix = uuid.uuid4().hex
         tmp = os.path.join(self.path, f"_staging-{prefix}")
         names: list[str] = []
@@ -672,7 +709,7 @@ class TxLog:
             df.write.mode("overwrite").partitionBy(*pcols).parquet(tmp)
             walk(tmp, pcols, {})
         shutil.rmtree(tmp, ignore_errors=True)
-        return names, df.schema.json(), stats, parts
+        return names, logical_schema_json, stats, parts
 
     def append(
         self,
@@ -698,7 +735,7 @@ class TxLog:
                 return self.state().version
         self._validate(df)
         names, schema_json, stats, parts = self._stage(
-            df, stats_cols, partition_by, bloom_cols
+            df, stats_cols, partition_by, bloom_cols, cmap=self.state().cmap
         )
         return self.commit_files(
             names, "append", schema_json, app_id=app_id, app_version=app_version,
@@ -718,7 +755,9 @@ class TxLog:
         if expected_version is None:
             expected_version = self.state().version
         self._validate(df)
-        names, schema_json, stats, parts = self._stage(df, stats_cols, partition_by)
+        names, schema_json, stats, parts = self._stage(
+            df, stats_cols, partition_by, cmap=self.state().cmap
+        )
         return self.commit_files(
             names, "replace", schema_json, expected_version=expected_version,
             stats=stats, parts=parts,
@@ -797,6 +836,20 @@ class TxLog:
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=merge_schema)
+        # COLUMN MAPPING: files carry stable physical names; present the
+        # LOGICAL schema (renames applied, dropped columns projected away)
+        # — the read half of metadata-only RENAME/DROP COLUMN.
+        if st.cmap:
+            for lg, ph in st.cmap.items():
+                if ph != lg and ph in out.columns and lg not in out.columns:
+                    out = out.withColumnRenamed(ph, lg)
+        if st.schema_json is not None:
+            logical = [
+                f.name
+                for f in StructType.fromJson(json.loads(st.schema_json)).fields
+            ]
+            if set(out.columns) - set(logical):  # e.g. a dropped column
+                out = out.select(*[c for c in logical if c in out.columns])
         return out
 
     def snapshot(
@@ -840,9 +893,10 @@ class TxLog:
         if prune is not None and files:
             preds = [prune] if isinstance(prune, tuple) else list(prune)
             for col, lo, hi in preds:
+                pcol = st.cmap.get(col, col)  # stats keyed by physical name
                 files = [
                     n for n in files
-                    if (mm := st.stats.get(n, {}).get(col)) is None
+                    if (mm := st.stats.get(n, {}).get(pcol)) is None
                     or (mm[0] <= hi and mm[1] >= lo)
                 ]
         if partitions and files:
@@ -854,9 +908,10 @@ class TxLog:
                 ]
         if bloom is not None and files:
             col, vals = bloom
+            pcol = st.cmap.get(col, col)
             files = [
                 n for n in files
-                if (bl := st.stats.get(n, {}).get(f"bloom:{col}")) is None
+                if (bl := st.stats.get(n, {}).get(f"bloom:{pcol}")) is None
                 or any(_bloom_might_contain(bl, v) for v in vals)
             ]
         return self._read_files(spark, files, st, merge_schema=merge_schema)
@@ -909,9 +964,10 @@ class TxLog:
             lo, hi = updates.agg(F.min(key), F.max(key)).first()
             if lo is None:  # empty update set: nothing to merge
                 return st.version
+            pkey = st.cmap.get(key, key)  # stats are keyed by physical name
             touched = [
                 n for n in st.files
-                if (mm := st.stats.get(n, {}).get(key)) is None
+                if (mm := st.stats.get(n, {}).get(pkey)) is None
                 or (mm[0] <= hi and mm[1] >= lo)
             ]
             if touched:
@@ -924,12 +980,14 @@ class TxLog:
             # Rewrite volume ~= touched volume: keep file granularity stable
             # (no per-merge small-file explosion from shuffle partitioning).
             merged = merged.coalesce(max(1, len(touched)))
-            names, schema_json, stats, parts = self._stage(merged, stats_cols)
+            names, schema_json, stats, parts = self._stage(
+                merged, stats_cols, cmap=st.cmap
+            )
             try:
                 return self.commit_files(
                     names, op="merge", schema_json=schema_json, removes=touched,
                     expected_version=st.version, stats=stats, parts=parts,
-                    conflict_ok=self._disjoint_range_ok(set(touched), key, lo, hi),
+                    conflict_ok=self._disjoint_range_ok(set(touched), pkey, lo, hi),
                 )
             except TxConflictError:
                 continue
@@ -1005,10 +1063,11 @@ class TxLog:
             st = self.state()
             if not st.files:
                 return st.version
+            pkey = st.cmap.get(key, key)  # stats are keyed by physical name
             drop: list[str] = []
             rewrite: list[str] = []
             for n in st.files:
-                mm = st.stats.get(n, {}).get(key)
+                mm = st.stats.get(n, {}).get(pkey)
                 if mm is not None and (mm[1] < lo or mm[0] > hi):
                     continue  # cannot contain matches: untouched
                 if mm is not None and condition is None and lo <= mm[0] and mm[1] <= hi:
@@ -1030,7 +1089,7 @@ class TxLog:
                 # Rewrite volume ~= touched volume (same rule as merge).
                 kept = kept.coalesce(max(1, len(rewrite)))
                 sc = stats_cols if stats_cols is not None else [key]
-                adds, schema_json, stats, parts = self._stage(kept, sc)
+                adds, schema_json, stats, parts = self._stage(kept, sc, cmap=st.cmap)
             try:
                 return self.commit_files(
                     adds, op="delete", schema_json=schema_json,
@@ -1078,10 +1137,11 @@ class TxLog:
             st = self.state()
             if not st.files:
                 return st.version
+            pkey = st.cmap.get(key, key)  # stats are keyed by physical name
             drop: list[str] = []
             dv_targets: list[str] = []
             for n in st.files:
-                mm = st.stats.get(n, {}).get(key)
+                mm = st.stats.get(n, {}).get(pkey)
                 if mm is not None and (mm[1] < lo or mm[0] > hi):
                     continue  # cannot contain matches: untouched
                 if mm is not None and condition is None and lo <= mm[0] and mm[1] <= hi:
@@ -1103,6 +1163,9 @@ class TxLog:
                 scan = spark.read.parquet(
                     *[os.path.join(self.data_path, n) for n in dv_targets]
                 )
+                for lg, ph in st.cmap.items():  # files carry physical names
+                    if ph != lg and ph in scan.columns:
+                        scan = scan.withColumnRenamed(ph, lg)
                 hits = scan.where(pred.eqNullSafe(F.lit(True))).select(
                     F.element_at(
                         F.split(F.col("_metadata.file_path"), "/"), -1
@@ -1131,7 +1194,7 @@ class TxLog:
                     removes=drop, dvs=dvs,
                     expected_version=st.version,
                     conflict_ok=self._disjoint_range_ok(
-                        set(drop) | set(dv_targets), key, lo, hi
+                        set(drop) | set(dv_targets), pkey, lo, hi
                     ),
                 )
             except TxConflictError:
@@ -1185,9 +1248,10 @@ class TxLog:
             unknown = set(set_exprs) - set(schema_cols)
             if unknown:
                 raise ValueError(f"UPDATE assigns unknown columns: {sorted(unknown)}")
+            pkey = st.cmap.get(key, key)  # stats are keyed by physical name
             rewrite = [
                 n for n in st.files
-                if (mm := st.stats.get(n, {}).get(key)) is None
+                if (mm := st.stats.get(n, {}).get(pkey)) is None
                 or (mm[0] <= hi and mm[1] >= lo)
             ]
             if not rewrite:
@@ -1213,7 +1277,7 @@ class TxLog:
             # Rewrite volume ~= touched volume (same rule as merge/delete).
             updated = updated.coalesce(max(1, len(rewrite)))
             sc = stats_cols if stats_cols is not None else [key]
-            adds, schema_json, stats, parts = self._stage(updated, sc)
+            adds, schema_json, stats, parts = self._stage(updated, sc, cmap=st.cmap)
             try:
                 return self.commit_files(
                     adds, op="update", schema_json=schema_json,
@@ -1248,8 +1312,126 @@ class TxLog:
         return self.commit_files(
             list(old.files), op="restore", schema_json=old.schema_json,
             stats=old.stats, parts=old.parts, dvs=old.dvs,
+            column_mapping=old.cmap,  # restore the mapping with the files
             expected_version=expected_version, staged_cleanup=False,
         )
+
+    # -- column mapping (metadata-only RENAME/DROP COLUMN) -------------
+
+    def rename_column(self, old: str, new: str, max_retries: int = 10) -> int:
+        """RENAME COLUMN as a METADATA-ONLY commit (Delta's column-mapping
+        name mode, public docs): data files keep the column under its
+        stable PHYSICAL name (its name when first written); only the
+        logical schema and the logical->physical mapping change — zero
+        data bytes move at any table size. Reads translate physical ->
+        logical, writes logical -> physical, stats/bloom pruning keys
+        translate on lookup, so every verb (merge/delete/update/cdc/
+        scd2/optimize/clone/restore) keeps working across the rename and
+        file-skipping metadata recorded before it stays effective.
+
+        Refused (ValueError) when: `old` is not in the schema; `new`
+        already is; `old` is a partition column (partition directory
+        names are physical layout — Delta likewise restricts partition
+        schema changes); `old` appears in a CHECK constraint expression
+        (Delta blocks this too — the constraint would silently stop
+        binding); or `new` collides with another column's PHYSICAL name
+        (our physical names are human-readable originals, not UUIDs, so
+        a swap-style rename would make the mapping ambiguous — refused
+        loudly rather than corrupting reads).
+
+        Change-feed note: rename commits carry no file changes, so
+        ``changes()``/the streaming source skip them; ranges read after
+        a rename serve the CURRENT logical names (Delta CDF with column
+        mapping behaves the same)."""
+        for _ in range(max_retries):
+            st = self.state()
+            if st.schema_json is None:
+                raise ValueError(f"txlog table {self.path!r} has no commits")
+            schema = StructType.fromJson(json.loads(st.schema_json))
+            names = [f.name for f in schema.fields]
+            if old not in names:
+                raise ValueError(f"no such column: {old!r}")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            if any(old in (pv or {}) for pv in st.parts.values()):
+                raise ValueError(f"cannot rename partition column {old!r}")
+            for cname, expr in self.constraints().items():
+                import re
+
+                if re.search(rf"\b{re.escape(old)}\b", expr):
+                    raise ValueError(
+                        f"column {old!r} is referenced by CHECK constraint "
+                        f"{cname!r} ({expr}); drop the constraint first"
+                    )
+            physical = {c: st.cmap.get(c, c) for c in names}
+            if new in {ph for c, ph in physical.items() if c != old}:
+                raise ValueError(
+                    f"{new!r} collides with another column's physical name"
+                )
+            cmap = dict(st.cmap)
+            cmap[new] = cmap.pop(old, old)
+            if cmap[new] == new:
+                cmap.pop(new)  # renamed back to its physical name: identity
+            new_schema = StructType(
+                [
+                    StructField(new, f.dataType, f.nullable, f.metadata)
+                    if f.name == old
+                    else f
+                    for f in schema.fields
+                ]
+            )
+            try:
+                return self.commit_files(
+                    [], op="rename", schema_json=new_schema.json(),
+                    column_mapping=cmap, expected_version=st.version,
+                )
+            except TxConflictError:
+                continue  # racing commit may have evolved the schema: re-derive
+        raise TxConflictError(f"rename lost {max_retries} consecutive races")
+
+    def drop_column(self, name: str, max_retries: int = 10) -> int:
+        """DROP COLUMN as a METADATA-ONLY commit (Delta column mapping):
+        the physical data stays in the files until they are naturally
+        rewritten (merge/optimize fold it away); reads project the
+        column out immediately. Same restrictions as rename: partition
+        and constraint-referenced columns are refused.
+
+        Caveat (divergence from Delta, where physical names are UUIDs):
+        our physical names are the human-readable originals, so
+        RE-ADDING a column under a dropped column's name would read the
+        dropped values back out of pre-drop files. Run
+        :meth:`optimize` (a full rewrite) after a drop before reusing
+        the name."""
+        for _ in range(max_retries):
+            st = self.state()
+            if st.schema_json is None:
+                raise ValueError(f"txlog table {self.path!r} has no commits")
+            schema = StructType.fromJson(json.loads(st.schema_json))
+            if name not in [f.name for f in schema.fields]:
+                raise ValueError(f"no such column: {name!r}")
+            if len(schema.fields) == 1:
+                raise ValueError("cannot drop the only column")
+            if any(name in (pv or {}) for pv in st.parts.values()):
+                raise ValueError(f"cannot drop partition column {name!r}")
+            for cname, expr in self.constraints().items():
+                import re
+
+                if re.search(rf"\b{re.escape(name)}\b", expr):
+                    raise ValueError(
+                        f"column {name!r} is referenced by CHECK constraint "
+                        f"{cname!r} ({expr}); drop the constraint first"
+                    )
+            cmap = dict(st.cmap)
+            cmap.pop(name, None)
+            new_schema = StructType([f for f in schema.fields if f.name != name])
+            try:
+                return self.commit_files(
+                    [], op="drop_column", schema_json=new_schema.json(),
+                    column_mapping=cmap, expected_version=st.version,
+                )
+            except TxConflictError:
+                continue
+        raise TxConflictError(f"drop_column lost {max_retries} consecutive races")
 
     # -- constraints ---------------------------------------------------
 
@@ -1322,6 +1504,7 @@ class TxLog:
             stats={name_map[n]: s for n, s in st.stats.items() if n in name_map},
             parts={name_map[n]: p for n, p in st.parts.items() if n in name_map},
             dvs={name_map[n]: dv_map[s] for n, s in st.dvs.items() if n in name_map},
+            column_mapping=st.cmap or None,  # clone carries the mapping
             staged_cleanup=False,  # a lost race must never delete source files
         )
         pref = f"{self._CONSTRAINTS_KEY}:"
@@ -1446,9 +1629,10 @@ class TxLog:
             if app_id is not None and app_version is not None:
                 if st.apps.get(app_id, -1) >= app_version:
                     return st.version
+            pkey = st.cmap.get(key, key)  # stats are keyed by physical name
             touched = [
                 n for n in st.files
-                if (mm := st.stats.get(n, {}).get(key)) is None or hits(mm[0], mm[1])
+                if (mm := st.stats.get(n, {}).get(pkey)) is None or hits(mm[0], mm[1])
             ]
             if touched:
                 base = self._read_files(spark, touched, st)
@@ -1456,7 +1640,9 @@ class TxLog:
                 merged = merged.coalesce(max(1, len(touched)))
             else:
                 merged = upserts
-            names, schema_json, stats, parts = self._stage(merged, stats_cols)
+            names, schema_json, stats, parts = self._stage(
+                merged, stats_cols, cmap=st.cmap
+            )
             # CHANGE-DATA-FEED sidecar (Delta's cdc files): the commit's
             # logical changes — upserts with payload, deletes as key +
             # null payload — typed and staged alongside, so downstream
@@ -1472,7 +1658,7 @@ class TxLog:
                     expected_version=st.version, stats=stats, parts=parts,
                     cdf=cdf_names, app_id=app_id, app_version=app_version,
                     conflict_ok=self._disjoint_range_ok(
-                        set(touched), key, klo, khi, hits=hits
+                        set(touched), pkey, klo, khi, hits=hits
                     ),
                 )
             except TxConflictError:
@@ -1535,9 +1721,10 @@ class TxLog:
         )
         for _ in range(max_retries):
             st = self.state()
+            pkey = st.cmap.get(key, key)  # stats are keyed by physical name
             touched = [
                 n for n in st.files
-                if (mm := st.stats.get(n, {}).get(key)) is None or hits(mm[0], mm[1])
+                if (mm := st.stats.get(n, {}).get(pkey)) is None or hits(mm[0], mm[1])
             ]
             if touched:
                 base = self._read_files(spark, touched, st)
@@ -1557,13 +1744,15 @@ class TxLog:
                 merged = rewritten.unionByName(new_rows).coalesce(max(1, len(touched)))
             else:
                 merged = new_rows
-            names, schema_json, stats, parts = self._stage(merged, stats_cols)
+            names, schema_json, stats, parts = self._stage(
+                merged, stats_cols, cmap=st.cmap
+            )
             try:
                 return self.commit_files(
                     names, op="scd2", schema_json=schema_json, removes=touched,
                     expected_version=st.version, stats=stats, parts=parts,
                     conflict_ok=self._disjoint_range_ok(
-                        set(touched), key, klo, khi, hits=hits
+                        set(touched), pkey, klo, khi, hits=hits
                     ),
                 )
             except TxConflictError:
@@ -1635,8 +1824,8 @@ class TxLog:
             if not m["adds"]:
                 continue
             vst = _State(
-                v, tuple(m["adds"]), {}, m.get("schema_json") or st.schema_json,
-                m.get("stats") or {}, m.get("parts") or {}, {},
+                v, tuple(m["adds"]), {}, st.schema_json,
+                m.get("stats") or {}, m.get("parts") or {}, {}, st.cmap,
             )
             frame = self._read_files(spark, list(m["adds"]), vst).withColumn(
                 "_commit_version", F.lit(v).cast("long")
@@ -1743,10 +1932,30 @@ class TxLog:
             # compaction RE-COMPUTES those filters for the packed files so
             # point-lookup skipping survives optimize (dropping them would
             # be safe but lossy — every packed file would be kept forever).
+            # Manifest stats are keyed by PHYSICAL column names; _stage
+            # takes LOGICAL ones, so map back through the inverse cmap
+            # (dropped columns have no logical name and lose their stats
+            # with the rewrite, correctly — their data is gone too).
+            inv = {ph: lg for lg, ph in st.cmap.items()}
+            logical_cols = {
+                f.name
+                for f in StructType.fromJson(json.loads(st.schema_json)).fields
+            } if st.schema_json else set()
+
+            def to_logical(c: str) -> str | None:
+                lg = inv.get(c, c)
+                return lg if (not logical_cols or lg in logical_cols) else None
+
             seen = {c for fs in st.stats.values() for c in fs}
-            bloom_cols = sorted(c[len("bloom:"):] for c in seen if c.startswith("bloom:"))
+            bloom_cols = sorted(
+                lg for c in seen if c.startswith("bloom:")
+                if (lg := to_logical(c[len("bloom:"):])) is not None
+            )
             if sc is None:
-                plain = {c for c in seen if not c.startswith("bloom:")}
+                plain = {
+                    lg for c in seen if not c.startswith("bloom:")
+                    if (lg := to_logical(c)) is not None
+                }
                 plain.update(cluster_cols)
                 sc = sorted(plain) or None
             base = self._read_files(spark, victims, st)
@@ -1764,7 +1973,7 @@ class TxLog:
             else:
                 packed = base.coalesce(max_files)
             names, schema_json, stats, parts = self._stage(
-                packed, sc, bloom_cols=bloom_cols or None
+                packed, sc, bloom_cols=bloom_cols or None, cmap=st.cmap
             )
             try:
                 return self.commit_files(
@@ -1832,6 +2041,7 @@ class TxLog:
             "stats": st.stats,
             "parts": st.parts,
             "dvs": st.dvs,
+            "cmap": st.cmap,
             "schema_json": st.schema_json,
         }
         self.store.put(f"{st.version:0{_V_DIGITS}d}.checkpoint.json", cp)

@@ -64,6 +64,7 @@ class _FilesPartition(InputPartition):
     change_type: str | None = None  # None => file already carries the column
     part_values: dict = field(default_factory=dict)  # Hive partition literals
     schema_json: str = ""  # target Spark schema (source output order/types)
+    cmap: dict = field(default_factory=dict)  # logical -> physical col names
 
 
 def _arrow_target_schema(spark_schema: StructType) -> pa.Schema:
@@ -102,6 +103,11 @@ class _TxLogStreamReader(DataSourceStreamReader):
         self._pacing_id = str(options.get("pacing_id", "default"))
         self._schema = schema
         self._log = TxLog(self._path)
+        # Column mapping resolved ONCE at stream start (like the schema):
+        # physical names are stable across renames, so the start-time map
+        # stays valid for every file the stream will ever serve; rename
+        # commits themselves are metadata-only and skip.
+        self._cmap = dict(self._log.state().cmap)
         # Admission-control floor: the newest version this reader has
         # offered or planned. The Python source API calls latestOffset()
         # BEFORE initialOffset() and never passes the checkpointed start
@@ -168,6 +174,7 @@ class _TxLogStreamReader(DataSourceStreamReader):
                 )
             m = self._log.store.read(self._log._manifest_name(v))
             if self._cdf and m["op"] == "cdc" and m.get("cdf"):
+                # CDF sidecars are staged under LOGICAL names: no cmap.
                 out.extend(
                     _FilesPartition([os.path.join(data, n)], v, None, {}, sj)
                     for n in m["cdf"]
@@ -192,6 +199,7 @@ class _TxLogStreamReader(DataSourceStreamReader):
                 _FilesPartition(
                     [os.path.join(data, n)], v,
                     "insert" if self._cdf else None, parts.get(n) or {}, sj,
+                    self._cmap,
                 )
                 for n in m["adds"]
             )
@@ -209,12 +217,14 @@ class _TxLogStreamReader(DataSourceStreamReader):
             n = tbl.num_rows
             cols = []
             for f in target:
+                # data files carry stable PHYSICAL names (column mapping)
+                phys = partition.cmap.get(f.name, f.name)
                 if f.name == "_commit_version":
                     col = pa.array([partition.commit_version] * n, pa.int64())
                 elif f.name == "_change_type" and "_change_type" not in tbl.column_names:
                     col = pa.array([partition.change_type] * n, pa.string())
-                elif f.name in tbl.column_names:
-                    col = tbl.column(f.name).cast(f.type)
+                elif phys in tbl.column_names:
+                    col = tbl.column(phys).cast(f.type)
                 elif f.name in partition.part_values:
                     col = pa.array([partition.part_values[f.name]] * n).cast(f.type)
                 else:

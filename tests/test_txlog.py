@@ -1613,3 +1613,155 @@ def test_clone_carries_dvs_versioned_and_deep(tmp_path, spark):
     # returns a silently-smaller result
     with pytest.raises(Exception):
         cl1.snapshot(spark).count()
+
+
+def test_rename_column_metadata_only_across_verbs(tmp_path, spark):
+    """RENAME COLUMN is a metadata-only commit (Delta column mapping,
+    name mode): zero adds/removes, files byte-untouched — and every verb
+    keeps working across it under the NEW name: reads translate, writes
+    land under the stable physical name, stats recorded before the
+    rename still prune, and merge/update/delete classify files by the
+    renamed key."""
+    log = TxLog(str(tmp_path / "t"))
+    for lo in (0, 100):
+        log.append(
+            spark.range(lo, lo + 50).selectExpr("id AS k", "id * 10 AS v").coalesce(1),
+            stats_cols=["k"],
+        )
+    before = set(log.state().files)
+    log.rename_column("k", "key_id")
+    h = log.history()[0]
+    assert h["op"] == "rename" and h["n_added"] == 0 and h["n_removed"] == 0
+    assert set(log.state().files) == before, "rename must not touch files"
+    assert log.snapshot(spark).columns == ["key_id", "v"]
+    # pre-rename stats prune under the NEW name
+    assert len(log.snapshot(spark, prune=("key_id", 0, 10)).inputFiles()) == 1
+    # writes after the rename: appended file carries the PHYSICAL name,
+    # and a mixed old/new-file read is uniform
+    log.append(
+        spark.createDataFrame([(500, 1)], "key_id long, v long").coalesce(1),
+        stats_cols=["key_id"],
+    )
+    assert log.snapshot(spark).where("key_id = 500").count() == 1
+    assert len(log.snapshot(spark, prune=("key_id", 490, 510)).inputFiles()) == 1
+    # merge / update / delete keyed on the new name, file-granular
+    log.merge(
+        spark, spark.createDataFrame([(1, -1)], "key_id long, v long"), "key_id"
+    )
+    assert {r["v"] for r in log.snapshot(spark).where("key_id = 1").collect()} == {-1}
+    log.update(spark, "key_id", 100, 110, {"v": "v + 5"})
+    assert log.snapshot(spark).where("key_id = 100").first()["v"] == 1005
+    log.delete(spark, "key_id", 100, 149)
+    assert log.snapshot(spark).where("key_id >= 100 AND key_id < 200").count() == 0
+    # time travel BEFORE the rename shows the OLD name (schema as-of)
+    assert log.snapshot(spark, version=1).columns == ["k", "v"]
+
+
+def test_rename_column_refusals(tmp_path, spark):
+    """Refused renames: unknown source, existing target, partition
+    column, constraint-referenced column, physical-name collision
+    (swap)."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(
+        spark.createDataFrame(
+            [(1, 2, 3, "x")], "a long, b long, c long, p string"
+        ).coalesce(1),
+        partition_by="p",
+    )
+    log.add_constraint("b_pos", "b >= 0")
+    with pytest.raises(ValueError, match="no such column"):
+        log.rename_column("zz", "y")
+    with pytest.raises(ValueError, match="already exists"):
+        log.rename_column("a", "b")
+    with pytest.raises(ValueError, match="partition column"):
+        log.rename_column("p", "q")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        log.rename_column("b", "b2")
+    log.rename_column("a", "a2")
+    with pytest.raises(ValueError, match="physical name"):
+        log.rename_column("c", "a")  # "a" is a2's physical name: ambiguous
+    # rename back to the original physical name: mapping collapses to identity
+    log.rename_column("a2", "a")
+    assert log.state().cmap == {}
+    assert sorted(log.snapshot(spark).columns) == ["a", "b", "c", "p"]
+
+
+def test_drop_column_metadata_only_then_rewrite_folds(tmp_path, spark):
+    """DROP COLUMN projects immediately with zero file changes; a later
+    OPTIMIZE rewrite physically removes the data; checkpoint + restore
+    round-trip the mapping state."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(
+        spark.range(0, 20).selectExpr("id AS k", "id AS v", "id AS w").coalesce(1),
+        stats_cols=["k"],
+    )
+    files_before = set(log.state().files)
+    v_drop = log.drop_column("w")
+    assert set(log.state().files) == files_before
+    assert log.snapshot(spark).columns == ["k", "v"]
+    assert log.snapshot(spark, version=v_drop - 1).columns == ["k", "v", "w"]
+    with pytest.raises(ValueError, match="no such column"):
+        log.drop_column("w")
+    # physical data still in the file until a rewrite folds it
+    import pyarrow.parquet as pq
+
+    f = os.path.join(log.data_path, next(iter(files_before)))
+    assert "w" in pq.read_schema(f).names
+    log.optimize(spark, max_files=1, cluster_by="k")  # force the rewrite
+    newf = [n for n in log.state().files]
+    assert "w" not in pq.read_schema(os.path.join(log.data_path, newf[0])).names
+    # restore to the pre-drop version brings the old schema AND mapping back
+    log.restore(0)
+    assert log.snapshot(spark).columns == ["k", "v", "w"]
+    # rename + checkpoint/truncate: cmap survives log folding
+    log.rename_column("v", "val")
+    log.checkpoint()
+    log.truncate_log()
+    assert log.snapshot(spark).columns == ["k", "val", "w"]
+    assert log.state().cmap == {"val": "v"}
+
+
+def test_rename_with_cdc_scd2_and_streaming_source(tmp_path, spark):
+    """apply_cdc works keyed on a renamed column, and the txlog
+    streaming source serves renamed logical names for files written
+    both before and after the rename."""
+    from flink_real_time_data_warehouse_spark.storage.txlog_source import (
+        register_txlog_source,
+    )
+
+    log = TxLog(str(tmp_path / "t"))
+    log.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, tag string").coalesce(1),
+        stats_cols=["k"],
+    )
+    log.rename_column("k", "kid")
+    log.apply_cdc(
+        spark,
+        spark.createDataFrame(
+            [(2, "b2", "u"), (3, "c", "u"), (1, None, "d")],
+            "kid long, tag string, op string",
+        ),
+        "kid",
+    )
+    got = {(r["kid"], r["tag"]) for r in log.snapshot(spark).collect()}
+    assert got == {(2, "b2"), (3, "c")}
+    # streaming source: renamed schema, pre- and post-rename files
+    log2 = TxLog(str(tmp_path / "s"))
+    log2.append(spark.createDataFrame([(1, 10)], "a long, v long").coalesce(1))
+    log2.rename_column("a", "aa")
+    log2.append(spark.createDataFrame([(2, 20)], "aa long, v long").coalesce(1))
+    register_txlog_source(spark)
+    src = spark.readStream.format("txlog").option("path", log2.path).load()
+    assert "aa" in src.columns
+    q = (
+        src.writeStream.format("memory")
+        .queryName("cmap_src_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["aa"], r["v"]) for r in spark.sql("select * from cmap_src_out").collect()
+    }
+    assert rows == {(1, 10), (2, 20)}, "both eras under the logical name"
