@@ -175,6 +175,8 @@ HEADLINE = [
     "txlog_update_read",
     "txlog_clone_read",
     "txlog_rename_read",
+    "dsir_select",
+    "train_split_leakage_free",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

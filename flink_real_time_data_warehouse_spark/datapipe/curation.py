@@ -403,3 +403,72 @@ def unimax_budgets(
         .cast("long")
         .alias("budget_tokens"),
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_cond: Column,
+    top_n: int = 100,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169) — the unigram bag-of-words variant: score every raw
+    document by how target-like its word distribution is, then keep the
+    highest-importance documents. The importance weight of a document is
+
+        sum over token occurrences of  log( p_target(w) / p_raw(w) )
+
+    with Laplace(+1) smoothing over the shared vocabulary. `target_cond`
+    is a Column predicate selecting the in-domain exemplar rows INSIDE
+    `df` (the "target distribution" sample — e.g. one trusted source).
+
+    Determinism across engines: the per-word log-ratio is computed once
+    per VOCABULARY entry as exact-integer products divided in one double
+    division, then fixed-pointed to integer micros (floor(x*1e6 + 0.5))
+    — so the per-document score is an order-independent BIGINT sum, never
+    a float accumulation (same discipline as functions/money.py).
+
+    Scale shape (100 TB): two hash aggregates build the vocabulary tables
+    (vocab-sized, tiny vs corpus), one scalar agg for the normalizers,
+    one token->vocab join (vocab side is dimension-sized: AQE broadcasts
+    it), one groupBy(doc). No pairwise work anywhere; the token explode
+    is the dominant (linear) cost, shared with every bag-of-words op.
+
+    Returns the `top_n` rows (id, score_micro, token_ct) ordered by
+    importance (desc, id asc) — the selected training subset.
+    """
+    occ = df.select(
+        F.col(id_col),
+        target_cond.alias("_tgt"),
+        F.explode(tokens(F.col(text_col))).alias("w"),
+    )
+    rawc = occ.groupBy("w").agg(
+        F.count("*").alias("cr"),
+        F.count(F.when(F.col("_tgt"), 1)).alias("ct"),
+    )
+    nr, nt, v = occ.agg(
+        F.count("*"),
+        F.count(F.when(F.col("_tgt"), 1)),
+        F.countDistinct("w"),
+    ).first()
+    lr = rawc.select(
+        "w",
+        F.floor(
+            F.log(
+                ((F.col("ct") + 1) * F.lit(float(nr + v)))
+                / ((F.col("cr") + 1) * F.lit(float(nt + v)))
+            )
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("m"),
+    )
+    return (
+        occ.join(lr, "w")
+        .groupBy(id_col)
+        .agg(F.sum("m").alias("score_micro"), F.count("*").alias("token_ct"))
+        .orderBy(F.col("score_micro").desc(), F.col(id_col))
+        .limit(top_n)
+    )

@@ -2615,3 +2615,109 @@ def doc_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_shingles", "n_shared",
         (F.lit(1.0) - F.col("n_shared") / F.col("n_shingles")).alias("novelty"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "dsir_select",
+    oracle=f"""
+    WITH {TOKS_CTE},
+    occ AS (SELECT t.doc_id, (d.source = 'src0') AS tgt, unnest(t.l) AS w
+            FROM toks t JOIN documents d USING (doc_id)),
+    rawc AS (SELECT w, count(*) AS cr,
+                    count(*) FILTER (tgt) AS ct
+             FROM occ GROUP BY w),
+    tot AS (SELECT count(*) AS nr,
+                   count(*) FILTER (tgt) AS nt,
+                   count(DISTINCT w) AS v
+            FROM occ),
+    lr AS (SELECT w, CAST(floor(ln(
+               (CAST(ct + 1 AS DOUBLE) * CAST(nr + v AS DOUBLE))
+             / (CAST(cr + 1 AS DOUBLE) * CAST(nt + v AS DOUBLE))
+           ) * 1000000 + 0.5) AS BIGINT) AS m
+           FROM rawc, tot),
+    sc AS (SELECT occ.doc_id, CAST(sum(m) AS BIGINT) AS score_micro,
+                  count(*) AS token_ct
+           FROM occ JOIN lr USING (w) GROUP BY occ.doc_id)
+    SELECT doc_id, score_micro, token_ct
+    FROM sc ORDER BY score_micro DESC, doc_id LIMIT 100
+    """,
+    doc=(
+        "DSIR data selection (Xie et al. 2023, arXiv:2302.03169, unigram "
+        "variant): importance-score every document by "
+        "sum log(p_target(w)/p_raw(w)) with Laplace smoothing — target "
+        "distribution = the 'src0' exemplar slice — and keep the top 100 "
+        "most target-like documents. The per-word log-ratio is computed "
+        "ONCE per vocabulary entry (exact integer products, one double "
+        "division, one ln) and fixed-pointed to integer micros, so the "
+        "per-document score is an order-independent BIGINT sum — float "
+        "accumulation would be partitioning-dependent and could never "
+        "hash-match. Scale shape: two vocab-sized hash aggs + one scalar "
+        "agg + one token->vocab join (vocab is dimension-sized: AQE "
+        "broadcasts it) + one groupBy(doc); zero pairwise work, linear "
+        "in token count. datapipe/curation.py dsir_importance"
+    ),
+)
+def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.curation import dsir_importance
+
+    return dsir_importance(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        F.col("source") == "src0",
+    )
+
+
+# ---------------------------------------------------------------------------
+_CL_BUCKET = _hex_n("md5('split:' || CAST(cluster_id AS VARCHAR))", 8) + " % 100"
+
+
+@register(
+    "train_split_leakage_free",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_cand_ctes()},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION SELECT doc_b, doc_a FROM cand
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id
+    ),
+    cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+    SELECT doc_id, cluster_id,
+           CAST({_CL_BUCKET} AS BIGINT) AS bucket,
+           CASE WHEN {_CL_BUCKET} < {TRAIN_PCT} THEN 'train'
+                WHEN {_CL_BUCKET} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM cl
+    """,
+    doc=(
+        "LEAKAGE-FREE train/test split: near-duplicate CLUSTERS (the "
+        "MinHash+LSH transitive closure of dedup_clusters) are assigned "
+        "to splits ATOMICALLY — the split coin is hashed from the cluster "
+        "root, not the doc id — so a near-duplicate of a training "
+        "document can never land in the test set (the train-test "
+        "contamination channel Lee et al. 2022 measure: eval on near-dups "
+        "of training data overstates quality). Scale shape: exactly "
+        "dedup_clusters (banded LSH joins + min-label propagation) plus "
+        "one zero-shuffle hash expression — the split adds NO pass over "
+        "the corpus. Composes with train_split: docs in singleton "
+        "clusters keep a stable assignment as the corpus grows"
+    ),
+)
+def train_split_leakage_free_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.curation import TRAIN_PCT, VAL_PCT, hash_bucket
+    from ..datapipe.dedup import dedup_clusters
+
+    cl = dedup_clusters(table(spark, sf_dir, "documents"), "doc_id", "text")
+    b = hash_bucket(F.col("cluster_id"), salt="split")
+    return cl.select(
+        F.col("doc_id").cast("long"),
+        F.col("cluster_id").cast("long"),
+        b.alias("bucket"),
+        F.when(b < TRAIN_PCT, F.lit("train"))
+        .when(b < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
