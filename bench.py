@@ -177,6 +177,7 @@ HEADLINE = [
     "txlog_rename_read",
     "dsir_select",
     "train_split_leakage_free",
+    "txlog_cdf_full_feed",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

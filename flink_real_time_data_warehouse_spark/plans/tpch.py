@@ -1562,6 +1562,109 @@ def txlog_rename_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txlog_cdf_full_feed",
+    oracle=f"""
+    WITH p AS (SELECT max(o_orderkey) AS mx, max(o_orderkey) // 3 AS b1 FROM orders),
+         w AS (SELECT mx, b1,
+                      b1 + b1 // 4 AS u_lo, b1 + b1 // 2 AS u_hi,
+                      b1 // 4 AS d_lo, b1 // 2 AS d_hi,
+                      2 * b1 + b1 // 4 AS m_lo, 2 * b1 + b1 // 2 AS m_hi
+               FROM p)
+    SELECT _commit_version, _change_type, count(*) AS chg_ct,
+           {sql_money_sum('price')} AS revenue
+    FROM (
+      SELECT 3 AS _commit_version, 'update_preimage' AS _change_type,
+             o_totalprice AS price
+      FROM orders, w WHERE o_orderkey BETWEEN w.u_lo AND w.u_hi
+        AND o_orderstatus = 'F'
+      UNION ALL
+      SELECT 3, 'update_postimage', o_totalprice * 2
+      FROM orders, w WHERE o_orderkey BETWEEN w.u_lo AND w.u_hi
+        AND o_orderstatus = 'F'
+      UNION ALL
+      SELECT 4, 'delete', o_totalprice
+      FROM orders, w WHERE o_orderkey BETWEEN w.d_lo AND w.d_hi
+      UNION ALL
+      SELECT 5, 'update_preimage', o_totalprice
+      FROM orders, w WHERE o_orderkey BETWEEN w.m_lo AND w.m_hi
+      UNION ALL
+      SELECT 5, 'update_postimage', o_totalprice + 1000
+      FROM orders, w WHERE o_orderkey BETWEEN w.m_lo AND w.m_hi
+      UNION ALL
+      SELECT 5, 'insert', o_totalprice + 1000
+      FROM orders, w WHERE o_orderkey BETWEEN w.m_lo AND w.m_hi
+    ) GROUP BY _commit_version, _change_type
+    """,
+    doc=(
+        "FULL CHANGE DATA FEED end-to-end (storage/txlog.py set_property "
+        "+ changes(cdf=True) — Delta's delta.enableChangeDataFeed, public "
+        "docs): orders land as two appends; the table property is SET (a "
+        "latest-wins metadata commit); then an UPDATE (doubling F-status "
+        "prices in a window), a file-level DELETE (another window), and "
+        "a MERGE (price+1000 upserts for an existing window PLUS the "
+        "same rows key-shifted past the domain as inserts) each stage "
+        "typed CDF sidecars — update as pre/post-image pairs, delete as "
+        "the deleted rows, merge as pre/post + insert. The feed over the "
+        "post-property range is aggregated by (commit version, change "
+        "type) with exact money sums; version numbers are deterministic "
+        "(append v0/v1, property v2, update v3, delete v4, merge v5), "
+        "so the oracle reconstructs every change set from the source "
+        "table — a missing pre-image, a doubled insert, or a row leaked "
+        "from the rewrite path all change the hash. Cost shape at 100 TB: "
+        "sidecars are O(changed rows), the feed reads only sidecars — "
+        "never the table"
+    ),
+)
+def txlog_cdf_full_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..storage import TxLog
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="txlog_cdf_full_")
+    log = TxLog(os.path.join(work, "orders_tx"))
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    b1 = mx // 3
+    for lo, hi in ((0, b1), (b1, mx + 1)):
+        log.append(
+            orders.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+            .coalesce(1),
+            stats_cols=["o_orderkey"],
+        )  # v0, v1
+    log.set_property(TxLog.CDF_PROPERTY, "true")  # v2
+    log.update(  # v3
+        spark, "o_orderkey", b1 + b1 // 4, b1 + b1 // 2,
+        {"o_totalprice": "o_totalprice * 2"},
+        condition="o_orderstatus = 'F'",
+    )
+    log.delete(spark, "o_orderkey", b1 // 4, b1 // 2)  # v4
+    m_rows = orders.where(
+        F.col("o_orderkey").between(2 * b1 + b1 // 4, 2 * b1 + b1 // 2)
+    ).select(
+        "o_orderkey", "o_orderstatus",
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+    )
+    log.merge(  # v5: upserts for existing keys + inserts shifted past mx
+        spark,
+        m_rows.unionByName(
+            m_rows.select(
+                (F.col("o_orderkey") + mx).alias("o_orderkey"),
+                "o_orderstatus", "o_totalprice",
+            )
+        ),
+        "o_orderkey",
+    )
+    feed = log.changes(spark, from_version=2, cdf=True)
+    return feed.groupBy("_commit_version", "_change_type").agg(
+        F.count("*").alias("chg_ct"),
+        money_sum(F.col("o_totalprice")).alias("revenue"),
+    )
+
+
+@register(
     "order_count_distribution",
     oracle="""
     SELECT c_count, count(*) AS custdist

@@ -91,7 +91,7 @@ _GRADE_FIRST: list[str] = [
     "dwd_chain_stream", "dedup_canonical", "unimax_sample",
     "decontaminate_semantic", "txlog_restore_read", "dedup_containment",
     "txlog_update_read", "txlog_clone_read", "txlog_rename_read",
-    "dsir_select", "train_split_leakage_free",
+    "dsir_select", "train_split_leakage_free", "txlog_cdf_full_feed",
 ]
 
 

@@ -347,6 +347,11 @@ class _State:
     # logical->physical before staging, reads translate back — which is
     # what makes RENAME/DROP COLUMN metadata-only commits.
     cmap: dict = field(default_factory=dict)
+    # TABLE PROPERTIES (Delta's TBLPROPERTIES): name -> value, latest
+    # full map wins (set_property commits a metadata-only manifest).
+    # Behavior keys: "enableChangeDataFeed" = "true" makes
+    # update/delete/delete_to_dv/merge stage typed CDF sidecars.
+    props: dict = field(default_factory=dict)
 
 
 class TxLog:
@@ -413,6 +418,7 @@ class TxLog:
         parts: dict = {}
         dvs: dict = {}
         cmap: dict = {}
+        props: dict = {}
         schema_json: str | None = None
         version = -1
         start = 0
@@ -425,6 +431,7 @@ class TxLog:
             parts = dict(cp.get("parts", {}))
             dvs = dict(cp.get("dvs", {}))
             cmap = dict(cp.get("cmap", {}))
+            props = dict(cp.get("props", {}))
             schema_json = cp.get("schema_json")
             version = cp_v
             start = cp_v + 1
@@ -461,6 +468,8 @@ class TxLog:
                 schema_json = m["schema_json"]
             if m.get("column_mapping") is not None:
                 cmap = dict(m["column_mapping"])  # full map, latest wins
+            if m.get("properties") is not None:
+                props = dict(m["properties"])  # full map, latest wins
             version = v
         if at_version is not None and version != at_version:
             # A future (or otherwise nonexistent) version must raise, not
@@ -471,7 +480,8 @@ class TxLog:
                 f"(latest committed version: {version})"
             )
         return _State(
-            version, tuple(files), apps, schema_json, stats, parts, dvs, cmap
+            version, tuple(files), apps, schema_json, stats, parts, dvs, cmap,
+            props,
         )
 
     # -- commit --------------------------------------------------------
@@ -490,6 +500,7 @@ class TxLog:
         cdf: list[str] | None = None,
         dvs: dict | None = None,
         column_mapping: dict | None = None,
+        properties: dict | None = None,
         staged_cleanup: bool = True,
         max_retries: int = 100,
         conflict_ok=None,
@@ -588,6 +599,8 @@ class TxLog:
                 }
                 if column_mapping is not None:
                     manifest["column_mapping"] = column_mapping
+                if properties is not None:
+                    manifest["properties"] = properties
                 if self.store.put_if_absent(self._manifest_name(st.version + 1), manifest):
                     return st.version + 1
                 # lost the race: someone committed st.version+1 first — re-read
@@ -977,6 +990,25 @@ class TxLog:
                 ).unionByName(updates)
             else:
                 merged = updates
+            cdf_names: list[str] | None = None
+            if self._cdf_enabled(st):
+                # Delta's CDF on MERGE: pre/post-image for keys that were
+                # present, plain inserts for new keys — typed in a sidecar.
+                if touched:
+                    base_keys = base.select(key).distinct()
+                    pre = base.join(
+                        updates.select(key).distinct(), key, "left_semi"
+                    ).withColumn("_change_type", F.lit("update_preimage"))
+                    post = updates.join(base_keys, key, "left_semi").withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                    ins = updates.join(base_keys, key, "left_anti").withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+                    cdf_rows = pre.unionByName(post).unionByName(ins)
+                else:
+                    cdf_rows = updates.withColumn("_change_type", F.lit("insert"))
+                cdf_names, _, _, _ = self._stage(cdf_rows.coalesce(1))
             # Rewrite volume ~= touched volume: keep file granularity stable
             # (no per-merge small-file explosion from shuffle partitioning).
             merged = merged.coalesce(max(1, len(touched)))
@@ -987,6 +1019,7 @@ class TxLog:
                 return self.commit_files(
                     names, op="merge", schema_json=schema_json, removes=touched,
                     expected_version=st.version, stats=stats, parts=parts,
+                    cdf=cdf_names,
                     conflict_ok=self._disjoint_range_ok(set(touched), pkey, lo, hi),
                 )
             except TxConflictError:
@@ -1082,6 +1115,15 @@ class TxLog:
                 pred = pred & cond
             adds: list[str] = []
             schema_json, stats, parts = st.schema_json, {}, {}
+            cdf_names: list[str] | None = None
+            if self._cdf_enabled(st) and (drop or rewrite):
+                # Delta's CDF on DELETE: the deleted rows, typed. Note the
+                # metadata-drop fast path must READ its files for this —
+                # the documented cost of enabling CDF (Delta pays it too).
+                gone = self._read_files(spark, drop + rewrite, st).where(
+                    pred.eqNullSafe(F.lit(True))
+                ).withColumn("_change_type", F.lit("delete"))
+                cdf_names, _, _, _ = self._stage(gone.coalesce(1))
             if rewrite:
                 kept = self._read_files(spark, rewrite, st).where(
                     ~pred.eqNullSafe(F.lit(True))
@@ -1094,6 +1136,7 @@ class TxLog:
                 return self.commit_files(
                     adds, op="delete", schema_json=schema_json,
                     removes=drop + rewrite, stats=stats, parts=parts,
+                    cdf=cdf_names,
                 )
             except TxConflictError:
                 continue
@@ -1159,26 +1202,67 @@ class TxLog:
                 pred = pred & cond
             dvs: dict = {}
             sidecars: list[str] = []
+            cdf_names: list[str] | None = None
+            if self._cdf_enabled(st) and drop and not dv_targets:
+                # drop-only path still feeds the change feed (reads the
+                # dropped files once — the documented cost of CDF)
+                gone = (
+                    self._read_files(spark, drop, st)
+                    .where(pred.eqNullSafe(F.lit(True)))
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+                cdf_names, _, _, _ = self._stage(gone.coalesce(1))
             if dv_targets:
                 scan = spark.read.parquet(
                     *[os.path.join(self.data_path, n) for n in dv_targets]
                 )
+                data_cols = scan.columns
+                scan = scan.select(
+                    *data_cols,
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).alias("_dv_file"),
+                    F.col("_metadata.row_index").alias("_dv_pos"),
+                )
                 for lg, ph in st.cmap.items():  # files carry physical names
                     if ph != lg and ph in scan.columns:
                         scan = scan.withColumnRenamed(ph, lg)
-                hits = scan.where(pred.eqNullSafe(F.lit(True))).select(
-                    F.element_at(
-                        F.split(F.col("_metadata.file_path"), "/"), -1
-                    ).alias("file"),
-                    F.col("_metadata.row_index").alias("pos"),
-                )
+                matched = scan.where(pred.eqNullSafe(F.lit(True)))
                 prior = sorted({
                     st.dvs[n] for n in dv_targets if n in st.dvs
                 })
+                carried = None
                 if prior:
                     carried = spark.read.parquet(
                         *[os.path.join(self.data_path, s) for s in prior]
                     ).where(F.col("file").isin(dv_targets))
+                    # rows a prior vector already deleted are not NEW
+                    # deletions: they must not re-enter the change feed
+                    matched = matched.join(
+                        F.broadcast(
+                            carried.select(
+                                F.col("file").alias("_dv_file"),
+                                F.col("pos").alias("_dv_pos"),
+                            )
+                        ),
+                        ["_dv_file", "_dv_pos"],
+                        "left_anti",
+                    )
+                if self._cdf_enabled(st):
+                    gone = matched.selectExpr(
+                        *[c for c in matched.columns if c not in ("_dv_file", "_dv_pos")]
+                    ).withColumn("_change_type", F.lit("delete"))
+                    if drop:
+                        gone = gone.unionByName(
+                            self._read_files(spark, drop, st)
+                            .where(pred.eqNullSafe(F.lit(True)))
+                            .withColumn("_change_type", F.lit("delete"))
+                        )
+                    cdf_names, _, _, _ = self._stage(gone.coalesce(1))
+                hits = matched.select(
+                    F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
+                )
+                if carried is not None:
                     hits = hits.unionByName(carried).distinct()
                 # one shared sidecar per commit: the read path keys the
                 # anti-join on (file, pos), so sharing is free
@@ -1187,11 +1271,12 @@ class TxLog:
                     sidecars, _, _, _ = self._stage(hits.coalesce(1))
                     dvs = {n: sidecars[0] for n in sorted(hit_files)}
             if not drop and not dvs:
+                self._delete_staged(cdf_names or [])
                 return st.version  # predicate matched nothing
             try:
                 return self.commit_files(
                     [], op="delete", schema_json=st.schema_json,
-                    removes=drop, dvs=dvs,
+                    removes=drop, dvs=dvs, cdf=cdf_names,
                     expected_version=st.version,
                     conflict_ok=self._disjoint_range_ok(
                         set(drop) | set(dv_targets), pkey, lo, hi
@@ -1274,6 +1359,21 @@ class TxLog:
                 ]
             )
             self._validate(updated)
+            cdf_names: list[str] | None = None
+            if self._cdf_enabled(st):
+                # Delta's CDF on UPDATE: pre- and post-image of exactly
+                # the rows the predicate matched, typed in a sidecar.
+                changed = base.where(matched)
+                pre = changed.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+                post = changed.select(
+                    *[
+                        assigned[c].alias(c) if c in assigned else F.col(c)
+                        for c in base.columns
+                    ]
+                ).withColumn("_change_type", F.lit("update_postimage"))
+                cdf_names, _, _, _ = self._stage(pre.unionByName(post).coalesce(1))
             # Rewrite volume ~= touched volume (same rule as merge/delete).
             updated = updated.coalesce(max(1, len(rewrite)))
             sc = stats_cols if stats_cols is not None else [key]
@@ -1281,7 +1381,7 @@ class TxLog:
             try:
                 return self.commit_files(
                     adds, op="update", schema_json=schema_json,
-                    removes=rewrite, stats=stats, parts=parts,
+                    removes=rewrite, stats=stats, parts=parts, cdf=cdf_names,
                 )
             except TxConflictError:
                 continue
@@ -1313,6 +1413,7 @@ class TxLog:
             list(old.files), op="restore", schema_json=old.schema_json,
             stats=old.stats, parts=old.parts, dvs=old.dvs,
             column_mapping=old.cmap,  # restore the mapping with the files
+            properties=old.props,  # and the table properties (Delta RESTORE)
             expected_version=expected_version, staged_cleanup=False,
         )
 
@@ -1433,6 +1534,41 @@ class TxLog:
                 continue
         raise TxConflictError(f"drop_column lost {max_retries} consecutive races")
 
+    # -- table properties ----------------------------------------------
+
+    CDF_PROPERTY = "enableChangeDataFeed"
+
+    def set_property(self, name: str, value: str, max_retries: int = 10) -> int:
+        """SET TBLPROPERTIES (Delta's table properties): a metadata-only
+        commit carrying the full updated map, latest wins; replayed and
+        checkpointed with the log, restored by RESTORE, carried by CLONE.
+        Behavior key: ``enableChangeDataFeed`` = "true" makes
+        update/delete/delete_to_dv/merge stage typed CHANGE-DATA-FEED
+        sidecars (Delta's delta.enableChangeDataFeed), which is what lets
+        ``changes(cdf=True)``/the streaming source follow those commits
+        instead of demanding a re-sync."""
+        for _ in range(max_retries):
+            st = self.state()
+            props = dict(st.props)
+            if props.get(name) == value:
+                return st.version
+            props[name] = value
+            try:
+                return self.commit_files(
+                    [], op="property", schema_json=st.schema_json,
+                    properties=props, expected_version=st.version,
+                )
+            except TxConflictError:
+                continue  # merge with whatever map the winner committed
+        raise TxConflictError(f"set_property lost {max_retries} races")
+
+    def properties(self) -> dict:
+        """Active table properties (name -> value)."""
+        return dict(self.state().props)
+
+    def _cdf_enabled(self, st: _State) -> bool:
+        return str(st.props.get(self.CDF_PROPERTY, "")).lower() == "true"
+
     # -- constraints ---------------------------------------------------
 
     _CONSTRAINTS_KEY = "_constraints"
@@ -1505,6 +1641,7 @@ class TxLog:
             parts={name_map[n]: p for n, p in st.parts.items() if n in name_map},
             dvs={name_map[n]: dv_map[s] for n, s in st.dvs.items() if n in name_map},
             column_mapping=st.cmap or None,  # clone carries the mapping
+            properties=st.props or None,  # and the table properties
             staged_cleanup=False,  # a lost race must never delete source files
         )
         pref = f"{self._CONSTRAINTS_KEY}:"
@@ -1798,7 +1935,10 @@ class TxLog:
                     "but it was truncated — re-sync from a snapshot"
                 )
             m = self.store.read(self._manifest_name(v))
-            if cdf and m["op"] == "cdc" and m.get("cdf"):
+            if cdf and m.get("cdf"):
+                # Any commit that staged typed CDF sidecars serves them:
+                # apply_cdc always; update/delete/delete_to_dv/merge when
+                # the table has enableChangeDataFeed=true (Delta's CDF).
                 cdf_df = spark.read.parquet(
                     *[os.path.join(self.data_path, n) for n in m["cdf"]]
                 )
@@ -2042,6 +2182,7 @@ class TxLog:
             "parts": st.parts,
             "dvs": st.dvs,
             "cmap": st.cmap,
+            "props": st.props,
             "schema_json": st.schema_json,
         }
         self.store.put(f"{st.version:0{_V_DIGITS}d}.checkpoint.json", cp)

@@ -173,8 +173,11 @@ class _TxLogStreamReader(DataSourceStreamReader):
                     "it was truncated — restart the stream from a snapshot"
                 )
             m = self._log.store.read(self._log._manifest_name(v))
-            if self._cdf and m["op"] == "cdc" and m.get("cdf"):
-                # CDF sidecars are staged under LOGICAL names: no cmap.
+            if self._cdf and m.get("cdf"):
+                # Any commit with typed CDF sidecars serves them (cdc
+                # always; update/delete/merge when the table property
+                # enableChangeDataFeed is set). Sidecars are staged under
+                # LOGICAL names: no cmap.
                 out.extend(
                     _FilesPartition([os.path.join(data, n)], v, None, {}, sj)
                     for n in m["cdf"]
@@ -217,7 +220,9 @@ class _TxLogStreamReader(DataSourceStreamReader):
             n = tbl.num_rows
             cols = []
             for f in target:
-                # data files carry stable PHYSICAL names (column mapping)
+                # data files carry stable PHYSICAL names (column mapping);
+                # CDF sidecars are staged under LOGICAL names — try the
+                # physical name first, then the logical fallback.
                 phys = partition.cmap.get(f.name, f.name)
                 if f.name == "_commit_version":
                     col = pa.array([partition.commit_version] * n, pa.int64())
@@ -225,6 +230,8 @@ class _TxLogStreamReader(DataSourceStreamReader):
                     col = pa.array([partition.change_type] * n, pa.string())
                 elif phys in tbl.column_names:
                     col = tbl.column(phys).cast(f.type)
+                elif f.name in tbl.column_names:
+                    col = tbl.column(f.name).cast(f.type)
                 elif f.name in partition.part_values:
                     col = pa.array([partition.part_values[f.name]] * n).cast(f.type)
                 else:

@@ -624,6 +624,8 @@ _txlog_ops = st.lists(
         st.tuples(st.just("delete"), st.integers(0, 39)),
         st.tuples(st.just("dvdel"), st.integers(0, 39)),
         st.tuples(st.just("cdc"), st.integers(0, 39)),
+        st.tuples(st.just("update"), st.integers(0, 39)),
+        st.tuples(st.just("rename"), st.integers(0, 1)),
     ),
     min_size=1,
     max_size=5,
@@ -635,15 +637,19 @@ _txlog_ops = st.lists(
 def test_txlog_verbs_match_dict_model(spark_global, tmp_path_factory, ops):
     """MODEL-BASED check of the whole verb set: any sequence of
     append / merge (type-1 upsert) / range delete / DV delete / apply_cdc
-    must leave the table equal to the same sequence applied to a plain
-    dict — the executable spec of the commit protocol's read-modify-write
-    semantics (file-level pruning, deletion vectors, OCC, stats
-    bookkeeping are all invisible to it, which is exactly the point)."""
+    / range update / column rename must leave the table equal to the same
+    sequence applied to a plain dict — the executable spec of the commit
+    protocol's read-modify-write semantics (file-level pruning, deletion
+    vectors, column mapping, OCC, stats bookkeeping are all invisible to
+    it, which is exactly the point). The rename verb TOGGLES the value
+    column's logical name mid-sequence, so every later verb must keep
+    working through the mapping (and the rename-back collapses it)."""
     from flink_real_time_data_warehouse_spark.storage import TxLog
 
     spark = spark_global
     log = TxLog(str(tmp_path_factory.mktemp("txmodel") / "t"))
     model: dict[int, int] = {}
+    vcol = "v"  # current logical name of the value column
     # append is a MULTISET add, not an upsert: its keys live in their own
     # space (2000+) so the dict model stays valid — merge/delete/cdc share
     # the low key space and exercise the read-modify-write interplay.
@@ -654,13 +660,15 @@ def test_txlog_verbs_match_dict_model(spark_global, tmp_path_factory, ops):
             next_base += 10
             rows = [(k, k * 100 + i) for k in range(lo, lo + 5 + arg % 3)]
             log.append(
-                spark.createDataFrame(rows, "k long, v long").coalesce(1),
+                spark.createDataFrame(rows, f"k long, {vcol} long").coalesce(1),
                 stats_cols=["k"],
             )
             model.update({k: v for k, v in rows})
         elif op == "merge":
             rows = [(arg + d, -(i * 100 + d)) for d in range(3)]
-            log.merge(spark, spark.createDataFrame(rows, "k long, v long"), "k")
+            log.merge(
+                spark, spark.createDataFrame(rows, f"k long, {vcol} long"), "k"
+            )
             model.update({k: v for k, v in rows})
         elif op == "delete":
             log.delete(spark, "k", arg, arg + 4)
@@ -670,6 +678,18 @@ def test_txlog_verbs_match_dict_model(spark_global, tmp_path_factory, ops):
             # rewrites physically — the model can't tell, which is the point
             log.delete_to_dv(spark, "k", arg, arg + 4)
             model = {k: v for k, v in model.items() if not arg <= k <= arg + 4}
+        elif op == "update":
+            if log.state().version >= 0:
+                log.update(spark, "k", arg, arg + 4, {vcol: f"{vcol} + 1000000"})
+            model = {
+                k: (v + 1000000 if arg <= k <= arg + 4 else v)
+                for k, v in model.items()
+            }
+        elif op == "rename":
+            if log.state().version >= 0:
+                new = "val" if vcol == "v" else "v"
+                log.rename_column(vcol, new)
+                vcol = new
         else:  # cdc: one upsert, one delete, one insert
             ch = [
                 (arg, -1, "u"),
@@ -678,7 +698,7 @@ def test_txlog_verbs_match_dict_model(spark_global, tmp_path_factory, ops):
             ]
             log.apply_cdc(
                 spark,
-                spark.createDataFrame(ch, "k long, v long, op string"),
+                spark.createDataFrame(ch, f"k long, {vcol} long, op string"),
                 "k",
             )
             model[arg] = -1
@@ -689,7 +709,7 @@ def test_txlog_verbs_match_dict_model(spark_global, tmp_path_factory, ops):
         # disjoint delete): no schema exists and snapshot() rightly raises
         assert model == {}
         return
-    got = {r["k"]: r["v"] for r in log.snapshot(spark).collect()}
+    got = {r["k"]: r[vcol] for r in log.snapshot(spark).collect()}
     assert got == model
 
 

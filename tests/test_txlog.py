@@ -1765,3 +1765,128 @@ def test_rename_with_cdc_scd2_and_streaming_source(tmp_path, spark):
         (r["aa"], r["v"]) for r in spark.sql("select * from cmap_src_out").collect()
     }
     assert rows == {(1, 10), (2, 20)}, "both eras under the logical name"
+
+
+def test_table_properties_lifecycle(tmp_path, spark):
+    """SET TBLPROPERTIES: latest-wins metadata commits that survive
+    checkpoint+truncate, revert with RESTORE, and are carried by CLONE."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(spark.createDataFrame([(1, 1)], "k long, v long").coalesce(1))  # v0
+    log.set_property("owner", "team-a")  # v1
+    log.set_property("enableChangeDataFeed", "true")  # v2
+    log.set_property("owner", "team-b")  # v3
+    assert log.properties() == {
+        "owner": "team-b", "enableChangeDataFeed": "true"
+    }
+    assert log.set_property("owner", "team-b") == 3, "idempotent set is a no-op"
+    cl = log.clone(str(tmp_path / "cl"))
+    assert cl.properties()["owner"] == "team-b"
+    log.restore(1)
+    assert log.properties() == {"owner": "team-a"}, "RESTORE reverts properties"
+    log.checkpoint()
+    log.truncate_log()
+    assert log.properties() == {"owner": "team-a"}, "props survive log folding"
+
+
+def test_cdf_on_update_delete_merge(tmp_path, spark):
+    """enableChangeDataFeed=true makes UPDATE/DELETE/MERGE stage typed
+    CDF sidecars — changes(cdf=True) then serves those commits instead
+    of raising: update as pre/post-image pairs, delete as the deleted
+    rows, merge as pre/post + insert. Without the property the same
+    commits still fail the feed (no silent gaps)."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(
+        spark.range(0, 10).selectExpr("id AS k", "id * 10 AS v").coalesce(1),
+        stats_cols=["k"],
+    )  # v0
+    log.set_property(TxLog.CDF_PROPERTY, "true")  # v1
+    log.update(spark, "k", 2, 3, {"v": "v + 1"})  # v2
+    log.delete(spark, "k", 8, 9)  # v3
+    log.merge(
+        spark,
+        spark.createDataFrame([(5, -5), (100, 0)], "k long, v long"),
+        "k",
+    )  # v4
+    feed = log.changes(spark, from_version=1, cdf=True)
+    got = {
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in feed.collect()
+    }
+    assert (2, "update_preimage", 2, 20) in got
+    assert (2, "update_postimage", 2, 21) in got
+    assert (2, "update_preimage", 3, 30) in got and (2, "update_postimage", 3, 31) in got
+    assert (3, "delete", 8, 80) in got and (3, "delete", 9, 90) in got
+    assert (4, "update_preimage", 5, 50) in got
+    assert (4, "update_postimage", 5, -5) in got
+    assert (4, "insert", 100, 0) in got
+    assert len(got) == 9, f"no extra change rows: {sorted(got)}"
+    # a feed crossing the same commits WITHOUT cdf mode still raises
+    with pytest.raises(Exception, match="rewrite|re-sync"):
+        log.changes(spark, from_version=1).collect()
+
+
+def test_cdf_dv_delete_excludes_prior_deletions(tmp_path, spark):
+    """delete_to_dv under CDF emits ONLY newly-deleted rows: positions a
+    prior vector already covered never re-enter the feed, and a
+    metadata-drop file's rows are read once to feed it."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(
+        spark.range(0, 10).selectExpr("id AS k", "id AS v").coalesce(1),
+        stats_cols=["k"],
+    )  # v0
+    log.delete_to_dv(spark, "k", 2, 3)  # v1: pre-property, no sidecar feed
+    log.set_property(TxLog.CDF_PROPERTY, "true")  # v2
+    log.delete_to_dv(spark, "k", 2, 5)  # v3: 2,3 already gone -> only 4,5 new
+    feed = log.changes(spark, from_version=2, cdf=True)
+    got = {(r["_change_type"], r["k"]) for r in feed.collect()}
+    assert got == {("delete", 4), ("delete", 5)}
+    # metadata-drop path (bare range over the whole file) also feeds
+    log2 = TxLog(str(tmp_path / "t2"))
+    log2.append(
+        spark.range(0, 4).selectExpr("id AS k", "id AS v").coalesce(1),
+        stats_cols=["k"],
+    )
+    log2.set_property(TxLog.CDF_PROPERTY, "true")
+    v = log2.delete_to_dv(spark, "k", 0, 3)
+    assert log2.history()[0]["n_removed"] == 1, "still the metadata drop path"
+    feed2 = log2.changes(spark, from_version=v - 1, cdf=True)
+    assert {r["k"] for r in feed2.collect()} == {0, 1, 2, 3}
+
+
+def test_cdf_streaming_source_follows_update(tmp_path, spark):
+    """The txlog streaming source in cdf mode follows an UPDATE commit
+    (pre/post rows) instead of failing the stream."""
+    from flink_real_time_data_warehouse_spark.storage.txlog_source import (
+        register_txlog_source,
+    )
+
+    log = TxLog(str(tmp_path / "t"))
+    log.append(
+        spark.range(0, 5).selectExpr("id AS k", "id AS v").coalesce(1),
+        stats_cols=["k"],
+    )
+    log.set_property(TxLog.CDF_PROPERTY, "true")
+    log.update(spark, "k", 1, 1, {"v": "99"})
+    register_txlog_source(spark)
+    src = (
+        spark.readStream.format("txlog")
+        .option("path", log.path)
+        .option("cdf", "true")
+        .load()
+    )
+    q = (
+        src.writeStream.format("memory")
+        .queryName("cdf_upd_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["_change_type"], r["k"], r["v"])
+        for r in spark.sql("select * from cdf_upd_out").collect()
+    }
+    assert ("update_preimage", 1, 1) in rows
+    assert ("update_postimage", 1, 99) in rows
+    assert ("insert", 0, 0) in rows  # the initial append, typed insert
+    assert len(rows) == 5 + 2
