@@ -178,6 +178,7 @@ HEADLINE = [
     "dsir_select",
     "train_split_leakage_free",
     "txlog_cdf_full_feed",
+    "txlog_generated_partition_read",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

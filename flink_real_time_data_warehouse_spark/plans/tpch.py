@@ -1665,6 +1665,73 @@ def txlog_cdf_full_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txlog_generated_partition_read",
+    oracle=f"""
+    SELECT month(o_orderdate) AS o_month, o_orderstatus,
+           count(*) AS order_ct,
+           {sql_money_sum('o_totalprice')} AS revenue
+    FROM orders
+    WHERE month(o_orderdate) IN (3, 4)
+    GROUP BY month(o_orderdate), o_orderstatus
+    """,
+    doc=(
+        "GENERATED COLUMN + derived-partition pruning end-to-end "
+        "(storage/txlog.py add_generated_column — Delta's generated "
+        "columns, public docs, whose canonical use is exactly this: a "
+        "date-derived partition key): the table registers o_month = "
+        "month(o_orderdate); orders append WITHOUT the column — the "
+        "table computes it and Hive-partitions the write on it — and a "
+        "batch supplying a WRONG o_month is refused (asserted in-plan, "
+        "version unchanged). The month-window read prunes on the "
+        "generated partition values; the plan asserts every scanned "
+        "file's recorded partition value is in the window, so a "
+        "partition misassignment or pruning miss fails the query. The "
+        "oracle filters the source by the same expression — an o_month "
+        "computed wrong anywhere changes the hash. At 100 TB this is "
+        "the ingest-computes-the-partition-key pattern that keeps "
+        "writers dumb and time-window scans O(window)"
+    ),
+)
+def txlog_generated_partition_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..storage import TxLog
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    work = tempfile.mkdtemp(prefix="txlog_genpart_")
+    log = TxLog(os.path.join(work, "orders_tx"))
+    log.add_generated_column("o_month", "month(o_orderdate)")  # v0, pre-data
+    log.append(orders, partition_by="o_month", stats_cols=["o_orderkey"])
+    v = log.state().version
+    try:
+        log.append(
+            orders.limit(1).withColumn("o_month", F.lit(13)),
+        )
+        raise AssertionError("wrong generated value must be refused")
+    except ValueError:
+        pass
+    if log.state().version != v:
+        raise AssertionError("refused batch must not commit")
+    snap = log.snapshot(spark, partitions={"o_month": [3, 4]})
+    st = log.state()
+    scanned = {os.path.basename(p) for p in snap.inputFiles()}
+    vals = {st.parts.get(n, {}).get("o_month") for n in scanned}
+    if not vals <= {"3", "4", None} or vals == {None}:
+        raise AssertionError(f"partition pruning scanned wrong files: {vals}")
+    return (
+        snap.where(F.col("o_month").isin(3, 4))
+        .groupBy(F.col("o_month").cast("long").alias("o_month"), "o_orderstatus")
+        .agg(
+            F.count("*").alias("order_ct"),
+            money_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@register(
     "order_count_distribution",
     oracle="""
     SELECT c_count, count(*) AS custdist

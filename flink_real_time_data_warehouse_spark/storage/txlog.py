@@ -746,6 +746,7 @@ class TxLog:
         if app_id is not None and app_version is not None:
             if self.state().apps.get(app_id, -1) >= app_version:
                 return self.state().version
+        df = self._apply_generated(df)
         self._validate(df)
         names, schema_json, stats, parts = self._stage(
             df, stats_cols, partition_by, bloom_cols, cmap=self.state().cmap
@@ -767,6 +768,7 @@ class TxLog:
         commit in between fails this replace with TxConflictError."""
         if expected_version is None:
             expected_version = self.state().version
+        df = self._apply_generated(df)
         self._validate(df)
         names, schema_json, stats, parts = self._stage(
             df, stats_cols, partition_by, cmap=self.state().cmap
@@ -964,6 +966,7 @@ class TxLog:
         Pass `stats_cols=[key]` on every append AND merge to keep the
         file-level pruning effective across the table's life."""
         stats_cols = stats_cols if stats_cols is not None else [key]
+        updates = self._apply_generated(updates)
         self._validate(updates)
         for _ in range(max_retries):
             st = self.state()
@@ -1568,6 +1571,50 @@ class TxLog:
 
     def _cdf_enabled(self, st: _State) -> bool:
         return str(st.props.get(self.CDF_PROPERTY, "")).lower() == "true"
+
+    # -- generated columns ---------------------------------------------
+
+    _GENERATED_PREFIX = "generated:"
+
+    def add_generated_column(self, name: str, expr: str) -> int:
+        """GENERATED ALWAYS AS column (Delta's generated columns, public
+        docs): register `expr` (SQL over the other columns) for `name`.
+        On the ingest write paths (append / overwrite / merge), a batch
+        MISSING the column gets it
+        computed automatically; a batch SUPPLYING it is validated to
+        match the expression row-for-row (LIMIT-1 mismatch probe, same
+        discipline as CHECK constraints) — a writer can never commit a
+        value the expression disagrees with. The canonical use is a
+        derived partition key (`o_month` from a timestamp): callers
+        append raw facts, the table computes and partitions, and
+        `snapshot(partitions=...)` prunes — Delta applies the same
+        pattern for date-partition pruning. Stored in table properties
+        (latest-wins metadata; restore/clone/checkpoint-aware)."""
+        return self.set_property(f"{self._GENERATED_PREFIX}{name}", expr)
+
+    def generated_columns(self) -> dict[str, str]:
+        """Active generated columns, name -> SQL expression."""
+        p = self._GENERATED_PREFIX
+        return {
+            k[len(p):]: v for k, v in self.state().props.items()
+            if k.startswith(p)
+        }
+
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        """Compute absent generated columns; verify supplied ones."""
+        for name, expr in sorted(self.generated_columns().items()):
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+            else:
+                bad = df.where(
+                    ~F.col(name).eqNullSafe(F.expr(expr))
+                ).limit(1).collect()
+                if bad:
+                    raise ValueError(
+                        f"generated column {name!r} = ({expr}) violated by "
+                        f"supplied value, e.g.: {bad[0]}"
+                    )
+        return df
 
     # -- constraints ---------------------------------------------------
 

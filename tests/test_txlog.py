@@ -1890,3 +1890,36 @@ def test_cdf_streaming_source_follows_update(tmp_path, spark):
     assert ("update_postimage", 1, 99) in rows
     assert ("insert", 0, 0) in rows  # the initial append, typed insert
     assert len(rows) == 5 + 2
+
+
+def test_generated_columns_compute_validate_partition(tmp_path, spark):
+    """GENERATED ALWAYS AS: a batch missing the column gets it computed;
+    a batch supplying a wrong value is refused; the canonical derived
+    partition key composes with partition pruning."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(spark.createDataFrame([(0, 0)], "k long, bucket long"))
+    log.add_generated_column("bucket", "k % 3")
+    # computed when absent (partitioned by the generated column)
+    log.append(
+        spark.range(1, 10).selectExpr("id AS k").coalesce(1),
+        partition_by="bucket",
+    )
+    got = {(r["k"], r["bucket"]) for r in log.snapshot(spark).collect()}
+    assert got == {(k, k % 3) for k in range(10)}
+    # pruning on the generated partition column: the partitioned files
+    # prune exactly; the v0 file predates partitioning (no parts
+    # metadata) and is conservatively KEPT, contributing its k=0 row
+    pruned = log.snapshot(spark, partitions={"bucket": [1]})
+    assert {r["k"] for r in pruned.collect()} == {0, 1, 4, 7}
+    # supplying a matching value is fine; a mismatch is refused
+    log.append(spark.createDataFrame([(30, 0)], "k long, bucket long"))
+    v = log.state().version
+    with pytest.raises(ValueError, match="generated column"):
+        log.append(spark.createDataFrame([(31, 2)], "k long, bucket long"))
+    assert log.state().version == v
+    # merge computes it too
+    log.merge(spark, spark.createDataFrame([(4,)], "k long"), "k")
+    assert log.snapshot(spark).where("k = 4").first()["bucket"] == 1
+    # clone carries the definition (it lives in table properties)
+    cl = log.clone(str(tmp_path / "cl"))
+    assert cl.generated_columns() == {"bucket": "k % 3"}
