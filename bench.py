@@ -179,6 +179,7 @@ HEADLINE = [
     "train_split_leakage_free",
     "txlog_cdf_full_feed",
     "txlog_generated_partition_read",
+    "txlog_merge_into_read",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

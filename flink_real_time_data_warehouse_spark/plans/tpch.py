@@ -1732,6 +1732,112 @@ def txlog_generated_partition_read(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "txlog_merge_into_read",
+    oracle=f"""
+    WITH p AS (SELECT max(o_orderkey) // 3 AS b1,
+                      (2 * max(o_orderkey)) // 3 AS b2 FROM orders),
+         t AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+               FROM orders, p WHERE o_orderkey < p.b2),
+         s AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+               FROM orders, p WHERE o_orderkey >= p.b1),
+         m AS (SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+                      CASE WHEN t.o_orderkey IS NOT NULL
+                            AND s.o_orderkey IS NOT NULL THEN
+                             CASE WHEN t.o_orderstatus = 'F' THEN 'u'
+                                  WHEN s.o_totalprice > 150000 THEN 'd'
+                                  ELSE 'c' END
+                           WHEN s.o_orderkey IS NOT NULL THEN
+                             CASE WHEN s.o_totalprice > 1000 THEN 'i'
+                                  ELSE 'x' END
+                           ELSE 'c' END AS act,
+                      t.o_orderstatus AS t_st, t.o_totalprice AS t_tp,
+                      s.o_orderstatus AS s_st, s.o_totalprice AS s_tp
+               FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey),
+         r AS (SELECT o_orderkey,
+                      CASE act WHEN 'i' THEN s_st ELSE t_st END
+                        AS o_orderstatus,
+                      CASE act WHEN 'u' THEN t_tp + s_tp
+                               WHEN 'i' THEN s_tp
+                               ELSE t_tp END AS o_totalprice
+               FROM m WHERE act IN ('u', 'c', 'i')),
+         f AS (SELECT * FROM r, p
+               WHERE NOT (o_orderkey < p.b1 AND o_orderkey % 10 = 3))
+    SELECT o_orderstatus, count(*) AS order_ct,
+           {sql_money_sum('o_totalprice')} AS revenue
+    FROM f GROUP BY o_orderstatus
+    """,
+    doc=(
+        "Multi-clause MERGE INTO end-to-end (storage/txlog.py merge_into "
+        "— Delta's full MERGE, public SQL semantics): the target holds "
+        "the first two key thirds as two files; one merge applies, in "
+        "clause order, WHEN MATCHED AND t.status='F' THEN UPDATE SET "
+        "price = t.price + s.price; WHEN MATCHED AND s.price > 150000 "
+        "THEN DELETE; WHEN NOT MATCHED AND s.price > 1000 THEN INSERT — "
+        "FIRST-match-wins is in the hash ('F' rows above 150000 must "
+        "update, not delete). File-level: the source's key range misses "
+        "the first file entirely, so it must keep its manifest name "
+        "(asserted in-plan — a whole-table rewrite fails). A second "
+        "merge carries WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 10 "
+        "= 3 THEN DELETE, which correctly forces the full-table read "
+        "set (Delta does the same) and prunes target-only rows. The "
+        "oracle replays the clause matrix as a FULL OUTER JOIN + CASE "
+        "dispatch, so a wrong clause order, a mis-scoped NMBS sweep, or "
+        "a dropped carry row changes the hash. Reference analog: "
+        "DimSinkFunction.java:17-89 upserts are the degenerate "
+        "unconditional form of this verb"
+    ),
+)
+def txlog_merge_into_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..storage import TxLog
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="txlog_merge_into_")
+    log = TxLog(os.path.join(work, "orders_tx"))
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    b1, b2 = mx // 3, (2 * mx) // 3
+    for lo, hi in ((0, b1), (b1, b2)):
+        log.append(
+            orders.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+            .coalesce(1),
+            stats_cols=["o_orderkey"],
+        )
+    before = set(log.state().files)
+    src = orders.where(F.col("o_orderkey") >= b1)
+    log.merge_into(
+        spark, src, "o_orderkey",
+        when_matched=[
+            ("update", "t.o_orderstatus = 'F'",
+             {"o_totalprice": "t.o_totalprice + s.o_totalprice"}),
+            ("delete", "s.o_totalprice > 150000"),
+        ],
+        when_not_matched=[("insert", "s.o_totalprice > 1000")],
+    )
+    survivors = before & set(log.state().files)
+    if len(survivors) != 1 or log.history()[0]["op"] != "merge_into":
+        raise AssertionError(
+            f"NMBS-free merge must keep the disjoint first file "
+            f"(kept {len(survivors)} of {len(before)}): {log.history()[0]}"
+        )
+    log.merge_into(
+        spark, src, "o_orderkey",
+        when_not_matched_by_source=[("delete", "t.o_orderkey % 10 = 3")],
+    )
+    return (
+        log.snapshot(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("order_ct"),
+            money_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@register(
     "order_count_distribution",
     oracle="""
     SELECT c_count, count(*) AS custdist

@@ -92,7 +92,7 @@ _GRADE_FIRST: list[str] = [
     "decontaminate_semantic", "txlog_restore_read", "dedup_containment",
     "txlog_update_read", "txlog_clone_read", "txlog_rename_read",
     "dsir_select", "train_split_leakage_free", "txlog_cdf_full_feed",
-    "txlog_generated_partition_read",
+    "txlog_generated_partition_read", "txlog_merge_into_read",
 ]
 
 

@@ -1059,6 +1059,197 @@ class TxLog:
 
         return ok
 
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key: str,
+        when_matched: list[tuple] | None = None,
+        when_not_matched: list[tuple] | None = None,
+        when_not_matched_by_source: list[tuple] | None = None,
+        max_retries: int = 10,
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """Full multi-clause MERGE INTO (Delta's MERGE, public docs/SQL):
+
+        - ``when_matched``: ordered ``("update", cond, {col: expr})`` /
+          ``("delete", cond)`` clauses; conditions and set-expressions are
+          SQL strings over the aliases ``t`` (target row) and ``s``
+          (source row), e.g. ``"t.qty + s.qty"``. ``cond=None`` means
+          always. FIRST matching clause wins (Delta clause-order
+          semantics); a matched row no clause accepts carries unchanged.
+        - ``when_not_matched``: ``("insert", cond)`` clauses (INSERT *:
+          the source must carry every target column); an unmatched source
+          row no clause accepts is dropped.
+        - ``when_not_matched_by_source``: ``("update", cond, {col: expr})``
+          / ``("delete", cond)`` over target-only rows (``t.`` only).
+
+        FILE-LEVEL like :meth:`merge`: only files whose [min, max] for
+        `key` intersects the source key range are read/rewritten — unless
+        ``when_not_matched_by_source`` is given, which (exactly as in
+        Delta) forces a full-table read because ANY target row may be
+        affected. Conflict rule: without NOT-MATCHED-BY-SOURCE clauses the
+        benign-manifest re-validation applies (disjoint appends commit
+        alongside); with them the read set is the whole table, so any
+        intervening commit forces a re-derive. Updates evaluate against
+        the PRE-merge target row; the result is constraint-checked and
+        generated-column-checked. With CDF enabled, update pre/post
+        images, deleted rows, and inserts are staged typed, same as
+        update()/delete()/merge().
+
+        Reference analog: the keyed dim upsert (DimSinkFunction.java:17-89)
+        is the degenerate form (unconditional matched-update +
+        not-matched-insert) — :meth:`merge` keeps that fast path; this is
+        the general verb."""
+        when_matched = list(when_matched or [])
+        when_not_matched = list(when_not_matched or [])
+        when_not_matched_by_source = list(when_not_matched_by_source or [])
+        if not (when_matched or when_not_matched or when_not_matched_by_source):
+            raise ValueError("merge_into requires at least one WHEN clause")
+        for cl in when_matched + when_not_matched_by_source:
+            if cl[0] not in ("update", "delete"):
+                raise ValueError(f"bad clause verb {cl[0]!r}")
+            if cl[0] == "update" and (len(cl) < 3 or not cl[2]):
+                raise ValueError("update clause needs {col: expr} assignments")
+        for cl in when_not_matched:
+            if cl[0] != "insert":
+                raise ValueError(f"NOT MATCHED supports insert, got {cl[0]!r}")
+        full_scan = bool(when_not_matched_by_source)
+        for _ in range(max_retries):
+            st = self.state()
+            if st.schema_json is None:
+                # First commit: an empty target — every source row is
+                # NOT MATCHED. Delta allows MERGE as the initial load.
+                tcols = list(source.columns)
+                base = spark.createDataFrame([], source.schema)
+            else:
+                tcols = [
+                    f.name
+                    for f in StructType.fromJson(json.loads(st.schema_json)).fields
+                ]
+                base = None  # read after pruning below
+            for cl in when_matched + when_not_matched_by_source:
+                if cl[0] == "update":
+                    unknown = set(cl[2]) - set(tcols)
+                    if unknown:
+                        raise ValueError(
+                            f"UPDATE assigns unknown columns: {sorted(unknown)}"
+                        )
+            if when_not_matched and (missing := set(tcols) - set(source.columns)):
+                raise ValueError(
+                    f"INSERT * needs every target column in the source; "
+                    f"missing {sorted(missing)}"
+                )
+            lo, hi = source.agg(F.min(key), F.max(key)).first()
+            if lo is None and not full_scan:
+                return st.version  # empty source can only touch via NMBS
+            pkey = st.cmap.get(key, key)
+            if full_scan or st.schema_json is None:
+                touched = list(st.files)
+            else:
+                touched = [
+                    n for n in st.files
+                    if (mm := st.stats.get(n, {}).get(pkey)) is None
+                    or (mm[0] <= hi and mm[1] >= lo)
+                ]
+            if base is None:
+                base = self._read_files(spark, touched, st)
+            j = (
+                base.withColumn("__tp", F.lit(True)).alias("t")
+                .join(
+                    source.withColumn("__sp", F.lit(True)).alias("s"),
+                    F.expr(f"t.{key} = s.{key}"),
+                    "full_outer",
+                )
+            )
+
+            def cond(c) -> F.Column:
+                return F.expr(c).eqNullSafe(F.lit(True)) if c is not None else F.lit(True)
+
+            def chain(clauses: list[tuple], prefix: str, default: str) -> F.Column:
+                out = F.lit(default)
+                for i, cl in reversed(list(enumerate(clauses))):
+                    out = F.when(cond(cl[1]), F.lit(f"{prefix}{i}")).otherwise(out)
+                return out
+
+            action = (
+                F.when(
+                    F.col("t.__tp").isNotNull() & F.col("s.__sp").isNotNull(),
+                    chain(when_matched, "m", "carry"),
+                )
+                .when(F.col("s.__sp").isNotNull(), chain(when_not_matched, "i", "drop"))
+                .otherwise(chain(when_not_matched_by_source, "n", "carry"))
+            )
+            upd_acts = {
+                f"{p}{i}": cl[2]
+                for p, cls in (("m", when_matched), ("n", when_not_matched_by_source))
+                for i, cl in enumerate(cls)
+                if cl[0] == "update"
+            }
+            del_acts = {
+                f"{p}{i}"
+                for p, cls in (("m", when_matched), ("n", when_not_matched_by_source))
+                for i, cl in enumerate(cls)
+                if cl[0] == "delete"
+            }
+            ins_acts = {f"i{i}" for i in range(len(when_not_matched))}
+
+            def value(c: str) -> F.Column:
+                v = F.col(f"t.{c}")
+                for act, sets in upd_acts.items():
+                    if c in sets:
+                        v = F.when(action == act, F.expr(sets[c])).otherwise(v)
+                for act in ins_acts:
+                    v = F.when(action == act, F.col(f"s.{c}")).otherwise(v)
+                return v.alias(c)
+
+            keep = F.lit(True)
+            for a in del_acts | {"drop"}:
+                keep = keep & (action != a)
+            merged = j.where(keep).select(*[value(c) for c in tcols])
+            merged = self._apply_generated(merged)
+            self._validate(merged)
+            cdf_names: list[str] | None = None
+            if self._cdf_enabled(st):
+                upd = F.lit(False)
+                for a in upd_acts:
+                    upd = upd | (action == a)
+                dele = F.lit(False)
+                for a in del_acts:
+                    dele = dele | (action == a)
+                ins = F.lit(False)
+                for a in ins_acts:
+                    ins = ins | (action == a)
+                t_row = [F.col(f"t.{c}").alias(c) for c in tcols]
+                pre = j.where(upd).select(*t_row).withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+                post = j.where(upd).select(*[value(c) for c in tcols]).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+                deleted = j.where(dele).select(*t_row).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+                inserted = j.where(ins).select(*[value(c) for c in tcols]).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+                cdf_rows = pre.unionByName(post).unionByName(deleted).unionByName(inserted)
+                cdf_names, _, _, _ = self._stage(cdf_rows.coalesce(1))
+            merged = merged.coalesce(max(1, len(touched) or 1))
+            sc = stats_cols if stats_cols is not None else [key]
+            adds, schema_json, stats, parts = self._stage(merged, sc, cmap=st.cmap)
+            try:
+                return self.commit_files(
+                    adds, op="merge_into", schema_json=schema_json,
+                    removes=touched, expected_version=st.version,
+                    stats=stats, parts=parts, cdf=cdf_names,
+                    conflict_ok=None if full_scan or lo is None
+                    else self._disjoint_range_ok(set(touched), pkey, lo, hi),
+                )
+            except TxConflictError:
+                continue
+        raise TxConflictError(f"merge_into lost {max_retries} consecutive OCC races")
+
     def delete(
         self,
         spark: SparkSession,

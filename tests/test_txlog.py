@@ -1923,3 +1923,153 @@ def test_generated_columns_compute_validate_partition(tmp_path, spark):
     # clone carries the definition (it lives in table properties)
     cl = log.clone(str(tmp_path / "cl"))
     assert cl.generated_columns() == {"bucket": "k % 3"}
+
+
+def test_merge_into_clause_matrix(tmp_path, spark):
+    """Multi-clause MERGE INTO (Delta MERGE semantics): ordered WHEN
+    MATCHED clauses with FIRST-match-wins, conditional NOT MATCHED
+    insert, and update expressions reading BOTH aliases (t./s.) against
+    the PRE-merge target row."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(
+        spark.range(0, 100).selectExpr("id AS k", "id * 10 AS v").coalesce(1),
+        stats_cols=["k"],
+    )
+    src = spark.range(50, 150).selectExpr("id AS k", "id AS v")
+    log.merge_into(
+        spark, src, "k",
+        when_matched=[
+            ("update", "t.k % 2 = 0", {"v": "t.v + s.v"}),
+            ("delete", "s.v >= 90"),
+        ],
+        when_not_matched=[("insert", "s.v % 3 != 0")],
+    )
+    got = {r["k"]: r["v"] for r in log.snapshot(spark).collect()}
+    for k in range(0, 50):  # untouched by source
+        assert got[k] == k * 10
+    for k in range(50, 100):
+        if k % 2 == 0:  # clause 1 wins even when clause 2 also matches
+            assert got[k] == k * 10 + k
+        elif k >= 90:  # clause 2: deleted
+            assert k not in got
+        else:  # matched, no clause accepted: carries
+            assert got[k] == k * 10
+    for k in range(100, 150):  # NOT MATCHED: conditional insert
+        assert (k in got) == (k % 3 != 0)
+        if k in got:
+            assert got[k] == k
+    assert log.history()[0]["op"] == "merge_into"
+
+
+def test_merge_into_nmbs_and_file_level(tmp_path, spark):
+    """Without NOT-MATCHED-BY-SOURCE clauses the merge is file-granular
+    (disjoint files keep their manifest names); with them the whole
+    table is the read set and target-only rows obey the clause."""
+    log = TxLog(str(tmp_path / "t"))
+    for lo in (0, 100, 200):
+        log.append(
+            spark.range(lo, lo + 50).selectExpr("id AS k", "id AS v").coalesce(1),
+            stats_cols=["k"],
+        )
+    before = set(log.state().files)
+    log.merge_into(
+        spark,
+        spark.range(110, 120).selectExpr("id AS k", "id * 2 AS v"),
+        "k",
+        when_matched=[("update", None, {"v": "s.v"})],
+    )
+    assert len(before & set(log.state().files)) == 2, (
+        "disjoint files must survive a NMBS-free merge untouched"
+    )
+    # NMBS delete: prune target-only rows outside the source's view
+    log.merge_into(
+        spark,
+        spark.range(100, 150).selectExpr("id AS k", "id AS v"),
+        "k",
+        when_matched=[("update", None, {"v": "s.v"})],
+        when_not_matched_by_source=[("delete", "t.k >= 200")],
+    )
+    got = {r["k"]: r["v"] for r in log.snapshot(spark).collect()}
+    assert set(got) == set(range(0, 50)) | set(range(100, 150)), (
+        "k>=200 rows NMBS-deleted, matched+carried rows kept"
+    )
+    assert got[115] == 115 and got[110] == 110  # second merge overwrote
+    assert got[0] == 0
+    # NMBS update with t.-only expression
+    log.merge_into(
+        spark,
+        spark.createDataFrame([(0, 0)], "k long, v long"),
+        "k",
+        when_matched=[("delete", None)],
+        when_not_matched_by_source=[("update", "t.k < 3", {"v": "t.v + 1000"})],
+    )
+    got = {r["k"]: r["v"] for r in log.snapshot(spark).collect()}
+    assert 0 not in got and got[1] == 1001 and got[2] == 1002 and got[3] == 3
+    assert got[10] == 10  # NMBS rows failing the condition carry
+
+
+def test_merge_into_initial_load_empty_source_and_errors(tmp_path, spark):
+    """MERGE into a never-committed table is the initial load; an empty
+    source is a version-unchanged no-op without NMBS clauses; malformed
+    clause lists are refused loudly."""
+    log = TxLog(str(tmp_path / "t"))
+    src = spark.range(0, 5).selectExpr("id AS k", "id AS v")
+    log.merge_into(spark, src, "k", when_not_matched=[("insert", None)])
+    assert log.snapshot(spark).count() == 5
+    v = log.state().version
+    empty = src.where("k < 0")
+    assert log.merge_into(
+        spark, empty, "k", when_matched=[("delete", None)]
+    ) == v, "empty source without NMBS is a no-op"
+    # empty source WITH a NMBS clause still sweeps the table
+    log.merge_into(
+        spark, empty, "k",
+        when_matched=[("delete", None)],
+        when_not_matched_by_source=[("delete", "t.k >= 3")],
+    )
+    assert log.snapshot(spark).count() == 3
+    with pytest.raises(ValueError, match="at least one WHEN"):
+        log.merge_into(spark, src, "k")
+    with pytest.raises(ValueError, match="unknown columns"):
+        log.merge_into(
+            spark, src, "k", when_matched=[("update", None, {"nope": "1"})]
+        )
+    with pytest.raises(ValueError, match="INSERT"):
+        log.merge_into(
+            spark, src.select("k"), "k", when_not_matched=[("insert", None)]
+        )
+    with pytest.raises(ValueError, match="clause verb"):
+        log.merge_into(spark, src, "k", when_matched=[("insert", None)])
+
+
+def test_merge_into_cdf_typed_changes(tmp_path, spark):
+    """With enableChangeDataFeed, merge_into stages typed pre/post
+    images for updates, deleted rows, and inserts — same contract as
+    update()/delete()/merge()."""
+    log = TxLog(str(tmp_path / "t"))
+    log.set_property("enableChangeDataFeed", "true")
+    log.append(
+        spark.range(0, 6).selectExpr("id AS k", "id AS v").coalesce(1),
+        stats_cols=["k"],
+    )
+    v0 = log.state().version
+    log.merge_into(
+        spark,
+        spark.range(4, 9).selectExpr("id AS k", "id * 100 AS v"),
+        "k",
+        when_matched=[
+            ("update", "t.k = 4", {"v": "s.v"}),
+            ("delete", None),
+        ],
+        when_not_matched=[("insert", None)],
+    )
+    ch = log.changes(spark, v0, cdf=True)
+    got = {(r["k"], r["v"], r["_change_type"]) for r in ch.collect()}
+    assert got == {
+        (4, 4, "update_preimage"),
+        (4, 400, "update_postimage"),
+        (5, 5, "delete"),
+        (6, 600, "insert"),
+        (7, 700, "insert"),
+        (8, 800, "insert"),
+    }
