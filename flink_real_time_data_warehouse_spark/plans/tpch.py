@@ -1838,6 +1838,80 @@ def txlog_merge_into_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txlog_identity_read",
+    oracle="""
+    WITH ids AS (SELECT o_orderstatus,
+                        10 + 2 * (row_number() OVER (ORDER BY o_orderkey) - 1)
+                          AS o_seq
+                 FROM orders)
+    SELECT o_orderstatus, count(*) AS order_ct,
+           count(DISTINCT o_seq) AS seq_ct,
+           min(o_seq) AS seq_min, max(o_seq) AS seq_max,
+           sum(o_seq) AS seq_sum
+    FROM ids GROUP BY o_orderstatus
+    """,
+    doc=(
+        "IDENTITY COLUMN end-to-end (storage/txlog.py "
+        "add_identity_column — Delta's GENERATED ALWAYS AS IDENTITY, "
+        "public docs): the table registers o_seq (START WITH 10 "
+        "INCREMENT BY 2) and allocates it on append — the watermark "
+        "advances IN THE DATA COMMIT, so the second append continues "
+        "exactly where the first stopped, and a writer SUPPLYING the "
+        "column is refused (asserted in-plan, version unchanged — "
+        "GENERATED ALWAYS). Two key-range appends in "
+        "identity_order_by=o_orderkey order make the allocation "
+        "deterministic, so the oracle replays it as a global "
+        "row_number: a duplicate id, a gap, a watermark reset between "
+        "appends, or an off-by-step start changes seq_ct / seq_min / "
+        "seq_max / seq_sum. count(DISTINCT o_seq) = count(*) per group "
+        "puts table-wide uniqueness in the hash. The default "
+        "(order-free) mode allocates per-partition ranges with no "
+        "global sort — Delta's task-range strategy — raced unique in "
+        "tests/test_txlog.py. Reference analog: surrogate keying of "
+        "dim rows at sink time (DimSinkFunction.java:17-89)"
+    ),
+)
+def txlog_identity_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..storage import TxLog
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    work = tempfile.mkdtemp(prefix="txlog_identity_")
+    log = TxLog(os.path.join(work, "orders_tx"))
+    log.add_identity_column("o_seq", start=10, step=2)
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    b1 = mx // 3
+    for lo, hi in ((0, b1), (b1, mx + 1)):
+        log.append(
+            orders.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+            .coalesce(1),
+            identity_order_by=["o_orderkey"],
+            stats_cols=["o_orderkey"],
+        )
+    v = log.state().version
+    try:
+        log.append(orders.limit(1).withColumn("o_seq", F.lit(0)))
+        raise AssertionError("supplying an identity column must be refused")
+    except ValueError:
+        pass
+    if log.state().version != v:
+        raise AssertionError("refused identity batch must not commit")
+    return (
+        log.snapshot(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("order_ct"),
+            F.countDistinct("o_seq").alias("seq_ct"),
+            F.min("o_seq").alias("seq_min"),
+            F.max("o_seq").alias("seq_max"),
+            F.sum("o_seq").alias("seq_sum"),
+        )
+    )
+
+
+@register(
     "order_count_distribution",
     oracle="""
     SELECT c_count, count(*) AS custdist

@@ -732,6 +732,8 @@ class TxLog:
         stats_cols: list[str] | None = None,
         partition_by: str | list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        identity_order_by: list[str] | None = None,
+        max_retries: int = 10,
     ) -> int:
         """Transactional append; with (app_id, app_version) it is an
         idempotent streaming-epoch commit (replays skip). `stats_cols`
@@ -741,19 +743,43 @@ class TxLog:
         are manifest-level data skipping. Blooms are what prune POINT
         lookups on columns whose values are hash-distributed across
         files, where every file's [min,max] spans the whole domain and
-        range stats can never drop anything."""
+        range stats can never drop anything. `identity_order_by` picks
+        the deterministic allocation mode for identity columns (see
+        :meth:`add_identity_column`)."""
         # Idempotence fast path: skip the stage write entirely on replay.
         if app_id is not None and app_version is not None:
             if self.state().apps.get(app_id, -1) >= app_version:
                 return self.state().version
-        df = self._apply_generated(df)
-        self._validate(df)
-        names, schema_json, stats, parts = self._stage(
-            df, stats_cols, partition_by, bloom_cols, cmap=self.state().cmap
-        )
-        return self.commit_files(
-            names, "append", schema_json, app_id=app_id, app_version=app_version,
-            stats=stats, parts=parts,
+        for _ in range(max_retries):
+            st = self.state()
+            out, props = self._apply_identity(df, st.props, identity_order_by)
+            out = self._apply_generated(out)
+            self._validate(out)
+            names, schema_json, stats, parts = self._stage(
+                out, stats_cols, partition_by, bloom_cols, cmap=st.cmap
+            )
+            if props is None:
+                # No identity columns: plain appends conflict with nothing.
+                return self.commit_files(
+                    names, "append", schema_json, app_id=app_id,
+                    app_version=app_version, stats=stats, parts=parts,
+                )
+            try:
+                # Identity appends serialize on the watermark: the commit
+                # carries the advanced mark in its properties, so any
+                # intervening properties-carrying commit (another identity
+                # append, a SET TBLPROPERTIES) forces a re-derive; commits
+                # that leave properties alone are benign.
+                return self.commit_files(
+                    names, "append", schema_json, app_id=app_id,
+                    app_version=app_version, stats=stats, parts=parts,
+                    properties=props, expected_version=st.version,
+                    conflict_ok=lambda m: m.get("properties") is None,
+                )
+            except TxConflictError:
+                continue
+        raise TxConflictError(
+            f"identity append lost {max_retries} consecutive OCC races"
         )
 
     def overwrite(
@@ -765,17 +791,21 @@ class TxLog:
     ) -> int:
         """Replace the table contents, serializably: if `expected_version`
         is given (the version the caller derived `df` from), any concurrent
-        commit in between fails this replace with TxConflictError."""
+        commit in between fails this replace with TxConflictError. Identity
+        columns keep allocating past the old mark (Delta: REPLACE does not
+        reset the identity watermark)."""
+        st = self.state()
         if expected_version is None:
-            expected_version = self.state().version
+            expected_version = st.version
+        df, props = self._apply_identity(df, st.props, None)
         df = self._apply_generated(df)
         self._validate(df)
         names, schema_json, stats, parts = self._stage(
-            df, stats_cols, partition_by, cmap=self.state().cmap
+            df, stats_cols, partition_by, cmap=st.cmap
         )
         return self.commit_files(
             names, "replace", schema_json, expected_version=expected_version,
-            stats=stats, parts=parts,
+            stats=stats, parts=parts, properties=props,
         )
 
     def _read_files(
@@ -1806,6 +1836,131 @@ class TxLog:
                         f"supplied value, e.g.: {bad[0]}"
                     )
         return df
+
+    # -- identity columns ----------------------------------------------
+
+    _IDENTITY_PREFIX = "generated.identity."
+
+    def add_identity_column(self, name: str, start: int = 1, step: int = 1) -> int:
+        """GENERATED ALWAYS AS IDENTITY (Delta's identity columns, public
+        docs): `name` is allocated by the TABLE on the ingest write paths
+        (append / overwrite), never supplied by writers — a batch that
+        carries the column is refused, exactly Delta's GENERATED ALWAYS
+        contract. The high-water mark lives in table properties and
+        advances IN THE SAME COMMIT as the data (atomic: a crash between
+        allocation and commit leaves no gap, a lost OCC race re-derives
+        from the winner's mark), so concurrent identity appends serialize
+        on the watermark and ids are unique table-wide. Values are
+        ``start, start+step, ...`` dense in allocation order.
+
+        Two allocation modes per append:
+        - ``identity_order_by=[cols]``: ids follow ``row_number()`` over
+          that ordering — DETERMINISTIC (replayable, oracle-checkable) at
+          the cost of a global sort of the batch.
+        - default: per-partition contiguous ranges (one small count job
+          for the offsets, one window partitioned BY the existing
+          partitioning — no global sort, Delta's task-range strategy):
+          unique and dense, but order depends on physical partitioning.
+
+        Restore reverts the mark with the properties (ids can then be
+        re-issued — same caveat Delta documents for RESTORE); clone
+        carries it."""
+        if step == 0:
+            raise ValueError("identity step must be nonzero")
+        st = self.state()
+        if st.schema_json is not None:
+            cols = [
+                f.name
+                for f in StructType.fromJson(json.loads(st.schema_json)).fields
+            ]
+            if name in cols:
+                raise ValueError(
+                    f"identity column {name!r} already exists in the schema; "
+                    "register it before the first data commit"
+                )
+        return self.set_property(
+            f"{self._IDENTITY_PREFIX}{name}",
+            json.dumps({"start": int(start), "step": int(step), "high": None}),
+        )
+
+    def identity_columns(self) -> dict[str, dict]:
+        """Active identity columns, name -> {start, step, high}."""
+        p = self._IDENTITY_PREFIX
+        return {
+            k[len(p):]: json.loads(v)
+            for k, v in self.state().props.items()
+            if k.startswith(p)
+        }
+
+    @staticmethod
+    def _identity_specs(props: dict) -> dict[str, dict]:
+        p = TxLog._IDENTITY_PREFIX
+        return {
+            k[len(p):]: json.loads(v) for k, v in props.items() if k.startswith(p)
+        }
+
+    def _apply_identity(
+        self, df: DataFrame, props: dict, order_by: list[str] | None
+    ) -> tuple[DataFrame, dict | None]:
+        """Allocate identity values for `df`; returns (df, updated full
+        props map or None if the table has no identity columns)."""
+        specs = self._identity_specs(props)
+        if not specs:
+            return df, None
+        from pyspark.sql.window import Window
+
+        new_props = dict(props)
+        for name, spec in sorted(specs.items()):
+            if name in df.columns:
+                raise ValueError(
+                    f"identity column {name!r} is GENERATED ALWAYS: writers "
+                    "must not supply it"
+                )
+            step = spec["step"]
+            base = spec["high"] if spec["high"] is not None else spec["start"] - step
+            if order_by:
+                n = df.count()
+                rn = F.row_number().over(Window.orderBy(*order_by))
+                df = df.withColumn(name, F.lit(base) + F.lit(step) * rn)
+            else:
+                # Per-partition range reservation (Delta's strategy): pin
+                # the partitioning first so the offset map and the window
+                # see the same pids, then one tiny count job + one window
+                # that reuses the EXISTING partitioning (no global sort).
+                # Pin the partition layout, then MATERIALIZE the pid as a
+                # data column in the map stage (evaluating
+                # spark_partition_id() again after the window's exchange
+                # would see the post-shuffle partitioning and mismatch
+                # the offset map).
+                df = df.localCheckpoint(eager=True).withColumn(
+                    "__pid", F.spark_partition_id()
+                )
+                counts = {
+                    r["__pid"]: r["c"]
+                    for r in df.groupBy("__pid").agg(F.count("*").alias("c")).collect()
+                }
+                off, offsets = 0, {}
+                for p in sorted(counts):
+                    offsets[p] = off
+                    off += counts[p]
+                n = off
+                omap = F.create_map(
+                    *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+                ) if offsets else F.create_map()
+                rn = F.row_number().over(
+                    Window.partitionBy("__pid").orderBy(
+                        F.monotonically_increasing_id()
+                    )
+                )
+                df = df.withColumn(
+                    name,
+                    F.lit(base)
+                    + F.lit(step) * (F.element_at(omap, F.col("__pid")) + rn),
+                ).drop("__pid")
+            new_props[f"{self._IDENTITY_PREFIX}{name}"] = json.dumps(
+                {**spec, "high": base + step * n}
+            )
+        return df, new_props
 
     # -- constraints ---------------------------------------------------
 

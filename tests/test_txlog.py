@@ -2073,3 +2073,70 @@ def test_merge_into_cdf_typed_changes(tmp_path, spark):
         (7, 700, "insert"),
         (8, 800, "insert"),
     }
+
+
+def test_identity_column_deterministic_and_refusal(tmp_path, spark):
+    """GENERATED ALWAYS AS IDENTITY: the table allocates start/start+step/
+    ... in identity_order_by order, the watermark continues across
+    appends AND an overwrite (Delta: REPLACE keeps the mark), and a
+    writer supplying the column is refused."""
+    log = TxLog(str(tmp_path / "t"))
+    log.add_identity_column("sid", start=10, step=2)
+    log.append(
+        spark.range(0, 5).selectExpr("id AS k").coalesce(1),
+        identity_order_by=["k"],
+    )
+    log.append(
+        spark.range(5, 8).selectExpr("id AS k").coalesce(1),
+        identity_order_by=["k"],
+    )
+    got = {r["k"]: r["sid"] for r in log.snapshot(spark).collect()}
+    assert got == {k: 10 + 2 * k for k in range(8)}
+    assert log.identity_columns()["sid"]["high"] == 10 + 2 * 7
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        log.append(spark.createDataFrame([(99, 0)], "k long, sid long"))
+    # overwrite keeps allocating past the mark
+    log.overwrite(spark.range(100, 103).selectExpr("id AS k").coalesce(1))
+    got = {r["k"]: r["sid"] for r in log.snapshot(spark).collect()}
+    assert set(got) == {100, 101, 102}
+    assert set(got.values()) == {26, 28, 30}
+    # registering over an existing data column is refused
+    with pytest.raises(ValueError, match="already exists"):
+        log.add_identity_column("k")
+
+
+def test_identity_column_distributed_mode_unique_dense(tmp_path, spark):
+    """Default (no order_by) allocation: per-partition ranges — ids are
+    unique and DENSE over a multi-partition batch, and the clone carries
+    the watermark (it lives in table properties)."""
+    log = TxLog(str(tmp_path / "t"))
+    log.add_identity_column("sid")
+    log.append(spark.range(0, 100).selectExpr("id AS k").repartition(8))
+    sids = [r["sid"] for r in log.snapshot(spark).collect()]
+    assert sorted(sids) == list(range(1, 101))
+    assert log.identity_columns()["sid"]["high"] == 100
+    cl = log.clone(str(tmp_path / "cl"))
+    assert cl.identity_columns()["sid"]["high"] == 100
+    cl.append(spark.range(0, 3).selectExpr("id AS k"))
+    assert sorted(
+        r["sid"] for r in cl.snapshot(spark).collect()
+    ) == list(range(1, 104))
+    assert log.identity_columns()["sid"]["high"] == 100  # source untouched
+
+
+def test_identity_appends_race_unique(tmp_path, spark):
+    """Concurrent identity appends serialize on the watermark: every id
+    unique, the final mark equals the total row count."""
+    log = TxLog(str(tmp_path / "t"))
+    log.add_identity_column("sid")
+
+    def writer(w: int):
+        log.append(
+            spark.range(w * 10, w * 10 + 10).selectExpr("id AS k").coalesce(1)
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(writer, range(4)))
+    sids = [r["sid"] for r in log.snapshot(spark).collect()]
+    assert sorted(sids) == list(range(1, 41))
+    assert log.identity_columns()["sid"]["high"] == 40
