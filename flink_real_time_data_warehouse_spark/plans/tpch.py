@@ -1847,7 +1847,7 @@ def txlog_merge_into_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus, count(*) AS order_ct,
            count(DISTINCT o_seq) AS seq_ct,
            min(o_seq) AS seq_min, max(o_seq) AS seq_max,
-           sum(o_seq) AS seq_sum
+           CAST(sum(o_seq) AS BIGINT) AS seq_sum
     FROM ids GROUP BY o_orderstatus
     """,
     doc=(

@@ -49,43 +49,15 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # round; everything else follows in registration order. Queries not yet
 # registered are ignored, so new entries can be pre-listed safely.
 _GRADE_FIRST: list[str] = [
-    # Round 7 rotation (r6 verdict task 1). Slots 1-8: the 8 registered
-    # queries that have NEVER received a driver correctness row (they
-    # overflowed r6's window; judge-verified green in the r6 session —
-    # these get their FIRST driver rows here).
-    "promo_revenue_share", "late_shipment_priority", "market_share",
-    "priority_shipping_counts", "brand_supplier_counts",
-    "product_type_profit", "discounted_brand_revenue", "excess_shippers",
-    # Slots 9-50: 42 of the 47 queries whose freshest driver row is r4
-    # (3 rounds stale after this one). The 5 deferred r4 names —
-    # visitor_stats, product_stats, events_union_stats, keyword_stats,
-    # session_stats — are the gmall batch plans whose streaming twins
-    # (visitor_stats_stream r5, product_stats_stream r6,
-    # events_union_stats_stream r5, keyword_stats_stream r5,
-    # session_stats via visitor pipeline tests) exercise the same plan
-    # bodies and carry fresher rows; they lead r8's window below.
-    "lang_id", "text_quality", "lm_surprisal", "pii_scrub", "token_count",
-    "vocab_topk", "tfidf_search", "doc_fingerprint",
-    "train_split", "mixture_sample", "source_quota_sample",
-    "token_budget_sample", "decontaminate", "repetition_stats",
-    "pack_sequences", "chunk_documents", "corpus_profile",
-    "cluster_balanced_sample",
-    "scd2_user_status", "serving_product_revenue",
-    "new_user_fix", "uv_daily", "bounce_events", "order_wide",
-    "payment_wide", "visitor_stats_sliding",
-    "kmeans_centroids", "keyword_stats_cjk", "curation_pipeline",
-    "ingest_pipeline", "ingest_pipeline_indexed",
-    "dedup_incremental_indexed", "ann_ivf_indexed_topk", "ann_topk",
-    "ann_ivf_topk", "embedding_cosine_pairs", "embedding_clusters",
-    "dedup_clusters", "dedup_simhash", "multimodal_decode", "frame_sample",
-    "audio_chunks",
-    # --- 50-slot window ends here. ---
-    # r8 rotation note: lead with the 5 deferred r4 gmall batch plans,
-    # then the round-7 additions (no driver row yet), then the r5-rowed
-    # block — keeping every query's freshest row at most ~2 rounds old.
+    # Round 8 rotation (r7 verdict task 2). Slots 1-5: the 5 gmall batch
+    # plans whose freshest driver row is r4 (deferred from r7 because
+    # their streaming twins carried fresher rows; now the stalest names).
     "visitor_stats", "product_stats", "events_union_stats",
     "keyword_stats", "session_stats",
-    # New in round 7 (registered below as they land; ignored until then).
+    # Slots 6-25: the 20 round-7 additions that have NEVER received a
+    # driver correctness row (19 judge-verified green in the r7 session;
+    # txlog_identity_read's oracle CAST fixed this round — all 20
+    # driver-sim re-verified before this commit).
     "txlog_source_stream", "cdc_route_materialized",
     "semantic_dedup_capped", "keyword_stats_smart", "txlog_dv_delete_read",
     "dwd_chain_stream", "dedup_canonical", "unimax_sample",
@@ -93,6 +65,36 @@ _GRADE_FIRST: list[str] = [
     "txlog_update_read", "txlog_clone_read", "txlog_rename_read",
     "dsir_select", "train_split_leakage_free", "txlog_cdf_full_feed",
     "txlog_generated_partition_read", "txlog_merge_into_read",
+    "txlog_identity_read",
+    # Slots 26-50: 25 of the 50 r5-rowed names (3 rounds stale after this
+    # one). Chosen for surface diversity — SQL API, CDC, as-of joins,
+    # serving, the dedup/minhash family, txlog reads; the 25 deferred
+    # names (mostly streaming twins of batch plans graded r7, plus the
+    # ANN quantized variants) lead r9's window below.
+    "province_stats", "q1_pricing_summary", "nation_revenue_share",
+    "small_qty_revenue", "datetime_funcs", "dirty_split", "json_props",
+    "sql_chained_stats", "sql_province_stats", "cdc_route",
+    "asof_click_attribution", "purchase_status_asof", "serving_gmv",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_capped",
+    "dedup_minhash_verified", "dedup_ngram_jaccard", "dedup_simhash_pairs",
+    "dup_spans", "semantic_dedup", "embedding_quantize",
+    "embedding_cosine_pairs_capped", "txlog_pruned_read",
+    "txlog_snapshot_read",
+    # --- 50-slot window ends here. ---
+    # r9 rotation note: lead with the 25 deferred r5 names —
+    # keyword_stats_dict(+_stream), keyword_stats_stream,
+    # visitor_stats_stream, visitor_stats_cumulate,
+    # visitor_stats_sliding_stream, province_stats_stream,
+    # product_stats_stream(+_approx), events_union_stats_stream,
+    # session_stats_stream, order_wide_stream, payment_wide_stream,
+    # new_user_stream, uv_stream, bounce_stream, dedup_exact_stream,
+    # dedup_minhash_stream, ingest_pipeline_stream, ann_ingest_stream,
+    # ann_sign_lsh_topk, ann_quantized_topk, ann_ivf_quantized_topk,
+    # dedup_incremental, txlog_stream_sink — then the round-8 additions
+    # below, then fill from the r6 block.
+    # New in round 8 (registered below as they land; ignored until then).
+    "dedup_exact_substring", "bpe_train", "bpe_tokenize",
+    "txlog_identity_merge_read", "txlog_merge_evolve_read",
 ]
 
 
