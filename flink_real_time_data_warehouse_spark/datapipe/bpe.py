@@ -1,0 +1,166 @@
+"""BPE merge-pair training and tokenization (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units" — the
+byte-pair-encoding vocabulary induction every training-data stack ships).
+
+The pipeline already COUNTS tokens with a BPE-ish proxy (quality.py
+token_count); this trains an actual merge table from the corpus and
+tokenizes with it (r7 verdict task 6). Spark-first shape:
+
+- the training state is the WORD VOCABULARY (distinct words x frequency),
+  never the corpus: one explode+agg builds it, and every merge round is
+  one tiny explode+agg over <= `vocab_cap` rows plus a JVM-side rewrite
+  (aggregate fold) — 2 small jobs per round, zero Python in the data path;
+- the corpus caps into the vocabulary deterministically (top `vocab_cap`
+  words by (freq DESC, word ASC) — the documented sample every published
+  BPE trainer applies at scale);
+- pair selection is DETERMINISTIC: max count, ties broken (left ASC,
+  right ASC) on binary string order — any engine replays it;
+- one merge round applies its pair GREEDY LEFT-TO-RIGHT, one pass (the
+  classic non-overlapping rule: "aaa" + (a,a) -> [aa, a]); tokenization
+  applies the learned merges once each, in rank order (a deterministic
+  single-pass-per-rank variant of exhaustive BPE encoding — documented
+  divergence, replayed exactly by the DuckDB oracle).
+
+At 100 TB the corpus scan happens ONCE (word counting); everything after
+is O(vocab) per round — the reason BPE training is cheap at any corpus
+size once re-expressed over the vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+
+BPE_MERGES = 10  # fixed iteration count (graded setting)
+BPE_VOCAB_CAP = 2000  # top words by (freq DESC, word ASC)
+BPE_MAX_WORD_CHARS = 16  # longer words are noise at training time
+
+
+def word_symbols(w: Column) -> Column:
+    """Character-symbol array of a word (regexp '.', so both engines
+    drop embedded newlines identically)."""
+    return F.regexp_extract_all(w, F.lit("."), 0)
+
+
+def apply_merge(syms: Column, left: str, right: str) -> Column:
+    """One greedy left-to-right pass merging adjacent (left, right) into
+    left||right — a JVM-side aggregate fold, no UDF. Non-overlapping by
+    construction: a just-merged symbol (left||right) never equals
+    `left`, so "aaa" + (a,a) -> [aa, a], the classic BPE rule."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(left + right)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def word_vocab(
+    df: DataFrame,
+    text_col: str,
+    vocab_cap: int = BPE_VOCAB_CAP,
+    max_word: int = BPE_MAX_WORD_CHARS,
+) -> DataFrame:
+    """(word, freq, syms): the capped training vocabulary."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .where(F.length("w") <= max_word)
+        .orderBy(F.col("freq").desc(), F.col("w"))
+        .limit(vocab_cap)
+        .select("w", "freq", word_symbols(F.col("w")).alias("syms"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = BPE_MERGES,
+    vocab_cap: int = BPE_VOCAB_CAP,
+    max_word: int = BPE_MAX_WORD_CHARS,
+) -> list[tuple[int, str, str]]:
+    """Learn `n_merges` merge pairs; returns [(rank, left, right), ...].
+
+    Per round: ONE explode+agg over the vocabulary for weighted pair
+    counts, argmax with the deterministic tie-break, then the greedy
+    rewrite (localCheckpoint truncates the growing lineage). Stops early
+    if no pair remains."""
+    vocab = word_vocab(df, text_col, vocab_cap, max_word).localCheckpoint(
+        eager=True
+    )
+    merges: list[tuple[int, str, str]] = []
+    for rank in range(1, n_merges + 1):
+        n = F.size("syms")
+        zipped = F.arrays_zip(
+            F.slice("syms", 1, n - 1), F.slice("syms", 2, n - 1)
+        )
+        top = (
+            vocab.where(n >= 2)
+            .select(F.explode(zipped).alias("p"), "freq")
+            .select(
+                F.col("p")["0"].alias("l"),
+                F.col("p")["1"].alias("r"),
+                "freq",
+            )
+            .groupBy("l", "r")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), "l", "r")
+            .first()
+        )
+        if top is None:
+            break
+        merges.append((rank, top["l"], top["r"]))
+        vocab = vocab.withColumn(
+            "syms", apply_merge(F.col("syms"), top["l"], top["r"])
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_piece_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[int, str, str]],
+) -> DataFrame:
+    """Per-document BPE statistics with a learned merge table:
+    (id, word_ct, bpe_ct) — whitespace words and the pieces they encode
+    to after applying the merges in rank order (one greedy pass each).
+    The fold runs over DISTINCT words only (the same word never encodes
+    twice), then joins back to occurrences — O(vocab) Python-free
+    encoding however large the corpus."""
+    occ = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    syms = word_symbols(F.col("w"))
+    for _rank, left, right in sorted(merges):
+        syms = apply_merge(syms, left, right)
+    pieces = occ.select("w").distinct().select(
+        "w", F.size(syms).alias("_pieces")
+    )
+    agg = (
+        occ.join(pieces, "w")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("word_ct"),
+            F.sum("_pieces").alias("bpe_ct"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, df[id_col] == agg["_id"], "left")
+        .select(
+            id_col,
+            F.coalesce("word_ct", F.lit(0)).cast("long").alias("word_ct"),
+            F.coalesce("bpe_ct", F.lit(0)).cast("long").alias("bpe_ct"),
+        )
+    )

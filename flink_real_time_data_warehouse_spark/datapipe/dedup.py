@@ -855,3 +855,115 @@ def containment_pairs(
         )
     )
     return out.where((F.col("cont_a") >= threshold) | (F.col("cont_b") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring detection via sorted bounded suffixes
+# (Lee et al. 2021's suffix-array method, re-expressed as prefix-bucketed
+# windows — r7 verdict task 5)
+# ---------------------------------------------------------------------------
+
+SUFFIX_K = 8  # prefix-bucket width: pairs with LCP >= min_tokens share it
+SUFFIX_HORIZON = 48  # tokens materialized per suffix (exact up to this)
+SUFFIX_MIN_TOKENS = 12  # report positions whose duplicated run is >= this
+SUFFIX_BUCKET_CAP = 512  # boilerplate guard, same design as SPAN_FREQ_CAP
+
+
+def _lcp_tokens(a: Column, b: Column) -> Column:
+    """Token-level longest-common-prefix length of two arrays (0 when
+    either is NULL — the window edge). One O(len) JVM-side pass via
+    aggregate with a stop flag; unequal lengths stop at the shorter
+    (zip_with null-pads and eqNullSafe(tok, NULL) is false)."""
+    agg = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.eqNullSafe(y)),
+        F.struct(F.lit(True).alias("go"), F.lit(0).alias("n")),
+        lambda acc, ok: F.struct(
+            (acc["go"] & ok).alias("go"),
+            F.when(acc["go"] & ok, acc["n"] + 1).otherwise(acc["n"]).alias("n"),
+        ),
+    )
+    return F.coalesce(agg["n"], F.lit(0))
+
+
+def bounded_suffix_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    horizon: int = SUFFIX_HORIZON,
+    min_tokens: int = SUFFIX_MIN_TOKENS,
+) -> DataFrame:
+    """(doc, pos, suf): the BOUNDED suffix (next `horizon` tokens) at
+    every position that still has >= min_tokens tokens ahead — shorter
+    suffixes cannot clear the report threshold, so they are never
+    materialized (the suffix blow-up is horizon x corpus, not n²)."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    idx = F.when(
+        n >= min_tokens, F.sequence(F.lit(1), n - (min_tokens - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sufs = F.transform(idx, lambda i: F.slice(t, i, horizon))
+    return (
+        df.select(F.col(id_col).alias("doc"), sufs.alias("_s"))
+        .select("doc", F.posexplode("_s").alias("pos0", "suf"))
+        .select("doc", (F.col("pos0") + 1).cast("long").alias("pos"), "suf")
+    )
+
+
+def dup_substring_positions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = SUFFIX_K,
+    horizon: int = SUFFIX_HORIZON,
+    min_tokens: int = SUFFIX_MIN_TOKENS,
+    bucket_cap: int = SUFFIX_BUCKET_CAP,
+) -> DataFrame:
+    """EXACT duplicated-substring positions (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    suffix-array ExactSubstr method, re-expressed Spark-first): one row
+    (doc, pos, dup_tokens) per corpus position that starts a verbatim
+    substring of >= min_tokens tokens occurring AT LEAST TWICE anywhere
+    in the corpus (other documents OR elsewhere in the same one), with
+    dup_tokens = the longest such run (exact up to `horizon`).
+
+    The suffix-array trick, distributed: in lexicographic suffix order,
+    every position's best duplication partner is an ADJACENT suffix
+    (max pairwise LCP is attained at sorted-adjacent — LCP(i,k) = min of
+    adjacent LCPs between them), so no pair generation is needed at all.
+    And because any pair with LCP >= min_tokens >= k shares its first k
+    tokens exactly, the GLOBAL suffix sort decomposes into independent
+    per-bucket sorts keyed by the k-token prefix — a plain shuffle, no
+    single-partition global window, each bucket a few thousand rows at
+    any corpus size. Steps:
+
+    1. bounded suffixes: `horizon` tokens per position (48x the token
+       count in shuffle volume — the price of exactness; dup_span_pairs
+       is the seed-extend alternative with unbounded run length);
+    2. bucket by the k-token prefix; buckets over `bucket_cap` drop
+       wholesale (hyper-frequent boilerplate prefix — same stop-gram
+       rationale as SPAN_FREQ_CAP, replayed by the oracle);
+    3. ONE window per bucket sorted by the joined suffix string:
+       dup_tokens = max(LCP with lag, LCP with lead), computed token-
+       level by a stop-at-first-mismatch aggregate — pure integer
+       output, engine-independent.
+
+    Cost: one explode (map-side), one shuffle on bucket, one in-bucket
+    sort. No joins, no pair explosion, no cartesian (plan-shape tested).
+    """
+    from pyspark.sql import Window
+
+    suf = bounded_suffix_rows(df, id_col, text_col, horizon, min_tokens)
+    suf = suf.withColumn("bucket", F.concat_ws(" ", F.slice("suf", 1, k)))
+    suf = drop_hot_buckets(suf, ["bucket"], bucket_cap)
+    w = Window.partitionBy("bucket").orderBy(
+        F.concat_ws(" ", "suf"), "doc", "pos"
+    )
+    dup = F.greatest(
+        _lcp_tokens(F.col("suf"), F.lag("suf").over(w)),
+        _lcp_tokens(F.col("suf"), F.lead("suf").over(w)),
+    )
+    return (
+        suf.withColumn("dup_tokens", dup.cast("long"))
+        .where(F.col("dup_tokens") >= min_tokens)
+        .select("doc", "pos", "dup_tokens")
+    )

@@ -372,6 +372,97 @@ def dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+def _dup_substring_oracle() -> str:
+    from ..datapipe.dedup import (
+        SUFFIX_BUCKET_CAP,
+        SUFFIX_HORIZON,
+        SUFFIX_K,
+        SUFFIX_MIN_TOKENS,
+    )
+
+    def lcp(other: str) -> str:
+        # list_position returns 0 (not NULL) when no mismatch exists:
+        # nullif routes the all-match case to the min-length fallback
+        return f"""CASE WHEN {other} IS NULL THEN 0 ELSE coalesce(
+           nullif(list_position(list_transform(range(1, least(len(suf), len({other})) + 1),
+                                               j -> suf[j] = {other}[j]), false), 0) - 1,
+           least(len(suf), len({other}))) END"""
+
+    return f"""
+    WITH {TOKS_CTE},
+    suf AS (
+      SELECT doc_id AS doc,
+             unnest(range(1, len(l) - {SUFFIX_MIN_TOKENS} + 2)) AS pos,
+             unnest(list_transform(range(1, len(l) - {SUFFIX_MIN_TOKENS} + 2),
+                                   i -> list_slice(l, i, i + {SUFFIX_HORIZON} - 1))) AS suf
+      FROM toks WHERE len(l) >= {SUFFIX_MIN_TOKENS}
+    ),
+    b AS (SELECT doc, pos, suf,
+                 array_to_string(list_slice(suf, 1, {SUFFIX_K}), ' ') AS bucket,
+                 array_to_string(suf, ' ') AS skey
+          FROM suf),
+    ok AS (SELECT bucket FROM b GROUP BY bucket
+           HAVING count(*) <= {SUFFIX_BUCKET_CAP}),
+    s2 AS (SELECT b.doc, b.pos, b.suf, b.bucket, b.skey FROM b JOIN ok USING (bucket)),
+    nb AS (SELECT doc, pos, suf,
+                  lag(suf) OVER w AS psuf, lead(suf) OVER w AS nsuf
+           FROM s2 WINDOW w AS (PARTITION BY bucket ORDER BY skey, doc, pos)),
+    lc AS (SELECT doc, pos,
+                  greatest({lcp('psuf')}, {lcp('nsuf')}) AS dup_tokens
+           FROM nb),
+    hits AS (SELECT doc, pos, dup_tokens FROM lc
+             WHERE dup_tokens >= {SUFFIX_MIN_TOKENS})
+    SELECT d.doc_id,
+           CAST(coalesce(count(h.doc), 0) AS BIGINT) AS dup_pos_ct,
+           CAST(coalesce(max(h.dup_tokens), 0) AS BIGINT) AS max_dup_tokens,
+           CAST(coalesce(sum(h.dup_tokens), 0) AS BIGINT) AS dup_token_sum
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc
+    GROUP BY d.doc_id
+    """
+
+
+@register(
+    "dedup_exact_substring",
+    oracle=_dup_substring_oracle(),
+    doc=(
+        "EXACT substring dedup (Lee et al. 2021's suffix-array "
+        "ExactSubstr, the published exact method — r7 verdict task 5; "
+        "datapipe/dedup.py dup_substring_positions): per corpus "
+        "position, the longest verbatim token run occurring >= 2 times "
+        "ANYWHERE (cross-doc or intra-doc), found with ZERO pair "
+        "generation — in sorted suffix order every position's best "
+        "partner is adjacent, and any pair clearing the 12-token report "
+        "bar shares its 8-token prefix, so the global suffix sort "
+        "decomposes into prefix-bucketed windows (one shuffle, bounded "
+        "buckets, no cartesian — plan-shape tested). Bounded 48-token "
+        "suffixes make it exact up to the horizon; dup_spans is the "
+        "unbounded-run companion. Aggregated per document "
+        "(positions / max run / total run tokens, zero-filled)"
+    ),
+)
+def dedup_exact_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.dedup import dup_substring_positions
+
+    docs = table(spark, sf_dir, "documents")
+    pos = dup_substring_positions(docs, "doc_id", "text")
+    agg = pos.groupBy("doc").agg(
+        F.count("*").alias("_ct"),
+        F.max("dup_tokens").alias("_mx"),
+        F.sum("dup_tokens").alias("_sm"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, docs["doc_id"] == agg["doc"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("_ct", F.lit(0)).cast("long").alias("dup_pos_ct"),
+            F.coalesce("_mx", F.lit(0)).cast("long").alias("max_dup_tokens"),
+            F.coalesce("_sm", F.lit(0)).cast("long").alias("dup_token_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 def _simhash_oracle() -> str:
     return f"""
     WITH {TOKS_CTE},

@@ -1912,6 +1912,196 @@ def txlog_identity_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txlog_identity_merge_read",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+         t0 AS (SELECT o_orderkey, o_orderstatus FROM orders
+                WHERE o_orderkey < 2 * (SELECT m FROM mx) // 3),
+         ids1 AS (SELECT o_orderkey, o_orderstatus,
+                         10 + 2 * (row_number() OVER (ORDER BY o_orderkey) - 1)
+                           AS o_seq
+                  FROM t0),
+         kept AS (SELECT o_orderkey,
+                         CASE WHEN o_orderkey >= (SELECT m FROM mx) // 3
+                                   AND o_orderkey % 2 = 0 THEN 'X'
+                              ELSE o_orderstatus END AS o_orderstatus,
+                         o_seq
+                  FROM ids1
+                  WHERE NOT (o_orderkey >= (SELECT m FROM mx) // 3
+                             AND o_orderkey % 2 = 1)),
+         ins AS (SELECT o_orderkey, o_orderstatus,
+                        8 + 2 * (SELECT count(*) FROM t0)
+                          + 2 * row_number() OVER (ORDER BY o_orderkey) AS o_seq
+                 FROM orders
+                 WHERE o_orderkey >= 2 * (SELECT m FROM mx) // 3),
+         final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+    SELECT o_orderstatus, count(*) AS order_ct,
+           count(DISTINCT o_seq) AS seq_ct,
+           CAST(min(o_seq) AS BIGINT) AS seq_min,
+           CAST(max(o_seq) AS BIGINT) AS seq_max,
+           CAST(sum(o_seq) AS BIGINT) AS seq_sum
+    FROM final GROUP BY o_orderstatus
+    """,
+    doc=(
+        "IDENTITY THROUGH MERGE INTO (storage/txlog.py merge_into + "
+        "_apply_identity fill_nulls — Delta allocates identity on MERGE "
+        "INSERT, public docs; r7 verdict task 4): batch 1 appends keys "
+        "< 2mx/3 (o_seq = 10,12,... in o_orderkey order), then ONE "
+        "multi-clause merge updates matched even keys to status 'X' "
+        "(KEEPING their surrogate ids — a re-allocation shifts every "
+        "group sum), deletes matched odd keys (removing their ids from "
+        "min/max/sum), and inserts keys >= 2mx/3 with FRESH ids "
+        "continuing exactly at the watermark in o_orderkey order — the "
+        "oracle replays the allocation as two chained row_numbers. A "
+        "source supplying o_seq and an UPDATE assigning it are refused "
+        "in-plan (GENERATED ALWAYS), version asserted unchanged. "
+        "Reference analog: surrogate keying of dim rows at upsert time "
+        "(DimSinkFunction.java:17-89)"
+    ),
+)
+def txlog_identity_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..storage import TxLog
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    b, c = 2 * mx // 3, mx // 3
+    work = tempfile.mkdtemp(prefix="txlog_idmerge_")
+    log = TxLog(os.path.join(work, "orders_tx"))
+    log.add_identity_column("o_seq", start=10, step=2)
+    log.append(
+        orders.where(F.col("o_orderkey") < b).coalesce(1),
+        identity_order_by=["o_orderkey"],
+        stats_cols=["o_orderkey"],
+    )
+    src = orders.where(F.col("o_orderkey") >= c)
+    v = log.state().version
+    try:
+        log.merge_into(
+            spark, src.withColumn("o_seq", F.lit(0)), "o_orderkey",
+            when_not_matched=[("insert", None)],
+        )
+        raise AssertionError("identity-carrying merge source must be refused")
+    except ValueError:
+        pass
+    try:
+        log.merge_into(
+            spark, src, "o_orderkey",
+            when_matched=[("update", None, {"o_seq": "0"})],
+        )
+        raise AssertionError("UPDATE assigning an identity column must be refused")
+    except ValueError:
+        pass
+    if log.state().version != v:
+        raise AssertionError("refused merges must not commit")
+    log.merge_into(
+        spark, src, "o_orderkey",
+        when_matched=[
+            ("update", "s.o_orderkey % 2 = 0", {"o_orderstatus": "'X'"}),
+            ("delete", None),
+        ],
+        when_not_matched=[("insert", None)],
+        identity_order_by=["o_orderkey"],
+    )
+    return (
+        log.snapshot(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("order_ct"),
+            F.countDistinct("o_seq").alias("seq_ct"),
+            F.min("o_seq").alias("seq_min"),
+            F.max("o_seq").alias("seq_max"),
+            F.sum("o_seq").cast("long").alias("seq_sum"),
+        )
+    )
+
+
+@register(
+    "txlog_merge_evolve_read",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+         t0 AS (SELECT o_orderkey, o_orderstatus FROM orders
+                WHERE o_orderkey < 2 * (SELECT m FROM mx) // 3),
+         final AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey >= (SELECT m FROM mx) // 3 THEN 'X'
+                       ELSE o_orderstatus END AS o_orderstatus,
+                  CAST(NULL AS BIGINT) AS o_flag
+           FROM t0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_orderkey % 5 AS o_flag
+           FROM orders WHERE o_orderkey >= 2 * (SELECT m FROM mx) // 3
+         )
+    SELECT o_orderstatus, count(*) AS order_ct,
+           count(o_flag) AS flag_ct,
+           CAST(coalesce(sum(o_flag), 0) AS BIGINT) AS flag_sum
+    FROM final GROUP BY o_orderstatus
+    """,
+    doc=(
+        "MERGE SCHEMA EVOLUTION (storage/txlog.py merge_into "
+        "schema_evolution=True — Delta's merge autoMerge, public docs; "
+        "r7 verdict task 8): the target loads as TWO files (keys "
+        "[0,mx/3) and [mx/3,2mx/3)); one merge inserts keys >= 2mx/3 "
+        "carrying a NEW column o_flag and updates matched keys to "
+        "status 'X'. The merge touches only the second file (file-level "
+        "pruning), so the first file still PHYSICALLY lacks o_flag — "
+        "snapshot(merge_schema=True) serves its rows null-filled "
+        "(count(o_flag) pins exactly which rows carry values), matched "
+        "rewritten rows carry typed NULL, and inserted rows carry the "
+        "source value (flag_sum pins them). The committed logical "
+        "schema evolved in the SAME commit as the data (one manifest). "
+        "Reference analog: additive dim-schema growth without backfill "
+        "(DimSinkFunction.java's column-set-driven upsert)"
+    ),
+)
+def txlog_merge_evolve_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..storage import TxLog
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    b, c = 2 * mx // 3, mx // 3
+    work = tempfile.mkdtemp(prefix="txlog_evolve_")
+    log = TxLog(os.path.join(work, "orders_tx"))
+    for lo, hi in ((0, c), (c, b)):
+        log.append(
+            orders.where(
+                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+            ).coalesce(1),
+            stats_cols=["o_orderkey"],
+        )
+    before = set(log.state().files)
+    src = orders.where(F.col("o_orderkey") >= c).withColumn(
+        "o_flag", F.col("o_orderkey") % 5
+    )
+    log.merge_into(
+        spark, src, "o_orderkey",
+        when_matched=[("update", None, {"o_orderstatus": "'X'"})],
+        when_not_matched=[("insert", None)],
+        schema_evolution=True,
+    )
+    survivors = before & set(log.state().files)
+    if len(survivors) != 1:
+        raise AssertionError(
+            f"evolving merge must leave the disjoint first file untouched "
+            f"(kept {len(survivors)} of {len(before)})"
+        )
+    return (
+        log.snapshot(spark, merge_schema=True)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("order_ct"),
+            F.count("o_flag").alias("flag_ct"),
+            F.coalesce(F.sum("o_flag"), F.lit(0)).cast("long").alias("flag_sum"),
+        )
+    )
+
+
+@register(
     "order_count_distribution",
     oracle="""
     SELECT c_count, count(*) AS custdist

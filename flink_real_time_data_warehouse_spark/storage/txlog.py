@@ -681,6 +681,10 @@ class TxLog:
                 dest = os.path.join(self.data_path, staged)
                 os.replace(os.path.join(src_dir, name), dest)
                 names.append(staged)
+                # per-file byte size rides the stats dict (manifest-level
+                # metadata): the streaming source's max_bytes_per_batch
+                # pacing plans batches from it without stat()ing files
+                stats.setdefault(staged, {})["__bytes"] = os.path.getsize(dest)
                 if part_vals:
                     parts[staged] = dict(part_vals)
                 if stats_cols:
@@ -752,6 +756,7 @@ class TxLog:
                 return self.state().version
         for _ in range(max_retries):
             st = self.state()
+            self._check_logical_names(df, st)
             out, props = self._apply_identity(df, st.props, identity_order_by)
             out = self._apply_generated(out)
             self._validate(out)
@@ -759,27 +764,40 @@ class TxLog:
                 out, stats_cols, partition_by, bloom_cols, cmap=st.cmap
             )
             if props is None:
-                # No identity columns: plain appends conflict with nothing.
-                return self.commit_files(
-                    names, "append", schema_json, app_id=app_id,
-                    app_version=app_version, stats=stats, parts=parts,
-                )
+                try:
+                    # Plain appends conflict with nothing EXCEPT an
+                    # intervening rename/drop (ADVICE r7): the staged files
+                    # and schema_json carry the logical names and cmap AT
+                    # DERIVE TIME, and replay is latest-schema-wins, so
+                    # committing them past a rename would revert it (and
+                    # write the wrong physical names). Re-derive: the fresh
+                    # cmap restages correctly.
+                    return self.commit_files(
+                        names, "append", schema_json, app_id=app_id,
+                        app_version=app_version, stats=stats, parts=parts,
+                        expected_version=st.version,
+                        conflict_ok=lambda m: m.get("column_mapping") is None,
+                    )
+                except TxConflictError:
+                    continue
             try:
                 # Identity appends serialize on the watermark: the commit
                 # carries the advanced mark in its properties, so any
                 # intervening properties-carrying commit (another identity
-                # append, a SET TBLPROPERTIES) forces a re-derive; commits
-                # that leave properties alone are benign.
+                # append, a SET TBLPROPERTIES) forces a re-derive — as does
+                # a rename/drop, same as the plain path; commits that leave
+                # both alone are benign.
                 return self.commit_files(
                     names, "append", schema_json, app_id=app_id,
                     app_version=app_version, stats=stats, parts=parts,
                     properties=props, expected_version=st.version,
-                    conflict_ok=lambda m: m.get("properties") is None,
+                    conflict_ok=lambda m: m.get("properties") is None
+                    and m.get("column_mapping") is None,
                 )
             except TxConflictError:
                 continue
         raise TxConflictError(
-            f"identity append lost {max_retries} consecutive OCC races"
+            f"append lost {max_retries} consecutive OCC races"
         )
 
     def overwrite(
@@ -797,6 +815,7 @@ class TxLog:
         st = self.state()
         if expected_version is None:
             expected_version = st.version
+        self._check_logical_names(df, st)
         df, props = self._apply_identity(df, st.props, None)
         df = self._apply_generated(df)
         self._validate(df)
@@ -807,6 +826,21 @@ class TxLog:
             names, "replace", schema_json, expected_version=expected_version,
             stats=stats, parts=parts, properties=props,
         )
+
+    @staticmethod
+    def _check_logical_names(df: DataFrame, st: "_State") -> None:
+        """Refuse a write frame addressed by PHYSICAL (pre-rename) names:
+        after ``rename_column(a, b)`` the data files keep ``a`` but
+        writers must supply ``b`` — a frame still carrying ``a`` would
+        commit a schema with TWO logical columns sharing one physical
+        name and corrupt every later read (ADVICE r7). Loud refusal,
+        exactly like Delta rejecting writes against a stale schema."""
+        for lg, ph in st.cmap.items():
+            if ph != lg and ph in df.columns and lg not in df.columns:
+                raise ValueError(
+                    f"column {ph!r} was renamed to {lg!r}: write frames "
+                    "must use the current logical name"
+                )
 
     def _read_files(
         self,
@@ -1011,6 +1045,13 @@ class TxLog:
             if lo is None:  # empty update set: nothing to merge
                 return st.version
             pkey = st.cmap.get(key, key)  # stats are keyed by physical name
+            id_specs = self._identity_specs(st.props)
+            for c in id_specs:
+                if c in updates.columns:
+                    raise ValueError(
+                        f"identity column {c!r} is GENERATED ALWAYS: merge "
+                        "updates must not supply it"
+                    )
             touched = [
                 n for n in st.files
                 if (mm := st.stats.get(n, {}).get(pkey)) is None
@@ -1018,11 +1059,29 @@ class TxLog:
             ]
             if touched:
                 base = self._read_files(spark, touched, st)
+                ups = updates
+                id_cols = [c for c in sorted(id_specs) if c in base.columns]
+                if id_cols:
+                    # surrogate-key continuity (same rule as apply_cdc):
+                    # an upsert of an existing key keeps that key's id
+                    ups = ups.join(
+                        F.broadcast(
+                            base.join(
+                                F.broadcast(updates.select(key).distinct()),
+                                key, "left_semi",
+                            ).select(key, *id_cols)
+                        ),
+                        key,
+                        "left",
+                    )
                 merged = base.join(
                     updates.select(key).distinct(), key, "left_anti"
-                ).unionByName(updates)
+                ).unionByName(ups, allowMissingColumns=True)
             else:
                 merged = updates
+            merged, id_props = self._apply_identity(
+                merged, st.props, None, fill_nulls=True
+            )
             cdf_names: list[str] | None = None
             if self._cdf_enabled(st):
                 # Delta's CDF on MERGE: pre/post-image for keys that were
@@ -1048,12 +1107,15 @@ class TxLog:
             names, schema_json, stats, parts = self._stage(
                 merged, stats_cols, cmap=st.cmap
             )
+            cok = self._disjoint_range_ok(set(touched), pkey, lo, hi)
+            if id_props is not None:
+                range_ok = cok  # watermark commit: properties must not race
+                cok = lambda m: m.get("properties") is None and range_ok(m)  # noqa: E731
             try:
                 return self.commit_files(
                     names, op="merge", schema_json=schema_json, removes=touched,
                     expected_version=st.version, stats=stats, parts=parts,
-                    cdf=cdf_names,
-                    conflict_ok=self._disjoint_range_ok(set(touched), pkey, lo, hi),
+                    cdf=cdf_names, properties=id_props, conflict_ok=cok,
                 )
             except TxConflictError:
                 continue
@@ -1077,6 +1139,11 @@ class TxLog:
         def ok(m: dict) -> bool:
             if m["op"] in ("replace", "restore"):
                 return False
+            if m.get("column_mapping") is not None:
+                # rename/drop landed after our derive: our staged files and
+                # schema_json carry the OLD logical names — committing them
+                # would revert the rename in replay (latest schema wins).
+                return False
             if touched & set(m.get("removes") or []):
                 return False
             if touched & set((m.get("dvs") or {}).keys()):
@@ -1085,6 +1152,31 @@ class TxLog:
                 mm = (m.get("stats") or {}).get(n, {}).get(key)
                 if mm is None or overlaps(mm[0], mm[1]):
                     return False
+            return True
+
+        return ok
+
+    @staticmethod
+    def _rewrite_safe_ok(touched: set):
+        """Benign-manifest predicate for UPDATE / DELETE / OPTIMIZE — verbs
+        that only modify rows they READ, so (unlike merge/cdc, whose read
+        set includes absence-of-key) a concurrent APPEND is benign
+        regardless of key range: the result is as if the rewrite committed
+        first and the append after — Delta's WriteSerializable rule. NOT
+        benign: a table rewrite, a schema/mapping change, or any commit
+        that removed OR attached a deletion vector to a touched file — a
+        DV'd file this verb rewrites from its pre-DV read would silently
+        resurrect the concurrently-deleted rows (ADVICE r7)."""
+
+        def ok(m: dict) -> bool:
+            if m["op"] in ("replace", "restore"):
+                return False
+            if m.get("column_mapping") is not None:
+                return False
+            if touched & set(m.get("removes") or []):
+                return False
+            if touched & set((m.get("dvs") or {}).keys()):
+                return False
             return True
 
         return ok
@@ -1099,6 +1191,8 @@ class TxLog:
         when_not_matched_by_source: list[tuple] | None = None,
         max_retries: int = 10,
         stats_cols: list[str] | None = None,
+        identity_order_by: list[str] | None = None,
+        schema_evolution: bool = False,
     ) -> int:
         """Full multi-clause MERGE INTO (Delta's MERGE, public docs/SQL):
 
@@ -1113,6 +1207,27 @@ class TxLog:
           row no clause accepts is dropped.
         - ``when_not_matched_by_source``: ``("update", cond, {col: expr})``
           / ``("delete", cond)`` over target-only rows (``t.`` only).
+
+        SCHEMA EVOLUTION (Delta's merge autoMerge): with
+        ``schema_evolution=True``, source columns absent from the target
+        schema EVOLVE it in the same commit — inserted rows carry them,
+        matched/carried rows serve NULL, and files the merge did not
+        touch read null-filled afterwards via
+        ``snapshot(merge_schema=True)`` (additive evolution on read).
+        Evolution is insert-driven only: UPDATE clauses still cannot
+        assign columns outside the current schema. Without the flag,
+        extra source columns are ignored (Delta's default).
+
+        IDENTITY COLUMNS (Delta allocates identity on MERGE INSERT too):
+        a source carrying a registered identity column, or an UPDATE
+        clause assigning one, is refused (GENERATED ALWAYS); NOT-MATCHED
+        inserts get fresh ids past the watermark (``identity_order_by``
+        picks the deterministic allocation mode, as on append), matched/
+        carried rows keep theirs, and the advanced mark commits
+        atomically with the data. CDF insert images stage BEFORE
+        allocation, so their identity column is NULL in the feed — the
+        committed snapshot carries the allocated values (documented
+        divergence; the feed's key/payload columns are complete).
 
         FILE-LEVEL like :meth:`merge`: only files whose [min, max] for
         `key` intersects the source key range are read/rewritten — unless
@@ -1158,6 +1273,13 @@ class TxLog:
                     for f in StructType.fromJson(json.loads(st.schema_json)).fields
                 ]
                 base = None  # read after pruning below
+            id_specs = self._identity_specs(st.props)
+            for c in id_specs:
+                if c in source.columns:
+                    raise ValueError(
+                        f"identity column {c!r} is GENERATED ALWAYS: merge "
+                        "sources must not supply it"
+                    )
             for cl in when_matched + when_not_matched_by_source:
                 if cl[0] == "update":
                     unknown = set(cl[2]) - set(tcols)
@@ -1165,11 +1287,24 @@ class TxLog:
                         raise ValueError(
                             f"UPDATE assigns unknown columns: {sorted(unknown)}"
                         )
-            if when_not_matched and (missing := set(tcols) - set(source.columns)):
+                    if bad := set(cl[2]) & set(id_specs):
+                        raise ValueError(
+                            f"identity columns are GENERATED ALWAYS: UPDATE "
+                            f"must not assign {sorted(bad)}"
+                        )
+            if when_not_matched and (
+                missing := set(tcols) - set(source.columns) - set(id_specs)
+            ):
                 raise ValueError(
                     f"INSERT * needs every target column in the source; "
                     f"missing {sorted(missing)}"
                 )
+            new_cols: list[str] = []
+            src_types: dict[str, str] = {}
+            if schema_evolution and when_not_matched:
+                new_cols = [c for c in source.columns if c not in tcols]
+                src_types = dict(source.dtypes)
+            out_cols = tcols + new_cols
             lo, hi = source.agg(F.min(key), F.max(key)).first()
             if lo is None and not full_scan:
                 return st.version  # empty source can only touch via NMBS
@@ -1184,6 +1319,32 @@ class TxLog:
                 ]
             if base is None:
                 base = self._read_files(spark, touched, st)
+            # Delta's nondeterministic-MERGE guard (ADVICE r7): several
+            # source rows matching ONE target key would each independently
+            # carry/update/insert the full_outer-joined target row —
+            # silent target duplication. Delta raises 'multiple source
+            # rows matched'; so do we. One small job: duplicate source
+            # keys (tiny by construction) broadcast-semi-probed against
+            # the pruned target — any file holding a matching target key
+            # intersects the source key range, so `base` suffices.
+            dup_keys = (
+                source.where(F.col(key).isNotNull())
+                .groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") > 1)
+                .select(key)
+            )
+            dup_hit = (
+                base.select(key)
+                .join(F.broadcast(dup_keys), key, "left_semi")
+                .limit(1)
+                .collect()
+            )
+            if dup_hit:
+                raise ValueError(
+                    f"MERGE INTO: multiple source rows match target key "
+                    f"{dup_hit[0][0]!r} — nondeterministic merge refused "
+                    "(Delta's 'multiple source rows matched' semantics)"
+                )
             j = (
                 base.withColumn("__tp", F.lit(True)).alias("t")
                 .join(
@@ -1225,18 +1386,32 @@ class TxLog:
             ins_acts = {f"i{i}" for i in range(len(when_not_matched))}
 
             def value(c: str) -> F.Column:
-                v = F.col(f"t.{c}")
+                # schema-evolved columns have no target side: NULL unless
+                # an insert clause fires (typed from the source)
+                v = (
+                    F.lit(None).cast(src_types[c]) if c in new_cols
+                    else F.col(f"t.{c}")
+                )
                 for act, sets in upd_acts.items():
                     if c in sets:
                         v = F.when(action == act, F.expr(sets[c])).otherwise(v)
                 for act in ins_acts:
-                    v = F.when(action == act, F.col(f"s.{c}")).otherwise(v)
+                    # inserted rows leave identity columns NULL here; the
+                    # fill_nulls allocation below issues their ids
+                    ins_v = (
+                        F.lit(None).cast("long") if c in id_specs
+                        else F.col(f"s.{c}")
+                    )
+                    v = F.when(action == act, ins_v).otherwise(v)
                 return v.alias(c)
 
             keep = F.lit(True)
             for a in del_acts | {"drop"}:
                 keep = keep & (action != a)
-            merged = j.where(keep).select(*[value(c) for c in tcols])
+            merged = j.where(keep).select(*[value(c) for c in out_cols])
+            merged, id_props = self._apply_identity(
+                merged, st.props, identity_order_by, fill_nulls=True
+            )
             merged = self._apply_generated(merged)
             self._validate(merged)
             cdf_names: list[str] | None = None
@@ -1250,17 +1425,23 @@ class TxLog:
                 ins = F.lit(False)
                 for a in ins_acts:
                     ins = ins | (action == a)
-                t_row = [F.col(f"t.{c}").alias(c) for c in tcols]
+                t_row = [
+                    (
+                        F.lit(None).cast(src_types[c]) if c in new_cols
+                        else F.col(f"t.{c}")
+                    ).alias(c)
+                    for c in out_cols
+                ]
                 pre = j.where(upd).select(*t_row).withColumn(
                     "_change_type", F.lit("update_preimage")
                 )
-                post = j.where(upd).select(*[value(c) for c in tcols]).withColumn(
+                post = j.where(upd).select(*[value(c) for c in out_cols]).withColumn(
                     "_change_type", F.lit("update_postimage")
                 )
                 deleted = j.where(dele).select(*t_row).withColumn(
                     "_change_type", F.lit("delete")
                 )
-                inserted = j.where(ins).select(*[value(c) for c in tcols]).withColumn(
+                inserted = j.where(ins).select(*[value(c) for c in out_cols]).withColumn(
                     "_change_type", F.lit("insert")
                 )
                 cdf_rows = pre.unionByName(post).unionByName(deleted).unionByName(inserted)
@@ -1268,13 +1449,21 @@ class TxLog:
             merged = merged.coalesce(max(1, len(touched) or 1))
             sc = stats_cols if stats_cols is not None else [key]
             adds, schema_json, stats, parts = self._stage(merged, sc, cmap=st.cmap)
+            cok = (
+                None if full_scan or lo is None
+                else self._disjoint_range_ok(set(touched), pkey, lo, hi)
+            )
+            if id_props is not None and cok is not None:
+                # the commit carries the advanced identity watermark: any
+                # intervening properties commit must force a re-derive
+                range_ok = cok
+                cok = lambda m: m.get("properties") is None and range_ok(m)  # noqa: E731
             try:
                 return self.commit_files(
                     adds, op="merge_into", schema_json=schema_json,
                     removes=touched, expected_version=st.version,
                     stats=stats, parts=parts, cdf=cdf_names,
-                    conflict_ok=None if full_scan or lo is None
-                    else self._disjoint_range_ok(set(touched), pkey, lo, hi),
+                    properties=id_props, conflict_ok=cok,
                 )
             except TxConflictError:
                 continue
@@ -1357,10 +1546,16 @@ class TxLog:
                 sc = stats_cols if stats_cols is not None else [key]
                 adds, schema_json, stats, parts = self._stage(kept, sc, cmap=st.cmap)
             try:
+                # Same DV-race guard as update() (ADVICE r7): a concurrent
+                # delete_to_dv on a file this delete rewrites would have
+                # its deleted rows resurrected by the pre-DV-derived
+                # rewrite; appends remain benign and their rows are NOT
+                # deleted (they serialize after this delete).
                 return self.commit_files(
                     adds, op="delete", schema_json=schema_json,
                     removes=drop + rewrite, stats=stats, parts=parts,
-                    cdf=cdf_names,
+                    cdf=cdf_names, expected_version=st.version,
+                    conflict_ok=self._rewrite_safe_ok(set(drop) | set(rewrite)),
                 )
             except TxConflictError:
                 continue
@@ -1437,20 +1632,7 @@ class TxLog:
                 )
                 cdf_names, _, _, _ = self._stage(gone.coalesce(1))
             if dv_targets:
-                scan = spark.read.parquet(
-                    *[os.path.join(self.data_path, n) for n in dv_targets]
-                )
-                data_cols = scan.columns
-                scan = scan.select(
-                    *data_cols,
-                    F.element_at(
-                        F.split(F.col("_metadata.file_path"), "/"), -1
-                    ).alias("_dv_file"),
-                    F.col("_metadata.row_index").alias("_dv_pos"),
-                )
-                for lg, ph in st.cmap.items():  # files carry physical names
-                    if ph != lg and ph in scan.columns:
-                        scan = scan.withColumnRenamed(ph, lg)
+                scan = self._scan_positions(spark, dv_targets, st)
                 matched = scan.where(pred.eqNullSafe(F.lit(True)))
                 prior = sorted({
                     st.dvs[n] for n in dv_targets if n in st.dvs
@@ -1511,6 +1693,63 @@ class TxLog:
         raise TxConflictError(
             f"delete_to_dv lost {max_retries} consecutive OCC races"
         )
+
+    def _scan_positions(
+        self, spark: SparkSession, files: list[str], st: _State
+    ) -> DataFrame:
+        """Like :meth:`_read_files` but with ``_dv_file``/``_dv_pos``
+        row-position columns attached and NO deletion-vector anti-join
+        (the DV write path folds prior vectors itself) — the scan the DV
+        writer classifies positions from. Shares _read_files' column
+        handling (ADVICE r7): Hive-partitioned files get their partition
+        column re-attached as a typed literal (so predicates may
+        reference it), schemas merge across evolved file sets, and
+        physical names translate to logical ones."""
+        reader = spark.read.option("mergeSchema", "true")
+
+        def scan(names: list[str]) -> DataFrame:
+            g = reader.parquet(*[os.path.join(self.data_path, n) for n in names])
+            cols = g.columns  # _metadata is hidden: capture the data columns
+            return g.select(
+                *cols,
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("_dv_file"),
+                F.col("_metadata.row_index").alias("_dv_pos"),
+            )
+
+        flat = [n for n in files if n not in st.parts]
+        groups: dict[tuple, list[str]] = {}
+        for n in files:
+            pv = st.parts.get(n)
+            if pv is not None:
+                groups.setdefault(tuple(sorted(pv.items())), []).append(n)
+        dfs = []
+        if flat:
+            dfs.append(scan(flat))
+        if groups:
+            schema = StructType.fromJson(json.loads(st.schema_json))
+            for pkey_vals, names in sorted(groups.items()):
+                g = scan(names)
+                for col, val in pkey_vals:
+                    g = g.withColumn(col, F.lit(val).cast(schema[col].dataType))
+                dfs.append(g)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        for lg, ph in st.cmap.items():  # files carry physical names
+            if ph != lg and ph in out.columns and lg not in out.columns:
+                out = out.withColumnRenamed(ph, lg)
+        if st.schema_json is not None:
+            logical = [
+                f.name
+                for f in StructType.fromJson(json.loads(st.schema_json)).fields
+            ]
+            keep = [c for c in logical if c in out.columns]
+            keep += ["_dv_file", "_dv_pos"]
+            if set(out.columns) - set(keep):  # e.g. a dropped column
+                out = out.select(*keep)
+        return out
 
     def update(
         self,
@@ -1603,9 +1842,17 @@ class TxLog:
             sc = stats_cols if stats_cols is not None else [key]
             adds, schema_json, stats, parts = self._stage(updated, sc, cmap=st.cmap)
             try:
+                # Serializable vs concurrent DV attaches (ADVICE r7): the
+                # rewrite was derived from the files' PRE-DV contents, so a
+                # racing delete_to_dv on a touched file must force a
+                # re-derive — the disjoint-file rule alone would let the
+                # deleted rows resurrect in the rewritten file. Plain
+                # appends stay benign (WriteSerializable).
                 return self.commit_files(
                     adds, op="update", schema_json=schema_json,
                     removes=rewrite, stats=stats, parts=parts, cdf=cdf_names,
+                    expected_version=st.version,
+                    conflict_ok=self._rewrite_safe_ok(set(rewrite)),
                 )
             except TxConflictError:
                 continue
@@ -1627,8 +1874,34 @@ class TxLog:
         commit landing after `expected_version` (default: now) fails it
         with :class:`TxConflictError`."""
         old = self.state(at_version=version)
+        cur = self.state()
         if expected_version is None:
-            expected_version = self.state().version
+            expected_version = cur.version
+        # Table properties restore with the files (Delta RESTORE) — with
+        # ONE exception: identity watermarks are MONOTONE across restore
+        # (Delta's documented behavior: RESTORE does not rewind the
+        # identity high-water mark, so already-issued ids are never
+        # re-issued by post-restore appends). For each identity column,
+        # keep whichever mark is FURTHER along its step direction; a
+        # column registered after the target version keeps its current
+        # registration (dropping it would orphan the allocated ids).
+        props = dict(old.props)
+        for k, v in cur.props.items():
+            if not k.startswith(self._IDENTITY_PREFIX):
+                continue
+            curspec = json.loads(v)
+            if k not in props:
+                props[k] = v
+                continue
+            oldspec = json.loads(props[k])
+            oh, ch = oldspec.get("high"), curspec.get("high")
+            if oh is None:
+                high = ch
+            elif ch is None:
+                high = oh
+            else:
+                high = max(oh, ch) if curspec["step"] > 0 else min(oh, ch)
+            props[k] = json.dumps({**oldspec, "high": high})
         # op='restore' resets files/stats/parts/dvs in replay before the
         # adds apply, so no removes list is needed; staged_cleanup=False
         # because the named files are ALREADY LIVE data of an old version
@@ -1637,7 +1910,7 @@ class TxLog:
             list(old.files), op="restore", schema_json=old.schema_json,
             stats=old.stats, parts=old.parts, dvs=old.dvs,
             column_mapping=old.cmap,  # restore the mapping with the files
-            properties=old.props,  # and the table properties (Delta RESTORE)
+            properties=props,
             expected_version=expected_version, staged_cleanup=False,
         )
 
@@ -1862,9 +2135,12 @@ class TxLog:
           partitioning — no global sort, Delta's task-range strategy):
           unique and dense, but order depends on physical partitioning.
 
-        Restore reverts the mark with the properties (ids can then be
-        re-issued — same caveat Delta documents for RESTORE); clone
-        carries it."""
+        The mark is MONOTONE across :meth:`restore` (Delta's documented
+        behavior — ids issued after the restore target are never
+        re-issued); :meth:`clone` carries it as of the cloned version.
+        MERGE INTO NOT-MATCHED inserts and :meth:`apply_cdc` new keys
+        allocate too (existing keys keep their surrogate id); supplying
+        the column is refused on every write path."""
         if step == 0:
             raise ValueError("identity step must be nonzero")
         st = self.state()
@@ -1900,10 +2176,22 @@ class TxLog:
         }
 
     def _apply_identity(
-        self, df: DataFrame, props: dict, order_by: list[str] | None
+        self,
+        df: DataFrame,
+        props: dict,
+        order_by: list[str] | None,
+        fill_nulls: bool = False,
     ) -> tuple[DataFrame, dict | None]:
         """Allocate identity values for `df`; returns (df, updated full
-        props map or None if the table has no identity columns)."""
+        props map or None if the table has no identity columns).
+
+        ``fill_nulls=True`` is the MERGE/CDC mode (Delta allocates
+        identity on MERGE INSERT too): the column may already exist on
+        the frame — rows carrying a value keep it (they are pre-existing
+        target rows riding through a rewrite), and only NULL slots (the
+        inserted rows) allocate fresh ids past the watermark. The ingest
+        paths (append/overwrite) keep ``fill_nulls=False``: a writer
+        supplying the column at all is refused (GENERATED ALWAYS)."""
         specs = self._identity_specs(props)
         if not specs:
             return df, None
@@ -1911,11 +2199,15 @@ class TxLog:
 
         new_props = dict(props)
         for name, spec in sorted(specs.items()):
+            keep = None
             if name in df.columns:
-                raise ValueError(
-                    f"identity column {name!r} is GENERATED ALWAYS: writers "
-                    "must not supply it"
-                )
+                if not fill_nulls:
+                    raise ValueError(
+                        f"identity column {name!r} is GENERATED ALWAYS: "
+                        "writers must not supply it"
+                    )
+                keep = df.where(F.col(name).isNotNull())
+                df = df.where(F.col(name).isNull()).drop(name)
             step = spec["step"]
             base = spec["high"] if spec["high"] is not None else spec["start"] - step
             if order_by:
@@ -1957,6 +2249,8 @@ class TxLog:
                     F.lit(base)
                     + F.lit(step) * (F.element_at(omap, F.col("__pid")) + rn),
                 ).drop("__pid")
+            if keep is not None:
+                df = keep.unionByName(df)
             new_props[f"{self._IDENTITY_PREFIX}{name}"] = json.dumps(
                 {**spec, "high": base + step * n}
             )
@@ -2119,7 +2413,16 @@ class TxLog:
         Serializable via expected_version, retried on conflict. With
         (app_id, app_version) the apply is an idempotent streaming-epoch
         commit: a crash-retry replay of the same epoch is SKIPPED — the
-        exactly-once contract a foreachBatch CDC sink needs."""
+        exactly-once contract a foreachBatch CDC sink needs.
+
+        IDENTITY COLUMNS (surrogate keys at sink time — the reference's
+        dim upsert assigns them the same way, DimSinkFunction.java:17-89):
+        a change batch carrying a registered identity column is refused
+        (GENERATED ALWAYS); upserts of EXISTING keys keep the key's
+        current id (it is a surrogate, stable across type-1 updates), new
+        keys allocate past the watermark, and the advanced mark commits
+        atomically with the batch. The CDF sidecar stages the raw
+        envelope (no identity column; readers union it null-filled)."""
         from bisect import bisect_left
 
         if app_id is not None and app_version is not None:
@@ -2159,6 +2462,13 @@ class TxLog:
             if app_id is not None and app_version is not None:
                 if st.apps.get(app_id, -1) >= app_version:
                     return st.version
+            id_specs = self._identity_specs(st.props)
+            for c in id_specs:
+                if c in changes.columns:
+                    raise ValueError(
+                        f"identity column {c!r} is GENERATED ALWAYS: CDC "
+                        "change batches must not supply it"
+                    )
             pkey = st.cmap.get(key, key)  # stats are keyed by physical name
             touched = [
                 n for n in st.files
@@ -2166,10 +2476,29 @@ class TxLog:
             ]
             if touched:
                 base = self._read_files(spark, touched, st)
-                merged = base.join(key_rows, key, "left_anti").unionByName(upserts)
+                ups = upserts
+                id_cols = [c for c in sorted(id_specs) if c in base.columns]
+                if id_cols:
+                    # surrogate-key continuity: an upsert of an existing
+                    # key keeps that key's current id (broadcast of the
+                    # touched keys' id map — bounded by the change batch)
+                    ups = ups.join(
+                        F.broadcast(
+                            base.join(F.broadcast(key_rows), key, "left_semi")
+                            .select(key, *id_cols)
+                        ),
+                        key,
+                        "left",
+                    )
+                merged = base.join(key_rows, key, "left_anti").unionByName(
+                    ups, allowMissingColumns=True
+                )
                 merged = merged.coalesce(max(1, len(touched)))
             else:
                 merged = upserts
+            merged, id_props = self._apply_identity(
+                merged, st.props, None, fill_nulls=True
+            )
             names, schema_json, stats, parts = self._stage(
                 merged, stats_cols, cmap=st.cmap
             )
@@ -2182,14 +2511,18 @@ class TxLog:
                 F.when(op_is_delete, F.lit("delete")).otherwise(F.lit("upsert")),
             ).drop(op_col)
             cdf_names, _, _, _ = self._stage(cdf_rows)
+            cok = self._disjoint_range_ok(set(touched), pkey, klo, khi, hits=hits)
+            if id_props is not None:
+                # the commit carries the advanced identity watermark: any
+                # intervening properties commit must force a re-derive
+                range_ok = cok
+                cok = lambda m: m.get("properties") is None and range_ok(m)  # noqa: E731
             try:
                 return self.commit_files(
                     names, op="cdc", schema_json=schema_json, removes=touched,
                     expected_version=st.version, stats=stats, parts=parts,
                     cdf=cdf_names, app_id=app_id, app_version=app_version,
-                    conflict_ok=self._disjoint_range_ok(
-                        set(touched), pkey, klo, khi, hits=hits
-                    ),
+                    properties=id_props, conflict_ok=cok,
                 )
             except TxConflictError:
                 continue
@@ -2332,9 +2665,28 @@ class TxLog:
                 # Any commit that staged typed CDF sidecars serves them:
                 # apply_cdc always; update/delete/delete_to_dv/merge when
                 # the table has enableChangeDataFeed=true (Delta's CDF).
-                cdf_df = spark.read.parquet(
+                cdf_df = spark.read.option("mergeSchema", "true").parquet(
                     *[os.path.join(self.data_path, n) for n in m["cdf"]]
                 )
+                # Sidecars are staged under the LOGICAL names current AT
+                # COMMIT TIME — which for a later-renamed column is its
+                # stable physical name, so the physical->logical rename
+                # below translates pre-rename sidecars and leaves
+                # post-rename ones untouched (ADVICE r7: without this a
+                # range crossing a rename served NULLs for the renamed
+                # column in old change rows).
+                for lg, ph in st.cmap.items():
+                    if ph != lg and ph in cdf_df.columns and lg not in cdf_df.columns:
+                        cdf_df = cdf_df.withColumnRenamed(ph, lg)
+                if st.schema_json is not None:
+                    logical = [
+                        f.name
+                        for f in StructType.fromJson(json.loads(st.schema_json)).fields
+                    ]
+                    keep = [c for c in logical if c in cdf_df.columns]
+                    keep += [c for c in ("_change_type",) if c in cdf_df.columns]
+                    if set(cdf_df.columns) - set(keep):  # e.g. dropped column
+                        cdf_df = cdf_df.select(*keep)
                 frames.append(
                     cdf_df.withColumn("_commit_version", F.lit(v).cast("long"))
                 )
@@ -2509,9 +2861,15 @@ class TxLog:
                 packed, sc, bloom_cols=bloom_cols or None, cmap=st.cmap
             )
             try:
+                # DV-race guard (ADVICE r7): compaction folds DVs away by
+                # rewriting from the files' read-time contents, so a DV
+                # attached AFTER the read must conflict or its deletions
+                # would resurrect in the packed files. Appends stay benign
+                # — compaction runs alongside ingestion.
                 return self.commit_files(
                     names, op="optimize", schema_json=schema_json, removes=victims,
-                    stats=stats, parts=parts,
+                    stats=stats, parts=parts, expected_version=st.version,
+                    conflict_ok=self._rewrite_safe_ok(set(victims)),
                 )
             except TxConflictError:
                 continue  # another remover won; re-derive and retry

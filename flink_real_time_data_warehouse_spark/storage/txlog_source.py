@@ -30,8 +30,13 @@ Exactly-once: offsets are checkpointed by Structured Streaming, and
 range, so a crash-replayed batch re-reads byte-identical input — the
 source side of the idempotent-epoch contract the TxLog SINKS already
 keep. ``latestOffset`` advances at most ``max_versions_per_batch``
-versions per trigger (Delta's maxFilesPerTrigger analog) so a deep
-backlog replays as bounded micro-batches instead of one giant one.
+versions per trigger (Delta's maxFilesPerTrigger analog) and at most
+``max_bytes_per_batch`` data bytes (Delta's maxBytesPerTrigger — a soft
+cap: always at least one file, so one huge commit SPLITS ACROSS
+TRIGGERS at file granularity via a (version, file-index) offset instead
+of producing one unbounded micro-batch — the 100 TB backlog-replay
+knob). File sizes come from the manifest's per-file ``__bytes`` stat
+(recorded at stage time), so pacing plans from manifest JSON alone.
 
 Scale shape: planning reads ONLY manifests (KB of JSON per commit — no
 file listing, no data I/O on the driver); each data/sidecar file becomes
@@ -100,6 +105,7 @@ class _TxLogStreamReader(DataSourceStreamReader):
                     break
             self._from = max(self._from, floor_v)
         self._step = int(options.get("max_versions_per_batch", 0)) or None
+        self._max_bytes = int(options.get("max_bytes_per_batch", 0)) or None
         self._pacing_id = str(options.get("pacing_id", "default"))
         self._schema = schema
         self._log = TxLog(self._path)
@@ -120,31 +126,100 @@ class _TxLogStreamReader(DataSourceStreamReader):
         # shared/stale floor can only weaken pacing (bigger batch), never
         # skip or re-serve data — partitions() always serves exactly the
         # (start, end] the engine asks for.
-        self._last: int | None = self._read_floor()
+        self._last: tuple[int, int] | None = self._read_floor()
 
     @property
     def _floor_path(self) -> str:
         return os.path.join(self._path, "_source", f"{self._pacing_id}.json")
 
-    def _read_floor(self) -> int | None:
+    # Offsets are (version, index): index == -1 means the version is fully
+    # served; index i >= 0 means only its first i unit files are. The
+    # sub-version index is what lets max_bytes_per_batch SPLIT one huge
+    # commit across triggers (Delta's (reservoirVersion, index) offsets).
+    @staticmethod
+    def _parse(off: dict) -> tuple[int, int]:
+        return int(off["version"]), int(off.get("index", -1))
+
+    @staticmethod
+    def _okey(off: tuple[int, int]):
+        v, i = off
+        return (v, float("inf") if i < 0 else i)
+
+    def _read_floor(self) -> tuple[int, int] | None:
         try:
             with open(self._floor_path) as f:
-                return int(json.load(f)["version"])
+                d = json.load(f)
+                return int(d["version"]), int(d.get("index", -1))
         except (FileNotFoundError, ValueError, KeyError):
             return None
 
+    def _units(self, v: int) -> tuple[dict, list[str]]:
+        """Manifest of version v plus its served unit-file list: cdf
+        sidecars in cdf mode, data files for appends, [] otherwise
+        (metadata-only commits; rewrites raise in partitions(), where
+        they are actually served — pacing just passes over them)."""
+        m = self._log.store.read(self._log._manifest_name(v))
+        if self._cdf and m.get("cdf"):
+            return m, list(m["cdf"])
+        if m["op"] == "append":
+            return m, list(m["adds"])
+        return m, []
+
+    def _unit_bytes(self, m: dict, name: str) -> int:
+        b = (m.get("stats") or {}).get(name, {}).get("__bytes")
+        if b is not None:
+            return int(b)
+        try:  # pre-__bytes manifests: one driver-side stat, never data I/O
+            return os.path.getsize(os.path.join(self._log.data_path, name))
+        except OSError:
+            return 0
+
     def initialOffset(self) -> dict:
         if self._last is None:
-            self._last = self._from
-        return {"version": self._from}
+            self._last = (self._from, -1)
+        return {"version": self._from, "index": -1}
 
     def latestOffset(self) -> dict:
-        v = self._log.state().version
-        if self._step is not None:
-            floor = self._last if self._last is not None else self._from
-            v = min(v, floor + self._step)
-        self._last = max(v, self._last if self._last is not None else v)
-        return {"version": v}
+        head = self._log.state().version
+        floor = self._last if self._last is not None else (self._from, -1)
+        fv, fi = floor
+        vcap = head if self._step is None else min(head, fv + self._step)
+        off = (vcap, -1)
+        if self._max_bytes is not None and self._okey(off) > self._okey(floor):
+            # Byte pacing (Delta's maxBytesPerTrigger, soft cap): admit
+            # unit files in log order until the budget is spent — always
+            # at least one, so progress is guaranteed and a single file
+            # larger than the budget still serves alone.
+            tot, served_any = 0, False
+            off = floor
+            v = fv if fi >= 0 else fv + 1
+            start_i = fi if fi >= 0 else 0
+            while v <= vcap:
+                try:
+                    m, units = self._units(v)
+                except FileNotFoundError:
+                    off = (vcap, -1)  # truncated: partitions() raises
+                    break
+                i, over = start_i, False
+                while i < len(units):
+                    b = self._unit_bytes(m, units[i])
+                    if served_any and tot + b > self._max_bytes:
+                        over = True
+                        break
+                    tot += b
+                    served_any = True
+                    i += 1
+                if over:
+                    off = (v, i)  # stop BEFORE unit i of version v
+                    break
+                off = (v, -1)
+                if tot >= self._max_bytes:
+                    break
+                v += 1
+                start_i = 0
+        if self._last is None or self._okey(off) > self._okey(self._last):
+            self._last = off
+        return {"version": off[0], "index": off[1]}
 
     def reportLatestOffset(self) -> dict:
         return self.latestOffset()
@@ -152,21 +227,26 @@ class _TxLogStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         from .txlog import TxConflictError, TxVersionTruncatedError
 
-        lo, hi = int(start["version"]), int(end["version"])
-        self._last = max(hi, self._last if self._last is not None else hi)
-        if self._step is not None:
+        sv, si = self._parse(start)
+        ev, ei = self._parse(end)
+        if self._last is None or self._okey((ev, ei)) > self._okey(self._last):
+            self._last = (ev, ei)
+        if self._step is not None or self._max_bytes is not None:
             # By the time the engine plans partitions, `end` is durable in
             # the checkpoint's offset WAL — the exact floor a restarted
             # reader must not pace below. Persisted HERE (not in commit():
             # the engine commits sources on the NEXT trigger, which a
             # single-batch availableNow run never has).
-            self._write_floor(hi)
+            self._write_floor((ev, ei))
         manifests, _ = self._log._list_log()
         have = set(manifests)
         out: list[InputPartition] = []
         data = self._log.data_path
         sj = self._schema.json()
-        for v in range(lo + 1, hi + 1):
+        first_v = sv if si >= 0 else sv + 1
+        for v in range(first_v, ev + 1):
+            if v == ev and ei == 0:
+                continue  # end offset stops BEFORE this version's first file
             if v not in have:
                 raise TxVersionTruncatedError(
                     f"txlog stream needs manifest v{v} of {self._path!r}, but "
@@ -177,13 +257,18 @@ class _TxLogStreamReader(DataSourceStreamReader):
                 # Any commit with typed CDF sidecars serves them (cdc
                 # always; update/delete/merge when the table property
                 # enableChangeDataFeed is set). Sidecars are staged under
-                # LOGICAL names: no cmap.
-                out.extend(
-                    _FilesPartition([os.path.join(data, n)], v, None, {}, sj)
-                    for n in m["cdf"]
+                # the LOGICAL names current at commit time — for a
+                # later-renamed column that IS its stable physical name,
+                # so pass the cmap: read() probes the physical name first
+                # (resolves pre-rename sidecars) and falls back to the
+                # logical name (post-rename sidecars). ADVICE r7: an
+                # empty cmap here null-filled the renamed column for
+                # change rows staged before the rename.
+                units = list(m["cdf"])
+                mk = lambda n: _FilesPartition(  # noqa: E731
+                    [os.path.join(data, n)], v, None, {}, sj, self._cmap
                 )
-                continue
-            if m["op"] != "append":
+            elif m["op"] != "append":
                 if not m["adds"] and not m.get("removes") and not m.get("dvs"):
                     continue  # metadata-only commit: no logical row changes
                 if self._skip_changes:
@@ -197,15 +282,17 @@ class _TxLogStreamReader(DataSourceStreamReader):
                     "a txlog stream cannot reconstruct it — restart from a "
                     "snapshot (or opt in with skip_change_commits=true)"
                 )
-            parts = m.get("parts") or {}
-            out.extend(
-                _FilesPartition(
+            else:
+                units = list(m["adds"])
+                parts = m.get("parts") or {}
+                mk = lambda n, _p=parts: _FilesPartition(  # noqa: E731
                     [os.path.join(data, n)], v,
-                    "insert" if self._cdf else None, parts.get(n) or {}, sj,
+                    "insert" if self._cdf else None, _p.get(n) or {}, sj,
                     self._cmap,
                 )
-                for n in m["adds"]
-            )
+            lo_i = si if (v == sv and si >= 0) else 0
+            hi_i = ei if (v == ev and ei >= 0) else len(units)
+            out.extend(mk(n) for n in units[lo_i:hi_i])
         return out
 
     def read(self, partition: _FilesPartition):
@@ -240,13 +327,13 @@ class _TxLogStreamReader(DataSourceStreamReader):
             out = pa.table(cols, schema=target)
             yield from out.to_batches(max_chunksize=1 << 16)
 
-    def _write_floor(self, v: int) -> None:
+    def _write_floor(self, off: tuple[int, int]) -> None:
         prev = self._read_floor()
-        if prev is None or v > prev:
+        if prev is None or self._okey(off) > self._okey(prev):
             os.makedirs(os.path.dirname(self._floor_path), exist_ok=True)
             tmp = f"{self._floor_path}.tmp-{os.getpid()}"
             with open(tmp, "w") as f:
-                json.dump({"version": v}, f)
+                json.dump({"version": off[0], "index": off[1]}, f)
             os.replace(tmp, self._floor_path)
 
     def commit(self, end: dict) -> None:  # offsets live in the checkpoint
@@ -263,7 +350,10 @@ class TxLogDataSource(DataSource):
     still-listed manifests), ``skip_change_commits`` (silently pass over
     rewrite commits instead of failing the stream — Delta's
     skipChangeCommits opt-in), ``max_versions_per_batch`` (backlog
-    pacing, default unbounded)."""
+    pacing at version granularity, default unbounded),
+    ``max_bytes_per_batch`` (Delta's maxBytesPerTrigger: soft byte cap
+    per micro-batch, splits a single huge commit across triggers at
+    file granularity, default unbounded)."""
 
     @classmethod
     def name(cls) -> str:

@@ -633,8 +633,10 @@ _txlog_ops = st.lists(
 
 
 @settings(max_examples=6, deadline=None)
-@given(ops=_txlog_ops)
-def test_txlog_verbs_match_dict_model(spark_global, tmp_path_factory, ops):
+@given(ops=_txlog_ops, use_identity=st.booleans())
+def test_txlog_verbs_match_dict_model(
+    spark_global, tmp_path_factory, ops, use_identity
+):
     """MODEL-BASED check of the whole verb set: any sequence of
     append / merge (type-1 upsert) / range delete / DV delete / apply_cdc
     / range update / column rename must leave the table equal to the same
@@ -643,11 +645,20 @@ def test_txlog_verbs_match_dict_model(spark_global, tmp_path_factory, ops):
     vectors, column mapping, OCC, stats bookkeeping are all invisible to
     it, which is exactly the point). The rename verb TOGGLES the value
     column's logical name mid-sequence, so every later verb must keep
-    working through the mapping (and the rename-back collapses it)."""
+    working through the mapping (and the rename-back collapses it).
+
+    The IDENTITY toggle (r7 verdict task 4) registers a surrogate-key
+    column before the sequence: the dict model is blind to it, but after
+    ANY verb mix the allocated ids must be non-null, table-wide unique,
+    on the (start, step) lattice, and bounded by the committed
+    watermark — the invariants that hold iff every write path allocates
+    atomically and none rewinds the mark."""
     from flink_real_time_data_warehouse_spark.storage import TxLog
 
     spark = spark_global
     log = TxLog(str(tmp_path_factory.mktemp("txmodel") / "t"))
+    if use_identity:
+        log.add_identity_column("sid", start=7, step=3)
     model: dict[int, int] = {}
     vcol = "v"  # current logical name of the value column
     # append is a MULTISET add, not an upsert: its keys live in their own
@@ -704,13 +715,22 @@ def test_txlog_verbs_match_dict_model(spark_global, tmp_path_factory, ops):
             model[arg] = -1
             model.pop(arg + 1, None)
             model[1000 + i] = i
-    if log.state().version < 0:
+    if log.state().version < (1 if use_identity else 0):
         # every op was a no-op on a never-committed table (e.g. a lone
         # disjoint delete): no schema exists and snapshot() rightly raises
+        # (with identity, v0 is the registration property commit)
         assert model == {}
         return
-    got = {r["k"]: r[vcol] for r in log.snapshot(spark).collect()}
+    rows = log.snapshot(spark).collect()
+    got = {r["k"]: r[vcol] for r in rows}
     assert got == model
+    if use_identity and rows:
+        sids = [r["sid"] for r in rows]
+        assert all(s is not None for s in sids)
+        assert len(set(sids)) == len(sids), "surrogate ids must stay unique"
+        assert all((s - 7) % 3 == 0 and s >= 7 for s in sids)
+        high = log.identity_columns()["sid"]["high"]
+        assert high is not None and max(sids) <= high
 
 
 def test_band_clusters_exact_cap_bound(spark_global):

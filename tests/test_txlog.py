@@ -2140,3 +2140,366 @@ def test_identity_appends_race_unique(tmp_path, spark):
     sids = [r["sid"] for r in log.snapshot(spark).collect()]
     assert sorted(sids) == list(range(1, 41))
     assert log.identity_columns()["sid"]["high"] == 40
+
+
+# -- ADVICE r7 regression tests ------------------------------------------
+
+
+def test_update_conflicts_with_concurrent_dv_attach(tmp_path, spark):
+    """ADVICE r7 (high): update() rewrites files from their pre-DV read,
+    so a delete_to_dv landing between derive and commit on a touched file
+    must force a re-derive — otherwise the concurrently-deleted rows
+    (e.g. a GDPR erasure) silently resurrect in the rewritten file."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(
+        spark.createDataFrame([(k, 0) for k in range(10)], "k long, v long")
+        .coalesce(1),
+        stats_cols=["k"],
+    )
+    fired = []
+    orig_stage = log._stage
+
+    def stage_spy(df, *a, **kw):
+        out = orig_stage(df, *a, **kw)
+        if not fired:  # DV-erase k=2 after the update derived its rewrite
+            fired.append(1)
+            log.delete_to_dv(spark, "k", 2, 2)
+        return out
+
+    log._stage = stage_spy
+    log.update(spark, "k", 0, 9, {"v": "v + 100"})
+    log._stage = orig_stage
+    got = {r["k"]: r["v"] for r in log.snapshot(spark).collect()}
+    assert 2 not in got, "DV-deleted row resurrected through the update rewrite"
+    assert got[3] == 100 and len(got) == 9
+
+
+def test_delete_conflicts_with_concurrent_dv_attach(tmp_path, spark):
+    """Same DV-race guard for delete(): the rewrite that drops keys 5-9
+    must not resurrect the concurrently DV-erased key 2."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(
+        spark.createDataFrame([(k, 0) for k in range(10)], "k long, v long")
+        .coalesce(1),
+        stats_cols=["k"],
+    )
+    fired = []
+    orig_stage = log._stage
+
+    def stage_spy(df, *a, **kw):
+        out = orig_stage(df, *a, **kw)
+        if not fired:
+            fired.append(1)
+            log.delete_to_dv(spark, "k", 2, 2)
+        return out
+
+    log._stage = stage_spy
+    # condition forces the rewrite path (not the metadata-only drop)
+    log.delete(spark, "k", 5, 9, condition="v = 0")
+    log._stage = orig_stage
+    got = sorted(r["k"] for r in log.snapshot(spark).collect())
+    assert got == [0, 1, 3, 4], f"expected DV'd 2 and deleted 5-9 gone, got {got}"
+
+
+def test_optimize_conflicts_with_concurrent_dv_attach(tmp_path, spark):
+    """Compaction folds DVs by rewriting read-time contents: a DV attached
+    AFTER the read must conflict (re-derive), not resurrect its rows."""
+    log = TxLog(str(tmp_path / "t"))
+    for lo in (0, 5):
+        log.append(
+            spark.createDataFrame([(k, 0) for k in range(lo, lo + 5)],
+                                  "k long, v long").coalesce(1),
+            stats_cols=["k"],
+        )
+    fired = []
+    orig_stage = log._stage
+
+    def stage_spy(df, *a, **kw):
+        out = orig_stage(df, *a, **kw)
+        if not fired:
+            fired.append(1)
+            log.delete_to_dv(spark, "k", 7, 7)
+        return out
+
+    log._stage = stage_spy
+    log.optimize(spark, max_files=1)
+    log._stage = orig_stage
+    got = sorted(r["k"] for r in log.snapshot(spark).collect())
+    assert got == [0, 1, 2, 3, 4, 5, 6, 8, 9]
+    assert len(log.state().files) == 1  # compaction did land
+
+
+def test_merge_into_multiple_source_rows_matched_raises(tmp_path, spark):
+    """ADVICE r7 (medium): several source rows matching ONE target key is
+    a nondeterministic merge — Delta raises 'multiple source rows
+    matched'; we refuse with ValueError and commit nothing. Duplicate
+    keys that match NO target row are fine (each row inserts)."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(
+        spark.createDataFrame([(k, 0) for k in range(5)], "k long, v long")
+        .coalesce(1),
+        stats_cols=["k"],
+    )
+    v = log.state().version
+    dup = spark.createDataFrame([(3, 1), (3, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="multiple source rows"):
+        log.merge_into(
+            spark, dup, "k", when_matched=[("update", None, {"v": "s.v"})]
+        )
+    assert log.state().version == v, "refused merge must not commit"
+    # even a pure-insert merge must refuse: the matched target row would
+    # be duplicated by the full-outer join regardless of clauses
+    with pytest.raises(ValueError, match="multiple source rows"):
+        log.merge_into(spark, dup, "k", when_not_matched=[("insert", None)])
+    # duplicates among UNMATCHED keys are legal: both rows insert
+    new = spark.createDataFrame([(100, 1), (100, 2)], "k long, v long")
+    log.merge_into(spark, new, "k", when_not_matched=[("insert", None)])
+    got = sorted(
+        (r["k"], r["v"]) for r in log.snapshot(spark).where("k = 100").collect()
+    )
+    assert got == [(100, 1), (100, 2)]
+
+
+def test_cdf_across_rename_translates_column_names(tmp_path, spark):
+    """ADVICE r7 (medium): CDF sidecars staged BEFORE a rename carry the
+    old (physical) name; a change feed crossing the rename must translate
+    them to the current logical name instead of null-filling."""
+    log = TxLog(str(tmp_path / "t"))
+    log.set_property(TxLog.CDF_PROPERTY, "true")
+    log.append(
+        spark.createDataFrame([(k, k) for k in range(5)], "k long, v long")
+        .coalesce(1),
+        stats_cols=["k"],
+    )  # v1
+    log.update(spark, "k", 1, 1, {"v": "v + 50"})  # v2: sidecar under 'v'
+    log.rename_column("v", "w")  # v3: metadata-only
+    log.update(spark, "k", 2, 2, {"w": "w + 70"})  # v4: sidecar under 'w'
+    ch = log.changes(spark, 1, cdf=True)
+    rows = {
+        (r["_change_type"], r["k"]): r["w"] for r in ch.collect()
+    }
+    assert rows[("update_preimage", 1)] == 1
+    assert rows[("update_postimage", 1)] == 51, "pre-rename sidecar null-filled"
+    assert rows[("update_preimage", 2)] == 2
+    assert rows[("update_postimage", 2)] == 72
+    assert len(rows) == 4
+
+
+def test_cdf_streaming_source_across_rename(tmp_path, spark):
+    """The txlog streaming source in cdf mode serves pre-rename sidecars
+    under the CURRENT logical name (physical-name fallback in read())."""
+    from flink_real_time_data_warehouse_spark.storage.txlog_source import (
+        register_txlog_source,
+    )
+
+    log = TxLog(str(tmp_path / "t"))
+    log.set_property(TxLog.CDF_PROPERTY, "true")
+    log.append(
+        spark.range(0, 3).selectExpr("id AS k", "id AS v").coalesce(1),
+        stats_cols=["k"],
+    )
+    log.update(spark, "k", 1, 1, {"v": "99"})  # sidecar under 'v'
+    log.rename_column("v", "w")
+    register_txlog_source(spark)
+    src = (
+        spark.readStream.format("txlog")
+        .option("path", log.path)
+        .option("cdf", "true")
+        .load()
+    )
+    q = (
+        src.writeStream.format("memory")
+        .queryName("cdf_ren_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["_change_type"], r["k"], r["w"])
+        for r in spark.sql("select * from cdf_ren_out").collect()
+    }
+    assert ("update_preimage", 1, 1) in rows
+    assert ("update_postimage", 1, 99) in rows, "pre-rename sidecar null-filled"
+    assert ("insert", 0, 0) in rows
+    assert len(rows) == 3 + 2
+
+
+def test_stale_named_append_refused_and_rename_race_safe(tmp_path, spark):
+    """ADVICE r7 (medium): an append addressed by a PRE-RENAME column name
+    is refused loudly (it would commit a schema with two logical columns
+    sharing one physical name); an append racing a rename re-derives and
+    hits the same refusal instead of silently reverting the rename."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(
+        spark.createDataFrame([(0, 0)], "k long, v long").coalesce(1),
+        stats_cols=["k"],
+    )
+    log.rename_column("v", "w")
+    v = log.state().version
+    # direct stale write: refused before anything stages
+    with pytest.raises(ValueError, match="renamed"):
+        log.append(spark.createDataFrame([(1, 1)], "k long, v long"))
+    assert log.state().version == v
+    # correctly-named append still lands (physical name 'v' in the file)
+    log.append(spark.createDataFrame([(2, 2)], "k long, w long").coalesce(1))
+    assert {(r["k"], r["w"]) for r in log.snapshot(spark).collect()} == {
+        (0, 0), (2, 2)
+    }
+    # race: rename w->u lands between the append's derive and its commit;
+    # the conflict rule re-derives and the stale name is refused
+    log2 = TxLog(str(tmp_path / "t2"))
+    log2.append(
+        spark.createDataFrame([(0, 0)], "k long, v long").coalesce(1),
+        stats_cols=["k"],
+    )
+    fired = []
+    orig_stage = log2._stage
+
+    def stage_spy(df, *a, **kw):
+        out = orig_stage(df, *a, **kw)
+        if not fired:
+            fired.append(1)
+            log2.rename_column("v", "w")
+        return out
+
+    log2._stage = stage_spy
+    with pytest.raises(ValueError, match="renamed"):
+        log2.append(spark.createDataFrame([(9, 9)], "k long, v long").coalesce(1))
+    log2._stage = orig_stage
+    st = log2.state()
+    assert json.loads(st.schema_json)["fields"][1]["name"] == "w", (
+        "racing append must not revert the rename's logical schema"
+    )
+    assert {(r["k"], r["w"]) for r in log2.snapshot(spark).collect()} == {(0, 0)}
+
+
+def test_delete_to_dv_with_partition_column_predicate(tmp_path, spark):
+    """ADVICE r7 (low): delete_to_dv's position scan re-attaches partition
+    values, so its predicate may reference a partition column (Hive
+    layout drops it from the data files)."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(
+        spark.createDataFrame(
+            [(k, "a" if k % 2 == 0 else "b") for k in range(10)],
+            "k long, p string",
+        ).repartition(1),
+        partition_by="p",
+        stats_cols=["k"],
+    )
+    log.delete_to_dv(spark, "k", 0, 99, condition="p = 'a'")
+    got = sorted((r["k"], r["p"]) for r in log.snapshot(spark).collect())
+    assert got == [(k, "b") for k in range(10) if k % 2 == 1]
+    assert len(log.state().files) == 2, "DV path must not rewrite files"
+
+
+def test_identity_through_merge_into_cdc_restore_clone(tmp_path, spark):
+    """Identity columns as a first-class verb surface (r7 verdict task 4):
+    MERGE INTO NOT-MATCHED inserts and apply_cdc new keys allocate past
+    the watermark; existing keys KEEP their surrogate id; supplying the
+    column is refused on every path; RESTORE does not rewind the mark
+    (Delta's documented behavior); CLONE carries it."""
+    log = TxLog(str(tmp_path / "t"))
+    log.add_identity_column("sid", start=1, step=1)  # v0
+    log.append(
+        spark.createDataFrame([(k, 0) for k in range(5)], "k long, v long")
+        .coalesce(1),
+        stats_cols=["k"],
+        identity_order_by=["k"],
+    )  # v1: sid 1..5 for k 0..4
+    src = spark.createDataFrame([(1, 100), (10, 10), (11, 11)], "k long, v long")
+    log.merge_into(
+        spark, src, "k",
+        when_matched=[("update", None, {"v": "s.v"})],
+        when_not_matched=[("insert", None)],
+        identity_order_by=["k"],
+    )  # v2
+    got = {r["k"]: (r["sid"], r["v"]) for r in log.snapshot(spark).collect()}
+    assert got[1] == (2, 100), "updated row must keep its surrogate id"
+    assert got[10] == (6, 10) and got[11] == (7, 11), "inserts allocate in order"
+    assert log.identity_columns()["sid"]["high"] == 7
+    # GENERATED ALWAYS refusals on the merge family
+    bad = spark.createDataFrame([(1, 1, 99)], "k long, v long, sid long")
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        log.merge_into(spark, bad, "k", when_not_matched=[("insert", None)])
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        log.merge(spark, bad, "k")
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        log.merge_into(
+            spark, src, "k", when_matched=[("update", None, {"sid": "0"})]
+        )
+    # apply_cdc: upsert keeps sid, insert allocates, delete drops, refusal
+    ch = spark.createDataFrame(
+        [(0, -1, "u"), (20, 20, "i"), (4, None, "d")],
+        "k long, v long, op string",
+    )
+    log.apply_cdc(spark, ch, "k")  # v3
+    got = {r["k"]: r["sid"] for r in log.snapshot(spark).collect()}
+    assert got[0] == 1 and got[20] == 8 and 4 not in got
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        log.apply_cdc(
+            spark,
+            spark.createDataFrame(
+                [(0, 1, 9, "u")], "k long, v long, sid long, op string"
+            ),
+            "k",
+        )
+    # merge (type-1 fast path): same continuity
+    log.merge(spark, spark.createDataFrame([(0, 5), (30, 30)], "k long, v long"), "k")
+    got = {r["k"]: r["sid"] for r in log.snapshot(spark).collect()}
+    assert got[0] == 1 and got[30] == 9
+    # RESTORE is watermark-MONOTONE: back to v1, mark stays at 9
+    log.restore(1)
+    assert log.identity_columns()["sid"]["high"] == 9
+    assert {r["k"] for r in log.snapshot(spark).collect()} == set(range(5))
+    log.append(
+        spark.createDataFrame([(40, 40)], "k long, v long").coalesce(1),
+        identity_order_by=["k"],
+    )
+    sids = [r["sid"] for r in log.snapshot(spark).collect()]
+    assert sorted(sids) == [1, 2, 3, 4, 5, 10], "post-restore id re-issued"
+    # CLONE carries the mark as of the cloned version
+    cl = log.clone(str(tmp_path / "cl"))
+    assert cl.identity_columns()["sid"]["high"] == 10
+
+
+def test_merge_into_schema_evolution(tmp_path, spark):
+    """MERGE autoMerge (r7 verdict task 8): NOT-MATCHED inserts carrying
+    a NEW column evolve the target schema in the same commit — inserted
+    rows carry it, matched rewrites serve typed NULL, files the merge
+    never touched read null-filled via merge_schema; without the flag,
+    extra source columns are ignored (Delta's default)."""
+    log = TxLog(str(tmp_path / "t"))
+    for lo, hi in ((0, 5), (10, 15)):
+        log.append(
+            spark.createDataFrame(
+                [(k, k * 10) for k in range(lo, hi)], "k long, v long"
+            ).coalesce(1),
+            stats_cols=["k"],
+        )
+    src = spark.createDataFrame(
+        [(12, 120, 1), (20, 200, 2)], "k long, v long, w long"
+    )
+    clauses = dict(
+        when_matched=[("update", None, {"v": "s.v"})],
+        when_not_matched=[("insert", None)],
+    )
+    log.merge_into(spark, src, "k", **clauses)  # v2: default ignores w
+    assert "w" not in log.snapshot(spark).columns
+    log.restore(1)  # v3: back to the two appends
+    before = set(log.state().files)
+    log.merge_into(spark, src, "k", schema_evolution=True, **clauses)  # v4
+    assert len(before & set(log.state().files)) == 1  # file1 untouched
+    snap = log.snapshot(spark, merge_schema=True)
+    rows = {r["k"]: (r["v"], r["w"]) for r in snap.collect()}
+    assert rows[20] == (200, 2), "insert must carry the evolved column"
+    assert rows[12] == (120, None), "matched rewrite serves typed NULL"
+    assert rows[0] == (0, None), "untouched file null-fills on read"
+    assert len(rows) == 11
+    # evolution is insert-driven only: UPDATE of an unknown column refused
+    with pytest.raises(ValueError, match="unknown"):
+        log.merge_into(
+            spark, src, "k",
+            when_matched=[("update", None, {"w2": "1"})],
+            schema_evolution=True,
+        )
