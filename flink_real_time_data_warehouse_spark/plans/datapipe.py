@@ -463,6 +463,153 @@ def dedup_exact_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+def _bpe_rewrite_ctes(i: int, src: str, dst: str, with_freq: bool) -> list[str]:
+    """One BPE merge round's rewrite as CTEs: greedy left-to-right,
+    non-overlapping (parity within consecutive-match islands — only
+    reachable when left == right), `b{i}` is the round's chosen pair."""
+    fcols = "freq, " if with_freq else ""
+    fgrp = ", freq" if with_freq else ""
+    p = f"bp{i}{dst}"
+    return [
+        f"""{p}s AS (
+      SELECT word, {fcols}j, s,
+             (s = (SELECT l FROM b{i})
+              AND lead(s) OVER (PARTITION BY word ORDER BY j)
+                    = (SELECT r FROM b{i})) AS mm
+      FROM (SELECT word, {fcols}unnest(range(1, len(syms)+1)) AS j,
+                   unnest(syms) AS s FROM {src}))""",
+        f"""{p}g AS (
+      SELECT *, CASE WHEN mm THEN j - row_number()
+                    OVER (PARTITION BY word, mm ORDER BY j) END AS grp
+      FROM {p}s)""",
+        f"""{p}z AS (
+      SELECT *, coalesce(mm AND row_number()
+                    OVER (PARTITION BY word, grp ORDER BY j) % 2 = 1,
+                false) AS sel
+      FROM {p}g)""",
+        f"""{dst} AS MATERIALIZED (
+      SELECT word, {fcols}list(ns ORDER BY j) AS syms FROM (
+        SELECT word, {fcols}j,
+               CASE WHEN sel THEN (SELECT l || r FROM b{i}) ELSE s END AS ns,
+               lag(sel) OVER (PARTITION BY word ORDER BY j) AS prev_sel
+        FROM {p}z)
+      WHERE prev_sel IS DISTINCT FROM true
+      GROUP BY word{fgrp})""",
+    ]
+
+
+def _bpe_train_ctes() -> list[str]:
+    from ..datapipe.bpe import BPE_MAX_WORD_CHARS, BPE_MERGES, BPE_VOCAB_CAP
+
+    parts = [
+        TOKS_CTE,
+        "ww AS MATERIALIZED (SELECT unnest(l) AS w FROM toks)",
+        "wf AS (SELECT w, count(*) AS freq FROM ww GROUP BY w)",
+        f"""v0 AS MATERIALIZED (SELECT w AS word, freq, regexp_extract_all(w, '.') AS syms
+      FROM (SELECT w, freq FROM wf WHERE length(w) <= {BPE_MAX_WORD_CHARS}
+            ORDER BY freq DESC, w LIMIT {BPE_VOCAB_CAP}))""",
+    ]
+    for i in range(BPE_MERGES):
+        parts.append(f"""c{i} AS (
+      SELECT l, r, sum(freq) AS c FROM (
+        SELECT unnest(list_slice(syms, 1, len(syms)-1)) AS l,
+               unnest(list_slice(syms, 2, len(syms))) AS r, freq
+        FROM v{i} WHERE len(syms) >= 2)
+      GROUP BY l, r)""")
+        parts.append(f"b{i} AS MATERIALIZED (SELECT l, r FROM c{i} ORDER BY c DESC, l, r LIMIT 1)")
+        parts.extend(_bpe_rewrite_ctes(i, f"v{i}", f"v{i+1}", with_freq=True))
+    return parts
+
+
+def _bpe_train_oracle() -> str:
+    from ..datapipe.bpe import BPE_MERGES
+
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS merge_rank, l AS lhs, r AS rhs FROM b{i}"
+        for i in range(BPE_MERGES)
+    )
+    return f"WITH {', '.join(_bpe_train_ctes())}\n{union}"
+
+
+def _bpe_tokenize_oracle() -> str:
+    from ..datapipe.bpe import BPE_MERGES
+
+    parts = _bpe_train_ctes()
+    parts.append(
+        "tw0 AS MATERIALIZED (SELECT w AS word, regexp_extract_all(w, '.') AS syms "
+        "FROM (SELECT DISTINCT w FROM ww))"
+    )
+    for i in range(BPE_MERGES):
+        parts.extend(_bpe_rewrite_ctes(i, f"tw{i}", f"tw{i+1}", with_freq=False))
+    parts.append(
+        f"pieces AS (SELECT word, len(syms) AS pieces FROM tw{BPE_MERGES})"
+    )
+    parts.append(
+        """cnt AS (
+      SELECT t.doc_id, count(*) AS word_ct, sum(p.pieces) AS bpe_ct
+      FROM (SELECT doc_id, unnest(l) AS w FROM toks) t
+      JOIN pieces p ON t.w = p.word
+      GROUP BY t.doc_id)"""
+    )
+    return f"""WITH {', '.join(parts)}
+    SELECT d.doc_id,
+           CAST(coalesce(c.word_ct, 0) AS BIGINT) AS word_ct,
+           CAST(coalesce(c.bpe_ct, 0) AS BIGINT) AS bpe_ct
+    FROM documents d LEFT JOIN cnt c USING (doc_id)
+    """
+
+
+@register(
+    "bpe_train",
+    oracle=_bpe_train_oracle(),
+    doc=(
+        "BPE merge-pair TRAINING (Sennrich et al. 2016 — r7 verdict task "
+        "6; datapipe/bpe.py): 10 rounds of iterative merge selection "
+        "over the deterministically-capped word vocabulary (top 2000 by "
+        "freq DESC, word ASC), each round ONE explode+agg for weighted "
+        "pair counts (argmax tie-broken left ASC, right ASC) plus a "
+        "JVM-side greedy non-overlapping rewrite fold. The corpus is "
+        "scanned once (word counting); every round is O(vocab) — the "
+        "100 TB shape. Oracle: the full 10-round replay unrolled as "
+        "chained CTEs (islands-parity greedy, identical tie-breaks). "
+        "Reference analog: F9's tokenizer surface, trained instead of "
+        "dictionary-loaded"
+    ),
+)
+def bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.bpe import bpe_train
+
+    merges = bpe_train(table(spark, sf_dir, "documents"), "text")
+    return spark.createDataFrame(
+        [(r, l, rr) for r, l, rr in merges],
+        "merge_rank long, lhs string, rhs string",
+    )
+
+
+@register(
+    "bpe_tokenize",
+    oracle=_bpe_tokenize_oracle(),
+    doc=(
+        "BPE TOKENIZATION with the learned merge table (r7 verdict task "
+        "6): every DISTINCT corpus word encodes once (merges applied in "
+        "rank order, one greedy non-overlapping pass each — the "
+        "deterministic single-pass-per-rank variant, documented), then "
+        "piece counts join back to occurrences and aggregate per "
+        "document — O(vocab) encoding work however large the corpus, "
+        "consistent with token_count's whitespace word_ct on the same "
+        "rows. Oracle: training replay + the same per-word encoding "
+        "unrolled in SQL"
+    ),
+)
+def bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.bpe import bpe_piece_counts, bpe_train
+
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text")
+    return bpe_piece_counts(docs, "doc_id", "text", merges)
+
+
+# ---------------------------------------------------------------------------
 def _simhash_oracle() -> str:
     return f"""
     WITH {TOKS_CTE},
