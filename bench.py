@@ -180,6 +180,13 @@ HEADLINE = [
     "txlog_cdf_full_feed",
     "txlog_generated_partition_read",
     "txlog_merge_into_read",
+    # round-8 additions
+    "txlog_identity_read",
+    "txlog_identity_merge_read",
+    "txlog_merge_evolve_read",
+    "dedup_exact_substring",
+    "bpe_train",
+    "bpe_tokenize",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

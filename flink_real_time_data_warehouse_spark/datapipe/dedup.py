@@ -947,14 +947,63 @@ def dup_substring_positions(
        level by a stop-at-first-mismatch aggregate — pure integer
        output, engine-independent.
 
-    Cost: one explode (map-side), one shuffle on bucket, one in-bucket
-    sort. No joins, no pair explosion, no cartesian (plan-shape tested).
+    Cost: the corpus-sized pass ships only an 8-byte xxhash64 SEED per
+    position (physical bucket identity — a collision merges two buckets,
+    which is harmless: merged groups stay contiguous under the suffix
+    sort and seam pairs fall below min_tokens); the horizon-wide
+    suffixes materialize ONLY for positions whose seed bucket has 2..cap
+    occupants — on a mostly-unique corpus that prunes the 48x suffix
+    blow-up to the duplicated sliver before any wide shuffle. Then one
+    shuffle on bucket, one in-bucket sort. No pair explosion, no
+    cartesian (plan-shape tested).
     """
     from pyspark.sql import Window
 
-    suf = bounded_suffix_rows(df, id_col, text_col, horizon, min_tokens)
-    suf = suf.withColumn("bucket", F.concat_ws(" ", F.slice("suf", 1, k)))
-    suf = drop_hot_buckets(suf, ["bucket"], bucket_cap)
+    base = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_t")
+    )
+    n = F.size("_t")
+    idx = F.when(
+        n >= min_tokens, F.sequence(F.lit(1), n - (min_tokens - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    seed = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("_t"), i, k)))
+    )
+    seeds = base.select("doc", F.posexplode(seed).alias("pos0", "bucket")).select(
+        "doc", (F.col("pos0") + 1).alias("pos"), "bucket"
+    )
+    live = (
+        seeds.groupBy("bucket")
+        .agg(F.count("*").alias("_n"))
+        .where((F.col("_n") >= 2) & (F.col("_n") <= bucket_cap))
+        .select("bucket")
+    )
+    cand = (
+        seeds.join(live, "bucket", "left_semi")
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_list("pos")).alias("_ps"))
+    )
+    suf = (
+        base.join(cand, "doc")
+        .select(
+            "doc",
+            F.explode(
+                F.transform(
+                    "_ps",
+                    lambda p: F.struct(
+                        p.alias("pos"),
+                        F.slice(F.col("_t"), p, horizon).alias("suf"),
+                    ),
+                )
+            ).alias("x"),
+        )
+        .select(
+            "doc", F.col("x.pos").cast("long").alias("pos"), F.col("x.suf").alias("suf")
+        )
+    )
+    suf = suf.withColumn(
+        "bucket", F.xxhash64(F.concat_ws(" ", F.slice("suf", 1, k)))
+    )
     w = Window.partitionBy("bucket").orderBy(
         F.concat_ws(" ", "suf"), "doc", "pos"
     )
