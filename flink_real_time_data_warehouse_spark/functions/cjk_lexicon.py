@@ -72,6 +72,24 @@ VENDORED_WORDS: frozenset[str] = VENDORED_WORDS_CORE | frozenset(
 
 WORDS: frozenset[str] = (SEED_WORDS | VENDORED_WORDS) - AMBIGUITY_EXCLUDED
 
+# The round-8 growth tranche alone (EXT24-28) — addressable so the graded
+# fixture test can pin where THIS tranche changes segmentation, the same
+# contract every earlier tranche carries.
+_R8_BLOCKS = frozenset(
+    f"VENDORED_WORDS_TEXT_EXT{i}" for i in (24, 25, 26, 27, 28)
+)
+WORDS_PRE_R8: frozenset[str] = (
+    SEED_WORDS
+    | VENDORED_WORDS_CORE
+    | frozenset(
+        w
+        for name in dir(cjk_lexicon_data)
+        if name.startswith("VENDORED_WORDS_TEXT_EXT") and name not in _R8_BLOCKS
+        for w in getattr(cjk_lexicon_data, name).split()
+        if _CJK_WORD_RE.match(w)
+    )
+) - AMBIGUITY_EXCLUDED
+
 MAX_WORD_LEN = max(len(w) for w in WORDS)
 MIN_WORD_LEN = min(len(w) for w in WORDS)
 

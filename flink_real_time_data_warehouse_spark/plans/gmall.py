@@ -329,6 +329,11 @@ CJK_PHRASES = (
     "天气预报准确", "演奏小提琴曲",
     # round-7 tranches (EXT18-23) exercised end-to-end:
     "公司领头羊", "医院心电图检查",
+    # round-8 tranches (EXT24-28) exercised end-to-end: 歌剧院
+    # out-lengthens the old dict's 歌剧|院, and 鱼竿/浮漂 assemble
+    # from three singles (pinned by
+    # test_vendored_lexicon_changes_segmentation).
+    "歌剧院交响乐演出", "垂钓鱼竿浮漂",
 )
 
 

@@ -315,6 +315,24 @@ def test_vendored_lexicon_changes_segmentation():
     assert fmm_with(SEED_WORDS, "计算机网络安全技术") == [
         "计算", "机", "网络", "安", "全", "技", "术",
     ]
+    # round-8 fixtures (EXT24-28 growth tranche, graded via CJK_PHRASES):
+    # the r8 words must CHANGE segmentation vs the full pre-r8 dict.
+    from flink_real_time_data_warehouse_spark.functions.cjk_lexicon import (
+        WORDS_PRE_R8,
+    )
+
+    # fixture 3 (r8): 歌剧院 out-lengthens pre-r8's 歌剧|院.
+    assert fmm_segment("歌剧院交响乐演出") == ["歌剧院", "交响乐", "演出"]
+    assert fmm_with(WORDS_PRE_R8, "歌剧院交响乐演出") == [
+        "歌剧", "院", "交响乐", "演出",
+    ]
+    # fixture 4 (r8): 鱼竿 and 浮漂 assemble from three pre-r8 singles.
+    assert fmm_segment("垂钓鱼竿浮漂") == ["垂钓", "鱼竿", "浮漂"]
+    assert fmm_with(WORDS_PRE_R8, "垂钓鱼竿浮漂") == [
+        "垂钓", "鱼", "竿", "浮", "漂",
+    ]
+    # the tranche is real growth, not shuffling
+    assert len(WORDS) - len(WORDS_PRE_R8) >= 2000
 
 
 @settings(max_examples=10, deadline=None)
