@@ -185,6 +185,7 @@ HEADLINE = [
     "txlog_identity_merge_read",
     "txlog_merge_evolve_read",
     "dedup_exact_substring",
+    "dedup_substring_scrub",
     "bpe_train",
     "bpe_tokenize",
 ]

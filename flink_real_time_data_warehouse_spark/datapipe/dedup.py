@@ -1016,3 +1016,70 @@ def dup_substring_positions(
         .where(F.col("dup_tokens") >= min_tokens)
         .select("doc", "pos", "dup_tokens")
     )
+
+
+def scrub_dup_substrings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = SUFFIX_K,
+    horizon: int = SUFFIX_HORIZON,
+    min_tokens: int = SUFFIX_MIN_TOKENS,
+    bucket_cap: int = SUFFIX_BUCKET_CAP,
+) -> DataFrame:
+    """CUT duplicated substrings out of the corpus — the removal half of
+    Lee et al. 2021's ExactSubstr dedup (they deduplicate by deleting
+    the repeated spans, not the documents). Every token covered by a
+    reported duplicated run (>= min_tokens, from
+    :func:`dup_substring_positions`) is dropped from its document; the
+    cleaned text is re-joined and digested so an oracle can replay the
+    cut byte-for-byte.
+
+    Variant note (documented): BOTH copies of a duplicated span are
+    removed (the conservative cut — position pairs are not clustered
+    into keep-one groups at this layer; document-level keeper election
+    is dedup_canonical's role). Returns
+    (doc, kept_ct, removed_ct, clean_digest) for every document.
+
+    Scale shape: the positions come from the seed-pruned suffix pass;
+    the cut itself is ONE broadcastable interval list per affected doc
+    and a zero-shuffle JVM-side mask — no Python, no second corpus
+    shuffle beyond the per-doc interval aggregation."""
+    pos = dup_substring_positions(
+        df, id_col, text_col, k, horizon, min_tokens, bucket_cap
+    )
+    ivs = pos.groupBy("doc").agg(
+        F.collect_list(
+            F.struct(
+                F.col("pos").alias("s"),
+                (F.col("pos") + F.col("dup_tokens") - 1).alias("e"),
+            )
+        ).alias("_iv")
+    )
+    base = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_t")
+    )
+    j = base.join(ivs, "doc", "left").withColumn(
+        "_iv",
+        F.coalesce(F.col("_iv"), F.array().cast("array<struct<s:long,e:long>>")),
+    )
+    n = F.size("_t")
+    idxs = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    mask = F.transform(
+        idxs,
+        lambda jj: F.exists(
+            F.col("_iv"), lambda iv: (iv["s"] <= jj) & (jj <= iv["e"])
+        ),
+    )
+    kept = F.filter(
+        F.zip_with(F.col("_t"), mask, lambda t, m: F.when(~m, t)),
+        lambda x: x.isNotNull(),
+    )
+    return j.select(
+        "doc",
+        F.size(kept).cast("long").alias("kept_ct"),
+        (n - F.size(kept)).cast("long").alias("removed_ct"),
+        F.md5(F.concat_ws(" ", kept)).alias("clean_digest"),
+    )

@@ -372,7 +372,9 @@ def dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-def _dup_substring_oracle() -> str:
+def _dup_substring_ctes() -> str:
+    """Shared CTE chain ending in `hits(doc, pos, dup_tokens)` — the
+    exact-substring dedup replay (also feeds the scrub oracle)."""
     from ..datapipe.dedup import (
         SUFFIX_BUCKET_CAP,
         SUFFIX_HORIZON,
@@ -412,12 +414,40 @@ def _dup_substring_oracle() -> str:
            FROM nb),
     hits AS (SELECT doc, pos, dup_tokens FROM lc
              WHERE dup_tokens >= {SUFFIX_MIN_TOKENS})
+    """
+
+
+def _dup_substring_oracle() -> str:
+    return f"""{_dup_substring_ctes()}
     SELECT d.doc_id,
            CAST(coalesce(count(h.doc), 0) AS BIGINT) AS dup_pos_ct,
            CAST(coalesce(max(h.dup_tokens), 0) AS BIGINT) AS max_dup_tokens,
            CAST(coalesce(sum(h.dup_tokens), 0) AS BIGINT) AS dup_token_sum
     FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc
     GROUP BY d.doc_id
+    """
+
+
+def _dup_scrub_oracle() -> str:
+    return f"""{_dup_substring_ctes()},
+    ivs AS (SELECT doc, list(pos ORDER BY pos) AS ss,
+                   list(pos + dup_tokens - 1 ORDER BY pos) AS ee
+            FROM hits GROUP BY doc),
+    scrub AS (
+      SELECT t.doc_id,
+             list_filter(list_transform(range(1, len(l) + 1),
+                j -> CASE WHEN ss IS NULL THEN l[j]
+                          WHEN len(list_filter(range(1, len(ss) + 1),
+                                   i -> ss[i] <= j AND j <= ee[i])) = 0
+                          THEN l[j] END),
+                x -> x IS NOT NULL) AS kept,
+             len(l) AS n
+      FROM toks t LEFT JOIN ivs ON t.doc_id = ivs.doc)
+    SELECT doc_id AS doc,
+           CAST(len(kept) AS BIGINT) AS kept_ct,
+           CAST(n - len(kept) AS BIGINT) AS removed_ct,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS clean_digest
+    FROM scrub
     """
 
 
@@ -459,6 +489,30 @@ def dedup_exact_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("_mx", F.lit(0)).cast("long").alias("max_dup_tokens"),
             F.coalesce("_sm", F.lit(0)).cast("long").alias("dup_token_sum"),
         )
+    )
+
+
+@register(
+    "dedup_substring_scrub",
+    oracle=_dup_scrub_oracle(),
+    doc=(
+        "the REMOVAL half of Lee et al. 2021's ExactSubstr dedup (they "
+        "CUT repeated spans, not documents; datapipe/dedup.py "
+        "scrub_dup_substrings): every token covered by a reported "
+        "duplicated run drops from its document (conservative both-"
+        "copies cut, documented — doc-level keeper election is "
+        "dedup_canonical's role), the cleaned text re-joins and digests "
+        "so the oracle replays the cut byte-for-byte (md5 over the "
+        "kept-token join). One broadcastable interval list per affected "
+        "doc + a zero-shuffle JVM mask on top of the seed-pruned suffix "
+        "pass"
+    ),
+)
+def dedup_substring_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.dedup import scrub_dup_substrings
+
+    return scrub_dup_substrings(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
     )
 
 

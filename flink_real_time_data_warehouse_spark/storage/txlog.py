@@ -715,8 +715,12 @@ class TxLog:
                 if not entry.startswith(f"{col}="):
                     continue
                 # Hive-style dir names URL-escape special chars; store the
-                # decoded value string in the manifest.
+                # decoded value string in the manifest. NULL partition
+                # values land in Hive's default dir — record None so the
+                # read path re-attaches a typed NULL, not the marker.
                 val = unquote(entry.split("=", 1)[1])
+                if val == "__HIVE_DEFAULT_PARTITION__":
+                    val = None
                 walk(os.path.join(src_dir, entry), remaining[1:], {**acc, col: val})
 
         if not pcols:
@@ -907,7 +911,7 @@ class TxLog:
             dfs.extend(scan(flat))
         if groups:
             schema = StructType.fromJson(json.loads(st.schema_json))
-            for key, names in sorted(groups.items()):
+            for key, names in sorted(groups.items(), key=repr):
                 for g in scan(names):
                     for col, val in key:
                         g = g.withColumn(col, F.lit(val).cast(schema[col].dataType))
@@ -1729,7 +1733,7 @@ class TxLog:
             dfs.append(scan(flat))
         if groups:
             schema = StructType.fromJson(json.loads(st.schema_json))
-            for pkey_vals, names in sorted(groups.items()):
+            for pkey_vals, names in sorted(groups.items(), key=repr):
                 g = scan(names)
                 for col, val in pkey_vals:
                     g = g.withColumn(col, F.lit(val).cast(schema[col].dataType))
@@ -2844,7 +2848,21 @@ class TxLog:
                 plain.update(cluster_cols)
                 sc = sorted(plain) or None
             base = self._read_files(spark, victims, st)
-            if len(cluster_cols) == 1:
+            # PARTITION-AWARE compaction (Delta's OPTIMIZE on a
+            # partitioned table compacts WITHIN partitions): when the
+            # manifest records partition values, the rewrite goes back
+            # through Hive-style dynamic partitioning so the packed
+            # files RE-RECORD their partition values — without this,
+            # compaction silently erased `parts` metadata and partition
+            # pruning stopped skipping anything. The hash repartition on
+            # the partition columns co-locates each value into one task
+            # (≈1 file per value); clustering then orders within them.
+            pcols = sorted({c for pv in st.parts.values() for c in (pv or {})})
+            if pcols:
+                packed = base.repartition(max(1, max_files), *pcols)
+                if cluster_cols:
+                    packed = packed.sortWithinPartitions(*cluster_cols)
+            elif len(cluster_cols) == 1:
                 packed = base.repartitionByRange(max_files, F.col(cluster_cols[0]))
                 packed = packed.sortWithinPartitions(cluster_cols[0])
             elif cluster_cols:
@@ -2858,7 +2876,8 @@ class TxLog:
             else:
                 packed = base.coalesce(max_files)
             names, schema_json, stats, parts = self._stage(
-                packed, sc, bloom_cols=bloom_cols or None, cmap=st.cmap
+                packed, sc, bloom_cols=bloom_cols or None, cmap=st.cmap,
+                partition_by=pcols or None,
             )
             try:
                 # DV-race guard (ADVICE r7): compaction folds DVs away by

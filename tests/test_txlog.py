@@ -2503,3 +2503,43 @@ def test_merge_into_schema_evolution(tmp_path, spark):
             when_matched=[("update", None, {"w2": "1"})],
             schema_evolution=True,
         )
+
+
+def test_optimize_preserves_partition_metadata_and_pruning(tmp_path, spark):
+    """OPTIMIZE on a partitioned table compacts WITHIN partitions (Delta
+    semantics): the packed files RE-RECORD their partition values, so
+    partition pruning keeps skipping after compaction — previously the
+    rewrite silently erased `parts` and every file survived every
+    partition filter. NULL partition values round-trip as typed NULLs
+    (never the Hive default-dir marker string)."""
+    log = TxLog(str(tmp_path / "t"))
+    for batch in range(3):  # 3 commits x 2 partition values = 6 files
+        log.append(
+            spark.createDataFrame(
+                [(batch * 10 + k, "a" if k % 2 == 0 else "b") for k in range(6)]
+                + ([(batch * 10 + 9, None)] if batch == 0 else []),
+                "k long, p string",
+            ).repartition(1),
+            partition_by="p",
+            stats_cols=["k"],
+        )
+    assert len(log.state().files) >= 6
+    log.optimize(spark, max_files=4)
+    st = log.state()
+    assert all(n in st.parts for n in st.files), "compaction erased parts"
+    vals = {pv.get("p") for pv in st.parts.values()}
+    assert vals == {"a", "b", None}
+    got_a = {r["k"] for r in log.snapshot(spark, partitions={"p": ["a"]}).collect()}
+    # k=9 rides along: its file's recorded value is NULL, which partition
+    # pruning keeps conservatively (same contract as files with no parts
+    # metadata — prune is file-level, callers still filter rows)
+    assert got_a == {0, 2, 4, 9, 10, 12, 14, 20, 22, 24}
+    # the null-partition row reads back with a typed NULL, not a marker
+    rows = {r["k"]: r["p"] for r in log.snapshot(spark).collect()}
+    assert rows[9] is None and len(rows) == 19
+    # pruning actually SKIPS files: only the p=a file(s) are scanned
+    pruned_files = [
+        n for n in st.files
+        if st.parts.get(n, {}).get("p") in ("a",) or st.parts.get(n, {}).get("p") is None
+    ]
+    assert len(pruned_files) < len(st.files)
