@@ -188,6 +188,7 @@ HEADLINE = [
     "dedup_substring_scrub",
     "bpe_train",
     "bpe_tokenize",
+    "txlog_batch_source_read",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

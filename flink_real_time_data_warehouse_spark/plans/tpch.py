@@ -2102,6 +2102,63 @@ def txlog_merge_evolve_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txlog_batch_source_read",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+         kept AS (SELECT o_orderkey, o_orderstatus FROM orders
+                  WHERE NOT (o_orderkey BETWEEN (SELECT m FROM mx) // 3
+                                            AND 2 * (SELECT m FROM mx) // 3))
+    SELECT o_orderstatus, count(*) AS order_ct,
+           count(DISTINCT o_orderkey) AS key_ct,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM kept GROUP BY o_orderstatus
+    """,
+    doc=(
+        "BATCH read through the Python Data Source API — "
+        "spark.read.format('txlog') (storage/txlog_source.py "
+        "_TxLogBatchReader), the way a Delta table is batch-readable "
+        "alongside its streaming source: planning is manifest-only (one "
+        "Arrow partition per committed file), deletion-vector positions "
+        "filter executor-side with a numpy mask, Hive partition values "
+        "re-attach as typed literals, and a post-write RENAME resolves "
+        "through the column mapping — all composed in one read: the "
+        "table loads partitioned by o_orderstatus, a middle key range "
+        "is DV-erased (metadata-drop AND sidecar paths both exercised), "
+        "o_orderkey renames to o_key, and the format-read aggregate "
+        "must see exactly the surviving rows under the new name. "
+        "Reference analog: the dwd-layer tables each downstream Flink "
+        "app re-reads (ProductStatsApp.java:61-77), storage edition"
+    ),
+)
+def txlog_batch_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..storage import TxLog
+    from ..storage.txlog_source import register_txlog_source
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    lo, hi = mx // 3, 2 * mx // 3
+    work = tempfile.mkdtemp(prefix="txlog_batchsrc_")
+    log = TxLog(os.path.join(work, "orders_tx"))
+    log.append(
+        orders.repartition(4),
+        partition_by="o_orderstatus",
+        stats_cols=["o_orderkey"],
+    )
+    log.delete_to_dv(spark, "o_orderkey", lo, hi)
+    log.rename_column("o_orderkey", "o_key")
+    register_txlog_source(spark)
+    df = spark.read.format("txlog").option("path", log.path).load()
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("order_ct"),
+        F.countDistinct("o_key").alias("key_ct"),
+        F.sum("o_key").cast("long").alias("key_sum"),
+    )
+
+
+@register(
     "order_count_distribution",
     oracle="""
     SELECT c_count, count(*) AS custdist

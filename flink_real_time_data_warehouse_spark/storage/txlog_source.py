@@ -54,7 +54,12 @@ from dataclasses import dataclass, field
 
 import pyarrow as pa
 import pyarrow.parquet as pq
-from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import LongType, StringType, StructType
 
 FORMAT_NAME = "txlog"
@@ -70,12 +75,59 @@ class _FilesPartition(InputPartition):
     part_values: dict = field(default_factory=dict)  # Hive partition literals
     schema_json: str = ""  # target Spark schema (source output order/types)
     cmap: dict = field(default_factory=dict)  # logical -> physical col names
+    dv_path: str | None = None  # deletion-vector sidecar (batch reads)
 
 
 def _arrow_target_schema(spark_schema: StructType) -> pa.Schema:
     from pyspark.sql.pandas.types import to_arrow_schema
 
     return to_arrow_schema(spark_schema)
+
+
+def _read_files_partition(partition: _FilesPartition):
+    """Executor-side (shared by the stream and batch readers): parquet ->
+    Arrow batches aligned to the source schema (missing columns
+    null-filled, partition literals attached, types cast, deletion-vector
+    positions dropped) — no row-at-a-time Python, no pandas round trip."""
+    target = _arrow_target_schema(
+        StructType.fromJson(json.loads(partition.schema_json))
+    )
+    for path in partition.paths:
+        tbl = pq.read_table(path)
+        if partition.dv_path is not None:
+            # the sidecar records (file, pos): drop this file's deleted
+            # row positions with one boolean-mask filter (numpy, no loop)
+            import numpy as np
+
+            side = pq.read_table(partition.dv_path, columns=["file", "pos"])
+            fname = os.path.basename(path)
+            keep = np.ones(tbl.num_rows, dtype=bool)
+            files = side.column("file").to_numpy(zero_copy_only=False)
+            poss = side.column("pos").to_numpy(zero_copy_only=False)
+            keep[poss[files == fname].astype(int)] = False
+            tbl = tbl.filter(pa.array(keep))
+        n = tbl.num_rows
+        cols = []
+        for f in target:
+            # data files carry stable PHYSICAL names (column mapping);
+            # CDF sidecars are staged under LOGICAL names — try the
+            # physical name first, then the logical fallback.
+            phys = partition.cmap.get(f.name, f.name)
+            if f.name == "_commit_version":
+                col = pa.array([partition.commit_version] * n, pa.int64())
+            elif f.name == "_change_type" and "_change_type" not in tbl.column_names:
+                col = pa.array([partition.change_type] * n, pa.string())
+            elif phys in tbl.column_names:
+                col = tbl.column(phys).cast(f.type)
+            elif f.name in tbl.column_names:
+                col = tbl.column(f.name).cast(f.type)
+            elif f.name in partition.part_values:
+                col = pa.array([partition.part_values[f.name]] * n).cast(f.type)
+            else:
+                col = pa.nulls(n, f.type)  # schema evolution: older file
+            cols.append(col)
+        out = pa.table(cols, schema=target)
+        yield from out.to_batches(max_chunksize=1 << 16)
 
 
 class _TxLogStreamReader(DataSourceStreamReader):
@@ -296,36 +348,7 @@ class _TxLogStreamReader(DataSourceStreamReader):
         return out
 
     def read(self, partition: _FilesPartition):
-        """Executor-side: parquet -> Arrow batches aligned to the source
-        schema (missing columns null-filled, literals attached, types
-        cast) — no row-at-a-time Python, no pandas round trip."""
-        target = _arrow_target_schema(
-            StructType.fromJson(json.loads(partition.schema_json))
-        )
-        for path in partition.paths:
-            tbl = pq.read_table(path)
-            n = tbl.num_rows
-            cols = []
-            for f in target:
-                # data files carry stable PHYSICAL names (column mapping);
-                # CDF sidecars are staged under LOGICAL names — try the
-                # physical name first, then the logical fallback.
-                phys = partition.cmap.get(f.name, f.name)
-                if f.name == "_commit_version":
-                    col = pa.array([partition.commit_version] * n, pa.int64())
-                elif f.name == "_change_type" and "_change_type" not in tbl.column_names:
-                    col = pa.array([partition.change_type] * n, pa.string())
-                elif phys in tbl.column_names:
-                    col = tbl.column(phys).cast(f.type)
-                elif f.name in tbl.column_names:
-                    col = tbl.column(f.name).cast(f.type)
-                elif f.name in partition.part_values:
-                    col = pa.array([partition.part_values[f.name]] * n).cast(f.type)
-                else:
-                    col = pa.nulls(n, f.type)  # schema evolution: older file
-                cols.append(col)
-            out = pa.table(cols, schema=target)
-            yield from out.to_batches(max_chunksize=1 << 16)
+        return _read_files_partition(partition)
 
     def _write_floor(self, off: tuple[int, int]) -> None:
         prev = self._read_floor()
@@ -338,6 +361,43 @@ class _TxLogStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:  # offsets live in the checkpoint
         pass
+
+
+class _TxLogBatchReader(DataSourceReader):
+    """BATCH read of a txlog table — ``spark.read.format("txlog")``, the
+    way a Delta table is batch-readable alongside its streaming source.
+    Planning is manifest-only (one partition per committed file, DV
+    sidecar attached for executor-side position filtering); rows come
+    back under the LOGICAL schema (column mapping applied, schema-
+    evolved files null-filled, partition values re-attached) with
+    ``_commit_version`` = the snapshot version served (constant per
+    read — the batch analog of the stream's per-commit tag).
+    ``version_as_of`` time-travels, exactly :meth:`TxLog.snapshot`."""
+
+    def __init__(self, schema: StructType, options: dict):
+        from .txlog import TxLog
+
+        self._log = TxLog(options["path"])
+        self._schema = schema
+        v = options.get("version_as_of")
+        self._version = int(v) if v is not None else None
+
+    def partitions(self) -> list[InputPartition]:
+        st = self._log.state(self._version)
+        data = self._log.data_path
+        sj = self._schema.json()
+        ver = st.version if self._version is None else self._version
+        return [
+            _FilesPartition(
+                [os.path.join(data, n)], ver, None,
+                st.parts.get(n) or {}, sj, dict(st.cmap),
+                os.path.join(data, st.dvs[n]) if n in st.dvs else None,
+            )
+            for n in st.files
+        ] or [_FilesPartition([], ver, None, {}, sj, {})]
+
+    def read(self, partition: _FilesPartition):
+        return _read_files_partition(partition)
 
 
 class TxLogDataSource(DataSource):
@@ -362,7 +422,10 @@ class TxLogDataSource(DataSource):
     def schema(self) -> StructType:
         from .txlog import TxLog
 
-        st = TxLog(self.options["path"]).state()
+        v = self.options.get("version_as_of")
+        st = TxLog(self.options["path"]).state(
+            int(v) if v is not None else None
+        )
         if st.schema_json is None:
             raise ValueError(
                 f"txlog table {self.options['path']!r} has no commits yet"
@@ -375,6 +438,9 @@ class TxLogDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> _TxLogStreamReader:
         return _TxLogStreamReader(schema, dict(self.options))
+
+    def reader(self, schema: StructType) -> _TxLogBatchReader:
+        return _TxLogBatchReader(schema, dict(self.options))
 
 
 def register_txlog_source(spark) -> None:

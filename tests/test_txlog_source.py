@@ -524,3 +524,36 @@ def test_source_byte_pacing_spans_versions_and_respects_version_cap(tmp_path, sp
     assert seen == [[0, 1, 2, 3]]  # version cap bites despite the byte room
     run_once()
     assert seen == [[0, 1, 2, 3], [4, 5, 6, 7]]
+
+
+def test_batch_reader_snapshot_time_travel_and_dv(tmp_path, spark):
+    """spark.read.format('txlog') — the batch half of the data source
+    (Delta tables are batch-readable alongside their stream): current
+    snapshot drops DV-erased rows, version_as_of time-travels, partition
+    values re-attach, a rename resolves through the mapping, and every
+    row carries _commit_version = the snapshot version served."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(
+        spark.createDataFrame(
+            [(k, "a" if k % 2 == 0 else "b") for k in range(10)],
+            "k long, p string",
+        ).repartition(1),
+        partition_by="p",
+        stats_cols=["k"],
+    )
+    v1 = log.state().version
+    log.delete_to_dv(spark, "k", 3, 5)
+    log.rename_column("k", "key")
+    register_txlog_source(spark)
+    df = spark.read.format("txlog").option("path", log.path).load()
+    rows = sorted((r["key"], r["p"]) for r in df.collect())
+    assert rows == [(k, "a" if k % 2 == 0 else "b") for k in (0, 1, 2, 6, 7, 8, 9)]
+    assert {r["_commit_version"] for r in df.collect()} == {log.state().version}
+    tt = (
+        spark.read.format("txlog")
+        .option("path", log.path)
+        .option("version_as_of", str(v1))
+        .load()
+    )
+    assert sorted(r["k"] for r in tt.collect()) == list(range(10))
+    assert "key" not in tt.columns  # pre-rename schema served as-of v1
