@@ -189,6 +189,7 @@ HEADLINE = [
     "bpe_train",
     "bpe_tokenize",
     "txlog_batch_source_read",
+    "ann_pq_topk",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

@@ -966,3 +966,208 @@ def semantic_decontaminate(
         id_col, "max_bench_sim",
         (F.col("max_bench_sim") >= threshold).cast("int").alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search" — the canonical compressed-domain ANN method)
+# ---------------------------------------------------------------------------
+PQ_SUBS = 4  # subspaces (dim 64 -> 16-dim subvectors)
+PQ_K = 8  # codewords per subspace
+PQ_ITERS = 2  # Lloyd iterations per subspace (fixed, like kmeans_centroids)
+PQ_CAND = 20  # ADC candidates kept per query before the exact re-rank
+
+
+def _lloyd_q(emb: DataFrame, k: int, iters: int, dim: int) -> DataFrame:
+    """Fixed-point Lloyd over a pre-quantized (vid, q) frame — the inner
+    loop of `kmeans_centroids`, reusable per PQ subspace. Deterministic
+    first-k init, cosine assignment with lowest-cid tie-break, floor'd
+    integer centroid means. Returns (cid, cq)."""
+    cents = emb.where(F.col("vid") < k).select(
+        F.col("vid").alias("cid"), F.col("q").alias("cq")
+    )
+    for _ in range(iters):
+        scored = emb.crossJoin(F.broadcast(cents)).select(
+            "vid", "q", "cid", qcosine(F.col("q"), F.col("cq")).alias("sim")
+        )
+        best = (
+            scored.groupBy("vid")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("sim").alias("s"),
+                        (-F.col("cid")).alias("neg_cid"),
+                        F.col("cid").alias("cid"),
+                        F.col("q").alias("q"),
+                    )
+                ).alias("b")
+            )
+            .select(F.col("b.cid").alias("cid"), F.col("b.q").alias("q"))
+        )
+        sums = best.groupBy("cid").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.element_at("q", i + 1)).alias(f"s{i}") for i in range(dim)],
+        )
+        cents = sums.select(
+            "cid",
+            F.array(
+                *[F.floor(F.col(f"s{i}") / F.col("n")).cast("long") for i in range(dim)]
+            ).alias("cq"),
+        )
+    return cents
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = PQ_SUBS,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace PQ codebooks: the embedding splits into `m`
+    (dim/m)-wide subvectors and each subspace trains its own fixed-point
+    Lloyd codebook of `k` codewords — m independent tiny trainers, each
+    the exact `kmeans_centroids` loop. Returns (sub, cid, cq)."""
+    width = dim // m
+    books = None
+    for s in range(m):
+        emb = corpus.select(
+            F.col(id_col).alias("vid"),
+            F.slice(quantized(F.col(vec_col)), s * width + 1, width).alias("q"),
+        )
+        b = _lloyd_q(emb, k, iters, width).select(
+            F.lit(s).alias("sub"), "cid", "cq"
+        )
+        books = b if books is None else books.unionByName(b)
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: DataFrame,
+    m: int = PQ_SUBS,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codes in exploded form (vid, sub, cid): per subspace, the
+    nearest codeword under the SAME fixed-point cosine + lowest-cid
+    tie-break as the trainer. m longs per vector — the 16x-compressed
+    representation the ADC scan reads instead of float32 embeddings."""
+    width = dim // m
+    emb = corpus.select(
+        F.col(id_col).alias("vid"), quantized(F.col(vec_col)).alias("q")
+    )
+    ex = emb.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice("q", s * width + 1, width).alias("sq"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("x"),
+    ).select("vid", F.col("x.sub").alias("sub"), F.col("x.sq").alias("sq"))
+    scored = ex.join(F.broadcast(books), "sub").select(
+        "vid", "sub", "cid", qcosine(F.col("sq"), F.col("cq")).alias("sim")
+    )
+    return (
+        scored.groupBy("vid", "sub")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("sim").alias("s"),
+                    (-F.col("cid")).alias("neg_cid"),
+                    F.col("cid").alias("cid"),
+                )
+            ).alias("b")
+        )
+        .select("vid", "sub", F.col("b.cid").alias("cid"))
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    m: int = PQ_SUBS,
+    cand: int = PQ_CAND,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ANN with ASYMMETRIC DISTANCE COMPUTATION + exact re-rank:
+
+    1. train per-subspace codebooks, encode the corpus to m longs/vector;
+    2. per query, ONE tiny lookup table (m x k partial integer dots of
+       the query subvector against every codeword — sums of subspace
+       dots equal the dot against the reconstructed vector, the IP-ADC
+       identity);
+    3. the candidate scan touches ONLY the code column: broadcast-join
+       codes to the LUT on (sub, cid) and sum m partials per (query,
+       vector) — O(n*m) adds per query instead of O(n*dim) multiplies,
+       over a 16x smaller scan: the published PQ trade;
+    4. exact float cosine re-ranks the top `cand` survivors per query
+       (same discipline as `quantized_topk`).
+
+    Everything before the re-rank is exact integer arithmetic with
+    deterministic tie-breaks, so the candidate set — not just the final
+    ranks — is engine-reproducible and oracle-replayable.
+    Returns (query_id, neighbor_id, rank)."""
+    width = dim // m
+    books = pq_codebooks(corpus, m, PQ_K, PQ_ITERS, dim, id_col, vec_col)
+    books = books.localCheckpoint(eager=True)  # 2 Lloyd iters x m subspaces
+    codes = pq_encode(corpus, books, m, dim, id_col, vec_col)
+    qemb = queries.select(
+        F.col(id_col).alias("qid"), quantized(F.col(vec_col)).alias("q")
+    )
+    qex = qemb.select(
+        "qid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice("q", s * width + 1, width).alias("sq"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("x"),
+    ).select("qid", F.col("x.sub").alias("sub"), F.col("x.sq").alias("sq"))
+    lut = qex.join(F.broadcast(books), "sub").select(
+        "qid", "sub", "cid", qdot(F.col("sq"), F.col("cq")).alias("pd")
+    )
+    approx = (
+        codes.join(F.broadcast(lut), ["sub", "cid"])
+        .where(F.col("vid") != F.col("qid"))
+        .groupBy("qid", "vid")
+        .agg(F.sum("pd").alias("a"))
+    )
+    wc = Window.partitionBy("qid").orderBy(F.col("a").desc(), F.col("vid").asc())
+    cands = (
+        approx.withColumn("crank", F.row_number().over(wc))
+        .where(F.col("crank") <= cand)
+        .select(F.col("qid").alias("query_id"), F.col("vid").alias("neighbor_id"))
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    rer = (
+        cv.join(F.broadcast(cands), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -2172,6 +2172,107 @@ def kmeans_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("cid", "n_members", (F.col("pos") + 1).cast("long").alias("idx"), "comp")
 
 
+def _pq_oracle() -> str:
+    """PQ-ADC replay: per-subspace Lloyd chains (the `_km_parts` pattern
+    over sliced subvectors), codeword assignment, the per-query LUT of
+    partial integer dots, ADC candidate ranking, exact re-rank."""
+    from ..datapipe.similarity import PQ_CAND, PQ_ITERS, PQ_K, PQ_SUBS
+
+    w = EMB_DIM // PQ_SUBS
+    parts = [
+        "emb AS MATERIALIZED (SELECT vec_id AS vid, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS q FROM embeddings)",
+    ]
+    for s in range(PQ_SUBS):
+        lo = s * w + 1
+        pre = f"p{s}"
+        parts += [
+            f"{pre}e AS (SELECT vid, list_slice(q, {lo}, {lo + w - 1}) AS q FROM emb)",
+            f"{pre}c0 AS (SELECT vid AS cid, q AS cq FROM {pre}e WHERE vid < {PQ_K})",
+        ]
+        for i in range(1, PQ_ITERS + 1):
+            parts += [
+                f"{pre}a{i} AS (SELECT vid, q, cid FROM ("
+                f"  SELECT e.vid, e.q, c.cid, row_number() OVER ("
+                f"    PARTITION BY e.vid ORDER BY {_sql_cos('e.q', 'c.cq')} DESC, c.cid) AS rn"
+                f"  FROM {pre}e e CROSS JOIN {pre}c{i - 1} c) WHERE rn = 1)",
+                f"{pre}u{i} AS (SELECT cid, unnest(q) AS val, unnest(range(1, len(q)+1)) AS idx FROM {pre}a{i})",
+                f"{pre}m{i} AS (SELECT cid, idx, CAST(sum(val) AS BIGINT) AS s FROM {pre}u{i} GROUP BY 1, 2)",
+                f"{pre}n{i} AS (SELECT cid, count(*) AS n FROM {pre}a{i} GROUP BY 1)",
+                f"{pre}c{i} AS (SELECT m.cid, list(CAST(floor(CAST(s AS DOUBLE)/n) AS BIGINT) ORDER BY idx) AS cq"
+                f"  FROM {pre}m{i} m JOIN {pre}n{i} USING (cid) GROUP BY m.cid)",
+            ]
+    books_union = " UNION ALL ".join(
+        f"SELECT {s} AS sub, cid, cq FROM p{s}c{PQ_ITERS}" for s in range(PQ_SUBS)
+    )
+    parts += [
+        f"books AS MATERIALIZED ({books_union})",
+        f"""codes AS MATERIALIZED (
+      SELECT vid, sub, cid FROM (
+        SELECT e.vid, b.sub, b.cid,
+               row_number() OVER (PARTITION BY e.vid, b.sub
+                 ORDER BY {_sql_cos(f'list_slice(e.q, b.sub*{w}+1, b.sub*{w}+{w})', 'b.cq')} DESC,
+                          b.cid) AS rn
+        FROM emb e CROSS JOIN books b) WHERE rn = 1)""",
+        f"""lut AS (
+      SELECT q.vid AS qid, b.sub, b.cid,
+             list_dot_product(list_slice(q.q, b.sub*{w}+1, b.sub*{w}+{w}), b.cq) AS pd
+      FROM emb q CROSS JOIN books b WHERE q.vid < {ANN_QUERY_MAX})""",
+        """approx AS (
+      SELECT l.qid, c.vid, sum(l.pd) AS a
+      FROM codes c JOIN lut l ON c.sub = l.sub AND c.cid = l.cid AND c.vid <> l.qid
+      GROUP BY 1, 2)""",
+        f"""cand AS (
+      SELECT qid AS query_id, vid AS neighbor_id FROM (
+        SELECT qid, vid,
+               row_number() OVER (PARTITION BY qid ORDER BY a DESC, vid) AS cr
+        FROM approx) WHERE cr <= {PQ_CAND})""",
+        "ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        """r AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_dot_product(eq.v, en.v)
+               / (sqrt(list_dot_product(eq.v, eq.v))
+                  * sqrt(list_dot_product(en.v, en.v))) AS sim
+      FROM cand JOIN ev eq ON cand.query_id = eq.vec_id
+                JOIN ev en ON cand.neighbor_id = en.vec_id)""",
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+    SELECT query_id, neighbor_id, rk FROM (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rk
+      FROM r
+    ) WHERE rk <= {ANN_K}
+    """
+    )
+
+
+@register(
+    "ann_pq_topk",
+    oracle=_pq_oracle(),
+    doc=(
+        "PRODUCT-QUANTIZATION ANN (Jegou et al. 2011, the canonical "
+        "compressed-domain method — datapipe/similarity.pq_topk): 4 "
+        "per-subspace fixed-point Lloyd codebooks, corpus encoded to 4 "
+        "longs/vector (16x smaller scan), asymmetric distance via a "
+        "per-query lookup table of partial integer dots (sum of "
+        "subspace dots = dot against the reconstruction), exact float "
+        "re-rank of the top-20. Every stage before the re-rank is exact "
+        "integer arithmetic with deterministic tie-breaks, so the "
+        "CANDIDATE SET is engine-reproducible — the oracle replays "
+        "trainer, encoder, ADC, and re-rank end-to-end; rank-compare "
+        "like the other ANN oracles"
+    ),
+)
+def ann_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.similarity import pq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    res = pq_topk(emb.where(F.col("vec_id") < ANN_QUERY_MAX), emb, k=ANN_K)
+    return res.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rk"))
+
+
 def _semdedup_trained_oracle(k: int, iters: int, threshold: float) -> str:
     """SemDeDup verdicts with TRAINED centroids: the Lloyd CTE chain
     (`_km_parts`) feeds the same assignment/pair/keep-rule SQL as the

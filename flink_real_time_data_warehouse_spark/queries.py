@@ -95,7 +95,7 @@ _GRADE_FIRST: list[str] = [
     # New in round 8 (registered below as they land; ignored until then).
     "dedup_exact_substring", "bpe_train", "bpe_tokenize",
     "txlog_identity_merge_read", "txlog_merge_evolve_read",
-    "dedup_substring_scrub", "txlog_batch_source_read",
+    "dedup_substring_scrub", "txlog_batch_source_read", "ann_pq_topk",
 ]
 
 

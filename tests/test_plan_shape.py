@@ -549,3 +549,16 @@ def test_dup_substring_bucketed_window_no_pairs(spark):
     # partitioned window: the Window's partition spec names the bucket
     win = [ln for ln in plan.splitlines() if "Window" in ln]
     assert win and all("bucket" in ln for ln in win), win
+
+
+def test_pq_adc_scan_joins_codes_to_broadcast_lut(spark):
+    """PQ ANN (ann_pq_topk): the candidate scan must join the m-long CODE
+    rows to a BROADCAST lookup table — never a cartesian of corpus
+    against queries, and the corpus's float embeddings appear only in
+    the top-cand re-rank joins."""
+    df = registry()["ann_pq_topk"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    # tiny relations (codebooks, LUT, candidates, queries) broadcast
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan, f"ADC scan lost its broadcast:\n{plan}"
