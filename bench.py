@@ -190,6 +190,7 @@ HEADLINE = [
     "bpe_tokenize",
     "txlog_batch_source_read",
     "ann_pq_topk",
+    "txlog_write_format_read",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

@@ -2159,6 +2159,74 @@ def txlog_batch_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txlog_write_format_read",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+         kept AS (SELECT o_orderkey, o_orderstatus FROM orders
+                  WHERE NOT (o_orderkey BETWEEN (SELECT m FROM mx) // 4
+                                            AND (SELECT m FROM mx) // 2))
+    SELECT o_orderstatus, count(*) AS order_ct,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(min(o_orderkey) AS BIGINT) AS key_min,
+           CAST(max(o_orderkey) AS BIGINT) AS key_max
+    FROM kept GROUP BY o_orderstatus
+    """,
+    doc=(
+        "WRITE through the Python Data Source API — "
+        "df.write.format('txlog') (storage/txlog_writer.py), the third "
+        "leg of the data-source trifecta: each task stages ONE parquet "
+        "under the table's data dir (invisible until named), the driver "
+        "commit is one transactional append carrying per-file footer "
+        "[min,max] stats (the stats_cols option). The query proves the "
+        "stats are REAL: orders load range-partitioned via the format "
+        "writer, a key-range DELETE then classifies files against the "
+        "writer-recorded stats (disjoint files survive by name, "
+        "asserted in-plan), and the format BATCH READ aggregates the "
+        "survivors. Reference analog: the transactional Kafka producer "
+        "feeding the next app's source (MyKafkaUtil.java:29-43), "
+        "storage edition"
+    ),
+)
+def txlog_write_format_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..storage import TxLog
+    from ..storage.txlog_source import register_txlog_source
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    lo, hi = mx // 4, mx // 2
+    work = tempfile.mkdtemp(prefix="txlog_wfmt_")
+    path = os.path.join(work, "orders_tx")
+    register_txlog_source(spark)
+    (
+        orders.repartitionByRange(8, "o_orderkey")
+        .write.format("txlog")
+        .option("path", path)
+        .option("stats_cols", "o_orderkey")
+        .mode("append")
+        .save()
+    )
+    log = TxLog(path)
+    before = set(log.state().files)
+    log.delete(spark, "o_orderkey", lo, hi)
+    st = log.state()
+    survivors = before & set(st.files)
+    if not survivors:
+        raise AssertionError(
+            "writer stats must let range-disjoint files survive the delete"
+        )
+    df = spark.read.format("txlog").option("path", path).load()
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("order_ct"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.min("o_orderkey").alias("key_min"),
+        F.max("o_orderkey").alias("key_max"),
+    )
+
+
+@register(
     "order_count_distribution",
     oracle="""
     SELECT c_count, count(*) AS custdist

@@ -442,6 +442,11 @@ class TxLogDataSource(DataSource):
     def reader(self, schema: StructType) -> _TxLogBatchReader:
         return _TxLogBatchReader(schema, dict(self.options))
 
+    def writer(self, schema: StructType, overwrite: bool):
+        from .txlog_writer import TxLogBatchWriter
+
+        return TxLogBatchWriter(schema, dict(self.options), overwrite)
+
 
 def register_txlog_source(spark) -> None:
     """Idempotently register ``format("txlog")`` on the session."""

@@ -708,14 +708,16 @@ def test_txlog_verbs_match_dict_model(
             log.delete_to_dv(spark, "k", arg, arg + 4)
             model = {k: v for k, v in model.items() if not arg <= k <= arg + 4}
         elif op == "update":
-            if log.state().version >= 0:
+            # guard on SCHEMA, not version: with the identity toggle, v0
+            # is the registration property commit and carries no schema
+            if log.state().schema_json is not None:
                 log.update(spark, "k", arg, arg + 4, {vcol: f"{vcol} + 1000000"})
             model = {
                 k: (v + 1000000 if arg <= k <= arg + 4 else v)
                 for k, v in model.items()
             }
         elif op == "rename":
-            if log.state().version >= 0:
+            if log.state().schema_json is not None:
                 new = "val" if vcol == "v" else "v"
                 log.rename_column(vcol, new)
                 vcol = new
@@ -733,10 +735,11 @@ def test_txlog_verbs_match_dict_model(
             model[arg] = -1
             model.pop(arg + 1, None)
             model[1000 + i] = i
-    if log.state().version < (1 if use_identity else 0):
-        # every op was a no-op on a never-committed table (e.g. a lone
-        # disjoint delete): no schema exists and snapshot() rightly raises
-        # (with identity, v0 is the registration property commit)
+    if log.state().schema_json is None:
+        # every op was a no-op on a schema-less table (e.g. a lone
+        # disjoint delete, or a rename before any data commit): no
+        # schema exists and snapshot() rightly raises (with identity,
+        # v0 is the registration property commit, still schema-less)
         assert model == {}
         return
     rows = log.snapshot(spark).collect()

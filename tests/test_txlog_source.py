@@ -557,3 +557,45 @@ def test_batch_reader_snapshot_time_travel_and_dv(tmp_path, spark):
     )
     assert sorted(r["k"] for r in tt.collect()) == list(range(10))
     assert "key" not in tt.columns  # pre-rename schema served as-of v1
+
+
+def test_batch_writer_append_overwrite_stats_and_refusals(tmp_path, spark):
+    """df.write.format('txlog') — the write leg of the data source: each
+    task stages one parquet, the driver commit is one transactional
+    append (overwrite => replace); stats_cols records footer [min,max]
+    that file-level DELETE classification then uses; contract-bearing
+    tables (identity here) are refused with the staged files cleaned."""
+    register_txlog_source(spark)
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(k, k * 10) for k in range(20)], "k long, v long"
+    ).repartitionByRange(3, "k")  # contiguous per-file key ranges
+    df.write.format("txlog").option("path", path).option(
+        "stats_cols", "k"
+    ).mode("append").save()
+    log = TxLog(path)
+    st = log.state()
+    assert st.version == 0 and len(st.files) == 3
+    assert all("k" in s for s in st.stats.values()), "footer stats missing"
+    # the writer's stats drive file-level pruning: a bare-range delete
+    # covering one file's whole range drops it as pure metadata
+    lows = sorted(s["k"][0] for s in st.stats.values())
+    before = set(st.files)
+    log.delete(spark, "k", 0, lows[1] - 1)  # exactly file 1's range
+    dropped = before - set(log.state().files)
+    assert dropped and log.history()[0]["n_added"] == 0, (
+        "bare-range delete must be metadata-only against writer stats"
+    )
+    # overwrite => replace; roundtrip through the batch reader
+    df.where("k >= 15").write.format("txlog").option("path", path).mode(
+        "overwrite"
+    ).save()
+    got = spark.read.format("txlog").option("path", path).load()
+    assert sorted(r["k"] for r in got.collect()) == [15, 16, 17, 18, 19]
+    # identity table refused, staged files cleaned
+    p2 = str(tmp_path / "t2")
+    TxLog(p2).add_identity_column("sid")
+    with pytest.raises(Exception, match="IDENTITY"):
+        df.write.format("txlog").option("path", p2).mode("append").save()
+    data2 = os.path.join(p2, "data")
+    assert not os.path.isdir(data2) or os.listdir(data2) == []
