@@ -191,6 +191,7 @@ HEADLINE = [
     "txlog_batch_source_read",
     "ann_pq_topk",
     "txlog_write_format_read",
+    "txlog_stream_format_chain",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

@@ -2227,6 +2227,78 @@ def txlog_write_format_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txlog_stream_format_chain",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS order_ct,
+           count(DISTINCT o_orderkey) AS key_ct,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc=(
+        "FULL data-source chain, stream edition (storage/txlog_writer.py "
+        "TxLogStreamWriter): readStream.format('txlog') on an ODS table "
+        "piped into writeStream.format('txlog') — the reference's "
+        "topic-chained app topology (ProductStatsApp.java:61-77 reading "
+        "what MyKafkaUtil.java:29-43's transactional producer wrote) "
+        "with the TABLE as the topic on BOTH ends. Exactly-once is the "
+        "commit layer's (app_id, batchId) ledger: the chain runs as two "
+        "incremental epochs, a checkpoint RESTART serves nothing new, "
+        "and a FRESH-checkpoint replay is swallowed by the ledger "
+        "(version asserted unchanged in-plan — no duplicates however "
+        "the driver crashes or re-runs). count(DISTINCT o_orderkey) = "
+        "count(*) per group puts no-duplication in the hash"
+    ),
+)
+def txlog_stream_format_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..storage import TxLog
+    from ..storage.txlog_source import register_txlog_source
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    b = mx // 2
+    work = tempfile.mkdtemp(prefix="txlog_chain_")
+    ods = TxLog(os.path.join(work, "ods"))
+    sink_path = os.path.join(work, "dwd")
+    register_txlog_source(spark)
+
+    def run(ck: str) -> None:
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", ods.path)
+            .load()
+            .drop("_commit_version")
+            .writeStream.format("txlog")
+            .option("path", sink_path)
+            .option("app_id", "chain")
+            .option("checkpointLocation", os.path.join(work, ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ods.append(orders.where(F.col("o_orderkey") < b).coalesce(2), stats_cols=["o_orderkey"])
+    run("ck1")  # epoch 0: first chunk
+    ods.append(orders.where(F.col("o_orderkey") >= b).coalesce(2), stats_cols=["o_orderkey"])
+    run("ck1")  # epoch 1: the increment only
+    sink = TxLog(sink_path)
+    v = sink.state().version
+    run("ck1")  # restart, nothing new: no commit
+    run("ck2")  # FRESH checkpoint: full replay swallowed by the ledger
+    if sink.state().version != v:
+        raise AssertionError(
+            "replayed epochs must be swallowed by the (app_id, batchId) ledger"
+        )
+    return sink.snapshot(spark).groupBy("o_orderstatus").agg(
+        F.count("*").alias("order_ct"),
+        F.countDistinct("o_orderkey").alias("key_ct"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )
+
+
+@register(
     "order_count_distribution",
     oracle="""
     SELECT c_count, count(*) AS custdist

@@ -447,6 +447,11 @@ class TxLogDataSource(DataSource):
 
         return TxLogBatchWriter(schema, dict(self.options), overwrite)
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        from .txlog_writer import TxLogStreamWriter
+
+        return TxLogStreamWriter(schema, dict(self.options), overwrite)
+
 
 def register_txlog_source(spark) -> None:
     """Idempotently register ``format("txlog")`` on the session."""

@@ -29,7 +29,11 @@ import os
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql.datasource import DataSourceArrowWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StructType
 
 
@@ -142,3 +146,66 @@ class TxLogBatchWriter(DataSourceArrowWriter):
                 os.remove(os.path.join(log.data_path, n))
             except FileNotFoundError:
                 pass
+
+
+class TxLogStreamWriter(TxLogBatchWriter, DataSourceStreamArrowWriter):
+    """STREAMING sink — ``df.writeStream.format("txlog")``, the fourth
+    and final leg of the data source (stream read / batch read / batch
+    write / stream write). Every micro-batch commits EXACTLY ONCE: the
+    manifest carries ``(app_id, batchId)`` in the app high-water ledger,
+    so a crash-replayed epoch is SKIPPED by the commit layer itself —
+    the same idempotent-epoch contract the foreachBatch sinks keep, now
+    native to Spark's writer interface (and the storage analog of the
+    reference's transactional Kafka producer, MyKafkaUtil.java:29-43).
+
+    Options: ``path`` (required), ``app_id`` (sink identity in the
+    ledger; REQUIRED so two independent streams into one table never
+    collide — same rule as streaming/ingest), ``stats_cols``. Output
+    mode: append only (a storage log is an append ledger; updates flow
+    through the table verbs). Same contract-table refusals as the batch
+    writer."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        super().__init__(schema, options, overwrite=False)
+        app = options.get("app_id")
+        if not app:
+            raise ValueError(
+                "format('txlog') streaming sink requires option('app_id', "
+                "...): the exactly-once epoch ledger is keyed by it"
+            )
+        self._app_id = f"txlog_sink:{app}"
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
+        from .txlog import TxLog, _footer_minmax
+
+        log = TxLog(self._path)
+        names = [n for m in messages if m is not None for n in m.names]
+        try:
+            self._refuse_contract_tables(log)
+        except ValueError:
+            self._delete(log, names)
+            raise
+        stats: dict = {}
+        for n in names:
+            dest = os.path.join(log.data_path, n)
+            fs = {"__bytes": os.path.getsize(dest)}
+            if self._stats_cols:
+                fs.update(_footer_minmax(dest, self._stats_cols) or {})
+            stats[n] = fs
+        # (app_id, batchId) makes the commit idempotent: a replayed epoch
+        # is skipped inside commit_files and ITS staged files deleted
+        if log.state().apps.get(self._app_id, -1) >= batchId:
+            self._delete(log, names)  # replay: this attempt's staging
+            return
+        log.commit_files(
+            names, "append", self._schema.json(),
+            app_id=self._app_id, app_version=batchId, stats=stats,
+        )
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        from .txlog import TxLog
+
+        log = TxLog(self._path)
+        self._delete(
+            log, [n for m in messages if m is not None for n in m.names]
+        )

@@ -599,3 +599,54 @@ def test_batch_writer_append_overwrite_stats_and_refusals(tmp_path, spark):
         df.write.format("txlog").option("path", p2).mode("append").save()
     data2 = os.path.join(p2, "data")
     assert not os.path.isdir(data2) or os.listdir(data2) == []
+
+
+def test_stream_writer_exactly_once_ledger(tmp_path, spark):
+    """writeStream.format('txlog'): each micro-batch commits once under
+    (app_id, batchId); checkpoint restarts and fresh-checkpoint replays
+    are swallowed by the ledger; app_id is required; two sinks with
+    distinct app_ids share one table without collisions."""
+    register_txlog_source(spark)
+    src = _kv_table(spark, tmp_path)
+    sink_path = str(tmp_path / "sink")
+
+    def run(ck: str, app: str) -> None:
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", src.path)
+            .load()
+            .drop("_commit_version")
+            .writeStream.format("txlog")
+            .option("path", sink_path)
+            .option("app_id", app)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run("ck1", "a")
+    sink = TxLog(sink_path)
+    assert sorted(r["k"] for r in sink.snapshot(spark).collect()) == list(range(8))
+    v = sink.state().version
+    run("ck1", "a")  # restart: nothing new
+    run("ck_fresh", "a")  # fresh checkpoint: ledger-swallowed
+    assert sink.state().version == v
+    # a second app_id is its own ledger lane: its epoch 0 COMMITS
+    run("ck2", "b")
+    assert sink.snapshot(spark).count() == 16
+    assert sink.state().apps["txlog_sink:a"] == 0
+    assert sink.state().apps["txlog_sink:b"] == 0
+    # app_id is mandatory
+    with pytest.raises(Exception, match="app_id"):
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", src.path)
+            .load()
+            .writeStream.format("txlog")
+            .option("path", str(tmp_path / "sink2"))
+            .option("checkpointLocation", str(tmp_path / "ck3"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
