@@ -192,6 +192,7 @@ HEADLINE = [
     "ann_pq_topk",
     "txlog_write_format_read",
     "txlog_stream_format_chain",
+    "txlog_convert_read",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

@@ -2299,6 +2299,67 @@ def txlog_stream_format_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txlog_convert_read",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+         kept AS (SELECT o_orderkey, o_orderstatus FROM orders
+                  WHERE o_orderkey NOT BETWEEN (SELECT m FROM mx) // 5
+                                           AND 2 * (SELECT m FROM mx) // 5)
+    SELECT o_orderstatus, count(*) AS order_ct,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(max(o_orderkey) AS BIGINT) AS key_max
+    FROM kept GROUP BY o_orderstatus
+    """,
+    doc=(
+        "CONVERT TO txlog (Delta's CONVERT TO DELTA, public docs — "
+        "storage/txlog.py TxLog.convert): an existing Hive-partitioned "
+        "parquet directory (orders written partitionBy o_orderstatus, "
+        "range-partitioned on o_orderkey within) becomes a table in ONE "
+        "directory walk + ONE commit — files hardlinked (zero bytes "
+        "copied, O(files) at any size), partition dirs lifted into "
+        "manifest partition values, footer [min,max] stats recorded "
+        "without a data scan. The query proves the converted metadata "
+        "is LIVE: a key-range DELETE classifies files against the "
+        "convert-recorded stats (range-disjoint files survive by name, "
+        "asserted in-plan) and the snapshot aggregates the survivors. "
+        "Reference analog: onboarding the pre-existing ods history "
+        "into the transactional layer without rewriting it"
+    ),
+)
+def txlog_convert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..storage import TxLog
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    lo, hi = mx // 5, 2 * mx // 5
+    work = tempfile.mkdtemp(prefix="txlog_convert_")
+    raw = os.path.join(work, "raw")
+    (
+        orders.repartitionByRange(4, "o_orderkey")
+        .write.partitionBy("o_orderstatus")
+        .parquet(raw)
+    )
+    log = TxLog.convert(
+        spark, raw, os.path.join(work, "orders_tx"), stats_cols=["o_orderkey"]
+    )
+    before = set(log.state().files)
+    log.delete(spark, "o_orderkey", lo, hi)
+    survivors = before & set(log.state().files)
+    if not survivors:
+        raise AssertionError(
+            "convert-recorded stats must let range-disjoint files survive"
+        )
+    return log.snapshot(spark).groupBy("o_orderstatus").agg(
+        F.count("*").alias("order_ct"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.max("o_orderkey").alias("key_max"),
+    )
+
+
+@register(
     "order_count_distribution",
     oracle="""
     SELECT c_count, count(*) AS custdist

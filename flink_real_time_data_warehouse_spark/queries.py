@@ -97,6 +97,7 @@ _GRADE_FIRST: list[str] = [
     "txlog_identity_merge_read", "txlog_merge_evolve_read",
     "dedup_substring_scrub", "txlog_batch_source_read", "ann_pq_topk",
     "txlog_write_format_read", "txlog_stream_format_chain",
+    "txlog_convert_read",
 ]
 
 

@@ -2342,6 +2342,100 @@ class TxLog:
                 target.add_constraint(cname, json.loads(expr_json))
         return target
 
+    @classmethod
+    def convert(
+        cls,
+        spark: SparkSession,
+        source_dir: str,
+        table_path: str,
+        stats_cols: list[str] | None = None,
+        link: bool = True,
+    ) -> "TxLog":
+        """CONVERT an existing parquet directory into a txlog table
+        (Delta's ``CONVERT TO DELTA``, public docs): ONE directory walk
+        discovers the data files — flat or Hive-partitioned
+        (``col=value`` directories become per-file partition values in
+        the manifest, exactly as :meth:`_stage` records them) — and ONE
+        commit (op='convert') names them all, with per-file footer
+        [min, max] stats for `stats_cols` read from the parquet footers
+        (no data scan). ``link=True`` hardlinks the files into the
+        table's data dir (zero bytes copied on the same filesystem —
+        the conversion is O(files) metadata at any table size, which is
+        the whole point of CONVERT); ``link=False`` copies. The source
+        directory is never modified. Refused when the target already
+        has commits. The schema comes from ONE Spark parquet-scan
+        schema resolution over the source (mergeSchema, so evolved
+        file sets convert; partition columns typed by Spark's own
+        partition discovery). NULL/default partition dirs convert like
+        :meth:`_stage` records them (typed NULL on read)."""
+        log = cls(table_path)
+        if log.state().version >= 0:
+            raise ValueError(
+                f"convert target {table_path!r} already has commits"
+            )
+        # Spark's reader resolves the unified schema AND partition-column
+        # types from the directory layout — reuse it instead of guessing.
+        df = spark.read.option("mergeSchema", "true").parquet(source_dir)
+        schema_json = df.schema.json()
+        pcol_types = {
+            f.name: f.dataType for f in df.schema.fields
+        }
+        adds: list[str] = []
+        stats: dict = {}
+        parts: dict = {}
+        src_root = os.path.abspath(source_dir)
+
+        def ingest(dir_path: str, pvals: dict) -> None:
+            for entry in sorted(os.listdir(dir_path)):
+                full = os.path.join(dir_path, entry)
+                if os.path.isdir(full):
+                    if "=" in entry:
+                        col, val = entry.split("=", 1)
+                        val = unquote(val)
+                        ingest(
+                            full,
+                            {**pvals, col: None if val == "__HIVE_DEFAULT_PARTITION__" else val},
+                        )
+                    continue
+                if not entry.endswith(".parquet"):
+                    continue
+                staged = f"cv-{uuid.uuid4().hex}-{entry}"
+                dest = os.path.join(log.data_path, staged)
+                if link:
+                    try:
+                        os.link(full, dest)
+                    except OSError:  # cross-device: fall back to copy
+                        shutil.copy2(full, dest)
+                else:
+                    shutil.copy2(full, dest)
+                adds.append(staged)
+                fs = {"__bytes": os.path.getsize(dest)}
+                if stats_cols:
+                    fs.update(_footer_minmax(dest, list(stats_cols)) or {})
+                stats[staged] = fs
+                if pvals:
+                    parts[staged] = dict(pvals)
+
+        ingest(src_root, {})
+        if not adds:
+            raise ValueError(f"no parquet files under {source_dir!r}")
+        # partition columns discovered by Spark are typed in schema_json;
+        # unused here beyond documentation, but assert they exist
+        for pv in parts.values():
+            for col in pv:
+                if col not in pcol_types:
+                    raise ValueError(
+                        f"partition directory column {col!r} missing from "
+                        "the resolved schema"
+                    )
+        # staged_cleanup default: a lost race deletes only the LINKS in
+        # the table's data dir — the source files are never touched
+        log.commit_files(
+            adds, op="convert", schema_json=schema_json,
+            stats=stats, parts=parts,
+        )
+        return log
+
     def add_constraint(self, name: str, expr: str) -> int:
         """Register a CHECK constraint (Delta's ALTER TABLE ADD CONSTRAINT,
         public docs): a SQL boolean expression every row of every LATER
@@ -2695,7 +2789,7 @@ class TxLog:
                     cdf_df.withColumn("_commit_version", F.lit(v).cast("long"))
                 )
                 continue
-            if m["op"] != "append":
+            if m["op"] not in ("append", "convert"):
                 if not m["adds"] and not m.get("removes") and not m.get("dvs"):
                     # Metadata-only commit (e.g. op='constraint'): zero file
                     # changes means zero logical row changes — skipping it

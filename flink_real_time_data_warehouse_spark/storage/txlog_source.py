@@ -213,7 +213,7 @@ class _TxLogStreamReader(DataSourceStreamReader):
         m = self._log.store.read(self._log._manifest_name(v))
         if self._cdf and m.get("cdf"):
             return m, list(m["cdf"])
-        if m["op"] == "append":
+        if m["op"] in ("append", "convert"):
             return m, list(m["adds"])
         return m, []
 
@@ -320,7 +320,7 @@ class _TxLogStreamReader(DataSourceStreamReader):
                 mk = lambda n: _FilesPartition(  # noqa: E731
                     [os.path.join(data, n)], v, None, {}, sj, self._cmap
                 )
-            elif m["op"] != "append":
+            elif m["op"] not in ("append", "convert"):
                 if not m["adds"] and not m.get("removes") and not m.get("dvs"):
                     continue  # metadata-only commit: no logical row changes
                 if self._skip_changes:

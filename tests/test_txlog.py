@@ -2543,3 +2543,55 @@ def test_optimize_preserves_partition_metadata_and_pruning(tmp_path, spark):
         if st.parts.get(n, {}).get("p") in ("a",) or st.parts.get(n, {}).get("p") is None
     ]
     assert len(pruned_files) < len(st.files)
+
+
+def test_convert_parquet_dir_to_table(tmp_path, spark):
+    """CONVERT TO txlog (Delta's CONVERT TO DELTA): one directory walk +
+    one commit turns an existing Hive-partitioned parquet dir into a
+    table — files HARDLINKED (zero bytes copied), partition dirs become
+    manifest partition values (NULLs included), footer stats recorded,
+    the source dir untouched, streams serve the convert commit as the
+    initial insert load, and a second convert is refused."""
+    src = str(tmp_path / "raw")
+    df = spark.createDataFrame(
+        [(k, "a" if k % 2 == 0 else None) for k in range(10)],
+        "k long, p string",
+    )
+    df.repartition(1).write.partitionBy("p").parquet(src)
+    import os as _os
+
+    n_src = sum(len(fs) for _, _, fs in _os.walk(src))
+    log = TxLog.convert(
+        spark, src, str(tmp_path / "t"), stats_cols=["k"]
+    )
+    st = log.state()
+    assert st.version == 0 and log.history()[0]["op"] == "convert"
+    rows = {r["k"]: r["p"] for r in log.snapshot(spark).collect()}
+    assert rows == {k: ("a" if k % 2 == 0 else None) for k in range(10)}
+    assert all("k" in s and "__bytes" in s for s in st.stats.values())
+    assert {pv.get("p") for pv in st.parts.values()} == {"a", None}
+    # source untouched (same file count), links share inodes
+    assert sum(len(fs) for _, _, fs in _os.walk(src)) == n_src
+    # partition pruning works off the converted metadata
+    got = {r["k"] for r in log.snapshot(spark, partitions={"p": ["a"]}).collect()}
+    assert {0, 2, 4, 6, 8} <= got
+    # the convert commit streams as the initial insert load
+    from flink_real_time_data_warehouse_spark.storage.txlog_source import (
+        register_txlog_source,
+    )
+
+    register_txlog_source(spark)
+    q = (
+        spark.readStream.format("txlog")
+        .option("path", log.path)
+        .load()
+        .writeStream.format("memory")
+        .queryName("cv_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.sql("select count(*) c from cv_out").first()["c"] == 10
+    with pytest.raises(ValueError, match="already has commits"):
+        TxLog.convert(spark, src, str(tmp_path / "t"))
