@@ -90,8 +90,9 @@ _GRADE_FIRST: list[str] = [
     # new_user_stream, uv_stream, bounce_stream, dedup_exact_stream,
     # dedup_minhash_stream, ingest_pipeline_stream, ann_ingest_stream,
     # ann_sign_lsh_topk, ann_quantized_topk, ann_ivf_quantized_topk,
-    # dedup_incremental, txlog_stream_sink — then the round-8 additions
-    # below, then fill from the r6 block.
+    # dedup_incremental, txlog_stream_sink — then the ELEVEN round-8
+    # additions below (every one driver-sim verified green this session,
+    # none has a driver row yet), then fill from the r6 block.
     # New in round 8 (registered below as they land; ignored until then).
     "dedup_exact_substring", "bpe_train", "bpe_tokenize",
     "txlog_identity_merge_read", "txlog_merge_evolve_read",
