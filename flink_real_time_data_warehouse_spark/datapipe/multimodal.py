@@ -263,12 +263,31 @@ def decode_assets(
 
         import pandas as _pd
 
+        import struct
+
+        def _hdr(b):
+            # header-level parse (PNG IHDR / BMP / WAV fmt) — the REAL
+            # decode contract for formats whose dimensions live at fixed
+            # offsets; mirrors parse_header_py (kept inline: Spark pickles
+            # this closure to workers without the package on sys.path)
+            if b[:8] == bytes.fromhex("89504E470D0A1A0A") and len(b) >= 24:
+                return struct.unpack(">II", b[16:24])
+            if (b[:2] == b"BM" and len(b) >= 26
+                    and struct.unpack("<I", b[14:18])[0] == 40):
+                return struct.unpack("<ii", b[18:26])
+            return None
+
         for pdf in batches:
             out = []
             for aid, mtype, payload in zip(pdf["asset_id"], pdf["media_type"], pdf["payload"]):
-                h = hashlib.md5(bytes(payload) if payload is not None else b"").hexdigest()
-                width = 64 + int(h[:4], 16) % 1024
-                height = 64 + int(h[4:8], 16) % 1024
+                raw = bytes(payload) if payload is not None else b""
+                h = hashlib.md5(raw).hexdigest()
+                wh = _hdr(raw)
+                if wh is not None:
+                    width, height = int(wh[0]), int(wh[1])
+                else:  # unknown container: deterministic fake dims
+                    width = 64 + int(h[:4], 16) % 1024
+                    height = 64 + int(h[4:8], 16) % 1024
                 n_frames = 1 + int(h[8:12], 16) % 32
                 out.append(
                     {
@@ -283,3 +302,171 @@ def decode_assets(
             yield _pd.DataFrame(out, columns=out_cols)
 
     return sized.mapInPandas(run, DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Header-level media parsing (r8 verdict task 5): the decode CONTRACT made
+# real without codec libraries. PNG IHDR, BMP BITMAPINFOHEADER and WAV
+# RIFF/fmt headers carry their dimensions at fixed byte offsets, so both
+# the synthesis of format-valid payloads and the parse back out are pure
+# JVM column arithmetic — substring on the binary column, hex, conv —
+# inside whole-stage codegen, with ZERO Python in the plan. At 100 TB this
+# is the shape that matters: dimension extraction reads a bounded prefix
+# of each payload and never crosses into a Python worker.
+# ---------------------------------------------------------------------------
+
+
+def _be_enc(col, n: int):
+    """Integer column -> n-byte big-endian binary (JVM-side)."""
+    return F.unhex(F.lpad(F.hex(col.cast("long")), 2 * n, "0"))
+
+
+def _le_enc(col, n: int):
+    """Integer column -> n-byte little-endian binary: pad the hex, then
+    swap byte pairs (hex chars 2i..2i+1) into reverse order."""
+    h = F.lpad(F.hex(col.cast("long")), 2 * n, "0")
+    pairs = [F.substring(h, 2 * i + 1, 2) for i in reversed(range(n))]
+    return F.unhex(F.concat(*pairs))
+
+
+def _be_int(bin_col, pos: int, n: int):
+    """n bytes at 1-indexed `pos` of a binary column -> big-endian long."""
+    return F.conv(F.hex(F.substring(bin_col, pos, n)), 16, 10).cast("long")
+
+
+def _le_int(bin_col, pos: int, n: int):
+    """n bytes at 1-indexed `pos` -> little-endian long (pair-swapped hex)."""
+    h = F.hex(F.substring(bin_col, pos, n))
+    pairs = [F.substring(h, 2 * i + 1, 2) for i in reversed(range(n))]
+    return F.conv(F.concat(*pairs), 16, 10).cast("long")
+
+
+#: magic prefixes, hex form
+_PNG_SIG = "89504E470D0A1A0A"
+
+
+def _lit_bin(hex_str: str):
+    return F.unhex(F.lit(hex_str))
+
+
+def _ascii_hex(s: str) -> str:
+    return "".join(format(ord(c), "02X") for c in s)
+
+
+def synth_media_payloads(docs: DataFrame) -> DataFrame:
+    """Format-valid media headers synthesized per document, dimensions a
+    deterministic function of doc_id (so an oracle can replay them):
+    doc_id%3==0 -> PNG (sig + IHDR chunk), ==1 -> BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER), ==2 -> WAV (RIFF + fmt + empty data chunk). The
+    payload bytes are REAL headers a stock decoder would accept (PNG CRC
+    left zeroed — checksum, not structure); the parse path below trusts
+    only the bytes, never these formulas."""
+    did = F.col("doc_id")
+    width = (F.lit(16) + did % 1009).cast("long")
+    height = (F.lit(16) + (did * 7) % 997).cast("long")
+    rate = (F.lit(8000) + (did % 8) * 4000).cast("long")
+    chans = (F.lit(1) + did % 2).cast("long")
+    bits = F.lit(16).cast("long")
+
+    png = F.concat(
+        _lit_bin(_PNG_SIG),
+        _be_enc(F.lit(13), 4),              # IHDR length
+        _lit_bin(_ascii_hex("IHDR")),
+        _be_enc(width, 4), _be_enc(height, 4),
+        _lit_bin("0806000000"),             # depth 8, RGBA, std flags
+        _lit_bin("00000000"),               # CRC (zeroed)
+    )
+    bmp = F.concat(
+        _lit_bin(_ascii_hex("BM")),
+        _le_enc(F.lit(54), 4),              # file size (header only)
+        _lit_bin("00000000"),               # reserved
+        _le_enc(F.lit(54), 4),              # pixel-data offset
+        _le_enc(F.lit(40), 4),              # BITMAPINFOHEADER size
+        _le_enc(width, 4), _le_enc(height, 4),
+        _le_enc(F.lit(1), 2),               # planes
+        _le_enc(F.lit(24), 2),              # bpp
+        _lit_bin("00" * 24),                # compression..palette fields
+    )
+    wav = F.concat(
+        _lit_bin(_ascii_hex("RIFF")),
+        _le_enc(F.lit(36), 4),              # chunk size (no samples)
+        _lit_bin(_ascii_hex("WAVE")),
+        _lit_bin(_ascii_hex("fmt ")),
+        _le_enc(F.lit(16), 4),              # fmt subchunk size
+        _le_enc(F.lit(1), 2),               # PCM
+        _le_enc(chans, 2),
+        _le_enc(rate, 4),
+        _le_enc(rate * chans * (bits / F.lit(8)).cast("long"), 4),  # byte rate
+        _le_enc(chans * (bits / F.lit(8)).cast("long"), 2),         # block align
+        _le_enc(bits, 2),
+        _lit_bin(_ascii_hex("data")),
+        _le_enc(F.lit(0), 4),
+    )
+    kind = (did % 3).cast("int")
+    return docs.select(
+        did.alias("asset_id"),
+        F.when(kind == 0, png).when(kind == 1, bmp).otherwise(wav).alias("payload"),
+    )
+
+
+def parse_media_headers(assets: DataFrame) -> DataFrame:
+    """Dimension extraction from the binary column, trusting ONLY the
+    bytes: container detected from the magic prefix, then width/height
+    (PNG big-endian at IHDR offsets 17/21; BMP little-endian at
+    BITMAPINFOHEADER offsets 19/23) or channels/sample-rate/bits (WAV fmt
+    chunk offsets 23/25/35) decoded with substring+hex+conv — all inside
+    whole-stage codegen, no UDF, no mapInPandas (plan-tested). Unknown
+    magic -> container NULL, every field NULL."""
+    p = F.col("payload")
+    is_png = F.hex(F.substring(p, 1, 8)) == _PNG_SIG
+    # BM alone can occur in text bytes; require the BITMAPINFOHEADER
+    # size field (offset 14, LE u32 == 40) like real sniffer code does
+    is_bmp = (F.hex(F.substring(p, 1, 2)) == _ascii_hex("BM")) & (
+        _le_int(p, 15, 4) == 40
+    )
+    is_wav = (F.hex(F.substring(p, 1, 4)) == _ascii_hex("RIFF")) & (
+        F.hex(F.substring(p, 9, 4)) == _ascii_hex("WAVE")
+    )
+    container = (
+        F.when(is_png, F.lit("png"))
+        .when(is_bmp, F.lit("bmp"))
+        .when(is_wav, F.lit("wav"))
+    )
+    width = F.when(is_png, _be_int(p, 17, 4)).when(is_bmp, _le_int(p, 19, 4))
+    height = F.when(is_png, _be_int(p, 21, 4)).when(is_bmp, _le_int(p, 23, 4))
+    channels = F.when(is_wav, _le_int(p, 23, 2))
+    rate = F.when(is_wav, _le_int(p, 25, 4))
+    bits = F.when(is_wav, _le_int(p, 35, 2))
+    return assets.select(
+        "asset_id",
+        container.alias("container"),
+        width.alias("width"),
+        height.alias("height"),
+        rate.alias("sample_rate"),
+        channels.alias("channels"),
+        bits.alias("bits_per_sample"),
+    )
+
+
+def parse_header_py(payload: bytes) -> dict | None:
+    """The same header contract for the PYTHON decode path (decode_assets'
+    mapInPandas): struct-unpack the fixed offsets. Returns None for
+    unknown magic so callers can fall back to the deterministic fake."""
+    import struct
+
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:8] == bytes.fromhex(_PNG_SIG) and len(b) >= 24:
+        w, h = struct.unpack(">II", b[16:24])
+        return {"container": "png", "width": w, "height": h}
+    if (b[:2] == b"BM" and len(b) >= 26
+            and struct.unpack("<I", b[14:18])[0] == 40):
+        w, h = struct.unpack("<ii", b[18:26])
+        return {"container": "bmp", "width": w, "height": h}
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE" and len(b) >= 36:
+        chans, rate = struct.unpack("<HI", b[22:28])
+        bits = struct.unpack("<H", b[34:36])[0]
+        return {"container": "wav", "channels": chans, "sample_rate": rate,
+                "bits_per_sample": bits}
+    return None

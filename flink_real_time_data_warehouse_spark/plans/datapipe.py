@@ -2906,6 +2906,46 @@ def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_dimensions",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+                WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS container,
+           CASE WHEN doc_id % 3 IN (0, 1)
+                THEN CAST(16 + doc_id % 1009 AS BIGINT) END AS width,
+           CASE WHEN doc_id % 3 IN (0, 1)
+                THEN CAST(16 + (doc_id * 7) % 997 AS BIGINT) END AS height,
+           CASE WHEN doc_id % 3 = 2
+                THEN CAST(8000 + (doc_id % 8) * 4000 AS BIGINT) END AS sample_rate,
+           CASE WHEN doc_id % 3 = 2
+                THEN CAST(1 + doc_id % 2 AS BIGINT) END AS channels,
+           CASE WHEN doc_id % 3 = 2 THEN CAST(16 AS BIGINT) END AS bits_per_sample
+    FROM documents
+    """,
+    doc=(
+        "header-level media decode made REAL (r8 verdict task 5, replacing "
+        "the fake decoder's made-up dims for header-parseable formats): "
+        "synth_media_payloads builds format-valid PNG IHDR / BMP "
+        "BITMAPINFOHEADER / WAV RIFF-fmt binaries whose dimensions are a "
+        "deterministic function of doc_id; parse_media_headers recovers "
+        "container + width/height/sample-rate/channels/bits from the BYTES "
+        "alone (magic sniffing incl. the BITMAPINFOHEADER-size guard, then "
+        "substring+hex+conv big-/little-endian field decodes) — pure JVM "
+        "whole-stage-codegen column arithmetic, zero Python in the plan "
+        "(plan-tested). The oracle replays the doc_id formulas, so any bug "
+        "in EITHER the byte encoder or the byte parser breaks the hash. "
+        "At 100 TB: dimension extraction touches a bounded payload prefix "
+        "and never crosses an Arrow boundary"
+    ),
+)
+def multimodal_dimensions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.multimodal import parse_media_headers, synth_media_payloads
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return parse_media_headers(synth_media_payloads(docs))
+
+
+@register(
     "frame_sample",
     oracle=f"""
     WITH v AS (SELECT doc_id AS asset_id, md5(text) AS h,

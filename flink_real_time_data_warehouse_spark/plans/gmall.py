@@ -1220,6 +1220,60 @@ def datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# datetime_funcs_cst — SURVEY §7.3 Asia/Shanghai parity (r8 verdict task 4):
+# the reference's DateTimeUtil hardcodes +8 (utils/DateTimeUtil.java:20-23);
+# the engine normalizes to UTC everywhere EXCEPT this query, which runs its
+# datetime surface under spark.sql.session.timeZone=Asia/Shanghai and
+# hash-matches a DuckDB oracle doing the same +8 math. The session timezone
+# is baked into the expressions at ANALYSIS time, so the conf is restored
+# before returning and the rest of the registry stays UTC.
+# ---------------------------------------------------------------------------
+@register(
+    "datetime_funcs_cst",
+    oracle="""
+    SELECT event_id,
+           strftime(ts + INTERVAL 8 HOUR, '%Y-%m-%d %H:%M:%S') AS cst_time_str,
+           CAST(floor(epoch(ts)) AS BIGINT) AS rt_epoch,
+           strftime(ts + INTERVAL 8 HOUR, '%Y-%m-%d') AS cst_date,
+           CAST(hour(ts + INTERVAL 8 HOUR) AS INTEGER) AS cst_hour
+    FROM events
+    """,
+    doc=(
+        "F6 Asia/Shanghai parity (DateTimeUtil.java:20-23 hardcodes +8): "
+        "date_format / to_timestamp / unix_timestamp / split_date_hour "
+        "under session.timeZone=Asia/Shanghai. cst_time_str/cst_date/"
+        "cst_hour prove the +8 WALL-CLOCK rendering (UTC evenings roll "
+        "into the next CST day — a real date-boundary test, not a "
+        "constant shift of midnights); rt_epoch proves the string<->"
+        "instant ROUND TRIP is lossless: formatting the instant in +8 "
+        "and re-parsing the string under the same session zone returns "
+        "the original epoch second. The conf is set/restored around "
+        "ANALYSIS only — timezone-aware expressions capture the zone at "
+        "resolution, so the returned plan stays +8 while the session "
+        "reverts to UTC for every other registry entry"
+    ),
+)
+def datetime_funcs_cst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.datetime import fmt, split_date_hour, to_ts
+
+    ev = table(spark, sf_dir, "events")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
+    try:
+        d, h = split_date_hour(F.col("ts"))
+        out = ev.select(
+            "event_id",
+            fmt(F.col("ts")).alias("cst_time_str"),
+            F.unix_timestamp(to_ts(fmt(F.col("ts")))).alias("rt_epoch"),
+            d.alias("cst_date"),
+            h.alias("cst_hour"),
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # serving_gmv — SURVEY §2.5 A6 + §2.9 K6 (SugarController/ProductStatsMapper):
 # serving-layer aggregate: GMV per day from purchase events.
 # ---------------------------------------------------------------------------

@@ -2360,6 +2360,90 @@ def txlog_convert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txlog_vacuum_read",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+         kept AS (SELECT o_orderkey, o_orderstatus FROM orders
+                  WHERE o_orderkey > (SELECT m FROM mx) // 4)
+    SELECT o_orderstatus, count(*) AS order_ct,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(min(o_orderkey) AS BIGINT) AS key_min,
+           CAST(max(o_orderkey) AS BIGINT) AS key_max
+    FROM kept GROUP BY o_orderstatus
+    """,
+    doc=(
+        "VACUUM (Delta's deletedFileRetentionDuration contract — "
+        "storage/txlog.py TxLog.vacuum, the last txlog verb to be "
+        "oracle-graded, r8 verdict task 3): two appends land 8 files, "
+        "OPTIMIZE cluster_by bin-packs them (8 dead), a range DELETE "
+        "rewrites the low file (1 more dead), then vacuum(grace=0) "
+        "collects every unreferenced file. The plan ASSERTS the physical "
+        "contract, not just the count: (a) every dead file is gone from "
+        "the data directory, (b) every live file survived, (c) "
+        "pre-horizon time travel (snapshot at v1, whose files were "
+        "collected) fails LOUDLY at scan time — never a silently "
+        "smaller result — while the latest snapshot hash-matches the "
+        "oracle. Reference analog: the retention cleanup the warehouse "
+        "layer would run against its ods/dwd history"
+    ),
+)
+def txlog_vacuum_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..storage import TxLog
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    cut = mx // 4
+    work = tempfile.mkdtemp(prefix="txlog_vacuum_")
+    log = TxLog(os.path.join(work, "t"))
+    half = mx // 2
+    log.append(
+        orders.where(F.col("o_orderkey") <= half).repartition(4),
+        stats_cols=["o_orderkey"],
+    )  # v0: 4 files
+    log.append(
+        orders.where(F.col("o_orderkey") > half).repartition(4),
+        stats_cols=["o_orderkey"],
+    )  # v1: 4 more
+    files_v1 = set(log.state().files)
+    log.optimize(spark, max_files=2, cluster_by="o_orderkey")  # v2: 8 dead
+    pre_delete = set(log.state().files)
+    log.delete(spark, "o_orderkey", 0, cut)  # v3: low file rewritten/dropped
+    live = set(log.state().files)
+    dead = (files_v1 | pre_delete) - live
+    if not dead:
+        raise AssertionError("optimize+delete must strand files")
+    n = log.vacuum(grace_seconds=0.0)
+    if n < len(dead):
+        raise AssertionError(f"vacuum removed {n} < {len(dead)} dead files")
+    present = set(os.listdir(log.data_path))
+    if dead & present:
+        raise AssertionError(f"dead files survive vacuum: {dead & present}")
+    if not live <= present:
+        raise AssertionError(f"vacuum ate live files: {live - present}")
+    # pre-horizon time travel: reconstruction stays metadata-only, but the
+    # READ must fail loudly at scan time (Delta's documented behavior)
+    try:
+        log.snapshot(spark, version=1).agg(F.count("*")).first()
+    except AssertionError:
+        raise
+    except Exception:
+        pass  # the loud missing-path scan failure — expected
+    else:
+        raise AssertionError(
+            "pre-horizon time travel must fail after vacuum, not shrink"
+        )
+    return log.snapshot(spark).groupBy("o_orderstatus").agg(
+        F.count("*").alias("order_ct"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.min("o_orderkey").alias("key_min"),
+        F.max("o_orderkey").alias("key_max"),
+    )
+
+
+@register(
     "order_count_distribution",
     oracle="""
     SELECT c_count, count(*) AS custdist

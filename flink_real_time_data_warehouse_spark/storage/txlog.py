@@ -690,7 +690,11 @@ class TxLog:
                 if stats_cols:
                     fs = _footer_minmax(dest, stats_cols)
                     if fs:
-                        stats[staged] = fs
+                        # merge, don't replace: the __bytes entry above
+                        # (and any bloom entries) must survive alongside
+                        # footer min/max, or byte-paced streaming falls
+                        # back to driver-side stat() calls (ADVICE r8)
+                        stats.setdefault(staged, {}).update(fs)
                 if bloom_cols:
                     import pyarrow.parquet as pq
 
@@ -844,6 +848,16 @@ class TxLog:
                 raise ValueError(
                     f"column {ph!r} was renamed to {lg!r}: write frames "
                     "must use the current logical name"
+                )
+            if ph != lg and ph in df.columns and lg in df.columns:
+                # a frame carrying BOTH names would pass the staleness
+                # check above, and _stage's withColumnRenamed(lg, ph)
+                # would then stage two columns sharing one physical name
+                # — the exact corruption this guard exists to prevent
+                # (ADVICE r8)
+                raise ValueError(
+                    f"write frame carries both {lg!r} and its stale "
+                    f"physical name {ph!r}: drop or rename {ph!r}"
                 )
 
     def _read_files(
@@ -1067,13 +1081,20 @@ class TxLog:
                 id_cols = [c for c in sorted(id_specs) if c in base.columns]
                 if id_cols:
                     # surrogate-key continuity (same rule as apply_cdc):
-                    # an upsert of an existing key keeps that key's id
+                    # an upsert of an existing key keeps that key's id.
+                    # Identity does not enforce key uniqueness (plain
+                    # appends can duplicate a key), so collapse the id map
+                    # to one deterministic id per key — min(id) — or the
+                    # left join would fan each update row out into one row
+                    # per existing id (ADVICE r8).
                     ups = ups.join(
                         F.broadcast(
                             base.join(
                                 F.broadcast(updates.select(key).distinct()),
                                 key, "left_semi",
-                            ).select(key, *id_cols)
+                            )
+                            .groupBy(key)
+                            .agg(*[F.min(c).alias(c) for c in id_cols])
                         ),
                         key,
                         "left",
@@ -2579,11 +2600,15 @@ class TxLog:
                 if id_cols:
                     # surrogate-key continuity: an upsert of an existing
                     # key keeps that key's current id (broadcast of the
-                    # touched keys' id map — bounded by the change batch)
+                    # touched keys' id map — bounded by the change batch).
+                    # min(id) per key: duplicate keys from plain appends
+                    # must not fan updates out into one row per id
+                    # (ADVICE r8).
                     ups = ups.join(
                         F.broadcast(
                             base.join(F.broadcast(key_rows), key, "left_semi")
-                            .select(key, *id_cols)
+                            .groupBy(key)
+                            .agg(*[F.min(c).alias(c) for c in id_cols])
                         ),
                         key,
                         "left",

@@ -166,6 +166,14 @@ class TxLogStreamWriter(TxLogBatchWriter, DataSourceStreamArrowWriter):
     writer."""
 
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        if overwrite:
+            # complete/truncating output modes would silently degrade to
+            # append-only (duplicating rows every trigger) — refuse loud,
+            # mirroring the other contract refusals (ADVICE r8)
+            raise ValueError(
+                "format('txlog') streaming sink is append-only: "
+                "truncating output modes (complete) are not supported"
+            )
         super().__init__(schema, options, overwrite=False)
         app = options.get("app_id")
         if not app:

@@ -562,3 +562,29 @@ def test_pq_adc_scan_joins_codes_to_broadcast_lut(spark):
     # tiny relations (codebooks, LUT, candidates, queries) broadcast
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan, f"ADC scan lost its broadcast:\n{plan}"
+
+
+def test_multimodal_dimensions_zero_python(spark):
+    """Header-level media parsing (r8 verdict task 5) is pure JVM column
+    arithmetic: no Arrow/Python eval node anywhere in the plan, and the
+    whole synth->parse chain stays inside whole-stage codegen."""
+    df = registry()["multimodal_dimensions"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapsInPandas"):
+        assert bad not in plan, f"Python crossed into the plan: {bad}"
+    assert "*(1)" in plan  # the codegen-stage marker: one fused stage
+
+
+def test_header_parse_rejects_lookalike_text(spark):
+    """The BMP sniffer must not claim text that merely starts with 'BM':
+    the BITMAPINFOHEADER-size guard keeps lookalikes NULL."""
+    from flink_real_time_data_warehouse_spark.datapipe.multimodal import (
+        parse_header_py,
+        parse_media_headers,
+    )
+
+    fake = b"BMW sales rose sharply in the third quarter of the year."
+    assert parse_header_py(fake) is None
+    df = spark.createDataFrame([(1, bytearray(fake))], "asset_id long, payload binary")
+    row = parse_media_headers(df).first()
+    assert row["container"] is None and row["width"] is None

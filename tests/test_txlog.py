@@ -2595,3 +2595,80 @@ def test_convert_parquet_dir_to_table(tmp_path, spark):
     assert spark.sql("select count(*) c from cv_out").first()["c"] == 10
     with pytest.raises(ValueError, match="already has commits"):
         TxLog.convert(spark, src, str(tmp_path / "t"))
+
+
+def test_stage_stats_merge_bytes_with_footer_minmax(tmp_path, spark):
+    """_stage must MERGE footer min/max into the stats dict, not replace
+    it: __bytes (the streaming source's byte-pacing input) and footer
+    stats coexist on every file staged with stats_cols (ADVICE r8 — the
+    assignment form silently dropped __bytes, degrading pacing to
+    driver-side stat() calls)."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(
+        spark.createDataFrame([(k, k * 2) for k in range(10)], "k long, v long")
+        .coalesce(2),
+        stats_cols=["k"],
+    )
+    st = log.state()
+    assert st.files, "append staged files"
+    for n in st.files:
+        s = st.stats.get(n, {})
+        assert "__bytes" in s and s["__bytes"] > 0, f"{n} lost __bytes"
+        assert "k" in s, f"{n} lost footer min/max"
+
+
+def test_identity_merge_duplicate_base_key_no_fanout(tmp_path, spark):
+    """Identity continuity with a DUPLICATED base key (possible via plain
+    appends — identity does not enforce key uniqueness): the id map must
+    collapse to one deterministic id per key (min), so a single update
+    row commits as ONE row, not one per existing id (ADVICE r8)."""
+    log = TxLog(str(tmp_path / "t"))
+    log.add_identity_column("sid", start=1, step=1)
+    log.append(
+        spark.createDataFrame([(1, 0), (1, 1), (2, 2)], "k long, v long")
+        .coalesce(1),
+        identity_order_by=["v"],
+    )  # sid 1,2 both carry k=1; sid 3 carries k=2
+    log.merge(spark, spark.createDataFrame([(1, 99)], "k long, v long"), "k")
+    rows = log.snapshot(spark).collect()
+    k1 = [r for r in rows if r["k"] == 1]
+    assert len(k1) == 1, f"update fanned out: {k1}"
+    assert k1[0]["sid"] == 1 and k1[0]["v"] == 99
+    # same rule on the CDC path
+    ch = spark.createDataFrame([(2, -1, "u")], "k long, v long, op string")
+    log.append(
+        spark.createDataFrame([(2, 5)], "k long, v long").coalesce(1),
+        identity_order_by=["v"],
+    )  # k=2 now duplicated (sid 3 and 4)
+    log.apply_cdc(spark, ch, "k")
+    k2 = [r for r in log.snapshot(spark).collect() if r["k"] == 2]
+    assert len(k2) == 1 and k2[0]["sid"] == 3 and k2[0]["v"] == -1
+
+
+def test_write_frame_with_both_logical_and_physical_name_refused(tmp_path, spark):
+    """After rename(a->b), a frame carrying BOTH a and b passes the
+    stale-name check but would stage two columns sharing one physical
+    name — refuse loud (ADVICE r8)."""
+    log = TxLog(str(tmp_path / "t"))
+    log.append(spark.createDataFrame([(1, 2)], "a long, v long").coalesce(1))
+    log.rename_column("a", "b")
+    both = spark.createDataFrame([(3, 4, 5)], "a long, b long, v long")
+    with pytest.raises(ValueError, match="both"):
+        log.append(both.coalesce(1))
+    with pytest.raises(ValueError, match="both"):
+        log.overwrite(both.coalesce(1))
+
+
+def test_stream_writer_refuses_truncating_output_mode():
+    """The txlog streaming sink is append-only: a truncating (complete)
+    output mode must be refused at construction, not silently treated as
+    append (ADVICE r8)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from flink_real_time_data_warehouse_spark.storage.txlog_writer import (
+        TxLogStreamWriter,
+    )
+
+    schema = StructType([StructField("k", LongType())])
+    with pytest.raises(ValueError, match="append-only"):
+        TxLogStreamWriter(schema, {"path": "/tmp/x", "app_id": "a"}, overwrite=True)
