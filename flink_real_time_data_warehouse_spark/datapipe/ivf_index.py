@@ -49,12 +49,16 @@ from .similarity import (
     INT8_CAND,
     IVF_K,
     IVF_NPROBE,
+    PQ_CAND,
     _with_int8,
     assign_top1,
     assign_topn,
     cosine,
     dot8,
     ivf_probe_topk,
+    pq_encode,
+    quantized,
+    qdot,
     with_int8_code,
 )
 
@@ -113,6 +117,7 @@ class IvfIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         centroids: DataFrame | None = None,
+        pq_books: DataFrame | None = None,
     ) -> None:
         """Freeze the coarse quantizer and assign the build corpus.
 
@@ -120,6 +125,14 @@ class IvfIndex:
         `ivf_topk`, so results are oracle-comparable); pass a
         `kmeans_centroids`-trained frame as ``centroids`` for the
         production quantizer — every downstream plan is unchanged.
+
+        ``pq_books`` ((sub, cid, cq) from `similarity.pq_codebooks`)
+        upgrades the layout to FAISS's IVFPQ: the books freeze alongside
+        the coarse quantizer and every list row additionally stores the
+        vector's m PQ code ids (``nv_pq``), so `topk_pq` can ADC-scan the
+        probed lists reading codes only. Books must freeze at build time
+        — codes appended later have to come from the same codebooks or
+        ADC sums would mix incompatible codeword spaces.
         """
         cents = centroids
         if cents is None:
@@ -138,6 +151,11 @@ class IvfIndex:
             cents.write.mode("overwrite").parquet(
                 os.path.join(self.base_dir, "centroids")
             )
+            if pq_books is not None:
+                pq_books.write.mode("overwrite").parquet(
+                    os.path.join(self.base_dir, "pq_books")
+                )
+                self._commit_marker("_pq_built")
             self._commit_marker("_built")
             self._append_locked(corpus, id_col, vec_col, batch_no=None)
 
@@ -188,6 +206,24 @@ class IvfIndex:
         inv = with_int8_code(inv, "nv", "nv").withColumn(
             "nv_c8", F.transform("nv_c8", lambda x: x.cast("tinyint"))
         )
+        if self.has_pq():
+            # IVFPQ rows also carry the m PQ code ids, encoded against
+            # the FROZEN books in the same append pass — array<int>,
+            # ~m bytes/vector, the 16x-compressed ADC scan column
+            books = self.pq_books()
+            m, width = self._pq_shape()
+            codes = pq_encode(
+                vectors, books, m=m, dim=m * width, id_col=id_col, vec_col=vec_col
+            )
+            arr = (
+                codes.groupBy("vid")
+                .agg(F.array_sort(F.collect_list(F.struct("sub", "cid"))).alias("sc"))
+                .select(
+                    "vid",
+                    F.transform("sc", lambda x: x["cid"].cast("int")).alias("nv_pq"),
+                )
+            )
+            inv = inv.join(arr, inv["neighbor_id"] == arr["vid"]).drop("vid")
         inv.write.mode("overwrite").partitionBy("cid").parquet(
             os.path.join(self.base_dir, "lists", f"batch={n}")
         )
@@ -237,6 +273,22 @@ class IvfIndex:
         if not self.is_built():
             raise RuntimeError("IVF index not built")
         return self.spark.read.parquet(os.path.join(self.base_dir, "centroids"))
+
+    def has_pq(self) -> bool:
+        return os.path.exists(os.path.join(self.base_dir, "_pq_built"))
+
+    def pq_books(self) -> DataFrame:
+        if not self.has_pq():
+            raise RuntimeError("IVF index has no PQ codebooks")
+        return self.spark.read.parquet(os.path.join(self.base_dir, "pq_books"))
+
+    def _pq_shape(self) -> tuple[int, int]:
+        """(m subspaces, subvector width) from the stored books — one
+        O(m*k)-row control-plane aggregate, no metadata sidecar."""
+        r = self.pq_books().agg(
+            (F.max("sub") + 1).alias("m"), F.max(F.size("cq")).alias("w")
+        ).first()
+        return int(r["m"]), int(r["w"])
 
     def lists(self) -> DataFrame:
         """Union of the committed list batches. Each batch dir is read
@@ -333,6 +385,113 @@ class IvfIndex:
                 .otherwise("keep")
                 .alias("verdict"),
             )
+        )
+
+    def topk_pq(
+        self,
+        queries: DataFrame,
+        k: int,
+        cand: int = PQ_CAND,
+        nprobe: int = IVF_NPROBE,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """IVF-PQ search — FAISS's production layout (Jegou et al. 2011
+        §V + the IVFADC system design), composing the r8 ADC scan with
+        the partition-pruned list probe:
+
+        1. queries rank against the stored coarse centroids (broadcast)
+           -> nprobe probed lists each;
+        2. ONE per-query lookup table: the query's quantized subvectors
+           against the FROZEN stored codebooks — m x k partial integer
+           dots, |Q|*nprobe*m*k broadcast rows total;
+        3. stage-1 scan reads ONLY (neighbor_id, cid, nv_pq) from the
+           probed lists — the cid partition column prunes unprobed
+           lists' FILES (dynamic partition pruning, plan-tested), and
+           the bytes that do move are the 16x-compressed codes, never
+           floats (plan-tested column pruning);
+        4. ADC: posexplode the m codes, broadcast-join the (probe x LUT)
+           rows on (cid, sub, code), fold duplicate batch rows by
+           max(pd) per (query, neighbor, sub), sum partials — exact
+           integer arithmetic, deterministic candidate set;
+        5. exact float cosine re-ranks the top `cand` survivors via a
+           (cid, neighbor_id) point join against the stored ``nv`` —
+           DPP again: the float column is read only for probed lists.
+
+        Returns (query_id, neighbor_id, rank)."""
+        m, width = self._pq_shape()
+        books = self.pq_books().withColumnRenamed("cid", "ccid")
+        probes = assign_topn(
+            queries, self.centroids(), nprobe, id_col, vec_col, "qid"
+        ).select("qid", "cid")
+        qemb = queries.select(
+            F.col(id_col).alias("qid"), quantized(F.col(vec_col)).alias("q")
+        )
+        qex = qemb.select(
+            "qid",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("sub"),
+                            F.slice("q", s * width + 1, width).alias("sq"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("x"),
+        ).select("qid", F.col("x.sub").alias("sub"), F.col("x.sq").alias("sq"))
+        lut = qex.join(F.broadcast(books), "sub").select(
+            "qid", "sub", "ccid", qdot(F.col("sq"), F.col("cq")).alias("pd")
+        )
+        probe_lut = probes.join(lut, "qid")  # |Q|*nprobe*m*k rows — tiny
+        codes = self.lists().select(
+            "neighbor_id", "cid", F.posexplode("nv_pq").alias("sub", "code")
+        )
+        scored = (
+            codes.join(
+                F.broadcast(probe_lut),
+                (codes["cid"] == probe_lut["cid"])
+                & (codes["sub"] == probe_lut["sub"])
+                & (codes["code"] == probe_lut["ccid"])
+                & (codes["neighbor_id"] != probe_lut["qid"]),
+            )
+            .select("qid", "neighbor_id", codes["cid"], codes["sub"], "pd")
+            # fold a compaction-window duplicate row (same vector visible
+            # in two batches: identical codes, identical pd) BEFORE the
+            # sum, or it would double-count; the second agg's keys are a
+            # prefix of the first's partitioning — no extra exchange
+            .groupBy("qid", "neighbor_id", "cid", "sub")
+            .agg(F.max("pd").alias("pd"))
+            .groupBy("qid", "neighbor_id", "cid")
+            .agg(F.sum("pd").alias("a"))
+        )
+        wc = Window.partitionBy("qid").orderBy(
+            F.col("a").desc(), F.col("neighbor_id").asc()
+        )
+        cands = (
+            scored.withColumn("crank", F.row_number().over(wc))
+            .where(F.col("crank") <= cand)
+            .select(F.col("qid").alias("query_id"), "neighbor_id", "cid")
+        )
+        qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        nv = self.lists().select("neighbor_id", "cid", "nv")
+        rer = (
+            nv.join(F.broadcast(cands), ["cid", "neighbor_id"])
+            .join(F.broadcast(qv), "query_id")
+            .select(
+                "query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("sim")
+            )
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.max("sim").alias("sim"))
+        )
+        wk = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            rer.withColumn("rank", F.row_number().over(wk))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank")
         )
 
     def topk_quantized(

@@ -1871,6 +1871,72 @@ def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_classifier_score",
+    oracle="""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''
+             )) AS toks
+      FROM documents
+    ),
+    feat AS MATERIALIZED (
+      SELECT doc_id, label,
+             (instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096
+           + (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256
+           + (instr('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16
+           + (instr('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) AS h16
+      FROM (SELECT doc_id, label, unnest(toks) AS tok FROM base)
+    ),
+    wt AS MATERIALIZED (
+      SELECT h16 % 1024 AS b,
+             CAST((1000 * (CAST(sum(label) AS BIGINT) + 1))
+                  // (count(*) + 2) AS BIGINT) AS w
+      FROM feat GROUP BY 1
+    ),
+    sc AS MATERIALIZED (
+      SELECT f.doc_id, CAST(sum(w.w) AS BIGINT) AS score,
+             count(*) AS n_feats
+      FROM feat f JOIN wt w ON f.h16 % 1024 = w.b
+      GROUP BY f.doc_id
+    )
+    SELECT b.doc_id,
+           CAST(coalesce(sc.score, 0) AS BIGINT) AS score,
+           CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+           CAST(CASE WHEN sc.n_feats > 0 THEN sc.score // sc.n_feats END
+                AS BIGINT) AS avg_milli,
+           CAST(CASE WHEN sc.n_feats > 0
+                     THEN CASE WHEN sc.score // sc.n_feats > 500 THEN 1 ELSE 0 END
+                END AS INTEGER) AS pred_positive
+    FROM base b LEFT JOIN sc ON b.doc_id = sc.doc_id
+    """,
+    doc=(
+        "learned quality classifier (CCNet/fastText shape, Wenzek 2020 / "
+        "Joulin 2016 — r8 verdict task 6, complementing the rule-based "
+        "text_quality): hashed-bag-of-words linear scorer, positives = "
+        "lang='en' (target-language recognition, CCNet's setup). TRAIN is "
+        "one aggregation pass whose shuffle moves only 1024-bucket "
+        "partial counts; the model is Laplace-smoothed FIXED-POINT "
+        "milli-probabilities packed 3 hex chars/bucket into one 3 KiB "
+        "string literal (a bounded O(B) artifact — the collect is the "
+        "model, not data); SCORE is a single zero-shuffle zero-join "
+        "whole-stage-codegen Project (plan-tested) summing packed weights "
+        "over each doc's distinct tokens. The oracle replays TRAINING and "
+        "SCORING end-to-end in SQL — integer math throughout, so any "
+        "drift in tokenize/hash/smooth/pack/lookup breaks the hash. "
+        "datapipe/classifier.py"
+    ),
+)
+def quality_classifier_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.classifier import score_with_model, train_quality_classifier
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    model = train_quality_classifier(docs, F.col("lang") == "en")
+    return score_with_model(docs, model)
+
+
+@register(
     "text_quality",
     oracle=f"""
     WITH {TOKS_CTE}
@@ -2170,6 +2236,142 @@ def kmeans_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cents.select(
         "cid", "n_members", F.posexplode("centroid").alias("pos", "comp")
     ).select("cid", "n_members", (F.col("pos") + 1).cast("long").alias("idx"), "comp")
+
+
+def _ivf_pq_oracle() -> str:
+    """IVF probe ∘ PQ-ADC: the `_pq_oracle` trainer/encoder/LUT CTEs with
+    the candidate scan restricted to each query's nprobe probed lists
+    (the `_ivf_quantized_oracle` assignment CTEs); exact re-rank."""
+    from ..datapipe.similarity import IVF_K, IVF_NPROBE, PQ_CAND, PQ_ITERS, PQ_K, PQ_SUBS
+
+    w = EMB_DIM // PQ_SUBS
+    assign_core = """
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
+        FROM ev e CROSS JOIN cents c
+    """
+    parts = [
+        f"cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv "
+        f"FROM embeddings WHERE vec_id < {IVF_K})",
+        "ev AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"inv AS MATERIALIZED (SELECT vec_id AS neighbor_id, cid FROM ({assign_core}) WHERE rn = 1)",
+        f"probes AS MATERIALIZED (SELECT vec_id AS qid, cid FROM ({assign_core})"
+        f" WHERE rn <= {IVF_NPROBE} AND vec_id < {ANN_QUERY_MAX})",
+        "emb AS MATERIALIZED (SELECT vec_id AS vid, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS q FROM embeddings)",
+    ]
+    for sub in range(PQ_SUBS):
+        lo = sub * w + 1
+        pre = f"p{sub}"
+        parts += [
+            f"{pre}e AS (SELECT vid, list_slice(q, {lo}, {lo + w - 1}) AS q FROM emb)",
+            f"{pre}c0 AS (SELECT vid AS cid, q AS cq FROM {pre}e WHERE vid < {PQ_K})",
+        ]
+        for i in range(1, PQ_ITERS + 1):
+            parts += [
+                f"{pre}a{i} AS (SELECT vid, q, cid FROM ("
+                f"  SELECT e.vid, e.q, c.cid, row_number() OVER ("
+                f"    PARTITION BY e.vid ORDER BY {_sql_cos('e.q', 'c.cq')} DESC, c.cid) AS rn"
+                f"  FROM {pre}e e CROSS JOIN {pre}c{i - 1} c) WHERE rn = 1)",
+                f"{pre}u{i} AS (SELECT cid, unnest(q) AS val, unnest(range(1, len(q)+1)) AS idx FROM {pre}a{i})",
+                f"{pre}m{i} AS (SELECT cid, idx, CAST(sum(val) AS BIGINT) AS s FROM {pre}u{i} GROUP BY 1, 2)",
+                f"{pre}n{i} AS (SELECT cid, count(*) AS n FROM {pre}a{i} GROUP BY 1)",
+                f"{pre}c{i} AS (SELECT m.cid, list(CAST(floor(CAST(s AS DOUBLE)/n) AS BIGINT) ORDER BY idx) AS cq"
+                f"  FROM {pre}m{i} m JOIN {pre}n{i} USING (cid) GROUP BY m.cid)",
+            ]
+    books_union = " UNION ALL ".join(
+        f"SELECT {sub} AS sub, cid, cq FROM p{sub}c{PQ_ITERS}" for sub in range(PQ_SUBS)
+    )
+    parts += [
+        f"books AS MATERIALIZED ({books_union})",
+        f"""codes AS MATERIALIZED (
+      SELECT vid, sub, cid FROM (
+        SELECT e.vid, b.sub, b.cid,
+               row_number() OVER (PARTITION BY e.vid, b.sub
+                 ORDER BY {_sql_cos(f'list_slice(e.q, b.sub*{w}+1, b.sub*{w}+{w})', 'b.cq')} DESC,
+                          b.cid) AS rn
+        FROM emb e CROSS JOIN books b) WHERE rn = 1)""",
+        f"""lut AS MATERIALIZED (
+      SELECT q.vid AS qid, b.sub, b.cid,
+             list_dot_product(list_slice(q.q, b.sub*{w}+1, b.sub*{w}+{w}), b.cq) AS pd
+      FROM emb q CROSS JOIN books b WHERE q.vid < {ANN_QUERY_MAX})""",
+        """approx AS (
+      SELECT p.qid, i.neighbor_id, sum(l.pd) AS a
+      FROM probes p
+      JOIN inv i ON p.cid = i.cid AND i.neighbor_id <> p.qid
+      JOIN codes c ON c.vid = i.neighbor_id
+      JOIN lut l ON l.qid = p.qid AND l.sub = c.sub AND l.cid = c.cid
+      GROUP BY 1, 2)""",
+        f"""cand AS (
+      SELECT qid AS query_id, neighbor_id FROM (
+        SELECT qid, neighbor_id,
+               row_number() OVER (PARTITION BY qid ORDER BY a DESC, neighbor_id) AS cr
+        FROM approx) WHERE cr <= {PQ_CAND})""",
+        """r AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_dot_product(eq.v, en.v)
+               / (sqrt(list_dot_product(eq.v, eq.v))
+                  * sqrt(list_dot_product(en.v, en.v))) AS sim
+      FROM cand JOIN ev eq ON cand.query_id = eq.vec_id
+                JOIN ev en ON cand.neighbor_id = en.vec_id)""",
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+    SELECT query_id, neighbor_id, rk FROM (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rk
+      FROM r
+    ) WHERE rk <= {ANN_K}
+    """
+    )
+
+
+def _stored_ivf_pq(spark: SparkSession, sf_dir: str):
+    """Build-once-per-process IVFPQ index: the `_stored_ivf` pattern with
+    PQ codebooks trained on the build corpus and frozen at build time."""
+    import tempfile
+
+    from ..datapipe.ivf_index import IvfIndex
+    from ..datapipe.similarity import PQ_ITERS, PQ_K, PQ_SUBS, pq_codebooks
+
+    key = (id(spark), sf_dir, "pq")
+    idx = _IVF_INDEX_CACHE.get(key)
+    if idx is None or not idx.is_built():
+        emb = table(spark, sf_dir, "embeddings")
+        books = pq_codebooks(emb, PQ_SUBS, PQ_K, PQ_ITERS, dim=EMB_DIM)
+        idx = IvfIndex(spark, tempfile.mkdtemp(prefix="ivf_pq_index_"))
+        idx.build(emb, pq_books=books)
+        _IVF_INDEX_CACHE[key] = idx
+    return idx
+
+
+@register(
+    "ann_ivf_pq_topk",
+    oracle=_ivf_pq_oracle(),
+    doc=(
+        "IVF-PQ — FAISS's production ANN layout (Jegou et al. 2011 IVFADC "
+        "— r8 verdict task 7, composing r8's ADC scan with the "
+        "partition-pruned list probe): the persisted IvfIndex stores m PQ "
+        "code ids per list row next to the floats, frozen codebooks "
+        "beside the coarse centroids. A query probes nprobe lists "
+        "(broadcast centroid argmax), builds one m x k integer-dot LUT, "
+        "and ADC-scans ONLY the (neighbor_id, cid, nv_pq) columns of the "
+        "probed lists — dynamic partition pruning physically skips "
+        "unprobed lists' files AND column pruning keeps floats out of "
+        "stage 1 (both plan-tested, tests/test_ivf_index.py); exact "
+        "float re-rank point-joins the top-20 survivors on the (cid, "
+        "neighbor_id) partition key. Candidate sets are exact integer "
+        "arithmetic with deterministic ties, so the oracle replays "
+        "trainer, encoder, probe, ADC, and re-rank end-to-end"
+    ),
+)
+def ann_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    idx = _stored_ivf_pq(spark, sf_dir)
+    res = idx.topk_pq(emb.where(F.col("vec_id") < ANN_QUERY_MAX), k=ANN_K)
+    return res.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rk"))
 
 
 def _pq_oracle() -> str:

@@ -287,3 +287,90 @@ def test_replay_after_compaction_skipped_via_tombstone(spark, tmp_path):
     fresh = idx.append(emb.where("vec_id % 8 == 4"))
     assert fresh not in ("e0", lbl) and int(fresh) > int(lbl)
     assert idx.lists().count() > n_before
+
+
+def _pq_books(emb):
+    from flink_real_time_data_warehouse_spark.datapipe.similarity import (
+        PQ_ITERS,
+        PQ_K,
+        PQ_SUBS,
+        pq_codebooks,
+    )
+
+    return pq_codebooks(emb, PQ_SUBS, PQ_K, PQ_ITERS, dim=64)
+
+
+def test_ivfpq_stage1_reads_pq_codes_only_with_dpp(spark, tmp_path):
+    """IVF-PQ (r8 verdict task 7): the ADC stage-1 scan reads ONLY
+    (neighbor_id, cid, nv_pq) — neither the float vectors nor the int8
+    codes — and every lists scan carries the dynamic-partition-pruning
+    filter that physically skips unprobed lists' files."""
+    import re
+
+    emb = table(spark, TEST_SF_DIR, "embeddings").limit(60)
+    idx = IvfIndex(spark, str(tmp_path / "ivfpq"))
+    idx.build(emb, pq_books=_pq_books(emb))
+    queries = emb.where(F.col("vec_id") < 3)
+    df = idx.topk_pq(queries, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    pq_scans = [s for s in schemas if "nv_pq" in s]
+    assert pq_scans, plan
+    for sc in pq_scans:
+        assert "nv:array" not in sc and "nv_c8" not in sc, pq_scans
+    # Both real lists scans prune: the ADC stage-1 code scan and the
+    # re-rank float scan each carry a dynamicpruning filter. (The float
+    # scan's pruning SUBQUERY prints an unreused copy of the candidate
+    # subtree in this static non-AQE plan — that copy legitimately lacks
+    # nested DPP, so assert per-scan-kind, not over every printed line.)
+    code_scan_lines = [
+        line for line in plan.splitlines()
+        if "FileScan" in line and "nv_pq" in line
+    ]
+    float_scan_lines = [
+        line for line in plan.splitlines()
+        if "FileScan" in line and "nv:array" in line.split("ReadSchema")[-1]
+    ]
+    assert code_scan_lines and float_scan_lines, plan
+    assert any("dynamicpruningexpression(" in line for line in code_scan_lines), (
+        "the ADC stage-1 scan lost dynamic partition pruning:\n"
+        + "\n".join(code_scan_lines)
+    )
+    assert all("dynamicpruningexpression(" in line for line in float_scan_lines), (
+        "the re-rank float scan lost dynamic partition pruning:\n"
+        + "\n".join(float_scan_lines)
+    )
+
+
+def test_ivfpq_append_encodes_against_frozen_books(spark, tmp_path):
+    """Vectors appended AFTER the build encode against the frozen
+    codebooks: stored nv_pq codes equal a fresh pq_encode of the same
+    vectors with the stored books, and probes see appended vectors."""
+    from flink_real_time_data_warehouse_spark.datapipe.similarity import pq_encode
+
+    emb = table(spark, TEST_SF_DIR, "embeddings")
+    first = emb.where("vec_id < 40")
+    later = emb.where("vec_id >= 40 AND vec_id < 60")
+    idx = IvfIndex(spark, str(tmp_path / "ivfpq"))
+    idx.build(first, pq_books=_pq_books(first))
+    idx.append(later)
+    m, w = idx._pq_shape()
+    stored = {
+        r["neighbor_id"]: list(r["nv_pq"])
+        for r in idx.lists().select("neighbor_id", "nv_pq").collect()
+    }
+    assert set(stored) == {r["vec_id"] for r in emb.where("vec_id < 60").collect()}
+    fresh = pq_encode(later, idx.pq_books(), m=m, dim=m * w)
+    expect = {}
+    for r in fresh.collect():
+        expect.setdefault(r["vid"], {})[r["sub"]] = r["cid"]
+    for vid, by_sub in expect.items():
+        assert stored[vid] == [by_sub[s] for s in range(m)], vid
+
+
+def test_ivfpq_refused_without_books(spark, tmp_path):
+    emb = table(spark, TEST_SF_DIR, "embeddings").limit(30)
+    idx = IvfIndex(spark, str(tmp_path / "plain"))
+    idx.build(emb)
+    with pytest.raises(RuntimeError, match="no PQ codebooks"):
+        idx.topk_pq(emb.where(F.col("vec_id") < 2), k=3)
