@@ -1083,3 +1083,98 @@ def scrub_dup_substrings(
         (n - F.size(kept)).cast("long").alias("removed_ct"),
         F.md5(F.concat_ws(" ", kept)).alias("clean_digest"),
     )
+
+
+def window_seed_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = SUFFIX_MIN_TOKENS,
+) -> DataFrame:
+    """(doc, pos, seed): an 8-byte xxhash64 seed of EVERY min_tokens-token
+    window of each document — the probe form of the ExactSubstr corpus
+    for INCREMENTAL dedup (r8 verdict task 8). A new document contains a
+    verbatim >= min_tokens-token substring of an indexed document exactly
+    when one of its window seeds equals an indexed window seed (seed
+    equality is physical identity for window equality, the same 2^-64
+    collision trade `dup_substring_positions` makes for its prefix
+    buckets). Stored per accepted doc by
+    :class:`~..datapipe.signature_index.PrefixIndex`; O(tokens) rows of
+    8 bytes each, the suffix array's footprint without its global sort."""
+    base = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_t")
+    )
+    n = F.size("_t")
+    idx = F.when(
+        n >= min_tokens, F.sequence(F.lit(1), n - (min_tokens - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    seed = F.transform(
+        idx,
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("_t"), i, min_tokens))),
+    )
+    return base.select("doc", F.posexplode(seed).alias("pos0", "seed")).select(
+        "doc", (F.col("pos0") + 1).cast("long").alias("pos"), "seed"
+    )
+
+
+def incremental_substring_verdicts(
+    idx_seeds: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = SUFFIX_MIN_TOKENS,
+    within_batch: bool = True,
+    hint_broadcast: bool = True,
+) -> DataFrame:
+    """ExactSubstr verdict for an INGEST batch without re-sorting the
+    corpus: per new document, count the min_tokens-token windows whose
+    seed already exists in the index (or, with ``within_batch``, in a
+    SMALLER-id document of the same batch — the min-id keeper rule), and
+    call the document 'dup_substring' if any, else 'keep'.
+
+    Probe shape is `_incremental_verdicts`' flipped direction verbatim:
+    the corpus-sized index is scanned map-side against a BROADCAST of the
+    batch's distinct seeds (output bounded by the batch), then the
+    batch's positions resolve against that tiny matched set with a second
+    broadcast join — the index is NEVER shuffled, cost O(batch + index
+    scan), no pair generation, no global suffix sort. ``hint_broadcast``
+    gates every batch-derived hint, same contract as the MinHash probe.
+
+    Returns (doc, n_dup_positions, verdict) for every batch document
+    (docs under min_tokens tokens have no windows: 'keep')."""
+    hint = F.broadcast if hint_broadcast else (lambda df: df)
+    new_seeds = window_seed_rows(new, id_col, text_col, min_tokens)
+    probe = new_seeds.select("seed").distinct()
+    matched = idx_seeds.select("seed").join(hint(probe), "seed", "left_semi").distinct()
+    hit_pos = new_seeds.join(hint(matched), "seed", "left_semi").select("doc", "pos")
+    if within_batch:
+        smaller = new_seeds.select(F.col("doc").alias("doc2"), "seed")
+        batch_hits = (
+            new_seeds.alias("a")
+            .join(
+                hint(smaller.alias("b")),
+                (F.col("a.seed") == F.col("b.seed"))
+                & (F.col("b.doc2") < F.col("a.doc")),
+                "left_semi",
+            )
+            .select("doc", "pos")
+        )
+        hit_pos = hit_pos.union(batch_hits)
+    hits = (
+        hit_pos.distinct()
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_dup_positions"))
+    )
+    return (
+        new.select(F.col(id_col).alias("doc"))
+        .join(hits, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce(F.col("n_dup_positions"), F.lit(0)).cast("long").alias(
+                "n_dup_positions"
+            ),
+            F.when(F.col("n_dup_positions") > 0, "dup_substring")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+    )

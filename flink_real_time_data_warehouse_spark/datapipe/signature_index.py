@@ -217,3 +217,73 @@ class SignatureIndex:
 
     def bands(self) -> DataFrame:
         return self._read("bands", ["doc", "band_id", "band_hash"])
+
+
+class PrefixIndex:
+    """Persisted window-seed index for INCREMENTAL exact-substring dedup
+    (r8 verdict task 8): the SignatureIndex pattern applied to
+    `dedup.window_seed_rows` — one (doc, pos, seed) row per
+    min_tokens-token window of every accepted document, appended per
+    batch into a TxLog table partitioned by batch label.
+
+    Same commit protocol as SignatureIndex: explicit labels (``e<epoch>``
+    from foreachBatch) are exactly-once via the log's (app_id, version)
+    high-water mark — a replayed epoch appends nothing — and
+    auto-numbered appends serialize on the advisory lock. `seeds()` is
+    the only probe surface an ingest reads; the accepted documents' TEXT
+    is never rescanned after acceptance, the 100 TB contract."""
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        self.log = TxLog(base_dir)
+
+    def _all_labels(self) -> set[str]:
+        st = self.log.state()
+        labels = {pv["batch"] for pv in st.parts.values() if "batch" in pv}
+        labels |= {a[len("batch:"):] for a in st.apps if a.startswith("batch:")}
+        return labels
+
+    def append(
+        self,
+        docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        batch_no: int | str | None = None,
+        min_tokens: int | None = None,
+    ) -> str:
+        from .dedup import SUFFIX_MIN_TOKENS, window_seed_rows
+
+        mt = SUFFIX_MIN_TOKENS if min_tokens is None else min_tokens
+        rows = window_seed_rows(docs, id_col, text_col, mt)
+        if batch_no is None:
+            with index_write_lock(self.base_dir):
+                seen = self._all_labels()
+                ints = [int(b) for b in seen if b.isdigit()]
+                n = str(max(ints) + 1) if ints else "0"
+                return self._commit(rows, n)
+        n = str(batch_no)
+        if not n.isalnum():
+            raise ValueError(f"batch label must be alphanumeric, got {n!r}")
+        if n in self._all_labels():
+            return n  # epoch replay: already committed, exactly-once
+        return self._commit(rows, n)
+
+    def _commit(self, rows: DataFrame, n: str) -> str:
+        self.log.append(
+            rows.withColumn("batch", F.lit(n)),
+            app_id=f"batch:{n}",
+            app_version=0,
+            partition_by=["batch"],
+        )
+        return n
+
+    def seeds(self) -> DataFrame:
+        """(doc, seed) probe table over every committed batch. The
+        snapshot pins the file list at call time, so a verdict plan built
+        before a later append keeps probing the index AS OF its epoch."""
+        if self.log.state().version < 0:
+            return self.spark.createDataFrame(
+                [], "doc long, pos long, seed long, batch string"
+            ).select("doc", "seed")
+        return self.log.snapshot(self.spark).select("doc", "seed")

@@ -1652,6 +1652,104 @@ def _ingest_funnel(new: DataFrame, verdicts: DataFrame) -> DataFrame:
     )
 
 
+def _substr_inc_oracle(n_epochs: int = 3) -> str:
+    """Unrolled-epoch replay of the incremental ExactSubstr ingest: per
+    epoch, a doc's 12-token windows are probed as STRINGS against the
+    accumulated keep-index plus same-epoch smaller-id docs — the logical
+    semantics whose physical identity the Spark plan carries as xxhash64
+    window seeds (the 2^-64 collision trade, same as the batch operator's
+    prefix buckets)."""
+    parts = [
+        """toks AS MATERIALIZED (
+      SELECT doc_id, CAST(doc_id % {n} AS INTEGER) AS ep,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
+      FROM documents)""".format(n=n_epochs),
+        """win AS MATERIALIZED (
+      SELECT doc_id, ep, CAST(pos AS BIGINT) AS pos,
+             array_to_string(l[pos:pos+11], ' ') AS w
+      FROM (SELECT doc_id, ep, l, unnest(range(1, len(l) - 10)) AS pos
+            FROM toks WHERE len(l) >= 12))""",
+    ]
+    for e in range(n_epochs):
+        idx_probe = (
+            f"SELECT a.doc_id, a.pos FROM win a JOIN idx{e} i ON a.w = i.w "
+            f"WHERE a.ep = {e} UNION " if e > 0 else ""
+        )
+        parts += [
+            f"""hits{e} AS MATERIALIZED (
+      {idx_probe}SELECT DISTINCT a.doc_id, a.pos
+      FROM win a JOIN win b ON a.w = b.w AND b.doc_id < a.doc_id AND b.ep = {e}
+      WHERE a.ep = {e})""",
+            f"""v{e} AS MATERIALIZED (
+      SELECT t.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_dup
+      FROM toks t LEFT JOIN (SELECT doc_id, count(*) AS n FROM hits{e} GROUP BY 1) h
+        USING (doc_id)
+      WHERE t.ep = {e})""",
+        ]
+        if e + 1 < n_epochs:
+            prev = f"SELECT doc_id, pos, w FROM idx{e} UNION ALL " if e > 0 else ""
+            parts.append(
+                f"""idx{e + 1} AS MATERIALIZED (
+      {prev}SELECT w.doc_id, w.pos, w.w FROM win w
+      JOIN v{e} ON w.doc_id = v{e}.doc_id WHERE v{e}.n_dup = 0)"""
+            )
+    union = " UNION ALL ".join(
+        f"SELECT doc_id, {e} AS e, n_dup FROM v{e}" for e in range(n_epochs)
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+    SELECT doc_id AS doc, CAST(e AS INTEGER) AS ep,
+           n_dup AS n_dup_positions,
+           CASE WHEN n_dup > 0 THEN 'dup_substring' ELSE 'keep' END AS verdict
+    FROM ({union})
+    """
+    )
+
+
+@register(
+    "dedup_substring_incremental",
+    oracle=_substr_inc_oracle(),
+    doc=(
+        "STREAMING-incremental exact-substring dedup (r8 verdict task 8 — "
+        "the SignatureIndex pattern applied to ExactSubstr): accepted "
+        "documents persist one xxhash64 seed per 12-token window into a "
+        "TxLog-backed PrefixIndex (datapipe/signature_index.PrefixIndex, "
+        "exactly-once epoch labels); each ingest batch gets its verdict by "
+        "probing window seeds against the stored index plus same-batch "
+        "smaller-id docs — the `_incremental_verdicts` flipped-broadcast "
+        "direction, so the index is scanned map-side and NEVER shuffled, "
+        "no global suffix re-sort, no pair generation (plan-tested). "
+        "Three epochs unrolled (doc_id % 3), keeps appended per epoch; "
+        "the oracle replays every epoch with window STRINGS — the logical "
+        "semantics the seeds carry as physical identity. "
+        "datapipe/dedup.py window_seed_rows/incremental_substring_verdicts"
+    ),
+)
+def dedup_substring_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..datapipe.dedup import incremental_substring_verdicts
+    from ..datapipe.signature_index import PrefixIndex
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = PrefixIndex(spark, tempfile.mkdtemp(prefix="prefix_index_"))
+    outs = []
+    for e in range(3):
+        batch = docs.where(F.col("doc_id") % 3 == e)
+        v = incremental_substring_verdicts(idx.seeds(), batch, "doc_id", "text")
+        outs.append(v.withColumn("ep", F.lit(e).cast("int")))
+        keeps = batch.join(
+            v.where(F.col("verdict") == "keep").select(F.col("doc").alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
+        idx.append(keeps, "doc_id", "text", batch_no=f"e{e}")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 @register(
     "dedup_incremental",
     oracle=f"""

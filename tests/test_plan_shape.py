@@ -607,3 +607,27 @@ def test_classifier_scoring_zero_shuffle(spark):
     for bad in ("Exchange", "Join", "ArrowEvalPython", "BatchEvalPython"):
         assert bad not in plan, f"scoring pass must not contain {bad}"
     assert "*(1)" in plan
+
+
+def test_substring_incremental_probe_never_shuffles_index(spark, tmp_path):
+    """The incremental ExactSubstr probe keeps `_incremental_verdicts`'
+    flipped direction: every join against the stored seed table is a
+    broadcast of batch-derived keys (no SortMergeJoin — the index is
+    never shuffled), and there is no pair-generating cartesian."""
+    from flink_real_time_data_warehouse_spark.datapipe.dedup import (
+        incremental_substring_verdicts,
+    )
+    from flink_real_time_data_warehouse_spark.datapipe.signature_index import (
+        PrefixIndex,
+    )
+
+    docs = table(spark, TEST_SF_DIR, "documents").select("doc_id", "text")
+    idx = PrefixIndex(spark, str(tmp_path / "pidx"))
+    idx.append(docs.where("doc_id % 2 = 0"), "doc_id", "text", batch_no="e0")
+    v = incremental_substring_verdicts(
+        idx.seeds(), docs.where("doc_id % 2 = 1"), "doc_id", "text"
+    )
+    plan = plan_of(v)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan, f"index got shuffled:\n{plan}"

@@ -251,3 +251,55 @@ def test_explicit_label_appends_race_lock_free(spark, tmp_path):
         assert [f.result() for f in futs] == ["ec", "ec"]
     assert idx.digests().count() == 3
     assert idx.digests().where(F.col("doc") == 1).count() == 2  # ea + ec, once each
+
+
+def test_prefix_index_epoch_replay_and_verdicts(spark, tmp_path):
+    """PrefixIndex (incremental ExactSubstr, r8 verdict task 8): epoch
+    labels commit exactly once (a replayed label appends nothing), seeds
+    pin at snapshot time, and a batch containing a 12-token verbatim copy
+    of an indexed document reads 'dup_substring' while novel text keeps."""
+    from flink_real_time_data_warehouse_spark.datapipe.dedup import (
+        incremental_substring_verdicts,
+    )
+    from flink_real_time_data_warehouse_spark.datapipe.signature_index import (
+        PrefixIndex,
+    )
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    novel = "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray"
+    idx = PrefixIndex(spark, str(tmp_path / "pidx"))
+    first = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    idx.append(first, "doc_id", "text", batch_no="e0")
+    n_seeds = idx.seeds().count()
+    assert n_seeds == 1  # 12 tokens -> exactly one window
+    idx.append(first, "doc_id", "text", batch_no="e0")  # replay: no growth
+    assert idx.seeds().count() == n_seeds
+
+    batch = spark.createDataFrame(
+        [(10, "prefix words then " + base + " and a tail"), (11, novel)],
+        "doc_id long, text string",
+    )
+    v = {
+        r["doc"]: (r["n_dup_positions"], r["verdict"])
+        for r in incremental_substring_verdicts(
+            idx.seeds(), batch, "doc_id", "text"
+        ).collect()
+    }
+    assert v[10] == (1, "dup_substring")
+    assert v[11] == (0, "keep")
+    # short docs have no windows: always keep
+    short = spark.createDataFrame([(12, "too short")], "doc_id long, text string")
+    r = incremental_substring_verdicts(idx.seeds(), short, "doc_id", "text").first()
+    assert (r["n_dup_positions"], r["verdict"]) == (0, "keep")
+    # within-batch: the min-id copy keeps, the later copy flags
+    twins = spark.createDataFrame(
+        [(20, base), (21, base)], "doc_id long, text string"
+    )
+    empty_idx = PrefixIndex(spark, str(tmp_path / "pidx2"))
+    v2 = {
+        r["doc"]: r["verdict"]
+        for r in incremental_substring_verdicts(
+            empty_idx.seeds(), twins, "doc_id", "text"
+        ).collect()
+    }
+    assert v2 == {20: "keep", 21: "dup_substring"}
