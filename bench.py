@@ -193,6 +193,14 @@ HEADLINE = [
     "txlog_write_format_read",
     "txlog_stream_format_chain",
     "txlog_convert_read",
+    # round 9 additions (verdict tasks 3-8)
+    "txlog_vacuum_read",
+    "datetime_funcs_cst",
+    "multimodal_dimensions",
+    "quality_classifier_score",
+    "ann_ivf_pq_topk",
+    "dedup_substring_incremental",
+    "ingest_classifier_gate",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

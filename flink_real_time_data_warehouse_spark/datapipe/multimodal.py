@@ -356,8 +356,9 @@ def _ascii_hex(s: str) -> str:
 def synth_media_payloads(docs: DataFrame) -> DataFrame:
     """Format-valid media headers synthesized per document, dimensions a
     deterministic function of doc_id (so an oracle can replay them):
-    doc_id%3==0 -> PNG (sig + IHDR chunk), ==1 -> BMP (BITMAPFILEHEADER +
-    BITMAPINFOHEADER), ==2 -> WAV (RIFF + fmt + empty data chunk). The
+    doc_id%4==0 -> PNG (sig + IHDR chunk), ==1 -> BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER), ==2 -> WAV (RIFF + fmt + empty data chunk),
+    ==3 -> GIF (GIF89a logical-screen descriptor). The
     payload bytes are REAL headers a stock decoder would accept (PNG CRC
     left zeroed — checksum, not structure); the parse path below trusts
     only the bytes, never these formulas."""
@@ -402,10 +403,20 @@ def synth_media_payloads(docs: DataFrame) -> DataFrame:
         _lit_bin(_ascii_hex("data")),
         _le_enc(F.lit(0), 4),
     )
-    kind = (did % 3).cast("int")
+    gif = F.concat(
+        _lit_bin(_ascii_hex("GIF89a")),
+        _le_enc(width, 2), _le_enc(height, 2),   # logical screen w/h (u16)
+        _lit_bin("000000"),                      # packed, bg index, aspect
+        _lit_bin("3B"),                          # trailer
+    )
+    kind = (did % 4).cast("int")
     return docs.select(
         did.alias("asset_id"),
-        F.when(kind == 0, png).when(kind == 1, bmp).otherwise(wav).alias("payload"),
+        F.when(kind == 0, png)
+        .when(kind == 1, bmp)
+        .when(kind == 2, wav)
+        .otherwise(gif)
+        .alias("payload"),
     )
 
 
@@ -413,7 +424,8 @@ def parse_media_headers(assets: DataFrame) -> DataFrame:
     """Dimension extraction from the binary column, trusting ONLY the
     bytes: container detected from the magic prefix, then width/height
     (PNG big-endian at IHDR offsets 17/21; BMP little-endian at
-    BITMAPINFOHEADER offsets 19/23) or channels/sample-rate/bits (WAV fmt
+    BITMAPINFOHEADER offsets 19/23; GIF little-endian u16 at
+    logical-screen offsets 7/9) or channels/sample-rate/bits (WAV fmt
     chunk offsets 23/25/35) decoded with substring+hex+conv — all inside
     whole-stage codegen, no UDF, no mapInPandas (plan-tested). Unknown
     magic -> container NULL, every field NULL."""
@@ -427,13 +439,25 @@ def parse_media_headers(assets: DataFrame) -> DataFrame:
     is_wav = (F.hex(F.substring(p, 1, 4)) == _ascii_hex("RIFF")) & (
         F.hex(F.substring(p, 9, 4)) == _ascii_hex("WAVE")
     )
+    is_gif = (F.hex(F.substring(p, 1, 6)) == _ascii_hex("GIF89a")) | (
+        F.hex(F.substring(p, 1, 6)) == _ascii_hex("GIF87a")
+    )
     container = (
         F.when(is_png, F.lit("png"))
         .when(is_bmp, F.lit("bmp"))
         .when(is_wav, F.lit("wav"))
+        .when(is_gif, F.lit("gif"))
     )
-    width = F.when(is_png, _be_int(p, 17, 4)).when(is_bmp, _le_int(p, 19, 4))
-    height = F.when(is_png, _be_int(p, 21, 4)).when(is_bmp, _le_int(p, 23, 4))
+    width = (
+        F.when(is_png, _be_int(p, 17, 4))
+        .when(is_bmp, _le_int(p, 19, 4))
+        .when(is_gif, _le_int(p, 7, 2))
+    )
+    height = (
+        F.when(is_png, _be_int(p, 21, 4))
+        .when(is_bmp, _le_int(p, 23, 4))
+        .when(is_gif, _le_int(p, 9, 2))
+    )
     channels = F.when(is_wav, _le_int(p, 23, 2))
     rate = F.when(is_wav, _le_int(p, 25, 4))
     bits = F.when(is_wav, _le_int(p, 35, 2))
@@ -469,4 +493,7 @@ def parse_header_py(payload: bytes) -> dict | None:
         bits = struct.unpack("<H", b[34:36])[0]
         return {"container": "wav", "channels": chans, "sample_rate": rate,
                 "bits_per_sample": bits}
+    if b[:6] in (b"GIF89a", b"GIF87a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return {"container": "gif", "width": w, "height": h}
     return None

@@ -1553,6 +1553,9 @@ def source_quality_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus. The fixture plays both roles deterministically: doc_id % 4 == 0
 # is the incoming batch, the rest is the standing index.
 INC_NEW_MOD = 4
+# DuckDB fragment: first 16 md5 bits of `tok` as an integer (the
+# classifier feature hash; mirrors datapipe/classifier.bucket)
+_CLF_H16 = "(instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5(tok), 4, 1)) - 1)"
 
 
 def _inc_verdict_sql(within_batch: bool) -> str:
@@ -1821,6 +1824,75 @@ def ingest_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     new, index = _split_new_index(spark, sf_dir)
     verdicts = incremental_dedup(index, new, "doc_id", "text", within_batch=True)
     return _ingest_funnel(new, verdicts)
+
+
+@register(
+    "ingest_classifier_gate",
+    oracle=f"""
+    WITH {_minhash_cand_ctes()},{_inc_verdict_sql(within_batch=True)},
+    cbase AS MATERIALIZED (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''
+             )) AS toks
+      FROM documents
+    ),
+    cfeat AS MATERIALIZED (
+      SELECT doc_id, label, {_CLF_H16} AS h16
+      FROM (SELECT doc_id, label, unnest(toks) AS tok FROM cbase)
+    ),
+    cwt AS MATERIALIZED (
+      SELECT h16 % 1024 AS b,
+             CAST((1000 * (CAST(sum(label) AS BIGINT) + 1))
+                  // (count(*) + 2) AS BIGINT) AS w
+      FROM cfeat WHERE doc_id % {INC_NEW_MOD} <> 0 GROUP BY 1
+    ),
+    csc AS MATERIALIZED (
+      SELECT f.doc_id, CAST(sum(coalesce(w.w, 500)) AS BIGINT) AS score,
+             count(*) AS n_feats
+      FROM cfeat f LEFT JOIN cwt w ON f.h16 % 1024 = w.b
+      WHERE f.doc_id % {INC_NEW_MOD} = 0 GROUP BY 1
+    )
+    SELECT v.doc,
+           v.verdict,
+           CAST(coalesce(csc.score, 0) AS BIGINT) AS score,
+           CAST(coalesce(csc.n_feats, 0) AS BIGINT) AS n_feats,
+           CAST(CASE WHEN csc.n_feats > 0 THEN csc.score // csc.n_feats END
+                AS BIGINT) AS avg_milli,
+           CAST(CASE WHEN v.verdict = 'keep' AND csc.n_feats > 0
+                      AND csc.score // csc.n_feats > 500
+                     THEN 1 ELSE 0 END AS INTEGER) AS accepted
+    FROM v LEFT JOIN csc ON v.doc = csc.doc_id
+    """,
+    doc=(
+        "the CCNet deployment shape END-TO-END: the learned quality "
+        "classifier TRAINS on the accepted corpus (index side, lang='en' "
+        "positives) and GATES the incoming batch next to the incremental "
+        "dedup verdict — accepted = dedup 'keep' AND model-positive. "
+        "Composition of quality_classifier_score (model as a 3 KiB plan "
+        "literal; scoring docs may hash to buckets unseen in training, "
+        "which read the packed uninformed prior 500 — the oracle replays "
+        "that default) with dedup_incremental's within-batch probe. Train "
+        "is one bucket-bounded aggregation over the index, score+gate is "
+        "per-row arithmetic on the batch scan — the only shuffles are the "
+        "dedup probes' batch-bounded distincts"
+    ),
+)
+def ingest_classifier_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.classifier import score_with_model, train_quality_classifier
+    from ..datapipe.dedup import incremental_dedup
+
+    new, index = _split_new_index(spark, sf_dir)
+    model = train_quality_classifier(index, F.col("lang") == "en")
+    scores = score_with_model(new, model).withColumnRenamed("doc_id", "doc")
+    verdicts = incremental_dedup(index, new, "doc_id", "text", within_batch=True)
+    gate = (F.col("verdict") == "keep") & (
+        F.coalesce(F.col("pred_positive"), F.lit(0)) == 1
+    )
+    return verdicts.join(scores, "doc").select(
+        "doc", "verdict", "score", "n_feats", "avg_milli",
+        gate.cast("int").alias("accepted"),
+    )
 
 
 @register(
@@ -3209,24 +3281,26 @@ def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_dimensions",
     oracle="""
     SELECT doc_id AS asset_id,
-           CASE CAST(doc_id % 3 AS INTEGER)
-                WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS container,
-           CASE WHEN doc_id % 3 IN (0, 1)
+           CASE CAST(doc_id % 4 AS INTEGER)
+                WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                WHEN 2 THEN 'wav' ELSE 'gif' END AS container,
+           CASE WHEN doc_id % 4 IN (0, 1, 3)
                 THEN CAST(16 + doc_id % 1009 AS BIGINT) END AS width,
-           CASE WHEN doc_id % 3 IN (0, 1)
+           CASE WHEN doc_id % 4 IN (0, 1, 3)
                 THEN CAST(16 + (doc_id * 7) % 997 AS BIGINT) END AS height,
-           CASE WHEN doc_id % 3 = 2
+           CASE WHEN doc_id % 4 = 2
                 THEN CAST(8000 + (doc_id % 8) * 4000 AS BIGINT) END AS sample_rate,
-           CASE WHEN doc_id % 3 = 2
+           CASE WHEN doc_id % 4 = 2
                 THEN CAST(1 + doc_id % 2 AS BIGINT) END AS channels,
-           CASE WHEN doc_id % 3 = 2 THEN CAST(16 AS BIGINT) END AS bits_per_sample
+           CASE WHEN doc_id % 4 = 2 THEN CAST(16 AS BIGINT) END AS bits_per_sample
     FROM documents
     """,
     doc=(
         "header-level media decode made REAL (r8 verdict task 5, replacing "
         "the fake decoder's made-up dims for header-parseable formats): "
         "synth_media_payloads builds format-valid PNG IHDR / BMP "
-        "BITMAPINFOHEADER / WAV RIFF-fmt binaries whose dimensions are a "
+        "BITMAPINFOHEADER / WAV RIFF-fmt / GIF89a logical-screen binaries "
+        "whose dimensions are a "
         "deterministic function of doc_id; parse_media_headers recovers "
         "container + width/height/sample-rate/channels/bits from the BYTES "
         "alone (magic sniffing incl. the BITMAPINFOHEADER-size guard, then "

@@ -49,56 +49,46 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # round; everything else follows in registration order. Queries not yet
 # registered are ignored, so new entries can be pre-listed safely.
 _GRADE_FIRST: list[str] = [
-    # Round 8 rotation (r7 verdict task 2). Slots 1-5: the 5 gmall batch
-    # plans whose freshest driver row is r4 (deferred from r7 because
-    # their streaming twins carried fresher rows; now the stalest names).
-    "visitor_stats", "product_stats", "events_union_stats",
-    "keyword_stats", "session_stats",
-    # Slots 6-25: the 20 round-7 additions that have NEVER received a
-    # driver correctness row (19 judge-verified green in the r7 session;
-    # txlog_identity_read's oracle CAST fixed this round — all 20
-    # driver-sim re-verified before this commit).
-    "txlog_source_stream", "cdc_route_materialized",
-    "semantic_dedup_capped", "keyword_stats_smart", "txlog_dv_delete_read",
-    "dwd_chain_stream", "dedup_canonical", "unimax_sample",
-    "decontaminate_semantic", "txlog_restore_read", "dedup_containment",
-    "txlog_update_read", "txlog_clone_read", "txlog_rename_read",
-    "dsir_select", "train_split_leakage_free", "txlog_cdf_full_feed",
-    "txlog_generated_partition_read", "txlog_merge_into_read",
-    "txlog_identity_read",
-    # Slots 26-50: 25 of the 50 r5-rowed names (3 rounds stale after this
-    # one). Chosen for surface diversity — SQL API, CDC, as-of joins,
-    # serving, the dedup/minhash family, txlog reads; the 25 deferred
-    # names (mostly streaming twins of batch plans graded r7, plus the
-    # ANN quantized variants) lead r9's window below.
-    "province_stats", "q1_pricing_summary", "nation_revenue_share",
-    "small_qty_revenue", "datetime_funcs", "dirty_split", "json_props",
-    "sql_chained_stats", "sql_province_stats", "cdc_route",
-    "asof_click_attribution", "purchase_status_asof", "serving_gmv",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_capped",
-    "dedup_minhash_verified", "dedup_ngram_jaccard", "dedup_simhash_pairs",
-    "dup_spans", "semantic_dedup", "embedding_quantize",
-    "embedding_cosine_pairs_capped", "txlog_pruned_read",
-    "txlog_snapshot_read",
-    # --- 50-slot window ends here. ---
-    # r9 rotation note: lead with the 25 deferred r5 names —
-    # keyword_stats_dict(+_stream), keyword_stats_stream,
-    # visitor_stats_stream, visitor_stats_cumulate,
-    # visitor_stats_sliding_stream, province_stats_stream,
-    # product_stats_stream(+_approx), events_union_stats_stream,
-    # session_stats_stream, order_wide_stream, payment_wide_stream,
-    # new_user_stream, uv_stream, bounce_stream, dedup_exact_stream,
-    # dedup_minhash_stream, ingest_pipeline_stream, ann_ingest_stream,
-    # ann_sign_lsh_topk, ann_quantized_topk, ann_ivf_quantized_topk,
-    # dedup_incremental, txlog_stream_sink — then the ELEVEN round-8
-    # additions below (every one driver-sim verified green this session,
-    # none has a driver row yet), then fill from the r6 block.
-    # New in round 8 (registered below as they land; ignored until then).
+    # Round 9 rotation (r8 verdict task 2, exactly as pre-listed).
+    # Slots 1-25: the 25 deferred r5-rowed names (streaming twins of the
+    # batch plans graded r7/r8, the dict-FMM segmentation pair, the ANN
+    # quantized variants, the incremental-dedup/ingest family, the txlog
+    # stream sink) — the stalest rows in the registry after r8.
+    "visitor_stats_stream", "uv_stream", "new_user_stream", "bounce_stream",
+    "session_stats_stream", "visitor_stats_sliding_stream",
+    "keyword_stats_stream", "dedup_exact_stream", "dedup_minhash_stream",
+    "province_stats_stream", "events_union_stats_stream",
+    "product_stats_stream", "order_wide_stream", "payment_wide_stream",
+    "keyword_stats_dict", "product_stats_stream_approx", "dedup_incremental",
+    "visitor_stats_cumulate", "ingest_pipeline_stream",
+    "keyword_stats_dict_stream", "ann_sign_lsh_topk", "ann_quantized_topk",
+    "ann_ivf_quantized_topk", "ann_ingest_stream", "txlog_stream_sink",
+    # Slots 26-36: the 11 round-8 additions, never driver-graded (all
+    # oracle-green in both the r8 builder session and the judge's own
+    # full-suite run).
     "dedup_exact_substring", "bpe_train", "bpe_tokenize",
     "txlog_identity_merge_read", "txlog_merge_evolve_read",
     "dedup_substring_scrub", "txlog_batch_source_read", "ann_pq_topk",
     "txlog_write_format_read", "txlog_stream_format_chain",
     "txlog_convert_read",
+    # Slots 37-42: the 6 round-9 additions (verdict tasks 3-8; each
+    # driver-sim verified green before its commit this session).
+    "txlog_vacuum_read", "datetime_funcs_cst", "multimodal_dimensions",
+    "quality_classifier_score", "ann_ivf_pq_topk",
+    "dedup_substring_incremental",
+    # Slots 43-50: 8 of the 67 r6-rowed names, chosen for surface
+    # diversity (TPC-H rollup/window, txlog verbs incl. the three bench
+    # drift-watch queries, trained SemDeDup, the fulfillment-band
+    # streaming sibling); the rest of the r6 block leads r10.
+    "rollup_sales", "top_customers", "txlog_merge_read",
+    "txlog_time_travel", "txlog_cdc_apply", "txlog_scd2_read",
+    "semantic_dedup_trained", "abandoned_orders_stream",
+    # r10 rotation note: lead with the remaining 59 r6-rowed names
+    # (stalest first: the txlog read/verb family, the TPC-H shaped
+    # analytics block, the quality/curation family, fulfillment_stats_
+    # stream + cdc_stream), then the r9 registration that missed this
+    # window: ingest_classifier_gate (driver-sim verified green in the
+    # r9 session; no driver row yet).
 ]
 
 
