@@ -380,3 +380,79 @@ def test_containment_catches_quotes_jaccard_misses(spark):
     assert r["cont_b"] < 0.2  # ...but covers little of the long doc
     jac = ngram_jaccard_pairs(docs, "doc_id", "text", 0.3, doc_freq_cap=None).collect()
     assert jac == []  # symmetric Jaccard misses the quote entirely
+
+
+def test_media_header_codec_boundary_dims(spark):
+    """The JVM byte encoders/parsers agree with Python struct at the field
+    boundaries: 1, one-below/at a byte edge (255/256), and the u16 max for
+    GIF — any endianness or padding slip shows up exactly here."""
+    from flink_real_time_data_warehouse_spark.datapipe.multimodal import (
+        parse_header_py,
+        parse_media_headers,
+        synth_media_payloads,
+    )
+
+    # doc_ids chosen so the %4 kind and the %1009/%997 dims hit edges:
+    # kind = doc_id % 4 (0 png, 1 bmp, 3 gif); width = 16 + doc_id % 1009.
+    cases = [0, 1, 3, 4 * 252, 4 * 60 + 1, 1008 + 1009 * 3]  # mix of kinds
+    docs = spark.createDataFrame([(d,) for d in cases], "doc_id long")
+    parsed = {
+        r["asset_id"]: r.asDict()
+        for r in parse_media_headers(synth_media_payloads(docs)).collect()
+    }
+    payloads = {
+        r["asset_id"]: bytes(r["payload"])
+        for r in synth_media_payloads(docs).collect()
+    }
+    for d in cases:
+        kind = d % 4
+        got = parsed[d]
+        py = parse_header_py(payloads[d])
+        if kind == 2:
+            assert got["container"] == "wav" == py["container"]
+            assert got["sample_rate"] == 8000 + (d % 8) * 4000 == py["sample_rate"]
+            assert got["channels"] == 1 + d % 2 == py["channels"]
+        else:
+            assert got["container"] == {0: "png", 1: "bmp", 3: "gif"}[kind]
+            assert got["container"] == py["container"]
+            assert got["width"] == 16 + d % 1009 == py["width"], d
+            assert got["height"] == 16 + (d * 7) % 997 == py["height"], d
+
+
+def test_classifier_model_pack_and_score(spark):
+    """train_quality_classifier packs one 3-hex-char fixed-point weight
+    per bucket; scoring replays exactly: a token seen only in positive
+    docs scores (1000*(n+1))//(n+2), an unseen bucket reads the prior
+    500, and empty-token docs score NULL avg / keep n_feats 0."""
+    from flink_real_time_data_warehouse_spark.datapipe.classifier import (
+        N_BUCKETS,
+        _W_HEX,
+        bucket,
+        score_with_model,
+        train_quality_classifier,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "goodword goodword2", 1), (2, "badword badword2", 0)],
+        "doc_id long, text string, label int",
+    )
+    model = train_quality_classifier(docs, F.col("label") == 1)
+    assert len(model) == N_BUCKETS * _W_HEX
+    b_good = spark.range(1).select(bucket(F.lit("goodword"))).first()[0]
+    w_good = int(model[b_good * _W_HEX:(b_good + 1) * _W_HEX], 16)
+    assert w_good == (1000 * (1 + 1)) // (1 + 2)  # pos=1, tot=1
+    score_docs = spark.createDataFrame(
+        [(10, "goodword"), (11, "neverseen"), (12, "杭州")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in score_with_model(score_docs, model).collect()
+    }
+    assert got[10]["score"] == w_good and got[10]["avg_milli"] == w_good
+    assert got[11]["score"] == 500 and got[11]["pred_positive"] == 0
+    assert got[12] == {
+        "doc_id": 12, "score": 0, "n_feats": 0,
+        "avg_milli": None, "pred_positive": None,
+    }
