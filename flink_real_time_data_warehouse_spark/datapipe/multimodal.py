@@ -497,3 +497,243 @@ def parse_header_py(payload: bytes) -> dict | None:
         w, h = struct.unpack("<HH", b[6:10])
         return {"container": "gif", "width": w, "height": h}
     return None
+
+
+# ---------------------------------------------------------------------------
+# Variable-offset containers (round 9): JPEG and MP3. Unlike PNG/BMP/WAV/GIF
+# the interesting fields do NOT sit at fixed offsets — JPEG dimensions live
+# in an SOF segment behind a chain of length-prefixed segments (APP0, COM,
+# ...), and the first MPEG audio frame sits behind an ID3v2 tag whose length
+# is a 4x7-bit "syncsafe" integer. Both walks are still pure JVM column
+# arithmetic: a BOUNDED marker walk unrolled into nested CASE expressions
+# (positions are Columns, read via Column.substr(pos, len)), so the plan
+# stays inside whole-stage codegen with zero Python — the property that
+# matters at 100 TB, where header sniffing runs on every ingested asset.
+# Reference counterpart: the reference treats media as opaque payload
+# strings; this extends the r8 header-decode contract to the two most
+# common real-world containers.
+# ---------------------------------------------------------------------------
+
+#: segments the JPEG walk will skip before giving up (SOI + APP0 + COM +
+#: slack; real files front-load APPn/COM before SOF)
+JPEG_WALK_SEGMENTS = 5
+
+#: MPEG1 Layer III bitrate table, kbps, indexed 1..14 (0=free, 15=bad)
+MP3_BITRATES = [None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+
+#: MPEG1 sample-rate table, indexed 0..2 (3=reserved)
+MP3_RATES = [44100, 48000, 32000]
+
+
+def _be_int_at(p, pos, n: int):
+    """n bytes of binary col `p` at Column position `pos` (1-indexed) ->
+    big-endian long. Column.substr accepts Column args, so the offset can
+    be data-dependent while staying JVM-side."""
+    return F.conv(F.hex(p.substr(pos.cast("int"), F.lit(n))), 16, 10).cast("long")
+
+
+def synth_av_payloads(docs: DataFrame) -> DataFrame:
+    """Format-valid JPEG/MP3 byte payloads per document, every field a
+    deterministic function of doc_id so a SQL oracle can replay them.
+
+    doc_id%2==0 -> JPEG: SOI + APP0/JFIF + a COM segment whose length
+    VARIES with doc_id (so the SOF offset is not constant and the parser
+    must genuinely walk the segment chain) + SOF0 with height/width.
+    doc_id%2==1 -> MP3: ID3v2.3 tag with a variable syncsafe payload size
+    (0..299, exercising the two-low-bytes encoding) + one MPEG1 Layer III
+    frame header carrying bitrate/sample-rate/channel-mode."""
+    did = F.col("doc_id")
+    width = (F.lit(32) + did % 2021).cast("long")
+    height = (F.lit(32) + (did * 11) % 1013).cast("long")
+    com_len = (F.lit(1) + did % 7).cast("long")          # COM payload bytes
+    jpeg = F.concat(
+        _lit_bin("FFD8"),                                 # SOI
+        _lit_bin("FFE00010"),                             # APP0, len 16
+        _lit_bin(_ascii_hex("JFIF")), _lit_bin("00"),
+        _lit_bin("010200000100010000"),                   # JFIF v1.2 body
+        _lit_bin("FFFE"),                                 # COM marker
+        _be_enc(com_len + 2, 2),                          # COM length
+        F.unhex(F.lit("41" * 8).substr(F.lit(1), (com_len * 2).cast("int"))),
+        _lit_bin("FFC00011"),                             # SOF0, len 17
+        _lit_bin("08"),                                   # precision
+        _be_enc(height, 2), _be_enc(width, 2),
+        _lit_bin("03" "012200" "021101" "031101"),        # 3 components
+    )
+    tag_len = (did % 300).cast("long")                    # ID3 payload bytes
+    br_idx = (F.lit(1) + did % 14).cast("long")
+    sr_idx = (did % 3).cast("long")
+    mode = (did % 4).cast("long")
+    mp3 = F.concat(
+        _lit_bin(_ascii_hex("ID3")), _lit_bin("030000"),  # v2.3, flags 0
+        _lit_bin("0000"),                                 # syncsafe hi bytes
+        _be_enc(F.shiftright(tag_len, 7).bitwiseAND(F.lit(127)), 1),
+        _be_enc(tag_len.bitwiseAND(F.lit(127)), 1),
+        F.unhex(F.lit("00" * 300).substr(F.lit(1), (tag_len * 2).cast("int"))),
+        _lit_bin("FFFB"),                                 # sync+MPEG1+LayerIII
+        _be_enc(br_idx * 16 + sr_idx * 4, 1),
+        _be_enc(mode * 64, 1),
+        _lit_bin("00000000"),                             # frame data stub
+    )
+    return docs.select(
+        did.alias("asset_id"),
+        F.when(did % 2 == 0, jpeg).otherwise(mp3).alias("payload"),
+    )
+
+
+def _jpeg_sof_pos(p):
+    """Walk the JPEG segment chain from byte 3 (after SOI): at each step
+    read the 2-byte marker; stop at SOF0/1/2, else advance by
+    2 + segment-length. Bounded unroll of JPEG_WALK_SEGMENTS steps keeps
+    the expression tree finite; returns the SOF marker position or NULL.
+
+    The chain advances UNCONDITIONALLY (every segment, SOF included,
+    carries a length field, so marching past SOF is well-defined; reads
+    past the payload end decode to 0 and the chain parks). Keeping the
+    position update conditional-free bounds expression growth at 2x per
+    step — the earlier conditional formulation tripled per step and blew
+    janino's 64 KB codegen method limit, silently falling back to the
+    interpreter. coalesce picks the FIRST candidate whose marker is
+    SOF0/1/2, which is exactly the walk's stop rule."""
+    pos = F.lit(3).cast("long")
+    cands = []
+    for _ in range(JPEG_WALK_SEGMENTS):
+        cands.append(pos)
+        pos = pos + 2 + _be_int_at(p, pos + 2, 2)
+    return F.coalesce(
+        *[
+            F.when(
+                (_be_int_at(p, c, 2) >= 0xFFC0) & (_be_int_at(p, c, 2) <= 0xFFC2),
+                c,
+            )
+            for c in cands
+        ]
+    )
+
+
+def parse_av_headers(assets: DataFrame) -> DataFrame:
+    """Dimension/stream-parameter extraction for JPEG and MP3, trusting
+    ONLY the bytes (the synthesis formulas never appear here).
+
+    JPEG: magic FFD8, then the segment walk; height/width are big-endian
+    u16 at SOF+5/SOF+7. A payload whose walk finds no SOF parses as NULL
+    (strict sniffer — lookalike bytes don't get a container).
+    MP3: an ID3v2 tag is skipped via the syncsafe length
+    (b7<<21|b8<<14|b9<<7|b10, each byte masked to 7 bits); the frame
+    header must carry the 11-bit sync, MPEG1 version bits and Layer III
+    bits or everything is NULL. Bitrate/sample-rate decoded from the
+    standard tables; channels = 1 only for mono mode (3).
+
+    STRUCTURE NOTE: the parse is a chain of narrow projections, each
+    materializing a value (segment positions, markers, frame bytes) that
+    later stages reference MORE THAN ONCE. CollapseProject deliberately
+    refuses to inline multiply-referenced non-cheap aliases, so every
+    byte read compiles exactly once — a single flat expression here
+    (tried first) duplicated the substr/hex/conv trees combinatorially
+    and overran janino's 64 KB method limit, dropping the whole stage to
+    the interpreter. The staged form stays one WholeStageCodegen."""
+    p = F.col("payload")
+    df = assets.select("asset_id", "payload")
+    # JPEG segment chain: one position column per step, marker read once.
+    df = df.withColumn("_c0", F.lit(3).cast("long"))
+    for i in range(1, JPEG_WALK_SEGMENTS):
+        prev = F.col(f"_c{i - 1}")
+        df = df.withColumn(f"_c{i}", prev + 2 + _be_int_at(p, prev + 2, 2))
+    for i in range(JPEG_WALK_SEGMENTS):
+        df = df.withColumn(f"_m{i}", _be_int_at(p, F.col(f"_c{i}"), 2))
+    sof = F.coalesce(
+        *[
+            F.when(
+                (F.col(f"_m{i}") >= 0xFFC0) & (F.col(f"_m{i}") <= 0xFFC2),
+                F.col(f"_c{i}"),
+            )
+            for i in range(JPEG_WALK_SEGMENTS)
+        ]
+    )
+    df = df.withColumn(
+        "_sof", F.when(F.hex(p.substr(1, 2)) == "FFD8", sof)
+    )
+    # MP3: ID3v2 skip, then the four frame-header bytes, each read once.
+    byte_at = lambda pos: _be_int_at(p, pos, 1)  # noqa: E731
+    syncsafe = (
+        F.shiftleft(byte_at(F.lit(7).cast("long")).bitwiseAND(F.lit(127)), 21)
+        + F.shiftleft(byte_at(F.lit(8).cast("long")).bitwiseAND(F.lit(127)), 14)
+        + F.shiftleft(byte_at(F.lit(9).cast("long")).bitwiseAND(F.lit(127)), 7)
+        + byte_at(F.lit(10).cast("long")).bitwiseAND(F.lit(127))
+    )
+    has_id3 = F.hex(p.substr(1, 3)) == _ascii_hex("ID3")
+    df = df.withColumn(
+        "_fpos", F.when(has_id3, syncsafe + 11).otherwise(F.lit(1).cast("long"))
+    )
+    fpos = F.col("_fpos")
+    for off in range(4):
+        df = df.withColumn(f"_b{off + 1}", byte_at(fpos + off))
+    b1, b2, b3, b4 = (F.col(f"_b{i}") for i in (1, 2, 3, 4))
+    sync_ok = (b1 == 0xFF) & (b2.bitwiseAND(F.lit(0xE0)) == 0xE0)
+    is_mpeg1 = F.shiftright(b2, 3).bitwiseAND(F.lit(3)) == 3
+    is_layer3 = F.shiftright(b2, 1).bitwiseAND(F.lit(3)) == 1
+    df = df.withColumn("_frame_ok", sync_ok & is_mpeg1 & is_layer3)
+    df = df.withColumn("_br_idx", F.shiftright(b3, 4))
+    df = df.withColumn("_sr_idx", F.shiftright(b3, 2).bitwiseAND(F.lit(3)))
+    br_idx, sr_idx = F.col("_br_idx"), F.col("_sr_idx")
+    mode = F.shiftright(b4, 6)
+    bitrate = F.when(br_idx == 0, F.lit(None).cast("long"))
+    for i in range(1, 15):
+        bitrate = bitrate.when(br_idx == i, F.lit(MP3_BITRATES[i]).cast("long"))
+    rate = F.when(sr_idx == 0, F.lit(MP3_RATES[0]).cast("long"))
+    for i in (1, 2):
+        rate = rate.when(sr_idx == i, F.lit(MP3_RATES[i]).cast("long"))
+    channels = F.when(mode == 3, F.lit(1)).otherwise(F.lit(2)).cast("long")
+
+    sof = F.col("_sof")
+    jpeg_found = sof.isNotNull()
+    mp3_found = sof.isNull() & F.col("_frame_ok")
+    container = F.when(jpeg_found, F.lit("jpeg")).when(mp3_found, F.lit("mp3"))
+    return df.select(
+        "asset_id",
+        container.alias("container"),
+        F.when(jpeg_found, _be_int_at(p, sof + 7, 2)).alias("width"),
+        F.when(jpeg_found, _be_int_at(p, sof + 5, 2)).alias("height"),
+        F.when(mp3_found, rate).alias("sample_rate"),
+        F.when(mp3_found, channels).alias("channels"),
+        F.when(mp3_found, bitrate).alias("bitrate_kbps"),
+    )
+
+
+def parse_av_header_py(payload: bytes) -> dict | None:
+    """The Python-path twin of parse_av_headers (same strict contract),
+    for the mapInPandas decode route and for boundary tests."""
+    import struct
+
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:2] == b"\xff\xd8":
+        pos = 2  # 0-indexed
+        for _ in range(JPEG_WALK_SEGMENTS):
+            if pos + 4 > len(b):
+                return None
+            marker = struct.unpack(">H", b[pos:pos + 2])[0]
+            if 0xFFC0 <= marker <= 0xFFC2:
+                if pos + 9 > len(b):
+                    return None
+                h, w = struct.unpack(">HH", b[pos + 5:pos + 9])
+                return {"container": "jpeg", "width": w, "height": h}
+            pos += 2 + struct.unpack(">H", b[pos + 2:pos + 4])[0]
+        return None
+    pos = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        size = ((b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14
+                | (b[8] & 0x7F) << 7 | (b[9] & 0x7F))
+        pos = 10 + size
+    if pos + 4 > len(b):
+        return None
+    b1, b2, b3, b4 = b[pos:pos + 4]
+    if not (b1 == 0xFF and (b2 & 0xE0) == 0xE0
+            and (b2 >> 3) & 3 == 3 and (b2 >> 1) & 3 == 1):
+        return None
+    br_idx, sr_idx, mode = b3 >> 4, (b3 >> 2) & 3, b4 >> 6
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    return {"container": "mp3", "sample_rate": MP3_RATES[sr_idx],
+            "channels": 1 if mode == 3 else 2,
+            "bitrate_kbps": MP3_BITRATES[br_idx]}

@@ -3320,6 +3320,54 @@ def multimodal_dimensions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_dimensions_av",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'mp3' END AS container,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(32 + doc_id % 2021 AS BIGINT) END AS width,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(32 + (doc_id * 11) % 1013 AS BIGINT) END AS height,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST(CASE CAST(doc_id % 3 AS INTEGER)
+                          WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                          ELSE 32000 END AS BIGINT) END AS sample_rate,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END AS BIGINT)
+                END AS channels,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST(CASE CAST(1 + doc_id % 14 AS INTEGER)
+                          WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+                          WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+                          WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+                          WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+                          WHEN 13 THEN 256 ELSE 320 END AS BIGINT)
+                END AS bitrate_kbps
+    FROM documents
+    """,
+    doc=(
+        "VARIABLE-OFFSET header decode (extends the r8 fixed-offset "
+        "contract to the two most common real containers): JPEG dims live "
+        "behind a length-prefixed segment chain (APP0 + a COM segment "
+        "whose length varies per asset, so the SOF offset is data-"
+        "dependent and the parser must genuinely walk markers), and the "
+        "MP3 frame header sits behind an ID3v2 tag skipped via its 4x7-bit "
+        "syncsafe length, then validated (11-bit sync, MPEG1, Layer III) "
+        "and decoded through the standard bitrate/sample-rate tables. "
+        "Both walks are staged JVM projections -- every byte read "
+        "compiles once, zero Python, one codegen stage (plan-tested). "
+        "The oracle replays the doc_id synthesis formulas, so a bug in "
+        "either the byte encoder or the walker breaks the hash"
+    ),
+)
+def multimodal_dimensions_av_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.multimodal import parse_av_headers, synth_av_payloads
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return parse_av_headers(synth_av_payloads(docs))
+
+
+@register(
     "frame_sample",
     oracle=f"""
     WITH v AS (SELECT doc_id AS asset_id, md5(text) AS h,

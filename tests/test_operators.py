@@ -456,3 +456,65 @@ def test_classifier_model_pack_and_score(spark):
         "doc_id": 12, "score": 0, "n_feats": 0,
         "avg_milli": None, "pred_positive": None,
     }
+
+
+def test_av_header_codec_boundary_dims(spark):
+    """JPEG/MP3 (round-9 variable-offset containers): the JVM walk and the
+    Python struct twin agree at the boundaries that break naive parsers —
+    the COM length extremes (SOF offset shifts), the syncsafe two-byte
+    split (127/128/299 tag bytes), and the bitrate/sample-rate table
+    edges (index 1, index 14, all three rate indices)."""
+    from flink_real_time_data_warehouse_spark.datapipe.multimodal import (
+        parse_av_header_py,
+        parse_av_headers,
+        synth_av_payloads,
+    )
+
+    # even -> jpeg (COM payload = 1 + d%7: hit 1 and 7);
+    # odd  -> mp3 (tag bytes = d%300: hit 127, 128, 299; bitrate index
+    # 1 + d%14: hit 1 and 14; rate index d%3: all three).
+    cases = [0, 6, 2020 + 2021, 127, 128 + 300, 299 + 300 * 2, 1 + 14 * 9, 14 * 5 + 13]
+    docs = spark.createDataFrame([(d,) for d in cases], "doc_id long")
+    parsed = {
+        r["asset_id"]: r.asDict()
+        for r in parse_av_headers(synth_av_payloads(docs)).collect()
+    }
+    payloads = {
+        r["asset_id"]: bytes(r["payload"])
+        for r in synth_av_payloads(docs).collect()
+    }
+    rates = [44100, 48000, 32000]
+    brs = [None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+    for d in cases:
+        got, py = parsed[d], parse_av_header_py(payloads[d])
+        if d % 2 == 0:
+            assert got["container"] == "jpeg" == py["container"]
+            assert got["width"] == 32 + d % 2021 == py["width"], d
+            assert got["height"] == 32 + (d * 11) % 1013 == py["height"], d
+        else:
+            assert got["container"] == "mp3" == py["container"]
+            assert got["sample_rate"] == rates[d % 3] == py["sample_rate"], d
+            assert got["channels"] == (1 if d % 4 == 3 else 2) == py["channels"], d
+            assert got["bitrate_kbps"] == brs[1 + d % 14] == py["bitrate_kbps"], d
+
+
+def test_av_header_parse_rejects_lookalikes(spark):
+    """Strict sniffing: an ID3 text fragment with no valid frame, an FFD8
+    prefix with a garbage segment chain, and plain text all parse to NULL
+    container in BOTH the JVM and Python paths."""
+    from flink_real_time_data_warehouse_spark.datapipe.multimodal import (
+        parse_av_header_py,
+        parse_av_headers,
+    )
+
+    fakes = [
+        b"ID3 is a band from Norway, formed back in the nineties",
+        b"\xff\xd8 then garbage bytes with no marker discipline at all",
+        b"plain text that is neither container",
+    ]
+    for s in fakes:
+        assert parse_av_header_py(s) is None
+        df = spark.createDataFrame([(1, bytearray(s))], "asset_id long, payload binary")
+        row = parse_av_headers(df).first()
+        assert row["container"] is None and row["width"] is None
+        assert row["sample_rate"] is None and row["bitrate_kbps"] is None

@@ -631,3 +631,16 @@ def test_substring_incremental_probe_never_shuffles_index(spark, tmp_path):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan, f"index got shuffled:\n{plan}"
+
+
+def test_multimodal_dimensions_av_zero_python(spark):
+    """The JPEG segment walk / MP3 syncsafe skip (round 9) stay pure JVM:
+    no Arrow/Python eval node, and the staged projections fuse into ONE
+    whole-stage-codegen stage (the staging exists to keep every byte read
+    compiled once — see parse_av_headers' structure note)."""
+    df = registry()["multimodal_dimensions_av"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapsInPandas"):
+        assert bad not in plan, f"Python crossed into the plan: {bad}"
+    assert "*(1)" in plan
+    assert "*(2)" not in plan  # staging must not split codegen
