@@ -164,3 +164,153 @@ def bpe_piece_counts(
             F.coalesce("bpe_ct", F.lit(0)).cast("long").alias("bpe_ct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece encoding over the BPE-trained vocabulary (round 9). BERT's
+# tokenizer (Devlin et al. 2018; the greedy variant formalized in Song et
+# al. 2021, "Fast WordPiece Tokenization") ENCODES differently from BPE:
+# instead of replaying merges, it takes the LONGEST vocabulary piece
+# matching at the cursor (maximal munch) and maps the whole word to a
+# single [UNK] when any position matches nothing. The "##" continuation
+# marker is omitted (pieces match raw at any offset — documented
+# simplification; the vocab carries no ## entries to distinguish).
+#
+# Spark-first shape — the encode is THREE set operations, no per-row
+# Python and no unbounded unroll:
+#   1. distinct words explode into every (start, len<=piece-cap)
+#      substring — O(16 * chars) rows over DISTINCT words only (Heaps'
+#      law bounds that at any corpus size);
+#   2. one BROADCAST join against the piece vocabulary, then max(len)
+#      per (word, start): greedy munch only ever consults the longest
+#      match at a cursor;
+#   3. a per-word aggregate fold over character positions walks the
+#      cursor through the match map — O(word length) with O(1) lookups.
+# ---------------------------------------------------------------------------
+
+WP_MAX_PIECE_CHARS = BPE_MAX_WORD_CHARS  # longest vocab piece considered
+
+
+def wordpiece_vocab(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[int, str, str]],
+    vocab_cap: int = BPE_VOCAB_CAP,
+    max_word: int = BPE_MAX_WORD_CHARS,
+) -> DataFrame:
+    """The piece vocabulary a BPE training run induces: every symbol
+    surviving in the capped word vocabulary after the merge table is
+    applied in rank order (single characters that were never merged away
+    plus each merge's output). One column, `piece`."""
+    vocab = word_vocab(df, text_col, vocab_cap, max_word)
+    syms = F.col("syms")
+    for _rank, left, right in sorted(merges):
+        syms = apply_merge(syms, left, right)
+    return vocab.select(F.explode(syms).alias("piece")).distinct()
+
+
+def wordpiece_piece_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[int, str, str]],
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """(id, word_ct, wp_ct, unk_ct): whitespace words per document, the
+    WordPiece pieces they encode to under greedy maximal munch, and how
+    many words fell to [UNK] (counted as ONE piece each, BERT's rule).
+
+    `vocab` is the TRAINING corpus's piece table (wordpiece_vocab); it
+    defaults to deriving one from `df` itself, which is only right when
+    the encode corpus IS the training corpus — pass it explicitly when
+    they differ, or the vocabulary silently tracks the wrong corpus."""
+    occ = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    dw = occ.select("w").distinct()
+    if vocab is None:
+        vocab = wordpiece_vocab(df, text_col, merges)
+    subs = (
+        dw.select("w", F.explode(F.sequence(F.lit(1), F.length("w"))).alias("start"))
+        .select(
+            "w",
+            "start",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.lit(WP_MAX_PIECE_CHARS),
+                        F.length("w") - F.col("start") + 1,
+                    ),
+                )
+            ).alias("plen"),
+        )
+        .select(
+            "w", "start", "plen",
+            F.col("w").substr(F.col("start"), F.col("plen")).alias("piece"),
+        )
+    )
+    best = (
+        subs.join(F.broadcast(vocab), "piece")
+        .groupBy("w", "start")
+        .agg(F.max("plen").alias("mlen"))
+    )
+    munch = best.groupBy("w").agg(
+        F.map_from_entries(F.collect_list(F.struct("start", "mlen"))).alias("m")
+    )
+
+    def _step(acc, i):
+        mlen = F.try_element_at(F.col("m"), acc["pos"])
+        advanced = F.struct(
+            (acc["pos"] + mlen).alias("pos"),
+            (acc["pieces"] + 1).alias("pieces"),
+            F.lit(False).alias("unk"),
+        )
+        failed = F.struct(
+            acc["pos"].alias("pos"),
+            acc["pieces"].alias("pieces"),
+            F.lit(True).alias("unk"),
+        )
+        return F.when((i != acc["pos"]) | acc["unk"], acc).otherwise(
+            F.when(mlen.isNotNull(), advanced).otherwise(failed)
+        )
+
+    state = F.aggregate(
+        F.sequence(F.lit(1), F.length("w")),
+        F.struct(
+            F.lit(1).cast("int").alias("pos"),
+            F.lit(0).cast("int").alias("pieces"),
+            F.lit(False).alias("unk"),
+        ),
+        _step,
+    )
+    enc = (
+        dw.join(munch, "w", "left")
+        .select("w", state.alias("s"))
+        .select(
+            "w",
+            F.when(F.col("s")["unk"], F.lit(1))
+            .otherwise(F.col("s")["pieces"])
+            .alias("_pieces"),
+            F.col("s")["unk"].cast("int").alias("_unk"),
+        )
+    )
+    agg = (
+        occ.join(enc, "w")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("word_ct"),
+            F.sum("_pieces").alias("wp_ct"),
+            F.sum("_unk").alias("unk_ct"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, df[id_col] == agg["_id"], "left")
+        .select(
+            id_col,
+            F.coalesce("word_ct", F.lit(0)).cast("long").alias("word_ct"),
+            F.coalesce("wp_ct", F.lit(0)).cast("long").alias("wp_ct"),
+            F.coalesce("unk_ct", F.lit(0)).cast("long").alias("unk_ct"),
+        )
+    )

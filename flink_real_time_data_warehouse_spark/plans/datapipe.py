@@ -663,6 +663,87 @@ def bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_piece_counts(docs, "doc_id", "text", merges)
 
 
+def _wordpiece_oracle() -> str:
+    from ..datapipe.bpe import BPE_MERGES, WP_MAX_PIECE_CHARS
+
+    parts = _bpe_train_ctes()
+    parts.append(
+        f"wp_vocab AS MATERIALIZED (SELECT DISTINCT unnest(syms) AS piece "
+        f"FROM v{BPE_MERGES})"
+    )
+    parts.append("dw AS MATERIALIZED (SELECT DISTINCT w AS word FROM ww)")
+    parts.append(
+        "s1 AS (SELECT word, unnest(range(1, len(word) + 1)) AS start FROM dw)"
+    )
+    parts.append(
+        f"s2 AS (SELECT word, start, unnest(range(1, least({WP_MAX_PIECE_CHARS}, "
+        "len(word) - start + 1) + 1)) AS plen FROM s1)"
+    )
+    parts.append(
+        "best AS MATERIALIZED (SELECT s.word, s.start, max(s.plen) AS mlen "
+        "FROM (SELECT word, start, plen, "
+        "substr(word, CAST(start AS INTEGER), CAST(plen AS INTEGER)) AS piece "
+        "FROM s2) s JOIN wp_vocab v USING (piece) GROUP BY s.word, s.start)"
+    )
+    parts.append(
+        """wpwalk AS (
+      SELECT word, CAST(1 AS BIGINT) AS pos, 0 AS pieces, false AS unk FROM dw
+      UNION ALL
+      SELECT w.word,
+             CASE WHEN b.mlen IS NULL THEN CAST(len(w.word) + 1 AS BIGINT)
+                  ELSE w.pos + b.mlen END,
+             CASE WHEN b.mlen IS NULL THEN w.pieces ELSE w.pieces + 1 END,
+             b.mlen IS NULL
+      FROM wpwalk w LEFT JOIN best b ON b.word = w.word AND b.start = w.pos
+      WHERE w.pos <= len(w.word) AND NOT w.unk)"""
+    )
+    parts.append(
+        "wfinal AS (SELECT word, CASE WHEN unk THEN 1 ELSE pieces END AS pieces, "
+        "CAST(unk AS INTEGER) AS unk FROM wpwalk WHERE pos > len(word))"
+    )
+    parts.append(
+        """cnt AS (
+      SELECT t.doc_id, count(*) AS word_ct, sum(f.pieces) AS wp_ct,
+             sum(f.unk) AS unk_ct
+      FROM (SELECT doc_id, unnest(l) AS word FROM toks) t
+      JOIN wfinal f USING (word) GROUP BY t.doc_id)"""
+    )
+    return f"""WITH RECURSIVE {', '.join(parts)}
+    SELECT d.doc_id,
+           CAST(coalesce(c.word_ct, 0) AS BIGINT) AS word_ct,
+           CAST(coalesce(c.wp_ct, 0) AS BIGINT) AS wp_ct,
+           CAST(coalesce(c.unk_ct, 0) AS BIGINT) AS unk_ct
+    FROM documents d LEFT JOIN cnt c USING (doc_id)
+    """
+
+
+@register(
+    "wordpiece_tokenize",
+    oracle=_wordpiece_oracle(),
+    doc=(
+        "WordPiece ENCODING (Devlin et al. 2018; greedy maximal munch per "
+        "Song et al. 2021) over the vocabulary the graded BPE training "
+        "induces (surviving symbols after the merge table): longest "
+        "vocabulary piece at the cursor wins, any unmatched position "
+        "collapses the whole word to ONE [UNK] piece — a genuinely "
+        "different encode from bpe_tokenize's merge replay, sharing its "
+        "training. Spark shape: distinct words explode into (start, "
+        "len<=16) substrings, ONE broadcast join against the ~2k-piece "
+        "vocab, max(len) per cursor, then an O(word-length) aggregate "
+        "fold walks the cursor — no per-row Python, encode work bounded "
+        "by DISTINCT words (Heaps' law) at any corpus size. Oracle: "
+        "training replay + the same munch as a recursive CTE. "
+        "## continuation markers omitted (documented simplification)"
+    ),
+)
+def wordpiece_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.bpe import bpe_train, wordpiece_piece_counts
+
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text")
+    return wordpiece_piece_counts(docs, "doc_id", "text", merges)
+
+
 # ---------------------------------------------------------------------------
 def _simhash_oracle() -> str:
     return f"""

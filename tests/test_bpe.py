@@ -49,3 +49,71 @@ def test_bpe_piece_counts_zero_fill_and_consistency(spark):
     for doc_id, (wc, bc) in rows.items():
         assert bc >= wc, f"doc {doc_id}: every word is at least one piece"
     assert len(rows) == 3
+
+
+def test_wordpiece_munch_hand_computed(spark):
+    """Greedy maximal munch over an explicit merge table: vocab from
+    'aaab aaab aaab ab' with merges [(a,a),(a,b)] is {aa, ab, a(?), b(?)}
+    — whatever symbols survive; encoding must take the LONGEST piece at
+    each cursor and collapse any word with an unmatched char to one
+    [UNK]."""
+    from flink_real_time_data_warehouse_spark.datapipe.bpe import (
+        bpe_train,
+        wordpiece_piece_counts,
+        wordpiece_vocab,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "aaab aaab ab"), (2, "aaab ab")], "doc_id long, text string"
+    )
+    merges = bpe_train(train, "text", n_merges=2)
+    assert merges == [(1, "a", "a"), (2, "a", "b")]
+    vocab = {r["piece"] for r in wordpiece_vocab(train, "text", merges).collect()}
+    # aaab -> [aa, ab] and ab -> [ab] after both merges: surviving symbols
+    assert vocab == {"aa", "ab"}
+    # encode a doc against that vocab:
+    #  aaab   -> aa + ab = 2 pieces
+    #  aab    -> aa + b? 'b' alone not in vocab -> UNK (1 piece)
+    #  abab   -> ab + ab = 2
+    #  aaabab -> aa + ab + ab = 3 (munch prefers aa over a at cursor 1)
+    #  zz     -> UNK
+    docs = spark.createDataFrame(
+        [(10, "aaab aab abab aaabab zz"), (11, "")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["word_ct"], r["wp_ct"], r["unk_ct"])
+        for r in wordpiece_piece_counts(
+            docs, "doc_id", "text", merges,
+            vocab=wordpiece_vocab(train, "text", merges),
+        ).collect()
+    }
+    assert out[10] == (5, 2 + 1 + 2 + 3 + 1, 2)
+    assert out[11] == (0, 0, 0)
+
+
+def test_wordpiece_piece_cap_respected(spark):
+    """A vocabulary piece can never exceed WP_MAX_PIECE_CHARS, and words
+    longer than the cap still encode (by multiple pieces), never by a
+    single over-long match."""
+    from flink_real_time_data_warehouse_spark.datapipe.bpe import (
+        WP_MAX_PIECE_CHARS,
+        bpe_train,
+        wordpiece_piece_counts,
+    )
+
+    long_word = "ab" * WP_MAX_PIECE_CHARS  # 32 chars, above the 16 cap
+    train = spark.createDataFrame(
+        [(1, "ab ab ab " + long_word)], "doc_id long, text string"
+    )
+    merges = bpe_train(train, "text", n_merges=2)
+    docs = spark.createDataFrame([(1, long_word)], "doc_id long, text string")
+    from flink_real_time_data_warehouse_spark.datapipe.bpe import wordpiece_vocab
+
+    row = wordpiece_piece_counts(
+        docs, "doc_id", "text", merges,
+        vocab=wordpiece_vocab(train, "text", merges),
+    ).first()
+    # whatever the merges, the 32-char word needs >= ceil(32/16) pieces
+    assert row["word_ct"] == 1
+    assert row["unk_ct"] == 0
+    assert row["wp_ct"] >= 2

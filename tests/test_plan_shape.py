@@ -644,3 +644,21 @@ def test_multimodal_dimensions_av_zero_python(spark):
         assert bad not in plan, f"Python crossed into the plan: {bad}"
     assert "*(1)" in plan
     assert "*(2)" not in plan  # staging must not split codegen
+
+
+def test_wordpiece_vocab_join_is_broadcast(spark):
+    """WordPiece encode (round 9): the substring-candidates x vocabulary
+    join must BROADCAST the ~2k-piece vocab — a shuffle there would move
+    the full substring explosion; and nothing in the plan may cross into
+    Python."""
+    from flink_real_time_data_warehouse_spark.datapipe.bpe import (
+        wordpiece_piece_counts,
+    )
+
+    docs = table(spark, TEST_SF_DIR, "documents")
+    df = wordpiece_piece_counts(docs, "doc_id", "text", [(1, "a", "b")])
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert bad not in plan, f"Python crossed into the plan: {bad}"
