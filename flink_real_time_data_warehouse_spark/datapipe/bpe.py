@@ -230,26 +230,7 @@ def wordpiece_piece_counts(
     dw = occ.select("w").distinct()
     if vocab is None:
         vocab = wordpiece_vocab(df, text_col, merges)
-    subs = (
-        dw.select("w", F.explode(F.sequence(F.lit(1), F.length("w"))).alias("start"))
-        .select(
-            "w",
-            "start",
-            F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.least(
-                        F.lit(WP_MAX_PIECE_CHARS),
-                        F.length("w") - F.col("start") + 1,
-                    ),
-                )
-            ).alias("plen"),
-        )
-        .select(
-            "w", "start", "plen",
-            F.col("w").substr(F.col("start"), F.col("plen")).alias("piece"),
-        )
-    )
+    subs = word_substrings(dw)
     best = (
         subs.join(F.broadcast(vocab), "piece")
         .groupBy("w", "start")
@@ -311,6 +292,178 @@ def wordpiece_piece_counts(
             id_col,
             F.coalesce("word_ct", F.lit(0)).cast("long").alias("word_ct"),
             F.coalesce("wp_ct", F.lit(0)).cast("long").alias("wp_ct"),
+            F.coalesce("unk_ct", F.lit(0)).cast("long").alias("unk_ct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenization (Kudo 2018, "Subword Regularization" — the
+# SentencePiece unigram model; the third standard subword algorithm next
+# to BPE and WordPiece). Viterbi decoding: segment each word into the
+# piece sequence of MINIMUM total surprisal under a unigram piece model.
+# The piece inventory and its probabilities both derive deterministically
+# from the graded BPE training run (piece weight = frequency-weighted
+# count of the surviving symbol across the trained vocabulary), so every
+# engine replays them; real SentencePiece refines the inventory by EM,
+# a documented divergence — the DECODER here is the real algorithm.
+#
+# Determinism across engines: piece costs are INTEGER milli-bits
+# (floor(1000 * ln(T/w) / ln2) with ln2 as a shared literal), and the DP
+# minimizes the single integer 2048*cost + pieces — lexicographic
+# (total surprisal, piece count), so float comparisons never decide a
+# path. Words longer than UNIGRAM_MAX_WORD_CHARS skip the DP and map to
+# [UNK] (the max_input_chars_per_word cap HF tokenizers apply); an
+# unreachable word end is [UNK] too, one piece, like WordPiece.
+# ---------------------------------------------------------------------------
+
+UNIGRAM_MAX_WORD_CHARS = 64
+UNIGRAM_INF = 1 << 62
+LN2 = 0.6931471805599453
+
+
+def word_substrings(dw: DataFrame, max_piece: int = WP_MAX_PIECE_CHARS) -> DataFrame:
+    """(w, start, plen, piece): every candidate substring of each
+    distinct word up to the piece cap — the shared inverted-index shape
+    both WordPiece munch and unigram Viterbi match against."""
+    return (
+        dw.select("w", F.explode(F.sequence(F.lit(1), F.length("w"))).alias("start"))
+        .select(
+            "w",
+            "start",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(max_piece), F.length("w") - F.col("start") + 1),
+                )
+            ).alias("plen"),
+        )
+        .select(
+            "w", "start", "plen",
+            F.col("w").substr(F.col("start"), F.col("plen")).alias("piece"),
+        )
+    )
+
+
+def unigram_piece_costs(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[int, str, str]],
+    vocab_cap: int = BPE_VOCAB_CAP,
+    max_word: int = BPE_MAX_WORD_CHARS,
+) -> DataFrame:
+    """(piece, cost): integer milli-bit surprisal per piece. Weight =
+    sum over the trained vocabulary of word-frequency x symbol count;
+    cost = floor(1000 * ln(T / w) / ln 2). The total rides along as a
+    broadcast 1-row frame — no driver-side collect."""
+    vocab = word_vocab(df, text_col, vocab_cap, max_word)
+    syms = F.col("syms")
+    for _rank, left, right in sorted(merges):
+        syms = apply_merge(syms, left, right)
+    pw = (
+        vocab.select(F.explode(syms).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("w"))
+    )
+    tot = pw.agg(F.sum("w").alias("t"))
+    return pw.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.floor(
+            F.lit(1000.0)
+            * F.log(F.col("t").cast("double") / F.col("w"))
+            / F.lit(LN2)
+        )
+        .cast("long")
+        .alias("cost"),
+    )
+
+
+def unigram_piece_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[int, str, str]],
+    costs: DataFrame | None = None,
+) -> DataFrame:
+    """(id, word_ct, up_ct, unk_ct): Viterbi piece counts per document.
+
+    Shape: matches = substring explode x BROADCAST cost table; per word
+    an O(length) aggregate fold carries the DP cost array (combined
+    integer 2048*cost + k, so array_min is the lexicographic argmin);
+    encode work is bounded by DISTINCT words. `costs` defaults to
+    deriving the model from `df` itself (right only when encode corpus =
+    training corpus — same contract as wordpiece_piece_counts)."""
+    occ = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    dw = occ.select("w").distinct()
+    if costs is None:
+        costs = unigram_piece_costs(df, text_col, merges)
+    dwu = dw.where(F.length("w") <= UNIGRAM_MAX_WORD_CHARS)
+    mends = word_substrings(dwu).join(F.broadcast(costs), "piece").select(
+        "w",
+        (F.col("start") + F.col("plen") - 1).alias("endp"),
+        "plen",
+        "cost",
+    )
+    dpmap = (
+        mends.groupBy("w", "endp")
+        .agg(F.collect_list(F.struct("plen", "cost")).alias("opts"))
+        .groupBy("w")
+        .agg(F.map_from_entries(F.collect_list(F.struct("endp", "opts"))).alias("m"))
+    )
+
+    def _step(acc, j):
+        opts = F.try_element_at(F.col("m"), j)
+        cands = F.filter(
+            F.transform(
+                opts,
+                lambda o: F.when(
+                    F.element_at(acc, (j - o["plen"] + 1).cast("int"))
+                    < UNIGRAM_INF,
+                    F.element_at(acc, (j - o["plen"] + 1).cast("int"))
+                    + o["cost"] * 2048
+                    + 1,
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        new = (
+            F.when(F.size(cands) > 0, F.array_min(cands))
+            .otherwise(F.lit(UNIGRAM_INF))
+            .cast("long")
+        )
+        return F.concat(acc, F.array(new))
+
+    combined = F.aggregate(
+        F.sequence(F.lit(1), F.length("w")),
+        F.array(F.lit(0).cast("long")),
+        _step,
+        lambda acc: F.element_at(acc, (F.length("w") + 1).cast("int")),
+    )
+    dp = dwu.join(dpmap, "w", "left").select("w", combined.alias("c"))
+    is_unk = F.col("c").isNull() | (F.col("c") >= UNIGRAM_INF)
+    enc = dw.join(dp, "w", "left").select(
+        "w",
+        F.when(is_unk, F.lit(1)).otherwise(F.col("c") % 2048).alias("_pieces"),
+        is_unk.cast("int").alias("_unk"),
+    )
+    agg = (
+        occ.join(enc, "w")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("word_ct"),
+            F.sum("_pieces").alias("up_ct"),
+            F.sum("_unk").alias("unk_ct"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, df[id_col] == agg["_id"], "left")
+        .select(
+            id_col,
+            F.coalesce("word_ct", F.lit(0)).cast("long").alias("word_ct"),
+            F.coalesce("up_ct", F.lit(0)).cast("long").alias("up_ct"),
             F.coalesce("unk_ct", F.lit(0)).cast("long").alias("unk_ct"),
         )
     )

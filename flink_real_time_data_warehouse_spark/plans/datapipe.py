@@ -744,6 +744,111 @@ def wordpiece_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_piece_counts(docs, "doc_id", "text", merges)
 
 
+def _unigram_oracle() -> str:
+    from ..datapipe.bpe import (
+        BPE_MERGES,
+        LN2,
+        UNIGRAM_INF,
+        UNIGRAM_MAX_WORD_CHARS,
+        WP_MAX_PIECE_CHARS,
+    )
+
+    INF = UNIGRAM_INF
+    parts = _bpe_train_ctes()
+    parts.append(
+        f"pw AS (SELECT piece, sum(freq) AS w FROM "
+        f"(SELECT unnest(syms) AS piece, freq FROM v{BPE_MERGES}) GROUP BY piece)"
+    )
+    parts.append("tot AS (SELECT sum(w) AS t FROM pw)")
+    parts.append(
+        f"pcost AS MATERIALIZED (SELECT piece, CAST(floor(1000.0 * "
+        f"ln(CAST(t AS DOUBLE) / w) / {LN2!r}) AS BIGINT) AS cost FROM pw, tot)"
+    )
+    parts.append("dw AS MATERIALIZED (SELECT DISTINCT w AS word FROM ww)")
+    parts.append(
+        f"dwu AS (SELECT word FROM dw WHERE len(word) <= {UNIGRAM_MAX_WORD_CHARS})"
+    )
+    parts.append(
+        "u1 AS (SELECT word, unnest(range(1, len(word) + 1)) AS start FROM dwu)"
+    )
+    parts.append(
+        f"u2 AS (SELECT word, start, unnest(range(1, least({WP_MAX_PIECE_CHARS}, "
+        "len(word) - start + 1) + 1)) AS plen FROM u1)"
+    )
+    parts.append(
+        "mends AS MATERIALIZED (SELECT s.word, s.start + s.plen - 1 AS endp, "
+        "list(struct_pack(plen := s.plen, cost := c.cost)) AS opts "
+        "FROM (SELECT word, start, plen, "
+        "substr(word, CAST(start AS INTEGER), CAST(plen AS INTEGER)) AS piece "
+        "FROM u2) s JOIN pcost c USING (piece) GROUP BY s.word, s.start + s.plen - 1)"
+    )
+    parts.append(
+        f"""uwalk AS (
+      SELECT word, CAST(0 AS BIGINT) AS j, [CAST(0 AS BIGINT)] AS acc FROM dwu
+      UNION ALL
+      SELECT w.word, w.j + 1,
+             list_append(w.acc, CAST(coalesce(list_min(list_filter(list_transform(
+                 coalesce(e.opts, []),
+                 o -> CASE WHEN w.acc[CAST(w.j + 2 - o.plen AS INTEGER)] < {INF}
+                      THEN w.acc[CAST(w.j + 2 - o.plen AS INTEGER)]
+                           + o.cost * 2048 + 1 END),
+               x -> x IS NOT NULL)), {INF}) AS BIGINT))
+      FROM uwalk w LEFT JOIN mends e ON e.word = w.word AND e.endp = w.j + 1
+      WHERE w.j < len(w.word))"""
+    )
+    parts.append(
+        f"""ufinal AS (
+      SELECT d.word,
+             CASE WHEN f.c IS NULL OR f.c >= {INF} THEN 1 ELSE f.c % 2048 END
+               AS pieces,
+             CAST(f.c IS NULL OR f.c >= {INF} AS INTEGER) AS unk
+      FROM dw d LEFT JOIN
+           (SELECT word, acc[len(word) + 1] AS c FROM uwalk
+            WHERE j = len(word)) f USING (word))"""
+    )
+    parts.append(
+        """ucnt AS (
+      SELECT t.doc_id, count(*) AS word_ct, sum(f.pieces) AS up_ct,
+             sum(f.unk) AS unk_ct
+      FROM (SELECT doc_id, unnest(l) AS word FROM toks) t
+      JOIN ufinal f USING (word) GROUP BY t.doc_id)"""
+    )
+    return f"""WITH RECURSIVE {', '.join(parts)}
+    SELECT d.doc_id,
+           CAST(coalesce(c.word_ct, 0) AS BIGINT) AS word_ct,
+           CAST(coalesce(c.up_ct, 0) AS BIGINT) AS up_ct,
+           CAST(coalesce(c.unk_ct, 0) AS BIGINT) AS unk_ct
+    FROM documents d LEFT JOIN ucnt c USING (doc_id)
+    """
+
+
+@register(
+    "unigram_tokenize",
+    oracle=_unigram_oracle(),
+    doc=(
+        "Unigram-LM Viterbi tokenization (Kudo 2018 — SentencePiece's "
+        "model; completes the BPE / WordPiece / Unigram subword triad on "
+        "one shared training): each word segments into the MINIMUM-"
+        "surprisal piece sequence under a unigram model whose inventory "
+        "and probabilities derive from the graded BPE run (EM refinement "
+        "is the documented divergence; the decoder is the real "
+        "algorithm). Costs are integer milli-bits and the DP minimizes "
+        "2048*cost+pieces, so no float comparison ever picks a path; "
+        "words over 64 chars or with an unreachable end are one [UNK]. "
+        "Spark shape: substring explode over DISTINCT words x broadcast "
+        "cost table, then an O(word-length) aggregate fold carrying the "
+        "DP cost array — no Python, encode work bounded by Heaps' law. "
+        "Oracle: the same DP as a recursive CTE carrying the cost list"
+    ),
+)
+def unigram_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.bpe import bpe_train, unigram_piece_counts
+
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text")
+    return unigram_piece_counts(docs, "doc_id", "text", merges)
+
+
 # ---------------------------------------------------------------------------
 def _simhash_oracle() -> str:
     return f"""

@@ -117,3 +117,51 @@ def test_wordpiece_piece_cap_respected(spark):
     assert row["word_ct"] == 1
     assert row["unk_ct"] == 0
     assert row["wp_ct"] >= 2
+
+
+def test_unigram_viterbi_minimizes_cost_not_greed(spark):
+    """Viterbi picks the MINIMUM-cost path even when maximal munch would
+    grab a longer prefix: with costs {abc:100, ab:10, cd:10, d:5000},
+    'abcd' must encode as ab+cd (cost 20), not abc+d (cost 5100)."""
+    from flink_real_time_data_warehouse_spark.datapipe.bpe import (
+        unigram_piece_counts,
+    )
+
+    costs = spark.createDataFrame(
+        [("abc", 100), ("ab", 10), ("cd", 10), ("d", 5000)],
+        "piece string, cost long",
+    )
+    docs = spark.createDataFrame(
+        [(1, "abcd abc zz"), (2, "")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["word_ct"], r["up_ct"], r["unk_ct"])
+        for r in unigram_piece_counts(docs, "doc_id", "text", [], costs=costs).collect()
+    }
+    # abcd -> ab+cd (2), abc -> abc (1), zz -> UNK (1 piece)
+    assert out[1] == (3, 2 + 1 + 1, 1)
+    assert out[2] == (0, 0, 0)
+
+
+def test_unigram_word_cap_and_tiebreak(spark):
+    """Words over UNIGRAM_MAX_WORD_CHARS skip the DP and become one
+    [UNK]; at equal total cost the combined integer prefers FEWER pieces
+    (ab once beats a+b twice when 2*cost(a..)=cost(ab))."""
+    from flink_real_time_data_warehouse_spark.datapipe.bpe import (
+        UNIGRAM_MAX_WORD_CHARS,
+        unigram_piece_counts,
+    )
+
+    costs = spark.createDataFrame(
+        [("a", 10), ("b", 10), ("ab", 20)], "piece string, cost long"
+    )
+    long_word = "a" * (UNIGRAM_MAX_WORD_CHARS + 1)
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, long_word)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["word_ct"], r["up_ct"], r["unk_ct"])
+        for r in unigram_piece_counts(docs, "doc_id", "text", [], costs=costs).collect()
+    }
+    assert out[1] == (1, 1, 0)  # ab as ONE piece: 20*2048+1 < 20*2048+2
+    assert out[2] == (1, 1, 1)  # over the cap -> [UNK], no DP

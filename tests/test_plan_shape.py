@@ -662,3 +662,21 @@ def test_wordpiece_vocab_join_is_broadcast(spark):
     assert "BroadcastExchange" in plan
     for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert bad not in plan, f"Python crossed into the plan: {bad}"
+
+
+def test_unigram_cost_join_is_broadcast(spark):
+    """Unigram Viterbi encode (round 9): the substring-candidates x
+    piece-cost join must broadcast the small cost table, and the DP fold
+    stays JVM-side — no Python eval node, no cartesian."""
+    from flink_real_time_data_warehouse_spark.datapipe.bpe import (
+        unigram_piece_counts,
+    )
+
+    docs = table(spark, TEST_SF_DIR, "documents")
+    costs = spark.createDataFrame([("a", 10)], "piece string, cost long")
+    df = unigram_piece_counts(docs, "doc_id", "text", [], costs=costs)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert bad not in plan, f"Python crossed into the plan: {bad}"
