@@ -201,6 +201,10 @@ HEADLINE = [
     "ann_ivf_pq_topk",
     "dedup_substring_incremental",
     "ingest_classifier_gate",
+    # round 9 continuation session
+    "multimodal_dimensions_av",
+    "wordpiece_tokenize",
+    "unigram_tokenize",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

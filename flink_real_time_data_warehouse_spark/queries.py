@@ -88,7 +88,10 @@ _GRADE_FIRST: list[str] = [
     # analytics block, the quality/curation family, fulfillment_stats_
     # stream + cdc_stream), then the r9 registration that missed this
     # window: ingest_classifier_gate (driver-sim verified green in the
-    # r9 session; no driver row yet).
+    # r9 session; no driver row yet), plus the three r9 continuation-
+    # session additions (all driver-sim verified green, no driver row
+    # yet): multimodal_dimensions_av, wordpiece_tokenize,
+    # unigram_tokenize.
 ]
 
 

@@ -905,3 +905,49 @@ def test_r7_lexicon_tranches_change_segmentation():
     # smart mode agrees on the new compounds (no spurious arbitration)
     assert smart_segment("公司领头羊") == ["公司", "领头羊"]
     assert smart_segment("医院心电图检查") == ["医院", "心电图", "检查"]
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.text(alphabet="abcd", min_size=1, max_size=24), min_size=1, max_size=6))
+def test_uniform_cost_viterbi_lower_bounds_greedy_munch(spark_global, texts):
+    """One word per doc, SAME piece inventory, UNIFORM costs. Per word:
+    (a) if greedy munch succeeds, that segmentation is feasible for
+    Viterbi too, so Viterbi succeeds with AT MOST as many pieces (it
+    minimizes piece count under uniform costs); (b) if Viterbi says UNK
+    the word is unreachable by ANY segmentation, so munch is UNK too.
+    The converse of (b) is false by design — greedy can dead-end on
+    reachable words — which is exactly why both tokenizers exist."""
+    from flink_real_time_data_warehouse_spark.datapipe.bpe import (
+        bpe_train,
+        unigram_piece_counts,
+        wordpiece_piece_counts,
+        wordpiece_vocab,
+    )
+
+    spark = spark_global
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, "text", n_merges=3)
+    vocab = wordpiece_vocab(docs, "text", merges)
+    costs = vocab.select("piece", F.lit(7).cast("long").alias("cost"))
+    wp = {
+        r["doc_id"]: r
+        for r in wordpiece_piece_counts(
+            docs, "doc_id", "text", merges, vocab=vocab
+        ).collect()
+    }
+    ug = {
+        r["doc_id"]: r
+        for r in unigram_piece_counts(
+            docs, "doc_id", "text", merges, costs=costs
+        ).collect()
+    }
+    assert wp.keys() == ug.keys()
+    for d in wp:
+        assert wp[d]["word_ct"] == ug[d]["word_ct"] == 1
+        if wp[d]["unk_ct"] == 0:
+            assert ug[d]["unk_ct"] == 0, d
+            assert ug[d]["up_ct"] <= wp[d]["wp_ct"], d
+        if ug[d]["unk_ct"] == 1:
+            assert wp[d]["unk_ct"] == 1, d
