@@ -205,6 +205,7 @@ HEADLINE = [
     "multimodal_dimensions_av",
     "wordpiece_tokenize",
     "unigram_tokenize",
+    "lm_surprisal_bigram",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

@@ -182,3 +182,106 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str, prefix_tokens: int =
         F.md5(norm_text).alias("content_fp"),
         F.md5(prefix).alias("prefix_fp"),
     )
+
+
+def lm_surprisal_bigram(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    train_pred: Column,
+) -> DataFrame:
+    """Bigram LM with STUPID BACKOFF (Brants et al. 2007, "Large Language
+    Models in Machine Translation") — the actual CCNet/KenLM filter shape:
+    the model trains on a REFERENCE subset (`train_pred`, CCNet uses
+    Wikipedia) and scores EVERY document, so unseen bigrams, unseen
+    unigrams (OOV) and the backoff path all genuinely occur — unlike
+    `lm_surprisal`, which self-trains and can never miss.
+
+    Integer-exact scoring (same bit quantization as lm_surprisal;
+    alpha = 1/4 is exactly +2 bits):
+      bits(c | p) = len(bin(B(p,c)→U(p)))            if the bigram is known
+                  = 2 + unigram_bits(c)               on backoff
+      unigram_bits(w) = len(bin(T)) - len(bin(U(w)))  if w is known
+                      = len(bin(T)) + 2               OOV floor
+    A document's first token scores unigram_bits (no history). Returns
+    (id, token_ct, surprisal_bits, backoff_ct, oov_ct, bits_per_token)
+    for every document with at least one token.
+
+    Scale: training aggregates touch the reference subset once; scoring
+    joins the token/pair streams against count tables with zipf-skewed
+    keys — left to AQE (skew split + runtime broadcast), never a pinned
+    corpus-sized broadcast. The total rides a 1-row broadcast."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    pairs_col = F.arrays_zip(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1))
+
+    train = df.where(train_pred)
+    uni = (
+        train.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("ucnt"))
+    )
+    big = (
+        train.select(F.explode(pairs_col).alias("pr"))
+        .select(F.col("pr")["0"].alias("p"), F.col("pr")["1"].alias("c"))
+        .groupBy("p", "c")
+        .agg(F.count("*").alias("bcnt"))
+    )
+    tot = uni.agg(F.sum("ucnt").cast("long").alias("total"))
+
+    tbits = F.length(F.bin(F.col("total")))
+    uni_bits = lambda cnt: F.when(  # noqa: E731
+        cnt.isNotNull(), tbits - F.length(F.bin(cnt))
+    ).otherwise(tbits + 2)
+
+    firsts = (
+        df.where(n >= 1)
+        .select(F.col(id_col).alias("_id"), F.element_at(t, 1).alias("w"))
+        .join(uni, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_id",
+            uni_bits(F.col("ucnt")).alias("bits"),
+            F.lit(0).alias("backoff"),
+            F.col("ucnt").isNull().cast("int").alias("oov"),
+        )
+    )
+    prs = (
+        df.select(F.col(id_col).alias("_id"), F.explode(pairs_col).alias("pr"))
+        .select("_id", F.col("pr")["0"].alias("p"), F.col("pr")["1"].alias("c"))
+        .join(big, ["p", "c"], "left")
+        .join(uni.withColumnRenamed("w", "p").withColumnRenamed("ucnt", "pcnt"), "p", "left")
+        .join(uni.withColumnRenamed("w", "c").withColumnRenamed("ucnt", "ccnt"), "c", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_id",
+            F.when(
+                F.col("bcnt").isNotNull(),
+                F.length(F.bin(F.col("pcnt"))) - F.length(F.bin(F.col("bcnt"))),
+            )
+            .otherwise(F.lit(2) + uni_bits(F.col("ccnt")))
+            .alias("bits"),
+            F.col("bcnt").isNull().cast("int").alias("backoff"),
+            F.col("ccnt").isNull().cast("int").alias("oov"),
+        )
+    )
+    return (
+        firsts.unionByName(prs)
+        .groupBy("_id")
+        .agg(
+            F.count("*").cast("long").alias("token_ct"),
+            F.sum("bits").cast("long").alias("surprisal_bits"),
+            F.sum("backoff").cast("long").alias("backoff_ct"),
+            F.sum("oov").cast("long").alias("oov_ct"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "token_ct",
+            "surprisal_bits",
+            "backoff_ct",
+            "oov_ct",
+            (F.col("surprisal_bits").cast("double") / F.col("token_ct")).alias(
+                "bits_per_token"
+            ),
+        )
+    )

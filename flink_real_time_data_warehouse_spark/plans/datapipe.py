@@ -2343,6 +2343,78 @@ def lm_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lm_surprisal_bigram",
+    oracle=f"""
+    WITH {TOKS_CTE},
+    tr AS MATERIALIZED (
+      SELECT t.doc_id, t.l FROM toks t JOIN documents d USING (doc_id)
+      WHERE d.source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+    uni AS MATERIALIZED (
+      SELECT w, count(*) AS ucnt
+      FROM (SELECT unnest(l) AS w FROM tr) GROUP BY w),
+    big AS MATERIALIZED (
+      SELECT p, c, count(*) AS bcnt FROM (
+        SELECT l[i] AS p, l[i + 1] AS c
+        FROM (SELECT l, unnest(range(1, len(l))) AS i FROM tr))
+      GROUP BY p, c),
+    tot AS (SELECT CAST(sum(ucnt) AS BIGINT) AS total FROM uni),
+    firsts AS (
+      SELECT t.doc_id,
+             CASE WHEN u.ucnt IS NOT NULL
+                  THEN length(bin(tot.total)) - length(bin(u.ucnt))
+                  ELSE length(bin(tot.total)) + 2 END AS bits,
+             0 AS backoff,
+             CAST(u.ucnt IS NULL AS INTEGER) AS oov
+      FROM (SELECT doc_id, l[1] AS w FROM toks WHERE len(l) >= 1) t
+      LEFT JOIN uni u USING (w) CROSS JOIN tot),
+    prs AS (
+      SELECT s.doc_id,
+             CASE WHEN b.bcnt IS NOT NULL
+                  THEN length(bin(up.ucnt)) - length(bin(b.bcnt))
+                  WHEN uc.ucnt IS NOT NULL
+                  THEN 2 + length(bin(tot.total)) - length(bin(uc.ucnt))
+                  ELSE 2 + length(bin(tot.total)) + 2 END AS bits,
+             CAST(b.bcnt IS NULL AS INTEGER) AS backoff,
+             CAST(uc.ucnt IS NULL AS INTEGER) AS oov
+      FROM (SELECT doc_id, l[i] AS p, l[i + 1] AS c
+            FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM toks)) s
+      LEFT JOIN big b ON b.p = s.p AND b.c = s.c
+      LEFT JOIN uni up ON up.w = s.p
+      LEFT JOIN uni uc ON uc.w = s.c
+      CROSS JOIN tot)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS token_ct,
+           CAST(sum(bits) AS BIGINT) AS surprisal_bits,
+           CAST(sum(backoff) AS BIGINT) AS backoff_ct,
+           CAST(sum(oov) AS BIGINT) AS oov_ct,
+           CAST(sum(bits) AS DOUBLE) / count(*) AS bits_per_token
+    FROM (SELECT * FROM firsts UNION ALL SELECT * FROM prs)
+    GROUP BY doc_id
+    """,
+    doc=(
+        "bigram LM with STUPID BACKOFF (Brants et al. 2007) — the actual "
+        "CCNet/KenLM perplexity-filter shape that lm_surprisal "
+        "approximates with unigrams: the model trains on a REFERENCE "
+        "subset (sources src0-src4, CCNet's Wikipedia role) and scores "
+        "every document, so unseen bigrams, OOV unigrams and the backoff "
+        "path genuinely occur. Scoring is integer-exact (length(bin(n)) "
+        "bit quantization; alpha=1/4 is exactly +2 bits; OOV floor "
+        "len(bin(T))+2); count joins on zipf keys left to AQE, the total "
+        "rides a 1-row broadcast. Per doc: token/surprisal/backoff/OOV "
+        "counts + bits_per_token"
+    ),
+)
+def lm_surprisal_bigram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.quality import lm_surprisal_bigram
+
+    docs = table(spark, sf_dir, "documents")
+    return lm_surprisal_bigram(
+        docs, "doc_id", "text",
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4"),
+    )
+
+
+@register(
     "token_count",
     oracle=f"""
     WITH {TOKS_CTE},
