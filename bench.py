@@ -206,6 +206,7 @@ HEADLINE = [
     "wordpiece_tokenize",
     "unigram_tokenize",
     "lm_surprisal_bigram",
+    "span_corrupt",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

@@ -1,0 +1,142 @@
+"""Training-objective preparation: T5-style span corruption (Raffel et
+al. 2020, "Exploring the Limits of Transfer Learning" §3.1.4 — the
+denoising objective every encoder-decoder pretraining stack feeds).
+
+Each document's token stream gets ~15% of tokens masked in spans (5% of
+positions are span starts, span length 1..5, mean 3), every span replaced
+by a numbered sentinel in the INPUT and emitted after its sentinel in the
+TARGET, closed by a final sentinel — the exact T5 data format.
+
+"Randomness" is a deterministic per-(doc, position) md5 draw, so any
+engine replays the corruption bit-for-bit (the DuckDB oracle does) and a
+re-run of the pipeline regenerates identical training pairs — the
+reproducibility property a 100 TB objective-prep job actually needs.
+Span selection is greedy left-to-right (a span start inside an active
+span is ignored), resolved by an O(tokens) aggregate fold per document;
+string assembly is pure JVM array arithmetic. No Python, no shuffle
+beyond the source scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+
+SPAN_START_MOD = 20  # h % 20 == 0 -> 5% of positions start a span
+SPAN_LEN_CHOICES = 5  # span length 1..5 (mean 3 -> ~15% tokens masked)
+
+
+def _draw(id_col, i):
+    """Deterministic 32-bit draw for (doc, position): first 8 hex chars
+    of md5('span:<id>:<pos>') — identical in any engine."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat(
+                        F.lit("span:"),
+                        id_col.cast("string"),
+                        F.lit(":"),
+                        i.cast("string"),
+                    ),
+                    "UTF-8",
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def span_corrupt(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, span_ct, masked_ct, input_text, target_text): the T5 pair.
+
+    input_text: tokens with each masked span replaced by <extra_id_k>
+    (k 0-based, in order). target_text: '<extra_id_k> span tokens ...'
+    per span, closed by the final sentinel <extra_id_{span_ct}>."""
+    did = F.col(id_col)
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    seq = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def _select(acc, i):
+        h = _draw(did, i)
+        l_eff = F.least(
+            F.lit(1)
+            + (F.floor(h / F.lit(SPAN_START_MOD)).cast("long") % SPAN_LEN_CHOICES).cast("int"),
+            n - i + 1,
+        )
+        starts = (i > acc["cov"]) & (h % SPAN_START_MOD == 0)
+        return F.when(
+            starts,
+            F.struct(
+                (i + l_eff - 1).alias("cov"),
+                F.concat(
+                    acc["spans"],
+                    F.array(F.struct(i.alias("s"), l_eff.alias("l"))),
+                ).alias("spans"),
+            ),
+        ).otherwise(acc)
+
+    spans = F.aggregate(
+        seq,
+        F.struct(
+            F.lit(0).cast("int").alias("cov"),
+            F.array().cast("array<struct<s:int,l:int>>").alias("spans"),
+        ),
+        _select,
+        lambda acc: acc["spans"],
+    )
+    base = df.select(did.alias(id_col), t.alias("_t"), spans.alias("_sp"))
+
+    sp, tk = F.col("_sp"), F.col("_t")
+    sentinel = lambda k: F.concat(  # noqa: E731
+        F.lit("<extra_id_"), k.cast("string"), F.lit(">")
+    )
+    input_parts = F.filter(
+        F.transform(
+            F.when(F.size(tk) >= 1, F.sequence(F.lit(1), F.size(tk))).otherwise(
+                F.array().cast("array<int>")
+            ),
+            lambda i: F.when(
+                F.exists(sp, lambda s: s["s"] == i),
+                sentinel(F.size(F.filter(sp, lambda s: s["s"] < i))),
+            ).otherwise(
+                F.when(
+                    ~F.exists(sp, lambda s: (i >= s["s"]) & (i < s["s"] + s["l"])),
+                    F.element_at(tk, i),
+                )
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    target_parts = F.transform(
+        sp,
+        (lambda s, k: F.concat(
+            sentinel(k),
+            F.lit(" "),
+            F.array_join(F.slice(tk, s["s"], s["l"]), " "),
+        )),
+    )
+    return base.select(
+        id_col,
+        F.size(sp).cast("long").alias("span_ct"),
+        F.aggregate(
+            sp, F.lit(0).cast("long"), lambda a, s: a + s["l"]
+        ).alias("masked_ct"),
+        F.array_join(input_parts, " ").alias("input_text"),
+        F.when(F.size(sp) == 0, sentinel(F.lit(0)))
+        .otherwise(
+            F.concat(
+                F.array_join(target_parts, " "),
+                F.lit(" "),
+                sentinel(F.size(sp)),
+            )
+        )
+        .alias("target_text"),
+    )

@@ -3577,6 +3577,83 @@ def multimodal_dimensions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_media_headers(synth_media_payloads(docs))
 
 
+def _span_corrupt_oracle() -> str:
+    from ..datapipe.objective import SPAN_LEN_CHOICES, SPAN_START_MOD
+
+    h = _hex_n(
+        "md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i + 1 AS VARCHAR))",
+        8,
+    )
+    return f"""WITH RECURSIVE {TOKS_CTE},
+    nd AS (SELECT doc_id, l, len(l) AS n FROM toks),
+    walk AS (
+      SELECT doc_id, l, n, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS cov,
+             []::STRUCT(s BIGINT, l BIGINT)[] AS spans
+      FROM nd
+      UNION ALL
+      SELECT doc_id, l, n, i + 1,
+             CASE WHEN starts THEN i + 1 + leff - 1 ELSE cov END,
+             CASE WHEN starts
+                  THEN list_append(spans, struct_pack(s := i + 1, l := leff))
+                  ELSE spans END
+      FROM (SELECT *,
+                   h % {SPAN_START_MOD} = 0 AND i + 1 > cov AS starts,
+                   least(1 + CAST(floor(h / {SPAN_START_MOD}) AS BIGINT)
+                             % {SPAN_LEN_CHOICES}, n - i) AS leff
+            FROM (SELECT *, {h} AS h FROM walk WHERE i < n))),
+    fin AS (SELECT doc_id, l, n, spans FROM walk WHERE i = n)
+    SELECT doc_id,
+           CAST(len(spans) AS BIGINT) AS span_ct,
+           CAST(coalesce(list_sum(list_transform(spans, sp -> sp.l)), 0)
+                AS BIGINT) AS masked_ct,
+           coalesce(array_to_string(list_filter(list_transform(range(1, n + 1),
+             i -> CASE
+                  WHEN len(list_filter(spans, sp -> sp.s = i)) > 0
+                  THEN '<extra_id_'
+                       || CAST(len(list_filter(spans, sp -> sp.s < i)) AS VARCHAR)
+                       || '>'
+                  WHEN len(list_filter(spans,
+                           sp -> i >= sp.s AND i < sp.s + sp.l)) = 0
+                  THEN l[CAST(i AS INTEGER)]
+                  END), x -> x IS NOT NULL), ' '), '') AS input_text,
+           CASE WHEN len(spans) = 0 THEN '<extra_id_0>'
+                ELSE array_to_string(list_transform(range(1, len(spans) + 1),
+                       k -> '<extra_id_' || CAST(k - 1 AS VARCHAR) || '> '
+                            || array_to_string(list_slice(l,
+                                 CAST(spans[CAST(k AS INTEGER)].s AS INTEGER),
+                                 CAST(spans[CAST(k AS INTEGER)].s
+                                      + spans[CAST(k AS INTEGER)].l - 1
+                                      AS INTEGER)), ' ')), ' ')
+                     || ' <extra_id_' || CAST(len(spans) AS VARCHAR) || '>'
+           END AS target_text
+    FROM fin
+    """
+
+
+@register(
+    "span_corrupt",
+    oracle=_span_corrupt_oracle(),
+    doc=(
+        "T5 span corruption (Raffel et al. 2020 §3.1.4) — training-"
+        "objective preparation, the pipeline stage between curation and "
+        "the trainer: ~15% of each document's tokens mask in spans (5% "
+        "of positions start one, length 1..5 via a deterministic per-"
+        "(doc,position) md5 draw), spans collapse to numbered sentinels "
+        "in the input and expand after their sentinels in the target, "
+        "closed by a final sentinel — the exact T5 data format, "
+        "regenerated bit-identically on any re-run/engine. Greedy left-"
+        "to-right span resolution is an O(tokens) aggregate fold; string "
+        "assembly is JVM array arithmetic; no Python, no extra shuffle. "
+        "Oracle replays the draw and the greedy walk as a recursive CTE "
+        "and hash-compares the full input/target STRINGS"
+    ),
+)
+def span_corrupt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.objective import span_corrupt
+
+    return span_corrupt(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 @register(
     "multimodal_dimensions_av",
     oracle="""

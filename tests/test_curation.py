@@ -358,3 +358,41 @@ def test_lm_surprisal_bigram_paths_exercised_on_fixtures(spark):
     agg = df.groupBy().sum("backoff_ct", "oov_ct").first()
     assert agg[0] > 0, "no bigram ever backed off"
     assert agg[1] == 0  # pinned: shared-pool fixtures have no OOV
+
+
+def test_span_corrupt_roundtrip_reconstructs_original(spark):
+    """The T5 pair must be LOSSLESS: substituting each input sentinel
+    with its target span reproduces the original token stream exactly,
+    sentinels number 0..span_ct-1 in order with the closing sentinel
+    last, and masked_ct matches the recovered span tokens."""
+    import re
+
+    from flink_real_time_data_warehouse_spark.datapipe.objective import span_corrupt
+    from flink_real_time_data_warehouse_spark.tables import table
+
+    docs = table(spark, TEST_SF_DIR, "documents").limit(50)
+    rows = span_corrupt(docs, "doc_id", "text").collect()
+    originals = {
+        r["doc_id"]: " ".join(x for x in r["text"].lower().split(" ") if x)
+        for r in docs.collect()
+    }
+    saw_spans = False
+    for r in rows:
+        tgt = r["target_text"]
+        closing = f"<extra_id_{r['span_ct']}>"
+        assert tgt.endswith(closing), tgt[-40:]
+        # parse target into span_id -> tokens
+        parts = re.split(r"<extra_id_(\d+)>", tgt)
+        spans = {}
+        for k, chunk in zip(parts[1::2], parts[2::2]):
+            if int(k) < r["span_ct"]:
+                spans[int(k)] = chunk.strip()
+        assert sorted(spans) == list(range(r["span_ct"]))
+        assert sum(len(s.split()) for s in spans.values()) == r["masked_ct"]
+        rebuilt = re.sub(
+            r"<extra_id_(\d+)>", lambda m: spans[int(m.group(1))], r["input_text"]
+        )
+        rebuilt = " ".join(rebuilt.split())
+        assert rebuilt == originals[r["doc_id"]], r["doc_id"]
+        saw_spans = saw_spans or r["span_ct"] > 0
+    assert saw_spans  # the 5% draw must fire somewhere in 50 docs
