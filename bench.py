@@ -207,6 +207,7 @@ HEADLINE = [
     "unigram_tokenize",
     "lm_surprisal_bigram",
     "span_corrupt",
+    "fim_transform",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

@@ -140,3 +140,67 @@ def span_corrupt(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         .alias("target_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fill-in-the-middle (Bavarian et al. 2022, "Efficient Training of
+# Language Models to Fill in the Middle" — the FIM transform every code
+# model's data pipeline applies). A document splits at two deterministic
+# character cuts into (prefix, middle, suffix) and re-serializes in PSM
+# order: <fim_prefix> prefix <fim_suffix> suffix <fim_middle> middle.
+# A per-doc md5 draw applies the transform to FIM_RATE_PCT of documents
+# (the paper's 50/90% knob); the rest pass through unchanged — matching
+# the "FIM-for-some, AR-for-the-rest" mixture the paper recommends.
+# ---------------------------------------------------------------------------
+
+FIM_RATE_PCT = 50  # documents transformed (the paper's 50% mixture)
+FIM_SENTINELS = ("<fim_prefix>", "<fim_suffix>", "<fim_middle>")
+
+
+def _doc_draw(id_col, salt: str):
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat(F.lit(salt + ":"), id_col.cast("string")), "UTF-8"
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def fim_transform(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, is_fim, cut_a, cut_b, fim_text): PSM re-serialization.
+
+    Cuts are CHARACTER offsets drawn per document (two independent md5
+    draws modulo len+1, ordered), so middle can be empty — the paper
+    keeps those, and so does this. Untransformed docs carry the original
+    text with is_fim = 0 and NULL cuts. Pure per-row column arithmetic:
+    zero shuffle, zero Python (the 100 TB shape — this runs over the
+    whole corpus right before packing)."""
+    did, txt = F.col(id_col), F.col(text_col)
+    n = F.length(txt)
+    pick = _doc_draw(did, "fim") % 100 < FIM_RATE_PCT
+    d1 = _doc_draw(did, "fimcut1") % (n + 1)
+    d2 = _doc_draw(did, "fimcut2") % (n + 1)
+    a, b = F.least(d1, d2), F.greatest(d1, d2)
+    pre, suf, mid = FIM_SENTINELS
+    fim = F.concat(
+        F.lit(pre),
+        txt.substr(F.lit(1), a.cast("int")),
+        F.lit(suf),
+        txt.substr((b + 1).cast("int"), (n - b).cast("int")),
+        F.lit(mid),
+        txt.substr((a + 1).cast("int"), (b - a).cast("int")),
+    )
+    return df.select(
+        id_col,
+        pick.cast("int").alias("is_fim"),
+        F.when(pick, a).cast("long").alias("cut_a"),
+        F.when(pick, b).cast("long").alias("cut_b"),
+        F.when(pick, fim).otherwise(txt).alias("fim_text"),
+    )

@@ -3654,6 +3654,54 @@ def span_corrupt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_corrupt(table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _fim_oracle() -> str:
+    from ..datapipe.objective import FIM_RATE_PCT, FIM_SENTINELS
+
+    pick = _hex_n("md5('fim:' || CAST(doc_id AS VARCHAR))", 8)
+    d1 = _hex_n("md5('fimcut1:' || CAST(doc_id AS VARCHAR))", 8)
+    d2 = _hex_n("md5('fimcut2:' || CAST(doc_id AS VARCHAR))", 8)
+    pre, suf, mid = FIM_SENTINELS
+    return f"""
+    WITH c AS (
+      SELECT doc_id, text, length(text) AS n,
+             {pick} % 100 < {FIM_RATE_PCT} AS pick,
+             least({d1} % (length(text) + 1), {d2} % (length(text) + 1)) AS a,
+             greatest({d1} % (length(text) + 1), {d2} % (length(text) + 1)) AS b
+      FROM documents)
+    SELECT doc_id,
+           CAST(pick AS INTEGER) AS is_fim,
+           CASE WHEN pick THEN CAST(a AS BIGINT) END AS cut_a,
+           CASE WHEN pick THEN CAST(b AS BIGINT) END AS cut_b,
+           CASE WHEN pick
+                THEN '{pre}' || substr(text, 1, CAST(a AS INTEGER))
+                     || '{suf}' || substr(text, CAST(b + 1 AS INTEGER),
+                                          CAST(n - b AS INTEGER))
+                     || '{mid}' || substr(text, CAST(a + 1 AS INTEGER),
+                                          CAST(b - a AS INTEGER))
+                ELSE text END AS fim_text
+    FROM c
+    """
+
+
+@register(
+    "fim_transform",
+    oracle=_fim_oracle(),
+    doc=(
+        "fill-in-the-middle (Bavarian et al. 2022) — span_corrupt's "
+        "sibling objective, the code-model data transform: per-doc md5 "
+        "draws pick 50% of documents and two ordered character cuts, "
+        "re-serializing as <fim_prefix>P<fim_suffix>S<fim_middle>M (PSM); "
+        "the rest pass through, matching the paper's mixture. Pure "
+        "per-row column arithmetic — zero shuffle, zero Python — and the "
+        "oracle replays the draws and hash-compares the full strings"
+    ),
+)
+def fim_transform_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.objective import fim_transform
+
+    return fim_transform(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 @register(
     "multimodal_dimensions_av",
     oracle="""

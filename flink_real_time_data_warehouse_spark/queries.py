@@ -91,7 +91,8 @@ _GRADE_FIRST: list[str] = [
     # r9 session; no driver row yet), plus the three r9 continuation-
     # session additions (all driver-sim verified green, no driver row
     # yet): multimodal_dimensions_av, wordpiece_tokenize,
-    # unigram_tokenize, lm_surprisal_bigram, span_corrupt.
+    # unigram_tokenize, lm_surprisal_bigram, span_corrupt,
+    # fim_transform.
 ]
 
 

@@ -396,3 +396,35 @@ def test_span_corrupt_roundtrip_reconstructs_original(spark):
         assert rebuilt == originals[r["doc_id"]], r["doc_id"]
         saw_spans = saw_spans or r["span_ct"] > 0
     assert saw_spans  # the 5% draw must fire somewhere in 50 docs
+
+
+def test_fim_transform_lossless_and_mixed(spark):
+    """FIM re-serialization is lossless (prefix+middle+suffix rebuilt
+    from the PSM string equals the original), cuts are ordered within
+    bounds, untransformed docs pass through verbatim, and the 50% mixture
+    actually mixes."""
+    from flink_real_time_data_warehouse_spark.datapipe.objective import (
+        FIM_SENTINELS,
+        fim_transform,
+    )
+    from flink_real_time_data_warehouse_spark.tables import table
+
+    pre, suf, mid = FIM_SENTINELS
+    docs = table(spark, TEST_SF_DIR, "documents").limit(80)
+    originals = {r["doc_id"]: r["text"] for r in docs.collect()}
+    rows = fim_transform(docs, "doc_id", "text").collect()
+    kinds = {0: 0, 1: 0}
+    for r in rows:
+        kinds[r["is_fim"]] += 1
+        orig = originals[r["doc_id"]]
+        if r["is_fim"] == 0:
+            assert r["fim_text"] == orig and r["cut_a"] is None
+            continue
+        assert 0 <= r["cut_a"] <= r["cut_b"] <= len(orig)
+        body = r["fim_text"]
+        assert body.startswith(pre)
+        p, rest = body[len(pre):].split(suf, 1)
+        s, m = rest.split(mid, 1)
+        assert p + m + s == orig, r["doc_id"]
+        assert (len(p), len(orig) - len(s)) == (r["cut_a"], r["cut_b"])
+    assert kinds[0] > 0 and kinds[1] > 0
