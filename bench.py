@@ -208,6 +208,7 @@ HEADLINE = [
     "lm_surprisal_bigram",
     "span_corrupt",
     "fim_transform",
+    "text_normalize",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

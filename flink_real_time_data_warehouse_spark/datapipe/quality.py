@@ -285,3 +285,95 @@ def lm_surprisal_bigram(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Text normalization (round 9 continuation): the cleanup pass every corpus
+# pipeline runs before anything else (ftfy/NFKC-lite shape) — curly
+# punctuation to ASCII, fullwidth letters to halfwidth, control and
+# zero-width characters stripped, exotic whitespace unified and collapsed.
+# The fixture corpus is already clean, so the graded query follows the
+# media-header pattern: SYNTHESIZE format-valid dirt deterministically
+# (per-(doc, token) md5 draws pick one of six corruption rules), then
+# normalize it back — a bug in either the injector or the normalizer
+# breaks the oracle hash. Both passes are pure per-row JVM column
+# arithmetic: zero shuffle, zero Python.
+# ---------------------------------------------------------------------------
+
+#: literal character rewrites, applied in order (both engines replay)
+NORMALIZE_REPLACEMENTS = (
+    ("“", '"'), ("”", '"'),       # curly double quotes
+    ("‘", "'"), ("’", "'"),       # curly single quotes
+    ("—", "--"), ("–", "-"),      # em/en dash
+    ("…", "..."),                      # ellipsis
+    ("ａ", "a"), ("ｅ", "e"),       # fullwidth a e s t
+    ("ｓ", "s"), ("ｔ", "t"),
+)
+_CONTROL_CLASS = "[\\x{00}-\\x{08}\\x{0b}\\x{0c}\\x{0e}-\\x{1f}\\x{7f}\\x{200b}]"  # controls + zero-width, EXCLUDING tab/nl/cr (those unify to space)
+_SPACE_CLASS = "[\\x{a0}\\x{09}\\x{0a}\\x{0d}]"        # nbsp, tab, nl, cr
+
+
+def _dirt_draw(id_col, i):
+    return F.conv(
+        F.substring(
+            F.md5(F.encode(F.concat(F.lit("dirt:"), id_col.cast("string"),
+                                    F.lit(":"), i.cast("string")), "UTF-8")),
+            1, 8,
+        ), 16, 10,
+    ).cast("long")
+
+
+def synth_dirty_text(df: DataFrame, id_col: str, text_col: str):
+    """Deterministically corrupted twin of `text_col`: per token, an md5
+    draw picks curly-quote wrapping, fullwidth letters, a trailing
+    zero-width space, a leading BEL control, a trailing NBSP, or a
+    leading tab (or leaves it alone) — every class the normalizer must
+    undo, replayable by any engine."""
+    did = F.col(id_col)
+    toks = F.split(F.col(text_col), " ")
+    fw = lambda w: F.replace(  # noqa: E731
+        F.replace(F.replace(F.replace(w, F.lit("a"), F.lit("ａ")),
+                            F.lit("e"), F.lit("ｅ")),
+                  F.lit("s"), F.lit("ｓ")),
+        F.lit("t"), F.lit("ｔ"))
+
+    def rule(w, k):
+        m = _dirt_draw(did, k + 1) % 7
+        return (
+            F.when(m == 0, F.concat(F.lit("“"), w, F.lit("”")))
+            .when(m == 1, fw(w))
+            .when(m == 2, F.concat(w, F.lit("​")))
+            .when(m == 3, F.concat(F.lit("\x07"), w))
+            .when(m == 4, F.concat(w, F.lit(" ")))
+            .when(m == 5, F.concat(F.lit("\t"), w))
+            .otherwise(w)
+        )
+
+    return F.array_join(F.transform(toks, rule), " ")
+
+
+def normalize_text(col):
+    """The normalizer itself (column -> column): literal punctuation /
+    fullwidth rewrites, control + zero-width strip, whitespace unify,
+    run collapse, trim."""
+    x = col
+    for frm, to in NORMALIZE_REPLACEMENTS:
+        x = F.replace(x, F.lit(frm), F.lit(to))
+    x = F.regexp_replace(x, _CONTROL_CLASS, "")
+    x = F.regexp_replace(x, _SPACE_CLASS, " ")
+    return F.trim(F.regexp_replace(x, " +", " "))
+
+
+def text_normalize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, dirty_len, norm_len, changed, normalized_text): inject the
+    deterministic dirt, then normalize it away."""
+    dirty = synth_dirty_text(df, id_col, text_col)
+    base = df.select(F.col(id_col), dirty.alias("_dirty"))
+    norm = normalize_text(F.col("_dirty"))
+    return base.select(
+        id_col,
+        F.length("_dirty").cast("long").alias("dirty_len"),
+        F.length(norm).cast("long").alias("norm_len"),
+        (F.col("_dirty") != norm).cast("int").alias("changed"),
+        norm.alias("normalized_text"),
+    )

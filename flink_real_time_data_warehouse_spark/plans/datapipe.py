@@ -2342,6 +2342,73 @@ def lm_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_surprisal(table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _text_normalize_oracle() -> str:
+    from ..datapipe.quality import NORMALIZE_REPLACEMENTS
+
+    # local twin of _hex_n (defined later in this module, after this
+    # decorator has already run at import time)
+    expr = "md5('dirt:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR))"
+    draw = "(" + " + ".join(
+        f"(instr('0123456789abcdef', substr({expr}, {1 + k}, 1)) - 1) * {16 ** (8 - 1 - k)}"
+        for k in range(8)
+    ) + ")"
+    fw = "l[CAST(i AS INTEGER)]"
+    for a, b in (("a", "ａ"), ("e", "ｅ"), ("s", "ｓ"), ("t", "ｔ")):
+        fw = f"replace({fw}, '{a}', '{b}')"
+    norm = "dirty"
+    for frm, to in NORMALIZE_REPLACEMENTS:
+        esc = to.replace("'", "''")
+        norm = f"replace({norm}, '{frm}', '{esc}')"
+    norm = (
+        f"regexp_replace({norm}, '[\\x{{00}}-\\x{{08}}\\x{{0b}}\\x{{0c}}\\x{{0e}}-\\x{{1f}}\\x{{7f}}\\x{{200b}}]', '', 'g')"
+    )
+    norm = f"regexp_replace({norm}, '[\\x{{a0}}\\x{{09}}\\x{{0a}}\\x{{0d}}]', ' ', 'g')"
+    norm = f"trim(regexp_replace({norm}, ' +', ' ', 'g'))"
+    return f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    dirt AS (
+      SELECT doc_id,
+             array_to_string(list_transform(range(1, len(l) + 1), i ->
+               CASE {draw} % 7
+                 WHEN 0 THEN '“' || l[CAST(i AS INTEGER)] || '”'
+                 WHEN 1 THEN {fw}
+                 WHEN 2 THEN l[CAST(i AS INTEGER)] || chr(8203)
+                 WHEN 3 THEN chr(7) || l[CAST(i AS INTEGER)]
+                 WHEN 4 THEN l[CAST(i AS INTEGER)] || chr(160)
+                 WHEN 5 THEN chr(9) || l[CAST(i AS INTEGER)]
+                 ELSE l[CAST(i AS INTEGER)]
+               END), ' ') AS dirty
+      FROM d)
+    SELECT doc_id,
+           CAST(length(dirty) AS BIGINT) AS dirty_len,
+           CAST(length({norm}) AS BIGINT) AS norm_len,
+           CAST(dirty <> {norm} AS INTEGER) AS changed,
+           {norm} AS normalized_text
+    FROM dirt
+    """
+
+
+@register(
+    "text_normalize",
+    oracle=_text_normalize_oracle(),
+    doc=(
+        "text normalization (the ftfy/NFKC-lite cleanup pass every corpus "
+        "pipeline runs first): curly punctuation to ASCII, fullwidth "
+        "letters to halfwidth, control/zero-width strip, exotic "
+        "whitespace unified and runs collapsed. The fixture corpus is "
+        "pre-clean, so the graded query follows the media-header "
+        "pattern: per-(doc,token) md5 draws SYNTHESIZE one of six dirt "
+        "classes, then the normalizer undoes them — a bug in either side "
+        "breaks the full-string hash. Both passes pure per-row JVM "
+        "column arithmetic, zero shuffle, zero Python"
+    ),
+)
+def text_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.quality import text_normalize
+
+    return text_normalize(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 @register(
     "lm_surprisal_bigram",
     oracle=f"""

@@ -92,7 +92,7 @@ _GRADE_FIRST: list[str] = [
     # session additions (all driver-sim verified green, no driver row
     # yet): multimodal_dimensions_av, wordpiece_tokenize,
     # unigram_tokenize, lm_surprisal_bigram, span_corrupt,
-    # fim_transform.
+    # fim_transform, text_normalize.
 ]
 
 

@@ -428,3 +428,42 @@ def test_fim_transform_lossless_and_mixed(spark):
         assert p + m + s == orig, r["doc_id"]
         assert (len(p), len(orig) - len(s)) == (r["cut_a"], r["cut_b"])
     assert kinds[0] > 0 and kinds[1] > 0
+
+
+def test_normalize_text_rules_hand_written(spark):
+    """Each normalizer rule pinned on a literal: curly quotes/dashes/
+    ellipsis to ASCII, fullwidth to halfwidth, control + zero-width
+    stripped, NBSP/tab/newline unified, runs collapsed, ends trimmed."""
+    from flink_real_time_data_warehouse_spark.datapipe.quality import (
+        normalize_text,
+    )
+
+    cases = [
+        ("“quoted” and ‘single’", '"quoted" and \'single\''),
+        ("em—dash en–dash wait…", "em--dash en-dash wait..."),
+        ("fａｓｔ tｅst", "fast test"),
+        ("bell\x07 and zero​width", "bell and zerowidth"),
+        ("nb sp\tand\nnewline\r", "nb sp and newline"),
+        ("  spaced   out  ", "spaced out"),
+        ("already clean", "already clean"),
+    ]
+    df = spark.createDataFrame(
+        [(i, dirty) for i, (dirty, _) in enumerate(cases)], "i long, t string"
+    )
+    out = {r["i"]: r["n"] for r in df.select("i", normalize_text(F.col("t")).alias("n")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert out[i] == want, (i, out[i], want)
+
+
+def test_text_normalize_dirt_roundtrip_word_sequence(spark):
+    """The injected dirt never destroys content: stripping the ASCII
+    quotes the normalizer correctly KEEPS, and undoing nothing else, the
+    normalized text's word sequence equals the original's."""
+    from flink_real_time_data_warehouse_spark.datapipe.quality import text_normalize
+    from flink_real_time_data_warehouse_spark.tables import table
+
+    docs = table(spark, TEST_SF_DIR, "documents").limit(40)
+    originals = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in text_normalize(docs, "doc_id", "text").collect():
+        rebuilt = r["normalized_text"].replace('"', "")
+        assert rebuilt == originals[r["doc_id"]], r["doc_id"]
