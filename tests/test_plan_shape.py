@@ -680,3 +680,16 @@ def test_unigram_cost_join_is_broadcast(spark):
     assert "BroadcastExchange" in plan
     for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert bad not in plan, f"Python crossed into the plan: {bad}"
+
+
+def test_span_corrupt_zero_shuffle(spark):
+    """Objective prep (span_corrupt, fim_transform, text_normalize) is
+    scan + project: the greedy span fold, PSM cuts and dirt/normalize
+    chains all build in-expression — an Exchange or Python node in any
+    of these plans means a per-row transform started shuffling the
+    corpus."""
+    for name in ("span_corrupt", "fim_transform", "text_normalize"):
+        plan = plan_of(registry()[name].spark(spark, TEST_SF_DIR))
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+        for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+            assert bad not in plan, f"{name}: Python crossed into the plan"
