@@ -266,15 +266,19 @@ def decode_assets(
         import struct
 
         def _hdr(b):
-            # header-level parse (PNG IHDR / BMP / WAV fmt) — the REAL
-            # decode contract for formats whose dimensions live at fixed
-            # offsets; mirrors parse_header_py (kept inline: Spark pickles
-            # this closure to workers without the package on sys.path)
+            # header-level DIMENSION parse (PNG IHDR / BMP / GIF — the
+            # three containers that carry width×height at fixed offsets;
+            # WAV is dimensionless so its stream params stay on the
+            # parse_media_headers path). Mirrors parse_header_py, kept
+            # inline: Spark pickles this closure to workers without the
+            # package on sys.path.
             if b[:8] == bytes.fromhex("89504E470D0A1A0A") and len(b) >= 24:
                 return struct.unpack(">II", b[16:24])
             if (b[:2] == b"BM" and len(b) >= 26
                     and struct.unpack("<I", b[14:18])[0] == 40):
                 return struct.unpack("<ii", b[18:26])
+            if b[:6] in (b"GIF89a", b"GIF87a") and len(b) >= 10:
+                return struct.unpack("<HH", b[6:10])
             return None
 
         for pdf in batches:
@@ -580,43 +584,21 @@ def synth_av_payloads(docs: DataFrame) -> DataFrame:
     )
 
 
-def _jpeg_sof_pos(p):
-    """Walk the JPEG segment chain from byte 3 (after SOI): at each step
-    read the 2-byte marker; stop at SOF0/1/2, else advance by
-    2 + segment-length. Bounded unroll of JPEG_WALK_SEGMENTS steps keeps
-    the expression tree finite; returns the SOF marker position or NULL.
-
-    The chain advances UNCONDITIONALLY (every segment, SOF included,
-    carries a length field, so marching past SOF is well-defined; reads
-    past the payload end decode to 0 and the chain parks). Keeping the
-    position update conditional-free bounds expression growth at 2x per
-    step — the earlier conditional formulation tripled per step and blew
-    janino's 64 KB codegen method limit, silently falling back to the
-    interpreter. coalesce picks the FIRST candidate whose marker is
-    SOF0/1/2, which is exactly the walk's stop rule."""
-    pos = F.lit(3).cast("long")
-    cands = []
-    for _ in range(JPEG_WALK_SEGMENTS):
-        cands.append(pos)
-        pos = pos + 2 + _be_int_at(p, pos + 2, 2)
-    return F.coalesce(
-        *[
-            F.when(
-                (_be_int_at(p, c, 2) >= 0xFFC0) & (_be_int_at(p, c, 2) <= 0xFFC2),
-                c,
-            )
-            for c in cands
-        ]
-    )
-
-
 def parse_av_headers(assets: DataFrame) -> DataFrame:
     """Dimension/stream-parameter extraction for JPEG and MP3, trusting
     ONLY the bytes (the synthesis formulas never appear here).
 
-    JPEG: magic FFD8, then the segment walk; height/width are big-endian
-    u16 at SOF+5/SOF+7. A payload whose walk finds no SOF parses as NULL
-    (strict sniffer — lookalike bytes don't get a container).
+    JPEG: magic FFD8, then the segment walk — from byte 3 (after SOI),
+    each step reads the 2-byte marker and advances by 2 + segment-length,
+    UNCONDITIONALLY (every segment, SOF included, carries a length field,
+    so marching past SOF is well-defined; reads past the payload end
+    decode to 0 and the chain parks). Unconditional advance bounds
+    expression growth at 2x per step — a conditional stop tripled per
+    step and blew janino's 64 KB codegen method limit. coalesce picks
+    the FIRST step whose marker is SOF0/1/2, exactly the walk's stop
+    rule; height/width are big-endian u16 at SOF+5/SOF+7. A payload
+    whose walk finds no SOF parses as NULL (strict sniffer — lookalike
+    bytes don't get a container).
     MP3: an ID3v2 tag is skipped via the syncsafe length
     (b7<<21|b8<<14|b9<<7|b10, each byte masked to 7 bits); the frame
     header must carry the 11-bit sync, MPEG1 version bits and Layer III
@@ -671,10 +653,14 @@ def parse_av_headers(assets: DataFrame) -> DataFrame:
     sync_ok = (b1 == 0xFF) & (b2.bitwiseAND(F.lit(0xE0)) == 0xE0)
     is_mpeg1 = F.shiftright(b2, 3).bitwiseAND(F.lit(3)) == 3
     is_layer3 = F.shiftright(b2, 1).bitwiseAND(F.lit(3)) == 1
-    df = df.withColumn("_frame_ok", sync_ok & is_mpeg1 & is_layer3)
     df = df.withColumn("_br_idx", F.shiftright(b3, 4))
     df = df.withColumn("_sr_idx", F.shiftright(b3, 2).bitwiseAND(F.lit(3)))
     br_idx, sr_idx = F.col("_br_idx"), F.col("_sr_idx")
+    # Reserved table slots (bitrate index 0 = "free", 15 = "bad"; sample-
+    # rate index 3 = "reserved") reject the whole frame — same strict
+    # contract as parse_av_header_py, which returns None for them.
+    idx_ok = (br_idx != 0) & (br_idx != 15) & (sr_idx != 3)
+    df = df.withColumn("_frame_ok", sync_ok & is_mpeg1 & is_layer3 & idx_ok)
     mode = F.shiftright(b4, 6)
     bitrate = F.when(br_idx == 0, F.lit(None).cast("long"))
     for i in range(1, 15):

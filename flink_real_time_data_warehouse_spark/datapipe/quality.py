@@ -213,7 +213,14 @@ def lm_surprisal_bigram(
     corpus-sized broadcast. The total rides a 1-row broadcast."""
     t = tokens(F.col(text_col))
     n = F.size(t)
-    pairs_col = F.arrays_zip(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1))
+    # slice(t, 1, n-1) throws INVALID_PARAMETER_VALUE.LENGTH for n == 0, so
+    # the pair list must be guarded for sub-2-token documents (the oracle's
+    # range(1, len) yields none there). CaseWhen short-circuits, and both
+    # consumers explode() this column, where NULL emits zero rows exactly
+    # like the empty array.
+    pairs_col = F.when(
+        n >= 2, F.arrays_zip(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1))
+    )
 
     train = df.where(train_pred)
     uni = (

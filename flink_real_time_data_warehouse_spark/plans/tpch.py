@@ -2429,8 +2429,21 @@ def txlog_vacuum_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         log.snapshot(spark, version=1).agg(F.count("*")).first()
     except AssertionError:
         raise
-    except Exception:
-        pass  # the loud missing-path scan failure — expected
+    except Exception as exc:  # noqa: BLE001 — filtered to the missing-file scan error below
+        # Accept ONLY the loud missing-file scan failure; anything else
+        # (analysis error, schema bug, wrong path) is a real defect.
+        msg = f"{type(exc).__name__}: {exc}"
+        if not any(
+            marker in msg
+            for marker in (
+                "FileNotFoundException",
+                "FileNotFoundError",
+                "PATH_NOT_FOUND",
+                "FAILED_READ_FILE",
+                "does not exist",
+            )
+        ):
+            raise
     else:
         raise AssertionError(
             "pre-horizon time travel must fail after vacuum, not shrink"

@@ -49,50 +49,40 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # round; everything else follows in registration order. Queries not yet
 # registered are ignored, so new entries can be pre-listed safely.
 _GRADE_FIRST: list[str] = [
-    # Round 9 rotation (r8 verdict task 2, exactly as pre-listed).
-    # Slots 1-25: the 25 deferred r5-rowed names (streaming twins of the
-    # batch plans graded r7/r8, the dict-FMM segmentation pair, the ANN
-    # quantized variants, the incremental-dedup/ingest family, the txlog
-    # stream sink) — the stalest rows in the registry after r8.
-    "visitor_stats_stream", "uv_stream", "new_user_stream", "bounce_stream",
-    "session_stats_stream", "visitor_stats_sliding_stream",
-    "keyword_stats_stream", "dedup_exact_stream", "dedup_minhash_stream",
-    "province_stats_stream", "events_union_stats_stream",
-    "product_stats_stream", "order_wide_stream", "payment_wide_stream",
-    "keyword_stats_dict", "product_stats_stream_approx", "dedup_incremental",
-    "visitor_stats_cumulate", "ingest_pipeline_stream",
-    "keyword_stats_dict_stream", "ann_sign_lsh_topk", "ann_quantized_topk",
-    "ann_ivf_quantized_topk", "ann_ingest_stream", "txlog_stream_sink",
-    # Slots 26-36: the 11 round-8 additions, never driver-graded (all
-    # oracle-green in both the r8 builder session and the judge's own
-    # full-suite run).
-    "dedup_exact_substring", "bpe_train", "bpe_tokenize",
-    "txlog_identity_merge_read", "txlog_merge_evolve_read",
-    "dedup_substring_scrub", "txlog_batch_source_read", "ann_pq_topk",
-    "txlog_write_format_read", "txlog_stream_format_chain",
-    "txlog_convert_read",
-    # Slots 37-42: the 6 round-9 additions (verdict tasks 3-8; each
-    # driver-sim verified green before its commit this session).
-    "txlog_vacuum_read", "datetime_funcs_cst", "multimodal_dimensions",
-    "quality_classifier_score", "ann_ivf_pq_topk",
-    "dedup_substring_incremental",
-    # Slots 43-50: 8 of the 67 r6-rowed names, chosen for surface
-    # diversity (TPC-H rollup/window, txlog verbs incl. the three bench
-    # drift-watch queries, trained SemDeDup, the fulfillment-band
-    # streaming sibling); the rest of the r6 block leads r10.
-    "rollup_sales", "top_customers", "txlog_merge_read",
-    "txlog_time_travel", "txlog_cdc_apply", "txlog_scd2_read",
-    "semantic_dedup_trained", "abandoned_orders_stream",
-    # r10 rotation note: lead with the remaining 59 r6-rowed names
-    # (stalest first: the txlog read/verb family, the TPC-H shaped
-    # analytics block, the quality/curation family, fulfillment_stats_
-    # stream + cdc_stream), then the r9 registration that missed this
-    # window: ingest_classifier_gate (driver-sim verified green in the
-    # r9 session; no driver row yet), plus the three r9 continuation-
-    # session additions (all driver-sim verified green, no driver row
-    # yet): multimodal_dimensions_av, wordpiece_tokenize,
-    # unigram_tokenize, lm_surprisal_bigram, span_corrupt,
-    # fim_transform, text_normalize.
+    # Round 10 rotation (r9 verdict task 1, exactly as pre-listed).
+    # Slots 1-42: ALL 42 remaining r6-rowed names — the stalest driver
+    # rows in the registry after r9. Grouped: txlog verb/read family,
+    # then the TPC-H-shaped analytics block, then the quality/curation
+    # family, then the two streaming siblings.
+    "txlog_partitioned_read", "txlog_clustered_read",
+    "txlog_schema_evolution", "txlog_multi_partition_read",
+    "txlog_change_feed", "txlog_incremental_sync", "txlog_delete_read",
+    "txlog_zorder_read", "txlog_bloom_point_read", "txlog_cdc_stream",
+    "txlog_cdf_feed",
+    "top_parts_per_nation", "dormant_customers", "order_value_quantiles",
+    "running_gmv", "local_supplier_volume", "cube_sales", "status_pivot",
+    "customer_spend_quartiles", "urgent_part_suppliers", "moving_avg_gmv",
+    "skew_salted_sales", "waiting_supplier", "small_qty_revenue_shaped",
+    "order_count_distribution", "untapped_customers", "large_volume_orders",
+    "grouping_sets_sales", "order_value_quantiles_approx", "volume_shipping",
+    "top_revenue_supplier", "min_cost_supplier", "trailing_30d_spend",
+    "shipping_priority", "revenue_delta", "returned_item_losers",
+    "knn_label_noise", "source_overlap_matrix", "embedding_outliers",
+    "source_quality_profile", "doc_novelty",
+    "fulfillment_stats_stream",
+    # Slots 43-50: the 8 registrations with no driver row yet (all
+    # judge-verified green at sf0.01 in the r9 verdict session).
+    "ingest_classifier_gate", "wordpiece_tokenize", "unigram_tokenize",
+    "lm_surprisal_bigram", "span_corrupt", "fim_transform",
+    "text_normalize", "multimodal_dimensions_av",
+    # r11 rotation note: lead with this round's new registrations (no
+    # driver row yet; each driver-sim verified green before its commit
+    # this session): multimodal_dimensions_mp4, multimodal_dimensions_tiff,
+    # bytelevel_bpe_tokenize, dedup_exact_stream_builtin, bounce_stream_tws,
+    # lm_surprisal_trigram — then the stalest r7-rowed block
+    # (new_user_fix, uv_daily, bounce_events, order_wide, payment_wide,
+    # dup_spans, the r7 TPC-H/curation names), then r8's block as space
+    # allows.
 ]
 
 

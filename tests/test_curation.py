@@ -322,7 +322,9 @@ def test_lm_surprisal_bigram_backoff_hand_computed(spark):
     (uni a:2 b:1 c:1, T=4 -> len(bin)=3; bigrams ab/ba/ac once each).
     Scoring 'a b d': first a = 3-2=1; (a,b) known = len(bin(2))-len(bin(1))
     = 1; (b,d) backs off to OOV d = 2+3+2 = 7. The training doc itself
-    scores with zero backoff and zero OOV."""
+    scores with zero backoff and zero OOV. Zero- and one-token documents
+    must not crash the pair slice (negative slice length) and score per
+    the contract: empty text excluded, single token scores firsts-only."""
     from pyspark.sql import functions as SF
 
     from flink_real_time_data_warehouse_spark.datapipe.quality import (
@@ -330,7 +332,8 @@ def test_lm_surprisal_bigram_backoff_hand_computed(spark):
     )
 
     docs = spark.createDataFrame(
-        [(1, "a b a c", "ref"), (2, "a b d", "web")],
+        [(1, "a b a c", "ref"), (2, "a b d", "web"), (3, "", "web"),
+         (4, "   ", "web"), (5, "b", "web")],
         "doc_id long, text string, source string",
     )
     out = {
@@ -343,6 +346,9 @@ def test_lm_surprisal_bigram_backoff_hand_computed(spark):
     assert (r1["token_ct"], r1["surprisal_bits"], r1["backoff_ct"], r1["oov_ct"]) == (4, 3, 0, 0)
     assert (r2["token_ct"], r2["surprisal_bits"], r2["backoff_ct"], r2["oov_ct"]) == (3, 9, 1, 1)
     assert r2["bits_per_token"] == 3.0
+    assert 3 not in out and 4 not in out  # tokenless docs excluded
+    r5 = out[5]  # single known token: unigram bits 3-1=2, no pairs
+    assert (r5["token_ct"], r5["surprisal_bits"], r5["backoff_ct"], r5["oov_ct"]) == (1, 2, 0, 0)
 
 
 def test_lm_surprisal_bigram_paths_exercised_on_fixtures(spark):

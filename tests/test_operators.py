@@ -497,6 +497,29 @@ def test_av_header_codec_boundary_dims(spark):
             assert got["channels"] == (1 if d % 4 == 3 else 2) == py["channels"], d
             assert got["bitrate_kbps"] == brs[1 + d % 14] == py["bitrate_kbps"], d
 
+    # Reserved-slot MP3 frame headers (bitrate index 0 "free" / 15 "bad",
+    # sample-rate index 3 "reserved") — unreachable from synth_av_payloads
+    # but real for arbitrary bytes: BOTH paths must reject the frame, and
+    # the in-range control must still parse. b3 = br_idx<<4 | sr_idx<<2.
+    frames = {
+        0x00: None,           # br_idx 0
+        0xF0: None,           # br_idx 15
+        0x1C: None,           # br_idx 1, sr_idx 3
+        0x10: (32, 44100),    # control: br_idx 1, sr_idx 0
+    }
+    for b3, want in frames.items():
+        raw = bytes([0xFF, 0xFB, b3, 0x00]) + b"\x00" * 4
+        py = parse_av_header_py(raw)
+        df = spark.createDataFrame([(1, bytearray(raw))], "asset_id long, payload binary")
+        jvm = parse_av_headers(df).first()
+        if want is None:
+            assert py is None, hex(b3)
+            assert jvm["container"] is None and jvm["bitrate_kbps"] is None, hex(b3)
+        else:
+            assert py["bitrate_kbps"] == want[0] == jvm["bitrate_kbps"]
+            assert py["sample_rate"] == want[1] == jvm["sample_rate"]
+            assert jvm["container"] == "mp3" == py["container"]
+
 
 def test_av_header_parse_rejects_lookalikes(spark):
     """Strict sniffing: an ID3 text fragment with no valid frame, an FFD8
