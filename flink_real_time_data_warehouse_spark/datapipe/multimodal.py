@@ -723,3 +723,310 @@ def parse_av_header_py(payload: bytes) -> dict | None:
     return {"container": "mp3", "sample_rate": MP3_RATES[sr_idx],
             "channels": 1 if mode == 3 else 2,
             "bitrate_kbps": MP3_BITRATES[br_idx]}
+
+
+# ---------------------------------------------------------------------------
+# Nested containers (round 10): MP4 / ISO-BMFF. The capstone variable-offset
+# shape — unlike JPEG's flat segment chain, ISO-BMFF is a TREE of
+# length-prefixed boxes ([u32 size][4cc type][payload]), and the interesting
+# fields sit two levels down: moov/mvhd carries timescale+duration,
+# moov/trak/tkhd carries the 16.16-fixed width/height. The walk is three
+# bounded box scans (top level -> moov children -> trak children), each an
+# unrolled chain of staged projections exactly like the JPEG walk, so the
+# whole parse stays one WholeStageCodegen stage with zero Python.
+# Reference counterpart: the reference treats media as opaque payload
+# strings (app/GmallLoggerApplication ingest path); this extends the
+# r8/r9 header-decode contract to the dominant real-world video container.
+# ---------------------------------------------------------------------------
+
+#: top-level boxes the walk will scan (ftyp + free + moov + mdat layout)
+MP4_TOP_STEPS = 4
+#: moov children scanned (udta + mvhd + free + trak + slack)
+MP4_MOOV_STEPS = 5
+#: trak children scanned (edts + tkhd + slack)
+MP4_TRAK_STEPS = 3
+
+#: unity transform matrix, 36 bytes (mvhd and tkhd share it)
+_MP4_UNITY_MATRIX = (
+    "00010000" "00000000" "00000000"
+    "00000000" "00010000" "00000000"
+    "00000000" "00000000" "40000000"
+)
+
+
+def _fourcc_at(p, pos):
+    """4 bytes of binary col `p` at Column position `pos` (1-indexed) as a
+    hex string, for 4cc comparisons."""
+    return F.hex(p.substr(pos.cast("int"), F.lit(4)))
+
+
+def synth_mp4_payloads(docs: DataFrame) -> DataFrame:
+    """Format-valid ISO-BMFF payloads per document, every field and every
+    box size a deterministic function of doc_id so a SQL oracle can replay
+    them. Layout (all boxes real, sizes honest):
+
+      ftyp (16 + 4k bytes, k = doc_id%3 compatible brands)
+      free (8 + doc_id%19)                       <- shifts moov
+      moov
+        udta (8 + doc_id%17)                     <- shifts mvhd
+        mvhd (108, v0: timescale + duration)
+        free (8 + doc_id%13)                     <- shifts trak
+        trak
+          edts (8 + doc_id%11)                   <- shifts tkhd
+          tkhd (92, v0: width/height 16.16 fixed)
+      mdat (8 + doc_id%9)                        <- moov is not last
+
+    Four independent filler sizes make every interesting offset data-
+    dependent at every nesting level: a parser that hard-codes any offset
+    breaks the oracle hash. The parse path below trusts only the bytes."""
+    did = F.col("doc_id")
+    w = (F.lit(16) + did % 1200).cast("long")
+    h = (F.lit(16) + (did * 13) % 900).cast("long")
+    ts = F.element_at(
+        F.array(F.lit(600), F.lit(1000), F.lit(90000)),
+        (did % 3 + 1).cast("int"),
+    ).cast("long")
+    dur = (F.lit(1) + did % 100000).cast("long")
+    k = (did % 3).cast("long")
+    f1 = (did % 19).cast("long")
+    f2 = (did % 17).cast("long")
+    f3 = (did % 13).cast("long")
+    f4 = (did % 11).cast("long")
+    m = (did % 9).cast("long")
+
+    def pad(nbytes, maxn: int):
+        return F.unhex(F.lit("00" * maxn).substr(F.lit(1), (nbytes * 2).cast("int")))
+
+    def box(fourcc: str, size, *body):
+        return F.concat(_be_enc(size, 4), _lit_bin(_ascii_hex(fourcc)), *body)
+
+    ftyp = box(
+        "ftyp", F.lit(16) + k * 4,
+        _lit_bin(_ascii_hex("isom")), _lit_bin("00000000"),
+        F.unhex(F.lit(_ascii_hex("mp42") * 2).substr(F.lit(1), (k * 8).cast("int"))),
+    )
+    mvhd = box(
+        "mvhd", F.lit(108),
+        _lit_bin("00000000"),                      # version 0, flags
+        _be_enc(did % 65536, 4),                   # creation time
+        _be_enc((did * 3) % 65536, 4),             # modification time
+        _be_enc(ts, 4), _be_enc(dur, 4),
+        _lit_bin("00010000"), _lit_bin("0100"),    # rate 1.0, volume 1.0
+        _lit_bin("00" * 10),                       # reserved
+        _lit_bin(_MP4_UNITY_MATRIX),
+        _lit_bin("00" * 24),                       # pre_defined
+        _be_enc(F.lit(2), 4),                      # next_track_ID
+    )
+    tkhd = box(
+        "tkhd", F.lit(92),
+        _lit_bin("00000007"),                      # version 0, flags enabled
+        _be_enc(did % 65536, 4),                   # creation time
+        _be_enc((did * 3) % 65536, 4),             # modification time
+        _be_enc(F.lit(1), 4),                      # track_ID
+        _lit_bin("00000000"),                      # reserved
+        _be_enc(dur, 4),
+        _lit_bin("00" * 8),                        # reserved
+        _lit_bin("00" * 8),                        # layer/alt/volume/reserved
+        _lit_bin(_MP4_UNITY_MATRIX),
+        _be_enc(F.shiftleft(w, 16), 4),            # width, 16.16 fixed
+        _be_enc(F.shiftleft(h, 16), 4),            # height, 16.16 fixed
+    )
+    edts = box("edts", F.lit(8) + f4, pad(f4, 10))
+    trak_sz = F.lit(8) + (F.lit(8) + f4) + F.lit(92)
+    trak = box("trak", trak_sz, edts, tkhd)
+    udta = box("udta", F.lit(8) + f2, pad(f2, 16))
+    free_in = box("free", F.lit(8) + f3, pad(f3, 12))
+    moov_sz = F.lit(8) + (F.lit(8) + f2) + F.lit(108) + (F.lit(8) + f3) + trak_sz
+    moov = box("moov", moov_sz, udta, mvhd, free_in, trak)
+    free_top = box("free", F.lit(8) + f1, pad(f1, 18))
+    mdat = box("mdat", F.lit(8) + m, pad(m, 8))
+    return docs.select(
+        did.alias("asset_id"),
+        F.concat(ftyp, free_top, moov, mdat).alias("payload"),
+    )
+
+
+def parse_mp4_headers(assets: DataFrame) -> DataFrame:
+    """ISO-BMFF metadata extraction trusting ONLY the bytes (the synthesis
+    formulas never appear here). Sniff: bytes 5-8 == 'ftyp' and at least
+    the 16-byte minimal ftyp present. Then three bounded box walks:
+
+      top level      -> first 'moov' box
+      moov children  -> first 'mvhd' (v0; timescale at +20, duration at
+                        +24) and first 'trak'
+      trak children  -> first 'tkhd' (v0; width/height 16.16 fixed at
+                        +84/+88, integer part reported)
+
+    Every walk advances UNCONDITIONALLY by the box's u32 size (reads past
+    the payload decode to 0 and the chain parks; a zero size re-tests the
+    same box, bounded by the unroll) — the same 2x-per-step growth
+    discipline as the JPEG walk. A match requires the 4cc, the full box
+    header inside the PARENT's extent, the box size covering every field
+    read, and version 0 — so truncated or foreign bytes never leak a
+    field. No mvhd or no tkhd -> container NULL (strict sniffer).
+    Returns (asset_id, container, width, height, timescale, duration_ms)
+    with duration_ms = floor(duration * 1000 / timescale).
+
+    STRUCTURE NOTE: staged withColumn projections, one per box position /
+    type read, for the same reason as parse_av_headers — CollapseProject
+    keeps multiply-referenced non-cheap aliases, so every byte read
+    compiles once and the whole parse stays ONE WholeStageCodegen stage
+    (plan-tested)."""
+    p = F.col("payload")
+    df = assets.select("asset_id", "payload")
+    df = df.withColumn("_n", F.octet_length(p).cast("long"))
+    n = F.col("_n")
+    ftyp_ok = (n >= 16) & (_fourcc_at(p, F.lit(5)) == F.lit(_ascii_hex("ftyp")))
+
+    # top-level walk: positions + 4cc per step
+    df = df.withColumn("_t0", F.lit(1).cast("long"))
+    for i in range(1, MP4_TOP_STEPS):
+        prev = F.col(f"_t{i - 1}")
+        df = df.withColumn(f"_t{i}", prev + _be_int_at(p, prev, 4))
+    for i in range(MP4_TOP_STEPS):
+        df = df.withColumn(f"_tc{i}", _fourcc_at(p, F.col(f"_t{i}") + 4))
+    moov = F.coalesce(
+        *[
+            F.when(
+                (F.col(f"_tc{i}") == F.lit(_ascii_hex("moov")))
+                & (F.col(f"_t{i}") + 8 <= n + 1),
+                F.col(f"_t{i}"),
+            )
+            for i in range(MP4_TOP_STEPS)
+        ]
+    )
+    df = df.withColumn("_mv", F.when(ftyp_ok, moov))
+    df = df.withColumn("_mvend", F.col("_mv") + _be_int_at(p, F.col("_mv"), 4))
+    mvend = F.col("_mvend")
+
+    # moov children walk
+    df = df.withColumn("_d0", F.col("_mv") + 8)
+    for i in range(1, MP4_MOOV_STEPS):
+        prev = F.col(f"_d{i - 1}")
+        df = df.withColumn(f"_d{i}", prev + _be_int_at(p, prev, 4))
+    for i in range(MP4_MOOV_STEPS):
+        df = df.withColumn(f"_dc{i}", _fourcc_at(p, F.col(f"_d{i}") + 4))
+        df = df.withColumn(f"_ds{i}", _be_int_at(p, F.col(f"_d{i}"), 4))
+
+    def _child(fourcc: str, min_size: int, steps: int, pos_pfx: str,
+               cc_pfx: str, sz_pfx: str, end_col):
+        return F.coalesce(
+            *[
+                F.when(
+                    (F.col(f"{cc_pfx}{i}") == F.lit(_ascii_hex(fourcc)))
+                    & (F.col(f"{pos_pfx}{i}") + min_size <= end_col)
+                    & (F.col(f"{pos_pfx}{i}") + min_size <= n + 1)
+                    & (F.col(f"{sz_pfx}{i}") >= min_size)
+                    & (_be_int_at(p, F.col(f"{pos_pfx}{i}") + 8, 1) == 0),
+                    F.col(f"{pos_pfx}{i}"),
+                )
+                for i in range(steps)
+            ]
+        )
+
+    # mvhd v0: fields end at +27 -> min_size 28; tkhd v0: height ends at
+    # +91 -> min_size 92. trak is a pure container: header-only check,
+    # no version byte (the all-boxes condition would wrongly read its
+    # first child's size field), so it gets its own matcher.
+    df = df.withColumn(
+        "_mvhd", _child("mvhd", 28, MP4_MOOV_STEPS, "_d", "_dc", "_ds", mvend)
+    )
+    trak = F.coalesce(
+        *[
+            F.when(
+                (F.col(f"_dc{i}") == F.lit(_ascii_hex("trak")))
+                & (F.col(f"_d{i}") + 8 <= mvend)
+                & (F.col(f"_d{i}") + 8 <= n + 1),
+                F.col(f"_d{i}"),
+            )
+            for i in range(MP4_MOOV_STEPS)
+        ]
+    )
+    df = df.withColumn("_tk", trak)
+    df = df.withColumn("_tkend", F.col("_tk") + _be_int_at(p, F.col("_tk"), 4))
+
+    # trak children walk
+    df = df.withColumn("_e0", F.col("_tk") + 8)
+    for i in range(1, MP4_TRAK_STEPS):
+        prev = F.col(f"_e{i - 1}")
+        df = df.withColumn(f"_e{i}", prev + _be_int_at(p, prev, 4))
+    for i in range(MP4_TRAK_STEPS):
+        df = df.withColumn(f"_ec{i}", _fourcc_at(p, F.col(f"_e{i}") + 4))
+        df = df.withColumn(f"_es{i}", _be_int_at(p, F.col(f"_e{i}"), 4))
+    df = df.withColumn(
+        "_tkhd",
+        _child("tkhd", 92, MP4_TRAK_STEPS, "_e", "_ec", "_es", F.col("_tkend")),
+    )
+
+    mvhd, tkhd = F.col("_mvhd"), F.col("_tkhd")
+    found = mvhd.isNotNull() & tkhd.isNotNull()
+    ts = _be_int_at(p, mvhd + 20, 4)
+    dur = _be_int_at(p, mvhd + 24, 4)
+    return df.select(
+        "asset_id",
+        F.when(found, F.lit("mp4")).alias("container"),
+        F.when(found, F.shiftright(_be_int_at(p, tkhd + 84, 4), 16)).alias("width"),
+        F.when(found, F.shiftright(_be_int_at(p, tkhd + 88, 4), 16)).alias("height"),
+        F.when(found, ts).alias("timescale"),
+        F.when(found & (ts > 0), F.floor(dur * 1000 / ts).cast("long")).alias(
+            "duration_ms"
+        ),
+    )
+
+
+def parse_mp4_header_py(payload: bytes) -> dict | None:
+    """The Python-path twin of parse_mp4_headers (same strict contract),
+    for the mapInPandas decode route and for boundary tests."""
+    import struct
+
+    if payload is None:
+        return None
+    b = bytes(payload)
+    n = len(b)
+    if n < 16 or b[4:8] != b"ftyp":
+        return None
+
+    def u32(o: int) -> int:
+        chunk = b[o:o + 4]
+        return struct.unpack(">I", chunk)[0] if len(chunk) == 4 else (
+            int.from_bytes(chunk, "big") if chunk else 0
+        )
+
+    def walk(start: int, steps: int):
+        pos, out = start, []
+        for _ in range(steps):
+            out.append(pos)
+            pos += u32(pos)
+        return out
+
+    def find(cands, fourcc: bytes, min_size: int, end: int, versioned: bool):
+        for c in cands:
+            if (b[c + 4:c + 8] == fourcc and c + min_size <= end
+                    and c + min_size <= n
+                    and (not versioned or (u32(c) >= min_size and b[c + 8] == 0))):
+                return c
+        return None
+
+    moov = find(walk(0, MP4_TOP_STEPS), b"moov", 8, n, versioned=False)
+    if moov is None:
+        return None
+    mvend = moov + u32(moov)
+    kids = walk(moov + 8, MP4_MOOV_STEPS)
+    mvhd = find(kids, b"mvhd", 28, mvend, versioned=True)
+    trak = find(kids, b"trak", 8, mvend, versioned=False)
+    if mvhd is None or trak is None:
+        return None
+    tkhd = find(
+        walk(trak + 8, MP4_TRAK_STEPS), b"tkhd", 92, trak + u32(trak),
+        versioned=True,
+    )
+    if tkhd is None:
+        return None
+    ts, dur = u32(mvhd + 20), u32(mvhd + 24)
+    return {
+        "container": "mp4",
+        "width": u32(tkhd + 84) >> 16,
+        "height": u32(tkhd + 88) >> 16,
+        "timescale": ts,
+        "duration_ms": dur * 1000 // ts if ts > 0 else None,
+    }

@@ -3818,6 +3818,44 @@ def multimodal_dimensions_av_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_dimensions_mp4",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             1 + doc_id % 100000 AS dur,
+             CASE CAST(doc_id % 3 AS INTEGER)
+                  WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS ts
+      FROM documents)
+    SELECT doc_id AS asset_id,
+           'mp4' AS container,
+           CAST(16 + doc_id % 1200 AS BIGINT) AS width,
+           CAST(16 + (doc_id * 13) % 900 AS BIGINT) AS height,
+           CAST(ts AS BIGINT) AS timescale,
+           CAST((dur * 1000) // ts AS BIGINT) AS duration_ms
+    FROM c
+    """,
+    doc=(
+        "NESTED-container header decode (ISO-BMFF / MP4) — the capstone "
+        "variable-offset shape: a TREE of length-prefixed boxes, fields "
+        "two levels down (moov/mvhd timescale+duration, moov/trak/tkhd "
+        "16.16-fixed dims). Four independent filler boxes (free/udta/"
+        "edts, sizes varying per asset) shift every interesting offset "
+        "at every nesting level, so the parser must genuinely walk the "
+        "box tree. Three staged bounded walks, pure JVM column "
+        "arithmetic, ONE codegen stage, zero Python, zero shuffle "
+        "(plan-tested). The oracle replays the doc_id synthesis "
+        "formulas, so a bug in either the box encoder or the tree "
+        "walker breaks the hash"
+    ),
+)
+def multimodal_dimensions_mp4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.multimodal import parse_mp4_headers, synth_mp4_payloads
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return parse_mp4_headers(synth_mp4_payloads(docs))
+
+
+@register(
     "frame_sample",
     oracle=f"""
     WITH v AS (SELECT doc_id AS asset_id, md5(text) AS h,

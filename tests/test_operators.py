@@ -541,3 +541,84 @@ def test_av_header_parse_rejects_lookalikes(spark):
         row = parse_av_headers(df).first()
         assert row["container"] is None and row["width"] is None
         assert row["sample_rate"] is None and row["bitrate_kbps"] is None
+
+
+def test_mp4_box_walk_boundary_sizes(spark):
+    """MP4/ISO-BMFF (round-10 nested container): the JVM box-tree walk and
+    the Python struct twin agree at every box-size edge — each of the four
+    filler boxes at its min (0 payload) and max, the compatible-brands
+    count extremes, and the duration/timescale table corners."""
+    from flink_real_time_data_warehouse_spark.datapipe.multimodal import (
+        parse_mp4_header_py,
+        parse_mp4_headers,
+        synth_mp4_payloads,
+    )
+
+    # doc_id picks: 0 = every filler empty; 18/16/12/10 = each filler at
+    # its max; 2 = two compatible brands; big ids = duration wraps.
+    cases = [0, 1, 2, 10, 12, 16, 18, 19 * 17 * 13, 99999, 100000, 54321]
+    docs = spark.createDataFrame([(d,) for d in cases], "doc_id long")
+    payloads = {
+        r["asset_id"]: bytes(r["payload"])
+        for r in synth_mp4_payloads(docs).collect()
+    }
+    parsed = {
+        r["asset_id"]: r.asDict()
+        for r in parse_mp4_headers(synth_mp4_payloads(docs)).collect()
+    }
+    rates = [600, 1000, 90000]
+    for d in cases:
+        got, py = parsed[d], parse_mp4_header_py(payloads[d])
+        want = {
+            "container": "mp4",
+            "width": 16 + d % 1200,
+            "height": 16 + (d * 13) % 900,
+            "timescale": rates[d % 3],
+            "duration_ms": (1 + d % 100000) * 1000 // rates[d % 3],
+        }
+        assert {k: got[k] for k in want} == want, d
+        assert {k: py[k] for k in want} == want, d
+
+
+def test_mp4_box_walk_strictness(spark):
+    """Foreign or truncated bytes never leak a field, identically in both
+    paths: version-1 mvhd, a tkhd one byte short of its fields, an mvhd
+    whose box lies outside moov's claimed extent, an ftyp-sniff lookalike
+    with no moov, and plain text all parse to NULL/None."""
+    import struct
+
+    from flink_real_time_data_warehouse_spark.datapipe.multimodal import (
+        parse_mp4_header_py,
+        parse_mp4_headers,
+        synth_mp4_payloads,
+    )
+
+    base = spark.createDataFrame([(7,)], "doc_id long")
+    good = bytes(synth_mp4_payloads(base).first()["payload"])
+    assert parse_mp4_header_py(good) is not None
+
+    def patch(b, off, new):
+        return b[:off] + new + b[off + len(new):]
+
+    def find_box(b, fourcc):
+        i = b.find(fourcc)
+        assert i > 0
+        return i - 4  # box start (size field)
+
+    mvhd = find_box(good, b"mvhd")
+    tkhd = find_box(good, b"tkhd")
+    moov = find_box(good, b"moov")
+    fakes = [
+        patch(good, mvhd + 8, b"\x01"),                      # mvhd version 1
+        patch(good, tkhd, struct.pack(">I", 91)),            # tkhd size < 92
+        # moov claims to end before its mvhd child's fields do
+        patch(good, moov, struct.pack(">I", (mvhd - moov) + 27)),
+        b"xxxxftyp" + b"\x00" * 32,                          # sniff, no moov
+        b"plain text that is not a container at all",
+    ]
+    for s in fakes:
+        assert parse_mp4_header_py(s) is None
+        df = spark.createDataFrame([(1, bytearray(s))], "asset_id long, payload binary")
+        row = parse_mp4_headers(df).first()
+        assert row["container"] is None and row["width"] is None
+        assert row["timescale"] is None and row["duration_ms"] is None

@@ -693,3 +693,16 @@ def test_span_corrupt_zero_shuffle(spark):
         assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
         for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
             assert bad not in plan, f"{name}: Python crossed into the plan"
+
+
+def test_multimodal_dimensions_mp4_zero_python(spark):
+    """The ISO-BMFF box-tree walk (round 10) stays pure JVM: no Arrow/
+    Python eval node, zero Exchange (per-row parse on the scan), and the
+    three staged walks fuse into ONE whole-stage-codegen stage."""
+    df = registry()["multimodal_dimensions_mp4"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapsInPandas"):
+        assert bad not in plan, f"Python crossed into the plan: {bad}"
+    assert "Exchange" not in plan
+    assert "*(1)" in plan
+    assert "*(2)" not in plan  # staging must not split codegen
