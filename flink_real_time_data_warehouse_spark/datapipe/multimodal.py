@@ -1030,3 +1030,215 @@ def parse_mp4_header_py(payload: bytes) -> dict | None:
         "timescale": ts,
         "duration_ms": dur * 1000 // ts if ts > 0 else None,
     }
+
+
+# ---------------------------------------------------------------------------
+# Self-describing byte order (round 10): TIFF/EXIF. A decode shape none of
+# the seven other containers has — the file's FIRST TWO BYTES ('II' or 'MM')
+# select the endianness for EVERY subsequent integer, so each u16/u32 read
+# is itself a per-row conditional. Fields live in a tag directory (IFD): a
+# u16 entry count then 12-byte entries sorted by tag, each carrying
+# (tag, type, count, value); SHORT values sit in the value field's first
+# two bytes, LONG in all four. Width=256, Height=257, Orientation=274.
+# ---------------------------------------------------------------------------
+
+#: IFD entries the scan will examine (synth emits 4-6 + slack)
+TIFF_IFD_ENTRIES = 7
+
+
+def _le_int_at(p, pos, n: int):
+    """n bytes of binary col `p` at Column position `pos` (1-indexed) ->
+    little-endian long (pair-swapped hex, the Column-position twin of
+    _le_int)."""
+    h = F.hex(p.substr(pos.cast("int"), F.lit(n)))
+    pairs = [F.substring(h, 2 * i + 1, 2) for i in reversed(range(n))]
+    return F.conv(F.concat(*pairs), 16, 10).cast("long")
+
+
+def synth_tiff_payloads(docs: DataFrame) -> DataFrame:
+    """Format-valid TIFF headers per document, every field a deterministic
+    function of doc_id so a SQL oracle can replay them. Both byte orders
+    ship (doc_id%2==0 -> 'II' little-endian, ==1 -> 'MM' big-endian) and
+    the IFD itself moves (a doc_id%23-byte gap precedes it, exercised via
+    the header's IFD-offset u32). The directory holds 4-6 entries sorted
+    by tag — NewSubfileType (present iff doc_id%5<2) and SamplesPerPixel
+    (iff doc_id%7<4) shift the positions of the graded tags — and the
+    width/height entries flip between SHORT and LONG storage
+    (doc_id%4<2 / doc_id%3<2), so the parser must honor the type field,
+    not just the tag. The parse path below trusts only the bytes."""
+    did = F.col("doc_id")
+    le = did % 2 == 0
+    w = (F.lit(16) + did % 4000).cast("long")
+    h = (F.lit(16) + (did * 11) % 3000).cast("long")
+    orient = (F.lit(1) + did % 8).cast("long")
+    g = (did % 23).cast("long")
+    has_254 = did % 5 < 2
+    has_277 = did % 7 < 4
+    w_short = did % 4 < 2
+    h_short = did % 3 < 2
+
+    def enc2(v):
+        return F.when(le, _le_enc(v, 2)).otherwise(_be_enc(v, 2))
+
+    def enc4(v):
+        return F.when(le, _le_enc(v, 4)).otherwise(_be_enc(v, 4))
+
+    def entry(tag: int, is_short, val):
+        # count is always 1; SHORT packs into the value field's first
+        # two bytes (file byte order), LONG fills all four
+        return F.concat(
+            enc2(F.lit(tag)),
+            enc2(F.when(is_short, F.lit(3)).otherwise(F.lit(4))),
+            enc4(F.lit(1)),
+            F.when(is_short, F.concat(enc2(val), _lit_bin("0000"))).otherwise(
+                enc4(val)
+            ),
+        )
+
+    def opt(cond, body):
+        return F.when(cond, body).otherwise(F.unhex(F.lit("")))
+
+    t, f = F.lit(True), F.lit(False)
+    cnt = (
+        F.lit(4) + has_254.cast("long") + has_277.cast("long")
+    ).cast("long")
+    ifd = F.concat(
+        enc2(cnt),
+        opt(has_254, entry(254, f, F.lit(0))),            # NewSubfileType, LONG
+        entry(256, w_short, w),                           # ImageWidth
+        entry(257, h_short, h),                           # ImageLength
+        entry(258, t, F.lit(8)),                          # BitsPerSample
+        entry(274, t, orient),                            # Orientation
+        opt(has_277, entry(277, t, F.lit(3))),            # SamplesPerPixel
+        enc4(F.lit(0)),                                   # next IFD: none
+    )
+    header = F.concat(
+        F.when(le, _lit_bin(_ascii_hex("II"))).otherwise(_lit_bin(_ascii_hex("MM"))),
+        enc2(F.lit(42)),
+        enc4(F.lit(8) + g),
+    )
+    pad = F.unhex(F.lit("00" * 22).substr(F.lit(1), (g * 2).cast("int")))
+    return docs.select(
+        did.alias("asset_id"),
+        F.concat(header, pad, ifd).alias("payload"),
+    )
+
+
+def parse_tiff_headers(assets: DataFrame) -> DataFrame:
+    """TIFF tag-directory extraction trusting ONLY the bytes. Sniff:
+    byte order 'II' or 'MM' and the magic u16 42 read IN THAT ORDER; then
+    the u32 IFD offset is followed, the entry count read, and up to
+    TIFF_IFD_ENTRIES 12-byte entries scanned for ImageWidth(256),
+    ImageLength(257) and Orientation(274). A tag matches only if its
+    entry index is under the directory's count, the full entry lies
+    inside the payload, its count field is 1, and its type is SHORT(3)
+    or LONG(4) — the value then decodes per the type (SHORT from the
+    value field's first two bytes) in the file's byte order. Missing
+    width or height -> container NULL (strict sniffer).
+
+    Every integer read is endianness-conditional on the staged '_le'
+    flag — the self-describing-byte-order property this container class
+    exists to exercise. Same staging discipline as the other walks:
+    one WholeStageCodegen stage, zero Python, zero shuffle
+    (plan-tested)."""
+    p = F.col("payload")
+    df = assets.select("asset_id", "payload")
+    df = df.withColumn("_n", F.octet_length(p).cast("long"))
+    n = F.col("_n")
+    df = df.withColumn("_le", F.hex(p.substr(1, 2)) == F.lit(_ascii_hex("II")))
+    le = F.col("_le")
+    order_ok = le | (F.hex(p.substr(1, 2)) == F.lit(_ascii_hex("MM")))
+
+    def u16(pos):
+        return F.when(le, _le_int_at(p, pos, 2)).otherwise(_be_int_at(p, pos, 2))
+
+    def u32(pos):
+        return F.when(le, _le_int_at(p, pos, 4)).otherwise(_be_int_at(p, pos, 4))
+
+    hdr_ok = order_ok & (n >= 8) & (u16(F.lit(3)) == 42)
+    df = df.withColumn("_ifd", F.when(hdr_ok, u32(F.lit(5)) + 1))
+    ifd = F.col("_ifd")
+    df = df.withColumn("_cnt", u16(ifd))
+    cnt = F.col("_cnt")
+    for i in range(TIFF_IFD_ENTRIES):
+        df = df.withColumn(f"_e{i}", ifd + 2 + 12 * i)
+    for i in range(TIFF_IFD_ENTRIES):
+        e = F.col(f"_e{i}")
+        df = df.withColumn(f"_tag{i}", u16(e))
+        df = df.withColumn(f"_ty{i}", u16(e + 2))
+        df = df.withColumn(f"_ct{i}", u32(e + 4))
+        df = df.withColumn(
+            f"_v{i}",
+            F.when(F.col(f"_ty{i}") == 3, u16(e + 8)).when(
+                F.col(f"_ty{i}") == 4, u32(e + 8)
+            ),
+        )
+
+    def tag_val(tag: int):
+        return F.coalesce(
+            *[
+                F.when(
+                    (F.lit(i) < cnt)
+                    & (F.col(f"_e{i}") + 12 <= n + 1)
+                    & (F.col(f"_tag{i}") == tag)
+                    & (F.col(f"_ct{i}") == 1)
+                    & F.col(f"_ty{i}").isin(3, 4),
+                    F.col(f"_v{i}"),
+                )
+                for i in range(TIFF_IFD_ENTRIES)
+            ]
+        )
+
+    width, height, orient = tag_val(256), tag_val(257), tag_val(274)
+    found = width.isNotNull() & height.isNotNull()
+    return df.select(
+        "asset_id",
+        F.when(found, F.lit("tiff")).alias("container"),
+        F.when(found, F.when(le, F.lit("II")).otherwise(F.lit("MM"))).alias(
+            "byte_order"
+        ),
+        F.when(found, width).alias("width"),
+        F.when(found, height).alias("height"),
+        F.when(found, orient).alias("orientation"),
+    )
+
+
+def parse_tiff_header_py(payload: bytes) -> dict | None:
+    """The Python-path twin of parse_tiff_headers (same strict contract),
+    for the mapInPandas decode route and for boundary tests."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    n = len(b)
+    if n < 8 or b[:2] not in (b"II", b"MM"):
+        return None
+    endian = "little" if b[:2] == b"II" else "big"
+
+    def u(o: int, width: int) -> int:
+        return int.from_bytes(b[o:o + width], endian) if o + width <= n else (
+            int.from_bytes(b[o:], endian) if o < n else 0
+        )
+
+    if u(2, 2) != 42:
+        return None
+    ifd = u(4, 4)
+    cnt = u(ifd, 2)
+    vals: dict[int, int] = {}
+    for i in range(TIFF_IFD_ENTRIES):
+        e = ifd + 2 + 12 * i
+        if i >= cnt or e + 12 > n:
+            continue
+        tag, ty, ct = u(e, 2), u(e + 2, 2), u(e + 4, 4)
+        if ct != 1 or ty not in (3, 4):
+            continue
+        if tag in (256, 257, 274) and tag not in vals:
+            vals[tag] = u(e + 8, 2 if ty == 3 else 4)
+    if 256 not in vals or 257 not in vals:
+        return None
+    return {
+        "container": "tiff",
+        "byte_order": b[:2].decode(),
+        "width": vals[256],
+        "height": vals[257],
+        "orientation": vals.get(274),
+    }

@@ -3856,6 +3856,39 @@ def multimodal_dimensions_mp4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_dimensions_tiff",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           'tiff' AS container,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(16 + doc_id % 4000 AS BIGINT) AS width,
+           CAST(16 + (doc_id * 11) % 3000 AS BIGINT) AS height,
+           CAST(1 + doc_id % 8 AS BIGINT) AS orientation
+    FROM documents
+    """,
+    doc=(
+        "SELF-DESCRIBING byte order (TIFF/EXIF) — a decode shape none of "
+        "the other containers has: the first two bytes ('II'/'MM') select "
+        "the endianness of EVERY subsequent integer, so each u16/u32 read "
+        "is per-row conditional. The walk follows the header's IFD offset "
+        "(the directory moves: a per-asset gap precedes it), reads the "
+        "entry count, and scans the sorted 12-byte tag entries for "
+        "width(256)/height(257)/orientation(274); optional tags shift the "
+        "graded entries' positions, and width/height flip between "
+        "SHORT and LONG storage so the type field must be honored. Both "
+        "byte orders in every run (doc_id parity). Pure JVM staged "
+        "projections, one codegen stage, zero Python, zero shuffle "
+        "(plan-tested); oracle replays the synthesis formulas"
+    ),
+)
+def multimodal_dimensions_tiff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.multimodal import parse_tiff_headers, synth_tiff_payloads
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return parse_tiff_headers(synth_tiff_payloads(docs))
+
+
+@register(
     "frame_sample",
     oracle=f"""
     WITH v AS (SELECT doc_id AS asset_id, md5(text) AS h,

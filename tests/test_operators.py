@@ -622,3 +622,82 @@ def test_mp4_box_walk_strictness(spark):
         row = parse_mp4_headers(df).first()
         assert row["container"] is None and row["width"] is None
         assert row["timescale"] is None and row["duration_ms"] is None
+
+
+def test_tiff_ifd_walk_both_endiannesses(spark):
+    """TIFF/EXIF (round-10 self-describing byte order): the JVM IFD walk
+    and the Python twin agree across BOTH byte orders, every optional-tag
+    presence combination (entry positions shift), both SHORT and LONG
+    width/height storage, and the IFD-offset gap extremes."""
+    from flink_real_time_data_warehouse_spark.datapipe.multimodal import (
+        parse_tiff_header_py,
+        parse_tiff_headers,
+        synth_tiff_payloads,
+    )
+
+    # 0..11 covers II/MM x w-SHORT/LONG x h-SHORT/LONG and both optional
+    # tags toggling; 22/23 = gap max then wrap-to-0; big ids = value edges.
+    cases = list(range(12)) + [22, 23, 3999 + 16, 54321, 99999]
+    docs = spark.createDataFrame([(d,) for d in cases], "doc_id long")
+    payloads = {
+        r["asset_id"]: bytes(r["payload"])
+        for r in synth_tiff_payloads(docs).collect()
+    }
+    parsed = {
+        r["asset_id"]: r.asDict()
+        for r in parse_tiff_headers(synth_tiff_payloads(docs)).collect()
+    }
+    seen_orders = set()
+    for d in cases:
+        got, py = parsed[d], parse_tiff_header_py(payloads[d])
+        want = {
+            "container": "tiff",
+            "byte_order": "II" if d % 2 == 0 else "MM",
+            "width": 16 + d % 4000,
+            "height": 16 + (d * 11) % 3000,
+            "orientation": 1 + d % 8,
+        }
+        assert {k: got[k] for k in want} == want, d
+        assert {k: py[k] for k in want} == want, d
+        seen_orders.add(want["byte_order"])
+    assert seen_orders == {"II", "MM"}
+
+
+def test_tiff_ifd_walk_strictness(spark):
+    """Foreign or malformed bytes parse to NULL/None identically in both
+    paths: wrong magic, an unknown byte-order mark, a count field claiming
+    entries past the payload end, a RATIONAL-typed width (type must be
+    honored, not just the tag), and plain text."""
+    import struct
+
+    from flink_real_time_data_warehouse_spark.datapipe.multimodal import (
+        parse_tiff_header_py,
+        parse_tiff_headers,
+        synth_tiff_payloads,
+    )
+
+    base = spark.createDataFrame([(10,)], "doc_id long")  # II, gap 10, has 254
+    good = bytes(synth_tiff_payloads(base).first()["payload"])
+    assert parse_tiff_header_py(good) is not None
+
+    def patch(b, off, new):
+        return b[:off] + new + b[off + len(new):]
+
+    ifd = struct.unpack("<I", good[4:8])[0]
+    # second entry is ImageWidth (doc 10 has NewSubfileType first)
+    w_entry = ifd + 2 + 12
+    assert struct.unpack("<H", good[w_entry:w_entry + 2])[0] == 256
+    fakes = [
+        patch(good, 2, struct.pack("<H", 43)),            # wrong magic
+        b"XX" + good[2:],                                 # unknown order mark
+        good[:w_entry + 6],                               # width entry truncated
+        patch(good, ifd, struct.pack("<H", 1)),           # count excludes 256/257
+        patch(good, w_entry + 2, struct.pack("<H", 5)),   # width typed RATIONAL
+        b"plain text that is not a container at all",
+    ]
+    for s in fakes:
+        assert parse_tiff_header_py(s) is None, s[:8]
+        df = spark.createDataFrame([(1, bytearray(s))], "asset_id long, payload binary")
+        row = parse_tiff_headers(df).first()
+        assert row["container"] is None and row["width"] is None, s[:8]
+        assert row["byte_order"] is None and row["orientation"] is None, s[:8]

@@ -706,3 +706,16 @@ def test_multimodal_dimensions_mp4_zero_python(spark):
     assert "Exchange" not in plan
     assert "*(1)" in plan
     assert "*(2)" not in plan  # staging must not split codegen
+
+
+def test_multimodal_dimensions_tiff_zero_python(spark):
+    """The TIFF IFD walk (round 10) stays pure JVM despite every integer
+    read being endianness-conditional: no Python eval node, zero Exchange,
+    ONE whole-stage-codegen stage."""
+    df = registry()["multimodal_dimensions_tiff"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapsInPandas"):
+        assert bad not in plan, f"Python crossed into the plan: {bad}"
+    assert "Exchange" not in plan
+    assert "*(1)" in plan
+    assert "*(2)" not in plan
