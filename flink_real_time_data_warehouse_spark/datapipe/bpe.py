@@ -69,8 +69,11 @@ def word_vocab(
     text_col: str,
     vocab_cap: int = BPE_VOCAB_CAP,
     max_word: int = BPE_MAX_WORD_CHARS,
+    symbols=word_symbols,
 ) -> DataFrame:
-    """(word, freq, syms): the capped training vocabulary."""
+    """(word, freq, syms): the capped training vocabulary. `symbols`
+    picks the base alphabet — characters (default) or bytes (the GPT-2
+    byte-level variant's byte_symbols)."""
     return (
         df.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
@@ -78,7 +81,7 @@ def word_vocab(
         .where(F.length("w") <= max_word)
         .orderBy(F.col("freq").desc(), F.col("w"))
         .limit(vocab_cap)
-        .select("w", "freq", word_symbols(F.col("w")).alias("syms"))
+        .select("w", "freq", symbols(F.col("w")).alias("syms"))
     )
 
 
@@ -88,14 +91,16 @@ def bpe_train(
     n_merges: int = BPE_MERGES,
     vocab_cap: int = BPE_VOCAB_CAP,
     max_word: int = BPE_MAX_WORD_CHARS,
+    symbols=word_symbols,
 ) -> list[tuple[int, str, str]]:
     """Learn `n_merges` merge pairs; returns [(rank, left, right), ...].
 
     Per round: ONE explode+agg over the vocabulary for weighted pair
     counts, argmax with the deterministic tie-break, then the greedy
     rewrite (localCheckpoint truncates the growing lineage). Stops early
-    if no pair remains."""
-    vocab = word_vocab(df, text_col, vocab_cap, max_word).localCheckpoint(
+    if no pair remains. `symbols` picks the base alphabet (chars or the
+    byte-level table)."""
+    vocab = word_vocab(df, text_col, vocab_cap, max_word, symbols).localCheckpoint(
         eager=True
     )
     merges: list[tuple[int, str, str]] = []
@@ -465,5 +470,140 @@ def unigram_piece_counts(
             F.coalesce("word_ct", F.lit(0)).cast("long").alias("word_ct"),
             F.coalesce("up_ct", F.lit(0)).cast("long").alias("up_ct"),
             F.coalesce("unk_ct", F.lit(0)).cast("long").alias("unk_ct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE (round 10): the GPT-2 tokenizer shape (Radford et al.
+# 2019, "Language Models are Unsupervised Multitask Learners" §2.2).
+# Completes the tokenizer family with the NO-UNK property the other three
+# lack — WordPiece/Unigram emit a whole-word [UNK] on unmatched positions,
+# but here every UTF-8 byte has a base symbol (a printable stand-in
+# character from the standard 256-entry byte-to-unicode table), so ANY
+# input encodes and the encoding is LOSSLESS (invert the table, concat).
+# Merges train on the same corpus/vocab-cap/merge-count settings as the
+# char-level bpe_train, just over the byte alphabet; encode is the same
+# single-pass-per-rank merge replay. Whitespace pre-tokenization via
+# tokens() (lowercase, space-split) — GPT-2's leading-space Ġ convention
+# is subsumed by the split (documented simplification).
+# ---------------------------------------------------------------------------
+
+
+def _bytes_to_unicode_lut() -> str:
+    """The standard GPT-2 byte->unicode table as a 256-char string
+    (lut[b] = stand-in char for byte b): printable latin bytes map to
+    themselves, the rest to U+0100.. in order — every stand-in is a
+    single printable BMP char, so string ops see clean symbols."""
+    keep = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAC + 1))
+        + list(range(0xAE, 0xFF + 1))
+    )
+    keep_set = set(keep)
+    out, n = [], 0
+    for b in range(256):
+        if b in keep_set:
+            out.append(chr(b))
+        else:
+            out.append(chr(256 + n))
+            n += 1
+    return "".join(out)
+
+
+BYTE_UNICODE_LUT = _bytes_to_unicode_lut()
+#: inverse table for the decode path / losslessness tests
+BYTE_UNICODE_INV = {c: b for b, c in enumerate(BYTE_UNICODE_LUT)}
+
+
+def byte_symbols(w: Column) -> Column:
+    """Byte-level symbol array of a word: each UTF-8 byte maps through
+    the 256-char LUT (symbol = lut[byte]) — pure JVM (hex the bytes,
+    index the LUT literal per hex pair), no UDF. Total by construction:
+    no byte can miss, the no-UNK property."""
+    b = F.encode(w, "UTF-8")
+    h = F.hex(b)
+    lut = F.lit(BYTE_UNICODE_LUT)
+    return F.transform(
+        F.sequence(F.lit(1).cast("long"), F.octet_length(b).cast("long")),
+        lambda i: lut.substr(
+            (
+                F.conv(h.substr((i * 2 - 1).cast("int"), F.lit(2)), 16, 10)
+                + 1
+            ).cast("int"),
+            F.lit(1),
+        ),
+    )
+
+
+def bytelevel_decode(pieces: list[str]) -> bytes:
+    """Invert the byte-level encoding: concat pieces, map each stand-in
+    char back to its byte. Raises KeyError on a char outside the table —
+    impossible for genuine encoder output (losslessness tests rely on
+    this)."""
+    return bytes(BYTE_UNICODE_INV[c] for c in "".join(pieces))
+
+
+def bytelevel_piece_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[int, str, str]],
+) -> DataFrame:
+    """Per-document byte-level BPE statistics + full-stream fingerprint:
+    (id, word_ct, byte_ct, piece_ct, enc_fp) where enc_fp is the md5 of
+    the document's complete encoding (each word's pieces joined by
+    spaces, words in document order — base symbols never contain a space,
+    byte 0x20 maps to a stand-in, so the join is unambiguous and the
+    hash pins every piece boundary).
+
+    Same scale shape as bpe_piece_counts: the merge-replay fold runs
+    over DISTINCT words only (Heaps' law bounds that at any corpus
+    size), then joins back to positioned occurrences; the per-doc
+    ordered reassembly is one aggregate (array_sort over (pos, enc)
+    structs), no window, no global sort."""
+    occ = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "w"),
+    )
+    syms = byte_symbols(F.col("w"))
+    for _rank, left, right in sorted(merges):
+        syms = apply_merge(syms, left, right)
+    wenc = (
+        occ.select("w")
+        .distinct()
+        .withColumn("_syms", syms)  # staged: referenced twice below
+        .select(
+            "w",
+            F.size("_syms").alias("_pieces"),
+            F.array_join("_syms", " ").alias("_enc"),
+            F.octet_length(F.encode(F.col("w"), "UTF-8")).cast("long").alias("_bytes"),
+        )
+    )
+    agg = (
+        occ.join(wenc, "w")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("_word_ct"),
+            F.sum("_bytes").alias("_byte_ct"),
+            F.sum("_pieces").alias("_piece_ct"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "_enc"))),
+                    lambda x: x["_enc"],
+                ),
+                " ",
+            ).alias("_encdoc"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, df[id_col] == agg["_id"], "left")
+        .select(
+            id_col,
+            F.coalesce("_word_ct", F.lit(0)).cast("long").alias("word_ct"),
+            F.coalesce("_byte_ct", F.lit(0)).cast("long").alias("byte_ct"),
+            F.coalesce("_piece_ct", F.lit(0)).cast("long").alias("piece_ct"),
+            F.md5(F.coalesce("_encdoc", F.lit(""))).alias("enc_fp"),
         )
     )

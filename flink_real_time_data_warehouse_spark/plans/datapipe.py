@@ -663,6 +663,108 @@ def bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_piece_counts(docs, "doc_id", "text", merges)
 
 
+def _bytesyms_sql(w: str) -> str:
+    """DuckDB expression: `w`'s UTF-8 bytes mapped through the 256-char
+    byte->unicode LUT (the oracle twin of bpe.byte_symbols)."""
+    from ..datapipe.bpe import BYTE_UNICODE_LUT
+
+    lut = BYTE_UNICODE_LUT.replace("'", "''")
+    hx = f"hex(encode({w}))"
+
+    def nib(pos: str) -> str:
+        return (
+            f"(strpos('0123456789ABCDEF', substr({hx}, "
+            f"CAST({pos} AS INTEGER), 1)) - 1)"
+        )
+
+    return (
+        f"list_transform(range(1, octet_length(encode({w})) + 1), "
+        f"i -> substr('{lut}', CAST({nib('2*i-1')} * 16 "
+        f"+ {nib('2*i')} + 1 AS INTEGER), 1))"
+    )
+
+
+def _bytelevel_tokenize_oracle() -> str:
+    from ..datapipe.bpe import BPE_MAX_WORD_CHARS, BPE_MERGES, BPE_VOCAB_CAP
+
+    parts = [
+        TOKS_CTE,
+        "ww AS MATERIALIZED (SELECT unnest(l) AS w FROM toks)",
+        "wf AS (SELECT w, count(*) AS freq FROM ww GROUP BY w)",
+        f"""v0 AS MATERIALIZED (SELECT w AS word, freq, {_bytesyms_sql('w')} AS syms
+      FROM (SELECT w, freq FROM wf WHERE length(w) <= {BPE_MAX_WORD_CHARS}
+            ORDER BY freq DESC, w LIMIT {BPE_VOCAB_CAP}))""",
+    ]
+    for i in range(BPE_MERGES):
+        parts.append(f"""c{i} AS (
+      SELECT l, r, sum(freq) AS c FROM (
+        SELECT unnest(list_slice(syms, 1, len(syms)-1)) AS l,
+               unnest(list_slice(syms, 2, len(syms))) AS r, freq
+        FROM v{i} WHERE len(syms) >= 2)
+      GROUP BY l, r)""")
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT l, r FROM c{i} ORDER BY c DESC, l, r LIMIT 1)"
+        )
+        parts.extend(_bpe_rewrite_ctes(i, f"v{i}", f"v{i+1}", with_freq=True))
+    parts.append(
+        f"tw0 AS MATERIALIZED (SELECT word, {_bytesyms_sql('word')} AS syms "
+        "FROM (SELECT DISTINCT w AS word FROM ww))"
+    )
+    for i in range(BPE_MERGES):
+        parts.extend(_bpe_rewrite_ctes(i, f"tw{i}", f"tw{i+1}", with_freq=False))
+    parts.append(
+        f"wordenc AS (SELECT word, len(syms) AS pieces, "
+        f"array_to_string(syms, ' ') AS enc FROM tw{BPE_MERGES})"
+    )
+    parts.append(
+        "idx AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS j FROM toks)"
+    )
+    parts.append("occ AS (SELECT doc_id, j, l[CAST(j AS INTEGER)] AS w FROM idx)")
+    parts.append(
+        """docenc AS (
+      SELECT o.doc_id, count(*) AS word_ct,
+             sum(octet_length(encode(o.w))) AS byte_ct,
+             sum(p.pieces) AS piece_ct,
+             string_agg(p.enc, ' ' ORDER BY o.j) AS encdoc
+      FROM occ o JOIN wordenc p ON o.w = p.word
+      GROUP BY o.doc_id)"""
+    )
+    return f"""WITH {', '.join(parts)}
+    SELECT d.doc_id,
+           CAST(coalesce(c.word_ct, 0) AS BIGINT) AS word_ct,
+           CAST(coalesce(c.byte_ct, 0) AS BIGINT) AS byte_ct,
+           CAST(coalesce(c.piece_ct, 0) AS BIGINT) AS piece_ct,
+           md5(coalesce(c.encdoc, '')) AS enc_fp
+    FROM documents d LEFT JOIN docenc c USING (doc_id)
+    """
+
+
+@register(
+    "bytelevel_bpe_tokenize",
+    oracle=_bytelevel_tokenize_oracle(),
+    doc=(
+        "BYTE-level BPE (GPT-2, Radford et al. 2019 §2.2) — completes "
+        "the tokenizer family with the no-UNK property the other three "
+        "lack: every UTF-8 byte has a base symbol via the standard "
+        "256-entry byte->unicode table (a plan literal, indexed per hex "
+        "pair in pure JVM), so ANY input encodes, losslessly (property-"
+        "tested: zero UNK + table-inverted round trip). Merges train on "
+        "the same corpus/cap/merge-count settings as bpe_train, over the "
+        "byte alphabet; encode is the same single-pass-per-rank merge "
+        "replay over DISTINCT words, then positioned occurrences "
+        "reassemble per document and the FULL encoding md5-fingerprints "
+        "— the oracle replays training, encoding, and reassembly and "
+        "hash-compares every piece boundary"
+    ),
+)
+def bytelevel_bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.bpe import bpe_train, byte_symbols, bytelevel_piece_stats
+
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", symbols=byte_symbols)
+    return bytelevel_piece_stats(docs, "doc_id", "text", merges)
+
+
 def _wordpiece_oracle() -> str:
     from ..datapipe.bpe import BPE_MERGES, WP_MAX_PIECE_CHARS
 

@@ -165,3 +165,75 @@ def test_unigram_word_cap_and_tiebreak(spark):
     }
     assert out[1] == (1, 1, 0)  # ab as ONE piece: 20*2048+1 < 20*2048+2
     assert out[2] == (1, 1, 1)  # over the cap -> [UNK], no DP
+
+
+def test_bytelevel_bpe_no_unk_and_lossless_roundtrip(spark):
+    """The byte-level variant's two defining properties, on deliberately
+    hostile input (emoji, CJK, accents, control-ish punctuation, digits):
+    (1) NO UNK — every word encodes into >= 1 piece, every piece is made
+    only of table stand-in characters; (2) LOSSLESS — inverting the
+    byte->unicode table over the concatenated pieces reproduces each
+    word's exact UTF-8 bytes."""
+    from pyspark.sql import functions as SF
+
+    from flink_real_time_data_warehouse_spark.datapipe.bpe import (
+        BYTE_UNICODE_INV,
+        apply_merge,
+        bpe_train,
+        byte_symbols,
+        bytelevel_decode,
+        tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world hello"),
+            (2, "héllo wörld 你好 世界 🙂🙂 mixed123"),
+            (3, "a b --dashes-- 'quotes' ☃snowman"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, "text", symbols=byte_symbols)
+    syms = byte_symbols(SF.col("w"))
+    for _r, left, right in sorted(merges):
+        syms = apply_merge(syms, left, right)
+    rows = (
+        docs.select(SF.explode(tokens(SF.col("text"))).alias("w"))
+        .distinct()
+        .select("w", syms.alias("pieces"))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert len(r["pieces"]) >= 1, r["w"]  # no UNK, ever
+        for piece in r["pieces"]:
+            assert all(c in BYTE_UNICODE_INV for c in piece), (r["w"], piece)
+        assert bytelevel_decode(r["pieces"]) == r["w"].encode("utf-8"), r["w"]
+
+
+def test_bytelevel_bpe_stats_zero_fill_and_fingerprint(spark):
+    """Per-doc stats: byte_ct counts UTF-8 bytes (multi-byte chars count
+    each byte), piece_ct <= byte_ct, tokenless docs zero-fill with the
+    empty-stream fingerprint, and equal documents share enc_fp."""
+    import hashlib
+
+    from flink_real_time_data_warehouse_spark.datapipe.bpe import (
+        bpe_train,
+        byte_symbols,
+        bytelevel_piece_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "héllo ab"), (2, ""), (3, "héllo ab")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, "text", symbols=byte_symbols)
+    rows = {
+        r["doc_id"]: r
+        for r in bytelevel_piece_stats(docs, "doc_id", "text", merges).collect()
+    }
+    assert (rows[1]["word_ct"], rows[1]["byte_ct"]) == (2, 8)  # é is 2 bytes
+    assert 1 <= rows[1]["piece_ct"] <= rows[1]["byte_ct"]
+    assert rows[2]["word_ct"] == 0 and rows[2]["byte_ct"] == 0
+    assert rows[2]["enc_fp"] == hashlib.md5(b"").hexdigest()
+    assert rows[1]["enc_fp"] == rows[3]["enc_fp"] != rows[2]["enc_fp"]
