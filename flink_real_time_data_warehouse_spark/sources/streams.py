@@ -102,6 +102,48 @@ def write_epoch_files(
     return dest_dir
 
 
+def write_rank_epoch_files(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    dest_dir: str,
+    work_dir: str,
+) -> tuple[str, int]:
+    """Materialize ``df`` as one single-file parquet epoch per DUPLICATE
+    RANK: epoch k holds every key's k-th copy (ascending ``id_col``), so
+    no key ever collides with itself inside one micro-batch. This is the
+    deterministic arrival schedule for grading built-in streaming dedup
+    (``dropDuplicatesWithinWatermark``), whose batch-internal keeper is
+    tie-broken by processing order — with rank-partitioned epochs the
+    first arrival IS min(id), the batch oracle's keeper. Fixture
+    scaffolding like write_epoch_files (the per-key window is setup
+    cost, not a graded plan). Returns (dest_dir, n_epochs)."""
+    import time
+
+    from pyspark.sql import Window
+
+    os.makedirs(dest_dir, exist_ok=True)
+    epochs = df.withColumn(
+        "_epoch",
+        F.row_number().over(Window.partitionBy(key_col).orderBy(id_col)),
+    ).localCheckpoint(eager=True)
+    n_epochs = epochs.agg(F.max("_epoch")).first()[0]
+    base = time.time() - n_epochs * 10
+    for e in range(1, n_epochs + 1):
+        tmp = os.path.join(work_dir, f"_rank_epoch_tmp{e}")
+        epochs.where(F.col("_epoch") == e).drop("_epoch").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = os.path.join(dest_dir, f"epoch{e}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        os.utime(dst, (base + e * 10, base + e * 10))
+    return dest_dir, n_epochs
+
+
 def replay_splits(
     spark: SparkSession,
     sf_dir: str,

@@ -225,6 +225,58 @@ def dedup_exact_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(exact_dedup_stream(docs), spark)
 
 
+@register(
+    "dedup_exact_stream_builtin",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id
+    FROM documents GROUP BY 1
+    """,
+    doc=(
+        "dedup-on-ingest via Spark's BUILT-IN dropDuplicatesWithinWatermark "
+        "— the engine-native twin of dedup_exact_stream's custom seen-flag "
+        "state, graded against the same batch-keeper oracle. The builtin's "
+        "batch-internal keeper is processing-order-arbitrary, so the "
+        "fixture arrives RANK-partitioned (epoch k = every content's k-th "
+        "copy by ascending doc_id, one micro-batch per epoch): the first "
+        "arrival is provably min(doc_id) and the cross-batch keyed state — "
+        "the thing the builtin exists for — is what's exercised. State-"
+        "size semantics differ by design: the builtin expires keys once "
+        "the watermark passes first-seen event time + delay (bounded "
+        "state, late duplicates re-admitted), the seen-flag path holds "
+        "keys forever (exact forever-dedup) — divergence pinned in "
+        "test_dedup_builtin_readmits_after_watermark_expiry"
+    ),
+)
+def dedup_exact_stream_builtin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.streams import stream_dir, write_rank_epoch_files
+
+    keyed = table(spark, sf_dir, "documents").select(
+        F.md5(F.col("text")).alias("text_hash"),
+        "doc_id",
+        # constant event time: the watermark never advances past it, so no
+        # key expires during the run — the regime in which the builtin and
+        # the exact seen-flag path must agree
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+    )
+    work = tempfile.mkdtemp(prefix="dedup_builtin_")
+    splits, _n = write_rank_epoch_files(
+        keyed, "text_hash", "doc_id", os.path.join(work, "splits"), work
+    )
+    stream = stream_dir(
+        spark, splits, "text_hash string, doc_id long, ts timestamp",
+        max_files_per_trigger=1,
+    )
+    out = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["text_hash"])
+        .select("text_hash", F.col("doc_id").alias("keep_id"))
+    )
+    return run_to_memory(out, spark)
+
+
 def _keyword_dict_oracle() -> str:
     from ..plans.gmall import _dict_oracle
 

@@ -360,3 +360,64 @@ def test_network_streaming_source_end_to_end(spark):
     finally:
         q.stop()
         srv.close()
+
+
+def test_dedup_builtin_readmits_after_watermark_expiry(spark, tmp_path):
+    """The documented divergence between the two streaming-dedup paths:
+    dropDuplicatesWithinWatermark EXPIRES a key once the watermark passes
+    its first-seen event time + delay, so a late duplicate re-emits; the
+    custom seen-flag state (NoTimeout) holds keys forever and still drops
+    it. Within the watermark window both paths drop the duplicate."""
+    import os
+    import time
+    from datetime import datetime
+
+    from flink_real_time_data_warehouse_spark.streaming.state import (
+        exact_dedup_stream,
+    )
+
+    d = str(tmp_path / "docs")
+    # epoch 1: key A at 10:00. epoch 2: key B at 10:05 — the watermark
+    # (10:04:50) passes A's expiry (10:00:10). Expired state is removed
+    # in END-of-batch cleanup, so the epoch-3 duplicate of A still sees
+    # the stale entry and is dropped; cleanup then evicts A and the
+    # epoch-4 duplicate is re-admitted (one batch of lag — the pinned
+    # builtin semantics).
+    e1 = [(1, "A", datetime(2024, 1, 1, 10, 0, 0))]
+    e2 = [(2, "B", datetime(2024, 1, 1, 10, 5, 0))]
+    e3 = [(3, "A", datetime(2024, 1, 1, 10, 5, 1))]
+    e4 = [(4, "A", datetime(2024, 1, 1, 10, 5, 2))]
+    for i, rows in enumerate([e1, e2, e3, e4], start=1):
+        tmp = str(tmp_path / f"tmp{i}")
+        spark.createDataFrame(
+            rows, "doc_id long, text_hash string, ts timestamp"
+        ).coalesce(1).write.parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        os.makedirs(d, exist_ok=True)
+        dst = os.path.join(d, f"epoch{i}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        os.utime(dst, (time.time() - 100 + i * 10,) * 2)
+
+    schema = "doc_id long, text_hash string, ts timestamp"
+    builtin = run_to_memory(
+        stream_dir(spark, d, schema, max_files_per_trigger=1)
+        .withWatermark("ts", "10 seconds")
+        .dropDuplicatesWithinWatermark(["text_hash"]),
+        spark,
+    )
+    got = sorted((r.text_hash, r.doc_id) for r in builtin.collect())
+    # A emits twice: the original, then the POST-EVICTION duplicate
+    # (doc 4 — doc 3 was still dropped by the stale pre-cleanup entry).
+    assert got == [("A", 1), ("A", 4), ("B", 2)], got
+
+    custom = run_to_memory(
+        exact_dedup_stream(
+            stream_dir(spark, d, schema, max_files_per_trigger=1)
+        ),
+        spark,
+    )
+    kept = {r.text_hash: r.keep_id for r in custom.collect()}
+    assert kept == {"A": 1, "B": 2}  # forever-state: late copy still dropped
