@@ -259,3 +259,102 @@ def bounce_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def bounce_stream_tws(events: DataFrame, gap_s: int, timeout_s: int) -> DataFrame:
+    """T3 bounce CEP on `transformWithStateInPandas` — Spark 4.x's
+    successor to applyInPandasWithState, ported from bounce_stream (the
+    hardest of the T1-T3 family: an event-time timer plus two emission
+    paths) with identical semantics, graded against the same oracle.
+
+    API differences handled here:
+    - the old single setTimeoutTimestamp becomes explicit registerTimer/
+      deleteTimer calls — the processor tracks its live timer in state
+      and deletes it before re-registering, so a resolved pending start
+      can never be re-emitted by a stale timer;
+    - timer firing arrives through handleExpiredTimer (with the expiry
+      echoed back) instead of a hasTimedOut flag, and the emission is
+      double-checked against state (pending set AND the expiry matches
+      the tracked timer) — spurious or stale expirations are no-ops;
+    - state is a named ValueState on the handle (multiple named states
+      and TTLs are available; one suffices here) rather than the single
+      implicit per-key tuple.
+    """
+    if timeout_s > gap_s:
+        raise ValueError(
+            f"bounce timeout_s ({timeout_s}) must be <= session gap_s ({gap_s})"
+        )
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _Bounce(StatefulProcessor):
+        def __init__(self, gap: int, timeout: int):
+            self._gap_us = gap * 1_000_000
+            self._timeout_us = timeout * 1_000_000
+
+        def init(self, handle):
+            self._handle = handle
+            self._state = handle.getValueState(
+                "bounce",
+                "prev_us long, pending integer, pending_id long, timer_ms long",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            st = self._state.get()
+            prev_us, pending, pending_id, timer_ms = (
+                st if st is not None else (None, 0, None, None)
+            )
+            out = []
+            data = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+            for r in data.itertuples(index=False):
+                ts_us = r.ts.value // 1000  # pandas ns -> us
+                if pending:
+                    if ts_us - prev_us > self._timeout_us:
+                        out.append(
+                            (pending_id, key[0], pd.Timestamp(prev_us, unit="us"))
+                        )
+                    pending, pending_id = 0, None
+                is_start = prev_us is None or ts_us - prev_us > self._gap_us
+                if is_start:
+                    pending, pending_id = 1, int(r.event_id)
+                prev_us = ts_us
+            if timer_ms is not None:
+                self._handle.deleteTimer(timer_ms)
+                timer_ms = None
+            if pending:
+                wm = timerValues.getCurrentWatermarkInMs()
+                timer_ms = max(prev_us // 1000 + self._timeout_us // 1000, wm + 1)
+                self._handle.registerTimer(timer_ms)
+            self._state.update((prev_us, pending, pending_id, timer_ms))
+            yield pd.DataFrame(out, columns=["event_id", "user_id", "ts"])
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            import pandas as pd
+
+            out = []
+            st = self._state.get()
+            if st is not None:
+                prev_us, pending, pending_id, timer_ms = st
+                if pending and timer_ms == expiredTimerInfo.getExpiryTimeInMs():
+                    out.append(
+                        (pending_id, key[0], pd.Timestamp(prev_us, unit="us"))
+                    )
+                    # keep prev_us for future gap calc, same as bounce_stream
+                    self._state.update((prev_us, 0, None, None))
+            yield pd.DataFrame(out, columns=["event_id", "user_id", "ts"])
+
+        def close(self):
+            pass
+
+    return (
+        events.select("event_id", "user_id", "ts")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_Bounce(gap_s, timeout_s),
+            outputStructType=EVENT_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )

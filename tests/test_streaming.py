@@ -421,3 +421,105 @@ def test_dedup_builtin_readmits_after_watermark_expiry(spark, tmp_path):
     )
     kept = {r.text_hash: r.keep_id for r in custom.collect()}
     assert kept == {"A": 1, "B": 2}  # forever-state: late copy still dropped
+
+
+def test_bounce_stream_tws_plan_construction(spark):
+    """The transformWithStateInPandas port of the bounce CEP builds its
+    full streaming plan — processor wiring, eventTime timeMode, output
+    schema — without the protobuf runtime its state server needs at
+    execution time (absent from this container, gated exactly like the
+    Kafka connector jar)."""
+    from flink_real_time_data_warehouse_spark.sources.streams import stream_table
+    from flink_real_time_data_warehouse_spark.streaming.state import (
+        bounce_stream_tws,
+    )
+
+    from .conftest import TEST_SF_DIR
+
+    ev = stream_table(spark, TEST_SF_DIR, "events").withWatermark("ts", "1 second")
+    df = bounce_stream_tws(ev, gap_s=30, timeout_s=10)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["event_id", "user_id", "ts"]
+    plan = df._jdf.queryExecution().logical().toString()
+    assert "TransformWithStateInPySpark" in plan
+    import pytest
+
+    with pytest.raises(ValueError, match="must be <="):
+        bounce_stream_tws(ev, gap_s=10, timeout_s=11)
+
+
+def test_bounce_stream_tws_matches_legacy_and_evicts_timer(spark, tmp_path):
+    """Full-execution parity (needs the protobuf runtime): the TWS port
+    emits exactly bounce_stream's rows on the events fixture, and a
+    resolved pending start's timer is deleted — a follow-up inside the
+    gap must suppress the stale timer's emission."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state server needs protobuf",
+    )
+    import os
+    import time
+    from datetime import datetime
+
+    from flink_real_time_data_warehouse_spark.operators.stateful_batch import (
+        BOUNCE_TIMEOUT_S,
+        SESSION_GAP_S,
+    )
+    from flink_real_time_data_warehouse_spark.sources.streams import stream_table
+    from flink_real_time_data_warehouse_spark.streaming.state import (
+        bounce_stream,
+        bounce_stream_tws,
+    )
+
+    from .conftest import TEST_SF_DIR
+
+    ev1 = stream_table(spark, TEST_SF_DIR, "events").withWatermark("ts", "1 second")
+    legacy = sorted(
+        map(tuple, run_to_memory(
+            bounce_stream(ev1, SESSION_GAP_S, BOUNCE_TIMEOUT_S), spark
+        ).collect())
+    )
+    ev2 = stream_table(spark, TEST_SF_DIR, "events").withWatermark("ts", "1 second")
+    tws = sorted(
+        map(tuple, run_to_memory(
+            bounce_stream_tws(ev2, SESSION_GAP_S, BOUNCE_TIMEOUT_S), spark
+        ).collect())
+    )
+    assert tws == legacy and len(tws) > 0
+
+    # timer eviction: epoch 1 = session start; epoch 2 = follow-up 5s
+    # later (inside timeout=10s -> not a bounce, timer must be deleted)
+    # plus a far-future row advancing the watermark past the stale timer.
+    d = str(tmp_path / "ev")
+    e1 = [(1, 7, datetime(2024, 1, 1, 10, 0, 0))]
+    e2 = [
+        (2, 7, datetime(2024, 1, 1, 10, 0, 5)),
+        (3, 99, datetime(2024, 1, 1, 12, 0, 0)),
+    ]
+    for i, rows in enumerate([e1, e2], start=1):
+        tmp = str(tmp_path / f"t{i}")
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp"
+        ).coalesce(1).write.parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        os.makedirs(d, exist_ok=True)
+        dst = os.path.join(d, f"e{i}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        os.utime(dst, (time.time() - 50 + i * 10,) * 2)
+    stream = stream_dir(
+        spark, d, "event_id long, user_id long, ts timestamp",
+        max_files_per_trigger=1,
+    ).withWatermark("ts", "1 second")
+    got = sorted(
+        map(tuple, run_to_memory(
+            bounce_stream_tws(stream, gap_s=30, timeout_s=10), spark
+        ).collect())
+    )
+    # event 1 resolved by event 2 (5s gap): no emission for user 7; event
+    # 3 opens a pending whose timer never passes the final watermark.
+    assert got == []
