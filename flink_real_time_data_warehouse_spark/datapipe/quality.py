@@ -384,3 +384,180 @@ def text_normalize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         (F.col("_dirty") != norm).cast("int").alias("changed"),
         norm.alias("normalized_text"),
     )
+
+
+def lm_surprisal_trigram(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    train_pred: Column,
+) -> DataFrame:
+    """Trigram extension of the STUPID BACKOFF LM (Brants et al. 2007 —
+    one more backoff level over lm_surprisal_bigram, trained on the same
+    reference subset with the same integer-exact bit quantization;
+    alpha = 1/4 is exactly +2 bits per backoff level):
+
+      bits(c | p2 p1) = len(bin(B(p2,p1))) - len(bin(T(p2,p1,c)))  known trigram
+                      = 2 + len(bin(U(p1))) - len(bin(B(p1,c)))    bigram backoff
+                      = 4 + unigram_bits(c)                        unigram backoff
+      unigram_bits(w) = len(bin(total)) - len(bin(U(w)))           known word
+                      = len(bin(total)) + 2                        OOV floor
+
+    Position 1 scores unigram_bits (no history); position 2 scores the
+    bigram level (one-word history). Returns (id, token_ct,
+    surprisal_bits, backoff_ct, deep_backoff_ct, oov_ct, bits_per_token)
+    for every document with at least one token: backoff_ct counts
+    positions whose highest-order available model missed,
+    deep_backoff_ct those that fell all the way to the unigram level.
+
+    Scale: same shape as the bigram — training aggregates touch the
+    reference subset once; scoring joins token/pair/triple streams
+    against count tables with zipf-skewed keys, left to AQE; the total
+    rides a 1-row broadcast."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    # slice() throws for negative lengths — guard sub-2/3-token docs
+    # (explode of NULL emits zero rows, same as the empty list)
+    pairs_col = F.when(
+        n >= 2, F.arrays_zip(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1))
+    )
+    triples_col = F.when(
+        n >= 3,
+        F.arrays_zip(
+            F.slice(t, 1, n - 2), F.slice(t, 2, n - 2), F.slice(t, 3, n - 2)
+        ),
+    )
+
+    train = df.where(train_pred)
+    uni = (
+        train.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("ucnt"))
+    )
+    big = (
+        train.select(F.explode(pairs_col).alias("pr"))
+        .select(F.col("pr")["0"].alias("p"), F.col("pr")["1"].alias("c"))
+        .groupBy("p", "c")
+        .agg(F.count("*").alias("bcnt"))
+    )
+    tri = (
+        train.select(F.explode(triples_col).alias("tp"))
+        .select(
+            F.col("tp")["0"].alias("a"),
+            F.col("tp")["1"].alias("b"),
+            F.col("tp")["2"].alias("c"),
+        )
+        .groupBy("a", "b", "c")
+        .agg(F.count("*").alias("tcnt"))
+    )
+    tot = uni.agg(F.sum("ucnt").cast("long").alias("total"))
+
+    tbits = F.length(F.bin(F.col("total")))
+    uni_bits = lambda cnt: F.when(  # noqa: E731
+        cnt.isNotNull(), tbits - F.length(F.bin(cnt))
+    ).otherwise(tbits + 2)
+    zero = F.lit(0)
+
+    firsts = (
+        df.where(n >= 1)
+        .select(F.col(id_col).alias("_id"), F.element_at(t, 1).alias("w"))
+        .join(uni, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_id",
+            uni_bits(F.col("ucnt")).alias("bits"),
+            zero.alias("backoff"),
+            zero.alias("deep"),
+            F.col("ucnt").isNull().cast("int").alias("oov"),
+        )
+    )
+    seconds = (
+        df.where(n >= 2)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.element_at(t, 1).alias("p"),
+            F.element_at(t, 2).alias("c"),
+        )
+        .join(big, ["p", "c"], "left")
+        .join(uni.withColumnRenamed("w", "p").withColumnRenamed("ucnt", "pcnt"), "p", "left")
+        .join(uni.withColumnRenamed("w", "c").withColumnRenamed("ucnt", "ccnt"), "c", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_id",
+            F.when(
+                F.col("bcnt").isNotNull(),
+                F.length(F.bin(F.col("pcnt"))) - F.length(F.bin(F.col("bcnt"))),
+            )
+            .otherwise(F.lit(2) + uni_bits(F.col("ccnt")))
+            .alias("bits"),
+            F.col("bcnt").isNull().cast("int").alias("backoff"),
+            F.col("bcnt").isNull().cast("int").alias("deep"),
+            F.col("ccnt").isNull().cast("int").alias("oov"),
+        )
+    )
+    triples = (
+        df.select(F.col(id_col).alias("_id"), F.explode(triples_col).alias("tp"))
+        .select(
+            "_id",
+            F.col("tp")["0"].alias("a"),
+            F.col("tp")["1"].alias("b"),
+            F.col("tp")["2"].alias("c"),
+        )
+        .join(tri, ["a", "b", "c"], "left")
+        .join(
+            big.withColumnRenamed("p", "a")
+            .withColumnRenamed("c", "b")
+            .withColumnRenamed("bcnt", "ctxcnt"),
+            ["a", "b"],
+            "left",
+        )
+        .join(
+            big.withColumnRenamed("p", "b").withColumnRenamed("bcnt", "bgcnt"),
+            ["b", "c"],
+            "left",
+        )
+        .join(uni.withColumnRenamed("w", "b").withColumnRenamed("ucnt", "pcnt"), "b", "left")
+        .join(uni.withColumnRenamed("w", "c").withColumnRenamed("ucnt", "ccnt"), "c", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_id",
+            F.when(
+                F.col("tcnt").isNotNull(),
+                F.length(F.bin(F.col("ctxcnt"))) - F.length(F.bin(F.col("tcnt"))),
+            )
+            .when(
+                F.col("bgcnt").isNotNull(),
+                F.lit(2)
+                + F.length(F.bin(F.col("pcnt")))
+                - F.length(F.bin(F.col("bgcnt"))),
+            )
+            .otherwise(F.lit(4) + uni_bits(F.col("ccnt")))
+            .alias("bits"),
+            F.col("tcnt").isNull().cast("int").alias("backoff"),
+            (F.col("tcnt").isNull() & F.col("bgcnt").isNull()).cast("int").alias("deep"),
+            F.col("ccnt").isNull().cast("int").alias("oov"),
+        )
+    )
+    return (
+        firsts.unionByName(seconds)
+        .unionByName(triples)
+        .groupBy("_id")
+        .agg(
+            F.count("*").cast("long").alias("token_ct"),
+            F.sum("bits").cast("long").alias("surprisal_bits"),
+            F.sum("backoff").cast("long").alias("backoff_ct"),
+            F.sum("deep").cast("long").alias("deep_backoff_ct"),
+            F.sum("oov").cast("long").alias("oov_ct"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "token_ct",
+            "surprisal_bits",
+            "backoff_ct",
+            "deep_backoff_ct",
+            "oov_ct",
+            (F.col("surprisal_bits").cast("double") / F.col("token_ct")).alias(
+                "bits_per_token"
+            ),
+        )
+    )

@@ -2584,6 +2584,104 @@ def lm_surprisal_bigram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lm_surprisal_trigram",
+    oracle=f"""
+    WITH {TOKS_CTE},
+    tr AS MATERIALIZED (
+      SELECT t.doc_id, t.l FROM toks t JOIN documents d USING (doc_id)
+      WHERE d.source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+    uni AS MATERIALIZED (
+      SELECT w, count(*) AS ucnt
+      FROM (SELECT unnest(l) AS w FROM tr) GROUP BY w),
+    big AS MATERIALIZED (
+      SELECT p, c, count(*) AS bcnt FROM (
+        SELECT l[i] AS p, l[i + 1] AS c
+        FROM (SELECT l, unnest(range(1, len(l))) AS i FROM tr))
+      GROUP BY p, c),
+    tri AS MATERIALIZED (
+      SELECT a, b, c, count(*) AS tcnt FROM (
+        SELECT l[i] AS a, l[i + 1] AS b, l[i + 2] AS c
+        FROM (SELECT l, unnest(range(1, len(l) - 1)) AS i FROM tr))
+      GROUP BY a, b, c),
+    tot AS (SELECT CAST(sum(ucnt) AS BIGINT) AS total FROM uni),
+    firsts AS (
+      SELECT t.doc_id,
+             CASE WHEN u.ucnt IS NOT NULL
+                  THEN length(bin(tot.total)) - length(bin(u.ucnt))
+                  ELSE length(bin(tot.total)) + 2 END AS bits,
+             0 AS backoff, 0 AS deep,
+             CAST(u.ucnt IS NULL AS INTEGER) AS oov
+      FROM (SELECT doc_id, l[1] AS w FROM toks WHERE len(l) >= 1) t
+      LEFT JOIN uni u USING (w) CROSS JOIN tot),
+    seconds AS (
+      SELECT s.doc_id,
+             CASE WHEN b.bcnt IS NOT NULL
+                  THEN length(bin(up.ucnt)) - length(bin(b.bcnt))
+                  WHEN uc.ucnt IS NOT NULL
+                  THEN 2 + length(bin(tot.total)) - length(bin(uc.ucnt))
+                  ELSE 2 + length(bin(tot.total)) + 2 END AS bits,
+             CAST(b.bcnt IS NULL AS INTEGER) AS backoff,
+             CAST(b.bcnt IS NULL AS INTEGER) AS deep,
+             CAST(uc.ucnt IS NULL AS INTEGER) AS oov
+      FROM (SELECT doc_id, l[1] AS p, l[2] AS c FROM toks WHERE len(l) >= 2) s
+      LEFT JOIN big b ON b.p = s.p AND b.c = s.c
+      LEFT JOIN uni up ON up.w = s.p
+      LEFT JOIN uni uc ON uc.w = s.c
+      CROSS JOIN tot),
+    triples AS (
+      SELECT s.doc_id,
+             CASE WHEN t3.tcnt IS NOT NULL
+                  THEN length(bin(ctx.bcnt)) - length(bin(t3.tcnt))
+                  WHEN bg.bcnt IS NOT NULL
+                  THEN 2 + length(bin(up.ucnt)) - length(bin(bg.bcnt))
+                  WHEN uc.ucnt IS NOT NULL
+                  THEN 4 + length(bin(tot.total)) - length(bin(uc.ucnt))
+                  ELSE 4 + length(bin(tot.total)) + 2 END AS bits,
+             CAST(t3.tcnt IS NULL AS INTEGER) AS backoff,
+             CAST(t3.tcnt IS NULL AND bg.bcnt IS NULL AS INTEGER) AS deep,
+             CAST(uc.ucnt IS NULL AS INTEGER) AS oov
+      FROM (SELECT doc_id, l[i] AS a, l[i + 1] AS b, l[i + 2] AS c
+            FROM (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i FROM toks)) s
+      LEFT JOIN tri t3 ON t3.a = s.a AND t3.b = s.b AND t3.c = s.c
+      LEFT JOIN big ctx ON ctx.p = s.a AND ctx.c = s.b
+      LEFT JOIN big bg ON bg.p = s.b AND bg.c = s.c
+      LEFT JOIN uni up ON up.w = s.b
+      LEFT JOIN uni uc ON uc.w = s.c
+      CROSS JOIN tot)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS token_ct,
+           CAST(sum(bits) AS BIGINT) AS surprisal_bits,
+           CAST(sum(backoff) AS BIGINT) AS backoff_ct,
+           CAST(sum(deep) AS BIGINT) AS deep_backoff_ct,
+           CAST(sum(oov) AS BIGINT) AS oov_ct,
+           CAST(sum(bits) AS DOUBLE) / count(*) AS bits_per_token
+    FROM (SELECT * FROM firsts UNION ALL SELECT * FROM seconds
+          UNION ALL SELECT * FROM triples)
+    GROUP BY doc_id
+    """,
+    doc=(
+        "trigram extension of the stupid-backoff LM (Brants et al. 2007 "
+        "use 4-grams; this adds the bigram model's next order on the "
+        "same reference-subset training, same integer-exact bit "
+        "quantization, alpha=1/4 per backoff level = +2 bits): position "
+        "1 scores unigram, position 2 bigram, positions 3+ trigram with "
+        "backoff trigram->bigram->unigram->OOV floor. backoff_ct counts "
+        "highest-order misses, deep_backoff_ct falls to the unigram "
+        "level. Count joins on zipf keys left to AQE; the total rides a "
+        "1-row broadcast"
+    ),
+)
+def lm_surprisal_trigram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.quality import lm_surprisal_trigram
+
+    docs = table(spark, sf_dir, "documents")
+    return lm_surprisal_trigram(
+        docs, "doc_id", "text",
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4"),
+    )
+
+
+@register(
     "token_count",
     oracle=f"""
     WITH {TOKS_CTE},
