@@ -561,3 +561,84 @@ def lm_surprisal_trigram(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (round 10): ftfy's core trick (Speer, "fixing Unicode
+# for everyone") — web corpora are full of UTF-8 text that was decoded as
+# latin-1 somewhere upstream ('é' -> 'Ã©'), and every serious pipeline
+# repairs it before anything else. Detection is the 0xC3-lead-byte
+# signature (latin-1-reinterpreted UTF-8 for U+00C0-U+00FF); repair is
+# the inverse reinterpretation, encode(latin-1) |> decode(UTF-8), applied
+# ONLY when the signature fires (ftfy's guard — genuine 'Ã' text must
+# pass through untouched). The fixture corpus is pure ASCII, so the
+# graded query follows the text_normalize pattern: per-token md5 draws
+# ACCENT a deterministic subset of tokens (a->á e->é o->ö u->ü), the
+# whole string round-trips through the mojibake corruption, and the
+# repair must restore the accented original byte-for-byte — the oracle
+# replays the draws and the byte reinterpretation and hash-compares the
+# full repaired string. Pure per-row JVM column arithmetic: zero
+# shuffle, zero Python.
+# ---------------------------------------------------------------------------
+
+#: accent rewrites applied to drawn tokens (both engines replay)
+MOJI_ACCENTS = (("a", "á"), ("e", "é"), ("o", "ö"), ("u", "ü"))
+
+#: the UTF-8-as-latin-1 signature: 0xC3 lead byte ('Ã') + continuation
+MOJI_SIGNATURE = "Ã[\\x{80}-\\x{bf}]"
+
+
+def _moji_draw(id_col, i):
+    return F.conv(
+        F.substring(
+            F.md5(F.encode(F.concat(F.lit("moji:"), id_col.cast("string"),
+                                    F.lit(":"), i.cast("string")), "UTF-8")),
+            1, 8,
+        ), 16, 10,
+    ).cast("long")
+
+
+def synth_accented_text(df: DataFrame, id_col: str, text_col: str):
+    """Deterministically accented twin of `text_col`: per token, an md5
+    draw (1 in 4) swaps the token's vowels for accented forms — the
+    non-ASCII content the mojibake corruption needs, replayable by any
+    engine."""
+    did = F.col(id_col)
+    toks = F.split(F.col(text_col), " ")
+
+    def rule(w, k):
+        acc = w
+        for frm, to in MOJI_ACCENTS:
+            acc = F.replace(acc, F.lit(frm), F.lit(to))
+        return F.when(_moji_draw(did, k + 1) % 4 == 0, acc).otherwise(w)
+
+    return F.array_join(F.transform(toks, rule), " ")
+
+
+def mojibake_corrupt(col):
+    """UTF-8 bytes reinterpreted as latin-1 — the upstream bug itself."""
+    return F.decode(F.encode(col, "UTF-8"), "ISO-8859-1")
+
+
+def mojibake_fix(col):
+    """The inverse reinterpretation: encode latin-1, decode UTF-8."""
+    return F.decode(F.encode(col, "ISO-8859-1"), "UTF-8")
+
+
+def mojibake_repair(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, moji_sig_ct, changed, repaired_len, repaired_text): inject the
+    deterministic accents, corrupt through the latin-1 reinterpretation,
+    detect via the 0xC3 signature, repair only where detected."""
+    decorated = synth_accented_text(df, id_col, text_col)
+    base = df.select(F.col(id_col), mojibake_corrupt(decorated).alias("_moji"))
+    sig = F.regexp_count(F.col("_moji"), F.lit(MOJI_SIGNATURE))
+    repaired = F.when(sig > 0, mojibake_fix(F.col("_moji"))).otherwise(
+        F.col("_moji")
+    )
+    return base.select(
+        id_col,
+        sig.cast("long").alias("moji_sig_ct"),
+        (sig > 0).cast("int").alias("changed"),
+        F.length(repaired).cast("long").alias("repaired_len"),
+        repaired.alias("repaired_text"),
+    )

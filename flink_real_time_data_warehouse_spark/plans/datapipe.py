@@ -2511,6 +2511,74 @@ def text_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_normalize(table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _mojibake_oracle() -> str:
+    from ..datapipe.quality import MOJI_ACCENTS
+
+    draw_expr = "md5('moji:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR))"
+    draw = "(" + " + ".join(
+        f"(instr('0123456789abcdef', substr({draw_expr}, {1 + k}, 1)) - 1) * {16 ** (8 - 1 - k)}"
+        for k in range(8)
+    ) + ")"
+    acc = "l[CAST(i AS INTEGER)]"
+    for frm, to in MOJI_ACCENTS:
+        acc = f"replace({acc}, '{frm}', '{to}')"
+
+    hx = "hex(encode(want))"
+
+    def nib(pos: str) -> str:
+        return (
+            f"(strpos('0123456789ABCDEF', substr({hx}, "
+            f"CAST({pos} AS INTEGER), 1)) - 1)"
+        )
+
+    moji = (
+        f"array_to_string(list_transform(range(1, octet_length(encode(want)) + 1), "
+        f"i -> chr(CAST({nib('2*i-1')} * 16 + {nib('2*i')} AS INTEGER))), '')"
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    dec AS (
+      SELECT doc_id,
+             array_to_string(list_transform(range(1, len(l) + 1), i ->
+               CASE WHEN {draw} % 4 = 0 THEN {acc}
+                    ELSE l[CAST(i AS INTEGER)] END), ' ') AS want
+      FROM d),
+    mj AS (SELECT doc_id, want, {moji} AS moji FROM dec)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(moji, 'Ã[\\x{{80}}-\\x{{bf}}]')) AS BIGINT)
+             AS moji_sig_ct,
+           CAST(len(regexp_extract_all(moji, 'Ã[\\x{{80}}-\\x{{bf}}]')) > 0 AS INTEGER)
+             AS changed,
+           CAST(length(want) AS BIGINT) AS repaired_len,
+           want AS repaired_text
+    FROM mj
+    """
+
+
+@register(
+    "mojibake_repair",
+    oracle=_mojibake_oracle(),
+    doc=(
+        "mojibake repair (ftfy's core fix — UTF-8 decoded as latin-1 "
+        "upstream turns 'é' into 'Ã©'; every web-corpus pipeline repairs "
+        "this before anything else): detect via the 0xC3-lead-byte "
+        "signature, repair via the inverse reinterpretation "
+        "encode(latin-1)|>decode(UTF-8), applied ONLY where the "
+        "signature fires so genuine 'Ã' text passes through. The ASCII "
+        "fixture gets deterministic per-token accent injection "
+        "(text_normalize's dirt pattern), corrupts through the real "
+        "reinterpretation, and the repair must restore the accented "
+        "original byte-for-byte — the oracle replays draws and the byte "
+        "reinterpretation (chr over UTF-8 bytes) and hash-compares the "
+        "full repaired string. Zero shuffle, zero Python"
+    ),
+)
+def mojibake_repair_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.quality import mojibake_repair
+
+    return mojibake_repair(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 @register(
     "lm_surprisal_bigram",
     oracle=f"""

@@ -546,3 +546,63 @@ def test_lm_surprisal_trigram_paths_exercised_on_fixtures(spark):
     assert agg[0] > 0, "no trigram ever backed off"
     assert agg[1] > 0, "deep backoff path unreached"
     assert agg[2] == 0
+
+
+def test_mojibake_corrupt_fix_roundtrip_and_guard(spark):
+    """The reinterpretation pair is exactly inverse ('héllo' -> 'hÃ©llo'
+    -> 'héllo'), the signature fires only on 0xC3-lead sequences, and the
+    repair guard leaves untouched a genuine 'Ã' followed by ASCII (the
+    case blind reinterpretation would corrupt)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as SF
+
+    from flink_real_time_data_warehouse_spark.datapipe.quality import (
+        MOJI_SIGNATURE,
+        mojibake_corrupt,
+        mojibake_fix,
+    )
+
+    df = spark.createDataFrame(
+        [Row(i=1, t="héllo wörld"), Row(i=2, t="plain ascii"), Row(i=3, t="Ã propos")]
+    )
+    rows = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            mojibake_corrupt(SF.col("t")).alias("moji"),
+            mojibake_fix(mojibake_corrupt(SF.col("t"))).alias("back"),
+            SF.regexp_count(SF.col("t"), SF.lit(MOJI_SIGNATURE)).alias("sig_raw"),
+            SF.regexp_count(
+                mojibake_corrupt(SF.col("t")), SF.lit(MOJI_SIGNATURE)
+            ).alias("sig_moji"),
+        ).collect()
+    }
+    assert rows[1]["moji"] == "hÃ©llo wÃ¶rld"
+    assert rows[1]["back"] == "héllo wörld" and rows[1]["sig_moji"] == 2
+    assert rows[2]["moji"] == "plain ascii" and rows[2]["sig_moji"] == 0
+    # lone Ã + ASCII: no signature on the RAW text -> repair never fires
+    assert rows[3]["sig_raw"] == 0
+
+
+def test_mojibake_repair_fixture_paths_and_plan(spark):
+    """On the fixture corpus the accent draw must leave BOTH populations
+    non-empty (changed and untouched docs), every changed doc's repair
+    restores a string with no remaining signature, and the whole query
+    stays a zero-shuffle per-row projection."""
+    from pyspark.sql import functions as SF
+
+    from flink_real_time_data_warehouse_spark.datapipe.quality import MOJI_SIGNATURE
+    from flink_real_time_data_warehouse_spark.queries import registry
+
+    df = registry()["mojibake_repair"].spark(spark, TEST_SF_DIR)
+    agg = df.agg(
+        SF.sum("changed").alias("ch"),
+        SF.count("*").alias("n"),
+        SF.sum(
+            SF.regexp_count(SF.col("repaired_text"), SF.lit(MOJI_SIGNATURE))
+        ).alias("resid"),
+    ).first()
+    assert 0 < agg["ch"] < agg["n"]
+    assert agg["resid"] == 0  # repair left no mojibake behind
+    plan = plan_of(df)
+    assert "Exchange" not in plan, f"mojibake plan shuffles:\n{plan}"
