@@ -642,3 +642,65 @@ def mojibake_repair(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.length(repaired).cast("long").alias("repaired_len"),
         repaired.alias("repaired_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (round 10): the published rule set from Rae et al.
+# 2021 (Gopher, appendix A1.1) — the de-facto standard document-level
+# filter later reused by MassiveText/RefinedWeb/Dolma. Each rule is a
+# flag; `passes` is their conjunction. All thresholds evaluate in INTEGER
+# arithmetic (3n <= chars <= 10n instead of 3 <= chars/n <= 10, etc.) so
+# both engines agree bit-for-bit with no float ratios. The fixture corpus
+# is single-line ASCII, so the line-based rules (bullet starts, ellipsis
+# ends) evaluate over that one line — the formulas are the general ones.
+# ---------------------------------------------------------------------------
+
+#: Gopher's stop-word list (rule: document contains at least two)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, word_ct, + one int flag per Gopher rule, passes):
+
+      r_word_count   50 <= words <= 100000
+      r_mean_len     3 <= mean word length <= 10   (as 3n <= chars <= 10n)
+      r_symbol       (# + ellipsis) / words <= 0.1 (as 10*sym <= words)
+      r_bullet       lines starting with a bullet <= 10% (10*b <= lines)
+      r_ellipsis     lines ending with ellipsis <= 30% (10*e <= 3*lines)
+      r_alpha        words containing [a-z] >= 80% (5*alpha >= 4*words)
+      r_stopwords    >= 2 distinct Gopher stop words present
+
+    Zero shuffle: pure per-row column arithmetic on the scan."""
+    raw = F.col(text_col)
+    t = tokens(raw)
+    n = F.size(t)
+    chars = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    sym = F.regexp_count(raw, F.lit("#")) + F.regexp_count(
+        raw, F.lit("\\.\\.\\.|…")
+    )
+    lines = F.split(raw, "\n")
+    n_lines = F.size(lines)
+    bullet = F.size(F.filter(lines, lambda x: x.rlike("^[ ]*([•\\-*●])")))
+    ell = F.size(F.filter(lines, lambda x: x.rlike("(\\.\\.\\.|…)$")))
+    alpha = F.size(F.filter(t, lambda x: x.rlike("[a-z]")))
+    stop_ct = F.size(
+        F.array_intersect(
+            F.array_distinct(t), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    )
+    flags = {
+        "r_word_count": (n >= 50) & (n <= 100000),
+        "r_mean_len": (3 * n <= chars) & (chars <= 10 * n) & (n > 0),
+        "r_symbol": 10 * sym <= n,
+        "r_bullet": 10 * bullet <= n_lines,
+        "r_ellipsis": 10 * ell <= 3 * n_lines,
+        "r_alpha": 5 * alpha >= 4 * n,
+        "r_stopwords": stop_ct >= 2,
+    }
+    cols = [F.col(id_col), n.cast("long").alias("word_ct")]
+    passes = F.lit(True)
+    for name, flag in flags.items():
+        cols.append(flag.cast("int").alias(name))
+        passes = passes & flag
+    cols.append(passes.cast("int").alias("passes"))
+    return df.select(*cols)

@@ -2579,6 +2579,69 @@ def mojibake_repair_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mojibake_repair(table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _gopher_oracle() -> str:
+    from ..datapipe.quality import GOPHER_STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS l,
+             string_split(text, chr(10)) AS lines
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(l) AS n,
+             coalesce(list_sum(list_transform(l, x -> length(x))), 0) AS chars,
+             len(regexp_extract_all(text, '#'))
+               + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS sym,
+             len(lines) AS n_lines,
+             len(list_filter(lines, x -> regexp_matches(x, '^[ ]*([•\\-*●])'))) AS bullet,
+             len(list_filter(lines, x -> regexp_matches(x, '(\\.\\.\\.|…)$'))) AS ell,
+             len(list_filter(l, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+             len(list_intersect(list_distinct(l), [{stops}])) AS stop_ct
+      FROM t)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS word_ct,
+           CAST(n BETWEEN 50 AND 100000 AS INTEGER) AS r_word_count,
+           CAST(3 * n <= chars AND chars <= 10 * n AND n > 0 AS INTEGER) AS r_mean_len,
+           CAST(10 * sym <= n AS INTEGER) AS r_symbol,
+           CAST(10 * bullet <= n_lines AS INTEGER) AS r_bullet,
+           CAST(10 * ell <= 3 * n_lines AS INTEGER) AS r_ellipsis,
+           CAST(5 * alpha >= 4 * n AS INTEGER) AS r_alpha,
+           CAST(stop_ct >= 2 AS INTEGER) AS r_stopwords,
+           CAST(n BETWEEN 50 AND 100000
+                AND 3 * n <= chars AND chars <= 10 * n AND n > 0
+                AND 10 * sym <= n
+                AND 10 * bullet <= n_lines
+                AND 10 * ell <= 3 * n_lines
+                AND 5 * alpha >= 4 * n
+                AND stop_ct >= 2 AS INTEGER) AS passes
+    FROM m
+    """
+
+
+@register(
+    "gopher_quality",
+    oracle=_gopher_oracle(),
+    doc=(
+        "the published Gopher rule set (Rae et al. 2021 A1.1 — the "
+        "de-facto standard document filter reused by MassiveText/"
+        "RefinedWeb/Dolma): word-count band, mean-word-length band, "
+        "symbol-to-word ratio, bullet-start and ellipsis-end line "
+        "fractions, alphabetic-word fraction, >=2 stop words. Every "
+        "threshold evaluates in INTEGER arithmetic (3n <= chars <= 10n "
+        "instead of float ratios) so the oracle matches bit-for-bit. "
+        "One flag column per rule + the conjunction; zero shuffle, pure "
+        "per-row column arithmetic on the scan"
+    ),
+)
+def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.quality import gopher_quality
+
+    return gopher_quality(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 @register(
     "lm_surprisal_bigram",
     oracle=f"""

@@ -606,3 +606,58 @@ def test_mojibake_repair_fixture_paths_and_plan(spark):
     assert agg["resid"] == 0  # repair left no mojibake behind
     plan = plan_of(df)
     assert "Exchange" not in plan, f"mojibake plan shuffles:\n{plan}"
+
+
+def test_gopher_quality_hand_computed_rules(spark):
+    """Each Gopher rule pinned on constructed documents: a passing doc,
+    a too-short doc, a mean-length violation, a symbol-heavy doc, a
+    bullet line, ellipsis line endings, a numeric (non-alpha) doc, and a
+    stop-word-free doc."""
+    from flink_real_time_data_warehouse_spark.datapipe.quality import gopher_quality
+
+    good = ("the cat sat on the mat and that is fine to see with some "
+            "more plain words here that have good length and we keep "
+            "adding simple words until the count passes fifty words "
+            "total for the gopher band easily now plus a few extra "
+            "filler words so the band check clears its lower edge")
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "too short to pass"),                       # word count
+            (3, " ".join(["a"] * 60)),                      # mean len < 3
+            (4, good + " " + "#" * 1 + " #" * 20),          # symbols
+            (5, "• " + good),                                # bullet line
+            (6, good + "..."),                               # ellipsis end
+            (7, " ".join(str(i) for i in range(60))),        # non-alpha
+            (8, " ".join(["word"] * 60)),                    # no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality(docs, "doc_id", "text").collect()}
+    assert out[1]["passes"] == 1
+    assert out[2]["r_word_count"] == 0 and out[2]["passes"] == 0
+    assert out[3]["r_mean_len"] == 0
+    assert out[4]["r_symbol"] == 0
+    assert out[5]["r_bullet"] == 0      # the single line starts with •
+    assert out[6]["r_ellipsis"] == 0    # the single line ends with ...
+    assert out[7]["r_alpha"] == 0
+    assert out[8]["r_stopwords"] == 0 and out[8]["r_alpha"] == 1
+
+
+def test_gopher_quality_fixture_plan_and_split(spark):
+    """Zero-shuffle per-row projection; on the fixture the word-count
+    band must genuinely split the corpus. (The stop-word rule fails
+    corpus-wide by construction — the synthetic vocabulary carries at
+    most one Gopher stop word per doc — so `passes` is all-zero there;
+    the rule arithmetic itself is pinned by the hand-computed test.)"""
+    from pyspark.sql import functions as SF
+
+    from flink_real_time_data_warehouse_spark.queries import registry
+
+    df = registry()["gopher_quality"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, f"gopher plan shuffles:\n{plan}"
+    agg = df.agg(
+        SF.sum("r_word_count").alias("wc"), SF.count("*").alias("n")
+    ).first()
+    assert 0 < agg["wc"] < agg["n"]
