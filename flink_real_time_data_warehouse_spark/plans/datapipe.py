@@ -4220,6 +4220,36 @@ def multimodal_dimensions_tiff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_dimensions_webp",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           'webp' AS container,
+           CASE CAST(doc_id % 3 AS INTEGER)
+                WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l' ELSE 'vp8x' END AS format,
+           CAST(1 + doc_id % 4000 AS BIGINT) AS width,
+           CAST(1 + (doc_id * 7) % 3000 AS BIGINT) AS height
+    FROM documents
+    """,
+    doc=(
+        "BIT-PACKED field decode (WebP) — one RIFF container, three "
+        "sub-format packings the parser must dispatch between: VP8 lossy "
+        "(14-bit dims behind the 9D 01 2A sync code), VP8L lossless "
+        "(width-1/height-1 as two 14-bit bitfields inside one u32le — "
+        "the sub-byte shape no other container here has), VP8X extended "
+        "(24-bit minus-one dims). Bad sync/signature or unknown fourcc "
+        "-> NULL. Pure JVM bit arithmetic, one codegen stage, zero "
+        "Python, zero shuffle (plan-tested); oracle replays the "
+        "synthesis formulas"
+    ),
+)
+def multimodal_dimensions_webp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.multimodal import parse_webp_headers, synth_webp_payloads
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return parse_webp_headers(synth_webp_payloads(docs))
+
+
+@register(
     "frame_sample",
     oracle=f"""
     WITH v AS (SELECT doc_id AS asset_id, md5(text) AS h,

@@ -701,3 +701,47 @@ def test_tiff_ifd_walk_strictness(spark):
         row = parse_tiff_headers(df).first()
         assert row["container"] is None and row["width"] is None, s[:8]
         assert row["byte_order"] is None and row["orientation"] is None, s[:8]
+
+
+def test_webp_bitfield_boundaries_and_strictness(spark):
+    """WebP (round-10 bit-packed fields): JVM and Python twins agree at
+    the 14-bit bitfield edges across all three sub-formats, and foreign
+    bytes reject — wrong VP8 sync, wrong VP8L signature, unknown chunk
+    fourcc, non-WEBP RIFF (a WAV), plain text."""
+    import struct
+
+    from flink_real_time_data_warehouse_spark.datapipe.multimodal import (
+        parse_webp_header_py,
+        parse_webp_headers,
+        synth_webp_payloads,
+    )
+
+    cases = [0, 1, 2, 3999, 4000, 4001, 2334, 54321, 99999]
+    docs = spark.createDataFrame([(d,) for d in cases], "doc_id long")
+    pay = {r["asset_id"]: bytes(r["payload"]) for r in synth_webp_payloads(docs).collect()}
+    parsed = {
+        r["asset_id"]: r.asDict()
+        for r in parse_webp_headers(synth_webp_payloads(docs)).collect()
+    }
+    fmts = ["vp8", "vp8l", "vp8x"]
+    for d in cases:
+        want = {"container": "webp", "format": fmts[d % 3],
+                "width": 1 + d % 4000, "height": 1 + (d * 7) % 3000}
+        assert {k: parsed[d][k] for k in want} == want, d
+        py = parse_webp_header_py(pay[d])
+        assert {k: py[k] for k in want} == want, d
+
+    vp8 = pay[0]          # VP8 lossy
+    vp8l = pay[1]         # VP8L lossless
+    fakes = [
+        vp8[:23] + b"\x00\x01\x2a" + vp8[26:],          # broken sync
+        vp8l[:20] + b"\x30" + vp8l[21:],                # broken VP8L sig
+        vp8[:12] + b"JUNK" + vp8[16:],                  # unknown fourcc
+        b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt " + b"\x00" * 20,
+        b"plain text that is no container",
+    ]
+    for s in fakes:
+        assert parse_webp_header_py(s) is None, s[:16]
+        df = spark.createDataFrame([(1, bytearray(s))], "asset_id long, payload binary")
+        row = parse_webp_headers(df).first()
+        assert row["container"] is None and row["width"] is None, s[:16]

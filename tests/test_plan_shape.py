@@ -719,3 +719,15 @@ def test_multimodal_dimensions_tiff_zero_python(spark):
     assert "Exchange" not in plan
     assert "*(1)" in plan
     assert "*(2)" not in plan
+
+
+def test_multimodal_dimensions_webp_zero_python(spark):
+    """The WebP bitfield decode (round 10) stays pure JVM: no Python eval
+    node, zero Exchange, ONE whole-stage-codegen stage."""
+    df = registry()["multimodal_dimensions_webp"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapsInPandas"):
+        assert bad not in plan, f"Python crossed into the plan: {bad}"
+    assert "Exchange" not in plan
+    assert "*(1)" in plan
+    assert "*(2)" not in plan
