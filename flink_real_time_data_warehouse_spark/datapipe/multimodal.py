@@ -1371,3 +1371,176 @@ def parse_webp_header_py(payload: bytes) -> dict | None:
         return {"container": "webp", "format": "vp8x",
                 "width": le(24, 3) + 1, "height": le(27, 3) + 1}
     return None
+
+
+# ---------------------------------------------------------------------------
+# Descriptor-driven layouts (round 10): compression frame headers. Corpus
+# shards ship gzip/zstd-compressed; manifest builders read frame headers
+# without decompressing. zstd (RFC 8878 §3.1.1) is the interesting shape:
+# ONE descriptor byte decides which later fields exist and how wide they
+# are — window descriptor present only without Single_Segment, dictionary
+# ID 0/1/2/4 bytes by DID flag, frame content size 0/1/2/4/8 bytes by FCS
+# flag (+256 bias in the 2-byte form) — so every field offset AND width
+# is data-dependent, with no chain to walk. gzip (RFC 1952) is the fixed
+# sibling (mtime/OS at constant offsets).
+# ---------------------------------------------------------------------------
+
+ZSTD_MAGIC = "28B52FFD"  # hex of the little-endian magic 0xFD2FB528
+
+
+def synth_compression_payloads(docs: DataFrame) -> DataFrame:
+    """Format-valid compression frame headers per document: odd doc_id ->
+    a zstd frame header with every descriptor combination exercised
+    (k = (doc_id-1)/2 drives FCS flag k%4, Single_Segment k%5<2,
+    checksum k%7<3, DID flag (k/4)%4), even doc_id -> a gzip member
+    header (mtime/OS from m = doc_id/2). All field widths and the +256
+    two-byte content-size bias are per RFC; the parse path below trusts
+    only the bytes."""
+    did = F.col("doc_id")
+    k = ((did - 1) / 2).cast("long")
+    fcs_flag = (k % 4).cast("long")
+    ss = (k % 5 < 2).cast("long")
+    cksum = (k % 7 < 3).cast("long")
+    dflag = ((k / 4).cast("long") % 4).cast("long")
+    fhd = F.shiftleft(fcs_flag, 6) + F.shiftleft(ss, 5) + F.shiftleft(cksum, 2) + dflag
+    wd = (k % 256).cast("long")
+    dict_id = F.when(dflag == 1, k % 256).when(dflag == 2, k % 65536).when(
+        dflag == 3, k % 2147483648
+    )
+    cs = (
+        F.when((fcs_flag == 0) & (ss == 1), k % 256)
+        .when(fcs_flag == 1, 256 + k % 65536)
+        .when(fcs_flag == 2, k % 2147483648)
+        .when(fcs_flag == 3, k % (1 << 40))
+    )
+    empty = F.unhex(F.lit(""))
+    zstd = F.concat(
+        _lit_bin(ZSTD_MAGIC),
+        _be_enc(fhd, 1),
+        F.when(ss == 0, _le_enc(wd, 1)).otherwise(empty),
+        F.when(dflag == 1, _le_enc(dict_id, 1))
+        .when(dflag == 2, _le_enc(dict_id, 2))
+        .when(dflag == 3, _le_enc(dict_id, 4))
+        .otherwise(empty),
+        F.when((fcs_flag == 0) & (ss == 1), _le_enc(cs, 1))
+        .when(fcs_flag == 1, _le_enc(cs - 256, 2))
+        .when(fcs_flag == 2, _le_enc(cs, 4))
+        .when(fcs_flag == 3, _le_enc(cs, 8))
+        .otherwise(empty),
+        _lit_bin("00" * 3),  # first block header stub
+    )
+    m = (did / 2).cast("long")
+    gzip = F.concat(
+        _lit_bin("1F8B08"),                 # magic + CM=deflate
+        _lit_bin("00"),                     # FLG
+        _le_enc(m % 2147483648, 4),         # MTIME
+        _lit_bin("00"),                     # XFL
+        _be_enc(m % 14, 1),                 # OS
+        _lit_bin("00" * 4),                 # deflate stream stub
+    )
+    return docs.select(
+        did.alias("asset_id"),
+        F.when(did % 2 == 1, zstd).otherwise(gzip).alias("payload"),
+    )
+
+
+def parse_compression_headers(assets: DataFrame) -> DataFrame:
+    """Frame-header extraction trusting ONLY the bytes. zstd: magic, then
+    the descriptor byte routes every later read — window descriptor only
+    without Single_Segment (window = 2^(10+wd>>3) + (that/8)*(wd&7); with
+    Single_Segment the window IS the content size), dictionary ID 0/1/2/4
+    bytes, content size 0/1/2/4/8 bytes with the +256 two-byte bias. A
+    set reserved bit (bit 3) rejects the frame per RFC 8878. gzip: magic
+    1F 8B 08, then mtime u32le at 5 and OS at 10. Everything else ->
+    NULL. Pure JVM column arithmetic, one codegen stage, zero Python,
+    zero shuffle (plan-tested)."""
+    p = F.col("payload")
+    df = assets.select("asset_id", "payload")
+    df = df.withColumn("_fhd", _be_int_at(p, F.lit(5), 1))
+    fhd = F.col("_fhd")
+    is_zstd = (F.hex(p.substr(1, 4)) == ZSTD_MAGIC) & (
+        F.shiftright(fhd, 3).bitwiseAND(F.lit(1)) == 0  # reserved bit
+    )
+    is_gzip = F.hex(p.substr(1, 3)) == "1F8B08"
+    fcs_flag = F.shiftright(fhd, 6)
+    ss = F.shiftright(fhd, 5).bitwiseAND(F.lit(1))
+    cksum = F.shiftright(fhd, 2).bitwiseAND(F.lit(1))
+    dflag = fhd.bitwiseAND(F.lit(3))
+    df = df.withColumn("_dpos", F.lit(6).cast("long") + F.when(ss == 0, 1).otherwise(0))
+    dpos = F.col("_dpos")
+    did_size = F.element_at(
+        F.array(F.lit(0), F.lit(1), F.lit(2), F.lit(4)), (dflag + 1).cast("int")
+    )
+    df = df.withColumn("_fpos", dpos + did_size)
+    fpos = F.col("_fpos")
+    dict_id = (
+        F.when(dflag == 1, _le_int_at(p, dpos, 1))
+        .when(dflag == 2, _le_int_at(p, dpos, 2))
+        .when(dflag == 3, _le_int_at(p, dpos, 4))
+    )
+    content_size = (
+        F.when((fcs_flag == 0) & (ss == 1), _le_int_at(p, fpos, 1))
+        .when(fcs_flag == 1, _le_int_at(p, fpos, 2) + 256)
+        .when(fcs_flag == 2, _le_int_at(p, fpos, 4))
+        .when(fcs_flag == 3, _le_int_at(p, fpos, 8))
+    )
+    wd = _be_int_at(p, F.lit(6), 1)
+    # 2^(10 + wd>>3): shiftleft needs a literal count, but pow is exact
+    # for powers of two up to 2^62 (max exponent here is 41)
+    wbase = F.pow(F.lit(2.0), (F.lit(10) + F.shiftright(wd, 3)).cast("double")).cast(
+        "long"
+    )
+    window = F.when(ss == 1, content_size).otherwise(
+        wbase + (wbase / 8).cast("long") * wd.bitwiseAND(F.lit(7))
+    )
+    return df.select(
+        "asset_id",
+        F.when(is_zstd, F.lit("zstd")).when(is_gzip, F.lit("gzip")).alias("container"),
+        F.when(is_zstd, cksum).alias("checksum_flag"),
+        F.when(is_zstd, dict_id).alias("dict_id"),
+        F.when(is_zstd, content_size).alias("content_size"),
+        F.when(is_zstd, window).alias("window_size"),
+        F.when(is_gzip, _le_int_at(p, F.lit(5), 4)).alias("mtime"),
+        F.when(is_gzip, _be_int_at(p, F.lit(10), 1)).alias("os_id"),
+    )
+
+
+def parse_compression_header_py(payload: bytes) -> dict | None:
+    """The Python-path twin of parse_compression_headers (same strict
+    contract), for boundary tests."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+
+    def le(o: int, n: int) -> int:
+        return int.from_bytes(b[o:o + n], "little")
+
+    if len(b) >= 5 and b[:4] == bytes.fromhex(ZSTD_MAGIC):
+        fhd = b[4]
+        if (fhd >> 3) & 1:  # reserved bit set
+            return None
+        fcs_flag, ss = fhd >> 6, (fhd >> 5) & 1
+        cksum, dflag = (fhd >> 2) & 1, fhd & 3
+        pos = 5
+        wd = None
+        if not ss:
+            wd = b[pos]
+            pos += 1
+        did_size = [0, 1, 2, 4][dflag]
+        dict_id = le(pos, did_size) if did_size else None
+        pos += did_size
+        fcs_size = (1 if ss else 0) if fcs_flag == 0 else [0, 2, 4, 8][fcs_flag]
+        content_size = None
+        if fcs_size:
+            content_size = le(pos, fcs_size) + (256 if fcs_flag == 1 else 0)
+        if ss:
+            window = content_size
+        else:
+            base = 1 << (10 + (wd >> 3))
+            window = base + (base // 8) * (wd & 7)
+        return {"container": "zstd", "checksum_flag": cksum,
+                "dict_id": dict_id, "content_size": content_size,
+                "window_size": window}
+    if len(b) >= 10 and b[:3] == b"\x1f\x8b\x08":
+        return {"container": "gzip", "mtime": le(4, 4), "os_id": b[9]}
+    return None

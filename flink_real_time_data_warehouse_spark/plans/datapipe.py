@@ -4250,6 +4250,79 @@ def multimodal_dimensions_webp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "compression_frame_info",
+    oracle="""
+    WITH z AS (
+      SELECT doc_id, (doc_id - 1) // 2 AS k FROM documents WHERE doc_id % 2 = 1),
+    zf AS (
+      SELECT doc_id,
+             CAST(k % 4 AS INTEGER) AS fcs,
+             CAST(k % 5 < 2 AS INTEGER) AS ss,
+             CAST(k % 7 < 3 AS INTEGER) AS ck,
+             CAST((k // 4) % 4 AS INTEGER) AS dfl,
+             k
+      FROM z),
+    zout AS (
+      SELECT doc_id, 'zstd' AS container,
+             CAST(ck AS BIGINT) AS checksum_flag,
+             CAST(CASE dfl WHEN 1 THEN k % 256 WHEN 2 THEN k % 65536
+                           WHEN 3 THEN k % 2147483648 END AS BIGINT) AS dict_id,
+             CAST(CASE WHEN fcs = 0 AND ss = 1 THEN k % 256
+                       WHEN fcs = 1 THEN 256 + k % 65536
+                       WHEN fcs = 2 THEN k % 2147483648
+                       WHEN fcs = 3 THEN k % 1099511627776 END AS BIGINT)
+               AS content_size,
+             CAST(CASE WHEN ss = 1 THEN
+                    CASE WHEN fcs = 0 THEN k % 256
+                         WHEN fcs = 1 THEN 256 + k % 65536
+                         WHEN fcs = 2 THEN k % 2147483648
+                         ELSE k % 1099511627776 END
+                  ELSE (1::BIGINT << CAST(10 + (k % 256) // 8 AS INTEGER))
+                       + ((1::BIGINT << CAST(10 + (k % 256) // 8 AS INTEGER)) // 8)
+                         * CAST((k % 256) % 8 AS BIGINT)
+                  END AS BIGINT) AS window_size,
+             CAST(NULL AS BIGINT) AS mtime,
+             CAST(NULL AS BIGINT) AS os_id
+      FROM zf),
+    gout AS (
+      SELECT doc_id, 'gzip' AS container,
+             CAST(NULL AS BIGINT) AS checksum_flag,
+             CAST(NULL AS BIGINT) AS dict_id,
+             CAST(NULL AS BIGINT) AS content_size,
+             CAST(NULL AS BIGINT) AS window_size,
+             CAST((doc_id // 2) % 2147483648 AS BIGINT) AS mtime,
+             CAST((doc_id // 2) % 14 AS BIGINT) AS os_id
+      FROM documents WHERE doc_id % 2 = 0)
+    SELECT doc_id AS asset_id, container, checksum_flag, dict_id,
+           content_size, window_size, mtime, os_id
+    FROM (SELECT * FROM zout UNION ALL SELECT * FROM gout)
+    """,
+    doc=(
+        "DESCRIPTOR-DRIVEN layout decode (zstd RFC 8878 + gzip RFC 1952) "
+        "— the manifest-builder pass that reads compressed-shard frame "
+        "headers without decompressing. zstd's one descriptor byte "
+        "decides which later fields exist and how wide they are (window "
+        "descriptor only without Single_Segment; dictionary ID 0/1/2/4 "
+        "bytes; content size 0/1/2/4/8 bytes with the +256 two-byte "
+        "bias; window = 2^(10+wd>>3) plus eighths, or the content size "
+        "under Single_Segment) — every offset AND width is data-"
+        "dependent with no chain to walk; a set reserved bit rejects the "
+        "frame. The synthesizer exercises every flag combination. Pure "
+        "JVM column arithmetic, one codegen stage, zero Python, zero "
+        "shuffle (plan-tested); oracle replays the synthesis formulas"
+    ),
+)
+def compression_frame_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.multimodal import (
+        parse_compression_headers,
+        synth_compression_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return parse_compression_headers(synth_compression_payloads(docs))
+
+
+@register(
     "frame_sample",
     oracle=f"""
     WITH v AS (SELECT doc_id AS asset_id, md5(text) AS h,

@@ -745,3 +745,43 @@ def test_webp_bitfield_boundaries_and_strictness(spark):
         df = spark.createDataFrame([(1, bytearray(s))], "asset_id long, payload binary")
         row = parse_webp_headers(df).first()
         assert row["container"] is None and row["width"] is None, s[:16]
+
+
+def test_compression_header_strictness(spark):
+    """zstd/gzip frame sniffing: a set zstd reserved bit rejects the
+    frame (RFC 8878), truncated magic and plain text parse NULL, and the
+    JVM/Python twins agree on every synthesized flag combination (the
+    combination sweep lives in the smoke assertions of the boundary
+    loop below)."""
+    from flink_real_time_data_warehouse_spark.datapipe.multimodal import (
+        parse_compression_header_py,
+        parse_compression_headers,
+        synth_compression_payloads,
+    )
+
+    # doc 1..40 covers every (fcs, ss, dict-flag) combination at least once
+    cases = list(range(1, 41)) + [99998, 99999]
+    docs = spark.createDataFrame([(d,) for d in cases], "doc_id long")
+    pay = {r["asset_id"]: bytes(r["payload"])
+           for r in synth_compression_payloads(docs).collect()}
+    parsed = {r["asset_id"]: r.asDict()
+              for r in parse_compression_headers(synth_compression_payloads(docs)).collect()}
+    for d in cases:
+        py = parse_compression_header_py(pay[d])
+        got = parsed[d]
+        assert got["container"] == py["container"]
+        for kk in ("checksum_flag", "dict_id", "content_size",
+                   "window_size", "mtime", "os_id"):
+            assert got[kk] == py.get(kk), (d, kk)
+
+    zstd = pay[1]
+    fakes = [
+        zstd[:4] + bytes([zstd[4] | 0x08]) + zstd[5:],   # reserved bit set
+        zstd[:3],                                        # truncated magic
+        b"plain text, not a frame",
+    ]
+    for s in fakes:
+        assert parse_compression_header_py(s) is None, s[:8]
+        df = spark.createDataFrame([(1, bytearray(s))], "asset_id long, payload binary")
+        row = parse_compression_headers(df).first()
+        assert row["container"] is None and row["content_size"] is None, s[:8]

@@ -731,3 +731,15 @@ def test_multimodal_dimensions_webp_zero_python(spark):
     assert "Exchange" not in plan
     assert "*(1)" in plan
     assert "*(2)" not in plan
+
+
+def test_compression_frame_info_zero_python(spark):
+    """The zstd descriptor-driven layout decode (round 10) stays pure
+    JVM: no Python eval node, zero Exchange, ONE codegen stage."""
+    df = registry()["compression_frame_info"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapsInPandas"):
+        assert bad not in plan, f"Python crossed into the plan: {bad}"
+    assert "Exchange" not in plan
+    assert "*(1)" in plan
+    assert "*(2)" not in plan
