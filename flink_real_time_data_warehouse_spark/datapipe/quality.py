@@ -704,3 +704,94 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         passes = passes & flag
     cols.append(passes.cast("int").alias("passes"))
     return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Trained n-gram language ID (round 10): the char-trigram classifier shape
+# (Cavnar & Trenkle 1994 profiles; scored here in the Naive-Bayes form
+# langdetect/fastText popularized, with the same integer-exact bit
+# quantization as the LM family). The fixture's `lang` labels are
+# synthetic — every doc draws from one shared English token pool — so the
+# graded query follows the media-header pattern: a deterministic
+# per-language MARKER PHRASE (real orthography: accents, umlauts, eñe,
+# CJK) is appended to each doc, and the classifier must recover the label
+# from the bytes alone. Training is one explode+agg per (lang, trigram);
+# scoring joins doc trigrams against the count table (zipf keys, AQE) and
+# the 5-row totals ride a broadcast.
+# ---------------------------------------------------------------------------
+
+#: per-language marker phrases (deterministic decoration, both engines replay)
+LANG_MARKERS = {
+    "de": "über größe straße schön",
+    "en": "the and with that through",
+    "es": "mañana niño español así",
+    "fr": "été déjà où français",
+    "zh": "数据 仓库 实时 计算",
+}
+
+#: unseen-trigram penalty, bits (the +alpha backoff floor)
+LANGID_OOV_BITS = 4
+
+
+def langid_ngram(
+    df: DataFrame, id_col: str, text_col: str, lang_col: str
+) -> DataFrame:
+    """(id, lang, lang_pred, correct): decorate each doc with its
+    language's marker phrase, train per-language char-trigram counts on
+    the decorated corpus, score every doc against every language with
+    integer-exact bits — bits(g|L) = len(bin(T_L)) - len(bin(cnt)) for a
+    seen trigram, len(bin(T_L)) + 4 unseen — and predict the
+    minimum-score language (ties broken lang ASC)."""
+    marker = None
+    for lang, phrase in LANG_MARKERS.items():
+        cond = F.col(lang_col) == lang
+        marker = F.when(cond, F.lit(phrase)) if marker is None else marker.when(
+            cond, F.lit(phrase)
+        )
+    # decoration scales with length (one marker per 100 chars) so the
+    # language signal tracks the base-trigram quantization noise — a
+    # single marker loses to the +-1-bit-per-gram walk on long docs
+    reps = (F.lit(1) + F.floor(F.length(F.col(text_col)) / 100)).cast("int")
+    dec = F.concat(
+        F.col(text_col), F.lit(" "), F.repeat(F.concat(marker, F.lit(" ")), reps)
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(lang_col).alias("lang"), dec.alias("_t")
+    )
+    t = F.col("_t")
+    grams = F.when(
+        F.length(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - 2),
+            lambda i: t.substr(i.cast("int"), F.lit(3)),
+        ),
+    )
+    tri = base.select("_id", "lang", F.explode(grams).alias("g"))
+    counts = tri.groupBy("lang", "g").agg(F.count("*").alias("cnt"))
+    totals = counts.groupBy("lang").agg(F.sum("cnt").cast("long").alias("T"))
+    tbits = F.length(F.bin(F.col("T")))
+    scored = (
+        tri.select("_id", "g")
+        .crossJoin(F.broadcast(totals))
+        .join(counts, ["lang", "g"], "left")
+        .groupBy("_id", "lang")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("cnt").isNotNull(), tbits - F.length(F.bin(F.col("cnt")))
+                ).otherwise(tbits + LANGID_OOV_BITS)
+            ).alias("score")
+        )
+        .groupBy("_id")
+        .agg(F.min_by("lang", F.struct("score", "lang")).alias("lang_pred"))
+    )
+    return (
+        df.select(F.col(id_col), F.col(lang_col).alias("lang"))
+        .join(scored, F.col(id_col) == scored["_id"], "left")
+        .select(
+            id_col,
+            "lang",
+            "lang_pred",
+            (F.col("lang") == F.col("lang_pred")).cast("int").alias("correct"),
+        )
+    )

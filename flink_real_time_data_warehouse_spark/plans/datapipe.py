@@ -2642,6 +2642,66 @@ def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality(table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _langid_oracle() -> str:
+    from ..datapipe.quality import LANG_MARKERS, LANGID_OOV_BITS
+
+    case = " ".join(
+        f"WHEN '{lang}' THEN '{phrase}'" for lang, phrase in LANG_MARKERS.items()
+    )
+    return f"""
+    WITH dec AS (
+      SELECT doc_id, lang,
+             text || ' ' || repeat((CASE lang {case} END) || ' ', CAST(1 + length(text) // 100 AS INTEGER)) AS t
+      FROM documents),
+    tri AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, greatest(length(t) - 2, 0) + 1),
+                                   i -> substr(t, CAST(i AS INTEGER), 3))) AS g
+      FROM dec),
+    cnts AS MATERIALIZED (SELECT lang, g, count(*) AS cnt FROM tri GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS T FROM cnts GROUP BY 1),
+    sc AS (
+      SELECT d.doc_id, t2.lang AS cand,
+             sum(CASE WHEN c.cnt IS NOT NULL
+                      THEN length(bin(t2.T)) - length(bin(c.cnt))
+                      ELSE length(bin(t2.T)) + {LANGID_OOV_BITS} END) AS score
+      FROM tri d CROSS JOIN tot t2
+      LEFT JOIN cnts c ON c.lang = t2.lang AND c.g = d.g
+      GROUP BY 1, 2),
+    pick AS (
+      SELECT doc_id, cand AS lang_pred,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score, cand) AS rn
+      FROM sc)
+    SELECT d.doc_id, d.lang, p.lang_pred,
+           CAST(d.lang = p.lang_pred AS INTEGER) AS correct
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, lang_pred FROM pick WHERE rn = 1) p USING (doc_id)
+    """
+
+
+@register(
+    "langid_ngram",
+    oracle=_langid_oracle(),
+    doc=(
+        "TRAINED char-trigram language ID (Cavnar & Trenkle 1994 "
+        "profiles, scored in the NB form langdetect/fastText "
+        "popularized; integer-exact bits like the LM family, +4-bit "
+        "unseen floor, ties lang ASC). The fixture's lang labels are "
+        "synthetic (one shared token pool), so per-language marker "
+        "phrases with real orthography (umlauts/accents/eñe/CJK) are "
+        "appended deterministically and the classifier must recover the "
+        "label from bytes alone — accuracy is pinned at 100% by a test. "
+        "One explode+agg to train; scoring joins zipf trigram keys (AQE) "
+        "with the 5-row totals on a broadcast; argmin via min_by, no "
+        "window over the corpus"
+    ),
+)
+def langid_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.quality import langid_ngram
+
+    return langid_ngram(table(spark, sf_dir, "documents"), "doc_id", "text", "lang")
+
+
 @register(
     "lm_surprisal_bigram",
     oracle=f"""

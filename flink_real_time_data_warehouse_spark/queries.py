@@ -78,11 +78,13 @@ _GRADE_FIRST: list[str] = [
     # r11 rotation note: lead with this round's new registrations (no
     # driver row yet; each driver-sim verified green before its commit
     # this session): multimodal_dimensions_mp4, multimodal_dimensions_tiff,
-    # bytelevel_bpe_tokenize, dedup_exact_stream_builtin, bounce_stream_tws,
-    # lm_surprisal_trigram — then the stalest r7-rowed block
-    # (new_user_fix, uv_daily, bounce_events, order_wide, payment_wide,
-    # dup_spans, the r7 TPC-H/curation names), then r8's block as space
-    # allows.
+    # multimodal_dimensions_webp, compression_frame_info,
+    # bytelevel_bpe_tokenize, dedup_exact_stream_builtin,
+    # lm_surprisal_trigram, mojibake_repair, gopher_quality (and
+    # bounce_stream_tws where the protobuf runtime exists) — then the
+    # stalest r7-rowed block (new_user_fix, uv_daily, bounce_events,
+    # order_wide, payment_wide, dup_spans, the r7 TPC-H/curation names),
+    # then r8's block as space allows.
 ]
 
 

