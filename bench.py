@@ -209,6 +209,18 @@ HEADLINE = [
     "span_corrupt",
     "fim_transform",
     "text_normalize",
+    # round 10 additions (verdict tasks 2-7 + extensions)
+    "multimodal_dimensions_mp4",
+    "multimodal_dimensions_tiff",
+    "multimodal_dimensions_webp",
+    "compression_frame_info",
+    "bytelevel_bpe_tokenize",
+    "lm_surprisal_trigram",
+    "mojibake_repair",
+    "gopher_quality",
+    "langid_ngram",
+    "dedup_exact_stream_builtin",
+    "content_defined_chunks",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

@@ -472,3 +472,96 @@ def dsir_importance(
         .orderBy(F.col("score_micro").desc(), F.col(id_col))
         .limit(top_n)
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (round 10): the FastCDC/rolling-hash shape
+# (Xia et al. 2016; the rsync/LBFS lineage) — chunk boundaries follow the
+# CONTENT, not fixed offsets, so an insertion shifts only the chunks it
+# touches and every other chunk keeps its digest: the storage-level dedup
+# primitive under blob stores and dataset-shard dedup. Simplified here to
+# the deterministic, engine-replayable core: a fixed-window multiplier
+# hash over code points marks CANDIDATE boundaries (hash % divisor == 0),
+# a greedy left-to-right walk keeps candidates at least MIN apart, and
+# the document end always closes the last chunk. (FastCDC's max-size
+# force-split and gear table are omitted — documented divergence; the
+# boundary-stability property is what matters and is tested.)
+# ---------------------------------------------------------------------------
+
+CDC_WINDOW = 8        # code points hashed per candidate test
+CDC_DIVISOR = 64      # expected chunk length scale (1 cut per 64 positions)
+CDC_MIN = 24          # minimum chunk length (greedy spacing)
+CDC_MOD = 1048573     # hash modulus (prime < 2^20)
+#: per-offset multipliers (the fixed stand-in for FastCDC's gear table)
+CDC_GEAR = (5, 17, 29, 47, 71, 89, 107, 131)
+
+
+def content_defined_chunks(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, chunk_idx, start_pos, chunk_len, chunk_hash): content-defined
+    chunk table, one row per chunk, md5 digest per chunk substring.
+
+    Scale shape: everything is per-row JVM array arithmetic on the scan —
+    candidate positions via filter over a sequence (the window hash reads
+    CDC_WINDOW code points per position), the greedy spacing walk via an
+    aggregate fold over the (few) candidates, the chunk explode map-side.
+    Zero shuffle, zero Python (plan-tested)."""
+    t = F.col(text_col)
+    n = F.length(t).cast("long")
+
+    def win_hash(i):
+        h = F.lit(0).cast("long")
+        for j, g in enumerate(CDC_GEAR):
+            h = h + F.ascii(t.substr((i - j).cast("int"), F.lit(1))) * g
+        return h % CDC_MOD
+
+    cands = F.when(
+        n >= CDC_WINDOW,
+        F.filter(
+            F.sequence(F.lit(CDC_WINDOW).cast("long"), n),
+            lambda i: win_hash(i) % CDC_DIVISOR == 0,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    walk = F.aggregate(
+        cands,
+        F.struct(
+            F.lit(0).cast("long").alias("last"),
+            F.array().cast("array<long>").alias("cuts"),
+        ),
+        lambda acc, c: F.when(
+            c - acc["last"] >= CDC_MIN,
+            F.struct(
+                c.alias("last"), F.concat(acc["cuts"], F.array(c)).alias("cuts")
+            ),
+        ).otherwise(acc),
+    )
+    base = df.where(n > 0).select(
+        F.col(id_col), t.alias("_t"), n.alias("_n"), walk["cuts"].alias("_cuts")
+    )
+    bounds = F.when(
+        (F.size("_cuts") > 0) & (F.element_at("_cuts", -1) == F.col("_n")),
+        F.concat(F.array(F.lit(0).cast("long")), F.col("_cuts")),
+    ).otherwise(
+        F.concat(
+            F.array(F.lit(0).cast("long")), F.col("_cuts"), F.array(F.col("_n"))
+        )
+    )
+    base = base.withColumn("_b", bounds)
+    k = F.size("_b")
+    pairs = F.arrays_zip(
+        F.slice(F.col("_b"), 1, k - 1), F.slice(F.col("_b"), 2, k - 1)
+    )
+    out = base.select(
+        id_col, "_t", F.posexplode(pairs).alias("pos", "pr")
+    ).select(
+        id_col,
+        (F.col("pos") + 1).cast("long").alias("chunk_idx"),
+        (F.col("pr")["0"] + 1).cast("long").alias("start_pos"),
+        (F.col("pr")["1"] - F.col("pr")["0"]).cast("long").alias("chunk_len"),
+        F.md5(
+            F.col("_t").substr(
+                (F.col("pr")["0"] + 1).cast("int"),
+                (F.col("pr")["1"] - F.col("pr")["0"]).cast("int"),
+            )
+        ).alias("chunk_hash"),
+    )
+    return out

@@ -2702,6 +2702,91 @@ def langid_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_ngram(table(spark, sf_dir, "documents"), "doc_id", "text", "lang")
 
 
+def _cdc_chunks_oracle() -> str:
+    from ..datapipe.curation import (
+        CDC_DIVISOR,
+        CDC_GEAR,
+        CDC_MIN,
+        CDC_MOD,
+        CDC_WINDOW,
+    )
+
+    hexpr = " + ".join(
+        f"ord(substr(text, CAST(i - {j} AS INTEGER), 1)) * {g}"
+        for j, g in enumerate(CDC_GEAR)
+    )
+    return f"""
+    WITH RECURSIVE src AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+      FROM documents WHERE length(text) > 0),
+    cd AS MATERIALIZED (
+      SELECT doc_id, text, n,
+             CASE WHEN n >= {CDC_WINDOW} THEN
+               list_filter(range({CDC_WINDOW}, n + 1),
+                           i -> (({hexpr}) % {CDC_MOD}) % {CDC_DIVISOR} = 0)
+             ELSE CAST([] AS BIGINT[]) END AS cl
+      FROM src),
+    rec AS (
+      SELECT doc_id, 0 AS pos, CAST(0 AS BIGINT) AS last,
+             CAST([] AS BIGINT[]) AS cuts
+      FROM cd
+      UNION ALL
+      SELECT r.doc_id, r.pos + 1,
+             CASE WHEN c.cl[r.pos + 1] - r.last >= {CDC_MIN}
+                  THEN c.cl[r.pos + 1] ELSE r.last END,
+             CASE WHEN c.cl[r.pos + 1] - r.last >= {CDC_MIN}
+                  THEN list_append(r.cuts, c.cl[r.pos + 1]) ELSE r.cuts END
+      FROM rec r JOIN cd c USING (doc_id) WHERE r.pos < len(c.cl)),
+    fin AS (
+      SELECT r.doc_id, r.cuts, c.n, c.text
+      FROM rec r JOIN cd c USING (doc_id) WHERE r.pos = len(c.cl)),
+    b AS (
+      SELECT doc_id, text,
+             CASE WHEN len(cuts) > 0 AND cuts[-1] = n
+                  THEN [CAST(0 AS BIGINT)] || cuts
+                  ELSE [CAST(0 AS BIGINT)] || cuts || [n] END AS bounds
+      FROM fin),
+    ch AS (SELECT doc_id, text, bounds,
+                  unnest(range(1, len(bounds))) AS j FROM b)
+    SELECT doc_id,
+           CAST(j AS BIGINT) AS chunk_idx,
+           CAST(bounds[CAST(j AS INTEGER)] + 1 AS BIGINT) AS start_pos,
+           CAST(bounds[CAST(j + 1 AS INTEGER)] - bounds[CAST(j AS INTEGER)] AS BIGINT)
+             AS chunk_len,
+           md5(substr(text,
+                      CAST(bounds[CAST(j AS INTEGER)] + 1 AS INTEGER),
+                      CAST(bounds[CAST(j + 1 AS INTEGER)]
+                           - bounds[CAST(j AS INTEGER)] AS INTEGER))) AS chunk_hash
+    FROM ch
+    """
+
+
+@register(
+    "content_defined_chunks",
+    oracle=_cdc_chunks_oracle(),
+    doc=(
+        "content-defined chunking (FastCDC/rsync lineage, Xia et al. "
+        "2016): chunk boundaries follow the CONTENT — a fixed-window "
+        "multiplier hash marks candidate cuts (hash % 64 == 0), a greedy "
+        "walk keeps them >= 24 apart, the doc end closes the last chunk "
+        "— so an insertion shifts only the chunks it touches and every "
+        "other chunk keeps its md5 (boundary stability, property-"
+        "tested): the storage-level dedup primitive under blob stores "
+        "and shard dedup. Max-size force-split and the gear table are "
+        "simplified away (documented). Candidates via a filtered "
+        "sequence, the walk via an aggregate fold, the chunk explode "
+        "map-side: zero shuffle, zero Python (plan-tested). Oracle "
+        "replays the hash and the greedy walk as a recursive CTE"
+    ),
+)
+def content_defined_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.curation import content_defined_chunks
+
+    return content_defined_chunks(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 @register(
     "lm_surprisal_bigram",
     oracle=f"""

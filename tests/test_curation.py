@@ -700,3 +700,49 @@ def test_langid_ngram_undecorated_text_is_ambiguous_by_construction(spark):
     assert out[1] == "en" and out[2] == "fr"
     # ...and doc 3's genuinely French characters reinforce fr
     assert out[3] == "fr"
+
+
+def test_content_defined_chunks_coverage_and_stability(spark):
+    """The defining CDC properties: (1) chunks tile each document exactly
+    (contiguous, full coverage, min spacing respected except the tail);
+    (2) BOUNDARY STABILITY — inserting text near the start of a document
+    changes only the chunks it touches, every later chunk keeps its md5
+    (the reason content-defined beats fixed-offset chunking for dedup);
+    (3) the plan is a zero-shuffle per-row projection."""
+    from pyspark.sql import functions as SF
+
+    from flink_real_time_data_warehouse_spark.datapipe.curation import (
+        CDC_MIN,
+        content_defined_chunks,
+    )
+    from flink_real_time_data_warehouse_spark.queries import registry
+
+    df = registry()["content_defined_chunks"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, f"cdc plan shuffles:\n{plan}"
+    rows = df.collect()
+    docs = {r["doc_id"]: r["text"] for r in
+            table(spark, TEST_SF_DIR, "documents").collect()}
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for did, chunks in per_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        assert chunks[0]["start_pos"] == 1
+        total = 0
+        for i, c in enumerate(chunks):
+            assert c["start_pos"] == total + 1  # contiguous
+            total += c["chunk_len"]
+            if i < len(chunks) - 1:
+                assert c["chunk_len"] >= CDC_MIN
+        assert total == len(docs[did])  # full coverage
+
+    base = "hello world this is a longer document with quite a few characters to cut " * 6
+    edited = base[:5] + "INSERTED TEXT CHANGES THE FRONT " + base[5:]
+    two = spark.createDataFrame([(1, base), (2, edited)], "doc_id long, text string")
+    out = content_defined_chunks(two, "doc_id", "text").collect()
+    h = {1: set(), 2: set()}
+    for r in out:
+        h[r["doc_id"]].add(r["chunk_hash"])
+    shared = h[1] & h[2]
+    assert len(shared) >= len(h[1]) - 2, (len(shared), len(h[1]))
