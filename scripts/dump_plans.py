@@ -41,6 +41,16 @@ SHOWCASE = {
     "lm_surprisal_bigram": "reference-subset training aggregates feed zipf-keyed count joins left to AQE; the 1-row total broadcast cross-joins",
     "span_corrupt": "objective prep is scan + project: the greedy span fold and sentinel strings build in-expression — zero extra Exchange",
     "text_normalize": "dirt synthesis + normalization is one whole-stage Project over the scan — zero shuffle, zero Python",
+    "multimodal_dimensions_mp4": "ISO-BMFF box-tree walk (three staged bounded scans, two nesting levels) fuses into ONE WholeStageCodegen stage — zero Exchange, zero Python",
+    "multimodal_dimensions_tiff": "endianness-switching IFD walk: every u16/u32 read is per-row conditional on the II/MM flag, still one codegen stage, zero shuffle",
+    "multimodal_dimensions_webp": "three sub-format bit-packings (incl. the VP8L 14-bit bitfields in one u32) dispatch in a single Project over the scan",
+    "compression_frame_info": "zstd descriptor-driven layout: field offsets AND widths branch on the descriptor byte — one codegen stage, no walk, no shuffle",
+    "bytelevel_bpe_tokenize": "byte-level encode over DISTINCT words (LUT indexing + ten merge folds); positioned occurrences reassemble per doc in one aggregate — no window, no global sort",
+    "lm_surprisal_trigram": "three count tables (uni/bi/tri) trained once; scoring joins zipf keys left to AQE; the 1-row total broadcast cross-joins",
+    "mojibake_repair": "accent injection, latin-1 round-trip, signature detection and guarded repair in one whole-stage Project — zero shuffle, zero Python",
+    "gopher_quality": "all seven published rules as integer arithmetic in one Project on the scan — zero Exchange",
+    "langid_ngram": "trigram training one explode+agg; scoring joins the count table with the 5-row totals on a broadcast; argmin via min_by aggregate, no corpus window",
+    "content_defined_chunks": "candidate cuts via filtered sequence, greedy spacing via aggregate fold, chunk explode map-side — zero Exchange end to end",
 }
 
 
