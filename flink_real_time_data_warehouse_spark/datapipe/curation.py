@@ -505,13 +505,22 @@ def content_defined_chunks(df: DataFrame, id_col: str, text_col: str) -> DataFra
     CDC_WINDOW code points per position), the greedy spacing walk via an
     aggregate fold over the (few) candidates, the chunk explode map-side.
     Zero shuffle, zero Python (plan-tested)."""
-    t = F.col(text_col)
-    n = F.length(t).cast("long")
+    t0 = F.col(text_col)
+    # code-point ARRAY staged once per row: substr(text, i, 1) inside the
+    # position loop is O(i) on UTF8String, turning the scan O(n^2) —
+    # measured 14.3s at sf0.1; element_at on a staged array is O(1)
+    staged = df.where(F.length(t0) > 0).select(
+        F.col(id_col),
+        t0.alias("_t"),
+        F.length(t0).cast("long").alias("_n"),
+        F.transform(F.split(t0, ""), F.ascii).alias("_cp"),
+    )
+    n, cp = F.col("_n"), F.col("_cp")
 
     def win_hash(i):
         h = F.lit(0).cast("long")
         for j, g in enumerate(CDC_GEAR):
-            h = h + F.ascii(t.substr((i - j).cast("int"), F.lit(1))) * g
+            h = h + F.element_at(cp, (i - j).cast("int")) * g
         return h % CDC_MOD
 
     cands = F.when(
@@ -534,9 +543,7 @@ def content_defined_chunks(df: DataFrame, id_col: str, text_col: str) -> DataFra
             ),
         ).otherwise(acc),
     )
-    base = df.where(n > 0).select(
-        F.col(id_col), t.alias("_t"), n.alias("_n"), walk["cuts"].alias("_cuts")
-    )
+    base = staged.select(F.col(id_col), "_t", "_n", walk["cuts"].alias("_cuts"))
     bounds = F.when(
         (F.size("_cuts") > 0) & (F.element_at("_cuts", -1) == F.col("_n")),
         F.concat(F.array(F.lit(0).cast("long")), F.col("_cuts")),
