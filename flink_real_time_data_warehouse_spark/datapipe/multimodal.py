@@ -1457,20 +1457,33 @@ def parse_compression_headers(assets: DataFrame) -> DataFrame:
     p = F.col("payload")
     df = assets.select("asset_id", "payload")
     df = df.withColumn("_fhd", _be_int_at(p, F.lit(5), 1))
-    fhd = F.col("_fhd")
-    is_zstd = (F.hex(p.substr(1, 4)) == ZSTD_MAGIC) & (
-        F.shiftright(fhd, 3).bitwiseAND(F.lit(1)) == 0  # reserved bit
-    )
-    is_gzip = F.hex(p.substr(1, 3)) == "1F8B08"
+    df = df.withColumn("_n", F.octet_length(p).cast("long"))
+    fhd, n = F.col("_fhd"), F.col("_n")
     fcs_flag = F.shiftright(fhd, 6)
     ss = F.shiftright(fhd, 5).bitwiseAND(F.lit(1))
     cksum = F.shiftright(fhd, 2).bitwiseAND(F.lit(1))
     dflag = fhd.bitwiseAND(F.lit(3))
-    df = df.withColumn("_dpos", F.lit(6).cast("long") + F.when(ss == 0, 1).otherwise(0))
-    dpos = F.col("_dpos")
     did_size = F.element_at(
         F.array(F.lit(0), F.lit(1), F.lit(2), F.lit(4)), (dflag + 1).cast("int")
     )
+    # per-descriptor declared header length: magic(4) + fhd(1) + window
+    # descriptor (absent under Single_Segment) + dict ID + content size
+    # (flag 0 stores 1 byte only under Single_Segment)
+    fcs_size = F.when(fcs_flag == 0, ss).otherwise(
+        F.element_at(F.array(F.lit(0), F.lit(2), F.lit(4), F.lit(8)),
+                     (fcs_flag + 1).cast("int"))
+    )
+    needed = F.lit(5) + (1 - ss) + did_size + fcs_size
+    # a frame TRUNCATED before its declared fields rejects — same strict
+    # contract as the other containers (and as the Python twin)
+    is_zstd = (
+        (F.hex(p.substr(1, 4)) == ZSTD_MAGIC)
+        & (F.shiftright(fhd, 3).bitwiseAND(F.lit(1)) == 0)  # reserved bit
+        & (n >= needed)
+    )
+    is_gzip = (F.hex(p.substr(1, 3)) == "1F8B08") & (n >= 10)
+    df = df.withColumn("_dpos", F.lit(6).cast("long") + F.when(ss == 0, 1).otherwise(0))
+    dpos = F.col("_dpos")
     df = df.withColumn("_fpos", dpos + did_size)
     fpos = F.col("_fpos")
     dict_id = (
@@ -1521,6 +1534,9 @@ def parse_compression_header_py(payload: bytes) -> dict | None:
             return None
         fcs_flag, ss = fhd >> 6, (fhd >> 5) & 1
         cksum, dflag = (fhd >> 2) & 1, fhd & 3
+        fcs_width = ss if fcs_flag == 0 else [0, 2, 4, 8][fcs_flag]
+        if len(b) < 5 + (1 - ss) + [0, 1, 2, 4][dflag] + fcs_width:
+            return None  # truncated before the declared fields
         pos = 5
         wd = None
         if not ss:

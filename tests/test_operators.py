@@ -778,6 +778,11 @@ def test_compression_header_strictness(spark):
     fakes = [
         zstd[:4] + bytes([zstd[4] | 0x08]) + zstd[5:],   # reserved bit set
         zstd[:3],                                        # truncated magic
+        bytes.fromhex("28B52FFD"),                       # magic, no descriptor
+        bytes.fromhex("28B52FFD00"),                     # truncated before wd
+        bytes.fromhex("28B52FFD20"),                     # ss=1, missing cs byte
+        b"\x1f\x8b\x08",                                # gzip magic only
+        b"\x1f\x8b\x08" + b"\x00" * 4,                 # gzip cut before OS
         b"plain text, not a frame",
     ]
     for s in fakes:
@@ -785,3 +790,11 @@ def test_compression_header_strictness(spark):
         df = spark.createDataFrame([(1, bytearray(s))], "asset_id long, payload binary")
         row = parse_compression_headers(df).first()
         assert row["container"] is None and row["content_size"] is None, s[:8]
+    # the MINIMAL valid frame (Single_Segment + flag-0 one-byte size)
+    minimal = bytes.fromhex("28B52FFD2007")
+    py = parse_compression_header_py(minimal)
+    df = spark.createDataFrame([(1, bytearray(minimal))], "asset_id long, payload binary")
+    jvm = parse_compression_headers(df).first()
+    assert py["container"] == "zstd" == jvm["container"]
+    assert py["content_size"] == 7 == jvm["content_size"]
+    assert py["window_size"] == 7 == jvm["window_size"]  # ss: window = cs
