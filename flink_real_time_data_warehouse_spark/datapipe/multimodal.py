@@ -1307,17 +1307,20 @@ def parse_webp_headers(assets: DataFrame) -> DataFrame:
     sniffer). Fixed offsets, pure JVM bit arithmetic, zero Python, one
     codegen stage (plan-tested)."""
     p = F.col("payload")
+    n = F.octet_length(p).cast("long")
     is_riff = (F.hex(p.substr(1, 4)) == _ascii_hex("RIFF")) & (
         F.hex(p.substr(9, 4)) == _ascii_hex("WEBP")
     )
     cc = F.hex(p.substr(13, 4))
+    # each sub-format requires its dimension fields fully present —
+    # truncated chunks reject rather than decoding partial bytes
     vp8_ok = is_riff & (cc == _ascii_hex("VP8 ")) & (
         F.hex(p.substr(24, 3)) == "9D012A"
-    )
+    ) & (n >= 30)
     vp8l_ok = is_riff & (cc == _ascii_hex("VP8L")) & (
         F.hex(p.substr(21, 1)) == "2F"
-    )
-    vp8x_ok = is_riff & (cc == _ascii_hex("VP8X"))
+    ) & (n >= 25)
+    vp8x_ok = is_riff & (cc == _ascii_hex("VP8X")) & (n >= 30)
     lbits = _le_int(p, 22, 4)
     fmt = (
         F.when(vp8_ok, F.lit("vp8"))
@@ -1359,15 +1362,15 @@ def parse_webp_header_py(payload: bytes) -> dict | None:
         return int.from_bytes(chunk, "little") if chunk else 0
 
     cc = b[12:16]
-    if cc == b"VP8 " and b[23:26] == b"\x9d\x01\x2a":
+    if cc == b"VP8 " and b[23:26] == b"\x9d\x01\x2a" and len(b) >= 30:
         return {"container": "webp", "format": "vp8",
                 "width": le(26, 2) & 0x3FFF, "height": le(28, 2) & 0x3FFF}
-    if cc == b"VP8L" and b[20:21] == b"\x2f":
+    if cc == b"VP8L" and b[20:21] == b"\x2f" and len(b) >= 25:
         bits = le(21, 4)
         return {"container": "webp", "format": "vp8l",
                 "width": (bits & 0x3FFF) + 1,
                 "height": ((bits >> 14) & 0x3FFF) + 1}
-    if cc == b"VP8X":
+    if cc == b"VP8X" and len(b) >= 30:
         return {"container": "webp", "format": "vp8x",
                 "width": le(24, 3) + 1, "height": le(27, 3) + 1}
     return None

@@ -737,6 +737,8 @@ def test_webp_bitfield_boundaries_and_strictness(spark):
         vp8[:23] + b"\x00\x01\x2a" + vp8[26:],          # broken sync
         vp8l[:20] + b"\x30" + vp8l[21:],                # broken VP8L sig
         vp8[:12] + b"JUNK" + vp8[16:],                  # unknown fourcc
+        pay[2][:24],                                    # VP8X cut mid-dims
+        vp8l[:22],                                      # VP8L cut mid-bitfield
         b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt " + b"\x00" * 20,
         b"plain text that is no container",
     ]
