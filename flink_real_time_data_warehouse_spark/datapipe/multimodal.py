@@ -532,8 +532,13 @@ MP3_RATES = [44100, 48000, 32000]
 def _be_int_at(p, pos, n: int):
     """n bytes of binary col `p` at Column position `pos` (1-indexed) ->
     big-endian long. Column.substr accepts Column args, so the offset can
-    be data-dependent while staying JVM-side."""
-    return F.conv(F.hex(p.substr(pos.cast("int"), F.lit(n))), 16, 10).cast("long")
+    be data-dependent while staying JVM-side. try_cast: a corrupted size
+    field can push a walk position past int32, and an ANSI cast would
+    crash the whole job — NULL position -> NULL read -> no match, the
+    same rejection the Python twins produce."""
+    return F.conv(
+        F.hex(p.substr(pos.try_cast("int"), F.lit(n))), 16, 10
+    ).cast("long")
 
 
 def synth_av_payloads(docs: DataFrame) -> DataFrame:
@@ -671,7 +676,9 @@ def parse_av_headers(assets: DataFrame) -> DataFrame:
     channels = F.when(mode == 3, F.lit(1)).otherwise(F.lit(2)).cast("long")
 
     sof = F.col("_sof")
-    jpeg_found = sof.isNotNull()
+    # dims live at SOF+5..SOF+8: a payload truncated inside them rejects
+    # (the Python twin's pos+9 > len guard), not "jpeg with NULL dims"
+    jpeg_found = sof.isNotNull() & (sof + 8 <= F.octet_length(p))
     mp3_found = sof.isNull() & F.col("_frame_ok")
     container = F.when(jpeg_found, F.lit("jpeg")).when(mp3_found, F.lit("mp3"))
     return df.select(
@@ -756,8 +763,9 @@ _MP4_UNITY_MATRIX = (
 
 def _fourcc_at(p, pos):
     """4 bytes of binary col `p` at Column position `pos` (1-indexed) as a
-    hex string, for 4cc comparisons."""
-    return F.hex(p.substr(pos.cast("int"), F.lit(4)))
+    hex string, for 4cc comparisons. try_cast for the same overflow-
+    rejection as _be_int_at."""
+    return F.hex(p.substr(pos.try_cast("int"), F.lit(4)))
 
 
 def synth_mp4_payloads(docs: DataFrame) -> DataFrame:
@@ -1049,8 +1057,8 @@ TIFF_IFD_ENTRIES = 7
 def _le_int_at(p, pos, n: int):
     """n bytes of binary col `p` at Column position `pos` (1-indexed) ->
     little-endian long (pair-swapped hex, the Column-position twin of
-    _le_int)."""
-    h = F.hex(p.substr(pos.cast("int"), F.lit(n)))
+    _le_int). try_cast for the same overflow-rejection as _be_int_at."""
+    h = F.hex(p.substr(pos.try_cast("int"), F.lit(n)))
     pairs = [F.substring(h, 2 * i + 1, 2) for i in reversed(range(n))]
     return F.conv(F.concat(*pairs), 16, 10).cast("long")
 
