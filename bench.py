@@ -221,6 +221,7 @@ HEADLINE = [
     "langid_ngram",
     "dedup_exact_stream_builtin",
     "content_defined_chunks",
+    "tfrecord_varint_decode",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

@@ -1571,3 +1571,258 @@ def parse_compression_header_py(payload: bytes) -> dict | None:
     if len(b) >= 10 and b[:3] == b"\x1f\x8b\x08":
         return {"container": "gzip", "mtime": le(4, 4), "os_id": b[9]}
     return None
+
+
+# ---------------------------------------------------------------------------
+# Self-terminating varint chains (round 10): TFRecord-framed protobuf wire
+# format — what a training pipeline actually reads off disk. The framing
+# is fixed (u64le payload length + 4-byte masked-CRC slots, zeroed here —
+# crc32c is a table-driven kernel with no cross-engine SQL form,
+# documented stub); the MESSAGE is the interesting shape: every field
+# starts with a varint key (field<<3 | wire-type) and varint values are
+# SELF-TERMINATING byte chains (continuation bit 0x80), so each stride of
+# the field walk depends on the bytes just decoded — a seventh decode
+# shape after fixed offsets, segment chains, box trees, endianness
+# switches, bit packs, and descriptor layouts.
+# ---------------------------------------------------------------------------
+
+#: max varint bytes the reader unrolls (values < 2^28)
+VARINT_MAX_BYTES = 4
+#: fields the message walk scans (the synth emits exactly 4 top-level)
+PB_FIELD_STEPS = 4
+
+
+def _varint_val_at(p, pos):
+    """Decode a (<= VARINT_MAX_BYTES-byte) varint at Column position
+    `pos`: little-endian base-128 groups, continuation bit 0x80."""
+    bs = [_be_int_at(p, pos + k, 1) for k in range(VARINT_MAX_BYTES)]
+    val = F.lit(None).cast("long")
+    acc = F.lit(0).cast("long")
+    expr = None
+    for k in range(VARINT_MAX_BYTES):
+        acc = acc + F.shiftleft(bs[k].bitwiseAND(F.lit(127)), 7 * k)
+        cond = bs[k] < 128
+        expr = F.when(cond, acc) if expr is None else expr.when(cond, acc)
+        acc = acc  # groups accumulate across the chain
+    return expr.otherwise(val)
+
+
+def _varint_width_at(p, pos):
+    """Byte width of the varint at `pos` (NULL if it never terminates
+    within VARINT_MAX_BYTES — a truncated or oversized chain rejects)."""
+    bs = [_be_int_at(p, pos + k, 1) for k in range(VARINT_MAX_BYTES)]
+    expr = None
+    for k in range(VARINT_MAX_BYTES):
+        cond = bs[k] < 128
+        lit = F.lit(k + 1).cast("long")
+        expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
+    return expr.otherwise(F.lit(None).cast("long"))
+
+
+def _varint_enc(v, max_bytes: int = VARINT_MAX_BYTES):
+    """Column -> varint bytes (synthesis side)."""
+    groups = [
+        F.shiftright(v, 7 * k).bitwiseAND(F.lit(127)) for k in range(max_bytes)
+    ]
+    out = _be_enc(groups[0], 1)
+    for k in range(1, max_bytes):
+        bound = 1 << (7 * k)
+        prev = F.concat(
+            *[_be_enc(groups[j] + 128, 1) for j in range(k)], _be_enc(groups[k], 1)
+        )
+        out = F.when(v >= bound, prev).otherwise(out)
+    return out
+
+
+def synth_tfrecord_payloads(docs: DataFrame) -> DataFrame:
+    """One TFRecord frame per document wrapping a 4-field protobuf-wire
+    message, every value a deterministic function of doc_id:
+
+      field 1 varint  record_id = doc_id
+      field 2 bytes   name = 'x' * (1 + doc_id%9)
+      field 3 varint  flags = doc_id % 300          (multi-byte varints)
+      field 4 message inner: f1 varint width = 16 + doc_id%70000,
+                             f2 varint height = 16 + (doc_id*13)%50000
+
+    FIELD ORDER ALTERNATES with doc_id parity (wire format permits any
+    order), so the parser must genuinely walk keys, never assume
+    offsets. CRC slots are zeroed (documented stub). The parse path
+    below trusts only the bytes."""
+    did = F.col("doc_id")
+    rid, flags = did.cast("long"), (did % 300).cast("long")
+    w = (F.lit(16) + did % 70000).cast("long")
+    h = (F.lit(16) + (did * 13) % 50000).cast("long")
+    name_len = (F.lit(1) + did % 9).cast("long")
+    name = F.unhex(F.lit("78" * 9).substr(F.lit(1), (name_len * 2).cast("int")))
+    f1 = F.concat(_lit_bin("08"), _varint_enc(rid))
+    f2 = F.concat(_lit_bin("12"), _varint_enc(name_len, 1), name)
+    f3 = F.concat(_lit_bin("18"), _varint_enc(flags))
+    inner = F.concat(
+        _lit_bin("08"), _varint_enc(w), _lit_bin("10"), _varint_enc(h)
+    )
+    f4 = F.concat(_lit_bin("22"), _varint_enc(F.octet_length(inner).cast("long"), 1), inner)
+    msg = F.when(did % 2 == 0, F.concat(f1, f2, f3, f4)).otherwise(
+        F.concat(f3, f1, f4, f2)
+    )
+    frame = F.concat(
+        _le_enc(F.octet_length(msg).cast("long"), 8),  # length
+        _lit_bin("00000000"),                          # masked len-CRC (stub)
+        msg,
+        _lit_bin("00000000"),                          # masked data-CRC (stub)
+    )
+    return docs.select(did.alias("asset_id"), frame.alias("payload"))
+
+
+def parse_tfrecord_headers(assets: DataFrame) -> DataFrame:
+    """TFRecord + wire-format extraction trusting ONLY the bytes: the
+    u64le length must exactly account for the frame (12 + len + 4 =
+    total), then the message walk reads PB_FIELD_STEPS fields — at each
+    step the key varint dispatches on wire type (0 varint, 2
+    length-delimited), the stride is the just-decoded widths, and the
+    target fields capture via first-match coalesce. The nested field-4
+    message walks its two inner varints the same way. A key with an
+    unexpected field/wire pair, a varint that never terminates, or a
+    walk that does not land exactly at the message end rejects the
+    record (strict). Returns (asset_id, record_id, name_len, flags,
+    width, height).
+
+    Same staging discipline as the other walks: one WholeStageCodegen
+    stage, zero Python, zero shuffle (plan-tested)."""
+    p = F.col("payload")
+    df = assets.select("asset_id", "payload")
+    df = df.withColumn("_n", F.octet_length(p).cast("long"))
+    df = df.withColumn("_len", _le_int(p, 1, 8))
+    n, mlen = F.col("_n"), F.col("_len")
+    frame_ok = (n >= 17) & (n == mlen + 16)
+    msg_start = F.lit(13).cast("long")  # 1-indexed: after length + CRC slot
+    msg_end = msg_start + mlen          # exclusive
+
+    # top-level walk: stage position, key, and the advance per step
+    df = df.withColumn("_q0", msg_start)
+    for i in range(PB_FIELD_STEPS):
+        q = F.col(f"_q{i}")
+        df = df.withColumn(f"_k{i}", _be_int_at(p, q, 1))
+        key = F.col(f"_k{i}")
+        wire = key.bitwiseAND(F.lit(7))
+        df = df.withColumn(f"_vw{i}", _varint_width_at(p, q + 1))
+        df = df.withColumn(f"_vv{i}", _varint_val_at(p, q + 1))
+        vw, vv = F.col(f"_vw{i}"), F.col(f"_vv{i}")
+        # stride: key byte + (varint | 1-byte len varint + payload)
+        df = df.withColumn(
+            f"_adv{i}",
+            F.when(wire == 0, 1 + vw).when(wire == 2, 1 + vw + vv),
+        )
+        df = df.withColumn(f"_q{i + 1}", q + F.col(f"_adv{i}"))
+
+    def field_val(key_byte: int):
+        return F.coalesce(
+            *[
+                F.when(F.col(f"_k{i}") == key_byte, F.col(f"_vv{i}"))
+                for i in range(PB_FIELD_STEPS)
+            ]
+        )
+
+    def field_pos(key_byte: int):
+        return F.coalesce(
+            *[
+                F.when(F.col(f"_k{i}") == key_byte, F.col(f"_q{i}"))
+                for i in range(PB_FIELD_STEPS)
+            ]
+        )
+
+    # strict: every step's key must be one of the four expected, the walk
+    # must land exactly on the message end, every stride defined
+    known = F.lit(True)
+    for i in range(PB_FIELD_STEPS):
+        known = known & F.col(f"_k{i}").isin(0x08, 0x12, 0x18, 0x22) & F.col(
+            f"_adv{i}"
+        ).isNotNull()
+    walk_ok = frame_ok & known & (F.col(f"_q{PB_FIELD_STEPS}") == msg_end)
+
+    rid = field_val(0x08)
+    name_len = field_val(0x12)  # wire 2: _vv is the length varint
+    flags = field_val(0x18)
+    # nested message: inner payload starts after key + 1-byte len varint
+    df = df.withColumn("_ipos", field_pos(0x22) + 2)
+    df = df.withColumn("_ilen", field_val(0x22))
+    ipos, ilen = F.col("_ipos"), F.col("_ilen")
+    df = df.withColumn("_iwv", _varint_width_at(p, ipos + 1))
+    inner_w = F.when(_be_int_at(p, ipos, 1) == 0x08, _varint_val_at(p, ipos + 1))
+    df = df.withColumn("_w", inner_w)
+    hpos = ipos + 1 + F.col("_iwv")
+    df = df.withColumn("_hw", _varint_width_at(p, hpos + 1))
+    inner_h = F.when(_be_int_at(p, hpos, 1) == 0x10, _varint_val_at(p, hpos + 1))
+    df = df.withColumn("_h", inner_h)
+    inner_ok = (
+        F.col("_w").isNotNull()
+        & F.col("_h").isNotNull()
+        & (hpos + 1 + F.col("_hw") == ipos + ilen)  # inner walk lands on end
+    )
+    ok = walk_ok & rid.isNotNull() & name_len.isNotNull() & flags.isNotNull() & inner_ok
+    return df.select(
+        "asset_id",
+        F.when(ok, rid).alias("record_id"),
+        F.when(ok, name_len).alias("name_len"),
+        F.when(ok, flags).alias("flags"),
+        F.when(ok, F.col("_w")).alias("width"),
+        F.when(ok, F.col("_h")).alias("height"),
+    )
+
+
+def parse_tfrecord_header_py(payload: bytes) -> dict | None:
+    """The Python-path twin of parse_tfrecord_headers (same strict
+    contract), for boundary tests."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    n = len(b)
+    if n < 17:
+        return None
+    mlen = int.from_bytes(b[:8], "little")
+    if n != mlen + 16:
+        return None
+
+    def varint(o: int):
+        val, width = 0, None
+        for k in range(VARINT_MAX_BYTES):
+            if o + k >= n:
+                return None, None
+            byte = b[o + k]
+            val |= (byte & 127) << (7 * k)
+            if byte < 128:
+                width = k + 1
+                return val, width
+        return None, None
+
+    pos, end = 12, 12 + mlen
+    vals: dict[int, int] = {}
+    poss: dict[int, int] = {}
+    for _ in range(PB_FIELD_STEPS):
+        if pos >= n:
+            return None
+        key = b[pos]
+        if key not in (0x08, 0x12, 0x18, 0x22):
+            return None
+        vv, vw = varint(pos + 1)
+        if vw is None:
+            return None
+        if key not in vals:
+            vals[key], poss[key] = vv, pos
+        wire = key & 7
+        pos += 1 + vw + (vv if wire == 2 else 0)
+    if pos != end or set(vals) != {0x08, 0x12, 0x18, 0x22}:
+        return None
+    ipos, ilen = poss[0x22] + 2, vals[0x22]
+    if ipos >= n or b[ipos] != 0x08:
+        return None
+    w, ww = varint(ipos + 1)
+    if ww is None:
+        return None
+    hpos = ipos + 1 + ww
+    if hpos >= n or b[hpos] != 0x10:
+        return None
+    h, hw = varint(hpos + 1)
+    if hw is None or hpos + 1 + hw != ipos + ilen:
+        return None
+    return {"record_id": vals[0x08], "name_len": vals[0x12],
+            "flags": vals[0x18], "width": w, "height": h}

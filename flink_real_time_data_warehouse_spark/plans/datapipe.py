@@ -4468,6 +4468,44 @@ def compression_frame_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfrecord_varint_decode",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(doc_id AS BIGINT) AS record_id,
+           CAST(1 + doc_id % 9 AS BIGINT) AS name_len,
+           CAST(doc_id % 300 AS BIGINT) AS flags,
+           CAST(16 + doc_id % 70000 AS BIGINT) AS width,
+           CAST(16 + (doc_id * 13) % 50000 AS BIGINT) AS height
+    FROM documents
+    """,
+    doc=(
+        "SELF-TERMINATING varint chains (TFRecord-framed protobuf wire "
+        "format — what a training pipeline actually reads off disk): the "
+        "u64le frame length must exactly account for the record, then a "
+        "field walk whose STRIDE is the bytes just decoded — each field "
+        "starts with a varint key dispatching on wire type, values are "
+        "continuation-bit (0x80) base-128 chains, and field ORDER "
+        "alternates per record so offsets cannot be assumed; a nested "
+        "length-delimited message walks the same way. A key outside the "
+        "schema, a varint that never terminates, or a walk not landing "
+        "exactly on the message end rejects. CRC slots zeroed (crc32c "
+        "has no cross-engine SQL form — documented stub). One codegen "
+        "stage, zero Python, zero shuffle (plan-tested); oracle replays "
+        "the synthesis formulas, so the varint encoder and decoder check "
+        "each other across every width boundary in the corpus"
+    ),
+)
+def tfrecord_varint_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.multimodal import (
+        parse_tfrecord_headers,
+        synth_tfrecord_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return parse_tfrecord_headers(synth_tfrecord_payloads(docs))
+
+
+@register(
     "frame_sample",
     oracle=f"""
     WITH v AS (SELECT doc_id AS asset_id, md5(text) AS h,

@@ -80,7 +80,8 @@ _GRADE_FIRST: list[str] = [
     # this session): multimodal_dimensions_mp4, multimodal_dimensions_tiff,
     # multimodal_dimensions_webp, compression_frame_info,
     # bytelevel_bpe_tokenize, dedup_exact_stream_builtin,
-    # lm_surprisal_trigram, mojibake_repair, gopher_quality (and
+    # lm_surprisal_trigram, mojibake_repair, gopher_quality,
+    # langid_ngram, content_defined_chunks, tfrecord_varint_decode (and
     # bounce_stream_tws where the protobuf runtime exists) — then the
     # stalest r7-rowed block (new_user_fix, uv_daily, bounce_events,
     # order_wide, payment_wide, dup_spans, the r7 TPC-H/curation names),

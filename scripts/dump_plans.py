@@ -51,6 +51,7 @@ SHOWCASE = {
     "gopher_quality": "all seven published rules as integer arithmetic in one Project on the scan — zero Exchange",
     "langid_ngram": "trigram training one explode+agg; scoring joins the count table with the 5-row totals on a broadcast; argmin via min_by aggregate, no corpus window",
     "content_defined_chunks": "candidate cuts via filtered sequence, greedy spacing via aggregate fold, chunk explode map-side — zero Exchange end to end",
+    "tfrecord_varint_decode": "varint field walk: stride = bytes just decoded, nested message walked the same way — one codegen stage, zero Python, zero shuffle",
 }
 
 

@@ -829,6 +829,12 @@ def test_header_twins_agree_under_truncation_and_corruption(spark):
     )
 
     seeds = spark.createDataFrame([(7,), (8,), (13,)], "doc_id long")
+    from flink_real_time_data_warehouse_spark.datapipe.multimodal import (
+        parse_tfrecord_header_py,
+        parse_tfrecord_headers,
+        synth_tfrecord_payloads,
+    )
+
     families = [
         (synth_mp4_payloads, parse_mp4_headers, parse_mp4_header_py),
         (synth_tiff_payloads, parse_tiff_headers, parse_tiff_header_py),
@@ -836,6 +842,8 @@ def test_header_twins_agree_under_truncation_and_corruption(spark):
         (synth_av_payloads, parse_av_headers, parse_av_header_py),
         (synth_compression_payloads, parse_compression_headers,
          parse_compression_header_py),
+        (synth_tfrecord_payloads, parse_tfrecord_headers,
+         parse_tfrecord_header_py),
     ]
     for synth, jvm_parse, py_parse in families:
         goods = [bytes(r["payload"]) for r in synth(seeds).collect()]
@@ -860,3 +868,42 @@ def test_header_twins_agree_under_truncation_and_corruption(spark):
             else:
                 for k, v in py.items():
                     assert jvm.get(k) == v, (synth.__name__, i, k, jvm.get(k), v)
+
+
+def test_tfrecord_varint_boundaries(spark):
+    """Varint width boundaries (127/128, 16383/16384, 2097151/2097152)
+    and both field orders decode identically in the JVM walk and the
+    Python twin; a wrong frame length, an out-of-schema key, and a
+    never-terminating varint reject in both."""
+    import struct
+
+    from flink_real_time_data_warehouse_spark.datapipe.multimodal import (
+        parse_tfrecord_header_py,
+        parse_tfrecord_headers,
+        synth_tfrecord_payloads,
+    )
+
+    cases = [0, 1, 111, 112, 127, 128, 16383, 16384, 69999, 99999]
+    docs = spark.createDataFrame([(d,) for d in cases], "doc_id long")
+    pay = {r["asset_id"]: bytes(r["payload"])
+           for r in synth_tfrecord_payloads(docs).collect()}
+    parsed = {r["asset_id"]: r.asDict()
+              for r in parse_tfrecord_headers(synth_tfrecord_payloads(docs)).collect()}
+    for d in cases:
+        want = {"record_id": d, "name_len": 1 + d % 9, "flags": d % 300,
+                "width": 16 + d % 70000, "height": 16 + (d * 13) % 50000}
+        assert {k: parsed[d][k] for k in want} == want, d
+        assert parse_tfrecord_header_py(pay[d]) == want, d
+
+    good = pay[1]
+    fakes = [
+        struct.pack("<Q", 999) + good[8:],               # frame length lies
+        good[:12] + b"\x3a" + good[13:],                 # field 7 key: not in schema
+        good[:13] + b"\xff\xff\xff\xff" + good[17:],     # varint never ends
+        good[:-4],                                       # trailing CRC slot cut
+    ]
+    for s in fakes:
+        assert parse_tfrecord_header_py(s) is None, s[:12]
+        df = spark.createDataFrame([(1, bytearray(s))], "asset_id long, payload binary")
+        row = parse_tfrecord_headers(df).first()
+        assert row["record_id"] is None and row["width"] is None, s[:12]

@@ -743,3 +743,15 @@ def test_compression_frame_info_zero_python(spark):
     assert "Exchange" not in plan
     assert "*(1)" in plan
     assert "*(2)" not in plan
+
+
+def test_tfrecord_varint_decode_zero_python(spark):
+    """The varint field walk (round 10) stays pure JVM: no Python eval
+    node, zero Exchange, ONE whole-stage-codegen stage."""
+    df = registry()["tfrecord_varint_decode"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapsInPandas"):
+        assert bad not in plan, f"Python crossed into the plan: {bad}"
+    assert "Exchange" not in plan
+    assert "*(1)" in plan
+    assert "*(2)" not in plan
