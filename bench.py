@@ -222,6 +222,8 @@ HEADLINE = [
     "dedup_exact_stream_builtin",
     "content_defined_chunks",
     "tfrecord_varint_decode",
+    # round 10 continuation session
+    "flac_stream_info",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

@@ -1826,3 +1826,134 @@ def parse_tfrecord_header_py(payload: bytes) -> dict | None:
         return None
     return {"record_id": vals[0x08], "name_len": vals[0x12],
             "flags": vals[0x18], "width": w, "height": h}
+
+
+# ---------------------------------------------------------------------------
+# Bit-packed cross-byte layouts (round 10 continuation): FLAC STREAMINFO.
+# Every container above keeps its fields byte-aligned; FLAC's mandatory
+# first metadata block packs sample_rate(20) | channels-1(3) | bps-1(5) |
+# total_samples(36) into ONE big-endian 64-bit group, so every field
+# boundary falls mid-byte and the 36-bit sample count straddles the
+# signed-long-unsafe top half. The decode reads the group as two u32
+# halves (a full u64 conv().cast("long") would wrap for payloads with
+# the high bit set) and shifts fields out — the audio sibling of WebP's
+# VP8L sub-byte dims, at 3x the field count. Layout: RFC 9639 §8.2.
+# ---------------------------------------------------------------------------
+
+
+def synth_flac_payloads(docs: DataFrame) -> DataFrame:
+    """Format-valid 42-byte FLAC prefixes (fLaC magic + STREAMINFO
+    metadata block), every field a deterministic function of doc_id so a
+    SQL oracle can replay them:
+
+      min_block  = 16 + doc_id % 4080          (spec floor 16)
+      max_block  = min_block + (doc_id*3) % 1000
+      min_frame  = (doc_id * 37)  % 2^24
+      max_frame  = min_frame + (doc_id * 11) % 100000, capped to 24 bits
+      rate       = 8000 + (doc_id * 131) % 640000   (20-bit field)
+      channels   = 1 + doc_id % 8                   (stored minus one)
+      bps        = 4 + (doc_id * 5) % 29            (stored minus one)
+      samples    = (doc_id * 100003) % 2^36         (36-bit field)
+
+    The last-metadata-block flag alternates with doc_id parity (both are
+    valid). MD5 slot is md5(doc_id) — present and honest-length, ignored
+    by the parse path, which trusts only the bytes."""
+    did = F.col("doc_id")
+    min_block = (F.lit(16) + did % 4080).cast("long")
+    max_block = (min_block + (did * 3) % 1000).cast("long")
+    min_frame = ((did * 37) % (1 << 24)).cast("long")
+    max_frame = F.least(
+        min_frame + (did * 11) % 100000, F.lit((1 << 24) - 1)
+    ).cast("long")
+    rate = (F.lit(8000) + (did * 131) % 640000).cast("long")
+    channels = (F.lit(1) + did % 8).cast("long")
+    bps = (F.lit(4) + (did * 5) % 29).cast("long")
+    samples = ((did * 100003) % (1 << 36)).cast("long")
+    hi = (
+        F.shiftleft(rate, 12)
+        + F.shiftleft(channels - 1, 9)
+        + F.shiftleft(bps - 1, 4)
+        + F.shiftright(samples, 32)
+    )
+    lo = samples.bitwiseAND(F.lit((1 << 32) - 1))
+    hdr = F.when(did % 2 == 1, _lit_bin("80")).otherwise(_lit_bin("00"))
+    return docs.select(
+        did.alias("asset_id"),
+        F.concat(
+            _lit_bin(_ascii_hex("fLaC")),
+            hdr,                       # last-block flag | type 0 (STREAMINFO)
+            _be_enc(F.lit(34), 3),     # block length
+            _be_enc(min_block, 2), _be_enc(max_block, 2),
+            _be_enc(min_frame, 3), _be_enc(max_frame, 3),
+            _be_enc(hi, 4), _be_enc(lo, 4),
+            F.unhex(F.md5(did.cast("string"))),  # 16-byte MD5 slot
+        ).alias("payload"),
+    )
+
+
+def parse_flac_headers(assets: DataFrame) -> DataFrame:
+    """FLAC STREAMINFO extraction trusting ONLY the bytes: fLaC sniff,
+    first metadata block must be type 0 (either last-block flag) with
+    the spec-fixed length 34 and all 34 bytes present, then the 64-bit
+    packed group is read as two u32 halves and bit-shifted apart:
+
+      sample_rate      = hi >> 12        (20 bits; 0 is invalid -> reject)
+      channels         = ((hi >> 9) & 7) + 1
+      bits_per_sample  = ((hi >> 4) & 31) + 1
+      total_samples    = ((hi & 15) << 32) | lo   (36 bits)
+
+    A min block size below the spec floor of 16 also rejects. Fixed
+    offsets, pure JVM bit arithmetic, zero Python, one codegen stage
+    (plan-tested)."""
+    p = F.col("payload")
+    n = F.octet_length(p).cast("long")
+    hi, lo = _be_int(p, 19, 4), _be_int(p, 23, 4)
+    min_block = _be_int(p, 9, 2)
+    rate = F.shiftright(hi, 12)
+    ok = (
+        (n >= 42)
+        & (F.hex(p.substr(1, 4)) == _ascii_hex("fLaC"))
+        & (_be_int(p, 5, 1).bitwiseAND(F.lit(0x7F)) == 0)
+        & (_be_int(p, 6, 3) == 34)
+        & (min_block >= 16)
+        & (rate != 0)
+    )
+    def _f(col):
+        return F.when(ok, col)
+    return assets.select(
+        "asset_id",
+        _f(F.lit("flac")).alias("container"),
+        _f(rate).alias("sample_rate"),
+        _f(F.shiftright(hi, 9).bitwiseAND(F.lit(7)) + 1).alias("channels"),
+        _f(F.shiftright(hi, 4).bitwiseAND(F.lit(31)) + 1).alias("bits_per_sample"),
+        _f(F.shiftleft(hi.bitwiseAND(F.lit(15)), 32) + lo).alias("total_samples"),
+        _f(min_block).alias("min_block_size"),
+        _f(_be_int(p, 11, 2)).alias("max_block_size"),
+    )
+
+
+def parse_flac_header_py(payload: bytes) -> dict | None:
+    """The Python-path twin of parse_flac_headers (same strict contract),
+    for the mapInPandas decode route and for boundary/parity tests."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if len(b) < 42 or b[:4] != b"fLaC":
+        return None
+    if b[4] & 0x7F or int.from_bytes(b[5:8], "big") != 34:
+        return None
+    min_block = int.from_bytes(b[8:10], "big")
+    hi = int.from_bytes(b[18:22], "big")
+    lo = int.from_bytes(b[22:26], "big")
+    rate = hi >> 12
+    if min_block < 16 or rate == 0:
+        return None
+    return {
+        "container": "flac",
+        "sample_rate": rate,
+        "channels": ((hi >> 9) & 7) + 1,
+        "bits_per_sample": ((hi >> 4) & 31) + 1,
+        "total_samples": ((hi & 15) << 32) | lo,
+        "min_block_size": min_block,
+        "max_block_size": int.from_bytes(b[10:12], "big"),
+    }

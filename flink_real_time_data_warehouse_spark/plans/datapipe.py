@@ -4506,6 +4506,40 @@ def tfrecord_varint_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "flac_stream_info",
+    oracle="""
+    SELECT doc_id AS asset_id, 'flac' AS container,
+           CAST(8000 + (doc_id * 131) % 640000 AS BIGINT) AS sample_rate,
+           CAST(1 + doc_id % 8 AS BIGINT) AS channels,
+           CAST(4 + (doc_id * 5) % 29 AS BIGINT) AS bits_per_sample,
+           CAST((doc_id * 100003) % 68719476736 AS BIGINT) AS total_samples,
+           CAST(16 + doc_id % 4080 AS BIGINT) AS min_block_size,
+           CAST(16 + doc_id % 4080 + (doc_id * 3) % 1000 AS BIGINT)
+             AS max_block_size
+    FROM documents
+    """,
+    doc=(
+        "BIT-PACKED CROSS-BYTE layout decode (FLAC STREAMINFO, RFC 9639 "
+        "§8.2): sample_rate(20) | channels-1(3) | bps-1(5) | "
+        "total_samples(36) live in ONE big-endian 64-bit group, so every "
+        "field boundary falls mid-byte — the shape none of the "
+        "byte-aligned containers (PNG..MP4/TIFF/WebP) exercises at this "
+        "density, and the 36-bit sample count straddles the u64 "
+        "signed-cast hazard (read as two u32 halves). Strict sniffer: "
+        "bad magic, non-STREAMINFO first block, wrong block length, "
+        "sub-spec min block size, or zero sample rate -> NULL. Pure JVM "
+        "bit arithmetic, one codegen stage, zero Python, zero shuffle "
+        "(plan-tested); oracle replays the synthesis formulas"
+    ),
+)
+def flac_stream_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.multimodal import parse_flac_headers, synth_flac_payloads
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return parse_flac_headers(synth_flac_payloads(docs))
+
+
+@register(
     "frame_sample",
     oracle=f"""
     WITH v AS (SELECT doc_id AS asset_id, md5(text) AS h,

@@ -830,8 +830,11 @@ def test_header_twins_agree_under_truncation_and_corruption(spark):
 
     seeds = spark.createDataFrame([(7,), (8,), (13,)], "doc_id long")
     from flink_real_time_data_warehouse_spark.datapipe.multimodal import (
+        parse_flac_header_py,
+        parse_flac_headers,
         parse_tfrecord_header_py,
         parse_tfrecord_headers,
+        synth_flac_payloads,
         synth_tfrecord_payloads,
     )
 
@@ -844,6 +847,7 @@ def test_header_twins_agree_under_truncation_and_corruption(spark):
          parse_compression_header_py),
         (synth_tfrecord_payloads, parse_tfrecord_headers,
          parse_tfrecord_header_py),
+        (synth_flac_payloads, parse_flac_headers, parse_flac_header_py),
     ]
     for synth, jvm_parse, py_parse in families:
         goods = [bytes(r["payload"]) for r in synth(seeds).collect()]
@@ -907,3 +911,64 @@ def test_tfrecord_varint_boundaries(spark):
         df = spark.createDataFrame([(1, bytearray(s))], "asset_id long, payload binary")
         row = parse_tfrecord_headers(df).first()
         assert row["record_id"] is None and row["width"] is None, s[:12]
+
+
+def test_flac_bitfield_boundaries(spark):
+    """FLAC STREAMINFO (round-10 continuation, cross-byte bit packing):
+    JVM and Python twins agree at every field's min/max bit boundary —
+    20-bit sample rate edges, 3-bit channel edges, 5-bit bps edges, a
+    36-bit sample count with all four straddle bits set — and both
+    reject bad magic, a non-STREAMINFO first block, a wrong block
+    length, a sub-spec min block size, zero sample rate, and every
+    truncation."""
+    from flink_real_time_data_warehouse_spark.datapipe.multimodal import (
+        parse_flac_header_py,
+        parse_flac_headers,
+        synth_flac_payloads,
+    )
+
+    def mk(rate=44100, ch=2, bps=16, samples=1234567, min_b=4096,
+           max_b=4096, last=0, btype=0, blen=34, magic=b"fLaC"):
+        hi = (rate << 12) | ((ch - 1) << 9) | ((bps - 1) << 4) | (samples >> 32)
+        return (magic + bytes([(last << 7) | btype])
+                + blen.to_bytes(3, "big")
+                + min_b.to_bytes(2, "big") + max_b.to_bytes(2, "big")
+                + (100).to_bytes(3, "big") + (200).to_bytes(3, "big")
+                + hi.to_bytes(4, "big")
+                + (samples & 0xFFFFFFFF).to_bytes(4, "big") + b"\x00" * 16)
+
+    goods = [
+        mk(),
+        mk(rate=1, ch=1, bps=1, samples=0, min_b=16),          # field floors
+        mk(rate=(1 << 20) - 1, ch=8, bps=32,                   # field ceilings
+           samples=(1 << 36) - 1, min_b=65535, max_b=65535),
+        mk(rate=0x80000, samples=0xF00000000, last=1),         # straddle bits
+    ]
+    bads = [
+        mk(magic=b"flaC"),
+        mk(btype=4),            # VORBIS_COMMENT first — not STREAMINFO
+        mk(blen=33),
+        mk(min_b=15),           # below spec floor
+        mk(rate=0),             # invalid sample rate
+    ]
+    probes = goods + bads + [goods[0][:cut] for cut in range(0, 42, 5)]
+    df = spark.createDataFrame(
+        [(i, bytearray(s)) for i, s in enumerate(probes)],
+        "asset_id long, payload binary",
+    )
+    jvm = {r["asset_id"]: r.asDict() for r in parse_flac_headers(df).collect()}
+    for i, s in enumerate(probes):
+        py = parse_flac_header_py(s)
+        got = {k: v for k, v in jvm[i].items() if k != "asset_id"}
+        if py is None:
+            assert all(v is None for v in got.values()), (i, got)
+            assert i >= len(goods), i  # every good payload must decode
+        else:
+            assert got == py, (i, got, py)
+
+    # synthesis round-trip at the doc_id extremes the corpus contains
+    docs = spark.createDataFrame([(0,), (1,), (4999,)], "doc_id long")
+    for r in parse_flac_headers(synth_flac_payloads(docs)).collect():
+        d = r["asset_id"]
+        assert r["sample_rate"] == 8000 + (d * 131) % 640000
+        assert r["total_samples"] == (d * 100003) % (1 << 36)

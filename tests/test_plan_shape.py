@@ -755,3 +755,15 @@ def test_tfrecord_varint_decode_zero_python(spark):
     assert "Exchange" not in plan
     assert "*(1)" in plan
     assert "*(2)" not in plan
+
+
+def test_flac_stream_info_zero_python(spark):
+    """The FLAC cross-byte bitfield decode (round-10 continuation) stays
+    pure JVM: no Python eval node, zero Exchange, ONE codegen stage."""
+    df = registry()["flac_stream_info"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapsInPandas"):
+        assert bad not in plan, f"Python crossed into the plan: {bad}"
+    assert "Exchange" not in plan
+    assert "*(1)" in plan
+    assert "*(2)" not in plan
