@@ -224,6 +224,7 @@ HEADLINE = [
     "tfrecord_varint_decode",
     # round 10 continuation session
     "flac_stream_info",
+    "parquet_footer_info",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

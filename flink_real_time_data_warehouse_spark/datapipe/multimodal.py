@@ -1957,3 +1957,200 @@ def parse_flac_header_py(payload: bytes) -> dict | None:
         "min_block_size": min_block,
         "max_block_size": int.from_bytes(b[10:12], "big"),
     }
+
+
+# ---------------------------------------------------------------------------
+# Tail-anchored layouts + signed varints (round 10 continuation): the
+# Parquet footer. Every container above is parsed head-first; Parquet's
+# metadata lives at the END — PAR1 magic at both edges, a u32le footer
+# length at n-7, and the footer START computed backwards from it — and
+# its thrift-compact struct encodes integers as ZIGZAG varints (sign bit
+# folded into bit 0), the signed sibling of TFRecord's plain base-128
+# chains. The walk decodes a FileMetaData subset: field 1 version (i32),
+# field 3 num_rows (i64) — field-id DELTAS in the header nibble, so
+# skipping field 2 (schema) is what the wire genuinely permits — and
+# field 6 created_by (length-prefixed binary), then requires the stop
+# byte to land exactly on the footer end. Layout: Apache Parquet
+# format/Thrift compact protocol specs (public).
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_dec(raw):
+    """Zigzag-decode a non-negative varint value column: bit 0 is the
+    sign, remaining bits the magnitude — (raw >>> 1) ^ -(raw & 1)."""
+    return F.shiftrightunsigned(raw, 1).bitwiseXOR(
+        F.lit(0) - raw.bitwiseAND(F.lit(1))
+    )
+
+
+def _zigzag_enc(v):
+    """Zigzag-encode a long column (synthesis side): (v << 1) ^ (v >> 63)
+    with an arithmetic right shift."""
+    return F.shiftleft(v, 1).bitwiseXOR(F.shiftright(v, 63))
+
+
+def synth_parquet_payloads(docs: DataFrame) -> DataFrame:
+    """Format-valid Parquet file skeletons per document: PAR1 magic, a
+    deterministic junk data section (1 + doc_id%50 bytes of 0x44), a
+    thrift-compact FileMetaData subset, the u32le footer length, and the
+    trailing PAR1. Field values replayable by a SQL oracle:
+
+      version    = 1 + doc_id % 3              (field 1, i32 zigzag)
+      num_rows   = (doc_id * 997) % 10^8       (field 3, i64 zigzag,
+                                                exercises 1-4 byte chains)
+      created_by = 'engine-' || doc_id % 100   (field 6, length-prefixed)
+
+    The parse path below trusts only the bytes."""
+    did = F.col("doc_id")
+    version = (F.lit(1) + did % 3).cast("long")
+    num_rows = ((did * 997) % 100000000).cast("long")
+    cb = F.encode(
+        F.concat(F.lit("engine-"), (did % 100).cast("string")), "UTF-8"
+    )
+    footer = F.concat(
+        _lit_bin("15"), _varint_enc(_zigzag_enc(version)),
+        _lit_bin("26"), _varint_enc(_zigzag_enc(num_rows)),
+        _lit_bin("38"), _varint_enc(F.octet_length(cb).cast("long"), 1), cb,
+        _lit_bin("00"),  # stop
+    )
+    dlen = (F.lit(1) + did % 50).cast("int")
+    data = F.unhex(F.lit("44" * 50).substr(F.lit(1), dlen * 2))
+    return docs.select(
+        did.alias("asset_id"),
+        F.concat(
+            _lit_bin(_ascii_hex("PAR1")), data, footer,
+            _le_enc(F.octet_length(footer).cast("long"), 4),
+            _lit_bin(_ascii_hex("PAR1")),
+        ).alias("payload"),
+    )
+
+
+def parse_parquet_footers(assets: DataFrame) -> DataFrame:
+    """Parquet footer extraction trusting ONLY the bytes: PAR1 at both
+    edges, footer length u32le at n-7, footer start n-7-len computed
+    BACKWARDS, then a thrift-compact walk — 0x15 (field 1, i32) zigzag
+    version, 0x26 (delta 2 -> field 3, i64) zigzag num_rows, 0x38
+    (delta 3 -> field 6, binary) varint-length created_by — that must
+    consume the footer exactly to its stop byte. A wrong field header,
+    a varint that never terminates, a created_by running past the
+    footer, or a stop byte off the footer end rejects. Data-dependent
+    positions stay JVM-side via Column.substr; zero Python, one codegen
+    stage (plan-tested).
+
+    Same staging discipline as the other data-dependent walks: each
+    position/width is a named column computed once — inlining them would
+    compound every later expression with every earlier varint decode and
+    blow past the janino codegen budget."""
+    p = F.col("payload")
+    df = assets.select("asset_id", "payload")
+    df = df.withColumn("_n", F.octet_length(p).cast("long"))
+    n = F.col("_n")
+    df = df.withColumn("_flen", _le_int_at(p, n - 7, 4))
+    df = df.withColumn("_fpos", n - 7 - F.col("_flen"))
+    flen, fpos = F.col("_flen"), F.col("_fpos")
+    df = df.withColumn("_vw", _varint_width_at(p, fpos + 1))
+    df = df.withColumn("_vraw", _varint_val_at(p, fpos + 1))
+    df = df.withColumn("_p2", fpos + 1 + F.col("_vw"))
+    p2 = F.col("_p2")
+    df = df.withColumn("_nw", _varint_width_at(p, p2 + 1))
+    df = df.withColumn("_nraw", _varint_val_at(p, p2 + 1))
+    df = df.withColumn("_p3", p2 + 1 + F.col("_nw"))
+    p3 = F.col("_p3")
+    df = df.withColumn("_cblw", _varint_width_at(p, p3 + 1))
+    df = df.withColumn("_cbl", _varint_val_at(p, p3 + 1))
+    cbl = F.col("_cbl")
+    df = df.withColumn(
+        "_cb",
+        p.substr((p3 + 1 + F.col("_cblw")).try_cast("int"), cbl.try_cast("int")),
+    )
+    df = df.withColumn("_p4", p3 + 1 + F.col("_cblw") + cbl)
+    p4, cb, vraw, nraw = F.col("_p4"), F.col("_cb"), F.col("_vraw"), F.col("_nraw")
+    ok = (
+        (n >= 13)
+        & (F.hex(p.substr(1, 4)) == _ascii_hex("PAR1"))
+        & (F.hex(p.substr((n - 3).try_cast("int"), F.lit(4))) == _ascii_hex("PAR1"))
+        & (flen >= 4)
+        & (fpos >= 5)
+        & (_be_int_at(p, fpos, 1) == 0x15)
+        & (_be_int_at(p, p2, 1) == 0x26)
+        & (_be_int_at(p, p3, 1) == 0x38)
+        & (F.octet_length(cb).cast("long") == cbl)
+        & F.is_valid_utf8(cb)  # non-UTF-8 created_by rejects in BOTH paths
+        & (_be_int_at(p, p4, 1) == 0)
+        & (p4 == fpos + flen - 1)
+    )
+    def _f(col):
+        return F.when(ok, col)
+    return df.select(
+        "asset_id",
+        _f(F.lit("parquet")).alias("container"),
+        _f(_zigzag_dec(vraw)).alias("version"),
+        _f(_zigzag_dec(nraw)).alias("num_rows"),
+        _f(F.decode(cb, "UTF-8")).alias("created_by"),
+        _f(flen).alias("footer_len"),
+        _f(n - 12 - flen).alias("data_len"),
+    )
+
+
+def parse_parquet_footer_py(payload: bytes) -> dict | None:
+    """The Python-path twin of parse_parquet_footers (same strict
+    contract), for boundary/parity tests."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    n = len(b)
+    if n < 13 or b[:4] != b"PAR1" or b[n - 4:] != b"PAR1":
+        return None
+    flen = int.from_bytes(b[n - 8:n - 4], "little")
+    fpos = n - 8 - flen  # 0-indexed footer start
+    if flen < 4 or fpos < 4:
+        return None
+
+    def varint(pos: int):
+        val, w = 0, 0
+        while w < VARINT_MAX_BYTES:
+            if pos + w >= n:
+                return None, None
+            byte = b[pos + w]
+            val += (byte & 127) << (7 * w)
+            w += 1
+            if byte < 128:
+                return val, w
+        return None, None
+
+    def zigzag(raw: int) -> int:
+        return (raw >> 1) ^ -(raw & 1)
+
+    if b[fpos] != 0x15:
+        return None
+    vraw, vw = varint(fpos + 1)
+    if vw is None:
+        return None
+    p2 = fpos + 1 + vw
+    if p2 >= n or b[p2] != 0x26:
+        return None
+    nraw, nw = varint(p2 + 1)
+    if nw is None:
+        return None
+    p3 = p2 + 1 + nw
+    if p3 >= n or b[p3] != 0x38:
+        return None
+    cbl, cblw = varint(p3 + 1)
+    if cblw is None:
+        return None
+    cb = b[p3 + 1 + cblw:p3 + 1 + cblw + cbl]
+    p4 = p3 + 1 + cblw + cbl
+    if len(cb) != cbl or p4 >= n or b[p4] != 0 or p4 != fpos + flen - 1:
+        return None
+    try:
+        created_by = cb.decode("utf-8")  # strict, like the JVM path
+    except UnicodeDecodeError:
+        return None
+    return {
+        "container": "parquet",
+        "version": zigzag(vraw),
+        "num_rows": zigzag(nraw),
+        "created_by": created_by,
+        "footer_len": flen,
+        "data_len": n - 12 - flen,
+    }

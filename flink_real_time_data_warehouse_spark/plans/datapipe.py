@@ -4540,6 +4540,55 @@ def flac_stream_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "parquet_footer_info",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 3 AS BIGINT) AS version,
+             CAST((doc_id * 997) % 100000000 AS BIGINT) AS num_rows,
+             'engine-' || CAST(doc_id % 100 AS VARCHAR) AS created_by,
+             CASE WHEN doc_id % 100 < 10 THEN 8 ELSE 9 END AS cbl
+      FROM documents),
+    w AS (
+      SELECT *, CASE WHEN 2 * num_rows < 128 THEN 1
+                     WHEN 2 * num_rows < 16384 THEN 2
+                     WHEN 2 * num_rows < 2097152 THEN 3
+                     ELSE 4 END AS nw
+      FROM f)
+    SELECT doc_id AS asset_id, 'parquet' AS container, version, num_rows,
+           created_by,
+           CAST(6 + nw + cbl AS BIGINT) AS footer_len,
+           CAST(1 + doc_id % 50 AS BIGINT) AS data_len
+    FROM w
+    """,
+    doc=(
+        "TAIL-ANCHORED layout + SIGNED varints (the Parquet footer, "
+        "Apache Parquet format + Thrift compact protocol): metadata "
+        "lives at the END of the file — PAR1 at both edges, u32le "
+        "footer length at n-7, footer start computed BACKWARDS — and "
+        "integers are zigzag varints (sign folded into bit 0), the "
+        "signed sibling of TFRecord's plain chains. The walk decodes a "
+        "FileMetaData subset via field-id DELTA headers (version, "
+        "num_rows, created_by; skipping the schema field is what the "
+        "wire permits) and must land the stop byte exactly on the "
+        "footer end. The engine reading its own storage format's frame "
+        "is the manifest-builder pass for raw parquet shards. Pure JVM "
+        "column arithmetic, one codegen stage, zero Python, zero "
+        "shuffle (plan-tested); oracle replays the synthesis formulas "
+        "including the data-dependent varint widths"
+    ),
+)
+def parquet_footer_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.multimodal import (
+        parse_parquet_footers,
+        synth_parquet_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return parse_parquet_footers(synth_parquet_payloads(docs))
+
+
+@register(
     "frame_sample",
     oracle=f"""
     WITH v AS (SELECT doc_id AS asset_id, md5(text) AS h,

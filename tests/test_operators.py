@@ -832,9 +832,12 @@ def test_header_twins_agree_under_truncation_and_corruption(spark):
     from flink_real_time_data_warehouse_spark.datapipe.multimodal import (
         parse_flac_header_py,
         parse_flac_headers,
+        parse_parquet_footer_py,
+        parse_parquet_footers,
         parse_tfrecord_header_py,
         parse_tfrecord_headers,
         synth_flac_payloads,
+        synth_parquet_payloads,
         synth_tfrecord_payloads,
     )
 
@@ -848,6 +851,8 @@ def test_header_twins_agree_under_truncation_and_corruption(spark):
         (synth_tfrecord_payloads, parse_tfrecord_headers,
          parse_tfrecord_header_py),
         (synth_flac_payloads, parse_flac_headers, parse_flac_header_py),
+        (synth_parquet_payloads, parse_parquet_footers,
+         parse_parquet_footer_py),
     ]
     for synth, jvm_parse, py_parse in families:
         goods = [bytes(r["payload"]) for r in synth(seeds).collect()]
@@ -972,3 +977,76 @@ def test_flac_bitfield_boundaries(spark):
         d = r["asset_id"]
         assert r["sample_rate"] == 8000 + (d * 131) % 640000
         assert r["total_samples"] == (d * 100003) % (1 << 36)
+
+
+def test_parquet_footer_zigzag_boundaries(spark):
+    """Parquet footer walk (round-10 continuation, tail-anchored +
+    zigzag): JVM and Python twins agree at every varint width boundary
+    of the zigzag encoding (|v| around 64/8192/1048576 where 2|v|
+    crosses 128/16384/2097152), on NEGATIVE zigzag values (the sign-bit
+    fold the plain TFRecord chains never exercise), and both reject a
+    lying footer length, a wrong field-delta header, a created_by
+    running past the footer, and a missing stop byte."""
+    from flink_real_time_data_warehouse_spark.datapipe.multimodal import (
+        parse_parquet_footer_py,
+        parse_parquet_footers,
+        synth_parquet_payloads,
+    )
+
+    def zz(v: int) -> int:
+        return (v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
+
+    def varint(v: int) -> bytes:
+        out = bytearray()
+        while True:
+            b, v = v & 127, v >> 7
+            out.append(b | (128 if v else 0))
+            if not v:
+                return bytes(out)
+
+    def mk(version=1, num_rows=42, cb=b"eng", data=b"\x44" * 3,
+           f1=0x15, f3=0x26, f6=0x38, stop=b"\x00", flen_delta=0):
+        footer = (bytes([f1]) + varint(zz(version)) + bytes([f3])
+                  + varint(zz(num_rows)) + bytes([f6])
+                  + varint(len(cb)) + cb + stop)
+        return (b"PAR1" + data + footer
+                + (len(footer) + flen_delta).to_bytes(4, "little") + b"PAR1")
+
+    goods = [
+        mk(),
+        mk(num_rows=63), mk(num_rows=64),            # zz 126/128 edge
+        mk(num_rows=8191), mk(num_rows=8192),        # zz 16382/16384 edge
+        mk(num_rows=1048575), mk(num_rows=1048576),  # 3->4 byte edge
+        mk(version=-3, num_rows=-1),                 # negative zigzag
+        mk(cb=b"", data=b"\x00"),                    # empty created_by
+    ]
+    bads = [
+        mk(flen_delta=1), mk(flen_delta=-1),         # lying footer length
+        mk(f1=0x16), mk(f3=0x25), mk(f6=0x39),       # wrong field headers
+        mk(stop=b"\x01"),                            # missing stop
+        mk()[:-5] + b"PAR1",                         # truncated tail
+    ]
+    probes = goods + bads + [mk()[:cut] for cut in range(0, 20, 3)]
+    df = spark.createDataFrame(
+        [(i, bytearray(s)) for i, s in enumerate(probes)],
+        "asset_id long, payload binary",
+    )
+    jvm = {r["asset_id"]: r.asDict() for r in parse_parquet_footers(df).collect()}
+    for i, s in enumerate(probes):
+        py = parse_parquet_footer_py(s)
+        got = {k: v for k, v in jvm[i].items() if k != "asset_id"}
+        if py is None:
+            assert all(v is None for v in got.values()), (i, got)
+            assert i >= len(goods), i
+        else:
+            assert i < len(goods), i
+            assert got == py, (i, got, py)
+    assert parse_parquet_footer_py(goods[7])["version"] == -3
+    assert parse_parquet_footer_py(goods[7])["num_rows"] == -1
+
+    # synthesis round-trip at doc_id extremes
+    docs = spark.createDataFrame([(0,), (131,), (4999,)], "doc_id long")
+    for r in parse_parquet_footers(synth_parquet_payloads(docs)).collect():
+        d = r["asset_id"]
+        assert r["num_rows"] == (d * 997) % 100000000
+        assert r["created_by"] == f"engine-{d % 100}"

@@ -767,3 +767,16 @@ def test_flac_stream_info_zero_python(spark):
     assert "Exchange" not in plan
     assert "*(1)" in plan
     assert "*(2)" not in plan
+
+
+def test_parquet_footer_info_zero_python(spark):
+    """The tail-anchored thrift-compact zigzag walk (round-10
+    continuation) stays pure JVM: no Python eval node, zero Exchange,
+    ONE codegen stage."""
+    df = registry()["parquet_footer_info"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapsInPandas"):
+        assert bad not in plan, f"Python crossed into the plan: {bad}"
+    assert "Exchange" not in plan
+    assert "*(1)" in plan
+    assert "*(2)" not in plan
