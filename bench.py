@@ -225,6 +225,7 @@ HEADLINE = [
     # round 10 continuation session
     "flac_stream_info",
     "parquet_footer_info",
+    "ogg_page_info",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

@@ -4589,6 +4589,47 @@ def parquet_footer_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ogg_page_info",
+    oracle="""
+    SELECT doc_id AS asset_id, 'ogg' AS container,
+           CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS codec,
+           CAST(1 + doc_id % 8 AS BIGINT) AS channels,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id * 7) % 40000
+                     ELSE 8000 + (doc_id * 11) % 40000 END AS BIGINT)
+             AS sample_rate,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 4000 AS BIGINT)
+                END AS preskip,
+           CAST((doc_id * 100003) % 281474976710656 AS BIGINT) AS granule,
+           CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS serial,
+           CAST(doc_id % 1000 AS BIGINT) AS page_seq,
+           CAST(1 + doc_id % 3 AS BIGINT) AS n_segments,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 19 ELSE 30 END
+                + (doc_id % 3) * (10 + doc_id % 200) AS BIGINT) AS body_len
+    FROM documents
+    """,
+    doc=(
+        "VARIABLE-LENGTH TABLE REDUCE decode (Ogg page, RFC 3533 + "
+        "RFC 7845 Opus / Vorbis I id headers): byte 27 gives the "
+        "segment count N, the page body length is the SUM of the N "
+        "one-byte lacing values — a data-dependent-length reduction "
+        "computed with a JVM higher-order aggregate over sequence(1,N), "
+        "the shape no fixed chain of reads can express — and the codec "
+        "id packet dispatches at the data-dependent offset 28+N "
+        "(OpusHead version 1 / x01vorbis version 0; anything else "
+        "rejects, as does a lacing sum that does not account for the "
+        "page exactly). CRC stub zeroed like TFRecord's. Zero Python, "
+        "zero shuffle (plan-tested); oracle replays the synthesis "
+        "formulas"
+    ),
+)
+def ogg_page_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.multimodal import parse_ogg_headers, synth_ogg_payloads
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return parse_ogg_headers(synth_ogg_payloads(docs))
+
+
+@register(
     "frame_sample",
     oracle=f"""
     WITH v AS (SELECT doc_id AS asset_id, md5(text) AS h,

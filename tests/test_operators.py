@@ -832,11 +832,14 @@ def test_header_twins_agree_under_truncation_and_corruption(spark):
     from flink_real_time_data_warehouse_spark.datapipe.multimodal import (
         parse_flac_header_py,
         parse_flac_headers,
+        parse_ogg_header_py,
+        parse_ogg_headers,
         parse_parquet_footer_py,
         parse_parquet_footers,
         parse_tfrecord_header_py,
         parse_tfrecord_headers,
         synth_flac_payloads,
+        synth_ogg_payloads,
         synth_parquet_payloads,
         synth_tfrecord_payloads,
     )
@@ -853,6 +856,7 @@ def test_header_twins_agree_under_truncation_and_corruption(spark):
         (synth_flac_payloads, parse_flac_headers, parse_flac_header_py),
         (synth_parquet_payloads, parse_parquet_footers,
          parse_parquet_footer_py),
+        (synth_ogg_payloads, parse_ogg_headers, parse_ogg_header_py),
     ]
     for synth, jvm_parse, py_parse in families:
         goods = [bytes(r["payload"]) for r in synth(seeds).collect()]
@@ -1050,3 +1054,71 @@ def test_parquet_footer_zigzag_boundaries(spark):
         d = r["asset_id"]
         assert r["num_rows"] == (d * 997) % 100000000
         assert r["created_by"] == f"engine-{d % 100}"
+
+
+def test_ogg_lacing_table_boundaries(spark):
+    """Ogg page walk (round-10 continuation, variable-length table
+    reduce): JVM and Python twins agree across segment-table shapes —
+    single segment, a 255-continuation split packet, many junk packets
+    — and both reject a lacing sum that over- or under-accounts for the
+    page, a zero segment count, a wrong codec magic, wrong codec
+    versions, and truncations."""
+    from flink_real_time_data_warehouse_spark.datapipe.multimodal import (
+        parse_ogg_header_py,
+        parse_ogg_headers,
+        synth_ogg_payloads,
+    )
+
+    opus_id = (b"OpusHead" + bytes([1, 2]) + (312).to_bytes(2, "little")
+               + (48000).to_bytes(4, "little") + b"\x00\x00\x00")  # 19 bytes
+
+    def mk(lacing, body, version=0, magic=b"OggS", nseg=None):
+        nseg = len(lacing) if nseg is None else nseg
+        return (magic + bytes([version, 2])
+                + (777).to_bytes(8, "little") + (42).to_bytes(4, "little")
+                + (7).to_bytes(4, "little") + b"\x00" * 4
+                + bytes([nseg]) + bytes(lacing) + body)
+
+    goods = [
+        mk([19], opus_id),
+        # one packet split across the 255-continuation lacing boundary:
+        # opus id padded to 300 bytes -> lacing [255, 45]
+        mk([255, 45], opus_id + b"\x4a" * 281),
+        mk([19, 100, 3], opus_id + b"\x4a" * 103),   # id + two junk packets
+    ]
+    bads = [
+        mk([19], opus_id[:-1]),                      # sum over-accounts
+        mk([18], opus_id),                           # sum under-accounts
+        mk([], b""),                                 # zero segments
+        mk([19], opus_id, version=1),                # bad page version
+        mk([19], opus_id, magic=b"OggZ"),
+        mk([19], b"XpusHead" + opus_id[8:]),         # wrong codec magic
+        mk([19], b"OpusHead\x02" + opus_id[9:]),     # opus version != 1
+        mk([30], b"\x01vorbis" + (1).to_bytes(4, "little") + b"\x00" * 19),
+    ]
+    probes = goods + bads + [goods[0][:cut] for cut in range(0, len(goods[0]), 5)]
+    df = spark.createDataFrame(
+        [(i, bytearray(s)) for i, s in enumerate(probes)],
+        "asset_id long, payload binary",
+    )
+    jvm = {r["asset_id"]: r.asDict() for r in parse_ogg_headers(df).collect()}
+    for i, s in enumerate(probes):
+        py = parse_ogg_header_py(s)
+        got = {k: v for k, v in jvm[i].items() if k != "asset_id"}
+        if py is None:
+            assert all(v is None for v in got.values()), (i, got)
+            assert i >= len(goods), i
+        else:
+            assert i < len(goods), i
+            for k, v in py.items():
+                assert got[k] == v, (i, k, got[k], v)
+    assert jvm[1]["n_segments"] == 2 and jvm[1]["body_len"] == 300
+    assert jvm[2]["n_segments"] == 3
+
+    # synthesis round-trip at doc_id extremes (both codecs, all nseg)
+    docs = spark.createDataFrame([(d,) for d in range(6)] + [(4999,)], "doc_id long")
+    for r in parse_ogg_headers(synth_ogg_payloads(docs)).collect():
+        d = r["asset_id"]
+        assert r["codec"] == ("opus" if d % 2 == 0 else "vorbis")
+        assert r["n_segments"] == 1 + d % 3
+        assert r["granule"] == (d * 100003) % (1 << 48)

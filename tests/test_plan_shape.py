@@ -780,3 +780,21 @@ def test_parquet_footer_info_zero_python(spark):
     assert "Exchange" not in plan
     assert "*(1)" in plan
     assert "*(2)" not in plan
+
+
+def test_ogg_page_info_zero_python(spark):
+    """The Ogg lacing-table reduce (round-10 continuation) stays JVM-side
+    with zero Python and zero Exchange. Unlike the fixed-offset walks it
+    is TWO codegen stages, not one: the higher-order aggregate over the
+    data-dependent-length segment table is a CodegenFallback expression,
+    so Spark splits the projection around it — the documented cost of
+    the only construct that can sum a table whose length is itself data
+    (fixed chains can't; a Python UDF would leave the JVM)."""
+    df = registry()["ogg_page_info"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapsInPandas"):
+        assert bad not in plan, f"Python crossed into the plan: {bad}"
+    assert "Exchange" not in plan
+    assert "aggregate(sequence(" in plan  # the table reduce is in-plan
+    assert "*(1)" in plan and "*(2)" in plan
+    assert "*(3)" not in plan
