@@ -226,6 +226,7 @@ HEADLINE = [
     "flac_stream_info",
     "parquet_footer_info",
     "ogg_page_info",
+    "sentence_segment",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

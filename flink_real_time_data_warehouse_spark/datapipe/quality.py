@@ -806,3 +806,88 @@ def langid_ngram(
             (F.col("lang") == F.col("lang_pred")).cast("int").alias("correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation (round 10 continuation). Every LLM-data pipeline
+# needs a sentence splitter below the document level (dedup at sentence
+# granularity, context packing, per-sentence quality). The rule set is
+# the classic abbreviation-guarded terminator split, built ONLY from
+# constructs both engines share — literal protect/restore replaces plus
+# one capture-group regexp — because RE2 (DuckDB) has no lookbehind, so
+# a lookbehind-style splitter could never be oracle-graded. The fixture
+# corpus is terminator-free word soup, so the graded query follows the
+# dirt-synthesis pattern: per-(doc,token) md5 draws insert terminators
+# and abbreviation prefixes deterministically, then the splitter
+# segments them back; a bug in either side breaks the hash.
+# ---------------------------------------------------------------------------
+
+#: abbreviations whose trailing dot must never split (literal guards)
+SENTENCE_ABBREVIATIONS = ("Dr.", "e.g.")
+_SENT_MARK = "\x01"  # split marker (never occurs in text)
+_DOT_MARK = "\x02"   # protected-dot placeholder
+
+
+def _sent_draw(id_col, i):
+    return F.conv(
+        F.substring(
+            F.md5(F.encode(F.concat(F.lit("sent:"), id_col.cast("string"),
+                                    F.lit(":"), i.cast("string")), "UTF-8")),
+            1, 8,
+        ), 16, 10,
+    ).cast("long")
+
+
+def synth_punctuated_text(df: DataFrame, id_col: str, text_col: str):
+    """Deterministically punctuated twin of `text_col`: per token, an md5
+    draw appends '.', '!' or '?' (sentence terminators), or prefixes the
+    token with an abbreviation ('Dr. ' / 'e.g. ') whose dot must NOT
+    split, or leaves it alone — replayable by any engine."""
+    did = F.col(id_col)
+    toks = F.split(F.col(text_col), " ")
+
+    def rule(w, k):
+        m = _sent_draw(did, k + 1) % 9
+        return (
+            F.when(m == 0, F.concat(w, F.lit(".")))
+            .when(m == 1, F.concat(w, F.lit("!")))
+            .when(m == 2, F.concat(w, F.lit("?")))
+            .when(m == 3, F.concat(F.lit("Dr. "), w))
+            .when(m == 4, F.concat(F.lit("e.g. "), w))
+            .otherwise(w)
+        )
+
+    return F.array_join(F.transform(toks, rule), " ")
+
+
+def split_sentences(col):
+    """Column -> array<string> of sentences: protect abbreviation dots
+    with a placeholder, mark every terminator+space boundary via one
+    capture-group regexp, split on the marker, restore dots and trim.
+    Lookbehind-free by construction (portable to RE2 engines)."""
+    x = col
+    for abbr in SENTENCE_ABBREVIATIONS:
+        x = F.replace(x, F.lit(abbr), F.lit(abbr[:-1].replace(".", _DOT_MARK) + _DOT_MARK))
+    x = F.regexp_replace(x, r"([.!?]) ", "$1" + _SENT_MARK)
+    return F.transform(
+        F.split(x, _SENT_MARK),
+        lambda s: F.trim(F.replace(s, F.lit(_DOT_MARK), F.lit("."))),
+    )
+
+
+def sentence_segment(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sent_idx, sentence, n_tokens): inject deterministic sentence
+    punctuation, then segment it back — one row per non-empty sentence,
+    1-based index. Zero Python; the only shuffle-free explode."""
+    punct = synth_punctuated_text(df, id_col, text_col)
+    base = df.select(F.col(id_col), split_sentences(punct).alias("_sents"))
+    out = base.select(id_col, F.posexplode("_sents").alias("_i", "_s"))
+    return (
+        out.where(F.col("_s") != "")
+        .select(
+            id_col,
+            (F.col("_i") + 1).cast("long").alias("sent_idx"),
+            F.col("_s").alias("sentence"),
+            F.size(F.split(F.col("_s"), " ")).cast("long").alias("n_tokens"),
+        )
+    )

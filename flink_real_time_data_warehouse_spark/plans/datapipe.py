@@ -2511,6 +2511,70 @@ def text_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_normalize(table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _sentence_oracle() -> str:
+    draw_expr = "md5('sent:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR))"
+    draw = "(" + " + ".join(
+        f"(instr('0123456789abcdef', substr({draw_expr}, {1 + k}, 1)) - 1) * {16 ** (8 - 1 - k)}"
+        for k in range(8)
+    ) + ")"
+    tok = "l[CAST(i AS INTEGER)]"
+    return f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    p AS (
+      SELECT doc_id, array_to_string(list_transform(range(1, len(l) + 1), i ->
+        CASE ({draw}) % 9
+          WHEN 0 THEN {tok} || '.'
+          WHEN 1 THEN {tok} || '!'
+          WHEN 2 THEN {tok} || '?'
+          WHEN 3 THEN 'Dr. ' || {tok}
+          WHEN 4 THEN 'e.g. ' || {tok}
+          ELSE {tok} END), ' ') AS t
+      FROM d),
+    prot AS (
+      SELECT doc_id,
+             replace(replace(t, 'Dr.', 'Dr' || chr(2)),
+                     'e.g.', 'e' || chr(2) || 'g' || chr(2)) AS t
+      FROM p),
+    mk AS (
+      SELECT doc_id, regexp_replace(t, '([.!?]) ', '\\1' || chr(1), 'g') AS t
+      FROM prot),
+    s AS (SELECT doc_id, string_split(t, chr(1)) AS arr FROM mk),
+    e AS (
+      SELECT doc_id,
+             unnest(range(1, len(arr) + 1)) AS sent_idx,
+             unnest(list_transform(arr, x -> trim(replace(x, chr(2), '.'))))
+               AS sentence
+      FROM s)
+    SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, sentence,
+           CAST(len(string_split(sentence, ' ')) AS BIGINT) AS n_tokens
+    FROM e WHERE sentence <> ''
+    """
+
+
+@register(
+    "sentence_segment",
+    oracle=_sentence_oracle(),
+    doc=(
+        "sentence segmentation (the sub-document splitter sentence-level "
+        "dedup, context packing and per-sentence quality all sit on): "
+        "abbreviation-guarded terminator split built ONLY from "
+        "constructs both engines share — literal protect/restore "
+        "replaces plus one capture-group regexp — because RE2 (DuckDB) "
+        "has no lookbehind, so a lookbehind splitter could never be "
+        "oracle-graded. The terminator-free fixture gets deterministic "
+        "per-token punctuation draws (terminators + 'Dr.'/'e.g.' "
+        "abbreviation prefixes whose dots must NOT split), then the "
+        "splitter segments them back; one row per non-empty sentence "
+        "with 1-based index and token count. Per-row explode, zero "
+        "joins, zero Python"
+    ),
+)
+def sentence_segment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.quality import sentence_segment
+
+    return sentence_segment(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def _mojibake_oracle() -> str:
     from ..datapipe.quality import MOJI_ACCENTS
 

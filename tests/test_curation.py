@@ -746,3 +746,51 @@ def test_content_defined_chunks_coverage_and_stability(spark):
         h[r["doc_id"]].add(r["chunk_hash"])
     shared = h[1] & h[2]
     assert len(shared) >= len(h[1]) - 2, (len(shared), len(h[1]))
+
+
+def test_split_sentences_hand_computed(spark):
+    """The abbreviation guard and terminator split on hand-built text:
+    'Dr.'/'e.g.' dots never split; '.', '!', '?' followed by a space
+    always do; trailing text without a terminator is still a sentence;
+    a terminator NOT followed by a space (end of text) does not create
+    an empty trailing sentence."""
+    from pyspark.sql import Row
+
+    from flink_real_time_data_warehouse_spark.datapipe.quality import (
+        split_sentences,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(i=1, t="Dr. smith runs fast. but e.g. this stays! why? end"),
+            Row(i=2, t="one sentence only."),
+            Row(i=3, t="no terminator at all"),
+        ]
+    )
+    rows = {
+        r["i"]: r["s"]
+        for r in df.select("i", split_sentences(F.col("t")).alias("s")).collect()
+    }
+    assert rows[1] == [
+        "Dr. smith runs fast.",
+        "but e.g. this stays!",
+        "why?",
+        "end",
+    ]
+    assert rows[2] == ["one sentence only."]
+    assert rows[3] == ["no terminator at all"]
+
+
+def test_sentence_segment_plan_is_generate_only(spark):
+    """The segmentation explode must stay map-side: a Generate over the
+    scan projection, zero Exchange, zero Python."""
+    from flink_real_time_data_warehouse_spark.queries import registry
+
+    from .conftest import TEST_SF_DIR
+    from .test_plan_shape import plan_of
+
+    plan = plan_of(registry()["sentence_segment"].spark(spark, TEST_SF_DIR))
+    assert "Exchange" not in plan, f"segmentation shuffles:\n{plan}"
+    assert "Generate" in plan
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert bad not in plan
