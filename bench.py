@@ -227,6 +227,8 @@ HEADLINE = [
     "parquet_footer_info",
     "ogg_page_info",
     "sentence_segment",
+    "line_dedup",
+    "perplexity_buckets",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

@@ -1178,3 +1178,62 @@ def incremental_substring_verdicts(
             .alias("verdict"),
         )
     )
+
+
+def line_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """RefinedWeb-style exact LINE dedup: across the whole corpus, every
+    exact copy of a line/sentence after its first occurrence (smallest
+    (doc, position)) is dropped, and documents are rebuilt from their
+    surviving lines — the sub-document sibling of exact_dedup, catching
+    boilerplate lines (cookie banners, license headers) that document
+    hashes never see. Lines come from the graded sentence segmenter.
+
+    Scale: first-occurrence is a groupBy(sentence).agg(min(struct)) —
+    partial aggregation map-side combines the billion-copy boilerplate
+    line before it ever shuffles — then one equi-join back on the line
+    (AQE skew split governs hot lines; a window over sentence would put
+    every copy of a hot line in ONE partition with no partial step).
+    Rebuild is one groupBy(doc).
+
+    Returns (id, n_sentences, n_kept, n_dropped, clean_text)."""
+    from .quality import sentence_segment  # lazy: quality imports dedup.tokens
+
+    return dedup_lines(sentence_segment(df, id_col, text_col), id_col)
+
+
+def dedup_lines(s: DataFrame, id_col: str) -> DataFrame:
+    """The dedup core over an explicit (id, sent_idx, sentence) table —
+    the seam line_dedup wraps, and what a caller with its own line
+    source (real newline-delimited docs) drives directly."""
+    firsts = s.groupBy("sentence").agg(
+        F.min(F.struct(F.col(id_col), F.col("sent_idx"))).alias("_first")
+    )
+    j = s.join(firsts, "sentence")
+    kept = (F.col(id_col) == F.col("_first")[id_col]) & (
+        F.col("sent_idx") == F.col("_first.sent_idx")
+    )
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_sentences"),
+            F.sum(kept.cast("long")).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept, F.struct("sent_idx", "sentence"))
+                        )
+                    ),
+                    lambda x: x["sentence"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(
+            id_col,
+            "n_sentences",
+            "n_kept",
+            (F.col("n_sentences") - F.col("n_kept")).cast("long").alias("n_dropped"),
+            "clean_text",
+        )
+    )

@@ -891,3 +891,45 @@ def sentence_segment(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.size(F.split(F.col("_s"), " ")).cast("long").alias("n_tokens"),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame, id_col: str, text_col: str, group_col: str
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: within each `group_col` (CCNet
+    buckets per language), rank documents by unigram-LM surprisal per
+    token and assign head/middle/tail terciles — head = most fluent
+    third, the slice CCNet feeds to training first.
+
+    Cross-engine determinism: the sort key is integer micro-bits per
+    token (surprisal_bits * 10^6 div token_ct — integer division, never
+    a float ratio), ties broken by doc id; the tercile is
+    3*(rank-1) div count + 1, so bucket boundaries are exact in any
+    engine. Scale: one window per group partition (groups = languages,
+    so parallelism is fine); at 100 TB the production path replaces the
+    exact rank with two approx-percentile thresholds per group
+    (2 values broadcast, zero extra shuffle) — the rank form is kept
+    here because it is exactly replayable by the oracle."""
+    from pyspark.sql import Window
+
+    scored = lm_surprisal(df, id_col, text_col)
+    j = scored.join(df.select(id_col, group_col), id_col)
+    j = j.withColumn(
+        "bpt_micro", F.expr("surprisal_bits * 1000000 div token_ct")
+    )
+    w = Window.partitionBy(group_col).orderBy("bpt_micro", id_col)
+    j = (
+        j.withColumn("_rn", F.row_number().over(w).cast("long"))
+        .withColumn("_ct", F.count("*").over(Window.partitionBy(group_col)))
+    )
+    bucket = (F.expr("3 * (_rn - 1) div _ct") + 1).cast("int")
+    return j.select(
+        id_col,
+        group_col,
+        F.col("bpt_micro").cast("long"),
+        bucket.alias("bucket"),
+        F.when(bucket == 1, F.lit("head"))
+        .when(bucket == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket_label"),
+    )

@@ -2511,7 +2511,10 @@ def text_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_normalize(table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-def _sentence_oracle() -> str:
+def _sentence_ctes() -> str:
+    """The shared CTE chain replaying punctuation synthesis + the
+    abbreviation-guarded split; ends with CTE `e`(doc_id, sent_idx,
+    sentence) — used by sentence_segment and line_dedup."""
     draw_expr = "md5('sent:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR))"
     draw = "(" + " + ".join(
         f"(instr('0123456789abcdef', substr({draw_expr}, {1 + k}, 1)) - 1) * {16 ** (8 - 1 - k)}"
@@ -2519,7 +2522,7 @@ def _sentence_oracle() -> str:
     ) + ")"
     tok = "l[CAST(i AS INTEGER)]"
     return f"""
-    WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
     p AS (
       SELECT doc_id, array_to_string(list_transform(range(1, len(l) + 1), i ->
         CASE ({draw}) % 9
@@ -2539,15 +2542,22 @@ def _sentence_oracle() -> str:
       SELECT doc_id, regexp_replace(t, '([.!?]) ', '\\1' || chr(1), 'g') AS t
       FROM prot),
     s AS (SELECT doc_id, string_split(t, chr(1)) AS arr FROM mk),
-    e AS (
+    e0 AS (
       SELECT doc_id,
              unnest(range(1, len(arr) + 1)) AS sent_idx,
              unnest(list_transform(arr, x -> trim(replace(x, chr(2), '.'))))
                AS sentence
-      FROM s)
-    SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, sentence,
+      FROM s),
+    e AS (SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, sentence
+          FROM e0 WHERE sentence <> '')"""
+
+
+def _sentence_oracle() -> str:
+    return f"""
+    WITH {_sentence_ctes()}
+    SELECT doc_id, sent_idx, sentence,
            CAST(len(string_split(sentence, ' ')) AS BIGINT) AS n_tokens
-    FROM e WHERE sentence <> ''
+    FROM e
     """
 
 
@@ -2573,6 +2583,97 @@ def sentence_segment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..datapipe.quality import sentence_segment
 
     return sentence_segment(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _line_dedup_oracle() -> str:
+    return f"""
+    WITH {_sentence_ctes()},
+    r AS (
+      SELECT doc_id, sent_idx, sentence,
+             row_number() OVER (PARTITION BY sentence
+                                ORDER BY doc_id, sent_idx) AS rn
+      FROM e)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_sentences,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN sentence END,
+                               ' ' ORDER BY sent_idx), '') AS clean_text
+    FROM r GROUP BY doc_id
+    """
+
+
+@register(
+    "line_dedup",
+    oracle=_line_dedup_oracle(),
+    doc=(
+        "RefinedWeb-style exact LINE dedup: every exact copy of a "
+        "line/sentence after its corpus-wide first occurrence (smallest "
+        "(doc, position)) is dropped and documents are rebuilt from "
+        "their surviving lines — the sub-document sibling of exact "
+        "dedup, catching boilerplate (cookie banners, license headers) "
+        "document hashes never see. Scale: first-occurrence is "
+        "groupBy(line).agg(min(struct)) so partial aggregation map-side "
+        "combines billion-copy boilerplate lines BEFORE the shuffle, "
+        "then one equi-join back (AQE skew split governs hot lines) — "
+        "a window over the line key would put every copy of a hot line "
+        "in one partition with no partial step. Oracle replays the "
+        "graded sentence pipeline plus first-occurrence window"
+    ),
+)
+def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.dedup import line_dedup
+
+    return line_dedup(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "perplexity_buckets",
+    oracle=f"""
+    WITH {{toks}},
+    w AS (SELECT doc_id, unnest(l) AS w FROM toks),
+    c AS (SELECT w, count(*) AS cnt FROM w GROUP BY 1),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+    sc AS (
+      SELECT doc_id,
+             CAST(sum(length(bin(tot.total)) - length(bin(c.cnt))) AS BIGINT)
+               AS sb,
+             CAST(count(*) AS BIGINT) AS tc
+      FROM w JOIN c USING (w) CROSS JOIN tot GROUP BY 1),
+    g AS (
+      SELECT doc_id, lang, sb * 1000000 // tc AS bpt_micro
+      FROM sc JOIN documents USING (doc_id)),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY bpt_micro, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS ct
+      FROM g)
+    SELECT doc_id, lang, CAST(bpt_micro AS BIGINT) AS bpt_micro,
+           CAST(3 * (rn - 1) // ct + 1 AS INTEGER) AS bucket,
+           CASE 3 * (rn - 1) // ct + 1 WHEN 1 THEN 'head'
+                WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket_label
+    FROM r
+    """.format(toks=TOKS_CTE),
+    doc=(
+        "CCNet perplexity bucketing: within each language, rank "
+        "documents by unigram-LM surprisal per token and assign "
+        "head/middle/tail terciles (head = most fluent third, what "
+        "CCNet feeds to training first). Sort key is integer micro-bits "
+        "per token (integer division, never a float ratio) with doc-id "
+        "tiebreak, tercile is 3*(rank-1) div count + 1 — bucket "
+        "boundaries exact in any engine. Scale: one window per language "
+        "partition; the documented 100 TB path swaps the exact rank for "
+        "two approx-percentile thresholds per group"
+    ),
+)
+def perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.quality import perplexity_buckets
+
+    return perplexity_buckets(
+        table(spark, sf_dir, "documents"), "doc_id", "text", "lang"
+    )
 
 
 def _mojibake_oracle() -> str:

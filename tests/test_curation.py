@@ -794,3 +794,64 @@ def test_sentence_segment_plan_is_generate_only(spark):
     assert "Generate" in plan
     for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert bad not in plan
+
+
+def test_line_dedup_hand_computed(spark):
+    """An exact line duplicated across documents survives only at its
+    smallest (doc, position); within-doc repeats also collapse; rebuilt
+    text preserves original order of survivors. Drives the dedup core
+    over hand-built lines (the synthesis salts punctuation by doc_id,
+    so cross-doc duplicates must be constructed, not assumed)."""
+    from pyspark.sql import Row
+
+    from flink_real_time_data_warehouse_spark.datapipe.dedup import dedup_lines
+
+    s = spark.createDataFrame(
+        [Row(doc_id=1, sent_idx=1, sentence="cookie banner."),
+         Row(doc_id=1, sent_idx=2, sentence="unique alpha text."),
+         Row(doc_id=1, sent_idx=3, sentence="cookie banner."),   # within-doc repeat
+         Row(doc_id=2, sent_idx=1, sentence="cookie banner."),   # cross-doc repeat
+         Row(doc_id=2, sent_idx=2, sentence="unique beta text."),
+         Row(doc_id=3, sent_idx=1, sentence="unique gamma text.")]
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(s, "doc_id").collect()}
+    assert (out[1]["n_sentences"], out[1]["n_kept"], out[1]["n_dropped"]) == (3, 2, 1)
+    assert out[1]["clean_text"] == "cookie banner. unique alpha text."
+    assert (out[2]["n_kept"], out[2]["n_dropped"]) == (1, 1)
+    assert out[2]["clean_text"] == "unique beta text."
+    assert out[3]["n_dropped"] == 0 and out[3]["clean_text"] == "unique gamma text."
+
+
+def test_line_dedup_has_pressure_and_sane_plan(spark):
+    """At sf0.001 the synthesized corpus must actually contain cross-doc
+    duplicate lines (otherwise the query grades nothing), and the plan
+    must be the partial-agg + equi-join shape: no cartesian product, no
+    broadcast of the corpus-sized firsts table pinned by us."""
+    from flink_real_time_data_warehouse_spark.queries import registry
+
+    q = registry()["line_dedup"].spark(spark, TEST_SF_DIR)
+    dropped = q.agg(F.sum("n_dropped")).first()[0]
+    assert dropped > 0, "no duplicate lines in fixture -> vacuous grade"
+    plan = plan_of(q)
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()  # map-side combine before the shuffle
+
+
+def test_perplexity_buckets_tercile_invariants(spark):
+    """Within every language: bucket sizes differ by at most one, head
+    docs have bpt <= tail docs, labels match bucket ids."""
+    from collections import Counter
+
+    from flink_real_time_data_warehouse_spark.queries import registry
+
+    rows = registry()["perplexity_buckets"].spark(spark, TEST_SF_DIR).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+        assert {1: "head", 2: "middle", 3: "tail"}[r["bucket"]] == r["bucket_label"]
+    for lang, rs in by_lang.items():
+        sizes = Counter(r["bucket"] for r in rs)
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        head_max = max(r["bpt_micro"] for r in rs if r["bucket"] == 1)
+        tail_min = min(r["bpt_micro"] for r in rs if r["bucket"] == 3)
+        assert head_max <= tail_min, lang
