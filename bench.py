@@ -229,6 +229,7 @@ HEADLINE = [
     "sentence_segment",
     "line_dedup",
     "perplexity_buckets",
+    "ebml_track_info",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

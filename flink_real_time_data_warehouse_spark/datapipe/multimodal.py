@@ -2351,3 +2351,397 @@ def parse_ogg_header_py(payload: bytes) -> dict | None:
         )
         return out
     return None
+
+
+# ---------------------------------------------------------------------------
+# Length-prefix-in-first-byte varints (round 10 continuation): EBML /
+# Matroska. The fourth varint class in the family — TFRecord's chains
+# are continuation-bit little-endian, thrift's add a zigzag sign fold,
+# EBML's encode the TOTAL WIDTH in the leading-zero count of the first
+# byte (1xxxxxxx = 1 byte, 01xxxxxx = 2, ...), big-endian, marker bit
+# stripped from the value. Element = fixed ID + size vint + payload;
+# the walk here descends EBML-header > DocType/Version and Segment >
+# Info > TimestampScale plus Tracks > TrackEntry > Video > PixelWidth/
+# Height — four nesting levels whose sizes are all vints, with element
+# ORDER alternating inside the header and the video element (EBML
+# permits any order), so the parser must dispatch on IDs, never assume
+# offsets. Layout: RFC 8794 (EBML) + the public Matroska element
+# registry. EBML uints are minimal-width big-endian (1..4 bytes here),
+# read with a width taken from the size vint — width itself is data.
+# ---------------------------------------------------------------------------
+
+
+def _ebml_vint_width_at(p, pos):
+    """EBML vint width from the leading-zero count of the first byte
+    (capped at 4 here; 0x00 first byte -> NULL = reject)."""
+    b0 = _be_int_at(p, pos, 1)
+    return (
+        F.when(b0 >= 128, F.lit(1))
+        .when(b0 >= 64, F.lit(2))
+        .when(b0 >= 32, F.lit(3))
+        .when(b0 >= 16, F.lit(4))
+        .cast("long")
+    )
+
+
+def _ebml_vint_val_at(p, pos):
+    """EBML vint value at `pos`: marker bit stripped, remaining bits +
+    following bytes big-endian."""
+    b0 = _be_int_at(p, pos, 1)
+    return (
+        F.when(b0 >= 128, b0 - 128)
+        .when(b0 >= 64, (b0 - 64) * 256 + _be_int_at(p, pos + 1, 1))
+        .when(b0 >= 32, (b0 - 32) * 65536 + _be_int_at(p, pos + 1, 2))
+        .when(b0 >= 16, (b0 - 16) * 16777216 + _be_int_at(p, pos + 1, 3))
+        .cast("long")
+    )
+
+
+def _ebml_uint_at(p, pos, ln):
+    """EBML unsigned integer of data-dependent byte length `ln` (1..4)."""
+    return (
+        F.when(ln == 1, _be_int_at(p, pos, 1))
+        .when(ln == 2, _be_int_at(p, pos, 2))
+        .when(ln == 3, _be_int_at(p, pos, 3))
+        .when(ln == 4, _be_int_at(p, pos, 4))
+        .cast("long")
+    )
+
+
+def _ebml_vint_enc(v, wide):
+    """Synthesis-side size vint: 1-byte (0x80|v) or — EBML permits
+    non-minimal encodings — forced 2-byte (0x4000|v) when `wide`."""
+    return F.when(wide, _be_enc(v + 0x4000, 2)).otherwise(_be_enc(v + 0x80, 1))
+
+
+def synth_ebml_payloads(docs: DataFrame) -> DataFrame:
+    """Format-valid Matroska skeletons per document, every field and
+    every element size a deterministic function of doc_id:
+
+      doc_type       = 'matroska' (even) / 'webm' (odd)   <- varies sizes
+      ebml_version   = 1
+      timestamp_scale= 100 + (doc_id*7) % 16000000   (1-3 byte uint)
+      pixel_width    = 16 + doc_id % 4000            (1-2 byte uint)
+      pixel_height   = 16 + (doc_id*13) % 3000       (1-2 byte uint)
+
+    Size vints of the EBML header / Info / Segment elements flip between
+    minimal 1-byte and non-minimal 2-byte forms on doc_id residues
+    (legal per RFC 8794 — a parser assuming minimal widths breaks);
+    element order inside the header and the video element alternates
+    with parity. The parse path below trusts only the bytes."""
+    did = F.col("doc_id")
+    is_mk = did % 2 == 0
+    dtl = F.when(is_mk, F.lit(8)).otherwise(F.lit(4)).cast("long")
+    dt = F.when(is_mk, _lit_bin(_ascii_hex("matroska"))).otherwise(
+        _lit_bin(_ascii_hex("webm"))
+    )
+    ts = (F.lit(100) + (did * 7) % 16000000).cast("long")
+    tsl = F.when(ts < 256, F.lit(1)).when(ts < 65536, F.lit(2)).otherwise(F.lit(3)).cast("long")
+    w = (F.lit(16) + did % 4000).cast("long")
+    h = (F.lit(16) + (did * 13) % 3000).cast("long")
+    wl = F.when(w < 256, F.lit(1)).otherwise(F.lit(2)).cast("long")
+    hl = F.when(h < 256, F.lit(1)).otherwise(F.lit(2)).cast("long")
+
+    def uint_enc(v, ln):
+        return F.when(ln == 1, _be_enc(v, 1)).when(ln == 2, _be_enc(v, 2)).otherwise(_be_enc(v, 3))
+
+    ver_el = F.concat(_lit_bin("4286"), _lit_bin("81"), _lit_bin("01"))
+    dt_el = F.concat(_lit_bin("4282"), _ebml_vint_enc(dtl, F.lit(False)), dt)
+    hdr_payload = F.when(is_mk, F.concat(ver_el, dt_el)).otherwise(
+        F.concat(dt_el, ver_el)
+    )
+    hdr_sz = F.lit(4) + 3 + dtl
+    header = F.concat(
+        _lit_bin("1A45DFA3"), _ebml_vint_enc(hdr_sz, did % 4 >= 2), hdr_payload
+    )
+    ts_el = F.concat(_lit_bin("2AD7B1"), _ebml_vint_enc(tsl, F.lit(False)),
+                     uint_enc(ts, tsl))
+    info_sz = F.lit(4) + tsl
+    info = F.concat(_lit_bin("1549A966"), _ebml_vint_enc(info_sz, did % 3 == 0),
+                    ts_el)
+    pw_el = F.concat(_lit_bin("B0"), _ebml_vint_enc(wl, F.lit(False)), uint_enc(w, wl))
+    ph_el = F.concat(_lit_bin("BA"), _ebml_vint_enc(hl, F.lit(False)), uint_enc(h, hl))
+    vid_payload = F.when(is_mk, F.concat(pw_el, ph_el)).otherwise(
+        F.concat(ph_el, pw_el)
+    )
+    vid_sz = F.lit(4) + wl + hl
+    video = F.concat(_lit_bin("E0"), _ebml_vint_enc(vid_sz, F.lit(False)), vid_payload)
+    te_sz = vid_sz + 2
+    te = F.concat(_lit_bin("AE"), _ebml_vint_enc(te_sz, F.lit(False)), video)
+    trk_sz = te_sz + 2
+    tracks = F.concat(_lit_bin("1654AE6B"), _ebml_vint_enc(trk_sz, F.lit(False)), te)
+    info_w = F.when(did % 3 == 0, F.lit(2)).otherwise(F.lit(1)).cast("long")
+    seg_sz = (F.lit(4) + info_w + info_sz) + (F.lit(5) + trk_sz)
+    segment = F.concat(_lit_bin("18538067"), _ebml_vint_enc(seg_sz, did % 2 == 1),
+                       info, tracks)
+    return docs.select(
+        did.alias("asset_id"), F.concat(header, segment).alias("payload")
+    )
+
+
+def parse_ebml_headers(assets: DataFrame) -> DataFrame:
+    """Matroska metadata extraction trusting ONLY the bytes: EBML-header
+    ID sniff, size vints decoded by leading-zero width everywhere
+    (minimal and non-minimal forms both legal), a 2-step dispatching
+    walk over the header sub-elements (order-free per RFC 8794), then
+    Segment > Info > TimestampScale and Segment > Tracks > TrackEntry >
+    Video > PixelWidth/Height with a 2-step order-free walk inside
+    Video. Unknown IDs, a vint first byte of 0x00/width > 4, or any
+    element not landing exactly on its parent's end reject. Staged
+    projections (the established walk discipline), zero Python, zero
+    shuffle (plan-tested)."""
+    p = F.col("payload")
+    df = assets.select("asset_id", "payload")
+    df = df.withColumn("_n", F.octet_length(p).cast("long"))
+    n = F.col("_n")
+    df = df.withColumn("_hw", _ebml_vint_width_at(p, F.lit(5)))
+    df = df.withColumn("_hv", _ebml_vint_val_at(p, F.lit(5)))
+    hw, hv = F.col("_hw"), F.col("_hv")
+    df = df.withColumn("_hp", F.lit(5) + hw)          # header payload start
+    hp = F.col("_hp")
+    # order-free 2-step walk over the header payload (2-byte IDs)
+    df = df.withColumn("_q0", hp)
+    for i in range(2):
+        q = F.col(f"_q{i}")
+        df = df.withColumn(f"_id{i}", F.hex(p.substr(q.try_cast("int"), F.lit(2))))
+        df = df.withColumn(f"_sw{i}", _ebml_vint_width_at(p, q + 2))
+        df = df.withColumn(f"_sv{i}", _ebml_vint_val_at(p, q + 2))
+        df = df.withColumn(f"_vp{i}", q + 2 + F.col(f"_sw{i}"))
+        df = df.withColumn(f"_q{i+1}", F.col(f"_vp{i}") + F.col(f"_sv{i}"))
+
+    def hdr_field(el_id: str):
+        return F.coalesce(
+            *[
+                F.when(F.col(f"_id{i}") == el_id,
+                       F.struct(F.col(f"_vp{i}").alias("p"),
+                                F.col(f"_sv{i}").alias("l")))
+                for i in range(2)
+            ]
+        )
+
+    df = df.withColumn("_verf", hdr_field("4286"))
+    df = df.withColumn("_dtf", hdr_field("4282"))
+    hdr_known = (
+        F.col("_id0").isin("4286", "4282")
+        & F.col("_id1").isin("4286", "4282")
+        & (F.col("_id0") != F.col("_id1"))
+        & (F.col("_q2") == hp + hv)   # walk lands exactly on header end
+    )
+    df = df.withColumn("_sp", hp + hv)                # Segment element start
+    sp = F.col("_sp")
+    df = df.withColumn("_gw", _ebml_vint_width_at(p, sp + 4))
+    df = df.withColumn("_gv", _ebml_vint_val_at(p, sp + 4))
+    df = df.withColumn("_ip", sp + 4 + F.col("_gw"))  # Info element start
+    ip = F.col("_ip")
+    df = df.withColumn("_iw", _ebml_vint_width_at(p, ip + 4))
+    df = df.withColumn("_iv", _ebml_vint_val_at(p, ip + 4))
+    df = df.withColumn("_tsp", ip + 4 + F.col("_iw"))  # TimestampScale el
+    tsp = F.col("_tsp")
+    df = df.withColumn("_tsw", _ebml_vint_width_at(p, tsp + 3))
+    df = df.withColumn("_tsl", _ebml_vint_val_at(p, tsp + 3))
+    df = df.withColumn("_tp", ip + 4 + F.col("_iw") + F.col("_iv"))  # Tracks
+    tp = F.col("_tp")
+    df = df.withColumn("_kw", _ebml_vint_width_at(p, tp + 4))
+    df = df.withColumn("_kv", _ebml_vint_val_at(p, tp + 4))
+    df = df.withColumn("_tep", tp + 4 + F.col("_kw"))  # TrackEntry el
+    tep = F.col("_tep")
+    df = df.withColumn("_tew", _ebml_vint_width_at(p, tep + 1))
+    df = df.withColumn("_tev", _ebml_vint_val_at(p, tep + 1))
+    df = df.withColumn("_vdp", tep + 1 + F.col("_tew"))  # Video el
+    vdp = F.col("_vdp")
+    df = df.withColumn("_vw", _ebml_vint_width_at(p, vdp + 1))
+    df = df.withColumn("_vv", _ebml_vint_val_at(p, vdp + 1))
+    df = df.withColumn("_vb", vdp + 1 + F.col("_vw"))  # video payload start
+    # order-free 2-step walk inside Video (1-byte IDs)
+    df = df.withColumn("_r0", F.col("_vb"))
+    for i in range(2):
+        r = F.col(f"_r{i}")
+        df = df.withColumn(f"_vid{i}", F.hex(p.substr(r.try_cast("int"), F.lit(1))))
+        df = df.withColumn(f"_vsw{i}", _ebml_vint_width_at(p, r + 1))
+        df = df.withColumn(f"_vsv{i}", _ebml_vint_val_at(p, r + 1))
+        df = df.withColumn(f"_vvp{i}", r + 1 + F.col(f"_vsw{i}"))
+        df = df.withColumn(f"_r{i+1}", F.col(f"_vvp{i}") + F.col(f"_vsv{i}"))
+
+    def vid_field(el_id: str):
+        return F.coalesce(
+            *[
+                F.when(F.col(f"_vid{i}") == el_id,
+                       _ebml_uint_at(p, F.col(f"_vvp{i}"), F.col(f"_vsv{i}")))
+                for i in range(2)
+            ]
+        )
+
+    vid_known = (
+        F.col("_vid0").isin("B0", "BA")
+        & F.col("_vid1").isin("B0", "BA")
+        & (F.col("_vid0") != F.col("_vid1"))
+        & (F.col("_r2") == F.col("_vb") + F.col("_vv"))  # lands on video end
+    )
+    verf, dtf = F.col("_verf"), F.col("_dtf")
+    dt_bytes = p.substr(dtf["p"].try_cast("int"), dtf["l"].try_cast("int"))
+    ok = (
+        (n >= 12)
+        & (F.hex(p.substr(1, 4)) == "1A45DFA3")
+        & hdr_known
+        & verf.isNotNull() & dtf.isNotNull()
+        & (F.octet_length(dt_bytes).cast("long") == dtf["l"])
+        & F.is_valid_utf8(dt_bytes)
+        & (F.hex(p.substr(sp.try_cast("int"), F.lit(4))) == "18538067")
+        & (F.hex(p.substr(ip.try_cast("int"), F.lit(4))) == "1549A966")
+        & (F.hex(p.substr(tsp.try_cast("int"), F.lit(3))) == "2AD7B1")
+        & (F.hex(p.substr(tp.try_cast("int"), F.lit(4))) == "1654AE6B")
+        & (F.hex(p.substr(tep.try_cast("int"), F.lit(1))) == "AE")
+        & (F.hex(p.substr(vdp.try_cast("int"), F.lit(1))) == "E0")
+        & vid_known
+        # every nesting level must account exactly
+        & (tsp + 3 + F.col("_tsw") + F.col("_tsl") == ip + 4 + F.col("_iw") + F.col("_iv"))
+        & (F.col("_vb") + F.col("_vv") == tep + 1 + F.col("_tew") + F.col("_tev"))
+        & (tep + 1 + F.col("_tew") + F.col("_tev") == tp + 4 + F.col("_kw") + F.col("_kv"))
+        & (tp + 4 + F.col("_kw") + F.col("_kv") == sp + 4 + F.col("_gw") + F.col("_gv"))
+        & (n == sp + 3 + F.col("_gw") + F.col("_gv"))
+    )
+    def _f(col):
+        return F.when(ok, col)
+    return df.select(
+        "asset_id",
+        _f(F.lit("ebml")).alias("container"),
+        _f(F.decode(dt_bytes, "UTF-8")).alias("doc_type"),
+        _f(_ebml_uint_at(p, verf["p"], verf["l"])).alias("ebml_version"),
+        _f(_ebml_uint_at(p, tsp + 3 + F.col("_tsw"), F.col("_tsl"))).alias(
+            "timestamp_scale"
+        ),
+        _f(vid_field("B0")).alias("pixel_width"),
+        _f(vid_field("BA")).alias("pixel_height"),
+    )
+
+
+def parse_ebml_header_py(payload: bytes) -> dict | None:
+    """The Python-path twin of parse_ebml_headers (same strict contract),
+    for boundary/parity tests."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    n = len(b)
+    if n < 12 or b[:4] != bytes.fromhex("1A45DFA3"):
+        return None
+
+    def vint(pos: int):
+        if pos >= n:
+            return None, None
+        b0 = b[pos]
+        if b0 >= 128:
+            wd = 1
+        elif b0 >= 64:
+            wd = 2
+        elif b0 >= 32:
+            wd = 3
+        elif b0 >= 16:
+            wd = 4
+        else:
+            return None, None
+        if pos + wd > n:
+            return None, None
+        mask = b0 - (1 << (8 - wd))
+        return int.from_bytes(bytes([mask]) + b[pos + 1:pos + wd], "big"), wd
+
+    def uint(pos: int, ln: int):
+        if ln < 1 or ln > 4 or pos + ln > n:
+            return None
+        return int.from_bytes(b[pos:pos + ln], "big")
+
+    hv, hw = vint(4)
+    if hw is None:
+        return None
+    hp = 4 + hw
+    fields = {}
+    q = hp
+    for _ in range(2):
+        eid = b[q:q + 2].hex().upper()
+        if eid not in ("4286", "4282") or eid in fields:
+            return None
+        sv, sw = vint(q + 2)
+        if sw is None:
+            return None
+        fields[eid] = (q + 2 + sw, sv)
+        q = q + 2 + sw + sv
+    if q != hp + hv:
+        return None
+    vp, vl = fields["4286"]
+    dp, dl = fields["4282"]
+    dt = b[dp:dp + dl]
+    if len(dt) != dl:
+        return None
+    try:
+        doc_type = dt.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    sp = hp + hv  # 0-indexed Segment start
+    if b[sp:sp + 4] != bytes.fromhex("18538067"):
+        return None
+    gv, gw = vint(sp + 4)
+    if gw is None:
+        return None
+    ip = sp + 4 + gw
+    if b[ip:ip + 4] != bytes.fromhex("1549A966"):
+        return None
+    iv, iw = vint(ip + 4)
+    if iw is None:
+        return None
+    tsp = ip + 4 + iw
+    if b[tsp:tsp + 3] != bytes.fromhex("2AD7B1"):
+        return None
+    tsl, tsw = vint(tsp + 3)
+    if tsw is None or tsp + 3 + tsw + tsl != ip + 4 + iw + iv:
+        return None
+    scale = uint(tsp + 3 + tsw, tsl)
+    tp = ip + 4 + iw + iv
+    if b[tp:tp + 4] != bytes.fromhex("1654AE6B"):
+        return None
+    kv, kw = vint(tp + 4)
+    if kw is None:
+        return None
+    tep = tp + 4 + kw
+    if b[tep:tep + 1] != b"\xae":
+        return None
+    tev, tew = vint(tep + 1)
+    if tew is None:
+        return None
+    vdp = tep + 1 + tew
+    if b[vdp:vdp + 1] != b"\xe0":
+        return None
+    vv, vw_ = vint(vdp + 1)
+    if vw_ is None:
+        return None
+    vb = vdp + 1 + vw_
+    vfields = {}
+    r = vb
+    for _ in range(2):
+        eid = b[r:r + 1].hex().upper()
+        if eid not in ("B0", "BA") or eid in vfields:
+            return None
+        sv, sw = vint(r + 1)
+        if sw is None:
+            return None
+        vfields[eid] = uint(r + 1 + sw, sv)
+        r = r + 1 + sw + sv
+    if r != vb + vv or vb + vv != tep + 1 + tew + tev:
+        return None
+    if tep + 1 + tew + tev != tp + 4 + kw + kv:
+        return None
+    if tp + 4 + kw + kv != sp + 4 + gw + gv:
+        return None
+    if n != sp + 4 + gw + gv:
+        return None
+    if scale is None or vfields["B0"] is None or vfields["BA"] is None:
+        return None
+    ver = uint(vp, vl)
+    if ver is None:
+        return None
+    return {
+        "container": "ebml",
+        "doc_type": doc_type,
+        "ebml_version": ver,
+        "timestamp_scale": scale,
+        "pixel_width": vfields["B0"],
+        "pixel_height": vfields["BA"],
+    }

@@ -4795,6 +4795,43 @@ def ogg_page_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ebml_track_info",
+    oracle="""
+    SELECT doc_id AS asset_id, 'ebml' AS container,
+           CASE WHEN doc_id % 2 = 0 THEN 'matroska' ELSE 'webm' END
+             AS doc_type,
+           CAST(1 AS BIGINT) AS ebml_version,
+           CAST(100 + (doc_id * 7) % 16000000 AS BIGINT) AS timestamp_scale,
+           CAST(16 + doc_id % 4000 AS BIGINT) AS pixel_width,
+           CAST(16 + (doc_id * 13) % 3000 AS BIGINT) AS pixel_height
+    FROM documents
+    """,
+    doc=(
+        "LENGTH-PREFIX-IN-FIRST-BYTE varints (EBML/Matroska, RFC 8794): "
+        "the fourth varint class in the decode family — TFRecord's "
+        "chains are continuation-bit little-endian, thrift's add the "
+        "zigzag sign fold, EBML encodes the TOTAL WIDTH in the "
+        "leading-zero count of the first byte, big-endian, marker "
+        "stripped. The walk descends four nesting levels (EBML header > "
+        "DocType/Version; Segment > Info > TimestampScale; Segment > "
+        "Tracks > TrackEntry > Video > PixelWidth/Height) with ALL "
+        "sizes as vints — the synthesis flips size vints between "
+        "minimal and legal non-minimal widths on doc_id residues, and "
+        "element ORDER alternates inside the header and video elements, "
+        "so a parser assuming widths or offsets breaks the hash. Every "
+        "nesting level must account exactly. Staged projections, zero "
+        "Python, zero shuffle (plan-tested); oracle replays the "
+        "synthesis formulas"
+    ),
+)
+def ebml_track_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.multimodal import parse_ebml_headers, synth_ebml_payloads
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return parse_ebml_headers(synth_ebml_payloads(docs))
+
+
+@register(
     "frame_sample",
     oracle=f"""
     WITH v AS (SELECT doc_id AS asset_id, md5(text) AS h,

@@ -830,6 +830,8 @@ def test_header_twins_agree_under_truncation_and_corruption(spark):
 
     seeds = spark.createDataFrame([(7,), (8,), (13,)], "doc_id long")
     from flink_real_time_data_warehouse_spark.datapipe.multimodal import (
+        parse_ebml_header_py,
+        parse_ebml_headers,
         parse_flac_header_py,
         parse_flac_headers,
         parse_ogg_header_py,
@@ -838,6 +840,7 @@ def test_header_twins_agree_under_truncation_and_corruption(spark):
         parse_parquet_footers,
         parse_tfrecord_header_py,
         parse_tfrecord_headers,
+        synth_ebml_payloads,
         synth_flac_payloads,
         synth_ogg_payloads,
         synth_parquet_payloads,
@@ -857,6 +860,7 @@ def test_header_twins_agree_under_truncation_and_corruption(spark):
         (synth_parquet_payloads, parse_parquet_footers,
          parse_parquet_footer_py),
         (synth_ogg_payloads, parse_ogg_headers, parse_ogg_header_py),
+        (synth_ebml_payloads, parse_ebml_headers, parse_ebml_header_py),
     ]
     for synth, jvm_parse, py_parse in families:
         goods = [bytes(r["payload"]) for r in synth(seeds).collect()]
@@ -1122,3 +1126,83 @@ def test_ogg_lacing_table_boundaries(spark):
         assert r["codec"] == ("opus" if d % 2 == 0 else "vorbis")
         assert r["n_segments"] == 1 + d % 3
         assert r["granule"] == (d * 100003) % (1 << 48)
+
+
+def test_ebml_vint_width_boundaries(spark):
+    """EBML vint decoding (round-10 continuation, width in the leading
+    zeros of the first byte): JVM and Python twins agree at every width
+    transition (0x80/0x7F-class first bytes for 1->2, 0x40/0x3F for
+    2->3, 0x20/0x1F for 3->4), on non-minimal size encodings (legal per
+    RFC 8794), on both element orders, and both reject a 0x00 vint
+    first byte, an unknown element ID, and a nesting level that does
+    not account exactly."""
+    from flink_real_time_data_warehouse_spark.datapipe.multimodal import (
+        parse_ebml_header_py,
+        parse_ebml_headers,
+        synth_ebml_payloads,
+    )
+
+    def vint(v, width):
+        marker = 1 << (8 - width)
+        return (marker * (256 ** (width - 1)) + v).to_bytes(width, "big")
+
+    def mk(dt=b"matroska", ver=1, ts=1000000, w=640, h=480,
+           hdr_w=1, info_w=1, seg_w=1, order=0, vorder=0,
+           bad_id=None, seg_pad=0):
+        def uint(v):
+            ln = max(1, (v.bit_length() + 7) // 8)
+            return v.to_bytes(ln, "big")
+        ver_el = bytes.fromhex("4286") + vint(len(uint(ver)), 1) + uint(ver)
+        dt_el = bytes.fromhex("4282") + vint(len(dt), 1) + dt
+        hdr_pl = ver_el + dt_el if order == 0 else dt_el + ver_el
+        header = (bytes.fromhex("1A45DFA3") + vint(len(hdr_pl), hdr_w) + hdr_pl)
+        ts_el = bytes.fromhex("2AD7B1") + vint(len(uint(ts)), 1) + uint(ts)
+        info = bytes.fromhex("1549A966") + vint(len(ts_el), info_w) + ts_el
+        pw = (bad_id or bytes.fromhex("B0")) + vint(len(uint(w)), 1) + uint(w)
+        ph = bytes.fromhex("BA") + vint(len(uint(h)), 1) + uint(h)
+        vid_pl = pw + ph if vorder == 0 else ph + pw
+        video = bytes.fromhex("E0") + vint(len(vid_pl), 1) + vid_pl
+        te = bytes.fromhex("AE") + vint(len(video), 1) + video
+        tracks = bytes.fromhex("1654AE6B") + vint(len(te), 1) + te
+        seg_pl = info + tracks
+        return header + bytes.fromhex("18538067") + vint(
+            len(seg_pl) + seg_pad, seg_w) + seg_pl
+
+    goods = [
+        mk(),
+        mk(order=1, vorder=1),
+        mk(hdr_w=2, info_w=3, seg_w=4),       # non-minimal size vints
+        mk(ts=255), mk(ts=256),               # uint width edges
+        mk(w=255, h=256), mk(w=65535),
+        mk(dt=b"webm", ver=2),
+    ]
+    bads = [
+        mk(bad_id=bytes.fromhex("B1")),       # unknown video child ID
+        mk(seg_pad=1),                        # segment over-accounts
+        mk(seg_pad=-1),
+        mk()[:4] + b"\x00" + mk()[5:],        # 0x00 vint first byte
+        mk(dt=b"\xff\xfe"),                   # non-UTF-8 doc_type
+    ]
+    probes = goods + bads + [mk()[:cut] for cut in range(0, len(mk()), 7)]
+    df = spark.createDataFrame(
+        [(i, bytearray(s)) for i, s in enumerate(probes)],
+        "asset_id long, payload binary",
+    )
+    jvm = {r["asset_id"]: r.asDict() for r in parse_ebml_headers(df).collect()}
+    for i, s in enumerate(probes):
+        py = parse_ebml_header_py(s)
+        got = {k: v for k, v in jvm[i].items() if k != "asset_id"}
+        if py is None:
+            assert all(v is None for v in got.values()), (i, got)
+            assert i >= len(goods), i
+        else:
+            assert i < len(goods), i
+            assert got == py, (i, got, py)
+    assert parse_ebml_header_py(goods[2])["pixel_width"] == 640
+
+    # synthesis round-trip across both orders and all vint-width residues
+    docs = spark.createDataFrame([(d,) for d in range(8)] + [(4999,)], "doc_id long")
+    for r in parse_ebml_headers(synth_ebml_payloads(docs)).collect():
+        d = r["asset_id"]
+        assert r["doc_type"] == ("matroska" if d % 2 == 0 else "webm")
+        assert r["pixel_height"] == 16 + (d * 13) % 3000

@@ -798,3 +798,15 @@ def test_ogg_page_info_zero_python(spark):
     assert "aggregate(sequence(" in plan  # the table reduce is in-plan
     assert "*(1)" in plan and "*(2)" in plan
     assert "*(3)" not in plan
+
+
+def test_ebml_track_info_zero_python(spark):
+    """The EBML vint walk (round-10 continuation) stays pure JVM: no
+    Python eval node, zero Exchange, ONE codegen stage."""
+    df = registry()["ebml_track_info"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapsInPandas"):
+        assert bad not in plan, f"Python crossed into the plan: {bad}"
+    assert "Exchange" not in plan
+    assert "*(1)" in plan
+    assert "*(2)" not in plan
