@@ -230,6 +230,7 @@ HEADLINE = [
     "line_dedup",
     "perplexity_buckets",
     "ebml_track_info",
+    "avro_header_info",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

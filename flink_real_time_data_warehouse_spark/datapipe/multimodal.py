@@ -2745,3 +2745,247 @@ def parse_ebml_header_py(payload: bytes) -> dict | None:
         "pixel_width": vfields["B0"],
         "pixel_height": vfields["BA"],
     }
+
+
+# ---------------------------------------------------------------------------
+# Varint-strided map walks (round 10 continuation): the Avro Object
+# Container File header. The file metadata is a MAP whose entry count is
+# itself a zigzag varint and whose keys/values are zigzag-length-
+# prefixed strings — so the walk is a BOUNDED UNROLLED LOOP whose step
+# count AND every stride are data (TFRecord walks fixed field counts;
+# Ogg reduces a byte table; this chains N string reads where N is
+# decoded first), terminated by a count-0 byte and a 16-byte sync
+# marker that must land exactly at the payload end. Layout: Apache Avro
+# spec §Object Container Files (public).
+# ---------------------------------------------------------------------------
+
+AVRO_MAX_META = 3  # synthesis emits 1-3 entries; the walk unrolls this many
+
+
+def synth_avro_payloads(docs: DataFrame) -> DataFrame:
+    """Format-valid Avro OCF headers per document, replayable by a SQL
+    oracle:
+
+      n_meta = 1 + doc_id % 3 entries, in rotating order:
+        avro.codec  = null / deflate / snappy by doc_id % 3   (always)
+        avro.schema = {"type":"record","name":"r<doc_id%100>"} (n>=2)
+        user.tag    = 't' * (1 + doc_id % 200)                 (n>=3;
+                      long enough to force 2-byte zigzag varints)
+      sync = md5(doc_id) (16 honest bytes)
+
+    The parse path below trusts only the bytes."""
+    did = F.col("doc_id")
+    n_meta = (F.lit(1) + did % 3).cast("long")
+
+    def zz_str(s_col):
+        ln = F.octet_length(s_col).cast("long")
+        return F.concat(_varint_enc(F.shiftleft(ln, 1)), s_col)
+
+    codec = F.element_at(
+        F.array(F.lit("null"), F.lit("deflate"), F.lit("snappy")),
+        (did % 3 + 1).cast("int"),
+    )
+    schema = F.concat(
+        F.lit('{"type":"record","name":"r'), (did % 100).cast("string"), F.lit('"}')
+    )
+    tag = F.lit("t" * 200).substr(F.lit(1), (F.lit(1) + did % 200).cast("int"))
+    e_codec = F.concat(zz_str(F.encode(F.lit("avro.codec"), "UTF-8")),
+                       zz_str(F.encode(codec, "UTF-8")))
+    e_schema = F.concat(zz_str(F.encode(F.lit("avro.schema"), "UTF-8")),
+                        zz_str(F.encode(schema, "UTF-8")))
+    e_tag = F.concat(zz_str(F.encode(F.lit("user.tag"), "UTF-8")),
+                     zz_str(F.encode(tag, "UTF-8")))
+    entries = (
+        F.when(n_meta == 1, e_codec)
+        .when(n_meta == 2, F.when(did % 2 == 0, F.concat(e_codec, e_schema))
+              .otherwise(F.concat(e_schema, e_codec)))
+        .otherwise(F.when(did % 2 == 0, F.concat(e_codec, e_schema, e_tag))
+                   .otherwise(F.concat(e_tag, e_schema, e_codec)))
+    )
+    return docs.select(
+        did.alias("asset_id"),
+        F.concat(
+            _lit_bin(_ascii_hex("Obj") + "01"),
+            _varint_enc(F.shiftleft(n_meta, 1)),   # zigzag block count
+            entries,
+            _lit_bin("00"),                        # map terminator
+            F.unhex(F.md5(did.cast("string"))),    # sync marker
+        ).alias("payload"),
+    )
+
+
+def parse_avro_headers(assets: DataFrame) -> DataFrame:
+    """Avro OCF header extraction trusting ONLY the bytes: Obj\\x01
+    sniff, zigzag-varint map count (1..AVRO_MAX_META here), then a
+    bounded unrolled walk over N key/value string pairs — each stride is
+    key-varint + key + value-varint + value, all data — dispatching
+    captures on the key bytes; the 0x00 terminator and the 16-byte sync
+    marker must land exactly at the payload end. Unknown or repeated
+    keys, a missing avro.codec, non-UTF-8 strings, or a count outside
+    the unroll bound reject. Staged projections, zero Python, zero
+    shuffle (plan-tested)."""
+    p = F.col("payload")
+    df = assets.select("asset_id", "payload")
+    df = df.withColumn("_n", F.octet_length(p).cast("long"))
+    n = F.col("_n")
+    df = df.withColumn("_cw", _varint_width_at(p, F.lit(5)))
+    df = df.withColumn("_craw", _varint_val_at(p, F.lit(5)))
+    df = df.withColumn("_cnt", _zigzag_dec(F.col("_craw")))
+    cnt = F.col("_cnt")
+    df = df.withColumn("_q0", F.lit(5) + F.col("_cw"))
+    for i in range(AVRO_MAX_META):
+        q = F.col(f"_q{i}")
+        active = cnt > i
+        df = df.withColumn(f"_kw{i}", F.when(active, _varint_width_at(p, q)))
+        df = df.withColumn(
+            f"_kl{i}", F.when(active, _zigzag_dec(_varint_val_at(p, q)))
+        )
+        kw, kl = F.col(f"_kw{i}"), F.col(f"_kl{i}")
+        df = df.withColumn(
+            f"_key{i}",
+            F.when(active, p.substr((q + kw).try_cast("int"), kl.try_cast("int"))),
+        )
+        df = df.withColumn(f"_vq{i}", q + kw + kl)
+        vq = F.col(f"_vq{i}")
+        df = df.withColumn(f"_vw{i}", F.when(active, _varint_width_at(p, vq)))
+        df = df.withColumn(
+            f"_vl{i}", F.when(active, _zigzag_dec(_varint_val_at(p, vq)))
+        )
+        vw, vl = F.col(f"_vw{i}"), F.col(f"_vl{i}")
+        df = df.withColumn(
+            f"_val{i}",
+            F.when(active, p.substr((vq + vw).try_cast("int"), vl.try_cast("int"))),
+        )
+        df = df.withColumn(f"_q{i+1}", F.when(active, vq + vw + vl).otherwise(q))
+
+    def by_key(key: str):
+        kh = _ascii_hex(key)
+        return F.coalesce(
+            *[
+                F.when(F.hex(F.col(f"_key{i}")) == kh, F.col(f"_val{i}"))
+                for i in range(AVRO_MAX_META)
+            ]
+        )
+
+    entries_ok = F.lit(True)
+    for i in range(AVRO_MAX_META):
+        active = cnt > i
+        key_hex = F.hex(F.col(f"_key{i}"))
+        entries_ok = entries_ok & (
+            ~active
+            | (
+                key_hex.isin(
+                    _ascii_hex("avro.codec"),
+                    _ascii_hex("avro.schema"),
+                    _ascii_hex("user.tag"),
+                )
+                & (F.octet_length(F.col(f"_key{i}")).cast("long") == F.col(f"_kl{i}"))
+                & (F.octet_length(F.col(f"_val{i}")).cast("long") == F.col(f"_vl{i}"))
+                & F.is_valid_utf8(F.col(f"_val{i}"))
+            )
+        )
+    distinct_keys = F.lit(True)
+    for i in range(AVRO_MAX_META):
+        for j in range(i + 1, AVRO_MAX_META):
+            distinct_keys = distinct_keys & (
+                ~((cnt > i) & (cnt > j))
+                | (F.hex(F.col(f"_key{i}")) != F.hex(F.col(f"_key{j}")))
+            )
+    qend = F.col(f"_q{AVRO_MAX_META}")
+    codec_val = by_key("avro.codec")
+    schema_val = by_key("avro.schema")
+    ok = (
+        (n >= 23)
+        & (F.hex(p.substr(1, 4)) == _ascii_hex("Obj") + "01")
+        & (cnt >= 1) & (cnt <= AVRO_MAX_META)
+        & entries_ok
+        & distinct_keys
+        & (_be_int_at(p, qend, 1) == 0)          # map terminator
+        & (n == qend + 16)                       # sync lands exactly at end
+        & codec_val.isNotNull()
+    )
+    def _f(col):
+        return F.when(ok, col)
+    return df.select(
+        "asset_id",
+        _f(F.lit("avro")).alias("container"),
+        _f(F.decode(codec_val, "UTF-8")).alias("codec"),
+        F.when(ok & schema_val.isNotNull(),
+               F.octet_length(schema_val).cast("long")).alias("schema_len"),
+        _f(cnt).alias("n_meta"),
+        _f(F.hex(p.substr((qend + 1).try_cast("int"), F.lit(16)))).alias("sync_hex"),
+    )
+
+
+def parse_avro_header_py(payload: bytes) -> dict | None:
+    """The Python-path twin of parse_avro_headers (same strict
+    contract), for boundary/parity tests."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    n = len(b)
+    if n < 23 or b[:4] != b"Obj\x01":
+        return None
+
+    def varint(pos: int):
+        val, w = 0, 0
+        while w < VARINT_MAX_BYTES:
+            if pos + w >= n:
+                return None, None
+            byte = b[pos + w]
+            val += (byte & 127) << (7 * w)
+            w += 1
+            if byte < 128:
+                return val, w
+        return None, None
+
+    def zigzag(raw: int) -> int:
+        return (raw >> 1) ^ -(raw & 1)
+
+    craw, cw = varint(4)
+    if cw is None:
+        return None
+    cnt = zigzag(craw)
+    if cnt < 1 or cnt > AVRO_MAX_META:
+        return None
+    q = 4 + cw
+    known = {b"avro.codec", b"avro.schema", b"user.tag"}
+    seen: dict[bytes, bytes] = {}
+    for _ in range(cnt):
+        klraw, kw = varint(q)
+        if kw is None:
+            return None
+        kl = zigzag(klraw)
+        if kl < 0:
+            return None
+        key = b[q + kw:q + kw + kl]
+        if len(key) != kl or key not in known or key in seen:
+            return None
+        vq = q + kw + kl
+        vlraw, vw = varint(vq)
+        if vw is None:
+            return None
+        vl = zigzag(vlraw)
+        if vl < 0:
+            return None
+        val = b[vq + vw:vq + vw + vl]
+        if len(val) != vl:
+            return None
+        try:
+            val.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+        seen[key] = val
+        q = vq + vw + vl
+    if q >= n or b[q] != 0 or n != q + 17:
+        return None
+    if b"avro.codec" not in seen:
+        return None
+    schema = seen.get(b"avro.schema")
+    return {
+        "container": "avro",
+        "codec": seen[b"avro.codec"].decode("utf-8"),
+        "schema_len": len(schema) if schema is not None else None,
+        "n_meta": cnt,
+        "sync_hex": b[q + 1:q + 17].hex().upper(),
+    }

@@ -4832,6 +4832,42 @@ def ebml_track_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "avro_header_info",
+    oracle="""
+    SELECT doc_id AS asset_id, 'avro' AS container,
+           CASE doc_id % 3 WHEN 0 THEN 'null' WHEN 1 THEN 'deflate'
+                ELSE 'snappy' END AS codec,
+           CASE WHEN 1 + doc_id % 3 >= 2 THEN
+                CAST(CASE WHEN doc_id % 100 < 10 THEN 29 ELSE 30 END AS BIGINT)
+           END AS schema_len,
+           CAST(1 + doc_id % 3 AS BIGINT) AS n_meta,
+           upper(md5(CAST(doc_id AS VARCHAR))) AS sync_hex
+    FROM documents
+    """,
+    doc=(
+        "VARINT-STRIDED MAP WALK (Avro Object Container File header, "
+        "Apache Avro spec): the file-metadata map's entry count is "
+        "itself a zigzag varint and every key/value is a zigzag-length-"
+        "prefixed string — a bounded unrolled loop whose STEP COUNT and "
+        "every stride are data (TFRecord walks fixed field counts, Ogg "
+        "reduces a byte table; this chains N string reads where N is "
+        "decoded first), entry order rotating with parity so captures "
+        "dispatch on key bytes. The 0x00 terminator and 16-byte sync "
+        "marker must land exactly at the payload end; unknown/repeated "
+        "keys, missing avro.codec, or non-UTF-8 strings reject in both "
+        "paths. Staged projections, zero Python, zero shuffle "
+        "(plan-tested); oracle replays the synthesis formulas including "
+        "the honest md5 sync marker"
+    ),
+)
+def avro_header_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.multimodal import parse_avro_headers, synth_avro_payloads
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return parse_avro_headers(synth_avro_payloads(docs))
+
+
+@register(
     "frame_sample",
     oracle=f"""
     WITH v AS (SELECT doc_id AS asset_id, md5(text) AS h,

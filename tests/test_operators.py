@@ -830,6 +830,8 @@ def test_header_twins_agree_under_truncation_and_corruption(spark):
 
     seeds = spark.createDataFrame([(7,), (8,), (13,)], "doc_id long")
     from flink_real_time_data_warehouse_spark.datapipe.multimodal import (
+        parse_avro_header_py,
+        parse_avro_headers,
         parse_ebml_header_py,
         parse_ebml_headers,
         parse_flac_header_py,
@@ -840,6 +842,7 @@ def test_header_twins_agree_under_truncation_and_corruption(spark):
         parse_parquet_footers,
         parse_tfrecord_header_py,
         parse_tfrecord_headers,
+        synth_avro_payloads,
         synth_ebml_payloads,
         synth_flac_payloads,
         synth_ogg_payloads,
@@ -861,6 +864,7 @@ def test_header_twins_agree_under_truncation_and_corruption(spark):
          parse_parquet_footer_py),
         (synth_ogg_payloads, parse_ogg_headers, parse_ogg_header_py),
         (synth_ebml_payloads, parse_ebml_headers, parse_ebml_header_py),
+        (synth_avro_payloads, parse_avro_headers, parse_avro_header_py),
     ]
     for synth, jvm_parse, py_parse in families:
         goods = [bytes(r["payload"]) for r in synth(seeds).collect()]
@@ -1206,3 +1210,76 @@ def test_ebml_vint_width_boundaries(spark):
         d = r["asset_id"]
         assert r["doc_type"] == ("matroska" if d % 2 == 0 else "webm")
         assert r["pixel_height"] == 16 + (d * 13) % 3000
+
+
+def test_avro_map_walk_boundaries(spark):
+    """Avro OCF map walk (round-10 continuation, varint-strided loop):
+    JVM and Python twins agree across entry counts 1-3, both key
+    orders, a value long enough for a 2-byte zigzag varint, and both
+    reject a repeated key, an unknown key, a lying count, a missing
+    terminator, a sync marker off the end, and a missing avro.codec."""
+    from flink_real_time_data_warehouse_spark.datapipe.multimodal import (
+        parse_avro_header_py,
+        parse_avro_headers,
+        synth_avro_payloads,
+    )
+
+    def zz(v):
+        out, v = bytearray(), v << 1
+        while True:
+            b7, v = v & 127, v >> 7
+            out.append(b7 | (128 if v else 0))
+            if not v:
+                return bytes(out)
+
+    def ent(k, v):
+        return zz(len(k)) + k + zz(len(v)) + v
+
+    def mk(entries, count=None, term=b"\x00", sync_pad=0):
+        count = len(entries) if count is None else count
+        return (b"Obj\x01" + zz(count) + b"".join(entries) + term
+                + b"\x00" * (16 + sync_pad))
+
+    codec = ent(b"avro.codec", b"deflate")
+    schema = ent(b"avro.schema", b'{"x":1}')
+    tag_long = ent(b"user.tag", b"t" * 190)     # 2-byte zigzag value length
+    goods = [
+        mk([codec]),
+        mk([codec, schema]),
+        mk([schema, codec]),
+        mk([codec, schema, tag_long]),
+        mk([tag_long, schema, codec]),
+    ]
+    bads = [
+        mk([codec, codec]),                      # repeated key
+        mk([ent(b"evil.key", b"x"), codec]),     # unknown key
+        mk([codec, schema], count=3),            # count lies high
+        mk([codec, schema], count=1),            # count lies low
+        mk([codec], term=b"\x02"),               # missing terminator
+        mk([codec], sync_pad=1),                 # sync off the end
+        mk([codec], sync_pad=-1),
+        mk([schema]),                            # no avro.codec
+        mk([ent(b"avro.codec", b"\xff\xfe")]),   # non-UTF-8 value
+    ]
+    probes = goods + bads + [goods[3][:cut] for cut in range(0, len(goods[3]), 9)]
+    df = spark.createDataFrame(
+        [(i, bytearray(s)) for i, s in enumerate(probes)],
+        "asset_id long, payload binary",
+    )
+    jvm = {r["asset_id"]: r.asDict() for r in parse_avro_headers(df).collect()}
+    for i, s in enumerate(probes):
+        py = parse_avro_header_py(s)
+        got = {k: v for k, v in jvm[i].items() if k != "asset_id"}
+        if py is None:
+            assert all(v is None for v in got.values()), (i, got)
+            assert i >= len(goods), i
+        else:
+            assert i < len(goods), i
+            assert got == py, (i, got, py)
+
+    # synthesis round-trip: entry count and codec rotate with doc_id
+    docs = spark.createDataFrame([(d,) for d in range(6)] + [(4999,)], "doc_id long")
+    for r in parse_avro_headers(synth_avro_payloads(docs)).collect():
+        d = r["asset_id"]
+        assert r["n_meta"] == 1 + d % 3
+        assert r["codec"] == ["null", "deflate", "snappy"][d % 3]

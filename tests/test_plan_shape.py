@@ -810,3 +810,15 @@ def test_ebml_track_info_zero_python(spark):
     assert "Exchange" not in plan
     assert "*(1)" in plan
     assert "*(2)" not in plan
+
+
+def test_avro_header_info_zero_python(spark):
+    """The Avro varint-strided map walk (round-10 continuation) stays
+    pure JVM: no Python eval node, zero Exchange, ONE codegen stage."""
+    df = registry()["avro_header_info"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapsInPandas"):
+        assert bad not in plan, f"Python crossed into the plan: {bad}"
+    assert "Exchange" not in plan
+    assert "*(1)" in plan
+    assert "*(2)" not in plan
