@@ -231,6 +231,7 @@ HEADLINE = [
     "perplexity_buckets",
     "ebml_track_info",
     "avro_header_info",
+    "html_extract",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

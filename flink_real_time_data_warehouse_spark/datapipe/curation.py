@@ -572,3 +572,86 @@ def content_defined_chunks(df: DataFrame, id_col: str, text_col: str) -> DataFra
         ).alias("chunk_hash"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# HTML main-content extraction (round 10 continuation). Web corpora
+# arrive as markup; the extraction pass (the trafilatura/jusText slot in
+# CCNet/RefinedWeb pipelines) must strip tags, DROP script blocks with
+# their contents, and pull structured fields (title, link count) — all
+# in RE2-portable regex (no lookarounds, no non-greedy dependence) so
+# the same rules run on any engine. The fixture is markup-free word
+# soup, so the graded query follows the dirt-synthesis pattern: per-
+# (doc,token) md5 draws wrap tokens in links/bold, inject script blocks
+# and paragraph breaks, build a full <html> skeleton — then extraction
+# must invert it EXACTLY (extracted_text == the original text), so the
+# oracle is the clean fixture plus replayed draw counts.
+# ---------------------------------------------------------------------------
+
+
+def _html_draw(id_col, i):
+    return F.conv(
+        F.substring(
+            F.md5(F.encode(F.concat(F.lit("html:"), id_col.cast("string"),
+                                    F.lit(":"), i.cast("string")), "UTF-8")),
+            1, 8,
+        ), 16, 10,
+    ).cast("long")
+
+
+def synth_html(df: DataFrame, id_col: str, text_col: str):
+    """Deterministic HTML twin of `text_col`: per token, an md5 draw
+    wraps it in a link (href carries the token index), wraps it in <b>,
+    or prefixes a full <script>...</script> block whose CONTENTS must
+    disappear (not just its tags); every 8th token opens a new
+    paragraph; the whole body is framed by an <html><head><title>
+    skeleton where the title is the first three tokens."""
+    did = F.col(id_col)
+    toks = F.split(F.col(text_col), " ")
+
+    def rule(w, k):
+        m = _html_draw(did, k + 1) % 7
+        dec = (
+            F.when(m == 0, F.concat(F.lit('<a href="http://ex.com/'),
+                                    (k + 1).cast("string"), F.lit('">'), w,
+                                    F.lit("</a>")))
+            .when(m == 1, F.concat(F.lit("<b>"), w, F.lit("</b>")))
+            .when(m == 2, F.concat(F.lit("<script>var a="),
+                                   (k + 1).cast("string"), F.lit(";</script>"), w))
+            .otherwise(w)
+        )
+        return F.when((k > 0) & (k % 8 == 0),
+                      F.concat(F.lit("</p><p>"), dec)).otherwise(dec)
+
+    title = F.array_join(F.slice(toks, 1, 3), " ")
+    return F.concat(
+        F.lit("<html><head><title>"), title, F.lit("</title></head><body><p>"),
+        F.array_join(F.transform(toks, rule), " "),
+        F.lit("</p></body></html>"),
+    )
+
+
+def html_extract(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, title, n_links, n_scripts, text_len, extracted_text): build
+    the deterministic HTML twin, then extract — title from <head>, link
+    and script counts from the raw markup, and body text via script-
+    block DROP (contents and all) then tag strip then whitespace
+    collapse. Extraction must invert the synthesis exactly. Zero
+    shuffle, zero Python (plan-tested)."""
+    html = synth_html(df, id_col, text_col)
+    base = df.select(F.col(id_col), html.alias("_html"))
+    h = F.col("_html")
+    body = F.regexp_extract(h, "<body>(.*)</body>", 1)
+    noscript = F.regexp_replace(body, "<script>[^<]*</script>", "")
+    text = F.trim(F.regexp_replace(F.regexp_replace(noscript, "<[^>]+>", " "),
+                                   " +", " "))
+    return base.select(
+        id_col,
+        F.regexp_extract(h, "<title>([^<]*)</title>", 1).alias("title"),
+        F.size(F.regexp_extract_all(h, F.lit('<a href="[^"]*">'), 0))
+        .cast("long").alias("n_links"),
+        F.size(F.regexp_extract_all(h, F.lit("<script>"), 0))
+        .cast("long").alias("n_scripts"),
+        F.length(text).cast("long").alias("text_len"),
+        text.alias("extracted_text"),
+    )

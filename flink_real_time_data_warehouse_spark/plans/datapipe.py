@@ -4867,6 +4867,54 @@ def avro_header_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_avro_headers(synth_avro_payloads(docs))
 
 
+def _html_extract_oracle() -> str:
+    draw_expr = "md5('html:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR))"
+    draw = "(" + " + ".join(
+        f"(instr('0123456789abcdef', substr({draw_expr}, {1 + k}, 1)) - 1) * {16 ** (8 - 1 - k)}"
+        for k in range(8)
+    ) + ")"
+    return f"""
+    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+    m AS (
+      SELECT doc_id, text,
+             array_to_string(l[1:3], ' ') AS title,
+             len(list_filter(range(1, len(l) + 1), i -> ({draw}) % 7 = 0))
+               AS n_links,
+             len(list_filter(range(1, len(l) + 1), i -> ({draw}) % 7 = 2))
+               AS n_scripts
+      FROM d)
+    SELECT doc_id, title, CAST(n_links AS BIGINT) AS n_links,
+           CAST(n_scripts AS BIGINT) AS n_scripts,
+           CAST(length(text) AS BIGINT) AS text_len,
+           text AS extracted_text
+    FROM m
+    """
+
+
+@register(
+    "html_extract",
+    oracle=_html_extract_oracle(),
+    doc=(
+        "HTML main-content extraction (the trafilatura/jusText slot in "
+        "CCNet/RefinedWeb pipelines — web corpora arrive as markup): "
+        "strip tags, DROP script blocks with their contents, pull the "
+        "title and link count — all RE2-portable regex (no lookarounds, "
+        "no non-greedy dependence). The markup-free fixture gets a "
+        "deterministic HTML twin (per-token draws wrap links/bold, "
+        "inject script blocks, paragraph breaks every 8 tokens, full "
+        "<html> skeleton); extraction must invert it EXACTLY — the "
+        "oracle is the clean fixture plus replayed draw counts, so a "
+        "leftover tag, a surviving script body, or a whitespace "
+        "mangle anywhere in the corpus breaks the hash. Zero shuffle, "
+        "zero joins, zero Python"
+    ),
+)
+def html_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.curation import html_extract
+
+    return html_extract(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 @register(
     "frame_sample",
     oracle=f"""

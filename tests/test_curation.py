@@ -855,3 +855,44 @@ def test_perplexity_buckets_tercile_invariants(spark):
         head_max = max(r["bpt_micro"] for r in rs if r["bucket"] == 1)
         tail_min = min(r["bpt_micro"] for r in rs if r["bucket"] == 3)
         assert head_max <= tail_min, lang
+
+
+def test_html_extract_hand_computed(spark):
+    """The extraction rules on a hand-built token stream: script BODIES
+    disappear (not just tags), links unwrap to their anchor text, the
+    title comes from <head> and never leaks into the body text, and the
+    round-trip restores the original text exactly."""
+    from pyspark.sql import Row
+
+    from flink_real_time_data_warehouse_spark.datapipe.curation import (
+        html_extract,
+        synth_html,
+    )
+
+    text = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame([Row(doc_id=7, text=text)])
+    html = df.select(synth_html(df, "doc_id", "text").alias("h")).first()["h"]
+    assert html.startswith("<html><head><title>w0 w1 w2</title>")
+    assert "</p><p>" in html  # paragraph break at token 9
+
+    r = html_extract(df, "doc_id", "text").first()
+    assert r["title"] == "w0 w1 w2"
+    assert r["extracted_text"] == text          # exact round-trip
+    assert r["text_len"] == len(text)
+    assert r["n_links"] == html.count("<a href=")
+    assert r["n_scripts"] == html.count("<script>")
+    assert "var a=" not in r["extracted_text"]  # script bodies dropped
+
+
+def test_html_extract_plan_zero_python(spark):
+    """The extraction is a per-row projection: zero Exchange, zero
+    Python, one codegen stage."""
+    from flink_real_time_data_warehouse_spark.queries import registry
+
+    plan = plan_of(registry()["html_extract"].spark(spark, TEST_SF_DIR))
+    assert "Exchange" not in plan
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert bad not in plan
+    # the per-token transform() is CodegenFallback (like every
+    # dirt-synthesis op), so the projection splits into two stages
+    assert "*(1)" in plan and "*(3)" not in plan
