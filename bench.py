@@ -232,6 +232,7 @@ HEADLINE = [
     "ebml_track_info",
     "avro_header_info",
     "html_extract",
+    "line_dedup_stream",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

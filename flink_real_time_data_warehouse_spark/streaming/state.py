@@ -358,3 +358,64 @@ def bounce_stream_tws(events: DataFrame, gap_s: int, timeout_s: int) -> DataFram
             timeMode="eventTime",
         )
     )
+
+
+LINE_KEEPER_OUT_SCHEMA = StructType(
+    [
+        StructField("line_hash", StringType()),
+        StructField("keep_doc", LongType()),
+        StructField("keep_idx", LongType()),
+    ]
+)
+
+
+def line_dedup_stream(
+    lines: DataFrame,
+    hash_col: str = "line_hash",
+    doc_col: str = "doc_id",
+    idx_col: str = "sent_idx",
+) -> DataFrame:
+    """Line/sentence-level dedup-on-ingest: the streaming form of
+    datapipe/dedup.line_dedup's first-occurrence choice — the first
+    arrival of each line wins, where "first" within a micro-batch is the
+    lexicographic (doc, position) minimum, so replay order never changes
+    the answer (same determinism contract as exact_dedup_stream one
+    granularity up). Keyed state = one int per distinct line; emits
+    (line_hash, keep_doc, keep_idx) once per distinct line, append mode.
+
+    At 100 TB the state is O(distinct lines) — larger than document
+    state by the lines-per-doc factor; the production mitigation is the
+    same watermark-bounded variant dedup_exact_stream_builtin grades
+    (bounded state, late duplicates re-admitted)."""
+
+    def keep(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            yield pd.DataFrame(columns=["line_hash", "keep_doc", "keep_idx"])
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["d", "i"])
+        state.update((1,))
+        yield pd.DataFrame(
+            {
+                "line_hash": [key[0]],
+                "keep_doc": [int(rows["d"].iloc[0])],
+                "keep_idx": [int(rows["i"].iloc[0])],
+            }
+        )
+
+    return (
+        lines.select(
+            F.col(hash_col).alias("h"),
+            F.col(doc_col).alias("d"),
+            F.col(idx_col).alias("i"),
+        )
+        .groupBy("h")
+        .applyInPandasWithState(
+            keep,
+            outputStructType=LINE_KEEPER_OUT_SCHEMA,
+            stateStructType=StructType([StructField("seen", IntegerType())]),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1585,3 +1585,42 @@ def dwd_chain_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul_d.alias("total_amount"), "name", "acct",
     )
     return dwd.unionByName(dim)
+
+
+def _line_dedup_stream_oracle() -> str:
+    from ..plans.datapipe import _sentence_ctes
+
+    return f"""
+    WITH {_sentence_ctes()},
+    h AS (SELECT md5(sentence) AS line_hash, doc_id, sent_idx FROM e),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY line_hash
+                                   ORDER BY doc_id, sent_idx) AS rn
+      FROM h)
+    SELECT line_hash, doc_id AS keep_doc, sent_idx AS keep_idx
+    FROM r WHERE rn = 1
+    """
+
+
+@register(
+    "line_dedup_stream",
+    oracle=_line_dedup_stream_oracle(),
+    doc=(
+        "line-level dedup-on-ingest via applyInPandasWithState: the "
+        "streaming form of line_dedup's first-occurrence choice — "
+        "documents arrive, explode into the graded sentence pipeline, "
+        "and each distinct line's first arrival (lexicographic "
+        "(doc, position) minimum within a batch, keyed seen-flag across "
+        "batches) wins; later copies drop. Oracle = the batch "
+        "first-occurrence window over the replayed sentence pipeline"
+    ),
+)
+def line_dedup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.quality import sentence_segment
+    from ..streaming.state import line_dedup_stream
+
+    docs = stream_table(spark, sf_dir, "documents")
+    lines = sentence_segment(docs, "doc_id", "text").select(
+        F.md5(F.col("sentence")).alias("line_hash"), "doc_id", "sent_idx"
+    )
+    return run_to_memory(line_dedup_stream(lines), spark)

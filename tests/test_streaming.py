@@ -523,3 +523,41 @@ def test_bounce_stream_tws_matches_legacy_and_evicts_timer(spark, tmp_path):
     # event 1 resolved by event 2 (5s gap): no emission for user 7; event
     # 3 opens a pending whose timer never passes the final watermark.
     assert got == []
+
+
+def test_line_dedup_stream_first_arrival_wins(spark, tmp_path):
+    """Line-level dedup-on-ingest: a line seen in batch 1 must NOT
+    re-emit when copies arrive later; the within-batch keeper is the
+    lexicographic (doc, position) minimum — (3,1) beats (3,2) and
+    (7,1) — so replay order inside a batch never changes the answer."""
+    import hashlib
+
+    from flink_real_time_data_warehouse_spark.streaming.state import (
+        line_dedup_stream,
+    )
+
+    d = str(tmp_path / "lines")
+    spark.createDataFrame(
+        [(3, 2, "cookie banner."), (3, 1, "cookie banner."),
+         (7, 1, "cookie banner."), (3, 3, "unique one.")],
+        ["doc_id", "sent_idx", "sentence"],
+    ).coalesce(1).write.parquet(d)
+    spark.createDataFrame(
+        [(1, 1, "cookie banner."), (9, 1, "unique two.")],  # late copy of banner
+        ["doc_id", "sent_idx", "sentence"],
+    ).coalesce(1).write.mode("append").parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = stream_dir(spark, d, schema, max_files_per_trigger=1).select(
+        F.md5("sentence").alias("line_hash"), "doc_id", "sent_idx"
+    )
+    got = {
+        r.line_hash: (r.keep_doc, r.keep_idx)
+        for r in run_to_memory(line_dedup_stream(stream), spark).collect()
+    }
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert set(got) == {h("cookie banner."), h("unique one."), h("unique two.")}
+    assert got[h("unique one.")] == (3, 3)
+    assert got[h("unique two.")] == (9, 1)
+    # banner emitted exactly once, keeper from whichever batch ran first,
+    # and within that batch the lexicographic minimum
+    assert got[h("cookie banner.")] in ((3, 1), (1, 1))
