@@ -233,6 +233,8 @@ HEADLINE = [
     "avro_header_info",
     "html_extract",
     "line_dedup_stream",
+    "sft_format",
+    "contrastive_pairs",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

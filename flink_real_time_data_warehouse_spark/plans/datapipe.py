@@ -4916,6 +4916,77 @@ def html_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sft_format",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    m AS (SELECT doc_id, l, CAST(4 + doc_id % 4 AS INTEGER) AS k FROM d),
+    s AS (
+      SELECT doc_id, k,
+             array_to_string(list_slice(l, 1, k), ' ') AS instr,
+             array_to_string(list_slice(l, k + 1, len(l)), ' ') AS resp
+      FROM m)
+    SELECT doc_id,
+           '<|user|>' || chr(10) || instr || chr(10) || '<|assistant|>'
+             || chr(10) || resp || '<|end|>' AS rendered,
+           CAST(9 + length(instr) + 15 AS BIGINT) AS mask_off,
+           CAST(len(string_split(instr, ' ')) AS BIGINT) AS prompt_tokens,
+           CAST(len(string_split(resp, ' ')) AS BIGINT) AS response_tokens,
+           CAST(9 + length(instr) + 15 + length(resp) + 7 AS BIGINT)
+             AS total_len
+    FROM s
+    """,
+    doc=(
+        "SFT chat-template rendering with the LOSS-MASK BOUNDARY as the "
+        "graded value: instruction-tuning pipelines must compute the "
+        "exact offset where prompt ends and trainable response begins — "
+        "off-by-one there silently trains on prompts. The pair is "
+        "carved deterministically from the fixture (first 4+doc_id%4 "
+        "tokens = instruction), the renderer concatenates the "
+        "<|user|>/<|assistant|>/<|end|> template, and mask_off / token "
+        "splits / total length are all exact integer arithmetic both "
+        "engines replay. Pure per-row projection, zero shuffle, zero "
+        "Python"
+    ),
+)
+def sft_format_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.objective import sft_format
+
+    return sft_format(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _contrastive_oracle() -> str:
+    return f"""
+    WITH {_sentence_ctes()},
+    pp AS (
+      SELECT doc_id, sent_idx, sentence,
+             lead(sentence) OVER (PARTITION BY doc_id ORDER BY sent_idx)
+               AS positive
+      FROM e)
+    SELECT doc_id, CAST(sent_idx AS BIGINT) AS pair_idx,
+           sentence AS anchor, positive
+    FROM pp WHERE positive IS NOT NULL
+    """
+
+
+@register(
+    "contrastive_pairs",
+    oracle=_contrastive_oracle(),
+    doc=(
+        "adjacent-sentence contrastive pair prep (the in-document "
+        "(anchor, positive) mining SimCSE/DPR-style embedding training "
+        "consumes): each sentence from the graded segmentation pipeline "
+        "pairs with its successor in the same document via one lead() "
+        "window partitioned by document — no joins, no global sort; "
+        "parallelism is document-scale at any corpus size"
+    ),
+)
+def contrastive_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.quality import contrastive_pairs
+
+    return contrastive_pairs(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
     "frame_sample",
     oracle=f"""
     WITH v AS (SELECT doc_id AS asset_id, md5(text) AS h,

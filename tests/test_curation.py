@@ -896,3 +896,50 @@ def test_html_extract_plan_zero_python(spark):
     # the per-token transform() is CodegenFallback (like every
     # dirt-synthesis op), so the projection splits into two stages
     assert "*(1)" in plan and "*(3)" not in plan
+
+
+def test_sft_format_mask_boundary_hand_computed(spark):
+    """The loss-mask offset must point at the FIRST response character:
+    rendered[:mask_off] ends with the assistant tag, rendered[mask_off:]
+    is exactly response + end marker."""
+    from pyspark.sql import Row
+
+    from flink_real_time_data_warehouse_spark.datapipe.objective import sft_format
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([Row(doc_id=0, text=text)])  # k = 4
+    r = sft_format(df, "doc_id", "text").first()
+    off = r["mask_off"]
+    assert r["rendered"][:off].endswith("<|assistant|>\n")
+    assert r["rendered"][off:] == "w4 w5 w6 w7 w8 w9<|end|>"
+    assert r["prompt_tokens"] == 4 and r["response_tokens"] == 6
+    assert r["total_len"] == len(r["rendered"])
+
+
+def test_contrastive_pairs_adjacency(spark):
+    """Every pair is (sentence i, sentence i+1) of the same doc in
+    segmentation order; the last sentence of each doc anchors nothing."""
+    from flink_real_time_data_warehouse_spark.datapipe.quality import (
+        contrastive_pairs,
+        sentence_segment,
+    )
+
+    docs = table(spark, TEST_SF_DIR, "documents").limit(20)
+    sents = {}
+    for r in sentence_segment(docs, "doc_id", "text").collect():
+        sents.setdefault(r["doc_id"], []).append((r["sent_idx"], r["sentence"]))
+    pairs = contrastive_pairs(docs, "doc_id", "text").collect()
+    by_doc = {}
+    for r in pairs:
+        by_doc.setdefault(r["doc_id"], 0)
+        by_doc[r["doc_id"]] += 1
+    for d, ss in sents.items():
+        ss.sort()
+        assert by_doc.get(d, 0) == max(0, len(ss) - 1), d
+    lookup = {(d, i): s for d, ss in sents.items() for i, s in ss}
+    ordered = {d: sorted(i for i, _ in ss) for d, ss in sents.items()}
+    for r in pairs:
+        idxs = ordered[r["doc_id"]]
+        nxt = idxs[idxs.index(r["pair_idx"]) + 1]
+        assert lookup[(r["doc_id"], r["pair_idx"])] == r["anchor"]
+        assert lookup[(r["doc_id"], nxt)] == r["positive"]
