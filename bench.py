@@ -235,6 +235,7 @@ HEADLINE = [
     "line_dedup_stream",
     "sft_format",
     "contrastive_pairs",
+    "tokenizer_fertility",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

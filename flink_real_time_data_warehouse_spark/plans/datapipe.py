@@ -663,6 +663,72 @@ def bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_piece_counts(docs, "doc_id", "text", merges)
 
 
+def _fertility_oracle() -> str:
+    from ..datapipe.bpe import BPE_MERGES
+
+    parts = _bpe_train_ctes()
+    parts.append(
+        "tw0 AS MATERIALIZED (SELECT w AS word, regexp_extract_all(w, '.') AS syms "
+        "FROM (SELECT DISTINCT w FROM ww))"
+    )
+    for i in range(BPE_MERGES):
+        parts.extend(_bpe_rewrite_ctes(i, f"tw{i}", f"tw{i+1}", with_freq=False))
+    parts.append(
+        f"pieces AS (SELECT word, len(syms) AS pieces FROM tw{BPE_MERGES})"
+    )
+    parts.append(
+        """cnt AS (
+      SELECT t.doc_id, count(*) AS word_ct, sum(p.pieces) AS bpe_ct
+      FROM (SELECT doc_id, unnest(l) AS w FROM toks) t
+      JOIN pieces p ON t.w = p.word
+      GROUP BY t.doc_id)"""
+    )
+    return f"""WITH {', '.join(parts)}
+    SELECT d.lang,
+           CAST(sum(coalesce(c.word_ct, 0)) AS BIGINT) AS word_ct,
+           CAST(sum(coalesce(c.bpe_ct, 0)) AS BIGINT) AS piece_ct,
+           CAST(sum(coalesce(c.bpe_ct, 0)) * 1000
+                // sum(coalesce(c.word_ct, 0)) AS BIGINT) AS fertility_milli
+    FROM documents d LEFT JOIN cnt c USING (doc_id)
+    GROUP BY 1
+    """
+
+
+@register(
+    "tokenizer_fertility",
+    oracle=_fertility_oracle(),
+    doc=(
+        "tokenizer FERTILITY (pieces per word, the standard tokenizer-"
+        "evaluation metric — high fertility on a language means the "
+        "vocabulary under-serves it and its documents cost more "
+        "sequence length): per-language piece/word totals over the "
+        "graded BPE encoding, ratio reported in exact integer "
+        "milli-units (piece_ct * 1000 div word_ct — never a float "
+        "ratio). Cost is the same O(DISTINCT words) encode the "
+        "tokenizer family already pays plus one small per-language "
+        "rollup; oracle = the full training+encode replay aggregated "
+        "by language"
+    ),
+)
+def tokenizer_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.bpe import bpe_piece_counts, bpe_train
+
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text")
+    pc = bpe_piece_counts(docs, "doc_id", "text", merges)
+    j = pc.join(docs.select("doc_id", "lang"), "doc_id")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.sum("word_ct").cast("long").alias("word_ct"),
+            F.sum("bpe_ct").cast("long").alias("piece_ct"),
+        )
+        .withColumn(
+            "fertility_milli", F.expr("piece_ct * 1000 div word_ct")
+        )
+    )
+
+
 def _bytesyms_sql(w: str) -> str:
     """DuckDB expression: `w`'s UTF-8 bytes mapped through the 256-char
     byte->unicode LUT (the oracle twin of bpe.byte_symbols)."""

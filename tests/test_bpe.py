@@ -237,3 +237,32 @@ def test_bytelevel_bpe_stats_zero_fill_and_fingerprint(spark):
     assert rows[2]["word_ct"] == 0 and rows[2]["byte_ct"] == 0
     assert rows[2]["enc_fp"] == hashlib.md5(b"").hexdigest()
     assert rows[1]["enc_fp"] == rows[3]["enc_fp"] != rows[2]["enc_fp"]
+
+
+def test_tokenizer_fertility_consistency(spark):
+    """Fertility rolls up exactly the per-doc piece counts: per-language
+    totals equal the sum of bpe_tokenize's rows joined to lang, fertility
+    is always >= 1000 milli (a word is at least one piece), and a
+    language's fertility is the integer ratio of its own totals."""
+    from flink_real_time_data_warehouse_spark.queries import registry
+    from flink_real_time_data_warehouse_spark.tables import table
+
+    from .conftest import TEST_SF_DIR
+
+    per_doc = registry()["bpe_tokenize"].spark(spark, TEST_SF_DIR).collect()
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in table(spark, TEST_SF_DIR, "documents").select("doc_id", "lang").collect()
+    }
+    want: dict[str, list[int]] = {}
+    for r in per_doc:
+        acc = want.setdefault(langs[r["doc_id"]], [0, 0])
+        acc[0] += r["word_ct"]
+        acc[1] += r["bpe_ct"]
+    got = registry()["tokenizer_fertility"].spark(spark, TEST_SF_DIR).collect()
+    assert {r["lang"] for r in got} == set(want)
+    for r in got:
+        w, p = want[r["lang"]]
+        assert (r["word_ct"], r["piece_ct"]) == (w, p), r["lang"]
+        assert r["fertility_milli"] == p * 1000 // w
+        assert r["fertility_milli"] >= 1000
