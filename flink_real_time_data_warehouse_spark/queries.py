@@ -77,15 +77,20 @@ _GRADE_FIRST: list[str] = [
     "text_normalize", "multimodal_dimensions_av",
     # r11 rotation note: lead with this round's new registrations (no
     # driver row yet; each driver-sim verified green before its commit
-    # this session): multimodal_dimensions_mp4, multimodal_dimensions_tiff,
+    # this round): multimodal_dimensions_mp4, multimodal_dimensions_tiff,
     # multimodal_dimensions_webp, compression_frame_info,
     # bytelevel_bpe_tokenize, dedup_exact_stream_builtin,
     # lm_surprisal_trigram, mojibake_repair, gopher_quality,
     # langid_ngram, content_defined_chunks, tfrecord_varint_decode (and
-    # bounce_stream_tws where the protobuf runtime exists) — then the
-    # stalest r7-rowed block (new_user_fix, uv_daily, bounce_events,
-    # order_wide, payment_wide, dup_spans, the r7 TPC-H/curation names),
-    # then r8's block as space allows.
+    # bounce_stream_tws where the protobuf runtime exists), plus the
+    # r10 continuation-session names: flac_stream_info,
+    # parquet_footer_info, ogg_page_info, ebml_track_info,
+    # avro_header_info, sentence_segment, line_dedup, line_dedup_stream,
+    # perplexity_buckets, html_extract, sft_format, contrastive_pairs,
+    # tokenizer_fertility — then the stalest r7-rowed block
+    # (new_user_fix, uv_daily, bounce_events, order_wide, payment_wide,
+    # dup_spans, the r7 TPC-H/curation names), then r8's block as space
+    # allows.
 ]
 
 
