@@ -52,6 +52,19 @@ SHOWCASE = {
     "langid_ngram": "trigram training one explode+agg; scoring joins the count table with the 5-row totals on a broadcast; argmin via min_by aggregate, no corpus window",
     "content_defined_chunks": "candidate cuts via filtered sequence, greedy spacing via aggregate fold, chunk explode map-side — zero Exchange end to end",
     "tfrecord_varint_decode": "varint field walk: stride = bytes just decoded, nested message walked the same way — one codegen stage, zero Python, zero shuffle",
+    # round-10 continuation session
+    "flac_stream_info": "cross-byte bit groups read as two u32 halves and shifted apart — one codegen stage, zero shuffle",
+    "parquet_footer_info": "tail-anchored thrift walk: staged varint positions computed once each, zigzag decode in-expression — one codegen stage",
+    "ogg_page_info": "lacing-table reduce: higher-order aggregate over sequence(1,N) is CodegenFallback, so exactly TWO codegen stages (pinned) — still zero Python, zero Exchange",
+    "ebml_track_info": "four nesting levels of width-prefix vints as staged projections — one codegen stage, zero shuffle",
+    "avro_header_info": "bounded unrolled map walk (3 steps, strides all data) — one codegen stage, zero shuffle",
+    "sentence_segment": "punctuation synthesis + guarded split + posexplode: Generate over the scan projection, zero Exchange",
+    "line_dedup": "first-occurrence via groupBy(line) partial agg (map-side combine on hot lines) + one equi-join back + one doc rollup — two shuffles total, no window over the line key",
+    "perplexity_buckets": "surprisal joins left to AQE; one window per language partition for the tercile rank",
+    "html_extract": "script drop + tag strip + pulls in one per-row projection over the scan — zero Exchange",
+    "sft_format": "template render + mask arithmetic: pure scan + project, zero shuffle",
+    "contrastive_pairs": "one lead() window partitioned by doc over the segmentation explode — no joins, no global sort",
+    "tokenizer_fertility": "the bpe_tokenize lineage plus one per-language hash agg — no new corpus scan",
 }
 
 
