@@ -1619,6 +1619,37 @@ def _varint_width_at(p, pos):
     return expr.otherwise(F.lit(None).cast("long"))
 
 
+def _varint_read_staged(df, p, pos, pfx, active=None,
+                        max_bytes: int = VARINT_MAX_BYTES):
+    """Stage one varint read as materialized columns: the
+    VARINT_MAX_BYTES raw bytes land in `{pfx}b{k}`, then width
+    (`{pfx}w`) and value (`{pfx}v`) are CASE chains over those column
+    REFS. `_varint_width_at` + `_varint_val_at` at the same position
+    expand every byte read twice (and each byte ~3× inside the chains);
+    a walk with several reads per entry overruns janino's 64 KB method
+    limit on that duplication alone. Here each byte compiles once —
+    CollapseProject keeps multiply-referenced non-cheap aliases.
+    `active` gates the read (NULL bytes → NULL width/value, matching
+    `F.when(active, _varint_*_at(...))`)."""
+    for k in range(max_bytes):
+        b = _be_int_at(p, pos + k, 1)
+        df = df.withColumn(
+            f"{pfx}b{k}", F.when(active, b) if active is not None else b
+        )
+    bs = [F.col(f"{pfx}b{k}") for k in range(max_bytes)]
+    acc = F.lit(0).cast("long")
+    wexpr, vexpr = None, None
+    for k in range(max_bytes):
+        acc = acc + F.shiftleft(bs[k].bitwiseAND(F.lit(127)), 7 * k)
+        cond = bs[k] < 128
+        wlit = F.lit(k + 1).cast("long")
+        wexpr = F.when(cond, wlit) if wexpr is None else wexpr.when(cond, wlit)
+        vexpr = F.when(cond, acc) if vexpr is None else vexpr.when(cond, acc)
+    df = df.withColumn(f"{pfx}w", wexpr.otherwise(F.lit(None).cast("long")))
+    df = df.withColumn(f"{pfx}v", vexpr.otherwise(F.lit(None).cast("long")))
+    return df
+
+
 def _varint_enc(v, max_bytes: int = VARINT_MAX_BYTES):
     """Column -> varint bytes (synthesis side)."""
     groups = [
@@ -2760,6 +2791,8 @@ def parse_ebml_header_py(payload: bytes) -> dict | None:
 # ---------------------------------------------------------------------------
 
 AVRO_MAX_META = 3  # synthesis emits 1-3 entries; the walk unrolls this many
+#: varint unroll bound for OCF header string lengths (values < 2^21)
+AVRO_VARINT_BYTES = 3
 
 
 def synth_avro_payloads(docs: DataFrame) -> DataFrame:
@@ -2789,27 +2822,39 @@ def synth_avro_payloads(docs: DataFrame) -> DataFrame:
         F.lit('{"type":"record","name":"r'), (did % 100).cast("string"), F.lit('"}')
     )
     tag = F.lit("t" * 200).substr(F.lit(1), (F.lit(1) + did % 200).cast("int"))
-    e_codec = F.concat(zz_str(F.encode(F.lit("avro.codec"), "UTF-8")),
-                       zz_str(F.encode(codec, "UTF-8")))
-    e_schema = F.concat(zz_str(F.encode(F.lit("avro.schema"), "UTF-8")),
-                        zz_str(F.encode(schema, "UTF-8")))
-    e_tag = F.concat(zz_str(F.encode(F.lit("user.tag"), "UTF-8")),
-                     zz_str(F.encode(tag, "UTF-8")))
+    # Entry byte strings are staged columns: each appears in 2-3 CASE
+    # branches of `entries`, and inlining re-expands its two varint
+    # encoders per branch — enough, fused with the parse walk, to push
+    # the single codegen stage past janino's 64 KB method limit.
+    staged = docs.select(
+        did.alias("asset_id"),
+        F.concat(zz_str(F.encode(F.lit("avro.codec"), "UTF-8")),
+                 zz_str(F.encode(codec, "UTF-8"))).alias("_e_codec"),
+        F.concat(zz_str(F.encode(F.lit("avro.schema"), "UTF-8")),
+                 zz_str(F.encode(schema, "UTF-8"))).alias("_e_schema"),
+        F.concat(zz_str(F.encode(F.lit("user.tag"), "UTF-8")),
+                 zz_str(F.encode(tag, "UTF-8"))).alias("_e_tag"),
+    )
+    did2 = F.col("asset_id")
+    n_meta2 = (F.lit(1) + did2 % 3).cast("long")
+    e_codec, e_schema, e_tag = (
+        F.col("_e_codec"), F.col("_e_schema"), F.col("_e_tag")
+    )
     entries = (
-        F.when(n_meta == 1, e_codec)
-        .when(n_meta == 2, F.when(did % 2 == 0, F.concat(e_codec, e_schema))
+        F.when(n_meta2 == 1, e_codec)
+        .when(n_meta2 == 2, F.when(did2 % 2 == 0, F.concat(e_codec, e_schema))
               .otherwise(F.concat(e_schema, e_codec)))
-        .otherwise(F.when(did % 2 == 0, F.concat(e_codec, e_schema, e_tag))
+        .otherwise(F.when(did2 % 2 == 0, F.concat(e_codec, e_schema, e_tag))
                    .otherwise(F.concat(e_tag, e_schema, e_codec)))
     )
-    return docs.select(
-        did.alias("asset_id"),
+    return staged.select(
+        "asset_id",
         F.concat(
             _lit_bin(_ascii_hex("Obj") + "01"),
-            _varint_enc(F.shiftleft(n_meta, 1)),   # zigzag block count
+            _varint_enc(F.shiftleft(n_meta2, 1)),  # zigzag block count
             entries,
             _lit_bin("00"),                        # map terminator
-            F.unhex(F.md5(did.cast("string"))),    # sync marker
+            F.unhex(F.md5(did2.cast("string"))),   # sync marker
         ).alias("payload"),
     )
 
@@ -2828,41 +2873,53 @@ def parse_avro_headers(assets: DataFrame) -> DataFrame:
     df = assets.select("asset_id", "payload")
     df = df.withColumn("_n", F.octet_length(p).cast("long"))
     n = F.col("_n")
-    df = df.withColumn("_cw", _varint_width_at(p, F.lit(5)))
-    df = df.withColumn("_craw", _varint_val_at(p, F.lit(5)))
-    df = df.withColumn("_cnt", _zigzag_dec(F.col("_craw")))
+    # Header-metadata strings are bounded (schema JSON + tag < 2^13
+    # bytes; zigzag doubles that — still < 2^14), so 3-byte varint
+    # unrolls suffice; a 4th byte per read pushed the fused stage past
+    # janino's 64 KB method limit (deep Project chains compile into ONE
+    # method — locals can't cross split-method boundaries).
+    df = _varint_read_staged(df, p, F.lit(5), "_c", max_bytes=AVRO_VARINT_BYTES)
+    df = df.withColumn("_cnt", _zigzag_dec(F.col("_cv")))
     cnt = F.col("_cnt")
     df = df.withColumn("_q0", F.lit(5) + F.col("_cw"))
     for i in range(AVRO_MAX_META):
         q = F.col(f"_q{i}")
         active = cnt > i
-        df = df.withColumn(f"_kw{i}", F.when(active, _varint_width_at(p, q)))
-        df = df.withColumn(
-            f"_kl{i}", F.when(active, _zigzag_dec(_varint_val_at(p, q)))
+        df = _varint_read_staged(
+            df, p, q, f"_k{i}", active=active, max_bytes=AVRO_VARINT_BYTES
         )
-        kw, kl = F.col(f"_kw{i}"), F.col(f"_kl{i}")
+        df = df.withColumn(f"_kl{i}", _zigzag_dec(F.col(f"_k{i}v")))
+        kw, kl = F.col(f"_k{i}w"), F.col(f"_kl{i}")
         df = df.withColumn(
             f"_key{i}",
             F.when(active, p.substr((q + kw).try_cast("int"), kl.try_cast("int"))),
         )
         df = df.withColumn(f"_vq{i}", q + kw + kl)
         vq = F.col(f"_vq{i}")
-        df = df.withColumn(f"_vw{i}", F.when(active, _varint_width_at(p, vq)))
-        df = df.withColumn(
-            f"_vl{i}", F.when(active, _zigzag_dec(_varint_val_at(p, vq)))
+        df = _varint_read_staged(
+            df, p, vq, f"_v{i}", active=active, max_bytes=AVRO_VARINT_BYTES
         )
-        vw, vl = F.col(f"_vw{i}"), F.col(f"_vl{i}")
+        df = df.withColumn(f"_vl{i}", _zigzag_dec(F.col(f"_v{i}v")))
+        vw, vl = F.col(f"_v{i}w"), F.col(f"_vl{i}")
         df = df.withColumn(
             f"_val{i}",
             F.when(active, p.substr((vq + vw).try_cast("int"), vl.try_cast("int"))),
         )
         df = df.withColumn(f"_q{i+1}", F.when(active, vq + vw + vl).otherwise(q))
 
+    # hex(key_i) feeds the known-key check, every distinct-key pair and
+    # every by-key dispatch below — materialized once per entry, or the
+    # substr/hex tree re-expands at each of its ~10 uses and the single
+    # codegen stage overruns janino's 64 KB method limit (same staging
+    # rule as parse_av_headers' STRUCTURE NOTE).
+    for i in range(AVRO_MAX_META):
+        df = df.withColumn(f"_keyhex{i}", F.hex(F.col(f"_key{i}")))
+
     def by_key(key: str):
         kh = _ascii_hex(key)
         return F.coalesce(
             *[
-                F.when(F.hex(F.col(f"_key{i}")) == kh, F.col(f"_val{i}"))
+                F.when(F.col(f"_keyhex{i}") == kh, F.col(f"_val{i}"))
                 for i in range(AVRO_MAX_META)
             ]
         )
@@ -2870,11 +2927,10 @@ def parse_avro_headers(assets: DataFrame) -> DataFrame:
     entries_ok = F.lit(True)
     for i in range(AVRO_MAX_META):
         active = cnt > i
-        key_hex = F.hex(F.col(f"_key{i}"))
         entries_ok = entries_ok & (
             ~active
             | (
-                key_hex.isin(
+                F.col(f"_keyhex{i}").isin(
                     _ascii_hex("avro.codec"),
                     _ascii_hex("avro.schema"),
                     _ascii_hex("user.tag"),
@@ -2889,12 +2945,15 @@ def parse_avro_headers(assets: DataFrame) -> DataFrame:
         for j in range(i + 1, AVRO_MAX_META):
             distinct_keys = distinct_keys & (
                 ~((cnt > i) & (cnt > j))
-                | (F.hex(F.col(f"_key{i}")) != F.hex(F.col(f"_key{j}")))
+                | (F.col(f"_keyhex{i}") != F.col(f"_keyhex{j}"))
             )
     qend = F.col(f"_q{AVRO_MAX_META}")
-    codec_val = by_key("avro.codec")
-    schema_val = by_key("avro.schema")
-    ok = (
+    # Same rule for the dispatched values and the validity gate: each is
+    # referenced by several output columns, so they must be aliases.
+    df = df.withColumn("_codec_val", by_key("avro.codec"))
+    df = df.withColumn("_schema_val", by_key("avro.schema"))
+    df = df.withColumn(
+        "_ok",
         (n >= 23)
         & (F.hex(p.substr(1, 4)) == _ascii_hex("Obj") + "01")
         & (cnt >= 1) & (cnt <= AVRO_MAX_META)
@@ -2902,16 +2961,17 @@ def parse_avro_headers(assets: DataFrame) -> DataFrame:
         & distinct_keys
         & (_be_int_at(p, qend, 1) == 0)          # map terminator
         & (n == qend + 16)                       # sync lands exactly at end
-        & codec_val.isNotNull()
+        & F.col("_codec_val").isNotNull(),
     )
+    ok = F.col("_ok")
     def _f(col):
         return F.when(ok, col)
     return df.select(
         "asset_id",
         _f(F.lit("avro")).alias("container"),
-        _f(F.decode(codec_val, "UTF-8")).alias("codec"),
-        F.when(ok & schema_val.isNotNull(),
-               F.octet_length(schema_val).cast("long")).alias("schema_len"),
+        _f(F.decode(F.col("_codec_val"), "UTF-8")).alias("codec"),
+        F.when(ok & F.col("_schema_val").isNotNull(),
+               F.octet_length(F.col("_schema_val")).cast("long")).alias("schema_len"),
         _f(cnt).alias("n_meta"),
         _f(F.hex(p.substr((qend + 1).try_cast("int"), F.lit(16)))).alias("sync_hex"),
     )
@@ -2919,7 +2979,8 @@ def parse_avro_headers(assets: DataFrame) -> DataFrame:
 
 def parse_avro_header_py(payload: bytes) -> dict | None:
     """The Python-path twin of parse_avro_headers (same strict
-    contract), for boundary/parity tests."""
+    contract, including the AVRO_VARINT_BYTES unroll bound — a 4-byte
+    varint chain rejects in BOTH paths), for boundary/parity tests."""
     if payload is None:
         return None
     b = bytes(payload)
@@ -2929,7 +2990,7 @@ def parse_avro_header_py(payload: bytes) -> dict | None:
 
     def varint(pos: int):
         val, w = 0, 0
-        while w < VARINT_MAX_BYTES:
+        while w < AVRO_VARINT_BYTES:
             if pos + w >= n:
                 return None, None
             byte = b[pos + w]
