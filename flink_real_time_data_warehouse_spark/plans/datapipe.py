@@ -5261,3 +5261,48 @@ def train_split_leakage_free_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC — the container a web-scale pipeline actually starts from
+# (reference parity: the ingest-side framed-envelope contract of
+# utils/MyKafkaUtil.java applied to ISO 28500 archives).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "warc_records",
+    oracle="""
+    SELECT d.doc_id, CAST(t.k AS BIGINT) AS rec_idx,
+           CASE (d.doc_id + t.k) % 3 WHEN 0 THEN 'response'
+                WHEN 1 THEN 'request' ELSE 'metadata' END AS warc_type,
+           'http://site' || CAST(d.doc_id % 97 AS VARCHAR)
+             || '.example/p' || CAST(t.k AS VARCHAR) AS target_uri,
+           md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(t.k AS VARCHAR))
+             AS rec_id,
+           CAST(10 + (d.doc_id * 7 + 13 * t.k) % 120 AS BIGINT)
+             AS content_length,
+           CAST(1 + d.doc_id % 3 AS BIGINT) AS n_records
+    FROM documents d CROSS JOIN (VALUES (0), (1), (2)) t(k)
+    WHERE t.k < 1 + d.doc_id % 3
+    """,
+    doc=(
+        "TEXT-PROTOCOL FRAMING WALK (WARC / ISO 28500 — the Common Crawl "
+        "container, the on-disk input of CCNet/RefinedWeb/Dolma): every "
+        "prior container family is binary; a WARC member is a CRLF-"
+        "delimited named-header block plus a Content-Length-framed opaque "
+        "body, members concatenated — record k+1's offset is data decoded "
+        "from record k. Header ORDER alternates with (doc_id+k) parity and "
+        "body length varies per record, so a parser assuming positions or "
+        "strides breaks the hash. Strict: four mandatory headers EXACTLY "
+        "once each, digits-only Content-Length, version line per member, "
+        "final jump lands exactly at payload end. Bounded unroll, staged "
+        "projections, zero Python, zero shuffle before the record explode "
+        "(plan-tested); oracle replays the synthesis formulas"
+    ),
+)
+def warc_records_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.webarchive import parse_warc_records, synth_warc_payloads
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return parse_warc_records(synth_warc_payloads(docs))

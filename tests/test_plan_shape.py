@@ -822,3 +822,15 @@ def test_avro_header_info_zero_python(spark):
     assert "Exchange" not in plan
     assert "*(1)" in plan
     assert "*(2)" not in plan
+
+
+def test_warc_records_zero_python_zero_shuffle(spark):
+    """The WARC text-protocol framing walk (round-10 continuation) stays
+    pure JVM: no Python eval node, zero Exchange — the record explode is
+    the only stage split (Generate), never a shuffle."""
+    df = registry()["warc_records"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapsInPandas"):
+        assert bad not in plan, f"Python crossed into the plan: {bad}"
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
