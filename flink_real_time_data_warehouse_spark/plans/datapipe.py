@@ -5306,3 +5306,120 @@ def warc_records_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return parse_warc_records(synth_warc_payloads(docs))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization — the pre-dedup URL stage of web-corpus pipelines.
+# ---------------------------------------------------------------------------
+
+# Shared CTE: the synthesized messy URL's components, replayed by formula
+# (the engine derives everything from the RAW string by RFC rules, so a
+# rule bug on either side breaks the hash).
+_URL_CTES = """
+    u AS (
+      SELECT doc_id, lang, n_chars,
+        CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
+             ELSE 'HTTPS' END AS scheme_raw,
+        CASE doc_id % 3 WHEN 0 THEN 'http' ELSE 'https' END AS scheme_c,
+        CASE (doc_id % 5) % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+             ELSE 'org' END AS tld,
+        (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+          || 'Sub' || CAST(doc_id % 7 AS VARCHAR)
+          || '.Site' || CAST(doc_id % 50 AS VARCHAR) AS hostmid,
+        CASE WHEN doc_id % 5 = 0 THEN ':80'
+             WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END AS port_raw,
+        CASE WHEN doc_id % 4 = 0 THEN ''
+             ELSE '/A/b' || CAST(doc_id % 10 AS VARCHAR) END AS path_raw,
+        'id=' || CAST(doc_id % 100 AS VARCHAR) AS p_id,
+        doc_id % 3 != 1 AS has_utm,
+        CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END AS frag
+      FROM documents),
+    v AS (
+      SELECT *,
+        CASE WHEN has_utm THEN
+          CASE WHEN doc_id % 2 = 0
+               THEN 'utm_source=feed&' || p_id || '&a=1'
+               ELSE p_id || '&a=1&utm_source=feed' END
+        ELSE
+          CASE WHEN doc_id % 2 = 0 THEN p_id || '&a=1'
+               ELSE 'a=1&' || p_id END
+        END AS query_raw,
+        lower(hostmid) || '.' || tld AS host_c,
+        'site' || CAST(doc_id % 50 AS VARCHAR) || '.' || tld
+          AS registrable_domain
+      FROM u)
+"""
+
+
+@register(
+    "url_canonicalize",
+    oracle=f"""
+    WITH {_URL_CTES}
+    SELECT doc_id,
+      scheme_raw || '://' || hostmid || '.' || tld || port_raw || path_raw
+        || '?' || query_raw || frag AS url,
+      scheme_c AS scheme, host_c AS host, registrable_domain,
+      scheme_c || '://' || host_c
+        || (CASE WHEN port_raw = ':80' AND scheme_c = 'http' THEN ''
+                 ELSE port_raw END)
+        || (CASE WHEN path_raw = '' THEN '/' ELSE path_raw END)
+        || '?a=1&' || p_id AS url_canonical,
+      CAST(CASE WHEN has_utm THEN 1 ELSE 0 END AS BIGINT) AS has_tracking
+    FROM v
+    """,
+    doc=(
+        "URL CANONICALIZATION (RFC 3986 normalization + crawl "
+        "conventions — the stage CCNet/RefinedWeb run before URL dedup): "
+        "lowercase scheme/host, strip DEFAULT ports only (':80' survives "
+        "on https — the rule is scheme-conditional, not a string strip), "
+        "empty path -> '/', tracking params dropped, survivors sorted, "
+        "fragment dropped; registrable domain via a public-suffix cut "
+        "(multi-label suffixes like co.uk keep three labels). The engine "
+        "derives everything from the RAW messy string by rules; the "
+        "oracle replays the synthesis formulas — a divergence in either "
+        "direction breaks the hash. Scan-side projections, zero shuffle, "
+        "zero Python (plan-tested)"
+    ),
+)
+def url_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.urls import canonicalize_urls, synth_urls
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return canonicalize_urls(synth_urls(docs)).select(
+        "doc_id", "url", "scheme", "host", "registrable_domain",
+        "url_canonical", "has_tracking",
+    )
+
+
+@register(
+    "domain_stats",
+    oracle=f"""
+    WITH {_URL_CTES}
+    SELECT registrable_domain, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM v GROUP BY registrable_domain
+    """,
+    doc=(
+        "PER-DOMAIN ROLLUP over canonicalized URLs (the domain-level "
+        "quality/blocklist aggregation of RefinedWeb's URL filtering): "
+        "group by registrable domain -> doc count, char volume, distinct "
+        "languages. ONE shuffle on the domain key (hash agg with "
+        "map-side partials; domain skew — a giant site — rides AQE). "
+        "The distinct-lang count uses the two-phase distinct-agg "
+        "rewrite, never a row explosion"
+    ),
+)
+def domain_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.urls import canonicalize_urls, synth_urls
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return (
+        canonicalize_urls(synth_urls(docs))
+        .groupBy("registrable_domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )

@@ -834,3 +834,17 @@ def test_warc_records_zero_python_zero_shuffle(spark):
         assert bad not in plan, f"Python crossed into the plan: {bad}"
     assert "Exchange" not in plan
     assert "Generate explode" in plan
+
+
+def test_url_canonicalize_zero_shuffle(spark):
+    """URL canonicalization is scan + project (regex rules in-expression):
+    an Exchange or Python node means the per-row rules started shuffling.
+    The domain rollup shuffles exactly once, on the domain key."""
+    plan = plan_of(registry()["url_canonicalize"].spark(spark, TEST_SF_DIR))
+    assert "Exchange" not in plan
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert bad not in plan, f"Python crossed into the plan: {bad}"
+
+    plan = plan_of(registry()["domain_stats"].spark(spark, TEST_SF_DIR))
+    assert plan.count("Exchange hashpartitioning") <= 2  # agg + distinct-agg expand
+    assert "HashAggregate" in plan
