@@ -956,3 +956,60 @@ def contrastive_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "positive",
         )
     )
+
+
+# --- C4 cleaning (Raffel et al. 2020, "Exploring the Limits of Transfer
+# Learning...", §2.2) — the line-level rule set that built C4 from
+# Common Crawl; the line-structured sibling of the doc-level Gopher
+# rules above. ---
+
+C4_MIN_WORDS = 5       # a retained line needs at least this many words
+C4_MIN_SENTENCES = 3   # a retained page needs at least this many lines
+C4_TERMINALS = '[.!?"]$'  # a retained line must end in terminal punctuation
+
+
+def c4_clean(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """C4 cleaning over the deterministic sentence twin (the same
+    punctuation synthesis the graded segmenter uses):
+
+      line kept  = ends in terminal punctuation AND >= C4_MIN_WORDS
+                   words AND does not mention 'javascript',
+      page kept  = >= C4_MIN_SENTENCES surviving lines AND the page
+                   contains neither 'lorem ipsum' nor '{'.
+
+    Returns (id, n_lines, n_kept, n_dropped, clean_text, keep_page) —
+    clean_text is the surviving lines rejoined in order. Everything is
+    per-row ARRAY arithmetic (filter/size/array_join on the sentence
+    array): zero explode, zero join, zero shuffle, zero Python — at
+    100 TB this is a scan-side map, unlike the exploded line_dedup
+    shape which must shuffle to see cross-document copies."""
+    did_text = synth_punctuated_text(df, id_col, text_col)
+    base = df.select(F.col(id_col), did_text.alias("_t"))
+    t = F.col("_t")
+    sents = F.filter(split_sentences(t), lambda x: x != "")
+
+    def line_ok(x):
+        return (
+            x.rlike(C4_TERMINALS)
+            & (F.size(F.split(x, " ")) >= C4_MIN_WORDS)
+            & ~F.contains(F.lower(x), F.lit("javascript"))
+        )
+
+    base = base.select(
+        F.col(id_col),
+        F.size(sents).cast("long").alias("n_lines"),
+        F.filter(sents, line_ok).alias("_kept"),
+        F.contains(F.lower(t), F.lit("lorem ipsum")).alias("_lorem"),
+        F.contains(t, F.lit("{")).alias("_brace"),
+    )
+    n_kept = F.size(F.col("_kept")).cast("long")
+    return base.select(
+        id_col,
+        "n_lines",
+        n_kept.alias("n_kept"),
+        (F.col("n_lines") - n_kept).cast("long").alias("n_dropped"),
+        F.array_join(F.col("_kept"), " ").alias("clean_text"),
+        (
+            (n_kept >= C4_MIN_SENTENCES) & ~F.col("_lorem") & ~F.col("_brace")
+        ).cast("int").cast("long").alias("keep_page"),
+    )

@@ -5423,3 +5423,51 @@ def domain_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").alias("n_langs"),
         )
     )
+
+
+@register(
+    "c4_clean",
+    oracle=f"""
+    WITH {_sentence_ctes()},
+    flags AS (
+      SELECT doc_id, contains(lower(t), 'lorem ipsum') AS has_lorem,
+             contains(t, '{{') AS has_brace
+      FROM p),
+    scored AS (
+      SELECT doc_id, sent_idx, sentence,
+             regexp_matches(sentence, '[.!?"]$')
+               AND len(string_split(sentence, ' ')) >= 5
+               AND NOT contains(lower(sentence), 'javascript') AS ok
+      FROM e),
+    k AS (
+      SELECT doc_id,
+             count(*) AS n_lines,
+             count(*) FILTER (WHERE ok) AS n_kept,
+             coalesce(string_agg(sentence, ' ' ORDER BY sent_idx)
+                        FILTER (WHERE ok), '') AS clean_text
+      FROM scored GROUP BY doc_id)
+    SELECT f.doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(n_lines - n_kept AS BIGINT) AS n_dropped, clean_text,
+           CAST(CASE WHEN n_kept >= 3 AND NOT has_lorem AND NOT has_brace
+                THEN 1 ELSE 0 END AS BIGINT) AS keep_page
+    FROM k JOIN flags f USING (doc_id)
+    """,
+    doc=(
+        "C4 CLEANING RULES (Raffel et al. 2020 §2.2 — the rule set that "
+        "built C4 from Common Crawl; the line-level sibling of the "
+        "doc-level gopher_quality): a line survives only if it ends in "
+        "terminal punctuation, has >= 5 words, and doesn't mention "
+        "javascript; a page survives only with >= 3 surviving lines and "
+        "no 'lorem ipsum'/'{' anywhere. Runs over the SAME punctuation "
+        "synthesis the graded segmenter uses, so the sentence boundary "
+        "rules and the C4 rules cross-check. Engine shape: per-row ARRAY "
+        "arithmetic (filter/size/array_join on the sentence array) — "
+        "zero explode, zero join, zero shuffle, zero Python "
+        "(plan-tested); the oracle replays synthesis + split + rules"
+    ),
+)
+def c4_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.quality import c4_clean
+
+    return c4_clean(table(spark, sf_dir, "documents"), "doc_id", "text")

@@ -848,3 +848,13 @@ def test_url_canonicalize_zero_shuffle(spark):
     plan = plan_of(registry()["domain_stats"].spark(spark, TEST_SF_DIR))
     assert plan.count("Exchange hashpartitioning") <= 2  # agg + distinct-agg expand
     assert "HashAggregate" in plan
+
+
+def test_c4_clean_zero_shuffle(spark):
+    """C4 cleaning is per-row array arithmetic on the scan: zero
+    Exchange, zero Generate (no explode), zero Python."""
+    plan = plan_of(registry()["c4_clean"].spark(spark, TEST_SF_DIR))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert bad not in plan, f"Python crossed into the plan: {bad}"

@@ -42,3 +42,28 @@ def test_url_canonicalization_rules(spark):
 
     assert rows[6]["registrable_domain"] == "site.org"
     assert rows[6]["url_canonical"].endswith("/KeepCase/Path")
+
+
+def test_c4_rules_hand_built(spark):
+    """C4 rule semantics the synthesized corpus can't exercise:
+    javascript lines and '{' pages. The punctuation draws only ADD
+    characters around tokens, so a '{' or 'javascript' token survives
+    synthesis whatever the doc_id — these assertions are draw-proof."""
+    from flink_real_time_data_warehouse_spark.datapipe.quality import c4_clean
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " { " + base),            # code page: always dropped
+            (3, base + " javascript " + base),    # js lines dropped, page may live
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in c4_clean(df, "doc_id", "text").collect()}
+    for row in out.values():
+        assert row["n_lines"] == row["n_kept"] + row["n_dropped"]
+        if row["n_kept"] < 3:
+            assert row["keep_page"] == 0
+    assert out[2]["keep_page"] == 0
+    assert "javascript" not in out[3]["clean_text"]
