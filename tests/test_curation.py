@@ -943,3 +943,27 @@ def test_contrastive_pairs_adjacency(spark):
         nxt = idxs[idxs.index(r["pair_idx"]) + 1]
         assert lookup[(r["doc_id"], r["pair_idx"])] == r["anchor"]
         assert lookup[(r["doc_id"], nxt)] == r["positive"]
+
+
+def test_domain_mixture_weights_flattens(spark):
+    """Temperature α=1/2 must FLATTEN the mix: the largest source's
+    share shrinks, the smallest source's share grows, shares still sum
+    to ~1, and upsampling factors exceed 1 exactly for below-natural-
+    share sources."""
+    from flink_real_time_data_warehouse_spark.datapipe.curation import (
+        domain_mixture_weights,
+    )
+
+    rows = [(f"s{i}", "tok " * (10 * 4 ** i)) for i in range(4) for _ in range(3)]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["source"]: r.asDict()
+           for r in domain_mixture_weights(df, "source", "text").collect()}
+    nat = {s: r["nat_ppm"] for s, r in out.items()}
+    temp = {s: r["temp_ppm"] for s, r in out.items()}
+    big, small = max(nat, key=nat.get), min(nat, key=nat.get)
+    assert temp[big] < nat[big]
+    assert temp[small] > nat[small]
+    assert abs(sum(temp.values()) - 1_000_000) <= len(out)  # div truncation
+    assert abs(sum(nat.values()) - 1_000_000) <= len(out)
+    for s, r in out.items():
+        assert (r["epochs_milli"] > 1000) == (temp[s] > nat[s])
