@@ -1237,3 +1237,63 @@ def dedup_lines(s: DataFrame, id_col: str) -> DataFrame:
             "clean_text",
         )
     )
+
+
+# --- edit-distance verified near-dup pairs (the short-text/instruction
+# dedup shape: LSH recall, Levenshtein precision) ---
+
+#: verify on this many leading characters — edit distance is O(n·m) per
+#: pair, so the verifier runs on a bounded prefix (the operator targets
+#: short instruction-style texts; for full-text confirmation compose
+#: with ngram_jaccard_pairs, which stays linear)
+EDITDIST_PREFIX = 128
+#: keep pairs whose distance is at most this percent of the shorter prefix
+EDITDIST_MAX_PCT = 20
+
+
+def editdist_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Edit-distance near-dup pairs: MinHash+LSH proposes candidates
+    (banded — never all-pairs), then character-level Levenshtein on a
+    bounded prefix confirms, keeping pairs within EDITDIST_MAX_PCT of
+    the shorter prefix length. This is the instruction-dataset dedup
+    recipe (self-instruct/Alpaca-style pipelines drop generations within
+    small edit distance of an existing instruction): token-set methods
+    miss single-character paraphrase edits that edit distance catches.
+
+    Scale: candidate volume is the banded join's (hot buckets capped
+    upstream when needed); each verification is O(PREFIX²) JVM work,
+    independent per pair. Two point-joins fetch the prefixes; AQE
+    broadcasts the pair side when small. Returns (doc_a, doc_b, dist,
+    dist_pct), integer-exact."""
+    sig = minhash_signatures(df, id_col, text_col)
+    cand = lsh_candidate_pairs(sig)
+    pref = df.select(
+        F.col(id_col).alias("_pid"),
+        F.substring(F.col(text_col), 1, EDITDIST_PREFIX).alias("_pref"),
+    )
+    j = (
+        cand.join(
+            pref.select(F.col("_pid").alias("doc_a"), F.col("_pref").alias("_pa")),
+            "doc_a",
+        ).join(
+            pref.select(F.col("_pid").alias("doc_b"), F.col("_pref").alias("_pb")),
+            "doc_b",
+        )
+    )
+    dist = F.levenshtein(F.col("_pa"), F.col("_pb"))
+    minlen = F.least(F.length("_pa"), F.length("_pb"))
+    return (
+        j.withColumn("_dist", dist)
+        .where(F.col("_dist") * 100 <= EDITDIST_MAX_PCT * minlen)
+        .select(
+            F.col("doc_a").cast("long"),
+            F.col("doc_b").cast("long"),
+            F.col("_dist").cast("long").alias("dist"),
+            F.expr("_dist * 100").cast("long").alias("_d100"),
+            minlen.cast("long").alias("_ml"),
+        )
+        .select(
+            "doc_a", "doc_b", "dist",
+            F.expr("_d100 div _ml").cast("long").alias("dist_pct"),
+        )
+    )

@@ -5512,3 +5512,35 @@ def domain_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mixture_weights(
         table(spark, sf_dir, "documents"), "source", "text"
     )
+
+
+@register(
+    "dedup_editdist",
+    oracle=f"""
+    WITH {_minhash_cand_ctes()},
+    px AS (SELECT doc_id, substr(text, 1, 128) AS pref FROM documents)
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(a.pref, b.pref) AS BIGINT) AS dist,
+           CAST(levenshtein(a.pref, b.pref) * 100
+                // least(len(a.pref), len(b.pref)) AS BIGINT) AS dist_pct
+    FROM cand c
+    JOIN px a ON c.doc_a = a.doc_id
+    JOIN px b ON c.doc_b = b.doc_id
+    WHERE levenshtein(a.pref, b.pref) * 100
+            <= 20 * least(len(a.pref), len(b.pref))
+    """,
+    doc=(
+        "EDIT-DISTANCE VERIFIED NEAR-DUP PAIRS (the instruction-dataset "
+        "dedup recipe — self-instruct/Alpaca pipelines drop generations "
+        "within small edit distance of an existing instruction): "
+        "MinHash+LSH proposes (banded, never all-pairs), character-level "
+        "Levenshtein on a bounded 128-char prefix confirms within 20% of "
+        "the shorter prefix — catching single-character paraphrase edits "
+        "token-set similarity misses. O(PREFIX²) JVM work per candidate, "
+        "two point-joins for the prefixes, integer-exact outputs"
+    ),
+)
+def dedup_editdist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.dedup import editdist_pairs
+
+    return editdist_pairs(table(spark, sf_dir, "documents"), "doc_id", "text")

@@ -967,3 +967,25 @@ def test_domain_mixture_weights_flattens(spark):
     assert abs(sum(nat.values()) - 1_000_000) <= len(out)
     for s, r in out.items():
         assert (r["epochs_milli"] > 1000) == (temp[s] > nat[s])
+
+
+def test_editdist_pairs_semantics(spark):
+    """Near-identical texts (one token substitution) pass the edit
+    verifier; unrelated texts that share an LSH bucket by luck would be
+    rejected (distance above the 20% band). Symmetric pairs appear once
+    with doc_a < doc_b."""
+    from flink_real_time_data_warehouse_spark.datapipe.dedup import editdist_pairs
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    near = base.replace("omicron", "omikron")
+    far = "totally different words in this other document with nothing shared"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    rows = editdist_pairs(df, "doc_id", "text").collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)]["dist"] <= 2
+    assert all(a < b for a, b in pairs)
+    assert not any(3 in p for p in pairs)
