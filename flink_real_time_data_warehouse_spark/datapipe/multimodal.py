@@ -3050,3 +3050,207 @@ def parse_avro_header_py(payload: bytes) -> dict | None:
         "n_meta": cnt,
         "sync_hex": b[q + 1:q + 17].hex().upper(),
     }
+
+
+# ---------------------------------------------------------------------------
+# safetensors — the tensor-checkpoint container of the HF ecosystem, i.e.
+# what an ML data lake actually stores next to its training shards. An
+# eighth decode shape: LENGTH-PREFIXED JSON — a u64-LE frame length, then
+# a JSON map whose KEYS are data (tensor names), parsed with the engine's
+# native JSON machinery (from_json to a typed map) instead of positional
+# byte arithmetic; every prior family reads fixed positions, this one
+# hands a variable region to a recursive parser and validates around it.
+# ---------------------------------------------------------------------------
+
+#: tensor entries the synthesis emits (1..SAFETENSORS_MAX_TENSORS)
+SAFETENSORS_MAX_TENSORS = 3
+
+_ST_SCHEMA = (
+    "map<string,struct<dtype:string,shape:array<bigint>,"
+    "data_offsets:array<bigint>>>"
+)
+
+
+def synth_safetensors_payloads(docs: DataFrame) -> DataFrame:
+    """Format-valid safetensors headers per document, replayable by a
+    SQL oracle:
+
+      n_tensors = 1 + doc_id % 3, entry k (0-based):
+        dtype        = ('F32','F16','I8')[(doc_id+k) % 3]  (4/2/1 bytes)
+        shape        = [1 + (doc_id*3+k) % 8, 1 + (doc_id*5+2k) % 16]
+        data_offsets = cumulative [start, end) in dtype-sized bytes
+      '__metadata__' entry appended when doc_id % 2 = 0; one space of
+      spec-legal padding after the JSON when doc_id % 4 = 0 (the header
+      length INCLUDES padding). Payload = u64-LE(header_len) || JSON."""
+    did = F.col("doc_id")
+    n_t = (F.lit(1) + did % 3).cast("long")
+
+    nbytes = []
+    entries = []
+    for k in range(SAFETENSORS_MAX_TENSORS):
+        dt = F.element_at(
+            F.array(F.lit("F32"), F.lit("F16"), F.lit("I8")),
+            ((did + k) % 3 + 1).cast("int"),
+        )
+        esz = F.element_at(
+            F.array(F.lit(4), F.lit(2), F.lit(1)), ((did + k) % 3 + 1).cast("int")
+        ).cast("long")
+        a = (F.lit(1) + (did * 3 + k) % 8).cast("long")
+        b = (F.lit(1) + (did * 5 + 2 * k) % 16).cast("long")
+        nbytes.append(a * b * esz)
+        start = sum(nbytes[:k], F.lit(0).cast("long"))
+        end = start + nbytes[k]
+        entries.append(
+            F.concat(
+                F.lit(f'"t{k}":{{"dtype":"'), dt,
+                F.lit('","shape":['), a.cast("string"), F.lit(","),
+                b.cast("string"),
+                F.lit('],"data_offsets":['), start.cast("string"),
+                F.lit(","), end.cast("string"), F.lit("]}"),
+            )
+        )
+    body = (
+        F.when(n_t == 1, entries[0])
+        .when(n_t == 2, F.concat_ws(",", entries[0], entries[1]))
+        .otherwise(F.concat_ws(",", *entries))
+    )
+    js = F.concat(
+        F.lit("{"), body,
+        F.when(did % 2 == 0, F.lit(',"__metadata__":{"format":"pt"}')).otherwise(
+            F.lit("")
+        ),
+        F.lit("}"),
+        F.when(did % 4 == 0, F.lit(" ")).otherwise(F.lit("")),
+    )
+    staged = docs.select(did.alias("asset_id"), F.encode(js, "UTF-8").alias("_js"))
+    return staged.select(
+        "asset_id",
+        F.concat(
+            _le_enc(F.octet_length(F.col("_js")).cast("long"), 8), F.col("_js")
+        ).alias("payload"),
+    )
+
+
+def parse_safetensors_headers(assets: DataFrame) -> DataFrame:
+    """safetensors header extraction trusting ONLY the bytes: u64-LE
+    frame length must land exactly at payload end, the frame must be
+    valid UTF-8 JSON parsing to the tensor-map schema, every tensor
+    entry (keys other than '__metadata__') must carry dtype, a nonempty
+    shape and a 2-element data_offsets, and at least one tensor must
+    exist — else every field is NULL. Returns (asset_id, container,
+    header_len, n_tensors, total_params, data_end, has_metadata).
+    The JSON region is parsed by the engine's native from_json (a
+    recursive parser, not positional arithmetic); all tensor math is
+    higher-order array folds. Zero Python, zero shuffle (plan-tested)."""
+    p = F.col("payload")
+    df = assets.select("asset_id", "payload")
+    df = df.withColumn("_n", F.octet_length(p).cast("long"))
+    df = df.withColumn("_hlen", _le_int_at(p, F.lit(1), 8))
+    hlen = F.col("_hlen")
+    df = df.withColumn("_jsb", p.substr(F.lit(9), hlen.try_cast("int")))
+    # decode THROWS on malformed UTF-8 (Spark 4 MALFORMED_CHARACTER_CODING);
+    # the CASE gate short-circuits it to NULL for invalid frames, which is
+    # also the twin's strict-decode verdict.
+    df = df.withColumn(
+        "_js",
+        F.when(F.is_valid_utf8(F.col("_jsb")), F.decode(F.col("_jsb"), "UTF-8")),
+    )
+    df = df.withColumn("_m", F.from_json(F.col("_js"), _ST_SCHEMA))
+    m = F.col("_m")
+    df = df.withColumn(
+        "_t", F.map_filter(m, lambda k, v: k != "__metadata__")
+    )
+    t = F.col("_t")
+    entries_ok = F.forall(
+        F.map_values(t),
+        lambda v: v["dtype"].isNotNull()
+        & (F.size(v["shape"]) >= 1)
+        & (F.size(v["data_offsets"]) == 2),
+    )
+    df = df.withColumn(
+        "_ok",
+        (F.col("_n") == hlen + 8)
+        & F.is_valid_utf8(F.col("_jsb"))
+        & m.isNotNull()
+        & (F.size(t) >= 1)
+        & entries_ok,
+    )
+    ok = F.col("_ok")
+
+    def _f(col):
+        return F.when(ok, col)
+
+    total_params = F.aggregate(
+        F.map_values(t),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc
+        + F.aggregate(v["shape"], F.lit(1).cast("long"), lambda x, y: x * y),
+    )
+    data_end = F.array_max(
+        F.transform(F.map_values(t), lambda v: F.element_at(v["data_offsets"], 2))
+    )
+    return df.select(
+        "asset_id",
+        _f(F.lit("safetensors")).alias("container"),
+        _f(hlen).alias("header_len"),
+        _f(F.size(t).cast("long")).alias("n_tensors"),
+        _f(total_params).alias("total_params"),
+        _f(data_end).alias("data_end"),
+        _f(
+            F.array_contains(F.map_keys(m), "__metadata__").cast("int").cast("long")
+        ).alias("has_metadata"),
+    )
+
+
+def parse_safetensors_header_py(payload: bytes) -> dict | None:
+    """The Python-path twin of parse_safetensors_headers (same strict
+    contract), for boundary/parity tests."""
+    import json
+
+    if payload is None:
+        return None
+    b = bytes(payload)
+    n = len(b)
+    if n < 8:
+        return None
+    hlen = int.from_bytes(b[:8], "little")
+    if n != hlen + 8:
+        return None
+    try:
+        js = b[8:].decode("utf-8")
+        m = json.loads(js)
+    except (UnicodeDecodeError, json.JSONDecodeError):
+        return None
+    if not isinstance(m, dict):
+        return None
+    tensors = {k: v for k, v in m.items() if k != "__metadata__"}
+    if not tensors:
+        return None
+    total_params, data_end = 0, None
+    for v in tensors.values():
+        if not isinstance(v, dict):
+            return None
+        shape = v.get("shape")
+        offs = v.get("data_offsets")
+        dt = v.get("dtype")
+        if not isinstance(dt, str) or not isinstance(shape, list) or not shape:
+            return None
+        if not isinstance(offs, list) or len(offs) != 2:
+            return None
+        prod = 1
+        for x in shape:
+            if not isinstance(x, int):
+                return None
+            prod *= x
+        total_params += prod
+        if not all(isinstance(x, int) for x in offs):
+            return None
+        data_end = offs[1] if data_end is None else max(data_end, offs[1])
+    return {
+        "container": "safetensors",
+        "header_len": hlen,
+        "n_tensors": len(tensors),
+        "total_params": total_params,
+        "data_end": data_end,
+        "has_metadata": "__metadata__" in m,
+    }

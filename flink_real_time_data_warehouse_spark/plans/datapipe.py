@@ -5544,3 +5544,71 @@ def dedup_editdist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..datapipe.dedup import editdist_pairs
 
     return editdist_pairs(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "safetensors_header_info",
+    oracle="""
+    WITH tns AS (
+      SELECT d.doc_id, t.k,
+        1 + (d.doc_id * 3 + t.k) % 8 AS a,
+        1 + (d.doc_id * 5 + 2 * t.k) % 16 AS b,
+        CASE (d.doc_id + t.k) % 3 WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 1 END AS esz
+      FROM documents d CROSS JOIN (VALUES (0), (1), (2)) t(k)
+      WHERE t.k < 1 + d.doc_id % 3),
+    w AS (
+      SELECT *, a * b AS numel, a * b * esz AS nbytes,
+        coalesce(sum(a * b * esz) OVER (PARTITION BY doc_id ORDER BY k
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s0
+      FROM tns),
+    e AS (
+      SELECT doc_id, k, numel, nbytes,
+        '"t' || k || '":{"dtype":"'
+          || (CASE (doc_id + k) % 3 WHEN 0 THEN 'F32' WHEN 1 THEN 'F16'
+              ELSE 'I8' END)
+          || '","shape":[' || a || ',' || b || '],"data_offsets":['
+          || s0 || ',' || (s0 + nbytes) || ']}' AS entry
+      FROM w),
+    j AS (
+      SELECT doc_id,
+        '{' || string_agg(entry, ',' ORDER BY k)
+            || CASE WHEN doc_id % 2 = 0
+                    THEN ',"__metadata__":{"format":"pt"}' ELSE '' END
+            || '}' AS js,
+        count(*) AS n_tensors, sum(numel) AS total_params,
+        sum(nbytes) AS data_end
+      FROM e GROUP BY doc_id)
+    SELECT doc_id AS asset_id, 'safetensors' AS container,
+           CAST(len(js) + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS header_len,
+           CAST(n_tensors AS BIGINT) AS n_tensors,
+           CAST(total_params AS BIGINT) AS total_params,
+           CAST(data_end AS BIGINT) AS data_end,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS has_metadata
+    FROM j
+    """,
+    doc=(
+        "LENGTH-PREFIXED JSON decode (safetensors — the HF tensor-"
+        "checkpoint container an ML data lake stores next to its "
+        "training shards): u64-LE frame length that must land exactly "
+        "at payload end, then a JSON map whose KEYS are data (tensor "
+        "names), handed to the engine's native recursive JSON parser "
+        "(from_json to a typed map) — the eighth decode shape, and the "
+        "only one that validates around a recursive region instead of "
+        "reading fixed positions. Tensor math (param product-sums, max "
+        "data offset) is higher-order array folds over the map values; "
+        "'__metadata__' is excluded by map_filter; spec-legal space "
+        "padding and a metadata entry toggle on doc_id parities. Zero "
+        "Python, zero shuffle (plan-tested); oracle replays the exact "
+        "JSON text to recover the byte-true header length"
+    ),
+)
+def safetensors_header_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.multimodal import (
+        parse_safetensors_headers,
+        synth_safetensors_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return parse_safetensors_headers(synth_safetensors_payloads(docs))

@@ -849,6 +849,11 @@ def test_header_twins_agree_under_truncation_and_corruption(spark):
         synth_parquet_payloads,
         synth_tfrecord_payloads,
     )
+    from flink_real_time_data_warehouse_spark.datapipe.multimodal import (
+        parse_safetensors_header_py,
+        parse_safetensors_headers,
+        synth_safetensors_payloads,
+    )
 
     families = [
         (synth_mp4_payloads, parse_mp4_headers, parse_mp4_header_py),
@@ -865,6 +870,8 @@ def test_header_twins_agree_under_truncation_and_corruption(spark):
         (synth_ogg_payloads, parse_ogg_headers, parse_ogg_header_py),
         (synth_ebml_payloads, parse_ebml_headers, parse_ebml_header_py),
         (synth_avro_payloads, parse_avro_headers, parse_avro_header_py),
+        (synth_safetensors_payloads, parse_safetensors_headers,
+         parse_safetensors_header_py),
     ]
     for synth, jvm_parse, py_parse in families:
         goods = [bytes(r["payload"]) for r in synth(seeds).collect()]
@@ -1283,3 +1290,47 @@ def test_avro_map_walk_boundaries(spark):
         d = r["asset_id"]
         assert r["n_meta"] == 1 + d % 3
         assert r["codec"] == ["null", "deflate", "snappy"][d % 3]
+
+
+def test_safetensors_strictness(spark):
+    """Hand-built safetensors cases: frame-length landing, tensor-map
+    validation, metadata handling — same verdict both paths."""
+    import json
+
+    from flink_real_time_data_warehouse_spark.datapipe.multimodal import (
+        parse_safetensors_header_py,
+        parse_safetensors_headers,
+    )
+
+    def frame(js: str) -> bytes:
+        b = js.encode()
+        return len(b).to_bytes(8, "little") + b
+
+    good = frame('{"t0":{"dtype":"F32","shape":[2,3],"data_offsets":[0,24]}}')
+    py = parse_safetensors_header_py(good)
+    assert py == {
+        "container": "safetensors", "header_len": 58, "n_tensors": 1,
+        "total_params": 6, "data_end": 24, "has_metadata": False,
+    }
+    bads = [
+        good[:-1],                                       # short landing
+        good + b"x",                                     # long landing
+        frame('{"__metadata__":{"format":"pt"}}'),        # zero tensors
+        frame('{"t0":{"dtype":"F32","shape":[],"data_offsets":[0,0]}}'),
+        frame('{"t0":{"dtype":"F32","shape":[2],"data_offsets":[0]}}'),
+        frame('{"t0":{"shape":[2],"data_offsets":[0,8]}}'),  # no dtype
+        frame('not json at all'),
+        (5).to_bytes(8, "little") + b"{}",               # hlen lies
+        b"\x07\x00\x00",                                 # truncated prefix
+    ]
+    rows_in = [(0, bytearray(good))] + [
+        (i + 1, bytearray(b)) for i, b in enumerate(bads)
+    ]
+    df = spark.createDataFrame(rows_in, "asset_id long, payload binary")
+    jvm = {r["asset_id"]: r.asDict() for r in parse_safetensors_headers(df).collect()}
+    assert jvm[0]["n_tensors"] == 1 and jvm[0]["total_params"] == 6
+    assert jvm[0]["has_metadata"] == 0
+    for i, b in enumerate(bads):
+        assert parse_safetensors_header_py(b) is None, i
+        got = jvm[i + 1]
+        assert all(v is None for k, v in got.items() if k != "asset_id"), (i, got)

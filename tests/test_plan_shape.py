@@ -858,3 +858,14 @@ def test_c4_clean_zero_shuffle(spark):
     assert "Generate" not in plan
     for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert bad not in plan, f"Python crossed into the plan: {bad}"
+
+
+def test_safetensors_header_info_zero_python_zero_shuffle(spark):
+    """The length-prefixed-JSON decode stays JVM-side (from_json is the
+    engine's native parser, not a Python UDF): no Python eval node, zero
+    Exchange."""
+    df = registry()["safetensors_header_info"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapsInPandas"):
+        assert bad not in plan, f"Python crossed into the plan: {bad}"
+    assert "Exchange" not in plan
