@@ -92,28 +92,58 @@ def synth_urls(docs: DataFrame) -> DataFrame:
     )
 
 
-def registrable_domain(host: Column) -> Column:
-    """Registrable domain of a lowercase host: strip a leading 'www.',
-    keep the last two labels, or three when the tail matches a known
-    multi-label public suffix."""
-    h = F.regexp_replace(host, r"^www\.", "")
+def with_registrable_domain(
+    df: DataFrame, host_col: str, out_col: str
+) -> DataFrame:
+    """Stage the registrable-domain cut of a lowercase host column:
+    strip a leading 'www.', keep the last two labels, or three when the
+    tail matches a known multi-label public suffix.
+
+    Built as three staged withColumns (stripped host, suffix-cut chain,
+    empty-fallback) because the chain references the stripped host ~2×
+    per suffix and the fallback references the chain twice — as ONE
+    inline expression the www-strip regex re-expands ~20×, which (fused
+    across a self-join in url_dedup) overran janino's constant pool and
+    killed whole-stage codegen. Staged, every regex compiles once."""
+    df = df.withColumn("_rdh", F.regexp_replace(F.col(host_col), r"^www\.", ""))
+    h = F.col("_rdh")
     out = F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1)
     for suf in MULTI_SUFFIXES:
         pat = r"([^.]+\." + suf.replace(".", r"\.") + r")$"
         out = F.when(h.endswith("." + suf), F.regexp_extract(h, pat, 1)).otherwise(out)
-    return F.when(out == "", h).otherwise(out)
+    df = df.withColumn("_rdg", out)
+    return df.withColumn(
+        out_col, F.when(F.col("_rdg") == "", h).otherwise(F.col("_rdg"))
+    )
 
 
 def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Apply the canonicalization rules to a raw URL column; adds
-    scheme, host, registrable_domain, url_canonical, has_tracking."""
+    scheme, host, registrable_domain, path, url_canonical, has_tracking.
+
+    STRUCTURE NOTE: every component (authority, host, port, path, query
+    and the suffix-cut chain) is a staged withColumn, not an inline
+    expression — host alone is referenced ~12 times by the suffix cut
+    and assembly, and when a caller fuses this plan onto BOTH sides of
+    a self-join (url_dedup), inline trees re-expand multiplicatively
+    until janino's constant pool / 64 KB method limits kill whole-stage
+    codegen. Staged aliases compile each regex exactly once (the
+    CollapseProject multiply-referenced rule)."""
     u = F.col(url_col)
-    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
-    auth = F.regexp_extract(u, r"^[^:]+://([^/?#]*)", 1)
-    host = F.lower(F.regexp_extract(auth, r"^([^:]+)", 1))
-    port = F.regexp_extract(auth, r":([0-9]+)$", 1)
-    path = F.regexp_extract(u, r"^[^:]+://[^/?#]*([^?#]*)", 1)
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    df = df.withColumn(
+        "_scheme", F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    )
+    df = df.withColumn("_auth", F.regexp_extract(u, r"^[^:]+://([^/?#]*)", 1))
+    df = df.withColumn(
+        "_host", F.lower(F.regexp_extract(F.col("_auth"), r"^([^:]+)", 1))
+    )
+    df = df.withColumn("_port", F.regexp_extract(F.col("_auth"), r":([0-9]+)$", 1))
+    df = df.withColumn(
+        "_path", F.regexp_extract(u, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    )
+    df = df.withColumn("_query", F.regexp_extract(u, r"\?([^#]*)", 1))
+    df = df.withColumn("_params", F.split(F.col("_query"), "&"))
+    scheme, host, port = F.col("_scheme"), F.col("_host"), F.col("_port")
 
     def _is_tracking(x: Column) -> Column:
         cond = x.startswith(TRACKING_PREFIXES[0])
@@ -121,25 +151,70 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
             cond = cond | x.startswith(pfx)
         return cond
 
-    keep = F.filter(F.split(query, "&"), lambda x: (x != "") & ~_is_tracking(x))
-    qc = F.concat_ws("&", F.array_sort(keep))
+    keep = F.filter(F.col("_params"), lambda x: (x != "") & ~_is_tracking(x))
+    df = df.withColumn("_qc", F.concat_ws("&", F.array_sort(keep)))
+    qc = F.col("_qc")
     port_keep = (
         F.when(port == "", F.lit(""))
         .when((scheme == "http") & (port == "80"), F.lit(""))
         .when((scheme == "https") & (port == "443"), F.lit(""))
         .otherwise(F.concat(F.lit(":"), port))
     )
-    path_norm = F.when(path == "", F.lit("/")).otherwise(path)
+    df = df.withColumn(
+        "_pathn", F.when(F.col("_path") == "", F.lit("/")).otherwise(F.col("_path"))
+    )
     url_canonical = F.concat(
-        scheme, F.lit("://"), host, port_keep, path_norm,
+        scheme, F.lit("://"), host, port_keep, F.col("_pathn"),
         F.when(qc != "", F.concat(F.lit("?"), qc)).otherwise(F.lit("")),
     )
-    has_tracking = F.exists(F.split(query, "&"), _is_tracking)
+    has_tracking = F.exists(F.col("_params"), _is_tracking)
+    df = with_registrable_domain(df, "_host", "_rd")
+    keep_cols = [c for c in df.columns if not c.startswith("_")]
     return df.select(
-        "*",
+        *keep_cols,
         scheme.alias("scheme"),
         host.alias("host"),
-        registrable_domain(host).alias("registrable_domain"),
+        F.col("_rd").alias("registrable_domain"),
+        F.col("_pathn").alias("path"),
         url_canonical.alias("url_canonical"),
         has_tracking.cast("int").cast("long").alias("has_tracking"),
+    )
+
+
+def url_dedup(df: DataFrame, id_col: str, url_col: str = "url") -> DataFrame:
+    """URL-level exact dedup at the coarse key crawl pipelines actually
+    use (Dolma's URL dedup normalizes away scheme, subdomains, ports,
+    params and fragments): key = registrable_domain || canonical path.
+    First occurrence (smallest id) is the keeper; every other copy is
+    flagged. Returns (id, url_key, keeper_id, n_copies, is_dup).
+
+    Scale: groupBy(key).agg(min,count) — map-side partial aggregation
+    combines the billion-copy hot URL before it shuffles — then one
+    equi-join back on the key (AQE skew split governs hot keys; a
+    window over the key would put every copy of a hot URL in ONE
+    partition with no partial step — the dedup_lines lesson)."""
+    c = canonicalize_urls(df, url_col)
+    # coalesce-with-literal makes the key statically NON-NULLABLE: else
+    # Catalyst infers isnotnull(url_key) for the equi-join and pushes it
+    # to the scan with every staged alias INLINED — a single Filter
+    # expression ~12 copies of the whole canonicalize chain deep, which
+    # overran janino's 64 KB limit and dropped both join-side stages to
+    # the interpreter. (The key is never null anyway: concat of non-null
+    # rule outputs.)
+    keyed = c.select(
+        F.col(id_col),
+        F.coalesce(
+            F.concat(F.col("registrable_domain"), F.col("path")), F.lit("")
+        ).alias("url_key"),
+    )
+    g = keyed.groupBy("url_key").agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count("*").cast("long").alias("n_copies"),
+    )
+    return keyed.join(g, "url_key").select(
+        id_col,
+        "url_key",
+        "keeper_id",
+        "n_copies",
+        (F.col(id_col) != F.col("keeper_id")).cast("int").cast("long").alias("is_dup"),
     )

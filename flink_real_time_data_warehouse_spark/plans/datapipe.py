@@ -5612,3 +5612,41 @@ def safetensors_header_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return parse_safetensors_headers(synth_safetensors_payloads(docs))
+
+
+@register(
+    "dedup_url",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+        'site' || CAST(doc_id % 50 AS VARCHAR) || '.'
+          || (CASE (doc_id % 5) % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+              ELSE 'org' END)
+          || (CASE WHEN doc_id % 4 = 0 THEN '/'
+              ELSE '/A/b' || CAST(doc_id % 10 AS VARCHAR) END) AS url_key
+      FROM documents),
+    g AS (
+      SELECT url_key, min(doc_id) AS keeper_id,
+             CAST(count(*) AS BIGINT) AS n_copies
+      FROM u GROUP BY url_key)
+    SELECT u.doc_id, u.url_key, g.keeper_id, g.n_copies,
+           CAST(CASE WHEN u.doc_id = g.keeper_id THEN 0 ELSE 1 END AS BIGINT)
+             AS is_dup
+    FROM u JOIN g USING (url_key)
+    """,
+    doc=(
+        "URL-LEVEL EXACT DEDUP (Dolma/CCNet stage 1 — crawls re-fetch "
+        "the same page under scheme/www/port/param variations, so the "
+        "dedup key is registrable_domain || canonical path, everything "
+        "else normalized away by the graded canonicalizer): smallest id "
+        "per key keeps, copies flagged. groupBy(key).agg(min,count) with "
+        "map-side partials + one equi-join back — the hot-URL-safe shape "
+        "(a window over the key would serialize every copy of a hot URL "
+        "into one partition)"
+    ),
+)
+def dedup_url_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.urls import synth_urls, url_dedup
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return url_dedup(synth_urls(docs), "doc_id")

@@ -67,3 +67,24 @@ def test_c4_rules_hand_built(spark):
             assert row["keep_page"] == 0
     assert out[2]["keep_page"] == 0
     assert "javascript" not in out[3]["clean_text"]
+
+
+def test_url_dedup_first_wins(spark):
+    """Copies of a page under scheme/www/port/param variations collapse
+    to one keeper (smallest id); distinct paths stay distinct."""
+    from flink_real_time_data_warehouse_spark.datapipe.urls import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (10, "http://example.com/a"),
+            (11, "HTTPS://WWW.Example.COM:443/a?utm_source=x"),
+            (12, "http://sub.example.com:80/a#frag"),
+            (20, "http://example.com/b"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in url_dedup(df, "doc_id").collect()}
+    assert rows[10]["is_dup"] == 0 and rows[10]["keeper_id"] == 10
+    assert rows[11]["is_dup"] == 1 and rows[11]["keeper_id"] == 10
+    assert rows[12]["is_dup"] == 1 and rows[12]["n_copies"] == 3
+    assert rows[20]["is_dup"] == 0 and rows[20]["n_copies"] == 1
