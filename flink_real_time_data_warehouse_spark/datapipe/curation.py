@@ -714,3 +714,80 @@ def domain_mixture_weights(df: DataFrame, source_col: str, text_col: str) -> Dat
             f"(_s * {MIX_PPM} div _tot_s) * 1000 div (n_tokens * {MIX_PPM} div _tot_tokens)"
         ).cast("long").alias("epochs_milli"),
     )
+
+
+def _md_draw(id_col, i):
+    return F.conv(
+        F.substring(
+            F.md5(F.encode(F.concat(F.lit("md:"), id_col.cast("string"),
+                                    F.lit(":"), i.cast("string")), "UTF-8")),
+            1, 8,
+        ), 16, 10,
+    ).cast("long")
+
+
+def synth_markdown(df: DataFrame, id_col: str, text_col: str):
+    """Deterministic Markdown twin of `text_col`: per token, an md5 draw
+    wraps it in a link (href carries the token index), wraps it in
+    **bold** or `inline code`, or prefixes a FENCED CODE BLOCK whose
+    contents must disappear (not just its fences); every 10th token
+    starts an H2 heading line (marker stripped, text kept) and every
+    8th a blank-line paragraph break; the whole document opens with an
+    H1 title made of the first three tokens."""
+    did = F.col(id_col)
+    toks = F.split(F.col(text_col), " ")
+
+    def rule(w, k):
+        m = _md_draw(did, k + 1) % 7
+        dec = (
+            F.when(m == 0, F.concat(F.lit("["), w, F.lit("](http://ex.com/"),
+                                    (k + 1).cast("string"), F.lit(")")))
+            .when(m == 1, F.concat(F.lit("**"), w, F.lit("**")))
+            .when(m == 2, F.concat(F.lit("`"), w, F.lit("`")))
+            .when(m == 3, F.concat(F.lit("```v"), (k + 1).cast("string"),
+                                   F.lit("``` "), w))
+            .otherwise(w)
+        )
+        return (
+            F.when((k > 0) & (k % 10 == 0), F.concat(F.lit("\n## "), dec))
+            .when((k > 0) & (k % 8 == 0), F.concat(F.lit("\n\n"), dec))
+            .otherwise(dec)
+        )
+
+    title = F.array_join(F.slice(toks, 1, 3), " ")
+    return F.concat(
+        F.lit("# "), title, F.lit("\n\n"),
+        F.array_join(F.transform(toks, rule), " "),
+    )
+
+
+def markdown_extract(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, title, n_links, n_code_blocks, text_len, extracted_text):
+    build the deterministic Markdown twin, then extract — title from the
+    H1 line, link/fence counts from the raw markup, and body text via
+    fenced-block DROP (contents and all), then link/bold/inline-code
+    unwrapping, heading-marker strip and whitespace collapse. Extraction
+    must invert the synthesis EXACTLY (extracted_text == the clean
+    fixture), so a leftover marker or a swallowed token anywhere in the
+    corpus breaks the hash. All RE2-portable regex; zero shuffle, zero
+    Python (plan-tested)."""
+    md = synth_markdown(df, id_col, text_col)
+    base = df.select(F.col(id_col), md.alias("_md"))
+    m = F.col("_md")
+    body = F.regexp_replace(m, r"^# [^\n]*\n\n", "")
+    nofence = F.regexp_replace(body, r"```[^`]*``` ", "")
+    unlink = F.regexp_replace(nofence, r"\[([^\]]*)\]\([^)]*\)", "$1")
+    unbold = F.regexp_replace(unlink, r"\*\*([^*]*)\*\*", "$1")
+    uncode = F.regexp_replace(unbold, r"`([^`]*)`", "$1")
+    unhead = F.regexp_replace(uncode, r"\n## ", "\n")
+    text = F.trim(F.regexp_replace(unhead, r"[\n ]+", " "))
+    return base.select(
+        id_col,
+        F.regexp_extract(m, r"^# ([^\n]*)", 1).alias("title"),
+        F.size(F.regexp_extract_all(m, F.lit(r"\[[^\]]*\]\([^)]*\)"), 0))
+        .cast("long").alias("n_links"),
+        F.size(F.regexp_extract_all(m, F.lit(r"```[^`]*```"), 0))
+        .cast("long").alias("n_code_blocks"),
+        F.length(text).cast("long").alias("text_len"),
+        text.alias("extracted_text"),
+    )

@@ -5650,3 +5650,52 @@ def dedup_url_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return url_dedup(synth_urls(docs), "doc_id")
+
+
+def _markdown_extract_oracle() -> str:
+    draw_expr = "md5('md:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR))"
+    draw = "(" + " + ".join(
+        f"(instr('0123456789abcdef', substr({draw_expr}, {1 + k}, 1)) - 1) * {16 ** (8 - 1 - k)}"
+        for k in range(8)
+    ) + ")"
+    return f"""
+    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+    m AS (
+      SELECT doc_id, text,
+             array_to_string(l[1:3], ' ') AS title,
+             len(list_filter(range(1, len(l) + 1), i -> ({draw}) % 7 = 0))
+               AS n_links,
+             len(list_filter(range(1, len(l) + 1), i -> ({draw}) % 7 = 3))
+               AS n_code_blocks
+      FROM d)
+    SELECT doc_id, title, CAST(n_links AS BIGINT) AS n_links,
+           CAST(n_code_blocks AS BIGINT) AS n_code_blocks,
+           CAST(length(text) AS BIGINT) AS text_len,
+           text AS extracted_text
+    FROM m
+    """
+
+
+@register(
+    "markdown_extract",
+    oracle=_markdown_extract_oracle(),
+    doc=(
+        "MARKDOWN main-content extraction (the README/docs slot next to "
+        "html_extract — code-adjacent corpora like The Stack arrive as "
+        "Markdown): unwrap links/bold/inline code keeping the text, DROP "
+        "fenced code blocks with their contents, strip heading markers "
+        "keeping heading text, pull the H1 title and link/fence counts — "
+        "all RE2-portable regex. The markup-free fixture gets a "
+        "deterministic Markdown twin (per-token draws add links, bold, "
+        "inline code and fenced blocks; positional rules add H2 headings "
+        "and paragraph breaks; an H1 title opens the document); "
+        "extraction must invert it EXACTLY — the oracle is the clean "
+        "fixture plus replayed draw counts, so a leftover marker or "
+        "surviving fence body anywhere breaks the hash. Zero shuffle, "
+        "zero joins, zero Python"
+    ),
+)
+def markdown_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.curation import markdown_extract
+
+    return markdown_extract(table(spark, sf_dir, "documents"), "doc_id", "text")

@@ -869,3 +869,12 @@ def test_safetensors_header_info_zero_python_zero_shuffle(spark):
     for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapsInPandas"):
         assert bad not in plan, f"Python crossed into the plan: {bad}"
     assert "Exchange" not in plan
+
+
+def test_markdown_extract_zero_shuffle(spark):
+    """Markdown extraction is scan + project regex chains: zero
+    Exchange, zero Python."""
+    plan = plan_of(registry()["markdown_extract"].spark(spark, TEST_SF_DIR))
+    assert "Exchange" not in plan
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert bad not in plan, f"Python crossed into the plan: {bad}"
