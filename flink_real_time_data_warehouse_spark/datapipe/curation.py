@@ -791,3 +791,102 @@ def markdown_extract(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.length(text).cast("long").alias("text_len"),
         text.alias("extracted_text"),
     )
+
+
+# --- Bloom-filter decontamination (the broadcast-bitset scale path) ---
+
+#: Bloom bits (2^20 ≈ 128 KiB as a bitset — broadcast-trivial)
+BLOOM_M = 1 << 20
+#: hash functions per shingle
+BLOOM_K = 2
+
+
+def _bloom_bit(sh: Column, j: int) -> Column:
+    """j-th Bloom position of a shingle: an md5-slice hash mod BLOOM_M —
+    the house hash family, so false positives are DETERMINISTIC and the
+    oracle replays them bit-for-bit."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.encode(F.concat(F.lit(f"bloom{j}:"), sh), "UTF-8")), 1, 8
+            ),
+            16, 10,
+        ).cast("long")
+        % BLOOM_M
+    )
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = None,
+) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter: benchmark
+    shingles are folded into BLOOM_K md5-derived bit positions out of
+    BLOOM_M; a corpus shingle is flagged when ALL its positions are set.
+    Returns per corpus doc: (id, n_shingles, bloom_hits, exact_hits,
+    false_positives, contaminated) — the exact membership runs
+    alongside, so the op MEASURES its own false-positive cost (at these
+    parameters ~2e-4 per shingle, deterministic and oracle-replayed).
+
+    Scale story vs exact `decontaminate`: the exact path broadcasts the
+    benchmark SHINGLE STRINGS (gigabytes for a big eval suite); the
+    Bloom path broadcasts a position set capped at BLOOM_M entries
+    (≈128 KiB as a bitset, ≤8 MB as a hash set of longs) no matter how
+    large the benchmark grows, and the probe joins on a LONG key
+    instead of a string — the standard membership-at-scale trade. Both
+    probes are map-side broadcast joins against the corpus shingle
+    scan."""
+    from .dedup import SHINGLE_K, shingle_rows
+
+    k = SHINGLE_K if k is None else k
+    corp_sh = shingle_rows(corpus, id_col, text_col, k)
+    bench_sh = shingle_rows(benchmark, id_col, text_col, k).select("sh").distinct()
+
+    bits = (
+        bench_sh.select(
+            F.explode(
+                F.array(*[_bloom_bit(F.col("sh"), j) for j in range(BLOOM_K)])
+            ).alias("bit")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    exact = bench_sh.withColumn("_ehit", F.lit(1))
+
+    pr = corp_sh
+    for j in range(BLOOM_K):
+        pr = pr.withColumn(f"_p{j}", _bloom_bit(F.col("sh"), j))
+    for j in range(BLOOM_K):
+        pr = pr.join(
+            F.broadcast(bits.select(F.col("bit").alias(f"_p{j}"),
+                                    F.col("_hit").alias(f"_h{j}"))),
+            f"_p{j}", "left",
+        )
+    pr = pr.join(F.broadcast(exact), "sh", "left")
+    bloom_hit = F.lit(True)
+    for j in range(BLOOM_K):
+        bloom_hit = bloom_hit & F.col(f"_h{j}").isNotNull()
+    agg = pr.groupBy("doc").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum(bloom_hit.cast("long")).cast("long").alias("bloom_hits"),
+        F.sum(F.coalesce(F.col("_ehit"), F.lit(0)).cast("long"))
+        .cast("long").alias("exact_hits"),
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc"))
+        .join(agg, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce(F.col("bloom_hits"), F.lit(0)).cast("long").alias("bloom_hits"),
+            F.coalesce(F.col("exact_hits"), F.lit(0)).cast("long").alias("exact_hits"),
+            (F.coalesce(F.col("bloom_hits"), F.lit(0))
+             - F.coalesce(F.col("exact_hits"), F.lit(0)))
+            .cast("long").alias("false_positives"),
+            (F.coalesce(F.col("bloom_hits"), F.lit(0)) > 0)
+            .cast("int").cast("long").alias("contaminated"),
+        )
+    )

@@ -5699,3 +5699,74 @@ def markdown_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..datapipe.curation import markdown_extract
 
     return markdown_extract(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _bloom_bit_sql(j: int, s: str) -> str:
+    h = f"md5('bloom{j}:' || {s})"
+    val = "(" + " + ".join(
+        f"(instr('0123456789abcdef', substr({h}, {1 + i}, 1)) - 1) * {16 ** (8 - 1 - i)}"
+        for i in range(8)
+    ) + ")"
+    return f"({val} % 1048576)"
+
+
+@register(
+    "decontaminate_bloom",
+    oracle=f"""
+    WITH {TOKS_CTE}, {SH_CTE},
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+    bits AS (
+      SELECT DISTINCT bit FROM (
+        SELECT {_bloom_bit_sql(0, 's')} AS bit FROM bench
+        UNION ALL
+        SELECT {_bloom_bit_sql(1, 's')} AS bit FROM bench)),
+    corp AS (
+      SELECT doc_id, s, {_bloom_bit_sql(0, 's')} AS p0,
+             {_bloom_bit_sql(1, 's')} AS p1
+      FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
+    per AS (
+      SELECT c.doc_id,
+             CASE WHEN b0.bit IS NOT NULL AND b1.bit IS NOT NULL
+                  THEN 1 ELSE 0 END AS bh,
+             CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END AS eh
+      FROM corp c
+      LEFT JOIN bits b0 ON c.p0 = b0.bit
+      LEFT JOIN bits b1 ON c.p1 = b1.bit
+      LEFT JOIN bench e ON c.s = e.s),
+    agg AS (
+      SELECT doc_id, count(*) AS n_shingles, sum(bh) AS bloom_hits,
+             sum(eh) AS exact_hits
+      FROM per GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(a.bloom_hits, 0) AS BIGINT) AS bloom_hits,
+           CAST(coalesce(a.exact_hits, 0) AS BIGINT) AS exact_hits,
+           CAST(coalesce(a.bloom_hits, 0) - coalesce(a.exact_hits, 0)
+                AS BIGINT) AS false_positives,
+           CAST(CASE WHEN coalesce(a.bloom_hits, 0) > 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS contaminated
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    WHERE d.doc_id % {BENCH_MOD} <> 0
+    """,
+    doc=(
+        "BLOOM-FILTER DECONTAMINATION (the membership-at-scale twin of "
+        "the exact `decontaminate`): benchmark shingles fold into "
+        "BLOOM_K=2 md5-derived positions out of 2^20 bits; a corpus "
+        "shingle flags when ALL its positions are set. The exact "
+        "membership runs alongside so the operator MEASURES its own "
+        "false-positive cost, and because the hash family is the house "
+        "md5 slice, every false positive is deterministic and replayed "
+        "by the oracle. Scale: the exact path broadcasts benchmark "
+        "shingle STRINGS (grows with the eval suite); the Bloom path "
+        "broadcasts a position set bounded by 2^20 entries regardless, "
+        "probing on a LONG key — both map-side broadcast joins against "
+        "the corpus shingle scan"
+    ),
+)
+def decontaminate_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.curation import decontaminate_bloom
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % BENCH_MOD != 0)
+    benchmark = docs.where(F.col("doc_id") % BENCH_MOD == 0)
+    return decontaminate_bloom(corpus, benchmark, "doc_id", "text")

@@ -1010,3 +1010,29 @@ def test_markdown_extract_inverts_hand_built(spark):
     assert row["extracted_text"] == df.first()["text"]
     assert row["title"] == "alpha beta gamma"
     assert row["text_len"] == len(df.first()["text"])
+
+
+def test_decontaminate_bloom_no_false_negatives(spark):
+    """Bloom membership can never miss a true member: exact_hits <=
+    bloom_hits per doc, false_positives >= 0, and a doc sharing a
+    shingle with the benchmark is always contaminated."""
+    from flink_real_time_data_warehouse_spark.datapipe.curation import (
+        decontaminate_bloom,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "secret eval question one two three four")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "leaked copy secret eval question one two three four end"),
+         (2, "totally clean text with distinct tokens everywhere here")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict()
+            for r in decontaminate_bloom(corpus, bench, "doc_id", "text").collect()}
+    assert rows[1]["contaminated"] == 1
+    assert rows[1]["exact_hits"] >= 1
+    for r in rows.values():
+        assert r["bloom_hits"] >= r["exact_hits"]
+        assert r["false_positives"] >= 0
