@@ -3254,3 +3254,314 @@ def parse_safetensors_header_py(payload: bytes) -> dict | None:
         "data_end": data_end,
         "has_metadata": "__metadata__" in m,
     }
+
+
+# ---------------------------------------------------------------------------
+# ZIP central directory — how zipped corpora are listed without reading
+# the members. A ninth decode shape: BACKWARD DISCOVERY — the End Of
+# Central Directory record sits at a variable distance from the END of
+# the file (trailing comment), so the walk first scans backward from the
+# tail, then jumps to the central directory offset it names and walks
+# forward with per-entry variable strides (name/extra/comment lengths).
+# Every prior family starts at byte 0.
+# ---------------------------------------------------------------------------
+
+#: central-directory entries the synthesis emits (1..ZIP_MAX_ENTRIES)
+ZIP_MAX_ENTRIES = 3
+#: EOCD comment lengths the backward scan tries (0..ZIP_MAX_COMMENT;
+#: the spec allows 64 KiB — same bounded-unroll discipline as the other
+#: walks, documented)
+ZIP_MAX_COMMENT = 6
+
+
+def synth_zip_payloads(docs: DataFrame) -> DataFrame:
+    """Format-valid ZIP tails per document (the local-file section is
+    opaque filler — the reader never touches it), replayable by a SQL
+    oracle:
+
+      n_files = 1 + doc_id % 3, entry k (0-based):
+        name    = 'n' * (1 + (doc_id+k) % 4) || k
+        method  = 0 (stored) if (doc_id+k) % 2 = 0 else 8 (deflated)
+        usize   = 100 + (doc_id*11 + k*17) % 900
+        csize   = usize if stored else 40 + (usize * 3 div 5)
+        comment = 'e' * ((doc_id+k) % 3);  extra empty
+        offset  = sum over previous entries of (30 + name_len + csize)
+      EOCD comment = 'c' * (doc_id % 7)."""
+    did = F.col("doc_id")
+    n_f = (F.lit(1) + did % 3).cast("long")
+
+    fnlens, csizes, entries = [], [], []
+    for k in range(ZIP_MAX_ENTRIES):
+        namelen = (F.lit(1) + (did + k) % 4).cast("int")
+        name = F.concat(F.lit("n" * 4).substr(F.lit(1), namelen), F.lit(str(k)))
+        fnlen = (namelen + 1).cast("long")
+        method = F.when((did + k) % 2 == 0, F.lit(0)).otherwise(F.lit(8)).cast("long")
+        usize = (F.lit(100) + (did * 11 + k * 17) % 900).cast("long")
+        csize = F.when(method == 0, usize).otherwise(
+            F.lit(40) + F.expr(f"(100 + (doc_id*11 + {k}*17) % 900) * 3 div 5")
+        ).cast("long")
+        crc = F.conv(
+            F.substring(F.md5(F.encode(F.concat(F.lit("crc:"), did.cast("string"),
+                                                F.lit(f":{k}")), "UTF-8")), 1, 8),
+            16, 10,
+        ).cast("long")
+        cmlen = ((did + k) % 3).cast("long")
+        comment = F.lit("e" * 2).substr(F.lit(1), cmlen.cast("int"))
+        offset = sum(
+            (F.lit(30) + fnlens[j] + csizes[j] for j in range(k)),
+            F.lit(0).cast("long"),
+        )
+        fnlens.append(fnlen)
+        csizes.append(csize)
+        entries.append(
+            F.concat(
+                _lit_bin("504B0102"),       # central-dir entry signature
+                _le_enc(F.lit(20), 2),      # version made by
+                _le_enc(F.lit(20), 2),      # version needed
+                _le_enc(F.lit(0), 2),       # flags
+                _le_enc(method, 2),
+                _le_enc(F.lit(0), 2),       # mod time
+                _le_enc(F.lit(0), 2),       # mod date
+                _le_enc(crc, 4),
+                _le_enc(csize, 4),
+                _le_enc(usize, 4),
+                _le_enc(fnlen, 2),
+                _le_enc(F.lit(0), 2),       # extra len
+                _le_enc(cmlen, 2),
+                _le_enc(F.lit(0), 2),       # disk number start
+                _le_enc(F.lit(0), 2),       # internal attrs
+                _le_enc(F.lit(0), 4),       # external attrs
+                _le_enc(offset, 4),
+                F.encode(name, "UTF-8"),
+                F.encode(comment, "UTF-8"),
+            ).alias(f"_e{k}")
+        )
+
+    cd_off = sum(
+        (
+            F.when(n_f > k, F.lit(30) + fnlens[k] + csizes[k]).otherwise(F.lit(0))
+            for k in range(ZIP_MAX_ENTRIES)
+        ),
+        F.lit(0).cast("long"),
+    )
+    staged = docs.select(
+        did.alias("asset_id"), n_f.alias("_nf"), cd_off.alias("_cdoff"), *entries
+    )
+    nf, cdo = F.col("_nf"), F.col("_cdoff")
+    cd = (
+        F.when(nf == 1, F.col("_e0"))
+        .when(nf == 2, F.concat(F.col("_e0"), F.col("_e1")))
+        .otherwise(F.concat(F.col("_e0"), F.col("_e1"), F.col("_e2")))
+    )
+    staged = staged.select(
+        "asset_id", "_nf", "_cdoff", cd.alias("_cd")
+    )
+    did2 = F.col("asset_id")
+    eocd_comment = F.lit("c" * ZIP_MAX_COMMENT).substr(
+        F.lit(1), (did2 % 7).cast("int")
+    )
+    filler = F.repeat(F.lit("L"), F.col("_cdoff").cast("int"))
+    return staged.select(
+        "asset_id",
+        F.concat(
+            F.encode(filler, "UTF-8"),
+            F.col("_cd"),
+            _lit_bin("504B0506"),                    # EOCD signature
+            _le_enc(F.lit(0), 2),                    # this disk
+            _le_enc(F.lit(0), 2),                    # cd start disk
+            _le_enc(F.col("_nf"), 2),                # entries this disk
+            _le_enc(F.col("_nf"), 2),                # entries total
+            _le_enc(F.octet_length(F.col("_cd")).cast("long"), 4),  # cd size
+            _le_enc(F.col("_cdoff"), 4),             # cd offset
+            _le_enc((did2 % 7).cast("long"), 2),     # comment len
+            F.encode(eocd_comment, "UTF-8"),
+        ).alias("payload"),
+    )
+
+
+def parse_zip_central_dir(assets: DataFrame) -> DataFrame:
+    """ZIP listing trusting ONLY the bytes: the EOCD is found by trying
+    each comment length 0..ZIP_MAX_COMMENT backward from the tail
+    (SMALLEST first = rightmost EOCD) and must carry zeroed disk fields,
+    matching entry counts (1..ZIP_MAX_ENTRIES) and a comment length that
+    lands the record exactly at payload end; the central directory walk
+    then starts at the EOCD's offset, checks each entry signature,
+    advances by the per-entry variable stride (46 + name + extra +
+    comment), requires method stored/deflated, and must land exactly at
+    the EOCD start with cd_size consistent. Rejections emit no rows.
+    Emits one row per member: (asset_id, file_idx, name, method, csize,
+    usize, local_offset, n_files). Bounded unrolls, staged projections,
+    zero Python, zero shuffle before the member explode (plan-tested)."""
+    p = F.col("payload")
+    df = assets.select("asset_id", "payload")
+    df = df.withColumn("_n", F.octet_length(p).cast("long"))
+    n = F.col("_n")
+
+    # Backward EOCD discovery: smallest comment length whose candidate
+    # position carries the signature.
+    eocd_cand = F.coalesce(
+        *[
+            F.when(
+                F.hex(p.substr((n - 21 - c).try_cast("int"), F.lit(4)))
+                == "504B0506",
+                F.lit(c).cast("long"),
+            )
+            for c in range(ZIP_MAX_COMMENT + 1)
+        ]
+    )
+    df = df.withColumn("_clen", eocd_cand)
+    clen = F.col("_clen")
+    df = df.withColumn("_eocd", n - 21 - clen)
+    eocd = F.col("_eocd")
+    df = df.withColumn("_cnt", _le_int_at(p, eocd + 10, 2))
+    df = df.withColumn("_cdsz", _le_int_at(p, eocd + 12, 4))
+    df = df.withColumn("_cdoff", _le_int_at(p, eocd + 16, 4))
+    cnt, cdsz, cdoff = F.col("_cnt"), F.col("_cdsz"), F.col("_cdoff")
+    eocd_ok = (
+        (n >= 22)
+        & clen.isNotNull()
+        & (_le_int_at(p, eocd + 4, 2) == 0)          # this disk
+        & (_le_int_at(p, eocd + 6, 2) == 0)          # cd start disk
+        & (_le_int_at(p, eocd + 8, 2) == cnt)        # per-disk count
+        & (cnt >= 1) & (cnt <= ZIP_MAX_ENTRIES)
+        & (_le_int_at(p, eocd + 20, 2) == clen)      # comment len field
+        & (cdoff + cdsz == eocd - 1)                 # cd abuts the EOCD
+    )
+    df = df.withColumn("_q0", cdoff + 1)
+    for k in range(ZIP_MAX_ENTRIES):
+        q = F.col(f"_q{k}")
+        active = cnt > k
+        df = df.withColumn(
+            f"_sig{k}", F.when(active, F.hex(p.substr(q.try_cast("int"), F.lit(4))))
+        )
+        df = df.withColumn(f"_m{k}", F.when(active, _le_int_at(p, q + 10, 2)))
+        df = df.withColumn(f"_cs{k}", F.when(active, _le_int_at(p, q + 20, 4)))
+        df = df.withColumn(f"_us{k}", F.when(active, _le_int_at(p, q + 24, 4)))
+        df = df.withColumn(f"_fl{k}", F.when(active, _le_int_at(p, q + 28, 2)))
+        df = df.withColumn(f"_xl{k}", F.when(active, _le_int_at(p, q + 30, 2)))
+        df = df.withColumn(f"_cl{k}", F.when(active, _le_int_at(p, q + 32, 2)))
+        df = df.withColumn(f"_off{k}", F.when(active, _le_int_at(p, q + 42, 4)))
+        df = df.withColumn(
+            f"_nmb{k}",
+            F.when(active, p.substr((q + 46).try_cast("int"),
+                                    F.col(f"_fl{k}").try_cast("int"))),
+        )
+        df = df.withColumn(
+            f"_ok{k}",
+            ~active
+            | (
+                (F.col(f"_sig{k}") == "504B0102")
+                & F.col(f"_m{k}").isin(0, 8)
+                & (F.octet_length(F.col(f"_nmb{k}")).cast("long")
+                   == F.col(f"_fl{k}"))
+                & F.is_valid_utf8(F.col(f"_nmb{k}"))
+            ),
+        )
+        df = df.withColumn(
+            f"_q{k + 1}",
+            F.when(
+                active & F.col(f"_ok{k}"),
+                q + 46 + F.col(f"_fl{k}") + F.col(f"_xl{k}") + F.col(f"_cl{k}"),
+            ).otherwise(q),
+        )
+
+    walk_ok = F.lit(True)
+    for k in range(ZIP_MAX_ENTRIES):
+        walk_ok = walk_ok & F.col(f"_ok{k}")
+    df = df.withColumn(
+        "_doc_ok",
+        eocd_ok & walk_ok & (F.col(f"_q{ZIP_MAX_ENTRIES}") == eocd),
+    )
+    members = F.array(
+        *[
+            F.when(
+                F.col("_doc_ok") & (cnt > k),
+                F.struct(
+                    F.lit(k).cast("long").alias("file_idx"),
+                    F.decode(F.col(f"_nmb{k}"), "UTF-8").alias("name"),
+                    F.when(F.col(f"_m{k}") == 0, F.lit("stored"))
+                    .otherwise(F.lit("deflated")).alias("method"),
+                    F.col(f"_cs{k}").alias("csize"),
+                    F.col(f"_us{k}").alias("usize"),
+                    F.col(f"_off{k}").alias("local_offset"),
+                ),
+            )
+            for k in range(ZIP_MAX_ENTRIES)
+        ]
+    )
+    return df.select(
+        "asset_id", F.when(F.col("_doc_ok"), cnt).alias("n_files"),
+        F.explode(F.array_compact(members)).alias("_m"),
+    ).select(
+        "asset_id",
+        F.col("_m.file_idx").alias("file_idx"),
+        F.col("_m.name").alias("name"),
+        F.col("_m.method").alias("method"),
+        F.col("_m.csize").alias("csize"),
+        F.col("_m.usize").alias("usize"),
+        F.col("_m.local_offset").alias("local_offset"),
+        "n_files",
+    )
+
+
+def parse_zip_central_dir_py(payload: bytes) -> list[dict] | None:
+    """The Python-path twin of parse_zip_central_dir (same strict
+    contract, including the bounded comment scan and entry unroll), for
+    boundary/parity tests."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    n = len(b)
+    if n < 22:
+        return None
+    clen = None
+    for c in range(ZIP_MAX_COMMENT + 1):
+        pos = n - 22 - c
+        if pos >= 0 and b[pos:pos + 4] == b"PK\x05\x06":
+            clen = c
+            break
+    if clen is None:
+        return None
+    e = n - 22 - clen
+
+    def le(pos: int, w: int) -> int:
+        return int.from_bytes(b[pos:pos + w], "little")
+
+    cnt = le(e + 10, 2)
+    cdsz, cdoff = le(e + 12, 4), le(e + 16, 4)
+    if le(e + 4, 2) != 0 or le(e + 6, 2) != 0 or le(e + 8, 2) != cnt:
+        return None
+    if not (1 <= cnt <= ZIP_MAX_ENTRIES) or le(e + 20, 2) != clen:
+        return None
+    if cdoff + cdsz != e:
+        return None
+    q = cdoff
+    out: list[dict] = []
+    for k in range(cnt):
+        if b[q:q + 4] != b"PK\x01\x02":
+            return None
+        m = le(q + 10, 2)
+        if m not in (0, 8):
+            return None
+        fl, xl, cl = le(q + 28, 2), le(q + 30, 2), le(q + 32, 2)
+        nm = b[q + 46:q + 46 + fl]
+        if len(nm) != fl:
+            return None
+        try:
+            name = nm.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+        out.append({
+            "file_idx": k,
+            "name": name,
+            "method": "stored" if m == 0 else "deflated",
+            "csize": le(q + 20, 4),
+            "usize": le(q + 24, 4),
+            "local_offset": le(q + 42, 4),
+        })
+        q += 46 + fl + xl + cl
+    if q != e:
+        return None
+    for r in out:
+        r["n_files"] = cnt
+    return out

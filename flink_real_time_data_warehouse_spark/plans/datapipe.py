@@ -5770,3 +5770,52 @@ def decontaminate_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(F.col("doc_id") % BENCH_MOD != 0)
     benchmark = docs.where(F.col("doc_id") % BENCH_MOD == 0)
     return decontaminate_bloom(corpus, benchmark, "doc_id", "text")
+
+
+@register(
+    "zip_central_dir",
+    oracle="""
+    WITH f AS (
+      SELECT d.doc_id, t.k,
+        2 + (d.doc_id + t.k) % 4 AS fnlen,
+        CASE WHEN (d.doc_id + t.k) % 2 = 0 THEN 'stored'
+             ELSE 'deflated' END AS method,
+        100 + (d.doc_id * 11 + t.k * 17) % 900 AS usize,
+        CASE WHEN (d.doc_id + t.k) % 2 = 0
+             THEN 100 + (d.doc_id * 11 + t.k * 17) % 900
+             ELSE 40 + ((100 + (d.doc_id * 11 + t.k * 17) % 900) * 3) // 5
+        END AS csize,
+        repeat('n', 1 + (d.doc_id + t.k) % 4) || CAST(t.k AS VARCHAR) AS name
+      FROM documents d CROSS JOIN (VALUES (0), (1), (2)) t(k)
+      WHERE t.k < 1 + d.doc_id % 3)
+    SELECT doc_id AS asset_id, CAST(k AS BIGINT) AS file_idx, name, method,
+           CAST(csize AS BIGINT) AS csize, CAST(usize AS BIGINT) AS usize,
+           CAST(coalesce(sum(30 + fnlen + csize) OVER (
+               PARTITION BY doc_id ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS local_offset,
+           CAST(1 + doc_id % 3 AS BIGINT) AS n_files
+    FROM f
+    """,
+    doc=(
+        "BACKWARD-DISCOVERY WALK (ZIP central directory — how zipped "
+        "corpora are listed without reading members): the ninth decode "
+        "shape, and the only one that starts from the END — the EOCD "
+        "record sits behind a variable-length trailing comment, found by "
+        "trying each comment length smallest-first; the walk then jumps "
+        "to the EOCD's central-directory offset and advances by "
+        "per-entry variable strides (46 + name + extra + comment), with "
+        "the landing pinned on BOTH ends (cd_offset + cd_size = EOCD "
+        "start = walk end). Disk fields, entry-count agreement, "
+        "stored/deflated methods and UTF-8 names are all strict; the "
+        "local-file section is opaque filler the reader never touches. "
+        "Staged projections, zero Python, zero shuffle before the "
+        "member explode (plan-tested); oracle replays the synthesis "
+        "formulas with windowed offset partial sums"
+    ),
+)
+def zip_central_dir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.multimodal import parse_zip_central_dir, synth_zip_payloads
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return parse_zip_central_dir(synth_zip_payloads(docs))

@@ -878,3 +878,14 @@ def test_markdown_extract_zero_shuffle(spark):
     assert "Exchange" not in plan
     for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert bad not in plan, f"Python crossed into the plan: {bad}"
+
+
+def test_zip_central_dir_zero_python(spark):
+    """The ZIP backward-discovery walk stays pure JVM: no Python eval
+    node, zero Exchange before the member explode."""
+    df = registry()["zip_central_dir"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapsInPandas"):
+        assert bad not in plan, f"Python crossed into the plan: {bad}"
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan

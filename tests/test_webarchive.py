@@ -98,3 +98,67 @@ def test_warc_strictness_hand_built(spark):
     for i, b in enumerate(bads):
         assert parse_warc_records_py(b) is None, i
         assert (i + 1) not in jvm, i
+
+
+# --- ZIP central directory (same multi-record twin-parity treatment) ---
+
+from flink_real_time_data_warehouse_spark.datapipe.multimodal import (
+    parse_zip_central_dir,
+    parse_zip_central_dir_py,
+    synth_zip_payloads,
+)
+
+
+def _zip_jvm_rows(spark, payloads):
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    df = df.withColumnRenamed("doc_id", "asset_id")
+    out = {}
+    for r in parse_zip_central_dir(df).collect():
+        out.setdefault(r["asset_id"], []).append(r.asDict())
+    for rows in out.values():
+        rows.sort(key=lambda r: r["file_idx"])
+    return out
+
+
+def test_zip_round_trip(spark):
+    docs = spark.createDataFrame([(d,) for d in (6, 7, 8, 21, 98)], "doc_id long")
+    pay = [(r["asset_id"], bytearray(r["payload"]))
+           for r in synth_zip_payloads(docs).collect()]
+    rows = _zip_jvm_rows(spark, pay)
+    for d in (6, 7, 8, 21, 98):
+        n = 1 + d % 3
+        got = rows[d]
+        assert len(got) == n
+        off = 0
+        for k, rec in enumerate(got):
+            fnlen = 2 + (d + k) % 4
+            usize = 100 + (d * 11 + k * 17) % 900
+            stored = (d + k) % 2 == 0
+            csize = usize if stored else 40 + usize * 3 // 5
+            assert rec["name"] == "n" * (1 + (d + k) % 4) + str(k)
+            assert rec["method"] == ("stored" if stored else "deflated")
+            assert rec["usize"] == usize and rec["csize"] == csize
+            assert rec["local_offset"] == off
+            assert rec["n_files"] == n
+            off += 30 + fnlen + csize
+
+
+def test_zip_twins_agree_under_truncation_and_corruption(spark):
+    docs = spark.createDataFrame([(7,), (8,), (13,)], "doc_id long")
+    goods = [bytes(r["payload"]) for r in synth_zip_payloads(docs).collect()]
+    probes = []
+    for g in goods:
+        probes.extend(g[:cut] for cut in range(2, len(g), 101))
+        probes.extend(
+            g[:off] + bytes([g[off] ^ 0x5A]) + g[off + 1:]
+            for off in range(max(0, len(g) - 160), len(g), 7)
+        )
+    jvm = _zip_jvm_rows(spark, [(i, bytearray(s)) for i, s in enumerate(probes)])
+    for i, s in enumerate(probes):
+        py = parse_zip_central_dir_py(s)  # must never raise
+        if py is None:
+            assert i not in jvm, (i, jvm.get(i))
+        else:
+            got = [{k: v for k, v in r.items() if k != "asset_id"}
+                   for r in jvm.get(i, [])]
+            assert got == py, (i, got, py)
