@@ -236,6 +236,19 @@ HEADLINE = [
     "sft_format",
     "contrastive_pairs",
     "tokenizer_fertility",
+    # round-10 second continuation session
+    "warc_records",
+    "url_canonicalize",
+    "domain_stats",
+    "c4_clean",
+    "domain_mixture_weights",
+    "dedup_editdist",
+    "safetensors_header_info",
+    "dedup_url",
+    "markdown_extract",
+    "decontaminate_bloom",
+    "zip_central_dir",
+    "dedup_url_stream",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

@@ -1624,3 +1624,42 @@ def line_dedup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("sentence")).alias("line_hash"), "doc_id", "sent_idx"
     )
     return run_to_memory(line_dedup_stream(lines), spark)
+
+
+@register(
+    "dedup_url_stream",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+        'site' || CAST(doc_id % 50 AS VARCHAR) || '.'
+          || (CASE (doc_id % 5) % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+              ELSE 'org' END)
+          || (CASE WHEN doc_id % 4 = 0 THEN '/'
+              ELSE '/A/b' || CAST(doc_id % 10 AS VARCHAR) END) AS url_key
+      FROM documents)
+    SELECT url_key, min(doc_id) AS keep_id FROM u GROUP BY url_key
+    """,
+    doc=(
+        "URL dedup-on-ingest: the streaming form of dedup_url — the raw "
+        "messy URL is canonicalized in-stream (pure projections ride the "
+        "micro-batch scan) and the coarse key (registrable_domain || "
+        "path) feeds the same keyed seen-flag state as "
+        "dedup_exact_stream; first arrival wins, later re-crawls of the "
+        "same page drop at ingest. Oracle = the batch keeper choice "
+        "(min doc per key)"
+    ),
+)
+def dedup_url_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.urls import canonicalize_urls, synth_urls
+    from ..streaming.state import exact_dedup_stream
+
+    docs = stream_table(spark, sf_dir, "documents").select("doc_id")
+    u = canonicalize_urls(synth_urls(docs))
+    keyed = u.select(
+        F.coalesce(
+            F.concat(F.col("registrable_domain"), F.col("path")), F.lit("")
+        ).alias("url_key"),
+        "doc_id",
+    )
+    out = exact_dedup_stream(keyed, hash_col="url_key")
+    return run_to_memory(out, spark).withColumnRenamed("text_hash", "url_key")
