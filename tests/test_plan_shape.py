@@ -889,3 +889,24 @@ def test_zip_central_dir_zero_python(spark):
         assert bad not in plan, f"Python crossed into the plan: {bad}"
     assert "Exchange" not in plan
     assert "Generate explode" in plan
+
+
+def test_decode_family_compiles_under_no_fallback(spark):
+    """Whole-stage codegen must actually COMPILE for the decode family —
+    not silently fall back to the interpreter. `.explain` can't see
+    runtime compile failures (the 64 KB janino limit hits after
+    planning), so this runs the walks with spark.sql.codegen.fallback
+    OFF, where a compile failure throws instead of degrading. Guards
+    the avro/url regressions fixed this round (byte-read duplication,
+    inferred-isnotnull pushdown inlining)."""
+    names = [
+        "avro_header_info", "tfrecord_varint_decode", "ebml_track_info",
+        "safetensors_header_info", "zip_central_dir", "warc_records",
+        "url_canonicalize", "dedup_url", "domain_stats",
+    ]
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        for name in names:
+            registry()[name].spark(spark, TEST_SF_DIR).collect()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", "true")
