@@ -65,6 +65,18 @@ SHOWCASE = {
     "sft_format": "template render + mask arithmetic: pure scan + project, zero shuffle",
     "contrastive_pairs": "one lead() window partitioned by doc over the segmentation explode — no joins, no global sort",
     "tokenizer_fertility": "the bpe_tokenize lineage plus one per-language hash agg — no new corpus scan",
+    # round-10 second continuation session
+    "warc_records": "text-protocol framing walk (Content-Length-chained members) as staged projections; the record explode is the only stage split — zero Exchange, zero Python",
+    "url_canonicalize": "every URL component a staged alias so each regex compiles once — scan + project, zero Exchange",
+    "domain_stats": "one hash agg on the registrable-domain key (map-side partials); distinct-lang via the two-phase rewrite, no Expand blowup",
+    "c4_clean": "sentence split + line rules as per-row ARRAY arithmetic (filter/size/array_join) — zero explode, zero join, zero Exchange",
+    "domain_mixture_weights": "one corpus hash agg; integer-ppm ratio math on the tiny per-source table; totals on a broadcast one-row join",
+    "dedup_editdist": "banded LSH candidates (never all-pairs); levenshtein verification on bounded 128-char prefixes fetched by two point-joins",
+    "safetensors_header_info": "u64-LE framing checks + native from_json map parse + higher-order array folds for tensor math — zero Exchange, zero Python",
+    "dedup_url": "coalesce-non-nullable join key suppresses the inferred-isnotnull pushdown that inlined the whole canonicalize chain; partial agg + one equi-join back",
+    "markdown_extract": "fenced-block drop + link/bold/code unwrap + heading strip in one projection over the scan — zero Exchange",
+    "decontaminate_bloom": "two broadcast Bloom-position joins on LONG keys + one broadcast exact probe, corpus shingles scanned once; broadcast side bounded by the bit space",
+    "zip_central_dir": "backward EOCD discovery (bounded comment scan) + forward variable-stride entry walk as staged projections — zero Exchange before the member explode",
 }
 
 
