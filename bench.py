@@ -249,6 +249,7 @@ HEADLINE = [
     "decontaminate_bloom",
     "zip_central_dir",
     "dedup_url_stream",
+    "bm25_topk",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

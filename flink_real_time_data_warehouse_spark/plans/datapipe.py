@@ -5819,3 +5819,66 @@ def zip_central_dir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return parse_zip_central_dir(synth_zip_payloads(docs))
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH {TOKS_CTE},
+    postings AS (
+      SELECT doc_id AS doc, unnest(l) AS term FROM toks),
+    tfq AS (
+      SELECT doc, term, CAST(count(*) AS BIGINT) AS tf
+      FROM postings GROUP BY doc, term),
+    doclen AS (SELECT doc_id AS doc, len(l) AS dl FROM toks),
+    totals AS (
+      SELECT count(*) AS n_docs, sum(dl) * 1000 // count(*) AS avg_milli
+      FROM doclen),
+    qterms AS (
+      SELECT DISTINCT doc_id AS query_id, unnest(list_distinct(l[1:8])) AS term
+      FROM toks WHERE doc_id % 100 = 1),
+    rel AS (SELECT q.query_id, t.doc, t.term, t.tf
+            FROM tfq t JOIN qterms q USING (term)),
+    dfreq AS (
+      SELECT term, count(DISTINCT doc) AS df
+      FROM rel GROUP BY term),
+    scored AS (
+      SELECT r.query_id, r.doc,
+             sum(length(bin(t.n_docs // f.df)) *
+                 (r.tf * 2200 * 1000000 //
+                  (r.tf * 1000 +
+                   1200 * ((1000 - 750) + 750 * (d.dl * 1000000 // t.avg_milli)
+                           // 1000) // 1000))) AS score
+      FROM rel r
+      JOIN dfreq f USING (term)
+      JOIN doclen d ON r.doc = d.doc
+      CROSS JOIN totals t
+      GROUP BY r.query_id, r.doc),
+    ranked AS (
+      SELECT query_id, doc,
+             CAST(score AS BIGINT) AS score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc) AS rank
+      FROM scored)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, doc AS doc_id, score
+    FROM ranked WHERE rank <= 10
+    """,
+    doc=(
+        "INTEGER-QUANTIZED BM25 TOP-K (the data-selection / retrieval-"
+        "for-curation slot — BM25 similarity to a reference set mines "
+        "domain-relevant data and hard negatives): classical BM25 needs "
+        "ln(), which no two libms round identically, so idf is "
+        "len(bin(N div df)) bits (the lm_surprisal quantization) and tf "
+        "saturation runs in milli/ppm integer div — every score a "
+        "BIGINT both engines reproduce exactly. Scale: postings prune "
+        "through a BROADCAST semi-join against the query term set "
+        "before df/length/scoring flow (the full term space never "
+        "shuffles); top-k per query plans as WindowGroupLimit. A query "
+        "retrieves its own source document near the top — a built-in "
+        "sanity property the hand test pins"
+    ),
+)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.retrieval import bm25_topk
+
+    return bm25_topk(table(spark, sf_dir, "documents"), "doc_id", "text")

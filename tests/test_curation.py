@@ -1036,3 +1036,23 @@ def test_decontaminate_bloom_no_false_negatives(spark):
     for r in rows.values():
         assert r["bloom_hits"] >= r["exact_hits"]
         assert r["false_positives"] >= 0
+
+
+def test_bm25_self_retrieval(spark):
+    """A query built from a document's own leading tokens must retrieve
+    that document at rank 1 when the doc is distinctive; scores are
+    positive and ranks dense from 1."""
+    from flink_real_time_data_warehouse_spark.datapipe.retrieval import bm25_topk
+
+    rows = [(i, f"filler{i} common words shared here") for i in range(2, 40)]
+    rows.append((1, "zebra quagga okapi tapir unique rare creatures found"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, "doc_id", "text").collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {1}
+    got = sorted(by_q[1], key=lambda r: r["rank"])
+    assert got[0]["doc_id"] == 1  # self-retrieval at rank 1
+    assert all(r["score"] > 0 for r in got)
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))

@@ -910,3 +910,16 @@ def test_decode_family_compiles_under_no_fallback(spark):
             registry()[name].spark(spark, TEST_SF_DIR).collect()
     finally:
         spark.conf.set("spark.sql.codegen.fallback", "true")
+
+
+def test_bm25_topk_plan_shape(spark):
+    """BM25: the query-term set and per-term df broadcast (postings
+    prune map-side before scoring), top-k per query plans as
+    WindowGroupLimit, and nothing goes cartesian except the 1-row
+    totals broadcast."""
+    plan = plan_of(registry()["bm25_topk"].spark(spark, TEST_SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert bad not in plan, f"Python crossed into the plan: {bad}"
+    assert "CartesianProduct" not in plan
