@@ -250,6 +250,7 @@ HEADLINE = [
     "zip_central_dir",
     "dedup_url_stream",
     "bm25_topk",
+    "warc_records_stream",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention
