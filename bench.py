@@ -251,6 +251,7 @@ HEADLINE = [
     "dedup_url_stream",
     "bm25_topk",
     "warc_records_stream",
+    "domain_blocklist_filter",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

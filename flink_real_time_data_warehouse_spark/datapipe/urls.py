@@ -218,3 +218,49 @@ def url_dedup(df: DataFrame, id_col: str, url_col: str = "url") -> DataFrame:
         "n_copies",
         (F.col(id_col) != F.col("keeper_id")).cast("int").cast("long").alias("is_dup"),
     )
+
+
+#: categories in the vendored blocklist fixture (the real UT1/Dolma
+#: blocklists are ~4M domain rows of exactly this shape — domain ->
+#: category; the mechanism here is the real one, the list is a fixture)
+BLOCKLIST_CATEGORIES = ("adult", "gambling", "malware")
+
+
+def blocklist_fixture(spark) -> DataFrame:
+    """Deterministic blocklist fixture over the synthetic domain space:
+    every site id ≡ 3 (mod 7) is listed, category rotating by id % 3,
+    across all three TLDs."""
+    rows = []
+    for sid in range(50):
+        if sid % 7 == 3:
+            cat = BLOCKLIST_CATEGORIES[sid % 3]
+            for tld in ("com", "co.uk", "org"):
+                rows.append((f"site{sid}.{tld}", cat))
+    return spark.createDataFrame(rows, "domain string, category string")
+
+
+def domain_blocklist_filter(
+    df: DataFrame, id_col: str, blocklist: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """URL-stage blocklist filtering (RefinedWeb's UT1 stage, Dolma's
+    domain filter): canonicalize, cut the registrable domain, and flag
+    documents whose domain is listed. Returns
+    (id, registrable_domain, blocked, category).
+
+    Scale: the blocklist is a few million (domain, category) rows —
+    broadcast it and the probe is a map-side hash join on the scan;
+    at 100 TB nothing shuffles but the blocklist bytes."""
+    c = canonicalize_urls(df, url_col).select(
+        F.col(id_col), "registrable_domain"
+    )
+    bl = F.broadcast(
+        blocklist.select(
+            F.col("domain").alias("registrable_domain"), "category"
+        )
+    )
+    return c.join(bl, "registrable_domain", "left").select(
+        id_col,
+        "registrable_domain",
+        F.col("category").isNotNull().cast("int").cast("long").alias("blocked"),
+        "category",
+    )

@@ -5882,3 +5882,44 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..datapipe.retrieval import bm25_topk
 
     return bm25_topk(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "domain_blocklist_filter",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, doc_id % 50 AS sid,
+        'site' || CAST(doc_id % 50 AS VARCHAR) || '.'
+          || (CASE (doc_id % 5) % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+              ELSE 'org' END) AS registrable_domain
+      FROM documents)
+    SELECT doc_id, registrable_domain,
+           CAST(CASE WHEN sid % 7 = 3 THEN 1 ELSE 0 END AS BIGINT) AS blocked,
+           CASE WHEN sid % 7 = 3 THEN
+             CASE sid % 3 WHEN 0 THEN 'adult' WHEN 1 THEN 'gambling'
+                  ELSE 'malware' END
+           END AS category
+    FROM u
+    """,
+    doc=(
+        "DOMAIN BLOCKLIST FILTER (RefinedWeb's UT1 stage / Dolma's "
+        "domain filter — the step between URL canonicalization and "
+        "dedup): canonicalize, cut the registrable domain, flag listed "
+        "domains with their category. The blocklist fixture is "
+        "deterministic over the synthetic domain space (real lists are "
+        "~4M rows of the same (domain, category) shape); it BROADCASTS "
+        "and the probe is a map-side hash join on the scan — at 100 TB "
+        "nothing shuffles but the blocklist bytes"
+    ),
+)
+def domain_blocklist_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.urls import (
+        blocklist_fixture,
+        domain_blocklist_filter,
+        synth_urls,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return domain_blocklist_filter(
+        synth_urls(docs), "doc_id", blocklist_fixture(spark)
+    )
