@@ -3399,11 +3399,18 @@ def parse_zip_central_dir(assets: DataFrame) -> DataFrame:
 
     # Backward EOCD discovery: smallest comment length whose candidate
     # position carries the signature.
+    # each candidate position must be gated >= 1: Spark substr treats a
+    # NEGATIVE position as from-the-END, which could false-match sig
+    # bytes sitting in the tail of a short payload — the Python twin's
+    # pos >= 0 guard would reject the same probe (twin-parity hazard).
     eocd_cand = F.coalesce(
         *[
             F.when(
-                F.hex(p.substr((n - 21 - c).try_cast("int"), F.lit(4)))
-                == "504B0506",
+                (n - 21 - c >= 1)
+                & (
+                    F.hex(p.substr((n - 21 - c).try_cast("int"), F.lit(4)))
+                    == "504B0506"
+                ),
                 F.lit(c).cast("long"),
             )
             for c in range(ZIP_MAX_COMMENT + 1)

@@ -162,3 +162,18 @@ def test_zip_twins_agree_under_truncation_and_corruption(spark):
             got = [{k: v for k, v in r.items() if k != "asset_id"}
                    for r in jvm.get(i, [])]
             assert got == py, (i, got, py)
+
+
+def test_zip_negative_position_guard(spark):
+    """A short payload whose TAIL carries the EOCD signature must not
+    false-match through Spark's from-the-end semantics for negative
+    substr positions: both paths reject."""
+    probes = [
+        b"\x00" * 18 + b"PK\x05\x06",          # n=22, sig only at the tail
+        b"PK\x05\x06" + b"\x00" * 14 + b"PK\x05\x06",  # n=22, sig both ends
+        b"\x00" * 2 + b"PK\x05\x06",           # n=6 < 22
+    ]
+    jvm = _zip_jvm_rows(spark, [(i, bytearray(s)) for i, s in enumerate(probes)])
+    for i, s in enumerate(probes):
+        assert parse_zip_central_dir_py(s) is None, i
+        assert i not in jvm, (i, jvm.get(i))
