@@ -704,14 +704,21 @@ def domain_mixture_weights(df: DataFrame, source_col: str, text_col: str) -> Dat
     j = agg.crossJoin(F.broadcast(totals))
     nat_ppm = F.expr(f"n_tokens * {MIX_PPM} div _tot_tokens")
     temp_ppm = F.expr(f"_s * {MIX_PPM} div _tot_s")
+    # A source below 1 ppm of the corpus truncates nat_ppm to 0 — the
+    # epochs ratio is then undefined: emit NULL (DuckDB's // 0) instead
+    # of letting ANSI mode throw DIVIDE_BY_ZERO. (BIGINT headroom note:
+    # n_tokens * PPM overflows past ~9.2e12 tokens in ONE source; at
+    # that scale pre-divide n_tokens by 1000 on both sides.)
+    j = j.withColumn("_nat_ppm", nat_ppm.cast("long"))
     return j.select(
         F.col(source_col),
         "n_docs",
         "n_tokens",
-        nat_ppm.cast("long").alias("nat_ppm"),
+        F.col("_nat_ppm").alias("nat_ppm"),
         temp_ppm.cast("long").alias("temp_ppm"),
-        F.expr(
-            f"(_s * {MIX_PPM} div _tot_s) * 1000 div (n_tokens * {MIX_PPM} div _tot_tokens)"
+        F.when(
+            F.col("_nat_ppm") > 0,
+            F.expr(f"(_s * {MIX_PPM} div _tot_s) * 1000 div _nat_ppm"),
         ).cast("long").alias("epochs_milli"),
     )
 

@@ -3161,11 +3161,18 @@ def parse_safetensors_headers(assets: DataFrame) -> DataFrame:
         "_t", F.map_filter(m, lambda k, v: k != "__metadata__")
     )
     t = F.col("_t")
+    # every element of shape/data_offsets must be non-null: from_json
+    # nulls individual elements it can't coerce (e.g. a JSON null or
+    # float inside the array) while leaving the array length intact —
+    # without the element check the JVM would emit a half-populated row
+    # where the twin rejects.
     entries_ok = F.forall(
         F.map_values(t),
         lambda v: v["dtype"].isNotNull()
         & (F.size(v["shape"]) >= 1)
-        & (F.size(v["data_offsets"]) == 2),
+        & F.forall(v["shape"], lambda x: x.isNotNull())
+        & (F.size(v["data_offsets"]) == 2)
+        & F.forall(v["data_offsets"], lambda x: x.isNotNull()),
     )
     df = df.withColumn(
         "_ok",
@@ -3237,13 +3244,15 @@ def parse_safetensors_header_py(payload: bytes) -> dict | None:
             return None
         if not isinstance(offs, list) or len(offs) != 2:
             return None
+        # bool is an int subclass in Python: JSON true/false must reject
+        # exactly like from_json (which nulls them against array<bigint>)
         prod = 1
         for x in shape:
-            if not isinstance(x, int):
+            if not isinstance(x, int) or isinstance(x, bool):
                 return None
             prod *= x
         total_params += prod
-        if not all(isinstance(x, int) for x in offs):
+        if not all(isinstance(x, int) and not isinstance(x, bool) for x in offs):
             return None
         data_end = offs[1] if data_end is None else max(data_end, offs[1])
     return {
@@ -3297,8 +3306,10 @@ def synth_zip_payloads(docs: DataFrame) -> DataFrame:
         fnlen = (namelen + 1).cast("long")
         method = F.when((did + k) % 2 == 0, F.lit(0)).otherwise(F.lit(8)).cast("long")
         usize = (F.lit(100) + (did * 11 + k * 17) % 900).cast("long")
+        # floor((usize*3)/5) is exact here (values < 2^53) and keeps the
+        # usize formula a single source of truth
         csize = F.when(method == 0, usize).otherwise(
-            F.lit(40) + F.expr(f"(100 + (doc_id*11 + {k}*17) % 900) * 3 div 5")
+            F.lit(40) + F.floor(usize * 3 / F.lit(5)).cast("long")
         ).cast("long")
         crc = F.conv(
             F.substring(F.md5(F.encode(F.concat(F.lit("crc:"), did.cast("string"),

@@ -150,9 +150,13 @@ def parse_warc_records(payloads: DataFrame) -> DataFrame:
         df = df.withColumn(
             f"_cls{k}", F.regexp_extract(hb, r"Content-Length: ([0-9]+)\r", 1)
         )
+        # try_cast: a Content-Length whose digits overflow BIGINT must
+        # REJECT the record (NULL -> ok=false), not throw under ANSI
+        # mode and kill the scan — the twin returns None for the same
+        # payload.
         df = df.withColumn(
             f"_cl{k}",
-            F.when(F.col(f"_cls{k}") != "", F.col(f"_cls{k}")).cast("long"),
+            F.when(F.col(f"_cls{k}") != "", F.col(f"_cls{k}")).try_cast("long"),
         )
         cl = F.col(f"_cl{k}")
         df = df.withColumn(

@@ -5446,12 +5446,16 @@ def domain_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              coalesce(string_agg(sentence, ' ' ORDER BY sent_idx)
                         FILTER (WHERE ok), '') AS clean_text
       FROM scored GROUP BY doc_id)
-    SELECT f.doc_id, CAST(n_lines AS BIGINT) AS n_lines,
-           CAST(n_kept AS BIGINT) AS n_kept,
-           CAST(n_lines - n_kept AS BIGINT) AS n_dropped, clean_text,
-           CAST(CASE WHEN n_kept >= 3 AND NOT has_lorem AND NOT has_brace
+    SELECT f.doc_id,
+           CAST(coalesce(k.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(k.n_lines, 0) - coalesce(k.n_kept, 0) AS BIGINT)
+             AS n_dropped,
+           coalesce(k.clean_text, '') AS clean_text,
+           CAST(CASE WHEN coalesce(k.n_kept, 0) >= 3
+                      AND NOT has_lorem AND NOT has_brace
                 THEN 1 ELSE 0 END AS BIGINT) AS keep_page
-    FROM k JOIN flags f USING (doc_id)
+    FROM flags f LEFT JOIN k USING (doc_id)
     """,
     doc=(
         "C4 CLEANING RULES (Raffel et al. 2020 §2.2 — the rule set that "

@@ -1056,3 +1056,20 @@ def test_bm25_self_retrieval(spark):
     assert got[0]["doc_id"] == 1  # self-retrieval at rank 1
     assert all(r["score"] > 0 for r in got)
     assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+
+def test_domain_mixture_sub_ppm_source_yields_null_epochs(spark):
+    """A source under 1 ppm of corpus tokens truncates nat_ppm to 0;
+    epochs_milli must be NULL (the DuckDB // 0 verdict), not an ANSI
+    DIVIDE_BY_ZERO crash (review-caught)."""
+    from flink_real_time_data_warehouse_spark.datapipe.curation import (
+        domain_mixture_weights,
+    )
+
+    rows = [("big", "t " * 2_000_000)] + [("tiny", "t")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["source"]: r.asDict()
+           for r in domain_mixture_weights(df, "source", "text").collect()}
+    assert out["tiny"]["nat_ppm"] == 0
+    assert out["tiny"]["epochs_milli"] is None
+    assert out["big"]["epochs_milli"] is not None

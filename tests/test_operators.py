@@ -1334,3 +1334,33 @@ def test_safetensors_strictness(spark):
         assert parse_safetensors_header_py(b) is None, i
         got = jvm[i + 1]
         assert all(v is None for k, v in got.items() if k != "asset_id"), (i, got)
+
+
+def test_safetensors_element_nulls_and_bools_reject_in_both_paths(spark):
+    """Review-caught parity holes: a null/float inside shape (from_json
+    nulls the element, length intact) and a JSON boolean inside
+    data_offsets (bool is an int subclass in Python) must reject in
+    BOTH paths."""
+    from flink_real_time_data_warehouse_spark.datapipe.multimodal import (
+        parse_safetensors_header_py,
+        parse_safetensors_headers,
+    )
+
+    def frame(js: str) -> bytes:
+        b = js.encode()
+        return len(b).to_bytes(8, "little") + b
+
+    bads = [
+        frame('{"t0":{"dtype":"F32","shape":[2,null],"data_offsets":[0,8]}}'),
+        frame('{"t0":{"dtype":"F32","shape":[2,1.5],"data_offsets":[0,8]}}'),
+        frame('{"t0":{"dtype":"F32","shape":[2],"data_offsets":[0,true]}}'),
+        frame('{"t0":{"dtype":"F32","shape":[true],"data_offsets":[0,8]}}'),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(bads)],
+        "asset_id long, payload binary",
+    )
+    jvm = {r["asset_id"]: r.asDict() for r in parse_safetensors_headers(df).collect()}
+    for i, b in enumerate(bads):
+        assert parse_safetensors_header_py(b) is None, i
+        assert all(v is None for k, v in jvm[i].items() if k != "asset_id"), (i, jvm[i])

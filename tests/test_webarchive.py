@@ -177,3 +177,19 @@ def test_zip_negative_position_guard(spark):
     for i, s in enumerate(probes):
         assert parse_zip_central_dir_py(s) is None, i
         assert i not in jvm, (i, jvm.get(i))
+
+
+def test_warc_overflowing_content_length_rejects(spark):
+    """A Content-Length whose digits overflow BIGINT must reject the
+    chain in both paths — not throw under ANSI mode (the try_cast
+    regression the round-10 review caught)."""
+    bad = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Record-ID: <urn:md5:" + "ab" * 16 + ">\r\n"
+        "WARC-Target-URI: http://x.example/\r\n"
+        "Content-Length: 99999999999999999999\r\n"
+        "\r\nbody\r\n\r\n"
+    )
+    assert parse_warc_records_py(bad) is None
+    assert _jvm_rows(spark, [(1, bad)]) == {}
