@@ -252,6 +252,7 @@ HEADLINE = [
     "bm25_topk",
     "warc_records_stream",
     "domain_blocklist_filter",
+    "filter_funnel",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

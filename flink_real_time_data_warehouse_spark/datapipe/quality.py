@@ -1013,3 +1013,71 @@ def c4_clean(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             (n_kept >= C4_MIN_SENTENCES) & ~F.col("_lorem") & ~F.col("_brace")
         ).cast("int").cast("long").alias("keep_page"),
     )
+
+
+def filter_funnel(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The full document-filter FUNNEL with per-stage attrition — the
+    report every curation pipeline publishes (RefinedWeb Figure 2 /
+    Dolma's per-filter counts): language ID -> Gopher rules -> C4 page
+    rules -> exact dedup keeper, each stage applied to the previous
+    stage's survivors. Returns one row per stage:
+    (stage_idx, stage, n_in, n_kept, n_dropped), with n_in of stage k
+    equal to n_kept of stage k-1.
+
+    Scale: the three rule stages are per-row projections computed in
+    one pass each and joined on the id key; the dedup keeper is the
+    hot-key-safe groupBy(digest).agg(min) + join-back; the attrition
+    aggregate is a single global rollup of four conjunctions — the
+    funnel costs the sum of its stages, never a multiplicative
+    re-filtering."""
+    l = lang_id(df, id_col, text_col).select(
+        F.col(id_col),
+        (F.col("lang_pred") == "en").cast("long").alias("f1"),
+    )
+    g = gopher_quality(df, id_col, text_col).select(
+        F.col(id_col), F.col("passes").cast("long").alias("f2")
+    )
+    c = c4_clean(df, id_col, text_col).select(
+        F.col(id_col), F.col("keep_page").alias("f3")
+    )
+    firsts = (
+        df.groupBy(F.md5(F.col(text_col)).alias("_h"))
+        .agg(F.min(id_col).alias("_keep"))
+    )
+    k = (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+        .join(firsts, "_h")
+        .select(
+            F.col(id_col),
+            (F.col(id_col) == F.col("_keep")).cast("long").alias("f4"),
+        )
+    )
+    flags = l.join(g, id_col).join(c, id_col).join(k, id_col)
+    agg = flags.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("f1").cast("long").alias("s1"),
+        F.sum(F.expr("f1 * f2")).cast("long").alias("s2"),
+        F.sum(F.expr("f1 * f2 * f3")).cast("long").alias("s3"),
+        F.sum(F.expr("f1 * f2 * f3 * f4")).cast("long").alias("s4"),
+    )
+    stages = F.array(
+        F.struct(F.lit(1).cast("long").alias("stage_idx"),
+                 F.lit("lang_id").alias("stage"),
+                 F.col("n").alias("n_in"), F.col("s1").alias("n_kept")),
+        F.struct(F.lit(2).cast("long").alias("stage_idx"),
+                 F.lit("gopher").alias("stage"),
+                 F.col("s1").alias("n_in"), F.col("s2").alias("n_kept")),
+        F.struct(F.lit(3).cast("long").alias("stage_idx"),
+                 F.lit("c4").alias("stage"),
+                 F.col("s2").alias("n_in"), F.col("s3").alias("n_kept")),
+        F.struct(F.lit(4).cast("long").alias("stage_idx"),
+                 F.lit("exact_dedup").alias("stage"),
+                 F.col("s3").alias("n_in"), F.col("s4").alias("n_kept")),
+    )
+    return agg.select(F.explode(stages).alias("_s")).select(
+        F.col("_s.stage_idx").alias("stage_idx"),
+        F.col("_s.stage").alias("stage"),
+        F.col("_s.n_in").alias("n_in"),
+        F.col("_s.n_kept").alias("n_kept"),
+        (F.col("_s.n_in") - F.col("_s.n_kept")).cast("long").alias("n_dropped"),
+    )

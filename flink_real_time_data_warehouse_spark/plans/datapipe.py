@@ -5927,3 +5927,63 @@ def domain_blocklist_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_blocklist_filter(
         synth_urls(docs), "doc_id", blocklist_fixture(spark)
     )
+
+
+def _filter_funnel_oracle() -> str:
+    """Compose the funnel oracle from the ALREADY-REGISTERED stage
+    oracles (registration order within this module guarantees they
+    exist), so the funnel can never drift from its graded stages."""
+    from ..queries import _REGISTRY
+
+    lang_sql = _REGISTRY["lang_id"].oracle
+    gopher_sql = _REGISTRY["gopher_quality"].oracle
+    c4_sql = _REGISTRY["c4_clean"].oracle
+    return f"""
+    WITH lf AS (
+      SELECT doc_id, CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END AS f1
+      FROM ({lang_sql}) tl),
+    gf AS (SELECT doc_id, CAST(passes AS BIGINT) AS f2 FROM ({gopher_sql}) tg),
+    cf AS (SELECT doc_id, keep_page AS f3 FROM ({c4_sql}) tc),
+    kf AS (
+      SELECT doc_id,
+             CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+                  THEN 1 ELSE 0 END AS f4
+      FROM documents),
+    f AS (SELECT lf.doc_id, f1, f2, f3, f4
+          FROM lf JOIN gf USING (doc_id) JOIN cf USING (doc_id)
+                  JOIN kf USING (doc_id)),
+    a AS (SELECT count(*) AS n, sum(f1) AS s1, sum(f1*f2) AS s2,
+                 sum(f1*f2*f3) AS s3, sum(f1*f2*f3*f4) AS s4
+          FROM f)
+    SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+           CAST(n_in AS BIGINT) AS n_in, CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(n_in - n_kept AS BIGINT) AS n_dropped
+    FROM (
+      SELECT 1 AS stage_idx, 'lang_id' AS stage, n AS n_in, s1 AS n_kept FROM a
+      UNION ALL SELECT 2, 'gopher', s1, s2 FROM a
+      UNION ALL SELECT 3, 'c4', s2, s3 FROM a
+      UNION ALL SELECT 4, 'exact_dedup', s3, s4 FROM a) u
+    """
+
+
+@register(
+    "filter_funnel",
+    oracle=_filter_funnel_oracle(),
+    doc=(
+        "THE FULL FILTER FUNNEL with per-stage attrition (the report "
+        "every curation pipeline publishes — RefinedWeb Fig. 2, Dolma's "
+        "per-filter counts): language ID -> Gopher rules -> C4 page "
+        "rules -> exact-dedup keeper, each applied to the previous "
+        "stage's survivors; n_in of stage k = n_kept of stage k-1 by "
+        "construction. The oracle COMPOSES the already-registered stage "
+        "oracles as subqueries, so the funnel can never drift from its "
+        "graded stages. Engine cost = the sum of the stages (three "
+        "per-row flag passes joined on the id key, one hot-key-safe "
+        "dedup agg, one global rollup) — never multiplicative "
+        "re-filtering"
+    ),
+)
+def filter_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.quality import filter_funnel
+
+    return filter_funnel(table(spark, sf_dir, "documents"), "doc_id", "text")

@@ -1073,3 +1073,27 @@ def test_domain_mixture_sub_ppm_source_yields_null_epochs(spark):
     assert out["tiny"]["nat_ppm"] == 0
     assert out["tiny"]["epochs_milli"] is None
     assert out["big"]["epochs_milli"] is not None
+
+
+def test_filter_funnel_invariants(spark):
+    """Funnel algebra: stages ordered, n_in chains from the previous
+    stage's n_kept, counts never negative, stage 1's n_in is the corpus
+    size."""
+    from flink_real_time_data_warehouse_spark.datapipe.quality import filter_funnel
+    from flink_real_time_data_warehouse_spark.tables import table
+
+    df = table(spark, TEST_SF_DIR, "documents")
+    n_docs = df.count()
+    rows = sorted(
+        (r.asDict() for r in filter_funnel(df, "doc_id", "text").collect()),
+        key=lambda r: r["stage_idx"],
+    )
+    assert [r["stage"] for r in rows] == ["lang_id", "gopher", "c4", "exact_dedup"]
+    assert rows[0]["n_in"] == n_docs
+    prev = None
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_in"]
+        assert r["n_dropped"] == r["n_in"] - r["n_kept"]
+        if prev is not None:
+            assert r["n_in"] == prev["n_kept"]
+        prev = r
