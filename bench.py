@@ -253,6 +253,7 @@ HEADLINE = [
     "warc_records_stream",
     "domain_blocklist_filter",
     "filter_funnel",
+    "matryoshka_recall",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

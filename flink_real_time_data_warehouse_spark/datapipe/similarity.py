@@ -1171,3 +1171,64 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+#: truncation prefixes evaluated by matryoshka_recall (the full dim is
+#: the reference ranking, not an output row)
+MATRYOSHKA_DIMS = (32, 16)
+
+
+def matryoshka_recall(
+    emb: DataFrame,
+    k: int,
+    query_max: int,
+    dims: tuple[int, ...] = MATRYOSHKA_DIMS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka truncation evaluation (Kusupati et al. 2022): how much
+    of the FULL-dimension top-k survives when the index stores only the
+    first d dimensions — the retrieval-quality-vs-storage curve that
+    decides a truncation. For each query and each prefix length d:
+    n_overlap = |topk_full ∩ topk_d|, recall_pct = overlap*100 div k.
+
+    Scale: one brute-force pass per dim over the same broadcast query
+    set (the corpus side streams; prefixes SLICE in-plan, no second
+    copy of the vectors materializes); overlap is an equi-join on
+    (query, neighbor) pairs — k rows per query per side, trivially
+    joinable at any corpus size. Ranks (not raw floats) cross the
+    engine boundary, the float-rounding-proof oracle discipline of the
+    ANN family."""
+    queries = emb.where(F.col(id_col) < query_max)
+    full = cosine_topk(queries, emb, k, id_col=id_col, vec_col=vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    out = None
+    for d in dims:
+        sliced_q = queries.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        sliced_c = emb.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        topd = cosine_topk(sliced_q, sliced_c, k, id_col=id_col, vec_col=vec_col)
+        hits = (
+            full.join(topd.select("query_id", "neighbor_id"),
+                      ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").cast("long").alias("n_overlap"))
+        )
+        row = (
+            queries.select(F.col(id_col).alias("query_id"))
+            .join(hits, "query_id", "left")
+            .select(
+                "query_id",
+                F.lit(d).cast("long").alias("dim"),
+                F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long")
+                .alias("n_overlap"),
+                F.expr(f"coalesce(n_overlap, 0) * 100 div {k}").cast("long")
+                .alias("recall_pct"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -5987,3 +5987,62 @@ def filter_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..datapipe.quality import filter_funnel
 
     return filter_funnel(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _matryoshka_oracle() -> str:
+    def topk_cte(name: str, expr: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity({expr.format(v='q.embedding')},
+                                                 {expr.format(v='e.embedding')}) DESC,
+                          e.vec_id ASC) AS rk
+        FROM embeddings e
+        CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < {ANN_QUERY_MAX}) q
+        WHERE e.vec_id <> q.vec_id)
+      WHERE rk <= {ANN_K})"""
+
+    parts = [topk_cte("fulltk", "{v}")]
+    unions = []
+    from ..datapipe.similarity import MATRYOSHKA_DIMS
+
+    for d in MATRYOSHKA_DIMS:
+        parts.append(topk_cte(f"t{d}", "{v}[1:" + str(d) + "]"))
+        unions.append(f"""
+      SELECT q.vec_id AS query_id, CAST({d} AS BIGINT) AS dim,
+             CAST(coalesce(h.n, 0) AS BIGINT) AS n_overlap,
+             CAST(coalesce(h.n, 0) * 100 // {ANN_K} AS BIGINT) AS recall_pct
+      FROM (SELECT vec_id FROM embeddings WHERE vec_id < {ANN_QUERY_MAX}) q
+      LEFT JOIN (
+        SELECT f.query_id, count(*) AS n
+        FROM fulltk f JOIN t{d} t
+          ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+        GROUP BY f.query_id) h
+      ON q.vec_id = h.query_id""")
+    return "WITH " + ",".join(parts) + "\n" + " UNION ALL ".join(unions)
+
+
+@register(
+    "matryoshka_recall",
+    oracle=_matryoshka_oracle(),
+    doc=(
+        "MATRYOSHKA TRUNCATION EVALUATION (Kusupati et al. 2022 — the "
+        "retrieval-quality-vs-storage curve that decides how many "
+        "leading dimensions an index keeps): per query and prefix "
+        "length d, how much of the full-dimension top-k survives in the "
+        "d-dim top-k. Prefixes SLICE in-plan (no second vector copy "
+        "materializes), each pass reuses the broadcast-query brute-force "
+        "shape, overlap is a (query, neighbor) equi-join of k-row sides; "
+        "RANKS cross the engine boundary, never raw floats — the ANN "
+        "family's rounding-proof oracle discipline"
+    ),
+)
+def matryoshka_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.similarity import matryoshka_recall
+
+    return matryoshka_recall(
+        table(spark, sf_dir, "embeddings"), k=ANN_K, query_max=ANN_QUERY_MAX
+    )

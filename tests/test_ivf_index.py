@@ -374,3 +374,27 @@ def test_ivfpq_refused_without_books(spark, tmp_path):
     idx.build(emb)
     with pytest.raises(RuntimeError, match="no PQ codebooks"):
         idx.topk_pq(emb.where(F.col("vec_id") < 2), k=3)
+
+
+def test_matryoshka_recall_monotone_in_dim(spark):
+    """More dimensions can only help (on average): mean recall at d=32
+    >= mean recall at d=16, every value in [0, 100], and each query
+    appears once per evaluated dim."""
+    from flink_real_time_data_warehouse_spark.datapipe.similarity import (
+        MATRYOSHKA_DIMS,
+        matryoshka_recall,
+    )
+    from flink_real_time_data_warehouse_spark.tables import table
+    from .conftest import TEST_SF_DIR
+
+    emb = table(spark, TEST_SF_DIR, "embeddings")
+    rows = [r.asDict() for r in matryoshka_recall(emb, k=5, query_max=10).collect()]
+    by_dim = {}
+    for r in rows:
+        assert 0 <= r["recall_pct"] <= 100
+        assert r["recall_pct"] == r["n_overlap"] * 100 // 5
+        by_dim.setdefault(r["dim"], []).append(r["recall_pct"])
+    assert set(by_dim) == set(MATRYOSHKA_DIMS)
+    assert all(len(v) == 10 for v in by_dim.values())
+    means = {d: sum(v) / len(v) for d, v in by_dim.items()}
+    assert means[32] >= means[16]
