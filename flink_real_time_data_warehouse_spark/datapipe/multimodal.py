@@ -1685,23 +1685,41 @@ def synth_tfrecord_payloads(docs: DataFrame) -> DataFrame:
     h = (F.lit(16) + (did * 13) % 50000).cast("long")
     name_len = (F.lit(1) + did % 9).cast("long")
     name = F.unhex(F.lit("78" * 9).substr(F.lit(1), (name_len * 2).cast("int")))
-    f1 = F.concat(_lit_bin("08"), _varint_enc(rid))
-    f2 = F.concat(_lit_bin("12"), _varint_enc(name_len, 1), name)
-    f3 = F.concat(_lit_bin("18"), _varint_enc(flags))
-    inner = F.concat(
-        _lit_bin("08"), _varint_enc(w), _lit_bin("10"), _varint_enc(h)
+    # Staged columns (the avro-entries lesson, applied for THROUGHPUT
+    # here): inner is referenced twice by f4 (length + bytes), each
+    # field appears in both parity branches of msg, and msg twice in
+    # the frame (length prefix + bytes) — inline, the varint encoders
+    # re-expanded 4-8x into one ~120 KB Project expression that cost
+    # ~0.5 ms/row; staged, every encoder compiles and evaluates once.
+    staged = docs.select(
+        did.alias("asset_id"),
+        F.concat(_lit_bin("08"), _varint_enc(rid)).alias("_f1"),
+        F.concat(_lit_bin("12"), _varint_enc(name_len, 1), name).alias("_f2"),
+        F.concat(_lit_bin("18"), _varint_enc(flags)).alias("_f3"),
+        F.concat(
+            _lit_bin("08"), _varint_enc(w), _lit_bin("10"), _varint_enc(h)
+        ).alias("_inner"),
     )
-    f4 = F.concat(_lit_bin("22"), _varint_enc(F.octet_length(inner).cast("long"), 1), inner)
-    msg = F.when(did % 2 == 0, F.concat(f1, f2, f3, f4)).otherwise(
-        F.concat(f3, f1, f4, f2)
+    did2 = F.col("asset_id")
+    f1, f2, f3 = F.col("_f1"), F.col("_f2"), F.col("_f3")
+    inner = F.col("_inner")
+    f4 = F.concat(
+        _lit_bin("22"), _varint_enc(F.octet_length(inner).cast("long"), 1), inner
     )
+    staged = staged.select(
+        "asset_id",
+        F.when(did2 % 2 == 0, F.concat(f1, f2, f3, f4))
+        .otherwise(F.concat(f3, f1, f4, f2))
+        .alias("_msg"),
+    )
+    msg = F.col("_msg")
     frame = F.concat(
         _le_enc(F.octet_length(msg).cast("long"), 8),  # length
         _lit_bin("00000000"),                          # masked len-CRC (stub)
         msg,
         _lit_bin("00000000"),                          # masked data-CRC (stub)
     )
-    return docs.select(did.alias("asset_id"), frame.alias("payload"))
+    return staged.select("asset_id", frame.alias("payload"))
 
 
 def parse_tfrecord_headers(assets: DataFrame) -> DataFrame:
