@@ -254,6 +254,7 @@ HEADLINE = [
     "domain_blocklist_filter",
     "filter_funnel",
     "matryoshka_recall",
+    "ann_recall_eval",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

@@ -6046,3 +6046,63 @@ def matryoshka_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matryoshka_recall(
         table(spark, sf_dir, "embeddings"), k=ANN_K, query_max=ANN_QUERY_MAX
     )
+
+
+def _ann_recall_oracle() -> str:
+    from ..queries import _REGISTRY
+
+    brute = _REGISTRY["ann_topk"].oracle
+    ivf = _REGISTRY["ann_ivf_topk"].oracle
+    return f"""
+    WITH bt AS (SELECT query_id, neighbor_id FROM ({brute}) b),
+    iv AS (SELECT query_id, neighbor_id FROM ({ivf}) i),
+    hits AS (
+      SELECT bt.query_id, count(*) AS n
+      FROM bt JOIN iv USING (query_id, neighbor_id)
+      GROUP BY bt.query_id)
+    SELECT q.vec_id AS query_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_overlap,
+           CAST(coalesce(h.n, 0) * 100 // {ANN_K} AS BIGINT) AS recall_pct
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id < {ANN_QUERY_MAX}) q
+    LEFT JOIN hits h ON q.vec_id = h.query_id
+    """
+
+
+@register(
+    "ann_recall_eval",
+    oracle=_ann_recall_oracle(),
+    doc=(
+        "IVF RECALL EVALUATION — the standard ANN quality measure (the "
+        "number every FAISS/IVF deployment reports): per query, how much "
+        "of the exact brute-force top-k the nprobe-bounded IVF search "
+        "recovers. Composes the two ALREADY-GRADED components (ann_topk, "
+        "ann_ivf_topk) on both sides — the oracle nests their registered "
+        "oracles, so the evaluation can never drift from the graded "
+        "searches. Overlap is a (query, neighbor) equi-join of k-row "
+        "sides; ranks/counts only, no floats cross the engine boundary. "
+        "The operational use: sweep nprobe until recall clears the "
+        "product bar, then freeze it"
+    ),
+)
+def ann_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.similarity import cosine_topk, ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < ANN_QUERY_MAX)
+    brute = cosine_topk(queries, emb, k=ANN_K).select("query_id", "neighbor_id")
+    ivf = ivf_topk(queries, emb, k=ANN_K).select("query_id", "neighbor_id")
+    hits = (
+        brute.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            F.expr(f"coalesce(n_overlap, 0) * 100 div {ANN_K}").cast("long")
+            .alias("recall_pct"),
+        )
+    )

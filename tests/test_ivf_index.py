@@ -398,3 +398,20 @@ def test_matryoshka_recall_monotone_in_dim(spark):
     assert all(len(v) == 10 for v in by_dim.values())
     means = {d: sum(v) / len(v) for d, v in by_dim.items()}
     assert means[32] >= means[16]
+
+
+def test_ann_recall_eval_bounds(spark):
+    """Recall is in [0,100] per query, and mean recall is well above
+    random (nprobe covers the near lists; the planted structure makes
+    near-total recall expected on the fixture)."""
+    from flink_real_time_data_warehouse_spark.queries import registry
+    from .conftest import TEST_SF_DIR
+
+    rows = [r.asDict()
+            for r in registry()["ann_recall_eval"].spark(spark, TEST_SF_DIR).collect()]
+    assert rows
+    for r in rows:
+        assert 0 <= r["recall_pct"] <= 100
+        assert r["recall_pct"] == r["n_overlap"] * 100 // 5
+    mean = sum(r["recall_pct"] for r in rows) / len(rows)
+    assert mean >= 50, mean
