@@ -255,6 +255,7 @@ HEADLINE = [
     "filter_funnel",
     "matryoshka_recall",
     "ann_recall_eval",
+    "lsh_recall_eval",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

@@ -6106,3 +6106,61 @@ def ann_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_pct"),
         )
     )
+
+
+def _lsh_recall_oracle() -> str:
+    from ..queries import _REGISTRY
+
+    true_sql = _REGISTRY["dedup_ngram_jaccard"].oracle
+    cand_sql = _REGISTRY["dedup_minhash_lsh"].oracle
+    return f"""
+    WITH tp AS (SELECT doc_a, doc_b FROM ({true_sql}) t),
+    cp AS (SELECT doc_a, doc_b FROM ({cand_sql}) c),
+    j AS (
+      SELECT tp.doc_a, tp.doc_b,
+             CASE WHEN cp.doc_a IS NOT NULL THEN 1 ELSE 0 END AS found
+      FROM tp LEFT JOIN cp USING (doc_a, doc_b))
+    SELECT CAST(count(*) AS BIGINT) AS n_true,
+           CAST(sum(found) AS BIGINT) AS n_found,
+           CAST(sum(found) * 100 // count(*) AS BIGINT) AS recall_pct
+    FROM j
+    """
+
+
+@register(
+    "lsh_recall_eval",
+    oracle=_lsh_recall_oracle(),
+    doc=(
+        "MINHASH-LSH RECALL EVALUATION — the number that tunes the "
+        "bands/rows trade (the S-curve every LSH deployment sweeps): of "
+        "the exact Jaccard-above-threshold pairs (stop-filtered shingle "
+        "sets, the graded dedup_ngram_jaccard), how many does the banded "
+        "candidate join (the graded dedup_minhash_lsh) propose? Both "
+        "sides COMPOSE already-registered oracles, so the evaluation can "
+        "never drift from the graded operators; output is one integer "
+        "row (n_true, n_found, recall_pct). At scale both inputs are "
+        "the banded/capped shapes — the evaluation adds one k-row "
+        "equi-join and a global rollup"
+    ),
+)
+def lsh_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    tp = ngram_jaccard_pairs(docs, "doc_id", "text", JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    cp = lsh_candidate_pairs(
+        minhash_signatures(docs, "doc_id", "text")
+    ).withColumn("_found", F.lit(1))
+    j = tp.join(cp, ["doc_a", "doc_b"], "left")
+    return j.agg(
+        F.count("*").cast("long").alias("n_true"),
+        F.sum(F.coalesce(F.col("_found"), F.lit(0))).cast("long").alias("n_found"),
+        F.expr("sum(coalesce(_found, 0)) * 100 div count(*)").cast("long")
+        .alias("recall_pct"),
+    )

@@ -1097,3 +1097,15 @@ def test_filter_funnel_invariants(spark):
         if prev is not None:
             assert r["n_in"] == prev["n_kept"]
         prev = r
+
+
+def test_lsh_recall_eval_bounds(spark):
+    """Recall in [0,100]; the planted near-dup structure keeps LSH
+    recall high on the fixture (bands tuned for j>=0.2)."""
+    from flink_real_time_data_warehouse_spark.queries import registry
+
+    row = registry()["lsh_recall_eval"].spark(spark, TEST_SF_DIR).first()
+    assert row["n_true"] >= 1
+    assert 0 <= row["n_found"] <= row["n_true"]
+    assert row["recall_pct"] == row["n_found"] * 100 // row["n_true"]
+    assert row["recall_pct"] >= 50
