@@ -256,6 +256,7 @@ HEADLINE = [
     "matryoshka_recall",
     "ann_recall_eval",
     "lsh_recall_eval",
+    "classifier_eval",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

@@ -6164,3 +6164,78 @@ def lsh_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(coalesce(_found, 0)) * 100 div count(*)").cast("long")
         .alias("recall_pct"),
     )
+
+
+def _classifier_eval_oracle() -> str:
+    from ..queries import _REGISTRY
+
+    score_sql = _REGISTRY["quality_classifier_score"].oracle
+    return f"""
+    WITH sc AS (SELECT doc_id, pred_positive FROM ({score_sql}) s),
+    lbl AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+            FROM documents),
+    j AS (SELECT coalesce(sc.pred_positive, 0) AS pred, lbl.label
+          FROM lbl LEFT JOIN sc USING (doc_id)),
+    m AS (SELECT
+            sum(label * pred) AS tp,
+            sum((1 - label) * pred) AS fp,
+            sum(label * (1 - pred)) AS fn,
+            sum((1 - label) * (1 - pred)) AS tn
+          FROM j)
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           CAST((tp + tn) * 100 // (tp + fp + fn + tn) AS BIGINT)
+             AS accuracy_pct,
+           CAST(tp * 100 // (tp + fp) AS BIGINT) AS precision_pct,
+           CAST(tp * 100 // (tp + fn) AS BIGINT) AS recall_pct
+    FROM m
+    """
+
+
+@register(
+    "classifier_eval",
+    oracle=_classifier_eval_oracle(),
+    doc=(
+        "CLASSIFIER AGREEMENT EVALUATION — the confusion matrix every "
+        "learned-filter deployment reports before switching from rules "
+        "to model (CCNet reports exactly this for its fastText filter): "
+        "the graded hashed-linear classifier's predictions against its "
+        "training labels (lang='en'), as one integer row (tp/fp/fn/tn + "
+        "accuracy/precision/recall in integer percent, zero-division -> "
+        "NULL like DuckDB's // 0). The oracle nests the registered "
+        "classifier oracle end-to-end (training included), so the "
+        "evaluation can never drift from the graded scorer. One label "
+        "join + one global rollup on top of the zero-shuffle scoring "
+        "Project"
+    ),
+)
+def classifier_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.classifier import score_with_model, train_quality_classifier
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    model = train_quality_classifier(docs, F.col("lang") == "en")
+    scored = score_with_model(docs, model).select(
+        "doc_id", F.coalesce(F.col("pred_positive"), F.lit(0)).alias("pred")
+    )
+    lbl = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("label")
+    )
+    j = lbl.join(scored, "doc_id", "left").select(
+        F.coalesce(F.col("pred"), F.lit(0)).alias("pred"), "label"
+    )
+    m = j.agg(
+        F.sum(F.expr("label * pred")).cast("long").alias("tp"),
+        F.sum(F.expr("(1 - label) * pred")).cast("long").alias("fp"),
+        F.sum(F.expr("label * (1 - pred)")).cast("long").alias("fn"),
+        F.sum(F.expr("(1 - label) * (1 - pred)")).cast("long").alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return m.select(
+        "tp", "fp", "fn", "tn",
+        F.expr("(tp + tn) * 100 div (tp + fp + fn + tn)").cast("long")
+        .alias("accuracy_pct"),
+        F.when(tp + fp > 0, F.expr("tp * 100 div (tp + fp)")).cast("long")
+        .alias("precision_pct"),
+        F.when(tp + fn > 0, F.expr("tp * 100 div (tp + fn)")).cast("long")
+        .alias("recall_pct"),
+    )

@@ -92,7 +92,8 @@ _GRADE_FIRST: list[str] = [
     # safetensors_header_info, dedup_url, markdown_extract,
     # decontaminate_bloom, zip_central_dir, dedup_url_stream, bm25_topk,
     # warc_records_stream, domain_blocklist_filter, filter_funnel,
-    # matryoshka_recall, ann_recall_eval, lsh_recall_eval —
+    # matryoshka_recall, ann_recall_eval, lsh_recall_eval,
+    # classifier_eval —
     # then the stalest r7-rowed block
     # (new_user_fix, uv_daily, bounce_events, order_wide, payment_wide,
     # dup_spans, the r7 TPC-H/curation names), then r8's block as space

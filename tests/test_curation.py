@@ -1109,3 +1109,18 @@ def test_lsh_recall_eval_bounds(spark):
     assert 0 <= row["n_found"] <= row["n_true"]
     assert row["recall_pct"] == row["n_found"] * 100 // row["n_true"]
     assert row["recall_pct"] >= 50
+
+
+def test_classifier_eval_confusion_consistency(spark):
+    """tp+fp+fn+tn equals the corpus size; metrics match their integer
+    definitions; training-set agreement is above chance."""
+    from flink_real_time_data_warehouse_spark.queries import registry
+    from flink_real_time_data_warehouse_spark.tables import table
+
+    n = table(spark, TEST_SF_DIR, "documents").count()
+    r = registry()["classifier_eval"].spark(spark, TEST_SF_DIR).first()
+    assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == n
+    assert r["accuracy_pct"] == (r["tp"] + r["tn"]) * 100 // n
+    if r["tp"] + r["fp"] > 0:
+        assert r["precision_pct"] == r["tp"] * 100 // (r["tp"] + r["fp"])
+    assert r["accuracy_pct"] >= 50
