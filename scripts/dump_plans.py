@@ -77,6 +77,13 @@ SHOWCASE = {
     "markdown_extract": "fenced-block drop + link/bold/code unwrap + heading strip in one projection over the scan — zero Exchange",
     "decontaminate_bloom": "two broadcast Bloom-position joins on LONG keys + one broadcast exact probe, corpus shingles scanned once; broadcast side bounded by the bit space",
     "zip_central_dir": "backward EOCD discovery (bounded comment scan) + forward variable-stride entry walk as staged projections — zero Exchange before the member explode",
+    "domain_blocklist_filter": "blocklist broadcasts; the probe is a map-side hash join on the scan — nothing shuffles but the blocklist bytes",
+    "filter_funnel": "three per-row flag passes joined on the id key + hot-key-safe dedup agg + ONE global rollup exploded into stage rows",
+    "bm25_topk": "postings pruned by a broadcast query-term semi-join before df/length/scoring; top-k per query is WindowGroupLimit",
+    "matryoshka_recall": "per-dim brute-force passes over broadcast queries (prefixes slice in-plan); overlap is a k-row (query,neighbor) equi-join",
+    "ann_recall_eval": "the two graded searches + one equi-join of k-row sides + a left join back to the query list",
+    "lsh_recall_eval": "exact-Jaccard truth (df-capped shingle joins) LEFT JOIN banded candidates + one global rollup",
+    "classifier_eval": "zero-shuffle scoring Project + one label join + one global confusion rollup",
 }
 
 
