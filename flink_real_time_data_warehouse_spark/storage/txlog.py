@@ -2994,10 +2994,26 @@ class TxLog:
                 )
             else:
                 packed = base.coalesce(max_files)
-            names, schema_json, stats, parts = self._stage(
-                packed, sc, bloom_cols=bloom_cols or None, cmap=st.cmap,
-                partition_by=pcols or None,
-            )
+            # Range boundaries for the clustered rewrite come from
+            # RESERVOIR SAMPLING (repartitionByRange), so the file
+            # layout — and with it pruning effectiveness — varies run
+            # to run at the default 100 samples/partition. 10x the
+            # sample budget while the rewrite executes: boundary noise
+            # drops ~sqrt(10)x for a one-off maintenance cost that is
+            # negligible next to the rewrite itself.
+            _SAMPLE_CONF = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+            prev_sample = spark.conf.get(_SAMPLE_CONF, None)
+            spark.conf.set(_SAMPLE_CONF, "1000")
+            try:
+                names, schema_json, stats, parts = self._stage(
+                    packed, sc, bloom_cols=bloom_cols or None, cmap=st.cmap,
+                    partition_by=pcols or None,
+                )
+            finally:
+                if prev_sample is None:
+                    spark.conf.unset(_SAMPLE_CONF)
+                else:
+                    spark.conf.set(_SAMPLE_CONF, prev_sample)
             try:
                 # DV-race guard (ADVICE r7): compaction folds DVs away by
                 # rewriting from the files' read-time contents, so a DV
