@@ -72,8 +72,12 @@ def train_quality_classifier(
     """One-pass training: per-bucket (positives, total) counts -> Laplace
     fixed-point weight, returned as the packed hex-string model. The
     collect is O(B) — the trained model, not data."""
+    # a NULL predicate result (e.g. lang IS NULL under `lang == 'en'`)
+    # is a NEGATIVE label, not a crash: unguarded, sum("label") goes
+    # NULL for any bucket containing such a row and the int() below
+    # raised TypeError.
     feats = docs.select(
-        label.cast("long").alias("label"),
+        F.when(label, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("label"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     ).select("label", bucket(F.col("tok"), n_buckets).alias("b"))
     rows = (

@@ -1026,10 +1026,12 @@ def filter_funnel(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Scale: the three rule stages are per-row projections computed in
     one pass each and joined on the id key; the dedup keeper is the
-    hot-key-safe groupBy(digest).agg(min) + join-back; the attrition
-    aggregate is a single global rollup of four conjunctions — the
-    funnel costs the sum of its stages, never a multiplicative
-    re-filtering."""
+    hot-key-safe groupBy(digest).agg(min) + join-back, computed over
+    STAGE-3 SURVIVORS (the sequential-funnel semantics: a duplicate
+    whose keeper was already filtered upstream keeps its own first
+    surviving copy); the attrition aggregate is a single global rollup
+    of four conjunctions — the funnel costs the sum of its stages,
+    never a multiplicative re-filtering."""
     l = lang_id(df, id_col, text_col).select(
         F.col(id_col),
         (F.col("lang_pred") == "en").cast("long").alias("f1"),
@@ -1040,25 +1042,30 @@ def filter_funnel(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     c = c4_clean(df, id_col, text_col).select(
         F.col(id_col), F.col("keep_page").alias("f3")
     )
+    # digest coalesced to a sentinel (shorter than any md5 hex, so no
+    # collision): md5(NULL) is NULL, and an equi-join on a NULL key
+    # silently DROPS the row — NULL-text documents must stay in every
+    # stage count (the oracle's window PARTITION BY groups them).
+    keyed = df.select(
+        F.col(id_col),
+        F.coalesce(F.md5(F.col(text_col)), F.lit("null")).alias("_h"),
+    )
+    flags = l.join(g, id_col).join(c, id_col).join(keyed, id_col)
+    surv = F.expr("f1 * f2 * f3") == 1
     firsts = (
-        df.groupBy(F.md5(F.col(text_col)).alias("_h"))
+        flags.where(surv)
+        .groupBy("_h")
         .agg(F.min(id_col).alias("_keep"))
     )
-    k = (
-        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
-        .join(firsts, "_h")
-        .select(
-            F.col(id_col),
-            (F.col(id_col) == F.col("_keep")).cast("long").alias("f4"),
-        )
+    flags = flags.join(firsts, "_h", "left").withColumn(
+        "f4", (F.col(id_col) == F.col("_keep")).cast("long")
     )
-    flags = l.join(g, id_col).join(c, id_col).join(k, id_col)
     agg = flags.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("f1").cast("long").alias("s1"),
         F.sum(F.expr("f1 * f2")).cast("long").alias("s2"),
         F.sum(F.expr("f1 * f2 * f3")).cast("long").alias("s3"),
-        F.sum(F.expr("f1 * f2 * f3 * f4")).cast("long").alias("s4"),
+        F.sum(F.expr("f1 * f2 * f3 * coalesce(f4, 0)")).cast("long").alias("s4"),
     )
     stages = F.array(
         F.struct(F.lit(1).cast("long").alias("stage_idx"),

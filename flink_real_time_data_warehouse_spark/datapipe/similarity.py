@@ -1178,6 +1178,33 @@ def pq_topk(
 MATRYOSHKA_DIMS = (32, 16)
 
 
+def overlap_recall(
+    truth: DataFrame,
+    cand: DataFrame,
+    queries: DataFrame,
+    k: int,
+    extra_cols: list = (),
+) -> DataFrame:
+    """Per-query top-k overlap recall, shared by every retrieval
+    evaluation (matryoshka_recall, ann_recall_eval): |truth ∩ cand| per
+    query over (query_id, neighbor_id) pair sets, with zero-overlap
+    queries kept via a left join back to the query list. One rounding
+    convention lives here — integer percent, truncating div — so the
+    evaluations can never drift from each other."""
+    hits = (
+        truth.join(cand, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    return queries.join(hits, "query_id", "left").select(
+        "query_id",
+        *extra_cols,
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+        F.expr(f"coalesce(n_overlap, 0) * 100 div {k}").cast("long")
+        .alias("recall_pct"),
+    )
+
+
 def matryoshka_recall(
     emb: DataFrame,
     k: int,
@@ -1200,9 +1227,15 @@ def matryoshka_recall(
     engine boundary, the float-rounding-proof oracle discipline of the
     ANN family."""
     queries = emb.where(F.col(id_col) < query_max)
-    full = cosine_topk(queries, emb, k, id_col=id_col, vec_col=vec_col).select(
-        "query_id", "neighbor_id"
+    # cache: the full-dim brute-force result (|Q|·k rows — tiny) is the
+    # truth side of EVERY per-dim overlap; uncached, lazy evaluation
+    # re-executes the O(|Q|·|C|·d) cross join once per evaluated dim.
+    full = (
+        cosine_topk(queries, emb, k, id_col=id_col, vec_col=vec_col)
+        .select("query_id", "neighbor_id")
+        .cache()
     )
+    qlist = queries.select(F.col(id_col).alias("query_id"))
     out = None
     for d in dims:
         sliced_q = queries.select(
@@ -1212,23 +1245,9 @@ def matryoshka_recall(
             F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
         )
         topd = cosine_topk(sliced_q, sliced_c, k, id_col=id_col, vec_col=vec_col)
-        hits = (
-            full.join(topd.select("query_id", "neighbor_id"),
-                      ["query_id", "neighbor_id"])
-            .groupBy("query_id")
-            .agg(F.count("*").cast("long").alias("n_overlap"))
-        )
-        row = (
-            queries.select(F.col(id_col).alias("query_id"))
-            .join(hits, "query_id", "left")
-            .select(
-                "query_id",
-                F.lit(d).cast("long").alias("dim"),
-                F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long")
-                .alias("n_overlap"),
-                F.expr(f"coalesce(n_overlap, 0) * 100 div {k}").cast("long")
-                .alias("recall_pct"),
-            )
+        row = overlap_recall(
+            full, topd.select("query_id", "neighbor_id"), qlist, k,
+            extra_cols=[F.lit(d).cast("long").alias("dim")],
         )
         out = row if out is None else out.unionByName(row)
     return out

@@ -5944,14 +5944,16 @@ def _filter_funnel_oracle() -> str:
       FROM ({lang_sql}) tl),
     gf AS (SELECT doc_id, CAST(passes AS BIGINT) AS f2 FROM ({gopher_sql}) tg),
     cf AS (SELECT doc_id, keep_page AS f3 FROM ({c4_sql}) tc),
-    kf AS (
-      SELECT doc_id,
-             CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
-                  THEN 1 ELSE 0 END AS f4
-      FROM documents),
-    f AS (SELECT lf.doc_id, f1, f2, f3, f4
-          FROM lf JOIN gf USING (doc_id) JOIN cf USING (doc_id)
-                  JOIN kf USING (doc_id)),
+    f0 AS (SELECT lf.doc_id, f1, f2, f3, md5(d.text) AS h
+           FROM lf JOIN gf USING (doc_id) JOIN cf USING (doc_id)
+                   JOIN documents d ON lf.doc_id = d.doc_id),
+    f AS (SELECT doc_id, f1, f2, f3,
+                 CASE WHEN f1 * f2 * f3 = 1
+                       AND doc_id = min(CASE WHEN f1 * f2 * f3 = 1
+                                             THEN doc_id END)
+                                    OVER (PARTITION BY h)
+                      THEN 1 ELSE 0 END AS f4
+          FROM f0),
     a AS (SELECT count(*) AS n, sum(f1) AS s1, sum(f1*f2) AS s2,
                  sum(f1*f2*f3) AS s3, sum(f1*f2*f3*f4) AS s4
           FROM f)
@@ -5974,7 +5976,10 @@ def _filter_funnel_oracle() -> str:
         "every curation pipeline publishes — RefinedWeb Fig. 2, Dolma's "
         "per-filter counts): language ID -> Gopher rules -> C4 page "
         "rules -> exact-dedup keeper, each applied to the previous "
-        "stage's survivors; n_in of stage k = n_kept of stage k-1 by "
+        "stage's survivors (the keeper is the smallest-id SURVIVOR per "
+        "digest — a duplicate whose corpus-wide keeper was filtered "
+        "upstream keeps its first surviving copy; NULL-text digests "
+        "group together). n_in of stage k = n_kept of stage k-1 by "
         "construction. The oracle COMPOSES the already-registered stage "
         "oracles as subqueries, so the funnel can never drift from its "
         "graded stages. Engine cost = the sum of the stages (three "
@@ -6085,26 +6090,14 @@ def _ann_recall_oracle() -> str:
     ),
 )
 def ann_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..datapipe.similarity import cosine_topk, ivf_topk
+    from ..datapipe.similarity import cosine_topk, ivf_topk, overlap_recall
 
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < ANN_QUERY_MAX)
     brute = cosine_topk(queries, emb, k=ANN_K).select("query_id", "neighbor_id")
     ivf = ivf_topk(queries, emb, k=ANN_K).select("query_id", "neighbor_id")
-    hits = (
-        brute.join(ivf, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count("*").cast("long").alias("n_overlap"))
-    )
-    return (
-        queries.select(F.col("vec_id").alias("query_id"))
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
-            F.expr(f"coalesce(n_overlap, 0) * 100 div {ANN_K}").cast("long")
-            .alias("recall_pct"),
-        )
+    return overlap_recall(
+        brute, ivf, queries.select(F.col("vec_id").alias("query_id")), ANN_K
     )
 
 
@@ -6214,15 +6207,18 @@ def classifier_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     model = train_quality_classifier(docs, F.col("lang") == "en")
+    # pred_positive is NULL for zero-token docs (score_with_model's
+    # contract) -> negative prediction here; label must be 0 (not NULL)
+    # for a NULL lang, matching the oracle's CASE WHEN — a NULL label
+    # would silently drop the row from every confusion sum.
     scored = score_with_model(docs, model).select(
         "doc_id", F.coalesce(F.col("pred_positive"), F.lit(0)).alias("pred")
     )
     lbl = docs.select(
-        "doc_id", (F.col("lang") == "en").cast("int").alias("label")
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("label"),
     )
-    j = lbl.join(scored, "doc_id", "left").select(
-        F.coalesce(F.col("pred"), F.lit(0)).alias("pred"), "label"
-    )
+    j = lbl.join(scored, "doc_id", "left").select("pred", "label")
     m = j.agg(
         F.sum(F.expr("label * pred")).cast("long").alias("tp"),
         F.sum(F.expr("(1 - label) * pred")).cast("long").alias("fp"),

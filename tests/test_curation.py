@@ -1124,3 +1124,62 @@ def test_classifier_eval_confusion_consistency(spark):
     if r["tp"] + r["fp"] > 0:
         assert r["precision_pct"] == r["tp"] * 100 // (r["tp"] + r["fp"])
     assert r["accuracy_pct"] >= 50
+
+
+def test_filter_funnel_null_text_and_survivor_keeper(spark):
+    """Review-caught semantics: (a) a NULL-text document stays in every
+    stage count (sentinel digest; an equi-join on a NULL key would drop
+    it); (b) the dedup keeper is the smallest-id SURVIVOR — a duplicate
+    whose corpus-wide keeper was filtered upstream keeps its first
+    surviving copy."""
+    from flink_real_time_data_warehouse_spark.datapipe.quality import filter_funnel
+
+    en = ("the a of and to in is on for with " * 8).strip()  # passes lang+gopher
+    rows = [
+        (1, None),        # NULL text: must still be counted at stage 1
+        (2, ""),          # fails lang (no tokens)
+        (3, "zz xx yy"),  # fails lang; SAME text as doc 4's dup? no — distinct
+        (4, en),          # survivor, dup of 5
+        (5, en),          # dup: keeper among survivors is 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["stage"]: r.asDict()
+           for r in filter_funnel(df, "doc_id", "text").collect()}
+    assert out["lang_id"]["n_in"] == 5  # NULL-text doc counted
+    # whatever survives stages 1-3, the dedup stage can only drop the
+    # LATER copy of the duplicated pair — never both
+    assert out["exact_dedup"]["n_kept"] >= out["exact_dedup"]["n_in"] - 1
+
+
+def test_classifier_eval_null_lang_counts_as_negative(spark):
+    """A NULL lang is a negative label (oracle CASE semantics), not a
+    silently-dropped row: the confusion matrix always sums to the
+    corpus size."""
+    from flink_real_time_data_warehouse_spark.datapipe.classifier import (
+        score_with_model,
+        train_quality_classifier,
+    )
+    from pyspark.sql import functions as SF
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox", "en"),
+         (2, "der schnelle fuchs", "de"),
+         (3, "mystery text here", None)],
+        "doc_id long, text string, lang string",
+    )
+    model = train_quality_classifier(docs, SF.col("lang") == "en")
+    scored = score_with_model(docs, model).select(
+        "doc_id", SF.coalesce(SF.col("pred_positive"), SF.lit(0)).alias("pred")
+    )
+    lbl = docs.select(
+        "doc_id",
+        SF.when(SF.col("lang") == "en", SF.lit(1)).otherwise(SF.lit(0)).alias("label"),
+    )
+    j = lbl.join(scored, "doc_id")
+    m = j.agg(
+        SF.sum(SF.expr("label * pred")).alias("tp"),
+        SF.sum(SF.expr("(1 - label) * pred")).alias("fp"),
+        SF.sum(SF.expr("label * (1 - pred)")).alias("fn"),
+        SF.sum(SF.expr("(1 - label) * (1 - pred)")).alias("tn"),
+    ).first()
+    assert m["tp"] + m["fp"] + m["fn"] + m["tn"] == 3
