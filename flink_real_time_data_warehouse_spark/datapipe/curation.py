@@ -702,13 +702,31 @@ def domain_mixture_weights(df: DataFrame, source_col: str, text_col: str) -> Dat
         F.sum("_s").cast("long").alias("_tot_s"),
     )
     j = agg.crossJoin(F.broadcast(totals))
-    nat_ppm = F.expr(f"n_tokens * {MIX_PPM} div _tot_tokens")
+    # BIGINT headroom: n_tokens * PPM overflows past ~9.2e12 tokens in
+    # ONE source. Fail loudly with a remediation message instead of an
+    # opaque ANSI ARITHMETIC_OVERFLOW (or a silent wrap under non-ANSI):
+    # the branch runs on the tiny per-source table, cost-free.
+    _nt_bound = (2**63 - 1) // MIX_PPM
+    nat_ppm = F.when(
+        F.col("n_tokens") <= F.lit(_nt_bound),
+        F.expr(f"n_tokens * {MIX_PPM} div _tot_tokens"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "domain_mixture_weights: n_tokens exceeds BIGINT ppm "
+                    f"headroom ({_nt_bound}); pre-divide token counts by "
+                    "1000 on both sides for this corpus scale (source="
+                ),
+                F.col(source_col).cast("string"),
+                F.lit(")"),
+            )
+        ).cast("long")
+    )
     temp_ppm = F.expr(f"_s * {MIX_PPM} div _tot_s")
     # A source below 1 ppm of the corpus truncates nat_ppm to 0 — the
     # epochs ratio is then undefined: emit NULL (DuckDB's // 0) instead
-    # of letting ANSI mode throw DIVIDE_BY_ZERO. (BIGINT headroom note:
-    # n_tokens * PPM overflows past ~9.2e12 tokens in ONE source; at
-    # that scale pre-divide n_tokens by 1000 on both sides.)
+    # of letting ANSI mode throw DIVIDE_BY_ZERO.
     j = j.withColumn("_nat_ppm", nat_ppm.cast("long"))
     return j.select(
         F.col(source_col),

@@ -1284,7 +1284,10 @@ def editdist_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     minlen = F.least(F.length("_pa"), F.length("_pb"))
     return (
         j.withColumn("_dist", dist)
-        .where(F.col("_dist") * 100 <= EDITDIST_MAX_PCT * minlen)
+        # minlen > 0 excludes the degenerate both-prefixes-empty pair
+        # explicitly (0 <= 0 would keep it, then dist_pct = x div 0 =
+        # NULL — a NULL-coincidence with the oracle, not a semantics)
+        .where((minlen > F.lit(0)) & (F.col("_dist") * 100 <= EDITDIST_MAX_PCT * minlen))
         .select(
             F.col("doc_a").cast("long"),
             F.col("doc_b").cast("long"),

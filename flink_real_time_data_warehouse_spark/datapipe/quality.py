@@ -60,6 +60,21 @@ def lm_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _langid_pred(text: Column, threshold: float = 0.05) -> Column:
+    """The lang_id decision as a shared rule column ('en' / 'unknown') —
+    single source of truth for both the graded `lang_id` query and the
+    fused funnel projection, so the funnel can never drift from the
+    graded stage."""
+    t = tokens(text)
+    stop_ct = F.size(F.filter(t, lambda x: x.isin(*EN_STOPWORDS)))
+    ratio = stop_ct / F.size(t)
+    return (
+        F.when(F.size(t) == 0, F.lit("unknown"))
+        .when(ratio >= threshold, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
 def lang_id(df: DataFrame, id_col: str, text_col: str, threshold: float = 0.05) -> DataFrame:
     """Heuristic language ID: stopword ratio over whitespace tokens.
 
@@ -69,13 +84,9 @@ def lang_id(df: DataFrame, id_col: str, text_col: str, threshold: float = 0.05) 
     """
     t = tokens(F.col(text_col))
     stop_ct = F.size(F.filter(t, lambda x: x.isin(*EN_STOPWORDS)))
-    ratio = stop_ct / F.size(t)
     return df.select(
         F.col(id_col),
-        F.when(F.size(t) == 0, F.lit("unknown"))
-        .when(ratio >= threshold, F.lit("en"))
-        .otherwise(F.lit("unknown"))
-        .alias("lang_pred"),
+        _langid_pred(F.col(text_col), threshold).alias("lang_pred"),
         stop_ct.alias("stopword_ct"),
         F.size(t).alias("token_ct"),
     )
@@ -659,19 +670,10 @@ def mojibake_repair(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, word_ct, + one int flag per Gopher rule, passes):
-
-      r_word_count   50 <= words <= 100000
-      r_mean_len     3 <= mean word length <= 10   (as 3n <= chars <= 10n)
-      r_symbol       (# + ellipsis) / words <= 0.1 (as 10*sym <= words)
-      r_bullet       lines starting with a bullet <= 10% (10*b <= lines)
-      r_ellipsis     lines ending with ellipsis <= 30% (10*e <= 3*lines)
-      r_alpha        words containing [a-z] >= 80% (5*alpha >= 4*words)
-      r_stopwords    >= 2 distinct Gopher stop words present
-
-    Zero shuffle: pure per-row column arithmetic on the scan."""
-    raw = F.col(text_col)
+def _gopher_rule_flags(raw: Column) -> dict[str, Column]:
+    """The seven Gopher rule columns over a raw text column — single
+    source of truth for the graded `gopher_quality` query and the fused
+    funnel projection."""
     t = tokens(raw)
     n = F.size(t)
     chars = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
@@ -688,7 +690,7 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.array_distinct(t), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
         )
     )
-    flags = {
+    return {
         "r_word_count": (n >= 50) & (n <= 100000),
         "r_mean_len": (3 * n <= chars) & (chars <= 10 * n) & (n > 0),
         "r_symbol": 10 * sym <= n,
@@ -697,6 +699,23 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "r_alpha": 5 * alpha >= 4 * n,
         "r_stopwords": stop_ct >= 2,
     }
+
+
+def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, word_ct, + one int flag per Gopher rule, passes):
+
+      r_word_count   50 <= words <= 100000
+      r_mean_len     3 <= mean word length <= 10   (as 3n <= chars <= 10n)
+      r_symbol       (# + ellipsis) / words <= 0.1 (as 10*sym <= words)
+      r_bullet       lines starting with a bullet <= 10% (10*b <= lines)
+      r_ellipsis     lines ending with ellipsis <= 30% (10*e <= 3*lines)
+      r_alpha        words containing [a-z] >= 80% (5*alpha >= 4*words)
+      r_stopwords    >= 2 distinct Gopher stop words present
+
+    Zero shuffle: pure per-row column arithmetic on the scan."""
+    raw = F.col(text_col)
+    n = F.size(tokens(raw))
+    flags = _gopher_rule_flags(raw)
     cols = [F.col(id_col), n.cast("long").alias("word_ct")]
     passes = F.lit(True)
     for name, flag in flags.items():
@@ -968,6 +987,28 @@ C4_MIN_SENTENCES = 3   # a retained page needs at least this many lines
 C4_TERMINALS = '[.!?"]$'  # a retained line must end in terminal punctuation
 
 
+def _c4_page_cols(t: Column) -> dict[str, Column]:
+    """The C4 page-rule columns over a (punctuated) text column — single
+    source of truth for the graded `c4_clean` query and the fused funnel
+    projection: sentence count, the surviving-line array, and the two
+    page-level blockers."""
+    sents = F.filter(split_sentences(t), lambda x: x != "")
+
+    def line_ok(x):
+        return (
+            x.rlike(C4_TERMINALS)
+            & (F.size(F.split(x, " ")) >= C4_MIN_WORDS)
+            & ~F.contains(F.lower(x), F.lit("javascript"))
+        )
+
+    return {
+        "n_lines": F.size(sents),
+        "kept": F.filter(sents, line_ok),
+        "lorem": F.contains(F.lower(t), F.lit("lorem ipsum")),
+        "brace": F.contains(t, F.lit("{")),
+    }
+
+
 def c4_clean(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """C4 cleaning over the deterministic sentence twin (the same
     punctuation synthesis the graded segmenter uses):
@@ -985,22 +1026,13 @@ def c4_clean(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     shape which must shuffle to see cross-document copies."""
     did_text = synth_punctuated_text(df, id_col, text_col)
     base = df.select(F.col(id_col), did_text.alias("_t"))
-    t = F.col("_t")
-    sents = F.filter(split_sentences(t), lambda x: x != "")
-
-    def line_ok(x):
-        return (
-            x.rlike(C4_TERMINALS)
-            & (F.size(F.split(x, " ")) >= C4_MIN_WORDS)
-            & ~F.contains(F.lower(x), F.lit("javascript"))
-        )
-
+    rules = _c4_page_cols(F.col("_t"))
     base = base.select(
         F.col(id_col),
-        F.size(sents).cast("long").alias("n_lines"),
-        F.filter(sents, line_ok).alias("_kept"),
-        F.contains(F.lower(t), F.lit("lorem ipsum")).alias("_lorem"),
-        F.contains(t, F.lit("{")).alias("_brace"),
+        rules["n_lines"].cast("long").alias("n_lines"),
+        rules["kept"].alias("_kept"),
+        rules["lorem"].alias("_lorem"),
+        rules["brace"].alias("_brace"),
     )
     n_kept = F.size(F.col("_kept")).cast("long")
     return base.select(
@@ -1012,6 +1044,39 @@ def c4_clean(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         (
             (n_kept >= C4_MIN_SENTENCES) & ~F.col("_lorem") & ~F.col("_brace")
         ).cast("int").cast("long").alias("keep_page"),
+    )
+
+
+def _funnel_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, f1, f2, f3, _h) in ONE Project over ONE scan: the three
+    per-row stage flags built from the SAME shared rule columns the
+    graded `lang_id` / `gopher_quality` / `c4_clean` queries use
+    (`_langid_pred` / `_gopher_rule_flags` / `_c4_page_cols`), so the
+    fused funnel cannot drift from its graded stages.
+
+    _h is the exact-dedup digest, coalesced to a sentinel (shorter than
+    any md5 hex, so no collision): md5(NULL) is NULL, and an equi-join
+    on a NULL key silently DROPS the row — NULL-text documents must
+    stay in every stage count (the oracle's window PARTITION BY groups
+    them)."""
+    raw = F.col(text_col)
+    passes = F.lit(True)
+    for flag in _gopher_rule_flags(raw).values():
+        passes = passes & flag
+    c4 = _c4_page_cols(synth_punctuated_text(df, id_col, text_col))
+    # exactly c4_clean's keep_page expression (incl. its NULL
+    # propagation: size(NULL array) -> NULL -> NULL flag)
+    keep_page = (
+        (F.size(c4["kept"]).cast("long") >= C4_MIN_SENTENCES)
+        & ~c4["lorem"]
+        & ~c4["brace"]
+    )
+    return df.select(
+        F.col(id_col),
+        (_langid_pred(raw) == "en").cast("long").alias("f1"),
+        passes.cast("int").cast("long").alias("f2"),
+        keep_page.cast("int").cast("long").alias("f3"),
+        F.coalesce(F.md5(raw), F.lit("null")).alias("_h"),
     )
 
 
@@ -1031,26 +1096,13 @@ def filter_funnel(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     whose keeper was already filtered upstream keeps its own first
     surviving copy); the attrition aggregate is a single global rollup
     of four conjunctions — the funnel costs the sum of its stages,
-    never a multiplicative re-filtering."""
-    l = lang_id(df, id_col, text_col).select(
-        F.col(id_col),
-        (F.col("lang_pred") == "en").cast("long").alias("f1"),
-    )
-    g = gopher_quality(df, id_col, text_col).select(
-        F.col(id_col), F.col("passes").cast("long").alias("f2")
-    )
-    c = c4_clean(df, id_col, text_col).select(
-        F.col(id_col), F.col("keep_page").alias("f3")
-    )
-    # digest coalesced to a sentinel (shorter than any md5 hex, so no
-    # collision): md5(NULL) is NULL, and an equi-join on a NULL key
-    # silently DROPS the row — NULL-text documents must stay in every
-    # stage count (the oracle's window PARTITION BY groups them).
-    keyed = df.select(
-        F.col(id_col),
-        F.coalesce(F.md5(F.col(text_col)), F.lit("null")).alias("_h"),
-    )
-    flags = l.join(g, id_col).join(c, id_col).join(keyed, id_col)
+    never a multiplicative re-filtering.
+
+    f1/f2/f3 are all per-row functions of the same row, so they fuse
+    into ONE Project over ONE scan of the corpus (`_funnel_flags`) —
+    at 100 TB the unfused form materializes three corpus-sized flag
+    tables and sort-merge-joins them back together for 4x the I/O."""
+    flags = _funnel_flags(df, id_col, text_col)
     surv = F.expr("f1 * f2 * f3") == 1
     firsts = (
         flags.where(surv)

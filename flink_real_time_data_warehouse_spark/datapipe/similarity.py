@@ -1250,4 +1250,10 @@ def matryoshka_recall(
             extra_cols=[F.lit(d).cast("long").alias("dim")],
         )
         out = row if out is None else out.unionByName(row)
+    # The union is tiny (|dims|·|Q| rows): materialize it eagerly via
+    # localCheckpoint so the cached full-dim truth can be released NOW —
+    # otherwise repeated invocations in a long-lived session (the bench
+    # loop runs every query twice) accumulate cached blocks forever.
+    out = out.localCheckpoint(eager=True)
+    full.unpersist()
     return out

@@ -5530,7 +5530,8 @@ def domain_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cand c
     JOIN px a ON c.doc_a = a.doc_id
     JOIN px b ON c.doc_b = b.doc_id
-    WHERE levenshtein(a.pref, b.pref) * 100
+    WHERE least(len(a.pref), len(b.pref)) > 0
+      AND levenshtein(a.pref, b.pref) * 100
             <= 20 * least(len(a.pref), len(b.pref))
     """,
     doc=(
@@ -6211,14 +6212,17 @@ def classifier_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contract) -> negative prediction here; label must be 0 (not NULL)
     # for a NULL lang, matching the oracle's CASE WHEN — a NULL label
     # would silently drop the row from every confusion sum.
-    scored = score_with_model(docs, model).select(
-        "doc_id", F.coalesce(F.col("pred_positive"), F.lit(0)).alias("pred")
-    )
+    scored = score_with_model(docs, model).select("doc_id", "pred_positive")
     lbl = docs.select(
         "doc_id",
         F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("label"),
     )
-    j = lbl.join(scored, "doc_id", "left").select("pred", "label")
+    # coalesce AFTER the left join (the oracle's shape): a doc the scorer
+    # drops entirely still counts as pred=0, not NULL-excluded from the
+    # confusion sums.
+    j = lbl.join(scored, "doc_id", "left").select(
+        F.coalesce(F.col("pred_positive"), F.lit(0)).alias("pred"), "label"
+    )
     m = j.agg(
         F.sum(F.expr("label * pred")).cast("long").alias("tp"),
         F.sum(F.expr("(1 - label) * pred")).cast("long").alias("fp"),

@@ -49,55 +49,53 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # round; everything else follows in registration order. Queries not yet
 # registered are ignored, so new entries can be pre-listed safely.
 _GRADE_FIRST: list[str] = [
-    # Round 10 rotation (r9 verdict task 1, exactly as pre-listed).
-    # Slots 1-42: ALL 42 remaining r6-rowed names — the stalest driver
-    # rows in the registry after r9. Grouped: txlog verb/read family,
-    # then the TPC-H-shaped analytics block, then the quality/curation
-    # family, then the two streaming siblings.
-    "txlog_partitioned_read", "txlog_clustered_read",
-    "txlog_schema_evolution", "txlog_multi_partition_read",
-    "txlog_change_feed", "txlog_incremental_sync", "txlog_delete_read",
-    "txlog_zorder_read", "txlog_bloom_point_read", "txlog_cdc_stream",
-    "txlog_cdf_feed",
-    "top_parts_per_nation", "dormant_customers", "order_value_quantiles",
-    "running_gmv", "local_supplier_volume", "cube_sales", "status_pivot",
-    "customer_spend_quartiles", "urgent_part_suppliers", "moving_avg_gmv",
-    "skew_salted_sales", "waiting_supplier", "small_qty_revenue_shaped",
-    "order_count_distribution", "untapped_customers", "large_volume_orders",
-    "grouping_sets_sales", "order_value_quantiles_approx", "volume_shipping",
-    "top_revenue_supplier", "min_cost_supplier", "trailing_30d_spend",
-    "shipping_priority", "revenue_delta", "returned_item_losers",
-    "knn_label_noise", "source_overlap_matrix", "embedding_outliers",
-    "source_quality_profile", "doc_novelty",
-    "fulfillment_stats_stream",
-    # Slots 43-50: the 8 registrations with no driver row yet (all
-    # judge-verified green at sf0.01 in the r9 verdict session).
-    "ingest_classifier_gate", "wordpiece_tokenize", "unigram_tokenize",
-    "lm_surprisal_bigram", "span_corrupt", "fim_transform",
-    "text_normalize", "multimodal_dimensions_av",
-    # r11 rotation note: lead with this round's new registrations (no
-    # driver row yet; each driver-sim verified green before its commit
-    # this round): multimodal_dimensions_mp4, multimodal_dimensions_tiff,
-    # multimodal_dimensions_webp, compression_frame_info,
-    # bytelevel_bpe_tokenize, dedup_exact_stream_builtin,
-    # lm_surprisal_trigram, mojibake_repair, gopher_quality,
-    # langid_ngram, content_defined_chunks, tfrecord_varint_decode (and
-    # bounce_stream_tws where the protobuf runtime exists), plus the
-    # r10 continuation-session names: flac_stream_info,
-    # parquet_footer_info, ogg_page_info, ebml_track_info,
-    # avro_header_info, sentence_segment, line_dedup, line_dedup_stream,
-    # perplexity_buckets, html_extract, sft_format, contrastive_pairs,
-    # tokenizer_fertility, warc_records, url_canonicalize, domain_stats,
-    # c4_clean, domain_mixture_weights, dedup_editdist,
-    # safetensors_header_info, dedup_url, markdown_extract,
-    # decontaminate_bloom, zip_central_dir, dedup_url_stream, bm25_topk,
-    # warc_records_stream, domain_blocklist_filter, filter_funnel,
-    # matryoshka_recall, ann_recall_eval, lsh_recall_eval,
-    # classifier_eval —
-    # then the stalest r7-rowed block
-    # (new_user_fix, uv_daily, bounce_events, order_wide, payment_wide,
-    # dup_spans, the r7 TPC-H/curation names), then r8's block as space
-    # allows.
+    # Round 11 rotation (r10 verdict task 1; generated from
+    # `python scripts/verify_driver.py --staleness` — the report's first
+    # 50 names, plus this round's new registrations).
+    # Slots 1-45: the 45 round-10 registrations with no driver row yet
+    # (all judge-rerun green at sf0.01 in the r10 verdict session).
+    "tokenizer_fertility", "bytelevel_bpe_tokenize", "sentence_segment",
+    "line_dedup", "perplexity_buckets", "mojibake_repair", "gopher_quality",
+    "langid_ngram", "content_defined_chunks", "lm_surprisal_trigram",
+    "multimodal_dimensions_mp4", "multimodal_dimensions_tiff",
+    "multimodal_dimensions_webp", "compression_frame_info",
+    "tfrecord_varint_decode", "flac_stream_info", "parquet_footer_info",
+    "ogg_page_info", "ebml_track_info", "avro_header_info",
+    "html_extract", "sft_format", "contrastive_pairs", "warc_records",
+    "url_canonicalize", "domain_stats", "c4_clean",
+    "domain_mixture_weights", "dedup_editdist", "safetensors_header_info",
+    "dedup_url", "markdown_extract", "decontaminate_bloom",
+    "zip_central_dir", "bm25_topk", "domain_blocklist_filter",
+    "filter_funnel", "matryoshka_recall", "ann_recall_eval",
+    "lsh_recall_eval", "classifier_eval", "dedup_exact_stream_builtin",
+    "line_dedup_stream", "dedup_url_stream", "warc_records_stream",
+    # Slots 46-50: this round's new registrations (never graded;
+    # bounce_stream_tws / uv_stream_tws register only where a protobuf
+    # runtime exists — absent here, the names are safely skipped and the
+    # overflow names below fill the window).
+    "tar_members", "rrf_fusion_topk", "classifier_eval_stream",
+    "lm_surprisal_kn", "bounce_stream_tws", "uv_stream_tws",
+    # Overflow fill (stalest r7-rowed rows, staleness-report order), in
+    # case a gated name above does not register in this container.
+    "dedup_clusters", "dedup_simhash", "ann_topk", "ann_ivf_topk",
+    "ann_ivf_indexed_topk", "embedding_cosine_pairs",
+    # r12 rotation note (from the staleness report): lead with any
+    # round-11 registrations that miss the r11 window, then the
+    # remaining r7-rowed block in report order (embedding_clusters,
+    # dedup_incremental_indexed, ingest_pipeline, ingest_pipeline_indexed,
+    # lang_id, pii_scrub, text_quality, lm_surprisal, token_count,
+    # vocab_topk, tfidf_search, doc_fingerprint, train_split,
+    # kmeans_centroids, mixture_sample, source_quota_sample,
+    # cluster_balanced_sample, chunk_documents, token_budget_sample,
+    # decontaminate, repetition_stats, pack_sequences, corpus_profile,
+    # curation_pipeline, multimodal_decode, frame_sample, audio_chunks,
+    # keyword_stats_cjk, visitor_stats_sliding, uv_daily, new_user_fix,
+    # bounce_events, order_wide, payment_wide, scd2_user_status,
+    # serving_product_revenue, promo_revenue_share,
+    # late_shipment_priority, market_share, priority_shipping_counts,
+    # brand_supplier_counts, product_type_profit,
+    # discounted_brand_revenue, excess_shippers), then r8's block as
+    # space allows — regenerate with `verify_driver.py --staleness`.
 ]
 
 

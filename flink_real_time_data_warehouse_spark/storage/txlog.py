@@ -3001,6 +3001,13 @@ class TxLog:
             # sample budget while the rewrite executes: boundary noise
             # drops ~sqrt(10)x for a one-off maintenance cost that is
             # negligible next to the rewrite itself.
+            # NOT THREAD-SAFE: this mutates the SHARED session conf for
+            # the rewrite's duration — a concurrent query on the same
+            # SparkSession observes the 10x sample size (harmless: only
+            # boundary quality changes), and two concurrent optimize()
+            # calls can interleave set/restore. Fine for single-threaded
+            # maintenance (the supported mode); for concurrent
+            # maintenance scope it per-job via `spark.newSession()`.
             _SAMPLE_CONF = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
             prev_sample = spark.conf.get(_SAMPLE_CONF, None)
             spark.conf.set(_SAMPLE_CONF, "1000")

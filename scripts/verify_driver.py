@@ -3,6 +3,11 @@
 __spark_entry__ contract, every query vs its DuckDB oracle at sf0.01.
 
 Usage: python scripts/verify_driver.py [name ...]   (no names => all)
+       python scripts/verify_driver.py --staleness
+           Print every registered query with the last round that produced a
+           driver correctness row for it (from CORRECTNESS_r*.json), stalest
+           first, never-graded queries leading. The output IS the next
+           round's _GRADE_FIRST pre-list: take the first 50 names.
 """
 
 from __future__ import annotations
@@ -49,6 +54,41 @@ def rows_canon(pdf):
     cols = sorted(pdf.columns)
     rows = [tuple(canon(x) for x in r) for r in pdf[cols].itertuples(index=False)]
     return sorted(rows), cols
+
+
+def staleness_report() -> int:
+    """Per-query last-graded round, stalest first (never-graded lead).
+
+    Reads every CORRECTNESS_r*.json in the repo root; a query's grade round
+    is the HIGHEST round whose file contains a row for it. Within the same
+    round, registry order is preserved so the report is a stable pre-list.
+    """
+    import glob
+    import json
+    import re
+
+    from flink_real_time_data_warehouse_spark.queries import registry
+
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as f:
+            for name in json.load(f):
+                last[name] = max(last.get(name, 0), rnd)
+    names = list(registry())
+    order = {n: i for i, n in enumerate(names)}
+    # registry() puts _GRADE_FIRST names first; for the report we want a
+    # stable registration-independent tiebreak, so sort by (round, name).
+    ranked = sorted(names, key=lambda n: (last.get(n, 0), order[n]))
+    for n in ranked:
+        rnd = last.get(n, 0)
+        print(f"r{rnd:02d}  {n}" if rnd else f"---  {n}")
+    ungraded = sum(1 for n in names if n not in last)
+    print(f"# {len(names)} registered, {ungraded} never driver-graded")
+    return 0
 
 
 def main() -> int:
@@ -107,4 +147,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if "--staleness" in sys.argv[1:]:
+        sys.exit(staleness_report())
     sys.exit(main())

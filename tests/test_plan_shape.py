@@ -265,6 +265,20 @@ def test_curation_pipeline_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_filter_funnel_fused_flag_scan(spark):
+    """The funnel's three per-row stage flags must fuse into ONE Project
+    over ONE scan (r10 verdict task 3): the whole executed plan reads the
+    corpus exactly twice — once for the flag projection, once for the
+    keeper agg's join-back (inherent to dedup-keeper semantics) — and the
+    keeper join broadcasts. The 5-scan formulation this replaced would
+    sort-merge corpus-sized flag tables at 100 TB (4x the I/O)."""
+    df = registry()["filter_funnel"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("Scan parquet") <= 2, f"flag stages unfused:\n{plan}"
+    assert "SortMergeJoin" not in plan, f"keeper join lost its broadcast:\n{plan}"
+    assert "CartesianProduct" not in plan
+
+
 def test_ingest_pipeline_no_nested_loop(spark):
     """The incremental ingest funnel (dedup verdict + quality gate) must
     stay hash-join only end to end."""
