@@ -3601,3 +3601,348 @@ def parse_zip_central_dir_py(payload: bytes) -> list[dict] | None:
     for r in out:
         r["n_files"] = cnt
     return out
+
+
+# ---------------------------------------------------------------------------
+# tar member walk (WebDataset shards) — WebDataset, the de-facto sharded
+# container for large-scale image-text training data, is plain POSIX
+# ustar tarballs: samples are groups of same-basename members
+# (000017.jpg + 000017.txt + 000017.json). Listing a shard without
+# reading the payloads is the ingest index step of every WebDataset
+# pipeline. A NEW decode class the first twelve formats lack: fixed
+# 512-byte BLOCK framing with OCTAL-TEXT numeric fields (not binary
+# integers), a header CHECKSUM defined as the byte sum of the header
+# with its own checksum field read as eight spaces, and
+# pad-to-block-boundary stride arithmetic (data occupies
+# ceil(size/512) blocks). Reference semantics: POSIX.1-1988 ustar;
+# WebDataset sharding convention per Aizman et al. 2019 ("High
+# Performance I/O For Large Scale Deep Learning").
+# ---------------------------------------------------------------------------
+
+#: members per synthesized shard (1..TAR_MAX_MEMBERS); the parser's
+#: bounded unroll — same documented discipline as the other walks
+TAR_MAX_MEMBERS = 3
+#: fixed non-name header tail, bytes 157..511: linkname (100 NUL) +
+#: magic "ustar\0" + version "00" + uname/gname (32 NUL each) +
+#: devmajor/devminor (8 NUL each) + prefix (155 NUL) + pad (12 NUL)
+_TAR_TAIL_HEX = (
+    "00" * 100 + "757374617200" + "3030" + "00" * 32 + "00" * 32
+    + "00" * 8 + "00" * 8 + "00" * 155 + "00" * 12
+)
+#: byte sum of the fixed region AFTER the checksum field (typeflag '0'
+#: + "ustar\0" + "00"): 0x30 + (0x75+0x73+0x74+0x61+0x72) + (0x30+0x30)
+_TAR_TAIL_SUM = 0x30 + 0x75 + 0x73 + 0x74 + 0x61 + 0x72 + 0x30 + 0x30
+
+
+def _byte_sum(bin_col):
+    """Byte-value sum of a binary column: hex-pair walk + aggregate —
+    pure JVM (higher-order function, no Python). Used by the tar
+    checksum on both the synthesis and the verify side."""
+    pairs = F.regexp_extract_all(F.hex(bin_col), F.lit("(..)"), 1)
+    return F.aggregate(
+        pairs,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.conv(x, 16, 10).cast("long"),
+    )
+
+
+def _zeros(n_col):
+    """n zero bytes, n a Column (JVM-side)."""
+    return F.unhex(F.repeat(F.lit("00"), n_col.cast("int")))
+
+
+def synth_tar_payloads(docs: DataFrame) -> DataFrame:
+    """Format-valid ustar shards per document, every field a
+    deterministic function of doc_id so a SQL oracle can replay the
+    parsed output:
+
+      n_members = 1 + doc_id % 3, member k (0-based):
+        ext  = ('jpg','txt','json')[(doc_id + k) % 3]
+        name = 'shard' || doc_id || '/sample' || k || '.' || ext
+        size = (doc_id*13 + k*29) % 1500   (0..3 data blocks)
+      mode 0000644, uid/gid 0000000, mtime 0, typeflag '0'; data is
+      'D' * size NUL-padded to the block boundary; the archive ends
+      with the two POSIX zero blocks. The checksum is computed the
+      spec's way: byte sum of the 512-byte header with the checksum
+      field read as eight ASCII spaces, stored as six octal digits +
+      NUL + space."""
+    did = F.col("doc_id")
+    n_m = (F.lit(1) + did % 3).cast("long")
+
+    blocks = []
+    for k in range(TAR_MAX_MEMBERS):
+        ext = (
+            F.when((did + k) % 3 == 0, F.lit("jpg"))
+            .when((did + k) % 3 == 1, F.lit("txt"))
+            .otherwise(F.lit("json"))
+        )
+        name = F.concat(
+            F.lit("shard"), did.cast("string"),
+            F.lit(f"/sample{k}."), ext,
+        )
+        size = ((did * 13 + k * 29) % 1500).cast("long")
+        part1 = F.concat(
+            F.encode(name, "UTF-8"),
+            _zeros(F.lit(100) - F.length(name)),            # name -> 100
+            F.encode(F.lit("0000644"), "UTF-8"), _lit_bin("00"),   # mode
+            F.encode(F.lit("0000000"), "UTF-8"), _lit_bin("00"),   # uid
+            F.encode(F.lit("0000000"), "UTF-8"), _lit_bin("00"),   # gid
+            F.encode(F.lpad(F.conv(size, 10, 8), 11, "0"), "UTF-8"),
+            _lit_bin("00"),                                 # size, octal
+            F.encode(F.lit("00000000000"), "UTF-8"), _lit_bin("00"),  # mtime
+        )
+        chksum = _byte_sum(part1) + F.lit(8 * 0x20) + F.lit(_TAR_TAIL_SUM)
+        header = F.concat(
+            part1,
+            F.encode(F.lpad(F.conv(chksum, 10, 8), 6, "0"), "UTF-8"),
+            _lit_bin("0020"),                               # chksum: \0 + space
+            F.encode(F.lit("0"), "UTF-8"),                  # typeflag
+            _lit_bin(_TAR_TAIL_HEX),
+        )
+        n_blocks = F.floor((size + 511) / 512).cast("long")
+        data = F.concat(
+            F.encode(F.repeat(F.lit("D"), size.cast("int")), "UTF-8"),
+            _zeros(n_blocks * 512 - size),
+        )
+        blocks.append(
+            F.when(n_m > k, F.concat(header, data)).otherwise(_lit_bin(""))
+        )
+    return docs.select(
+        did.alias("asset_id"),
+        F.concat(*blocks, _lit_bin("00" * 1024)).alias("payload"),
+    )
+
+
+def parse_tar_members(assets: DataFrame) -> DataFrame:
+    """WebDataset shard listing trusting ONLY the bytes: each header
+    block must carry the ustar magic + version, typeflag '0', pure
+    octal-text mode/uid/gid/size/mtime fields (checked on the HEX image
+    so corrupt bytes never reach a UTF-8 decode), a NUL-terminated
+    NUL-padded UTF-8 name, and a checksum that equals the byte sum of
+    the header with its checksum field read as eight spaces; the walk
+    advances 512 + 512*ceil(size/512) and must land exactly on the two
+    all-zero POSIX trailer blocks. Any violation rejects the whole
+    shard (no rows). Emits one row per member: (asset_id, member_idx,
+    name, sample_key, ext, size, n_blocks, data_offset, n_members) —
+    sample_key/ext are the WebDataset pairing split (basename before
+    the last dot groups the members of one training sample).
+
+    Scale shape: bounded unroll over TAR_MAX_MEMBERS, staged
+    projections, zero Python, zero shuffle before the member explode
+    (plan-tested); the checksum byte-sums are higher-order array
+    aggregates over hex pairs — JVM-side, per-row."""
+    p = F.col("payload")
+    df = assets.select("asset_id", "payload")
+    df = df.withColumn("_n", F.octet_length(p).cast("long"))
+    n = F.col("_n")
+
+    oct_field = "^(3[0-7]){7}00$"            # 7 octal digits + NUL
+    oct11 = "^(3[0-7]){11}00$"               # 11 octal digits + NUL
+    oct_chk = "^(3[0-7]){6}0020$"            # 6 octal digits + NUL + space
+
+    df = df.withColumn("_q0", F.lit(1).cast("long"))
+    df = df.withColumn("_live0", F.lit(True))
+    for k in range(TAR_MAX_MEMBERS):
+        q, live = F.col(f"_q{k}"), F.col(f"_live{k}")
+        present = (
+            live & (q + 511 <= n)
+            & (p.substr(q.try_cast("int"), F.lit(1)) != _lit_bin("00"))
+        )
+        df = df.withColumn(f"_pr{k}", present)
+        present = F.col(f"_pr{k}")
+        nm_bin = p.substr(q.try_cast("int"), F.lit(100))
+        df = df.withColumn(
+            f"_nm{k}",
+            F.when(
+                present & F.is_valid_utf8(nm_bin),
+                F.substring_index(F.decode(nm_bin, "UTF-8"), "\x00", 1),
+            ),
+        )
+        fields_ok = (
+            F.when(present, F.hex(p.substr((q + 100).try_cast("int"), F.lit(8))))
+            .otherwise(F.lit("")).rlike(oct_field)                     # mode
+            & F.hex(p.substr((q + 108).try_cast("int"), F.lit(8))).rlike(oct_field)   # uid
+            & F.hex(p.substr((q + 116).try_cast("int"), F.lit(8))).rlike(oct_field)   # gid
+            & F.hex(p.substr((q + 124).try_cast("int"), F.lit(12))).rlike(oct11)      # size
+            & F.hex(p.substr((q + 136).try_cast("int"), F.lit(12))).rlike(oct11)      # mtime
+            & F.hex(p.substr((q + 148).try_cast("int"), F.lit(8))).rlike(oct_chk)     # chksum
+        )
+        df = df.withColumn(
+            f"_fok{k}", F.when(present, fields_ok).otherwise(F.lit(False))
+        )
+        df = df.withColumn(
+            f"_sz{k}",
+            F.when(
+                F.col(f"_fok{k}"),
+                F.conv(F.decode(p.substr((q + 124).try_cast("int"), F.lit(11)),
+                                "UTF-8"), 8, 10).cast("long"),
+            ),
+        )
+        df = df.withColumn(
+            f"_ck{k}",
+            F.when(
+                F.col(f"_fok{k}"),
+                F.conv(F.decode(p.substr((q + 148).try_cast("int"), F.lit(6)),
+                                "UTF-8"), 8, 10).cast("long"),
+            ),
+        )
+        # byte sum with the checksum field (bytes q+148..q+155) read as
+        # eight spaces — the spec's self-referential definition
+        calc = F.when(
+            F.col(f"_fok{k}"),
+            _byte_sum(p.substr(q.try_cast("int"), F.lit(148)))
+            + F.lit(8 * 0x20)
+            + _byte_sum(p.substr((q + 156).try_cast("int"), F.lit(356))),
+        )
+        nm = F.col(f"_nm{k}")
+        ok = ~present | (
+            F.col(f"_fok{k}")
+            & nm.isNotNull() & (F.length(nm) >= 1)
+            # NUL-padding strictness: name then NULs only, nothing else
+            & F.when(
+                present & F.is_valid_utf8(nm_bin),
+                F.decode(p.substr(q.try_cast("int"), F.lit(100)), "UTF-8"),
+            ).rlike("^[^\x00]+\x00*$")
+            & (F.hex(p.substr((q + 156).try_cast("int"), F.lit(1))) == "30")  # typeflag '0'
+            & (F.hex(p.substr((q + 257).try_cast("int"), F.lit(6))) == "757374617200")
+            & (F.hex(p.substr((q + 263).try_cast("int"), F.lit(2))) == "3030")
+            & (F.col(f"_ck{k}") == calc)
+        )
+        df = df.withColumn(f"_ok{k}", ok)
+        nb = F.floor((F.col(f"_sz{k}") + 511) / 512).cast("long")
+        df = df.withColumn(f"_nb{k}", F.when(F.col(f"_fok{k}"), nb))
+        df = df.withColumn(
+            f"_q{k + 1}",
+            F.when(present & F.col(f"_ok{k}"),
+                   q + 512 + F.col(f"_nb{k}") * 512).otherwise(q),
+        )
+        df = df.withColumn(f"_live{k + 1}", present & F.col(f"_ok{k}"))
+
+    walk_ok = F.lit(True)
+    for k in range(TAR_MAX_MEMBERS):
+        walk_ok = walk_ok & F.col(f"_ok{k}")
+    cnt = sum(
+        (F.col(f"_pr{k}").cast("long") for k in range(TAR_MAX_MEMBERS)),
+        F.lit(0).cast("long"),
+    )
+    df = df.withColumn("_cnt", cnt)
+    qe = F.col(f"_q{TAR_MAX_MEMBERS}")
+    trailer_ok = (n - qe + 1 == 1024) & (
+        p.substr(qe.try_cast("int"), F.lit(1024)) == _lit_bin("00" * 1024)
+    )
+    df = df.withColumn(
+        "_doc_ok", walk_ok & (F.col("_cnt") >= 1) & trailer_ok
+    )
+
+    members = F.array(
+        *[
+            F.when(
+                F.col("_doc_ok") & F.col(f"_pr{k}"),
+                F.struct(
+                    F.lit(k).cast("long").alias("member_idx"),
+                    F.col(f"_nm{k}").alias("name"),
+                    F.col(f"_sz{k}").alias("size"),
+                    F.col(f"_nb{k}").alias("n_blocks"),
+                    (F.col(f"_q{k}") - 1 + 512).alias("data_offset"),
+                ),
+            )
+            for k in range(TAR_MAX_MEMBERS)
+        ]
+    )
+    out = df.select(
+        "asset_id",
+        F.when(F.col("_doc_ok"), F.col("_cnt")).alias("n_members"),
+        F.explode(F.array_compact(members)).alias("_m"),
+    )
+    name = F.col("_m.name")
+    has_dot = F.contains(name, F.lit("."))
+    ext = F.when(has_dot, F.substring_index(name, ".", -1)).otherwise(F.lit(""))
+    return out.select(
+        "asset_id",
+        F.col("_m.member_idx").alias("member_idx"),
+        name.alias("name"),
+        F.when(
+            has_dot,
+            name.substr(F.lit(1), (F.length(name) - F.length(ext) - 1).cast("int")),
+        ).otherwise(name).alias("sample_key"),
+        ext.alias("ext"),
+        F.col("_m.size").alias("size"),
+        F.col("_m.n_blocks").alias("n_blocks"),
+        F.col("_m.data_offset").alias("data_offset"),
+        "n_members",
+    )
+
+
+def parse_tar_members_py(payload: bytes) -> list[dict] | None:
+    """The Python-path twin of parse_tar_members (same strict contract,
+    bounded unroll, terminator and trailer checks), for boundary/parity
+    tests. Never raises."""
+    import re
+
+    if payload is None:
+        return None
+    b = bytes(payload)
+    n = len(b)
+
+    def octal(raw: bytes, digits: int, tail: bytes) -> int | None:
+        if len(raw) != digits + len(tail) or raw[digits:] != tail:
+            return None
+        if not all(0x30 <= c <= 0x37 for c in raw[:digits]):
+            return None
+        return int(raw[:digits].decode("ascii"), 8)
+
+    q = 0
+    live = True
+    members: list[dict] = []
+    for k in range(TAR_MAX_MEMBERS):
+        present = live and (q + 512 <= n) and b[q] != 0
+        if not present:
+            live = False
+            continue
+        hdr = b[q:q + 512]
+        try:
+            dec = hdr[:100].decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+        if not re.fullmatch("[^\x00]+\x00*", dec):
+            return None
+        name = dec.split("\x00", 1)[0]
+        for off in (100, 108, 116):
+            if octal(hdr[off:off + 8], 7, b"\x00") is None:
+                return None
+        size = octal(hdr[124:136], 11, b"\x00")
+        if size is None or octal(hdr[136:148], 11, b"\x00") is None:
+            return None
+        ck = octal(hdr[148:156], 6, b"\x00 ")
+        if ck is None:
+            return None
+        if hdr[156:157] != b"0":
+            return None
+        if hdr[257:263] != b"ustar\x00" or hdr[263:265] != b"00":
+            return None
+        calc = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+        if ck != calc:
+            return None
+        n_blocks = (size + 511) // 512
+        if "." in name:
+            key, _, ext = name.rpartition(".")
+        else:
+            key, ext = name, ""
+        members.append({
+            "member_idx": k,
+            "name": name,
+            "sample_key": key,
+            "ext": ext,
+            "size": size,
+            "n_blocks": n_blocks,
+            "data_offset": q + 512,
+        })
+        q += 512 + n_blocks * 512
+        live = True
+    if not members:
+        return None
+    if n - q != 1024 or b[q:] != b"\x00" * 1024:
+        return None
+    for r in members:
+        r["n_members"] = len(members)
+    return members

@@ -5827,6 +5827,55 @@ def zip_central_dir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tar_members",
+    oracle="""
+    WITH m AS (
+      SELECT d.doc_id, t.k,
+        CASE (d.doc_id + t.k) % 3 WHEN 0 THEN 'jpg'
+             WHEN 1 THEN 'txt' ELSE 'json' END AS ext,
+        (d.doc_id * 13 + t.k * 29) % 1500 AS size,
+        ((d.doc_id * 13 + t.k * 29) % 1500 + 511) // 512 AS n_blocks
+      FROM documents d CROSS JOIN (VALUES (0), (1), (2)) t(k)
+      WHERE t.k < 1 + d.doc_id % 3)
+    SELECT doc_id AS asset_id, CAST(k AS BIGINT) AS member_idx,
+           'shard' || doc_id || '/sample' || k || '.' || ext AS name,
+           'shard' || doc_id || '/sample' || k AS sample_key,
+           ext,
+           CAST(size AS BIGINT) AS size,
+           CAST(n_blocks AS BIGINT) AS n_blocks,
+           CAST(512 + coalesce(sum(512 + n_blocks * 512) OVER (
+               PARTITION BY doc_id ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS data_offset,
+           CAST(1 + doc_id % 3 AS BIGINT) AS n_members
+    FROM m
+    """,
+    doc=(
+        "WEBDATASET SHARD LISTING (tar member walk — WebDataset, the "
+        "de-facto sharded container for image-text training data, is "
+        "plain POSIX ustar; Aizman et al. 2019): a decode class the "
+        "other twelve formats lack — fixed 512-byte BLOCK framing with "
+        "OCTAL-TEXT numeric fields, the spec's self-referential header "
+        "checksum (byte sum with the checksum field read as eight "
+        "spaces), and pad-to-block-boundary strides "
+        "(512 + 512*ceil(size/512)); the walk must land exactly on the "
+        "two all-zero trailer blocks. sample_key/ext split gives the "
+        "WebDataset same-basename sample grouping. Strict magic/"
+        "version/typeflag/octal/checksum rejection, bounded unroll, "
+        "zero Python, zero shuffle before the member explode "
+        "(plan-tested); synthesized shards verified readable by an "
+        "independent stdlib tar reader; oracle replays the synthesis "
+        "formulas with windowed offset partial sums"
+    ),
+)
+def tar_members_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.multimodal import parse_tar_members, synth_tar_payloads
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return parse_tar_members(synth_tar_payloads(docs))
+
+
+@register(
     "bm25_topk",
     oracle=f"""
     WITH {TOKS_CTE},

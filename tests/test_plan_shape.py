@@ -905,6 +905,18 @@ def test_zip_central_dir_zero_python(spark):
     assert "Generate explode" in plan
 
 
+def test_tar_members_zero_python(spark):
+    """The tar/WebDataset block walk stays pure JVM (the checksum
+    byte-sums are higher-order array aggregates, not UDFs): no Python
+    eval node, zero Exchange before the member explode."""
+    df = registry()["tar_members"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapsInPandas"):
+        assert bad not in plan, f"Python crossed into the plan: {bad}"
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+
+
 def test_decode_family_compiles_under_no_fallback(spark):
     """Whole-stage codegen must actually COMPILE for the decode family —
     not silently fall back to the interpreter. `.explain` can't see
@@ -916,7 +928,7 @@ def test_decode_family_compiles_under_no_fallback(spark):
     names = [
         "avro_header_info", "tfrecord_varint_decode", "ebml_track_info",
         "safetensors_header_info", "zip_central_dir", "warc_records",
-        "url_canonicalize", "dedup_url", "domain_stats",
+        "url_canonicalize", "dedup_url", "domain_stats", "tar_members",
     ]
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try:
