@@ -113,3 +113,52 @@ def bm25_topk(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .where(F.col("rank") <= BM25_TOPK)
         .select("query_id", "rank", F.col("doc").alias("doc_id"), "score")
     )
+
+
+# --- reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009:
+# "Reciprocal Rank Fusion outperforms Condorcet and individual Rank
+# Learning Methods") — the standard hybrid-retrieval combiner: fuse a
+# sparse (BM25) and a dense (embedding ANN) ranking without score
+# calibration, since only RANKS cross system boundaries. ---
+
+#: the RRF smoothing constant k (the paper's value)
+RRF_K = 60
+#: fused results per query
+RRF_TOPK = 10
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], k: int = RRF_K, topk: int = RRF_TOPK
+) -> DataFrame:
+    """Fuse rank lists — each (query_id, doc_id, rank) — by RRF with
+    integer-quantized contributions: contrib = 1e6 div (k + rank), so
+    every fused score is a BIGINT both engines reproduce exactly (the
+    paper's 1/(k+r) floats would drift in the last ulp when summed in
+    different orders). Fused order: rrf_ppm DESC, doc_id ASC; top
+    `topk` per query survive. n_systems counts the lists that voted
+    for the pair.
+
+    Scale: a union of k-rows-per-query lists (tiny relative to the
+    corpus) -> one hash agg with map-side partials -> per-query
+    row_number that plans as WindowGroupLimit. No join against the
+    corpus at all — fusion touches only the candidate lists."""
+    scored = None
+    for r in rankings:
+        c = r.select(
+            "query_id",
+            "doc_id",
+            F.expr(f"{1_000_000} div ({k} + rank)").cast("long").alias("_c"),
+        )
+        scored = c if scored is None else scored.unionByName(c)
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("_c").cast("long").alias("rrf_ppm"),
+        F.count("*").cast("long").alias("n_systems"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_ppm").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("fused_rank") <= topk)
+        .select("query_id", "fused_rank", "doc_id", "rrf_ppm", "n_systems")
+    )

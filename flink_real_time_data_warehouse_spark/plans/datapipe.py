@@ -5938,6 +5938,78 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _rrf_fusion_oracle() -> str:
+    from ..datapipe.retrieval import RRF_K, RRF_TOPK
+    from ..queries import _REGISTRY
+
+    bm25_sql = _REGISTRY["bm25_topk"].oracle
+    return f"""
+    WITH bm AS (SELECT query_id, doc_id, rank FROM ({bm25_sql}) b),
+    dq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id % 100 = 1),
+    ds AS (
+      SELECT q.qid AS query_id, e.vec_id AS doc_id,
+             list_cosine_similarity(q.qv, e.embedding) AS sim
+      FROM embeddings e CROSS JOIN dq q
+      WHERE e.vec_id <> q.qid),
+    dense AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, doc_id ASC) AS rank
+        FROM ds) WHERE rank <= {RRF_TOPK}),
+    contribs AS (
+      SELECT query_id, doc_id, 1000000 // ({RRF_K} + rank) AS c FROM bm
+      UNION ALL
+      SELECT query_id, doc_id, 1000000 // ({RRF_K} + rank) AS c FROM dense),
+    agg AS (
+      SELECT query_id, doc_id, sum(c) AS rrf_ppm, count(*) AS n_systems
+      FROM contribs GROUP BY query_id, doc_id)
+    SELECT query_id, CAST(fused_rank AS BIGINT) AS fused_rank, doc_id,
+           CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+           CAST(n_systems AS BIGINT) AS n_systems
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_ppm DESC, doc_id ASC)
+               AS fused_rank
+      FROM agg)
+    WHERE fused_rank <= {RRF_TOPK}
+    """
+
+
+@register(
+    "rrf_fusion_topk",
+    oracle=_rrf_fusion_oracle(),
+    doc=(
+        "RECIPROCAL-RANK FUSION (Cormack, Clarke & Buettcher, SIGIR "
+        "2009 — the standard hybrid-retrieval combiner): fuse the "
+        "graded BM25 sparse ranking with a dense cosine ranking over "
+        "the SAME query set (doc_id % 100 = 1; vec_id/doc_id are one "
+        "id space) without score calibration — only RANKS cross the "
+        "system boundary, contributions integer-quantized to "
+        "1e6 div (k + rank) at k=60 so the fused score is a BIGINT "
+        "both engines reproduce exactly. The oracle nests the "
+        "registered bm25_topk oracle end-to-end (the filter_funnel "
+        "composition pattern applied to retrieval), so fusion can "
+        "never drift from its graded systems. Fusion touches only the "
+        "two k-per-query candidate lists: union -> hash agg "
+        "(map-side partials) -> WindowGroupLimit top-k; no corpus "
+        "join, no cartesian beyond the systems' own broadcast probes"
+    ),
+)
+def rrf_fusion_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.retrieval import RRF_TOPK, bm25_topk, rrf_fuse
+    from ..datapipe.similarity import cosine_topk
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    bm = bm25_topk(docs, "doc_id", "text").select("query_id", "doc_id", "rank")
+    dense = cosine_topk(
+        emb.where(F.col("vec_id") % 100 == 1), emb, k=RRF_TOPK
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([bm, dense])
+
+
 @register(
     "domain_blocklist_filter",
     oracle="""

@@ -905,6 +905,20 @@ def test_zip_central_dir_zero_python(spark):
     assert "Generate explode" in plan
 
 
+def test_rrf_fusion_plan_shape(spark):
+    """RRF fusion: both system rankings and the fused ranking plan as
+    WindowGroupLimit (per-query heaps, never a global sort), the two
+    candidate lists meet in exactly ONE Union, and nothing goes
+    cartesian — the only nested-loop joins are the brute-force cosine
+    probes broadcasting the tiny query set (the designed ANN shape)."""
+    df = registry()["rrf_fusion_topk"].spark(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("WindowGroupLimit") >= 3, f"lost a top-k plan:\n{plan}"
+    assert plan.count("Union") == 1, f"fusion union shape changed:\n{plan}"
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan, f"global sort:\n{plan}"
+
+
 def test_tar_members_zero_python(spark):
     """The tar/WebDataset block walk stays pure JVM (the checksum
     byte-sums are higher-order array aggregates, not UDFs): no Python
