@@ -226,3 +226,70 @@ def start_cdc_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_classifier_eval(
+    stream: DataFrame,
+    model_hex: str,
+    eval_dir: str,
+    checkpoint: str,
+    label_col: str = "lang",
+    positive: str = "en",
+    app_id: str = "clf-eval",
+):
+    """Per-epoch classifier AGREEMENT MONITORING — the deployment
+    companion of the batch `classifier_eval`: real pipelines watch the
+    gate model's confusion matrix drift per ingest epoch (CCNet-style
+    filters are retrained when agreement decays). Each micro-batch is
+    scored with the FROZEN model and reduced to ONE integer confusion
+    row (epoch, n_docs, tp/fp/fn/tn, accuracy/precision/recall in
+    integer percent, zero-division -> NULL), committed idempotently
+    through the TxLog keyed (app_id, epoch) — the same exactly-once
+    contract as every sink in this module.
+
+    The coalesce-after-left-join shape matches the batch evaluation
+    exactly (a doc the scorer drops counts as pred=0, never
+    NULL-excluded). Scale per trigger: one zero-shuffle scoring
+    Project over the batch + one global rollup to a single row."""
+    from ..datapipe.classifier import score_with_model
+
+    log = TxLog(eval_dir)
+
+    def on_batch(batch: DataFrame, epoch: int) -> None:
+        scored = score_with_model(batch, model_hex).select(
+            "doc_id", "pred_positive"
+        )
+        lbl = batch.select(
+            "doc_id",
+            F.when(F.col(label_col) == positive, F.lit(1))
+            .otherwise(F.lit(0)).alias("label"),
+        )
+        j = lbl.join(scored, "doc_id", "left").select(
+            F.coalesce(F.col("pred_positive"), F.lit(0)).alias("pred"), "label"
+        )
+        m = j.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.expr("label * pred")).cast("long").alias("tp"),
+            F.sum(F.expr("(1 - label) * pred")).cast("long").alias("fp"),
+            F.sum(F.expr("label * (1 - pred)")).cast("long").alias("fn"),
+            F.sum(F.expr("(1 - label) * (1 - pred)")).cast("long").alias("tn"),
+        )
+        tp, fp, fn = (F.col(c) for c in ("tp", "fp", "fn"))
+        row = m.select(
+            F.lit(epoch + 1).cast("long").alias("epoch"),  # ntile is 1-based
+            "n_docs", "tp", "fp", "fn", "tn",
+            F.expr("(tp + tn) * 100 div n_docs").cast("long")
+            .alias("accuracy_pct"),
+            F.when(tp + fp > 0, F.expr("tp * 100 div (tp + fp)")).cast("long")
+            .alias("precision_pct"),
+            F.when(tp + fn > 0, F.expr("tp * 100 div (tp + fn)")).cast("long")
+            .alias("recall_pct"),
+        )
+        log.append(row, app_id=app_id, app_version=epoch)
+
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1696,3 +1696,114 @@ def warc_records_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = stream_table(spark, sf_dir, "documents").select("doc_id")
     return run_to_memory(parse_warc_records(synth_warc_payloads(docs)), spark)
+
+
+def _classifier_eval_stream_oracle(n_epochs: int = INGEST_STREAM_EPOCHS) -> str:
+    """Oracle for `classifier_eval_stream`: replay the gate classifier's
+    training (index side, doc_id % m <> 0 — exactly
+    ingest_classifier_gate's cwt) and scoring of the deploy side, then
+    group the confusion sums by the ntile arrival epoch. The model is
+    FROZEN, so the per-epoch rows are a grouping of per-doc agreements —
+    no sequential CTE chain needed; what the stream adds (and the
+    checkpointed epoch commits pin) is the one-row-per-epoch contract."""
+    from ..plans.datapipe import _CLF_H16, INC_NEW_MOD
+
+    m = INC_NEW_MOD
+    return f"""
+    WITH nd AS (
+      SELECT doc_id, ntile({n_epochs}) OVER (ORDER BY doc_id) AS epoch
+      FROM documents WHERE doc_id % {m} = 0
+    ),
+    cbase AS MATERIALIZED (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''
+             )) AS toks
+      FROM documents
+    ),
+    cfeat AS MATERIALIZED (
+      SELECT doc_id, label, {_CLF_H16} AS h16
+      FROM (SELECT doc_id, label, unnest(toks) AS tok FROM cbase)
+    ),
+    cwt AS MATERIALIZED (
+      SELECT h16 % 1024 AS b,
+             CAST((1000 * (CAST(sum(label) AS BIGINT) + 1))
+                  // (count(*) + 2) AS BIGINT) AS w
+      FROM cfeat WHERE doc_id % {m} <> 0 GROUP BY 1
+    ),
+    csc AS MATERIALIZED (
+      SELECT f.doc_id, CAST(sum(coalesce(w.w, 500)) AS BIGINT) AS score,
+             count(*) AS n_feats
+      FROM cfeat f LEFT JOIN cwt w ON f.h16 % 1024 = w.b
+      WHERE f.doc_id % {m} = 0 GROUP BY 1
+    ),
+    pr AS (
+      SELECT n.epoch, b.label,
+             CASE WHEN csc.n_feats > 0
+                   AND csc.score // csc.n_feats > 500 THEN 1 ELSE 0 END AS pred
+      FROM nd n
+      JOIN cbase b ON b.doc_id = n.doc_id
+      LEFT JOIN csc ON csc.doc_id = n.doc_id
+    ),
+    mrows AS (
+      SELECT epoch, count(*) AS n_docs,
+             sum(label * pred) AS tp, sum((1 - label) * pred) AS fp,
+             sum(label * (1 - pred)) AS fn,
+             sum((1 - label) * (1 - pred)) AS tn
+      FROM pr GROUP BY epoch
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           CAST((tp + tn) * 100 // n_docs AS BIGINT) AS accuracy_pct,
+           CAST(tp * 100 // (tp + fp) AS BIGINT) AS precision_pct,
+           CAST(tp * 100 // (tp + fn) AS BIGINT) AS recall_pct
+    FROM mrows
+    """
+
+
+@register(
+    "classifier_eval_stream",
+    oracle=_classifier_eval_stream_oracle(),
+    doc=(
+        "the STREAMING twin of classifier_eval — per-epoch agreement "
+        "monitoring, the deployment companion every learned-filter "
+        "rollout watches (retrain when the gate model's agreement "
+        "decays): the classifier trains once on the accepted corpus "
+        "(index side, ingest_classifier_gate's exact model), then each "
+        "of three ascending-id micro-batches is scored with the FROZEN "
+        "model and reduced to ONE integer confusion row, committed "
+        "idempotently through the TxLog keyed (app_id, epoch). Oracle "
+        "replays training + scoring (the registered classifier CTEs) "
+        "grouped by the ntile arrival epoch; the coalesce-after-left-"
+        "join NULL semantics match the batch evaluation exactly"
+    ),
+)
+def classifier_eval_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..datapipe.classifier import train_quality_classifier
+    from ..plans.datapipe import INC_NEW_MOD
+    from ..sources.streams import stream_dir, write_epoch_files
+    from ..storage import TxLog
+    from .ingest import start_classifier_eval
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    new = docs.where(F.col("doc_id") % INC_NEW_MOD == 0)
+    index_docs = docs.where(F.col("doc_id") % INC_NEW_MOD != 0)
+    model = train_quality_classifier(index_docs, F.col("lang") == "en")
+
+    work = tempfile.mkdtemp(prefix="clf_eval_stream_")
+    splits = write_epoch_files(
+        new, "doc_id", INGEST_STREAM_EPOCHS, os.path.join(work, "splits"), work
+    )
+    stream = stream_dir(
+        spark, splits, "doc_id long, text string, lang string",
+        max_files_per_trigger=1,
+    )
+    eval_dir = os.path.join(work, "eval")
+    q = start_classifier_eval(stream, model, eval_dir, os.path.join(work, "ckpt"))
+    q.awaitTermination()
+    return TxLog(eval_dir).snapshot(spark)

@@ -357,3 +357,59 @@ def test_ingest_funnel_default_and_shared_txlog_sinks_agree(spark, tmp_path):
 
     assert txlog == default == [11, 21]
     assert log.state().apps == {"ingest": 1}, "one epoch-keyed commit per micro-batch"
+
+
+def test_classifier_eval_stream_replay_idempotent(spark, tmp_path):
+    """Crash-retry worst case for the per-epoch confusion sink: the
+    entire stream replays from a FRESH checkpoint against the same
+    TxLog — every epoch commit must be idempotently skipped, leaving
+    exactly one row per epoch with the same sums."""
+    import os
+
+    from flink_real_time_data_warehouse_spark.datapipe.classifier import (
+        train_quality_classifier,
+    )
+    from flink_real_time_data_warehouse_spark.sources.streams import (
+        stream_dir,
+        write_epoch_files,
+    )
+    from flink_real_time_data_warehouse_spark.streaming.ingest import (
+        start_classifier_eval,
+    )
+    from flink_real_time_data_warehouse_spark.tables import table
+
+    from .conftest import TEST_SF_DIR
+
+    docs = table(spark, TEST_SF_DIR, "documents").select("doc_id", "text", "lang")
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    model = train_quality_classifier(
+        docs.where(F.col("doc_id") % 4 != 0), F.col("lang") == "en"
+    )
+    work = str(tmp_path)
+    splits = write_epoch_files(new, "doc_id", 3, os.path.join(work, "splits"), work)
+    schema = "doc_id long, text string, lang string"
+    eval_dir = os.path.join(work, "eval")
+    q = start_classifier_eval(
+        stream_dir(spark, splits, schema, max_files_per_trigger=1),
+        model, eval_dir, os.path.join(work, "ckpt1"),
+    )
+    q.awaitTermination()
+    first = sorted(
+        (r.asDict() for r in TxLog(eval_dir).snapshot(spark).collect()),
+        key=lambda r: r["epoch"],
+    )
+    assert [r["epoch"] for r in first] == [1, 2, 3]
+    assert sum(r["n_docs"] for r in first) == new.count()
+    for r in first:
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == r["n_docs"]
+
+    q2 = start_classifier_eval(
+        stream_dir(spark, splits, schema, max_files_per_trigger=1),
+        model, eval_dir, os.path.join(work, "ckpt2"),
+    )
+    q2.awaitTermination()
+    second = sorted(
+        (r.asDict() for r in TxLog(eval_dir).snapshot(spark).collect()),
+        key=lambda r: r["epoch"],
+    )
+    assert second == first
