@@ -1140,3 +1140,157 @@ def filter_funnel(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col("_s.n_kept").alias("n_kept"),
         (F.col("_s.n_in") - F.col("_s.n_kept")).cast("long").alias("n_dropped"),
     )
+
+
+#: ppm probability scale of the KN scorer; len(bin(1_000_000)) = 20, so
+#: bits(p_ppm) = 20 - len(bin(p_ppm)) quantizes -log2(p) exactly as the
+#: rest of the LM family quantizes count ratios
+KN_BITS_ONE = 20
+#: bits charged when the quantized probability truncates to 0 ppm (the
+#: OOV floor: KN_BITS_ONE + 2, the family's +2 convention)
+KN_FLOOR_BITS = KN_BITS_ONE + 2
+
+
+def lm_surprisal_kn(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    train_pred: Column,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (Chen & Goodman 1999, "An
+    empirical study of smoothing techniques for language modeling" —
+    the published QUALITY standard the stupid-backoff family caps to;
+    stupid backoff stays the scale recipe, KN is what you ship when
+    held-out perplexity matters):
+
+      P(c|p) = max(C(p,c) - D, 0)/C(p·) + D·N1+(p,·)/C(p·) · Pcont(c)
+      Pcont(c) = N1+(·,c) / N1+(··)          (continuation counts)
+      D = n1 / (n1 + 2·n2)                   (the paper's estimate)
+
+    trained on the SAME reference-subset counts as the stupid-backoff
+    queries. All arithmetic integer-exact: D in milli (1000·n1 div
+    (n1 + 2·n2), prior 500 when undefined), probabilities in ppm with
+    truncating div, surprisal quantized to whole bits via
+    KN_BITS_ONE - len(bin(p_ppm)) — no float log, no libm drift.
+    Position 1 scores the continuation unigram (KN's natural
+    zero-history case); a position whose probability truncates to
+    0 ppm is charged the KN_FLOOR_BITS floor. backoff_ct counts
+    positions 2+ whose bigram was unseen (mass came from the
+    interpolation term only); oov_ct counts tokens outside the
+    training vocabulary. BIGINT headroom: bcnt·10^3 and
+    D·N1+·Pcont ≤ 10^3·C·10^6 bound the intermediates — safe to
+    ~9·10^9 occurrences of one history; shard the count tables past
+    that (doc-noted, same family hazard as domain_mixture_weights).
+
+    Scale: same shape as the bigram stupid backoff — training
+    aggregates touch the reference subset once (map-side partials);
+    the discount constants and continuation total ride a 1-row
+    broadcast; scoring joins the pair stream against count tables on
+    zipf-skewed keys, left to AQE."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    pairs_col = F.when(
+        n >= 2, F.arrays_zip(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1))
+    )
+
+    train = df.where(train_pred)
+    uni = (
+        train.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("ucnt"))
+    )
+    big = (
+        train.select(F.explode(pairs_col).alias("pr"))
+        .select(F.col("pr")["0"].alias("p"), F.col("pr")["1"].alias("c"))
+        .groupBy("p", "c")
+        .agg(F.count("*").cast("long").alias("bcnt"))
+    )
+    # history table: C(p·) = occurrences of p as a history, N1+(p,·) =
+    # distinct continuations (big is already distinct on (p,c))
+    hist = big.groupBy("p").agg(
+        F.sum("bcnt").cast("long").alias("hcnt"),
+        F.count("*").cast("long").alias("n1p"),
+    )
+    # continuation table: N1+(·,c) = distinct histories preceding c
+    cont = big.groupBy("c").agg(F.count("*").cast("long").alias("ccont"))
+    # one broadcast row: N1+(··), n1, n2, D_milli
+    totals = big.agg(
+        F.count("*").cast("long").alias("conttot"),
+        F.sum((F.col("bcnt") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("bcnt") == 2).cast("long")).alias("n2"),
+    ).select(
+        "conttot",
+        F.coalesce(
+            F.expr("1000 * n1 div (n1 + 2 * n2)"), F.lit(500)
+        ).cast("long").alias("d_milli"),
+    )
+
+    cont_ppm = F.coalesce(
+        F.expr("ccont * 1000000 div conttot"), F.lit(0)
+    ).cast("long")
+    bits_of = lambda p_ppm: F.when(  # noqa: E731
+        p_ppm >= 1, F.lit(KN_BITS_ONE) - F.length(F.bin(p_ppm))
+    ).otherwise(F.lit(KN_FLOOR_BITS))
+
+    firsts = (
+        df.where(n >= 1)
+        .select(F.col(id_col).alias("_id"), F.element_at(t, 1).alias("c"))
+        .join(cont, "c", "left")
+        .join(uni.withColumnRenamed("w", "c"), "c", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "_id",
+            bits_of(cont_ppm).alias("bits"),
+            F.lit(0).alias("backoff"),
+            F.col("ucnt").isNull().cast("int").alias("oov"),
+        )
+    )
+    # p_ppm for positions 2+: seen history -> discounted main mass +
+    # interpolation term; unseen history -> the continuation fallback
+    p_ppm = F.when(
+        F.col("hcnt").isNotNull(),
+        # main: max(C(p,c)·1000 - D_milli, 0)·1000 div C(p·)
+        F.expr(
+            "greatest(coalesce(bcnt, 0) * 1000 - d_milli, 0) * 1000 div hcnt"
+        )
+        # interpolation: D_milli·N1+(p,·)·Pcont_ppm div (C(p·)·1000)
+        + F.expr(
+            "d_milli * n1p * coalesce(ccont * 1000000 div conttot, 0)"
+            " div (hcnt * 1000)"
+        ),
+    ).otherwise(cont_ppm).cast("long")
+    prs = (
+        df.select(F.col(id_col).alias("_id"), F.explode(pairs_col).alias("pr"))
+        .select("_id", F.col("pr")["0"].alias("p"), F.col("pr")["1"].alias("c"))
+        .join(big, ["p", "c"], "left")
+        .join(hist, "p", "left")
+        .join(cont, "c", "left")
+        .join(uni.withColumnRenamed("w", "c"), "c", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "_id",
+            bits_of(p_ppm).alias("bits"),
+            F.col("bcnt").isNull().cast("int").alias("backoff"),
+            F.col("ucnt").isNull().cast("int").alias("oov"),
+        )
+    )
+    return (
+        firsts.unionByName(prs)
+        .groupBy("_id")
+        .agg(
+            F.count("*").cast("long").alias("token_ct"),
+            F.sum("bits").cast("long").alias("surprisal_bits"),
+            F.sum("backoff").cast("long").alias("backoff_ct"),
+            F.sum("oov").cast("long").alias("oov_ct"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "token_ct",
+            "surprisal_bits",
+            "backoff_ct",
+            "oov_ct",
+            (F.col("surprisal_bits").cast("double") / F.col("token_ct")).alias(
+                "bits_per_token"
+            ),
+        )
+    )

@@ -3189,6 +3189,105 @@ def lm_surprisal_trigram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lm_surprisal_kn",
+    oracle=f"""
+    WITH {TOKS_CTE},
+    tr AS MATERIALIZED (
+      SELECT t.doc_id, t.l FROM toks t JOIN documents d USING (doc_id)
+      WHERE d.source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+    uni AS MATERIALIZED (
+      SELECT w, count(*) AS ucnt
+      FROM (SELECT unnest(l) AS w FROM tr) GROUP BY w),
+    big AS MATERIALIZED (
+      SELECT p, c, CAST(count(*) AS BIGINT) AS bcnt FROM (
+        SELECT l[i] AS p, l[i + 1] AS c
+        FROM (SELECT l, unnest(range(1, len(l))) AS i FROM tr))
+      GROUP BY p, c),
+    hist AS MATERIALIZED (
+      SELECT p, CAST(sum(bcnt) AS BIGINT) AS hcnt,
+             CAST(count(*) AS BIGINT) AS n1p
+      FROM big GROUP BY p),
+    cont AS MATERIALIZED (
+      SELECT c, CAST(count(*) AS BIGINT) AS ccont FROM big GROUP BY c),
+    totals AS (
+      SELECT CAST(count(*) AS BIGINT) AS conttot,
+             CAST(coalesce(
+               1000 * sum(CASE WHEN bcnt = 1 THEN 1 ELSE 0 END)
+               // (sum(CASE WHEN bcnt = 1 THEN 1 ELSE 0 END)
+                   + 2 * sum(CASE WHEN bcnt = 2 THEN 1 ELSE 0 END)),
+               500) AS BIGINT) AS d_milli
+      FROM big),
+    firsts AS (
+      SELECT t.doc_id,
+             CASE WHEN coalesce(cn.ccont * 1000000 // tt.conttot, 0) >= 1
+                  THEN 20 - length(bin(
+                         coalesce(cn.ccont * 1000000 // tt.conttot, 0)))
+                  ELSE 22 END AS bits,
+             0 AS backoff,
+             CAST(u.ucnt IS NULL AS INTEGER) AS oov
+      FROM (SELECT doc_id, l[1] AS c FROM toks WHERE len(l) >= 1) t
+      LEFT JOIN cont cn ON cn.c = t.c
+      LEFT JOIN uni u ON u.w = t.c
+      CROSS JOIN totals tt),
+    prs AS (
+      SELECT doc_id,
+             CASE WHEN pp >= 1 THEN 20 - length(bin(pp)) ELSE 22 END AS bits,
+             backoff, oov
+      FROM (
+        SELECT s.doc_id,
+               CASE WHEN h.hcnt IS NOT NULL
+                    THEN greatest(coalesce(b.bcnt, 0) * 1000 - tt.d_milli, 0)
+                           * 1000 // h.hcnt
+                       + tt.d_milli * h.n1p
+                           * coalesce(cn.ccont * 1000000 // tt.conttot, 0)
+                           // (h.hcnt * 1000)
+                    ELSE coalesce(cn.ccont * 1000000 // tt.conttot, 0)
+               END AS pp,
+               CAST(b.bcnt IS NULL AS INTEGER) AS backoff,
+               CAST(u.ucnt IS NULL AS INTEGER) AS oov
+        FROM (SELECT doc_id, l[i] AS p, l[i + 1] AS c
+              FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM toks)) s
+        LEFT JOIN big b ON b.p = s.p AND b.c = s.c
+        LEFT JOIN hist h ON h.p = s.p
+        LEFT JOIN cont cn ON cn.c = s.c
+        LEFT JOIN uni u ON u.w = s.c
+        CROSS JOIN totals tt))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS token_ct,
+           CAST(sum(bits) AS BIGINT) AS surprisal_bits,
+           CAST(sum(backoff) AS BIGINT) AS backoff_ct,
+           CAST(sum(oov) AS BIGINT) AS oov_ct,
+           CAST(sum(bits) AS DOUBLE) / count(*) AS bits_per_token
+    FROM (SELECT * FROM firsts UNION ALL SELECT * FROM prs)
+    GROUP BY doc_id
+    """,
+    doc=(
+        "INTERPOLATED KNESER-NEY bigram LM (Chen & Goodman 1999 — the "
+        "published smoothing-quality standard, capping the stupid-"
+        "backoff family: SB is the scale recipe, KN is what you ship "
+        "when held-out perplexity matters) over the SAME reference-"
+        "subset counts. Integer-exact throughout: the discount D is "
+        "n1/(n1+2·n2) in milli, probabilities in ppm with truncating "
+        "div, surprisal quantized to whole bits via 20 - len(bin(ppm)) "
+        "with a 22-bit floor — no float log, no libm drift. Position 1 "
+        "scores the continuation unigram (KN's zero-history case). "
+        "Property pinned by test: mean bits_per_token(KN) <= stupid "
+        "backoff on both in-domain and held-out text. Same scale shape "
+        "as the SB family: one training pass, 1-row broadcast "
+        "constants, zipf-keyed count joins left to AQE"
+    ),
+)
+def lm_surprisal_kn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.quality import lm_surprisal_kn
+
+    docs = table(spark, sf_dir, "documents")
+    return lm_surprisal_kn(
+        docs, "doc_id", "text",
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4"),
+    )
+
+
+@register(
     "token_count",
     oracle=f"""
     WITH {TOKS_CTE},

@@ -1183,3 +1183,63 @@ def test_classifier_eval_null_lang_counts_as_negative(spark):
         SF.sum(SF.expr("(1 - label) * (1 - pred)")).alias("tn"),
     ).first()
     assert m["tp"] + m["fp"] + m["fn"] + m["tn"] == 3
+
+
+def test_lm_surprisal_kn_beats_stupid_backoff(spark):
+    """The KN capstone's reason to exist, pinned as a property: mean
+    bits_per_token under interpolated Kneser-Ney <= stupid backoff on
+    BOTH the in-domain training subset and the held-out remainder
+    (Chen & Goodman 1999 report exactly this ordering for held-out
+    text; the quantized-integer formulation must preserve it)."""
+    from pyspark.sql import functions as SF
+
+    from flink_real_time_data_warehouse_spark.datapipe.quality import (
+        lm_surprisal_bigram,
+        lm_surprisal_kn,
+    )
+    from flink_real_time_data_warehouse_spark.tables import table
+
+    docs = table(spark, TEST_SF_DIR, "documents")
+    pred = SF.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    kn = lm_surprisal_kn(docs, "doc_id", "text", pred)
+    sb = lm_surprisal_bigram(docs, "doc_id", "text", pred)
+    for side in (pred, ~pred):
+        ids = docs.where(side).select("doc_id")
+        k = kn.join(ids, "doc_id").agg(SF.avg("bits_per_token")).first()[0]
+        s = sb.join(ids, "doc_id").agg(SF.avg("bits_per_token")).first()[0]
+        assert k <= s, (k, s)
+
+
+def test_lm_surprisal_kn_probability_mass_bounded(spark):
+    """KN's quantized probabilities must never exceed 1: every scored
+    position carries a NON-NEGATIVE bit cost (a p_ppm above 10^6 would
+    yield negative bits — the truncating-div formulation makes that
+    impossible, and this pins it on the fixtures), and the toy
+    zero/one-token edge docs follow the family contract."""
+    from pyspark.sql import functions as SF
+
+    from flink_real_time_data_warehouse_spark.datapipe.quality import (
+        lm_surprisal_kn,
+    )
+    from flink_real_time_data_warehouse_spark.tables import table
+
+    docs = table(spark, TEST_SF_DIR, "documents")
+    pred = SF.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    out = lm_surprisal_kn(docs, "doc_id", "text", pred)
+    assert out.where(SF.col("surprisal_bits") < 0).count() == 0
+    assert out.where(
+        SF.col("surprisal_bits") > SF.col("token_ct") * 22
+    ).count() == 0  # nothing above the per-position floor
+
+    toy = spark.createDataFrame(
+        [(1, "a b a c", "ref"), (2, "", "web"), (3, "b", "web")],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in lm_surprisal_kn(
+            toy, "doc_id", "text", SF.col("source") == "ref"
+        ).collect()
+    }
+    assert 2 not in rows  # tokenless docs excluded
+    assert rows[3]["token_ct"] == 1  # single token scores firsts-only
