@@ -360,6 +360,86 @@ def bounce_stream_tws(events: DataFrame, gap_s: int, timeout_s: int) -> DataFram
     )
 
 
+def uv_dedup_stream_tws(events: DataFrame, evict_after_days: int = 2) -> DataFrame:
+    """T2 daily-first-visit dedup on `transformWithStateInPandas` — the
+    second TWS port (after bounce_stream_tws), chosen because it
+    exercises the other stateful shape: a LONG-LIVED two-long state
+    (newest epoch-day + 63-day seen-bitmask, identical semantics and
+    oracle to uv_dedup_stream) with a rolling event-time EVICTION timer
+    rather than the CEP's emit-on-timeout. API mapping, same as the
+    bounce port: explicit registerTimer/deleteTimer with the live timer
+    tracked in state (a re-registered horizon deletes the stale timer
+    first), and handleExpiredTimer clears the key's state entirely —
+    once the watermark is `evict_after_days` past a key's newest day,
+    any admissible future event necessarily opens a new day, so the
+    state carries no information worth keeping."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _Uv(StatefulProcessor):
+        def __init__(self, evict: int):
+            self._evict = evict
+
+        def init(self, handle):
+            self._handle = handle
+            self._state = handle.getValueState(
+                "uv", "max_day long, mask long, timer_ms long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            st = self._state.get()
+            max_day, mask, timer_ms = st if st is not None else (None, 0, None)
+            data = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+            days = data["ts"].dt.floor("D")
+            out = []
+            for day, grp in data.groupby(days):
+                epoch_day = int(day.timestamp()) // 86400
+                if max_day is None or epoch_day > max_day:
+                    shift = 63 if max_day is None else min(63, epoch_day - max_day)
+                    mask = ((mask << shift) & ((1 << 63) - 1)) | 1
+                    max_day = epoch_day
+                else:
+                    delta = max_day - epoch_day
+                    if delta >= 63 or (mask >> delta) & 1:
+                        continue  # seen (or beyond the horizon)
+                    mask |= 1 << delta
+                first = grp.iloc[0]
+                out.append((key[0], day, first["ts"]))
+            if timer_ms is not None:
+                self._handle.deleteTimer(timer_ms)
+                timer_ms = None
+            wm = timerValues.getCurrentWatermarkInMs()
+            if wm >= 0:
+                evict_ms = (max_day + 1 + self._evict) * 86_400_000
+                timer_ms = max(evict_ms, wm + 1)
+                self._handle.registerTimer(timer_ms)
+            self._state.update((max_day, mask, timer_ms))
+            yield pd.DataFrame(out, columns=["user_id", "visit_day", "first_ts"])
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            import pandas as pd
+
+            st = self._state.get()
+            if st is not None and st[2] == expiredTimerInfo.getExpiryTimeInMs():
+                self._state.clear()  # horizon passed: drop the key entirely
+            yield pd.DataFrame(columns=["user_id", "visit_day", "first_ts"])
+
+        def close(self):
+            pass
+
+    return (
+        events.select("event_id", "user_id", "ts")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_Uv(evict_after_days),
+            outputStructType=UV_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )
+
+
 LINE_KEEPER_OUT_SCHEMA = StructType(
     [
         StructField("line_hash", StringType()),

@@ -169,6 +169,27 @@ if _tws_available():  # pragma: no cover — protobuf absent in this container
             bounce_stream_tws(ev, SESSION_GAP_S, BOUNCE_TIMEOUT_S), spark
         )
 
+    @register(
+        "uv_stream_tws",
+        oracle="""
+        SELECT user_id, date_trunc('day', ts) AS visit_day, min(ts) AS first_ts
+        FROM events GROUP BY 1, 2
+        """,
+        doc=(
+            "T2 on transformWithStateInPandas — the second TWS port, "
+            "exercising the long-lived-state shape (two-long bitmask "
+            "state + rolling event-time EVICTION timer) the CEP port "
+            "doesn't; same oracle as uv_stream"
+        ),
+    )
+    def uv_stream_tws_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..streaming.state import uv_dedup_stream_tws
+
+        ev = stream_table(spark, sf_dir, "events").withWatermark(
+            "ts", f"{WM_S} second"
+        )
+        return run_to_memory(uv_dedup_stream_tws(ev), spark)
+
 
 @register(
     "session_stats_stream",

@@ -561,3 +561,54 @@ def test_line_dedup_stream_first_arrival_wins(spark, tmp_path):
     # banner emitted exactly once, keeper from whichever batch ran first,
     # and within that batch the lexicographic minimum
     assert got[h("cookie banner.")] in ((3, 1), (1, 1))
+
+
+def test_uv_stream_tws_plan_construction(spark):
+    """The transformWithStateInPandas port of the daily-UV dedup builds
+    its full streaming plan — processor wiring, eventTime timeMode,
+    output schema — without the protobuf runtime its state server needs
+    at execution time (absent here, gated like bounce_stream_tws)."""
+    from flink_real_time_data_warehouse_spark.sources.streams import stream_table
+    from flink_real_time_data_warehouse_spark.streaming.state import (
+        uv_dedup_stream_tws,
+    )
+
+    from .conftest import TEST_SF_DIR
+
+    ev = stream_table(spark, TEST_SF_DIR, "events").withWatermark("ts", "1 second")
+    df = uv_dedup_stream_tws(ev)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["user_id", "visit_day", "first_ts"]
+    plan = df._jdf.queryExecution().logical().toString()
+    assert "TransformWithStateInPySpark" in plan
+
+
+def test_uv_stream_tws_matches_legacy(spark, tmp_path):
+    """Full-execution parity (needs the protobuf runtime): the TWS port
+    emits exactly uv_dedup_stream's rows on the events fixture."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state server needs protobuf",
+    )
+    from flink_real_time_data_warehouse_spark.sources.streams import stream_table
+    from flink_real_time_data_warehouse_spark.streaming.pipelines import run_to_memory
+    from flink_real_time_data_warehouse_spark.streaming.state import (
+        uv_dedup_stream,
+        uv_dedup_stream_tws,
+    )
+
+    from .conftest import TEST_SF_DIR
+
+    ev = stream_table(spark, TEST_SF_DIR, "events").withWatermark("ts", "1 second")
+    legacy = sorted(
+        (r.user_id, r.visit_day, r.first_ts)
+        for r in run_to_memory(uv_dedup_stream(ev), spark).collect()
+    )
+    ev2 = stream_table(spark, TEST_SF_DIR, "events").withWatermark("ts", "1 second")
+    tws = sorted(
+        (r.user_id, r.visit_day, r.first_ts)
+        for r in run_to_memory(uv_dedup_stream_tws(ev2), spark).collect()
+    )
+    assert tws == legacy
