@@ -257,6 +257,11 @@ HEADLINE = [
     "ann_recall_eval",
     "lsh_recall_eval",
     "classifier_eval",
+    # round 11 additions (verdict tasks 4-7)
+    "tar_members",
+    "rrf_fusion_topk",
+    "classifier_eval_stream",
+    "lm_surprisal_kn",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

@@ -1089,35 +1089,39 @@ def filter_funnel(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (stage_idx, stage, n_in, n_kept, n_dropped), with n_in of stage k
     equal to n_kept of stage k-1.
 
-    Scale: the three rule stages are per-row projections computed in
-    one pass each and joined on the id key; the dedup keeper is the
-    hot-key-safe groupBy(digest).agg(min) + join-back, computed over
-    STAGE-3 SURVIVORS (the sequential-funnel semantics: a duplicate
-    whose keeper was already filtered upstream keeps its own first
-    surviving copy); the attrition aggregate is a single global rollup
-    of four conjunctions — the funnel costs the sum of its stages,
-    never a multiplicative re-filtering.
-
-    f1/f2/f3 are all per-row functions of the same row, so they fuse
-    into ONE Project over ONE scan of the corpus (`_funnel_flags`) —
-    at 100 TB the unfused form materializes three corpus-sized flag
-    tables and sort-merge-joins them back together for 4x the I/O."""
+    Scale — ONE scan, ONE shuffle, ZERO joins: f1/f2/f3 are all per-row
+    functions of the same row, so they fuse into ONE Project
+    (`_funnel_flags`); the dedup-keeper stage then needs no join-back
+    at all, because the survivor-scoped min-id keeper of a digest group
+    is BY DEFINITION inside its own group — a digest contributes
+    exactly 1 to stage 4 iff it has any stage-3 survivor. So every
+    stage count partial-aggregates at the digest level in one
+    map-side-combining groupBy (hot-key-safe: billion-copy boilerplate
+    digests combine before the shuffle, the line_dedup discipline) and
+    a 1-row rollup finishes. The earlier formulations — five scans +
+    three id joins (pre-r11), then one flag scan recomputed on both
+    sides of a keeper join — cost 5x and 2x this plan respectively."""
     flags = _funnel_flags(df, id_col, text_col)
     surv = F.expr("f1 * f2 * f3") == 1
-    firsts = (
-        flags.where(surv)
-        .groupBy("_h")
-        .agg(F.min(id_col).alias("_keep"))
+    per_digest = (
+        flags.groupBy("_h")
+        .agg(
+            F.count("*").cast("long").alias("gn"),
+            F.sum("f1").cast("long").alias("g1"),
+            F.sum(F.expr("f1 * f2")).cast("long").alias("g2"),
+            F.sum(F.expr("f1 * f2 * f3")).cast("long").alias("g3"),
+            # stage 4: one kept doc per digest with >= 1 survivor — the
+            # survivor-scoped keeper (min surviving id) is always a
+            # member of its own digest group, so no join-back is needed
+            F.max(surv.cast("long")).cast("long").alias("g4"),
+        )
     )
-    flags = flags.join(firsts, "_h", "left").withColumn(
-        "f4", (F.col(id_col) == F.col("_keep")).cast("long")
-    )
-    agg = flags.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("f1").cast("long").alias("s1"),
-        F.sum(F.expr("f1 * f2")).cast("long").alias("s2"),
-        F.sum(F.expr("f1 * f2 * f3")).cast("long").alias("s3"),
-        F.sum(F.expr("f1 * f2 * f3 * coalesce(f4, 0)")).cast("long").alias("s4"),
+    agg = per_digest.agg(
+        F.sum("gn").cast("long").alias("n"),
+        F.sum("g1").cast("long").alias("s1"),
+        F.sum("g2").cast("long").alias("s2"),
+        F.sum("g3").cast("long").alias("s3"),
+        F.sum("g4").cast("long").alias("s4"),
     )
     stages = F.array(
         F.struct(F.lit(1).cast("long").alias("stage_idx"),

@@ -266,17 +266,20 @@ def test_curation_pipeline_no_nested_loop(spark):
 
 
 def test_filter_funnel_fused_flag_scan(spark):
-    """The funnel's three per-row stage flags must fuse into ONE Project
-    over ONE scan (r10 verdict task 3): the whole executed plan reads the
-    corpus exactly twice — once for the flag projection, once for the
-    keeper agg's join-back (inherent to dedup-keeper semantics) — and the
-    keeper join broadcasts. The 5-scan formulation this replaced would
-    sort-merge corpus-sized flag tables at 100 TB (4x the I/O)."""
+    """The funnel must be ONE scan, ONE digest shuffle, ZERO joins (r10
+    verdict task 3 + the r11 keeper-as-group-property rewrite): the
+    three per-row stage flags fuse into one Project, and the dedup
+    keeper needs no join-back because a digest contributes to stage 4
+    iff its group has any survivor. The 5-scan/3-join formulation this
+    replaced would sort-merge corpus-sized flag tables at 100 TB."""
     df = registry()["filter_funnel"].spark(spark, TEST_SF_DIR)
     plan = plan_of(df)
-    assert plan.count("Scan parquet") <= 2, f"flag stages unfused:\n{plan}"
-    assert "SortMergeJoin" not in plan, f"keeper join lost its broadcast:\n{plan}"
-    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 1, f"flag stages unfused:\n{plan}"
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, f"keeper picked up a join again: {bad}\n{plan}"
+    # the digest groupBy must partially aggregate map-side (hot-key-safe)
+    assert plan.count("HashAggregate") >= 2, f"lost map-side combine:\n{plan}"
 
 
 def test_ingest_pipeline_no_nested_loop(spark):
