@@ -257,11 +257,13 @@ HEADLINE = [
     "ann_recall_eval",
     "lsh_recall_eval",
     "classifier_eval",
-    # round 11 additions (verdict tasks 4-7)
+    # round 11 additions (verdict tasks 4-7 + extensions)
     "tar_members",
     "rrf_fusion_topk",
     "classifier_eval_stream",
     "lm_surprisal_kn",
+    "tar_members_stream",
+    "mrr_self_retrieval",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

@@ -6109,6 +6109,64 @@ def rrf_fusion_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([bm, dense])
 
 
+def _mrr_oracle() -> str:
+    from ..queries import _REGISTRY
+
+    bm25_sql = _REGISTRY["bm25_topk"].oracle
+    return f"""
+    WITH bm AS (SELECT query_id, doc_id, rank FROM ({bm25_sql}) b),
+    q AS (SELECT doc_id AS query_id FROM documents WHERE doc_id % 100 = 1),
+    hit AS (SELECT query_id, rank FROM bm WHERE doc_id = query_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(count(h.rank) AS BIGINT) AS n_hit,
+           CAST(coalesce(sum(CASE WHEN h.rank = 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS hits_at_1,
+           CAST(sum(coalesce(1000000 // h.rank, 0)) // count(*) AS BIGINT)
+             AS mrr_ppm
+    FROM q LEFT JOIN hit h USING (query_id)
+    """
+
+
+@register(
+    "mrr_self_retrieval",
+    oracle=_mrr_oracle(),
+    doc=(
+        "MEAN RECIPROCAL RANK of self-retrieval — the rank-metrology "
+        "member of the evaluation family (recall/confusion/MRR are the "
+        "three metrics every retrieval deployment reports; MRR per "
+        "Voorhees, TREC-8 QA): bm25_topk's documented sanity property "
+        "('a query retrieves its own source document near the top') "
+        "measured instead of asserted. Per query: reciprocal rank of "
+        "its own doc in the top-k as 1e6 div rank (0 when absent); "
+        "one summary row (n_queries, n_hit, hits_at_1, mrr_ppm), all "
+        "integer-exact. The oracle nests the registered bm25 oracle "
+        "end-to-end, the evaluation-family composition rule. Cost: a "
+        "filter + rollup on the k-per-query candidate list — nothing "
+        "touches the corpus beyond the graded system itself"
+    ),
+)
+def mrr_self_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.retrieval import bm25_topk
+
+    docs = table(spark, sf_dir, "documents")
+    bm = bm25_topk(docs, "doc_id", "text")
+    hits = bm.where(F.col("doc_id") == F.col("query_id")).select(
+        "query_id", "rank"
+    )
+    queries = docs.where(F.col("doc_id") % 100 == 1).select(
+        F.col("doc_id").alias("query_id")
+    )
+    j = queries.join(hits, "query_id", "left")
+    return j.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.count("rank").cast("long").alias("n_hit"),
+        F.coalesce(F.sum((F.col("rank") == 1).cast("long")), F.lit(0))
+        .cast("long").alias("hits_at_1"),
+        F.expr("sum(coalesce(1000000 div rank, 0)) div count(*)")
+        .cast("long").alias("mrr_ppm"),
+    )
+
+
 @register(
     "domain_blocklist_filter",
     oracle="""

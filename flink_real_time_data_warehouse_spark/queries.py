@@ -74,7 +74,8 @@ _GRADE_FIRST: list[str] = [
     # runtime exists — absent here, the names are safely skipped and the
     # overflow names below fill the window).
     "tar_members", "rrf_fusion_topk", "classifier_eval_stream",
-    "lm_surprisal_kn", "bounce_stream_tws", "uv_stream_tws",
+    "lm_surprisal_kn", "tar_members_stream", "mrr_self_retrieval",
+    "bounce_stream_tws", "uv_stream_tws",
     # Overflow fill (stalest r7-rowed rows, staleness-report order), in
     # case a gated name above does not register in this container.
     "dedup_clusters", "dedup_simhash", "ann_topk", "ann_ivf_topk",

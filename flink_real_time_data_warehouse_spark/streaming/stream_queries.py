@@ -1828,3 +1828,30 @@ def classifier_eval_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = start_classifier_eval(stream, model, eval_dir, os.path.join(work, "ckpt"))
     q.awaitTermination()
     return TxLog(eval_dir).snapshot(spark)
+
+
+def _tar_members_oracle() -> str:
+    from ..queries import _REGISTRY
+
+    return _REGISTRY["tar_members"].oracle
+
+
+@register(
+    "tar_members_stream",
+    oracle=_tar_members_oracle(),
+    doc=(
+        "WebDataset shard listing ON INGEST — the shape the format "
+        "exists for (Aizman et al. 2019: shards stream from object "
+        "storage; readers index members as shards land): the tar block "
+        "walk (octal fields, self-referential checksum, pad-to-block "
+        "strides) is stateless per shard, so the streaming plan IS the "
+        "batch plan under a streaming source; graded against the same "
+        "replayed-synthesis oracle as tar_members. Corrupt shards drop "
+        "whole at the edge, exactly like the batch walk"
+    ),
+)
+def tar_members_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.multimodal import parse_tar_members, synth_tar_payloads
+
+    docs = stream_table(spark, sf_dir, "documents").select("doc_id")
+    return run_to_memory(parse_tar_members(synth_tar_payloads(docs)), spark)
