@@ -72,7 +72,10 @@ _GRADE_FIRST: list[str] = [
     # Slots 46-50: this round's new registrations (never graded;
     # bounce_stream_tws / uv_stream_tws register only where a protobuf
     # runtime exists — absent here, the names are safely skipped and the
-    # overflow names below fill the window).
+    # overflow names below fill the window). 45 + 6 new = 51 > the
+    # 50-query window, so the LAST new name (mrr_self_retrieval) is
+    # expected to miss r11 and lead the r12 pre-list — driver-sim
+    # verified green this round either way.
     "tar_members", "rrf_fusion_topk", "classifier_eval_stream",
     "lm_surprisal_kn", "tar_members_stream", "mrr_self_retrieval",
     "bounce_stream_tws", "uv_stream_tws",
@@ -80,8 +83,9 @@ _GRADE_FIRST: list[str] = [
     # case a gated name above does not register in this container.
     "dedup_clusters", "dedup_simhash", "ann_topk", "ann_ivf_topk",
     "ann_ivf_indexed_topk", "embedding_cosine_pairs",
-    # r12 rotation note (from the staleness report): lead with any
-    # round-11 registrations that miss the r11 window, then the
+    # r12 rotation note (from the staleness report): lead with
+    # mrr_self_retrieval and any other round-11 registrations that miss
+    # the r11 window, then the
     # remaining r7-rowed block in report order (embedding_clusters,
     # dedup_incremental_indexed, ingest_pipeline, ingest_pipeline_indexed,
     # lang_id, pii_scrub, text_quality, lm_surprisal, token_count,
