@@ -78,12 +78,17 @@ SHOWCASE = {
     "decontaminate_bloom": "two broadcast Bloom-position joins on LONG keys + one broadcast exact probe, corpus shingles scanned once; broadcast side bounded by the bit space",
     "zip_central_dir": "backward EOCD discovery (bounded comment scan) + forward variable-stride entry walk as staged projections — zero Exchange before the member explode",
     "domain_blocklist_filter": "blocklist broadcasts; the probe is a map-side hash join on the scan — nothing shuffles but the blocklist bytes",
-    "filter_funnel": "three per-row flag passes joined on the id key + hot-key-safe dedup agg + ONE global rollup exploded into stage rows",
+    "filter_funnel": "ONE scan, ONE shuffle, ZERO joins: all three stage flags fused into one Project; the survivor-scoped keeper is a digest-group property (max(surv) per digest), so every stage count partial-aggregates map-side in one hot-key-safe groupBy before a 1-row rollup",
     "bm25_topk": "postings pruned by a broadcast query-term semi-join before df/length/scoring; top-k per query is WindowGroupLimit",
     "matryoshka_recall": "per-dim brute-force passes over broadcast queries (prefixes slice in-plan); overlap is a k-row (query,neighbor) equi-join",
     "ann_recall_eval": "the two graded searches + one equi-join of k-row sides + a left join back to the query list",
     "lsh_recall_eval": "exact-Jaccard truth (df-capped shingle joins) LEFT JOIN banded candidates + one global rollup",
     "classifier_eval": "zero-shuffle scoring Project + one label join + one global confusion rollup",
+    # round 11
+    "tar_members": "512-byte block walk with octal-text fields + self-referential checksum (hex-pair higher-order aggregates) — ONE scan, zero Exchange, zero Python before the member explode",
+    "rrf_fusion_topk": "two k-per-query candidate lists meet in ONE union -> map-side hash agg -> WindowGroupLimit; no corpus join, the only nested loops are the systems' own broadcast cosine probes",
+    "lm_surprisal_kn": "uni/bigram + continuation + history count tables trained once; discount constants ride a 1-row broadcast; scoring joins zipf keys left to AQE (the SB family shape)",
+    "mrr_self_retrieval": "a filter + one rollup on the graded bm25 candidate list — nothing touches the corpus beyond the system under evaluation",
 }
 
 
