@@ -264,6 +264,7 @@ HEADLINE = [
     "lm_surprisal_kn",
     "tar_members_stream",
     "mrr_self_retrieval",
+    "webdataset_samples",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

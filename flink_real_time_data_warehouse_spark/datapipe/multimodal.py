@@ -3657,9 +3657,12 @@ def synth_tar_payloads(docs: DataFrame) -> DataFrame:
     parsed output:
 
       n_members = 1 + doc_id % 3, member k (0-based):
-        ext  = ('jpg','txt','json')[(doc_id + k) % 3]
-        name = 'shard' || doc_id || '/sample' || k || '.' || ext
+        ext  = ('jpg','txt','json')[k]
+        name = 'shard' || doc_id || '/sample' || (k div 2) || '.' || ext
         size = (doc_id*13 + k*29) % 1500   (0..3 data blocks)
+      (members 0 and 1 share the basename 'sample0' — the WebDataset
+      pairing convention, an image and its caption — so the sample
+      assembly over this synthesis is a real grouping, not 1:1)
       mode 0000644, uid/gid 0000000, mtime 0, typeflag '0'; data is
       'D' * size NUL-padded to the block boundary; the archive ends
       with the two POSIX zero blocks. The checksum is computed the
@@ -3671,14 +3674,10 @@ def synth_tar_payloads(docs: DataFrame) -> DataFrame:
 
     blocks = []
     for k in range(TAR_MAX_MEMBERS):
-        ext = (
-            F.when((did + k) % 3 == 0, F.lit("jpg"))
-            .when((did + k) % 3 == 1, F.lit("txt"))
-            .otherwise(F.lit("json"))
-        )
+        ext = ("jpg", "txt", "json")[k]
         name = F.concat(
             F.lit("shard"), did.cast("string"),
-            F.lit(f"/sample{k}."), ext,
+            F.lit(f"/sample{k // 2}.{ext}"),
         )
         size = ((did * 13 + k * 29) % 1500).cast("long")
         part1 = F.concat(

@@ -5930,15 +5930,14 @@ def zip_central_dir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT d.doc_id, t.k,
-        CASE (d.doc_id + t.k) % 3 WHEN 0 THEN 'jpg'
-             WHEN 1 THEN 'txt' ELSE 'json' END AS ext,
+        CASE t.k WHEN 0 THEN 'jpg' WHEN 1 THEN 'txt' ELSE 'json' END AS ext,
         (d.doc_id * 13 + t.k * 29) % 1500 AS size,
         ((d.doc_id * 13 + t.k * 29) % 1500 + 511) // 512 AS n_blocks
       FROM documents d CROSS JOIN (VALUES (0), (1), (2)) t(k)
       WHERE t.k < 1 + d.doc_id % 3)
     SELECT doc_id AS asset_id, CAST(k AS BIGINT) AS member_idx,
-           'shard' || doc_id || '/sample' || k || '.' || ext AS name,
-           'shard' || doc_id || '/sample' || k AS sample_key,
+           'shard' || doc_id || '/sample' || (k // 2) || '.' || ext AS name,
+           'shard' || doc_id || '/sample' || (k // 2) AS sample_key,
            ext,
            CAST(size AS BIGINT) AS size,
            CAST(n_blocks AS BIGINT) AS n_blocks,
@@ -5972,6 +5971,51 @@ def tar_members_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return parse_tar_members(synth_tar_payloads(docs))
+
+
+def _webdataset_samples_oracle() -> str:
+    from ..queries import _REGISTRY
+
+    tar_sql = _REGISTRY["tar_members"].oracle
+    return f"""
+    WITH m AS (SELECT * FROM ({tar_sql}) t)
+    SELECT asset_id, sample_key,
+           CAST(count(*) AS BIGINT) AS n_files,
+           string_agg(ext, ',' ORDER BY ext) AS exts,
+           CAST(sum(size) AS BIGINT) AS total_bytes,
+           CAST(min(data_offset) AS BIGINT) AS first_offset
+    FROM m GROUP BY asset_id, sample_key
+    """
+
+
+@register(
+    "webdataset_samples",
+    oracle=_webdataset_samples_oracle(),
+    doc=(
+        "WEBDATASET SAMPLE ASSEMBLY — the unit a WebDataset reader "
+        "actually iterates: shard members grouped by basename into one "
+        "row per training sample (image + caption + metadata share a "
+        "sample_key; Aizman et al. 2019 §3). Composes the graded tar "
+        "walk: one map-side-combining groupBy on (shard, sample_key) "
+        "over the member rows — at 100 TB the members of one sample "
+        "are CONTIGUOUS in their shard, so this agg combines within "
+        "the scan partition and effectively never shuffles data. "
+        "exts is the sorted member-extension list (the reader's "
+        "modality signature); the oracle nests the registered "
+        "tar_members oracle end-to-end"
+    ),
+)
+def webdataset_samples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.multimodal import parse_tar_members, synth_tar_payloads
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    members = parse_tar_members(synth_tar_payloads(docs))
+    return members.groupBy("asset_id", "sample_key").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.array_join(F.array_sort(F.collect_list("ext")), ",").alias("exts"),
+        F.sum("size").cast("long").alias("total_bytes"),
+        F.min("data_offset").cast("long").alias("first_offset"),
+    )
 
 
 @register(

@@ -236,9 +236,9 @@ def test_tar_round_trip_and_stdlib_agreement(spark):
         off = 512
         for k, rec in enumerate(got):
             size = (d * 13 + k * 29) % 1500
-            ext = ("jpg", "txt", "json")[(d + k) % 3]
-            assert rec["name"] == f"shard{d}/sample{k}.{ext}"
-            assert rec["sample_key"] == f"shard{d}/sample{k}"
+            ext = ("jpg", "txt", "json")[k]
+            assert rec["name"] == f"shard{d}/sample{k // 2}.{ext}"
+            assert rec["sample_key"] == f"shard{d}/sample{k // 2}"
             assert rec["ext"] == ext
             assert rec["size"] == size == std[k].size
             assert rec["n_blocks"] == (size + 511) // 512
