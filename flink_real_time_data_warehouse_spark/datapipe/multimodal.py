@@ -3805,6 +3805,10 @@ def parse_tar_members(assets: DataFrame) -> DataFrame:
             & (F.hex(p.substr((q + 156).try_cast("int"), F.lit(1))) == "30")  # typeflag '0'
             & (F.hex(p.substr((q + 257).try_cast("int"), F.lit(6))) == "757374617200")
             & (F.hex(p.substr((q + 263).try_cast("int"), F.lit(2))) == "3030")
+            # reject a used ustar prefix field (paths > 100 bytes) rather
+            # than silently truncating the member path — WebDataset shard
+            # paths fit the name field by convention
+            & F.hex(p.substr((q + 345).try_cast("int"), F.lit(155))).rlike("^0*$")
             & (F.col(f"_ck{k}") == calc)
         )
         df = df.withColumn(f"_ok{k}", ok)
@@ -3826,8 +3830,17 @@ def parse_tar_members(assets: DataFrame) -> DataFrame:
     )
     df = df.withColumn("_cnt", cnt)
     qe = F.col(f"_q{TAR_MAX_MEMBERS}")
-    trailer_ok = (n - qe + 1 == 1024) & (
-        p.substr(qe.try_cast("int"), F.lit(1024)) == _lit_bin("00" * 1024)
+    # POSIX end-of-archive: at least TWO zero blocks, then padding to the
+    # writer's blocking factor (GNU/stdlib tar pad to 20 blocks = 10240
+    # bytes) — so the rule is >= 1024 zero bytes to EOF with the total a
+    # 512 multiple, NOT exactly 1024 (the exactly-two-blocks form
+    # rejected every real-world tarball; caught by the reverse-direction
+    # stdlib-writer parity test)
+    trailer_ok = (
+        (n - qe + 1 >= 1024)
+        & (n % 512 == 0)
+        & F.hex(p.substr(qe.try_cast("int"), (n - qe + 1).try_cast("int")))
+        .rlike("^0*$")
     )
     df = df.withColumn(
         "_doc_ok", walk_ok & (F.col("_cnt") >= 1) & trailer_ok
@@ -3919,6 +3932,8 @@ def parse_tar_members_py(payload: bytes) -> list[dict] | None:
             return None
         if hdr[257:263] != b"ustar\x00" or hdr[263:265] != b"00":
             return None
+        if any(hdr[345:500]):  # used prefix field: reject, don't truncate
+            return None
         calc = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
         if ck != calc:
             return None
@@ -3940,7 +3955,9 @@ def parse_tar_members_py(payload: bytes) -> list[dict] | None:
         live = True
     if not members:
         return None
-    if n - q != 1024 or b[q:] != b"\x00" * 1024:
+    # >= two zero blocks to EOF, total a 512 multiple (writers pad the
+    # archive to their blocking factor past the two POSIX zero blocks)
+    if n - q < 1024 or n % 512 != 0 or any(b[q:]):
         return None
     for r in members:
         r["n_members"] = len(members)

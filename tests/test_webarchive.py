@@ -296,3 +296,49 @@ def test_tar_checksum_is_load_bearing(spark):
     assert parse_tar_members_py(bad) is None
     jvm = _tar_jvm_rows(spark, [(0, bytearray(bad))])
     assert 0 not in jvm
+
+
+def test_tar_parses_stdlib_written_shards(spark):
+    """REVERSE-direction parity: shards written by the INDEPENDENT
+    stdlib tarfile writer (USTAR format, real mtimes, archive padded to
+    the 10240-byte blocking factor — the layout every real WebDataset
+    shard has) must parse identically in the JVM walk and the Python
+    twin, matching tarfile's own member list. This test caught a real
+    bug: the original exactly-two-zero-blocks trailer rule rejected
+    every blocking-factor-padded (i.e. real-world) tarball."""
+    import io
+    import tarfile
+
+    def shard(members):
+        buf = io.BytesIO()
+        tf = tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT)
+        for name, size in members:
+            info = tarfile.TarInfo(name)
+            info.size = size
+            info.mtime = 1700000000
+            tf.addfile(info, io.BytesIO(b"D" * size))
+        tf.close()
+        return buf.getvalue()
+
+    shards = [
+        shard([("shard0/000001.jpg", 700), ("shard0/000001.txt", 41)]),
+        shard([("a.bin", 0)]),                      # zero-byte member
+        shard([("x/y.jpg", 511), ("x/y.json", 512), ("x/z.jpg", 513)]),
+    ]
+    jvm = _tar_jvm_rows(spark, [(i, bytearray(s)) for i, s in enumerate(shards)])
+    for i, s in enumerate(shards):
+        py = parse_tar_members_py(s)
+        assert py is not None, i
+        std = tarfile.open(fileobj=io.BytesIO(s)).getmembers()
+        assert [r["name"] for r in py] == [m.name for m in std]
+        assert [r["size"] for r in py] == [m.size for m in std]
+        assert [r["data_offset"] for r in py] == [m.offset_data for m in std]
+        got = [{k: v for k, v in r.items() if k != "asset_id"}
+               for r in jvm.get(i, [])]
+        assert got == py, (i, got, py)
+
+    # a member whose path needs the ustar PREFIX field must reject whole
+    # (no silent truncation to the 100-byte name field) in both paths
+    deep = shard([("p" * 90 + "/" + "q" * 60 + ".jpg", 10)])
+    assert parse_tar_members_py(deep) is None
+    assert 0 not in _tar_jvm_rows(spark, [(0, bytearray(deep))])
