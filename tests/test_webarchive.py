@@ -342,3 +342,67 @@ def test_tar_parses_stdlib_written_shards(spark):
     deep = shard([("p" * 90 + "/" + "q" * 60 + ".jpg", 10)])
     assert parse_tar_members_py(deep) is None
     assert 0 not in _tar_jvm_rows(spark, [(0, bytearray(deep))])
+
+
+def test_reverse_direction_stdlib_writers_zip_gzip_wav(spark):
+    """Reverse-direction parity for the formats with an INDEPENDENT
+    stdlib writer (the tar test's discipline, applied family-wide):
+    archives produced by zipfile, gzip and wave must parse in BOTH
+    paths, agree with each other, and match the writer's own metadata.
+    The parquet footer is deliberately excluded: its contract is a
+    documented thrift SUBSET (version/num_rows/created_by skeleton),
+    not full FileMetaData."""
+    import gzip
+    import io
+    import wave
+    import zipfile
+
+    from flink_real_time_data_warehouse_spark.datapipe.multimodal import (
+        parse_compression_header_py,
+        parse_compression_headers,
+        parse_header_py,
+        parse_media_headers,
+    )
+
+    # --- ZIP: two deflated members via zipfile ---
+    zb = io.BytesIO()
+    with zipfile.ZipFile(zb, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("a.txt", "hello world " * 20)
+        z.writestr("b.bin", "x" * 100)
+    zpy = parse_zip_central_dir_py(zb.getvalue())
+    assert [r["name"] for r in zpy] == ["a.txt", "b.bin"]
+    assert [r["usize"] for r in zpy] == [240, 100]
+    assert all(r["method"] == "deflated" for r in zpy)
+    zj = _zip_jvm_rows(spark, [(0, bytearray(zb.getvalue()))])
+    assert [{k: v for k, v in r.items() if k != "asset_id"}
+            for r in zj[0]] == zpy
+
+    # --- gzip: stdlib-compressed frame, pinned mtime ---
+    gb = io.BytesIO()
+    with gzip.GzipFile(fileobj=gb, mode="wb", mtime=1700000000) as g:
+        g.write(b"some text payload" * 10)
+    gpy = parse_compression_header_py(gb.getvalue())
+    assert gpy == {"container": "gzip", "mtime": 1700000000, "os_id": 255}
+    df = spark.createDataFrame(
+        [(0, bytearray(gb.getvalue()))], "asset_id long, payload binary"
+    )
+    [gj] = parse_compression_headers(df).collect()
+    assert gj["container"] == "gzip" and gj["mtime"] == 1700000000
+
+    # --- WAV: stdlib wave writer ---
+    wb = io.BytesIO()
+    w = wave.open(wb, "wb")
+    w.setnchannels(2)
+    w.setsampwidth(2)
+    w.setframerate(44100)
+    w.writeframes(b"\x00\x01" * 400)
+    w.close()
+    wpy = parse_header_py(wb.getvalue())
+    assert wpy == {"container": "wav", "channels": 2,
+                   "sample_rate": 44100, "bits_per_sample": 16}
+    df = spark.createDataFrame(
+        [(0, bytearray(wb.getvalue()))], "asset_id long, payload binary"
+    )
+    [wj] = parse_media_headers(df).collect()
+    assert (wj["container"], wj["channels"], wj["sample_rate"],
+            wj["bits_per_sample"]) == ("wav", 2, 44100, 16)
