@@ -265,6 +265,7 @@ HEADLINE = [
     "tar_members_stream",
     "mrr_self_retrieval",
     "webdataset_samples",
+    "lm_surprisal_mkn",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

@@ -1298,3 +1298,155 @@ def lm_surprisal_kn(
             ),
         )
     )
+
+
+def lm_surprisal_mkn(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    train_pred: Column,
+) -> DataFrame:
+    """MODIFIED Kneser-Ney bigram LM (Chen & Goodman 1999 §3 — their
+    best-performing smoothing, the variant KenLM ships as default):
+    instead of one absolute discount, three count-dependent discounts
+
+      Y  = n1 / (n1 + 2·n2)
+      D1 = 1 - 2·Y·(n2/n1),  D2 = 2 - 3·Y·(n3/n2),  D3+ = 3 - 4·Y·(n4/n3)
+
+    applied by the pair's own count (D(c)=D1 at c=1, D2 at c=2, D3+ at
+    c>=3), with the interpolation weight carrying the count-stratified
+    continuation tallies: lambda(p) ∝ D1·N1(p,·) + D2·N2(p,·) +
+    D3+·N3+(p,·). Same continuation-unigram base and quantization as
+    `lm_surprisal_kn`: every discount in milli (clamped to [0, c·1000]
+    via the greatest() in the adjusted count), probabilities in ppm,
+    surprisal as KN_BITS_ONE - len(bin(ppm)) with the KN_FLOOR_BITS
+    floor. BIGINT headroom: D·N·Pcont <= 3000·C·10^6 — safe to ~3e9
+    occurrences of one history (doc-noted, the family hazard).
+
+    Scale: identical shape to lm_surprisal_kn — one more aggregate
+    column set on the history table, the discount constants still ride
+    the 1-row broadcast."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    pairs_col = F.when(
+        n >= 2, F.arrays_zip(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1))
+    )
+
+    train = df.where(train_pred)
+    uni = (
+        train.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("ucnt"))
+    )
+    big = (
+        train.select(F.explode(pairs_col).alias("pr"))
+        .select(F.col("pr")["0"].alias("p"), F.col("pr")["1"].alias("c"))
+        .groupBy("p", "c")
+        .agg(F.count("*").cast("long").alias("bcnt"))
+    )
+    hist = big.groupBy("p").agg(
+        F.sum("bcnt").cast("long").alias("hcnt"),
+        F.sum((F.col("bcnt") == 1).cast("long")).alias("np1"),
+        F.sum((F.col("bcnt") == 2).cast("long")).alias("np2"),
+        F.sum((F.col("bcnt") >= 3).cast("long")).alias("np3"),
+    )
+    cont = big.groupBy("c").agg(F.count("*").cast("long").alias("ccont"))
+    # one broadcast row: continuation total + the three milli discounts
+    totals = big.agg(
+        F.count("*").cast("long").alias("conttot"),
+        F.sum((F.col("bcnt") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("bcnt") == 2).cast("long")).alias("n2"),
+        F.sum((F.col("bcnt") == 3).cast("long")).alias("n3"),
+        F.sum((F.col("bcnt") == 4).cast("long")).alias("n4"),
+    ).select(
+        "conttot",
+        F.coalesce(
+            F.expr("1000 * n1 div (n1 + 2 * n2)"), F.lit(500)
+        ).cast("long").alias("y_milli"),
+        "n1", "n2", "n3", "n4",
+    ).select(
+        "conttot",
+        F.expr("greatest(1000 - 2 * y_milli * n2 div greatest(n1, 1), 0)")
+        .cast("long").alias("d1_milli"),
+        F.expr("greatest(2000 - 3 * y_milli * n3 div greatest(n2, 1), 0)")
+        .cast("long").alias("d2_milli"),
+        F.expr("greatest(3000 - 4 * y_milli * n4 div greatest(n3, 1), 0)")
+        .cast("long").alias("d3_milli"),
+    )
+
+    cont_ppm = F.coalesce(
+        F.expr("ccont * 1000000 div conttot"), F.lit(0)
+    ).cast("long")
+    bits_of = lambda p_ppm: F.when(  # noqa: E731
+        p_ppm >= 1, F.lit(KN_BITS_ONE) - F.length(F.bin(p_ppm))
+    ).otherwise(F.lit(KN_FLOOR_BITS))
+
+    firsts = (
+        df.where(n >= 1)
+        .select(F.col(id_col).alias("_id"), F.element_at(t, 1).alias("c"))
+        .join(cont, "c", "left")
+        .join(uni.withColumnRenamed("w", "c"), "c", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "_id",
+            bits_of(cont_ppm).alias("bits"),
+            F.lit(0).alias("backoff"),
+            F.col("ucnt").isNull().cast("int").alias("oov"),
+        )
+    )
+    d_of = F.expr(
+        "CASE WHEN coalesce(bcnt, 0) = 0 THEN 0"
+        " WHEN bcnt = 1 THEN d1_milli"
+        " WHEN bcnt = 2 THEN d2_milli"
+        " ELSE d3_milli END"
+    )
+    p_ppm = F.when(
+        F.col("hcnt").isNotNull(),
+        F.expr(
+            "greatest(coalesce(bcnt, 0) * 1000 - CASE"
+            " WHEN coalesce(bcnt, 0) = 0 THEN 0"
+            " WHEN bcnt = 1 THEN d1_milli"
+            " WHEN bcnt = 2 THEN d2_milli"
+            " ELSE d3_milli END, 0) * 1000 div hcnt"
+        )
+        + F.expr(
+            "(d1_milli * np1 + d2_milli * np2 + d3_milli * np3)"
+            " * coalesce(ccont * 1000000 div conttot, 0)"
+            " div (hcnt * 1000)"
+        ),
+    ).otherwise(cont_ppm).cast("long")
+    prs = (
+        df.select(F.col(id_col).alias("_id"), F.explode(pairs_col).alias("pr"))
+        .select("_id", F.col("pr")["0"].alias("p"), F.col("pr")["1"].alias("c"))
+        .join(big, ["p", "c"], "left")
+        .join(hist, "p", "left")
+        .join(cont, "c", "left")
+        .join(uni.withColumnRenamed("w", "c"), "c", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "_id",
+            bits_of(p_ppm).alias("bits"),
+            F.col("bcnt").isNull().cast("int").alias("backoff"),
+            F.col("ucnt").isNull().cast("int").alias("oov"),
+        )
+    )
+    return (
+        firsts.unionByName(prs)
+        .groupBy("_id")
+        .agg(
+            F.count("*").cast("long").alias("token_ct"),
+            F.sum("bits").cast("long").alias("surprisal_bits"),
+            F.sum("backoff").cast("long").alias("backoff_ct"),
+            F.sum("oov").cast("long").alias("oov_ct"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "token_ct",
+            "surprisal_bits",
+            "backoff_ct",
+            "oov_ct",
+            (F.col("surprisal_bits").cast("double") / F.col("token_ct")).alias(
+                "bits_per_token"
+            ),
+        )
+    )

@@ -1243,3 +1243,33 @@ def test_lm_surprisal_kn_probability_mass_bounded(spark):
     }
     assert 2 not in rows  # tokenless docs excluded
     assert rows[3]["token_ct"] == 1  # single token scores firsts-only
+
+
+def test_lm_surprisal_mkn_beats_stupid_backoff(spark):
+    """The Modified-KN variant must preserve the family ordering: mean
+    bits_per_token(MKN) <= stupid backoff on both the in-domain subset
+    and the held-out remainder, and its quantized bit costs stay
+    non-negative and under the per-position floor. (MKN ~= plain KN on
+    this fixture — the shared-token-pool synthesis has almost no
+    singleton tail for the count-stratified discounts to exploit.)"""
+    from pyspark.sql import functions as SF
+
+    from flink_real_time_data_warehouse_spark.datapipe.quality import (
+        lm_surprisal_bigram,
+        lm_surprisal_mkn,
+    )
+    from flink_real_time_data_warehouse_spark.tables import table
+
+    docs = table(spark, TEST_SF_DIR, "documents")
+    pred = SF.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    mkn = lm_surprisal_mkn(docs, "doc_id", "text", pred)
+    sb = lm_surprisal_bigram(docs, "doc_id", "text", pred)
+    for side in (pred, ~pred):
+        ids = docs.where(side).select("doc_id")
+        m = mkn.join(ids, "doc_id").agg(SF.avg("bits_per_token")).first()[0]
+        s = sb.join(ids, "doc_id").agg(SF.avg("bits_per_token")).first()[0]
+        assert m <= s, (m, s)
+    assert mkn.where(SF.col("surprisal_bits") < 0).count() == 0
+    assert mkn.where(
+        SF.col("surprisal_bits") > SF.col("token_ct") * 22
+    ).count() == 0
