@@ -266,6 +266,7 @@ HEADLINE = [
     "mrr_self_retrieval",
     "webdataset_samples",
     "lm_surprisal_mkn",
+    "domain_pagerank",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

@@ -264,3 +264,112 @@ def domain_blocklist_filter(
         F.col("category").isNotNull().cast("int").cast("long").alias("blocked"),
         "category",
     )
+
+
+# --- domain-graph PageRank (Page et al. 1999; Common Crawl publishes
+# exactly this as its domain-level ranking, and curation pipelines use
+# it as a quality prior — RefinedWeb/Dolma weight or filter documents by
+# source-domain rank). The iterative-graph member of the operator
+# inventory, next to Lloyd's k-means and connected components. ---
+
+#: damping factor in milli (the paper's 0.85)
+PAGERANK_ALPHA_MILLI = 850
+#: fixed power iterations (unrolled in the oracle like Lloyd's)
+PAGERANK_ITERS = 5
+
+
+def synth_domain_links(docs: DataFrame) -> DataFrame:
+    """One deterministic link per document over the 50-site id space the
+    URL family synthesizes ('site{doc_id % 50}'): src = doc_id % 50,
+    dst = an md5 draw of the doc id mod 50 (the sampling family's coin —
+    a closed-form dst like (7·doc_id+3) % 50 is CONSTANT per src residue
+    class and collapses the graph to a permutation, where PageRank is
+    provably uniform; the hash draw gives the irregular in-degree a real
+    link graph has). Self-loops dropped; multi-edges keep their
+    multiplicity as the edge weight. Replayable by a SQL oracle."""
+    from .curation import hash_bucket
+
+    did = F.col("doc_id")
+    e = docs.select(
+        (did % 50).cast("long").alias("src"),
+        hash_bucket(did, 50, "link").cast("long").alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return e.groupBy("src", "dst").agg(F.count("*").cast("long").alias("w"))
+
+
+def domain_pagerank(
+    docs: DataFrame,
+    alpha_milli: int = PAGERANK_ALPHA_MILLI,
+    iters: int = PAGERANK_ITERS,
+) -> DataFrame:
+    """PageRank over the synthesized domain link graph, integer-exact:
+    ranks live in ppm, each power iteration computes per-edge flow
+    w·r(src) div outdeg(src) (truncating div — deterministic in any
+    engine) and r'(d) = base + alpha·(inflow sum) div 1000 with
+    base = (1000 - alpha)·10^6 div (1000·N). Dangling mass is dropped
+    (the sink variant) — a definition, not an approximation, replayed
+    identically by the oracle's unrolled iteration CTEs.
+
+    Scale shape: the real distributed PageRank — edges are the big
+    table, scanned once per iteration with a join on src against the
+    node-sized rank table (broadcast when nodes fit, AQE otherwise) and
+    a map-side-combining groupBy(dst); lineage stays linear in the
+    fixed iteration count. Returns (domain_sid, out_weight, rank_ppm)
+    for every node."""
+    edges = synth_domain_links(docs)
+    outdeg = edges.groupBy("src").agg(F.sum("w").cast("long").alias("outdeg"))
+    nodes = (
+        edges.select(F.col("src").alias("domain_sid"))
+        .unionByName(edges.select(F.col("dst").alias("domain_sid")))
+        .distinct()
+    )
+    n_nodes = nodes.agg(F.count("*").cast("long").alias("n"))
+    base_expr = f"(1000 - {alpha_milli}) * 1000000 div (1000 * n)"
+    init_expr = "1000000 div n"
+
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "domain_sid", F.expr(init_expr).cast("long").alias("rank_ppm"), "n"
+    )
+    ew = edges.join(outdeg, "src")
+    for _ in range(iters):
+        inflow = (
+            ew.join(
+                ranks.select(F.col("domain_sid").alias("src"), "rank_ppm"),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("domain_sid"),
+                F.expr("w * rank_ppm div outdeg").alias("_flow"),
+            )
+            .groupBy("domain_sid")
+            .agg(F.sum("_flow").cast("long").alias("_in"))
+        )
+        ranks = (
+            ranks.select("domain_sid", "n")
+            .join(inflow, "domain_sid", "left")
+            .select(
+                "domain_sid",
+                (
+                    F.expr(base_expr)
+                    + F.expr(
+                        f"{alpha_milli} * coalesce(_in, 0) div 1000"
+                    )
+                ).cast("long").alias("rank_ppm"),
+                "n",
+            )
+        )
+    return (
+        ranks.select("domain_sid", "rank_ppm")
+        .join(
+            outdeg.select(F.col("src").alias("domain_sid"),
+                          F.col("outdeg").alias("out_weight")),
+            "domain_sid",
+            "left",
+        )
+        .select(
+            "domain_sid",
+            F.coalesce(F.col("out_weight"), F.lit(0)).cast("long")
+            .alias("out_weight"),
+            "rank_ppm",
+        )
+    )

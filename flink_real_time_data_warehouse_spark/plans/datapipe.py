@@ -6325,6 +6325,71 @@ def mrr_self_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle() -> str:
+    from ..datapipe.urls import PAGERANK_ALPHA_MILLI as A
+    from ..datapipe.urls import PAGERANK_ITERS
+
+    dst = _hex_n("md5('link:' || CAST(doc_id AS VARCHAR))", 8) + " % 50"
+    ctes = [
+        f"""e AS (
+      SELECT src, dst FROM (
+        SELECT doc_id % 50 AS src, {dst} AS dst FROM documents)
+      WHERE src <> dst)""",
+        "ew AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM e GROUP BY src, dst)",
+        "od AS (SELECT src, CAST(sum(w) AS BIGINT) AS outdeg FROM ew GROUP BY src)",
+        """nodes AS (SELECT DISTINCT domain_sid FROM (
+      SELECT src AS domain_sid FROM ew UNION ALL SELECT dst FROM ew))""",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
+        """r0 AS (SELECT domain_sid, CAST(1000000 // n AS BIGINT) AS rank_ppm
+      FROM nodes, nn)""",
+    ]
+    for k in range(1, PAGERANK_ITERS + 1):
+        ctes.append(f"""r{k} AS (
+      SELECT nd.domain_sid,
+             CAST((1000 - {A}) * 1000000 // (1000 * nn.n)
+                  + {A} * coalesce(fl.s, 0) // 1000 AS BIGINT) AS rank_ppm
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN (
+        SELECT ew.dst AS domain_sid,
+               sum(ew.w * r.rank_ppm // od.outdeg) AS s
+        FROM ew JOIN od USING (src)
+        JOIN r{k - 1} r ON r.domain_sid = ew.src
+        GROUP BY ew.dst) fl ON fl.domain_sid = nd.domain_sid)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT r.domain_sid,
+           CAST(coalesce(od.outdeg, 0) AS BIGINT) AS out_weight,
+           r.rank_ppm
+    FROM r{PAGERANK_ITERS} r LEFT JOIN od ON od.src = r.domain_sid
+    """
+    )
+
+
+@register(
+    "domain_pagerank",
+    oracle=_pagerank_oracle(),
+    doc=(
+        "DOMAIN-GRAPH PAGERANK (Page et al. 1999 — Common Crawl "
+        "publishes exactly this domain ranking, and curation pipelines "
+        "use it as a quality prior on source domains): five power "
+        "iterations over the synthesized 50-site link graph, "
+        "integer-exact — ranks in ppm, per-edge flow w*r div outdeg "
+        "(truncating div), damping 0.85 in milli, dangling mass "
+        "dropped by definition. The iterative-GRAPH member of the "
+        "operator inventory next to Lloyd's k-means and connected "
+        "components; oracle unrolls the iterations as chained CTEs. "
+        "Scale shape: edges scanned once per iteration joined to the "
+        "node-sized rank table (broadcast/AQE) with a map-side-"
+        "combining groupBy(dst); lineage linear in the fixed "
+        "iteration count"
+    ),
+)
+def domain_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.urls import domain_pagerank
+
+    return domain_pagerank(table(spark, sf_dir, "documents").select("doc_id"))
+
+
 @register(
     "domain_blocklist_filter",
     oracle="""

@@ -88,3 +88,41 @@ def test_url_dedup_first_wins(spark):
     assert rows[11]["is_dup"] == 1 and rows[11]["keeper_id"] == 10
     assert rows[12]["is_dup"] == 1 and rows[12]["n_copies"] == 3
     assert rows[20]["is_dup"] == 0 and rows[20]["n_copies"] == 1
+
+
+def test_domain_pagerank_mass_and_ordering(spark):
+    """PageRank invariants on the fixture graph: total rank mass stays
+    at/below 1e6 ppm (truncating divs and dropped dangling mass only
+    LOSE mass, never create it) and above the no-link floor (every node
+    holds at least the base); a node's rank grows with its weighted
+    in-degree (top-in-degree node ranks above the minimum)."""
+    from pyspark.sql import functions as F
+
+    from flink_real_time_data_warehouse_spark.datapipe.urls import (
+        domain_pagerank,
+        synth_domain_links,
+    )
+    from flink_real_time_data_warehouse_spark.tables import table
+
+    from .conftest import TEST_SF_DIR
+
+    docs = table(spark, TEST_SF_DIR, "documents").select("doc_id")
+    pr = domain_pagerank(docs)
+    rows = {r["domain_sid"]: r for r in pr.collect()}
+    n = len(rows)
+    total = sum(r["rank_ppm"] for r in rows.values())
+    base = (1000 - 850) * 1_000_000 // (1000 * n)
+    assert total <= 1_000_000
+    assert all(r["rank_ppm"] >= base for r in rows.values())
+    # mass lost to truncation/dangling is bounded: each node's floor is
+    # the base, so the total can't fall below N * base
+    assert total >= n * base
+
+    indeg = {
+        r["dst"]: r["tot"]
+        for r in synth_domain_links(docs)
+        .groupBy("dst").agg(F.sum("w").alias("tot")).collect()
+    }
+    top = max(indeg, key=lambda d: indeg[d])
+    lo = min(rows.values(), key=lambda r: r["rank_ppm"])["rank_ppm"]
+    assert rows[top]["rank_ppm"] > lo
