@@ -267,6 +267,7 @@ HEADLINE = [
     "webdataset_samples",
     "lm_surprisal_mkn",
     "domain_pagerank",
+    "classifier_select_topk",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

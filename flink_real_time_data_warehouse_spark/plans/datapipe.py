@@ -2460,6 +2460,71 @@ def quality_classifier_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_with_model(docs, model)
 
 
+def _classifier_select_oracle() -> str:
+    from ..queries import _REGISTRY
+
+    score_sql = _REGISTRY["quality_classifier_score"].oracle
+    return f"""
+    WITH sc AS (SELECT doc_id, score, n_feats, avg_milli
+                FROM ({score_sql}) s),
+    r AS (
+      SELECT d.doc_id, d.source, sc.avg_milli,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY coalesce(sc.avg_milli, -1) DESC,
+                                         d.doc_id) AS rk,
+             count(*) OVER (PARTITION BY d.source) AS n_src
+      FROM documents d JOIN sc ON sc.doc_id = d.doc_id)
+    SELECT doc_id, source,
+           CAST(avg_milli AS BIGINT) AS avg_milli,
+           CAST(rk AS BIGINT) AS rk,
+           CAST(CASE WHEN rk * 5 <= n_src THEN 1 ELSE 0 END AS INTEGER)
+             AS selected
+    FROM r
+    """
+
+
+@register(
+    "classifier_select_topk",
+    oracle=_classifier_select_oracle(),
+    doc=(
+        "CLASSIFIER-SCORED SELECTION (the FineWeb-Edu recipe, Penedo "
+        "et al. 2024: score every document with a learned quality "
+        "classifier, keep the best slice — per SOURCE, so one clean "
+        "source can't crowd out the others): the graded hashed-linear "
+        "classifier scores the corpus, then a per-source rank window "
+        "keeps the top 20% by mean milli-score (rk*5 <= n_src — "
+        "integer arithmetic, ties broken doc_id ASC; NULL scores rank "
+        "last via coalesce(-1)). The oracle nests the registered "
+        "classifier oracle end-to-end, the composition rule. Scale: "
+        "scoring is the zero-shuffle Project; selection is ONE window "
+        "partitioned by source — no global sort, skew rides AQE"
+    ),
+)
+def classifier_select_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..datapipe.classifier import score_with_model, train_quality_classifier
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    model = train_quality_classifier(docs, F.col("lang") == "en")
+    scored = score_with_model(docs, model).select("doc_id", "avg_milli")
+    j = docs.select("doc_id", "source").join(scored, "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.coalesce(F.col("avg_milli"), F.lit(-1)).desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("source")
+    return j.select(
+        "doc_id",
+        "source",
+        F.col("avg_milli").cast("long").alias("avg_milli"),
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.count("*").over(wc).alias("_n"),
+    ).select(
+        "doc_id", "source", "avg_milli", "rk",
+        (F.col("rk") * 5 <= F.col("_n")).cast("int").alias("selected"),
+    )
+
+
 @register(
     "text_quality",
     oracle=f"""

@@ -79,6 +79,7 @@ _GRADE_FIRST: list[str] = [
     "tar_members", "rrf_fusion_topk", "classifier_eval_stream",
     "lm_surprisal_kn", "tar_members_stream", "mrr_self_retrieval",
     "webdataset_samples", "lm_surprisal_mkn", "domain_pagerank",
+    "classifier_select_topk",
     "bounce_stream_tws", "uv_stream_tws",
     # Overflow fill (stalest r7-rowed rows, staleness-report order), in
     # case a gated name above does not register in this container.
@@ -86,7 +87,7 @@ _GRADE_FIRST: list[str] = [
     "ann_ivf_indexed_topk", "embedding_cosine_pairs",
     # r12 rotation note (from the staleness report): lead with
     # mrr_self_retrieval, webdataset_samples, lm_surprisal_mkn,
-    # domain_pagerank, and any other round-11
+    # domain_pagerank, classifier_select_topk, and any other round-11
     # registrations that miss
     # the r11 window, then the
     # remaining r7-rowed block in report order (embedding_clusters,
