@@ -89,6 +89,10 @@ SHOWCASE = {
     "rrf_fusion_topk": "two k-per-query candidate lists meet in ONE union -> map-side hash agg -> WindowGroupLimit; no corpus join, the only nested loops are the systems' own broadcast cosine probes",
     "lm_surprisal_kn": "uni/bigram + continuation + history count tables trained once; discount constants ride a 1-row broadcast; scoring joins zipf keys left to AQE (the SB family shape)",
     "mrr_self_retrieval": "a filter + one rollup on the graded bm25 candidate list — nothing touches the corpus beyond the system under evaluation",
+    "webdataset_samples": "sample assembly = one map-side-combining groupBy on (shard, sample_key) over the member rows; sample members are contiguous in their shard",
+    "lm_surprisal_mkn": "count-of-counts discounts ride the same 1-row broadcast as plain KN; one extra aggregate column set on the history table, scoring joins unchanged",
+    "domain_pagerank": "five power iterations, each one edges-to-ranks join (node-sized side broadcasts) + map-side-combining groupBy(dst); lineage linear in the iteration count",
+    "classifier_select_topk": "zero-shuffle scoring Project + ONE window partitioned by source for the rank gate — no global sort",
 }
 
 
