@@ -1394,7 +1394,8 @@ def lm_surprisal_mkn(
             F.col("ucnt").isNull().cast("int").alias("oov"),
         )
     )
-    d_of = F.expr(
+    # single source of truth for the count-stratified MKN discount CASE
+    d_case = (
         "CASE WHEN coalesce(bcnt, 0) = 0 THEN 0"
         " WHEN bcnt = 1 THEN d1_milli"
         " WHEN bcnt = 2 THEN d2_milli"
@@ -1403,11 +1404,7 @@ def lm_surprisal_mkn(
     p_ppm = F.when(
         F.col("hcnt").isNotNull(),
         F.expr(
-            "greatest(coalesce(bcnt, 0) * 1000 - CASE"
-            " WHEN coalesce(bcnt, 0) = 0 THEN 0"
-            " WHEN bcnt = 1 THEN d1_milli"
-            " WHEN bcnt = 2 THEN d2_milli"
-            " ELSE d3_milli END, 0) * 1000 div hcnt"
+            f"greatest(coalesce(bcnt, 0) * 1000 - {d_case}, 0) * 1000 div hcnt"
         )
         + F.expr(
             "(d1_milli * np1 + d2_milli * np2 + d3_milli * np3)"

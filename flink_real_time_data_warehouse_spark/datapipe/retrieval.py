@@ -142,6 +142,8 @@ def rrf_fuse(
     corpus) -> one hash agg with map-side partials -> per-query
     row_number that plans as WindowGroupLimit. No join against the
     corpus at all — fusion touches only the candidate lists."""
+    if not rankings:
+        raise ValueError("rrf_fuse requires at least one ranking")
     scored = None
     for r in rankings:
         c = r.select(

@@ -1219,41 +1219,67 @@ def matryoshka_recall(
     decides a truncation. For each query and each prefix length d:
     n_overlap = |topk_full ∩ topk_d|, recall_pct = overlap*100 div k.
 
-    Scale: one brute-force pass per dim over the same broadcast query
-    set (the corpus side streams; prefixes SLICE in-plan, no second
-    copy of the vectors materializes); overlap is an equi-join on
-    (query, neighbor) pairs — k rows per query per side, trivially
-    joinable at any corpus size. Ranks (not raw floats) cross the
-    engine boundary, the float-rounding-proof oracle discipline of the
-    ANN family."""
+    Scale: ONE brute-force cross join scores every prefix length in a
+    single pass over each (query, corpus-vector) pair — the full-dim
+    truth is just one more entry (marker 0) in the same in-plan unpivot,
+    so there is no cached truth table, no eager materialization, and no
+    per-dim rescan of the corpus; one exchange ranks all (query, dim)
+    groups together. Overlap is an equi-join on (query, neighbor) pairs
+    — k rows per query per side, trivially joinable at any corpus size.
+    Ranks (not raw floats) cross the engine boundary, the
+    float-rounding-proof oracle discipline of the ANN family. The plan
+    stays side-effect free: building it runs no Spark jobs."""
+    _FULL = 0  # dim-marker for the full-dimension truth (real dims >= 1)
     queries = emb.where(F.col(id_col) < query_max)
-    # cache: the full-dim brute-force result (|Q|·k rows — tiny) is the
-    # truth side of EVERY per-dim overlap; uncached, lazy evaluation
-    # re-executes the O(|Q|·|C|·d) cross join once per evaluated dim.
-    full = (
-        cosine_topk(queries, emb, k, id_col=id_col, vec_col=vec_col)
-        .select("query_id", "neighbor_id")
-        .cache()
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    per_dim = [
+        F.struct(
+            F.lit(_FULL).cast("long").alias("dim"),
+            cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    ] + [
+        F.struct(
+            F.lit(d).cast("long").alias("dim"),
+            cosine(
+                F.slice(F.col("qv"), 1, d), F.slice(F.col("cv"), 1, d)
+            ).alias("sim"),
+        )
+        for d in dims
+    ]
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.explode(F.array(*per_dim)).alias("_ds"),
+        )
+        .select("query_id", "neighbor_id", F.col("_ds.dim").alias("dim"), F.col("_ds.sim").alias("sim"))
     )
-    qlist = queries.select(F.col(id_col).alias("query_id"))
-    out = None
-    for d in dims:
-        sliced_q = queries.select(
-            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+    w = Window.partitionBy("query_id", "dim").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dim")
+    )
+    truth = ranked.where(F.col("dim") == _FULL).select("query_id", "neighbor_id")
+    cand = ranked.where(F.col("dim") != _FULL)
+    hits = (
+        truth.join(cand, ["query_id", "neighbor_id"])
+        .groupBy("query_id", "dim")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    spark = emb.sparkSession
+    grid = queries.select(F.col(id_col).alias("query_id")).crossJoin(
+        F.broadcast(
+            spark.createDataFrame([(int(d),) for d in dims], "dim long")
         )
-        sliced_c = emb.select(
-            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
-        )
-        topd = cosine_topk(sliced_q, sliced_c, k, id_col=id_col, vec_col=vec_col)
-        row = overlap_recall(
-            full, topd.select("query_id", "neighbor_id"), qlist, k,
-            extra_cols=[F.lit(d).cast("long").alias("dim")],
-        )
-        out = row if out is None else out.unionByName(row)
-    # The union is tiny (|dims|·|Q| rows): materialize it eagerly via
-    # localCheckpoint so the cached full-dim truth can be released NOW —
-    # otherwise repeated invocations in a long-lived session (the bench
-    # loop runs every query twice) accumulate cached blocks forever.
-    out = out.localCheckpoint(eager=True)
-    full.unpersist()
-    return out
+    )
+    return grid.join(hits, ["query_id", "dim"], "left").select(
+        "query_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+        F.expr(f"coalesce(n_overlap, 0) * 100 div {k}").cast("long").alias("recall_pct"),
+    )

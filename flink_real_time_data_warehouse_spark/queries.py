@@ -49,62 +49,37 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # round; everything else follows in registration order. Queries not yet
 # registered are ignored, so new entries can be pre-listed safely.
 _GRADE_FIRST: list[str] = [
-    # Round 11 rotation (r10 verdict task 1; generated from
-    # `python scripts/verify_driver.py --staleness` — the report's first
-    # 50 names, plus this round's new registrations).
-    # Slots 1-45: the 45 round-10 registrations with no driver row yet
-    # (all judge-rerun green at sf0.01 in the r10 verdict session).
-    "tokenizer_fertility", "bytelevel_bpe_tokenize", "sentence_segment",
-    "line_dedup", "perplexity_buckets", "mojibake_repair", "gopher_quality",
-    "langid_ngram", "content_defined_chunks", "lm_surprisal_trigram",
-    "multimodal_dimensions_mp4", "multimodal_dimensions_tiff",
-    "multimodal_dimensions_webp", "compression_frame_info",
-    "tfrecord_varint_decode", "flac_stream_info", "parquet_footer_info",
-    "ogg_page_info", "ebml_track_info", "avro_header_info",
-    "html_extract", "sft_format", "contrastive_pairs", "warc_records",
-    "url_canonicalize", "domain_stats", "c4_clean",
-    "domain_mixture_weights", "dedup_editdist", "safetensors_header_info",
-    "dedup_url", "markdown_extract", "decontaminate_bloom",
-    "zip_central_dir", "bm25_topk", "domain_blocklist_filter",
-    "filter_funnel", "matryoshka_recall", "ann_recall_eval",
-    "lsh_recall_eval", "classifier_eval", "dedup_exact_stream_builtin",
-    "line_dedup_stream", "dedup_url_stream", "warc_records_stream",
-    # Slots 46-50: this round's new registrations (never graded;
-    # bounce_stream_tws / uv_stream_tws register only where a protobuf
-    # runtime exists — absent here, the names are safely skipped and the
-    # overflow names below fill the window). 45 + 6 new = 51 > the
-    # 50-query window, so the LAST new name (mrr_self_retrieval) is
-    # expected to miss r11 and lead the r12 pre-list — driver-sim
-    # verified green this round either way.
-    "tar_members", "rrf_fusion_topk", "classifier_eval_stream",
-    "lm_surprisal_kn", "tar_members_stream", "mrr_self_retrieval",
-    "webdataset_samples", "lm_surprisal_mkn", "domain_pagerank",
-    "classifier_select_topk",
-    "bounce_stream_tws", "uv_stream_tws",
-    # Overflow fill (stalest r7-rowed rows, staleness-report order), in
-    # case a gated name above does not register in this container.
+    # Round 12 rotation (r11 verdict task 1; generated from
+    # `python scripts/verify_driver.py --staleness`).
+    # Slots 1-5: the five round-11 registrations with no driver row yet
+    # (all judge-verified green in the r11 verdict session).
+    "mrr_self_retrieval", "webdataset_samples", "lm_surprisal_mkn",
+    "domain_pagerank", "classifier_select_topk",
+    # Next: this round's new registrations (never graded). The *_tws
+    # names register only where a protobuf runtime exists — absent here
+    # they are safely skipped and the stale block below fills the window.
+    "bpe_tokenize_indexed", "tokenizer_fertility_indexed",
+    "image_phash_dedup", "sample_alignment_gate",
+    "bounce_stream_tws", "uv_stream_tws", "new_user_tws",
+    # Remaining slots: the r7-stale block in staleness-report order
+    # (49 names; the window caps at 50 so the tail spills to r13 —
+    # regenerate with `verify_driver.py --staleness` next round).
     "dedup_clusters", "dedup_simhash", "ann_topk", "ann_ivf_topk",
     "ann_ivf_indexed_topk", "embedding_cosine_pairs",
-    # r12 rotation note (from the staleness report): lead with
-    # mrr_self_retrieval, webdataset_samples, lm_surprisal_mkn,
-    # domain_pagerank, classifier_select_topk, and any other round-11
-    # registrations that miss
-    # the r11 window, then the
-    # remaining r7-rowed block in report order (embedding_clusters,
-    # dedup_incremental_indexed, ingest_pipeline, ingest_pipeline_indexed,
-    # lang_id, pii_scrub, text_quality, lm_surprisal, token_count,
-    # vocab_topk, tfidf_search, doc_fingerprint, train_split,
-    # kmeans_centroids, mixture_sample, source_quota_sample,
-    # cluster_balanced_sample, chunk_documents, token_budget_sample,
-    # decontaminate, repetition_stats, pack_sequences, corpus_profile,
-    # curation_pipeline, multimodal_decode, frame_sample, audio_chunks,
-    # keyword_stats_cjk, visitor_stats_sliding, uv_daily, new_user_fix,
-    # bounce_events, order_wide, payment_wide, scd2_user_status,
-    # serving_product_revenue, promo_revenue_share,
-    # late_shipment_priority, market_share, priority_shipping_counts,
-    # brand_supplier_counts, product_type_profit,
-    # discounted_brand_revenue, excess_shippers), then r8's block as
-    # space allows — regenerate with `verify_driver.py --staleness`.
+    "embedding_clusters", "dedup_incremental_indexed", "ingest_pipeline",
+    "ingest_pipeline_indexed", "lang_id", "pii_scrub", "text_quality",
+    "lm_surprisal", "token_count", "vocab_topk", "tfidf_search",
+    "doc_fingerprint", "train_split", "kmeans_centroids",
+    "mixture_sample", "source_quota_sample", "cluster_balanced_sample",
+    "chunk_documents", "token_budget_sample", "decontaminate",
+    "repetition_stats", "pack_sequences", "corpus_profile",
+    "curation_pipeline", "multimodal_decode", "frame_sample",
+    "audio_chunks", "keyword_stats_cjk", "visitor_stats_sliding",
+    "uv_daily", "new_user_fix", "bounce_events", "order_wide",
+    "payment_wide", "scd2_user_status", "serving_product_revenue",
+    "promo_revenue_share", "late_shipment_priority", "market_share",
+    "priority_shipping_counts", "brand_supplier_counts",
+    "product_type_profit", "discounted_brand_revenue", "excess_shippers",
 ]
 
 

@@ -80,7 +80,7 @@ SHOWCASE = {
     "domain_blocklist_filter": "blocklist broadcasts; the probe is a map-side hash join on the scan — nothing shuffles but the blocklist bytes",
     "filter_funnel": "ONE scan, ONE shuffle, ZERO joins: all three stage flags fused into one Project; the survivor-scoped keeper is a digest-group property (max(surv) per digest), so every stage count partial-aggregates map-side in one hot-key-safe groupBy before a 1-row rollup",
     "bm25_topk": "postings pruned by a broadcast query-term semi-join before df/length/scoring; top-k per query is WindowGroupLimit",
-    "matryoshka_recall": "per-dim brute-force passes over broadcast queries (prefixes slice in-plan); overlap is a k-row (query,neighbor) equi-join",
+    "matryoshka_recall": "ONE brute-force cross join scores every prefix dim per pair (in-plan unpivot, full-dim truth is marker 0); one exchange ranks all (query,dim) groups; overlap is a k-row (query,neighbor) equi-join — no cache, fully lazy",
     "ann_recall_eval": "the two graded searches + one equi-join of k-row sides + a left join back to the query list",
     "lsh_recall_eval": "exact-Jaccard truth (df-capped shingle joins) LEFT JOIN banded candidates + one global rollup",
     "classifier_eval": "zero-shuffle scoring Project + one label join + one global confusion rollup",
