@@ -268,6 +268,11 @@ HEADLINE = [
     "lm_surprisal_mkn",
     "domain_pagerank",
     "classifier_select_topk",
+    # round 12 additions (verdict tasks 3-5)
+    "bpe_tokenize_indexed",
+    "tokenizer_fertility_indexed",
+    "image_phash_dedup",
+    "sample_alignment_gate",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

@@ -729,6 +729,79 @@ def tokenizer_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_INDEX_CACHE: dict = {}
+
+
+def _stored_bpe(spark: SparkSession, sf_dir: str):
+    """Build-once-per-process persisted BpeIndex over the documents
+    fixture (the tokenizer sibling of _stored_ivf): train the merge
+    table the first time any indexed tokenizer query runs, read the
+    stored artifact forever after."""
+    import tempfile
+
+    from ..datapipe.bpe_index import BpeIndex
+
+    key = (id(spark), sf_dir)
+    idx = _BPE_INDEX_CACHE.get(key)
+    if idx is None or not idx.is_built():
+        idx = BpeIndex(spark, tempfile.mkdtemp(prefix="bpe_index_"))
+        idx.build(table(spark, sf_dir, "documents"), "text")
+        _BPE_INDEX_CACHE[key] = idx
+    return idx
+
+
+@register(
+    "bpe_tokenize_indexed",
+    oracle=_bpe_tokenize_oracle(),
+    doc=(
+        "bpe_tokenize served from a PERSISTED BpeIndex (train-once merge "
+        "table committed exactly-once through the TxLog — "
+        "datapipe/bpe_index.py, r11 verdict task 3): the encode plan "
+        "inlines the stored ranks and contains ZERO training jobs — the "
+        "tokenizer-as-artifact lifecycle every 100 TB pipeline uses "
+        "(train once, ship, encode forever). Same oracle as bpe_tokenize "
+        "(the stored table IS bpe_train's output; identity "
+        "pytest-asserted in tests/test_bpe_index.py)"
+    ),
+)
+def bpe_tokenize_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.bpe import bpe_piece_counts
+
+    docs = table(spark, sf_dir, "documents")
+    merges = _stored_bpe(spark, sf_dir).merges()
+    return bpe_piece_counts(docs, "doc_id", "text", merges)
+
+
+@register(
+    "tokenizer_fertility_indexed",
+    oracle=_fertility_oracle(),
+    doc=(
+        "tokenizer_fertility served from the PERSISTED BpeIndex: wall "
+        "time drops to the encode pass + one per-language rollup — the "
+        "10 unrolled merge-training rounds (~20 jobs) that dominated the "
+        "non-indexed query's cost run once per stored artifact, not once "
+        "per evaluation. Same oracle as tokenizer_fertility"
+    ),
+)
+def tokenizer_fertility_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.bpe import bpe_piece_counts
+
+    docs = table(spark, sf_dir, "documents")
+    merges = _stored_bpe(spark, sf_dir).merges()
+    pc = bpe_piece_counts(docs, "doc_id", "text", merges)
+    j = pc.join(docs.select("doc_id", "lang"), "doc_id")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.sum("word_ct").cast("long").alias("word_ct"),
+            F.sum("bpe_ct").cast("long").alias("piece_ct"),
+        )
+        .withColumn(
+            "fertility_milli", F.expr("piece_ct * 1000 div word_ct")
+        )
+    )
+
+
 def _bytesyms_sql(w: str) -> str:
     """DuckDB expression: `w`'s UTF-8 bytes mapped through the 256-char
     byte->unicode LUT (the oracle twin of bpe.byte_symbols)."""

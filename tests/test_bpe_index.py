@@ -1,0 +1,99 @@
+"""Persisted BPE merge table (datapipe/bpe_index.BpeIndex): train-once,
+encode-forever (r11 verdict task 3).
+
+The tokenizer-as-artifact contract: the stored table equals bpe_train's
+output exactly, a rebuild commits nothing, and the indexed encode plan
+contains zero training jobs — the non-indexed query's 10 unrolled merge
+rounds run once per artifact, not once per evaluation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_real_time_data_warehouse_spark.datapipe.bpe import (
+    bpe_piece_counts,
+    bpe_train,
+)
+from flink_real_time_data_warehouse_spark.datapipe.bpe_index import BpeIndex
+from flink_real_time_data_warehouse_spark.tables import table
+
+from .conftest import TEST_SF_DIR
+
+
+def test_stored_merges_equal_bpe_train(spark, tmp_path):
+    docs = table(spark, TEST_SF_DIR, "documents")
+    idx = BpeIndex(spark, str(tmp_path / "bpe")).build(docs, "text")
+    assert idx.merges() == sorted(bpe_train(docs, "text"))
+
+
+def test_rebuild_is_noop_and_exactly_once(spark, tmp_path):
+    docs = table(spark, TEST_SF_DIR, "documents")
+    idx = BpeIndex(spark, str(tmp_path / "bpe")).build(docs, "text")
+    v0 = idx.log.state().version
+    stored = idx.merges()
+    # second build — same instance AND a fresh instance on the same dir —
+    # must not write a new log version or change the table
+    idx.build(docs, "text")
+    BpeIndex(spark, str(tmp_path / "bpe")).build(
+        docs.limit(3), "text"  # different corpus: the first table stands
+    )
+    assert idx.log.state().version == v0
+    assert BpeIndex(spark, str(tmp_path / "bpe")).merges() == stored
+
+
+def test_indexed_encode_equals_derived(spark, tmp_path):
+    docs = table(spark, TEST_SF_DIR, "documents")
+    merges = bpe_train(docs, "text")
+    idx = BpeIndex(spark, str(tmp_path / "bpe")).build(docs, "text")
+    a = sorted(
+        map(tuple, bpe_piece_counts(docs, "doc_id", "text", merges).collect())
+    )
+    b = sorted(
+        map(tuple, bpe_piece_counts(docs, "doc_id", "text", idx.merges()).collect())
+    )
+    assert a == b
+
+
+def test_indexed_plan_has_no_training_jobs(spark, tmp_path):
+    """With the artifact stored, building the encode DataFrame must run
+    ZERO Spark jobs (training ran at build time) — the plan reads only
+    the corpus: no vocabulary cap (the training-time global sort+limit),
+    no checkpointed lineage."""
+    docs = table(spark, TEST_SF_DIR, "documents")
+    idx = BpeIndex(spark, str(tmp_path / "bpe")).build(docs, "text")
+    merges = idx.merges()  # control-plane read of the tiny stored table
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    enc = bpe_piece_counts(docs, "doc_id", "text", merges)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "encode plan construction ran Spark jobs"
+    plan = enc._jdf.queryExecution().optimizedPlan().toString()
+    assert "GlobalLimit" not in plan  # the vocab cap is training-only
+    assert "LogicalRDD" not in plan  # no checkpointed training lineage
+    # corpus scans only (doc ids + occurrences + distinct-word side) —
+    # the training path would add vocabulary scans and a global limit
+    assert plan.lower().count("relation") <= 3
+
+
+def test_empty_index_reads_empty(spark, tmp_path):
+    idx = BpeIndex(spark, str(tmp_path / "bpe"))
+    assert not idx.is_built()
+    assert idx.merges() == []
+    assert idx.merges_df().columns == ["merge_rank", "lhs", "rhs"]
+
+
+def test_fertility_indexed_matches_unindexed(spark, tmp_path):
+    """End-to-end: the registered indexed twin returns byte-identical
+    rows to the non-indexed graded query."""
+    from flink_real_time_data_warehouse_spark.plans.datapipe import (
+        tokenizer_fertility_indexed_q,
+        tokenizer_fertility_q,
+    )
+
+    a = sorted(map(tuple, tokenizer_fertility_q(spark, TEST_SF_DIR).collect()))
+    b = sorted(
+        map(tuple, tokenizer_fertility_indexed_q(spark, TEST_SF_DIR).collect())
+    )
+    assert a == b
