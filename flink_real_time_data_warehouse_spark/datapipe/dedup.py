@@ -578,25 +578,43 @@ def simhash_near_dup_pairs(
     df: DataFrame, id_col: str, text_col: str, max_distance: int = 3
 ) -> DataFrame:
     """SimHash near-dup pairs: Hamming distance <= max_distance over the
-    64-bit signatures.
+    64-bit signatures — `hamming_near_dup_pairs` over
+    `simhash_signatures` (the classic web-scale simhash dedup layout,
+    Manku et al., WWW'07 — public algorithm)."""
+    sig = simhash_signatures(df, id_col, text_col)
+    return hamming_near_dup_pairs(sig, max_distance)
+
+
+def hamming_near_dup_pairs(
+    sig: DataFrame, max_distance: int = 3, bucket_cap: int | None = None
+) -> DataFrame:
+    """Near-dup pairs at Hamming distance <= max_distance over any 64-bit
+    signature frame (doc, sig_hi, sig_lo) — text SimHash, image dHash,
+    any fingerprint packed hi/lo.
 
     Plan: pigeonhole banding — split the 64 bits into max_distance+1
     chunks; any pair within the distance budget must agree EXACTLY on at
     least one chunk, so candidates come from an equi-join keyed by
     (chunk_id, chunk_value) and the banding loses nothing (result ==
-    brute-force all-pairs filter, at bucket-join cost). This is the
-    classic web-scale simhash dedup layout (Manku et al., WWW'07 —
-    public algorithm). Verify = exact popcount of the signature XOR.
+    brute-force all-pairs filter, at bucket-join cost). Verify = exact
+    popcount of the signature XOR.
 
     max_distance=3 -> 4 chunks of 16 bits; requires max_distance+1
     dividing 64 evenly (asserted).
+
+    ``bucket_cap``: the 100 TB hot-bucket guard (`drop_hot_buckets`) —
+    a boilerplate fingerprint shared by fraction f of the corpus makes
+    its chunk bucket's self-join O((fn)²); with a cap, chunks whose
+    bucket exceeds it are dropped before the join, bounding every bucket
+    at cap²/2 pairs (docs in a dropped bucket still pair through their
+    other, unsaturated chunks). None (default) keeps the exact lossless
+    semantics the oracle states.
     """
     n_chunks = max_distance + 1
     if 64 % n_chunks:
         raise ValueError(f"max_distance+1 ({n_chunks}) must divide 64")
     width = 64 // n_chunks
     chunk_mask = (1 << width) - 1
-    sig = simhash_signatures(df, id_col, text_col)
     # sig_hi holds bits 63..32 (of the conceptual sig), sig_lo bits 31..0;
     # chunk c = width bits starting at 64-(c+1)*width from the top
     def chunk(c: int):
@@ -611,6 +629,8 @@ def simhash_near_dup_pairs(
         "doc", "sig_hi", "sig_lo",
         F.posexplode(F.array(*[chunk(c) for c in range(n_chunks)])).alias("chunk_id", "chunk_val"),
     )
+    if bucket_cap is not None:
+        banded = drop_hot_buckets(banded, ["chunk_id", "chunk_val"], bucket_cap)
     a = banded.select(
         F.col("doc").alias("doc_a"), F.col("sig_hi").alias("hi_a"), F.col("sig_lo").alias("lo_a"),
         "chunk_id", "chunk_val",

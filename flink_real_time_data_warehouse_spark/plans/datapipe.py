@@ -1133,6 +1133,71 @@ def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(table(spark, sf_dir, "documents"), "doc_id", "text", 3)
 
 
+def _image_phash_oracle() -> str:
+    """Replay the PGM pixel synthesis from doc_id (the multimodal oracle
+    discipline — a Spark-side parse bug that misreads any header byte
+    breaks the hash), pack the 64 dHash comparison bits hi/lo, then the
+    pure all-pairs Hamming semantics the banded plan must equal."""
+    from ..datapipe.image_dedup import DHASH_MAX_DISTANCE
+
+    return f"""
+    WITH px AS (
+      SELECT d.doc_id, t.x, t.y,
+             ((d.doc_id // 4) * 37 + t.x * 29 + t.y * 17
+              + ((t.x + t.y) * (d.doc_id // 4)) % 23) % 200
+             + CASE WHEN d.doc_id % 4 > 0 AND t.x = d.doc_id % 4
+                         AND t.y = (d.doc_id // 4) % 8 THEN 40 ELSE 0 END AS v
+      FROM documents d
+      CROSS JOIN (SELECT r1.x, r2.y FROM range(0, 9) r1(x), range(0, 8) r2(y)) t
+    ),
+    bits AS (
+      SELECT a.doc_id, (a.y * 8 + a.x) AS b,
+             CASE WHEN n.v > a.v THEN 1 ELSE 0 END AS bit
+      FROM px a JOIN px n
+        ON n.doc_id = a.doc_id AND n.y = a.y AND n.x = a.x + 1
+      WHERE a.x < 8
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN bit = 1 AND b < 32
+                           THEN (1::BIGINT << (31 - b)) ELSE 0 END) AS BIGINT) AS sig_hi,
+             CAST(sum(CASE WHEN bit = 1 AND b >= 32
+                           THEN (1::BIGINT << (63 - b)) ELSE 0 END) AS BIGINT) AS sig_lo
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig_hi, b.sig_hi))
+                + bit_count(xor(a.sig_lo, b.sig_lo)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig_hi, b.sig_hi))
+          + bit_count(xor(a.sig_lo, b.sig_lo)) <= {DHASH_MAX_DISTANCE}
+    """
+
+
+@register(
+    "image_phash_dedup",
+    oracle=_image_phash_oracle(),
+    doc=(
+        "IMAGE PERCEPTUAL-HASH NEAR-DUP DEDUP (r11 verdict task 4; "
+        "public: Zauner 2010, LAION dedup): 64-bit dHash per synthesized "
+        "binary-PGM payload — a pure-JVM column walk that parses the "
+        "Netpbm header honestly (magic, ASCII dims, data offset) and "
+        "compares adjacent pixels over the canonical 9x8 grid — then "
+        "Hamming <= 3 pairs via the shared pigeonhole-banded equi-join "
+        "(hamming_near_dup_pairs: 4x16-bit chunks, lossless at the "
+        "radius, hot-bucket-cappable). Near-dups exist by construction: "
+        "variants perturb one pixel of their group's base image (<= 2 "
+        "flipped bits). Oracle replays the pixel synthesis from doc_id "
+        "and states the pure all-pairs semantics; the Spark plan is the "
+        "banded one. Python twin parity-swept in tests/test_image_dedup.py"
+    ),
+)
+def image_phash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.image_dedup import image_phash_pairs
+
+    return image_phash_pairs(table(spark, sf_dir, "documents"))
+
+
 @register(
     "dedup_clusters",
     oracle=f"""
