@@ -6335,6 +6335,77 @@ def webdataset_samples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sample_alignment_oracle() -> str:
+    from ..datapipe.alignment import ALIGN_THRESHOLD
+    from ..queries import _REGISTRY
+
+    tar_sql = _REGISTRY["tar_members"].oracle
+    return f"""
+    WITH m AS (SELECT * FROM ({tar_sql}) t),
+    samp AS (
+      SELECT asset_id, sample_key,
+             min(member_idx) // 2 AS sample_no,
+             max(CASE WHEN ext = 'jpg' THEN 1 ELSE 0 END) AS has_img,
+             max(CASE WHEN ext = 'txt' THEN 1 ELSE 0 END) AS has_txt
+      FROM m GROUP BY asset_id, sample_key),
+    qe AS (SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS q
+           FROM embeddings),
+    n AS (SELECT count(*) AS n FROM embeddings),
+    keyed AS (
+      SELECT s.asset_id,
+             (s.has_img = 1 AND s.has_txt = 1) AS pairable,
+             (s.asset_id * 2 + s.sample_no) % n.n AS img_id,
+             (s.asset_id * 5 + 3 * s.sample_no + 1) % n.n AS txt_id
+      FROM samp s CROSS JOIN n),
+    scored AS (
+      SELECT k.asset_id,
+             CASE WHEN k.pairable THEN 1 ELSE 0 END AS p,
+             CASE WHEN k.pairable AND
+                  list_dot_product(i.q, t.q)
+                  / sqrt(CAST(list_dot_product(i.q, i.q) AS DOUBLE)
+                         * CAST(list_dot_product(t.q, t.q) AS DOUBLE))
+                  >= {ALIGN_THRESHOLD}
+             THEN 1 ELSE 0 END AS a
+      FROM keyed k
+      LEFT JOIN qe i ON i.vec_id = k.img_id
+      LEFT JOIN qe t ON t.vec_id = k.txt_id)
+    SELECT asset_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(p) AS BIGINT) AS n_pairable,
+           CAST(sum(a) AS BIGINT) AS n_aligned,
+           CAST(CASE WHEN sum(p) > 0 THEN sum(a) * 1000000 // sum(p)
+                     ELSE 0 END AS BIGINT) AS aligned_ppm
+    FROM scored GROUP BY asset_id
+    """
+
+
+@register(
+    "sample_alignment_gate",
+    oracle=_sample_alignment_oracle(),
+    doc=(
+        "IMAGE-TEXT ALIGNMENT GATE over assembled WebDataset samples "
+        "(r11 verdict task 5 — the CLIP-filter role; public: Schuhmann "
+        "et al. 2021, LAION-400M): each sample that carries BOTH an "
+        "image and a caption member scores the quantized cosine of its "
+        "two modality embeddings against a fixed threshold; per-shard "
+        "attrition rows (samples -> pairable -> aligned, ppm) follow "
+        "filter_funnel's stage-row discipline. Scoring is a pure "
+        "zero-shuffle projection over exact fixed-point integers "
+        "(decontaminate_semantic's engine-reproducible float-gate "
+        "pattern); embedding lookups broadcast; both rollups map-side "
+        "combine. datapipe/alignment.py"
+    ),
+)
+def sample_alignment_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.alignment import sample_alignment_gate
+    from ..datapipe.multimodal import parse_tar_members, synth_tar_payloads
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    members = parse_tar_members(synth_tar_payloads(docs))
+    return sample_alignment_gate(members, table(spark, sf_dir, "embeddings"))
+
+
 @register(
     "bm25_topk",
     oracle=f"""
