@@ -440,6 +440,56 @@ def uv_dedup_stream_tws(events: DataFrame, evict_after_days: int = 2) -> DataFra
     )
 
 
+def new_user_fix_stream_tws(events: DataFrame) -> DataFrame:
+    """T1 new-vs-returning fix on `transformWithStateInPandas` — the
+    third TWS port (r11 verdict task 6), covering the shape the other
+    two don't: TIMER-FREE keyed value state (timeMode="none"). Identical
+    semantics and oracle to new_user_fix_stream: is_new=1 only on the
+    key's first-ever event, micro-batch rows ordered (ts, event_id) so
+    replay never changes which event wins.
+
+    API mapping is the minimal one — a single named ValueState("seen")
+    replaces the implicit per-key tuple; no timers, no expiry handler.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _NewUser(StatefulProcessor):
+        def init(self, handle):
+            self._state = handle.getValueState("seen", "seen integer")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            seen = 0 if self._state.get() is None else 1
+            data = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+            flags = []
+            for _ in range(len(data)):
+                flags.append(0 if seen else 1)
+                seen = 1
+            self._state.update((1,))
+            yield pd.DataFrame(
+                {
+                    "event_id": data["event_id"].values,
+                    "user_id": data["user_id"].values,
+                    "is_new": flags,
+                }
+            )
+
+        def close(self):
+            pass
+
+    return (
+        events.select("event_id", "user_id", "ts")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_NewUser(),
+            outputStructType=NEW_USER_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    )
+
+
 LINE_KEEPER_OUT_SCHEMA = StructType(
     [
         StructField("line_hash", StringType()),

@@ -190,6 +190,26 @@ if _tws_available():  # pragma: no cover — protobuf absent in this container
         )
         return run_to_memory(uv_dedup_stream_tws(ev), spark)
 
+    @register(
+        "new_user_tws",
+        oracle="""
+        SELECT event_id, user_id,
+               CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        """,
+        doc=(
+            "T1 on transformWithStateInPandas — the third TWS port, "
+            "covering the timer-free keyed-value-state shape "
+            "(timeMode='none'); same oracle as new_user_stream"
+        ),
+    )
+    def new_user_tws_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..streaming.state import new_user_fix_stream_tws
+
+        ev = stream_table(spark, sf_dir, "events")
+        return run_to_memory(new_user_fix_stream_tws(ev), spark)
+
 
 @register(
     "session_stats_stream",

@@ -612,3 +612,67 @@ def test_uv_stream_tws_matches_legacy(spark, tmp_path):
         for r in run_to_memory(uv_dedup_stream_tws(ev2), spark).collect()
     )
     assert tws == legacy
+
+
+def test_new_user_tws_plan_construction(spark):
+    """The timer-free TWS port (timeMode='none') builds its streaming
+    plan without the protobuf runtime, like the other two ports."""
+    from flink_real_time_data_warehouse_spark.sources.streams import stream_table
+    from flink_real_time_data_warehouse_spark.streaming.state import (
+        new_user_fix_stream_tws,
+    )
+
+    from .conftest import TEST_SF_DIR
+
+    ev = stream_table(spark, TEST_SF_DIR, "events")
+    df = new_user_fix_stream_tws(ev)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["event_id", "user_id", "is_new"]
+    plan = df._jdf.queryExecution().logical().toString()
+    assert "TransformWithStateInPySpark" in plan
+
+
+def test_new_user_tws_matches_legacy(spark):
+    """Full-execution parity (needs the protobuf runtime): the TWS port
+    emits exactly new_user_fix_stream's rows on the events fixture."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state server needs protobuf",
+    )
+    from flink_real_time_data_warehouse_spark.sources.streams import stream_table
+    from flink_real_time_data_warehouse_spark.streaming.state import (
+        new_user_fix_stream,
+        new_user_fix_stream_tws,
+    )
+
+    from .conftest import TEST_SF_DIR
+
+    legacy = sorted(
+        map(tuple, run_to_memory(
+            new_user_fix_stream(stream_table(spark, TEST_SF_DIR, "events")), spark
+        ).collect())
+    )
+    tws = sorted(
+        map(tuple, run_to_memory(
+            new_user_fix_stream_tws(stream_table(spark, TEST_SF_DIR, "events")),
+            spark,
+        ).collect())
+    )
+    assert tws == legacy and len(tws) > 0
+
+
+def test_tws_registry_gate_behavior():
+    """The three TWS twins appear in the query registry exactly when the
+    protobuf runtime exists — never half of them, never one in a
+    container that can't execute it."""
+    from flink_real_time_data_warehouse_spark.queries import registry
+    from flink_real_time_data_warehouse_spark.streaming.stream_queries import (
+        _tws_available,
+    )
+
+    names = set(registry())
+    tws = {"bounce_stream_tws", "uv_stream_tws", "new_user_tws"}
+    assert (tws <= names) == _tws_available()
+    assert _tws_available() or not (tws & names)
