@@ -272,6 +272,8 @@ HEADLINE = [
     "bpe_tokenize_indexed",
     "tokenizer_fertility_indexed",
     "image_phash_dedup",
+    "image_phash_clusters",
+    "image_phash_sig_stream",
     "sample_alignment_gate",
 ]
 

@@ -172,6 +172,34 @@ def image_phash_pairs(
     return hamming_near_dup_pairs(sig, max_distance, bucket_cap=bucket_cap)
 
 
+def image_phash_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    max_distance: int = DHASH_MAX_DISTANCE,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """The image-dedup endgame (the text `dedup_clusters` shape applied
+    to perceptual hashes — LAION's dedup keeps one exemplar per
+    near-dup CLUSTER, not per pair, because near-dup relations chain:
+    recompressed A ~ resized B ~ cropped C must collapse together):
+    dHash pairs -> transitive connected components (iterative min-label
+    propagation, rounds = component diameter — near-cliques: 2-3) ->
+    keeper = min doc per cluster. Every image appears; singletons keep
+    themselves. Returns (doc_id, cluster_id, is_keeper)."""
+    from .dedup import connected_components
+
+    pairs = image_phash_pairs(docs, id_col, max_distance, bucket_cap).select(
+        "doc_a", "doc_b"
+    )
+    verts = docs.select(F.col(id_col).alias("v"))
+    comp = connected_components(verts, pairs)
+    return comp.select(
+        F.col("v").alias(id_col),
+        F.col("cluster_id"),
+        (F.col("v") == F.col("cluster_id")).cast("int").alias("is_keeper"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Python twin (parity-swept in tests/test_image_dedup.py): the same walk,
 # byte-at-a-time, so a drift in either implementation breaks the sweep.

@@ -1133,15 +1133,12 @@ def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(table(spark, sf_dir, "documents"), "doc_id", "text", 3)
 
 
-def _image_phash_oracle() -> str:
-    """Replay the PGM pixel synthesis from doc_id (the multimodal oracle
-    discipline — a Spark-side parse bug that misreads any header byte
-    breaks the hash), pack the 64 dHash comparison bits hi/lo, then the
-    pure all-pairs Hamming semantics the banded plan must equal."""
-    from ..datapipe.image_dedup import DHASH_MAX_DISTANCE
-
-    return f"""
-    WITH px AS (
+def _image_sig_ctes() -> str:
+    """The shared dHash-replay CTEs: PGM pixel synthesis from doc_id (the
+    multimodal oracle discipline — a Spark-side parse bug that misreads
+    any header byte breaks the hash), then the 64 comparison bits packed
+    hi/lo."""
+    return """px AS (
       SELECT d.doc_id, t.x, t.y,
              ((d.doc_id // 4) * 37 + t.x * 29 + t.y * 17
               + ((t.x + t.y) * (d.doc_id // 4)) % 23) % 200
@@ -1164,7 +1161,13 @@ def _image_phash_oracle() -> str:
              CAST(sum(CASE WHEN bit = 1 AND b >= 32
                            THEN (1::BIGINT << (63 - b)) ELSE 0 END) AS BIGINT) AS sig_lo
       FROM bits GROUP BY doc_id
-    )
+    )"""
+
+
+def _image_pairs_select() -> str:
+    from ..datapipe.image_dedup import DHASH_MAX_DISTANCE
+
+    return f"""
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.sig_hi, b.sig_hi))
                 + bit_count(xor(a.sig_lo, b.sig_lo)) AS BIGINT) AS hamming
@@ -1172,6 +1175,12 @@ def _image_phash_oracle() -> str:
     WHERE bit_count(xor(a.sig_hi, b.sig_hi))
           + bit_count(xor(a.sig_lo, b.sig_lo)) <= {DHASH_MAX_DISTANCE}
     """
+
+
+def _image_phash_oracle() -> str:
+    """dHash synthesis replay + the pure all-pairs Hamming semantics the
+    banded plan must equal."""
+    return f"WITH {_image_sig_ctes()}\n{_image_pairs_select()}"
 
 
 @register(
@@ -1196,6 +1205,40 @@ def image_phash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..datapipe.image_dedup import image_phash_pairs
 
     return image_phash_pairs(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "image_phash_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_image_sig_ctes()},
+    cand AS ({_image_pairs_select()}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION SELECT doc_b, doc_a FROM cand
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id
+    )
+    SELECT id AS doc_id, min(lbl) AS cluster_id,
+           CASE WHEN id = min(lbl) THEN 1 ELSE 0 END AS is_keeper
+    FROM reach GROUP BY id
+    """,
+    doc=(
+        "the image-dedup endgame (dedup_clusters applied to perceptual "
+        "hashes — LAION keeps one exemplar per near-dup CLUSTER because "
+        "relations chain: recompressed ~ resized ~ cropped must collapse "
+        "together): dHash Hamming pairs -> transitive min-label "
+        "propagation (rounds = component diameter) -> keeper = min doc "
+        "per cluster; singletons keep themselves. Oracle: recursive-CTE "
+        "transitive closure over the synthesis-replayed pairs"
+    ),
+)
+def image_phash_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.image_dedup import image_phash_clusters
+
+    return image_phash_clusters(table(spark, sf_dir, "documents"))
 
 
 @register(

@@ -2966,7 +2966,30 @@ class TxLog:
                 }
                 plain.update(cluster_cols)
                 sc = sorted(plain) or None
-            base = self._read_files(spark, victims, st)
+            # MAINTENANCE SESSION (ADVICE r10 #5): the rewrite below wants
+            # a 10x range-sampling budget, and raising it on the CALLER's
+            # session would leak to every concurrent query on it (and two
+            # concurrent optimize() calls could interleave a set/restore
+            # on the shared conf). spark.newSession() shares the
+            # SparkContext — same executors, same files — but owns an
+            # isolated SQLConf, so the raised sample size is visible only
+            # to plans built here. Builder-time confs propagate to new
+            # sessions; runtime confs set later on the caller's session do
+            # not, which is fine: the rewrite reads only the log's own
+            # parquet files and carries its partitioning explicitly.
+            maint = spark.newSession()
+            # Range boundaries for the clustered rewrite come from
+            # RESERVOIR SAMPLING (repartitionByRange), so the file
+            # layout — and with it pruning effectiveness — varies run
+            # to run at the default 100 samples/partition. 10x the
+            # sample budget for the rewrite: boundary noise drops
+            # ~sqrt(10)x for a one-off maintenance cost that is
+            # negligible next to the rewrite itself.
+            maint.conf.set(
+                "spark.sql.execution.rangeExchange.sampleSizePerPartition",
+                "1000",
+            )
+            base = self._read_files(maint, victims, st)
             # PARTITION-AWARE compaction (Delta's OPTIMIZE on a
             # partitioned table compacts WITHIN partitions): when the
             # manifest records partition values, the rewrite goes back
@@ -2994,33 +3017,10 @@ class TxLog:
                 )
             else:
                 packed = base.coalesce(max_files)
-            # Range boundaries for the clustered rewrite come from
-            # RESERVOIR SAMPLING (repartitionByRange), so the file
-            # layout — and with it pruning effectiveness — varies run
-            # to run at the default 100 samples/partition. 10x the
-            # sample budget while the rewrite executes: boundary noise
-            # drops ~sqrt(10)x for a one-off maintenance cost that is
-            # negligible next to the rewrite itself.
-            # NOT THREAD-SAFE: this mutates the SHARED session conf for
-            # the rewrite's duration — a concurrent query on the same
-            # SparkSession observes the 10x sample size (harmless: only
-            # boundary quality changes), and two concurrent optimize()
-            # calls can interleave set/restore. Fine for single-threaded
-            # maintenance (the supported mode); for concurrent
-            # maintenance scope it per-job via `spark.newSession()`.
-            _SAMPLE_CONF = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
-            prev_sample = spark.conf.get(_SAMPLE_CONF, None)
-            spark.conf.set(_SAMPLE_CONF, "1000")
-            try:
-                names, schema_json, stats, parts = self._stage(
-                    packed, sc, bloom_cols=bloom_cols or None, cmap=st.cmap,
-                    partition_by=pcols or None,
-                )
-            finally:
-                if prev_sample is None:
-                    spark.conf.unset(_SAMPLE_CONF)
-                else:
-                    spark.conf.set(_SAMPLE_CONF, prev_sample)
+            names, schema_json, stats, parts = self._stage(
+                packed, sc, bloom_cols=bloom_cols or None, cmap=st.cmap,
+                partition_by=pcols or None,
+            )
             try:
                 # DV-race guard (ADVICE r7): compaction folds DVs away by
                 # rewriting from the files' read-time contents, so a DV

@@ -1706,6 +1706,48 @@ def dedup_url_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(out, spark).withColumnRenamed("text_hash", "url_key")
 
 
+def _image_sig_stream_oracle() -> str:
+    from ..plans.datapipe import _image_sig_ctes
+
+    return f"""
+    WITH {_image_sig_ctes()}
+    SELECT CAST(sig_hi AS VARCHAR) || ':' || CAST(sig_lo AS VARCHAR)
+             AS phash_key,
+           min(doc_id) AS keep_id
+    FROM sig GROUP BY 1
+    """
+
+
+@register(
+    "image_phash_sig_stream",
+    oracle=_image_sig_stream_oracle(),
+    doc=(
+        "image fingerprint dedup ON INGEST: the dHash walk (stateless "
+        "pure-JVM decode) rides the micro-batch scan unchanged, and the "
+        "exact 64-bit fingerprint keys the same seen-flag state as "
+        "dedup_exact_stream — the first arrival of each perceptual hash "
+        "wins, byte-identical re-encodes drop at the edge (the cheap "
+        "ingest-side pass; Hamming-radius chaining stays the batch "
+        "image_phash_clusters job). Oracle = min doc per replayed "
+        "fingerprint"
+    ),
+)
+def image_phash_sig_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.image_dedup import dhash_signatures, synth_pgm_payloads
+    from ..streaming.state import exact_dedup_stream
+
+    docs = stream_table(spark, sf_dir, "documents").select("doc_id")
+    sig = dhash_signatures(synth_pgm_payloads(docs))
+    keyed = sig.select(
+        F.concat(
+            F.col("sig_hi").cast("string"), F.lit(":"), F.col("sig_lo").cast("string")
+        ).alias("phash_key"),
+        "doc",
+    )
+    out = exact_dedup_stream(keyed, hash_col="phash_key", id_col="doc")
+    return run_to_memory(out, spark).withColumnRenamed("text_hash", "phash_key")
+
+
 @register(
     "warc_records_stream",
     oracle="""

@@ -93,6 +93,10 @@ SHOWCASE = {
     "lm_surprisal_mkn": "count-of-counts discounts ride the same 1-row broadcast as plain KN; one extra aggregate column set on the history table, scoring joins unchanged",
     "domain_pagerank": "five power iterations, each one edges-to-ranks join (node-sized side broadcasts) + map-side-combining groupBy(dst); lineage linear in the iteration count",
     "classifier_select_topk": "zero-shuffle scoring Project + ONE window partitioned by source for the rank gate — no global sort",
+    # round 12
+    "tokenizer_fertility_indexed": "encode-only lineage: the stored BpeIndex merge table inlines as literals, ZERO training jobs — distinct-word folds + occurrence join + per-language rollup",
+    "image_phash_dedup": "PGM header walk + 64 dHash comparisons in one codegen Project; pairs via the pigeonhole chunk equi-join (never all-pairs, no cartesian)",
+    "sample_alignment_gate": "sample assembly groupBy + broadcast embedding lookups + zero-shuffle quantized-cosine gate Project + map-side per-shard rollup — exactly two hash exchanges end to end",
 }
 
 
@@ -128,7 +132,14 @@ def main() -> None:
             out.append(f"*Expected: {SHOWCASE[name]}.*")
             out.append("")
         out.append("```")
-        out.append(plan.rstrip())
+        # escape control bytes (NUL separators, BEL sentinels in string
+        # literals of the byte-walk plans) so the file stays greppable text
+        out.append(
+            "".join(
+                c if c == "\n" or c == "\t" or ord(c) >= 32 else f"\\x{ord(c):02x}"
+                for c in plan.rstrip()
+            )
+        )
         out.append("```")
         out.append("")
         print(f"{name}: ok", file=sys.stderr)

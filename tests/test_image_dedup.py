@@ -136,3 +136,29 @@ def test_corrupt_header_rows_drop_out(spark):
         "payload", F.col("payload").substr(F.lit(1), F.lit(20))
     )
     assert dhash_signatures(truncated).count() == 0
+
+
+def test_clusters_are_transitive_and_keeper_is_min(spark):
+    """A~B and B~C must land in one cluster even when A!~C directly;
+    keeper = min id per cluster; singletons keep themselves."""
+    from flink_real_time_data_warehouse_spark.datapipe.image_dedup import (
+        image_phash_clusters,
+    )
+
+    docs = _docs(spark, 60)
+    rows = {r["doc_id"]: r for r in image_phash_clusters(docs).collect()}
+    assert len(rows) == 60  # every doc appears
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in image_phash_pairs(docs).collect()
+    }
+    # every paired doc shares its partner's cluster (transitivity base)
+    for a, b in pairs:
+        assert rows[a]["cluster_id"] == rows[b]["cluster_id"]
+    # keeper is the min id of its cluster, exactly one per cluster
+    by_cluster: dict[int, list[int]] = {}
+    for d, r in rows.items():
+        by_cluster.setdefault(r["cluster_id"], []).append(d)
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+        keepers = [d for d in members if rows[d]["is_keeper"] == 1]
+        assert keepers == [cid]

@@ -2672,3 +2672,42 @@ def test_stream_writer_refuses_truncating_output_mode():
     schema = StructType([StructField("k", LongType())])
     with pytest.raises(ValueError, match="append-only"):
         TxLogStreamWriter(schema, {"path": "/tmp/x", "app_id": "a"}, overwrite=True)
+
+
+def test_optimize_sample_conf_never_leaks_to_caller(tmp_path, spark):
+    """The clustered rewrite's 10x range-sampling budget is scoped to a
+    maintenance session (ADVICE r10 #5): a concurrent reader of the
+    CALLER's session conf must never observe it — not even mid-rewrite —
+    and the caller's value is untouched afterwards."""
+    import threading
+    import time as _time
+
+    CONF = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    log = TxLog(str(tmp_path / "t"))
+    for i in range(4):
+        log.append(
+            spark.range(i * 2000, (i + 1) * 2000)
+            .selectExpr("id", "id % 7 AS k")
+            .coalesce(1)
+        )
+    before = spark.conf.get(CONF, "100")
+    seen: set[str] = set()
+    stop = threading.Event()
+
+    def poll():
+        while not stop.is_set():
+            seen.add(spark.conf.get(CONF, "100"))
+            _time.sleep(0.002)
+
+    t = threading.Thread(target=poll)
+    t.start()
+    try:
+        log.optimize(spark, max_files=2, cluster_by="id")
+    finally:
+        stop.set()
+        t.join()
+    assert seen == {before}, f"sample conf leaked to caller session: {seen}"
+    assert spark.conf.get(CONF, "100") == before
+    assert sorted(r["id"] for r in log.snapshot(spark).collect()) == list(
+        range(8000)
+    )
