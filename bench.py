@@ -271,6 +271,8 @@ HEADLINE = [
     # round 12 additions (verdict tasks 3-5)
     "bpe_tokenize_indexed",
     "tokenizer_fertility_indexed",
+    "wordpiece_tokenize_indexed",
+    "unigram_tokenize_indexed",
     "image_phash_dedup",
     "image_phash_clusters",
     "image_phash_sig_stream",

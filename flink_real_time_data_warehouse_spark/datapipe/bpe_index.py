@@ -1,4 +1,4 @@
-"""Persisted BPE merge table: train once, encode forever (r11 verdict
+"""Persisted tokenizer artifact: train once, encode forever (r11 verdict
 task 3 — the SignatureIndex / IvfIndex storage discipline applied to
 tokenizers).
 
@@ -7,24 +7,31 @@ merge round) but it is still ~2 jobs per round, and replaying it inside
 EVERY tokenizer-family query bills the training cost to each encode —
 `tokenizer_fertility`'s wall time was dominated by retraining a table
 that never changes between queries. At 100 TB the tokenizer is trained
-once and shipped as an artifact; this index is that artifact:
+once and shipped as an artifact; this index is that artifact, holding
+the three tables a real tokenizer ships (merges + vocab + piece
+probabilities — exactly a Hugging Face tokenizer.json's contents):
 
-- ``build(docs, text_col)`` runs :func:`bpe.bpe_train` ONCE and commits
-  the (merge_rank, lhs, rhs) table in a single `storage.TxLog` version
-  under the shared advisory write fence (`index_write_lock` — pid
-  liveness, atomic stale-steal). A concurrent/retried build is a no-op:
-  the log's ``(app_id="bpe:build", app_version=0)`` high-water mark
-  makes the commit exactly-once, so two racers resolve to one table.
-- ``merges()`` reads the stored table back as the driver-side rank list
-  every encode fold inlines — O(n_merges) rows, control-plane by the
-  same O(B)-collect rule as the classifier's model (10 rows here; the
-  DATA path never sees the collect).
-- ``merges_df()`` exposes the stored table as a DataFrame for
-  join-shaped consumers and tests.
+- ``merges``        : (merge_rank, lhs, rhs) — the BPE merge table
+- ``wp_vocab``      : (piece)                — WordPiece's munch table
+- ``unigram_costs`` : (piece, cost)          — unigram milli-bit costs
 
-Scale shape: the encode pass (`bpe.bpe_piece_counts`) was already
-O(DISTINCT words); with the stored table its plan contains ZERO training
-jobs — the exact contract `ann_ivf_indexed_topk` has with `IvfIndex`.
+All three commit in ONE `storage.TxLog` version (``partition_by=
+["tbl"]`` — the SignatureIndex unified-commit shape, so a crash can
+never expose merges without their derived vocab) under the shared
+advisory write fence (`index_write_lock`). A concurrent/retried build
+is a no-op: the log's ``(app_id="bpe:build", app_version=0)``
+high-water mark makes the commit exactly-once, so two racers resolve
+to one artifact.
+
+``merges()`` reads the stored table back as the driver-side rank list
+every encode fold inlines — O(n_merges) rows, control-plane by the same
+O(B)-collect rule as the classifier's model (10 rows here; the DATA
+path never sees the collect). ``wp_vocab()`` / ``unigram_costs()``
+return partition-pruned DataFrames the encoders broadcast.
+
+Scale shape: every encode pass was already O(DISTINCT words); with the
+stored artifact its plan contains ZERO training jobs — the exact
+contract `ann_ivf_indexed_topk` has with `IvfIndex`.
 
 Reference parity: the reference loads its word-segmentation dictionary
 as a static artifact at operator-open time (SURVEY §2 F9,
@@ -35,11 +42,14 @@ trained tokenizer the same lifecycle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..storage import TxLog
 from .signature_index import index_write_lock
 
-_SCHEMA = "merge_rank long, lhs string, rhs string"
+_UNIFIED_SCHEMA = (
+    "tbl string, merge_rank long, lhs string, rhs string, piece string, cost long"
+)
 _APP_ID = "bpe:build"
 
 
@@ -58,12 +68,12 @@ class BpeIndex:
         text_col: str,
         n_merges: int | None = None,
         vocab_cap: int | None = None,
-        symbols=None,
     ) -> "BpeIndex":
-        """Train the merge table from `docs` and commit it — exactly
-        once. A second build (same process, another process, or a crash
-        retry) commits nothing: the first committed version wins and
-        every reader sees one consistent table."""
+        """Train the merge table from `docs`, derive the WordPiece vocab
+        and unigram cost tables it induces, and commit all three — in
+        one version, exactly once. A second build (same process, another
+        process, or a crash retry) commits nothing: the first committed
+        artifact wins and every reader sees one consistent tokenizer."""
         if self.is_built():
             return self
         from . import bpe
@@ -73,25 +83,50 @@ class BpeIndex:
             kwargs["n_merges"] = n_merges
         if vocab_cap is not None:
             kwargs["vocab_cap"] = vocab_cap
-        if symbols is not None:
-            kwargs["symbols"] = symbols
         merges = bpe.bpe_train(docs, text_col, **kwargs)
+
+        def pad(df: DataFrame) -> DataFrame:
+            want = self.spark.createDataFrame([], _UNIFIED_SCHEMA)
+            for f in want.schema.fields:
+                if f.name not in df.columns:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            return df.select([f.name for f in want.schema.fields])
+
+        mdf = pad(
+            self.spark.createDataFrame(
+                [(int(r), l, rr) for r, l, rr in merges],
+                "merge_rank long, lhs string, rhs string",
+            ).withColumn("tbl", F.lit("merges"))
+        )
+        vkw = {"vocab_cap": vocab_cap} if vocab_cap is not None else {}
+        wpv = pad(
+            bpe.wordpiece_vocab(docs, text_col, merges, **vkw).withColumn(
+                "tbl", F.lit("wp_vocab")
+            )
+        )
+        ucs = pad(
+            bpe.unigram_piece_costs(docs, text_col, merges, **vkw).withColumn(
+                "tbl", F.lit("unigram_costs")
+            )
+        )
+        unified = mdf.unionByName(wpv).unionByName(ucs)
         with index_write_lock(self.base_dir):
-            if self.is_built():  # lost the race: the winner's table stands
+            if self.is_built():  # lost the race: the winner's artifact stands
                 return self
             self.log.append(
-                self.spark.createDataFrame(
-                    [(int(r), l, rr) for r, l, rr in merges], _SCHEMA
-                ),
-                app_id=_APP_ID,
-                app_version=0,
+                unified, app_id=_APP_ID, app_version=0, partition_by=["tbl"]
             )
         return self
 
-    def merges_df(self) -> DataFrame:
+    # -- stored tables (partition-pruned reads) ------------------------------
+    def _read(self, tbl: str, cols: list[str]) -> DataFrame:
         if not self.is_built():
-            return self.spark.createDataFrame([], _SCHEMA)
-        return self.log.snapshot(self.spark).select("merge_rank", "lhs", "rhs")
+            return self.spark.createDataFrame([], _UNIFIED_SCHEMA).select(*cols)
+        snap = self.log.snapshot(self.spark, partitions={"tbl": [tbl]})
+        return snap.where(F.col("tbl") == tbl).select(*cols)
+
+    def merges_df(self) -> DataFrame:
+        return self._read("merges", ["merge_rank", "lhs", "rhs"])
 
     def merges(self) -> list[tuple[int, str, str]]:
         """The stored table as the rank-ordered driver-side list the
@@ -99,3 +134,13 @@ class BpeIndex:
         setting), a control-plane collect like the classifier's model."""
         rows = self.merges_df().collect()
         return sorted((r["merge_rank"], r["lhs"], r["rhs"]) for r in rows)
+
+    def wp_vocab(self) -> DataFrame:
+        """(piece): the WordPiece munch table the stored merges induce —
+        broadcast by wordpiece_piece_counts."""
+        return self._read("wp_vocab", ["piece"])
+
+    def unigram_costs(self) -> DataFrame:
+        """(piece, cost): integer milli-bit unigram surprisal per piece —
+        broadcast by unigram_piece_counts' Viterbi DP."""
+        return self._read("unigram_costs", ["piece", "cost"])

@@ -985,6 +985,28 @@ def wordpiece_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_piece_counts(docs, "doc_id", "text", merges)
 
 
+@register(
+    "wordpiece_tokenize_indexed",
+    oracle=_wordpiece_oracle(),
+    doc=(
+        "wordpiece_tokenize served from the PERSISTED BpeIndex: the "
+        "stored merge table inlines into the encode and the stored "
+        "wp_vocab table broadcasts into the munch join — the full "
+        "tokenizer.json lifecycle (merges + vocab ship together, one "
+        "transactional artifact version), ZERO training jobs in the "
+        "plan. Same oracle as wordpiece_tokenize"
+    ),
+)
+def wordpiece_tokenize_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.bpe import wordpiece_piece_counts
+
+    docs = table(spark, sf_dir, "documents")
+    idx = _stored_bpe(spark, sf_dir)
+    return wordpiece_piece_counts(
+        docs, "doc_id", "text", idx.merges(), vocab=idx.wp_vocab()
+    )
+
+
 def _unigram_oracle() -> str:
     from ..datapipe.bpe import (
         BPE_MERGES,
@@ -1088,6 +1110,26 @@ def unigram_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     merges = bpe_train(docs, "text")
     return unigram_piece_counts(docs, "doc_id", "text", merges)
+
+
+@register(
+    "unigram_tokenize_indexed",
+    oracle=_unigram_oracle(),
+    doc=(
+        "unigram_tokenize served from the PERSISTED BpeIndex: the stored "
+        "(piece, cost) table broadcasts straight into the Viterbi DP — "
+        "the piece-probability half of the shipped tokenizer artifact, "
+        "ZERO training jobs in the plan. Same oracle as unigram_tokenize"
+    ),
+)
+def unigram_tokenize_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.bpe import unigram_piece_counts
+
+    docs = table(spark, sf_dir, "documents")
+    idx = _stored_bpe(spark, sf_dir)
+    return unigram_piece_counts(
+        docs, "doc_id", "text", idx.merges(), costs=idx.unigram_costs()
+    )
 
 
 # ---------------------------------------------------------------------------

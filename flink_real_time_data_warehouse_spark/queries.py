@@ -59,6 +59,7 @@ _GRADE_FIRST: list[str] = [
     # names register only where a protobuf runtime exists — absent here
     # they are safely skipped and the stale block below fills the window.
     "bpe_tokenize_indexed", "tokenizer_fertility_indexed",
+    "wordpiece_tokenize_indexed", "unigram_tokenize_indexed",
     "image_phash_dedup", "image_phash_clusters", "image_phash_sig_stream",
     "sample_alignment_gate",
     "bounce_stream_tws", "uv_stream_tws", "new_user_tws",

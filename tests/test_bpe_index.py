@@ -97,3 +97,39 @@ def test_fertility_indexed_matches_unindexed(spark, tmp_path):
         map(tuple, tokenizer_fertility_indexed_q(spark, TEST_SF_DIR).collect())
     )
     assert a == b
+
+
+def test_stored_vocab_and_costs_equal_derived(spark, tmp_path):
+    """The artifact's wp_vocab and unigram_costs tables equal the tables
+    the stored merges would derive — one consistent tokenizer.json."""
+    from flink_real_time_data_warehouse_spark.datapipe.bpe import (
+        unigram_piece_costs,
+        wordpiece_vocab,
+    )
+
+    docs = table(spark, TEST_SF_DIR, "documents")
+    idx = BpeIndex(spark, str(tmp_path / "bpe")).build(docs, "text")
+    merges = idx.merges()
+    assert sorted(r["piece"] for r in idx.wp_vocab().collect()) == sorted(
+        r["piece"] for r in wordpiece_vocab(docs, "text", merges).collect()
+    )
+    assert sorted(map(tuple, idx.unigram_costs().collect())) == sorted(
+        map(tuple, unigram_piece_costs(docs, "text", merges).collect())
+    )
+
+
+def test_wordpiece_unigram_indexed_match_unindexed(spark):
+    from flink_real_time_data_warehouse_spark.plans.datapipe import (
+        unigram_tokenize_indexed_q,
+        unigram_tokenize_q,
+        wordpiece_tokenize_indexed_q,
+        wordpiece_tokenize_q,
+    )
+
+    for a_q, b_q in (
+        (wordpiece_tokenize_q, wordpiece_tokenize_indexed_q),
+        (unigram_tokenize_q, unigram_tokenize_indexed_q),
+    ):
+        a = sorted(map(tuple, a_q(spark, TEST_SF_DIR).collect()))
+        b = sorted(map(tuple, b_q(spark, TEST_SF_DIR).collect()))
+        assert a == b and a
