@@ -58,10 +58,24 @@ def _px(did: Column, x: Column, y: Column) -> Column:
     integer, every operator shared by Spark and the SQL oracle. Group
     g = did div 4 picks the base image; variant v = did % 4 (when > 0)
     adds +40 to the single pixel (x=v, y=g%8), flipping at most the two
-    comparisons adjacent to it."""
+    comparisons adjacent to it.
+
+    The base MUST be nonlinear in x per group: dHash bits are signs of
+    ADJACENT-pixel deltas, and a linear-in-x formula gives every group
+    the same delta pattern (measured: distance-0 collisions across
+    groups, one 4996-doc mega-cluster at sf0.1). The two modular cross
+    terms make the deltas group-specific — sampled min cross-group
+    Hamming 13 over 200k pairs, zero within the <=3 search radius — so
+    clusters are exactly the variant groups."""
     g = F.shiftright(did, 2)  # div 4, exact for non-negative ids
     v = did % 4
-    base = (g * 37 + x * 29 + y * 17 + ((x + y) * g) % 23) % 200
+    base = (
+        g * 37
+        + x * 29
+        + y * 17
+        + ((x + 2 * y + 3) * (g % 97) * (x + y + 1)) % 151
+        + (g * (x + 1) * (y + 7)) % 127
+    ) % 200
     bump = F.when((v > 0) & (x == v) & (y == g % 8), F.lit(40)).otherwise(F.lit(0))
     return (base + bump).cast("int")
 

@@ -1183,7 +1183,9 @@ def _image_sig_ctes() -> str:
     return """px AS (
       SELECT d.doc_id, t.x, t.y,
              ((d.doc_id // 4) * 37 + t.x * 29 + t.y * 17
-              + ((t.x + t.y) * (d.doc_id // 4)) % 23) % 200
+              + ((t.x + 2 * t.y + 3) * ((d.doc_id // 4) % 97)
+                 * (t.x + t.y + 1)) % 151
+              + ((d.doc_id // 4) * (t.x + 1) * (t.y + 7)) % 127) % 200
              + CASE WHEN d.doc_id % 4 > 0 AND t.x = d.doc_id % 4
                          AND t.y = (d.doc_id // 4) % 8 THEN 40 ELSE 0 END AS v
       FROM documents d
