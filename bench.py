@@ -277,6 +277,7 @@ HEADLINE = [
     "image_phash_clusters",
     "image_phash_sig_stream",
     "sample_alignment_gate",
+    "multimodal_curation_funnel",
 ]
 
 SENTINEL_RATIO = 1.5  # start/end sentinel disagreement that flags contention

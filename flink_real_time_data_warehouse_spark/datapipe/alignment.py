@@ -53,19 +53,17 @@ def webdataset_pairable_samples(members: DataFrame) -> DataFrame:
     )
 
 
-def sample_alignment_gate(
+def scored_samples(
     members: DataFrame, emb: DataFrame, threshold: float = ALIGN_THRESHOLD
 ) -> DataFrame:
-    """Per-shard attrition of the alignment gate: (asset_id, n_samples,
-    n_pairable, n_aligned, aligned_ppm).
+    """One row per assembled sample with its gate flags: (asset_id,
+    sample_key, pairable, aligned) — pairable = carries both modalities,
+    aligned = pairable AND quantized cosine >= threshold.
 
     Each pairable sample's image/text embeddings are the deterministic
     rows img = (asset*2 + s) % N and txt = (asset*5 + 3s + 1) % N of the
     embeddings table (simulating the model-scored pair; N = table size
-    rides along as a broadcast 1-row frame, no driver collect).
-    aligned_ppm = n_aligned * 1e6 div n_pairable (0 when a shard has no
-    pairable sample — e.g. single-member shards carry an image but no
-    caption)."""
+    rides along as a broadcast 1-row frame, no driver collect)."""
     samples = webdataset_pairable_samples(members)
     n = emb.agg(F.count("*").alias("_n"))
     keyed = samples.crossJoin(F.broadcast(n)).select(
@@ -87,20 +85,37 @@ def sample_alignment_gate(
     )
     iq = qe.select(F.col("vec_id").alias("_img_id"), F.col("_q").alias("_qi"))
     tq = qe.select(F.col("vec_id").alias("_txt_id"), F.col("_q").alias("_qt"))
-    scored = (
+    return (
         keyed.join(F.broadcast(iq), "_img_id", "left")
         .join(F.broadcast(tq), "_txt_id", "left")
         .select(
             "asset_id",
-            F.col("_pairable").cast("int").alias("_p"),
+            "sample_key",
+            F.col("_pairable").cast("int").alias("pairable"),
             F.when(
                 F.col("_pairable")
                 & (qcosine(F.col("_qi"), F.col("_qt")) >= F.lit(threshold)),
                 F.lit(1),
             )
             .otherwise(F.lit(0))
-            .alias("_a"),
+            .alias("aligned"),
         )
+    )
+
+
+def sample_alignment_gate(
+    members: DataFrame, emb: DataFrame, threshold: float = ALIGN_THRESHOLD
+) -> DataFrame:
+    """Per-shard attrition of the alignment gate: (asset_id, n_samples,
+    n_pairable, n_aligned, aligned_ppm).
+
+    aligned_ppm = n_aligned * 1e6 div n_pairable (0 when a shard has no
+    pairable sample — e.g. single-member shards carry an image but no
+    caption)."""
+    scored = scored_samples(members, emb, threshold).select(
+        "asset_id",
+        F.col("pairable").alias("_p"),
+        F.col("aligned").alias("_a"),
     )
     return scored.groupBy("asset_id").agg(
         F.count("*").cast("long").alias("n_samples"),
@@ -113,4 +128,69 @@ def sample_alignment_gate(
         .otherwise(F.lit(0))
         .cast("long")
         .alias("aligned_ppm"),
+    )
+
+
+def multimodal_curation_funnel(
+    members: DataFrame,
+    emb: DataFrame,
+    keepers: DataFrame,
+    threshold: float = ALIGN_THRESHOLD,
+) -> DataFrame:
+    """The multimodal curation pipeline's per-stage attrition report —
+    `filter_funnel`'s row shape applied to image-text samples (the
+    LAION-style composition: assemble -> pair -> CLIP-gate -> image
+    near-dup dedup): (stage_idx, stage, n_in, n_kept, n_dropped) with
+    n_in of stage k = n_kept of stage k-1.
+
+      1. pairable    : sample carries both an image and a caption member
+      2. alignment   : quantized cosine of the pair >= threshold
+      3. image_dedup : the sample's asset is its dHash near-dup
+                       cluster's keeper (one exemplar per cluster)
+
+    `keepers` is (asset_id, is_keeper) — image_phash_clusters' verdict.
+    Scale: the scored frame is the zero-shuffle gate projection; the
+    keeper flag joins by asset key; all three stage counts reduce in ONE
+    aggregate (map-side partials), then a 3-row explode — no per-stage
+    rescans."""
+    s = scored_samples(members, emb, threshold)
+    j = s.join(keepers, "asset_id", "left").select(
+        F.col("pairable").alias("_p"),
+        F.col("aligned").alias("_a"),
+        (
+            F.col("aligned") * F.coalesce(F.col("is_keeper"), F.lit(0))
+        ).alias("_k"),
+    )
+    agg = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_p").cast("long").alias("s1"),
+        F.sum("_a").cast("long").alias("s2"),
+        F.sum("_k").cast("long").alias("s3"),
+    )
+    stages = F.array(
+        F.struct(
+            F.lit(1).cast("long").alias("stage_idx"),
+            F.lit("pairable").alias("stage"),
+            F.col("n").alias("n_in"),
+            F.col("s1").alias("n_kept"),
+        ),
+        F.struct(
+            F.lit(2).cast("long").alias("stage_idx"),
+            F.lit("alignment").alias("stage"),
+            F.col("s1").alias("n_in"),
+            F.col("s2").alias("n_kept"),
+        ),
+        F.struct(
+            F.lit(3).cast("long").alias("stage_idx"),
+            F.lit("image_dedup").alias("stage"),
+            F.col("s2").alias("n_in"),
+            F.col("s3").alias("n_kept"),
+        ),
+    )
+    return agg.select(F.explode(stages).alias("_s")).select(
+        F.col("_s.stage_idx").alias("stage_idx"),
+        F.col("_s.stage").alias("stage"),
+        F.col("_s.n_in").alias("n_in"),
+        F.col("_s.n_kept").alias("n_kept"),
+        (F.col("_s.n_in") - F.col("_s.n_kept")).cast("long").alias("n_dropped"),
     )

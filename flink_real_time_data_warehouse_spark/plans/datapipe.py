@@ -6422,13 +6422,15 @@ def webdataset_samples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sample_alignment_oracle() -> str:
+def _alignment_scored_ctes() -> str:
+    """Shared CTE chain ending at scored(asset_id, p, a) — assembled
+    samples with their pairable/aligned gate flags, the tar synthesis
+    replayed end-to-end."""
     from ..datapipe.alignment import ALIGN_THRESHOLD
     from ..queries import _REGISTRY
 
     tar_sql = _REGISTRY["tar_members"].oracle
-    return f"""
-    WITH m AS (SELECT * FROM ({tar_sql}) t),
+    return f"""m AS (SELECT * FROM ({tar_sql}) t),
     samp AS (
       SELECT asset_id, sample_key,
              min(member_idx) // 2 AS sample_no,
@@ -6456,7 +6458,12 @@ def _sample_alignment_oracle() -> str:
              THEN 1 ELSE 0 END AS a
       FROM keyed k
       LEFT JOIN qe i ON i.vec_id = k.img_id
-      LEFT JOIN qe t ON t.vec_id = k.txt_id)
+      LEFT JOIN qe t ON t.vec_id = k.txt_id)"""
+
+
+def _sample_alignment_oracle() -> str:
+    return f"""
+    WITH {_alignment_scored_ctes()}
     SELECT asset_id,
            CAST(count(*) AS BIGINT) AS n_samples,
            CAST(sum(p) AS BIGINT) AS n_pairable,
@@ -6491,6 +6498,75 @@ def sample_alignment_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id")
     members = parse_tar_members(synth_tar_payloads(docs))
     return sample_alignment_gate(members, table(spark, sf_dir, "embeddings"))
+
+
+def _curation_funnel_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_alignment_scored_ctes()},
+    {_image_sig_ctes()},
+    cand AS ({_image_pairs_select()}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION SELECT doc_b, doc_a FROM cand
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id
+    ),
+    kp AS (
+      SELECT id AS asset_id,
+             CASE WHEN id = min(lbl) THEN 1 ELSE 0 END AS is_keeper
+      FROM reach GROUP BY id
+    ),
+    j AS (
+      SELECT s.p, s.a, s.a * coalesce(k.is_keeper, 0) AS kpt
+      FROM scored s LEFT JOIN kp k USING (asset_id)
+    ),
+    agg AS (
+      SELECT count(*) AS nn, sum(p) AS s1, sum(a) AS s2, sum(kpt) AS s3
+      FROM j
+    )
+    SELECT CAST(1 AS BIGINT) AS stage_idx, 'pairable' AS stage,
+           CAST(nn AS BIGINT) AS n_in, CAST(s1 AS BIGINT) AS n_kept,
+           CAST(nn - s1 AS BIGINT) AS n_dropped FROM agg
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'alignment', CAST(s1 AS BIGINT),
+           CAST(s2 AS BIGINT), CAST(s1 - s2 AS BIGINT) FROM agg
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'image_dedup', CAST(s2 AS BIGINT),
+           CAST(s3 AS BIGINT), CAST(s2 - s3 AS BIGINT) FROM agg
+    """
+
+
+@register(
+    "multimodal_curation_funnel",
+    oracle=_curation_funnel_oracle(),
+    doc=(
+        "MULTIMODAL CURATION FUNNEL — the LAION-style pipeline "
+        "composition with filter_funnel's per-stage report shape: "
+        "assembled WebDataset samples -> pairable (both modalities) -> "
+        "alignment gate (quantized cosine) -> image near-dup dedup "
+        "(sample's asset is its dHash cluster's keeper). One scored "
+        "projection + one keeper join by asset key + ONE aggregate "
+        "feeding a 3-row stage explode — no per-stage rescans. Oracle "
+        "composes the tar replay, the alignment CTEs, and the "
+        "recursive-CTE cluster closure end-to-end"
+    ),
+)
+def multimodal_curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.alignment import multimodal_curation_funnel
+    from ..datapipe.image_dedup import image_phash_clusters
+    from ..datapipe.multimodal import parse_tar_members, synth_tar_payloads
+
+    docs = table(spark, sf_dir, "documents")
+    members = parse_tar_members(synth_tar_payloads(docs.select("doc_id")))
+    keepers = image_phash_clusters(docs).select(
+        F.col("doc_id").alias("asset_id"), "is_keeper"
+    )
+    return multimodal_curation_funnel(
+        members, table(spark, sf_dir, "embeddings"), keepers
+    )
 
 
 @register(

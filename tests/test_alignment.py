@@ -93,3 +93,38 @@ def test_scoring_plan_is_zero_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_curation_funnel_chains_and_matches_parts(spark):
+    """Stage chaining (n_in of k = n_kept of k-1) and agreement with the
+    independently-computed parts: stage-2 kept = the gate's total
+    aligned; stage-3 kept <= stage-2 kept."""
+    from flink_real_time_data_warehouse_spark.datapipe.alignment import (
+        multimodal_curation_funnel,
+    )
+    from flink_real_time_data_warehouse_spark.datapipe.image_dedup import (
+        image_phash_clusters,
+    )
+    from pyspark.sql import functions as F
+
+    docs = table(spark, TEST_SF_DIR, "documents")
+    members = parse_tar_members(synth_tar_payloads(docs.select("doc_id")))
+    emb = table(spark, TEST_SF_DIR, "embeddings")
+    keepers = image_phash_clusters(docs).select(
+        F.col("doc_id").alias("asset_id"), "is_keeper"
+    )
+    rows = {
+        r["stage_idx"]: r
+        for r in multimodal_curation_funnel(members, emb, keepers).collect()
+    }
+    assert [rows[i]["stage"] for i in (1, 2, 3)] == [
+        "pairable",
+        "alignment",
+        "image_dedup",
+    ]
+    for k in (2, 3):
+        assert rows[k]["n_in"] == rows[k - 1]["n_kept"]
+    for r in rows.values():
+        assert r["n_dropped"] == r["n_in"] - r["n_kept"] >= 0
+    gate = _gate(spark).groupBy().sum("n_aligned").collect()[0][0]
+    assert rows[2]["n_kept"] == gate
