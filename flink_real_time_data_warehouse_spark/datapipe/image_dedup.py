@@ -148,13 +148,36 @@ def dhash_signatures(payloads: DataFrame, id_col: str = "doc_id") -> DataFrame:
         )
     )
 
+    # Stage the 9x8 sample window as ONE array column (a single transform
+    # lambda the codegen compiles once), instead of unrolling 128
+    # conv(substr(...)) reads — 2 per comparison bit. Semantics identical;
+    # generated-code size (and with it first-run JIT latency) drops ~60x,
+    # the simhash_signatures digit-array lesson applied to pixels. Index
+    # i (0-based) = y*9 + x over the dHash grid, each mapped through the
+    # PARSED width/offset so the walk still trusts only the header.
+    pxs = F.transform(
+        F.sequence(F.lit(0), F.lit(DHASH_W * DHASH_H - 1)),
+        lambda i: F.conv(
+            F.col("_hx").substr(
+                (
+                    (
+                        F.col("_off")
+                        + ((i - i % DHASH_W) / DHASH_W).cast("long") * F.col("_w")
+                        + i % DHASH_W
+                    )
+                    * 2
+                    + 1
+                ).cast("int"),
+                F.lit(2),
+            ),
+            16,
+            10,
+        ).cast("int"),
+    )
+    staged = staged.withColumn("_pxs", pxs)
+
     def px(x: int, y: int) -> Column:
-        # sample index within the raster (0-based), row-major on the
-        # PARSED width; byte position = off + idx (1-based payload pos)
-        idx = F.col("_off") + y * F.col("_w") + x
-        return F.conv(
-            F.col("_hx").substr((idx * 2 + 1).cast("int"), F.lit(2)), 16, 10
-        ).cast("int")
+        return F.element_at(F.col("_pxs"), y * DHASH_W + x + 1)
 
     def bit(b: int) -> Column:
         x, y = b % 8, b // 8
