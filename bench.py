@@ -276,6 +276,7 @@ HEADLINE = [
     "image_phash_dedup",
     "image_phash_clusters",
     "image_phash_sig_stream",
+    "image_decontaminate",
     "sample_alignment_gate",
     "multimodal_curation_funnel",
 ]

@@ -237,6 +237,92 @@ def image_phash_clusters(
     )
 
 
+#: benchmark membership rule for the graded decontamination query:
+#: every 4th group's base image (doc_id % 16 == 0)
+IMG_BENCH_MOD = 16
+
+
+def image_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    max_distance: int = DHASH_MAX_DISTANCE,
+) -> DataFrame:
+    """Image-level benchmark decontamination (the image analog of the
+    text `decontaminate` / `decontaminate_semantic` pair — a multimodal
+    training set must drop images that appear in evaluation benchmarks,
+    and recompressed/resized copies defeat exact matching): flag every
+    corpus image within Hamming `max_distance` of ANY benchmark image's
+    dHash. Returns (doc_id, n_bench_hits, contaminated) for every corpus
+    doc — exact, because pigeonhole banding is lossless at the radius.
+
+    Scale: the benchmark side is small (eval sets are thousands of
+    images) — its banded chunks BROADCAST, so the corpus makes one pass:
+    scan -> fingerprint projection -> broadcast chunk equi-join ->
+    per-doc rollup. No corpus self-join, no shuffle of corpus
+    fingerprints beyond the final map-side-combining groupBy."""
+    n_chunks = max_distance + 1
+    if 64 % n_chunks:
+        raise ValueError(f"max_distance+1 ({n_chunks}) must divide 64")
+    width = 64 // n_chunks
+    chunk_mask = (1 << width) - 1
+
+    def banded(docs: DataFrame) -> DataFrame:
+        sig = dhash_signatures(synth_pgm_payloads(docs, id_col))
+
+        def chunk(c: int):
+            top_offset = 64 - (c + 1) * width
+            if top_offset >= 32:
+                src, shift = F.col("sig_hi"), top_offset - 32
+            else:
+                src, shift = F.col("sig_lo"), top_offset
+            return F.shiftright(src, shift).bitwiseAND(F.lit(chunk_mask))
+
+        return sig.select(
+            "doc",
+            "sig_hi",
+            "sig_lo",
+            F.posexplode(
+                F.array(*[chunk(c) for c in range(n_chunks)])
+            ).alias("chunk_id", "chunk_val"),
+        )
+
+    corp = banded(corpus).select(
+        F.col("doc"),
+        F.col("sig_hi").alias("hi_c"),
+        F.col("sig_lo").alias("lo_c"),
+        "chunk_id",
+        "chunk_val",
+    )
+    bn = banded(bench).select(
+        F.col("doc").alias("bdoc"),
+        F.col("sig_hi").alias("hi_b"),
+        F.col("sig_lo").alias("lo_b"),
+        "chunk_id",
+        "chunk_val",
+    )
+    ham = (
+        F.bit_count(F.col("hi_c").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_c").bitwiseXOR(F.col("lo_b")))
+    ).cast("long")
+    hits = (
+        corp.join(F.broadcast(bn), ["chunk_id", "chunk_val"])
+        .select("doc", "bdoc", ham.alias("_h"))
+        .where(F.col("_h") <= max_distance)
+        .groupBy("doc")
+        .agg(F.count_distinct("bdoc").cast("long").alias("n_bench_hits"))
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(hits, F.col(id_col) == F.col("doc"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_bench_hits", F.lit(0)).cast("long").alias("n_bench_hits"),
+            (F.coalesce("n_bench_hits", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Python twin (parity-swept in tests/test_image_dedup.py): the same walk,
 # byte-at-a-time, so a drift in either implementation breaks the sweep.

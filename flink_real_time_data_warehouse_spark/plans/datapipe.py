@@ -1285,6 +1285,53 @@ def image_phash_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_phash_clusters(table(spark, sf_dir, "documents"))
 
 
+def _image_decontaminate_oracle() -> str:
+    from ..datapipe.image_dedup import DHASH_MAX_DISTANCE, IMG_BENCH_MOD
+
+    return f"""
+    WITH {_image_sig_ctes()},
+    bn AS (SELECT * FROM sig WHERE doc_id % {IMG_BENCH_MOD} = 0),
+    cp AS (SELECT * FROM sig WHERE doc_id % {IMG_BENCH_MOD} <> 0),
+    hits AS (
+      SELECT c.doc_id, count(DISTINCT b.doc_id) AS n
+      FROM cp c JOIN bn b
+        ON bit_count(xor(c.sig_hi, b.sig_hi))
+           + bit_count(xor(c.sig_lo, b.sig_lo)) <= {DHASH_MAX_DISTANCE}
+      GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_bench_hits,
+           CASE WHEN coalesce(h.n, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % {IMG_BENCH_MOD} <> 0
+    """
+
+
+@register(
+    "image_decontaminate",
+    oracle=_image_decontaminate_oracle(),
+    doc=(
+        "IMAGE BENCHMARK DECONTAMINATION — the image analog of the text "
+        "decontaminate/decontaminate_semantic pair (a multimodal training "
+        "set must drop images appearing in eval benchmarks; recompressed/"
+        "resized copies defeat exact matching): flag corpus images within "
+        "Hamming <= 3 of ANY benchmark image's dHash. The small benchmark "
+        "side's banded chunks BROADCAST, so the corpus makes ONE pass — "
+        "scan, fingerprint projection, broadcast chunk equi-join, per-doc "
+        "rollup; exact because pigeonhole banding is lossless at the "
+        "radius. Oracle states the pure all-pairs semantics"
+    ),
+)
+def image_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.image_dedup import IMG_BENCH_MOD, image_decontaminate
+
+    docs = table(spark, sf_dir, "documents")
+    return image_decontaminate(
+        docs.where(F.col("doc_id") % IMG_BENCH_MOD != 0),
+        docs.where(F.col("doc_id") % IMG_BENCH_MOD == 0),
+    )
+
+
 @register(
     "dedup_clusters",
     oracle=f"""

@@ -61,7 +61,8 @@ _GRADE_FIRST: list[str] = [
     "bpe_tokenize_indexed", "tokenizer_fertility_indexed",
     "wordpiece_tokenize_indexed", "unigram_tokenize_indexed",
     "image_phash_dedup", "image_phash_clusters", "image_phash_sig_stream",
-    "sample_alignment_gate", "multimodal_curation_funnel",
+    "image_decontaminate", "sample_alignment_gate",
+    "multimodal_curation_funnel",
     "bounce_stream_tws", "uv_stream_tws", "new_user_tws",
     # Remaining slots: the r7-stale block in staleness-report order
     # (49 names; the window caps at 50 so the tail spills to r13 —

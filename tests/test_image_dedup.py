@@ -162,3 +162,39 @@ def test_clusters_are_transitive_and_keeper_is_min(spark):
         assert cid == min(members)
         keepers = [d for d in members if rows[d]["is_keeper"] == 1]
         assert keepers == [cid]
+
+
+def test_decontaminate_flags_bench_variants(spark):
+    """Benchmark images are group bases (doc_id % 16 == 0); their three
+    same-group variants sit within <= 2 bits and MUST be flagged, while
+    the flag is exact overall: it equals a brute-force Python check over
+    the twin fingerprints."""
+    from flink_real_time_data_warehouse_spark.datapipe.image_dedup import (
+        IMG_BENCH_MOD,
+        image_decontaminate,
+    )
+
+    docs = _docs(spark, 96)
+    got = {
+        r["doc_id"]: (r["n_bench_hits"], r["contaminated"])
+        for r in image_decontaminate(
+            docs.where(F.col("doc_id") % IMG_BENCH_MOD != 0),
+            docs.where(F.col("doc_id") % IMG_BENCH_MOD == 0),
+        ).collect()
+    }
+    # exact recompute from the Python twin
+    pay = {r["doc_id"]: bytes(r["payload"]) for r in synth_pgm_payloads(docs).collect()}
+    sig = {d: dhash64_py(p) for d, p in pay.items()}
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    bench = [d for d in sig if d % IMG_BENCH_MOD == 0]
+    for d, (hits, flag) in got.items():
+        want = sum(1 for b in bench if ham(sig[d], sig[b]) <= DHASH_MAX_DISTANCE)
+        assert hits == want and flag == int(want > 0), d
+    # bench bases' variants are contaminated by construction
+    for b in bench:
+        for v in (1, 2, 3):
+            if b + v in got:
+                assert got[b + v][1] == 1
