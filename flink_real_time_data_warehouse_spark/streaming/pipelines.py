@@ -130,7 +130,14 @@ def run_to_parquet(df: DataFrame, path: str) -> None:
 
 def run_to_memory(df: DataFrame, spark: SparkSession, output_mode: str = "append") -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into a
-    memory sink; return the materialized result as a batch DataFrame."""
+    memory sink; return the materialized result as a batch DataFrame.
+
+    HARNESS-ONLY: the memory sink collects every result row into driver
+    memory — correct and convenient at grading scale (sf0.01), never the
+    shape for a production pipeline. Real deployments run the same
+    streaming frames through the foreachBatch router / txlog sinks
+    (`streaming/router.py`, `storage/txlog.py`), which keep results
+    distributed and transactional. Do not lift this into a pipeline."""
     name = "mem_" + uuid.uuid4().hex[:12]
     q = (
         df.writeStream.format("memory")

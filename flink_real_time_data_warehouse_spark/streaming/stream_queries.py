@@ -1748,6 +1748,18 @@ def image_phash_sig_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(out, spark).withColumnRenamed("text_hash", "phash_key")
 
 
+# NOTE: an `alignment_gate_stream` twin was prototyped and intentionally
+# NOT registered: the gate is sample-assembly groupBy -> per-shard
+# rollup, i.e. two CHAINED streaming aggregations, which Spark's
+# global-watermark correctness check rightly rejects (the second agg
+# could see rows older than the watermark). Running it would require
+# disabling `statefulOperator.checkCorrectness` session-wide — the
+# shared-conf anti-pattern this repo just removed from txlog.optimize().
+# The streaming members of the family are image_phash_sig_stream
+# (fingerprint dedup on ingest) and the stateless decode twins; the
+# per-shard attrition report stays a batch job over landed shards.
+
+
 @register(
     "warc_records_stream",
     oracle="""
