@@ -277,6 +277,7 @@ HEADLINE = [
     "image_phash_clusters",
     "image_phash_sig_stream",
     "image_decontaminate",
+    "audio_fp_dedup",
     "sample_alignment_gate",
     "multimodal_curation_funnel",
 ]

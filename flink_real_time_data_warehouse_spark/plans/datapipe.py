@@ -1332,6 +1332,71 @@ def image_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _audio_fp_oracle() -> str:
+    """Replay the PCM synthesis from doc_id, reduce to per-frame energies,
+    pack the 64 energy-delta sign bits hi/lo, then the pure all-pairs
+    Hamming semantics the banded plan must equal."""
+    from ..datapipe.audio_dedup import AFP_FRAME_SIZE, AFP_FRAMES
+    from ..datapipe.image_dedup import DHASH_MAX_DISTANCE
+
+    return f"""
+    WITH fr AS (
+      SELECT d.doc_id, f.f,
+             sum(((d.doc_id // 4) * 31 + (f.f * {AFP_FRAME_SIZE} + j.j) * 7
+                  + ((d.doc_id // 4) * (f.f * f.f + 3 * f.f + 7)) % 241
+                  + (((d.doc_id // 4) % 83) * ((f.f * f.f * f.f + 11) % 59)) % 101
+                  + (j.j * ((d.doc_id // 4) % 89)) % 71
+                  + CASE WHEN d.doc_id % 4 > 0 AND f.f = (d.doc_id // 4) % 64
+                         THEN 60 ELSE 0 END) % 256) AS e
+      FROM documents d, range(0, {AFP_FRAMES}) f(f), range(0, {AFP_FRAME_SIZE}) j(j)
+      GROUP BY d.doc_id, f.f
+    ),
+    abits AS (
+      SELECT a.doc_id, a.f AS b, CASE WHEN n.e > a.e THEN 1 ELSE 0 END AS bit
+      FROM fr a JOIN fr n ON n.doc_id = a.doc_id AND n.f = a.f + 1
+      WHERE a.f < 64
+    ),
+    asig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN bit = 1 AND b < 32
+                           THEN (1::BIGINT << (31 - b)) ELSE 0 END) AS BIGINT) AS sig_hi,
+             CAST(sum(CASE WHEN bit = 1 AND b >= 32
+                           THEN (1::BIGINT << (63 - b)) ELSE 0 END) AS BIGINT) AS sig_lo
+      FROM abits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig_hi, b.sig_hi))
+                + bit_count(xor(a.sig_lo, b.sig_lo)) AS BIGINT) AS hamming
+    FROM asig a JOIN asig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig_hi, b.sig_hi))
+          + bit_count(xor(a.sig_lo, b.sig_lo)) <= {DHASH_MAX_DISTANCE}
+    """
+
+
+@register(
+    "audio_fp_dedup",
+    oracle=_audio_fp_oracle(),
+    doc=(
+        "AUDIO-CONTENT FINGERPRINT NEAR-DUP DEDUP (Haitsma & Kalker 2002 "
+        "— signs of energy differences survive re-encoding; the third "
+        "modality on the shared Hamming machinery): 64-bit "
+        "energy-delta fingerprint per synthesized canonical PCM-WAV "
+        "payload — an honest pure-JVM RIFF walk (magic, fmt chunk "
+        "PCM/mono/8-bit fields, data size/offset all from the bytes; "
+        "payloads verified readable by the independent stdlib wave "
+        "reader), ONE staged byte-array transform, frame energies as an "
+        "in-plan transform-of-aggregates — then Hamming <= 3 pairs via "
+        "the pigeonhole-banded equi-join (lossless at the radius). "
+        "Oracle replays the sample synthesis and states the all-pairs "
+        "semantics; Python twin parity-swept in tests/test_audio_dedup.py"
+    ),
+)
+def audio_fp_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.audio_dedup import audio_fp_pairs
+
+    return audio_fp_pairs(table(spark, sf_dir, "documents"))
+
+
 @register(
     "dedup_clusters",
     oracle=f"""

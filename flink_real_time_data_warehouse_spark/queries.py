@@ -61,7 +61,7 @@ _GRADE_FIRST: list[str] = [
     "bpe_tokenize_indexed", "tokenizer_fertility_indexed",
     "wordpiece_tokenize_indexed", "unigram_tokenize_indexed",
     "image_phash_dedup", "image_phash_clusters", "image_phash_sig_stream",
-    "image_decontaminate", "sample_alignment_gate",
+    "image_decontaminate", "audio_fp_dedup", "sample_alignment_gate",
     "multimodal_curation_funnel",
     "bounce_stream_tws", "uv_stream_tws", "new_user_tws",
     # Remaining slots: the r7-stale block in staleness-report order
