@@ -1220,66 +1220,72 @@ def matryoshka_recall(
     n_overlap = |topk_full ∩ topk_d|, recall_pct = overlap*100 div k.
 
     Scale: ONE brute-force cross join scores every prefix length in a
-    single pass over each (query, corpus-vector) pair — the full-dim
-    truth is just one more entry (marker 0) in the same in-plan unpivot,
-    so there is no cached truth table, no eager materialization, and no
-    per-dim rescan of the corpus; one exchange ranks all (query, dim)
-    groups together. Overlap is an equi-join on (query, neighbor) pairs
-    — k rows per query per side, trivially joinable at any corpus size.
-    Ranks (not raw floats) cross the engine boundary, the
-    float-rounding-proof oracle discipline of the ANN family. The plan
-    stays side-effect free: building it runs no Spark jobs."""
-    _FULL = 0  # dim-marker for the full-dimension truth (real dims >= 1)
+    single pass over each (query, corpus-vector) pair, as SIBLING
+    COLUMNS on one row — never as exploded rows, so the rank exchange
+    carries O(pairs) rows, not O(dims·pairs). All per-dim rankings are
+    row_number windows over the SAME partition key (query_id): Catalyst
+    plans one Exchange and a per-dim in-partition Sort+Window chain on
+    top of it. Overlap then needs NO self-join at all — a pair is a hit
+    for dim d iff rank_full<=k AND rank_d<=k, so the k full-dim
+    survivors per query fold into a conditional-sum aggregate and an
+    in-plan unpivot emits one row per (query, dim). Ranks (not raw
+    floats) cross the engine boundary, the float-rounding-proof oracle
+    discipline of the ANN family. The plan stays side-effect free:
+    building it runs no Spark jobs."""
     queries = emb.where(F.col(id_col) < query_max)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    per_dim = [
-        F.struct(
-            F.lit(_FULL).cast("long").alias("dim"),
-            cosine(F.col("qv"), F.col("cv")).alias("sim"),
-        )
-    ] + [
-        F.struct(
-            F.lit(d).cast("long").alias("dim"),
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("sim_full"),
+        *[
             cosine(
                 F.slice(F.col("qv"), 1, d), F.slice(F.col("cv"), 1, d)
-            ).alias("sim"),
+            ).alias(f"sim_{d}")
+            for d in dims
+        ],
+    )
+
+    def rank_over(sim: str) -> Column:
+        return F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col(sim).desc(), F.col("neighbor_id").asc()
+            )
         )
-        for d in dims
-    ]
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.explode(F.array(*per_dim)).alias("_ds"),
-        )
-        .select("query_id", "neighbor_id", F.col("_ds.dim").alias("dim"), F.col("_ds.sim").alias("sim"))
-    )
-    w = Window.partitionBy("query_id", "dim").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    ranked = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "dim")
-    )
-    truth = ranked.where(F.col("dim") == _FULL).select("query_id", "neighbor_id")
-    cand = ranked.where(F.col("dim") != _FULL)
-    hits = (
-        truth.join(cand, ["query_id", "neighbor_id"])
-        .groupBy("query_id", "dim")
-        .agg(F.count("*").cast("long").alias("n_overlap"))
-    )
-    spark = emb.sparkSession
-    grid = queries.select(F.col(id_col).alias("query_id")).crossJoin(
-        F.broadcast(
-            spark.createDataFrame([(int(d),) for d in dims], "dim long")
-        )
-    )
-    return grid.join(hits, ["query_id", "dim"], "left").select(
+
+    ranked = scored.select(
         "query_id",
-        F.col("dim").cast("long").alias("dim"),
-        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
-        F.expr(f"coalesce(n_overlap, 0) * 100 div {k}").cast("long").alias("recall_pct"),
+        rank_over("sim_full").alias("rank_full"),
+        *[rank_over(f"sim_{d}").alias(f"rank_{d}") for d in dims],
+    )
+    # Only full-dim top-k rows can contribute to any overlap count.
+    agg = (
+        ranked.where(F.col("rank_full") <= k)
+        .groupBy("query_id")
+        .agg(
+            *[
+                F.sum((F.col(f"rank_{d}") <= k).cast("long"))
+                .cast("long")
+                .alias(f"ov_{d}")
+                for d in dims
+            ]
+        )
+    )
+    per_dim = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(int(d)).cast("long").alias("dim"),
+                    F.col(f"ov_{d}").alias("n_overlap"),
+                )
+                for d in dims
+            ]
+        )
+    )
+    return agg.select("query_id", per_dim.alias("_ds")).select(
+        "query_id",
+        F.col("_ds.dim").alias("dim"),
+        F.col("_ds.n_overlap").cast("long").alias("n_overlap"),
+        F.expr(f"_ds.n_overlap * 100 div {k}").cast("long").alias("recall_pct"),
     )
