@@ -293,3 +293,44 @@ def start_classifier_eval(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_alignment_gate(
+    members: DataFrame,
+    emb: DataFrame,
+    gate_dir: str,
+    checkpoint: str,
+    app_id: str = "align-gate",
+):
+    """Per-shard image-text ALIGNMENT-GATE attrition ON INGEST — the
+    streaming twin of `sample_alignment_gate` without any chained
+    streaming aggregation: the stateless decode (tar walk) rides the
+    micro-batch scan upstream, and BOTH rollups (sample assembly and
+    the per-shard attrition) run batch-side inside foreachBatch, so
+    Spark's global-watermark correctness check stays fully enforced —
+    no `statefulOperator.checkCorrectness` bypass anywhere (the r12
+    verdict's objection to the chained-agg prototype).
+
+    Correct because WebDataset shards land WHOLE per micro-batch file
+    (one shard never spans two ingest epochs — the same contiguity that
+    makes the batch assembly map-side combinable), so an epoch's
+    per-shard rows are final at commit time. The TxLog keyed
+    (app_id, epoch) makes replays idempotent — the module's
+    exactly-once contract. Reference analog: the DWS windowed-agg-after
+    -stateful chains (ProvinceStatsSQLApp.java:112-132) land per-window
+    rows into ClickHouse the same append-per-epoch way."""
+    from ..datapipe.alignment import sample_alignment_gate
+
+    log = TxLog(gate_dir)
+
+    def on_batch(batch: DataFrame, epoch: int) -> None:
+        log.append(
+            sample_alignment_gate(batch, emb), app_id=app_id, app_version=epoch
+        )
+
+    return (
+        members.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1748,16 +1748,55 @@ def image_phash_sig_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(out, spark).withColumnRenamed("text_hash", "phash_key")
 
 
-# NOTE: an `alignment_gate_stream` twin was prototyped and intentionally
-# NOT registered: the gate is sample-assembly groupBy -> per-shard
-# rollup, i.e. two CHAINED streaming aggregations, which Spark's
-# global-watermark correctness check rightly rejects (the second agg
-# could see rows older than the watermark). Running it would require
-# disabling `statefulOperator.checkCorrectness` session-wide — the
-# shared-conf anti-pattern this repo just removed from txlog.optimize().
-# The streaming members of the family are image_phash_sig_stream
-# (fingerprint dedup on ingest) and the stateless decode twins; the
-# per-shard attrition report stays a batch job over landed shards.
+def _alignment_gate_stream_oracle() -> str:
+    from ..plans.datapipe import _sample_alignment_oracle
+
+    return _sample_alignment_oracle()
+
+
+@register(
+    "alignment_gate_stream",
+    oracle=_alignment_gate_stream_oracle(),
+    doc=(
+        "the STREAMING twin of sample_alignment_gate, WITHOUT the "
+        "chained-streaming-aggregation shape Spark's global-watermark "
+        "check rightly rejects (an r12 prototype needed the session-wide "
+        "checkCorrectness bypass and was dropped for it): the stateless "
+        "tar decode rides the micro-batch scan, and BOTH rollups "
+        "(sample assembly + per-shard attrition) run batch-side in "
+        "foreachBatch, committed idempotently through the TxLog keyed "
+        "(app_id, epoch) — classifier_eval_stream's accepted shape. "
+        "Correct because shards land whole per epoch file, so each "
+        "epoch's per-shard rows are final at commit; the oracle is the "
+        "batch gate oracle verbatim (every shard appears exactly once "
+        "across the replay)"
+    ),
+)
+def alignment_gate_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..datapipe.multimodal import parse_tar_members, synth_tar_payloads
+    from ..sources.streams import stream_dir, write_epoch_files
+    from ..storage import TxLog
+    from .ingest import start_alignment_gate
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    work = tempfile.mkdtemp(prefix="align_gate_stream_")
+    splits = write_epoch_files(
+        docs, "doc_id", INGEST_STREAM_EPOCHS, os.path.join(work, "splits"), work
+    )
+    stream = stream_dir(spark, splits, "doc_id long", max_files_per_trigger=1)
+    members = parse_tar_members(synth_tar_payloads(stream))
+    gate_dir = os.path.join(work, "gate")
+    q = start_alignment_gate(
+        members,
+        table(spark, sf_dir, "embeddings"),
+        gate_dir,
+        os.path.join(work, "ckpt"),
+    )
+    q.awaitTermination()
+    return TxLog(gate_dir).snapshot(spark)
 
 
 @register(
