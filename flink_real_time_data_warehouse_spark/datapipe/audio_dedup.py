@@ -1,28 +1,42 @@
 """Audio-content fingerprint near-dup dedup — the third modality on the
 shared 64-bit Hamming machinery (public: Haitsma & Kalker 2002, "A
 Highly Robust Audio Fingerprint": a compact hash of SIGNS of
-energy-band differences survives re-encoding; the dedup pass every
-large audio corpus runs).
+time-and-band energy differences survives re-encoding; the dedup pass
+every large audio corpus runs).
 
 Same discipline as `image_dedup`: format-valid synthesized payloads —
-canonical 44-byte PCM WAV here — whose every byte derives from doc_id
-(so a SQL oracle replays the synthesis), an HONEST pure-JVM header walk
-that trusts only the bytes, a Python twin under a parity sweep, and
-`dedup.hamming_near_dup_pairs` (pigeonhole-banded, lossless at the
-radius, hot-bucket-cappable) for the pair search.
+canonical 44-byte-header PCM WAV here — whose every byte derives from
+doc_id (so a SQL oracle replays the synthesis), an HONEST pure-JVM
+header walk that trusts only the bytes, a Python twin under a parity
+sweep, and `dedup.hamming_near_dup_pairs` (pigeonhole-banded, lossless
+at the radius, hot-bucket-cappable) for the pair search.
 
-Fingerprint: the 8-bit mono PCM stream splits into 65 frames of 16
-samples; bit f = E(f+1) > E(f) over the frame energies (the 1-D
-time-axis reduction of the published time-frequency sign grid —
-documented simplification: no filterbank is available without audio
-libs, and the Spark-side plumbing is the contract). Near-dups by
-construction: docs in a group of four share a base signal; variants
-bump ONE frame's samples, which can flip at most that frame's two
-adjacent energy comparisons — base-variant distance <= 2, recovered
-provably by the Hamming <= 3 banding. The base signal carries two
-frame-level nonlinear modular terms because frame SUMS smooth
-sample-level mixing (measured: sampled min cross-group Hamming 5 over
-200k pairs with them, distance-1 collisions without).
+Fingerprint — the published TIME-FREQUENCY SIGN MATRIX, not a 1-D
+reduction: the 8-bit mono PCM stream splits into 17 frames of 8
+samples; each frame decomposes into 5 BAND energies, and bit (m, d)
+for frame transition m = 1..16 and band difference d = 0..3 is
+
+    sign( (E(m,d) - E(m,d+1)) - (E(m-1,d) - E(m-1,d+1)) ) > 0
+
+— Haitsma-Kalker eq. (1), the double difference along time and band,
+16 x 4 = 64 bits. Documented divergence: the paper's bands are
+Bark-scaled FFT filterbank outputs; no FFT/audio library exists in
+this environment, so bands here are WALSH-HADAMARD sequency bands —
+the 8-point WHT's AC coefficients c_1..c_7 (H(k,j) = (-1)^popcount(k
+AND j), a real orthogonal transform in +-1 integer arithmetic),
+grouped {c1},{c2},{c3},{c4,c5},{c6,c7} with E = sum of squared
+coefficients. Every band energy is an exact integer, so the sign grid
+is bit-identical across engines — the established engine-reproducible
+discipline (float filterbanks would make the oracle a rounding bet).
+
+Near-dups by construction: docs in a group of four share a base
+signal; variants add +20*v to the EVEN sample positions of ONE frame.
+An even-positions-only bump is the vector 20v * [j mod 2 = 0], which
+is orthogonal to every WHT row except k = 0 (DC, unused) and k = 1
+(c_1 += 80v) — so exactly ONE band (band 0) of one frame moves, which
+can flip only bit d = 0 of the two adjacent transitions: base-variant
+distance <= 2, provably, recovered by the Hamming <= 3 banding.
+Measured over 600 docs: in-group max distance 2, cross-group min 4.
 """
 
 from __future__ import annotations
@@ -32,15 +46,26 @@ from pyspark.sql import functions as F
 
 from .image_dedup import DHASH_MAX_DISTANCE
 
-#: frames x samples-per-frame of the synthesized PCM stream (frame size
-#: chosen for fixture economy — the frame-level modular terms carry the
-#: group decorrelation, so 4 samples/frame already gives sampled min
-#: cross-group Hamming 12 with zero pairs inside the search radius)
-AFP_FRAMES = 65
-AFP_FRAME_SIZE = 4
+#: time-frequency grid: frames x samples-per-frame, and WHT bands per
+#: frame. (AFP_FRAMES - 1) transitions x (AFP_BANDS - 1) band diffs
+#: must equal 64 — the shared Hamming signature width.
+AFP_FRAMES = 17
+AFP_FRAME_SIZE = 8
+AFP_BANDS = 5
+#: WHT AC coefficient -> band grouping (natural Hadamard order; the
+#: fixed arbitrary partition the oracle replays)
+BAND_OF_COEFF = {1: 0, 2: 1, 3: 2, 4: 3, 5: 3, 6: 4, 7: 4}
 _N_SAMPLES = AFP_FRAMES * AFP_FRAME_SIZE
 _SAMPLE_RATE = 8000
 _DATA_OFF = 44  # canonical PCM WAV header size
+#: base samples stay < 196 so the strongest variant bump (+60) cannot
+#: wrap past 255 — wrapping would break the one-coefficient bump proof
+_BASE_MOD = 196
+_BUMP_STEP = 20
+
+
+def _wht_sign(k: int, j: int) -> int:
+    return -1 if bin(k & j).count("1") % 2 else 1
 
 
 def _le_hex(v: int, nbytes: int) -> str:
@@ -88,8 +113,10 @@ def _raw_sample(g: Column, f: Column, j: Column) -> Column:
 
 def synth_pcm_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, payload): a format-valid mono 8-bit PCM WAV per document.
-    Group g = doc_id div 4 picks the base signal; variant v = doc_id % 4
-    (when > 0) bumps every sample of frame (g % 64) by +60 mod 256."""
+    Group g = doc_id div 4 picks the base signal (samples mod 196);
+    variant v = doc_id % 4 (when > 0) bumps the EVEN sample positions of
+    frame (g % AFP_FRAMES) by +20*v — the one-WHT-coefficient
+    perturbation (module docstring)."""
     did = F.col(id_col)
     g = F.shiftright(did, 2)
     v = did % 4
@@ -97,8 +124,11 @@ def synth_pcm_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def sample(i: Column) -> Column:
         f = ((i - i % AFP_FRAME_SIZE) / AFP_FRAME_SIZE).cast("long")
         j = i % AFP_FRAME_SIZE
-        bump = F.when((v > 0) & (f == g % 64), F.lit(60)).otherwise(F.lit(0))
-        return (_raw_sample(g, f, j) + bump) % 256
+        bump = F.when(
+            (v > 0) & (f == g % AFP_FRAMES) & (j % 2 == 0),
+            v * _BUMP_STEP,
+        ).otherwise(F.lit(0))
+        return _raw_sample(g, f, j) % _BASE_MOD + bump
 
     pcm_hex = F.array_join(
         F.transform(
@@ -114,30 +144,35 @@ def synth_pcm_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def audio_fingerprints(payloads: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(doc, sig_hi, sig_lo): 64-bit energy-delta fingerprint per clip,
-    parsed HONESTLY from the payload bytes — RIFF/WAVE magic, the fmt
-    chunk's PCM/mono/8-bit fields, the data chunk's size and offset all
-    come from the walk, never assumed. Clips failing the walk (or
-    shorter than the frame grid) drop out, the multimodal null-row rule.
+    """(doc, sig_hi, sig_lo): 64-bit time-frequency sign-matrix
+    fingerprint per clip, parsed HONESTLY from the payload bytes —
+    RIFF/WAVE magic, the fmt chunk's PCM/mono/8-bit fields, the data
+    chunk's size and offset all come from the walk, never assumed.
+    Clips failing the walk (or shorter than the frame grid) drop out,
+    the multimodal null-row rule.
 
-    Pure JVM: ONE transform stages the byte array, frame energies are an
-    in-plan transform-of-aggregates over slices, the 64 sign bits are a
-    projection — no Python, no shuffle."""
+    Pure JVM: ONE transform stages the byte array, each frame's 8
+    samples stage once and fan into the 7 WHT coefficients as array
+    lookups, band energies are exact integer sums of squares, and the
+    64 double-difference sign bits pack in one fold — no Python, no
+    shuffle."""
     # LET-BINDING DISCIPLINE: when the input column is itself an
     # expensive expression (the graded query composes this walk directly
     # over the synthesized payload), Catalyst's CollapseProject inlines
     # a staged hex column into EVERY downstream reference — and the
-    # energy pass reads 1,040 bytes off it, so the synthesis would
-    # re-evaluate ~1,000x per row (measured: minutes instead of seconds
-    # at sf0.01). A single-element `transform` turns the hex into a
-    # LAMBDA VARIABLE, which is evaluated exactly once and which no
-    # optimizer rule can inline into; the whole walk — header checks,
-    # frame energies, sign packing — happens inside that one lambda and
-    # emits three scalars.
+    # energy pass reads ~140 bytes off it, so the synthesis would
+    # re-evaluate per read (measured: minutes instead of seconds at
+    # sf0.01 on the r12 1-D form). A single-element `transform` turns
+    # the hex into a LAMBDA VARIABLE, which is evaluated exactly once
+    # and which no optimizer rule can inline into; the whole walk —
+    # header checks, band-energy grid, sign packing — happens inside
+    # that one lambda and emits three scalars.
     p = F.col("payload")
+    n_diffs = AFP_BANDS - 1
 
     def walk(h: Column) -> Column:
         plen = F.length(h) / 2  # byte length, from the one hex binding
+
         def byte_at(pos) -> Column:  # payload byte at 1-based pos
             return F.conv(
                 h.substr(((pos) * 2 - 1).cast("int"), F.lit(2)), 16, 10
@@ -166,25 +201,65 @@ def audio_fingerprints(payloads: DataFrame, id_col: str = "doc_id") -> DataFrame
             & (plen >= F.lit(_DATA_OFF) + data_size)
             & (data_size >= _N_SAMPLES)
         )
+
+        # Per-frame 5-band energy vector: the frame's 8 samples stage
+        # ONCE (inner let-binding — each byte read happens exactly once,
+        # the 7 coefficients are array lookups over it), then each band
+        # is an exact integer sum of squared WHT coefficients.
+        def band_energies(ss: Column) -> Column:
+            coeff = {}
+            for k in range(1, AFP_FRAME_SIZE):
+                term = None
+                for j in range(AFP_FRAME_SIZE):
+                    t = F.element_at(ss, j + 1)
+                    t = t if _wht_sign(k, j) > 0 else -t
+                    term = t if term is None else term + t
+                coeff[k] = term
+            bands = []
+            for b in range(AFP_BANDS):
+                e = None
+                for k, bk in BAND_OF_COEFF.items():
+                    if bk == b:
+                        sq = coeff[k] * coeff[k]
+                        e = sq if e is None else e + sq
+                bands.append(e)
+            return F.array(*bands)
+
         energies = F.transform(
             F.sequence(F.lit(0), F.lit(AFP_FRAMES - 1)),
-            lambda f: F.aggregate(
-                F.sequence(F.lit(0), F.lit(AFP_FRAME_SIZE - 1)),
-                F.lit(0).cast("long"),
-                lambda acc, j: acc
-                + byte_at(F.lit(_DATA_OFF) + f * AFP_FRAME_SIZE + j + 1),
+            lambda f: F.element_at(
+                F.transform(
+                    F.array(
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(AFP_FRAME_SIZE - 1)),
+                            lambda j: byte_at(
+                                F.lit(_DATA_OFF) + f * AFP_FRAME_SIZE + j + 1
+                            ),
+                        )
+                    ),
+                    band_energies,
+                ),
+                1,
             ),
         )
 
-        # let-bind the energies array too, then pack BOTH 32-bit halves
-        # in ONE fold over all 64 sign bits (acc*2 + bit, MSB-first, the
-        # half picked by the bit index) — the energies value is bound
-        # once and the whole signature costs one pass over it
+        # let-bind the energy grid too, then pack BOTH 32-bit halves in
+        # ONE fold over all 64 sign bits (acc*2 + bit, MSB-first, the
+        # half picked by the bit index). Bit b maps to transition
+        # m = b div 4 + 1 and band diff d = b mod 4 — Haitsma-Kalker's
+        # (E(m,d)-E(m,d+1)) - (E(m-1,d)-E(m-1,d+1)) > 0.
         def pack_both(e: Column) -> Column:
             def step(acc: Column, b: Column) -> Column:
+                m = F.floor(b / n_diffs)  # 0-based previous frame
+                d = b % n_diffs
+                prev = F.element_at(e, (m + 1).cast("int"))
+                cur = F.element_at(e, (m + 2).cast("int"))
+                lo_d = (d + 1).cast("int")
+                hi_d = (d + 2).cast("int")
                 bit = F.when(
-                    F.element_at(e, (b + 2).cast("int"))
-                    > F.element_at(e, (b + 1).cast("int")),
+                    (F.element_at(cur, lo_d) - F.element_at(cur, hi_d))
+                    - (F.element_at(prev, lo_d) - F.element_at(prev, hi_d))
+                    > 0,
                     F.lit(1).cast("long"),
                 ).otherwise(F.lit(0).cast("long"))
                 return F.struct(
@@ -272,13 +347,22 @@ def audio_fp64_py(payload: bytes) -> tuple[int, int] | None:
     data_size = le(40, 4)
     if len(payload) < _DATA_OFF + data_size or data_size < _N_SAMPLES:
         return None
-    es = [
-        sum(payload[_DATA_OFF + f * AFP_FRAME_SIZE + j] for j in range(AFP_FRAME_SIZE))
-        for f in range(AFP_FRAMES)
-    ]
+    grid = []
+    for f in range(AFP_FRAMES):
+        ss = [payload[_DATA_OFF + f * AFP_FRAME_SIZE + j] for j in range(AFP_FRAME_SIZE)]
+        c = [
+            sum(_wht_sign(k, j) * ss[j] for j in range(AFP_FRAME_SIZE))
+            for k in range(AFP_FRAME_SIZE)
+        ]
+        e = [0] * AFP_BANDS
+        for k, b in BAND_OF_COEFF.items():
+            e[b] += c[k] * c[k]
+        grid.append(e)
     hi = lo = 0
+    n_diffs = AFP_BANDS - 1
     for b in range(64):
-        if es[b + 1] > es[b]:
+        m, d = b // n_diffs + 1, b % n_diffs
+        if (grid[m][d] - grid[m][d + 1]) - (grid[m - 1][d] - grid[m - 1][d + 1]) > 0:
             if b < 32:
                 hi |= 1 << (31 - b)
             else:

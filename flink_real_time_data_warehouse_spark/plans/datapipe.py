@@ -1333,28 +1333,47 @@ def image_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _audio_fp_oracle() -> str:
-    """Replay the PCM synthesis from doc_id, reduce to per-frame energies,
-    pack the 64 energy-delta sign bits hi/lo, then the pure all-pairs
-    Hamming semantics the banded plan must equal."""
+    """Replay the PCM synthesis from doc_id, decompose each frame into
+    WHT band energies, pack the 64 Haitsma-Kalker double-difference sign
+    bits hi/lo, then the pure all-pairs Hamming semantics the banded
+    plan must equal. The band CASE is BAND_OF_COEFF verbatim."""
     from ..datapipe.audio_dedup import AFP_FRAME_SIZE, AFP_FRAMES
+    from ..datapipe.audio_dedup import _BASE_MOD, _BUMP_STEP
     from ..datapipe.image_dedup import DHASH_MAX_DISTANCE
 
+    n_diffs = 4  # AFP_BANDS - 1
     return f"""
-    WITH fr AS (
-      SELECT d.doc_id, f.f,
-             sum(((d.doc_id // 4) * 31 + (f.f * {AFP_FRAME_SIZE} + j.j) * 7
-                  + ((d.doc_id // 4) * (f.f * f.f + 3 * f.f + 7)) % 241
-                  + (((d.doc_id // 4) % 83) * ((f.f * f.f * f.f + 11) % 59)) % 101
-                  + (j.j * ((d.doc_id // 4) % 89)) % 71
-                  + CASE WHEN d.doc_id % 4 > 0 AND f.f = (d.doc_id // 4) % 64
-                         THEN 60 ELSE 0 END) % 256) AS e
+    WITH sm AS (
+      SELECT d.doc_id, f.f, j.j,
+             ((d.doc_id // 4) * 31 + (f.f * {AFP_FRAME_SIZE} + j.j) * 7
+              + ((d.doc_id // 4) * (f.f * f.f + 3 * f.f + 7)) % 241
+              + (((d.doc_id // 4) % 83) * ((f.f * f.f * f.f + 11) % 59)) % 101
+              + (j.j * ((d.doc_id // 4) % 89)) % 71) % {_BASE_MOD}
+             + CASE WHEN d.doc_id % 4 > 0 AND f.f = (d.doc_id // 4) % {AFP_FRAMES}
+                         AND j.j % 2 = 0
+                    THEN {_BUMP_STEP} * (d.doc_id % 4) ELSE 0 END AS s
       FROM documents d, range(0, {AFP_FRAMES}) f(f), range(0, {AFP_FRAME_SIZE}) j(j)
-      GROUP BY d.doc_id, f.f
+    ),
+    co AS (
+      SELECT doc_id, f, k.k,
+             sum(CASE WHEN bit_count(k.k & j) % 2 = 0 THEN s ELSE -s END) AS c
+      FROM sm, range(1, {AFP_FRAME_SIZE}) k(k)
+      GROUP BY doc_id, f, k.k
+    ),
+    be AS (
+      SELECT doc_id, f,
+             CASE WHEN k <= 3 THEN k - 1 WHEN k <= 5 THEN 3 ELSE 4 END AS b,
+             sum(c * c) AS e
+      FROM co GROUP BY 1, 2, 3
     ),
     abits AS (
-      SELECT a.doc_id, a.f AS b, CASE WHEN n.e > a.e THEN 1 ELSE 0 END AS bit
-      FROM fr a JOIN fr n ON n.doc_id = a.doc_id AND n.f = a.f + 1
-      WHERE a.f < 64
+      SELECT c0.doc_id, ((c0.f - 1) * {n_diffs} + c0.b) AS b,
+             CASE WHEN (c0.e - c1.e) - (p0.e - p1.e) > 0 THEN 1 ELSE 0 END AS bit
+      FROM be c0
+      JOIN be c1 ON c1.doc_id = c0.doc_id AND c1.f = c0.f AND c1.b = c0.b + 1
+      JOIN be p0 ON p0.doc_id = c0.doc_id AND p0.f = c0.f - 1 AND p0.b = c0.b
+      JOIN be p1 ON p1.doc_id = c0.doc_id AND p1.f = c0.f - 1 AND p1.b = c0.b + 1
+      WHERE c0.f >= 1 AND c0.b < {n_diffs}
     ),
     asig AS (
       SELECT doc_id,
@@ -1378,17 +1397,21 @@ def _audio_fp_oracle() -> str:
     oracle=_audio_fp_oracle(),
     doc=(
         "AUDIO-CONTENT FINGERPRINT NEAR-DUP DEDUP (Haitsma & Kalker 2002 "
-        "— signs of energy differences survive re-encoding; the third "
-        "modality on the shared Hamming machinery): 64-bit "
-        "energy-delta fingerprint per synthesized canonical PCM-WAV "
-        "payload — an honest pure-JVM RIFF walk (magic, fmt chunk "
-        "PCM/mono/8-bit fields, data size/offset all from the bytes; "
-        "payloads verified readable by the independent stdlib wave "
-        "reader), ONE staged byte-array transform, frame energies as an "
-        "in-plan transform-of-aggregates — then Hamming <= 3 pairs via "
-        "the pigeonhole-banded equi-join (lossless at the radius). "
-        "Oracle replays the sample synthesis and states the all-pairs "
-        "semantics; Python twin parity-swept in tests/test_audio_dedup.py"
+        "— the published TIME-FREQUENCY SIGN MATRIX: bit(m,d) = sign of "
+        "the double difference along time and band; the third modality "
+        "on the shared Hamming machinery): 17 frames x 5 Walsh-Hadamard "
+        "sequency bands (exact integer sums of squared WHT AC "
+        "coefficients — the engine-reproducible stand-in for the "
+        "paper's Bark filterbank, documented divergence), 16x4 = 64 "
+        "bits per synthesized canonical PCM-WAV payload — an honest "
+        "pure-JVM RIFF walk (magic, fmt chunk PCM/mono/8-bit fields, "
+        "data size/offset all from the bytes; payloads verified "
+        "readable by the independent stdlib wave reader), ONE staged "
+        "byte-array transform with per-frame sample let-bindings — then "
+        "Hamming <= 3 pairs via the pigeonhole-banded equi-join "
+        "(lossless at the radius). Oracle replays synthesis, WHT and "
+        "sign grid and states the all-pairs semantics; Python twin "
+        "parity-swept in tests/test_audio_dedup.py"
     ),
 )
 def audio_fp_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
