@@ -309,9 +309,15 @@ def wordpiece_piece_counts(
 # piece sequence of MINIMUM total surprisal under a unigram piece model.
 # The piece inventory and its probabilities both derive deterministically
 # from the graded BPE training run (piece weight = frequency-weighted
-# count of the surviving symbol across the trained vocabulary), so every
-# engine replays them; real SentencePiece refines the inventory by EM,
-# a documented divergence — the DECODER here is the real algorithm.
+# count of the surviving symbol across the trained vocabulary), then ONE
+# EM iteration refines them (unigram_em_refine below): the E-step
+# Viterbi-segments the training vocabulary under the seed costs (hard /
+# Viterbi EM — the argmax posterior stands in for Kudo's
+# forward-backward expectations, the remaining documented divergence),
+# the M-step re-estimates integer milli-bit costs from the
+# frequency-weighted piece counts, and pieces the E-step never chooses
+# leave the inventory (the paper's pruning). The DECODER is the real
+# algorithm.
 #
 # Determinism across engines: piece costs are INTEGER milli-bits
 # (floor(1000 * ln(T/w) / ln2) with ln2 as a shared literal), and the DP
@@ -383,6 +389,159 @@ def unigram_piece_costs(
     )
 
 
+def unigram_viterbi_segments(words: DataFrame, costs: DataFrame) -> DataFrame:
+    """(w, ps): the Viterbi piece sequence of each reachable word under
+    `costs` — the forward DP of `unigram_piece_counts` kept as a FULL
+    cost array plus a backtrace fold. Unreachable (or over-cap) words
+    drop out. Ties in the backtrace break to the LONGEST piece achieving
+    the optimal combined value (deterministic; the oracle replays it).
+
+    Plan discipline: the dp array is emitted through an
+    explode(array(...)) Generate barrier before the backtrace references
+    it O(length) times — without the barrier CollapseProject would
+    inline the whole forward fold into every element_at (the
+    [[catalyst-hof-inlining]] trap, measured on the audio walk)."""
+    dwu = words.where(F.length("w") <= UNIGRAM_MAX_WORD_CHARS)
+    mends = word_substrings(dwu).join(F.broadcast(costs), "piece").select(
+        "w",
+        (F.col("start") + F.col("plen") - 1).alias("endp"),
+        "plen",
+        "cost",
+    )
+    dpmap = (
+        mends.groupBy("w", "endp")
+        .agg(F.collect_list(F.struct("plen", "cost")).alias("opts"))
+        .groupBy("w")
+        .agg(F.map_from_entries(F.collect_list(F.struct("endp", "opts"))).alias("m"))
+    )
+
+    def _step(acc, j):
+        opts = F.try_element_at(F.col("m"), j)
+        cands = F.filter(
+            F.transform(
+                opts,
+                lambda o: F.when(
+                    F.element_at(acc, (j - o["plen"] + 1).cast("int"))
+                    < UNIGRAM_INF,
+                    F.element_at(acc, (j - o["plen"] + 1).cast("int"))
+                    + o["cost"] * 2048
+                    + 1,
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        new = (
+            F.when(F.size(cands) > 0, F.array_min(cands))
+            .otherwise(F.lit(UNIGRAM_INF))
+            .cast("long")
+        )
+        return F.concat(acc, F.array(new))
+
+    dp_full = F.aggregate(
+        F.sequence(F.lit(1), F.length("w")),
+        F.array(F.lit(0).cast("long")),
+        _step,
+    )
+    staged = dwu.join(dpmap, "w").select(
+        "w", "m", F.explode(F.array(dp_full)).alias("_dp")
+    )
+
+    def _back(acc, _):
+        pos = acc["pos"]
+        dpv = F.element_at(F.col("_dp"), (pos + 1).cast("int"))
+        pl = F.array_max(
+            F.filter(
+                F.transform(
+                    F.try_element_at(F.col("m"), pos.cast("long")),
+                    lambda o: F.when(
+                        F.element_at(
+                            F.col("_dp"), (pos - o["plen"] + 1).cast("int")
+                        )
+                        + o["cost"] * 2048
+                        + 1
+                        == dpv,
+                        o["plen"],
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        )
+        return F.when(pos <= 0, acc).otherwise(
+            F.struct(
+                (pos - pl).cast("long").alias("pos"),
+                F.concat(
+                    acc["ps"],
+                    F.array(
+                        F.col("w").substr(
+                            (pos - pl + 1).cast("int"), pl.cast("int")
+                        )
+                    ),
+                ).alias("ps"),
+            )
+        )
+
+    back = F.aggregate(
+        F.sequence(F.lit(1), F.length("w")),
+        F.struct(
+            F.length("w").cast("long").alias("pos"),
+            F.array().cast("array<string>").alias("ps"),
+        ),
+        _back,
+        lambda acc: F.reverse(acc["ps"]),  # backtrace built end-to-start
+    )
+    return (
+        staged.where(
+            F.element_at(F.col("_dp"), (F.length("w") + 1).cast("int"))
+            < UNIGRAM_INF
+        )
+        .select("w", back.alias("ps"))
+    )
+
+
+def unigram_em_refine(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[int, str, str]],
+    vocab_cap: int = BPE_VOCAB_CAP,
+    max_word: int = BPE_MAX_WORD_CHARS,
+) -> DataFrame:
+    """(piece, cost): ONE EM iteration over the seed unigram model
+    (Kudo 2018 §3's iterative estimation, hard-EM variant — the
+    module-header divergence note): E-step = Viterbi-segment the capped
+    training vocabulary under `unigram_piece_costs`; M-step = piece
+    weight is the frequency-weighted count of the piece across those
+    segmentations, re-normalized into the same integer milli-bit costs.
+    Pieces the E-step never chooses get NO row — they leave the
+    inventory, the paper's pruning step.
+
+    Scale: the E-step runs over <= vocab_cap DISTINCT words (the same
+    corpus view the seed weights derive from), so the whole refinement
+    is O(vocab) work after the one corpus scan word_vocab already does
+    — iterations are cheap at any corpus size."""
+    seed = unigram_piece_costs(df, text_col, merges, vocab_cap, max_word)
+    vocab = word_vocab(df, text_col, vocab_cap, max_word).select(
+        F.col("w"), "freq"
+    )
+    seg = unigram_viterbi_segments(vocab.select("w"), seed)
+    pw = (
+        seg.join(vocab, "w")
+        .select(F.explode("ps").alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("w"))
+    )
+    tot = pw.agg(F.sum("w").alias("t"))
+    return pw.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.floor(
+            F.lit(1000.0)
+            * F.log(F.col("t").cast("double") / F.col("w"))
+            / F.lit(LN2)
+        )
+        .cast("long")
+        .alias("cost"),
+    )
+
+
 def unigram_piece_counts(
     df: DataFrame,
     id_col: str,
@@ -396,14 +555,15 @@ def unigram_piece_counts(
     an O(length) aggregate fold carries the DP cost array (combined
     integer 2048*cost + k, so array_min is the lexicographic argmin);
     encode work is bounded by DISTINCT words. `costs` defaults to
-    deriving the model from `df` itself (right only when encode corpus =
+    deriving the EM-REFINED model from `df` itself — seed costs plus
+    one `unigram_em_refine` iteration (right only when encode corpus =
     training corpus — same contract as wordpiece_piece_counts)."""
     occ = df.select(
         F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("w")
     )
     dw = occ.select("w").distinct()
     if costs is None:
-        costs = unigram_piece_costs(df, text_col, merges)
+        costs = unigram_em_refine(df, text_col, merges)
     dwu = dw.where(F.length("w") <= UNIGRAM_MAX_WORD_CHARS)
     mends = word_substrings(dwu).join(F.broadcast(costs), "piece").select(
         "w",

@@ -105,7 +105,7 @@ class BpeIndex:
             )
         )
         ucs = pad(
-            bpe.unigram_piece_costs(docs, text_col, merges, **vkw).withColumn(
+            bpe.unigram_em_refine(docs, text_col, merges, **vkw).withColumn(
                 "tbl", F.lit("unigram_costs")
             )
         )
@@ -141,6 +141,7 @@ class BpeIndex:
         return self._read("wp_vocab", ["piece"])
 
     def unigram_costs(self) -> DataFrame:
-        """(piece, cost): integer milli-bit unigram surprisal per piece —
-        broadcast by unigram_piece_counts' Viterbi DP."""
+        """(piece, cost): EM-refined integer milli-bit unigram surprisal
+        per piece (unigram_em_refine's one-iteration model) — broadcast
+        by unigram_piece_counts' Viterbi DP."""
         return self._read("unigram_costs", ["piece", "cost"])

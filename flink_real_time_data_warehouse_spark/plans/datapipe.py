@@ -1027,6 +1027,70 @@ def _unigram_oracle() -> str:
         f"pcost AS MATERIALIZED (SELECT piece, CAST(floor(1000.0 * "
         f"ln(CAST(t AS DOUBLE) / w) / {LN2!r}) AS BIGINT) AS cost FROM pw, tot)"
     )
+    # --- one EM iteration (unigram_em_refine): E-step Viterbi-segments
+    # the training vocabulary under the seed costs (forward DP + a
+    # longest-piece-tie-break backtrace), M-step re-estimates the
+    # milli-bit costs from frequency-weighted piece counts; unchosen
+    # pieces leave the inventory. The encode DP below runs on pcost2.
+    parts.append(
+        f"ev AS MATERIALIZED (SELECT word, freq FROM v{BPE_MERGES} "
+        f"WHERE len(word) <= {UNIGRAM_MAX_WORD_CHARS})"
+    )
+    parts.append(
+        "e1 AS (SELECT word, unnest(range(1, len(word) + 1)) AS start FROM ev)"
+    )
+    parts.append(
+        f"e2 AS (SELECT word, start, unnest(range(1, least({WP_MAX_PIECE_CHARS}, "
+        "len(word) - start + 1) + 1)) AS plen FROM e1)"
+    )
+    parts.append(
+        "emends AS MATERIALIZED (SELECT s.word, s.start + s.plen - 1 AS endp, "
+        "list(struct_pack(plen := s.plen, cost := c.cost)) AS opts "
+        "FROM (SELECT word, start, plen, "
+        "substr(word, CAST(start AS INTEGER), CAST(plen AS INTEGER)) AS piece "
+        "FROM e2) s JOIN pcost c USING (piece) GROUP BY s.word, s.start + s.plen - 1)"
+    )
+    parts.append(
+        f"""ewalk AS (
+      SELECT word, CAST(0 AS BIGINT) AS j, [CAST(0 AS BIGINT)] AS acc FROM ev
+      UNION ALL
+      SELECT w.word, w.j + 1,
+             list_append(w.acc, CAST(coalesce(list_min(list_filter(list_transform(
+                 coalesce(e.opts, []),
+                 o -> CASE WHEN w.acc[CAST(w.j + 2 - o.plen AS INTEGER)] < {INF}
+                      THEN w.acc[CAST(w.j + 2 - o.plen AS INTEGER)]
+                           + o.cost * 2048 + 1 END),
+               x -> x IS NOT NULL)), {INF}) AS BIGINT))
+      FROM ewalk w LEFT JOIN emends e ON e.word = w.word AND e.endp = w.j + 1
+      WHERE w.j < len(w.word))"""
+    )
+    _pl = (
+        "list_max(list_filter(list_transform(e.opts, "
+        "o -> CASE WHEN b.acc[CAST(b.pos - o.plen + 1 AS INTEGER)] "
+        "+ o.cost * 2048 + 1 = b.acc[CAST(b.pos + 1 AS INTEGER)] "
+        "THEN o.plen END), x -> x IS NOT NULL))"
+    )
+    parts.append(
+        f"""eback AS (
+      SELECT word, acc, CAST(len(word) AS BIGINT) AS pos, []::VARCHAR[] AS ps
+      FROM ewalk WHERE j = len(word) AND acc[len(word) + 1] < {INF}
+      UNION ALL
+      SELECT b.word, b.acc, b.pos - {_pl},
+             list_append(b.ps, substr(b.word,
+               CAST(b.pos - {_pl} + 1 AS INTEGER), CAST({_pl} AS INTEGER)))
+      FROM eback b JOIN emends e ON e.word = b.word AND e.endp = b.pos
+      WHERE b.pos > 0)"""
+    )
+    parts.append(
+        "epw AS (SELECT p.piece, sum(v.freq) AS w FROM "
+        "(SELECT word, unnest(ps) AS piece FROM eback WHERE pos = 0) p "
+        "JOIN ev v USING (word) GROUP BY p.piece)"
+    )
+    parts.append("etot AS (SELECT sum(w) AS t FROM epw)")
+    parts.append(
+        f"pcost2 AS MATERIALIZED (SELECT piece, CAST(floor(1000.0 * "
+        f"ln(CAST(t AS DOUBLE) / w) / {LN2!r}) AS BIGINT) AS cost FROM epw, etot)"
+    )
     parts.append("dw AS MATERIALIZED (SELECT DISTINCT w AS word FROM ww)")
     parts.append(
         f"dwu AS (SELECT word FROM dw WHERE len(word) <= {UNIGRAM_MAX_WORD_CHARS})"
@@ -1043,7 +1107,7 @@ def _unigram_oracle() -> str:
         "list(struct_pack(plen := s.plen, cost := c.cost)) AS opts "
         "FROM (SELECT word, start, plen, "
         "substr(word, CAST(start AS INTEGER), CAST(plen AS INTEGER)) AS piece "
-        "FROM u2) s JOIN pcost c USING (piece) GROUP BY s.word, s.start + s.plen - 1)"
+        "FROM u2) s JOIN pcost2 c USING (piece) GROUP BY s.word, s.start + s.plen - 1)"
     )
     parts.append(
         f"""uwalk AS (
@@ -1093,9 +1157,12 @@ def _unigram_oracle() -> str:
         "model; completes the BPE / WordPiece / Unigram subword triad on "
         "one shared training): each word segments into the MINIMUM-"
         "surprisal piece sequence under a unigram model whose inventory "
-        "and probabilities derive from the graded BPE run (EM refinement "
-        "is the documented divergence; the decoder is the real "
-        "algorithm). Costs are integer milli-bits and the DP minimizes "
+        "and probabilities derive from the graded BPE run and then ONE "
+        "EM iteration (hard/Viterbi E-step + milli-bit M-step with "
+        "inventory pruning — unigram_em_refine; the argmax-for-"
+        "forward-backward substitution is the remaining documented "
+        "divergence; the decoder is the real algorithm). Costs are "
+        "integer milli-bits and the DP minimizes "
         "2048*cost+pieces, so no float comparison ever picks a path; "
         "words over 64 chars or with an unreachable end are one [UNK]. "
         "Spark shape: substring explode over DISTINCT words x broadcast "

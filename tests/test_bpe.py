@@ -167,6 +167,49 @@ def test_unigram_word_cap_and_tiebreak(spark):
     assert out[2] == (1, 1, 1)  # over the cap -> [UNK], no DP
 
 
+def test_unigram_em_changes_a_segmentation(spark):
+    """Pinned EM-effect fixture (Kudo 2018 §3 — one hard-EM iteration
+    must be able to MOVE a segmentation, not just renumber costs): the
+    BPE decomposition of 'abc' under merges [(a,b),(b,c)] is [ab, c],
+    but the seed unigram costs make the Viterbi path [a, bc] — so the
+    E-step shifts weight from {ab, c} onto {a, bc}, and under the
+    re-estimated costs the word 'ab' flips from the single piece [ab]
+    to [a, b]: per-doc piece count 5 -> 10. Both encodings pinned."""
+    from flink_real_time_data_warehouse_spark.datapipe.bpe import (
+        unigram_em_refine,
+        unigram_piece_costs,
+        unigram_piece_counts,
+        unigram_viterbi_segments,
+    )
+
+    words = [("abc", 30), ("bc", 60), ("ab", 5), ("a", 60), ("b", 40), ("c", 2)]
+    docs = spark.createDataFrame(
+        [(i, " ".join([w] * n)) for i, (w, n) in enumerate(words)],
+        "doc_id long, text string",
+    )
+    merges = [(1, "a", "b"), (2, "b", "c")]
+    seed = unigram_piece_costs(docs, "text", merges)
+    em = unigram_em_refine(docs, "text", merges)
+    seg_seed = {
+        r["w"]: list(r["ps"])
+        for r in unigram_viterbi_segments(
+            docs.selectExpr("explode(split(text, ' ')) AS w").distinct(), seed
+        ).collect()
+    }
+    assert seg_seed["abc"] == ["a", "bc"]  # Viterbi beats BPE's [ab, c]
+    assert seg_seed["ab"] == ["ab"]
+    cnt = lambda costs: {
+        r["doc_id"]: r["up_ct"]
+        for r in unigram_piece_counts(
+            docs, "doc_id", "text", merges, costs=costs
+        ).collect()
+    }
+    c_seed, c_em = cnt(seed), cnt(em)
+    assert c_seed[2] == 5  # 'ab' x5 as ONE piece each under the seed model
+    assert c_em[2] == 10  # ...and TWO pieces [a, b] after the EM step
+    assert c_seed[0] == c_em[0] == 60  # 'abc' x30 stays two pieces
+
+
 def test_bytelevel_bpe_no_unk_and_lossless_roundtrip(spark):
     """The byte-level variant's two defining properties, on deliberately
     hostile input (emoji, CJK, accents, control-ish punctuation, digits):
