@@ -171,6 +171,70 @@ def bpe_piece_counts(
     )
 
 
+#: merge-count truncations the vocab-size sweep evaluates (vocab size =
+#: base alphabet + n_merges, so truncating the RANK-ORDERED merge table
+#: is BPE's native vocab-size knob — the property that makes one stored
+#: artifact serve every smaller vocabulary)
+FERTILITY_SWEEP_CUTS = (3, 6, 10)
+
+
+def bpe_fertility_sweep(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[int, str, str]],
+    cuts: tuple[int, ...] = FERTILITY_SWEEP_CUTS,
+) -> DataFrame:
+    """(n_merges, word_ct, piece_ct, fertility_milli): corpus fertility
+    at each merge-count truncation — the standard tokenizer-selection
+    table (encode the same corpus at several vocabulary sizes, pick the
+    knee of the fertility curve).
+
+    ONE encode pass serves every truncation: BPE applies merges in rank
+    order, so the piece count at cut k is just the symbol-array length
+    AFTER merge k — the fold snapshots `size(syms)` at each cut instead
+    of re-encoding per vocabulary. Work stays O(DISTINCT words) like
+    every encode in this module; the 3-row report is one aggregate plus
+    an in-plan unpivot."""
+    occ = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    dw = occ.groupBy("w").agg(F.count("*").alias("_n"))
+    syms = word_symbols(F.col("w"))
+    ms = sorted(merges)
+    lens: dict[int, Column] = {}
+    applied = 0
+    for cut in sorted(cuts):
+        for rank, left, right in ms:
+            if applied < rank <= cut:
+                syms = apply_merge(syms, left, right)
+        applied = cut
+        lens[cut] = F.size(syms).cast("long")
+    snap = dw.select(
+        "_n", *[lens[c].alias(f"_l{c}") for c in sorted(cuts)]
+    )
+    agg = snap.agg(
+        F.sum("_n").cast("long").alias("word_ct"),
+        *[
+            F.sum(F.col(f"_l{c}") * F.col("_n")).cast("long").alias(f"_p{c}")
+            for c in sorted(cuts)
+        ],
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(int(c)).cast("long").alias("n_merges"),
+                F.col(f"_p{c}").alias("piece_ct"),
+            )
+            for c in sorted(cuts)
+        ]
+    )
+    return agg.select("word_ct", F.explode(stages).alias("_s")).select(
+        F.col("_s.n_merges").alias("n_merges"),
+        F.col("word_ct"),
+        F.col("_s.piece_ct").cast("long").alias("piece_ct"),
+        F.expr("_s.piece_ct * 1000 div word_ct").cast("long")
+        .alias("fertility_milli"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # WordPiece encoding over the BPE-trained vocabulary (round 9). BERT's
 # tokenizer (Devlin et al. 2018; the greedy variant formalized in Song et

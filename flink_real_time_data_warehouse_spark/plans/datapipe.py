@@ -802,6 +802,55 @@ def tokenizer_fertility_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _vocab_sweep_oracle() -> str:
+    from ..datapipe.bpe import BPE_MERGES, FERTILITY_SWEEP_CUTS
+
+    parts = _bpe_train_ctes()
+    parts.append(
+        "tw0 AS MATERIALIZED (SELECT w AS word, regexp_extract_all(w, '.') AS syms "
+        "FROM (SELECT DISTINCT w FROM ww))"
+    )
+    for i in range(BPE_MERGES):
+        parts.extend(_bpe_rewrite_ctes(i, f"tw{i}", f"tw{i+1}", with_freq=False))
+    parts.append("wfq AS (SELECT w, count(*) AS n FROM ww GROUP BY w)")
+    unions = [
+        f"""
+      SELECT CAST({c} AS BIGINT) AS n_merges,
+             CAST(sum(q.n) AS BIGINT) AS word_ct,
+             CAST(sum(q.n * len(t.syms)) AS BIGINT) AS piece_ct,
+             CAST(sum(q.n * len(t.syms)) * 1000 // sum(q.n) AS BIGINT)
+               AS fertility_milli
+      FROM tw{c} t JOIN wfq q ON q.w = t.word"""
+        for c in sorted(FERTILITY_SWEEP_CUTS)
+    ]
+    return f"WITH {', '.join(parts)}\n" + " UNION ALL ".join(unions)
+
+
+@register(
+    "tokenizer_vocab_sweep_indexed",
+    oracle=_vocab_sweep_oracle(),
+    doc=(
+        "FERTILITY-DRIVEN VOCAB-SIZE SWEEP over the stored BpeIndex "
+        "(r12 verdict task 9 — the standard tokenizer-selection table): "
+        "encode the corpus at three merge-count truncations of ONE "
+        "stored artifact version and report fertility per vocabulary "
+        "size. BPE applies merges in rank order, so truncating the "
+        "rank-ordered merge table IS vocab-size truncation, and one "
+        "encode fold serves all three cuts by snapshotting the symbol "
+        "count mid-fold — zero training jobs in the plan "
+        "(pytest-asserted like the indexed twins), zero re-encodes per "
+        "cut. Oracle reuses the training+rewrite CTE chain's tw3/tw6/"
+        "tw10 stages verbatim"
+    ),
+)
+def tokenizer_vocab_sweep_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.bpe import bpe_fertility_sweep
+
+    docs = table(spark, sf_dir, "documents")
+    merges = _stored_bpe(spark, sf_dir).merges()
+    return bpe_fertility_sweep(docs, "text", merges)
+
+
 def _bytesyms_sql(w: str) -> str:
     """DuckDB expression: `w`'s UTF-8 bytes mapped through the 256-char
     byte->unicode LUT (the oracle twin of bpe.byte_symbols)."""

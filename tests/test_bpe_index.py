@@ -77,6 +77,35 @@ def test_indexed_plan_has_no_training_jobs(spark, tmp_path):
     assert plan.lower().count("relation") <= 3
 
 
+def test_vocab_sweep_plan_has_no_training_jobs(spark, tmp_path):
+    """The fertility sweep over the stored artifact must build with ZERO
+    Spark jobs and no training shapes in the plan — one encode fold
+    snapshotted at three merge cuts, never three encodes and never a
+    retrain. Fertility must be non-decreasing as the vocabulary
+    truncates (fewer merges => more pieces per word)."""
+    from flink_real_time_data_warehouse_spark.datapipe.bpe import (
+        bpe_fertility_sweep,
+    )
+
+    docs = table(spark, TEST_SF_DIR, "documents")
+    idx = BpeIndex(spark, str(tmp_path / "bpe")).build(docs, "text")
+    merges = idx.merges()
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    sweep = bpe_fertility_sweep(docs, "text", merges)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "sweep plan construction ran Spark jobs"
+    plan = sweep._jdf.queryExecution().optimizedPlan().toString()
+    assert "GlobalLimit" not in plan  # the vocab cap is training-only
+    assert "LogicalRDD" not in plan  # no checkpointed training lineage
+    assert plan.lower().count("relation") <= 1  # ONE corpus scan total
+
+    rows = {r["n_merges"]: r["fertility_milli"] for r in sweep.collect()}
+    assert sorted(rows) == [3, 6, 10]
+    assert rows[3] >= rows[6] >= rows[10] >= 1000
+
+
 def test_empty_index_reads_empty(spark, tmp_path):
     idx = BpeIndex(spark, str(tmp_path / "bpe"))
     assert not idx.is_built()
