@@ -135,37 +135,54 @@ def multimodal_curation_funnel(
     members: DataFrame,
     emb: DataFrame,
     keepers: DataFrame,
+    caption_flags: DataFrame,
     threshold: float = ALIGN_THRESHOLD,
 ) -> DataFrame:
     """The multimodal curation pipeline's per-stage attrition report —
     `filter_funnel`'s row shape applied to image-text samples (the
     LAION-style composition: assemble -> pair -> CLIP-gate -> image
-    near-dup dedup): (stage_idx, stage, n_in, n_kept, n_dropped) with
-    n_in of stage k = n_kept of stage k-1.
+    near-dup dedup -> caption quality): (stage_idx, stage, n_in,
+    n_kept, n_dropped) with n_in of stage k = n_kept of stage k-1.
 
-      1. pairable    : sample carries both an image and a caption member
-      2. alignment   : quantized cosine of the pair >= threshold
-      3. image_dedup : the sample's asset is its dHash near-dup
-                       cluster's keeper (one exemplar per cluster)
+      1. pairable        : sample carries both an image and a caption
+                           member
+      2. alignment       : quantized cosine of the pair >= threshold
+      3. image_dedup     : the sample's asset is its dHash near-dup
+                           cluster's keeper (one exemplar per cluster)
+      4. caption_quality : the sample's caption passes the text-side
+                           quality gate (the Gopher rule conjunction —
+                           LAION drops short/degenerate captions the
+                           same post-alignment way)
 
-    `keepers` is (asset_id, is_keeper) — image_phash_clusters' verdict.
-    Scale: the scored frame is the zero-shuffle gate projection; the
-    keeper flag joins by asset key; all three stage counts reduce in ONE
-    aggregate (map-side partials), then a 3-row explode — no per-stage
-    rescans."""
+    `keepers` is (asset_id, is_keeper) — image_phash_clusters' verdict;
+    `caption_flags` is (asset_id, cap_ok) — the text gate's verdict on
+    the sample's caption source. Scale: the scored frame is the
+    zero-shuffle gate projection; the keeper and caption flags join by
+    asset key; all four stage counts reduce in ONE aggregate (map-side
+    partials), then a 4-row explode — no per-stage rescans."""
     s = scored_samples(members, emb, threshold)
-    j = s.join(keepers, "asset_id", "left").select(
-        F.col("pairable").alias("_p"),
-        F.col("aligned").alias("_a"),
-        (
-            F.col("aligned") * F.coalesce(F.col("is_keeper"), F.lit(0))
-        ).alias("_k"),
+    j = (
+        s.join(keepers, "asset_id", "left")
+        .join(caption_flags, "asset_id", "left")
+        .select(
+            F.col("pairable").alias("_p"),
+            F.col("aligned").alias("_a"),
+            (
+                F.col("aligned") * F.coalesce(F.col("is_keeper"), F.lit(0))
+            ).alias("_k"),
+            (
+                F.col("aligned")
+                * F.coalesce(F.col("is_keeper"), F.lit(0))
+                * F.coalesce(F.col("cap_ok"), F.lit(0))
+            ).alias("_q"),
+        )
     )
     agg = j.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("_p").cast("long").alias("s1"),
         F.sum("_a").cast("long").alias("s2"),
         F.sum("_k").cast("long").alias("s3"),
+        F.sum("_q").cast("long").alias("s4"),
     )
     stages = F.array(
         F.struct(
@@ -185,6 +202,12 @@ def multimodal_curation_funnel(
             F.lit("image_dedup").alias("stage"),
             F.col("s2").alias("n_in"),
             F.col("s3").alias("n_kept"),
+        ),
+        F.struct(
+            F.lit(4).cast("long").alias("stage_idx"),
+            F.lit("caption_quality").alias("stage"),
+            F.col("s3").alias("n_in"),
+            F.col("s4").alias("n_kept"),
         ),
     )
     return agg.select(F.explode(stages).alias("_s")).select(

@@ -6752,6 +6752,8 @@ def sample_alignment_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _curation_funnel_oracle() -> str:
+    from ..queries import _REGISTRY
+
     return f"""
     WITH RECURSIVE {_alignment_scored_ctes()},
     {_image_sig_ctes()},
@@ -6770,12 +6772,19 @@ def _curation_funnel_oracle() -> str:
              CASE WHEN id = min(lbl) THEN 1 ELSE 0 END AS is_keeper
       FROM reach GROUP BY id
     ),
+    gq AS (
+      SELECT doc_id AS asset_id, passes
+      FROM ({_REGISTRY["gopher_quality"].oracle})
+    ),
     j AS (
-      SELECT s.p, s.a, s.a * coalesce(k.is_keeper, 0) AS kpt
+      SELECT s.p, s.a, s.a * coalesce(k.is_keeper, 0) AS kpt,
+             s.a * coalesce(k.is_keeper, 0) * coalesce(g.passes, 0) AS cq
       FROM scored s LEFT JOIN kp k USING (asset_id)
+      LEFT JOIN gq g USING (asset_id)
     ),
     agg AS (
-      SELECT count(*) AS nn, sum(p) AS s1, sum(a) AS s2, sum(kpt) AS s3
+      SELECT count(*) AS nn, sum(p) AS s1, sum(a) AS s2, sum(kpt) AS s3,
+             sum(cq) AS s4
       FROM j
     )
     SELECT CAST(1 AS BIGINT) AS stage_idx, 'pairable' AS stage,
@@ -6787,6 +6796,9 @@ def _curation_funnel_oracle() -> str:
     UNION ALL
     SELECT CAST(3 AS BIGINT), 'image_dedup', CAST(s2 AS BIGINT),
            CAST(s3 AS BIGINT), CAST(s2 - s3 AS BIGINT) FROM agg
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), 'caption_quality', CAST(s3 AS BIGINT),
+           CAST(s4 AS BIGINT), CAST(s3 - s4 AS BIGINT) FROM agg
     """
 
 
@@ -6798,25 +6810,32 @@ def _curation_funnel_oracle() -> str:
         "composition with filter_funnel's per-stage report shape: "
         "assembled WebDataset samples -> pairable (both modalities) -> "
         "alignment gate (quantized cosine) -> image near-dup dedup "
-        "(sample's asset is its dHash cluster's keeper). One scored "
-        "projection + one keeper join by asset key + ONE aggregate "
-        "feeding a 3-row stage explode — no per-stage rescans. Oracle "
-        "composes the tar replay, the alignment CTEs, and the "
-        "recursive-CTE cluster closure end-to-end"
+        "(sample's asset is its dHash cluster's keeper) -> caption "
+        "quality (the Gopher rule conjunction on the sample's caption "
+        "source — the text-side gate LAION applies post-alignment). One "
+        "scored projection + keeper and caption-flag joins by asset key "
+        "+ ONE aggregate feeding a 4-row stage explode — no per-stage "
+        "rescans. Oracle composes the tar replay, the alignment CTEs, "
+        "the recursive-CTE cluster closure, and the registered "
+        "gopher_quality oracle end-to-end"
     ),
 )
 def multimodal_curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..datapipe.alignment import multimodal_curation_funnel
     from ..datapipe.image_dedup import image_phash_clusters
     from ..datapipe.multimodal import parse_tar_members, synth_tar_payloads
+    from ..datapipe.quality import gopher_quality
 
     docs = table(spark, sf_dir, "documents")
     members = parse_tar_members(synth_tar_payloads(docs.select("doc_id")))
     keepers = image_phash_clusters(docs).select(
         F.col("doc_id").alias("asset_id"), "is_keeper"
     )
+    captions = gopher_quality(docs, "doc_id", "text").select(
+        F.col("doc_id").alias("asset_id"), F.col("passes").alias("cap_ok")
+    )
     return multimodal_curation_funnel(
-        members, table(spark, sf_dir, "embeddings"), keepers
+        members, table(spark, sf_dir, "embeddings"), keepers, captions
     )
 
 

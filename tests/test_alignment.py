@@ -113,16 +113,26 @@ def test_curation_funnel_chains_and_matches_parts(spark):
     keepers = image_phash_clusters(docs).select(
         F.col("doc_id").alias("asset_id"), "is_keeper"
     )
+    from flink_real_time_data_warehouse_spark.datapipe.quality import (
+        gopher_quality,
+    )
+
+    captions = gopher_quality(docs, "doc_id", "text").select(
+        F.col("doc_id").alias("asset_id"), F.col("passes").alias("cap_ok")
+    )
     rows = {
         r["stage_idx"]: r
-        for r in multimodal_curation_funnel(members, emb, keepers).collect()
+        for r in multimodal_curation_funnel(
+            members, emb, keepers, captions
+        ).collect()
     }
-    assert [rows[i]["stage"] for i in (1, 2, 3)] == [
+    assert [rows[i]["stage"] for i in (1, 2, 3, 4)] == [
         "pairable",
         "alignment",
         "image_dedup",
+        "caption_quality",
     ]
-    for k in (2, 3):
+    for k in (2, 3, 4):
         assert rows[k]["n_in"] == rows[k - 1]["n_kept"]
     for r in rows.values():
         assert r["n_dropped"] == r["n_in"] - r["n_kept"] >= 0
