@@ -49,40 +49,62 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # round; everything else follows in registration order. Queries not yet
 # registered are ignored, so new entries can be pre-listed safely.
 _GRADE_FIRST: list[str] = [
-    # Round 12 rotation (r11 verdict task 1; generated from
-    # `python scripts/verify_driver.py --staleness`).
-    # Slots 1-5: the five round-11 registrations with no driver row yet
-    # (all judge-verified green in the r11 verdict session).
-    "mrr_self_retrieval", "webdataset_samples", "lm_surprisal_mkn",
-    "domain_pagerank", "classifier_select_topk",
-    # Next: this round's new registrations (never graded). The *_tws
-    # names register only where a protobuf runtime exists — absent here
-    # they are safely skipped and the stale block below fills the window.
-    "bpe_tokenize_indexed", "tokenizer_fertility_indexed",
-    "wordpiece_tokenize_indexed", "unigram_tokenize_indexed",
-    "image_phash_dedup", "image_phash_clusters", "image_phash_sig_stream",
-    "image_decontaminate", "audio_fp_dedup", "sample_alignment_gate",
-    "multimodal_curation_funnel",
-    "bounce_stream_tws", "uv_stream_tws", "new_user_tws",
-    # Remaining slots: the r7-stale block in staleness-report order
-    # (49 names; the window caps at 50 so the tail spills to r13 —
-    # regenerate with `verify_driver.py --staleness` next round).
-    "dedup_clusters", "dedup_simhash", "ann_topk", "ann_ivf_topk",
-    "ann_ivf_indexed_topk", "embedding_cosine_pairs",
-    "embedding_clusters", "dedup_incremental_indexed", "ingest_pipeline",
-    "ingest_pipeline_indexed", "lang_id", "pii_scrub", "text_quality",
-    "lm_surprisal", "token_count", "vocab_topk", "tfidf_search",
-    "doc_fingerprint", "train_split", "kmeans_centroids",
-    "mixture_sample", "source_quota_sample", "cluster_balanced_sample",
-    "chunk_documents", "token_budget_sample", "decontaminate",
-    "repetition_stats", "pack_sequences", "corpus_profile",
-    "curation_pipeline", "multimodal_decode", "frame_sample",
-    "audio_chunks", "keyword_stats_cjk", "visitor_stats_sliding",
-    "uv_daily", "new_user_fix", "bounce_events", "order_wide",
-    "payment_wide", "scd2_user_status", "serving_product_revenue",
-    "promo_revenue_share", "late_shipment_priority", "market_share",
-    "priority_shipping_counts", "brand_supplier_counts",
-    "product_type_profit", "discounted_brand_revenue", "excess_shippers",
+    # Round 13 rotation (r12 verdict task 2; generated from
+    # `python scripts/verify_driver.py --staleness` at the r13 open).
+    # Slots 1-2: the two r13 registrations with no driver row yet
+    # (both verified green against the oracle this session); then the
+    # full r7-stale block (16 names) and the oldest r8 block. After this
+    # window grades, no query's last driver row is older than r8.
+    "tokenizer_vocab_sweep_indexed",
+    "alignment_gate_stream",
+    "visitor_stats_sliding",
+    "uv_daily",
+    "new_user_fix",
+    "bounce_events",
+    "order_wide",
+    "payment_wide",
+    "scd2_user_status",
+    "serving_product_revenue",
+    "promo_revenue_share",
+    "late_shipment_priority",
+    "market_share",
+    "priority_shipping_counts",
+    "brand_supplier_counts",
+    "product_type_profit",
+    "discounted_brand_revenue",
+    "excess_shippers",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_capped",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_minhash_verified",
+    "dup_spans",
+    "dedup_simhash_pairs",
+    "dedup_canonical",
+    "decontaminate_semantic",
+    "embedding_cosine_pairs_capped",
+    "semantic_dedup",
+    "semantic_dedup_capped",
+    "embedding_quantize",
+    "unimax_sample",
+    "dsir_select",
+    "train_split_leakage_free",
+    "province_stats",
+    "visitor_stats",
+    "product_stats",
+    "events_union_stats",
+    "keyword_stats",
+    "keyword_stats_smart",
+    "session_stats",
+    "cdc_route",
+    "dirty_split",
+    "purchase_status_asof",
+    "json_props",
+    "asof_click_attribution",
+    "datetime_funcs",
+    "serving_gmv",
+    "sql_chained_stats",
 ]
 
 
