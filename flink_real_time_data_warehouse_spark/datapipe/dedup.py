@@ -639,12 +639,49 @@ def hamming_near_dup_pairs(
         F.col("doc").alias("doc_b"), F.col("sig_hi").alias("hi_b"), F.col("sig_lo").alias("lo_b"),
         "chunk_id", "chunk_val",
     )
-    cand = (
-        a.join(b, ["chunk_id", "chunk_val"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
-        .distinct()
-    )
+    if bucket_cap is None:
+        # First-agreeing-chunk dedup (guide §2.4 — remove shuffles
+        # outright): a pair agreeing on k chunks surfaces k times from the
+        # band join; the old `.distinct()` removed the copies with a full
+        # extra Exchange of the candidate set. Both sides' signatures
+        # already ride the join for the Hamming verify, so every chunk
+        # value is recomputable in place — keep a copy only when NO
+        # earlier chunk also agrees (the canonical emit-from-first-
+        # matching-band rule), which yields each pair exactly once with
+        # zero added shuffle bytes. Same pair set, same hamming. NOT valid
+        # under bucket_cap: a pair's first agreeing chunk may sit in a
+        # dropped hot bucket, and the pair must then still surface (once)
+        # through a later unsaturated chunk — the capped path keeps the
+        # distinct.
+        def chunk_of(hi: Column, lo: Column, c: int) -> Column:
+            top_offset = 64 - (c + 1) * width
+            if top_offset >= 32:
+                src, shift = hi, top_offset - 32
+            else:
+                src, shift = lo, top_offset
+            return F.shiftright(src, shift).bitwiseAND(F.lit(chunk_mask))
+
+        first_match = F.lit(True)
+        for c in range(n_chunks - 1):
+            earlier_differs = chunk_of(F.col("hi_a"), F.col("lo_a"), c) != chunk_of(
+                F.col("hi_b"), F.col("lo_b"), c
+            )
+            first_match = first_match & (
+                (F.lit(c) >= F.col("chunk_id")) | earlier_differs
+            )
+
+        cand = (
+            a.join(b, ["chunk_id", "chunk_val"])
+            .where((F.col("doc_a") < F.col("doc_b")) & first_match)
+            .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        )
+    else:
+        cand = (
+            a.join(b, ["chunk_id", "chunk_val"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
+            .distinct()
+        )
     ham = (
         F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
         + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))

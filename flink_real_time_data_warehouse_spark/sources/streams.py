@@ -87,17 +87,28 @@ def write_epoch_files(
         "_epoch", F.ntile(n_epochs).over(Window.orderBy(id_col))
     )
     base = time.time() - n_epochs * 10
+    # ONE pass (guide §2.4): the ntile window already funnels every row
+    # through a single sorted partition, and a partitionBy("_epoch")
+    # write from that one task emits exactly one file per epoch, rows
+    # still ascending by id — byte-identical epoch contents to the old
+    # per-epoch filter loop, which re-ran the upstream plan plus the
+    # global sort once PER epoch (n jobs -> 1 job).
+    tmp = os.path.join(work_dir, "_epoch_all")
+    # explicit total order: the partitioned write would otherwise insert
+    # its own per-task sort on _epoch alone, whose tie order is not
+    # guaranteed stable — (_epoch, id) pins file contents to the exact
+    # ascending-id layout the loop produced
+    epochs.sortWithinPartitions("_epoch", id_col).write.mode(
+        "overwrite"
+    ).partitionBy("_epoch").parquet(tmp)
     for e in range(1, n_epochs + 1):
-        tmp = os.path.join(work_dir, f"_epoch_tmp{e}")
-        epochs.where(F.col("_epoch") == e).drop("_epoch").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
+        edir = os.path.join(tmp, f"_epoch={e}")
         part = next(
-            f for f in os.listdir(tmp)
+            f for f in os.listdir(edir)
             if f.startswith("part-") and f.endswith(".parquet")
         )
         dst = os.path.join(dest_dir, f"epoch{e}.parquet")
-        os.replace(os.path.join(tmp, part), dst)
+        os.replace(os.path.join(edir, part), dst)
         os.utime(dst, (base + e * 10, base + e * 10))
     return dest_dir
 
