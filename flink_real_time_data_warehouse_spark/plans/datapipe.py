@@ -47,6 +47,7 @@ from ..datapipe.similarity import (
     sign_lsh_near_dup_pairs,
 )
 from ..queries import register
+from ..session import mkscratch
 from ..tables import table
 
 JACCARD_THRESHOLD = 0.15  # planted near-dups sit at j>=0.2; background <=0.1
@@ -744,7 +745,7 @@ def _stored_bpe(spark: SparkSession, sf_dir: str):
     key = (id(spark), sf_dir)
     idx = _BPE_INDEX_CACHE.get(key)
     if idx is None or not idx.is_built():
-        idx = BpeIndex(spark, tempfile.mkdtemp(prefix="bpe_index_"))
+        idx = BpeIndex(spark, mkscratch(prefix="bpe_index_"))
         idx.build(table(spark, sf_dir, "documents"), "text")
         _BPE_INDEX_CACHE[key] = idx
     return idx
@@ -1771,7 +1772,7 @@ def _stored_ivf(spark: SparkSession, sf_dir: str):
     key = (id(spark), sf_dir)
     idx = _IVF_INDEX_CACHE.get(key)
     if idx is None or not idx.is_built():
-        idx = IvfIndex(spark, tempfile.mkdtemp(prefix="ivf_index_"))
+        idx = IvfIndex(spark, mkscratch(prefix="ivf_index_"))
         idx.build(table(spark, sf_dir, "embeddings"))
         _IVF_INDEX_CACHE[key] = idx
     return idx
@@ -2449,7 +2450,7 @@ def _stored_index(spark: SparkSession, sf_dir: str):
     cached = _stored_index._cache.get(key)
     if cached is not None and not cached.is_empty():
         return cached
-    idx = SignatureIndex(spark, tempfile.mkdtemp(prefix="sig_index_"))
+    idx = SignatureIndex(spark, mkscratch(prefix="sig_index_"))
     _, index_docs = _split_new_index(spark, sf_dir)
     idx.append(index_docs, "doc_id", "text")
     _stored_index._cache[key] = idx
@@ -2565,7 +2566,7 @@ def dedup_substring_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..datapipe.signature_index import PrefixIndex
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    idx = PrefixIndex(spark, tempfile.mkdtemp(prefix="prefix_index_"))
+    idx = PrefixIndex(spark, mkscratch(prefix="prefix_index_"))
     outs = []
     for e in range(3):
         batch = docs.where(F.col("doc_id") % 3 == e)
@@ -4297,7 +4298,7 @@ def _stored_ivf_pq(spark: SparkSession, sf_dir: str):
     if idx is None or not idx.is_built():
         emb = table(spark, sf_dir, "embeddings")
         books = pq_codebooks(emb, PQ_SUBS, PQ_K, PQ_ITERS, dim=EMB_DIM)
-        idx = IvfIndex(spark, tempfile.mkdtemp(prefix="ivf_pq_index_"))
+        idx = IvfIndex(spark, mkscratch(prefix="ivf_pq_index_"))
         idx.build(emb, pq_books=books)
         _IVF_INDEX_CACHE[key] = idx
     return idx

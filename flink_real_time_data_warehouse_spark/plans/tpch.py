@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..functions.money import cents, money_sum, sql_cents, sql_money, sql_money_sum
 from ..operators.skew import salted_join
 from ..queries import register
+from ..session import mkscratch
 from ..tables import table
 
 NET = "l_extendedprice * (1 - l_discount)"
@@ -604,7 +605,7 @@ def txlog_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..storage import TxLog
 
     orders = table(spark, sf_dir, "orders")
-    work = tempfile.mkdtemp(prefix="txlog_orders_")
+    work = mkscratch(prefix="txlog_orders_")
     log = TxLog(os.path.join(work, "orders_tx"))
     for i in range(3):
         log.append(
@@ -659,7 +660,7 @@ def txlog_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..storage import TxLog
 
     orders = table(spark, sf_dir, "orders")
-    work = tempfile.mkdtemp(prefix="txlog_pruned_")
+    work = mkscratch(prefix="txlog_pruned_")
     log = TxLog(os.path.join(work, "orders_tx"))
     # three contiguous key ranges => disjoint per-file stats; bounds are
     # thirds of the key domain (integer arithmetic mirrored in the oracle)
@@ -721,7 +722,7 @@ def txlog_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..storage import TxLog
 
     orders = table(spark, sf_dir, "orders")
-    work = tempfile.mkdtemp(prefix="txlog_merge_")
+    work = mkscratch(prefix="txlog_merge_")
     log = TxLog(os.path.join(work, "orders_tx"))
     mx = orders.agg(F.max("o_orderkey")).first()[0]
     b1, b2 = mx // 3, (2 * mx) // 3
@@ -782,7 +783,7 @@ def txlog_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..storage import TxLog
 
     orders = table(spark, sf_dir, "orders")
-    work = tempfile.mkdtemp(prefix="txlog_part_")
+    work = mkscratch(prefix="txlog_part_")
     log = TxLog(os.path.join(work, "orders_tx"))
     log.append(orders, partition_by="o_orderstatus")
     full = len(log.snapshot(spark).inputFiles())
@@ -827,7 +828,7 @@ def txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..storage import TxLog
 
     orders = table(spark, sf_dir, "orders")
-    work = tempfile.mkdtemp(prefix="txlog_tt_")
+    work = mkscratch(prefix="txlog_tt_")
     log = TxLog(os.path.join(work, "orders_tx"))
     for i in range(3):
         log.append(orders.where(F.col("o_orderkey") % 3 == i), app_id="load", app_version=i)
@@ -876,7 +877,7 @@ def txlog_clustered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..storage import TxLog
 
     orders = table(spark, sf_dir, "orders")
-    work = tempfile.mkdtemp(prefix="txlog_cluster_")
+    work = mkscratch(prefix="txlog_cluster_")
     log = TxLog(os.path.join(work, "orders_tx"))
     for r in range(3):
         log.append(orders.where(F.col("o_orderkey") % 3 == r).coalesce(1),
@@ -930,7 +931,7 @@ def txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..storage import TxLog
 
     orders = table(spark, sf_dir, "orders")
-    work = tempfile.mkdtemp(prefix="txlog_evo_")
+    work = mkscratch(prefix="txlog_evo_")
     log = TxLog(os.path.join(work, "orders_tx"))
     base = orders.select("o_orderkey", "o_orderstatus")
     log.append(base.where(F.col("o_orderkey") % 2 == 0))
@@ -983,7 +984,7 @@ def txlog_multi_partition_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
     )
-    work = tempfile.mkdtemp(prefix="txlog_mpart_")
+    work = mkscratch(prefix="txlog_mpart_")
     log = TxLog(os.path.join(work, "orders_tx"))
     log.append(orders, partition_by=["o_orderstatus", "o_orderpriority"])
     full = len(log.snapshot(spark).inputFiles())
@@ -1038,7 +1039,7 @@ def txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..storage import TxLog
 
     orders = table(spark, sf_dir, "orders")
-    work = tempfile.mkdtemp(prefix="txlog_cdf_")
+    work = mkscratch(prefix="txlog_cdf_")
     log = TxLog(os.path.join(work, "orders_tx"))
     for i in range(3):
         log.append(orders.where(F.col("o_orderkey") % 3 == i), app_id="load", app_version=i)
@@ -1082,7 +1083,7 @@ def txlog_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..storage import TxLog
 
     orders = table(spark, sf_dir, "orders")
-    work = tempfile.mkdtemp(prefix="txlog_sync_")
+    work = mkscratch(prefix="txlog_sync_")
     up = TxLog(os.path.join(work, "upstream"))
     down = TxLog(os.path.join(work, "downstream"))
     synced = -1  # upstream version the downstream has applied through
@@ -1138,7 +1139,7 @@ def txlog_restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    work = tempfile.mkdtemp(prefix="txlog_restore_")
+    work = mkscratch(prefix="txlog_restore_")
     log = TxLog(os.path.join(work, "orders_tx"))
     mx = orders.agg(F.max("o_orderkey")).first()[0]
     b1 = mx // 2
@@ -1214,7 +1215,7 @@ def txlog_dv_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    work = tempfile.mkdtemp(prefix="txlog_dv_delete_")
+    work = mkscratch(prefix="txlog_dv_delete_")
     log = TxLog(os.path.join(work, "orders_tx"))
     mx = orders.agg(F.max("o_orderkey")).first()[0]
     b1, b2 = mx // 3, (2 * mx) // 3
@@ -1285,7 +1286,7 @@ def txlog_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..storage import TxLog
 
     orders = table(spark, sf_dir, "orders")
-    work = tempfile.mkdtemp(prefix="txlog_delete_")
+    work = mkscratch(prefix="txlog_delete_")
     log = TxLog(os.path.join(work, "orders_tx"))
     mx = orders.agg(F.max("o_orderkey")).first()[0]
     b1, b2 = mx // 3, (2 * mx) // 3
@@ -1364,7 +1365,7 @@ def txlog_update_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    work = tempfile.mkdtemp(prefix="txlog_update_")
+    work = mkscratch(prefix="txlog_update_")
     log = TxLog(os.path.join(work, "orders_tx"))
     mx = orders.agg(F.max("o_orderkey")).first()[0]
     b1, b2 = mx // 3, (2 * mx) // 3
@@ -1439,7 +1440,7 @@ def txlog_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    work = tempfile.mkdtemp(prefix="txlog_clone_")
+    work = mkscratch(prefix="txlog_clone_")
     src = TxLog(os.path.join(work, "src"))
     mx = orders.agg(F.max("o_orderkey")).first()[0]
     b1, b2 = mx // 3, (2 * mx) // 3
@@ -1518,7 +1519,7 @@ def txlog_rename_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    work = tempfile.mkdtemp(prefix="txlog_rename_")
+    work = mkscratch(prefix="txlog_rename_")
     log = TxLog(os.path.join(work, "orders_tx"))
     mx = orders.agg(F.max("o_orderkey")).first()[0]
     b1, b2 = mx // 3, (2 * mx) // 3
@@ -1624,7 +1625,7 @@ def txlog_cdf_full_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    work = tempfile.mkdtemp(prefix="txlog_cdf_full_")
+    work = mkscratch(prefix="txlog_cdf_full_")
     log = TxLog(os.path.join(work, "orders_tx"))
     mx = orders.agg(F.max("o_orderkey")).first()[0]
     b1 = mx // 3
@@ -1701,7 +1702,7 @@ def txlog_generated_partition_read(spark: SparkSession, sf_dir: str) -> DataFram
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
-    work = tempfile.mkdtemp(prefix="txlog_genpart_")
+    work = mkscratch(prefix="txlog_genpart_")
     log = TxLog(os.path.join(work, "orders_tx"))
     log.add_generated_column("o_month", "month(o_orderdate)")  # v0, pre-data
     log.append(orders, partition_by="o_month", stats_cols=["o_orderkey"])
@@ -1796,7 +1797,7 @@ def txlog_merge_into_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    work = tempfile.mkdtemp(prefix="txlog_merge_into_")
+    work = mkscratch(prefix="txlog_merge_into_")
     log = TxLog(os.path.join(work, "orders_tx"))
     mx = orders.agg(F.max("o_orderkey")).first()[0]
     b1, b2 = mx // 3, (2 * mx) // 3
@@ -1878,7 +1879,7 @@ def txlog_identity_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..storage import TxLog
 
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    work = tempfile.mkdtemp(prefix="txlog_identity_")
+    work = mkscratch(prefix="txlog_identity_")
     log = TxLog(os.path.join(work, "orders_tx"))
     log.add_identity_column("o_seq", start=10, step=2)
     mx = orders.agg(F.max("o_orderkey")).first()[0]
@@ -1968,7 +1969,7 @@ def txlog_identity_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     mx = orders.agg(F.max("o_orderkey")).first()[0]
     b, c = 2 * mx // 3, mx // 3
-    work = tempfile.mkdtemp(prefix="txlog_idmerge_")
+    work = mkscratch(prefix="txlog_idmerge_")
     log = TxLog(os.path.join(work, "orders_tx"))
     log.add_identity_column("o_seq", start=10, step=2)
     log.append(
@@ -2065,7 +2066,7 @@ def txlog_merge_evolve_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     mx = orders.agg(F.max("o_orderkey")).first()[0]
     b, c = 2 * mx // 3, mx // 3
-    work = tempfile.mkdtemp(prefix="txlog_evolve_")
+    work = mkscratch(prefix="txlog_evolve_")
     log = TxLog(os.path.join(work, "orders_tx"))
     for lo, hi in ((0, c), (c, b)):
         log.append(
@@ -2140,7 +2141,7 @@ def txlog_batch_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     mx = orders.agg(F.max("o_orderkey")).first()[0]
     lo, hi = mx // 3, 2 * mx // 3
-    work = tempfile.mkdtemp(prefix="txlog_batchsrc_")
+    work = mkscratch(prefix="txlog_batchsrc_")
     log = TxLog(os.path.join(work, "orders_tx"))
     log.append(
         orders.repartition(4),
@@ -2197,7 +2198,7 @@ def txlog_write_format_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     mx = orders.agg(F.max("o_orderkey")).first()[0]
     lo, hi = mx // 4, mx // 2
-    work = tempfile.mkdtemp(prefix="txlog_wfmt_")
+    work = mkscratch(prefix="txlog_wfmt_")
     path = os.path.join(work, "orders_tx")
     register_txlog_source(spark)
     (
@@ -2259,7 +2260,7 @@ def txlog_stream_format_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     mx = orders.agg(F.max("o_orderkey")).first()[0]
     b = mx // 2
-    work = tempfile.mkdtemp(prefix="txlog_chain_")
+    work = mkscratch(prefix="txlog_chain_")
     ods = TxLog(os.path.join(work, "ods"))
     sink_path = os.path.join(work, "dwd")
     register_txlog_source(spark)
@@ -2335,7 +2336,7 @@ def txlog_convert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     mx = orders.agg(F.max("o_orderkey")).first()[0]
     lo, hi = mx // 5, 2 * mx // 5
-    work = tempfile.mkdtemp(prefix="txlog_convert_")
+    work = mkscratch(prefix="txlog_convert_")
     raw = os.path.join(work, "raw")
     (
         orders.repartitionByRange(4, "o_orderkey")
@@ -2396,7 +2397,7 @@ def txlog_vacuum_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     mx = orders.agg(F.max("o_orderkey")).first()[0]
     cut = mx // 4
-    work = tempfile.mkdtemp(prefix="txlog_vacuum_")
+    work = mkscratch(prefix="txlog_vacuum_")
     log = TxLog(os.path.join(work, "t"))
     half = mx // 2
     log.append(
@@ -2650,7 +2651,7 @@ def txlog_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..storage import TxLog
 
     orders = table(spark, sf_dir, "orders")
-    work = tempfile.mkdtemp(prefix="txlog_z_")
+    work = mkscratch(prefix="txlog_z_")
     log = TxLog(os.path.join(work, "orders_tx"))
     log.append(orders.repartition(4), stats_cols=["o_orderkey", "o_custkey"])
     log.optimize(spark, max_files=16, cluster_by=["o_orderkey", "o_custkey"])
@@ -2721,7 +2722,7 @@ def txlog_bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..storage import TxLog
 
     orders = table(spark, sf_dir, "orders")
-    work = tempfile.mkdtemp(prefix="txlog_bloom_")
+    work = mkscratch(prefix="txlog_bloom_")
     log = TxLog(os.path.join(work, "orders_tx"))
     for r in range(3):
         log.append(
@@ -2844,7 +2845,7 @@ def txlog_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    work = tempfile.mkdtemp(prefix="txlog_cdc_")
+    work = mkscratch(prefix="txlog_cdc_")
     log = TxLog(os.path.join(work, "orders_tx"))
     mx = orders.agg(F.max("o_orderkey")).first()[0]
     b1, b2 = mx // 3, (2 * mx) // 3
@@ -3152,7 +3153,7 @@ def txlog_scd2_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..storage import TxLog
 
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    work = tempfile.mkdtemp(prefix="txlog_scd2_")
+    work = mkscratch(prefix="txlog_scd2_")
     log = TxLog(os.path.join(work, "dim"))
     init = cust.select(
         "c_custkey", F.col("c_mktsegment").alias("segment"),
@@ -3713,7 +3714,7 @@ def txlog_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    work = tempfile.mkdtemp(prefix="txlog_cdf_")
+    work = mkscratch(prefix="txlog_cdf_")
     log = TxLog(os.path.join(work, "orders_tx"))
     mx = orders.agg(F.max("o_orderkey")).first()[0]
     b1 = mx // 3

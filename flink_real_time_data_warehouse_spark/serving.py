@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import os
 import tempfile
+
+from .session import mkscratch
 from datetime import date as _date
 
 from pyspark.sql import SparkSession
@@ -31,7 +33,7 @@ class ServingAPI:
     def __init__(self, spark: SparkSession, sf_dir: str, store_dir: str | None = None):
         self.spark = spark
         self.sf_dir = sf_dir
-        self.store_dir = store_dir or tempfile.mkdtemp(prefix="serving_store_")
+        self.store_dir = store_dir or mkscratch(prefix="serving_store_")
 
     # -- materialization (the streaming pipeline -> ClickHouse leg) --------
     def _path(self, name: str) -> str:

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import MapType, StringType, StructField, StructType
 
 from .dim_store import DimStore
+from ..session import mkscratch
 
 
 def cdc_schema() -> StructType:
@@ -158,7 +159,7 @@ def cdc_initial_load(
     q = (
         spark.readStream.text(cdc_dir)
         .writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", checkpoint or tempfile.mkdtemp(prefix="ckpt_cdc_"))
+        .option("checkpointLocation", checkpoint or mkscratch(prefix="ckpt_cdc_"))
         .trigger(availableNow=True)
         .start()
     )

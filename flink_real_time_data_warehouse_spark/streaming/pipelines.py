@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.windows import TS_FMT
+from ..session import mkscratch
 
 
 def tumble_agg_stream(
@@ -121,7 +122,7 @@ def run_to_parquet(df: DataFrame, path: str) -> None:
     q = (
         df.writeStream.format("parquet")
         .option("path", path)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_pq_"))
+        .option("checkpointLocation", mkscratch(prefix="ckpt_pq_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -143,7 +144,7 @@ def run_to_memory(df: DataFrame, spark: SparkSession, output_mode: str = "append
         df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .option("checkpointLocation", mkscratch(prefix=f"ckpt_{name}_"))
         .trigger(availableNow=True)
         .start()
     )

@@ -28,6 +28,7 @@ from ..plans.gmall import (
     payment_wide_agg,
 )
 from ..queries import register
+from ..session import mkscratch
 from ..sources.streams import stream_table
 from ..streaming.pipelines import interval_join_stream, run_to_memory, visitor_stats_stream
 from ..streaming.state import bounce_stream, new_user_fix_stream, uv_dedup_stream
@@ -357,7 +358,7 @@ def dedup_exact_stream_builtin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the exact seen-flag path must agree
         F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
     )
-    work = tempfile.mkdtemp(prefix="dedup_builtin_")
+    work = mkscratch(prefix="dedup_builtin_")
     splits, _n = write_rank_epoch_files(
         keyed, "text_hash", "doc_id", os.path.join(work, "splits"), work
     )
@@ -795,7 +796,7 @@ def payment_wide_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines import run_to_parquet
 
     joined = _order_detail_stream_join(spark, sf_dir, "INTERVAL -15 DAY", "INTERVAL 5 DAY")
-    dwd_dir = tempfile.mkdtemp(prefix="dwd_payment_wide_")
+    dwd_dir = mkscratch(prefix="dwd_payment_wide_")
     run_to_parquet(joined.select("o_orderdate", "o_orderkey", *[
         c for c in joined.columns if c.startswith("l_") and c != "l_event_ts"
     ]), dwd_dir)
@@ -893,7 +894,7 @@ def ingest_pipeline_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.where(F.col("doc_id") % INC_NEW_MOD == 0).select("doc_id", "text")
     index_docs = docs.where(F.col("doc_id") % INC_NEW_MOD != 0)
 
-    work = tempfile.mkdtemp(prefix="ingest_stream_")
+    work = mkscratch(prefix="ingest_stream_")
     idx = SignatureIndex(spark, os.path.join(work, "index"))
     idx.append(index_docs, "doc_id", "text")
 
@@ -1005,7 +1006,7 @@ def ann_ingest_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = emb.where(F.col("vec_id") % VEC_NEW_MOD == 0).select("vec_id", "embedding")
     corpus = emb.where(F.col("vec_id") % VEC_NEW_MOD != 0)
 
-    work = tempfile.mkdtemp(prefix="ann_ingest_stream_")
+    work = mkscratch(prefix="ann_ingest_stream_")
     idx = IvfIndex(spark, os.path.join(work, "ivf"))
     idx.build(corpus)
 
@@ -1048,7 +1049,7 @@ def txlog_stream_sink_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ingest import start_txlog_sink
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    work = tempfile.mkdtemp(prefix="txlog_stream_")
+    work = mkscratch(prefix="txlog_stream_")
     splits = write_epoch_files(
         docs, "doc_id", INGEST_STREAM_EPOCHS, os.path.join(work, "splits"), work
     )
@@ -1251,7 +1252,7 @@ def txlog_cdc_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    work = tempfile.mkdtemp(prefix="txlog_cdc_stream_")
+    work = mkscratch(prefix="txlog_cdc_stream_")
     log = TxLog(os.path.join(work, "table"))
     mx = orders.agg(F.max("o_orderkey")).first()[0]
     b1, b2 = mx // 3, (2 * mx) // 3
@@ -1350,7 +1351,7 @@ def txlog_source_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    work = tempfile.mkdtemp(prefix="txlog_source_stream_")
+    work = mkscratch(prefix="txlog_source_stream_")
     log = TxLog(os.path.join(work, "table"))
     mx = orders.agg(F.max("o_orderkey")).first()[0]
     b1 = mx // 2
@@ -1480,7 +1481,7 @@ def cdc_route_materialized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         RouteConfig("user_info", "update", "dim_user_info",
                     ("id", "name", "acct"), "dim", "id"),
     ]
-    work = tempfile.mkdtemp(prefix="cdc_route_mat_")
+    work = mkscratch(prefix="cdc_route_mat_")
     splits = write_epoch_files(
         envelope, "sort_key", 3, os.path.join(work, "splits"), work
     )
@@ -1587,7 +1588,7 @@ def dwd_chain_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.orderBy(F.col("id") * 2 + (F.col("op") == "update").cast("long"))
         ),
     )
-    work = tempfile.mkdtemp(prefix="dwd_chain_")
+    work = mkscratch(prefix="dwd_chain_")
     ods = TxLog(os.path.join(work, "ods_base_db"))
     for e in (1, 2):  # the first two ODS commits exist before the stream
         ods.append(envelope.where(F.col("_epoch") == e).drop("_epoch").coalesce(1))
@@ -1782,7 +1783,7 @@ def alignment_gate_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ingest import start_alignment_gate
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    work = tempfile.mkdtemp(prefix="align_gate_stream_")
+    work = mkscratch(prefix="align_gate_stream_")
     splits = write_epoch_files(
         docs, "doc_id", INGEST_STREAM_EPOCHS, os.path.join(work, "splits"), work
     )
@@ -1929,7 +1930,7 @@ def classifier_eval_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_docs = docs.where(F.col("doc_id") % INC_NEW_MOD != 0)
     model = train_quality_classifier(index_docs, F.col("lang") == "en")
 
-    work = tempfile.mkdtemp(prefix="clf_eval_stream_")
+    work = mkscratch(prefix="clf_eval_stream_")
     splits = write_epoch_files(
         new, "doc_id", INGEST_STREAM_EPOCHS, os.path.join(work, "splits"), work
     )
