@@ -1261,38 +1261,49 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def dedup_lines(s: DataFrame, id_col: str) -> DataFrame:
     """The dedup core over an explicit (id, sent_idx, sentence) table —
     the seam line_dedup wraps, and what a caller with its own line
-    source (real newline-delimited docs) drives directly."""
+    source (real newline-delimited docs) drives directly.
+
+    Shape (guide §2.3/§2.4): the naive form — groupBy(sentence) for
+    first-occurrence, equi-join every copy back on the sentence STRING,
+    groupBy(doc) over the joined rows — shuffles the full line text three
+    times. But a doc's kept lines ARE exactly the first-occurrence rows
+    of the distinct-sentence aggregate, already tagged with their owner
+    (min struct), so the join back is pure waste: rekey the aggregate by
+    its winner doc for (n_kept, clean_text), count total lines per doc
+    as a separate tiny (doc, count) rollup, and stitch the two by doc id.
+    Line text now crosses an exchange once per DISTINCT line (the
+    unavoidable first-occurrence shuffle, map-side combined) instead of
+    once per COPY twice more — on a boilerplate-heavy corpus that is
+    orders of magnitude fewer bytes, and the billion-copy hot line costs
+    one partial-aggregated row, not a skewed join bucket."""
     firsts = s.groupBy("sentence").agg(
         F.min(F.struct(F.col(id_col), F.col("sent_idx"))).alias("_first")
     )
-    j = s.join(firsts, "sentence")
-    kept = (F.col(id_col) == F.col("_first")[id_col]) & (
-        F.col("sent_idx") == F.col("_first.sent_idx")
-    )
-    return (
-        j.groupBy(id_col)
-        .agg(
-            F.count("*").cast("long").alias("n_sentences"),
-            F.sum(kept.cast("long")).cast("long").alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(kept, F.struct("sent_idx", "sentence"))
-                        )
-                    ),
-                    lambda x: x["sentence"],
+    kept = firsts.groupBy(F.col(f"_first.{id_col}").alias(id_col)).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("_first.sent_idx").alias("sent_idx"), "sentence")
+                    )
                 ),
-                " ",
-            ).alias("clean_text"),
-        )
-        .select(
-            id_col,
-            "n_sentences",
-            "n_kept",
-            (F.col("n_sentences") - F.col("n_kept")).cast("long").alias("n_dropped"),
-            "clean_text",
-        )
+                lambda x: x["sentence"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = s.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_sentences")
+    )
+    return totals.join(kept, id_col, "left").select(
+        id_col,
+        "n_sentences",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_sentences") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
 
 
