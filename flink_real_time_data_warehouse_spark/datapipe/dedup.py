@@ -799,6 +799,13 @@ def connected_components(
     join of new labels against old); lineage is cut with localCheckpoint
     so plans don't grow with iterations. A general-graph production job would run
     the same semantics on GraphFrames'/Pregel machinery.
+
+    (r13 measured note: a self-loop-edges variant that folds the second
+    join into the per-round aggregate was tried and REVERTED — near-dup
+    pair sets are sparse (|pairs| ≪ |V|), so the left join of labels
+    against the small from_nbr frame broadcasts and is cheaper than
+    dragging every vertex's self-loop row through the join+aggregate
+    each round: dedup_clusters 5.97 s -> 8.27 s quiet-host min-of-reps.)
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))

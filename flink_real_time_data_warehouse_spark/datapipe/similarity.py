@@ -71,51 +71,98 @@ IVF_K = 8  # coarse-quantizer lists
 IVF_NPROBE = 2  # lists probed per query
 
 
-def _scored_against_cents(
-    df: DataFrame, cents: DataFrame, id_col: str, vec_col: str, out_id: str
+def _cents_row(
+    cents: DataFrame, cid_col: str = "cid", vec_col: str = "cv"
 ) -> DataFrame:
-    return df.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col).alias(out_id),
-        F.col(vec_col).alias("_v"),
-        "cid",
-        cosine(F.col(vec_col), F.col("cv")).alias("_sim"),
+    """ONE-row frame holding every centroid as an array of (cid, cv)
+    structs, for broadcast into a per-row argmax/rank projection
+    (`best_centroid` / `topn_centroids`). Collect order is irrelevant:
+    both consumers impose a total order over (sim, cid)."""
+    return cents.agg(
+        F.collect_list(
+            F.struct(F.col(cid_col).alias("cid"), F.col(vec_col).alias("cv"))
+        ).alias("_cents")
+    )
+
+
+def best_centroid(vec: Column, sim_fn) -> Column:
+    """argmax over the broadcast `_cents` array as a PURE PROJECTION
+    (guide §2.4, remove shuffles outright): the old shape — crossJoin the
+    K broadcast centroids, then groupBy(id).max(struct) — re-exchanged
+    the whole corpus (vector payload riding the struct) just to undo the
+    K-way row multiplication it had itself introduced. Same similarity
+    calls, same (sim desc, cid asc) tie-break — struct comparison orders
+    by (s, neg_cid), and Spark's array_max uses the same NaN-greatest
+    ordering as the aggregate max — zero exchange.
+
+    Returns struct(s, neg_cid, cid); read fields off it."""
+    return F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                sim_fn(vec, c["cv"]).alias("s"),
+                (-c["cid"]).alias("neg_cid"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+
+
+def topn_centroids(vec: Column, n: int, sim_fn) -> Column:
+    """The n nearest centroids of the broadcast `_cents` array as a
+    sorted array of structs — the projection form of the per-query probe
+    ranking (rank<=n window). reverse(array_sort) of struct(s, neg_cid,
+    cid) yields exactly the window's (sim desc, cid asc) order, including
+    NaN-first (array_sort places NaN greatest-last ascending; reversed =
+    first, matching a desc window). Explode the result to recover rows."""
+    return F.slice(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    F.col("_cents"),
+                    lambda c: F.struct(
+                        sim_fn(vec, c["cv"]).alias("s"),
+                        (-c["cid"]).alias("neg_cid"),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            )
+        ),
+        1,
+        n,
     )
 
 
 def assign_top1(
     df: DataFrame, cents: DataFrame, id_col: str, vec_col: str, out_id: str
 ) -> DataFrame:
-    """Nearest-centroid assignment: argmax as a map-side-combinable
-    max(struct) — the exchange carries ~|corpus| combined rows, NOT
-    |corpus|·K rows each dragging a duplicated vector through the shuffle
-    (what a row_number window would ship). Tie-break (-cid) == the
-    window's (_sim desc, cid asc); the vector rides in a field the struct
-    comparison never reaches (cid is unique per centroid)."""
-    s = _scored_against_cents(df, cents, id_col, vec_col, out_id)
-    best = s.groupBy(out_id).agg(
-        F.max(
-            F.struct(
-                F.col("_sim").alias("s"),
-                (-F.col("cid")).alias("neg_cid"),
-                F.col("cid").alias("cid"),
-                F.col("_v").alias("v"),
-            )
-        ).alias("b")
+    """Nearest-centroid assignment as a zero-shuffle projection over the
+    broadcast centroid array (see `best_centroid`; previously a
+    crossJoin + groupBy(id).max(struct), which exchanged the corpus with
+    its vectors once per call)."""
+    carr = _cents_row(cents)
+    return df.crossJoin(F.broadcast(carr)).select(
+        F.col(id_col).alias(out_id),
+        best_centroid(F.col(vec_col), cosine)["cid"].alias("cid"),
+        F.col(vec_col).alias("_v"),
     )
-    return best.select(out_id, F.col("b.cid").alias("cid"), F.col("b.v").alias("_v"))
 
 
 def assign_topn(
     df: DataFrame, cents: DataFrame, n: int, id_col: str, vec_col: str, out_id: str
 ) -> DataFrame:
-    """Query-side probe list: rank<=n plans as WindowGroupLimit; the query
-    set is the small side, so the window shuffle is cheap."""
-    s = _scored_against_cents(df, cents, id_col, vec_col, out_id)
-    w = Window.partitionBy(out_id).orderBy(F.col("_sim").desc(), F.col("cid").asc())
+    """Query-side probe list as a zero-shuffle sorted-slice projection +
+    explode (see `topn_centroids`; previously a row_number window, which
+    exchanged the query set)."""
+    carr = _cents_row(cents)
     return (
-        s.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= n)
-        .select(out_id, "cid", "_v")
+        df.crossJoin(F.broadcast(carr))
+        .select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias("_v"),
+            F.explode(topn_centroids(F.col(vec_col), n, cosine)).alias("_t"),
+        )
+        .select(out_id, F.col("_t.cid").alias("cid"), "_v")
     )
 
 
@@ -163,8 +210,8 @@ def ivf_topk(
     oracle-expressible; `kmeans_centroids` below is the offline trainer
     (swap its output in here), and the plan below is unchanged either way
     (centroids are a broadcast literal). 100 TB shape: assignment =
-    broadcast cross join with K tiny centroids + one map-side-combinable
-    argmax (no shuffle beyond the id partition); per-query search cost
+    broadcast of the K tiny centroids as one array row + a zero-shuffle
+    argmax projection (`best_centroid` — the corpus is never exchanged); per-query search cost
     drops from |C| to nprobe·|C|/K. The persisted form of this index —
     build once, append forever, probe storage — is
     `datapipe/ivf_index.IvfIndex`.
@@ -382,12 +429,12 @@ def kmeans_centroids(
     floor(sum/count)), so an unrolled SQL formulation reproduces every
     assignment and centroid bit-for-bit — no float-accumulation drift.
 
-    Scale shape per iteration: one broadcast of k tiny centroids against
-    the corpus scan, argmax as the map-side-combinable max(struct) (the
-    ivf_topk assignment shape — no row_number window over the corpus),
-    then ONE hash aggregation computing all `dim` component sums together.
-    Nothing shuffles the corpus more than once per iteration, and the
-    shuffle rows are combined map-side. Iteration count is a constant
+    Scale shape per iteration: one broadcast of the k tiny centroids
+    (as one array row) against the corpus scan, argmax as a ZERO-shuffle
+    projection (`best_centroid`), then ONE hash aggregation computing all
+    `dim` component sums together (map-side combined, k output rows).
+    The corpus is never exchanged at all — the only shuffle per
+    iteration carries k combined rows. Iteration count is a constant
     (2-10), so the lineage stays shallow; a production trainer runs this
     on a sample anyway.
     """
@@ -395,22 +442,12 @@ def kmeans_centroids(
     cents = emb.where(F.col("vid") < k).select(F.col("vid").alias("cid"), F.col("q").alias("cq"))
     sums = None
     for _ in range(iters):
-        scored = emb.crossJoin(F.broadcast(cents)).select(
-            "vid", "q", "cid", qcosine(F.col("q"), F.col("cq")).alias("sim")
-        )
-        best = (
-            scored.groupBy("vid")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("sim").alias("s"),
-                        (-F.col("cid")).alias("neg_cid"),
-                        F.col("cid").alias("cid"),
-                        F.col("q").alias("q"),
-                    )
-                ).alias("b")
-            )
-            .select(F.col("b.cid").alias("cid"), F.col("b.q").alias("q"))
+        # assignment = zero-shuffle argmax projection (best_centroid);
+        # the only exchange per iteration is the k-row component-sum
+        # aggregate below, map-side combined.
+        carr = _cents_row(cents, "cid", "cq")
+        best = emb.crossJoin(F.broadcast(carr)).select(
+            best_centroid(F.col("q"), qcosine)["cid"].alias("cid"), "q"
         )
         sums = best.groupBy("cid").agg(
             F.count("*").alias("n"),
@@ -445,27 +482,19 @@ def cluster_assignments(
     without changing the plan). Returns (id, cid).
 
     Exact fixed-point geometry (quantized/qcosine) so assignments are
-    bit-identical across engines. Scale shape: broadcast of k tiny
-    centroids against one corpus scan, argmax as the map-side-combinable
-    max(struct) — the corpus shuffles once, carrying combined rows only.
+    bit-identical across engines. Scale shape: broadcast of the k tiny
+    centroids (one array row) against one corpus scan, argmax as a
+    zero-shuffle projection (`best_centroid`) — the corpus is never
+    exchanged.
     """
     emb = corpus.select(F.col(id_col), quantized(F.col(vec_col)).alias("q"))
     cents = emb.where(F.col(id_col) < k).select(
         F.col(id_col).alias("cid"), F.col("q").alias("cq")
     )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        id_col, "cid", qcosine(F.col("q"), F.col("cq")).alias("sim")
+    carr = _cents_row(cents, "cid", "cq")
+    return emb.crossJoin(F.broadcast(carr)).select(
+        id_col, best_centroid(F.col("q"), qcosine)["cid"].alias("cid")
     )
-    best = scored.groupBy(id_col).agg(
-        F.max(
-            F.struct(
-                F.col("sim").alias("s"),
-                (-F.col("cid")).alias("neg_cid"),
-                F.col("cid").alias("cid"),
-            )
-        ).alias("b")
-    )
-    return best.select(id_col, F.col("b.cid").alias("cid"))
 
 
 SEMDEDUP_MIN_K = 8  # floor for the adaptive cluster count
@@ -520,8 +549,8 @@ def semantic_dedup(
     similarities, and the centroid-sim comparisons are bit-identical
     across engines and the DuckDB oracle reproduces the verdicts.
 
-    Scale shape: one broadcast-k assignment scan (map-side-combinable
-    argmax), then ONE shuffle by cid for the within-cluster self-join —
+    Scale shape: one broadcast-k zero-shuffle assignment projection
+    (`best_centroid`), then ONE shuffle by cid for the within-cluster self-join —
     O(sum |cluster|^2) comparisons, which is n^2/k for balanced clusters;
     the paper's guard is k itself (scale k with the corpus — 50k clusters
     for LAION — and the per-cluster work stays bounded). With k=None
@@ -559,31 +588,24 @@ def semantic_dedup(
         cents = emb.where(F.col(id_col) < k).select(
             F.col(id_col).alias("cid"), F.col("q").alias("cq")
         )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        id_col, "cid", qcosine(F.col("q"), F.col("cq")).alias("cs"), "q"
+    # Assignment = zero-shuffle argmax projection over the broadcast
+    # centroid array (best_centroid); the cluster-scoped pair join below
+    # is then the ONLY shuffle. Per-member self-norm precomputed ONCE
+    # (|members| dot products), so the pair condition below runs a single
+    # qdot per candidate pair instead of three — identical arithmetic to
+    # qcosine (exact long dots, double casts before the product).
+    carr = _cents_row(cents, "cid", "cq")
+    m = (
+        emb.crossJoin(F.broadcast(carr))
+        .select(id_col, "q", best_centroid(F.col("q"), qcosine).alias("_b"))
+        .select(
+            id_col,
+            F.col("_b.cid").alias("cid"),
+            F.col("_b.s").alias("cs"),
+            "q",
+        )
+        .withColumn("nq", qdot(F.col("q"), F.col("q")).cast("double"))
     )
-    # q rides in a struct field the comparison never reaches (cid is unique
-    # per centroid) — the assign_top1 trick, so no join back to the corpus.
-    best = scored.groupBy(id_col).agg(
-        F.max(
-            F.struct(
-                F.col("cs").alias("s"),
-                (-F.col("cid")).alias("neg_cid"),
-                F.col("cid").alias("cid"),
-                F.col("q").alias("q"),
-            )
-        ).alias("b")
-    )
-    # Per-member self-norm precomputed ONCE (|members| dot products), so
-    # the pair condition below runs a single qdot per candidate pair
-    # instead of three — identical arithmetic to qcosine (exact long dots,
-    # double casts before the product).
-    m = best.select(
-        id_col,
-        F.col("b.cid").alias("cid"),
-        F.col("b.s").alias("cs"),
-        F.col("b.q").alias("q"),
-    ).withColumn("nq", qdot(F.col("q"), F.col("q")).cast("double"))
     if cluster_cap is not None:
         m = band_clusters(m, cluster_cap, "cid", id_col)
     x = m.select(
@@ -650,8 +672,8 @@ def knn_label_noise(
     neighbors vote on its label; a majority disagreeing with the stored
     label flags the sample as probable noise.
 
-    Scale shape is SemDeDup's: one broadcast-k assignment scan, ONE
-    shuffle by cid for the within-cluster neighbor join (O(n^2/k) pairs,
+    Scale shape is SemDeDup's: one broadcast-k zero-shuffle assignment
+    projection, ONE shuffle by cid for the within-cluster neighbor join (O(n^2/k) pairs,
     never all-pairs), then one window rank per vector; `cluster_cap`
     bounds a pathological hot cluster via :func:`band_clusters` (votes
     then come from the vector's own id-band — the same recall trade as
@@ -671,26 +693,17 @@ def knn_label_noise(
     cents = emb.where(F.col(id_col) < k_clusters).select(
         F.col(id_col).alias("cid"), F.col("q").alias("cq")
     )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        id_col, label_col, "q", "cid", qcosine(F.col("q"), F.col("cq")).alias("cs")
+    carr = _cents_row(cents, "cid", "cq")
+    m = (
+        emb.crossJoin(F.broadcast(carr))
+        .select(
+            id_col,
+            best_centroid(F.col("q"), qcosine)["cid"].alias("cid"),
+            "q",
+            F.col(label_col).alias("lbl"),
+        )
+        .withColumn("nq", qdot(F.col("q"), F.col("q")).cast("double"))
     )
-    best = scored.groupBy(id_col).agg(
-        F.max(
-            F.struct(
-                F.col("cs").alias("s"),
-                (-F.col("cid")).alias("neg_cid"),
-                F.col("cid").alias("cid"),
-                F.col("q").alias("q"),
-                F.col(label_col).alias("lbl"),
-            )
-        ).alias("b")
-    )
-    m = best.select(
-        id_col,
-        F.col("b.cid").alias("cid"),
-        F.col("b.q").alias("q"),
-        F.col("b.lbl").alias("lbl"),
-    ).withColumn("nq", qdot(F.col("q"), F.col("q")).cast("double"))
     if cluster_cap is not None:
         m = band_clusters(m, cluster_cap, "cid", id_col)
     x = m.select(
@@ -747,8 +760,8 @@ def embedding_outliers(
     between engines — so the oracle reproduces every flag bit-for-bit.
     Tail size = ceil(tail_pct% of cluster size), ties broken by id.
 
-    Scale shape: one broadcast-k assignment scan (map-side-combinable
-    argmax), one cid-partitioned window over n rows. No pairwise work at
+    Scale shape: one broadcast-k zero-shuffle assignment projection
+    (`best_centroid`), one cid-partitioned window over n rows. No pairwise work at
     all — this is the cheapest of the embedding curation passes.
 
     Returns (id, cid, sim_rank, cluster_n, is_outlier: int).
@@ -759,19 +772,12 @@ def embedding_outliers(
     cents = emb.where(F.col(id_col) < k_clusters).select(
         F.col(id_col).alias("cid"), F.col("q").alias("cq")
     )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        id_col, "cid", qcosine(F.col("q"), F.col("cq")).alias("cs")
+    carr = _cents_row(cents, "cid", "cq")
+    m = (
+        emb.crossJoin(F.broadcast(carr))
+        .select(id_col, best_centroid(F.col("q"), qcosine).alias("_b"))
+        .select(id_col, F.col("_b.cid").alias("cid"), F.col("_b.s").alias("cs"))
     )
-    best = scored.groupBy(id_col).agg(
-        F.max(
-            F.struct(
-                F.col("cs").alias("s"),
-                (-F.col("cid")).alias("neg_cid"),
-                F.col("cid").alias("cid"),
-            )
-        ).alias("b")
-    )
-    m = best.select(id_col, F.col("b.cid").alias("cid"), F.col("b.s").alias("cs"))
     w_rank = Window.partitionBy("cid").orderBy(F.col("cs").asc(), F.col(id_col).asc())
     w_all = Window.partitionBy("cid")
     return (
@@ -949,22 +955,27 @@ def semantic_decontaminate(
     contamination appendices).
 
     Scale shape: benchmarks are tiny (≪1 GB) — the benchmark side
-    broadcasts, the corpus scans ONCE, and the per-item max similarity is
-    a map-side-combinable max(struct) — no corpus shuffle at all beyond
-    the final combine. Exact fixed-point geometry (`quantized`/`qcosine`)
+    broadcasts as one array row, the corpus scans ONCE, and the per-item
+    max similarity is a pure array_max projection — the corpus is never
+    shuffled at all. Exact fixed-point geometry (`quantized`/`qcosine`)
     keeps every similarity bit-identical across engines.
 
     Returns (id, max_bench_sim, contaminated: int)."""
     c = corpus.select(F.col(id_col), quantized(F.col(vec_col)).alias("q"))
-    b = benchmark.select(quantized(F.col(vec_col)).alias("bq"))
-    scored = c.crossJoin(F.broadcast(b)).select(
-        id_col, qcosine(F.col("q"), F.col("bq")).alias("sim")
+    # All benchmark vectors in ONE broadcast array row; the per-item max
+    # similarity is then a pure projection (array_max shares the
+    # aggregate max's NaN-greatest ordering) — the corpus is never
+    # exchanged at all, not even as combined rows.
+    barr = benchmark.agg(
+        F.collect_list(quantized(F.col(vec_col))).alias("_bench")
     )
-    return scored.groupBy(id_col).agg(
-        F.max("sim").alias("max_bench_sim")
-    ).select(
-        id_col, "max_bench_sim",
-        (F.col("max_bench_sim") >= threshold).cast("int").alias("contaminated"),
+    sim = F.array_max(
+        F.transform(F.col("_bench"), lambda bq: qcosine(F.col("q"), bq))
+    )
+    return c.crossJoin(F.broadcast(barr)).select(
+        id_col,
+        sim.alias("max_bench_sim"),
+        (sim >= threshold).cast("int").alias("contaminated"),
     )
 
 
@@ -987,22 +998,9 @@ def _lloyd_q(emb: DataFrame, k: int, iters: int, dim: int) -> DataFrame:
         F.col("vid").alias("cid"), F.col("q").alias("cq")
     )
     for _ in range(iters):
-        scored = emb.crossJoin(F.broadcast(cents)).select(
-            "vid", "q", "cid", qcosine(F.col("q"), F.col("cq")).alias("sim")
-        )
-        best = (
-            scored.groupBy("vid")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("sim").alias("s"),
-                        (-F.col("cid")).alias("neg_cid"),
-                        F.col("cid").alias("cid"),
-                        F.col("q").alias("q"),
-                    )
-                ).alias("b")
-            )
-            .select(F.col("b.cid").alias("cid"), F.col("b.q").alias("q"))
+        carr = _cents_row(cents, "cid", "cq")
+        best = emb.crossJoin(F.broadcast(carr)).select(
+            best_centroid(F.col("q"), qcosine)["cid"].alias("cid"), "q"
         )
         sums = best.groupBy("cid").agg(
             F.count("*").alias("n"),
@@ -1074,21 +1072,17 @@ def pq_encode(
             )
         ).alias("x"),
     ).select("vid", F.col("x.sub").alias("sub"), F.col("x.sq").alias("sq"))
-    scored = ex.join(F.broadcast(books), "sub").select(
-        "vid", "sub", "cid", qcosine(F.col("sq"), F.col("cq")).alias("sim")
+    # Per-subspace codebooks grouped into one array row per sub (m tiny
+    # rows, broadcast); the nearest-codeword pick is then the zero-shuffle
+    # argmax projection (best_centroid) instead of a groupBy(vid, sub)
+    # exchange of every exploded subvector.
+    barr = books.groupBy("sub").agg(
+        F.collect_list(
+            F.struct(F.col("cid").alias("cid"), F.col("cq").alias("cv"))
+        ).alias("_cents")
     )
-    return (
-        scored.groupBy("vid", "sub")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("sim").alias("s"),
-                    (-F.col("cid")).alias("neg_cid"),
-                    F.col("cid").alias("cid"),
-                )
-            ).alias("b")
-        )
-        .select("vid", "sub", F.col("b.cid").alias("cid"))
+    return ex.join(F.broadcast(barr), "sub").select(
+        "vid", "sub", best_centroid(F.col("sq"), qcosine)["cid"].alias("cid")
     )
 
 

