@@ -3637,7 +3637,15 @@ _TAR_TAIL_SUM = 0x30 + 0x75 + 0x73 + 0x74 + 0x61 + 0x72 + 0x30 + 0x30
 def _byte_sum(bin_col):
     """Byte-value sum of a binary column: hex-pair walk + aggregate —
     pure JVM (higher-order function, no Python). Used by the tar
-    checksum on both the synthesis and the verify side."""
+    checksum on both the synthesis and the verify side.
+
+    KEEP the regexp_extract_all('(..)') pair array: it evaluates the
+    hex() image ONCE as the regex input. An index-walk variant
+    (aggregate over a byte-offset sequence with hx.substr(i*2+1, 2))
+    was measured at 4.3x SLOWER (tar_members 6.1 -> 26.5 s same-window
+    min-of-3) because the lambda re-evaluates the embedded hex()
+    subexpression per element — no CSE across higher-order-function
+    iterations, the let-binding trap documented in audio_dedup.py."""
     pairs = F.regexp_extract_all(F.hex(bin_col), F.lit("(..)"), 1)
     return F.aggregate(
         pairs,
