@@ -96,14 +96,23 @@ def bpe_train(
     """Learn `n_merges` merge pairs; returns [(rank, left, right), ...].
 
     Per round: ONE explode+agg over the vocabulary for weighted pair
-    counts, argmax with the deterministic tie-break, then the greedy
-    rewrite (localCheckpoint truncates the growing lineage). Stops early
-    if no pair remains. `symbols` picks the base alphabet (chars or the
-    byte-level table)."""
+    counts, argmax as a single-row `min(struct(-c, l, r))` aggregate —
+    value-identical to `ORDER BY c DESC, l, r LIMIT 1` (struct ordering
+    is lexicographic and -c ascending IS c descending) but a map-side
+    partial aggregate instead of a global sort (guide §2.3) — then the
+    greedy rewrite. The rewrite chain is lineage-cut every
+    `_CKPT_EVERY` rounds rather than every round: the training loop is
+    many tiny driver-sequenced jobs over a <= vocab_cap-row frame, so
+    per-round checkpoints were pure scheduling overhead, while a
+    bounded apply_merge chain re-evaluates at most _CKPT_EVERY cheap
+    array folds per row. Stops early if no pair remains. `symbols`
+    picks the base alphabet (chars or the byte-level table)."""
+    _CKPT_EVERY = 8
     vocab = word_vocab(df, text_col, vocab_cap, max_word, symbols).localCheckpoint(
         eager=True
     )
     merges: list[tuple[int, str, str]] = []
+    pending = 0
     for rank in range(1, n_merges + 1):
         n = F.size("syms")
         zipped = F.arrays_zip(
@@ -119,15 +128,25 @@ def bpe_train(
             )
             .groupBy("l", "r")
             .agg(F.sum("freq").alias("c"))
-            .orderBy(F.col("c").desc(), "l", "r")
-            .first()
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"), F.col("l"), F.col("r")
+                    )
+                ).alias("m")
+            )
+            .first()["m"]
         )
         if top is None:
             break
         merges.append((rank, top["l"], top["r"]))
         vocab = vocab.withColumn(
             "syms", apply_merge(F.col("syms"), top["l"], top["r"])
-        ).localCheckpoint(eager=True)
+        )
+        pending += 1
+        if pending >= _CKPT_EVERY and rank < n_merges:
+            vocab = vocab.localCheckpoint(eager=True)
+            pending = 0
     return merges
 
 
@@ -426,12 +445,16 @@ def unigram_piece_costs(
     merges: list[tuple[int, str, str]],
     vocab_cap: int = BPE_VOCAB_CAP,
     max_word: int = BPE_MAX_WORD_CHARS,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """(piece, cost): integer milli-bit surprisal per piece. Weight =
     sum over the trained vocabulary of word-frequency x symbol count;
     cost = floor(1000 * ln(T / w) / ln 2). The total rides along as a
-    broadcast 1-row frame — no driver-side collect."""
-    vocab = word_vocab(df, text_col, vocab_cap, max_word)
+    broadcast 1-row frame — no driver-side collect. `vocab` lets a
+    caller that already materialized `word_vocab(df, ...)` share it
+    (the EM refinement needs the same frame twice)."""
+    if vocab is None:
+        vocab = word_vocab(df, text_col, vocab_cap, max_word)
     syms = F.col("syms")
     for _rank, left, right in sorted(merges):
         syms = apply_merge(syms, left, right)
@@ -581,11 +604,17 @@ def unigram_em_refine(
     Scale: the E-step runs over <= vocab_cap DISTINCT words (the same
     corpus view the seed weights derive from), so the whole refinement
     is O(vocab) work after the one corpus scan word_vocab already does
-    — iterations are cheap at any corpus size."""
-    seed = unigram_piece_costs(df, text_col, merges, vocab_cap, max_word)
-    vocab = word_vocab(df, text_col, vocab_cap, max_word).select(
-        F.col("w"), "freq"
+    — iterations are cheap at any corpus size. The vocabulary frame is
+    materialized ONCE (localCheckpoint) and shared by the seed-cost
+    derivation and the E-step, instead of re-running the corpus
+    scan+agg+top-k per use."""
+    vocab_full = word_vocab(df, text_col, vocab_cap, max_word)
+    if not vocab_full.isStreaming:
+        vocab_full = vocab_full.localCheckpoint(eager=True)
+    seed = unigram_piece_costs(
+        df, text_col, merges, vocab_cap, max_word, vocab=vocab_full
     )
+    vocab = vocab_full.select(F.col("w"), "freq")
     seg = unigram_viterbi_segments(vocab.select("w"), seed)
     pw = (
         seg.join(vocab, "w")

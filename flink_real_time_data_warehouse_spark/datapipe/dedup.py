@@ -213,7 +213,18 @@ def lsh_candidate_pairs(
     (`drop_hot_buckets`), bounding every bucket at cap²/2 pairs — docs in
     a dropped bucket still pair through their other, unsaturated bands.
     ``bucket_cap=None`` (default) keeps the exact uncapped semantics.
+
+    The signature frame is materialized (localCheckpoint) before the
+    band self-join: both join sides embed the full signature pipeline
+    (shingle explode + num_hashes min-aggs + its exchange), so without a
+    materialization point the corpus-wide signature computation runs
+    once PER SIDE — guide §8's rule (fingerprint pass computed once,
+    decisions made over the stored fingerprints). Signatures are
+    O(docs) rows of num_hashes longs — far cheaper to store than to
+    recompute at any scale.
     """
+    if not sig.isStreaming:
+        sig = sig.localCheckpoint(eager=True)
     banded = band_rows(sig, bands, num_hashes)
     if bucket_cap is not None:
         banded = drop_hot_buckets(banded, ["band_id", "band_hash"], bucket_cap)
@@ -609,7 +620,19 @@ def hamming_near_dup_pairs(
     at cap²/2 pairs (docs in a dropped bucket still pair through their
     other, unsaturated chunks). None (default) keeps the exact lossless
     semantics the oracle states.
+
+    The signature frame is materialized (localCheckpoint) before the
+    band self-join: the callers' signature pipelines (image dHash over
+    synthesized pixels, the audio WHT band grid, SimHash over tokens)
+    are the expensive half, and both join sides embed that full subtree
+    — without a materialization point it runs once PER SIDE (and
+    consumers like connected components that reference the pair frame
+    twice pay it four times). Guide §8: compute the fingerprint pass
+    once, decide over the stored fingerprints. Signatures are O(docs)
+    rows of (doc, two longs).
     """
+    if not sig.isStreaming:
+        sig = sig.localCheckpoint(eager=True)
     n_chunks = max_distance + 1
     if 64 % n_chunks:
         raise ValueError(f"max_distance+1 ({n_chunks}) must divide 64")
@@ -807,6 +830,11 @@ def connected_components(
     dragging every vertex's self-loop row through the join+aggregate
     each round: dedup_clusters 5.97 s -> 8.27 s quiet-host min-of-reps.)
     """
+    # (r13 measured: checkpointing `pairs` itself before this union is a
+    # LOSS — image_phash_clusters 6.5 -> 8.9 s, dedup_clusters 4.4 -> 4.8
+    # — the pair subtree is cheap once its signature input is
+    # materialized at the source, and the extra materialization barrier
+    # only serializes the two union branches.)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))

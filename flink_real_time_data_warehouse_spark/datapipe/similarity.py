@@ -72,64 +72,110 @@ IVF_NPROBE = 2  # lists probed per query
 
 
 def _cents_row(
-    cents: DataFrame, cid_col: str = "cid", vec_col: str = "cv"
+    cents: DataFrame, cid_col: str = "cid", vec_col: str = "cv", self_term=None
 ) -> DataFrame:
-    """ONE-row frame holding every centroid as an array of (cid, cv)
+    """ONE-row frame holding every centroid as an array of (cid, cv, nc)
     structs, for broadcast into a per-row argmax/rank projection
-    (`best_centroid` / `topn_centroids`). Collect order is irrelevant:
-    both consumers impose a total order over (sim, cid)."""
+    (`best_centroid` / `topn_centroids`). `nc` is the centroid's
+    PRECOMPUTED self-term (`self_term(cv)` — sqrt-norm for double
+    cosine, long self-dot for fixed-point cosine), evaluated once per
+    centroid here (k rows) instead of once per (row, centroid) in the
+    argmax — with the row's own self-term staged the same way, each
+    similarity costs ONE dot product instead of three (guide §1.2 step
+    2, per-task work). Collect order is irrelevant: both consumers
+    impose a total order over (sim, cid)."""
+    nc = (self_term if self_term is not None else norm)(F.col(vec_col))
     return cents.agg(
         F.collect_list(
-            F.struct(F.col(cid_col).alias("cid"), F.col(vec_col).alias("cv"))
+            F.struct(
+                F.col(cid_col).alias("cid"),
+                F.col(vec_col).alias("cv"),
+                nc.alias("nc"),
+            )
         ).alias("_cents")
     )
 
 
-def best_centroid(vec: Column, sim_fn) -> Column:
+def fsim_pre(vec: Column, nv: Column, c: Column) -> Column:
+    """Double cosine with both self-norms precomputed: numerically
+    IDENTICAL to `cosine(vec, cv)` = dot/(norm(vec)*norm(cv)) — nv and
+    c['nc'] hold exactly those norm() values, computed once instead of
+    per pair."""
+    return dot(vec, c["cv"]) / (nv * c["nc"])
+
+
+def qsim_pre(vec: Column, nv: Column, c: Column) -> Column:
+    """Exact-fixed-point cosine with both self-dots precomputed (longs):
+    IDENTICAL to `qcosine` — same cast-then-multiply-inside-sqrt."""
+    return qdot(vec, c["cv"]) / F.sqrt(
+        nv.cast("double") * c["nc"].cast("double")
+    )
+
+
+def _let1(bind: Column, body) -> Column:
+    """Let-binding via a single-element transform: `bind` becomes a
+    LAMBDA VARIABLE, which Catalyst evaluates exactly once and cannot
+    inline into the body's (possibly many) references — the same
+    discipline as the audio/tar walks. body: lambda var -> Column."""
+    return F.element_at(F.transform(F.array(bind), body), 1)
+
+
+def best_centroid(vec: Column, nv: Column, sim3) -> Column:
     """argmax over the broadcast `_cents` array as a PURE PROJECTION
     (guide §2.4, remove shuffles outright): the old shape — crossJoin the
     K broadcast centroids, then groupBy(id).max(struct) — re-exchanged
     the whole corpus (vector payload riding the struct) just to undo the
     K-way row multiplication it had itself introduced. Same similarity
-    calls, same (sim desc, cid asc) tie-break — struct comparison orders
+    values, same (sim desc, cid asc) tie-break — struct comparison orders
     by (s, neg_cid), and Spark's array_max uses the same NaN-greatest
     ordering as the aggregate max — zero exchange.
 
+    `nv` is the row's self-term expression (see `_cents_row`); it is
+    let-bound (`_let1`) so it evaluates once per ROW, not once per
+    centroid. sim3: (vec, nv, cent_struct) -> sim.
+
     Returns struct(s, neg_cid, cid); read fields off it."""
-    return F.array_max(
-        F.transform(
-            F.col("_cents"),
-            lambda c: F.struct(
-                sim_fn(vec, c["cv"]).alias("s"),
-                (-c["cid"]).alias("neg_cid"),
-                c["cid"].alias("cid"),
-            ),
-        )
+    return _let1(
+        nv,
+        lambda nvv: F.array_max(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    sim3(vec, nvv, c).alias("s"),
+                    (-c["cid"]).alias("neg_cid"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        ),
     )
 
 
-def topn_centroids(vec: Column, n: int, sim_fn) -> Column:
+def topn_centroids(vec: Column, nv: Column, n: int, sim3) -> Column:
     """The n nearest centroids of the broadcast `_cents` array as a
     sorted array of structs — the projection form of the per-query probe
     ranking (rank<=n window). reverse(array_sort) of struct(s, neg_cid,
     cid) yields exactly the window's (sim desc, cid asc) order, including
     NaN-first (array_sort places NaN greatest-last ascending; reversed =
-    first, matching a desc window). Explode the result to recover rows."""
-    return F.slice(
-        F.reverse(
-            F.array_sort(
-                F.transform(
-                    F.col("_cents"),
-                    lambda c: F.struct(
-                        sim_fn(vec, c["cv"]).alias("s"),
-                        (-c["cid"]).alias("neg_cid"),
-                        c["cid"].alias("cid"),
-                    ),
+    first, matching a desc window). Explode the result to recover rows.
+    `nv`/`sim3`: see `best_centroid`."""
+    return _let1(
+        nv,
+        lambda nvv: F.slice(
+            F.reverse(
+                F.array_sort(
+                    F.transform(
+                        F.col("_cents"),
+                        lambda c: F.struct(
+                            sim3(vec, nvv, c).alias("s"),
+                            (-c["cid"]).alias("neg_cid"),
+                            c["cid"].alias("cid"),
+                        ),
+                    )
                 )
-            )
+            ),
+            1,
+            n,
         ),
-        1,
-        n,
     )
 
 
@@ -140,10 +186,10 @@ def assign_top1(
     broadcast centroid array (see `best_centroid`; previously a
     crossJoin + groupBy(id).max(struct), which exchanged the corpus with
     its vectors once per call)."""
-    carr = _cents_row(cents)
+    carr = _cents_row(cents, self_term=norm)
     return df.crossJoin(F.broadcast(carr)).select(
         F.col(id_col).alias(out_id),
-        best_centroid(F.col(vec_col), cosine)["cid"].alias("cid"),
+        best_centroid(F.col(vec_col), norm(F.col(vec_col)), fsim_pre)["cid"].alias("cid"),
         F.col(vec_col).alias("_v"),
     )
 
@@ -154,13 +200,15 @@ def assign_topn(
     """Query-side probe list as a zero-shuffle sorted-slice projection +
     explode (see `topn_centroids`; previously a row_number window, which
     exchanged the query set)."""
-    carr = _cents_row(cents)
+    carr = _cents_row(cents, self_term=norm)
     return (
         df.crossJoin(F.broadcast(carr))
         .select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias("_v"),
-            F.explode(topn_centroids(F.col(vec_col), n, cosine)).alias("_t"),
+            F.explode(
+                topn_centroids(F.col(vec_col), norm(F.col(vec_col)), n, fsim_pre)
+            ).alias("_t"),
         )
         .select(out_id, F.col("_t.cid").alias("cid"), "_v")
     )
@@ -246,6 +294,12 @@ def qdot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
     )
+
+
+def qself(a: Column) -> Column:
+    """The fixed-point self-dot (long) — the precomputable half of
+    `qcosine`, staged per row/centroid for `qsim_pre`."""
+    return qdot(a, a)
 
 
 def qcosine(a: Column, b: Column) -> Column:
@@ -445,9 +499,9 @@ def kmeans_centroids(
         # assignment = zero-shuffle argmax projection (best_centroid);
         # the only exchange per iteration is the k-row component-sum
         # aggregate below, map-side combined.
-        carr = _cents_row(cents, "cid", "cq")
+        carr = _cents_row(cents, "cid", "cq", self_term=qself)
         best = emb.crossJoin(F.broadcast(carr)).select(
-            best_centroid(F.col("q"), qcosine)["cid"].alias("cid"), "q"
+            best_centroid(F.col("q"), qself(F.col("q")), qsim_pre)["cid"].alias("cid"), "q"
         )
         sums = best.groupBy("cid").agg(
             F.count("*").alias("n"),
@@ -491,9 +545,9 @@ def cluster_assignments(
     cents = emb.where(F.col(id_col) < k).select(
         F.col(id_col).alias("cid"), F.col("q").alias("cq")
     )
-    carr = _cents_row(cents, "cid", "cq")
+    carr = _cents_row(cents, "cid", "cq", self_term=qself)
     return emb.crossJoin(F.broadcast(carr)).select(
-        id_col, best_centroid(F.col("q"), qcosine)["cid"].alias("cid")
+        id_col, best_centroid(F.col("q"), qself(F.col("q")), qsim_pre)["cid"].alias("cid")
     )
 
 
@@ -594,20 +648,34 @@ def semantic_dedup(
     # (|members| dot products), so the pair condition below runs a single
     # qdot per candidate pair instead of three — identical arithmetic to
     # qcosine (exact long dots, double casts before the product).
-    carr = _cents_row(cents, "cid", "cq")
-    m = (
-        emb.crossJoin(F.broadcast(carr))
-        .select(id_col, "q", best_centroid(F.col("q"), qcosine).alias("_b"))
-        .select(
-            id_col,
-            F.col("_b.cid").alias("cid"),
-            F.col("_b.s").alias("cs"),
-            "q",
-        )
-        .withColumn("nq", qdot(F.col("q"), F.col("q")).cast("double"))
+    carr = _cents_row(cents, "cid", "cq", self_term=qself)
+    # Materialize the argmax STRUCT, then extract fields: two field
+    # reads off a plain alias inline (re-evaluate) the interpreted
+    # argmax per field via CollapseProject, and a Generate barrier was
+    # measured far slower (HOF generator drops the stage out of
+    # codegen). Checkpointing at the struct level evaluates the argmax
+    # exactly ONCE per row, and the post-checkpoint field reads are
+    # free physical-column accesses. The checkpoint also materializes
+    # the assignment for the pair self-join below: the zero-shuffle
+    # argmax leaves no Exchange for the planner to share between the
+    # two join sides, so an un-checkpointed plan would run the full
+    # interpreted assignment once PER SIDE.
+    m = emb.crossJoin(F.broadcast(carr)).select(
+        id_col, "q", best_centroid(F.col("q"), qself(F.col("q")), qsim_pre).alias("_b")
     )
+    if not m.isStreaming:
+        m = m.localCheckpoint(eager=True)
+    m = m.select(
+        id_col,
+        F.col("_b.cid").alias("cid"),
+        F.col("_b.s").alias("cs"),
+        "q",
+    ).withColumn("nq", qdot(F.col("q"), F.col("q")).cast("double"))
     if cluster_cap is not None:
         m = band_clusters(m, cluster_cap, "cid", id_col)
+        # the banding window would otherwise re-run once per join side
+        if not m.isStreaming:
+            m = m.localCheckpoint(eager=True)
     x = m.select(
         F.col(id_col).alias("ia"),
         F.col("cid").alias("cida"),
@@ -693,12 +761,12 @@ def knn_label_noise(
     cents = emb.where(F.col(id_col) < k_clusters).select(
         F.col(id_col).alias("cid"), F.col("q").alias("cq")
     )
-    carr = _cents_row(cents, "cid", "cq")
+    carr = _cents_row(cents, "cid", "cq", self_term=qself)
     m = (
         emb.crossJoin(F.broadcast(carr))
         .select(
             id_col,
-            best_centroid(F.col("q"), qcosine)["cid"].alias("cid"),
+            best_centroid(F.col("q"), qself(F.col("q")), qsim_pre)["cid"].alias("cid"),
             "q",
             F.col(label_col).alias("lbl"),
         )
@@ -706,6 +774,12 @@ def knn_label_noise(
     )
     if cluster_cap is not None:
         m = band_clusters(m, cluster_cap, "cid", id_col)
+    # Materialize the assignment once — same reasoning as semantic_dedup:
+    # the zero-shuffle argmax leaves no Exchange for the planner to share
+    # between the two pair-join sides, so an un-checkpointed m would run
+    # the interpreted assignment once per side.
+    if not m.isStreaming:
+        m = m.localCheckpoint(eager=True)
     x = m.select(
         F.col(id_col).alias("ia"), F.col("cid").alias("cida"),
         F.col("q").alias("qa"), F.col("nq").alias("na"), F.col("lbl").alias("la"),
@@ -772,10 +846,14 @@ def embedding_outliers(
     cents = emb.where(F.col(id_col) < k_clusters).select(
         F.col(id_col).alias("cid"), F.col("q").alias("cq")
     )
-    carr = _cents_row(cents, "cid", "cq")
+    carr = _cents_row(cents, "cid", "cq", self_term=qself)
     m = (
         emb.crossJoin(F.broadcast(carr))
-        .select(id_col, best_centroid(F.col("q"), qcosine).alias("_b"))
+        # (The two field reads inline the argmax twice; a Generate
+        # barrier was measured 7x SLOWER than the double eval — the
+        # HOF generator drops the stage out of codegen — so the double
+        # eval stays; k is small and the argmax is cheap next to it.)
+        .select(id_col, best_centroid(F.col("q"), qself(F.col("q")), qsim_pre).alias("_b"))
         .select(id_col, F.col("_b.cid").alias("cid"), F.col("_b.s").alias("cs"))
     )
     w_rank = Window.partitionBy("cid").orderBy(F.col("cs").asc(), F.col(id_col).asc())
@@ -998,9 +1076,9 @@ def _lloyd_q(emb: DataFrame, k: int, iters: int, dim: int) -> DataFrame:
         F.col("vid").alias("cid"), F.col("q").alias("cq")
     )
     for _ in range(iters):
-        carr = _cents_row(cents, "cid", "cq")
+        carr = _cents_row(cents, "cid", "cq", self_term=qself)
         best = emb.crossJoin(F.broadcast(carr)).select(
-            best_centroid(F.col("q"), qcosine)["cid"].alias("cid"), "q"
+            best_centroid(F.col("q"), qself(F.col("q")), qsim_pre)["cid"].alias("cid"), "q"
         )
         sums = best.groupBy("cid").agg(
             F.count("*").alias("n"),
@@ -1078,11 +1156,16 @@ def pq_encode(
     # exchange of every exploded subvector.
     barr = books.groupBy("sub").agg(
         F.collect_list(
-            F.struct(F.col("cid").alias("cid"), F.col("cq").alias("cv"))
+            F.struct(
+                F.col("cid").alias("cid"),
+                F.col("cq").alias("cv"),
+                qself(F.col("cq")).alias("nc"),
+            )
         ).alias("_cents")
     )
     return ex.join(F.broadcast(barr), "sub").select(
-        "vid", "sub", best_centroid(F.col("sq"), qcosine)["cid"].alias("cid")
+        "vid", "sub",
+        best_centroid(F.col("sq"), qself(F.col("sq")), qsim_pre)["cid"].alias("cid"),
     )
 
 
