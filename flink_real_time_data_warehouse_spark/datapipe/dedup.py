@@ -1217,6 +1217,7 @@ def incremental_substring_verdicts(
     min_tokens: int = SUFFIX_MIN_TOKENS,
     within_batch: bool = True,
     hint_broadcast: bool = True,
+    seed_rows: DataFrame | None = None,
 ) -> DataFrame:
     """ExactSubstr verdict for an INGEST batch without re-sorting the
     corpus: per new document, count the min_tokens-token windows whose
@@ -1233,9 +1234,21 @@ def incremental_substring_verdicts(
     gates every batch-derived hint, same contract as the MinHash probe.
 
     Returns (doc, n_dup_positions, verdict) for every batch document
-    (docs under min_tokens tokens have no windows: 'keep')."""
+    (docs under min_tokens tokens have no windows: 'keep').
+
+    ``seed_rows``: the batch's precomputed (doc, pos, seed) table. The
+    seed walk (tokenize + per-window xxhash64) is the expensive leg and
+    this plan references it FOUR times (probe distinct, hit positions,
+    both within-batch sides) — a caller that materializes it once (e.g.
+    `localCheckpoint`, as the graded incremental replay does) passes it
+    here so the walk runs once per batch, not once per reference
+    (guide §2.4 / §8 compute-once)."""
     hint = F.broadcast if hint_broadcast else (lambda df: df)
-    new_seeds = window_seed_rows(new, id_col, text_col, min_tokens)
+    new_seeds = (
+        seed_rows
+        if seed_rows is not None
+        else window_seed_rows(new, id_col, text_col, min_tokens)
+    )
     probe = new_seeds.select("seed").distinct()
     matched = idx_seeds.select("seed").join(hint(probe), "seed", "left_semi").distinct()
     hit_pos = new_seeds.join(hint(matched), "seed", "left_semi").select("doc", "pos")

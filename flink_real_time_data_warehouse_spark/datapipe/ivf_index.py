@@ -54,7 +54,9 @@ from .similarity import (
     assign_top1,
     assign_topn,
     cosine,
+    dot,
     dot8,
+    norm,
     ivf_probe_topk,
     pq_encode,
     quantized,
@@ -353,24 +355,43 @@ class IvfIndex:
         degrade to Spark-planned joins instead of dying at the broadcast
         limit. Returns (vec, verdict)."""
         hint = F.broadcast if broadcast_probes else (lambda df: df)
+        # Per-side self-norms staged below the candidate joins (guide
+        # §1.2): a stored vector's sqrt-dot evaluates once per scanned
+        # list row and a probe's once per probe row, so each candidate
+        # costs ONE dot; dot/(_nq*_nn) is the identical float
+        # composition cosine() expands to — bit-identical verdicts.
         probes = assign_topn(
             batch, self.centroids(), nprobe, id_col, vec_col, "vid"
+        ).withColumn("_nq", norm(F.col("_v")))
+        lists = self.lists().select(
+            "neighbor_id", "cid", "nv", norm(F.col("nv")).alias("_nn")
         )
-        lists = self.lists().select("neighbor_id", "cid", "nv")
         near = (
             lists.join(hint(probes), "cid")
-            .where(cosine(F.col("_v"), F.col("nv")) >= threshold)
+            .where(
+                dot(F.col("_v"), F.col("nv")) / (F.col("_nq") * F.col("_nn"))
+                >= threshold
+            )
             .select("vid")
         )
         if within_batch:
             b1 = assign_top1(batch, self.centroids(), id_col, vec_col, "vid2")
             batch_near = (
                 probes.join(
-                    hint(b1.withColumnRenamed("_v", "bv")), "cid"
+                    hint(
+                        b1.withColumnRenamed("_v", "bv").withColumn(
+                            "_nb", norm(F.col("bv"))
+                        )
+                    ),
+                    "cid",
                 )
                 .where(
                     (F.col("vid2") < F.col("vid"))
-                    & (cosine(F.col("_v"), F.col("bv")) >= threshold)
+                    & (
+                        dot(F.col("_v"), F.col("bv"))
+                        / (F.col("_nq") * F.col("_nb"))
+                        >= threshold
+                    )
                 )
                 .select("vid")
             )

@@ -3634,23 +3634,55 @@ _TAR_TAIL_HEX = (
 _TAR_TAIL_SUM = 0x30 + 0x75 + 0x73 + 0x74 + 0x61 + 0x72 + 0x30 + 0x30
 
 
-def _byte_sum(bin_col):
-    """Byte-value sum of a binary column: hex-pair walk + aggregate —
-    pure JVM (higher-order function, no Python). Used by the tar
-    checksum on both the synthesis and the verify side.
+#: hex digits with nonzero value ('0' contributes nothing to a digit sum)
+_HEX_DIGITS = "123456789ABCDEF"
 
-    KEEP the regexp_extract_all('(..)') pair array: it evaluates the
-    hex() image ONCE as the regex input. An index-walk variant
-    (aggregate over a byte-offset sequence with hx.substr(i*2+1, 2))
-    was measured at 4.3x SLOWER (tar_members 6.1 -> 26.5 s same-window
-    min-of-3) because the lambda re-evaluates the embedded hex()
-    subexpression per element — no CSE across higher-order-function
-    iterations, the let-binding trap documented in audio_dedup.py."""
-    pairs = F.regexp_extract_all(F.hex(bin_col), F.lit("(..)"), 1)
-    return F.aggregate(
-        pairs,
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + F.conv(x, 16, 10).cast("long"),
+
+def _digit_sum(s):
+    """Sum of hex-digit VALUES over a hex-digit string column: digit d
+    occurs len(s) - len(replace(s, d)) times, so the sum is
+    120*len(s) - sum_d d*len(replace(s, d)) — 16 plain string scans, no
+    per-character iteration. `s` must be a lambda variable or attribute
+    (each scan references it), never an inline expensive expression."""
+    total = F.lit(120) * F.length(s)
+    for d, ch in enumerate(_HEX_DIGITS, start=1):
+        total = total - F.lit(d) * F.length(F.replace(s, F.lit(ch)))
+    return total
+
+
+def _byte_sum(bin_col):
+    """Byte-value sum of a binary column — pure JVM, no Python, exact
+    integer. Counting form (guide §1.2, per-task work): over the hex
+    image, sum_bytes = 16*digitsum(hi digits) + digitsum(lo digits)
+    = 15*digitsum(hi) + digitsum(all); digit sums come from
+    per-digit-value occurrence counts (`_digit_sum`), and the hi-digit
+    string is one regexp pass keeping the first char of each pair. This
+    replaces the r13 regexp_extract_all('(..)') + aggregate(conv) pair
+    walk, whose per-element lambda ran INTERPRETED conv/cast for every
+    byte (measured 2.6x slower on tar_members); the counting form is a
+    fixed 18 string scans per call regardless of length.
+
+    Let-binding discipline (audio_dedup.py): hex() and the hi-digit
+    string each stage as a single-element-transform LAMBDA VARIABLE, so
+    an expensive `bin_col` (the synthesis side passes a whole header
+    concat) is hexed once and each string scans off the binding — no
+    optimizer rule can inline a lambda variable into its references.
+
+    A plain index-walk variant (aggregate over a byte-offset sequence
+    with hx.substr(i*2+1, 2)) was measured at 4.3x SLOWER in r13 than
+    even the pair walk: without the binding, the lambda re-evaluates
+    the embedded hex() per element — the same trap, pinned here so it
+    is not retried."""
+
+    def let1(bind, body):
+        return F.element_at(F.transform(F.array(bind), body), 1)
+
+    return let1(
+        F.hex(bin_col),
+        lambda hx: let1(
+            F.regexp_replace(hx, F.lit("(.)."), F.lit("$1")),
+            lambda hi: (F.lit(15) * _digit_sum(hi) + _digit_sum(hx)).cast("long"),
+        ),
     )
 
 

@@ -251,11 +251,20 @@ class PrefixIndex:
         text_col: str,
         batch_no: int | str | None = None,
         min_tokens: int | None = None,
+        seed_rows: DataFrame | None = None,
     ) -> str:
+        """``seed_rows`` (doc, pos, seed) — a caller that already holds
+        the batch's window seeds (the verdict pass computes them) passes
+        them here so the tokenize+hash walk is not re-run from text
+        (guide §2.4 compute-once); rows must cover exactly ``docs``."""
         from .dedup import SUFFIX_MIN_TOKENS, window_seed_rows
 
         mt = SUFFIX_MIN_TOKENS if min_tokens is None else min_tokens
-        rows = window_seed_rows(docs, id_col, text_col, mt)
+        rows = (
+            seed_rows.select("doc", "pos", "seed")
+            if seed_rows is not None
+            else window_seed_rows(docs, id_col, text_col, mt)
+        )
         if batch_no is None:
             with index_write_lock(self.base_dir):
                 seen = self._all_labels()

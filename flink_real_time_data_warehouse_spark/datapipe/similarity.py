@@ -53,11 +53,28 @@ def cosine_topk(
     Returns (query_id, neighbor_id, rank) with rank 1..k, ties broken by
     neighbor_id so output is fully deterministic.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("_nq"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("_nn"),
+    )
+    # Self-norms staged ONCE PER SIDE below the join (guide §1.2): the
+    # projections sit under the join, so each row's sqrt-dot evaluates
+    # once per ROW instead of once per PAIR, and the pair condition is a
+    # single dot. dot/( _nq * _nn ) is the identical float composition
+    # cosine() expands to — bit-identical sims.
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("_nq") * F.col("_nn"))).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -226,10 +243,20 @@ def ivf_probe_topk(probes: DataFrame, inv: DataFrame, k: int) -> DataFrame:
     emit the same neighbor at two ranks. Map-side combine keeps the extra
     exchange cheap; sims for duplicates are identical, max() is just the
     fold."""
+    # Per-side self-norms staged below the candidate join (guide §1.2):
+    # a stored vector's norm evaluates once per scanned list row, a
+    # query's once per probe row, and each candidate pair costs ONE dot.
+    # Identical float composition to cosine() — bit-identical sims.
+    p2 = probes.withColumn("_nq", norm(F.col("qv")))
+    i2 = inv.withColumn("_nn", norm(F.col("nv")))
     scored = (
-        probes.join(inv, "cid")
+        p2.join(i2, "cid")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("nv")) / (F.col("_nq") * F.col("_nn"))).alias("sim"),
+        )
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("sim").alias("sim"))
     )
@@ -955,12 +982,24 @@ def sign_lsh_near_dup_pairs(
         .select(F.col("a.vid").alias("ia"), F.col("b.vid").alias("ib"))
         .distinct()
     )
-    va = emb.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("va"))
-    vb = emb.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("vb"))
+    # Per-side self-norms staged below the verify join (guide §1.2): one
+    # sqrt-dot per corpus row per side instead of per candidate pair;
+    # dot/(na*nb) is the exact float composition cosine() expands to.
+    va = emb.select(
+        F.col(id_col).alias("ia"), F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("_na"),
+    )
+    vb = emb.select(
+        F.col(id_col).alias("ib"), F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("_nb"),
+    )
     return (
         cand.join(va, "ia")
         .join(vb, "ib")
-        .select("ia", "ib", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .select(
+            "ia", "ib",
+            (dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))).alias("sim"),
+        )
         .where(F.col("sim") >= threshold)
         .select("ia", "ib", F.floor(F.col("sim") * 10000).cast("long").alias("sim_q"))
     )
@@ -1002,12 +1041,24 @@ def sign_lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("_nq"),
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
+        norm(F.col(vec_col)).alias("_nn"),
+    )
+    # Self-norms once per row per side (guide §1.2) — one dot per
+    # candidate pair, bit-identical sims (same composition as cosine()).
     scored = (
         cand.join(F.broadcast(qv), "query_id")
         .join(nv, "neighbor_id")
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("nv")) / (F.col("_nq") * F.col("_nn"))).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (

@@ -2562,7 +2562,7 @@ def _substr_inc_oracle(n_epochs: int = 3) -> str:
 def dedup_substring_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    from ..datapipe.dedup import incremental_substring_verdicts
+    from ..datapipe.dedup import incremental_substring_verdicts, window_seed_rows
     from ..datapipe.signature_index import PrefixIndex
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2570,14 +2570,32 @@ def dedup_substring_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame
     outs = []
     for e in range(3):
         batch = docs.where(F.col("doc_id") % 3 == e)
-        v = incremental_substring_verdicts(idx.seeds(), batch, "doc_id", "text")
+        # The expensive leg — tokenize + per-window xxhash64 over the
+        # batch — runs ONCE per epoch (guide §2.4/§8): materialized here,
+        # then shared by the verdict plan's four references, the keep-seed
+        # append, and the final unioned output (which previously re-ran
+        # the whole walk ~4x per epoch at materialization and once more
+        # per append). Unpersisted after the epoch's append commits —
+        # superseded checkpoints must not accumulate executor storage.
+        seeds = window_seed_rows(batch, "doc_id", "text").localCheckpoint(eager=True)
+        v = incremental_substring_verdicts(
+            idx.seeds(), batch, "doc_id", "text", seed_rows=seeds
+        ).localCheckpoint(eager=True)
         outs.append(v.withColumn("ep", F.lit(e).cast("int")))
+        keep_seeds = seeds.join(
+            F.broadcast(
+                v.where(F.col("verdict") == "keep").select(F.col("doc"))
+            ),
+            "doc",
+            "left_semi",
+        )
         keeps = batch.join(
             v.where(F.col("verdict") == "keep").select(F.col("doc").alias("doc_id")),
             "doc_id",
             "left_semi",
         )
-        idx.append(keeps, "doc_id", "text", batch_no=f"e{e}")
+        idx.append(keeps, "doc_id", "text", batch_no=f"e{e}", seed_rows=keep_seeds)
+        seeds.unpersist()
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

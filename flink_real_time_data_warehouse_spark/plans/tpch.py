@@ -2266,18 +2266,23 @@ def txlog_stream_format_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_txlog_source(spark)
 
     def run(ck: str) -> None:
-        q = (
-            spark.readStream.format("txlog")
-            .option("path", ods.path)
-            .load()
-            .drop("_commit_version")
-            .writeStream.format("txlog")
-            .option("path", sink_path)
-            .option("app_id", "chain")
-            .option("checkpointLocation", os.path.join(work, ck))
-            .trigger(availableNow=True)
-            .start()
-        )
+        from ..session import stream_start_conf
+        from ..sources.streams import _note_src_bytes
+
+        _note_src_bytes(ods.path)  # txlog source: size the stream to the table
+        with stream_start_conf(spark):
+            q = (
+                spark.readStream.format("txlog")
+                .option("path", ods.path)
+                .load()
+                .drop("_commit_version")
+                .writeStream.format("txlog")
+                .option("path", sink_path)
+                .option("app_id", "chain")
+                .option("checkpointLocation", os.path.join(work, ck))
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination()
 
     ods.append(orders.where(F.col("o_orderkey") < b).coalesce(2), stats_cols=["o_orderkey"])

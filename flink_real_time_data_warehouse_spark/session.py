@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -79,6 +80,64 @@ def scratch_base() -> str:
 def mkscratch(prefix: str) -> str:
     """tempfile.mkdtemp on the fast scratch base (see scratch_base)."""
     return tempfile.mkdtemp(prefix=prefix, dir=scratch_base())
+
+
+#: compressed source bytes per streaming shuffle/state partition. Parquet
+#: expands ~2-4x in memory, so 32 MB compressed lands partitions in the
+#: guide's §2.2 100 MB-1 GB working range. Override the derived count
+#: entirely with SPARK_GRAFT_STREAM_PARTS (the spark-submit-level knob a
+#: cluster deployment would set; state-store count per trigger scales
+#: linearly with it, so it is the streaming analogue of sizing
+#: spark.sql.shuffle.partitions to data volume, which AQE cannot do for
+#: streaming state).
+STREAM_PART_BYTES = 32 * 1024 * 1024
+
+
+def stream_partitions(spark: SparkSession, src_bytes: int | None) -> int:
+    """Shuffle/state partition count for ONE streaming query, derived
+    from its source volume (guide §2.1/§2.2 applied to micro-batches):
+    every stateful operator writes one state-store delta file per
+    shuffle partition per trigger, and AQE cannot coalesce streaming
+    state — so a static machine-wide count (32 here) pays 32 state
+    files per operator per trigger even when a trigger carries a few
+    MB. Scale-adaptive instead: ceil(source_bytes / STREAM_PART_BYTES),
+    clamped to [2, current shuffle partitions]; unknown size keeps the
+    session value; SPARK_GRAFT_STREAM_PARTS overrides everything."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_PARTS")
+    if env:
+        return max(1, int(env))
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if not src_bytes:
+        return cur
+    import math
+
+    return max(2, min(cur, math.ceil(src_bytes / STREAM_PART_BYTES)))
+
+
+@contextmanager
+def stream_start_conf(spark: SparkSession, src_bytes: int | None = None):
+    """Set spark.sql.shuffle.partitions for a streaming query START and
+    restore it immediately after. StreamExecution clones the session at
+    start (sparkSessionForStream = sparkSession.cloneSession()), so the
+    value in force AT start is frozen into every micro-batch of that
+    query — including its state-store partition count, recorded in the
+    checkpoint metadata — and the restore cannot race the stream.
+
+    The source volume comes from sources.streams' pending-bytes note
+    (each stream_table/stream_dir records its file sizes; draining at
+    start sums the sources built for THIS query — construction and
+    start are sequential per session, and a drained total that ever
+    includes a stray never-started source only mis-sizes a heuristic)."""
+    from .sources import streams  # local import: streams imports this module
+
+    drained = streams.drain_pending_bytes()
+    n = stream_partitions(spark, src_bytes if src_bytes is not None else drained)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def tune_session(spark: SparkSession) -> SparkSession:

@@ -156,13 +156,18 @@ def cdc_initial_load(
             changes = changes.where(F.col(seq_col) > F.lit(seq_floor))
         apply_cdc_changes(store, table_name, changes, key, seq_col=seq_col)
 
-    q = (
-        spark.readStream.text(cdc_dir)
-        .writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", checkpoint or mkscratch(prefix="ckpt_cdc_"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    from ..session import stream_start_conf
+    from .streams import _note_src_bytes
+
+    _note_src_bytes(cdc_dir)
+    with stream_start_conf(spark):
+        q = (
+            spark.readStream.text(cdc_dir)
+            .writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", checkpoint or mkscratch(prefix="ckpt_cdc_"))
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     return boundary
 

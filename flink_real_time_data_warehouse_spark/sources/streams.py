@@ -24,6 +24,34 @@ from pyspark.sql import functions as F
 from ..session import tune_session
 from ..tables import TABLE_NAMES, _nanos_ts_columns
 
+# Source bytes of streams built since the last drain — the sizing input
+# for session.stream_start_conf (stream shuffle/state partitions derive
+# from source volume, guide §2.2). Construction and start are sequential
+# per session, so draining at start sums exactly this query's sources.
+_PENDING_SRC_BYTES: list[int] = []
+
+
+def _note_src_bytes(path: str) -> None:
+    try:
+        if os.path.isdir(path):
+            n = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+        else:
+            n = os.path.getsize(path)
+    except OSError:
+        return
+    _PENDING_SRC_BYTES.append(n)
+
+
+def drain_pending_bytes() -> int:
+    """Total source bytes noted since the last drain (then reset)."""
+    total = sum(_PENDING_SRC_BYTES)
+    _PENDING_SRC_BYTES.clear()
+    return total
+
 
 def stream_table(
     spark: SparkSession,
@@ -44,6 +72,7 @@ def stream_table(
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    _note_src_bytes(path)
     df = reader.load(sf_dir)
     for c in _nanos_ts_columns(path):
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
@@ -61,6 +90,7 @@ def stream_dir(
     reader = spark.readStream.format("parquet").schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    _note_src_bytes(directory)
     return reader.load(directory)
 
 

@@ -38,6 +38,7 @@ from ..datapipe.dedup import (
     incremental_dedup_indexed,
 )
 from ..datapipe.quality import text_quality
+from ..session import stream_start_conf
 from ..storage import TxLog
 
 MIN_QUALITY = 2  # same acceptance bar as the graded ingest_pipeline
@@ -106,12 +107,13 @@ def start_ingest(
         finally:
             batch.unpersist()
 
-    return (
-        stream.writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with stream_start_conf(stream.sparkSession):
+        return (
+            stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
 
 
 def start_vector_ingest(
@@ -168,12 +170,13 @@ def start_vector_ingest(
         finally:
             batch.unpersist()
 
-    return (
-        stream.writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with stream_start_conf(stream.sparkSession):
+        return (
+            stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
 
 
 def start_txlog_sink(stream: DataFrame, log, checkpoint: str, app_id: str = "txsink"):
@@ -189,12 +192,13 @@ def start_txlog_sink(stream: DataFrame, log, checkpoint: str, app_id: str = "txs
     def on_batch(batch: DataFrame, epoch: int) -> None:
         log.append(batch, app_id=app_id, app_version=epoch)
 
-    return (
-        stream.writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with stream_start_conf(stream.sparkSession):
+        return (
+            stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
 
 
 def start_cdc_sink(
@@ -220,12 +224,13 @@ def start_cdc_sink(
             app_id=app_id, app_version=epoch,
         )
 
-    return (
-        stream.writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with stream_start_conf(stream.sparkSession):
+        return (
+            stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
 
 
 def start_classifier_eval(
@@ -287,12 +292,13 @@ def start_classifier_eval(
         )
         log.append(row, app_id=app_id, app_version=epoch)
 
-    return (
-        stream.writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with stream_start_conf(stream.sparkSession):
+        return (
+            stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
 
 
 def start_alignment_gate(
@@ -328,9 +334,10 @@ def start_alignment_gate(
             sample_alignment_gate(batch, emb), app_id=app_id, app_version=epoch
         )
 
-    return (
-        members.writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with stream_start_conf(members.sparkSession):
+        return (
+            members.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )

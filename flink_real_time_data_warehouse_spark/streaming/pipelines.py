@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.windows import TS_FMT
-from ..session import mkscratch
+from ..session import mkscratch, stream_start_conf
 
 
 def tumble_agg_stream(
@@ -119,13 +119,14 @@ def run_to_parquet(df: DataFrame, path: str) -> None:
     parquet directory — the DWD-layer handoff between chained streaming
     apps (the reference passes dwd_* Kafka topics between apps;
     OrderWideApp -> dwm_payment_wide consumers)."""
-    q = (
-        df.writeStream.format("parquet")
-        .option("path", path)
-        .option("checkpointLocation", mkscratch(prefix="ckpt_pq_"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    with stream_start_conf(df.sparkSession):
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", mkscratch(prefix="ckpt_pq_"))
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
 
 
@@ -140,13 +141,16 @@ def run_to_memory(df: DataFrame, spark: SparkSession, output_mode: str = "append
     (`streaming/router.py`, `storage/txlog.py`), which keep results
     distributed and transactional. Do not lift this into a pipeline."""
     name = "mem_" + uuid.uuid4().hex[:12]
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", mkscratch(prefix=f"ckpt_{name}_"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    # Stream shuffle/state partitions sized to this query's source volume
+    # (session.stream_start_conf — guide §2.1/§2.2 for micro-batches).
+    with stream_start_conf(spark):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", mkscratch(prefix=f"ckpt_{name}_"))
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     return spark.table(name)

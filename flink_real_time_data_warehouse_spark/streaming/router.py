@@ -265,12 +265,15 @@ def start_router(
         )
 
     try:
-        query = (
-            stream.writeStream.foreachBatch(on_batch)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
+        from ..session import stream_start_conf
+
+        with stream_start_conf(stream.sparkSession):
+            query = (
+                stream.writeStream.foreachBatch(on_batch)
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
     except Exception:
         if lock is not None:
             lock.release()
