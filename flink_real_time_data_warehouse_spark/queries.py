@@ -49,62 +49,68 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # round; everything else follows in registration order. Queries not yet
 # registered are ignored, so new entries can be pre-listed safely.
 _GRADE_FIRST: list[str] = [
-    # Round 13 rotation (r12 verdict task 2; generated from
-    # `python scripts/verify_driver.py --staleness` at the r13 open).
-    # Slots 1-2: the two r13 registrations with no driver row yet
-    # (both verified green against the oracle this session); then the
-    # full r7-stale block (16 names) and the oldest r8 block. After this
-    # window grades, no query's last driver row is older than r8.
-    "tokenizer_vocab_sweep_indexed",
-    "alignment_gate_stream",
-    "visitor_stats_sliding",
-    "uv_daily",
-    "new_user_fix",
-    "bounce_events",
-    "order_wide",
-    "payment_wide",
-    "scd2_user_status",
-    "serving_product_revenue",
-    "promo_revenue_share",
-    "late_shipment_priority",
-    "market_share",
-    "priority_shipping_counts",
-    "brand_supplier_counts",
-    "product_type_profit",
-    "discounted_brand_revenue",
-    "excess_shippers",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_minhash_capped",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_minhash_verified",
-    "dup_spans",
-    "dedup_simhash_pairs",
-    "dedup_canonical",
-    "decontaminate_semantic",
-    "embedding_cosine_pairs_capped",
-    "semantic_dedup",
-    "semantic_dedup_capped",
-    "embedding_quantize",
-    "unimax_sample",
-    "dsir_select",
-    "train_split_leakage_free",
-    "province_stats",
-    "visitor_stats",
-    "product_stats",
-    "events_union_stats",
-    "keyword_stats",
-    "keyword_stats_smart",
-    "session_stats",
-    "cdc_route",
-    "dirty_split",
-    "purchase_status_asof",
-    "json_props",
-    "asof_click_attribution",
-    "datetime_funcs",
-    "serving_gmv",
-    "sql_chained_stats",
+    # Round 14 rotation (r13 verdict task 2): lead with the operators the
+    # r13 optimization round REWROTE that the driver has never re-graded
+    # (verdict's named list — kmeans/ann/image/audio/line_dedup/unigram/
+    # funnel/matryoshka/ingest), then the r8-stale block from
+    # `verify_driver.py --staleness` (keeps the no-older-than-r9
+    # contract), then the paths THIS round's optimizations touch (self-
+    # norm staging, tar checksum, seed materialization, stream-partition
+    # sizing) so any plan-rewrite drift surfaces in CORRECTNESS_r14.
+    "kmeans_centroids",
+    "ann_ivf_topk",
+    "ann_ivf_indexed_topk",
+    "ann_ivf_quantized_topk",
+    "ann_ivf_pq_topk",
+    "ann_pq_topk",
+    "knn_label_noise",
+    "embedding_outliers",
+    "embedding_clusters",
+    "audio_fp_dedup",
+    "image_phash_dedup",
+    "image_phash_clusters",
+    "image_phash_sig_stream",
+    "image_decontaminate",
+    "line_dedup",
+    "unigram_tokenize",
+    "unigram_tokenize_indexed",
+    "curation_pipeline",
+    "multimodal_curation_funnel",
+    "matryoshka_recall",
+    "ingest_pipeline_stream",
+    # r8-stale block (staleness report, oldest first)
+    "sql_province_stats",
+    "small_qty_revenue",
+    "nation_revenue_share",
+    "q1_pricing_summary",
+    "txlog_snapshot_read",
+    "txlog_pruned_read",
+    "txlog_restore_read",
+    "txlog_dv_delete_read",
+    "txlog_update_read",
+    "txlog_clone_read",
+    "txlog_rename_read",
+    "txlog_cdf_full_feed",
+    "txlog_generated_partition_read",
+    "txlog_merge_into_read",
+    "txlog_identity_read",
+    "txlog_source_stream",
+    "cdc_route_materialized",
+    "dwd_chain_stream",
+    # r14-touched paths
+    "tar_members",
+    "tar_members_stream",
+    "webdataset_samples",
+    "sample_alignment_gate",
+    "dedup_substring_incremental",
+    "ann_ingest_stream",
+    "ann_topk",
+    "ann_sign_lsh_topk",
+    "rrf_fusion_topk",
+    # (embedding_cosine_pairs shares sign_lsh_near_dup_pairs with
+    # embedding_clusters above — one grade covers the rewritten path)
+    "abandoned_orders_stream",
+    "product_stats_stream",
 ]
 
 
