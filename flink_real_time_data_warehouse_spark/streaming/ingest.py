@@ -107,7 +107,7 @@ def start_ingest(
         finally:
             batch.unpersist()
 
-    with stream_start_conf(stream.sparkSession):
+    with stream_start_conf(stream.sparkSession, df=stream):
         return (
             stream.writeStream.foreachBatch(on_batch)
             .option("checkpointLocation", checkpoint)
@@ -170,7 +170,7 @@ def start_vector_ingest(
         finally:
             batch.unpersist()
 
-    with stream_start_conf(stream.sparkSession):
+    with stream_start_conf(stream.sparkSession, df=stream):
         return (
             stream.writeStream.foreachBatch(on_batch)
             .option("checkpointLocation", checkpoint)
@@ -192,7 +192,7 @@ def start_txlog_sink(stream: DataFrame, log, checkpoint: str, app_id: str = "txs
     def on_batch(batch: DataFrame, epoch: int) -> None:
         log.append(batch, app_id=app_id, app_version=epoch)
 
-    with stream_start_conf(stream.sparkSession):
+    with stream_start_conf(stream.sparkSession, df=stream):
         return (
             stream.writeStream.foreachBatch(on_batch)
             .option("checkpointLocation", checkpoint)
@@ -224,7 +224,7 @@ def start_cdc_sink(
             app_id=app_id, app_version=epoch,
         )
 
-    with stream_start_conf(stream.sparkSession):
+    with stream_start_conf(stream.sparkSession, df=stream):
         return (
             stream.writeStream.foreachBatch(on_batch)
             .option("checkpointLocation", checkpoint)
@@ -292,7 +292,7 @@ def start_classifier_eval(
         )
         log.append(row, app_id=app_id, app_version=epoch)
 
-    with stream_start_conf(stream.sparkSession):
+    with stream_start_conf(stream.sparkSession, df=stream):
         return (
             stream.writeStream.foreachBatch(on_batch)
             .option("checkpointLocation", checkpoint)
@@ -334,7 +334,7 @@ def start_alignment_gate(
             sample_alignment_gate(batch, emb), app_id=app_id, app_version=epoch
         )
 
-    with stream_start_conf(members.sparkSession):
+    with stream_start_conf(members.sparkSession, df=members):
         return (
             members.writeStream.foreachBatch(on_batch)
             .option("checkpointLocation", checkpoint)

@@ -267,7 +267,7 @@ def start_router(
     try:
         from ..session import stream_start_conf
 
-        with stream_start_conf(stream.sparkSession):
+        with stream_start_conf(stream.sparkSession, df=stream):
             query = (
                 stream.writeStream.foreachBatch(on_batch)
                 .option("checkpointLocation", checkpoint)

@@ -1588,6 +1588,10 @@ def dwd_chain_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.orderBy(F.col("id") * 2 + (F.col("op") == "update").cast("long"))
         ),
     )
+    # Three ODS appends each filter this frame: materialize it once so the
+    # single-partition ntile sort over the full envelope runs one time,
+    # not once per append (guide §2.4 compute-once).
+    envelope = envelope.localCheckpoint(eager=True)
     work = mkscratch(prefix="dwd_chain_")
     ods = TxLog(os.path.join(work, "ods_base_db"))
     for e in (1, 2):  # the first two ODS commits exist before the stream

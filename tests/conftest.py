@@ -21,7 +21,13 @@ ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("frtdw-tests")
+    # Tests run at sf0.001 (KB-scale inputs): 4 shuffle partitions keeps
+    # every stage's task count (and each streaming trigger's state-store
+    # file count) proportional to the data instead of the machine's 32
+    # cores — same guide-§2.2 sizing the engine itself applies via
+    # session.stream_partitions; results are partition-count-invariant
+    # (the oracle comparisons prove it).
+    s = get_spark("frtdw-tests", shuffle_partitions=4)
     yield s
 
 

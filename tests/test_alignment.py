@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from flink_real_time_data_warehouse_spark.datapipe.alignment import (
     ALIGN_THRESHOLD,
     sample_alignment_gate,
@@ -27,8 +29,16 @@ def _gate(spark):
     return sample_alignment_gate(members, emb)
 
 
-def test_attrition_is_monotone(spark):
-    rows = _gate(spark).collect()
+@pytest.fixture(scope="module")
+def gate_rows(spark):
+    """One materialization of the gate shared by the row-level tests:
+    each _gate().collect() re-plans the full tar-walk expression tree,
+    which dominates these tests' runtime (planning, not data)."""
+    return _gate(spark).collect()
+
+
+def test_attrition_is_monotone(gate_rows):
+    rows = gate_rows
     assert rows
     for r in rows:
         assert r["n_aligned"] <= r["n_pairable"] <= r["n_samples"]
@@ -41,16 +51,16 @@ def test_attrition_is_monotone(spark):
             assert r["aligned_ppm"] == 0
 
 
-def test_single_member_shards_are_unpairable(spark):
+def test_single_member_shards_are_unpairable(gate_rows):
     """Shards with one member carry a jpg but no caption — they count as
     samples yet never reach scoring (the funnel's first attrition)."""
-    for r in _gate(spark).collect():
+    for r in gate_rows:
         if r["asset_id"] % 3 == 0:
             assert r["n_samples"] == 1
             assert r["n_pairable"] == 0 and r["n_aligned"] == 0
 
 
-def test_python_recompute_parity(spark):
+def test_python_recompute_parity(spark, gate_rows):
     """Per-shard aligned counts match a from-scratch Python replay of the
     pairing rule + quantized cosine gate."""
     emb = {
@@ -79,7 +89,7 @@ def test_python_recompute_parity(spark):
             txt = emb[(d * 5 + 1) % n]
             aligned = int(qcos(img, txt) >= ALIGN_THRESHOLD)
         expect[d] = aligned
-    got = {r["asset_id"]: r["n_aligned"] for r in _gate(spark).collect()}
+    got = {r["asset_id"]: r["n_aligned"] for r in gate_rows}
     assert got == expect
 
 
@@ -95,7 +105,7 @@ def test_scoring_plan_is_zero_shuffle(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_curation_funnel_chains_and_matches_parts(spark):
+def test_curation_funnel_chains_and_matches_parts(spark, gate_rows):
     """Stage chaining (n_in of k = n_kept of k-1) and agreement with the
     independently-computed parts: stage-2 kept = the gate's total
     aligned; stage-3 kept <= stage-2 kept."""
@@ -136,5 +146,5 @@ def test_curation_funnel_chains_and_matches_parts(spark):
         assert rows[k]["n_in"] == rows[k - 1]["n_kept"]
     for r in rows.values():
         assert r["n_dropped"] == r["n_in"] - r["n_kept"] >= 0
-    gate = _gate(spark).groupBy().sum("n_aligned").collect()[0][0]
+    gate = sum(r["n_aligned"] for r in gate_rows)  # same rows, no re-plan
     assert rows[2]["n_kept"] == gate

@@ -930,11 +930,17 @@ def test_tfrecord_varint_boundaries(spark):
         good[:13] + b"\xff\xff\xff\xff" + good[17:],     # varint never ends
         good[:-4],                                       # trailing CRC slot cut
     ]
+    # ONE DataFrame/collect for all four corruptions: the varint-walk
+    # expression tree is large enough that per-case .first() calls spend
+    # minutes in planning/codegen alone (4 plans -> 1; assertions identical).
     for s in fakes:
         assert parse_tfrecord_header_py(s) is None, s[:12]
-        df = spark.createDataFrame([(1, bytearray(s))], "asset_id long, payload binary")
-        row = parse_tfrecord_headers(df).first()
-        assert row["record_id"] is None and row["width"] is None, s[:12]
+    fdf = spark.createDataFrame(
+        [(i, bytearray(s)) for i, s in enumerate(fakes)],
+        "asset_id long, payload binary",
+    )
+    for row in parse_tfrecord_headers(fdf).collect():
+        assert row["record_id"] is None and row["width"] is None, row["asset_id"]
 
 
 def test_flac_bitfield_boundaries(spark):

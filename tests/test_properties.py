@@ -981,12 +981,14 @@ def test_url_canonicalization_idempotent(spark, scheme, host, port, path, query,
         url += "?" + query
     url += frag
     df = spark.createDataFrame([(1, url)], "doc_id long, url string")
-    first = canonicalize_urls(df, "url").select("url_canonical").first()[0]
+    # one plan for url_canonical + host (a separate .first() per column
+    # re-plans the whole canonicalizer expression tree)
+    row = canonicalize_urls(df, "url").select("url_canonical", "host").first()
+    first, host_out = row[0], row[1]
     df2 = spark.createDataFrame([(1, first)], "doc_id long, url string")
     second = canonicalize_urls(df2, "url").select("url_canonical").first()[0]
     assert second == first, (url, first, second)
     assert "#" not in first and "utm_" not in first
-    host_out = canonicalize_urls(df, "url").select("host").first()[0]
     assert host_out == host_out.lower()
 
 
