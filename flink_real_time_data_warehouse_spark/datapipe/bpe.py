@@ -106,7 +106,16 @@ def bpe_train(
     per-round checkpoints were pure scheduling overhead, while a
     bounded apply_merge chain re-evaluates at most _CKPT_EVERY cheap
     array folds per row. Stops early if no pair remains. `symbols`
-    picks the base alphabet (chars or the byte-level table)."""
+    picks the base alphabet (chars or the byte-level table).
+
+    _CKPT_EVERY trades scheduling overhead against re-evaluated fold
+    passes AND codegen depth (ADVICE r13): within a window, round k's
+    aggregation replays all k pending folds, so fold work grows
+    ~quadratically across the window (sum 1..8 ≈ 36 passes per 8 rounds
+    vs 8 with per-round checkpoints — still cheap because each fold is
+    an in-memory array rewrite over <= vocab_cap rows), and deeply
+    nested aggregate lambdas approach whole-stage-codegen size limits.
+    Keep the constant small; re-measure before raising it."""
     _CKPT_EVERY = 8
     vocab = word_vocab(df, text_col, vocab_cap, max_word, symbols).localCheckpoint(
         eager=True

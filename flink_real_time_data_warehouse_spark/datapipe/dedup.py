@@ -222,6 +222,16 @@ def lsh_candidate_pairs(
     decisions made over the stored fingerprints). Signatures are
     O(docs) rows of num_hashes longs — far cheaper to store than to
     recompute at any scale.
+
+    Eager-materialization side effects (ADVICE r13): building this
+    DataFrame RUNS a Spark job (an upstream error surfaces at
+    construction, not first action), and the checkpointed blocks live in
+    executor storage for the session's lifetime — an iterative caller
+    building many pair frames per session should unpersist superseded
+    results (`df.unpersist()`) the way the graded incremental replay
+    does. The blocks are also not fault-tolerant: losing an executor
+    recomputes the query from scratch (acceptable for a batch pass; the
+    durable alternative is writing the signature table out, §8 step 1).
     """
     if not sig.isStreaming:
         sig = sig.localCheckpoint(eager=True)
@@ -629,7 +639,10 @@ def hamming_near_dup_pairs(
     consumers like connected components that reference the pair frame
     twice pay it four times). Guide §8: compute the fingerprint pass
     once, decide over the stored fingerprints. Signatures are O(docs)
-    rows of (doc, two longs).
+    rows of (doc, two longs). Same eager side effects as
+    `lsh_candidate_pairs`: construction runs a job, blocks persist for
+    the session (unpersist superseded frames in iterative callers), and
+    executor loss recomputes rather than recovers.
     """
     if not sig.isStreaming:
         sig = sig.localCheckpoint(eager=True)
