@@ -458,8 +458,18 @@ def ngram_jaccard_pairs(
 
     jaccard = shared / (|A| + |B| - shared): one integer division per pair,
     bit-identical across engines.
+
+    The shingle table is materialized (localCheckpoint) before its
+    consumers: the plan references it four times (the hot-shingle count,
+    the per-doc sizes, and both self-join sides), so without a
+    materialization point the tokenize+shingle explode runs once per
+    reference — guide §8's fingerprint rule, the same move as
+    `lsh_candidate_pairs`. Same eager side effects as there (job at
+    construction, session-lifetime blocks, recompute on executor loss).
     """
     ex = shingle_rows(df, id_col, text_col, k)
+    if not ex.isStreaming:
+        ex = ex.localCheckpoint(eager=True)
     if doc_freq_cap is not None:
         # shingle_rows is distinct per doc, so count(*) == doc frequency.
         hot = (
@@ -471,6 +481,10 @@ def ngram_jaccard_pairs(
         # No broadcast pin: the hot set is bounded by rows/cap, which still
         # grows with the corpus — let AQE pick broadcast only while it fits.
         ex = ex.join(hot, "sh", "left_anti")
+        # the anti-join (and the hot agg above it) would otherwise re-run
+        # once per downstream reference (sizes + both join sides)
+        if not ex.isStreaming:
+            ex = ex.localCheckpoint(eager=True)
     sizes = ex.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a, b = ex.alias("a"), ex.alias("b")
     shared = (
@@ -932,8 +946,12 @@ def containment_pairs(
     is the quote. Same shingle index, same stop-shingle doc-frequency
     cap, and the same per-shingle cap²/2 cost bound as
     `ngram_jaccard_pairs`; one integer division per direction, so every
-    coefficient is bit-identical across engines."""
+    coefficient is bit-identical across engines. Shingle table and
+    capped table materialize once for the four plan references, as
+    there (guide §8; same eager side effects)."""
     ex = shingle_rows(df, id_col, text_col, k)
+    if not ex.isStreaming:
+        ex = ex.localCheckpoint(eager=True)
     if doc_freq_cap is not None:
         hot = (
             ex.groupBy("sh")
@@ -942,6 +960,8 @@ def containment_pairs(
             .select("sh")
         )
         ex = ex.join(hot, "sh", "left_anti")
+        if not ex.isStreaming:
+            ex = ex.localCheckpoint(eager=True)
     sizes = ex.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a, b = ex.alias("a"), ex.alias("b")
     shared = (

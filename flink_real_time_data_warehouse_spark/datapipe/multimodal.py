@@ -3659,8 +3659,9 @@ def _byte_sum(bin_col):
     string is one regexp pass keeping the first char of each pair. This
     replaces the r13 regexp_extract_all('(..)') + aggregate(conv) pair
     walk, whose per-element lambda ran INTERPRETED conv/cast for every
-    byte (measured 2.6x slower on tar_members); the counting form is a
-    fixed 18 string scans per call regardless of length.
+    byte (r14 A/B: tar_members 7.9 -> 6.6 s, whole query, same-window
+    min-of-reps); the counting form is a fixed 18 string scans per call
+    regardless of length.
 
     Let-binding discipline (audio_dedup.py): hex() and the hi-digit
     string each stage as a single-element-transform LAMBDA VARIABLE, so
